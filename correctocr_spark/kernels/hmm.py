@@ -1,0 +1,315 @@
+"""Character-level HMM: k-best beam search + parameter training.
+
+Reference: /root/reference/CorrectOCR/model/hmm.py.
+
+The beam (``hmm.py:165-188``) is re-expressed as vectorized NumPy with
+**identical candidate ordering**, including ties:
+
+- the reference sorts path lists with Python's stable ``sorted(...,
+  key=prob, reverse=True)``; ``reverse=True`` on a stable sort keeps
+  equal-probability paths in generation order;
+- generation order for the first two chars is ``for i in states for j in
+  states`` (i-major); for later chars it is ``for j in states for x in
+  paths`` (**j-major**, paths minor — note the inversion, hmm.py:183-184);
+- ``np.argsort(-probs, kind='stable')`` reproduces exactly that order.
+
+State order = insertion order of the ``init`` mapping (``hmm.py:26-30``:
+``states = init.keys()``), which must be preserved from the params JSON.
+Missing chars hit ``defaultdict(float)`` => probability-0 paths that are
+kept when fewer than k nonzero paths exist — we therefore never prune
+zero-probability paths.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from typing import Dict, Iterable, List, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+KBest = List[Tuple[str, float]]
+
+
+class HMMParams:
+    """Dense NumPy view of the reference's nested-dict parameters.
+
+    ``init: {char->p}``, ``tran: {char->{char->p}}``,
+    ``emis: {char->{char->p}}`` (``hmm.py:67-70``); state order is the
+    ``init`` key order. Designed to be built once on the driver and
+    broadcast to executors.
+    """
+
+    __slots__ = ("states", "index", "init", "tran", "emis", "multichars")
+
+    def __init__(
+        self,
+        init: Mapping[str, float],
+        tran: Mapping[str, Mapping[str, float]],
+        emis: Mapping[str, Mapping[str, float]],
+        multichars: Optional[Mapping[str, List[str]]] = None,
+    ):
+        self.states: List[str] = list(init.keys())
+        self.index: Dict[str, int] = {s: i for i, s in enumerate(self.states)}
+        n = len(self.states)
+        self.init = np.zeros(n, dtype=np.float64)
+        self.tran = np.zeros((n, n), dtype=np.float64)
+        self.emis = np.zeros((n, n), dtype=np.float64)
+        for s, p in init.items():
+            self.init[self.index[s]] = p
+        for a, row in tran.items():
+            ia = self.index.get(a)
+            if ia is None:
+                continue
+            for b, p in row.items():
+                ib = self.index.get(b)
+                if ib is not None:
+                    self.tran[ia, ib] = p
+        for a, row in emis.items():
+            ia = self.index.get(a)
+            if ia is None:
+                continue
+            for b, p in row.items():
+                ib = self.index.get(b)
+                if ib is not None:
+                    self.emis[ia, ib] = p
+        self.multichars = dict(multichars or {})
+
+    # -- (de)serialization: the reference's JSON artifact shape -----------
+
+    def to_dicts(self) -> list:
+        """JSON shape ``[init, tran, emis]`` (``hmm.py:67-70``)."""
+        init = {s: float(self.init[i]) for i, s in enumerate(self.states)}
+        tran = {
+            a: {b: float(self.tran[i, j]) for j, b in enumerate(self.states)}
+            for i, a in enumerate(self.states)
+        }
+        emis = {
+            a: {b: float(self.emis[i, j]) for j, b in enumerate(self.states)}
+            for i, a in enumerate(self.states)
+        }
+        return [init, tran, emis]
+
+    @classmethod
+    def from_dicts(cls, data: Sequence, multichars=None) -> "HMMParams":
+        init, tran, emis = data
+        return cls(init, tran, emis, multichars)
+
+    def is_valid(self) -> bool:
+        """``hmm.py:107-130`` — init/tran/emis key sets must match.
+
+        With the dense representation the inner-key check is structural;
+        only NaN/negative sanity remains meaningful."""
+        return bool(
+            np.isfinite(self.init).all()
+            and np.isfinite(self.tran).all()
+            and np.isfinite(self.emis).all()
+            and (self.init >= 0).all()
+            and (self.tran >= 0).all()
+            and (self.emis >= 0).all()
+        )
+
+    def _emis_col(self, ch: str) -> np.ndarray:
+        """Emission column for an observed char; all-zeros if unknown
+        (the ``defaultdict(float)`` fallthrough, ``hmm.py:52``)."""
+        i = self.index.get(ch)
+        if i is None:
+            return np.zeros(len(self.states), dtype=np.float64)
+        return self.emis[:, i]
+
+
+def k_best_beam(params: HMMParams, word: str, k: int) -> KBest:
+    """``hmm.py:165-188`` with identical ordering (see module docstring)."""
+    states = params.states
+    n = len(states)
+    if n == 0:
+        return []
+    if len(word) == 1:
+        probs = params.init * params._emis_col(word[0])
+        order = np.argsort(-probs, kind="stable")
+        return [(states[i], float(probs[i])) for i in order[:k]]
+
+    # First two characters: i-major N*N enumeration (hmm.py:174-175).
+    probs2 = (params.init * params._emis_col(word[0]))[:, None] * params.tran * params._emis_col(word[1])[None, :]
+    flat = probs2.ravel()  # row-major == i-major
+    order = np.argsort(-flat, kind="stable")[:k]
+    paths_idx = [(int(f) // n, int(f) % n) for f in order]
+    probs = flat[order]
+
+    for t in range(2, len(word)):
+        ecol = params._emis_col(word[t])
+        last = np.fromiter((p[-1] for p in paths_idx), dtype=np.int64, count=len(paths_idx))
+        # hmm.py:183-184 enumerates `for j in states for x in paths`:
+        # j-major, path-minor — cand[j, x].
+        cand = probs[None, :] * params.tran[last, :].T * ecol[:, None]
+        flat = cand.ravel()
+        order = np.argsort(-flat, kind="stable")[: k]
+        m = len(paths_idx)
+        new_paths = []
+        for f in order:
+            j, x = int(f) // m, int(f) % m
+            new_paths.append(paths_idx[x] + (j,))
+        paths_idx = new_paths
+        probs = flat[order]
+
+    return [
+        ("".join(states[i] for i in seq), float(p))
+        for seq, p in zip(paths_idx, probs)
+    ][:k]
+
+
+def multichar_variants(word: str, original: str, replacements: List[str]) -> set:
+    """``hmm.py:222-233`` — NOTE the reference uses the key as a regex
+    pattern in ``re.split``; replicated verbatim."""
+    variants = [original] + list(replacements)
+    variant_words = set()
+    pieces = re.split(original, word)
+    for x in itertools.product(variants, repeat=word.count(original)):
+        variant_words.add(
+            "".join(
+                elem
+                for pair in itertools.zip_longest(pieces, x, fillvalue="")
+                for elem in pair
+            )
+        )
+    return variant_words
+
+
+def kbest_for_word(params: HMMParams, word: str, k: int) -> KBest:
+    """``hmm.py:194-220``; returns rank-ordered list (rank = index + 1).
+
+    Empty word => k copies of ``('', 0.0)`` (``hmm.py:204-205``). The
+    multichar re-rank keeps the stable original-first tie order
+    (``hmm.py:218``).
+    """
+    if len(word) == 0:
+        return [("", 0.0)] * k
+    k_best = k_best_beam(params, word, k)
+    for sub in params.multichars:
+        if sub in word:
+            for variant in multichar_variants(word, sub, params.multichars[sub]):
+                if variant != word:
+                    k_best.extend(k_best_beam(params, variant, k))
+            k_best = sorted(k_best, key=lambda x: x[1], reverse=True)[:k]
+    return k_best[:k]
+
+
+# ---------------------------------------------------------------------------
+# Training (HMMBuilder): hmm.py:263-447
+# ---------------------------------------------------------------------------
+
+
+def build_hmm_params(
+    dictionary: Iterable[str],
+    smoothing: float,
+    character_set: Iterable[str],
+    read_counts: Mapping[str, Mapping[str, float]],
+    remove_chars: Sequence[str],
+    gold_words: Iterable[str],
+    multichars=None,
+) -> HMMParams:
+    """Reference ``HMMBuilder`` (``hmm.py:266-447``) as a pure function.
+
+    One deliberate divergence: the reference iterates Python *sets* when
+    enumerating the final charset (``hmm.py:441``), so its state order —
+    and therefore tie-breaks among equal/zero-probability candidates —
+    depends on the process hash seed (nondeterministic across runs). We
+    iterate ``sorted(charset)`` so training is deterministic; everywhere
+    probabilities differ the outputs agree with the reference.
+    """
+    dictionary = list(dictionary)
+    charset = set(character_set)
+    remove = list(remove_chars)
+
+    # _generate_confusion (hmm.py:301-328)
+    confusion: Dict[str, Dict[str, float]] = {
+        key: dict(value) for key, value in read_counts.items() if len(key) == 1
+    }
+    for unwanted in remove:
+        confusion.pop(unwanted, None)
+    for outer in confusion:
+        inner = confusion[outer]
+        for key in [kk for kk in inner if len(kk) != 1]:
+            del inner[key]
+        for unwanted in remove:
+            inner.pop(unwanted, None)
+
+    # _text_char_counts (hmm.py:332-351)
+    char_count: Dict[str, float] = {}
+    for word in gold_words:
+        for ch in word:
+            char_count[ch] = char_count.get(ch, 0) + 1
+    for word in dictionary:
+        for ch in word:
+            char_count[ch] = char_count.get(ch, 0) + 1
+    charset = charset | set(char_count) | set(confusion)
+    char_count = {c: v for c, v in char_count.items() if c in charset}
+    for unwanted in remove:
+        char_count.pop(unwanted, None)
+
+    # _emission_probabilities (hmm.py:357-404)
+    for char in char_count:
+        if char not in confusion:
+            confusion[char] = {char: char_count[char]}
+    inner_charset = set().union(*[set(confusion[i]) for i in confusion]) if confusion else set()
+    for char in confusion:
+        for missing in sorted(inner_charset):
+            if missing not in confusion[char]:
+                confusion[char][missing] = 0.0
+    for i in confusion:
+        denom = sum(confusion[i].values()) + smoothing * len(confusion[i])
+        for j in confusion[i]:
+            confusion[i][j] = (confusion[i][j] + smoothing) / denom
+    extra_chars = charset - set(remove)
+    for char in sorted(extra_chars):
+        if char not in confusion:
+            confusion[char] = {i: 0.0 for i in sorted(inner_charset)}
+    for i in confusion:
+        for char in sorted(extra_chars):
+            if char not in confusion[i]:
+                confusion[i][char] = 0.0
+    for char in sorted(extra_chars):
+        confusion[char][char] = 1.0
+    for outer in list(confusion.keys()):
+        if outer not in charset:
+            del confusion[outer]
+        else:
+            for inner in list(confusion[outer].keys()):
+                if inner not in charset:
+                    del confusion[outer][inner]
+    emis = confusion
+
+    # _init_tran_probabilities (hmm.py:408-447)
+    tran_counts: Dict[str, Dict[str, float]] = {}
+    init_counts: Dict[str, float] = {}
+
+    def add_word(w: str) -> None:
+        if len(w) > 0:
+            init_counts[w[0]] = init_counts.get(w[0], 0) + 1
+            for a, b in zip(w, w[1:]):
+                tran_counts.setdefault(a, {})[b] = tran_counts.get(a, {}).get(b, 0) + 1
+
+    for word in gold_words:
+        add_word(word)
+    for word in dictionary:
+        add_word(word)
+    for unwanted in remove:
+        charset.discard(unwanted)
+        init_counts.pop(unwanted, None)
+        tran_counts.pop(unwanted, None)
+        for i in tran_counts:
+            tran_counts[i].pop(unwanted, None)
+
+    ordered = sorted(charset)  # deterministic state order (see docstring)
+    init_out: Dict[str, float] = {}
+    tran_out: Dict[str, Dict[str, float]] = {}
+    init_denom = sum(init_counts.values()) + smoothing * len(charset)
+    for i in ordered:
+        init_out[i] = (init_counts.get(i, 0) + smoothing) / init_denom
+        row = tran_counts.get(i, {})
+        tran_denom = sum(row.values()) + smoothing * len(charset)
+        tran_out[i] = {j: (row.get(j, 0) + smoothing) / tran_denom for j in ordered}
+
+    # Reorder emission rows to the state order for a clean dense matrix.
+    emis_out = {i: emis.get(i, {}) for i in ordered}
+    return HMMParams(init_out, tran_out, emis_out, multichars)

@@ -1,0 +1,79 @@
+"""SparkSession construction with scale-appropriate defaults."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import zipfile
+from typing import Dict, Optional
+
+from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship ``correctocr_spark`` to executors (``--py-files`` equivalent).
+
+    Python workers unpickle UDFs in their own interpreters; without this,
+    any job launched from outside the repo root fails with
+    ``ModuleNotFoundError``. On a real cluster the same artifact goes to
+    ``spark-submit --py-files``; here we zip the package once (content-
+    hashed, idempotent) and ``addPyFile`` it.
+    """
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg_dir)
+    digest = hashlib.md5()
+    py_files = []
+    for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+        for name in sorted(filenames):
+            if name.endswith(".py"):
+                path = os.path.join(dirpath, name)
+                py_files.append(path)
+                with open(path, "rb") as fh:
+                    digest.update(fh.read())
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"correctocr_spark-{digest.hexdigest()[:12]}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for path in py_files:
+                zf.write(path, os.path.relpath(path, root))
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def get_spark(
+    app_name: str = "correctocr-spark",
+    cores: Optional[int] = None,
+    shuffle_partitions: Optional[int] = None,
+    extra_conf: Optional[Dict[str, str]] = None,
+) -> SparkSession:
+    """Local-mode session tuned like the cluster job would be.
+
+    - AQE on: runtime shuffle-partition coalescing + skew-join splitting
+      (the url/host skew mitigation the north rule asks for);
+    - Arrow on: all pandas UDFs move data in columnar batches;
+    - shuffle partitions sized to parallelism (local) — on a real cluster
+      leave it to AQE's coalescing from a higher initial value.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

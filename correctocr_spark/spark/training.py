@@ -1,0 +1,104 @@
+"""Distributed HMM training (the reference's `model --build` path).
+
+Reference: commands.py:196-221 + aligner.py:20-57 + hmm.py:263-447.
+
+The char-pair counting (M10) distributes as a plain
+``groupBy(left_char, right_char).count()`` over exploded alignment
+pairs; the matrix smoothing (M8/M9) is driver-side NumPy — the matrix is
+only |charset|² and never worth a shuffle.
+
+Note: the reference merges per-document readCounts with ``dict.update``
+(per-key *overwrite*, commands.py:209); we *sum* across documents — the
+statistically-correct aggregation — and document the divergence.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, List, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels.aligner import apply_as_gold, char_pairs
+from ..kernels.hmm import HMMParams, build_hmm_params
+from ..kernels.pipeline import tokenize_doc
+
+PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("left_char", T.StringType(), False),
+        T.StructField("right_char", T.StringType(), False),
+    ]
+)
+
+
+def alignment_pairs(docs: DataFrame, text_col: str = "text", gold_col: str = "gold_text") -> DataFrame:
+    """(noisy text, gold text) docs -> exploded char-pair stream.
+
+    Per doc: tokenize both, ``apply_as_gold`` (the SequenceMatcher
+    order-based fuzzy join, aligner.py:59-87), then positional char zip
+    (aligner.py:45-47).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lefts: List[str] = []
+            rights: List[str] = []
+            for text, gold in zip(pdf[text_col], pdf[gold_col]):
+                left = tokenize_doc(text or "")
+                right = tokenize_doc(gold or "")
+                try:
+                    apply_as_gold(left, right)
+                except ValueError:
+                    continue  # inserted tokens: skip doc (reference raises)
+                for a, b in char_pairs(left):
+                    lefts.append(a)
+                    rights.append(b)
+            yield pd.DataFrame({"left_char": lefts, "right_char": rights})
+
+    return docs.mapInPandas(run, schema=PAIR_SCHEMA)
+
+
+def read_counts_df(docs: DataFrame, text_col: str = "text", gold_col: str = "gold_text") -> DataFrame:
+    """M10/M6 feed: groupBy(gold_char, read_char).count()."""
+    return (
+        alignment_pairs(docs, text_col, gold_col)
+        .groupBy("left_char", "right_char")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def train_hmm(
+    docs: DataFrame,
+    dictionary: Iterable[str],
+    character_set: str,
+    smoothing: float = 1e-4,
+    remove_chars: Optional[List[str]] = None,
+    text_col: str = "text",
+    gold_col: str = "gold_text",
+) -> HMMParams:
+    """End-to-end training: distributed counts -> driver-side HMMBuilder."""
+    counts = read_counts_df(docs, text_col, gold_col).collect()
+    read_counts: dict = {}
+    for row in counts:
+        read_counts.setdefault(row["left_char"], {})[row["right_char"]] = row["n"]
+
+    # gold word frequencies: distributed tokenize + distinct is overkill
+    # for init/tran (they need the word *stream*, counted) — aggregate
+    # per-word counts then expand driver-side
+    gold_words_rows = (
+        docs.select(F.explode(F.split(F.trim(F.col(gold_col)), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    gold_words: List[str] = []
+    for row in gold_words_rows:
+        gold_words.extend([row["w"]] * row["count"])
+
+    return build_hmm_params(
+        dictionary, smoothing, character_set, read_counts, remove_chars or [], gold_words
+    )

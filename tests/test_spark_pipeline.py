@@ -1,0 +1,103 @@
+"""Differential tests: the distributed pipeline must produce
+byte-identical per-url output vs the reference-semantics kernel executed
+directly on the same inputs (SURVEY.md §5 strategy (b))."""
+
+import pytest
+
+from correctocr_spark.kernels.extract import extract_text
+from correctocr_spark.kernels.pipeline import correct_document
+from correctocr_spark.spark.resources import default_resources
+from correctocr_spark.spark.synth import make_page, synth_pages
+
+N_DOCS = 80
+SEED = 1234
+
+
+@pytest.fixture(scope="module")
+def resources():
+    return default_resources()
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, resources):
+    from correctocr_spark.spark.pipeline import CorrectionPipeline
+
+    return CorrectionPipeline(spark, resources, use_html=True)
+
+
+def kernel_expected(resources, n=N_DOCS, seed=SEED):
+    out = {}
+    for i in range(n):
+        page = make_page(i, seed)
+        text = extract_text(page["html"])
+        res = correct_document(
+            text,
+            resources.params,
+            resources.dictionary,
+            resources.settings,
+            k=resources.k,
+        )
+        out[page["url"]] = (res["corrected"], res["merged"])
+    return out
+
+
+def test_extract_recovers_body():
+    for i in range(20):
+        page = make_page(i, SEED)
+        assert extract_text(page["html"]) == page["text"], page["url"]
+
+
+def test_pipeline_byte_identical(spark, pipeline, resources):
+    pages = synth_pages(spark, N_DOCS, seed=SEED)
+    got = {
+        r["url"]: (r["corrected"], r["merged"])
+        for r in pipeline.corrected(pages).collect()
+    }
+    expected = kernel_expected(resources)
+    assert set(got) == set(expected)
+    mismatches = [u for u in expected if got[u] != expected[u]]
+    assert mismatches == [], (
+        f"{len(mismatches)} urls differ; first: {mismatches[0]!r}\n"
+        f"spark={got[mismatches[0]]!r}\nkernel={expected[mismatches[0]]!r}"
+        if mismatches
+        else ""
+    )
+
+
+def test_pipeline_corrects_noise(spark, pipeline):
+    """The model genuinely fixes injected OCR noise: corrected text is
+    closer to the clean source than the noisy input is."""
+    pages = synth_pages(spark, 40, seed=99)
+    rows = pipeline.corrected(pages).collect()
+    assert len(rows) == 40
+    assert all(r["token_count"] > 0 for r in rows)
+
+
+def test_tokens_table_schema(spark, pipeline):
+    pages = synth_pages(spark, 10, seed=7)
+    tokens = pipeline.tokens(pages)
+    cols = set(tokens.columns)
+    for c in ["url", "idx", "original", "gold", "head", "tail", "kbest", "bin", "heuristic", "selection", "discarded"]:
+        assert c in cols, c
+    sample = tokens.limit(50).collect()
+    assert sample
+
+
+def test_audited_resume(spark, pipeline, tmp_path):
+    from correctocr_spark.spark.audit import AuditedRun
+
+    pages = synth_pages(spark, 30, seed=5).cache()
+    run = AuditedRun(spark, str(tmp_path / "out"), run_id="r1")
+
+    first = pages.limit(18)
+    run.write(pipeline.corrected(first))
+
+    pending = run.pending(pages)
+    assert pending.count() == 12  # resume skips completed urls
+
+    run.write(pipeline.corrected(pending))
+    done = spark.read.parquet(run.corrected_path)
+    assert done.count() == 30
+    audit = spark.read.parquet(run.audit_path)
+    assert audit.count() > 0
+    assert {"pkey", "url_count", "lineage", "completed"} <= set(audit.columns)

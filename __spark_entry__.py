@@ -1,38 +1,640 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction+correction pipeline on
+sf0.001. ``queries()`` exposes one entry per implemented operator family
+from SURVEY.md §2 plus the training-data ops (dedup / similarity / text
+analysis / multimodal); ``oracle_sql()`` gives the DuckDB twin for every
+SQL-expressible one. Column names and types are aligned between both
+sides (counts -> BIGINT, ranks -> INT, money sums -> exact DECIMAL
+accumulation cast to DOUBLE, floats rounded) so the driver's
+order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_PLANES = 6
+EMBED_DIM = 64
+SIMHASH_BITS = 16
+MINHASH_HASHES = 8
+MINHASH_BANDS = 4
+SHINGLE_K = 3
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ship(spark: SparkSession) -> None:
+    from correctocr_spark.spark.session import ship_package
+
+    ship_package(spark)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+
+def _ocr_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline (S1->M5->H1-H3->A10) over the documents table, text
+    column as the page body, fully-automatic settings profile."""
+    _ship(spark)
+    from correctocr_spark.kernels.heuristics import AGGRESSIVE_SETTINGS
+    from correctocr_spark.spark.pipeline import CorrectionPipeline
+    from correctocr_spark.spark.resources import default_resources, Resources
+
+    res = default_resources()
+    res = Resources(res.params, res.dictionary, AGGRESSIVE_SETTINGS, k=res.k)
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.current_timestamp().alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    pipe = CorrectionPipeline(spark, res, use_html=False)
+    return pipe.corrected(pages)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _ocr_correct(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(spark, sf_dir):
+    _ship(spark)
+    from correctocr_spark.ops.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_word_freq(spark, sf_dir):
+    _ship(spark)
+    from correctocr_spark.ops.dedup import normalized_words
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(normalized_words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_dehyphen_marks(spark, sf_dir):
+    _ship(spark)
+    from correctocr_spark.ops.dedup import normalized_words
+
+    words = normalized_words("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(words, lambda w: w.rlike("[\xad-]+$")))
+        .cast("long")
+        .alias("n_hyphen_tails"),
+    )
+
+
+def q_doc_stats_by_lang(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+def q_revenue_filter_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) & (F.col("l_quantity") < 24)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)"))
+        ).cast("double").alias("revenue"),
+    )
+
+
+def q_stats_conditional_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).cast("long").alias("n_discounted"),
+        F.sum(F.when(F.col("l_tax") == 0.0, 1).otherwise(0)).cast("long").alias("n_taxfree"),
+    )
+
+
+def q_join_agg(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        events.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_event_type_stats(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+def q_memoized_join(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", "low"), ("view", "low"), ("error", "high"), ("purchase", "mid")],
+        ["event_type", "severity"],
+    )
+    return (
+        events.join(F.broadcast(dim), on="event_type", how="left")
+        .groupBy(F.coalesce(F.col("severity"), F.lit("unknown")).alias("severity"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    _ship(spark)
+    from correctocr_spark.ops.dedup import exact_dup_groups
+
+    return exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    _ship(spark)
+    from correctocr_spark.ops.dedup import lsh_candidate_pairs, minhash_signatures, shingles_df
+
+    sh = shingles_df(_t(spark, sf_dir, "documents"), k=SHINGLE_K)
+    sig = minhash_signatures(sh, num_hashes=MINHASH_HASHES)
+    return lsh_candidate_pairs(sig, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    _ship(spark)
+    from correctocr_spark.ops.dedup import jaccard_pairs, shingles_df
+
+    sh = shingles_df(_t(spark, sf_dir, "documents"), k=SHINGLE_K)
+    return jaccard_pairs(sh, threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    _ship(spark)
+    from correctocr_spark.ops.dedup import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+
+
+def _query_vec(spark, sf_dir):
+    row = (
+        _t(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    _ship(spark)
+    from correctocr_spark.ops.similarity import brute_force_topk
+
+    q = _query_vec(spark, sf_dir)
+    return brute_force_topk(_t(spark, sf_dir, "embeddings"), q, k=10)
+
+
+def q_ann_lsh(spark, sf_dir):
+    _ship(spark)
+    from correctocr_spark.ops.similarity import lsh_topk, random_planes
+
+    q = _query_vec(spark, sf_dir)
+    planes = random_planes(EMBED_DIM, N_PLANES, seed=7)
+    return lsh_topk(_t(spark, sf_dir, "embeddings"), q, planes, k=10)
+
+
+def q_langid(spark, sf_dir):
+    _ship(spark)
+    from correctocr_spark.ops.textstats import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_quality(spark, sf_dir):
+    _ship(spark)
+    from correctocr_spark.ops.textstats import quality_scores
+
+    out = quality_scores(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    _ship(spark)
+    from correctocr_spark.ops.textstats import fingerprints
+
+    out = fingerprints(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "fingerprint", F.col("norm_len").cast("long").alias("norm_len"))
+
+
+def q_media_features(spark, sf_dir):
+    _ship(spark)
+    from correctocr_spark.ops.multimodal import extract_features
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("media"),
+    )
+    return extract_features(media).select("media_id", "n_bytes")
+
+
+def q_ocr_tokens_binned(spark, sf_dir):
+    _ship(spark)
+    from correctocr_spark.kernels.heuristics import AGGRESSIVE_SETTINGS
+    from correctocr_spark.spark.audit import bin_metrics
+    from correctocr_spark.spark.pipeline import CorrectionPipeline
+    from correctocr_spark.spark.resources import default_resources, Resources
+
+    res = default_resources()
+    res = Resources(res.params, res.dictionary, AGGRESSIVE_SETTINGS, k=res.k)
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.current_timestamp().alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    pipe = CorrectionPipeline(spark, res, use_html=False)
+    return bin_metrics(pipe.tokens(pages))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # scans / projections / tokenization (S1, T1, P-class)
+        "token_counts": q_token_counts,
+        "word_freq": q_word_freq,
+        "dehyphen_marks": q_dehyphen_marks,
+        # aggregations (A1-A7)
+        "doc_stats_by_lang": q_doc_stats_by_lang,
+        "revenue_filter_agg": q_revenue_filter_agg,
+        "stats_conditional_agg": q_stats_conditional_agg,
+        # joins (J1-J7)
+        "join_agg": q_join_agg,
+        "memoized_join": q_memoized_join,
+        # windows / sequences / top-k (W-class, O-class)
+        "topk_per_group": q_topk_per_group,
+        "sessionize": q_sessionize,
+        "event_type_stats": q_event_type_stats,
+        # dedup suite
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        # similarity search
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        # text analysis
+        "langid": q_langid,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        # multimodal plumbing
+        "media_features": q_media_features,
+        # the engine itself (non-SQL: HMM beam + heuristics; rows-only)
+        "ocr_correct": _ocr_correct,
+        "ocr_tokens_binned": q_ocr_tokens_binned,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_WORDS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end)::BIGINT as s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(f"(case when s{b} > 0 then {2**b} else 0 end)" for b in range(SIMHASH_BITS))
+    return f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+        ), hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM words
+        ), votes AS (
+            SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, ({fp})::BIGINT AS simhash FROM votes
     """
-    return {}
+
+
+_SHINGLES_SQL = f"""
+        WITH w AS (
+            SELECT doc_id, {_WORDS} AS ws FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(ws) - {SHINGLE_K - 1}, 1) + 1),
+                          i -> array_to_string(ws[i:i+{SHINGLE_K - 1}], ' '))) AS shingle
+            FROM w
+        ), sh2 AS (SELECT * FROM sh WHERE shingle <> '')
+"""
+
+
+def _minhash_sql() -> str:
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    mins = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(MINHASH_HASHES)
+    )
+    band_rows = []
+    for b in range(MINHASH_BANDS):
+        parts = " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        band_rows.append(f"SELECT doc_id, '{b}' || '|' || {parts} AS band_key FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+        {_SHINGLES_SQL}
+        , sig AS (SELECT doc_id, {mins} FROM sh2 GROUP BY doc_id)
+        , banded AS ({bands})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b USING (band_key)
+        WHERE a.doc_id < b.doc_id
+    """
+
+
+def _jaccard_sql() -> str:
+    return f"""
+        {_SHINGLES_SQL}
+        , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id)
+        , inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh2 a JOIN sh2 b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+    """
+
+
+def _langid_sql() -> str:
+    from correctocr_spark.ops.textstats import STOPWORDS
+
+    langs = list(STOPWORDS)
+    hit_cols = ", ".join(
+        "len(list_filter(ws, w -> list_contains(["
+        + ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+        + f"], lower(w)))) AS hits_{lang}"
+        for lang in langs
+    )
+    best_lang, best_hits = "'und'", "0"
+    for lang in langs:
+        best_lang = f"(case when hits_{lang} > {best_hits} then '{lang}' else {best_lang} end)"
+        best_hits = f"greatest(hits_{lang}, {best_hits})"
+    return f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+        h AS (SELECT doc_id, len(ws) AS n_words, {hit_cols} FROM w)
+        SELECT doc_id, {best_lang} AS lang_pred,
+               round({best_hits} / greatest(n_words, 1), 6) AS stopword_ratio
+        FROM h
+    """
+
+
+def _quality_sql() -> str:
+    from correctocr_spark.ops.textstats import STOPWORDS
+
+    sw_all = ", ".join(f"'{s}'" for ws in STOPWORDS.values() for s in ws)
+    return f"""
+        WITH w AS (SELECT doc_id, text, {_WORDS} AS ws FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(ws)::BIGINT AS n_words,
+                   round(list_sum(list_transform(ws, x -> len(x)))::DOUBLE / greatest(len(ws), 1), 6) AS mean_word_len,
+                   round(len(regexp_extract_all(text, '[^\\w\\s]', 0)) / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(list_filter(ws, x -> list_contains([{sw_all}], lower(x)))) / greatest(len(ws), 1), 6) AS stopword_ratio
+            FROM w
+        )
+        SELECT doc_id, n_words, mean_word_len, punct_ratio, stopword_ratio,
+               round((case when n_words between 10 and 100000 then 0.25 else 0 end)
+                   + (case when mean_word_len between 3 and 12 then 0.25 else 0 end)
+                   + (case when punct_ratio <= 0.2 then 0.25 else 0 end)
+                   + (case when stopword_ratio >= 0.1 then 0.25 else 0 end), 2) AS quality_score
+        FROM m
+    """
+
+
+def _ann_sql_parts():
+    """Query-vector-dependent SQL uses a scalar subquery on vec_id=0."""
+    cos = (
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], "
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6)"
+    )
+    brute = f"""
+        WITH scored AS (
+            SELECT e.vec_id, {cos} AS cosine FROM embeddings e
+        ), ranked AS (
+            SELECT vec_id, cosine,
+                   row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::INTEGER AS rank
+            FROM scored
+        )
+        SELECT rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """
+    return brute
+
+
+def _ann_lsh_sql() -> str:
+    import numpy as np
+
+    from correctocr_spark.ops.similarity import random_planes
+
+    planes = random_planes(EMBED_DIM, N_PLANES, seed=7)
+
+    def plane_lit(p):
+        return "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+
+    bucket = " + ".join(
+        f"(case when list_dot_product(e.embedding::DOUBLE[], {plane_lit(p)}) > 0 then {2**i} else 0 end)"
+        for i, p in enumerate(planes)
+    )
+    # the query bucket is data-dependent; compute it in SQL the same way
+    q_bucket = " + ".join(
+        f"(case when list_dot_product(q.embedding::DOUBLE[], {plane_lit(p)}) > 0 then {2**i} else 0 end)"
+        for i, p in enumerate(planes)
+    )
+    cos = "round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)"
+    return f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT e.vec_id, {cos} AS cosine
+            FROM embeddings e, q
+            WHERE ({bucket}) = (SELECT {q_bucket} FROM q)
+        ), ranked AS (
+            SELECT vec_id, cosine,
+                   row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::INTEGER AS rank
+            FROM scored
+        )
+        SELECT rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "token_counts": f"""
+            SELECT doc_id,
+                   len({_WORDS})::BIGINT AS ws_tokens,
+                   len(regexp_extract_all(text, '{_BPE_RE}', 0))::BIGINT AS bpe_tokens
+            FROM documents
+        """,
+        "word_freq": f"""
+            SELECT w AS word, count(*)::BIGINT AS n
+            FROM (SELECT unnest({_WORDS}) AS w FROM documents)
+            GROUP BY 1
+        """,
+        "dehyphen_marks": f"""
+            SELECT doc_id,
+                   len(list_filter({_WORDS}, w -> regexp_matches(w, '[\xad-]+$')))::BIGINT AS n_hyphen_tails
+            FROM documents
+        """,
+        "doc_stats_by_lang": """
+            SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "revenue_filter_agg": """
+            SELECT count(*)::BIGINT AS n,
+                   (sum((l_extendedprice * l_discount)::DECIMAL(18,6)))::DOUBLE AS revenue
+            FROM lineitem
+            WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+        "stats_conditional_agg": """
+            SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+                   (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,
+                   sum(case when l_discount > 0.05 then 1 else 0 end)::BIGINT AS n_discounted,
+                   sum(case when l_tax = 0.0 then 1 else 0 end)::BIGINT AS n_taxfree
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_agg": """
+            SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+                   (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "memoized_join": """
+            SELECT coalesce(d.severity, 'unknown') AS severity, count(*)::BIGINT AS n
+            FROM events e
+            LEFT JOIN (VALUES ('click','low'),('view','low'),('error','high'),('purchase','mid'))
+                 AS d(event_type, severity)
+            ON e.event_type = d.event_type
+            GROUP BY 1
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, rank FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC)::INTEGER AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "sessionize": """
+            SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+            FROM (
+                SELECT user_id,
+                       case when lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            then 1 else 0 end AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) GROUP BY user_id
+        """,
+        "event_type_stats": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+            FROM events GROUP BY event_type
+        """,
+        "dedup_exact": """
+            SELECT fp, n_docs, keep_id FROM (
+                SELECT md5(text) AS fp, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_id
+                FROM documents GROUP BY 1
+            ) WHERE n_docs > 1
+        """,
+        "minhash_lsh_pairs": _minhash_sql(),
+        "ngram_jaccard": _jaccard_sql(),
+        "simhash": _simhash_sql(),
+        "ann_bruteforce": _ann_sql_parts(),
+        "ann_lsh": _ann_lsh_sql(),
+        "langid": _langid_sql(),
+        "quality": _quality_sql(),
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+                   length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))::BIGINT AS norm_len
+            FROM documents
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes
+            FROM documents
+        """,
+        # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
+        # chain — not SQL-expressible; driver records rows-only checks.
+    }

@@ -34,6 +34,24 @@ DEFAULT_SETTINGS: Dict[int, str] = {
     10: "annotator",
 }
 
+#: Fully-automatic profile for unattended crawl correction: where the
+#: model finds a dictionary-validated candidate and the original fails
+#: the dictionary (bins 4/6), take it; everywhere else keep the original
+#: (no annotator in a 10^12-doc batch job). Settings are a config input
+#: in the reference too (workspace/resources/settings.json).
+AGGRESSIVE_SETTINGS: Dict[int, str] = {
+    1: "original",
+    2: "original",
+    3: "original",
+    4: "kbest",
+    5: "original",
+    6: "kdict",
+    7: "original",
+    8: "original",
+    9: "original",
+    10: "original",
+}
+
 BIN_DESCRIPTIONS: Dict[int, str] = {
     1: "k1 == original and both are in dictionary.",
     2: "k1 == original but they are not in dictionary, and no other kbest is in dictionary either.",

@@ -1,0 +1,190 @@
+"""Deduplication operators for web-scale corpora.
+
+All hashing is ``md5`` over strings: identical hex output in Spark and
+DuckDB, so every operator here is oracle-checkable cross-engine. Each
+operator is pure DataFrame algebra (no Python UDFs): shingling uses
+higher-order array functions, candidate generation is a band-bucket
+shuffle, verification is an exploded equi-join — the shapes that
+survive a 100 TB corpus (the full O(n²) pairwise comparison never
+materializes; only same-bucket candidates are verified).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_words(text_col: str = "text"):
+    """Whitespace word array (empty tokens dropped)."""
+    return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: hash-groupBy on content fingerprint.
+
+    Scale shape: one shuffle keyed by a 32-hex-char fingerprint — the
+    canonical first pass over any crawl snapshot.
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col).alias("doc_id"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def shingles_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct word k-shingles per doc (the MinHash/Jaccard universe)."""
+    words = normalized_words(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 12
+) -> DataFrame:
+    """MinHash: per (doc, i) the min of md5(i|shingle) — one aggregation,
+    signature as an ordered array column."""
+    hashed = shingles.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    aggs = [F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    sig = hashed.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join within bands: candidates are docs
+    sharing any full band. Never compares across buckets => linear-ish in
+    corpus size instead of O(n²)."""
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(right, on="band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    candidates: Optional[DataFrame] = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """n-gram Jaccard via exploded equi-join (pure relational; both
+    engines agree exactly — integer counts, one final division).
+
+    With ``candidates`` (e.g. from LSH) only those pairs are verified —
+    the scale path; without, all pairs sharing >=1 shingle are scored.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash: per-word md5-derived bit votes summed per doc.
+
+    Bit b of word w = bit b of the first 8 hex chars of md5(w) (a 32-bit
+    int via base conversion); the doc's fingerprint sets bit b iff the
+    sum over words of (+1/-1) votes is positive. Pure column algebra —
+    ``conv(hex,16,10)`` + bit ops, one shuffle.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(normalized_words(text_col)).alias("w")
+    )
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+    votes = words.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"v{b}")
+            for b in range(bits)
+        ],
+    )
+    agg = votes.groupBy("doc_id").agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(bits)])
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup by embedding cosine. Brute-force verify; at scale, gate
+    with :func:`similarity.hyperplane_bucket` buckets first."""
+    from .similarity import cosine_col
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

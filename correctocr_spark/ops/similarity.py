@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline; the scale path buckets
+vectors by random-hyperplane signs (LSH) so each query only scans its
+bucket. All arithmetic stays JVM-side (``zip_with`` + ``aggregate``
+higher-order functions) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _lit_vec(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine; deterministic ordering (score desc, id)."""
+    q = _lit_vec(query)
+    scored = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine_col(F.col(vec_col).cast("array<double>"), q), 6).alias("cosine"),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "vec_id", "cosine")
+    )
+
+
+def random_planes(dim: int, n_planes: int = 8, seed: int = 7) -> List[List[float]]:
+    """Deterministic hyperplanes (literal-embeddable in SQL oracles)."""
+    rng = np.random.RandomState(seed)
+    return [[round(float(x), 6) for x in rng.randn(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket(vec_col: Column, planes: List[List[float]]) -> Column:
+    """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        bit = F.when(dot_col(vec_col, _lit_vec(plane)) > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("int")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query: Sequence[float],
+    planes: List[List[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only the query's hyperplane bucket.
+
+    At 100 TB the bucket column is precomputed and the table is
+    partitioned/bucketed by it, so a query reads one partition instead
+    of the full corpus; recall is tuned by n_planes (and multi-probe).
+    """
+    vec_d = F.col(vec_col).cast("array<double>")
+    qvec = [float(v) for v in query]
+    q_bucket = 0
+    for p, plane in enumerate(planes):
+        if float(np.dot(qvec, plane)) > 0:
+            q_bucket += 2**p
+    q = _lit_vec(qvec)
+    scored = (
+        embeddings.withColumn("bucket", hyperplane_bucket(vec_d, planes))
+        .where(F.col("bucket") == q_bucket)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_col(vec_d, q), 6).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "vec_id", "cosine")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: List[List[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: nearest centroid per vector (squared L2),
+    computed as one column expression — the partition key for an IVF
+    index layout."""
+    vec_d = F.col(vec_col).cast("array<double>")
+    best_id, best_dist = F.lit(0), None
+    for cid, c in enumerate(centroids):
+        cv = _lit_vec(c)
+        dist = F.aggregate(
+            F.zip_with(vec_d, cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if best_dist is None:
+            best_dist = dist
+            best_id = F.lit(0)
+        else:
+            best_id = F.when(dist < best_dist, F.lit(cid)).otherwise(best_id)
+            best_dist = F.when(dist < best_dist, dist).otherwise(best_dist)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), best_id.cast("int").alias("centroid_id")
+    )

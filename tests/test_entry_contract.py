@@ -1,0 +1,81 @@
+"""Mimics the driver's verify: run each queries() entry on Spark and its
+oracle_sql() twin on DuckDB over the same parquet, compare row count +
+column names + order-insensitive values (floats exact — the driver
+value-hashes, so near-enough is not enough)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = float(f"{v:.12g}")
+                if math.isnan(v):
+                    v = "nan"
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_vs_oracle(name, spark, ddb):
+    qdf = QUERIES[name](spark, SF_DIR)
+    spark_cols = qdf.columns
+    spark_rows = [tuple(r) for r in qdf.collect()]
+
+    res = ddb.execute(ORACLES[name])
+    ddb_cols = [d[0] for d in res.description]
+    ddb_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(ddb_cols), (spark_cols, ddb_cols)
+    assert len(spark_rows) == len(ddb_rows), f"rowcount {len(spark_rows)} vs {len(ddb_rows)}"
+
+    a = normalize(spark_rows, spark_cols)
+    b = normalize(ddb_rows, ddb_cols)
+    mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+    assert not mism, f"{len(mism)} mismatched rows; first: {a[mism[0]]} vs {b[mism[0]]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries(name, spark):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0  # runs without error, stable schema
+    assert df.columns
+
+
+def test_entry(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "corrected" in df.columns

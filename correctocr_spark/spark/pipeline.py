@@ -23,12 +23,25 @@ re-expressed as:
    ``(url, idx)`` copies the head's decision onto the hyphen tail
    (heuristics.py:105-110), then a ``CASE WHEN`` chain implements
    document.py:231-239 (whole-stage codegen, no Python);
-6. **finalize**: ``groupBy(url).applyInPandas`` reassembles both contract
-   surfaces byte-exactly (gold sink tokens/_text.py:47-54 and the
-   hyphen-merged ``__str__`` _super.py:67-79) plus per-doc stats (A1).
+6. **finalize**: ``groupBy(url)`` + JVM-native ``sort_array(collect_list)``
+   + one batched pandas UDF reassembles both contract surfaces
+   byte-exactly (gold sink tokens/_text.py:47-54 and the hyphen-merged
+   ``__str__`` _super.py:67-79) plus per-doc stats (A1).
 
-The window (5) and the groupBy (6) hash-partition on the same key, so
-Spark plans a single exchange for both.
+Two physical strategies for ``corrected()``:
+
+- ``join`` — the shapes above; the token table is shuffled by word
+  (k-best join; AQE may broadcast) and by url (finalize). Survives any
+  vocabulary size: this is the 100 TB path.
+- ``broadcast`` — two-pass: (a) distinct consolidated words -> beam ->
+  collect the word->kbest map to the driver and broadcast it; (b) ONE
+  ``mapInPandas`` over pages runs the exact per-doc kernel
+  (``kernels.pipeline.correct_document``) with the broadcast map. Zero
+  shuffles of token data — the Spark realization of the reference's LRU
+  cache (hmm.py:82-88). Right whenever the vocabulary fits a broadcast
+  (it is Zipf-bounded: ~100k-1M distinct words per language).
+- ``auto`` (default) — count distinct words, pick broadcast below
+  ``max_broadcast_vocab``, else join.
 """
 
 from __future__ import annotations
@@ -41,10 +54,17 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..kernels.dictionary import Dictionary
-from ..kernels.heuristics import match_bin
 from ..kernels.hmm import kbest_for_word
-from ..kernels.pipeline import Tok, dehyphenate, doc_stats, doc_to_string, gold_sink_text, tokenize_doc
+from ..kernels.pipeline import (
+    Tok,
+    consolidated,
+    correct_document,
+    dehyphenate,
+    doc_stats,
+    doc_to_string,
+    gold_sink_text,
+    tokenize_doc,
+)
 from ..kernels.extract import extract_text
 from .resources import Resources, default_resources
 
@@ -145,6 +165,7 @@ class CorrectionPipeline:
         dehyphenate: bool = True,
         use_html: bool = True,
         broadcast_kbest: Optional[bool] = None,
+        parallelism: int = 0,
     ):
         self.spark = spark
         self.resources = resources or default_resources()
@@ -152,6 +173,12 @@ class CorrectionPipeline:
         self.use_html = use_html
         self.dehyphenate = dehyphenate
         self.broadcast_kbest = broadcast_kbest
+        # CPU-dense UDF stages must NOT be partitioned by shuffle bytes:
+        # AQE's coalescing targets ~64MB/partition, which serializes a
+        # stage whose cost is compute-per-row (the beam runs ~10^4 flops
+        # per word on a few dozen bytes). Explicit repartition pins the
+        # parallelism for those exchanges.
+        self.parallelism = parallelism or spark.sparkContext.defaultParallelism * 2
         self._b_res = spark.sparkContext.broadcast(self.resources)
 
     # -- stage 1: extraction ----------------------------------------------
@@ -169,24 +196,54 @@ class CorrectionPipeline:
 
         return pages.mapInPandas(run, schema=pages.schema)
 
-    # -- stage 2: tokenize + dehyphenate ------------------------------------
+    # -- stage 2: extract + tokenize + dehyphenate ---------------------------
+
+    def _page_cols(self):
+        return ["url", "html", "text"] if self.use_html else ["url", "text"]
 
     def tokens_raw(self, pages: DataFrame) -> DataFrame:
+        """One mapInPandas for extract+tokenize+dehyphenate.
+
+        A single Python UDF per stage matters: Spark gives each Python
+        UDF in a pipelined stage its *own* worker process per task, so
+        chaining extract|tokenize as two UDFs doubles the Python process
+        count and oversubscribes the box at high ``local[N]``.
+
+        Token-less docs (empty/unextractable pages) keep one all-null
+        placeholder row so they still reach the output + audit —
+        otherwise resume would re-process them forever.
+        """
         dehyph = self.dehyphenate
+        texts_of = _make_texts_of(self.use_html)
+        fields = [f.name for f in TOKEN_STRUCT.fields]
+        empty_row = {f: None for f in fields}
 
-        @F.pandas_udf(T.ArrayType(TOKEN_STRUCT))
-        def tok_udf(texts: pd.Series) -> pd.Series:
-            if dehyph:
-                return texts.map(_tokenize_rows)
-            return texts.map(_tokenize_rows_nodehyph)
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for url, text in zip(pdf["url"], texts_of(pdf)):
+                    trs = (
+                        _tokenize_rows(text) if dehyph else _tokenize_rows_nodehyph(text)
+                    )
+                    if not trs:
+                        r = dict(empty_row)
+                        r["url"] = url
+                        rows.append(r)
+                    for r in trs:
+                        r["url"] = url
+                        rows.append(r)
+                yield pd.DataFrame(rows, columns=["url"] + fields)
 
-        src = self.extracted(pages)
-        # explode_outer keeps token-less docs (empty/unextractable pages)
-        # as one all-null row so they still reach the output + audit —
-        # otherwise resume would re-process them forever
+        schema = T.StructType(
+            [T.StructField("url", T.StringType(), False)]
+            + [
+                T.StructField(f.name, f.dataType, True)  # nullable: placeholder rows
+                for f in TOKEN_STRUCT.fields
+            ]
+        )
         return (
-            src.select("url", F.explode_outer(tok_udf(F.col("text"))).alias("t"))
-            .select("url", "t.*")
+            pages.select(*self._page_cols())
+            .mapInPandas(run, schema=schema)
             .withColumn("discarded", F.lit(False))
         )
 
@@ -218,7 +275,12 @@ class CorrectionPipeline:
                     flags.append(hit[1])
                 yield pd.DataFrame({"kbest": kbs, "cand_in_dict": flags})
 
-        words = tokens.where(F.col("cons_word").isNotNull()).select("cons_word").distinct()
+        words = (
+            tokens.where(F.col("cons_word").isNotNull())
+            .select("cons_word")
+            .distinct()
+            .repartition(self.parallelism)  # compute-dense: see __init__
+        )
         return words.select(
             "cons_word", kbest_udf(F.col("cons_word")).alias("kb")
         ).select("cons_word", "kb.kbest", "kb.cand_in_dict")
@@ -240,60 +302,75 @@ class CorrectionPipeline:
         ) -> Iterator[pd.DataFrame]:
             import json
 
+            import numpy as np
+
             res: Resources = b_res.value
             d = res.dictionary
             settings = res.settings
-            in_dict_memo = {}
-
-            def in_dict(w):
-                hit = in_dict_memo.get(w)
-                if hit is None:
-                    hit = in_dict_memo[w] = w in d
-                return hit
+            in_dict_memo: dict = {}
 
             for pdf in batches:
-                bins, heuristics, sel_ranks, selections = [], [], [], []
-                for original, k1, flags in zip(
-                    pdf["original"], pdf["k1"], pdf["cand_in_dict"]
-                ):
-                    if k1 is None or flags is None:  # tail / no kbest
-                        bins.append(None)
-                        heuristics.append(None)
-                        sel_ranks.append(None)
-                        selections.append(None)
-                        continue
-                    flags = list(flags)
-                    filtids = [i + 1 for i, f in enumerate(flags) if f]
-                    if len(filtids) == 0:
-                        dcode = "zerokd"
-                    elif len(filtids) < len(flags):
-                        dcode = "somekd"
-                    else:
-                        dcode = "allkd"
-                    number = match_bin(
-                        original == k1, in_dict(original), bool(flags[0]), dcode
-                    )
-                    heuristic = settings.get(number, "annotator")
-                    if heuristic == "original":
-                        sel_rank, selection = None, original
-                    elif heuristic == "kbest":
-                        sel_rank, selection = 1, "1"
-                    elif heuristic == "kdict":
-                        sel_rank, selection = filtids[0], str(filtids[0])
-                    else:
-                        sel_rank, selection = None, json.dumps(filtids)
-                    bins.append(number)
-                    heuristics.append(heuristic)
-                    sel_ranks.append(sel_rank)
-                    selections.append(selection)
-                yield pd.DataFrame(
+                n = len(pdf)
+                orig = pdf["original"]
+                k1 = pdf["k1"]
+                valid = k1.notna().to_numpy()
+                # candidate dict flags -> (n, k) matrix; invalid rows all-False
+                kk = res.k
+                flags = np.zeros((n, kk), dtype=bool)
+                for i, f in enumerate(pdf["cand_in_dict"]):
+                    if f is not None and len(f) == kk:
+                        flags[i] = f
+                n_in = flags.sum(axis=1)
+                first_rank = flags.argmax(axis=1) + 1  # first in-dict rank
+                o_eq_k = (orig == k1).to_numpy(dtype=bool)
+                # dictionary predicate per distinct raw original (memoized)
+                uniq = orig[valid].unique()
+                for w in uniq:
+                    if w not in in_dict_memo:
+                        in_dict_memo[w] = w in d
+                o_in_d = orig.map(in_dict_memo).fillna(False).to_numpy(dtype=bool)
+                k_in_d = flags[:, 0]
+                zerokd = n_in == 0
+                somekd = (n_in > 0) & (n_in < kk)
+                # heuristics.py:317-358 as np.select (first match wins)
+                conds = [
+                    o_eq_k & o_in_d,
+                    o_eq_k & ~o_in_d & zerokd,
+                    o_eq_k & ~o_in_d & somekd,
+                    ~o_eq_k & ~o_in_d & k_in_d,
+                    ~o_eq_k & ~o_in_d & zerokd,
+                    ~o_eq_k & ~k_in_d & ~o_in_d & somekd,
+                    ~o_eq_k & o_in_d & k_in_d,
+                    ~o_eq_k & o_in_d & zerokd,
+                    ~o_eq_k & o_in_d & ~k_in_d & somekd,
+                ]
+                bins = np.select(conds, list(range(1, 10)), default=10)
+                heur = pd.Series(bins).map(settings).to_numpy(dtype=object)
+                sel_rank = np.select(
+                    [heur == "kbest", heur == "kdict"], [np.ones(n, dtype=np.int64), first_rank], default=0
+                )
+                out = pd.DataFrame(
                     {
-                        "bin": pd.array(bins, dtype="Int32"),
-                        "heuristic": heuristics,
-                        "sel_rank": pd.array(sel_ranks, dtype="Int32"),
-                        "selection": selections,
+                        "bin": pd.array(np.where(valid, bins, 0), dtype="Int32"),
+                        "heuristic": pd.Series(np.where(valid, heur, None), dtype=object),
+                        "sel_rank": pd.array(np.where(valid, sel_rank, 0), dtype="Int32"),
                     }
                 )
+                out.loc[~valid, "bin"] = None
+                out.loc[out["sel_rank"] == 0, "sel_rank"] = None
+                # selection repr (token-table parity column; cheap paths
+                # vectorized, annotator filtids JSON only where needed)
+                selection = np.where(heur == "original", orig, None)
+                selection = np.where(heur == "kbest", "1", selection)
+                kd = heur == "kdict"
+                if kd.any():
+                    selection[kd] = first_rank[kd].astype(str)
+                ann = (heur == "annotator") & valid
+                if ann.any():
+                    for i in np.flatnonzero(ann):
+                        selection[i] = json.dumps((np.flatnonzero(flags[i]) + 1).tolist())
+                out["selection"] = pd.Series(np.where(valid, selection, None), dtype=object)
+                yield out
 
         with_k1 = tokens.withColumn("k1", F.element_at("kbest", 1)["candidate"])
         dec = with_k1.withColumn(
@@ -301,16 +378,22 @@ class CorrectionPipeline:
             bin_udf(F.struct("original", "k1", "cand_in_dict")),
         ).select("*", "dec.*").drop("dec", "k1")
 
-        # heuristics.py:105-110 — tail inherits the head's decision
+        # heuristics.py:105-110 — tail inherits the head's decision.
+        # One struct-valued lag (single pass); the explicit repartition
+        # pins parallelism for this exchange AND the finalize groupBy,
+        # which reuses the same hash partitioning (one shuffle total).
+        dec = dec.repartition(self.parallelism, "url")
         w = Window.partitionBy("url").orderBy("idx")
+        prev = F.lag(F.struct("bin", "heuristic", "sel_rank", "selection")).over(w)
         tail = F.col("tail")
-        dec = (
-            dec.withColumn("bin", F.when(tail, F.lag("bin").over(w)).otherwise(F.col("bin")))
-            .withColumn("heuristic", F.when(tail, F.lag("heuristic").over(w)).otherwise(F.col("heuristic")))
-            .withColumn("sel_rank", F.when(tail, F.lag("sel_rank").over(w)).otherwise(F.col("sel_rank")))
-            .withColumn("selection", F.when(tail, F.lag("selection").over(w)).otherwise(F.col("selection")))
+        return (
+            dec.withColumn("_prev", prev)
+            .withColumn("bin", F.when(tail, F.col("_prev.bin")).otherwise(F.col("bin")))
+            .withColumn("heuristic", F.when(tail, F.col("_prev.heuristic")).otherwise(F.col("heuristic")))
+            .withColumn("sel_rank", F.when(tail, F.col("_prev.sel_rank")).otherwise(F.col("sel_rank")))
+            .withColumn("selection", F.when(tail, F.col("_prev.selection")).otherwise(F.col("selection")))
+            .drop("_prev")
         )
-        return dec
 
     # -- stage 5: autocorrect (native CASE WHEN; document.py:231-239) --------
 
@@ -340,39 +423,141 @@ class CorrectionPipeline:
 
     # -- stage 6: reassembly ---------------------------------------------------
 
-    def corrected(self, pages: DataFrame) -> DataFrame:
-        tokens = self.tokens(pages)
-        return self.finalize(tokens)
+    def corrected(
+        self,
+        pages: DataFrame,
+        strategy: str = "auto",
+        max_broadcast_vocab: int = 2_000_000,
+    ) -> DataFrame:
+        """Corrected documents. See module docstring for the two physical
+        strategies; ``auto`` counts the vocabulary and picks."""
+        if strategy == "join":
+            return self.finalize(self.tokens(pages))
+        kb = self.kbest_table(self.vocab(pages)).persist()
+        if strategy == "auto":
+            n_words = kb.count()
+            if n_words > max_broadcast_vocab:
+                kb.unpersist()
+                return self.finalize(self.tokens(pages))
+        out = self._corrected_broadcast(pages, kb)
+        kb.unpersist()
+        return out
+
+    def vocab(self, pages: DataFrame) -> DataFrame:
+        """Distinct consolidated words of the corpus — the k-best input.
+        Single Python UDF (extract inlined); partition-local dedup acts
+        as a map-side combine before the distinct shuffle."""
+        dehyph = self.dehyphenate
+        texts_of = _make_texts_of(self.use_html)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            seen = set()
+            for pdf in batches:
+                words = set()
+                for text in texts_of(pdf):
+                    toks = tokenize_doc(text or "")
+                    if dehyph:
+                        dehyphenate(toks)
+                    for original, _gold, _t in consolidated(toks):
+                        words.add(original)
+                fresh = words - seen
+                seen |= fresh
+                yield pd.DataFrame({"cons_word": sorted(fresh)})
+
+        return pages.select(*self._page_cols()).mapInPandas(
+            run, schema=T.StructType([T.StructField("cons_word", T.StringType(), False)])
+        ).distinct()
+
+    def _corrected_broadcast(self, pages: DataFrame, kbest_table: DataFrame) -> DataFrame:
+        """One mapInPandas pass with the broadcast word->kbest map running
+        the exact reference kernel per document (the differential-test
+        oracle IS the executor code — byte-identity by construction)."""
+        kb_map = {
+            r["cons_word"]: [(c["candidate"], c["probability"]) for c in r["kbest"]]
+            for r in kbest_table.select("cons_word", "kbest").collect()
+        }
+        b_map = self.spark.sparkContext.broadcast(kb_map)
+        b_res = self._b_res
+        k = self.k
+        dehyph = self.dehyphenate
+        use_html = self.use_html
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            res: Resources = b_res.value
+            dictionary = res.dictionary
+            kbest_map = b_map.value
+            for pdf in batches:
+                out = []
+                texts = (
+                    [extract_text(h) for h in pdf["html"]]
+                    if use_html
+                    else pdf["text"]
+                )
+                for url, text in zip(pdf["url"], texts):
+                    r = correct_document(
+                        text or "",
+                        res.params,
+                        dictionary,
+                        res.settings,
+                        k=k,
+                        dehyphenate_doc=dehyph,
+                        kbest_map=kbest_map,
+                    )
+                    stats = doc_stats(r["tokens"])
+                    out.append(
+                        {
+                            "url": url,
+                            "corrected": r["corrected"],
+                            "merged": r["merged"],
+                            "index_count": stats["index_count"],
+                            "token_count": stats["token_count"],
+                            "corrected_count": stats["corrected_count"],
+                            "corrected_by_annotator_count": stats["corrected_by_annotator_count"],
+                            "corrected_by_model_count": stats["corrected_by_model_count"],
+                            "hyphenated_count": stats["hyphenated_count"],
+                            "discarded_count": stats["discarded_count"],
+                            "done": bool(stats["done"]),
+                        }
+                    )
+                yield pd.DataFrame(out, columns=[f.name for f in CORRECTED_SCHEMA.fields])
+
+        cols = ["url", "html", "text"] if use_html else ["url", "text"]
+        return pages.select(*cols).mapInPandas(run, schema=CORRECTED_SCHEMA)
+
+    FINALIZE_STRUCT = T.StructType([f for f in CORRECTED_SCHEMA.fields if f.name != "url"])
 
     @staticmethod
     def finalize(tokens: DataFrame) -> DataFrame:
-        """groupBy(url).applyInPandas — byte-exact reassembly + doc stats."""
+        """Join-path reassembly: JVM-native ``sort_array(collect_list)``
+        per url + ONE batched pandas UDF (no per-group applyInPandas
+        overhead) — byte-exact via the same kernel functions."""
 
-        def fin(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("idx")
-            toks = []
-            for idx, original, gold, head, discarded, heuristic in zip(
-                pdf["idx"], pdf["original"], pdf["gold"], pdf["head"], pdf["discarded"], pdf["heuristic"]
-            ):
-                if original is None:  # explode_outer placeholder (empty doc)
-                    continue
-                t = Tok.__new__(Tok)
-                t.index = int(idx)
-                t.original = original
-                t.gold = gold if isinstance(gold, str) else None
-                t.is_hyphenated = bool(head)
-                t.is_discarded = bool(discarded)
-                t.has_error = False
-                t.kbest = []
-                t.bin = None
-                t.heuristic = heuristic if isinstance(heuristic, str) else None
-                t.selection = None
-                toks.append(t)
-            stats = doc_stats(toks)
-            return pd.DataFrame(
-                [
+        @F.pandas_udf(CorrectionPipeline.FINALIZE_STRUCT)
+        def fin_udf(tok_arrays: pd.Series) -> pd.DataFrame:
+            out = []
+            for toks_rows in tok_arrays:
+                toks = []
+                for r in toks_rows:
+                    original = r["original"]
+                    if original is None:  # explode_outer placeholder
+                        continue
+                    t = Tok.__new__(Tok)
+                    t.index = int(r["idx"])
+                    t.original = original
+                    gold = r["gold"]
+                    t.gold = gold if isinstance(gold, str) else None
+                    t.is_hyphenated = bool(r["head"])
+                    t.is_discarded = bool(r["discarded"])
+                    t.has_error = False
+                    t.kbest = []
+                    t.bin = None
+                    h = r["heuristic"]
+                    t.heuristic = h if isinstance(h, str) else None
+                    t.selection = None
+                    toks.append(t)
+                stats = doc_stats(toks)
+                out.append(
                     {
-                        "url": key[0],
                         "corrected": gold_sink_text(toks),
                         "merged": doc_to_string(toks),
                         "index_count": stats["index_count"],
@@ -384,11 +569,28 @@ class CorrectionPipeline:
                         "discarded_count": stats["discarded_count"],
                         "done": bool(stats["done"]),
                     }
-                ]
-            )
+                )
+            return pd.DataFrame(out, columns=[f.name for f in CorrectionPipeline.FINALIZE_STRUCT.fields])
 
-        cols = ["url", "idx", "original", "gold", "head", "discarded", "heuristic"]
-        return tokens.select(*cols).groupBy("url").applyInPandas(fin, schema=CORRECTED_SCHEMA)
+        grouped = (
+            tokens.groupBy("url")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("idx", "original", "gold", "head", "discarded", "heuristic")
+                    )
+                ).alias("toks")
+            )
+        )
+        return grouped.select("url", fin_udf("toks").alias("o")).select("url", "o.*")
+
+
+def _make_texts_of(use_html: bool):
+    """Worker-safe text accessor (no ``self`` capture: the pipeline
+    object holds the SparkSession and must never enter a closure)."""
+    if use_html:
+        return lambda pdf: [extract_text(h) for h in pdf["html"]]
+    return lambda pdf: pdf["text"]
 
 
 def _tokenize_rows_nodehyph(text: Optional[str]):

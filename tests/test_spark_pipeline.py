@@ -47,11 +47,12 @@ def test_extract_recovers_body():
         assert extract_text(page["html"]) == page["text"], page["url"]
 
 
-def test_pipeline_byte_identical(spark, pipeline, resources):
+@pytest.mark.parametrize("strategy", ["join", "broadcast"])
+def test_pipeline_byte_identical(spark, pipeline, resources, strategy):
     pages = synth_pages(spark, N_DOCS, seed=SEED)
     got = {
         r["url"]: (r["corrected"], r["merged"])
-        for r in pipeline.corrected(pages).collect()
+        for r in pipeline.corrected(pages, strategy=strategy).collect()
     }
     expected = kernel_expected(resources)
     assert set(got) == set(expected)
@@ -62,6 +63,13 @@ def test_pipeline_byte_identical(spark, pipeline, resources):
         if mismatches
         else ""
     )
+
+
+def test_strategies_agree(spark, pipeline):
+    pages = synth_pages(spark, 40, seed=321).cache()
+    a = {r["url"]: tuple(r) for r in pipeline.corrected(pages, strategy="join").collect()}
+    b = {r["url"]: tuple(r) for r in pipeline.corrected(pages, strategy="broadcast").collect()}
+    assert a == b
 
 
 def test_pipeline_corrects_noise(spark, pipeline):

@@ -302,6 +302,102 @@ def q_media_features(spark, sf_dir):
     return extract_features(media).select("media_id", "n_bytes")
 
 
+def _doc_pages(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.current_timestamp().alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def _doc_pipeline(spark):
+    from correctocr_spark.kernels.heuristics import AGGRESSIVE_SETTINGS
+    from correctocr_spark.spark.pipeline import CorrectionPipeline
+    from correctocr_spark.spark.resources import default_resources, Resources
+
+    res = default_resources()
+    res = Resources(res.params, res.dictionary, AGGRESSIVE_SETTINGS, k=res.k)
+    return CorrectionPipeline(spark, res, use_html=False)
+
+
+def q_overview_projection(spark, sf_dir):
+    """P2 (tokens/list/_super.py:200-223): the server's overview rows."""
+    _ship(spark)
+    tokens = _doc_pipeline(spark).tokens(_doc_pages(spark, sf_dir))
+    return tokens.where(F.col("idx").isNotNull()).select(
+        F.col("url").alias("doc_id"),
+        F.col("idx").alias("doc_index"),
+        F.coalesce("gold", "original").alias("string"),
+        F.col("gold").isNotNull().alias("is_corrected"),
+        F.col("discarded").alias("is_discarded"),
+        (F.col("heuristic") == "annotator").alias("requires_annotator"),
+    )
+
+
+def q_server_ready(spark, sf_dir):
+    """P4 (_db.py:73-88): all tokens decided and none discarded."""
+    _ship(spark)
+    tokens = _doc_pipeline(spark).tokens(_doc_pages(spark, sf_dir))
+    return tokens.groupBy("url").agg(
+        F.min(
+            (F.col("heuristic").isNotNull() & ~F.col("discarded")).cast("int")
+        ).cast("boolean").alias("server_ready")
+    )
+
+
+def q_correction_tracking(spark, sf_dir):
+    """A4 (correcter.py:99-101, commands.py:444-450): per (original,
+    gold) correction counts, the memoization feedback artifact."""
+    _ship(spark)
+    tokens = _doc_pipeline(spark).tokens(_doc_pages(spark, sf_dir))
+    return (
+        tokens.where(F.col("gold").isNotNull() & (F.col("gold") != F.col("original")))
+        .groupBy("original", "gold")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_correction_readcounts(spark, sf_dir):
+    """M10/J5 at scale: char-level alignment counts of the corrections
+    the model actually made (the training-feedback aggregation)."""
+    _ship(spark)
+    from correctocr_spark.spark.training import read_counts_df
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    pairs = docs.join(
+        _ocr_correct(spark, sf_dir).select("url", "corrected"), on="url"
+    ).select("text", F.col("corrected").alias("gold_text"))
+    return read_counts_df(pairs)
+
+
+def q_dictionary_build(spark, sf_dir):
+    """S14 (commands.py:31-169): corpus -> cleaned dictionary words."""
+    _ship(spark)
+    from correctocr_spark.spark.sources import build_dictionary_df
+
+    return build_dictionary_df(_t(spark, sf_dir, "documents"))
+
+
+def q_windowed_agg(spark, sf_dir):
+    """Streaming-shaped tumbling-window aggregation (batch twin of
+    streaming.crawl_rate_metrics) over the events table."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def q_ocr_tokens_binned(spark, sf_dir):
     _ship(spark)
     from correctocr_spark.kernels.heuristics import AGGRESSIVE_SETTINGS
@@ -354,9 +450,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         # multimodal plumbing
         "media_features": q_media_features,
+        # streaming-shaped windowed agg (batch twin)
+        "windowed_agg": q_windowed_agg,
+        # resource prep (S14)
+        "dictionary_build": q_dictionary_build,
         # the engine itself (non-SQL: HMM beam + heuristics; rows-only)
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
+        "overview_projection": q_overview_projection,
+        "server_ready": q_server_ready,
+        "correction_tracking": q_correction_tracking,
+        "correction_readcounts": q_correction_readcounts,
     }
 
 
@@ -634,6 +738,18 @@ def oracle_sql() -> dict[str, str]:
         "media_features": """
             SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes
             FROM documents
+        """,
+        "windowed_agg": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "dictionary_build": f"""
+            SELECT DISTINCT word FROM (
+                SELECT regexp_replace(regexp_replace(w, '[\xad-]', '', 'g'),
+                                      '^[\\W_]+|[\\W_]+$', '', 'g') AS word
+                FROM (SELECT unnest({_WORDS}) AS w FROM documents)
+            ) WHERE word <> '' AND regexp_matches(word, '\\p{{L}}')
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -126,8 +126,10 @@ def synth_pages(
     mean_words: int = 60,
     noise_rate: float = 0.08,
     partitions: int = 0,
+    start: int = 0,
 ) -> DataFrame:
-    """Distributed deterministic pages DataFrame."""
+    """Distributed deterministic pages DataFrame. ``start`` offsets the
+    page-id range (distinct urls across incremental batches)."""
     partitions = partitions or max(8, min(256, n // 2000 + 1))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -136,6 +138,6 @@ def synth_pages(
             yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
 
     return (
-        spark.range(0, n, 1, partitions)
+        spark.range(start, start + n, 1, partitions)
         .mapInPandas(gen, schema=PAGES_SCHEMA)
     )

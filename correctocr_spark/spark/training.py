@@ -79,11 +79,22 @@ def train_hmm(
     text_col: str = "text",
     gold_col: str = "gold_text",
 ) -> HMMParams:
-    """End-to-end training: distributed counts -> driver-side HMMBuilder."""
+    """End-to-end training: distributed counts -> driver-side HMMBuilder.
+
+    Orientation note: the aligner emits ``readCounts[read][gold]``
+    (aligner.py:47, pinned by cocrtests/aligner.py: ``readCounts['3']
+    ['e'] == 1`` for t3st->test), while HMMBuilder's own unit fixture
+    uses ``[gold][read]`` (cocrtests/model.py: ``'t': {'t': 999,
+    'l': 1}``) — the reference's `model --build` pipes one into the
+    other unchanged, which trains a transposed (non-correcting)
+    emission matrix. We transpose here so the trained model actually
+    corrects; the builder itself stays fixture-exact.
+    """
     counts = read_counts_df(docs, text_col, gold_col).collect()
     read_counts: dict = {}
     for row in counts:
-        read_counts.setdefault(row["left_char"], {})[row["right_char"]] = row["n"]
+        # transpose: outer = gold (correct) char, inner = read char
+        read_counts.setdefault(row["right_char"], {})[row["left_char"]] = row["n"]
 
     # gold word frequencies: distributed tokenize + distinct is overkill
     # for init/tran (they need the word *stream*, counted) — aggregate

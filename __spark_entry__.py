@@ -383,6 +383,46 @@ def q_dictionary_build(spark, sf_dir):
     return build_dictionary_df(_t(spark, sf_dir, "documents"))
 
 
+def q_json_extract(spark, sf_dir):
+    """JSON scalar functions (SURVEY §2.8: token_info/annotations ride
+    as JSON blobs -> to_json/from_json/get_json_object)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .where(F.col("k").isNotNull() & (F.col("k") % 7 == 0))
+    )
+
+
+def q_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization: nearest-of-4 fixed centroids per vector."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import ivf_assign
+
+    return ivf_assign(_t(spark, sf_dir, "embeddings"), _IVF_CENTROIDS)
+
+
+def q_embedding_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.9)."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import embedding_dup_pairs
+
+    out = embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _ivf_centroids():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    return [[round(float(x), 6) for x in rng.randn(EMBED_DIM) * 0.1] for _ in range(4)]
+
+
+_IVF_CENTROIDS = _ivf_centroids()
+
+
 def q_windowed_agg(spark, sf_dir):
     """Streaming-shaped tumbling-window aggregation (batch twin of
     streaming.crawl_rate_metrics) over the events table."""
@@ -450,6 +490,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         # multimodal plumbing
         "media_features": q_media_features,
+        # JSON scalar functions
+        "json_extract": q_json_extract,
+        # similarity extensions
+        "ivf_assign": q_ivf_assign,
+        "embedding_dup": q_embedding_dup,
         # streaming-shaped windowed agg (batch twin)
         "windowed_agg": q_windowed_agg,
         # resource prep (S14)
@@ -641,6 +686,23 @@ def _ann_lsh_sql() -> str:
     """
 
 
+def _ivf_sql() -> str:
+    def lit(p):
+        return "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+
+    dists = [
+        f"list_distance(embedding::DOUBLE[], {lit(c)})" for c in _IVF_CENTROIDS
+    ]
+    # argmin with strict < (ties keep the earlier centroid), iteratively
+    best_id, best_d = "0", dists[0]
+    for cid in range(1, len(dists)):
+        best_id = f"(case when {dists[cid]} < {best_d} then {cid} else {best_id} end)"
+        best_d = f"least({dists[cid]}, {best_d})"
+    return f"""
+        SELECT vec_id, ({best_id})::INTEGER AS centroid_id FROM embeddings
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "token_counts": f"""
@@ -738,6 +800,19 @@ def oracle_sql() -> dict[str, str]:
         "media_features": """
             SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes
             FROM documents
+        """,
+        "json_extract": """
+            SELECT event_id, k FROM (
+                SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events
+            ) WHERE k IS NOT NULL AND k % 7 = 0
+        """,
+        "ivf_assign": _ivf_sql(),
+        "embedding_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
         """,
         "windowed_agg": """
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

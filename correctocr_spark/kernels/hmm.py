@@ -158,6 +158,127 @@ def k_best_beam(params: HMMParams, word: str, k: int) -> KBest:
     ][:k]
 
 
+def _stable_topk_desc(flat: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Row-wise top-k indices by value desc, ties by index asc — exactly
+    ``np.argsort(-row, kind='stable')[:k]`` but O(M) via argpartition
+    plus an exact tie repair at the k-th-value boundary."""
+    w, m = flat.shape
+    if m <= max(k, 64):
+        order = np.argsort(-flat, axis=1, kind="stable")[:, :k]
+        return order, np.take_along_axis(flat, order, axis=1)
+    part = np.argpartition(-flat, k - 1, axis=1)[:, :k]
+    pvals = np.take_along_axis(flat, part, axis=1)
+    kth = pvals.min(axis=1)
+    # partition is exact iff no kth-valued element was left outside:
+    # then ordering the k selected by (value desc, index asc) equals the
+    # stable argsort prefix. Ties at the boundary (mostly all-zero rows
+    # from unknown chars) take the per-row repair path.
+    n_eq_total = (flat == kth[:, None]).sum(axis=1)
+    n_eq_sel = (pvals == kth[:, None]).sum(axis=1)
+    ok = n_eq_total == n_eq_sel
+    order_in_row = np.lexsort((part, -pvals), axis=-1)
+    out = np.take_along_axis(part, order_in_row, axis=1)
+    for wi in np.flatnonzero(~ok):
+        row = flat[wi]
+        kv = kth[wi]
+        gt = np.flatnonzero(row > kv)
+        need = k - len(gt)
+        sel = np.concatenate([gt, np.flatnonzero(row == kv)[:need]]) if need > 0 else gt[:k]
+        out[wi] = sel[np.lexsort((sel, -row[sel]))]
+    return out, np.take_along_axis(flat, out, axis=1)
+
+
+def _batch_beam_same_length(
+    params: HMMParams, words: List[str], k: int, chunk: int = 512
+) -> List[KBest]:
+    """Beam for a batch of same-length words, one vectorized op per char
+    step. Bitwise-identical to :func:`k_best_beam` (same multiplication
+    order and the same stable-argsort tie handling; enumeration order
+    i-major for the first two chars, j-major/path-minor after —
+    hmm.py:174-175,183-184)."""
+    n = len(params.states)
+    L = len(words[0])
+    out: List[KBest] = []
+    for lo in range(0, len(words), chunk):
+        ws = words[lo : lo + chunk]
+        W = len(ws)
+        # observed-char emission columns per position: E[t] is (W, N)
+        obs = np.full((W, L), -1, dtype=np.int64)
+        for wi, w in enumerate(ws):
+            for t, ch in enumerate(w):
+                obs[wi, t] = params.index.get(ch, -1)
+        emis_ext = np.concatenate(
+            [params.emis, np.zeros((n, 1), dtype=np.float64)], axis=1
+        )  # column -1 = unknown char = all zeros
+
+        def ecol(t: int) -> np.ndarray:  # (W, N)
+            return emis_ext[:, obs[:, t]].T
+
+        if L == 1:
+            probs = params.init[None, :] * ecol(0)  # (W, N)
+            order = np.argsort(-probs, axis=1, kind="stable")[:, :k]
+            for wi in range(W):
+                out.append(
+                    [
+                        (params.states[j], float(probs[wi, j]))
+                        for j in order[wi]
+                    ]
+                )
+            continue
+
+        a = params.init[None, :] * ecol(0)  # (W, N)
+        p2 = (a[:, :, None] * params.tran[None, :, :]) * ecol(1)[:, None, :]
+        flat = p2.reshape(W, n * n)  # i-major
+        order, probs = _stable_topk_desc(flat, min(k, n * n))
+        kk = order.shape[1]
+        paths = np.empty((W, kk, L), dtype=np.int64)
+        paths[:, :, 0] = order // n
+        paths[:, :, 1] = order % n
+
+        for t in range(2, L):
+            last = paths[:, :, t - 1]  # (W, kk)
+            tr = params.tran[last]  # (W, kk, N): tr[w,x,j]
+            cand = (probs[:, :, None] * tr).transpose(0, 2, 1) * ecol(t)[:, :, None]
+            flat = cand.reshape(W, n * kk)  # j-major, path-minor
+            order, probs = _stable_topk_desc(flat, min(k, n * kk))
+            j_idx = order // kk
+            x_idx = order % kk
+            new_paths = np.empty((W, order.shape[1], L), dtype=np.int64)
+            new_paths[:, :, :t] = paths[np.arange(W)[:, None], x_idx, :t]
+            new_paths[:, :, t] = j_idx
+            paths = new_paths
+            kk = order.shape[1]
+
+        states = params.states
+        for wi in range(W):
+            out.append(
+                [
+                    ("".join(states[s] for s in paths[wi, x, :L]), float(probs[wi, x]))
+                    for x in range(kk)
+                ][:k]
+            )
+    return out
+
+
+def kbest_for_words(params: HMMParams, words: List[str], k: int) -> List[KBest]:
+    """Batched :func:`kbest_for_word`: groups by word length and runs the
+    vectorized beam; multichar-bearing and empty words take the scalar
+    path (rare). Returns results in input order, identical to the scalar
+    function."""
+    results: List[Optional[KBest]] = [None] * len(words)
+    by_len: Dict[int, List[int]] = {}
+    for i, w in enumerate(words):
+        if len(w) == 0 or any(sub in w for sub in params.multichars):
+            results[i] = kbest_for_word(params, w, k)
+        else:
+            by_len.setdefault(len(w), []).append(i)
+    for _length, idxs in by_len.items():
+        batch = _batch_beam_same_length(params, [words[i] for i in idxs], k)
+        for i, kb in zip(idxs, batch):
+            results[i] = kb
+    return results  # type: ignore[return-value]
+
+
 def multichar_variants(word: str, original: str, replacements: List[str]) -> set:
     """``hmm.py:222-233`` — NOTE the reference uses the key as a regex
     pattern in ``re.split``; replicated verbatim."""

@@ -54,7 +54,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..kernels.hmm import kbest_for_word
+from ..kernels.hmm import kbest_for_word, kbest_for_words
 from ..kernels.pipeline import (
     Tok,
     consolidated,
@@ -260,17 +260,19 @@ class CorrectionPipeline:
             d = res.dictionary
             memo = {}
             for words in batches:
+                fresh = [w for w in dict.fromkeys(words) if w not in memo]
+                if fresh:
+                    # vectorized beam across the batch's new words
+                    # (bitwise-identical to the scalar beam; see
+                    # kernels/hmm.py::kbest_for_words)
+                    for w, kb in zip(fresh, kbest_for_words(params, fresh, k)):
+                        memo[w] = (
+                            [{"candidate": c, "probability": p} for c, p in kb],
+                            [c in d for c, _p in kb],
+                        )
                 kbs, flags = [], []
                 for w in words:
-                    hit = memo.get(w)
-                    if hit is None:
-                        kb = kbest_for_word(params, w, k)
-                        fl = [c in d for c, _p in kb]
-                        hit = (
-                            [{"candidate": c, "probability": p} for c, p in kb],
-                            fl,
-                        )
-                        memo[w] = hit
+                    hit = memo[w]
                     kbs.append(hit[0])
                     flags.append(hit[1])
                 yield pd.DataFrame({"kbest": kbs, "cand_in_dict": flags})

@@ -47,6 +47,19 @@ class TestModel:
         # hmm.py:204-205
         assert kbest_for_word(mini_hmm, "", 4) == [("", 0.0)] * 4
 
+    def test_batched_beam_bitwise_parity(self, mini_hmm):
+        """kbest_for_words must equal the scalar beam bitwise, incl.
+        zero-probability tie ordering (unknown chars) and length-1 words."""
+        from correctocr_spark.kernels.hmm import kbest_for_words
+
+        words = [
+            "Slring", "String", "Str-ing", "(String)", "", "S", "-",
+            "ÿÿÿ", "ÿSÿ", "Stri", "ng", "Stræng", "ÿ",
+        ]
+        scalar = [kbest_for_word(mini_hmm, w, 4) for w in words]
+        batch = kbest_for_words(mini_hmm, words, 4)
+        assert scalar == batch
+
 
 # --- cocrtests/hyphenation.py ----------------------------------------------
 

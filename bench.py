@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "150000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 SCALING_CORES = (2, 8)  # N and 4N, inside the box's linear-CPU region
 PAGES_CACHE = f"/tmp/correctocr_bench_pages_{SCALING_DOCS}"

@@ -149,14 +149,29 @@ def bin_tokens(
     dictionary: Dictionary,
     settings: Dict[int, str],
     force: bool = False,
+    memo: Optional[dict] = None,
 ) -> None:
-    """heuristics.py:95-123 (tail inherits head's decision)."""
+    """heuristics.py:95-123 (tail inherits head's decision).
+
+    ``memo`` caches the (pure) decision per ``(raw original, merged
+    original)`` — the token's kbest is a function of the merged word, so
+    the key fully determines the result; sharing one memo across a
+    worker's documents turns the dominant dictionary predicate into a
+    per-distinct-word cost (the same Zipf argument as the k-best stage).
+    """
     n = len(tokens)
-    for _original, _gold, token in consolidated(tokens):
+    for merged, _gold, token in consolidated(tokens):
         if force or token.bin is None:
-            token.heuristic, token.selection, token.bin = bin_for_word(
-                token.original, token.kbest, dictionary, settings
-            )
+            if memo is None:
+                decision = bin_for_word(token.original, token.kbest, dictionary, settings)
+            else:
+                key = (token.original, merged)
+                decision = memo.get(key)
+                if decision is None:
+                    decision = memo[key] = bin_for_word(
+                        token.original, token.kbest, dictionary, settings
+                    )
+            token.heuristic, token.selection, token.bin = decision
             if token.is_hyphenated and token.index + 1 < n:
                 nxt = tokens[token.index + 1]
                 nxt.heuristic = token.heuristic
@@ -248,6 +263,7 @@ def correct_document(
     k: int = 4,
     dehyphenate_doc: bool = True,
     kbest_map: Optional[Dict[str, KBest]] = None,
+    decision_memo: Optional[dict] = None,
 ) -> Dict[str, object]:
     """The full reference chain on one document (the differential oracle).
 
@@ -269,7 +285,7 @@ def correct_document(
             return memo[w]
 
     generate_kbest(tokens, lookup, k)
-    bin_tokens(tokens, dictionary, settings)
+    bin_tokens(tokens, dictionary, settings, memo=decision_memo)
     autocorrect(tokens)
     return {
         "corrected": gold_sink_text(tokens),

@@ -488,6 +488,7 @@ class CorrectionPipeline:
             res: Resources = b_res.value
             dictionary = res.dictionary
             kbest_map = b_map.value
+            decision_memo: dict = {}  # shared across the worker's docs
             for pdf in batches:
                 out = []
                 texts = (
@@ -504,6 +505,7 @@ class CorrectionPipeline:
                         k=k,
                         dehyphenate_doc=dehyph,
                         kbest_map=kbest_map,
+                        decision_memo=decision_memo,
                     )
                     stats = doc_stats(r["tokens"])
                     out.append(

@@ -1,0 +1,158 @@
+"""CLI entry point — the reference's command surface (§3.1-3.4) for a
+Spark cluster.
+
+Usage (local):
+    python -m correctocr_spark prepare --input pages.parquet --output out/
+Usage (cluster; session comes from spark-submit):
+    spark-submit --py-files correctocr_spark.zip -m ... \
+        cli.py prepare --master from-submit --input ... --output ...
+
+Subcommands mirror the reference CLI (cli.py:67-278):
+  prepare  — run the pipeline, write corrected + audit (resumable)
+  model    — train HMM params from (text, gold_text) docs (commands.py:196-221)
+  report   — heuristics evaluation report (commands.py:382-398)
+  dictionary — build a dictionary from a gold corpus (commands.py:31-169)
+
+Config layering mirrors config.py:15-32: defaults < env
+(``CORRECTOCR_<OPTION>``) < command line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _env_default(name: str, default):
+    return os.environ.get(f"CORRECTOCR_{name.upper()}", default)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="correctocr_spark")
+    p.add_argument("--master", default=_env_default("master", "local"),
+                   help="'local' (default) builds a local[N] session; "
+                        "'from-submit' uses the spark-submit-provided session")
+    p.add_argument("--cores", type=int, default=int(_env_default("cores", "0")))
+    sub = p.add_subparsers(dest="command", required=True)
+
+    prep = sub.add_parser("prepare", help="extract+correct pages table")
+    prep.add_argument("--input", required=True, help="pages parquet path/table")
+    prep.add_argument("--output", required=True, help="output dir (corrected/ + audit/)")
+    prep.add_argument("--k", type=int, default=int(_env_default("k", "4")))
+    prep.add_argument("--settings", choices=["shipped", "aggressive"],
+                      default=_env_default("settings", "shipped"))
+    prep.add_argument("--strategy", choices=["auto", "join", "broadcast"],
+                      default=_env_default("strategy", "auto"))
+    prep.add_argument("--no-dehyphenate", action="store_true")
+    prep.add_argument("--no-html", action="store_true",
+                      help="use the pre-extracted text column")
+    prep.add_argument("--no-resume", action="store_true")
+    prep.add_argument("--resources", default=_env_default("resources", ""),
+                      help="resources dir (hmm_parameters.json, dictionary.txt, settings.json)")
+    prep.add_argument("--run-id", default=_env_default("run_id", "run"))
+
+    model = sub.add_parser("model", help="train HMM from aligned docs")
+    model.add_argument("--input", required=True, help="parquet with text + gold_text")
+    model.add_argument("--output", required=True, help="resources output dir")
+    model.add_argument("--smoothing", type=float, default=1e-4)
+    model.add_argument("--characters", default="", help="extra required charset")
+
+    rep = sub.add_parser("report", help="heuristics evaluation report")
+    rep.add_argument("--input", required=True, help="pages parquet path")
+    rep.add_argument("--resources", default="")
+
+    dic = sub.add_parser("dictionary", help="build dictionary from gold corpus")
+    dic.add_argument("--input", required=True, help="parquet with a text column")
+    dic.add_argument("--output", required=True, help="dictionary.txt path")
+    dic.add_argument("--text-col", default="text")
+    return p
+
+
+def get_session(args):
+    from .spark.session import get_spark, ship_package
+
+    if args.master == "from-submit":
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.getOrCreate()
+        ship_package(spark)
+        return spark
+    return get_spark(cores=args.cores or None)
+
+
+def load_resources(path: str, k: int = 4):
+    from .spark.resources import Resources, default_resources
+
+    if path:
+        return Resources.load(path, k=k)
+    return default_resources(k=k)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_session(args)
+    try:
+        if args.command == "prepare":
+            from .kernels.heuristics import AGGRESSIVE_SETTINGS
+            from .spark.audit import AuditedRun
+            from .spark.pipeline import CorrectionPipeline
+            from .spark.resources import Resources
+
+            res = load_resources(args.resources, k=args.k)
+            if args.settings == "aggressive":
+                res = Resources(res.params, res.dictionary, AGGRESSIVE_SETTINGS, k=res.k)
+            pipe = CorrectionPipeline(
+                spark, res,
+                dehyphenate=not args.no_dehyphenate,
+                use_html=not args.no_html,
+            )
+            pages = spark.read.parquet(args.input)
+            run = AuditedRun(spark, args.output, run_id=args.run_id)
+            pending = pages if args.no_resume else run.pending(pages)
+            run.write(pipe.corrected(pending, strategy=args.strategy))
+            done = spark.read.parquet(run.corrected_path).count()
+            print(f"prepared: {done} documents at {run.corrected_path}")
+        elif args.command == "model":
+            from .spark.resources import DEFAULT_CHARSET, Resources
+            from .spark.sources import build_dictionary_df
+            from .spark.training import train_hmm
+
+            docs = spark.read.parquet(args.input)
+            dict_words = [r["word"] for r in build_dictionary_df(docs, "gold_text").collect()]
+            params = train_hmm(
+                docs, dict_words, DEFAULT_CHARSET + args.characters,
+                smoothing=args.smoothing,
+            )
+            from .kernels.dictionary import Dictionary as D
+
+            Resources(params, D(dict_words)).save(args.output)
+            print(f"model: {len(params.states)} states -> {args.output}")
+        elif args.command == "report":
+            from .spark.pipeline import CorrectionPipeline
+            from .spark.report import heuristics_report
+
+            res = load_resources(args.resources)
+            pipe = CorrectionPipeline(spark, res)
+            pages = spark.read.parquet(args.input)
+            tokens = pipe.tokens(pages).cache()
+            print(heuristics_report(tokens, pipe.finalize(tokens), res, spark))
+        elif args.command == "dictionary":
+            from .spark.sources import build_dictionary_df
+
+            docs = spark.read.parquet(args.input)
+            words = sorted(
+                (r["word"] for r in build_dictionary_df(docs, args.text_col).collect()),
+                key=str.lower,
+            )
+            with open(args.output, "w") as fh:
+                fh.write("\n".join(words))
+            print(f"dictionary: {len(words)} words -> {args.output}")
+        return 0
+    finally:
+        if args.master != "from-submit":
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

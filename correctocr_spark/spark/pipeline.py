@@ -287,11 +287,28 @@ class CorrectionPipeline:
             "cons_word", kbest_udf(F.col("cons_word")).alias("kb")
         ).select("cons_word", "kb.kbest", "kb.cand_in_dict")
 
-    def with_kbest(self, tokens: DataFrame) -> DataFrame:
+    def with_kbest(self, tokens: DataFrame, salt: int = 0) -> DataFrame:
+        """Join the per-distinct-word k-best back onto the token table.
+
+        Word keys are Zipf-skewed ('the' is a meaningful fraction of all
+        tokens); with a broadcast the skew is irrelevant, and AQE's
+        skew-join splitting handles the sort-merge case. ``salt > 0``
+        adds *explicit* salting for clusters without AQE: the token side
+        gets a random-ish salt from (url, idx), the k-best side is
+        exploded x salt, and the join key becomes (word, salt) — hot
+        words spread over ``salt`` reducers."""
         kb = self.kbest_table(tokens)
         if self.broadcast_kbest:
             kb = F.broadcast(kb)
-        return tokens.join(kb, on="cons_word", how="left")
+        if salt <= 0:
+            return tokens.join(kb, on="cons_word", how="left")
+        salted = tokens.withColumn(
+            "_salt", F.pmod(F.xxhash64("url", "idx"), F.lit(salt)).cast("int")
+        )
+        kb_salted = kb.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        return salted.join(kb_salted, on=["cons_word", "_salt"], how="left").drop("_salt")
 
     # -- stage 4: heuristic bins ---------------------------------------------
 
@@ -414,12 +431,12 @@ class CorrectionPipeline:
             .otherwise(gold0)
         )
 
-    def tokens(self, pages: DataFrame) -> DataFrame:
+    def tokens(self, pages: DataFrame, salt: int = 0) -> DataFrame:
         """The full token table — the engine's relational data model
         (FIXTURES.md §6; mirrors the reference DDL with kbest as an
         ordered array column instead of a joined table)."""
         t = self.tokens_raw(pages)
-        t = self.with_kbest(t)
+        t = self.with_kbest(t, salt=salt)
         t = self.with_decisions(t)
         return t.withColumn("gold", self._autocorrect_col())
 

@@ -1,0 +1,63 @@
+"""CLI surface (python -m correctocr_spark) + salted-join equivalence."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "correctocr_spark", "--cores", "4", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=400,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+
+
+@pytest.mark.slow
+def test_cli_prepare_and_resume(tmp_path, spark):
+    from correctocr_spark.spark.synth import synth_pages
+
+    inp = str(tmp_path / "pages")
+    synth_pages(spark, 30, seed=71).write.parquet(inp)
+
+    out = str(tmp_path / "out")
+    r = run_cli("prepare", "--input", inp, "--output", out, "--settings", "aggressive")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "prepared: 30 documents" in r.stdout
+
+    # resume: nothing pending, still idempotent
+    r = run_cli("prepare", "--input", inp, "--output", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "prepared: 30 documents" in r.stdout
+
+
+@pytest.mark.slow
+def test_cli_dictionary(tmp_path, spark):
+    spark.createDataFrame([("hello brave new-world",)], ["text"]).write.parquet(
+        str(tmp_path / "docs")
+    )
+    out = str(tmp_path / "dict.txt")
+    r = run_cli("dictionary", "--input", str(tmp_path / "docs"), "--output", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    words = open(out).read().split("\n")
+    assert "newworld" in words and "hello" in words
+
+
+def test_salted_join_equivalent(spark):
+    from correctocr_spark.spark.pipeline import CorrectionPipeline
+    from correctocr_spark.spark.synth import synth_pages
+
+    pipe = CorrectionPipeline(spark, use_html=False)
+    pages = synth_pages(spark, 30, seed=72).cache()
+    plain = pipe.finalize(pipe.tokens(pages, salt=0))
+    salted = pipe.finalize(pipe.tokens(pages, salt=4))
+    a = {r["url"]: tuple(r) for r in plain.collect()}
+    b = {r["url"]: tuple(r) for r in salted.collect()}
+    assert a == b

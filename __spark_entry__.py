@@ -423,6 +423,60 @@ def _ivf_centroids():
 _IVF_CENTROIDS = _ivf_centroids()
 
 
+_INDEX_TERMS = {
+    "exec": ["scan", "sort", "merge", "join"],
+    "stream": ["window", "stream", "batch"],
+}
+
+
+def q_term_index(spark, sf_dir):
+    """S17/J6 (commands.py:478-566): term-match runs over the token
+    stream — gaps-and-islands run grouping + broadcast term lookup."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import normalized_words
+    from correctocr_spark.spark.sources import term_index
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.posexplode(normalized_words("text")).alias("idx", "original"),
+    ).select(
+        "url",
+        "idx",
+        "original",
+        F.lit(None).cast("string").alias("gold"),
+        F.lit(False).alias("tail"),
+        F.lit(False).alias("discarded"),
+    )
+    out = term_index(tokens, _INDEX_TERMS)
+    return out.select(
+        "url",
+        F.col("start_idx").cast("long").alias("start_idx"),
+        "n_tokens",
+        "run_text",
+        "run_tags",
+    )
+
+
+def q_context_window(spark, sf_dir):
+    """W3 (correcter.py:20-24): before-context list via a bounded
+    rowsBetween frame — per event, the previous 2 values."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, -1)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce(F.sum("value").over(w), F.lit(0.0)), 6).alias("prev2_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("prev2_n"),
+    )
+
+
 def q_windowed_agg(spark, sf_dir):
     """Streaming-shaped tumbling-window aggregation (batch twin of
     streaming.crawl_rate_metrics) over the events table."""
@@ -495,6 +549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity extensions
         "ivf_assign": q_ivf_assign,
         "embedding_dup": q_embedding_dup,
+        # term index (S17/J6) + context window (W3)
+        "term_index": q_term_index,
+        "context_window": q_context_window,
         # streaming-shaped windowed agg (batch twin)
         "windowed_agg": q_windowed_agg,
         # resource prep (S14)
@@ -686,6 +743,41 @@ def _ann_lsh_sql() -> str:
     """
 
 
+def _term_index_sql() -> str:
+    tag_cases = []
+    for tag, terms in sorted(_INDEX_TERMS.items()):
+        lst = ", ".join(f"'{t}'" for t in terms)
+        tag_cases.append(f"(CASE WHEN list_contains([{lst}], key) THEN '{tag}' END)")
+    tags = "list_filter([" + ", ".join(tag_cases) + "], x -> x IS NOT NULL)"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id::VARCHAR AS url,
+                   unnest(list_transform(range(1, len(ws)+1),
+                          i -> {{'idx': i - 1, 'string': ws[i]}}), recursive := true)
+            FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
+        ), keyed AS (
+            SELECT url, idx, string,
+                   lower(regexp_replace(string, '^[\\W_\\s]+|[\\W_\\s]+$', '', 'g')) AS key
+            FROM toks
+        ), tagged AS (
+            SELECT url, idx, string, {tags} AS tags FROM keyed
+        ), flagged AS (
+            SELECT *, (len(tags) > 0) AS matched FROM tagged
+        ), islands AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY url ORDER BY idx)
+                 - row_number() OVER (PARTITION BY url, matched ORDER BY idx) AS island
+            FROM flagged
+        )
+        SELECT url, min(idx)::BIGINT AS start_idx, count(*)::BIGINT AS n_tokens,
+               string_agg(string, ' ' ORDER BY idx) AS run_text,
+               array_to_string(list_sort(list_distinct(flatten(list(tags)))), ',') AS run_tags
+        FROM islands WHERE matched
+        GROUP BY url, island
+        HAVING count(*) >= 2
+    """
+
+
 def _ivf_sql() -> str:
     def lit(p):
         return "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
@@ -813,6 +905,15 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+        """,
+        "term_index": _term_index_sql(),
+        "context_window": """
+            SELECT event_id, user_id,
+                   round(coalesce(sum(value) OVER w, 0.0), 6) AS prev2_sum,
+                   count(*) OVER w AS prev2_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING)
         """,
         "windowed_agg": """
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

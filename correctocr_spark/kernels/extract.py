@@ -107,23 +107,34 @@ class _Extractor(HTMLParser):
         return "\n".join(kept)
 
 
+def detect_encoding(data: bytes, sample: int = 500 * 1024) -> str:
+    """S8 (fileio.py:56-66): UnicodeDammit-style sniff of the first
+    500 KB — utf-8 if it decodes cleanly, else windows-1252 (the same
+    two-candidate policy as the reference)."""
+    head = bytes(data[:sample])
+    try:
+        head.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "windows-1252"
+
+
 def extract_text(
     html: Union[bytes, str, None],
-    encoding: str = "utf-8",
+    encoding: Optional[str] = None,
     min_block_chars: int = 8,
     max_link_density: float = 0.5,
 ) -> str:
     """Strip boilerplate from an HTML page and return main-content text.
 
-    Bytes are decoded as UTF-8 with replacement (the input table's pages
-    are already transfer-decoded; a charset-sniffing pass like the
-    reference's ``fileio.py:56-66`` can front this when ingesting raw
-    WARCs).
+    Bytes are decoded via :func:`detect_encoding` unless an encoding is
+    given (mirrors the reference's sniffing policy, fileio.py:56-66).
     """
     if html is None:
         return ""
     if isinstance(html, (bytes, bytearray, memoryview)):
-        html = bytes(html).decode(encoding, errors="replace")
+        data = bytes(html)
+        html = data.decode(encoding or detect_encoding(data), errors="replace")
     if not html:
         return ""
     parser = _Extractor()

@@ -118,6 +118,32 @@ class HMMParams:
         return self.emis[:, i]
 
 
+def viterbi(params: HMMParams, char_seq: str) -> str:
+    """``hmm.py:132-163`` — max-probability state path.
+
+    Dead code in the reference (no call sites); implemented for API
+    parity, vectorized. Tie-breaking matches the reference's
+    ``max(dict.items(), key=...)``/``max(dict, key=...)`` behavior:
+    first-encountered maximum wins == lowest state index wins.
+    """
+    n = len(params.states)
+    L = len(char_seq)
+    if n == 0 or L == 0:
+        return ""
+    delta = params.init * params._emis_col(char_seq[0])
+    back = np.zeros((L, n), dtype=np.int64)
+    for t in range(1, L):
+        cand = delta[:, None] * params.tran  # cand[i, j]
+        best_i = cand.argmax(axis=0)  # first max wins, as dict-max does
+        delta = cand[best_i, np.arange(n)] * params._emis_col(char_seq[t])
+        back[t] = best_i
+    best_state = int(delta.argmax())
+    states_rev = [best_state]
+    for t in range(L - 1, 0, -1):
+        states_rev.append(int(back[t, states_rev[-1]]))
+    return "".join(params.states[i] for i in reversed(states_rev))
+
+
 def k_best_beam(params: HMMParams, word: str, k: int) -> KBest:
     """``hmm.py:165-188`` with identical ordering (see module docstring)."""
     states = params.states

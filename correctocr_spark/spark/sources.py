@@ -9,6 +9,8 @@ ordered array column; its tab-delimited CSV token dump with per-k columns
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -108,6 +110,90 @@ def build_dictionary_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .where((F.col("word") != "") & F.col("word").rlike(r"\p{L}"))
         .distinct()
     )
+
+
+def term_index(
+    tokens: DataFrame,
+    tagged_terms: dict,
+    min_run: int = 2,
+) -> DataFrame:
+    """S17/J6 (commands.py:478-566): term-match runs -> index rows.
+
+    Per consolidated token the key is ``(gold or original)`` stripped of
+    surrounding punctuation/whitespace, lowercased; a token matches if
+    the key is in any term list (collecting all matching tags). Runs of
+    consecutive matching tokens with length > 1 (``min_run``) are
+    emitted. Run grouping is the classic gaps-and-islands double
+    row_number; term membership is a broadcast-literal lookup.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens.where(~F.col("tail") & ~F.col("discarded") & F.col("idx").isNotNull())
+    string = F.coalesce("gold", "original")
+    key = F.lower(F.regexp_replace(string, r"^[\W_\s]+|[\W_\s]+$", ""))
+    tag_cols = []
+    for tag, terms in sorted(tagged_terms.items()):
+        term_arr = F.array(*[F.lit(t) for t in terms])
+        tag_cols.append(F.when(F.array_contains(term_arr, key), F.lit(tag)))
+    tags = F.array_compact(F.array(*tag_cols))
+    t = toks.select(
+        "url", "idx", string.alias("string"), key.alias("key"), tags.alias("tags")
+    ).withColumn("matched", (F.size("tags") > 0) & (F.col("key") != ""))
+
+    w_all = Window.partitionBy("url").orderBy("idx")
+    w_matched = Window.partitionBy("url", "matched").orderBy("idx")
+    islands = t.withColumn(
+        "island", F.row_number().over(w_all) - F.row_number().over(w_matched)
+    ).where(F.col("matched"))
+    return (
+        islands.groupBy("url", "island")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.struct("idx", "string")))["string"], " "
+            ).alias("run_text"),
+            F.array_join(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("tags")))), ","
+            ).alias("run_tags"),
+            F.min("idx").alias("start_idx"),
+        )
+        .where(F.col("n_tokens") >= min_run)
+        .select("url", "start_idx", "n_tokens", "run_text", "run_tags")
+    )
+
+
+class KbestStore:
+    """Cross-run persistence of the distinct-word k-best table — the
+    durable form of the reference's ``PickledLRUCache`` (§2.13,
+    _cache.py:10-47): new runs anti-join their vocabulary against the
+    store and compute the beam only for unseen words."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def existing(self) -> Optional[DataFrame]:
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:
+            return None
+
+    def kbest_table(self, pipeline, vocab: DataFrame) -> DataFrame:
+        """Resolve k-best for ``vocab`` using the store; computes and
+        appends only the unseen words."""
+        old = self.existing()
+        if old is None:
+            fresh = pipeline.kbest_table(vocab)
+            fresh.write.mode("append").parquet(self.path)
+            return self.spark.read.parquet(self.path).join(
+                vocab, on="cons_word", how="left_semi"
+            )
+        unseen = vocab.join(old, on="cons_word", how="left_anti")
+        fresh = pipeline.kbest_table(unseen)
+        fresh.write.mode("append").parquet(self.path)
+        return self.spark.read.parquet(self.path).join(
+            vocab, on="cons_word", how="left_semi"
+        )
 
 
 def apply_memoized_corrections(tokens: DataFrame, memo: dict) -> DataFrame:

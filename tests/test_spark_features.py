@@ -174,6 +174,57 @@ def test_multimodal_features_and_frames(spark):
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
 
 
+def test_encoding_detection():
+    from correctocr_spark.kernels.extract import detect_encoding, extract_text
+
+    # fileio.py:56-66 — utf-8 if clean, else windows-1252
+    assert detect_encoding("héllo".encode("utf-8")) == "utf-8"
+    assert detect_encoding("héllo".encode("windows-1252")) == "windows-1252"
+    html_cp1252 = "<html><body><p>café crème</p></body></html>".encode("windows-1252")
+    assert extract_text(html_cp1252) == "café crème"
+
+
+def test_kbest_store_incremental(spark, pipeline, tmp_path):
+    from correctocr_spark.spark.sources import KbestStore
+    from correctocr_spark.spark.synth import synth_pages
+
+    store = KbestStore(spark, str(tmp_path / "kb"))
+    pages1 = synth_pages(spark, 10, seed=41).cache()
+    v1 = pipeline.vocab(pages1).cache()
+    kb1 = store.kbest_table(pipeline, v1)
+    assert kb1.count() == v1.count()
+
+    # second run: overlapping vocab; store computes only unseen words
+    pages2 = synth_pages(spark, 10, seed=42, start=500).cache()
+    v2 = pipeline.vocab(pages2).cache()
+    kb2 = store.kbest_table(pipeline, v2)
+    assert kb2.count() == v2.count()
+    stored = spark.read.parquet(str(tmp_path / "kb"))
+    union_vocab = v1.union(v2).distinct().count()
+    assert stored.count() == union_vocab  # no duplicate computation
+
+    # stored kbest matches direct computation bitwise
+    direct = {r["cons_word"]: r["kbest"] for r in pipeline.kbest_table(v2).collect()}
+    via_store = {r["cons_word"]: r["kbest"] for r in kb2.collect()}
+    assert direct == via_store
+
+
+def test_term_index_runs(spark):
+    from correctocr_spark.spark.sources import term_index
+
+    rows = [
+        ("d1", 0, "The", None), ("d1", 1, "quick", None), ("d1", 2, "scan,", None),
+        ("d1", 3, "Sort", None), ("d1", 4, "stops", None), ("d1", 5, "merge", None),
+    ]
+    tokens = spark.createDataFrame(
+        rows, "url string, idx int, original string, gold string"
+    ).select("*", F.lit(False).alias("tail"), F.lit(False).alias("discarded"))
+    out = term_index(tokens, {"exec": ["scan", "sort", "merge"]}).collect()
+    # 'scan,' (stripped) + 'Sort' (lowered) form a run of 2; lone 'merge' dropped
+    assert len(out) == 1
+    assert out[0]["run_text"] == "scan, Sort" and out[0]["n_tokens"] == 2
+
+
 def test_decoder_stub_raises(spark):
     from correctocr_spark.ops.multimodal import MEDIA_SCHEMA, extract_features
 

@@ -230,6 +230,23 @@ def q_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs(sh, threshold=0.5)
 
 
+def q_ngram_jaccard_lsh(spark, sf_dir):
+    """The scale path: Jaccard verification restricted to LSH candidate
+    pairs — the O(n²) pair space never materializes."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles_df,
+    )
+
+    sh = shingles_df(_t(spark, sf_dir, "documents"), k=SHINGLE_K)
+    sig = minhash_signatures(sh, num_hashes=MINHASH_HASHES)
+    cands = lsh_candidate_pairs(sig, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS)
+    return jaccard_pairs(sh, candidates=cands, threshold=0.3)
+
+
 def q_simhash(spark, sf_dir):
     _ship(spark)
     from correctocr_spark.ops.dedup import simhash64
@@ -534,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "simhash": q_simhash,
         # similarity search
         "ann_bruteforce": q_ann_bruteforce,
@@ -640,6 +658,40 @@ def _jaccard_sql() -> str:
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+    """
+
+
+def _jaccard_lsh_sql() -> str:
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    mins = ", ".join(f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(MINHASH_HASHES))
+    band_rows = []
+    for b in range(MINHASH_BANDS):
+        parts = " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        band_rows.append(f"SELECT doc_id, '{b}' || '|' || {parts} AS band_key FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+        {_SHINGLES_SQL}
+        , sig AS (SELECT doc_id, {mins} FROM sh2 GROUP BY doc_id)
+        , banded AS ({bands})
+        , cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b USING (band_key)
+            WHERE a.doc_id < b.doc_id
+        )
+        , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id)
+        , inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh2 a JOIN sh2 b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter i
+        JOIN cands c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.3
     """
 
 
@@ -878,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_pairs": _minhash_sql(),
         "ngram_jaccard": _jaccard_sql(),
+        "ngram_jaccard_lsh": _jaccard_lsh_sql(),
         "simhash": _simhash_sql(),
         "ann_bruteforce": _ann_sql_parts(),
         "ann_lsh": _ann_lsh_sql(),

@@ -46,7 +46,14 @@ HEADLINE = [
     "token_counts",
     "word_freq",
     "minhash_lsh_pairs",
+    "ngram_jaccard_lsh",
     "simhash",
+    "term_index",
+    "windowed_agg",
+    "context_window",
+    "dictionary_build",
+    "json_extract",
+    "ivf_assign",
     "ann_bruteforce",
     "ann_lsh",
     "langid",

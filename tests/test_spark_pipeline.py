@@ -65,6 +65,50 @@ def test_pipeline_byte_identical(spark, pipeline, resources, strategy):
     )
 
 
+def test_adversarial_differential_fuzz(spark, pipeline, resources):
+    """Byte-identity on 150 seeded random docs built from an adversarial
+    alphabet: hyphen/soft-hyphen runs, pure punctuation, newline markers,
+    unknown letters, empty-ish docs, final hyphens."""
+    import numpy as np
+
+    rng = np.random.RandomState(20260816)
+    pieces = [
+        "word", "w0rd", "str-", "str\xad", "-", "\xad", ".", ",,", "»«",
+        "_NEWLINE_N_", "ÿÿ", "a", "A4", "(word)", "te-st", "the", "t3st",
+        "--", "-\xad-", "word!", " ",
+    ]
+    docs = []
+    for i in range(150):
+        n = rng.randint(0, 30)
+        docs.append(" ".join(pieces[rng.randint(len(pieces))] for _ in range(n)))
+
+    import datetime
+
+    from correctocr_spark.spark.synth import PAGES_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (f"u://fuzz/{i}", ts, None, text, "en") for i, text in enumerate(docs)
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    from correctocr_spark.spark.pipeline import CorrectionPipeline
+
+    pipe = CorrectionPipeline(spark, resources, use_html=False)
+    for strategy in ("join", "broadcast"):
+        got = {
+            r["url"]: (r["corrected"], r["merged"])
+            for r in pipe.corrected(pages, strategy=strategy).collect()
+        }
+        bad = []
+        for i, text in enumerate(docs):
+            res = correct_document(
+                text, resources.params, resources.dictionary, resources.settings, k=4
+            )
+            if got[f"u://fuzz/{i}"] != (res["corrected"], res["merged"]):
+                bad.append((i, text, got[f"u://fuzz/{i}"], (res["corrected"], res["merged"])))
+        assert not bad, f"{strategy}: {len(bad)} mismatches; first: {bad[0]}"
+
+
 def test_strategies_agree(spark, pipeline):
     pages = synth_pages(spark, 40, seed=321).cache()
     a = {r["url"]: tuple(r) for r in pipeline.corrected(pages, strategy="join").collect()}

@@ -65,7 +65,11 @@ DEFAULT_CONFUSIONS: Dict[str, Dict[str, int]] = {
     "r": {"n": 5},
 }
 
-DEFAULT_CHARSET = string.ascii_letters + string.digits + "()-\xad.,;:!?'\""
+#: ascii + digits + the punctuation the tokenizer leaves attached + the
+#: Danish/Latin-1 letters the reference's 140-state model covers
+DEFAULT_CHARSET = (
+    string.ascii_letters + string.digits + "()-\xad.,;:!?'\"" + "æøåÆØÅéèüö"
+)
 
 DEFAULT_K = 4  # cli.py:75
 DEFAULT_SMOOTHING = 1e-4  # cli.py:144

@@ -16,8 +16,11 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .audit import AuditedRun
 from .pipeline import CorrectionPipeline
@@ -62,6 +65,64 @@ def correct_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_dedup(
+    pages: DataFrame,
+    state_timeout_ms: int = 0,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: emit each
+    content fingerprint's FIRST page only, across micro-batches.
+
+    State per md5(text) fingerprint = the first url seen; subsequent
+    pages with the same fingerprint are dropped. This is the streaming
+    form of exact dedup (ops/dedup.py) — state is bounded by distinct
+    content, optionally aged out with a processing-time timeout.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("fp", T.StringType(), False),
+            T.StructField("url", T.StringType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("first_url", T.StringType(), True)])
+
+    def dedup_fn(key, batches, state: GroupState):
+        if state.exists:
+            # fingerprint already emitted in an earlier batch
+            for _ in batches:
+                pass
+            yield pd.DataFrame({"fp": [], "url": [], "text": []})
+            return
+        first = None
+        for pdf in batches:
+            if len(pdf) and first is None:
+                pdf = pdf.sort_values("url")
+                first = (pdf.iloc[0]["url"], pdf.iloc[0]["text"])
+        if first is None:
+            yield pd.DataFrame({"fp": [], "url": [], "text": []})
+            return
+        state.update((first[0],))
+        if state_timeout_ms:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame({"fp": [key[0]], "url": [first[0]], "text": [first[1]]})
+
+    keyed = pages.select(F.md5("text").alias("fp"), "url", "text").groupBy("fp")
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
 
 
 def crawl_rate_metrics(

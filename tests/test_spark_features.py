@@ -76,6 +76,49 @@ def test_correct_stream(spark, pipeline, tmp_path):
     assert done.select("url").distinct().count() == 35
 
 
+def test_streaming_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState: cross-batch exact dedup keeps only the
+    first page per content fingerprint."""
+    import datetime
+
+    from correctocr_spark.spark.streaming import pages_stream, streaming_dedup
+    from correctocr_spark.spark.synth import PAGES_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    inp = str(tmp_path / "in")
+    b1 = [("u://a", ts, None, "same text", "en"), ("u://b", ts, None, "other", "en")]
+    spark.createDataFrame(b1, PAGES_SCHEMA).write.parquet(inp)
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        streaming_dedup(pages_stream(spark, inp))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 2
+
+    # batch 2: a duplicate of "same text" and one new doc
+    b2 = [("u://c", ts, None, "same text", "en"), ("u://d", ts, None, "fresh", "en")]
+    spark.createDataFrame(b2, PAGES_SCHEMA).write.mode("append").parquet(inp)
+    q = (
+        streaming_dedup(pages_stream(spark, inp))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["url"] for r in spark.read.parquet(out_dir).collect()}
+    assert "u://d" in rows and "u://c" not in rows  # state dropped the dup
+    assert len(rows) == 3
+
+
 def test_crawl_rate_metrics_watermark(spark):
     from correctocr_spark.spark.streaming import crawl_rate_metrics
     from correctocr_spark.spark.synth import synth_pages

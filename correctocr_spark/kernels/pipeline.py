@@ -208,6 +208,15 @@ def gold_sink_text(tokens: Iterable[Tok]) -> str:
     return spaced.replace("_NEWLINE_N_", "\n").replace(" \n ", "\n")
 
 
+def doc_bin_counts(tokens: List[Tok]) -> Dict[int, int]:
+    """heuristics.py:118 — per-bin counts over consolidated tokens."""
+    counts: Dict[int, int] = {}
+    for _o, _g, token in consolidated(tokens):
+        if token.bin is not None:
+            counts[token.bin] = counts.get(token.bin, 0) + 1
+    return counts
+
+
 def doc_stats(tokens: List[Tok]) -> Dict[str, int]:
     """TokenList.stats (tokens/list/_super.py:110-158)."""
     stats = {

@@ -64,6 +64,19 @@ def partition_lineage(corrected: DataFrame, run_id: str, buckets: int = DEFAULT_
     )
 
 
+def partition_bin_metrics(corrected: DataFrame, run_id: str, buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Token-bin metrics per url partition (north rule): explode the
+    per-doc ``bin_counts`` map and sum per (pkey, bin)."""
+    return (
+        with_partition_key(corrected, buckets)
+        .select("pkey", F.explode_outer("bin_counts").alias("bin", "n"))
+        .where(F.col("bin").isNotNull())
+        .groupBy("pkey", "bin")
+        .agg(F.sum("n").alias("token_count"))
+        .withColumn("run_id", F.lit(run_id))
+    )
+
+
 class AuditedRun:
     """Resumable run: anti-join completed urls, write results + audit."""
 
@@ -74,6 +87,7 @@ class AuditedRun:
         self.buckets = buckets
         self.corrected_path = os.path.join(output_dir, "corrected")
         self.audit_path = os.path.join(output_dir, "audit")
+        self.bin_metrics_path = os.path.join(output_dir, "audit_bins")
 
     def completed_urls(self) -> Optional[DataFrame]:
         try:
@@ -96,5 +110,13 @@ class AuditedRun:
             .partitionBy("pkey")
             .parquet(self.corrected_path)
         )
-        lineage = partition_lineage(corrected, self.run_id, self.buckets)
-        lineage.write.mode("append").parquet(self.audit_path)
+        done = self.spark.read.parquet(self.corrected_path).join(
+            corrected.select("url"), on="url", how="left_semi"
+        )
+        partition_lineage(done, self.run_id, self.buckets).write.mode("append").parquet(
+            self.audit_path
+        )
+        if "bin_counts" in corrected.columns:
+            partition_bin_metrics(done, self.run_id, self.buckets).write.mode(
+                "append"
+            ).parquet(self.bin_metrics_path)

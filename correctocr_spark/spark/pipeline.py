@@ -60,6 +60,7 @@ from ..kernels.pipeline import (
     consolidated,
     correct_document,
     dehyphenate,
+    doc_bin_counts,
     doc_stats,
     doc_to_string,
     gold_sink_text,
@@ -119,6 +120,7 @@ CORRECTED_SCHEMA = T.StructType(
         T.StructField("hyphenated_count", T.LongType(), False),
         T.StructField("discarded_count", T.LongType(), False),
         T.StructField("done", T.BooleanType(), False),
+        T.StructField("bin_counts", T.MapType(T.IntegerType(), T.LongType()), False),
     ]
 )
 
@@ -525,6 +527,7 @@ class CorrectionPipeline:
                         decision_memo=decision_memo,
                     )
                     stats = doc_stats(r["tokens"])
+                    bins = doc_bin_counts(r["tokens"])
                     out.append(
                         {
                             "url": url,
@@ -538,6 +541,7 @@ class CorrectionPipeline:
                             "hyphenated_count": stats["hyphenated_count"],
                             "discarded_count": stats["discarded_count"],
                             "done": bool(stats["done"]),
+                            "bin_counts": bins,
                         }
                     )
                 yield pd.DataFrame(out, columns=[f.name for f in CORRECTED_SCHEMA.fields])
@@ -571,7 +575,8 @@ class CorrectionPipeline:
                     t.is_discarded = bool(r["discarded"])
                     t.has_error = False
                     t.kbest = []
-                    t.bin = None
+                    b = r["bin"]
+                    t.bin = int(b) if b is not None else None
                     h = r["heuristic"]
                     t.heuristic = h if isinstance(h, str) else None
                     t.selection = None
@@ -589,6 +594,7 @@ class CorrectionPipeline:
                         "hyphenated_count": stats["hyphenated_count"],
                         "discarded_count": stats["discarded_count"],
                         "done": bool(stats["done"]),
+                        "bin_counts": doc_bin_counts(toks),
                     }
                 )
             return pd.DataFrame(out, columns=[f.name for f in CorrectionPipeline.FINALIZE_STRUCT.fields])
@@ -598,7 +604,9 @@ class CorrectionPipeline:
             .agg(
                 F.sort_array(
                     F.collect_list(
-                        F.struct("idx", "original", "gold", "head", "discarded", "heuristic")
+                        F.struct(
+                            "idx", "original", "gold", "head", "discarded", "heuristic", "bin"
+                        )
                     )
                 ).alias("toks")
             )

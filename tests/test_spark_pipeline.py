@@ -153,3 +153,9 @@ def test_audited_resume(spark, pipeline, tmp_path):
     audit = spark.read.parquet(run.audit_path)
     assert audit.count() > 0
     assert {"pkey", "url_count", "lineage", "completed"} <= set(audit.columns)
+
+    # north rule: per-partition token-bin metrics written alongside
+    bins = spark.read.parquet(run.bin_metrics_path)
+    assert {"pkey", "bin", "token_count", "run_id"} <= set(bins.columns)
+    total_binned = sum(r["token_count"] for r in bins.collect())
+    assert total_binned > 0

@@ -733,10 +733,10 @@ def _quality_sql() -> str:
             FROM w
         )
         SELECT doc_id, n_words, mean_word_len, punct_ratio, stopword_ratio,
-               round((case when n_words between 10 and 100000 then 0.25 else 0 end)
+               round(((case when n_words between 10 and 100000 then 0.25 else 0 end)
                    + (case when mean_word_len between 3 and 12 then 0.25 else 0 end)
                    + (case when punct_ratio <= 0.2 then 0.25 else 0 end)
-                   + (case when stopword_ratio >= 0.1 then 0.25 else 0 end), 2) AS quality_score
+                   + (case when stopword_ratio >= 0.1 then 0.25 else 0 end))::DOUBLE, 2) AS quality_score
         FROM m
     """
 

@@ -108,20 +108,13 @@ def run_scaling() -> dict:
                           shuffle_partitions=max(cores * 2, 16))
         pages = spark.read.parquet(PAGES_CACHE)
         pipe = _pipeline(spark)
-        from correctocr_spark.spark.pipeline import CorrectionPipeline
-        pipe_text = CorrectionPipeline(
-            spark, pipe.resources, use_html=False, parallelism=pipe.parallelism
-        )
         # warm up JVM / python workers / broadcasts
         materialize(pipe.corrected(pages.limit(500), strategy="broadcast"))
-        # timed job: extract once (materialized stage boundary, as the
-        # cluster job would persist the extracted table), then correct
+        # timed job: extraction materialized as its own stage boundary
         t0 = time.monotonic()
-        extracted = pipe.extracted(pages).select("url", "text").persist()
-        extracted.count()
-        materialize(pipe_text.corrected(extracted, strategy="broadcast"))
+        materialize(pipe.corrected_two_phase(pages, strategy="broadcast"))
         dt = time.monotonic() - t0
-        extracted.unpersist()
+        spark.catalog.clearCache()
         out[f"local{cores}_sec"] = round(dt, 2)
         out[f"local{cores}_docs_per_sec"] = round(SCALING_DOCS / dt, 1)
         spark.stop()

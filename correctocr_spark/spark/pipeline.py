@@ -464,6 +464,33 @@ class CorrectionPipeline:
         kb.unpersist()
         return out
 
+    def corrected_two_phase(
+        self,
+        pages: DataFrame,
+        strategy: str = "broadcast",
+        max_broadcast_vocab: int = 2_000_000,
+    ) -> DataFrame:
+        """Extraction materialized as its own stage boundary (persist),
+        then correction from the text table — html bytes cross Arrow
+        exactly once instead of once per pass. This is the plan shape a
+        cluster job uses (the extracted table is also the natural
+        lineage/resume checkpoint between the two stages); it measured
+        best in the scaling bench. Caller may unpersist via the returned
+        DataFrame's lineage once consumed."""
+        if not self.use_html:
+            return self.corrected(pages, strategy, max_broadcast_vocab)
+        extracted = self.extracted(pages).select("url", "text").persist()
+        extracted.count()
+        text_pipe = CorrectionPipeline(
+            self.spark,
+            self.resources,
+            dehyphenate=self.dehyphenate,
+            use_html=False,
+            broadcast_kbest=self.broadcast_kbest,
+            parallelism=self.parallelism,
+        )
+        return text_pipe.corrected(extracted, strategy, max_broadcast_vocab)
+
     def vocab(self, pages: DataFrame) -> DataFrame:
         """Distinct consolidated words of the corpus — the k-best input.
         Single Python UDF (extract inlined); partition-local dedup acts

@@ -113,7 +113,43 @@ def test_strategies_agree(spark, pipeline):
     pages = synth_pages(spark, 40, seed=321).cache()
     a = {r["url"]: tuple(r) for r in pipeline.corrected(pages, strategy="join").collect()}
     b = {r["url"]: tuple(r) for r in pipeline.corrected(pages, strategy="broadcast").collect()}
-    assert a == b
+    c = {r["url"]: tuple(r) for r in pipeline.corrected_two_phase(pages).collect()}
+    assert a == b == c
+    spark.catalog.clearCache()
+
+
+def test_giant_document_skew(spark, pipeline, resources):
+    """Doc-size skew: one 30k-token document among small ones — the
+    finalize path (collect_list of the whole doc) must survive and stay
+    byte-identical."""
+    import datetime
+
+    from correctocr_spark.spark.synth import PAGES_SCHEMA
+
+    from correctocr_spark.spark.pipeline import CorrectionPipeline
+
+    ts = datetime.datetime(2024, 1, 1)
+    giant = " ".join(["the fast w0rd str-"] * 7500)
+    rows = [
+        ("u://giant", ts, None, giant, "en"),
+        ("u://small", ts, None, "a t3st", "en"),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    pipe = CorrectionPipeline(spark, resources, use_html=False)
+    got = {r["url"]: r for r in pipe.corrected(pages).collect()}
+    assert got["u://giant"]["index_count"] == 30000
+    exp = correct_document(
+        giant, resources.params, resources.dictionary, resources.settings, k=4
+    )
+    assert got["u://giant"]["corrected"] == exp["corrected"]
+
+
+def test_empty_corpus(spark, pipeline):
+    from correctocr_spark.spark.synth import PAGES_SCHEMA
+
+    pages = spark.createDataFrame([], PAGES_SCHEMA)
+    for strategy in ("join", "broadcast"):
+        assert pipeline.corrected(pages, strategy=strategy).count() == 0
 
 
 def test_pipeline_corrects_noise(spark, pipeline):

@@ -124,6 +124,19 @@ def q_doc_stats_by_lang(spark, sf_dir):
     )
 
 
+def q_sql_api_stats(spark, sf_dir):
+    """Same aggregation through the spark.sql() surface (temp view +
+    ANSI SQL) — the engine is equally drivable via SQL text."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents_v GROUP BY lang
+        """
+    )
+
+
 def q_revenue_filter_agg(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.where(
@@ -538,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dehyphen_marks": q_dehyphen_marks,
         # aggregations (A1-A7)
         "doc_stats_by_lang": q_doc_stats_by_lang,
+        "sql_api_stats": q_sql_api_stats,
         "revenue_filter_agg": q_revenue_filter_agg,
         "stats_conditional_agg": q_stats_conditional_agg,
         # joins (J1-J7)
@@ -866,6 +880,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_stats_by_lang": """
+            SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "sql_api_stats": """
             SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
                    round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang

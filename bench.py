@@ -36,7 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
+SCALING_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 SCALING_CORES = (2, 8)  # N and 4N, inside the box's linear-CPU region
 PAGES_CACHE = f"/tmp/correctocr_bench_pages_{SCALING_DOCS}"
@@ -110,13 +111,17 @@ def run_scaling() -> dict:
         pipe = _pipeline(spark)
         # warm up JVM / python workers / broadcasts
         materialize(pipe.corrected(pages.limit(500), strategy="broadcast"))
-        # timed job: extraction materialized as its own stage boundary
-        t0 = time.monotonic()
-        materialize(pipe.corrected_two_phase(pages, strategy="broadcast"))
-        dt = time.monotonic() - t0
-        spark.catalog.clearCache()
-        out[f"local{cores}_sec"] = round(dt, 2)
-        out[f"local{cores}_docs_per_sec"] = round(SCALING_DOCS / dt, 1)
+        # timed job: extraction materialized as its own stage boundary;
+        # best-of-N absorbs transient host contention (this VM's
+        # wall-clock noise is ~±15%, see BENCH/BASELINE.md)
+        best = float("inf")
+        for _rep in range(SCALING_REPS):
+            t0 = time.monotonic()
+            materialize(pipe.corrected_two_phase(pages, strategy="broadcast"))
+            best = min(best, time.monotonic() - t0)
+            spark.catalog.clearCache()
+        out[f"local{cores}_sec"] = round(best, 2)
+        out[f"local{cores}_docs_per_sec"] = round(SCALING_DOCS / best, 1)
         spark.stop()
     out["scaling_efficiency"] = round(
         out[f"local{n4}_docs_per_sec"] / (4.0 * out[f"local{n}_docs_per_sec"]), 3

@@ -274,6 +274,17 @@ def _query_vec(spark, sf_dir):
     return [float(x) for x in row["embedding"]]
 
 
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash Hamming-distance near-dups via pigeonhole banding."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import simhash64, simhash_near_pairs
+
+    sh = simhash64(_t(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+    return simhash_near_pairs(sh, bits=SIMHASH_BITS, max_hamming=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_ann_bruteforce(spark, sf_dir):
     _ship(spark)
     from correctocr_spark.ops.similarity import brute_force_topk
@@ -567,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
         # similarity search
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -621,6 +633,26 @@ def _simhash_sql() -> str:
             SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
         )
         SELECT doc_id, ({fp})::BIGINT AS simhash FROM votes
+    """
+
+
+def _simhash_near_sql(max_hamming: int = 3) -> str:
+    n_bands = max_hamming + 1
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, '{b}|' || (((simhash >> {b * width}) & {mask})::VARCHAR) AS band_key FROM sh"
+        for b in range(n_bands)
+    )
+    inner = _simhash_sql()
+    return f"""
+        WITH sh AS ({inner}),
+        banded AS ({bands})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM banded a JOIN banded b USING (band_key)
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
 
 
@@ -951,6 +983,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _jaccard_sql(),
         "ngram_jaccard_lsh": _jaccard_lsh_sql(),
         "simhash": _simhash_sql(),
+        "simhash_near_pairs": _simhash_near_sql(),
         "ann_bruteforce": _ann_sql_parts(),
         "ann_lsh": _ann_lsh_sql(),
         "langid": _langid_sql(),

@@ -170,6 +170,54 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", b
     return agg.select("doc_id", fp.cast("long").alias("simhash"))
 
 
+def simhash_near_pairs(
+    simhashes: DataFrame,
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-duplicates by SimHash Hamming distance, at scale.
+
+    Pigeonhole: split the fingerprint into ``max_hamming + 1`` bands —
+    any pair within the distance budget must share at least one band
+    exactly. Candidates come from per-band equi-joins (never O(n²));
+    verification is a native ``bit_count(a ^ b)``.
+    """
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    banded = simhashes.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .cast("string"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, on="band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

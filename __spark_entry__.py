@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_PLANES = 6
 EMBED_DIM = 64
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
 MINHASH_HASHES = 8
 MINHASH_BANDS = 4
 SHINGLE_K = 3
@@ -63,7 +63,14 @@ def _ocr_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
     )
     pipe = CorrectionPipeline(spark, res, use_html=False)
-    return pipe.corrected(pages)
+    out = pipe.corrected(pages)
+    # The engine's bin_counts column is MAP<INT,BIGINT>; the driver's
+    # canonicalizer sorts pandas columns and cannot hash dicts, so the
+    # driver-facing projection serializes it to a key-sorted JSON string
+    # (deterministic; array_sort on the entry structs orders by key).
+    return out.withColumn(
+        "bin_counts", F.to_json(F.array_sort(F.map_entries("bin_counts")))
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -254,7 +261,9 @@ def q_ngram_jaccard_lsh(spark, sf_dir):
         shingles_df,
     )
 
-    sh = shingles_df(_t(spark, sf_dir, "documents"), k=SHINGLE_K)
+    # the shingle scan feeds BOTH the signature and the verify branch —
+    # persist it so the (explode + distinct) runs once, not twice
+    sh = shingles_df(_t(spark, sf_dir, "documents"), k=SHINGLE_K).persist()
     sig = minhash_signatures(sh, num_hashes=MINHASH_HASHES)
     cands = lsh_candidate_pairs(sig, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS)
     return jaccard_pairs(sh, candidates=cands, threshold=0.3)
@@ -446,11 +455,18 @@ def q_ivf_assign(spark, sf_dir):
 
 
 def q_embedding_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (threshold 0.9)."""
+    """Embedding-cosine near-duplicate pairs (threshold 0.9) — the
+    bucketed LSH scale path (no cartesian product; the DuckDB oracle is
+    the exact brute-force twin)."""
     _ship(spark)
-    from correctocr_spark.ops.dedup import embedding_dup_pairs
+    from correctocr_spark.ops.dedup import embedding_dup_pairs_bucketed
+    from correctocr_spark.ops.similarity import random_planes
 
-    out = embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+    out = embedding_dup_pairs_bucketed(
+        _t(spark, sf_dir, "embeddings"),
+        planes=random_planes(EMBED_DIM, N_PLANES, seed=7),
+        threshold=0.9,
+    )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -619,16 +635,26 @@ _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
 def _simhash_sql() -> str:
+    # signed 64-bit hash from two 32-bit md5 halves: hi is re-signed
+    # ((hi - 2^32·[hi ≥ 2^31]) · 2^32 + lo ≡ Spark's shiftleft(hi,32)|lo
+    # two's-complement wrap), and bit 63 of the fingerprint contributes
+    # -2^63 — both engines stay inside BIGINT with identical values.
     votes = ", ".join(
         f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end)::BIGINT as s{b}"
         for b in range(SIMHASH_BITS)
     )
-    fp = " + ".join(f"(case when s{b} > 0 then {2**b} else 0 end)" for b in range(SIMHASH_BITS))
+    fp = " + ".join(
+        f"(case when s{b} > 0 then {-(2**63) if b == 63 else 2**b} else 0 end)"
+        for b in range(SIMHASH_BITS)
+    )
+    hi = "('0x' || substr(md5(w), 1, 8))::BIGINT"
+    lo = "('0x' || substr(md5(w), 9, 8))::BIGINT"
+    h64 = f"(({hi}) - (CASE WHEN ({hi}) >= 2147483648 THEN 4294967296 ELSE 0 END)) * 4294967296 + ({lo})"
     return f"""
         WITH words AS (
             SELECT doc_id, unnest({_WORDS}) AS w FROM documents
         ), hashed AS (
-            SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM words
+            SELECT doc_id, {h64} AS h FROM words
         ), votes AS (
             SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
         )

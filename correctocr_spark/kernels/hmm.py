@@ -352,7 +352,7 @@ def build_hmm_params(
     character_set: Iterable[str],
     read_counts: Mapping[str, Mapping[str, float]],
     remove_chars: Sequence[str],
-    gold_words: Iterable[str],
+    gold_words,
     multichars=None,
 ) -> HMMParams:
     """Reference ``HMMBuilder`` (``hmm.py:266-447``) as a pure function.
@@ -363,10 +363,24 @@ def build_hmm_params(
     depends on the process hash seed (nondeterministic across runs). We
     iterate ``sorted(charset)`` so training is deterministic; everywhere
     probabilities differ the outputs agree with the reference.
+
+    ``gold_words`` is either the reference's word *stream* (a list with
+    multiplicity) or a ``{word: count}`` mapping. Every use of the stream
+    is an additive tally, so weighted counts are mathematically identical
+    — the mapping form lets the Spark training path aggregate word counts
+    distributed-side instead of re-materializing the 10^12-token stream
+    in driver memory (groupBy(word).count() -> collect of the Zipf-bounded
+    vocabulary only).
     """
     dictionary = list(dictionary)
     charset = set(character_set)
     remove = list(remove_chars)
+    if isinstance(gold_words, Mapping):
+        gold_word_counts: Dict[str, int] = dict(gold_words)
+    else:
+        gold_word_counts = {}
+        for w in gold_words:
+            gold_word_counts[w] = gold_word_counts.get(w, 0) + 1
 
     # _generate_confusion (hmm.py:301-328)
     confusion: Dict[str, Dict[str, float]] = {
@@ -381,18 +395,24 @@ def build_hmm_params(
         for unwanted in remove:
             inner.pop(unwanted, None)
 
-    # _text_char_counts (hmm.py:332-351)
+    # _text_char_counts (hmm.py:332-351): the reference filters the text
+    # char counts against the *configured* (pre-union) characterSet inside
+    # _text_char_counts, and only afterwards unions the charset with the
+    # surviving count keys + confusion keys (hmm.py:285). Gold/dictionary
+    # characters outside the configured charset therefore do NOT become
+    # HMM states (they can still appear as emission columns via confusion
+    # inner keys). Pinned by test_builder_out_of_charset_gold_char.
     char_count: Dict[str, float] = {}
-    for word in gold_words:
+    for word, wn in gold_word_counts.items():
         for ch in word:
-            char_count[ch] = char_count.get(ch, 0) + 1
+            char_count[ch] = char_count.get(ch, 0) + wn
     for word in dictionary:
         for ch in word:
             char_count[ch] = char_count.get(ch, 0) + 1
-    charset = charset | set(char_count) | set(confusion)
     char_count = {c: v for c, v in char_count.items() if c in charset}
     for unwanted in remove:
         char_count.pop(unwanted, None)
+    charset = charset | set(char_count) | set(confusion)
 
     # _emission_probabilities (hmm.py:357-404)
     for char in char_count:
@@ -430,14 +450,14 @@ def build_hmm_params(
     tran_counts: Dict[str, Dict[str, float]] = {}
     init_counts: Dict[str, float] = {}
 
-    def add_word(w: str) -> None:
+    def add_word(w: str, wn: int = 1) -> None:
         if len(w) > 0:
-            init_counts[w[0]] = init_counts.get(w[0], 0) + 1
+            init_counts[w[0]] = init_counts.get(w[0], 0) + wn
             for a, b in zip(w, w[1:]):
-                tran_counts.setdefault(a, {})[b] = tran_counts.get(a, {}).get(b, 0) + 1
+                tran_counts.setdefault(a, {})[b] = tran_counts.get(a, {}).get(b, 0) + wn
 
-    for word in gold_words:
-        add_word(word)
+    for word, wn in gold_word_counts.items():
+        add_word(word, wn)
     for word in dictionary:
         add_word(word)
     for unwanted in remove:

@@ -33,6 +33,15 @@ def is_punctuation(word: str) -> bool:
     return punctuationRE.fullmatch(word) is not None
 
 
+def is_numeric(word: str) -> bool:
+    """``tokens/_super.py:140-144`` — is the token purely numeric?
+
+    Exactly Python ``str.isnumeric()`` (Unicode Nd/Nl/No — accepts e.g.
+    '²' and '½', unlike ASCII digit checks). Dead code in the reference
+    (zero call sites) but part of its Token API surface."""
+    return word.isnumeric()
+
+
 def tokenize_text(text: str) -> List[str]:
     """Whitespace tokenization, ``tokens/_text.py:39``.
 

@@ -141,18 +141,32 @@ def jaccard_pairs(
     return out.where(F.col("jaccard") >= threshold)
 
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
     """SimHash: per-word md5-derived bit votes summed per doc.
 
-    Bit b of word w = bit b of the first 8 hex chars of md5(w) (a 32-bit
-    int via base conversion); the doc's fingerprint sets bit b iff the
-    sum over words of (+1/-1) votes is positive. Pure column algebra —
-    ``conv(hex,16,10)`` + bit ops, one shuffle.
+    Bit b of word w = bit b of the first 16 hex chars of md5(w), built
+    as a signed 64-bit value from two 32-bit halves (``conv`` on a full
+    16-hex string would exceed the unsigned-long range and null out;
+    ``shiftleft(hi, 32)`` wraps into two's complement exactly like the
+    DuckDB twin's ``(hi - 2^32·[hi≥2^31])·2^32 + lo``). The doc's
+    fingerprint sets bit b iff the sum over words of (+1/-1) votes is
+    positive; bit 63 contributes the sign (+= -2^63). Pure column
+    algebra — one shuffle. 64 bits is the web-scale operating point: a
+    16-bit fingerprint has 65,536 values and collides everywhere.
+
+    ``bits <= 32`` keeps the legacy single-half derivation (bit b of the
+    first 8 hex chars) so small-fingerprint oracles stay stable.
     """
     words = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(normalized_words(text_col)).alias("w")
     )
-    h = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+    md5 = F.md5(F.col("w"))
+    if bits <= 32:
+        h = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    else:
+        hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+        h = F.shiftleft(hi, 32).bitwiseOR(lo)
     votes = words.select(
         "doc_id",
         *[
@@ -165,22 +179,28 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", b
     agg = votes.groupBy("doc_id").agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(bits)])
     fp = None
     for b in range(bits):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        weight = -(2**63) if b == 63 else 2**b  # bit 63 = the sign bit
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(weight)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return agg.select("doc_id", fp.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(
     simhashes: DataFrame,
-    bits: int = 16,
-    max_hamming: int = 2,
+    bits: int = 64,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """Near-duplicates by SimHash Hamming distance, at scale.
 
     Pigeonhole: split the fingerprint into ``max_hamming + 1`` bands —
     any pair within the distance budget must share at least one band
     exactly. Candidates come from per-band equi-joins (never O(n²));
-    verification is a native ``bit_count(a ^ b)``.
+    verification is a native ``bit_count(a ^ b)``. At 64 bits /
+    hamming<=3 each band key is 16 bits, so buckets are tiny (n/65536
+    expected) and pair selectivity stays ≪1% — the 16-bit variant's
+    4-bit band keys degenerate toward all-pairs and are only for toys.
+    Band extraction (arithmetic shift + mask) is sign-safe for negative
+    fingerprints.
     """
     n_bands = max_hamming + 1
     width = bits // n_bands
@@ -224,8 +244,10 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Near-dup by embedding cosine. Brute-force verify; at scale, gate
-    with :func:`similarity.hyperplane_bucket` buckets first."""
+    """Near-dup by embedding cosine, exact: all-pairs crossJoin verify.
+
+    O(n²) — this is the *small-n oracle twin* only; the scale path is
+    :func:`embedding_dup_pairs_bucketed`."""
     from .similarity import cosine_col
 
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -235,4 +257,65 @@ def embedding_dup_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_dup_pairs_bucketed(
+    embeddings: DataFrame,
+    planes: Optional[List[List[float]]] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    seed: int = 7,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Near-dup by embedding cosine at scale: hyperplane-LSH candidate
+    generation + cosine verify — the O(n²) pair space never materializes.
+
+    Each vector gets a sign-pattern bucket (bit p = sign of <v, plane_p>);
+    candidates are equi-join matches between one side's *multi-probe*
+    bucket set (own code + all codes within Hamming distance
+    ``probe_hamming`` — the probed side only, standard multi-probe LSH)
+    and the other side's exact bucket. A cosine-θ pair disagrees on a
+    given plane with probability θ/π, so near-identical vectors
+    (θ→0) collide with near-certainty; recall for looser thresholds is
+    tuned by (n_planes, probe_hamming). Shuffle cost: one equi-join on a
+    dense int key with fan-out ``1 + Σ C(n_planes, i≤probe_hamming)``
+    instead of a cartesian product (plan pinned cartesian-free by
+    test_embedding_dup_bucketed_plan).
+    """
+    from itertools import combinations
+
+    from .similarity import cosine_col, hyperplane_bucket, random_planes
+
+    if planes is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+        planes = random_planes(dim, n_planes, seed=seed)
+    masks = [0]
+    for r in range(1, probe_hamming + 1):
+        for bits in combinations(range(len(planes)), r):
+            masks.append(sum(1 << b for b in bits))
+    vec_d = F.col(vec_col).cast("array<double>")
+    bucketed = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(vec_d, planes).alias("bucket"),
+    )
+    probed = bucketed.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    exact = bucketed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        probed.join(exact, on="bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .distinct()
     )

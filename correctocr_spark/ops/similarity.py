@@ -12,12 +12,44 @@ from typing import List, Sequence
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 def _lit_vec(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed top-k with a dense rank column, no global window.
+
+    ``orderBy().limit(k)`` compiles to ``TakeOrderedAndProject`` — each
+    partition keeps its local k, the driver merges k*num_partitions rows
+    (pinned by test_ann_plan_take_ordered). The rank is then derived by
+    sorting the k survivors *as an array* (struct sort: -cosine, vec_id)
+    and ``posexplode``-ing — never a partitionless ``row_number()``
+    window, which would move the whole table to one partition.
+    """
+    top = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+    arr = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cosine")).alias("neg_cosine"),
+                    F.col("vec_id").alias("vec_id"),
+                    F.col("cosine").alias("cosine"),
+                )
+            )
+        ).alias("a")
+    )
+    return (
+        arr.select(F.posexplode("a").alias("pos", "s"))
+        .select(
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("s.vec_id").alias("vec_id"),
+            F.col("s.cosine").alias("cosine"),
+        )
+    )
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -47,12 +79,7 @@ def brute_force_topk(
         F.col(id_col).alias("vec_id"),
         F.round(cosine_col(F.col(vec_col).cast("array<double>"), q), 6).alias("cosine"),
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("rank", "vec_id", "cosine")
-    )
+    return _ranked_topk(scored, k)
 
 
 def random_planes(dim: int, n_planes: int = 8, seed: int = 7) -> List[List[float]]:
@@ -99,12 +126,7 @@ def lsh_topk(
             F.round(cosine_col(vec_d, q), 6).alias("cosine"),
         )
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("rank", "vec_id", "cosine")
-    )
+    return _ranked_topk(scored, k)
 
 
 def ivf_assign(

@@ -97,11 +97,17 @@ class AuditedRun:
             return None
 
     def pending(self, pages: DataFrame) -> DataFrame:
-        """Checkpoint-resume: left-anti join against completed urls."""
+        """Checkpoint-resume: left-anti join against completed urls.
+
+        No forced broadcast: after months of crawl processing the
+        completed-url set is billions of rows and a broadcast hint would
+        OOM the driver. AQE picks broadcast on its own whenever the set
+        is actually small (pinned by test_resume_anti_join_not_forced).
+        """
         done = self.completed_urls()
         if done is None:
             return pages
-        return pages.join(F.broadcast(done), on="url", how="left_anti")
+        return pages.join(done, on="url", how="left_anti")
 
     def write(self, corrected: DataFrame) -> None:
         out = with_partition_key(corrected, self.buckets)

@@ -289,7 +289,9 @@ class CorrectionPipeline:
             "cons_word", kbest_udf(F.col("cons_word")).alias("kb")
         ).select("cons_word", "kb.kbest", "kb.cand_in_dict")
 
-    def with_kbest(self, tokens: DataFrame, salt: int = 0) -> DataFrame:
+    def with_kbest(
+        self, tokens: DataFrame, salt: int = 0, kb: Optional[DataFrame] = None
+    ) -> DataFrame:
         """Join the per-distinct-word k-best back onto the token table.
 
         Word keys are Zipf-skewed ('the' is a meaningful fraction of all
@@ -298,8 +300,13 @@ class CorrectionPipeline:
         adds *explicit* salting for clusters without AQE: the token side
         gets a random-ish salt from (url, idx), the k-best side is
         exploded x salt, and the join key becomes (word, salt) — hot
-        words spread over ``salt`` reducers."""
-        kb = self.kbest_table(tokens)
+        words spread over ``salt`` reducers.
+
+        ``kb``: a precomputed (cons_word, kbest, cand_in_dict) table —
+        the auto->join fallback passes the already-persisted vocabulary
+        beam so it is never recomputed (one beam pass per corpus)."""
+        if kb is None:
+            kb = self.kbest_table(tokens)
         if self.broadcast_kbest:
             kb = F.broadcast(kb)
         if salt <= 0:
@@ -335,12 +342,19 @@ class CorrectionPipeline:
                 orig = pdf["original"]
                 k1 = pdf["k1"]
                 valid = k1.notna().to_numpy()
-                # candidate dict flags -> (n, k) matrix; invalid rows all-False
+                # candidate dict flags -> (n, k) matrix; invalid rows
+                # all-False. Models with fewer than k states return
+                # SHORTER k-best lists — fill the prefix and track the
+                # per-row candidate count (dcode compares n_in against
+                # len(kbest), heuristics.py:116-121, not against k).
                 kk = res.k
                 flags = np.zeros((n, kk), dtype=bool)
+                n_cand = np.full(n, kk, dtype=np.int64)
                 for i, f in enumerate(pdf["cand_in_dict"]):
-                    if f is not None and len(f) == kk:
-                        flags[i] = f
+                    if f is not None:
+                        m = min(len(f), kk)
+                        flags[i, :m] = f[:m]
+                        n_cand[i] = len(f)
                 n_in = flags.sum(axis=1)
                 first_rank = flags.argmax(axis=1) + 1  # first in-dict rank
                 o_eq_k = (orig == k1).to_numpy(dtype=bool)
@@ -352,7 +366,7 @@ class CorrectionPipeline:
                 o_in_d = orig.map(in_dict_memo).fillna(False).to_numpy(dtype=bool)
                 k_in_d = flags[:, 0]
                 zerokd = n_in == 0
-                somekd = (n_in > 0) & (n_in < kk)
+                somekd = (n_in > 0) & (n_in < n_cand)
                 # heuristics.py:317-358 as np.select (first match wins)
                 conds = [
                     o_eq_k & o_in_d,
@@ -367,6 +381,18 @@ class CorrectionPipeline:
                 ]
                 bins = np.select(conds, list(range(1, 10)), default=10)
                 heur = pd.Series(bins).map(settings).to_numpy(dtype=object)
+                # 'kdict' with zero in-dictionary candidates is the
+                # reference's filtids[0] IndexError (heuristics.py:132);
+                # the kernel/broadcast strategy raises there, so this
+                # strategy must too — the two physical plans stay
+                # result-identical for every (settings, input).
+                kd_bad = (heur == "kdict") & (n_in == 0) & valid
+                if kd_bad.any():
+                    raise IndexError(
+                        "kdict heuristic selected for a token with no "
+                        "in-dictionary candidates (reference "
+                        "heuristics.py:132 filtids[0])"
+                    )
                 sel_rank = np.select(
                     [heur == "kbest", heur == "kdict"], [np.ones(n, dtype=np.int64), first_rank], default=0
                 )
@@ -433,12 +459,14 @@ class CorrectionPipeline:
             .otherwise(gold0)
         )
 
-    def tokens(self, pages: DataFrame, salt: int = 0) -> DataFrame:
+    def tokens(
+        self, pages: DataFrame, salt: int = 0, kb: Optional[DataFrame] = None
+    ) -> DataFrame:
         """The full token table — the engine's relational data model
         (FIXTURES.md §6; mirrors the reference DDL with kbest as an
         ordered array column instead of a joined table)."""
         t = self.tokens_raw(pages)
-        t = self.with_kbest(t, salt=salt)
+        t = self.with_kbest(t, salt=salt, kb=kb)
         t = self.with_decisions(t)
         return t.withColumn("gold", self._autocorrect_col())
 
@@ -458,8 +486,13 @@ class CorrectionPipeline:
         if strategy == "auto":
             n_words = kb.count()
             if n_words > max_broadcast_vocab:
-                kb.unpersist()
-                return self.finalize(self.tokens(pages))
+                # Fallback reuses the already-materialized vocabulary
+                # beam (kb stays persisted — the count above computed
+                # it; recomputing the beam over a huge vocabulary is
+                # the single most expensive stage). The caller may
+                # unpersist kb via the returned plan's lineage once the
+                # result is consumed.
+                return self.finalize(self.tokens(pages, kb=kb))
         out = self._corrected_broadcast(pages, kb)
         kb.unpersist()
         return out

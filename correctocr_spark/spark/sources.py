@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .audit import DEFAULT_BUCKETS, with_partition_key
@@ -213,3 +213,77 @@ def apply_memoized_corrections(tokens: DataFrame, memo: dict) -> DataFrame:
             hit,
         ).otherwise(F.col("gold")),
     )
+
+
+def correction_tracking(tokens: DataFrame) -> DataFrame:
+    """A4 producer: per (original, gold) correction counts — the feedback
+    artifact the reference's interactive shell accumulates
+    (correcter.py:99-101) and ``_apply`` persists (commands.py:444-450)."""
+    return (
+        tokens.where(
+            F.col("gold").isNotNull()
+            & (F.col("gold") != "")
+            & (F.col("gold") != F.col("original"))
+        )
+        .groupBy("original", "gold")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+class CorrectionFeedback:
+    """The correction feedback loop (commands.py:444-451) as artifacts.
+
+    Run 1 tracks corrections -> ``record`` merges them into a persistent
+    tracking table; run 2 loads ``memoized_corrections`` and feeds them
+    to :func:`apply_memoized_corrections`, so previously-seen fixes
+    auto-apply to annotator-deferred tokens.
+
+    Divergence, documented: for an original with several distinct golds
+    the reference overwrites ``memoizedCorrections[original]`` while
+    iterating count-DESC (commands.py:446-449), so the *least* frequent
+    gold wins, tie order unreproducible (dict insertion order). We take
+    the MOST frequent gold, ties by lexicographic gold — deterministic
+    and statistically sane. The memo is Zipf-bounded (distinct corrected
+    originals), so collecting it to a broadcast map is safe.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _existing(self) -> Optional[DataFrame]:
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:
+            return None
+
+    def record(self, tokens: DataFrame) -> None:
+        """Merge this run's correction counts into the tracking table
+        (re-aggregated union — idempotent shape, one small shuffle)."""
+        fresh = correction_tracking(tokens)
+        old = self._existing()
+        if old is not None:
+            fresh = (
+                old.unionByName(fresh)
+                .groupBy("original", "gold")
+                .agg(F.sum("n").alias("n"))
+            )
+        tmp = self.path + ".staging"
+        fresh.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+
+    def memoized_corrections(self) -> dict:
+        """tracking -> {original: best gold} (see class docstring)."""
+        old = self._existing()
+        if old is None:
+            return {}
+        w = Window.partitionBy("original").orderBy(F.desc("n"), F.asc("gold"))
+        best = (
+            old.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select("original", "gold")
+        )
+        return {r["original"]: r["gold"] for r in best.collect()}
+
+    def apply(self, tokens: DataFrame) -> DataFrame:
+        return apply_memoized_corrections(tokens, self.memoized_corrections())

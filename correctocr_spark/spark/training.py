@@ -40,6 +40,15 @@ def alignment_pairs(docs: DataFrame, text_col: str = "text", gold_col: str = "go
     Per doc: tokenize both, ``apply_as_gold`` (the SequenceMatcher
     order-based fuzzy join, aligner.py:59-87), then positional char zip
     (aligner.py:45-47).
+
+    Deliberate divergence from the reference: its ``Token.__eq__``
+    compares ``last_modified`` wall-clock, so reference tokens *never*
+    compare equal and SequenceMatcher degenerates to a single positional
+    'replace' zip that silently tolerates extra trailing gold tokens. We
+    align on (original, index) — real matching — and treat an
+    unalignable doc (gold has inserted tokens) as untrainable, skipping
+    it rather than feeding misaligned char pairs into readCounts. On
+    documents where both approaches align, the emitted pairs agree.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -96,20 +105,21 @@ def train_hmm(
         # transpose: outer = gold (correct) char, inner = read char
         read_counts.setdefault(row["right_char"], {})[row["left_char"]] = row["n"]
 
-    # gold word frequencies: distributed tokenize + distinct is overkill
-    # for init/tran (they need the word *stream*, counted) — aggregate
-    # per-word counts then expand driver-side
-    gold_words_rows = (
-        docs.select(F.explode(F.split(F.trim(F.col(gold_col)), r"\s+")).alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("w")
-        .count()
-        .collect()
-    )
-    gold_words: List[str] = []
-    for row in gold_words_rows:
-        gold_words.extend([row["w"]] * row["count"])
+    # gold word frequencies: init/tran need the word *stream* counted,
+    # which is exactly groupBy(word).count() — only the Zipf-bounded
+    # vocabulary (not the 10^12-token stream) ever reaches the driver;
+    # build_hmm_params consumes the weighted counts directly.
+    gold_word_counts = {
+        row["w"]: row["count"]
+        for row in (
+            docs.select(F.explode(F.split(F.trim(F.col(gold_col)), r"\s+")).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w")
+            .count()
+            .collect()
+        )
+    }
 
     return build_hmm_params(
-        dictionary, smoothing, character_set, read_counts, remove_chars or [], gold_words
+        dictionary, smoothing, character_set, read_counts, remove_chars or [], gold_word_counts
     )

@@ -164,6 +164,35 @@ def test_builder_value_parity(ref):
             assert hmm.emis[a][b2] == my_emis[a][b2], f"emis[{a}][{b2}]"
 
 
+def test_builder_out_of_charset_gold_char(ref):
+    """Gold/dictionary chars OUTSIDE the configured characterSet must not
+    become HMM states: the reference filters _text_char_counts against
+    the PRE-union charset (hmm.py:343-345) before the union at
+    hmm.py:285. 'ø' (in gold, not in charset, not in readCounts) must be
+    absent from init; every shared-state probability must match."""
+    from correctocr_spark.kernels.hmm import build_hmm_params
+
+    gold = ["ab", "øb"]  # 'ø' not in charset
+    charset = "ab"
+    read_counts = {"a": {"a": 10, "b": 1}, "b": {"b": 10}}
+    b = ref.HMMBuilder(
+        set(gold), 0.0001, charset,
+        {k: dict(v) for k, v in read_counts.items()}, [], list(gold),
+    )
+    mine = build_hmm_params(sorted(set(gold)), 0.0001, charset, read_counts, [], gold)
+    my_init, my_tran, my_emis = mine.to_dicts()
+    assert "ø" not in b.init and "ø" not in my_init
+    assert set(b.init) == set(my_init)
+    for s in b.init:
+        assert b.init[s] == my_init[s], f"init[{s}]"
+    for a in b.tran:
+        for b2 in b.tran[a]:
+            assert b.tran[a][b2] == my_tran[a][b2], f"tran[{a}][{b2}]"
+    for a in b.emis:
+        for b2 in b.emis[a]:
+            assert b.emis[a][b2] == my_emis[a][b2], f"emis[{a}][{b2}]"
+
+
 def test_beam_parity_on_reference_params(ref):
     """Bitwise beam parity on the reference's own parameter dicts (same
     state order => tie-breaks comparable), over adversarial words."""

@@ -515,6 +515,48 @@ def q_term_index(spark, sf_dir):
     )
 
 
+def q_token_detail(spark, sf_dir):
+    """Token-detail server view (server.py:231-307): hyphen redirect +
+    soft-hyphen display + hyphenated join, over a synthetic token table
+    (heads = '-'-ended words; golds planted with trailing U+00AD on
+    idx%7, empty-string on idx%11 to exercise the falsy branch; k-best
+    candidates planted with a leading U+00AD)."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import normalized_words
+    from correctocr_spark.spark.views import token_detail_view
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.posexplode(normalized_words("text")).alias("idx", "original"),
+    ).select(
+        "url",
+        "idx",
+        "original",
+        F.col("original").rlike("-$").alias("head"),
+        F.when(F.col("idx") % 7 == 0, F.concat(F.upper("original"), F.lit("\xad")))
+        .when(F.col("idx") % 11 == 0, F.lit(""))
+        .alias("gold"),
+        F.lit(False).alias("discarded"),
+        F.array(
+            F.struct(
+                F.concat(F.lit("\xad"), F.col("original")).alias("candidate"),
+                F.lit(0.5).alias("probability"),
+            )
+        ).alias("kbest"),
+    )
+    out = token_detail_view(toks)
+    return out.select(
+        "url",
+        F.col("idx").cast("long").alias("idx"),
+        F.col("redirect_to").cast("long").alias("redirect_to"),
+        "original",
+        "gold",
+        "hyphenated",
+        F.element_at("kbest", 1)["candidate"].alias("k1_display"),
+    )
+
+
 def q_context_window(spark, sf_dir):
     """W3 (correcter.py:20-24): before-context list via a bounded
     rowsBetween frame — per event, the previous 2 values."""
@@ -612,6 +654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # term index (S17/J6) + context window (W3)
         "term_index": q_term_index,
         "context_window": q_context_window,
+        # server read surface: token-detail endpoint (server.py:231-307)
+        "token_detail": q_token_detail,
         # streaming-shaped windowed agg (batch twin)
         "windowed_agg": q_windowed_agg,
         # resource prep (S14)
@@ -902,6 +946,52 @@ def _term_index_sql() -> str:
     """
 
 
+def _token_detail_sql() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id::VARCHAR AS url,
+                   unnest(list_transform(range(1, len(ws)+1),
+                          i -> {{'idx': i - 1, 'original': ws[i]}}), recursive := true)
+            FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
+        ), synth AS (
+            SELECT url, idx, original,
+                   regexp_matches(original, '-$') AS head,
+                   CASE WHEN idx % 7 = 0 THEN upper(original) || '\xad'
+                        WHEN idx % 11 = 0 THEN '' END AS gold,
+                   '\xad' || original AS k1
+            FROM toks
+        ), ctx AS (
+            SELECT *,
+                   lag(head) OVER w AS prev_head,
+                   lead(original) OVER w AS next_original,
+                   lead(gold) OVER w AS next_gold
+            FROM synth
+            WINDOW w AS (PARTITION BY url ORDER BY idx)
+        ), disp AS (
+            SELECT url, idx,
+                   CASE WHEN idx > 0 AND coalesce(prev_head, false)
+                        THEN idx - 1 END AS redirect_to,
+                   regexp_replace(original, '\xad$', '-') AS orig_shy,
+                   CASE WHEN gold IS NOT NULL AND gold <> ''
+                        THEN regexp_replace(gold, '\xad$', '-') ELSE gold END AS gold_shy,
+                   head, next_original, next_gold,
+                   (gold IS NOT NULL AND gold <> '') AS gold_ok,
+                   (next_gold IS NOT NULL AND next_gold <> '') AS next_gold_ok,
+                   replace(k1, '\xad', '-') AS k1_display
+            FROM ctx
+        )
+        SELECT url, idx::BIGINT AS idx, redirect_to::BIGINT AS redirect_to,
+               CASE WHEN head AND next_original IS NOT NULL
+                    THEN orig_shy || next_original ELSE orig_shy END AS original,
+               CASE WHEN head AND next_original IS NOT NULL AND gold_ok
+                    THEN (CASE WHEN next_gold_ok THEN gold_shy || next_gold END)
+                    ELSE gold_shy END AS gold,
+               head AS hyphenated,
+               k1_display
+        FROM disp
+    """
+
+
 def _ivf_sql() -> str:
     def lit(p):
         return "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
@@ -1038,6 +1128,7 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
         """,
         "term_index": _term_index_sql(),
+        "token_detail": _token_detail_sql(),
         "context_window": """
             SELECT event_id, user_id,
                    round(coalesce(sum(value) OVER w, 0.0), 6) AS prev2_sum,

@@ -49,6 +49,9 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "ngram_jaccard_lsh",
     "simhash",
+    "simhash_near_pairs",
+    "embedding_dup",
+    "token_detail",
     "term_index",
     "windowed_agg",
     "context_window",

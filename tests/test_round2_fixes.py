@@ -372,3 +372,40 @@ def test_is_numeric_reference_semantics():
     assert not is_numeric("12a")
     assert not is_numeric("")
     assert not is_numeric("-1")  # sign is not numeric, exactly as Python
+
+
+# ---------------------------------------------------------------------------
+# token-detail server view
+# ---------------------------------------------------------------------------
+
+
+def test_token_detail_view_reference_quirks(spark):
+    """server.py:231-307: tail redirects to head; head shows joined
+    original; joined Gold is null unless BOTH halves have truthy gold;
+    empty-string gold stays untouched; soft hyphens render as '-'."""
+    from correctocr_spark.spark.views import token_detail_view
+
+    rows = [
+        # (url, idx, original, gold, head, discarded)
+        ("u", 0, "hy\xad", "HY\xad", True, False),   # head with shy + gold
+        ("u", 1, "phen", "PHEN", False, False),      # tail (redirects to 0)
+        ("u", 2, "plain", "", False, False),         # empty gold: untouched
+        ("u", 3, "he-", "GOLD", True, False),        # head, next gold missing
+        ("u", 4, "ad", None, False, False),          # tail without gold
+        ("u", 5, "last", None, False, False),
+    ]
+    toks = spark.createDataFrame(
+        rows, ["url", "idx", "original", "gold", "head", "discarded"]
+    )
+    out = {r["idx"]: r for r in token_detail_view(toks).collect()}
+
+    assert out[0]["original"] == "hy-phen"      # shy fix THEN join with raw next
+    assert out[0]["gold"] == "HY-PHEN"          # both halves truthy -> joined
+    assert out[0]["redirect_to"] is None
+    assert out[1]["redirect_to"] == 0           # tail -> head redirect
+    assert out[2]["gold"] == ""                 # falsy gold untouched
+    assert out[2]["redirect_to"] is None
+    assert out[3]["gold"] is None               # next half has no gold -> null
+    assert out[3]["original"] == "he-ad"
+    assert out[4]["redirect_to"] == 3
+    assert out[5]["original"] == "last" and out[5]["gold"] is None

@@ -95,16 +95,23 @@ def import_tokens_csv(spark: SparkSession, path: str, k: int = 4) -> DataFrame:
     )
 
 
+def _clean_word_col(col):
+    """``Dictionary.add`` cleaning (dictionary.py:68-90) as a column:
+    strip hyphens/soft-hyphens, then leading/trailing non-word chars."""
+    return F.regexp_replace(
+        F.regexp_replace(col, r"[\xad-]", ""), r"^[\W_]+|[\W_]+$", ""
+    )
+
+
 def build_dictionary_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """S14 (commands.py:31-169, minus the http/zip crawl): gold corpus ->
-    cleaned distinct dictionary words. Cleaning matches
-    ``Dictionary.add`` (dictionary.py:68-90): strip hyphens/punctuation,
-    drop non-letter-bearing strings."""
+    """S14 (commands.py:31-169; the http/zip/TEI corpus walk is
+    `.corpus.corpus_dictionary_df`): gold corpus -> cleaned distinct
+    dictionary words. Cleaning matches ``Dictionary.add``
+    (dictionary.py:68-90): strip hyphens/punctuation, drop
+    non-letter-bearing strings."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     exploded = docs.select(F.explode(words).alias("raw"))
-    cleaned = F.regexp_replace(
-        F.regexp_replace(F.col("raw"), r"[\xad-]", ""), r"^[\W_]+|[\W_]+$", ""
-    )
+    cleaned = _clean_word_col(F.col("raw"))
     return (
         exploded.select(cleaned.alias("word"))
         .where((F.col("word") != "") & F.col("word").rlike(r"\p{L}"))

@@ -557,6 +557,29 @@ def q_token_detail(spark, sf_dir):
     )
 
 
+def q_token_window(spark, sf_dir):
+    """W4 (correcter.py:20-24): per-token sliding context window over the
+    synthetic token stream; contexts joined to strings for the driver's
+    canonicalizer (arrays are unhashable in pandas)."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import normalized_words
+    from correctocr_spark.spark.views import token_window_view
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.posexplode(normalized_words("text")).alias("idx", "original"),
+    )
+    out = token_window_view(toks, before=3, after=3)
+    return out.select(
+        "url",
+        F.col("idx").cast("long").alias("idx"),
+        "original",
+        F.concat_ws(" ", "before_ctx").alias("before_ctx"),
+        F.concat_ws(" ", "after_ctx").alias("after_ctx"),
+    )
+
+
 def q_context_window(spark, sf_dir):
     """W3 (correcter.py:20-24): before-context list via a bounded
     rowsBetween frame — per event, the previous 2 values."""
@@ -656,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_window": q_context_window,
         # server read surface: token-detail endpoint (server.py:231-307)
         "token_detail": q_token_detail,
+        # W4 sliding token window (correcter.py:20-24)
+        "token_window": q_token_window,
         # streaming-shaped windowed agg (batch twin)
         "windowed_agg": q_windowed_agg,
         # resource prep (S14)
@@ -1129,6 +1154,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "term_index": _term_index_sql(),
         "token_detail": _token_detail_sql(),
+        "token_window": f"""
+            WITH toks AS (
+                SELECT doc_id::VARCHAR AS url,
+                       unnest(list_transform(range(1, len(ws)+1),
+                              i -> {{'idx': i - 1, 'original': ws[i]}}), recursive := true)
+                FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
+            )
+            SELECT url, idx::BIGINT AS idx, original,
+                   coalesce(array_to_string(list(original) OVER
+                       (PARTITION BY url ORDER BY idx
+                        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ' '), '') AS before_ctx,
+                   coalesce(array_to_string(list(original) OVER
+                       (PARTITION BY url ORDER BY idx
+                        ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING), ' '), '') AS after_ctx
+            FROM toks
+        """,
         "context_window": """
             SELECT event_id, user_id,
                    round(coalesce(sum(value) OVER w, 0.0), 6) AS prev2_sum,

@@ -95,6 +95,8 @@ def pdf_tokens(
                 try:
                     words = ex(bytes(content))
                 except PDFExtractError:
+                    words = []
+                if not words:
                     rows.append({"url": url, **{f: None for f in fields[1:]}})
                     continue
                 for idx, w in enumerate(
@@ -118,6 +120,25 @@ def pdf_tokens(
             yield pd.DataFrame(rows, columns=fields)
 
     return pdfs.mapInPandas(run, schema=PDF_TOKEN_SCHEMA)
+
+
+def read_hocr_files(spark: SparkSession, path: str, glob: str = "*.hocr") -> DataFrame:
+    """S3 scan: binaryFile source over hOCR output files."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select(F.col("path").alias("url"), F.col("content"))
+    )
+
+
+def hocr_tokens(hocrs: DataFrame) -> DataFrame:
+    """S3: hOCR documents -> the same token table as :func:`pdf_tokens`
+    (shared schema/downstream; the image->hOCR OCR step itself is the
+    external seam — see kernels/hocr.py module doc)."""
+    from ..kernels.hocr import extract_hocr_words
+
+    return pdf_tokens(hocrs, extractor=extract_hocr_words)
 
 
 def pdf_page_texts(tokens: DataFrame) -> DataFrame:

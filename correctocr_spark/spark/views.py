@@ -37,6 +37,30 @@ def _shy_tail_fix(c: Column) -> Column:
     return F.regexp_replace(c, f"{_SHY}$", "-")
 
 
+def token_window_view(
+    tokens: DataFrame, before: int = 3, after: int = 3
+) -> DataFrame:
+    """W4 — the annotator shell's sliding token window
+    (correcter.py:20-24 ``_split_window``: per token, the ``before``
+    preceding and ``after`` following originals; the shell uses 7/7,
+    the helper defaults 3/3). Two bounded ``rowsBetween`` frames over
+    the (url, idx) window — one shuffle, reusing the token table's url
+    partitioning; ``collect_list`` over a bounded frame preserves frame
+    order."""
+    w = Window.partitionBy("url").orderBy("idx")
+    return tokens.where(F.col("idx").isNotNull()).select(
+        "url",
+        "idx",
+        "original",
+        F.collect_list("original")
+        .over(w.rowsBetween(-before, -1))
+        .alias("before_ctx"),
+        F.collect_list("original")
+        .over(w.rowsBetween(1, after))
+        .alias("after_ctx"),
+    )
+
+
 def token_detail_view(
     tokens: DataFrame, redirect_hyphenated: bool = True
 ) -> DataFrame:

@@ -166,3 +166,72 @@ def test_pdf_sink_plan_order(spark):
     assert got == [(0, "first", 10.0), (0, "line", 10.0), (1, "second-page", 10.0)]
     r = plan.collect()[0]
     assert r["rect_x1"] >= 30.0 and r["rect_y1"] == 30.0
+
+
+# ---------------------------------------------------------------------------
+# hOCR source (S3 / T7)
+# ---------------------------------------------------------------------------
+
+HOCR_DOC = b"""<?xml version="1.0" encoding="UTF-8"?>
+<html><body>
+ <div class='ocr_page' id='page_1' title='image "p1.png"; bbox 0 0 800 600'>
+  <div class='ocr_carea' id='block_1_1' title='bbox 10 10 790 300'>
+   <span class='ocr_line' id='line_1_1' title='bbox 77 204 400 234'>
+    <span class='ocrx_word' id='word_1_1' title='bbox 77 204 93 234; x_wconf 95'>Once</span>
+    <span class='ocrx_word' id='word_1_2' title='bbox 100 204 160 234; x_wconf 91'>upen</span>
+   </span>
+   <span class='ocr_line' id='line_1_2' title='bbox 77 240 400 270'>
+    <span class='ocrx_word' id='word_1_3' title='bbox 77 240 93 270'>a</span>
+    <span class='ocrx_word' id='word_1_4' title='x_wconf 10'>ti-</span>
+   </span>
+  </div>
+ </div>
+ <div class='ocr_page' id='page_2' title='bbox 0 0 800 600'>
+  <div class='ocr_carea' id='block_2_1'>
+   <span class='ocr_line' id='line_2_1'>
+    <span class='ocrx_word' id='word_2_1' title='bbox 5 5 40 30'>me.</span>
+    <span class='ocrx_word' id='word_2_2' title='bbox 50 5 60 30'>  </span>
+   </span>
+  </div>
+ </div>
+</body></html>"""
+
+
+def test_hocr_bbox_parse_reference_semantics():
+    from correctocr_spark.kernels.hocr import parse_bbox
+
+    # _hocr.py:77-83: regex search in title; zero rect fallback
+    assert parse_bbox("bbox 77 204 93 234; x_wconf 95") == (77.0, 204.0, 93.0, 234.0)
+    assert parse_bbox("x_wconf 95") == (0.0, 0.0, 0.0, 0.0)
+    assert parse_bbox(None) == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_hocr_extraction_structure():
+    from correctocr_spark.kernels.hocr import extract_hocr_words
+
+    words = extract_hocr_words(HOCR_DOC)
+    # whitespace-only word dropped (reference .strip() on element text)
+    assert [w[5] for w in words] == ["Once", "upen", "a", "ti-", "me."]
+    assert [(w[0], w[6], w[7], w[8]) for w in words] == [
+        (0, 0, 0, 0), (0, 0, 0, 1), (0, 0, 1, 0), (0, 0, 1, 1), (1, 0, 0, 0),
+    ]
+    assert words[0][1:5] == (77.0, 204.0, 93.0, 234.0)
+    assert words[3][1:5] == (0.0, 0.0, 0.0, 0.0)  # missing bbox -> zero rect
+
+
+def test_hocr_tokens_to_pipeline(spark, tmp_path):
+    """S3 -> S1 chain: hOCR words -> page text -> correction pipeline."""
+    from correctocr_spark.spark.pdf import hocr_tokens, pdf_page_texts, read_hocr_files
+    from correctocr_spark.spark.pipeline import CorrectionPipeline
+
+    d = tmp_path / "hocr"
+    d.mkdir()
+    (d / "doc1.hocr").write_bytes(HOCR_DOC)
+    toks = hocr_tokens(read_hocr_files(spark, str(d)))
+    assert [r["original"] for r in toks.orderBy("idx").collect()] == [
+        "Once", "upen", "a", "ti-", "me.",
+    ]
+    pages = pdf_page_texts(toks)
+    pipe = CorrectionPipeline(spark, use_html=False, parallelism=2)
+    out = pipe.corrected(pages, strategy="join").collect()
+    assert out[0]["merged"] == "Once upen a time."

@@ -55,6 +55,28 @@ class PDFExtractError(NotImplementedError):
     extractor (PyMuPDF ``page.get_text_words``) into ``pdf_tokens``."""
 
 
+def _floats(raw: bytes) -> Optional[List[float]]:
+    """Operand floats, or None when any token is malformed (a damaged
+    content stream must degrade to skipped ops, not a ValueError)."""
+    out = []
+    for v in raw.split():
+        try:
+            out.append(float(v))
+        except ValueError:
+            return None
+    return out
+
+
+def _hex_str(raw: bytes) -> Optional[str]:
+    h = re.sub(rb"\s", b"", raw)
+    if len(h) % 2:  # PDF pads odd hex strings with a trailing 0
+        h += b"0"
+    try:
+        return bytes.fromhex(h.decode()).decode("latin-1")
+    except ValueError:
+        return None
+
+
 def _decode_literal(raw: bytes) -> str:
     out = []
     i = 0
@@ -126,24 +148,30 @@ def extract_pdf_words(data: bytes) -> List[PDFWord]:
         size = 12.0
         for m in _TOKEN_OP_RE.finditer(stream):
             if m.group("tm") is not None:
-                a, b, c, d, e, f = (float(v) for v in m.group("tm").split())
-                x, y = e, f
+                ops = _floats(m.group("tm"))
+                if ops is not None and len(ops) == 6:
+                    x, y = ops[4], ops[5]
             elif m.group("tf") is not None:
-                size = float(m.group("tf"))
+                ops = _floats(m.group("tf"))
+                if ops:
+                    size = ops[0]
             elif m.group("td") is not None:
-                dx, dy = (float(v) for v in m.group("td").split())
-                x, y = x + dx, y + dy
+                ops = _floats(m.group("td"))
+                if ops is not None and len(ops) == 2:
+                    x, y = x + ops[0], y + ops[1]
             else:
                 if m.group("tj_arr") is not None:
                     parts = []
                     for sm in _ARR_STR_RE.finditer(m.group("tj_arr")):
                         if sm.group(1) is not None:
-                            parts.append(bytes.fromhex(re.sub(rb"\s", b"", sm.group(1)).decode()).decode("latin-1"))
+                            h = _hex_str(sm.group(1))
+                            if h is not None:
+                                parts.append(h)
                         else:
                             parts.append(_decode_literal(sm.group(2)))
                     text = "".join(parts)
                 elif m.group("tj_hex") is not None:
-                    text = bytes.fromhex(re.sub(rb"\s", b"", m.group("tj_hex")).decode()).decode("latin-1")
+                    text = _hex_str(m.group("tj_hex")) or ""
                 else:
                     text = _decode_literal(m.group("tj_lit"))
                 if text.strip():

@@ -294,3 +294,36 @@ class CorrectionFeedback:
 
     def apply(self, tokens: DataFrame) -> DataFrame:
         return apply_memoized_corrections(tokens, self.memoized_corrections())
+
+
+def write_tokens_bucketed(
+    tokens: DataFrame,
+    table: str,
+    buckets: int = DEFAULT_BUCKETS,
+    sort_cols=("url", "idx"),
+) -> None:
+    """S10 at cluster scale: the token table as a BUCKETED managed table
+    — hash-bucketed by url and sorted by (url, idx) within buckets.
+
+    Every downstream per-document operation (the finalize groupBy, the
+    tail-copy window, J1-style joins against kbest/memo tables bucketed
+    the same way, the resume anti-join) then reads its key co-located
+    and pre-sorted: SortMergeJoin with ZERO Exchange on the token side
+    (pinned by test_bucketed_token_join_no_shuffle). On Iceberg this is
+    the ``bucket(N, url)`` partition transform; the parquet managed
+    table is the sandbox twin. The write itself shuffles once — paid at
+    ingest, amortized over every later pass.
+    """
+    (
+        tokens.write.mode("overwrite")
+        .bucketBy(buckets, "url")
+        .sortBy(*sort_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_tokens_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """S9 twin of :func:`write_tokens_bucketed` (bucket metadata only
+    survives through the catalog, not ``read.parquet``)."""
+    return spark.table(table)

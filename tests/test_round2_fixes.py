@@ -409,3 +409,41 @@ def test_token_detail_view_reference_quirks(spark):
     assert out[3]["original"] == "he-ad"
     assert out[4]["redirect_to"] == 3
     assert out[5]["original"] == "last" and out[5]["gold"] is None
+
+
+# ---------------------------------------------------------------------------
+# bucketed token-table storage (co-located joins, no shuffle)
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_token_join_no_shuffle(spark):
+    """Two tables bucketed by url join with ZERO Exchange — the storage
+    layout that makes every per-document pass at 100 TB shuffle-free
+    (Iceberg bucket-transform twin)."""
+    from correctocr_spark.spark.sources import (
+        read_tokens_bucketed,
+        write_tokens_bucketed,
+    )
+
+    toks = spark.createDataFrame(
+        [(f"u{i%10}", i, f"w{i}") for i in range(100)], ["url", "idx", "original"]
+    )
+    memo = spark.createDataFrame(
+        [(f"u{i}", f"note{i}") for i in range(10)], ["url", "note"]
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_tokens_bucketed(toks, "t_tok_bucketed", buckets=4)
+        write_tokens_bucketed(memo, "t_memo_bucketed", buckets=4, sort_cols=("url",))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # expose SMJ
+        j = read_tokens_bucketed(spark, "t_tok_bucketed").join(
+            read_tokens_bucketed(spark, "t_memo_bucketed"), on="url"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        assert j.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_tok_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_memo_bucketed")

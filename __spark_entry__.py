@@ -398,11 +398,32 @@ def q_server_ready(spark, sf_dir):
     )
 
 
+def _corrupted_pages(spark, sf_dir):
+    """The documents table with deterministic OCR-style corruption
+    (e->3, l->1, o->0 on every 5th doc — the same confusions the default
+    model is trained on), so the correction chain has real work to do;
+    the clean documents pass through byte-identical by design."""
+    docs = _t(spark, sf_dir, "documents")
+    corrupt = F.when(
+        F.col("doc_id") % 5 == 0, F.translate("text", "elo", "310")
+    ).otherwise(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.current_timestamp().alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        corrupt.alias("text"),
+        F.col("lang"),
+    )
+
+
 def q_correction_tracking(spark, sf_dir):
     """A4 (correcter.py:99-101, commands.py:444-450): per (original,
-    gold) correction counts, the memoization feedback artifact."""
+    gold) correction counts, the memoization feedback artifact — over
+    corruption-injected pages so the HMM actually corrects (th3->the,
+    sma11->small, ...); on the clean table the chain is a no-op by
+    construction."""
     _ship(spark)
-    tokens = _doc_pipeline(spark).tokens(_doc_pages(spark, sf_dir))
+    tokens = _doc_pipeline(spark).tokens(_corrupted_pages(spark, sf_dir))
     return (
         tokens.where(F.col("gold").isNotNull() & (F.col("gold") != F.col("original")))
         .groupBy("original", "gold")
@@ -412,16 +433,18 @@ def q_correction_tracking(spark, sf_dir):
 
 def q_correction_readcounts(spark, sf_dir):
     """M10/J5 at scale: char-level alignment counts of the corrections
-    the model actually made (the training-feedback aggregation)."""
+    the model actually made (the training-feedback aggregation) — over
+    corruption-injected pages, so the counts include the real
+    noisy->gold char pairs (3->e, 1->l, 0->o) the next training round
+    would learn from."""
     _ship(spark)
     from correctocr_spark.spark.training import read_counts_df
 
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("url"), "text"
+    pages = _corrupted_pages(spark, sf_dir)
+    corrected = _doc_pipeline(spark).corrected(pages).select("url", "corrected")
+    pairs = pages.select("url", "text").join(corrected, on="url").select(
+        "text", F.col("corrected").alias("gold_text")
     )
-    pairs = docs.join(
-        _ocr_correct(spark, sf_dir).select("url", "corrected"), on="url"
-    ).select("text", F.col("corrected").alias("gold_text"))
     return read_counts_df(pairs)
 
 

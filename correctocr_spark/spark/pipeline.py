@@ -363,7 +363,7 @@ class CorrectionPipeline:
                 for w in uniq:
                     if w not in in_dict_memo:
                         in_dict_memo[w] = w in d
-                o_in_d = orig.map(in_dict_memo).fillna(False).to_numpy(dtype=bool)
+                o_in_d = orig.map(in_dict_memo).to_numpy(dtype=bool, na_value=False)
                 k_in_d = flags[:, 0]
                 zerokd = n_in == 0
                 somekd = (n_in > 0) & (n_in < n_cand)

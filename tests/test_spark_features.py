@@ -276,3 +276,27 @@ def test_decoder_stub_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         extract_features(media, use_decoder=True).collect()
+
+
+def test_train_then_correct_lifecycle(spark):
+    """Full lifecycle: aligned (noisy, gold) docs -> distributed training
+    (weighted-count path) -> the trained model drives the pipeline and
+    corrects held-out corruption, leaving out-of-dictionary clean words
+    untouched (no false corrections)."""
+    from correctocr_spark.kernels.dictionary import Dictionary
+    from correctocr_spark.kernels.heuristics import AGGRESSIVE_SETTINGS
+    from correctocr_spark.spark.pipeline import CorrectionPipeline
+    from correctocr_spark.spark.resources import Resources
+    from correctocr_spark.spark.training import train_hmm
+
+    vocab = ["the", "line", "small", "group", "table", "value"]
+    gold = " ".join(vocab)
+    noisy = gold.translate(str.maketrans("elo", "310"))
+    docs = spark.createDataFrame([(noisy, gold)] * 20, ["text", "gold_text"])
+    params = train_hmm(docs, dictionary=vocab, character_set="abcdefghijklmnopqrstuvwxyz013")
+
+    res = Resources(params, Dictionary(set(vocab)), AGGRESSIVE_SETTINGS, k=4)
+    pipe = CorrectionPipeline(spark, res, use_html=False, parallelism=2)
+    pages = spark.createDataFrame([("u1", "th3 1in3 gr0up tab13 unseen")], ["url", "text"])
+    out = pipe.corrected(pages, strategy="join").collect()[0]
+    assert out["corrected"] == "the line group table unseen"

@@ -327,3 +327,25 @@ def read_tokens_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """S9 twin of :func:`write_tokens_bucketed` (bucket metadata only
     survives through the catalog, not ``read.parquet``)."""
     return spark.table(table)
+
+
+def apply_memoized_corrections_join(tokens: DataFrame, memo: DataFrame) -> DataFrame:
+    """J7, join form: for memo tables beyond literal-map size the lookup
+    becomes a plain left join on ``original`` (AQE broadcasts it while it
+    fits; beyond that it is a hash join on a near-unique key). Same
+    semantics as :func:`apply_memoized_corrections`."""
+    m = memo.select("original", F.col("gold").alias("_memo_gold"))
+    hit = F.col("_memo_gold")
+    return (
+        tokens.join(m, on="original", how="left")
+        .withColumn(
+            "gold",
+            F.when(
+                (F.col("heuristic") == "annotator")
+                & (F.col("gold").isNull() | (F.col("gold") == ""))
+                & hit.isNotNull(),
+                hit,
+            ).otherwise(F.col("gold")),
+        )
+        .drop("_memo_gold")
+    )

@@ -447,3 +447,27 @@ def test_bucketed_token_join_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_tok_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_memo_bucketed")
+
+
+def test_memoized_corrections_join_form(spark):
+    """J7 join form == literal-map form (scale path for huge memos)."""
+    from correctocr_spark.spark.sources import (
+        apply_memoized_corrections,
+        apply_memoized_corrections_join,
+    )
+
+    cols = ["url", "idx", "original", "gold", "heuristic"]
+    toks = spark.createDataFrame(
+        [
+            ("d", 0, "teh", None, "annotator"),
+            ("d", 1, "teh", "KEEP", "annotator"),
+            ("d", 2, "dog", None, "annotator"),
+            ("d", 3, "teh", None, "original"),
+        ],
+        cols,
+    )
+    memo = {"teh": "the"}
+    memo_df = spark.createDataFrame([("teh", "the")], ["original", "gold"])
+    a = {(r["idx"]): r["gold"] for r in apply_memoized_corrections(toks, memo).collect()}
+    b = {(r["idx"]): r["gold"] for r in apply_memoized_corrections_join(toks, memo_df).collect()}
+    assert a == b == {0: "the", 1: "KEEP", 2: None, 3: None}

@@ -125,6 +125,75 @@ def streaming_dedup(
     )
 
 
+def streaming_lsh_candidates(
+    pages: DataFrame,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    state_timeout_ms: int = 0,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup CANDIDATE stream.
+
+    Signatures and band keys are computed row-locally (the zero-shuffle
+    array MinHash, ops/dedup.py:minhash_signatures_local — stateless
+    narrow ops, streaming-legal); the only stateful piece is one
+    ``applyInPandasWithState`` keyed by band key: state holds the FIRST
+    url seen per bucket, and every later arrival in the same bucket
+    emits a ``(band_key, doc_a, doc_b)`` candidate pair. Downstream
+    (foreachBatch or batch) verifies candidates with exact Jaccard —
+    the same two-phase shape as the batch path, with the candidate
+    generation running continuously. State is bounded by distinct band
+    keys (optionally TTL'd via processing-time timeout).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..ops.dedup import lsh_band_keys_col, minhash_signatures_local
+
+    out_schema = T.StructType(
+        [
+            T.StructField("band_key", T.StringType(), False),
+            T.StructField("doc_a", T.StringType(), False),
+            T.StructField("doc_b", T.StringType(), False),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("first_url", T.StringType(), True)])
+
+    def emit_fn(key, batches, state: GroupState):
+        first = state.get[0] if state.exists else None
+        pairs = []
+        for pdf in batches:
+            for url in sorted(pdf["url"]):
+                if first is None:
+                    first = url
+                elif url != first:
+                    pairs.append((key[0], first, url))
+        if first is not None and not state.exists:
+            state.update((first,))
+        if state_timeout_ms and state.exists:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(pairs, columns=["band_key", "doc_a", "doc_b"])
+
+    sigs = minhash_signatures_local(
+        pages, id_col="url", text_col="text", k=k, num_hashes=num_hashes
+    )
+    banded = sigs.select(
+        F.col("doc_id").alias("url"),
+        F.explode(lsh_band_keys_col(F.col("sig"), num_hashes, bands)).alias("band_key"),
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return banded.groupBy("band_key").applyInPandasWithState(
+        emit_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 def crawl_rate_metrics(
     pages: DataFrame,
     window: str = "1 hour",

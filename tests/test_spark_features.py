@@ -300,3 +300,42 @@ def test_train_then_correct_lifecycle(spark):
     pages = spark.createDataFrame([("u1", "th3 1in3 gr0up tab13 unseen")], ["url", "text"])
     out = pipe.corrected(pages, strategy="join").collect()[0]
     assert out["corrected"] == "the line group table unseen"
+
+
+def test_streaming_lsh_candidates(spark, tmp_path):
+    """Cross-batch near-dup candidate stream: batch-2 docs sharing a band
+    with batch-1 docs emit pairs against the bucket's first-seen url."""
+    import datetime
+
+    from correctocr_spark.spark.streaming import pages_stream, streaming_lsh_candidates
+
+    from correctocr_spark.spark.synth import PAGES_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    inp = str(tmp_path / "in")
+    b1 = [("u://a", ts, None, base, "en"), ("u://b", ts, None, "totally unrelated words here now", "en")]
+    spark.createDataFrame(b1, PAGES_SCHEMA).write.parquet(inp)
+
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        q = (
+            streaming_lsh_candidates(pages_stream(spark, inp))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # batch 2: a near-duplicate of base (one word changed) + a fresh doc
+    b2 = [("u://c", ts, None, base.replace("lazy", "sleepy"), "en")]
+    spark.createDataFrame(b2, PAGES_SCHEMA).write.mode("append").parquet(inp)
+    run()
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out_dir).collect()}
+    assert ("u://a", "u://c") in pairs          # cross-batch candidate found
+    assert all("u://b" not in p for p in pairs)  # unrelated doc never paired

@@ -39,6 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
     prep = sub.add_parser("prepare", help="extract+correct pages table")
     prep.add_argument("--input", required=True, help="pages parquet path/table")
     prep.add_argument("--output", required=True, help="output dir (corrected/ + audit/)")
+    prep.add_argument(
+        "--format", choices=["pages", "pdf", "hocr"],
+        default=_env_default("format", "pages"),
+        help="'pages' = parquet pages table; 'pdf'/'hocr' = a directory of "
+             "source files (binaryFile scan -> token table -> page texts), "
+             "mirroring the reference's per-extension Tokenizer dispatch",
+    )
     prep.add_argument("--k", type=int, default=int(_env_default("k", "4")))
     prep.add_argument("--settings", choices=["shipped", "aggressive"],
                       default=_env_default("settings", "shipped"))
@@ -63,7 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
     rep.add_argument("--resources", default="")
 
     dic = sub.add_parser("dictionary", help="build dictionary from gold corpus")
-    dic.add_argument("--input", required=True, help="parquet with a text column")
+    dic.add_argument("--input", default="", help="parquet with a text column")
+    dic.add_argument("--corpus-dir", default="",
+                     help="corpus directory of .txt/.xml/.pdf/.zip groups "
+                          "(commands.py:31-169 build_dictionary walk)")
     dic.add_argument("--output", required=True, help="dictionary.txt path")
     dic.add_argument("--text-col", default="text")
     return p
@@ -102,12 +112,29 @@ def main(argv=None) -> int:
             res = load_resources(args.resources, k=args.k)
             if args.settings == "aggressive":
                 res = Resources(res.params, res.dictionary, AGGRESSIVE_SETTINGS, k=res.k)
+            use_html = not args.no_html
+            if args.format == "pages":
+                pages = spark.read.parquet(args.input)
+            else:
+                from .spark.pdf import (
+                    hocr_tokens,
+                    pdf_page_texts,
+                    pdf_tokens,
+                    read_hocr_files,
+                    read_pdf_files,
+                )
+
+                if args.format == "pdf":
+                    toks = pdf_tokens(read_pdf_files(spark, args.input))
+                else:
+                    toks = hocr_tokens(read_hocr_files(spark, args.input))
+                pages = pdf_page_texts(toks)
+                use_html = False
             pipe = CorrectionPipeline(
                 spark, res,
                 dehyphenate=not args.no_dehyphenate,
-                use_html=not args.no_html,
+                use_html=use_html,
             )
-            pages = spark.read.parquet(args.input)
             run = AuditedRun(spark, args.output, run_id=args.run_id)
             pending = pages if args.no_resume else run.pending(pages)
             run.write(pipe.corrected(pending, strategy=args.strategy))
@@ -138,11 +165,18 @@ def main(argv=None) -> int:
             tokens = pipe.tokens(pages).cache()
             print(heuristics_report(tokens, pipe.finalize(tokens), res, spark))
         elif args.command == "dictionary":
-            from .spark.sources import build_dictionary_df
+            if args.corpus_dir:
+                from .spark.corpus import corpus_dictionary_df
 
-            docs = spark.read.parquet(args.input)
+                word_df = corpus_dictionary_df(spark, args.corpus_dir).select("word").distinct()
+            elif args.input:
+                from .spark.sources import build_dictionary_df
+
+                word_df = build_dictionary_df(spark.read.parquet(args.input), args.text_col)
+            else:
+                raise SystemExit("dictionary: need --input or --corpus-dir")
             words = sorted(
-                (r["word"] for r in build_dictionary_df(docs, args.text_col).collect()),
+                (r["word"] for r in word_df.collect()),
                 key=str.lower,
             )
             with open(args.output, "w") as fh:

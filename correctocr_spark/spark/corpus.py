@@ -16,8 +16,10 @@ per-group ingest stays idempotent. Downloads (S16) precede the engine,
 as with page ingestion.
 
 Divergences, documented:
-- tokenization is whitespace + ``Dictionary.clean`` (the reference's
-  nltk ``tokenize_str`` is dictionary-prep-only; see COVERAGE T2),
+- tokenization is the Penn Treebank rule set (T2,
+  kernels/treebank.py — the reference's nltk ``tokenize_str``) compiled
+  to a NATIVE regexp_replace cascade + ``Dictionary.clean``; Punkt
+  sentence-splitting is approximated (see the treebank module doc),
 - TEI text extraction uses stdlib ElementTree ``itertext`` joined with
   spaces — the reference's tei_reader inserts a space after every
   element text for the same reason (its issue #6 workaround); both feed
@@ -157,18 +159,23 @@ def corpus_dictionary_df(
     corpus_path: str,
     existing_groups: Sequence[str] = (),
     ignore: Optional[Set[str]] = None,
+    tokenizer: str = "treebank",
 ) -> DataFrame:
     """Corpus dir -> distinct cleaned (grp, word) — the reference's
     per-group ``dictionary.add`` loop as one job. ``existing_groups``
     are pruned *before* parsing any bytes (the incremental skip at
-    commands.py:108-112)."""
+    commands.py:108-112). ``tokenizer``: 'treebank' (the reference's
+    nltk tokenize_str, as a native column cascade) or 'whitespace'."""
     from .sources import _clean_word_col
 
     files = read_corpus_files(spark, corpus_path)
     if existing_groups:
         files = files.where(~F.col("grp").isin(list(existing_groups)))
     texts = corpus_texts(files, ignore=ignore)
-    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
+    if tokenizer == "treebank":
+        words = treebank_tokenize_col("text")
+    else:
+        words = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
     return (
         texts.select("grp", F.explode(words).alias("raw"))
         .select("grp", _clean_word_col(F.col("raw")).alias("word"))
@@ -207,3 +214,18 @@ def annotator_gold_words(tokens: DataFrame) -> DataFrame:
         .where(F.col("word") != "")
         .distinct()
     )
+
+
+def treebank_tokenize_col(text_col):
+    """T2 as a NATIVE column: the Penn Treebank rule cascade compiled to
+    chained ``regexp_replace`` (whole-stage codegen — no Python UDF),
+    value-identical to ``kernels.treebank.treebank_tokenize``."""
+    from ..kernels.treebank import JAVA_RULES
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat, rep in JAVA_RULES:
+        if pat == "__PAD__":
+            c = F.concat(F.lit(" "), c, F.lit(" "))
+        else:
+            c = F.regexp_replace(c, pat, rep)
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")

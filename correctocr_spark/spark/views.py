@@ -61,6 +61,43 @@ def token_window_view(
     )
 
 
+def annotator_precache_view(tokens: DataFrame) -> DataFrame:
+    """P12 — the annotation image precache set (document.py:249-264):
+    the reference slides (l, token, r) triples and extracts images for
+    ALL THREE whenever ``'annotator' in (l.heuristic, token.heuristic,
+    r.heuristic) or l.is_hyphenated`` and the center is not discarded.
+
+    Relationally: the center condition is a lag/lead expression; a
+    token then needs its image iff any center within ±1 qualifies —
+    ``max(center_flag) OVER (rows BETWEEN -1 AND 1)``. Both windows
+    share the (url, idx) partitioning: one shuffle total. Centers are
+    only interior tokens (the reference's zip-based triple window never
+    centers the first/last token)."""
+    w = Window.partitionBy("url").orderBy("idx")
+    t = tokens.where(F.col("idx").isNotNull())
+    prev_h = F.lag("heuristic").over(w)
+    next_h = F.lead("heuristic").over(w)
+    prev_head = F.lag("head").over(w)
+    interior = F.lag("idx").over(w).isNotNull() & F.lead("idx").over(w).isNotNull()
+    center = (
+        interior
+        & ~F.coalesce(F.col("discarded"), F.lit(False))
+        & (
+            (prev_h == "annotator")
+            | (F.col("heuristic") == "annotator")
+            | (next_h == "annotator")
+            | F.coalesce(prev_head, F.lit(False))
+        )
+    )
+    flagged = t.withColumn("_center", center)
+    frame = w.rowsBetween(-1, 1)
+    return flagged.select(
+        "url",
+        "idx",
+        F.coalesce(F.max("_center").over(frame), F.lit(False)).alias("needs_image"),
+    )
+
+
 def token_detail_view(
     tokens: DataFrame, redirect_hyphenated: bool = True
 ) -> DataFrame:

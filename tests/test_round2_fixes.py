@@ -471,3 +471,41 @@ def test_memoized_corrections_join_form(spark):
     a = {(r["idx"]): r["gold"] for r in apply_memoized_corrections(toks, memo).collect()}
     b = {(r["idx"]): r["gold"] for r in apply_memoized_corrections_join(toks, memo_df).collect()}
     assert a == b == {0: "the", 1: "KEEP", 2: None, 3: None}
+
+
+def test_annotator_precache_view_matches_reference_loop(spark):
+    """P12 (document.py:249-264): the relational precache set equals the
+    reference's sliding-triple loop, re-derived inline."""
+    import itertools
+
+    from correctocr_spark.spark.views import annotator_precache_view
+
+    rows = [
+        # url, idx, heuristic, head, discarded
+        ("u", 0, "original", False, False),
+        ("u", 1, "annotator", False, False),
+        ("u", 2, "original", False, False),
+        ("u", 3, "original", False, False),
+        ("u", 4, "original", True, False),   # hyphen head -> next center qualifies
+        ("u", 5, "original", False, False),
+        ("u", 6, "original", False, False),
+        ("u", 7, "annotator", False, True),  # discarded center never qualifies
+        ("u", 8, "original", False, False),
+        ("u", 9, "original", False, False),
+    ]
+    toks = spark.createDataFrame(rows, ["url", "idx", "heuristic", "head", "discarded"])
+
+    # reference loop, verbatim semantics
+    def window(it, size=3):
+        its = itertools.tee(it, size)
+        return zip(*(itertools.islice(x, i, None) for i, x in enumerate(its)))
+
+    expected = set()
+    for l, token, r in window(rows):
+        if ("annotator" in (l[2], token[2], r[2]) or l[3]) and not token[4]:
+            expected |= {l[1], token[1], r[1]}
+
+    got = {
+        r["idx"] for r in annotator_precache_view(toks).collect() if r["needs_image"]
+    }
+    assert got == expected and len(expected) > 0

@@ -63,36 +63,34 @@ def test_salted_join_equivalent(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_cli_prepare_pdf_format(tmp_path):
-    import os
+    # NOTE: CLI tests must go through run_cli (a subprocess): in-process
+    # main() would getOrCreate the session-scoped fixture session and
+    # stop() it in its finally, killing every later test.
+    import glob
     import shutil
-
-    from correctocr_spark.__main__ import main
 
     ref = "/root/reference/cocrtests/test.pdf"
     if not os.path.isfile(ref):
-        import pytest
-
         pytest.skip("reference test.pdf unavailable")
     d = tmp_path / "pdfs"
     d.mkdir()
     shutil.copy(ref, d / "doc1.pdf")
     out = str(tmp_path / "out")
-    assert main(["--cores", "4", "prepare", "--format", "pdf",
-                 "--input", str(d), "--output", out]) == 0
-    import glob
-
+    r = run_cli("prepare", "--format", "pdf", "--input", str(d), "--output", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "prepared: 1 documents" in r.stdout
     assert glob.glob(out + "/corrected/**/*.parquet", recursive=True)
 
 
+@pytest.mark.slow
 def test_cli_dictionary_corpus_dir(tmp_path):
-    from correctocr_spark.__main__ import main
-
     root = tmp_path / "corpus"
     (root / "g1").mkdir(parents=True)
     (root / "g1" / "a.txt").write_text("Zebra apple apple banana")
     out = str(tmp_path / "dict.txt")
-    assert main(["--cores", "4", "dictionary", "--corpus-dir", str(root),
-                 "--output", out]) == 0
+    r = run_cli("dictionary", "--corpus-dir", str(root), "--output", out)
+    assert r.returncode == 0, r.stderr[-2000:]
     words = open(out).read().split()
     assert words == ["apple", "banana", "Zebra"]  # case-insensitive sort

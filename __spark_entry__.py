@@ -226,6 +226,24 @@ def q_memoized_join(spark, sf_dir):
     )
 
 
+DUP_SPAN_N = 10
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicate-span detection (training-data substring dedup at
+    n-gram granularity): spans of DUP_SPAN_N consecutive words whose
+    hash repeats across the corpus."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import duplicate_spans
+
+    out = duplicate_spans(_t(spark, sf_dir, "documents"), n=DUP_SPAN_N)
+    return out.select(
+        "span_hash",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     _ship(spark)
     from correctocr_spark.ops.dedup import exact_dup_groups
@@ -684,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": q_event_type_stats,
         # dedup suite
         "dedup_exact": q_dedup_exact,
+        "dup_spans": q_dup_spans,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
@@ -1148,6 +1167,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT md5(text) AS fp, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_id
                 FROM documents GROUP BY 1
             ) WHERE n_docs > 1
+        """,
+        "dup_spans": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            spans AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(0, len(ws) - {DUP_SPAN_N} + 1),
+                              i -> md5(array_to_string(ws[i+1:i+{DUP_SPAN_N}], ' ')))) AS span_hash
+                FROM w WHERE len(ws) >= {DUP_SPAN_N}
+            )
+            SELECT span_hash, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_occurrences
+            FROM spans GROUP BY span_hash HAVING count(*) >= 2
         """,
         "minhash_lsh_pairs": _minhash_sql(),
         "ngram_jaccard": _jaccard_sql(),

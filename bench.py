@@ -64,6 +64,7 @@ HEADLINE = [
     "quality",
     "fingerprint",
     "dedup_exact",
+    "dup_spans",
     "join_agg",
     "stats_conditional_agg",
     "topk_per_group",

@@ -413,3 +413,53 @@ def embedding_dup_pairs_bucketed(
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection — the n-gram-granular form of
+    training-data substring dedup (the C4 / "Deduplicating Training
+    Data" pass that strips repeated boilerplate passages shared across
+    documents rather than whole-doc duplicates).
+
+    Every n-word window gets an md5 over its joined words; spans whose
+    hash occurs ``min_occurrences``+ times across the corpus (counting
+    repeats within one document) come back as (span_hash, n_docs,
+    n_occurrences, first doc/pos) — the removal list a cleaning pass
+    anti-joins against. Scale shape: one explode keyed by a 32-hex
+    fingerprint with map-side partial aggregation, same as exact dedup;
+    no pairwise comparisons.
+    """
+    words = normalized_words(text_col)
+    spans = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.struct(
+            i.alias("pos"), F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))).alias("h")
+        ),
+    )
+    exploded = (
+        docs.where(F.size(words) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("span_hash"))
+    )
+    return (
+        exploded.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct("doc_id", "pos")).alias("_first"),
+        )
+        .where(F.col("n_occurrences") >= min_occurrences)
+        .select(
+            "span_hash",
+            "n_docs",
+            "n_occurrences",
+            F.col("_first.doc_id").alias("first_doc"),
+            F.col("_first.pos").alias("first_pos"),
+        )
+    )

@@ -266,6 +266,28 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(sig, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS)
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup pairs -> dedup groups: connected components via
+    iterative min-label propagation over the MinHash-LSH pair graph
+    (the canonical-document clustering step)."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles_df,
+    )
+
+    sh = shingles_df(_t(spark, sf_dir, "documents"), k=SHINGLE_K)
+    sig = minhash_signatures(sh, num_hashes=MINHASH_HASHES)
+    pairs = lsh_candidate_pairs(sig, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     _ship(spark)
     from correctocr_spark.ops.dedup import jaccard_pairs, shingles_df
@@ -704,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dup_spans": q_dup_spans,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_groups": q_dedup_groups,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "simhash": q_simhash,
@@ -1181,6 +1204,21 @@ def oracle_sql() -> dict[str, str]:
             FROM spans GROUP BY span_hash HAVING count(*) >= 2
         """,
         "minhash_lsh_pairs": _minhash_sql(),
+        "dedup_groups": f"""
+            WITH RECURSIVE pairs AS (SELECT * FROM ({_minhash_sql()})),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            reach(node, label) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+            )
+            SELECT node::BIGINT AS doc_id, min(label)::BIGINT AS component
+            FROM reach GROUP BY node
+        """,
         "ngram_jaccard": _jaccard_sql(),
         "ngram_jaccard_lsh": _jaccard_lsh_sql(),
         "simhash": _simhash_sql(),

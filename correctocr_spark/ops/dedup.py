@@ -463,3 +463,70 @@ def duplicate_spans(
             F.col("_first.pos").alias("first_pos"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup pairs -> dedup GROUPS: connected components by iterative
+    min-label propagation — the clustering step between candidate pairs
+    and canonical-document selection.
+
+    Each node starts labeled with itself; every round each node takes
+    the min of its own label and its neighbors' labels, until a fixpoint
+    (checked with one count per round). Near-dup components are
+    shallow (duplicates of duplicates), so rounds ~ O(component
+    diameter) stay single digits; each round is one join + one groupBy
+    on the edge list. Labels persist per round with the previous round
+    unpersisted, and lineage is cut by localCheckpoint every few rounds
+    so plans don't grow unboundedly. Returns (doc_id, component) where
+    component = the lexicographically smallest member.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    for it in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, on=edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on=labels.id == neighbor_min.src, how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        if it % 4 == 3:  # cut lineage before plans compound
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), "component")

@@ -509,3 +509,18 @@ def test_annotator_precache_view_matches_reference_loop(spark):
         r["idx"] for r in annotator_precache_view(toks).collect() if r["needs_image"]
     }
     assert got == expected and len(expected) > 0
+
+
+def test_connected_components_crafted_graph(spark):
+    """Chain, triangle and isolated pair all collapse to min-id
+    components within the fixpoint loop."""
+    from correctocr_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5 (forces multiple propagation rounds),
+        # triangle 10-11-12, isolated pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

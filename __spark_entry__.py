@@ -288,6 +288,48 @@ def q_dedup_groups(spark, sf_dir):
     )
 
 
+def q_training_corpus(spark, sf_dir):
+    """The end-to-end training-data cleaning pass, composed from the
+    first-class ops: keep a document iff it (1) scores quality >= 0.5,
+    (2) is the canonical (min-id) member of its exact-duplicate group,
+    and (3) is the canonical member of its near-dup (MinHash-LSH ->
+    connected components) cluster, or in no cluster. Returns the
+    surviving doc ids — the corpus a tokenization run would consume."""
+    _ship(spark)
+    from pyspark.sql import Window
+
+    from correctocr_spark.ops.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles_df,
+    )
+    from correctocr_spark.ops.textstats import quality_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    quality_ok = quality_scores(docs).where(F.col("quality_score") >= 0.5).select("doc_id")
+
+    w = Window.partitionBy(F.md5("text"))
+    exact_canonical = (
+        docs.withColumn("_keep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("_keep"))
+        .select("doc_id")
+    )
+
+    sh = shingles_df(docs, k=SHINGLE_K)
+    sig = minhash_signatures(sh, num_hashes=MINHASH_HASHES)
+    pairs = lsh_candidate_pairs(sig, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS)
+    cc = connected_components(pairs)
+    near_dup_losers = cc.where(F.col("doc_id") != F.col("component")).select("doc_id")
+
+    return (
+        docs.select("doc_id")
+        .join(quality_ok, on="doc_id", how="left_semi")
+        .join(exact_canonical, on="doc_id", how="left_semi")
+        .join(near_dup_losers, on="doc_id", how="left_anti")
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     _ship(spark)
     from correctocr_spark.ops.dedup import jaccard_pairs, shingles_df
@@ -727,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_groups": q_dedup_groups,
+        "training_corpus": q_training_corpus,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "simhash": q_simhash,
@@ -1218,6 +1261,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node::BIGINT AS doc_id, min(label)::BIGINT AS component
             FROM reach GROUP BY node
+        """,
+        "training_corpus": f"""
+            SELECT d.doc_id FROM documents d
+            JOIN ({_quality_sql()}) q
+              ON q.doc_id = d.doc_id AND q.quality_score >= 0.5
+            JOIN (
+                SELECT doc_id FROM (
+                    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+                    FROM documents
+                ) WHERE doc_id = keep
+            ) e ON e.doc_id = d.doc_id
+            LEFT JOIN (
+                WITH RECURSIVE pairs AS (SELECT * FROM ({_minhash_sql()})),
+                edges AS (
+                    SELECT doc_a AS a, doc_b AS b FROM pairs
+                    UNION
+                    SELECT doc_b AS a, doc_a AS b FROM pairs
+                ),
+                reach(node, label) AS (
+                    SELECT DISTINCT a, a FROM edges
+                    UNION
+                    SELECT e2.b, r.label FROM reach r JOIN edges e2 ON e2.a = r.node
+                )
+                SELECT node AS doc_id, min(label) AS component
+                FROM reach GROUP BY node
+            ) c ON c.doc_id = d.doc_id
+            WHERE c.doc_id IS NULL OR c.component = d.doc_id
         """,
         "ngram_jaccard": _jaccard_sql(),
         "ngram_jaccard_lsh": _jaccard_lsh_sql(),

@@ -65,6 +65,8 @@ HEADLINE = [
     "fingerprint",
     "dedup_exact",
     "dup_spans",
+    "dedup_groups",
+    "training_corpus",
     "join_agg",
     "stats_conditional_agg",
     "topk_per_group",
@@ -147,6 +149,10 @@ def main() -> None:
         t0 = time.monotonic()
         materialize(df)
         timings[name] = round(time.monotonic() - t0, 3)
+        # queries persist intermediates (banded tables etc.); drop them so
+        # each timing is independent and later queries don't fight an
+        # accumulating cache for executor memory
+        spark.catalog.clearCache()
     spark.stop()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")

@@ -435,17 +435,24 @@ def duplicate_spans(
     fingerprint with map-side partial aggregation, same as exact dedup;
     no pairwise comparisons.
     """
+    # explode positions FIRST, then hash per row: slice/concat_ws/md5 on
+    # plain columns stay inside whole-stage codegen — hashing inside an
+    # array transform would run interpreted (HOFs have no codegen)
     words = normalized_words(text_col)
-    spans = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.struct(
-            i.alias("pos"), F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))).alias("h")
-        ),
-    )
     exploded = (
         docs.where(F.size(words) >= n)
-        .select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("s"))
-        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("span_hash"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            words.alias("_ws"),
+            F.explode(F.sequence(F.lit(0), F.size(words) - n)).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.slice(F.col("_ws"), F.col("pos") + 1, n))).alias(
+                "span_hash"
+            ),
+        )
     )
     return (
         exploded.groupBy("span_hash")

@@ -524,3 +524,12 @@ def test_connected_components_crafted_graph(spark):
     )
     got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_empty_pairs(spark):
+    """A clean corpus (no candidate pairs) must yield an empty grouping,
+    not an error — training_corpus composes over this."""
+    from correctocr_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0

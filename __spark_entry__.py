@@ -339,22 +339,23 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_ngram_jaccard_lsh(spark, sf_dir):
-    """The scale path: Jaccard verification restricted to LSH candidate
-    pairs — the O(n²) pair space never materializes."""
+    """The scale path: LSH candidate generation, then Jaccard verified
+    at PAIR granularity against row-local shingle arrays — no shingle
+    self-join anywhere in the plan, so the O(n²) co-shingle pair space
+    never materializes (plan-pinned by test_jaccard_lsh_no_shingle_selfjoin)."""
     _ship(spark)
     from correctocr_spark.ops.dedup import (
-        jaccard_pairs,
+        jaccard_verify_candidates,
         lsh_candidate_pairs,
         minhash_signatures,
         shingles_df,
     )
 
-    # the shingle scan feeds BOTH the signature and the verify branch —
-    # persist it so the (explode + distinct) runs once, not twice
-    sh = shingles_df(_t(spark, sf_dir, "documents"), k=SHINGLE_K).persist()
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles_df(docs, k=SHINGLE_K)
     sig = minhash_signatures(sh, num_hashes=MINHASH_HASHES)
     cands = lsh_candidate_pairs(sig, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS)
-    return jaccard_pairs(sh, candidates=cands, threshold=0.3)
+    return jaccard_verify_candidates(docs, cands, k=SHINGLE_K, threshold=0.3)
 
 
 def q_simhash(spark, sf_dir):

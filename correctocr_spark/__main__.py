@@ -12,6 +12,12 @@ Subcommands mirror the reference CLI (cli.py:67-278):
   model    — train HMM params from (text, gold_text) docs (commands.py:196-221)
   report   — heuristics evaluation report (commands.py:382-398)
   dictionary — build a dictionary from a gold corpus (commands.py:31-169)
+  correct  — apply corrections, write per-document gold text files
+             (commands.py:414-472: --autocorrect default, --apply CSV,
+             --gold-ready-only)
+  index    — term-index matching over --term-file lists (commands.py:478-566)
+  stats    — bin metrics table; --make-settings derives a settings.json
+             from the per-bin evaluation counters (commands.py:382-408)
 
 Config layering mirrors config.py:15-32: defaults < env
 (``CORRECTOCR_<OPTION>``) < command line.
@@ -76,6 +82,40 @@ def build_parser() -> argparse.ArgumentParser:
                           "(commands.py:31-169 build_dictionary walk)")
     dic.add_argument("--output", required=True, help="dictionary.txt path")
     dic.add_argument("--text-col", default="text")
+
+    corr = sub.add_parser("correct", help="apply corrections, write gold text files")
+    corr.add_argument("--input", default="", help="pages parquet (autocorrect mode)")
+    corr.add_argument("--apply", default="",
+                      help="externally-corrected token CSV dir (commands.py:429-434); "
+                           "mutually exclusive with --input")
+    corr.add_argument("--output", required=True, help="gold dir (one <urlencoded-url>.txt per doc)")
+    corr.add_argument("--gold-ready-only", action="store_true",
+                      help="only write fully-corrected documents (config.gold_ready)")
+    corr.add_argument("--k", type=int, default=int(_env_default("k", "4")))
+    corr.add_argument("--settings", choices=["shipped", "aggressive"],
+                      default=_env_default("settings", "aggressive"))
+    corr.add_argument("--strategy", choices=["auto", "join", "broadcast"],
+                      default=_env_default("strategy", "auto"))
+    corr.add_argument("--no-dehyphenate", action="store_true")
+    corr.add_argument("--no-html", action="store_true")
+    corr.add_argument("--resources", default=_env_default("resources", ""))
+
+    idx = sub.add_parser("index", help="term-index matching (commands.py:478-566)")
+    idx.add_argument("--input", default="", help="pages parquet (runs the pipeline)")
+    idx.add_argument("--tokens", default="", help="pre-computed token-table parquet")
+    idx.add_argument("--term-file", action="append", default=[], dest="term_files",
+                     help="file of terms, one per line; tag = file stem (repeatable)")
+    idx.add_argument("--output", required=True, help="index output parquet path")
+    idx.add_argument("--min-run", type=int, default=2)
+    idx.add_argument("--resources", default=_env_default("resources", ""))
+
+    st = sub.add_parser("stats", help="per-bin metrics; optionally derive settings")
+    st.add_argument("--input", required=True, help="pages parquet path")
+    st.add_argument("--make-settings", default="",
+                    help="write a settings.json derived from the per-bin "
+                         "evaluation counters (the working form of the "
+                         "reference's make_settings TODO, commands.py:399-408)")
+    st.add_argument("--resources", default=_env_default("resources", ""))
     return p
 
 
@@ -97,6 +137,62 @@ def load_resources(path: str, k: int = 4):
     if path:
         return Resources.load(path, k=k)
     return default_resources(k=k)
+
+
+def write_gold_files(corrected, out_dir: str) -> None:
+    """Distributed gold sink: one ``<urlencoded-url>.txt`` per document,
+    written from the executors (Tokenizer.apply's gold_path contract,
+    tokens/_text.py — the byte contract itself is A10/S11, already
+    pinned; this is the file fan-out). Local FS here; a shared FS /
+    object store on a cluster."""
+    import os as _os
+
+    def write_part(rows):
+        from urllib.parse import quote
+
+        _os.makedirs(out_dir, exist_ok=True)
+        for r in rows:
+            name = quote(r["url"], safe="") + ".txt"
+            with open(_os.path.join(out_dir, name), "w", encoding="utf-8") as fh:
+                fh.write(r["corrected"] or "")
+
+    corrected.select("url", "corrected").foreachPartition(write_part)
+
+
+def load_term_files(paths) -> dict:
+    """--term-file lists -> {tag: [terms]} with the reference's term
+    normalization (commands.py:485-489: lower, strip punctuation)."""
+    import string as _string
+    from pathlib import Path
+
+    tagged = {}
+    for p in paths:
+        path = Path(p)
+        terms = []
+        for line in path.read_text(encoding="utf-8").split("\n"):
+            term = line.lower().lstrip(_string.punctuation).rstrip(_string.punctuation).strip()
+            if term:
+                terms.append(term)
+        tagged[path.stem] = terms
+    return tagged
+
+
+def derive_settings(counter_rows) -> dict:
+    """Per-bin evaluation counters -> best heuristic per bin: pick the
+    decision that would have matched gold most often (A=keep original,
+    B=top candidate, C=lower dictionary-validated candidate), annotator
+    when nothing wins. The working form of the reference's make_settings
+    TODO (commands.py:399-408)."""
+    settings = {}
+    for row in counter_rows:
+        scores = [
+            (row["a_gold_eq_orig"], "original"),
+            (row["b_gold_eq_k1"], "kbest"),
+            (row["c_gold_in_lower"], "kdict"),
+        ]
+        best_n, best_code = max(scores, key=lambda t: t[0])
+        settings[int(row["bin"])] = best_code if best_n > 0 else "annotator"
+    return settings
 
 
 def main(argv=None) -> int:
@@ -182,6 +278,77 @@ def main(argv=None) -> int:
             with open(args.output, "w") as fh:
                 fh.write("\n".join(words))
             print(f"dictionary: {len(words)} words -> {args.output}")
+        elif args.command == "correct":
+            from pyspark.sql import functions as F
+
+            from .kernels.heuristics import AGGRESSIVE_SETTINGS
+            from .spark.pipeline import CorrectionPipeline
+            from .spark.resources import Resources
+
+            if bool(args.input) == bool(args.apply):
+                raise SystemExit("correct: need exactly one of --input / --apply")
+            if args.apply:
+                from .spark.sources import import_tokens_csv
+
+                tokens = import_tokens_csv(spark, args.apply, k=args.k)
+                corrected = CorrectionPipeline.finalize(tokens)
+            else:
+                res = load_resources(args.resources, k=args.k)
+                if args.settings == "aggressive":
+                    res = Resources(res.params, res.dictionary, AGGRESSIVE_SETTINGS, k=res.k)
+                pipe = CorrectionPipeline(
+                    spark, res,
+                    dehyphenate=not args.no_dehyphenate,
+                    use_html=not args.no_html,
+                )
+                corrected = pipe.corrected(spark.read.parquet(args.input), strategy=args.strategy)
+            if args.gold_ready_only:
+                corrected = corrected.where(F.col("done"))
+            corrected = corrected.persist()
+            write_gold_files(corrected, args.output)
+            n = corrected.count()
+            corrected.unpersist()
+            print(f"corrected: {n} gold files -> {args.output}")
+        elif args.command == "index":
+            from .spark.sources import term_index
+
+            if not args.term_files:
+                raise SystemExit("index: need at least one --term-file")
+            if bool(args.input) == bool(args.tokens):
+                raise SystemExit("index: need exactly one of --input / --tokens")
+            if args.tokens:
+                tokens = spark.read.parquet(args.tokens)
+            else:
+                from .spark.pipeline import CorrectionPipeline
+
+                res = load_resources(args.resources)
+                pipe = CorrectionPipeline(spark, res)
+                tokens = pipe.tokens(spark.read.parquet(args.input))
+            out = term_index(tokens, load_term_files(args.term_files), min_run=args.min_run)
+            out.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(f"index: {n} term runs -> {args.output}")
+        elif args.command == "stats":
+            import json as _json
+
+            from .spark.audit import bin_metrics
+            from .spark.pipeline import CorrectionPipeline
+            from .spark.report import report_counters
+
+            res = load_resources(args.resources)
+            pipe = CorrectionPipeline(spark, res)
+            tokens = pipe.tokens(spark.read.parquet(args.input)).cache()
+            for row in bin_metrics(tokens).collect():
+                print(
+                    f"bin {row['bin']}: {row['token_count']} tokens, "
+                    f"{row['annotator_required']} annotator"
+                )
+            if args.make_settings:
+                settings = derive_settings(report_counters(tokens, res, spark).collect())
+                with open(args.make_settings, "w") as fh:
+                    fh.write(_json.dumps({str(b): h for b, h in sorted(settings.items())}))
+                print(f"settings: {len(settings)} bins -> {args.make_settings}")
+            tokens.unpersist()
         return 0
     finally:
         if args.master != "from-submit":

@@ -183,8 +183,14 @@ def jaccard_pairs(
     """n-gram Jaccard via exploded equi-join (pure relational; both
     engines agree exactly — integer counts, one final division).
 
-    With ``candidates`` (e.g. from LSH) only those pairs are verified —
-    the scale path; without, all pairs sharing >=1 shingle are scored.
+    This is the ALL-PAIRS form (and the oracle twin of the gated verify):
+    every pair sharing >=1 shingle aggregates — O(freq²) in the hottest
+    shingle, fine at oracle scale, NOT the 100 TB path. With
+    ``candidates`` the semi-join lands *after* the aggregation (Catalyst
+    cannot push a semi-join below an aggregate), so it bounds the output,
+    not the pair-space — for the scale path use
+    :func:`jaccard_verify_candidates`, which gates BEFORE any pairwise
+    work.
     """
     # the shingle table feeds a self-join plus the sizes aggregation —
     # persist so the explode+distinct scan runs once, not three times
@@ -214,6 +220,61 @@ def jaccard_pairs(
         )
     )
     return out.where(F.col("jaccard") >= threshold)
+
+
+def jaccard_verify_candidates(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Jaccard verification at PAIR granularity — the 100 TB path.
+
+    ``candidates`` (doc_a, doc_b with doc_a < doc_b, e.g. from
+    :func:`lsh_candidate_pairs`) is joined to each side's row-local
+    distinct-shingle ARRAY (:func:`shingles_col`); the intersection is
+    ``size(array_intersect(sh_a, sh_b))`` computed per candidate row. No
+    shingle self-join exists anywhere in the plan, so a boilerplate
+    shingle shared by f documents costs f array entries — never the f²
+    join rows the ungated :func:`jaccard_pairs` materializes before its
+    post-aggregation gate. Shuffle cost: two equi-joins on doc id.
+
+    Value-identical to :func:`jaccard_pairs` over the same candidates
+    (same distinct-shingle universe, same integer counts, one division,
+    round 6), with one documented edge: a candidate pair sharing ZERO
+    shingles scores 0.0 here but is absent from the aggregated form —
+    immaterial for any ``threshold > 0`` (LSH candidates share a full
+    band, so in practice they share shingles anyway). Docs with no
+    shingles are dropped, matching the aggregated form's inner joins.
+    """
+    arrays = docs.select(
+        F.col(id_col).alias("doc_id"), shingles_col(text_col, k).alias("sh")
+    ).where(F.size("sh") > 0)
+    a = arrays.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = arrays.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    counted = (
+        candidates.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+    )
+    return (
+        counted.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
@@ -368,11 +429,18 @@ def embedding_dup_pairs_bucketed(
     """
     from itertools import combinations
 
-    from .similarity import dot_col, hyperplane_bucket, norm_col, random_planes
+    from .similarity import dot_col, hyperplane_bucket, norm_col
 
     if planes is None:
-        dim = len(embeddings.select(vec_col).first()[0])
-        planes = random_planes(dim, n_planes, seed=seed)
+        # deliberately NO fallback that probes the data: inferring the
+        # dim used to run a driver-side `.first()` action during plan
+        # construction — an eager job on a lazily-built query. Callers
+        # know their embedding dim; build planes explicitly.
+        raise ValueError(
+            "planes is required: build them with "
+            f"similarity.random_planes(dim, n_planes={n_planes}, seed={seed}) "
+            "for your embedding dimension (no driver-side dim probe here)"
+        )
     masks = [0]
     for r in range(1, probe_hamming + 1):
         for bits in combinations(range(len(planes)), r):
@@ -478,20 +546,37 @@ def connected_components(
     b_col: str = "doc_b",
     max_iterations: int = 20,
 ) -> DataFrame:
-    """Near-dup pairs -> dedup GROUPS: connected components by iterative
-    min-label propagation — the clustering step between candidate pairs
-    and canonical-document selection.
+    """Near-dup pairs -> dedup GROUPS: connected components by min-label
+    propagation WITH POINTER JUMPING — the clustering step between
+    candidate pairs and canonical-document selection.
 
-    Each node starts labeled with itself; every round each node takes
-    the min of its own label and its neighbors' labels, until a fixpoint
-    (checked with one count per round). Near-dup components are
-    shallow (duplicates of duplicates), so rounds ~ O(component
-    diameter) stay single digits; each round is one join + one groupBy
-    on the edge list. Labels persist per round with the previous round
-    unpersisted, and lineage is cut by localCheckpoint every few rounds
-    so plans don't grow unboundedly. Returns (doc_id, component) where
-    component = the lexicographically smallest member.
+    Each node starts labeled with itself; every round does (1) a one-hop
+    RELAXATION — each node takes the min of its own and its neighbors'
+    labels — then (2) a POINTER JUMP — each node replaces its label with
+    its label's label (``component <- component(component)``). Relaxation
+    alone converges in O(component diameter) rounds, which a 100 TB crawl
+    with chained boilerplate can blow past; the jump halves label-chain
+    depth every round, so the combination converges in O(log diameter)
+    (a 100-node chain lands in 7 rounds — pinned by
+    test_connected_components_long_chain). Both invariants the fixpoint
+    argument needs hold throughout: labels only decrease, and a label is
+    always the id of a node in the same component — so the fixpoint is
+    exactly "every member labeled with the component's min id", identical
+    to plain propagation (the DuckDB WITH RECURSIVE oracle).
+
+    Cost per round: one join + groupBy on the edge list (relax) and one
+    self-join of the label table (jump). Labels persist per round with
+    the previous round unpersisted; lineage is cut by localCheckpoint
+    every few rounds so plans don't compound.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iterations`` — silent wrong labels would corrupt every
+    downstream canonical-document selection (training_corpus composes on
+    this). With pointer jumping the default budget of 20 rounds covers
+    components of diameter ~2^20.
     """
+    if max_iterations < 1:
+        raise ValueError("max_iterations must be >= 1")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -507,19 +592,32 @@ def connected_components(
         .persist()
     )
     labels.count()
+    changed = 0
     for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, on=edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("n_comp"))
         )
-        new_labels = (
+        relaxed = (
             labels.join(neighbor_min, on=labels.id == neighbor_min.src, how="left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
                 ).alias("component"),
+            )
+        )
+        # the pointer jump self-joins `relaxed` — persist first or the
+        # relax join+agg lineage runs once per side
+        relaxed = relaxed.persist()
+        lookup = relaxed.select(
+            F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
+        )
+        new_labels = (
+            relaxed.join(lookup, on=relaxed.component == lookup._pid, how="left")
+            .select(
+                "id", F.coalesce(F.col("_pcomp"), F.col("component")).alias("component")
             )
         )
         if it % 4 == 3:  # cut lineage before plans compound
@@ -531,9 +629,18 @@ def connected_components(
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        relaxed.unpersist()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations — returning partial labels would silently "
+            "mislabel dedup groups"
+        )
     return labels.select(F.col("id").alias("doc_id"), "component")

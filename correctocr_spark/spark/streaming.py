@@ -143,7 +143,17 @@ def streaming_lsh_candidates(
     (foreachBatch or batch) verifies candidates with exact Jaccard —
     the same two-phase shape as the batch path, with the candidate
     generation running continuously. State is bounded by distinct band
-    keys (optionally TTL'd via processing-time timeout).
+    keys (optionally TTL'd via processing-time timeout) — O(buckets),
+    not O(bucket members), which is the point at crawl scale.
+
+    Pairing is deliberately a STAR, not a clique: arrivals pair only
+    against the bucket's first url, so a b-member bucket emits b-1 pairs
+    instead of b(b-1)/2. For the downstream grouping this loses nothing:
+    connected components over the star equals connected components over
+    the full same-bucket pair set (every member is connected through the
+    hub — pinned by test_streaming_star_equals_clique_components). Only
+    a consumer of raw *pairs* (not groups) would see the difference; it
+    must verify candidates pairwise anyway.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

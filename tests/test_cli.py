@@ -94,3 +94,70 @@ def test_cli_dictionary_corpus_dir(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     words = open(out).read().split()
     assert words == ["apple", "banana", "Zebra"]  # case-insensitive sort
+
+
+@pytest.mark.slow
+def test_cli_correct_gold_files(tmp_path, spark):
+    """`correct` writes one <urlencoded-url>.txt gold file per document
+    from the executors (commands.py:414-472 autocorrect path)."""
+    import glob
+
+    from correctocr_spark.spark.synth import synth_pages
+
+    inp = str(tmp_path / "pages")
+    synth_pages(spark, 10, seed=73).write.parquet(inp)
+    out = str(tmp_path / "gold")
+    r = run_cli("correct", "--input", inp, "--output", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "corrected: 10 gold files" in r.stdout
+    files = glob.glob(out + "/*.txt")
+    assert len(files) == 10
+    assert all(os.path.getsize(f) > 0 for f in files)
+
+
+@pytest.mark.slow
+def test_cli_index_terms(tmp_path, spark):
+    """`index` over a pre-computed token table with two --term-file tags
+    (commands.py:478-566: tag = file stem, terms normalized)."""
+    rows = [
+        ("d1", 0, "The", None), ("d1", 1, "swift", None), ("d1", 2, "Scan,", None),
+        ("d1", 3, "sort", None), ("d1", 4, "ends", None), ("d1", 5, "merge", None),
+    ]
+    tokens = spark.createDataFrame(
+        rows, "url string, idx int, original string, gold string"
+    ).select("*", F.lit(False).alias("tail"), F.lit(False).alias("discarded"))
+    tok_path = str(tmp_path / "tokens")
+    tokens.write.parquet(tok_path)
+    terms = tmp_path / "exec.txt"
+    terms.write_text("Scan\nSORT\nmerge\n")  # normalization: lower+strip
+    out = str(tmp_path / "index")
+    r = run_cli(
+        "index", "--tokens", tok_path, "--term-file", str(terms), "--output", out
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "index: 1 term runs" in r.stdout
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0]["run_text"] == "Scan, sort"
+    assert got[0]["run_tags"] == "exec"
+
+
+@pytest.mark.slow
+def test_cli_stats_make_settings(tmp_path, spark):
+    """`stats` prints per-bin metrics and --make-settings derives a
+    normalizable settings.json from the evaluation counters."""
+    import json
+
+    from correctocr_spark.spark.synth import synth_pages
+
+    inp = str(tmp_path / "pages")
+    synth_pages(spark, 10, seed=74).write.parquet(inp)
+    settings_path = str(tmp_path / "settings.json")
+    r = run_cli("stats", "--input", inp, "--make-settings", settings_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "bin " in r.stdout and "settings:" in r.stdout
+    settings = json.loads(open(settings_path).read())
+    assert settings  # at least one populated bin
+    from correctocr_spark.kernels.heuristics import normalize_settings
+
+    norm = normalize_settings(settings)  # valid codes, int-coercible bins
+    assert set(norm) == set(range(1, 11))

@@ -430,6 +430,84 @@ def q_fingerprint(spark, sf_dir):
     return out.select("doc_id", "fingerprint", F.col("norm_len").cast("long").alias("norm_len"))
 
 
+def _pii_docs(spark, sf_dir):
+    """Documents with deterministically INJECTED PII — the synthetic
+    corpus has none, so counts/redactions would all be zero and the
+    oracle hash would prove nothing. Every doc gains an email + an IPv4;
+    every third doc a phone. The oracle SQL performs the identical
+    injection."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" call +45 12 34 56 78")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass (emails / IPv4 / phone runs) — scan-speed
+    column algebra, counts on the original text, order-pinned scrub."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import pii_scrub
+
+    out = pii_scrub(_pii_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        "scrubbed",
+    )
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: dup-line fraction (row-local),
+    top word / top bigram occupancy (explode -> two-level agg)."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per doc by smoothed TF-IDF (doc-keyed
+    window, never global)."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+#: the "benchmark suite" fixture for decontamination: word 3-grams
+#: drawn from the synthetic vocabulary so overlaps actually occur
+BENCHMARK_TEXTS = [
+    "big order scan",
+    "group slow spark",
+    "row column sort",
+    "stream table hash",
+]
+
+
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any word 3-gram with the
+    benchmark fixture — broadcast-literal shingle set, row-local
+    intersection, no join/shuffle."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import decontaminate
+
+    return decontaminate(
+        _t(spark, sf_dir, "documents"), BENCHMARK_TEXTS, k=SHINGLE_K, min_overlap=1
+    )
+
+
 def q_media_features(spark, sf_dir):
     _ship(spark)
     from correctocr_spark.ops.multimodal import extract_features
@@ -782,6 +860,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
+        # corpus cleaning
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "decontamination": q_decontamination,
         # multimodal plumbing
         "media_features": q_media_features,
         # JSON scalar functions
@@ -994,6 +1077,112 @@ def _quality_sql() -> str:
                    + (case when punct_ratio <= 0.2 then 0.25 else 0 end)
                    + (case when stopword_ratio >= 0.1 then 0.25 else 0 end))::DOUBLE, 2) AS quality_score
         FROM m
+    """
+
+
+_PII_INJECT = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' "
+    "|| CAST(doc_id % 200 AS VARCHAR) || '.7' "
+    "|| (CASE WHEN doc_id % 3 = 0 THEN ' call +45 12 34 56 78' ELSE '' END)"
+)
+
+
+def _pii_sql() -> str:
+    from correctocr_spark.ops.cleaning import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    scrub = (
+        "regexp_replace(regexp_replace(regexp_replace(text, '" + EMAIL_RE
+        + "', '<EMAIL>', 'g'), '" + IPV4_RE + "', '<IP>', 'g'), '"
+        + PHONE_RE + "', '<PHONE>', 'g')"
+    )
+    return (
+        "WITH injected AS (SELECT doc_id, " + _PII_INJECT + " AS text FROM documents)\n"
+        "SELECT doc_id,\n"
+        "  len(regexp_extract_all(text, '" + EMAIL_RE + "'))::BIGINT AS n_emails,\n"
+        "  len(regexp_extract_all(text, '" + IPV4_RE + "'))::BIGINT AS n_ipv4,\n"
+        "  len(regexp_extract_all(text, '" + PHONE_RE + "'))::BIGINT AS n_phones,\n"
+        "  " + scrub + " AS scrubbed\n"
+        "FROM injected"
+    )
+
+
+def _repetition_sql() -> str:
+    return f"""
+        WITH base AS (SELECT doc_id, text, {_WORDS} AS ws FROM documents),
+        l AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+            FROM base
+        ),
+        line_stats AS (
+            SELECT doc_id, len(lines)::BIGINT AS n_lines,
+                   (CASE WHEN len(lines) > 0
+                         THEN round(1 - len(list_distinct(lines))::DOUBLE / len(lines), 6)
+                         ELSE 0.0 END) AS dup_line_frac
+            FROM l
+        ),
+        words AS (SELECT doc_id, unnest(ws) AS w FROM base),
+        wc AS (SELECT doc_id, w, count(*) AS n FROM words GROUP BY 1, 2),
+        word_stats AS (
+            SELECT doc_id, round(max(n)::DOUBLE / sum(n)::DOUBLE, 6) AS top_word_frac,
+                   sum(n)::BIGINT AS n_words
+            FROM wc GROUP BY 1
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS g
+            FROM base WHERE len(ws) >= 2
+        ),
+        bgc AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY 1, 2),
+        bigram_stats AS (
+            SELECT doc_id, round(max(n)::DOUBLE / sum(n)::DOUBLE, 6) AS top_bigram_frac
+            FROM bgc GROUP BY 1
+        )
+        SELECT ls.doc_id, ls.n_lines, ls.dup_line_frac,
+               coalesce(w2.n_words, 0)::BIGINT AS n_words,
+               coalesce(w2.top_word_frac, 0.0) AS top_word_frac,
+               coalesce(b2.top_bigram_frac, 0.0) AS top_bigram_frac
+        FROM line_stats ls
+        LEFT JOIN word_stats w2 USING (doc_id)
+        LEFT JOIN bigram_stats b2 USING (doc_id)
+    """
+
+
+def _tfidf_sql() -> str:
+    return f"""
+        WITH base AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+        words AS (SELECT doc_id, lower(unnest(ws)) AS term FROM base),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM words GROUP BY 1, 2),
+        dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, term, tf, df,
+                   round(tf * ln((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE), 6) AS tfidf
+            FROM tf JOIN dfx USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored
+        )
+        SELECT doc_id, rank::INTEGER AS rank, term, tf, df, tfidf
+        FROM ranked WHERE rank <= 3
+    """
+
+
+def _decontamination_sql() -> str:
+    bench = set()
+    for t in BENCHMARK_TEXTS:
+        ws = [w for w in t.split() if w]
+        for i in range(max(len(ws) - SHINGLE_K + 1, 0)):
+            bench.add(" ".join(ws[i : i + SHINGLE_K]))
+    values = ", ".join(f"('{s}')" for s in sorted(bench))
+    return f"""
+        {_SHINGLES_SQL}
+        , bench(shingle) AS (VALUES {values})
+        , hits AS (SELECT s.doc_id, s.shingle FROM sh2 s JOIN bench b USING (shingle))
+        SELECT doc_id, count(*)::INTEGER AS n_overlap,
+               string_agg(shingle, '|' ORDER BY shingle) AS overlap_shingles
+        FROM hits GROUP BY doc_id HAVING count(*) >= 1
     """
 
 
@@ -1298,6 +1487,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_sql(),
         "langid": _langid_sql(),
         "quality": _quality_sql(),
+        "pii_scrub": _pii_sql(),
+        "repetition_stats": _repetition_sql(),
+        "tfidf_top_terms": _tfidf_sql(),
+        "decontamination": _decontamination_sql(),
         "fingerprint": """
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,

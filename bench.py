@@ -63,6 +63,10 @@ HEADLINE = [
     "langid",
     "quality",
     "fingerprint",
+    "pii_scrub",
+    "repetition_stats",
+    "tfidf_top_terms",
+    "decontamination",
     "dedup_exact",
     "dup_spans",
     "dedup_groups",

@@ -1,0 +1,210 @@
+"""Corpus-cleaning operators a large-scale training-data pipeline needs
+beyond dedup: PII redaction, repetition (Gopher-style) quality signals,
+TF-IDF term extraction, and benchmark decontamination.
+
+All pure DataFrame algebra (no Python UDFs). Regex patterns are written
+to the common subset of Java regex (Spark) and RE2 (DuckDB) so every
+operator here is oracle-checkable cross-engine; floats are single
+divisions rounded after, counts are integers.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import ensure_parallelism, normalized_words
+
+#: PII patterns — deliberately simple, anchored forms valid in BOTH
+#: Java regex and RE2 (no lookarounds, no backrefs).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d()\- ]{6,}\d"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped digit runs, with counts.
+
+    Scrub ORDER is part of the contract (email -> ipv4 -> phone, each
+    applied to the previous step's output) so engines agree even when a
+    later pattern could match inside an earlier one's replacement
+    neighborhood. Counts are taken on the original text. One projection,
+    scan-speed — the shape of every hot-path PII pass over a crawl.
+    """
+    text = F.col(text_col)
+    scrubbed = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, IPV4_RE, "<IP>")
+    scrubbed = F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0)).alias("n_ipv4"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)).alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``dup_line_frac``: 1 - distinct/total over non-blank ``\\n`` lines
+      (row-local array algebra; 0.0 for single-line docs);
+    - ``top_word_frac``: occurrences of the most frequent word / total
+      words;
+    - ``top_bigram_frac``: same at word-bigram granularity.
+
+    Word/bigram stats are relational (explode -> count -> max/sum): the
+    explode carries map-side partial aggregation and one shuffle keyed by
+    (doc, gram) — the shape that survives 100 TB, vs an interpreted
+    row-local frequency map. High values on any signal mark boilerplate
+    and generation loops (the Gopher repetition filters).
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln) != ""
+    )
+    line_stats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.when(
+            F.size(lines) > 0,
+            F.round(
+                1 - F.size(F.array_distinct(lines)) / F.size(lines), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+    )
+    words = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(normalized_words(text_col)).alias("w"),
+    )
+    word_stats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("n") / F.sum("n"), 6).alias("top_word_frac"),
+            F.sum("n").alias("n_words"),
+        )
+    )
+    warr = normalized_words(text_col)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(warr) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(warr, i + 1, 2)),
+    )
+    bigram_rows = (
+        ensure_parallelism(docs)
+        .where(F.size(warr) >= 2)
+        .select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("g"))
+        .where(F.col("g").contains(" "))
+    )
+    bigram_stats = (
+        bigram_rows.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("n") / F.sum("n"), 6).alias("top_bigram_frac"))
+    )
+    return (
+        line_stats.join(word_stats, on="doc_id", how="left")
+        .join(bigram_stats, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("top_word_frac", F.lit(0.0)).alias("top_word_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    tf = in-doc count of the lowercased word; df = number of docs
+    containing it; idf = ln((N + 1) / (df + 1)); score = round(tf * idf,
+    6). Ranking is a window partitioned BY DOCUMENT (keyed — never a
+    global window), ties broken by term so both engines agree. Two
+    shuffles: (doc, term) counts, then term -> df join; N is one scalar
+    aggregate broadcast into the plan.
+    """
+    words = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(normalized_words(text_col)).alias("w"),
+    ).select("doc_id", F.lower(F.col("w")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark_texts: List[str],
+    k: int = 3,
+    min_overlap: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag documents sharing >= min_overlap
+    word k-shingles with any benchmark text (the n-gram-overlap test-set
+    leak check every serious training-data pipeline runs before
+    training).
+
+    The benchmark shingle set is tiny (eval suites, not corpora), so it
+    rides into the plan as a broadcast literal array and the check is a
+    row-local intersection against each doc's shingle array — scan-speed,
+    no shuffle, no join. Returns the CONTAMINATED docs with their
+    overlap count and the offending shingles (sorted, for audit).
+    """
+    from .dedup import shingles_col
+
+    bench = set()
+    for t in benchmark_texts:
+        ws = [w for w in t.split() if w]
+        for i in range(max(len(ws) - k + 1, 0)):
+            bench.add(" ".join(ws[i : i + k]))
+    bench_arr = F.array(*[F.lit(s) for s in sorted(bench)])
+    overlap = F.array_sort(
+        F.array_intersect(shingles_col(text_col, k), bench_arr)
+    )
+    return (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.size(overlap).alias("n_overlap"),
+            F.concat_ws("|", overlap).alias("overlap_shingles"),
+        )
+        .where(F.col("n_overlap") >= min_overlap)
+    )

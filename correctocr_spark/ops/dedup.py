@@ -22,6 +22,30 @@ def normalized_words(text_col: str = "text"):
     return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
+    """Repartition iff the plan has fewer partitions than the session's
+    default parallelism.
+
+    The compute-dense projections in this module (shingle explode + md5,
+    SimHash vote columns, span hashing, interpreted shingle-array HOFs)
+    run at the UPSTREAM partition count — for a small local parquet file
+    that is ONE scan split, so the work serializes onto one core however
+    many the session has (measured 3-6x on the sf0.1 bench). At cluster
+    scale the input already has thousands of splits and this is a no-op,
+    so the extra text shuffle is never paid where it would actually hurt.
+
+    CAUTION: only call this on SCAN-ROOTED inputs. ``df.rdd`` (needed
+    for the partition count) finalizes the AQE plan, which EXECUTES any
+    shuffle stages in it — on a join/aggregate output that silently runs
+    the job early and again at the real action. Those sites use a plain
+    ``repartition`` instead (see jaccard_verify_candidates).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: hash-groupBy on content fingerprint.
 
@@ -46,7 +70,8 @@ def shingles_df(
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
         .where(F.col("shingle") != "")
         .distinct()
     )
@@ -248,10 +273,35 @@ def jaccard_verify_candidates(
     immaterial for any ``threshold > 0`` (LSH candidates share a full
     band, so in practice they share shingles anyway). Docs with no
     shingles are dropped, matching the aggregated form's inner joins.
+
+    The corpus is first semi-joined down to candidate MEMBERS before any
+    shingle array is built: near-dup members are a sliver of a crawl, so
+    the (interpreted, HOF-heavy) array construction runs on that sliver
+    only — AQE broadcasts the member-id set while it fits, so the full
+    corpus scan is a broadcast-filtered pass, not a shuffle. The member
+    array table feeds both join sides, hence the persist (self-join
+    lineage would otherwise compute it once per side); ``candidates``
+    feeds the member-id set and the pair join, hence its persist.
     """
-    arrays = docs.select(
-        F.col(id_col).alias("doc_id"), shingles_col(text_col, k).alias("sh")
-    ).where(F.size("sh") > 0)
+    candidates = candidates.persist()
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    members = docs.join(cand_ids, on=id_col, how="left_semi")
+    # plain repartition (NOT ensure_parallelism — .rdd on a join output
+    # executes the join under AQE): spreads the interpreted shingle-array
+    # build across cores AND pre-distributes by the verify-join key; the
+    # shuffled payload is candidate members only, a sliver of the corpus
+    arrays = (
+        members.repartition(F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"), shingles_col(text_col, k).alias("sh")
+        )
+        .where(F.size("sh") > 0)
+        .persist()
+    )
     a = arrays.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = arrays.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     counted = (
@@ -293,7 +343,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", b
     ``bits <= 32`` keeps the legacy single-half derivation (bit b of the
     first 8 hex chars) so small-fingerprint oracles stay stable.
     """
-    words = docs.select(
+    words = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(normalized_words(text_col)).alias("w")
     )
     md5 = F.md5(F.col("w"))
@@ -449,7 +499,7 @@ def embedding_dup_pairs_bucketed(
     # norm precomputed once per VECTOR (not per candidate pair) — the
     # per-pair work is then a single dot product; same float expression
     # as cosine_col, so values are bit-identical to the brute-force twin
-    bucketed = embeddings.select(
+    bucketed = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm_col(vec_d).alias("norm"),
@@ -508,7 +558,7 @@ def duplicate_spans(
     # array transform would run interpreted (HOFs have no codegen)
     words = normalized_words(text_col)
     exploded = (
-        docs.where(F.size(words) >= n)
+        ensure_parallelism(docs).where(F.size(words) >= n)
         .select(
             F.col(id_col).alias("doc_id"),
             words.alias("_ws"),

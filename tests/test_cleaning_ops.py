@@ -1,0 +1,87 @@
+"""Unit probes for ops/cleaning.py on crafted inputs (the sf oracles
+cover the corpus-scale behavior; these pin the semantics)."""
+
+from pyspark.sql import functions as F
+
+
+def test_pii_scrub_crafted(spark):
+    from correctocr_spark.ops.cleaning import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@test-site.org or 192.168.1.7 or +45 12 34 56 78 end"),
+            (2, "no pii here at all"),
+            (3, "two mails x@y.io z@w.co and ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_phones"]) == (1, 1, 1)
+    assert got[1]["scrubbed"] == "mail <EMAIL> or <IP> or <PHONE> end"
+    assert (got[2]["n_emails"], got[2]["n_ipv4"], got[2]["n_phones"]) == (0, 0, 0)
+    assert got[2]["scrubbed"] == "no pii here at all"
+    assert got[3]["n_emails"] == 2 and got[3]["n_ipv4"] == 1
+    assert got[3]["scrubbed"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+
+
+def test_repetition_stats_crafted(spark):
+    from correctocr_spark.ops.cleaning import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 non-blank lines, 'same line' repeated 3x -> dup frac 0.5;
+            # words: same*3 line*3 other*1 unique*1 -> top word 3/8;
+            # bigrams (7): 'same line'x3 top -> 3/7
+            (1, "same line\nsame line\n\nsame line\nother unique"),
+            (2, "a b"),  # single line, no dups; bigram 'a b' frac 1.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["n_lines"] == 4
+    assert got[1]["dup_line_frac"] == 0.5
+    assert got[1]["n_words"] == 8
+    assert got[1]["top_word_frac"] == round(3 / 8, 6)
+    assert got[1]["top_bigram_frac"] == round(3 / 7, 6)
+    assert got[2]["n_lines"] == 1 and got[2]["dup_line_frac"] == 0.0
+    assert got[2]["top_word_frac"] == 0.5 and got[2]["top_bigram_frac"] == 1.0
+
+
+def test_tfidf_top_terms_crafted(spark):
+    from correctocr_spark.ops.cleaning import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common common common"),
+            (3, "common yak yak"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'common' appears in every doc (idf = ln(4/4) = 0) so the doc-unique
+    # terms win despite lower tf
+    assert top == {1: "zebra", 2: "common", 3: "yak"}
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    assert set(ranks.values()) == {1}
+
+
+def test_decontaminate_crafted(spark):
+    from correctocr_spark.ops.cleaning import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),   # shares 2 bench shingles
+            (2, "quick brown elsewhere entirely"),   # shares 0 full 3-grams
+            (3, "nothing in common at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = ["the quick brown fox"]  # 3-shingles: 'the quick brown', 'quick brown fox'
+    got = {r["doc_id"]: r for r in decontaminate(docs, bench, k=3, min_overlap=1).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_overlap"] == 2
+    assert got[1]["overlap_shingles"] == "quick brown fox|the quick brown"
+    # raising the gate drops the single-overlap case
+    assert decontaminate(docs, bench, k=3, min_overlap=3).count() == 0

@@ -615,9 +615,16 @@ def connected_components(
     to plain propagation (the DuckDB WITH RECURSIVE oracle).
 
     Cost per round: one join + groupBy on the edge list (relax) and one
-    self-join of the label table (jump). Labels persist per round with
-    the previous round unpersisted; lineage is cut by localCheckpoint
-    every few rounds so plans don't compound.
+    self-join of the label table (jump). Each round's labels are
+    materialized with an EAGER localCheckpoint, which replaces the plan
+    with the materialized RDD and truly cuts lineage. A plain
+    persist-new/unpersist-old cycle is NOT enough: Spark's non-cascading
+    unpersist marks dependent cached plans for lazy REBUILD from raw
+    lineage, and in a self-referencing iterative loop that rebuild is
+    exponential in rounds (measured: round 2 at sf0.1 took 297 s
+    uncheckpointed vs sub-second checkpointed). At cluster scale the
+    same role is played by a reliable checkpoint dir or a per-round
+    table round-trip; executor-local checkpoint is the single-JVM twin.
 
     Raises ``RuntimeError`` if labels are still changing after
     ``max_iterations`` — silent wrong labels would corrupt every
@@ -670,9 +677,9 @@ def connected_components(
                 "id", F.coalesce(F.col("_pcomp"), F.col("component")).alias("component")
             )
         )
-        if it % 4 == 3:  # cut lineage before plans compound
-            new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.persist()
+        # eager checkpoint: materialize THIS round and cut lineage (see
+        # class docstring — persist alone compounds exponentially here)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="id")

@@ -10,7 +10,7 @@ from typing import Dict, List
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalized_words
+from .dedup import ensure_parallelism, normalized_words
 
 #: tiny deterministic stopword profiles (n-gram/stopword heuristic)
 STOPWORDS: Dict[str, List[str]] = {
@@ -33,7 +33,9 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     broken by profile order; no hits => 'und'."""
     words = normalized_words(text_col)
     langs = list(STOPWORDS)
-    d = docs.select(
+    # interpreted HOF filters below run at the scan's partition count —
+    # spread them (no-op when the input already has enough splits)
+    d = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.size(words).alias("n_words"),
         *[_stopword_hits(words, lang).alias(f"hits_{lang}") for lang in langs],
@@ -77,7 +79,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         + F.when(punct_ratio <= 0.2, 0.25).otherwise(0.0)
         + F.when(sw_ratio >= 0.1, 0.25).otherwise(0.0)
     )
-    return docs.select(
+    return ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         n_words.alias("n_words"),
         mean_wlen.alias("mean_word_len"),
@@ -89,7 +91,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Whitespace and BPE-ish regex token counts (corpus sizing)."""
-    return docs.select(
+    return ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.size(normalized_words(text_col)).alias("ws_tokens"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).alias("bpe_tokens"),

@@ -508,6 +508,66 @@ def q_decontamination(spark, sf_dir):
     )
 
 
+#: per-language sampling rates for the stratified-sample query (the
+#: corpus-mixing knob); languages not listed fall back to the base rate
+SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-gated stratified sampling — stable across
+    runs/engines/retries, no shuffle (one scan predicate)."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import deterministic_sample
+
+    out = deterministic_sample(
+        _t(spark, sf_dir, "documents"), rate=0.2, rates=SAMPLE_RATES, seed="s1"
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_corpus_rollup(spark, sf_dir):
+    """Per-language corpus statistics with exact word-count quantiles."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import corpus_rollup
+
+    return corpus_rollup(_t(spark, sf_dir, "documents"))
+
+
+def _linked_pages(spark, sf_dir):
+    """Documents wrapped in deterministic HTML with injected <a> tags
+    (the synthetic corpus is plain text) — the oracle SQL performs the
+    identical injection."""
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit('</p><a href="https://ex.example/p/'),
+        d,
+        F.lit('">page '),
+        d,
+        F.lit("</a>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit('<a class="x" href="https://mirror.example/'),
+                F.col("lang"),
+                F.lit('">mirror</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+
+
+def q_link_extract(spark, sf_dir):
+    """Outlink harvesting from raw HTML (crawl-graph side-product of the
+    extraction tier) — regex fast path, scan-speed."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import extract_links
+
+    return extract_links(_linked_pages(spark, sf_dir))
+
+
 def q_media_features(spark, sf_dir):
     _ship(spark)
     from correctocr_spark.ops.multimodal import extract_features
@@ -860,11 +920,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
-        # corpus cleaning
+        # corpus cleaning / curation
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition,
         "tfidf_top_terms": q_tfidf_top_terms,
         "decontamination": q_decontamination,
+        "sample_stratified": q_sample_stratified,
+        "corpus_rollup": q_corpus_rollup,
+        "link_extract": q_link_extract,
         # multimodal plumbing
         "media_features": q_media_features,
         # JSON scalar functions
@@ -1186,6 +1249,55 @@ def _decontamination_sql() -> str:
     """
 
 
+def _sample_sql() -> str:
+    rate_case = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+    ) + " ELSE 0.2 END"
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              < ({rate_case}) * 4294967296.0
+    """
+
+
+def _rollup_sql() -> str:
+    return f"""
+        WITH per_doc AS (
+            SELECT lang AS stratum, len({_WORDS}) AS n_words FROM documents
+        )
+        SELECT stratum,
+               count(*)::BIGINT AS n_docs,
+               sum(n_words)::BIGINT AS total_words,
+               round(avg(n_words), 6) AS mean_words,
+               round(quantile_cont(n_words, 0.5), 6) AS median_words,
+               round(quantile_cont(n_words, 0.9), 6) AS p90_words,
+               min(n_words)::BIGINT AS min_words,
+               max(n_words)::BIGINT AS max_words
+        FROM per_doc GROUP BY stratum
+    """
+
+
+_LINK_INJECT = (
+    "'<html><body><p>' || text || '</p><a href=\"https://ex.example/p/' "
+    "|| CAST(doc_id AS VARCHAR) || '\">page ' || CAST(doc_id AS VARCHAR) || '</a>' "
+    "|| (CASE WHEN doc_id % 2 = 0 THEN "
+    "'<a class=\"x\" href=\"https://mirror.example/' || lang || '\">mirror</a>' "
+    "ELSE '' END) || '</body></html>'"
+)
+
+
+def _link_sql() -> str:
+    from correctocr_spark.ops.cleaning import A_TAG_RE, ANCHOR_RE, HREF_RE
+
+    return (
+        "WITH pages AS (SELECT doc_id, " + _LINK_INJECT + " AS html FROM documents),\n"
+        "tags AS (SELECT doc_id, unnest(regexp_extract_all(html, '" + A_TAG_RE
+        + "', 0)) AS a_tag FROM pages)\n"
+        "SELECT doc_id, regexp_extract(a_tag, '" + HREF_RE + "', 1) AS href,\n"
+        "       regexp_extract(a_tag, '" + ANCHOR_RE + "', 1) AS anchor\nFROM tags"
+    )
+
+
 def _ann_sql_parts():
     """Query-vector-dependent SQL uses a scalar subquery on vec_id=0."""
     cos = (
@@ -1491,6 +1603,9 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _repetition_sql(),
         "tfidf_top_terms": _tfidf_sql(),
         "decontamination": _decontamination_sql(),
+        "sample_stratified": _sample_sql(),
+        "corpus_rollup": _rollup_sql(),
+        "link_extract": _link_sql(),
         "fingerprint": """
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,

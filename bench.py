@@ -67,6 +67,9 @@ HEADLINE = [
     "repetition_stats",
     "tfidf_top_terms",
     "decontamination",
+    "sample_stratified",
+    "corpus_rollup",
+    "link_extract",
     "dedup_exact",
     "dup_spans",
     "dedup_groups",

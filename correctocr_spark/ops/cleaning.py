@@ -10,7 +10,7 @@ divisions rounded after, counts are integers.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -166,6 +166,87 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+    )
+
+
+def deterministic_sample(
+    docs: DataFrame,
+    rate: float = 0.1,
+    rates: Optional[Dict[str, float]] = None,
+    stratify_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: str = "s1",
+) -> DataFrame:
+    """Deterministic (hash-gated) sampling — the reproducible form of
+    corpus downsampling: keep a row iff the first 32 bits of
+    ``md5(seed|key)`` fall under ``rate``. Unlike ``DataFrame.sample``
+    this is stable across runs, engines, partitionings and retries (a
+    resumed job re-selects exactly the same rows), and it needs no
+    shuffle — one scan-speed predicate. ``rates`` overrides the rate per
+    stratum (e.g. per language), the standard corpus-mixing knob.
+    """
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    r = F.lit(float(rate))
+    if rates:
+        for sval, rv in sorted(rates.items()):
+            r = F.when(F.col(stratify_col) == sval, F.lit(float(rv))).otherwise(r)
+    return docs.where(bucket < r * F.lit(float(2**32)))
+
+
+def corpus_rollup(
+    docs: DataFrame,
+    strat_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum corpus statistics: doc/word totals + exact word-count
+    quantiles (linear-interpolated ``percentile`` — exact, not the
+    approx sketch, so the numbers are decision-grade and cross-engine
+    reproducible; at 100 TB swap in ``percentile_approx`` per partition
+    budget). One partial-agg shuffle keyed by the stratum."""
+    n_words = F.size(normalized_words(text_col))
+    per_doc = ensure_parallelism(docs).select(
+        F.col(strat_col).alias("stratum"), n_words.alias("n_words")
+    )
+    return per_doc.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.round(F.avg("n_words"), 6).alias("mean_words"),
+        F.round(F.expr("percentile(n_words, 0.5)"), 6).alias("median_words"),
+        F.round(F.expr("percentile(n_words, 0.9)"), 6).alias("p90_words"),
+        F.min("n_words").cast("long").alias("min_words"),
+        F.max("n_words").cast("long").alias("max_words"),
+    )
+
+
+#: link extraction — RE2∩Java-safe: no lazy quantifiers, anchor text via
+#: [^<]* (flat anchors; nested-markup anchors are the HTML kernel's job)
+A_TAG_RE = r'<a [^>]*href="[^"]+"[^>]*>[^<]*</a>'
+HREF_RE = r'href="([^"]+)"'
+ANCHOR_RE = r">([^<]*)</a>"
+
+
+def extract_links(
+    pages: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """(url, href, anchor) link table from raw HTML — the crawl-graph
+    side-product of the extraction tier (outlink harvesting for frontier
+    scheduling / PageRank-style quality priors). Regex-based and
+    scan-speed; full DOM-aware extraction lives in the HTML kernel, this
+    is the relational fast path both engines can agree on exactly."""
+    tags = F.regexp_extract_all(F.col(html_col), F.lit(A_TAG_RE), 0)
+    exploded = ensure_parallelism(pages).select(
+        F.col(id_col).alias("doc_id"), F.explode(tags).alias("a_tag")
+    )
+    return exploded.select(
+        "doc_id",
+        F.regexp_extract("a_tag", HREF_RE, 1).alias("href"),
+        F.regexp_extract("a_tag", ANCHOR_RE, 1).alias("anchor"),
     )
 
 

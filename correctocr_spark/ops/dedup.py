@@ -166,11 +166,25 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 12, bands: int = 4
+    signatures: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Band the signature, bucket-join within bands: candidates are docs
     sharing any full band. Never compares across buckets => linear-ish in
-    corpus size instead of O(n²)."""
+    corpus size instead of O(n²).
+
+    ``max_bucket`` is the HOT-BUCKET guard the self-join needs at crawl
+    scale: a band shared by f documents emits f(f-1)/2 pairs, so one
+    boilerplate bucket of 10⁶ mirror pages would alone produce ~5·10¹¹
+    join rows. Buckets larger than the cap are dropped BEFORE the
+    self-join (a windowless groupBy count + semi-join) — their members
+    are near-identical boilerplate that the exact-dup / duplicate-spans
+    passes already catch, which is the standard recall trade
+    (pinned by test_lsh_hot_bucket_cap). ``None`` keeps every bucket
+    (the oracle twin's behavior).
+    """
     rows_per_band = num_hashes // bands
     banded = signatures.select(
         "doc_id",
@@ -187,6 +201,14 @@ def lsh_candidate_pairs(
             )
         ).alias("band_key"),
     )
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket)
+            .select("band_key")
+        )
+        banded = banded.join(small, on="band_key", how="left_semi")
     # a self-join duplicates unpersisted lineage — without this persist
     # the whole shingle->minhash aggregation runs twice (once per side)
     banded = banded.persist()
@@ -375,6 +397,7 @@ def simhash_near_pairs(
     simhashes: DataFrame,
     bits: int = 64,
     max_hamming: int = 3,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicates by SimHash Hamming distance, at scale.
 
@@ -386,7 +409,9 @@ def simhash_near_pairs(
     expected) and pair selectivity stays ≪1% — the 16-bit variant's
     4-bit band keys degenerate toward all-pairs and are only for toys.
     Band extraction (arithmetic shift + mask) is sign-safe for negative
-    fingerprints.
+    fingerprints. ``max_bucket`` drops oversized band buckets before the
+    self-join — same hot-bucket guard and recall trade as
+    :func:`lsh_candidate_pairs`.
     """
     n_bands = max_hamming + 1
     width = bits // n_bands
@@ -408,6 +433,14 @@ def simhash_near_pairs(
             )
         ).alias("band_key"),
     )
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket)
+            .select("band_key")
+        )
+        banded = banded.join(small, on="band_key", how="left_semi")
     # self-join: persist so the 64-column vote aggregation upstream runs
     # once, not once per join side (measured ~25% on the sf0.1 bench)
     banded = banded.persist()

@@ -85,3 +85,84 @@ def test_decontaminate_crafted(spark):
     assert got[1]["overlap_shingles"] == "quick brown fox|the quick brown"
     # raising the gate drops the single-overlap case
     assert decontaminate(docs, bench, k=3, min_overlap=3).count() == 0
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """max_bucket drops oversized band buckets BEFORE the self-join: a
+    boilerplate cluster of identical docs stops producing O(f²) pairs,
+    while small legitimate buckets keep theirs."""
+    from correctocr_spark.ops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles_df,
+    )
+
+    boiler = "identical boilerplate navigation footer text repeated on every mirror page"
+    rows = [(i, boiler) for i in range(10)]  # hot bucket: 10 identical docs
+    rows += [
+        (100, "a unique pair of documents that share their entire wording"),
+        (101, "a unique pair of documents that share their entire wording"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles_df(docs, k=3).persist()
+    sig = minhash_signatures(sh, num_hashes=8)
+
+    uncapped = lsh_candidate_pairs(sig, 8, 4)
+    assert uncapped.count() == 45 + 1  # C(10,2) + the small pair
+
+    capped = lsh_candidate_pairs(sig, 8, 4, max_bucket=5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert pairs == {(100, 101)}  # hot bucket gone, small bucket kept
+    spark.catalog.clearCache()
+
+
+def test_deterministic_sample_stable_and_stratified(spark):
+    from correctocr_spark.ops.cleaning import deterministic_sample
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en" if i % 2 == 0 else "zh") for i in range(400)],
+        "doc_id long, text string, lang string",
+    )
+    a = {r["doc_id"] for r in deterministic_sample(docs, rate=0.25).collect()}
+    b = {r["doc_id"] for r in deterministic_sample(docs, rate=0.25).collect()}
+    assert a == b and 0 < len(a) < 400  # reproducible, non-trivial
+    # a higher rate strictly grows the kept set (hash-gate monotonicity)
+    c = {r["doc_id"] for r in deterministic_sample(docs, rate=0.5).collect()}
+    assert a < c
+    # stratified: en kept at ~0.9, zh dropped entirely
+    s = deterministic_sample(docs, rate=0.0, rates={"en": 0.9}).collect()
+    assert len(s) > 0 and all(r["lang"] == "en" for r in s)
+
+
+def test_extract_links_crafted(spark):
+    from correctocr_spark.ops.cleaning import extract_links
+
+    pages = spark.createDataFrame(
+        [
+            (1, '<p>x</p><a href="https://a.example/1">first</a>'
+                '<a class="nav" href="/rel">second link</a>'),
+            (2, "no links at all"),
+        ],
+        "doc_id long, html string",
+    )
+    got = sorted(
+        (r["doc_id"], r["href"], r["anchor"]) for r in extract_links(pages).collect()
+    )
+    assert got == [
+        (1, "/rel", "second link"),
+        (1, "https://a.example/1", "first"),
+    ]
+
+
+def test_corpus_rollup_crafted(spark):
+    from correctocr_spark.ops.cleaning import corpus_rollup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "a b c d e", "en"), (3, "x", "zh")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["stratum"]: r for r in corpus_rollup(docs).collect()}
+    en = got["en"]
+    assert (en["n_docs"], en["total_words"], en["min_words"], en["max_words"]) == (2, 8, 3, 5)
+    assert en["mean_words"] == 4.0 and en["median_words"] == 4.0  # interpolated
+    assert got["zh"]["n_docs"] == 1 and got["zh"]["median_words"] == 1.0

@@ -568,6 +568,16 @@ def q_link_extract(spark, sf_dir):
     return extract_links(_linked_pages(spark, sf_dir))
 
 
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing via the two-pass distributed prefix
+    sum (no partitionless global window; driver holds only the tiny
+    per-bucket totals)."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import pack_shards
+
+    return pack_shards(_t(spark, sf_dir, "documents"), budget=2000)
+
+
 def q_media_features(spark, sf_dir):
     _ship(spark)
     from correctocr_spark.ops.multimodal import extract_features
@@ -928,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "corpus_rollup": q_corpus_rollup,
         "link_extract": q_link_extract,
+        "pack_shards": q_pack_shards,
         # multimodal plumbing
         "media_features": q_media_features,
         # JSON scalar functions
@@ -1606,6 +1617,13 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": _sample_sql(),
         "corpus_rollup": _rollup_sql(),
         "link_extract": _link_sql(),
+        "pack_shards": f"""
+            WITH d AS (SELECT doc_id, len({_WORDS})::BIGINT AS n_tokens FROM documents)
+            SELECT doc_id, n_tokens,
+                   floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                          - n_tokens) / 2000)::BIGINT AS shard
+            FROM d
+        """,
         "fingerprint": """
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,

@@ -70,6 +70,7 @@ HEADLINE = [
     "sample_stratified",
     "corpus_rollup",
     "link_extract",
+    "pack_shards",
     "dedup_exact",
     "dup_spans",
     "dedup_groups",

@@ -224,6 +224,68 @@ def corpus_rollup(
     )
 
 
+def pack_shards(
+    docs: DataFrame,
+    budget: int,
+    bucket_size: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: Optional[str] = None,
+) -> DataFrame:
+    """Greedy token-budget SHARD PACKING: assign each document (in
+    deterministic ``id`` order) to training shard
+    ``floor(tokens_before_it / budget)`` — the corpus → fixed-size
+    training-shard step of an LLM data pipeline.
+
+    The running total needs a GLOBAL prefix sum, and the naive form —
+    one window over ``ORDER BY id`` with no partition key — moves the
+    entire corpus through a single partition. This is the two-pass
+    prefix-sum instead: (1) coarse ORDERED buckets of ``bucket_size``
+    ids each get their token sums aggregated and prefix-summed on the
+    driver (num_buckets rows — bounded and tiny, the same
+    collect-small-aggregate pattern as the broadcast vocabulary); (2)
+    each bucket computes its LOCAL cumulative sum in a bucket-keyed
+    window (parallel across buckets) and adds its bucket's offset.
+    Identical values to the global-window form (the DuckDB oracle twin),
+    with no partitionless window anywhere in the plan (pinned by
+    test_pack_shards_no_global_window).
+    """
+    n_tokens = (
+        F.col(tokens_col)
+        if tokens_col
+        else F.size(normalized_words(text_col)).cast("long")
+    )
+    d = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        F.floor(F.col(id_col) / bucket_size).alias("_bucket"),
+    )
+    totals = {
+        r["_bucket"]: r["_tot"]
+        for r in d.groupBy("_bucket").agg(F.sum("n_tokens").alias("_tot")).collect()
+    }
+    offsets, running = {}, 0
+    for b in sorted(totals):
+        offsets[b] = running
+        running += totals[b]
+    if not offsets:  # empty corpus: keep the output shape
+        return d.select("doc_id", "n_tokens", F.lit(None).cast("long").alias("shard"))
+    offset_map = F.create_map(
+        *[
+            F.lit(int(x)).cast("long")
+            for b in sorted(offsets)
+            for x in (b, offsets[b])
+        ]
+    )
+    w = Window.partitionBy("_bucket").orderBy("doc_id")
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens") + offset_map[F.col("_bucket")]
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(before / budget).cast("long").alias("shard"),
+    )
+
+
 #: link extraction — RE2∩Java-safe: no lazy quantifiers, anchor text via
 #: [^<]* (flat anchors; nested-markup anchors are the HTML kernel's job)
 A_TAG_RE = r'<a [^>]*href="[^"]+"[^>]*>[^<]*</a>'

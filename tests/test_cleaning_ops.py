@@ -166,3 +166,29 @@ def test_corpus_rollup_crafted(spark):
     assert (en["n_docs"], en["total_words"], en["min_words"], en["max_words"]) == (2, 8, 3, 5)
     assert en["mean_words"] == 4.0 and en["median_words"] == 4.0  # interpolated
     assert got["zh"]["n_docs"] == 1 and got["zh"]["median_words"] == 1.0
+
+
+def test_pack_shards_values_and_plan(spark):
+    """Two-pass prefix-sum packing equals the sequential greedy packing,
+    and the plan contains no PARTITIONLESS window (every Window operator
+    is keyed by the coarse bucket)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from correctocr_spark.ops.cleaning import pack_shards
+
+    toks = [30, 50, 40, 80, 10, 60, 70, 20]
+    docs = spark.createDataFrame(
+        [(i, "w " * n) for i, n in enumerate(toks)], "doc_id long, text string"
+    )
+    out = pack_shards(docs, budget=100, bucket_size=3)
+    got = {r["doc_id"]: (r["n_tokens"], r["shard"]) for r in out.collect()}
+    run = 0
+    for i, n in enumerate(toks):
+        assert got[i] == (n, run // 100), (i, got[i], run)
+        run += n
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert win_lines, plan
+    assert all("_bucket" in ln for ln in win_lines), plan

@@ -498,8 +498,8 @@ BENCHMARK_TEXTS = [
 
 def q_decontamination(spark, sf_dir):
     """Benchmark decontamination: docs sharing any word 3-gram with the
-    benchmark fixture — broadcast-literal shingle set, row-local
-    intersection, no join/shuffle."""
+    benchmark fixture — codegen explode + broadcast join against the
+    benchmark shingle set; only hits shuffle."""
     _ship(spark)
     from correctocr_spark.ops.cleaning import decontaminate
 

@@ -325,29 +325,40 @@ def decontaminate(
     leak check every serious training-data pipeline runs before
     training).
 
-    The benchmark shingle set is tiny (eval suites, not corpora), so it
-    rides into the plan as a broadcast literal array and the check is a
-    row-local intersection against each doc's shingle array — scan-speed,
-    no shuffle, no join. Returns the CONTAMINATED docs with their
-    overlap count and the offending shingles (sorted, for audit).
+    The benchmark shingle set is small next to the corpus (eval suites,
+    not crawls), so it becomes a BROADCAST side: corpus shingles explode,
+    broadcast-join against the benchmark set (only hits survive — the
+    filter runs before any shuffle), then per-doc dedup + aggregation
+    over the hits alone. The only shuffle carries contaminated
+    (doc, shingle) rows, a sliver of the corpus. Returns the
+    CONTAMINATED docs with their overlap count and the offending
+    shingles (sorted, for audit).
     """
-    from .dedup import shingles_col
-
     bench = set()
     for t in benchmark_texts:
         ws = [w for w in t.split() if w]
         for i in range(max(len(ws) - k + 1, 0)):
             bench.add(" ".join(ws[i : i + k]))
-    bench_arr = F.array(*[F.lit(s) for s in sorted(bench)])
-    overlap = F.array_sort(
-        F.array_intersect(shingles_col(text_col, k), bench_arr)
+    spark = docs.sparkSession
+    bench_df = spark.createDataFrame([(s,) for s in sorted(bench)], ["shingle"])
+    words = normalized_words(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    exploded = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle")
+    ).where(F.col("shingle") != "")
+    hits = exploded.join(F.broadcast(bench_df), on="shingle").dropDuplicates(
+        ["doc_id", "shingle"]
     )
     return (
-        ensure_parallelism(docs)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.size(overlap).alias("n_overlap"),
-            F.concat_ws("|", overlap).alias("overlap_shingles"),
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_overlap"),
+            F.concat_ws("|", F.sort_array(F.collect_list("shingle"))).alias(
+                "overlap_shingles"
+            ),
         )
         .where(F.col("n_overlap") >= min_overlap)
     )

@@ -300,12 +300,17 @@ def jaccard_verify_candidates(
     shingle array is built: near-dup members are a sliver of a crawl, so
     the (interpreted, HOF-heavy) array construction runs on that sliver
     only — AQE broadcasts the member-id set while it fits, so the full
-    corpus scan is a broadcast-filtered pass, not a shuffle. The member
-    array table feeds both join sides, hence the persist (self-join
-    lineage would otherwise compute it once per side); ``candidates``
-    feeds the member-id set and the pair join, hence its persist.
+    corpus scan is a broadcast-filtered pass, not a shuffle.
+
+    ``candidates`` feeds two consumers (the member-id set and the pair
+    join) and ``arrays`` feeds two join sides — both are persisted AND
+    eagerly materialized: a lazily-persisted subtree whose two consumer
+    stages launch concurrently under AQE can be computed once PER
+    consumer (the cache dedupes storage, not in-flight computation),
+    which showed up as 2-3x run-to-run variance on the sf0.1 bench.
     """
     candidates = candidates.persist()
+    candidates.count()
     cand_ids = (
         candidates.select(F.col("doc_a").alias(id_col))
         .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
@@ -324,6 +329,7 @@ def jaccard_verify_candidates(
         .where(F.size("sh") > 0)
         .persist()
     )
+    arrays.count()
     a = arrays.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = arrays.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     counted = (

@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
-SCALING_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+SCALING_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 SCALING_CORES = (2, 8)  # N and 4N, inside the box's linear-CPU region
 PAGES_CACHE = f"/tmp/correctocr_bench_pages_{SCALING_DOCS}"
@@ -118,25 +118,29 @@ def run_scaling() -> dict:
     ensure_pages()
     n, n4 = SCALING_CORES
     out = {"n_docs": SCALING_DOCS, "cores": list(SCALING_CORES)}
-    for cores in SCALING_CORES:
-        spark = get_spark(app_name=f"bench-scaling-{cores}", cores=cores,
-                          shuffle_partitions=max(cores * 2, 16))
-        pages = spark.read.parquet(PAGES_CACHE)
-        pipe = _pipeline(spark)
-        # warm up JVM / python workers / broadcasts
-        materialize(pipe.corrected(pages.limit(500), strategy="broadcast"))
-        # timed job: extraction materialized as its own stage boundary;
-        # best-of-N absorbs transient host contention (this VM's
-        # wall-clock noise is ~±15%, see BENCH/BASELINE.md)
-        best = float("inf")
-        for _rep in range(SCALING_REPS):
+    # Reps are INTERLEAVED across the two core counts (2,8,2,8,...): this
+    # VM's host is shared, and a noisy-neighbor window that hits only one
+    # side of a sequential (all-2s then all-8s) layout skews the ratio
+    # even under best-of-N; pairing the runs in time keeps both sides
+    # exposed to the same conditions. Best-of-N per core count absorbs
+    # the remaining transient contention (~±15% wall-clock noise).
+    best = {cores: float("inf") for cores in SCALING_CORES}
+    for _rep in range(SCALING_REPS):
+        for cores in SCALING_CORES:
+            spark = get_spark(app_name=f"bench-scaling-{cores}", cores=cores,
+                              shuffle_partitions=max(cores * 2, 16))
+            pages = spark.read.parquet(PAGES_CACHE)
+            pipe = _pipeline(spark)
+            # warm up JVM / python workers / broadcasts
+            materialize(pipe.corrected(pages.limit(500), strategy="broadcast"))
+            # timed job: extraction materialized as its own stage boundary
             t0 = time.monotonic()
             materialize(pipe.corrected_two_phase(pages, strategy="broadcast"))
-            best = min(best, time.monotonic() - t0)
-            spark.catalog.clearCache()
-        out[f"local{cores}_sec"] = round(best, 2)
-        out[f"local{cores}_docs_per_sec"] = round(SCALING_DOCS / best, 1)
-        spark.stop()
+            best[cores] = min(best[cores], time.monotonic() - t0)
+            spark.stop()
+    for cores in SCALING_CORES:
+        out[f"local{cores}_sec"] = round(best[cores], 2)
+        out[f"local{cores}_docs_per_sec"] = round(SCALING_DOCS / best[cores], 1)
     out["scaling_efficiency"] = round(
         out[f"local{n4}_docs_per_sec"] / (4.0 * out[f"local{n}_docs_per_sec"]), 3
     )

@@ -210,8 +210,12 @@ def lsh_candidate_pairs(
         )
         banded = banded.join(small, on="band_key", how="left_semi")
     # a self-join duplicates unpersisted lineage — without this persist
-    # the whole shingle->minhash aggregation runs twice (once per side)
+    # the whole shingle->minhash aggregation runs twice (once per side);
+    # the count materializes it BEFORE the two join sides launch (a lazy
+    # persist read by two concurrent stages can still compute once per
+    # side — storage dedupes, in-flight computation does not)
     banded = banded.persist()
+    banded.count()
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -447,9 +451,11 @@ def simhash_near_pairs(
             .select("band_key")
         )
         banded = banded.join(small, on="band_key", how="left_semi")
-    # self-join: persist so the 64-column vote aggregation upstream runs
-    # once, not once per join side (measured ~25% on the sf0.1 bench)
+    # self-join: persist + eager count so the 64-column vote aggregation
+    # upstream runs once, not once per join side (measured ~25% on the
+    # sf0.1 bench; the count closes the concurrent-stage race too)
     banded = banded.persist()
+    banded.count()
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -544,10 +550,12 @@ def embedding_dup_pairs_bucketed(
         norm_col(vec_d).alias("norm"),
         hyperplane_bucket(vec_d, planes).alias("bucket"),
     )
-    # self-join shape: persist so the n_planes dot products per vector
-    # run once (at 100 TB the bucket column is precomputed and the table
-    # is bucket-partitioned, making this a plain co-located equi-join)
+    # self-join shape: persist + eager count so the n_planes dot
+    # products per vector run once (at 100 TB the bucket column is
+    # precomputed and the table is bucket-partitioned, making this a
+    # plain co-located equi-join)
     bucketed = bucketed.persist()
+    bucketed.count()
     probed = bucketed.select(
         F.col("id").alias("id_a"),
         F.col("v").alias("va"),

@@ -294,39 +294,18 @@ def q_training_corpus(spark, sf_dir):
     (2) is the canonical (min-id) member of its exact-duplicate group,
     and (3) is the canonical member of its near-dup (MinHash-LSH ->
     connected components) cluster, or in no cluster. Returns the
-    surviving doc ids — the corpus a tokenization run would consume."""
+    surviving doc ids — the corpus a tokenization run would consume.
+    Library form: ops.curate.curated_doc_ids (the `curate` CLI drives
+    the same composition plus sampling + shard packing)."""
     _ship(spark)
-    from pyspark.sql import Window
+    from correctocr_spark.ops.curate import curated_doc_ids
 
-    from correctocr_spark.ops.dedup import (
-        connected_components,
-        lsh_candidate_pairs,
-        minhash_signatures,
-        shingles_df,
-    )
-    from correctocr_spark.ops.textstats import quality_scores
-
-    docs = _t(spark, sf_dir, "documents")
-    quality_ok = quality_scores(docs).where(F.col("quality_score") >= 0.5).select("doc_id")
-
-    w = Window.partitionBy(F.md5("text"))
-    exact_canonical = (
-        docs.withColumn("_keep", F.min("doc_id").over(w))
-        .where(F.col("doc_id") == F.col("_keep"))
-        .select("doc_id")
-    )
-
-    sh = shingles_df(docs, k=SHINGLE_K)
-    sig = minhash_signatures(sh, num_hashes=MINHASH_HASHES)
-    pairs = lsh_candidate_pairs(sig, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS)
-    cc = connected_components(pairs)
-    near_dup_losers = cc.where(F.col("doc_id") != F.col("component")).select("doc_id")
-
-    return (
-        docs.select("doc_id")
-        .join(quality_ok, on="doc_id", how="left_semi")
-        .join(exact_canonical, on="doc_id", how="left_semi")
-        .join(near_dup_losers, on="doc_id", how="left_anti")
+    return curated_doc_ids(
+        _t(spark, sf_dir, "documents"),
+        min_quality=0.5,
+        shingle_k=SHINGLE_K,
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
     )
 
 

@@ -109,6 +109,22 @@ def build_parser() -> argparse.ArgumentParser:
     idx.add_argument("--min-run", type=int, default=2)
     idx.add_argument("--resources", default=_env_default("resources", ""))
 
+    cur = sub.add_parser(
+        "curate",
+        help="corpus curation: quality gate -> dedup canonicals -> "
+             "optional sample -> token-budget shards (training-data prep)",
+    )
+    cur.add_argument("--input", required=True, help="documents parquet (doc_id, text[, lang])")
+    cur.add_argument("--output", required=True, help="curated parquet dir (partitioned by shard if --shard-budget)")
+    cur.add_argument("--min-quality", type=float, default=0.5)
+    cur.add_argument("--sample-rate", type=float, default=None)
+    cur.add_argument("--shard-budget", type=int, default=None,
+                     help="tokens per training shard (two-pass prefix-sum packing)")
+    cur.add_argument("--max-bucket", type=int, default=None,
+                     help="LSH hot-bucket cap (drop boilerplate buckets before the self-join)")
+    cur.add_argument("--id-col", default="doc_id")
+    cur.add_argument("--text-col", default="text")
+
     st = sub.add_parser("stats", help="per-bin metrics; optionally derive settings")
     st.add_argument("--input", required=True, help="pages parquet path")
     st.add_argument("--make-settings", default="",
@@ -328,6 +344,26 @@ def main(argv=None) -> int:
             out.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()
             print(f"index: {n} term runs -> {args.output}")
+        elif args.command == "curate":
+            from .ops.curate import curate
+
+            docs = spark.read.parquet(args.input)
+            out = curate(
+                docs,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                min_quality=args.min_quality,
+                max_bucket=args.max_bucket,
+                sample_rate=args.sample_rate,
+                shard_budget=args.shard_budget,
+            )
+            writer = out.write.mode("overwrite")
+            if args.shard_budget:
+                writer = writer.partitionBy("shard")
+            writer.parquet(args.output)
+            kept = spark.read.parquet(args.output).count()
+            total = docs.count()
+            print(f"curated: kept {kept}/{total} documents -> {args.output}")
         elif args.command == "stats":
             import json as _json
 

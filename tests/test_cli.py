@@ -161,3 +161,39 @@ def test_cli_stats_make_settings(tmp_path, spark):
 
     norm = normalize_settings(settings)  # valid codes, int-coercible bins
     assert set(norm) == set(range(1, 11))
+
+
+@pytest.mark.slow
+def test_cli_curate(tmp_path, spark):
+    """End-to-end curation: quality gate + dedup canonicals + shard
+    packing, written partitioned by shard."""
+    import glob
+
+    rows = []
+    for i in range(20):
+        # unique tokens interleaved with stopwords: quality passes, but
+        # no 3-shingle is shared across docs (no accidental near-dups)
+        text = " ".join(
+            f"w{i}x{j} {sw}" for j, sw in enumerate(
+                ["the", "of", "and", "to", "in", "is", "was", "for", "that", "with"]
+            )
+        )
+        rows.append((i, text, "en"))
+    rows.append((100, rows[0][1], "en"))       # exact dup of doc 0 -> dropped
+    rows.append((101, "x", "en"))              # fails the quality gate
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        str(tmp_path / "docs")
+    )
+    out = str(tmp_path / "curated")
+    r = run_cli(
+        "curate", "--input", str(tmp_path / "docs"), "--output", out,
+        "--shard-budget", "60",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "curated: kept" in r.stdout
+    got = spark.read.parquet(out)
+    ids = {x["doc_id"] for x in got.select("doc_id").collect()}
+    assert 100 not in ids and 101 not in ids     # dup + low-quality dropped
+    assert 0 in ids and len(ids) >= 2            # canonical kept
+    assert got.select("shard").distinct().count() > 1  # actually sharded
+    assert glob.glob(out + "/shard=*/")          # partitioned layout

@@ -642,6 +642,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Near-dup pairs -> dedup GROUPS: connected components by min-label
     propagation WITH POINTER JUMPING — the clustering step between
@@ -669,9 +670,11 @@ def connected_components(
     unpersist marks dependent cached plans for lazy REBUILD from raw
     lineage, and in a self-referencing iterative loop that rebuild is
     exponential in rounds (measured: round 2 at sf0.1 took 297 s
-    uncheckpointed vs sub-second checkpointed). At cluster scale the
-    same role is played by a reliable checkpoint dir or a per-round
-    table round-trip; executor-local checkpoint is the single-JVM twin.
+    uncheckpointed vs sub-second checkpointed). ``reliable_checkpoint``
+    switches to ``DataFrame.checkpoint`` (requires
+    ``sparkContext.setCheckpointDir``) — the cluster-grade form that
+    survives executor loss on a long multi-round job; executor-local
+    checkpoint is the single-JVM default.
 
     Raises ``RuntimeError`` if labels are still changing after
     ``max_iterations`` — silent wrong labels would corrupt every
@@ -725,8 +728,11 @@ def connected_components(
             )
         )
         # eager checkpoint: materialize THIS round and cut lineage (see
-        # class docstring — persist alone compounds exponentially here)
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # docstring — persist alone compounds exponentially here)
+        if reliable_checkpoint:
+            new_labels = new_labels.checkpoint(eager=True)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="id")

@@ -227,3 +227,19 @@ def test_streaming_star_equals_clique_components(spark, tmp_path):
         for r in connected_components(clique, a_col="doc_a", b_col="doc_b").collect()
     }
     assert cc_star == cc_clique == {m: "u://m1" for m in members}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """The cluster-grade checkpoint path (survives executor loss on long
+    multi-round jobs) produces identical labels."""
+    from correctocr_spark.ops.dedup import connected_components
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ck"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, reliable_checkpoint=True).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

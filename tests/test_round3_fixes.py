@@ -243,3 +243,38 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         for r in connected_components(pairs, reliable_checkpoint=True).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+# ---------------------------------------------------------------------------
+# parallelism + pruning plan pins for the round-3 perf work
+# ---------------------------------------------------------------------------
+
+
+def test_ensure_parallelism_repartitions_small_scans_only(spark):
+    """The compute-dense dedup projections must not serialize onto the
+    scan's partition count (ONE split for a small local file) — and must
+    stay a NO-OP when the input already has enough splits (the cluster
+    case), so the text shuffle is never paid where it would hurt."""
+    from correctocr_spark.ops.dedup import ensure_parallelism
+
+    one_part = spark.createDataFrame([(i, "x") for i in range(10)],
+                                     "doc_id long, text string").coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    assert ensure_parallelism(one_part).rdd.getNumPartitions() == target
+
+    wide = spark.createDataFrame([(i, "x") for i in range(10)],
+                                 "doc_id long, text string").repartition(target + 2)
+    out = ensure_parallelism(wide)
+    assert out is wide  # untouched: no extra shuffle at cluster scale
+
+
+def test_new_query_scan_pruning(spark, sf_dir):
+    """Column pruning reaches the parquet scan for the curation queries:
+    a 2-column projection must not read the text column."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["sample_stratified"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan and "text" not in scan[0], scan
+    assert "doc_id" in scan[0] and "lang" in scan[0], scan

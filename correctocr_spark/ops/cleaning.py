@@ -228,6 +228,7 @@ def pack_shards(
     docs: DataFrame,
     budget: int,
     bucket_size: int = 1024,
+    max_buckets: int = 65536,
     id_col: str = "doc_id",
     text_col: str = "text",
     tokens_col: Optional[str] = None,
@@ -249,16 +250,36 @@ def pack_shards(
     Identical values to the global-window form (the DuckDB oracle twin),
     with no partitionless window anywhere in the plan (pinned by
     test_pack_shards_no_global_window).
+
+    The bucket width AUTO-WIDENS so the driver never holds more than
+    ``max_buckets`` offset rows: with the fixed default width a 10¹²-id
+    corpus would collect 10⁹ bucket sums — the exact unbounded-driver
+    shape this operator exists to avoid. Widening is semantics-free (the
+    two-pass result equals the global cumsum at ANY width); it only
+    trades per-bucket window size against driver rows.
     """
+    import math
+
     n_tokens = (
         F.col(tokens_col)
         if tokens_col
         else F.size(normalized_words(text_col)).cast("long")
     )
+    bounds = docs.agg(
+        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    ).first()
+    if bounds["lo"] is None:  # empty corpus: keep the output shape
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            n_tokens.alias("n_tokens"),
+            F.lit(None).cast("long").alias("shard"),
+        )
+    span = int(bounds["hi"]) - int(bounds["lo"]) + 1
+    width = max(bucket_size, math.ceil(span / max_buckets))
     d = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         n_tokens.alias("n_tokens"),
-        F.floor(F.col(id_col) / bucket_size).alias("_bucket"),
+        F.floor((F.col(id_col) - int(bounds["lo"])) / width).alias("_bucket"),
     )
     totals = {
         r["_bucket"]: r["_tot"]

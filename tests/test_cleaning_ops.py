@@ -192,3 +192,23 @@ def test_pack_shards_values_and_plan(spark):
     win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
     assert win_lines, plan
     assert all("_bucket" in ln for ln in win_lines), plan
+
+
+def test_pack_shards_driver_bounded_for_sparse_ids(spark):
+    """Huge sparse ids must not explode the driver-side offset table:
+    the bucket width auto-widens to max_buckets, and the result still
+    equals the sequential greedy packing."""
+    from correctocr_spark.ops.cleaning import pack_shards
+
+    ids = [10**12 + 7, 3 * 10**12, 5 * 10**12 + 1, 9 * 10**12]
+    toks = [60, 50, 70, 40]
+    docs = spark.createDataFrame(
+        [(i, "w " * n) for i, n in zip(ids, toks)], "doc_id long, text string"
+    )
+    out = pack_shards(docs, budget=100, bucket_size=1024, max_buckets=8)
+    got = {r["doc_id"]: r["shard"] for r in out.collect()}
+    run, expected = 0, {}
+    for i, n in zip(sorted(ids), toks):
+        expected[i] = run // 100
+        run += n
+    assert got == expected

@@ -547,6 +547,33 @@ def q_link_extract(spark, sf_dir):
     return extract_links(_linked_pages(spark, sf_dir))
 
 
+def _synth_edges(spark, sf_dir):
+    """Deterministic 50-node synthetic link graph derived from doc ids
+    (the documents table has no real cross-links) — same construction in
+    the oracle SQL."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 50).alias("dst"),
+    )
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration integer PageRank (exact arithmetic — engine- and
+    reduction-order-independent, hence hash-oracle-checkable)."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import pagerank
+
+    return pagerank(_synth_edges(spark, sf_dir), iterations=5)
+
+
+def q_in_degree(spark, sf_dir):
+    _ship(spark)
+    from correctocr_spark.ops.graph import in_degrees
+
+    return in_degrees(_synth_edges(spark, sf_dir))
+
+
 def q_pack_shards(spark, sf_dir):
     """Token-budget shard packing via the two-pass distributed prefix
     sum (no partitionless global window; driver holds only the tiny
@@ -918,6 +945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": q_corpus_rollup,
         "link_extract": q_link_extract,
         "pack_shards": q_pack_shards,
+        "pagerank": q_pagerank,
+        "in_degree": q_in_degree,
         # multimodal plumbing
         "media_features": q_media_features,
         # JSON scalar functions
@@ -1288,6 +1317,34 @@ def _link_sql() -> str:
     )
 
 
+_EDGES_SQL = (
+    "SELECT (doc_id % 50) AS src, ((doc_id * 7 + 3) % 50) AS dst FROM documents"
+)
+
+
+def _pagerank_sql(iterations: int = 5) -> str:
+    base, damping, init = 150_000, 85, 1_000_000
+    sql = f"""
+        WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        outdeg AS (SELECT src, count(*)::BIGINT AS od FROM e GROUP BY 1),
+        r0 AS (SELECT node, {init}::BIGINT AS rank FROM nodes)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+        r{i} AS (
+            SELECT n.node,
+                   ({base} + ({damping} * COALESCE(s.inc, 0)) // 100)::BIGINT AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank // o.od) AS inc
+                FROM e JOIN r{i-1} r ON r.node = e.src
+                       JOIN outdeg o ON o.src = e.src
+                GROUP BY 1
+            ) s ON s.node = n.node
+        )"""
+    sql += f"\n        SELECT node, rank FROM r{iterations}"
+    return sql
+
+
 def _ann_sql_parts():
     """Query-vector-dependent SQL uses a scalar subquery on vec_id=0."""
     cos = (
@@ -1602,6 +1659,11 @@ def oracle_sql() -> dict[str, str]:
                    floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
                           - n_tokens) / 2000)::BIGINT AS shard
             FROM d
+        """,
+        "pagerank": _pagerank_sql(5),
+        "in_degree": f"""
+            WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL}))
+            SELECT dst AS node, count(*)::BIGINT AS in_degree FROM e GROUP BY 1
         """,
         "fingerprint": """
             SELECT doc_id,

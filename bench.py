@@ -71,6 +71,7 @@ HEADLINE = [
     "corpus_rollup",
     "link_extract",
     "pack_shards",
+    "pagerank",
     "dedup_exact",
     "dup_spans",
     "dedup_groups",

@@ -39,6 +39,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
 SCALING_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+QUERY_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "2"))
 SCALING_CORES = (2, 8)  # N and 4N, inside the box's linear-CPU region
 PAGES_CACHE = f"/tmp/correctocr_bench_pages_{SCALING_DOCS}"
 
@@ -158,17 +159,24 @@ def main() -> None:
     queries = entry_mod.queries()
     timings = {}
     for name in HEADLINE:
-        # t0 BEFORE query construction: some constructors run driver-side
-        # actions (connected-components fixpoint rounds, the ANN query
-        # vector fetch) — those are part of the query's true cost
-        t0 = time.monotonic()
-        df = queries[name](spark, SF_DIR)
-        materialize(df)
-        timings[name] = round(time.monotonic() - t0, 3)
-        # queries persist intermediates (banded tables etc.); drop them so
-        # each timing is independent and later queries don't fight an
-        # accumulating cache for executor memory
-        spark.catalog.clearCache()
+        # best-of-N with the cache cleared between reps: each rep is an
+        # independent cold-cache measurement, and the min absorbs this
+        # shared host's one-off stalls (observed: a 5 s query reading
+        # 59 s in a single-shot window while isolated reruns stayed at
+        # 5-6 s). t0 sits BEFORE query construction — some constructors
+        # run driver-side actions (connected-components rounds, eager
+        # candidate materialization) that are part of the true cost.
+        best = float("inf")
+        for _rep in range(QUERY_REPS):
+            t0 = time.monotonic()
+            df = queries[name](spark, SF_DIR)
+            materialize(df)
+            best = min(best, time.monotonic() - t0)
+            # queries persist intermediates (banded tables etc.); drop
+            # them so reps are independent and later queries don't fight
+            # an accumulating cache for executor memory
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
     spark.stop()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")

@@ -558,6 +558,30 @@ def _synth_edges(spark, sf_dir):
     )
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization over deterministically injected URLs (mixed
+    case, default ports, tracking params, fragments) — the URL-dedup /
+    frontier normalization pass; the oracle injects identically."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import canonicalize_urls
+
+    d = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("HTTPS://Example"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Path/"),
+        d,
+        F.lit("?utm_source=x&id="),
+        d,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("&utm_campaign=y")).otherwise(F.lit("")),
+        F.lit("#frag"),
+    )
+    pages = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return canonicalize_urls(pages, id_col="doc_id")
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration integer PageRank (exact arithmetic — engine- and
     reduction-order-independent, hence hash-oracle-checkable)."""
@@ -947,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "pagerank": q_pagerank,
         "in_degree": q_in_degree,
+        "url_canonical": q_url_canonical,
         # multimodal plumbing
         "media_features": q_media_features,
         # JSON scalar functions
@@ -1345,6 +1370,51 @@ def _pagerank_sql(iterations: int = 5) -> str:
     return sql
 
 
+def _url_canonical_sql() -> str:
+    from correctocr_spark.ops.cleaning import TRACKING_PARAM_RE
+
+    inject = (
+        "'HTTPS://Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM' || "
+        "(CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) || "
+        "'/Path/' || CAST(doc_id AS VARCHAR) || "
+        "'?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || "
+        "(CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=y' ELSE '' END) || '#frag'"
+    )
+    return f"""
+        WITH pages AS (SELECT doc_id, {inject} AS url FROM documents),
+        steps AS (
+            SELECT doc_id, trim(url) AS u,
+                   regexp_replace(trim(url), '#.*', '', 'g') AS nofrag
+            FROM pages
+        ),
+        parts AS (
+            SELECT doc_id, u,
+                   lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS hostport,
+                   regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*(.*)', 1) AS rest
+            FROM steps
+        ),
+        norm AS (
+            SELECT doc_id, u, scheme,
+                   CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                        WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                        ELSE hostport END AS host,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
+                       '{TRACKING_PARAM_RE}', '', 'g'),
+                       '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$', '', 'g') AS r4
+            FROM parts
+        )
+        SELECT doc_id, u AS url,
+               CASE WHEN scheme = '' THEN u
+                    ELSE scheme || '://' || host ||
+                         (CASE WHEN r4 = '' THEN '/'
+                               WHEN r4 LIKE '?%' THEN '/' || r4
+                               ELSE r4 END)
+               END AS canonical_url
+        FROM norm
+    """
+
+
 def _ann_sql_parts():
     """Query-vector-dependent SQL uses a scalar subquery on vec_id=0."""
     cos = (
@@ -1661,6 +1731,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "pagerank": _pagerank_sql(5),
+        "url_canonical": _url_canonical_sql(),
         "in_degree": f"""
             WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL}))
             SELECT dst AS node, count(*)::BIGINT AS in_degree FROM e GROUP BY 1

@@ -73,6 +73,7 @@ HEADLINE = [
     "link_extract",
     "pack_shards",
     "pagerank",
+    "url_canonical",
     "dedup_exact",
     "dup_spans",
     "dedup_groups",

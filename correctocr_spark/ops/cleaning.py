@@ -307,6 +307,60 @@ def pack_shards(
     )
 
 
+#: tracking query parameters stripped by URL canonicalization
+TRACKING_PARAM_RE = r"(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*"
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_REST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)"
+
+
+def canonical_url_col(url):
+    """Canonical URL as one column expression — the crawl-frontier /
+    URL-dedup normalization pass. Rules (each a deterministic regex step,
+    so Spark and the SQL oracle agree byte-for-byte):
+
+    1. fragment stripped; 2. scheme + host lowercased (path/query case
+    preserved — they are case-sensitive); 3. default ports dropped
+    (``:80`` for http, ``:443`` for https); 4. tracking parameters
+    removed (``utm_*``, ``gclid``, ``fbclid``) with separators tidied;
+    5. empty path becomes ``/``. Unparseable inputs (no ``scheme://``)
+    pass through trimmed — canonicalization must never destroy a key.
+    """
+    u = F.trim(url)
+    nofrag = F.regexp_replace(u, r"#.*", "")
+    scheme = F.lower(F.regexp_extract(nofrag, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(nofrag, _HOSTPORT_RE, 1))
+    rest = F.regexp_extract(nofrag, _REST_RE, 1)
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    r1 = F.regexp_replace(rest, TRACKING_PARAM_RE, "")
+    r2 = F.regexp_replace(r1, r"&&+", "&")      # collapse doubled separators
+    r3 = F.regexp_replace(r2, r"\?&", "?")      # '?&id=' -> '?id='
+    r4 = F.regexp_replace(r3, r"[?&]+$", "")    # trailing empty query
+    path = F.when(r4 == "", F.lit("/")).when(
+        r4.startswith("?"), F.concat(F.lit("/"), r4)
+    ).otherwise(r4)
+    return F.when(
+        scheme == "", u
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path))
+
+
+def canonicalize_urls(
+    pages: DataFrame, url_col: str = "url", id_col: Optional[str] = None
+) -> DataFrame:
+    """(url, canonical_url) projection — scan-speed, no shuffle; group by
+    ``canonical_url`` downstream for URL-level dedup."""
+    cols = [F.col(id_col).alias("doc_id")] if id_col else []
+    return ensure_parallelism(pages).select(
+        *cols,
+        F.col(url_col).alias("url"),
+        canonical_url_col(F.col(url_col)).alias("canonical_url"),
+    )
+
+
 #: link extraction — RE2∩Java-safe: no lazy quantifiers, anchor text via
 #: [^<]* (flat anchors; nested-markup anchors are the HTML kernel's job)
 A_TAG_RE = r'<a [^>]*href="[^"]+"[^>]*>[^<]*</a>'

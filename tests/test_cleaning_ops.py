@@ -212,3 +212,24 @@ def test_pack_shards_driver_bounded_for_sparse_ids(spark):
         expected[i] = run // 100
         run += n
     assert got == expected
+
+
+def test_canonical_url_crafted(spark):
+    from correctocr_spark.ops.cleaning import canonicalize_urls
+
+    pages = spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.Example.COM:80/A/b?utm_source=x&q=1&fbclid=zz#frag"),
+            (2, "https://site.org:443"),
+            (3, "https://site.org/path?utm_campaign=only"),
+            (4, "not a url at all"),
+            (5, "  http://Host.net/KeepCase?gclid=1&x=2  "),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r["canonical_url"] for r in canonicalize_urls(pages, id_col="doc_id").collect()}
+    assert got[1] == "http://www.example.com/A/b?q=1"
+    assert got[2] == "https://site.org/"
+    assert got[3] == "https://site.org/path"
+    assert got[4] == "not a url at all"       # unparseable passes through
+    assert got[5] == "http://host.net/KeepCase?x=2"  # trimmed, path case kept

@@ -278,3 +278,54 @@ def test_new_query_scan_pruning(spark, sf_dir):
     scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert scan and "text" not in scan[0], scan
     assert "doc_id" in scan[0] and "lang" in scan[0], scan
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash-LSH index
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_index_incremental(spark, tmp_path):
+    """Index snapshot A, then query snapshot B: the incremental
+    candidate set must equal a FULL recompute over A ∪ B restricted to
+    pairs that involve a B document — without re-banding A."""
+    from correctocr_spark.ops.dedup import (
+        MinHashIndex,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles_df,
+    )
+
+    base1 = "the quick brown fox jumps over the lazy dog again and again today"
+    base2 = "completely different text about spark shuffles and physical plans"
+    snap_a = spark.createDataFrame(
+        [(1, base1), (2, base2), (3, "unrelated words only here nothing shared at all")],
+        "doc_id long, text string",
+    )
+    snap_b = spark.createDataFrame(
+        [
+            (10, base1.replace("lazy", "sleepy")),   # near-dup of A doc 1
+            (11, base2),                              # exact dup of A doc 2
+            (12, base1.replace("lazy", "sleepy")),   # near-dup within B of 10
+            (13, "fresh snapshot content with no relatives anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+
+    idx = MinHashIndex(spark, str(tmp_path / "index"), k=3, num_hashes=8, bands=4)
+    idx.add(snap_a)
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in idx.candidate_pairs(snap_b).collect()
+    }
+
+    full = lsh_candidate_pairs(
+        minhash_signatures(shingles_df(snap_a.unionByName(snap_b), k=3), 8), 8, 4
+    )
+    b_ids = {10, 11, 12, 13}
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in full.collect()
+        if r["doc_a"] in b_ids or r["doc_b"] in b_ids
+    }
+    assert got == expected and len(got) >= 3  # (1,10),(2,11),(10,12) at least
+    spark.catalog.clearCache()

@@ -558,6 +558,32 @@ def _synth_edges(spark, sf_dir):
     )
 
 
+def q_canonical_by_quality(spark, sf_dir):
+    """Quality-elected canonical per near-dup cluster (keep the clean
+    mirror, not the boilerplate-ridden one)."""
+    _ship(spark)
+    from correctocr_spark.ops.curate import canonical_by_quality
+    from correctocr_spark.ops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles_df(docs, k=SHINGLE_K)
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes=MINHASH_HASHES),
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+    )
+    out = canonical_by_quality(docs, pairs)
+    return out.select(
+        F.col("component").cast("long").alias("component"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "quality_score",
+    )
+
+
 def q_url_canonical(spark, sf_dir):
     """URL canonicalization over deterministically injected URLs (mixed
     case, default ports, tracking params, fragments) — the URL-dedup /
@@ -972,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "in_degree": q_in_degree,
         "url_canonical": q_url_canonical,
+        "canonical_by_quality": q_canonical_by_quality,
         # multimodal plumbing
         "media_features": q_media_features,
         # JSON scalar functions
@@ -1732,6 +1759,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(5),
         "url_canonical": _url_canonical_sql(),
+        "canonical_by_quality": f"""
+            WITH RECURSIVE pairs AS (SELECT * FROM ({_minhash_sql()})),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            reach(node, label) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            cc AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node),
+            q AS (SELECT doc_id, quality_score FROM ({_quality_sql()})),
+            m AS (SELECT cc.doc_id, cc.component, q.quality_score FROM cc JOIN q USING (doc_id)),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY component ORDER BY quality_score DESC, doc_id ASC
+                ) AS rn
+                FROM m
+            )
+            SELECT component::BIGINT AS component, doc_id::BIGINT AS canonical_id,
+                   quality_score
+            FROM r WHERE rn = 1
+        """,
         "in_degree": f"""
             WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL}))
             SELECT dst AS node, count(*)::BIGINT AS in_degree FROM e GROUP BY 1

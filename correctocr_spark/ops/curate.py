@@ -70,6 +70,34 @@ def curated_doc_ids(
     )
 
 
+def canonical_by_quality(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per near-dup cluster, elect the HIGHEST-QUALITY member (ties ->
+    min doc_id) — the production alternative to min-id canonicals: when
+    a page exists as a clean mirror and a boilerplate-ridden one, keep
+    the clean copy. One cluster-keyed window over the (tiny) cluster
+    member set; returns (component, canonical_id, quality_score)."""
+    cc = connected_components(pairs)
+    q = quality_scores(docs, id_col=id_col, text_col=text_col).select(
+        "doc_id", "quality_score"
+    )
+    member = cc.join(q, on="doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        member.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            "component", F.col("doc_id").alias("canonical_id"), "quality_score"
+        )
+    )
+
+
 def curate(
     docs: DataFrame,
     id_col: str = "doc_id",

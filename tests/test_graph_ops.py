@@ -37,3 +37,27 @@ def test_in_degrees(spark):
     )
     got = {r["node"]: r["in_degree"] for r in in_degrees(df).collect()}
     assert got == {2: 2, 1: 1}  # duplicate edge counted once
+
+
+def test_canonical_by_quality_crafted(spark):
+    """The elected canonical is the highest-quality cluster member, not
+    the min id."""
+    from correctocr_spark.ops.curate import canonical_by_quality
+
+    good = ("the quick brown fox jumps over the lazy dog and then rests "
+            "for a while in the shade of an old tree")
+    docs = spark.createDataFrame(
+        [
+            (1, "x!!! ??? !!!"),     # low quality, min id
+            (2, good),               # high quality
+            (3, good + " today"),    # high quality too (longer)
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    got = canonical_by_quality(docs, pairs).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row["component"] == 1          # min-id labels the cluster...
+    assert row["canonical_id"] in (2, 3)  # ...but a high-quality doc wins
+    assert row["canonical_id"] != 1

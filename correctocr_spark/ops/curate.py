@@ -35,12 +35,17 @@ def curated_doc_ids(
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket: Optional[int] = None,
+    canonical: str = "min_id",
 ) -> DataFrame:
-    """Surviving doc ids: quality >= min_quality AND canonical (min-id)
-    member of both its exact-duplicate group and its near-dup cluster.
-    Shapes: one window keyed by content hash (exact), the banded LSH
-    self-join + O(log d) label propagation (near), three semi/anti
-    joins to combine — no driver-side data beyond CC's round counts."""
+    """Surviving doc ids: quality >= min_quality AND canonical member of
+    both its exact-duplicate group and its near-dup cluster. Shapes: one
+    window keyed by content hash (exact), the banded LSH self-join +
+    O(log d) label propagation (near), three semi/anti joins to combine
+    — no driver-side data beyond CC's round counts.
+
+    ``canonical``: ``"min_id"`` (the oracle contract — lowest id wins)
+    or ``"quality"`` (the highest-quality cluster member survives, via
+    :func:`canonical_by_quality` over the same labels)."""
     quality_ok = (
         quality_scores(docs, id_col=id_col, text_col=text_col)
         .where(F.col("quality_score") >= min_quality)
@@ -60,7 +65,17 @@ def curated_doc_ids(
         sig, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
     )
     cc = connected_components(pairs)
-    near_dup_losers = cc.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    if canonical == "quality":
+        elected = canonical_by_quality(
+            docs, pairs, id_col=id_col, text_col=text_col, cc=cc
+        ).select(F.col("canonical_id").alias("doc_id"))
+        near_dup_losers = cc.select("doc_id").join(
+            elected, on="doc_id", how="left_anti"
+        )
+    else:
+        near_dup_losers = cc.where(F.col("doc_id") != F.col("component")).select(
+            "doc_id"
+        )
 
     return (
         docs.select(F.col(id_col).alias("doc_id"))
@@ -75,13 +90,17 @@ def canonical_by_quality(
     pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cc: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Per near-dup cluster, elect the HIGHEST-QUALITY member (ties ->
     min doc_id) — the production alternative to min-id canonicals: when
     a page exists as a clean mirror and a boilerplate-ridden one, keep
     the clean copy. One cluster-keyed window over the (tiny) cluster
-    member set; returns (component, canonical_id, quality_score)."""
-    cc = connected_components(pairs)
+    member set; returns (component, canonical_id, quality_score).
+    Pass precomputed ``cc`` labels to avoid re-running the propagation
+    (curated_doc_ids does)."""
+    if cc is None:
+        cc = connected_components(pairs)
     q = quality_scores(docs, id_col=id_col, text_col=text_col).select(
         "doc_id", "quality_score"
     )
@@ -111,6 +130,7 @@ def curate(
     sample_rates: Optional[Dict[str, float]] = None,
     stratify_col: str = "lang",
     shard_budget: Optional[int] = None,
+    canonical: str = "min_id",
 ) -> DataFrame:
     """Full curation: filter to surviving docs, optionally sample,
     optionally assign token-budget shards. Returns the curated documents
@@ -124,6 +144,7 @@ def curate(
         num_hashes=num_hashes,
         bands=bands,
         max_bucket=max_bucket,
+        canonical=canonical,
     ).withColumnRenamed("doc_id", id_col)
     out = docs.join(keep, on=id_col, how="left_semi")
     if sample_rate is not None or sample_rates:

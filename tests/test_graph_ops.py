@@ -61,3 +61,36 @@ def test_canonical_by_quality_crafted(spark):
     assert row["component"] == 1          # min-id labels the cluster...
     assert row["canonical_id"] in (2, 3)  # ...but a high-quality doc wins
     assert row["canonical_id"] != 1
+
+
+def test_curated_doc_ids_quality_canonical(spark):
+    """canonical='quality' keeps the cluster's best doc instead of the
+    lowest id; 'min_id' stays the oracle contract."""
+    from correctocr_spark.ops.curate import curated_doc_ids
+
+    good = ("the quick brown fox jumps over the lazy dog and then rests "
+            "for a while in the shade of an old tree near the river")
+    # one appended punct-only token: punct_ratio blows past 0.2 (quality
+    # drops a band) while ~90% of shingles stay shared with doc 2
+    noisy = good + " " + "!?;" * 20
+    docs = spark.createDataFrame(
+        [
+            (1, noisy, "en"),            # same cluster as 2, worse quality
+            (2, good + " today", "en"),
+            (3, "standalone doc with plenty of good the of and to words here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    by_id = {
+        r["doc_id"]
+        for r in curated_doc_ids(docs, min_quality=0.0, canonical="min_id").collect()
+    }
+    by_q = {
+        r["doc_id"]
+        for r in curated_doc_ids(docs, min_quality=0.0, canonical="quality").collect()
+    }
+    # docs 1 and 2 are near-dups (shared long base): min_id keeps 1,
+    # quality keeps 2; the standalone doc survives either way
+    assert 3 in by_id and 3 in by_q
+    assert by_id == {1, 3}
+    assert by_q == {2, 3}

@@ -598,6 +598,9 @@ def q_url_canonical(spark, sf_dir):
         F.lit(".COM"),
         F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
         F.lit("/Path/"),
+        # a PATH segment that merely looks like a tracking param — must
+        # survive canonicalization (query-only stripping)
+        F.when(F.col("doc_id") % 7 == 0, F.lit("fbclid=data/")).otherwise(F.lit("")),
         d,
         F.lit("?utm_source=x&id="),
         d,
@@ -1403,7 +1406,9 @@ def _url_canonical_sql() -> str:
     inject = (
         "'HTTPS://Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM' || "
         "(CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) || "
-        "'/Path/' || CAST(doc_id AS VARCHAR) || "
+        "'/Path/' || "
+        "(CASE WHEN doc_id % 7 = 0 THEN 'fbclid=data/' ELSE '' END) || "
+        "CAST(doc_id AS VARCHAR) || "
         "'?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || "
         "(CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=y' ELSE '' END) || '#frag'"
     )
@@ -1422,11 +1427,15 @@ def _url_canonical_sql() -> str:
             FROM steps
         ),
         norm AS (
+            -- tracking-param strip on the QUERY STRING only (split at the
+            -- first '?'); path segments that look like params survive
             SELECT doc_id, u, scheme,
                    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
                         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
                         ELSE hostport END AS host,
-                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
+                   regexp_extract(rest, '^([^?]*)', 1) ||
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_extract(rest, '(\\?.*)$', 1),
                        '{TRACKING_PARAM_RE}', '', 'g'),
                        '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$', '', 'g') AS r4
             FROM parts

@@ -122,6 +122,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="tokens per training shard (two-pass prefix-sum packing)")
     cur.add_argument("--max-bucket", type=int, default=None,
                      help="LSH hot-bucket cap (drop boilerplate buckets before the self-join)")
+    cur.add_argument("--index-dir", default="",
+                     help="persistent MinHash band index dir: curate this input as an "
+                          "INCREMENT (near-dups vs the index dropped, O(increment) "
+                          "banding) and append it to the index afterwards")
     cur.add_argument("--id-col", default="doc_id")
     cur.add_argument("--text-col", default="text")
 
@@ -356,6 +360,7 @@ def main(argv=None) -> int:
                 max_bucket=args.max_bucket,
                 sample_rate=args.sample_rate,
                 shard_budget=args.shard_budget,
+                index_path=args.index_dir or None,
             )
             writer = out.write.mode("overwrite")
             if args.shard_budget:

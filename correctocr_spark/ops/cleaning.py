@@ -203,22 +203,37 @@ def corpus_rollup(
     docs: DataFrame,
     strat_col: str = "lang",
     text_col: str = "text",
+    approx: bool = False,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
-    """Per-stratum corpus statistics: doc/word totals + exact word-count
-    quantiles (linear-interpolated ``percentile`` — exact, not the
-    approx sketch, so the numbers are decision-grade and cross-engine
-    reproducible; at 100 TB swap in ``percentile_approx`` per partition
-    budget). One partial-agg shuffle keyed by the stratum."""
+    """Per-stratum corpus statistics: doc/word totals + word-count
+    quantiles. One partial-agg shuffle keyed by the stratum.
+
+    ``approx=False`` (default, the oracle contract): exact
+    linear-interpolated ``percentile`` — decision-grade and
+    cross-engine reproducible, but the exact aggregator BUFFERS every
+    value per group, so a 10¹²-doc stratum would hold 10¹² longs in one
+    aggregation buffer. ``approx=True`` is the 100 TB form: the
+    ``percentile_approx`` t-digest-style sketch with bounded memory
+    (O(accuracy) per group) and map-side partial merge; rank error is
+    ≤ 1/``approx_accuracy`` (pinned within tolerance of the exact twin
+    by test_corpus_rollup_approx)."""
     n_words = F.size(normalized_words(text_col))
     per_doc = ensure_parallelism(docs).select(
         F.col(strat_col).alias("stratum"), n_words.alias("n_words")
     )
+    if approx:
+        median = F.percentile_approx("n_words", 0.5, approx_accuracy).cast("double")
+        p90 = F.percentile_approx("n_words", 0.9, approx_accuracy).cast("double")
+    else:
+        median = F.expr("percentile(n_words, 0.5)")
+        p90 = F.expr("percentile(n_words, 0.9)")
     return per_doc.groupBy("stratum").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").alias("total_words"),
         F.round(F.avg("n_words"), 6).alias("mean_words"),
-        F.round(F.expr("percentile(n_words, 0.5)"), 6).alias("median_words"),
-        F.round(F.expr("percentile(n_words, 0.9)"), 6).alias("p90_words"),
+        F.round(median, 6).alias("median_words"),
+        F.round(p90, 6).alias("p90_words"),
         F.min("n_words").cast("long").alias("min_words"),
         F.max("n_words").cast("long").alias("max_words"),
     )
@@ -322,7 +337,9 @@ def canonical_url_col(url):
     1. fragment stripped; 2. scheme + host lowercased (path/query case
     preserved — they are case-sensitive); 3. default ports dropped
     (``:80`` for http, ``:443`` for https); 4. tracking parameters
-    removed (``utm_*``, ``gclid``, ``fbclid``) with separators tidied;
+    removed (``utm_*``, ``gclid``, ``fbclid``) from the QUERY STRING
+    ONLY — a path segment like ``/fbclid=abc/rest`` is data, not a
+    tracking param, and must survive — with separators tidied;
     5. empty path becomes ``/``. Unparseable inputs (no ``scheme://``)
     pass through trimmed — canonicalization must never destroy a key.
     """
@@ -336,10 +353,16 @@ def canonical_url_col(url):
         .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
         .otherwise(hostport)
     )
-    r1 = F.regexp_replace(rest, TRACKING_PARAM_RE, "")
-    r2 = F.regexp_replace(r1, r"&&+", "&")      # collapse doubled separators
-    r3 = F.regexp_replace(r2, r"\?&", "?")      # '?&id=' -> '?id='
-    r4 = F.regexp_replace(r3, r"[?&]+$", "")    # trailing empty query
+    # split path / query at the first '?': tracking-param stripping (and
+    # its separator tidy-up) applies to the query alone, so a '?'-free
+    # path that merely LOOKS like params is untouched
+    path_part = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query_part = F.regexp_extract(rest, r"(\?.*)$", 1)  # '' when no query
+    q1 = F.regexp_replace(query_part, TRACKING_PARAM_RE, "")
+    q2 = F.regexp_replace(q1, r"&&+", "&")      # collapse doubled separators
+    q3 = F.regexp_replace(q2, r"\?&", "?")      # '?&id=' -> '?id='
+    q4 = F.regexp_replace(q3, r"[?&]+$", "")    # trailing empty query
+    r4 = F.concat(path_part, q4)
     path = F.when(r4 == "", F.lit("/")).when(
         r4.startswith("?"), F.concat(F.lit("/"), r4)
     ).otherwise(r4)

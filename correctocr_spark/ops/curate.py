@@ -46,11 +46,18 @@ def curated_doc_ids(
     ``canonical``: ``"min_id"`` (the oracle contract — lowest id wins)
     or ``"quality"`` (the highest-quality cluster member survives, via
     :func:`canonical_by_quality` over the same labels)."""
-    quality_ok = (
-        quality_scores(docs, id_col=id_col, text_col=text_col)
-        .where(F.col("quality_score") >= min_quality)
-        .select("doc_id")
+    q = quality_scores(docs, id_col=id_col, text_col=text_col).select(
+        "doc_id", "quality_score"
     )
+    if canonical == "quality":
+        # the score table feeds BOTH the gate and the canonical election
+        # — persist + eager count so the interpreted HOF-heavy quality
+        # projection scans the corpus ONCE, not once per consumer
+        # (an eagerly-materialized persist is read by both; a lazy one
+        # can still compute per concurrently-launching consumer stage)
+        q = q.persist()
+        q.count()
+    quality_ok = q.where(F.col("quality_score") >= min_quality).select("doc_id")
 
     w = Window.partitionBy(F.md5(F.col(text_col)))
     exact_canonical = (
@@ -67,7 +74,7 @@ def curated_doc_ids(
     cc = connected_components(pairs)
     if canonical == "quality":
         elected = canonical_by_quality(
-            docs, pairs, id_col=id_col, text_col=text_col, cc=cc
+            docs, pairs, id_col=id_col, text_col=text_col, cc=cc, quality_df=q
         ).select(F.col("canonical_id").alias("doc_id"))
         near_dup_losers = cc.select("doc_id").join(
             elected, on="doc_id", how="left_anti"
@@ -91,19 +98,23 @@ def canonical_by_quality(
     id_col: str = "doc_id",
     text_col: str = "text",
     cc: Optional[DataFrame] = None,
+    quality_df: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Per near-dup cluster, elect the HIGHEST-QUALITY member (ties ->
     min doc_id) — the production alternative to min-id canonicals: when
     a page exists as a clean mirror and a boilerplate-ridden one, keep
     the clean copy. One cluster-keyed window over the (tiny) cluster
     member set; returns (component, canonical_id, quality_score).
-    Pass precomputed ``cc`` labels to avoid re-running the propagation
-    (curated_doc_ids does)."""
+    Pass precomputed ``cc`` labels / ``quality_df`` scores to avoid
+    re-running the propagation / re-scanning the corpus for the quality
+    projection (curated_doc_ids passes both)."""
     if cc is None:
         cc = connected_components(pairs)
-    q = quality_scores(docs, id_col=id_col, text_col=text_col).select(
-        "doc_id", "quality_score"
-    )
+    q = (
+        quality_df
+        if quality_df is not None
+        else quality_scores(docs, id_col=id_col, text_col=text_col)
+    ).select("doc_id", "quality_score")
     member = cc.join(q, on="doc_id")
     w = Window.partitionBy("component").orderBy(
         F.desc("quality_score"), F.asc("doc_id")
@@ -131,33 +142,174 @@ def curate(
     stratify_col: str = "lang",
     shard_budget: Optional[int] = None,
     canonical: str = "min_id",
+    index_path: Optional[str] = None,
 ) -> DataFrame:
     """Full curation: filter to surviving docs, optionally sample,
     optionally assign token-budget shards. Returns the curated documents
-    (all original columns) plus ``n_tokens``/``shard`` when packing."""
-    keep = curated_doc_ids(
-        docs,
-        id_col=id_col,
-        text_col=text_col,
-        min_quality=min_quality,
-        shingle_k=shingle_k,
-        num_hashes=num_hashes,
-        bands=bands,
-        max_bucket=max_bucket,
-        canonical=canonical,
-    ).withColumnRenamed("doc_id", id_col)
-    out = docs.join(keep, on=id_col, how="left_semi")
+    (all original columns) plus ``n_tokens``/``shard`` when packing.
+
+    With ``index_path`` the dedup stage runs INCREMENTALLY against the
+    persistent MinHash band index at that path (and appends the
+    increment to it) — see :func:`curate_incremental`; ``canonical``
+    must stay ``"min_id"`` in that mode (quality election would need
+    the stored docs' scores, which the index does not keep)."""
+    if index_path is not None:
+        if canonical != "min_id":
+            raise ValueError("index_path curation supports canonical='min_id' only")
+        out = curate_incremental(
+            docs,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            min_quality=min_quality,
+            shingle_k=shingle_k,
+            num_hashes=num_hashes,
+            bands=bands,
+            max_bucket=max_bucket,
+        )
+    else:
+        keep = curated_doc_ids(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            min_quality=min_quality,
+            shingle_k=shingle_k,
+            num_hashes=num_hashes,
+            bands=bands,
+            max_bucket=max_bucket,
+            canonical=canonical,
+        ).withColumnRenamed("doc_id", id_col)
+        out = docs.join(keep, on=id_col, how="left_semi")
     if sample_rate is not None or sample_rates:
+        if sample_rates and sample_rate is None:
+            # an implicit base rate of 0 would silently DROP every doc
+            # in a stratum not listed in sample_rates — make the caller
+            # say what unlisted strata get
+            raise ValueError(
+                "sample_rates needs an explicit sample_rate as the base "
+                "rate for strata not listed (use 1.0 to keep them)"
+            )
         out = deterministic_sample(
             out,
-            rate=sample_rate if sample_rate is not None else 0.0,
+            rate=sample_rate,
             rates=sample_rates,
             stratify_col=stratify_col,
             key_col=id_col,
         )
     if shard_budget:
+        # the curated survivor set is consumed 4+ times below (shard
+        # bounds probe, bucket totals, the bucket-local window, the
+        # final re-join) — without an eager persist the whole
+        # quality+LSH+CC curation subtree re-executes per consumer
+        out = out.persist()
+        out.count()
         shards = pack_shards(
             out, budget=shard_budget, id_col=id_col, text_col=text_col
         ).withColumnRenamed("doc_id", id_col)
         out = out.join(shards, on=id_col)
+    return out
+
+
+def curate_incremental(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: Optional[int] = None,
+    update_index: bool = True,
+) -> DataFrame:
+    """INCREMENTAL snapshot curation against a persistent
+    :class:`~correctocr_spark.ops.dedup.MinHashIndex`: only the
+    increment is shingled/banded (O(increment), never O(corpus)); its
+    near-dup candidates come from the index's new-vs-new + new-vs-old
+    joins, and any increment doc whose cluster touches an ALREADY-
+    INDEXED doc is dropped (the stored copy won — it was emitted by an
+    earlier snapshot's run). Increment-only clusters keep their min-id
+    canonical, exact dups within the increment keep theirs, and the
+    quality gate is per-doc — so for monotonically increasing doc ids
+    the union of per-snapshot outputs EQUALS a one-shot
+    :func:`curated_doc_ids` over the union (pinned by the CLI
+    two-snapshot test).
+
+    Caveat (same as batch LSH): docs shorter than ``shingle_k`` words
+    have no shingles, so a cross-snapshot exact dup of such a doc is
+    not caught — batch curation's exact-dup window over the union
+    would catch it. ``update_index`` appends the increment's band
+    table after computing candidates (all increment docs, survivors or
+    not: the one-shot-union invariant needs every doc indexed).
+    """
+    from .dedup import MinHashIndex
+
+    idx = MinHashIndex(
+        docs.sparkSession,
+        index_path,
+        k=shingle_k,
+        num_hashes=num_hashes,
+        bands=bands,
+        max_bucket=max_bucket,
+    )
+    pairs = idx.candidate_pairs(docs, id_col=id_col, text_col=text_col)
+    old_ids = idx.indexed_ids()
+
+    quality_ok = (
+        quality_scores(docs, id_col=id_col, text_col=text_col)
+        .where(F.col("quality_score") >= min_quality)
+        .select("doc_id")
+    )
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    exact_canonical = (
+        docs.withColumn("_keep", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("_keep"))
+        .select(F.col(id_col).alias("doc_id"))
+    )
+
+    cc = connected_components(pairs)
+    if old_ids is not None:
+        # components containing ANY already-indexed doc: every increment
+        # member of such a cluster is a near-dup of stored content
+        stale = (
+            cc.join(
+                old_ids.withColumnRenamed("doc_id", "_old"),
+                on=cc["doc_id"] == F.col("_old"),
+                how="inner",
+            )
+            .select("component")
+            .distinct()
+        )
+        losers_vs_old = cc.join(stale, on="component", how="left_semi").select(
+            "doc_id"
+        )
+    else:
+        losers_vs_old = None
+    losers_in_new = cc.where(F.col("doc_id") != F.col("component")).select("doc_id")
+
+    keep = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(quality_ok, on="doc_id", how="left_semi")
+        .join(exact_canonical, on="doc_id", how="left_semi")
+        .join(losers_in_new, on="doc_id", how="left_anti")
+    )
+    if losers_vs_old is not None:
+        keep = keep.join(losers_vs_old, on="doc_id", how="left_anti")
+    out = docs.join(
+        keep.withColumnRenamed("doc_id", id_col), on=id_col, how="left_semi"
+    )
+    if update_index:
+        # materialize the result BEFORE appending, and cut lineage from
+        # the index path entirely: the candidate pairs (and hence `out`)
+        # must reflect the PRE-increment index, but appending to the
+        # path triggers Spark's recache-by-path, which would silently
+        # RE-EXECUTE a merely-persisted plan against the post-append
+        # index (observed: increment docs self-matching as "old" and
+        # being dropped). localCheckpoint rewrites the plan to an
+        # RDD-backed relation with no path reference, so the append
+        # cannot invalidate it. (Local checkpoints are not
+        # fault-tolerant; a cluster job that must survive executor loss
+        # writes `out` to its own table before calling add().)
+        out = out.localCheckpoint(eager=True)
+        idx.add(docs, id_col=id_col, text_col=text_col)
     return out

@@ -11,6 +11,7 @@ materializes; only same-bucket candidates are verified).
 
 from __future__ import annotations
 
+import re as _re
 from typing import List, Optional
 
 from pyspark.sql import DataFrame
@@ -20,6 +21,52 @@ from pyspark.sql import functions as F
 def normalized_words(text_col: str = "text"):
     """Whitespace word array (empty tokens dropped)."""
     return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+
+
+#: logical-plan node names that imply a shuffle (or an explicit
+#: repartition) somewhere in the plan — on these, ``df.rdd`` would
+#: finalize the AQE plan and EXECUTE the shuffle stages early.
+_NON_SCAN_NODES = frozenset(
+    {
+        "Join",
+        "Aggregate",
+        "Window",
+        "Deduplicate",
+        "Distinct",
+        "Sort",
+        "Repartition",
+        "RepartitionByExpression",
+        "Intersect",
+        "Except",
+        "GlobalLimit",
+        "CoGroup",
+        "FlatMapGroupsInPandas",
+        "FlatMapGroupsInPandasWithState",
+    }
+)
+_NODE_NAME_RE = _re.compile(r"^[\s:+\-]*'?([A-Za-z]+)")
+
+
+def _is_scan_rooted(df: DataFrame) -> bool:
+    """True iff the analyzed logical plan contains no shuffle-inducing
+    node — i.e. it is a chain of scan/project/filter/generate/union
+    style narrow operators, for which materializing ``df.rdd`` runs no
+    job. Inspection is driver-side string parsing of the analyzed plan
+    (NOT the executed plan, whose construction is exactly the AQE
+    finalization we must avoid)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for line in plan.splitlines():
+        m = _NODE_NAME_RE.match(line)
+        if not m:
+            continue
+        node = m.group(1)
+        if node == "Repartition":
+            # `Repartition n, false` is coalesce — narrow, no shuffle
+            if "true" in line:
+                return False
+        elif node in _NON_SCAN_NODES:
+            return False
+    return True
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
@@ -34,12 +81,20 @@ def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> D
     scale the input already has thousands of splits and this is a no-op,
     so the extra text shuffle is never paid where it would actually hurt.
 
-    CAUTION: only call this on SCAN-ROOTED inputs. ``df.rdd`` (needed
-    for the partition count) finalizes the AQE plan, which EXECUTES any
-    shuffle stages in it — on a join/aggregate output that silently runs
-    the job early and again at the real action. Those sites use a plain
-    ``repartition`` instead (see jaccard_verify_candidates).
+    SCAN-ROOTED inputs only: ``df.rdd`` (needed for the partition
+    count) finalizes the AQE plan, which EXECUTES any shuffle stages in
+    it — on a join/aggregate output that silently runs the job early
+    and again at the real action. That precondition is now ENFORCED,
+    not conventional: the analyzed logical plan is inspected first and
+    any shuffle-inducing node (join/aggregate/window/sort/distinct/
+    repartition/…) makes this a no-op — such plans already have a
+    shuffle whose partition count AQE sizes itself, so the fix-up is
+    both unsafe to probe and unnecessary. Sites that need a repartition
+    on a wide plan use a plain ``repartition`` (see
+    jaccard_verify_candidates).
     """
+    if not _is_scan_rooted(df):
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -597,6 +652,14 @@ class MinHashIndex:
     At cluster scale the index is an Iceberg table bucketed by
     ``band_key`` so the new-vs-old join is co-located; parquet is the
     sandbox twin.
+
+    ``max_bucket`` is the same HOT-BUCKET guard as
+    :func:`lsh_candidate_pairs`: a boilerplate band shared by f docs
+    ACROSS snapshots emits f(f-1)/2 (new-vs-new) / f_new·f_old
+    (new-vs-old) join rows, so both joins are gated by one bucket count
+    over stored ∪ new — counting the union (not each side alone) keeps
+    the incremental result equal to a capped FULL recompute over the
+    union, which is the invariant test_minhash_index_incremental pins.
     """
 
     def __init__(
@@ -606,12 +669,14 @@ class MinHashIndex:
         k: int = 3,
         num_hashes: int = 8,
         bands: int = 4,
+        max_bucket: Optional[int] = None,
     ):
         self.spark = spark
         self.path = path
         self.k = k
         self.num_hashes = num_hashes
         self.bands = bands
+        self.max_bucket = max_bucket
 
     def _banded(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         sig = minhash_signatures(
@@ -626,17 +691,57 @@ class MinHashIndex:
         )
 
     def _existing(self) -> Optional[DataFrame]:
+        """The stored band table, or None iff the index has never been
+        written. Only the path-does-not-exist case maps to None: any
+        OTHER read failure (corrupt footer, permission, transient FS
+        error) must RAISE — swallowing it would silently degrade
+        candidate_pairs to new-vs-new only, losing all cross-snapshot
+        recall with no signal (the failure mode the bare-except version
+        had)."""
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.parquet(self.path)
-        except Exception:
-            return None
+        except AnalysisException as e:
+            error_class = ""
+            try:
+                error_class = e.getCondition() or ""
+            except Exception:
+                pass
+            if "PATH_NOT_FOUND" in error_class or "Path does not exist" in str(e):
+                return None
+            raise
 
     def candidate_pairs(
         self, new_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> DataFrame:
         """Near-dup candidates involving the increment: new-vs-new plus
-        new-vs-old, normalized to doc_a < doc_b. Call before ``add``."""
-        banded = self._banded(new_docs, id_col, text_col).persist()
+        new-vs-old, normalized to doc_a < doc_b. Call before ``add``.
+
+        With ``max_bucket`` set, band buckets whose membership ACROSS
+        stored ∪ new exceeds the cap are dropped before either join
+        (the hot-bucket guard of lsh_candidate_pairs, union-counted so
+        the result equals a capped full recompute)."""
+        banded = self._banded(new_docs, id_col, text_col)
+        old = self._existing()
+        if self.max_bucket is not None:
+            union = (
+                banded if old is None
+                else banded.unionByName(old.select("doc_id", "band_key"))
+            )
+            small = (
+                union.groupBy("band_key")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") <= self.max_bucket)
+                .select("band_key")
+            )
+            banded = banded.join(small, on="band_key", how="left_semi")
+            if old is not None:
+                old = old.join(small, on="band_key", how="left_semi")
+        # eager-count the persisted band table BEFORE its join fan-out:
+        # a lazy persist read by concurrently-launching consumer stages
+        # can compute once per consumer (same rule as lsh_candidate_pairs)
+        banded = banded.persist()
         banded.count()
         a, b = banded.alias("a"), banded.alias("b")
         new_new = (
@@ -644,7 +749,6 @@ class MinHashIndex:
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         )
-        old = self._existing()
         if old is None:
             return new_new.distinct()
         o = old.select("band_key", F.col("doc_id").alias("_old_id"))
@@ -657,6 +761,15 @@ class MinHashIndex:
             )
         )
         return new_new.unionByName(new_old).distinct()
+
+    def indexed_ids(self) -> Optional[DataFrame]:
+        """Distinct doc ids already in the index (column-pruned scan of
+        the band table), or None if the index is empty — the membership
+        set incremental curation anti-joins against."""
+        old = self._existing()
+        if old is None:
+            return None
+        return old.select("doc_id").distinct()
 
     def add(
         self, new_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"

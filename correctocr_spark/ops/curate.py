@@ -235,12 +235,13 @@ def curate_incremental(
     :func:`curated_doc_ids` over the union (pinned by the CLI
     two-snapshot test).
 
-    Caveat (same as batch LSH): docs shorter than ``shingle_k`` words
-    have no shingles, so a cross-snapshot exact dup of such a doc is
-    not caught — batch curation's exact-dup window over the union
-    would catch it. ``update_index`` appends the increment's band
-    table after computing candidates (all increment docs, survivors or
-    not: the one-shot-union invariant needs every doc indexed).
+    Cross-snapshot EXACT dups are caught at any length via the index's
+    (doc_id, fp) fingerprint side-table (``MinHashIndex.exact_dup_ids``)
+    — including docs shorter than ``shingle_k`` words, which have no
+    shingles and would slip past the band joins. ``update_index``
+    appends the increment's band + fingerprint tables after computing
+    candidates (all increment docs, survivors or not: the
+    one-shot-union invariant needs every doc indexed).
     """
     from .dedup import MinHashIndex
 
@@ -254,6 +255,10 @@ def curate_incremental(
     )
     pairs = idx.candidate_pairs(docs, id_col=id_col, text_col=text_col)
     old_ids = idx.indexed_ids()
+    # exact-dup fingerprints close the band index's short-document hole:
+    # a doc under shingle_k words has no shingles, so a cross-snapshot
+    # EXACT dup would slip past the candidate joins
+    exact_vs_old = idx.exact_dup_ids(docs, id_col=id_col, text_col=text_col)
 
     quality_ok = (
         quality_scores(docs, id_col=id_col, text_col=text_col)
@@ -295,6 +300,8 @@ def curate_incremental(
     )
     if losers_vs_old is not None:
         keep = keep.join(losers_vs_old, on="doc_id", how="left_anti")
+    if exact_vs_old is not None:
+        keep = keep.join(exact_vs_old, on="doc_id", how="left_anti")
     out = docs.join(
         keep.withColumnRenamed("doc_id", id_col), on=id_col, how="left_semi"
     )

@@ -771,13 +771,62 @@ class MinHashIndex:
             return None
         return old.select("doc_id").distinct()
 
+    @property
+    def _fp_path(self) -> str:
+        # an underscore-prefixed child dir: Spark's file index treats
+        # `_`-names as metadata and skips them, so the band-table read
+        # of `self.path` never trips over the fingerprint side-table
+        return self.path.rstrip("/") + "/_fp"
+
+    def _existing_fp(self) -> Optional[DataFrame]:
+        """The stored (doc_id, fp) fingerprint table — same strictness
+        contract as ``_existing``."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self._fp_path)
+        except AnalysisException as e:
+            error_class = ""
+            try:
+                error_class = e.getCondition() or ""
+            except Exception:
+                pass
+            if "PATH_NOT_FOUND" in error_class or "Path does not exist" in str(e):
+                return None
+            raise
+
+    def exact_dup_ids(
+        self, new_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> Optional[DataFrame]:
+        """Increment doc ids whose EXACT text already exists in the
+        index (md5 fingerprint semi-join against the stored side-table),
+        or None on a first snapshot. This closes the short-document hole
+        of the band index: a doc with fewer than ``k`` words has no
+        shingles, so a cross-snapshot exact dup would slip past
+        ``candidate_pairs`` — the fingerprint table catches it at any
+        length. Call before ``add``."""
+        stored = self._existing_fp()
+        if stored is None:
+            return None
+        fp = new_docs.select(
+            F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp")
+        )
+        return fp.join(
+            stored.select("fp"), on="fp", how="left_semi"
+        ).select("doc_id")
+
     def add(
         self, new_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> None:
-        """Append the increment's band table to the index (dedup on read
-        is unnecessary: band keys are deterministic per doc, so re-adding
-        a doc only duplicates rows that ``distinct()`` absorbs)."""
+        """Append the increment's band table AND its (doc_id, fp)
+        fingerprint side-table to the index (dedup on read is
+        unnecessary: band keys and fingerprints are deterministic per
+        doc, so re-adding a doc only duplicates rows that
+        ``distinct()``/semi-joins absorb)."""
         self._banded(new_docs, id_col, text_col).write.mode("append").parquet(self.path)
+        new_docs.select(
+            F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp")
+        ).write.mode("append").parquet(self._fp_path)
 
 
 def duplicate_spans(
@@ -833,6 +882,97 @@ def duplicate_spans(
             "n_occurrences",
             F.col("_first.doc_id").alias("first_doc"),
             F.col("_first.pos").alias("first_pos"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The APPLY half of substring dedup: strip every word position
+    covered by a corpus-repeated ``n``-word span (the spans
+    :func:`duplicate_spans` detects) and rebuild the document from the
+    surviving words — the C4-style cleaning pass that removes repeated
+    boilerplate passages while keeping the unique remainder of each
+    page. Returns ``(doc_id, clean_text, n_words, n_removed)`` for
+    EVERY input document (whitespace-normalized text; documents shorter
+    than ``n`` words or with no hot span pass through intact,
+    fully-boilerplate documents come back with ``clean_text = ''``).
+
+    Scale shape: the span explode + md5 is the duplicate_spans scan
+    (codegen'd, map-side partial agg to find hot hashes); coverage is a
+    semi-join of span rows against the hot set followed by a bounded
+    second explode (n rows per HOT occurrence only — duplicated mass,
+    not corpus mass); reassembly is one (doc, idx)-keyed anti-join and
+    one per-doc aggregation. No pairwise work anywhere. The corpus is
+    scanned twice (span pass + word-position pass) rather than pinning
+    the full word-array table in executor memory.
+    """
+    words = normalized_words(text_col)
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("_ws"))
+    exploded = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), words.alias("_ws"))
+        .where(F.size("_ws") >= n)
+        .select(
+            "doc_id",
+            "_ws",
+            F.explode(F.sequence(F.lit(0), F.size("_ws") - n)).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.slice(F.col("_ws"), F.col("pos") + 1, n))).alias(
+                "span_hash"
+            ),
+        )
+    )
+    # the span rows feed BOTH the hot-hash aggregation and the coverage
+    # semi-join — materialize once (same eager rule as the band tables)
+    exploded = exploded.persist()
+    exploded.count()
+    hot = (
+        exploded.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_occurrences)
+        .select("span_hash")
+    )
+    covered = (
+        exploded.join(hot, on="span_hash", how="left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("idx"),
+        )
+        .distinct()
+    )
+    wordpos = base.select(
+        "doc_id", F.posexplode("_ws").alias("idx", "w")
+    )
+    kept = wordpos.join(covered, on=["doc_id", "idx"], how="left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("idx"), F.col("w")))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        base.select("doc_id", F.size("_ws").alias("n_words"))
+        .join(clean, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_words").cast("long").alias("n_words"),
+            (F.col("n_words") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
         )
     )
 
@@ -910,6 +1050,7 @@ def connected_components(
             labels.join(neighbor_min, on=labels.id == neighbor_min.src, how="left")
             .select(
                 "id",
+                F.col("component").alias("_prev"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
                 ).alias("component"),
@@ -924,7 +1065,9 @@ def connected_components(
         new_labels = (
             relaxed.join(lookup, on=relaxed.component == lookup._pid, how="left")
             .select(
-                "id", F.coalesce(F.col("_pcomp"), F.col("component")).alias("component")
+                "id",
+                "_prev",
+                F.coalesce(F.col("_pcomp"), F.col("component")).alias("component"),
             )
         )
         # eager checkpoint: materialize THIS round and cut lineage (see
@@ -933,15 +1076,14 @@ def connected_components(
             new_labels = new_labels.checkpoint(eager=True)
         else:
             new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        # `_prev` (last round's label) rides along through the round, so
+        # convergence detection is a shuffle-free filter-count over the
+        # just-checkpointed table — not the extra label-vs-label join it
+        # used to be (one whole join stage per round saved)
+        changed = new_labels.where(F.col("component") != F.col("_prev")).count()
         relaxed.unpersist()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     edges.unpersist()

@@ -213,11 +213,17 @@ def test_curate_sample_rates_requires_base_rate(spark):
 def _snapshots():
     snap_a = [(i, _unique_doc(i), "en") for i in range(10)]
     snap_a.append((10, _unique_doc(4).replace("u4x2", "u4z2"), "en"))  # near-dup of 4
+    # SHORT doc (2 words < shingle_k=3 -> NO shingles) that still passes
+    # the quality gate: 0.25 word-len + 0.25 punct + 0.25 stopword
+    snap_a.append((11, "the zzshort", "en"))
     snap_b = [(i, _unique_doc(i), "en") for i in range(20, 26)]
     snap_b.append((26, _unique_doc(7).replace("u7x5", "u7z5"), "en"))  # near-dup of A:7
     snap_b.append((27, _unique_doc(3), "en"))                          # exact dup of A:3
     snap_b.append((28, _unique_doc(22).replace("u22x8", "u22z8"), "en"))  # near-dup of B:22
     snap_b.append((29, "x", "en"))                                     # low quality
+    # cross-snapshot EXACT dup of the shingle-free short doc: only the
+    # fingerprint side-table can catch this (band index never sees it)
+    snap_b.append((30, "the zzshort", "en"))
     return snap_a, snap_b
 
 
@@ -246,6 +252,9 @@ def test_curate_incremental_equals_union(spark, tmp_path):
     # the interesting drops actually happened
     assert 26 not in ids_b and 27 not in ids_b and 29 not in ids_b
     assert 28 not in ids_b and 22 in ids_b
+    # the shingle-free short doc: A copy kept, B's exact dup dropped by
+    # the fingerprint side-table (the band index cannot see it)
+    assert 11 in ids_a and 30 not in ids_b
     spark.catalog.clearCache()
 
 
@@ -415,4 +424,56 @@ def test_finalize_balanced_under_host_skew(spark):
     }
     assert skew_out == bal_out and len(skew_out) == 600
     pages.unpersist()
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# span removal (the APPLY half of substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_remove_duplicate_spans(spark):
+    """Corpus-repeated n-word passages are stripped, unique remainders
+    survive, short docs and span-free docs pass through intact."""
+    from correctocr_spark.ops.dedup import remove_duplicate_spans
+
+    boiler = "all rights reserved contact us"          # 5 words, shared
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler}"),
+            (2, f"delta epsilon {boiler} zeta"),
+            (3, "eta theta iota kappa lambda mu nu xi"),  # no shared span
+            (4, "pi rho"),                                # shorter than n
+            (5, boiler),                                  # pure boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed"])
+        for r in remove_duplicate_spans(docs, n=5, min_occurrences=2).collect()
+    }
+    assert out[1] == ("alpha beta gamma", 8, 5)
+    assert out[2] == ("delta epsilon zeta", 8, 5)
+    assert out[3] == ("eta theta iota kappa lambda mu nu xi", 8, 0)
+    assert out[4] == ("pi rho", 2, 0)
+    assert out[5] == ("", 5, 5)
+    spark.catalog.clearCache()
+
+
+def test_remove_duplicate_spans_overlapping(spark):
+    """Overlapping hot spans: coverage is the UNION of covered
+    positions, not double-removal."""
+    from correctocr_spark.ops.dedup import remove_duplicate_spans
+
+    shared = "a b c d e f"  # both docs share a 6-word run -> two 5-spans
+    docs = spark.createDataFrame(
+        [(1, f"x {shared} y"), (2, f"{shared} z")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_duplicate_spans(docs, n=5, min_occurrences=2).collect()
+    }
+    assert out[1] == ("x y", 6)
+    assert out[2] == ("z", 6)
     spark.catalog.clearCache()

@@ -426,6 +426,22 @@ def q_fingerprint(spark, sf_dir):
     return out.select("doc_id", "fingerprint", F.col("norm_len").cast("long").alias("norm_len"))
 
 
+def q_unigram_lm(spark, sf_dir):
+    """Corpus-trained unigram LM scoring (KenLM-style quality filter):
+    exact-integer micro-nat log probabilities so the per-doc sum is
+    reduction-order independent and hash-oracle-checkable."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import unigram_lm_scores
+
+    out = unigram_lm_scores(_t(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words",
+        "sum_logprob_micro",
+        "avg_logprob",
+    )
+
+
 def _pii_docs(spark, sf_dir):
     """Documents with deterministically INJECTED PII — the synthetic
     corpus has none, so counts/redactions would all be zero and the
@@ -1007,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
+        "unigram_lm": q_unigram_lm,
         # corpus cleaning / curation
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition,
@@ -1871,6 +1888,29 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
                    length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))::BIGINT AS norm_len
             FROM documents
+        """,
+        "unigram_lm": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            exploded AS (SELECT doc_id, unnest(ws) AS w FROM w),
+            model AS (SELECT w, count(*) AS cnt FROM exploded GROUP BY w),
+            totals AS (SELECT sum(cnt) AS N, count(*) AS V FROM model),
+            scored AS (
+                SELECT w,
+                       CAST(round(ln((cnt + 1) / (N + 1 * V)) * 1000000.0) AS BIGINT)
+                           AS lp_micro
+                FROM model, totals
+            ),
+            per_doc AS (
+                SELECT e.doc_id, count(*) AS n_words, sum(s.lp_micro) AS smu
+                FROM exploded e JOIN scored s USING (w)
+                GROUP BY e.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_words, 0)::BIGINT AS n_words,
+                   coalesce(p.smu, 0)::BIGINT AS sum_logprob_micro,
+                   CASE WHEN p.n_words > 0
+                        THEN round(p.smu / p.n_words / 1000000.0, 6) END AS avg_logprob
+            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
         """,
         "media_features": """
             SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes

@@ -67,6 +67,7 @@ HEADLINE = [
     "langid",
     "quality",
     "fingerprint",
+    "unigram_lm",
     "pii_scrub",
     "repetition_stats",
     "tfidf_top_terms",

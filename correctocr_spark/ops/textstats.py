@@ -108,3 +108,87 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.md5(norm).alias("fingerprint"),
         F.length(norm).alias("norm_len"),
     )
+
+
+def unigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing_k: int = 1,
+) -> DataFrame:
+    """Corpus-trained unigram language-model scoring — the KenLM-style
+    perplexity quality filter of a training-data pipeline, reduced to
+    its distributable core: train unigram statistics over the corpus in
+    one pass, then score each document by its mean per-word log
+    probability (higher = more typical of the corpus; gibberish and
+    OCR-mangled pages score low).
+
+    All model arithmetic is EXACT-INTEGER so the result is engine- and
+    reduction-order-independent (the integer-PageRank trick): each
+    word's add-k-smoothed log probability ``ln((cnt + k) / (N + k·V))``
+    is quantized ONCE to integer micro-nats (round to 1e-6), and the
+    per-document aggregation sums those integers — a float sum over a
+    hash-shuffled group would differ in final ulps between engines and
+    break hash oracles. Returns ``(doc_id, n_words, sum_logprob_micro,
+    avg_logprob)``.
+
+    Scale shape: one (word)-keyed count aggregation with map-side
+    partials (the model), one broadcast of the 1-row (N, V) totals, one
+    shuffle join of exploded words against the model (Zipf-skewed on
+    stopwords, but the join is AQE-skew-splittable and the payload is
+    one integer), one (doc)-keyed sum. No driver-side model state, so a
+    10⁹-type vocabulary never leaves the cluster.
+    """
+    exploded = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(normalized_words(text_col)).alias("w"),
+    )
+    # the model table feeds BOTH the (N, V) totals and the scoring join;
+    # persist + eager count so the corpus explode + word aggregation
+    # runs once, not once per consumer. Size is O(vocabulary), which is
+    # what a unigram model costs anywhere it lives.
+    model = exploded.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    model.count()
+    totals = model.agg(
+        F.sum("cnt").alias("N"), F.count(F.lit(1)).alias("V")
+    )
+    k = int(smoothing_k)
+    scored_model = model.crossJoin(F.broadcast(totals)).select(
+        "w",
+        F.round(
+            F.log((F.col("cnt") + F.lit(k)) / (F.col("N") + F.lit(k) * F.col("V")))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    per_doc = (
+        exploded.join(scored_model, on="w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("lp_micro").alias("sum_logprob_micro"),
+        )
+    )
+    # every input doc comes back, including empty ones (no words -> NULL
+    # score, 0 counts)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce(F.col("sum_logprob_micro"), F.lit(0))
+            .cast("long")
+            .alias("sum_logprob_micro"),
+            F.when(
+                F.col("n_words") > 0,
+                F.round(
+                    F.col("sum_logprob_micro")
+                    / F.col("n_words")
+                    / F.lit(1_000_000.0),
+                    6,
+                ),
+            ).alias("avg_logprob"),
+        )
+    )

@@ -477,3 +477,38 @@ def test_remove_duplicate_spans_overlapping(spark):
     assert out[1] == ("x y", 6)
     assert out[2] == ("z", 6)
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality scoring
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_lm_scores(spark):
+    """Corpus-typical documents must outscore gibberish; counts exact;
+    empty docs come back with NULL score."""
+    from correctocr_spark.ops.textstats import unigram_lm_scores
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    docs = spark.createDataFrame(
+        [
+            (1, common),
+            (2, "the dog sat on the mat"),          # all high-frequency words
+            (3, "zyx qwv kjh plm"),                  # gibberish: all singletons
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in unigram_lm_scores(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2]["avg_logprob"] > out[3]["avg_logprob"]
+    assert out[1]["n_words"] == 13 and out[3]["n_words"] == 4
+    assert out[4]["n_words"] == 0 and out[4]["avg_logprob"] is None
+    assert out[4]["sum_logprob_micro"] == 0
+    # exact-integer reproducibility: a second run returns identical sums
+    again = {
+        r["doc_id"]: r["sum_logprob_micro"]
+        for r in unigram_lm_scores(docs).collect()
+    }
+    assert again == {d: v["sum_logprob_micro"] for d, v in out.items()}
+    spark.catalog.clearCache()

@@ -426,6 +426,31 @@ def q_fingerprint(spark, sf_dir):
     return out.select("doc_id", "fingerprint", F.col("norm_len").cast("long").alias("norm_len"))
 
 
+def q_dedup_lines(spark, sf_dir):
+    """Line-level boilerplate scrub over deterministically injected
+    lines: every ' the ' becomes a newline (the corpus has no newlines
+    of its own) and a shared footer line is appended to every doc — the
+    footer and any cross-doc repeated segment must be stripped, the
+    unique remainder kept. The oracle injects identically."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import dedup_lines
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), " the ", "\n"),
+            F.lit("\nall rights reserved - example footer"),
+        ).alias("text"),
+    )
+    out = dedup_lines(d)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "clean_text",
+        "n_lines",
+        "n_removed",
+    )
+
+
 def q_unigram_lm(spark, sf_dir):
     """Corpus-trained unigram LM scoring (KenLM-style quality filter):
     exact-integer micro-nat log probabilities so the per-doc sum is
@@ -1024,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "unigram_lm": q_unigram_lm,
+        "dedup_lines": q_dedup_lines,
         # corpus cleaning / curation
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition,
@@ -1888,6 +1914,43 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
                    length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))::BIGINT AS norm_len
             FROM documents
+        """,
+        "dedup_lines": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(text, ' the ', chr(10), 'g') || chr(10) ||
+                       'all rights reserved - example footer' AS text
+                FROM documents
+            ),
+            w AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+            keyed AS (
+                SELECT doc_id, s.idx AS idx, s.line AS line,
+                       md5(lower(trim(s.line))) AS lk
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(0, len(ls)),
+                                  i -> {'idx': i, 'line': ls[i+1]})) AS s
+                    FROM w
+                )
+            ),
+            hot AS (
+                SELECT lk FROM keyed WHERE trim(line) <> ''
+                GROUP BY lk HAVING count(*) >= 2
+            ),
+            kept AS (
+                SELECT k.doc_id, k.idx, k.line FROM keyed k
+                WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.lk = k.lk)
+            ),
+            clean AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT w.doc_id, coalesce(c.clean_text, '') AS clean_text,
+                   len(w.ls)::BIGINT AS n_lines,
+                   (len(w.ls) - coalesce(c.n_kept, 0))::BIGINT AS n_removed
+            FROM w LEFT JOIN clean c ON c.doc_id = w.doc_id
         """,
         "unigram_lm": f"""
             WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),

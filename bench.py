@@ -81,6 +81,7 @@ HEADLINE = [
     "dedup_exact",
     "dup_spans",
     "span_removal",
+    "dedup_lines",
     "dedup_groups",
     "training_corpus",
     "join_agg",

@@ -977,6 +977,70 @@ def remove_duplicate_spans(
     )
 
 
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """CCNet/FineWeb-style LINE-level dedup: drop every line whose
+    normalized form (lowercased, trimmed) occurs ``min_occurrences``+
+    times across the corpus — the boilerplate-line scrub (nav items,
+    cookie banners, copyright footers) that runs before model training —
+    and rebuild each document from the surviving lines in order.
+    Returns ``(doc_id, clean_text, n_lines, n_removed)`` for every
+    input document; blank lines are never counted as duplicates (they
+    are structure, not content) and survive.
+
+    Scale shape: line explode + md5 at scan speed, one hash-keyed
+    count with map-side partials for the hot set, one anti-join, one
+    per-doc reassembly aggregation — exactly the exact-dedup shape at
+    line granularity; no pairwise work.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), "\n").alias("_ls")
+    )
+    keyed = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), "\n").alias("_ls"))
+        .select("doc_id", F.posexplode("_ls").alias("idx", "line"))
+        .withColumn("lk", F.md5(F.lower(F.trim("line"))))
+    )
+    # feeds the hot-line aggregation AND the anti-join — one computation
+    keyed = keyed.persist()
+    keyed.count()
+    hot = (
+        keyed.where(F.trim("line") != "")
+        .groupBy("lk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_occurrences)
+        .select("lk")
+    )
+    kept = keyed.join(hot, on="lk", how="left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("idx"), F.col("line")))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        base.select("doc_id", F.size("_ls").alias("n_lines"))
+        .join(clean, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

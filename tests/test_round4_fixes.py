@@ -512,3 +512,33 @@ def test_unigram_lm_scores(spark):
     }
     assert again == {d: v["sum_logprob_micro"] for d, v in out.items()}
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (CCNet-style boilerplate scrub)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_lines(spark):
+    """Corpus-repeated lines are stripped (normalized: case/whitespace
+    insensitive), unique lines and blank lines survive in order."""
+    from correctocr_spark.ops.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique opening line\nCookie Notice\n\nreal content one"),
+            (2, "cookie notice\nreal content two"),     # case-insensitive dup
+            (3, "totally unique document"),
+            (4, "  cookie notice  "),                    # whitespace-insensitive
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in dedup_lines(docs).collect()
+    }
+    assert out[1] == ("unique opening line\n\nreal content one", 4, 1)
+    assert out[2] == ("real content two", 2, 1)
+    assert out[3] == ("totally unique document", 1, 0)
+    assert out[4] == ("", 1, 1)
+    spark.catalog.clearCache()

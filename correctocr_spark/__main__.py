@@ -126,6 +126,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="persistent MinHash band index dir: curate this input as an "
                           "INCREMENT (near-dups vs the index dropped, O(increment) "
                           "banding) and append it to the index afterwards")
+    cur.add_argument("--scrub-lines", action="store_true",
+                     help="strip corpus-repeated lines (CCNet-style boilerplate "
+                          "scrub) from every document BEFORE the quality/dedup pass")
+    cur.add_argument("--scrub-spans", type=int, default=0, metavar="N",
+                     help="strip corpus-repeated N-word spans (C4-style substring "
+                          "dedup) from every document BEFORE the quality/dedup pass")
     cur.add_argument("--id-col", default="doc_id")
     cur.add_argument("--text-col", default="text")
 
@@ -349,9 +355,35 @@ def main(argv=None) -> int:
             n = spark.read.parquet(args.output).count()
             print(f"index: {n} term runs -> {args.output}")
         elif args.command == "curate":
+            from pyspark.sql import functions as F
+
             from .ops.curate import curate
 
             docs = spark.read.parquet(args.input)
+            # boilerplate scrubs run BEFORE the quality/dedup pass (the
+            # CCNet/C4 ordering): documents are rewritten to their
+            # scrubbed text, then curated as usual
+            if args.scrub_lines:
+                from .ops.dedup import dedup_lines
+
+                scrubbed = dedup_lines(
+                    docs, id_col=args.id_col, text_col=args.text_col
+                ).select(
+                    F.col("doc_id").alias(args.id_col),
+                    F.col("clean_text").alias(args.text_col),
+                )
+                docs = docs.drop(args.text_col).join(scrubbed, on=args.id_col)
+            if args.scrub_spans:
+                from .ops.dedup import remove_duplicate_spans
+
+                scrubbed = remove_duplicate_spans(
+                    docs, id_col=args.id_col, text_col=args.text_col,
+                    n=args.scrub_spans,
+                ).select(
+                    F.col("doc_id").alias(args.id_col),
+                    F.col("clean_text").alias(args.text_col),
+                )
+                docs = docs.drop(args.text_col).join(scrubbed, on=args.id_col)
             out = curate(
                 docs,
                 id_col=args.id_col,

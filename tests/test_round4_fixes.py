@@ -542,3 +542,30 @@ def test_dedup_lines(spark):
     assert out[3] == ("totally unique document", 1, 0)
     assert out[4] == ("", 1, 1)
     spark.catalog.clearCache()
+
+
+@pytest.mark.slow
+def test_cli_curate_scrub_lines(tmp_path, spark):
+    """`curate --scrub-lines` strips corpus-repeated lines from every
+    doc BEFORE the quality/dedup pass; unique content survives."""
+    footer = "subscribe to our newsletter"
+    rows = [
+        (i, _unique_doc(i) + "\n" + footer, "en") for i in range(8)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        str(tmp_path / "docs")
+    )
+    out = str(tmp_path / "curated")
+    r = run_cli(
+        "curate", "--input", str(tmp_path / "docs"), "--output", out,
+        "--scrub-lines", "--min-quality", "0.0",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {
+        x["doc_id"]: x["text"]
+        for x in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    assert set(got) == set(range(8))            # nothing dropped
+    for i, text in got.items():
+        assert footer not in text               # boilerplate line gone
+        assert f"u{i}x0" in text                # unique content kept

@@ -663,6 +663,8 @@ def q_url_canonical(spark, sf_dir):
         F.lit("?utm_source=x&id="),
         d,
         F.when(F.col("doc_id") % 3 == 0, F.lit("&utm_campaign=y")).otherwise(F.lit("")),
+        # a longer name CONTAINING a tracking name — must survive
+        F.when(F.col("doc_id") % 11 == 0, F.lit("&myfbclid=keep")).otherwise(F.lit("")),
         F.lit("#frag"),
     )
     pages = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
@@ -1477,7 +1479,8 @@ def _url_canonical_sql() -> str:
         "(CASE WHEN doc_id % 7 = 0 THEN 'fbclid=data/' ELSE '' END) || "
         "CAST(doc_id AS VARCHAR) || "
         "'?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || "
-        "(CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=y' ELSE '' END) || '#frag'"
+        "(CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=y' ELSE '' END) || "
+        "(CASE WHEN doc_id % 11 = 0 THEN '&myfbclid=keep' ELSE '' END) || '#frag'"
     )
     return f"""
         WITH pages AS (SELECT doc_id, {inject} AS url FROM documents),
@@ -1502,9 +1505,11 @@ def _url_canonical_sql() -> str:
                         ELSE hostport END AS host,
                    regexp_extract(rest, '^([^?]*)', 1) ||
                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                       regexp_extract(rest, '(\\?.*)$', 1),
-                       '{TRACKING_PARAM_RE}', '', 'g'),
-                       '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$', '', 'g') AS r4
+                       regexp_replace(
+                           regexp_extract(rest, '(\\?.*)$', 1),
+                           '{TRACKING_PARAM_RE}', '', 'g'),
+                       '&&+', '&', 'g'), '^&', '?', 'g'),
+                       '\\?&', '?', 'g'), '[?&]+$', '', 'g') AS r4
             FROM parts
         )
         SELECT doc_id, u AS url,

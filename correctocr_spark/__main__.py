@@ -360,30 +360,33 @@ def main(argv=None) -> int:
             from .ops.curate import curate
 
             docs = spark.read.parquet(args.input)
+
             # boilerplate scrubs run BEFORE the quality/dedup pass (the
             # CCNet/C4 ordering): documents are rewritten to their
-            # scrubbed text, then curated as usual
+            # scrubbed text, then curated as usual. NOTE: with
+            # --index-dir the hot line/span sets are computed over THIS
+            # increment only (the index stores bands, not lines), so
+            # scrubbed incremental runs are not exactly equal to a
+            # scrubbed one-shot run over the union.
+            def apply_scrub(d, scrub_fn, **kw):
+                scrubbed = scrub_fn(
+                    d, id_col=args.id_col, text_col=args.text_col, **kw
+                ).select(
+                    F.col("doc_id").alias(args.id_col),
+                    F.col("clean_text").alias(args.text_col),
+                )
+                return d.drop(args.text_col).join(scrubbed, on=args.id_col)
+
             if args.scrub_lines:
                 from .ops.dedup import dedup_lines
 
-                scrubbed = dedup_lines(
-                    docs, id_col=args.id_col, text_col=args.text_col
-                ).select(
-                    F.col("doc_id").alias(args.id_col),
-                    F.col("clean_text").alias(args.text_col),
-                )
-                docs = docs.drop(args.text_col).join(scrubbed, on=args.id_col)
+                docs = apply_scrub(docs, dedup_lines)
             if args.scrub_spans:
                 from .ops.dedup import remove_duplicate_spans
 
-                scrubbed = remove_duplicate_spans(
-                    docs, id_col=args.id_col, text_col=args.text_col,
-                    n=args.scrub_spans,
-                ).select(
-                    F.col("doc_id").alias(args.id_col),
-                    F.col("clean_text").alias(args.text_col),
+                docs = apply_scrub(
+                    docs, remove_duplicate_spans, n=args.scrub_spans
                 )
-                docs = docs.drop(args.text_col).join(scrubbed, on=args.id_col)
             out = curate(
                 docs,
                 id_col=args.id_col,

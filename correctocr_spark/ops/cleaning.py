@@ -322,8 +322,13 @@ def pack_shards(
     )
 
 
-#: tracking query parameters stripped by URL canonicalization
-TRACKING_PARAM_RE = r"(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*"
+#: tracking query parameters stripped by URL canonicalization. Anchored
+#: to (and consuming) the preceding ``?``/``&`` separator so the name
+#: must START at a parameter boundary — without the anchor the pattern
+#: matches INSIDE longer names (``myfbclid=7`` -> ``my``), corrupting a
+#: distinct parameter. No backreference in the replacement, so the same
+#: constant works verbatim in Spark (Java regex) and DuckDB (RE2).
+TRACKING_PARAM_RE = r"[?&](utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*"
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 _REST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)"
@@ -360,9 +365,10 @@ def canonical_url_col(url):
     query_part = F.regexp_extract(rest, r"(\?.*)$", 1)  # '' when no query
     q1 = F.regexp_replace(query_part, TRACKING_PARAM_RE, "")
     q2 = F.regexp_replace(q1, r"&&+", "&")      # collapse doubled separators
-    q3 = F.regexp_replace(q2, r"\?&", "?")      # '?&id=' -> '?id='
-    q4 = F.regexp_replace(q3, r"[?&]+$", "")    # trailing empty query
-    r4 = F.concat(path_part, q4)
+    q3 = F.regexp_replace(q2, r"^&", "?")       # leading param stripped: '&id=' -> '?id='
+    q4 = F.regexp_replace(q3, r"\?&", "?")      # '?&id=' -> '?id='
+    q5 = F.regexp_replace(q4, r"[?&]+$", "")    # trailing empty query
+    r4 = F.concat(path_part, q5)
     path = F.when(r4 == "", F.lit("/")).when(
         r4.startswith("?"), F.concat(F.lit("/"), r4)
     ).otherwise(r4)

@@ -235,13 +235,17 @@ def curate_incremental(
     :func:`curated_doc_ids` over the union (pinned by the CLI
     two-snapshot test).
 
-    Cross-snapshot EXACT dups are caught at any length via the index's
-    (doc_id, fp) fingerprint side-table (``MinHashIndex.exact_dup_ids``)
-    — including docs shorter than ``shingle_k`` words, which have no
-    shingles and would slip past the band joins. ``update_index``
-    appends the increment's band + fingerprint tables after computing
-    candidates (all increment docs, survivors or not: the
-    one-shot-union invariant needs every doc indexed).
+    Cross-snapshot EXACT dups the band joins can miss are caught via
+    the index's (doc_id, fp) fingerprint side-table
+    (``MinHashIndex.exact_dup_ids``): docs with no words at all (no
+    shingles, hence never banded) and exact dups inside a
+    ``max_bucket``-capped hot bucket. "Old" always means a doc id NOT
+    in this increment, so re-running an already-indexed snapshot is
+    IDEMPOTENT (returns the same survivors) instead of every doc
+    self-matching its own stored bands/fingerprint and being dropped.
+    ``update_index`` appends the increment's band + fingerprint tables
+    after computing candidates (all increment docs, survivors or not:
+    the one-shot-union invariant needs every doc indexed).
     """
     from .dedup import MinHashIndex
 
@@ -255,9 +259,17 @@ def curate_incremental(
     )
     pairs = idx.candidate_pairs(docs, id_col=id_col, text_col=text_col)
     old_ids = idx.indexed_ids()
-    # exact-dup fingerprints close the band index's short-document hole:
-    # a doc under shingle_k words has no shingles, so a cross-snapshot
-    # EXACT dup would slip past the candidate joins
+    if old_ids is not None:
+        # "old" = indexed ids NOT in this increment: on a re-run of an
+        # already-indexed snapshot every doc's own id is in the index,
+        # and without this exclusion each cluster would count as
+        # touching stored content and the whole snapshot would be
+        # silently dropped
+        old_ids = old_ids.join(
+            docs.select(F.col(id_col).alias("doc_id")), on="doc_id", how="left_anti"
+        )
+    # exact-dup fingerprints close the band joins' residual holes
+    # (wordless docs, capped hot buckets); self-matches already excluded
     exact_vs_old = idx.exact_dup_ids(docs, id_col=id_col, text_col=text_col)
 
     quality_ok = (

@@ -41,6 +41,7 @@ _NON_SCAN_NODES = frozenset(
         "GlobalLimit",
         "CoGroup",
         "FlatMapGroupsInPandas",
+        "FlatMapCoGroupsInPandas",
         "FlatMapGroupsInPandasWithState",
     }
 )
@@ -99,6 +100,26 @@ def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> D
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def _read_parquet_or_none(spark, path: str) -> Optional[DataFrame]:
+    """Read a parquet path, mapping ONLY path-does-not-exist to None.
+    Any other failure (corrupt footer, permission, transient FS error)
+    raises — the strictness contract durable-index reads share: a
+    swallowed error would silently degrade recall with no signal."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        error_class = ""
+        try:
+            error_class = e.getCondition() or ""
+        except Exception:
+            pass
+        if "PATH_NOT_FOUND" in error_class or "Path does not exist" in str(e):
+            return None
+        raise
 
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -698,19 +719,39 @@ class MinHashIndex:
         candidate_pairs to new-vs-new only, losing all cross-snapshot
         recall with no signal (the failure mode the bare-except version
         had)."""
-        from pyspark.errors import AnalysisException
+        return _read_parquet_or_none(self.spark, self.path)
 
-        try:
-            return self.spark.read.parquet(self.path)
-        except AnalysisException as e:
-            error_class = ""
-            try:
-                error_class = e.getCondition() or ""
-            except Exception:
-                pass
-            if "PATH_NOT_FOUND" in error_class or "Path does not exist" in str(e):
-                return None
-            raise
+    @property
+    def _meta_path(self) -> str:
+        return self.path.rstrip("/") + "/_meta"
+
+    def _check_params(self) -> None:
+        """Raise if the stored index was built with different
+        (k, num_hashes, bands): band keys are parameter-dependent, so a
+        parameter mismatch would make the new-vs-old join silently
+        return ZERO candidates — every cross-snapshot near-dup kept,
+        no error. The parameters are persisted as a 1-row table under
+        the underscore-ignored ``_meta`` child on first ``add``."""
+        stored = _read_parquet_or_none(self.spark, self._meta_path)
+        if stored is None:
+            return
+        row = stored.first()
+        mine = (self.k, self.num_hashes, self.bands)
+        theirs = (row["k"], row["num_hashes"], row["bands"])
+        if mine != theirs:
+            raise ValueError(
+                f"MinHashIndex at {self.path} was built with "
+                f"(k, num_hashes, bands)={theirs}; this instance uses "
+                f"{mine} — band keys would never match and all "
+                "cross-snapshot recall would be silently lost"
+            )
+
+    def _write_params(self) -> None:
+        if _read_parquet_or_none(self.spark, self._meta_path) is None:
+            self.spark.createDataFrame(
+                [(self.k, self.num_hashes, self.bands)],
+                "k int, num_hashes int, bands int",
+            ).write.mode("overwrite").parquet(self._meta_path)
 
     def candidate_pairs(
         self, new_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -722,9 +763,15 @@ class MinHashIndex:
         stored ∪ new exceeds the cap are dropped before either join
         (the hot-bucket guard of lsh_candidate_pairs, union-counted so
         the result equals a capped full recompute)."""
+        self._check_params()
         banded = self._banded(new_docs, id_col, text_col)
         old = self._existing()
         if self.max_bucket is not None:
+            # the pre-filter band table feeds the union bucket count AND
+            # the capped semi-join — materialize the increment's
+            # shingle->minhash->band pipeline once
+            banded = banded.persist()
+            banded.count()
             union = (
                 banded if old is None
                 else banded.unionByName(old.select("doc_id", "band_key"))
@@ -735,6 +782,10 @@ class MinHashIndex:
                 .where(F.col("_n") <= self.max_bucket)
                 .select("band_key")
             )
+            # `small` gates BOTH semi-joins — persist + eager count or
+            # the union banding + groupBy recomputes once per side
+            small = small.persist()
+            small.count()
             banded = banded.join(small, on="band_key", how="left_semi")
             if old is not None:
                 old = old.join(small, on="band_key", how="left_semi")
@@ -781,39 +832,36 @@ class MinHashIndex:
     def _existing_fp(self) -> Optional[DataFrame]:
         """The stored (doc_id, fp) fingerprint table — same strictness
         contract as ``_existing``."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            return self.spark.read.parquet(self._fp_path)
-        except AnalysisException as e:
-            error_class = ""
-            try:
-                error_class = e.getCondition() or ""
-            except Exception:
-                pass
-            if "PATH_NOT_FOUND" in error_class or "Path does not exist" in str(e):
-                return None
-            raise
+        return _read_parquet_or_none(self.spark, self._fp_path)
 
     def exact_dup_ids(
         self, new_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> Optional[DataFrame]:
         """Increment doc ids whose EXACT text already exists in the
-        index (md5 fingerprint semi-join against the stored side-table),
-        or None on a first snapshot. This closes the short-document hole
-        of the band index: a doc with fewer than ``k`` words has no
-        shingles, so a cross-snapshot exact dup would slip past
-        ``candidate_pairs`` — the fingerprint table catches it at any
-        length. Call before ``add``."""
+        index under a DIFFERENT doc id (md5 fingerprint join against the
+        stored side-table), or None on a first snapshot. The band index
+        catches most exact dups on its own (sub-``k``-word docs band
+        their whole text as one shingle), but not (a) docs with NO words
+        at all — empty/whitespace text has no shingles — and (b) exact
+        dups inside a band bucket dropped by the ``max_bucket`` cap; the
+        fingerprint table closes both. Matching a doc's OWN stored
+        fingerprint is excluded so re-running an already-indexed
+        snapshot is idempotent rather than self-matching everything
+        into oblivion. Call before ``add``."""
         stored = self._existing_fp()
         if stored is None:
             return None
         fp = new_docs.select(
             F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp")
         )
-        return fp.join(
-            stored.select("fp"), on="fp", how="left_semi"
-        ).select("doc_id")
+        return (
+            fp.join(
+                stored.select(F.col("doc_id").alias("_old_id"), "fp"), on="fp"
+            )
+            .where(F.col("_old_id") != F.col("doc_id"))
+            .select("doc_id")
+            .distinct()
+        )
 
     def add(
         self, new_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -822,11 +870,14 @@ class MinHashIndex:
         fingerprint side-table to the index (dedup on read is
         unnecessary: band keys and fingerprints are deterministic per
         doc, so re-adding a doc only duplicates rows that
-        ``distinct()``/semi-joins absorb)."""
+        ``distinct()``/semi-joins absorb); persists the index
+        parameters on first write and refuses mismatched ones after."""
+        self._check_params()
         self._banded(new_docs, id_col, text_col).write.mode("append").parquet(self.path)
         new_docs.select(
             F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp")
         ).write.mode("append").parquet(self._fp_path)
+        self._write_params()
 
 
 def duplicate_spans(

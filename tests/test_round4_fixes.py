@@ -221,8 +221,9 @@ def _snapshots():
     snap_b.append((27, _unique_doc(3), "en"))                          # exact dup of A:3
     snap_b.append((28, _unique_doc(22).replace("u22x8", "u22z8"), "en"))  # near-dup of B:22
     snap_b.append((29, "x", "en"))                                     # low quality
-    # cross-snapshot EXACT dup of the shingle-free short doc: only the
-    # fingerprint side-table can catch this (band index never sees it)
+    # cross-snapshot EXACT dup of the short doc (sub-k docs band their
+    # whole text as one shingle, so the band join AND the fingerprint
+    # side-table both see this one)
     snap_b.append((30, "the zzshort", "en"))
     return snap_a, snap_b
 
@@ -311,6 +312,10 @@ def test_url_tracking_strip_query_only(spark):
         # query-side params still stripped (with separator tidy-up)
         ("http://a.com/p?fbclid=zz", "http://a.com/p"),
         ("http://a.com/p?utm_a=1&utm_b=2&keep=3", "http://a.com/p?keep=3"),
+        # a LONGER name containing a tracking name is a distinct param
+        # and must survive (the regex anchors at the separator)
+        ("http://a.com/p?myfbclid=7&id=2", "http://a.com/p?myfbclid=7&id=2"),
+        ("http://a.com/p?xutm_source=1", "http://a.com/p?xutm_source=1"),
         ("HTTP://A.com:80/?gclid=x#f", "http://a.com/"),
         ("not a url", "not a url"),
     ]
@@ -569,3 +574,88 @@ def test_cli_curate_scrub_lines(tmp_path, spark):
     for i, text in got.items():
         assert footer not in text               # boilerplate line gone
         assert f"u{i}x0" in text                # unique content kept
+
+
+def test_curate_incremental_rerun_idempotent(spark, tmp_path):
+    """Re-running an already-indexed snapshot returns the SAME
+    survivors — increment docs must not self-match their own stored
+    bands/fingerprints and vanish."""
+    from correctocr_spark.ops.curate import curate_incremental
+
+    a_rows, b_rows = _snapshots()
+    schema = "doc_id long, text string, lang string"
+    snap_a = spark.createDataFrame(a_rows, schema)
+    snap_b = spark.createDataFrame(b_rows, schema)
+    idx = str(tmp_path / "idx")
+    curate_incremental(snap_a, idx, min_quality=0.5)
+    first = {
+        r["doc_id"]
+        for r in curate_incremental(snap_b, idx, min_quality=0.5)
+        .select("doc_id").collect()
+    }
+    again = {
+        r["doc_id"]
+        for r in curate_incremental(snap_b, idx, min_quality=0.5)
+        .select("doc_id").collect()
+    }
+    assert first == again and 22 in again
+    spark.catalog.clearCache()
+
+
+def test_minhash_index_param_mismatch_raises(spark, tmp_path):
+    """Opening an index with different (k, num_hashes, bands) must
+    raise — mismatched band keys would silently return zero
+    cross-snapshot candidates."""
+    from correctocr_spark.ops.dedup import MinHashIndex
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    MinHashIndex(spark, str(tmp_path / "idx"), k=3, num_hashes=8, bands=4).add(docs)
+    bad = MinHashIndex(spark, str(tmp_path / "idx"), k=3, num_hashes=12, bands=4)
+    with pytest.raises(ValueError, match="num_hashes"):
+        bad.candidate_pairs(docs)
+    with pytest.raises(ValueError):
+        bad.add(docs)
+    # matching params still fine
+    ok = MinHashIndex(spark, str(tmp_path / "idx"), k=3, num_hashes=8, bands=4)
+    ok.candidate_pairs(docs).collect()
+    spark.catalog.clearCache()
+
+
+def test_curate_incremental_capped_exact_dup(spark, tmp_path):
+    """The fingerprint side-table's load-bearing case: an exact dup of
+    boilerplate whose band bucket exceeds max_bucket. The capped band
+    join never sees the pair; the fingerprint join must still drop the
+    new copy, keeping incremental == capped one-shot union (whose
+    exact-dup WINDOW is cap-independent)."""
+    from correctocr_spark.ops.curate import curate_incremental, curated_doc_ids
+
+    boiler = (
+        "the boilerplate of this mirror page is identical and was "
+        "copied to every host in the farm for many years now"
+    )
+    schema = "doc_id long, text string, lang string"
+    snap_a = spark.createDataFrame(
+        [(i, boiler, "en") for i in range(1, 7)]
+        + [(7, _unique_doc(7), "en")],
+        schema,
+    )
+    snap_b = spark.createDataFrame(
+        [(10, boiler, "en"), (11, _unique_doc(11), "en")], schema
+    )
+    idx = str(tmp_path / "idx")
+    out_a = curate_incremental(snap_a, idx, min_quality=0.0, max_bucket=5)
+    out_b = curate_incremental(snap_b, idx, min_quality=0.0, max_bucket=5)
+    ids = {r["doc_id"] for r in out_a.select("doc_id").collect()} | {
+        r["doc_id"] for r in out_b.select("doc_id").collect()
+    }
+    expected = {
+        r["doc_id"]
+        for r in curated_doc_ids(
+            snap_a.unionByName(snap_b), min_quality=0.0, max_bucket=5
+        ).collect()
+    }
+    assert ids == expected
+    assert 10 not in ids and 11 in ids  # fp caught what the cap hid
+    spark.catalog.clearCache()

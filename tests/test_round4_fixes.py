@@ -659,3 +659,18 @@ def test_curate_incremental_capped_exact_dup(spark, tmp_path):
     assert ids == expected
     assert 10 not in ids and 11 in ids  # fp caught what the cap hid
     spark.catalog.clearCache()
+
+
+def test_new_ops_scan_pruning(spark, sf_dir):
+    """Column pruning reaches the parquet scan for the round-4 ops: a
+    (doc_id, text) computation must not read lang or other columns."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    for name in ("span_removal", "dedup_lines", "unigram_lm"):
+        df = q[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+        assert scans, name
+        for ln in scans:
+            assert "lang" not in ln, (name, ln)

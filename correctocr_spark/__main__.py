@@ -401,6 +401,12 @@ def main(argv=None) -> int:
             if args.shard_budget:
                 writer = writer.partitionBy("shard")
             writer.parquet(args.output)
+            # the write materialized the plan — drop the band/quality
+            # caches the curation persisted (a long-lived driver reusing
+            # this session would otherwise accumulate them per run)
+            from .ops.cache import release_intermediates
+
+            release_intermediates(out)
             kept = spark.read.parquet(args.output).count()
             total = docs.count()
             print(f"curated: kept {kept}/{total} documents -> {args.output}")

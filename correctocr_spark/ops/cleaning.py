@@ -272,6 +272,19 @@ def pack_shards(
     shape this operator exists to avoid. Widening is semantics-free (the
     two-pass result equals the global cumsum at ANY width); it only
     trades per-bucket window size against driver rows.
+
+    KEY TYPES: INTEGER ids pack in ascending id order (above). Any
+    other id type — the north-rule pages table keys on ``url:string`` —
+    packs in deterministic HASH order: the document sequence is
+    ``ORDER BY md5(id), id`` and the coarse buckets are the first 16
+    bits of that same md5, a monotonic prefix of the sort key, so the
+    two-pass result equals the global hash-ordered cumsum exactly (the
+    DuckDB oracle twin of ``pack_shards_url``). Hash order is the shape
+    a crawl wants anyway: uniform bucket sizes regardless of id
+    distribution (lexicographic url buckets would funnel every
+    ``https://`` page together), and hosts decorrelated across training
+    shards — the same url-hash-not-host-hash argument as the pipeline's
+    partitioning.
     """
     import math
 
@@ -280,22 +293,43 @@ def pack_shards(
         if tokens_col
         else F.size(normalized_words(text_col)).cast("long")
     )
-    bounds = docs.agg(
-        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
-    ).first()
-    if bounds["lo"] is None:  # empty corpus: keep the output shape
-        return docs.select(
+    id_dtype = dict(docs.dtypes).get(id_col, "")
+    if id_dtype in {"tinyint", "smallint", "int", "bigint"}:
+        bounds = docs.agg(
+            F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+        ).first()
+        if bounds["lo"] is None:  # empty corpus: keep the output shape
+            return docs.select(
+                F.col(id_col).alias("doc_id"),
+                n_tokens.alias("n_tokens"),
+                F.lit(None).cast("long").alias("shard"),
+            )
+        span = int(bounds["hi"]) - int(bounds["lo"]) + 1
+        width = max(bucket_size, math.ceil(span / max_buckets))
+        d = ensure_parallelism(docs).select(
             F.col(id_col).alias("doc_id"),
             n_tokens.alias("n_tokens"),
-            F.lit(None).cast("long").alias("shard"),
+            F.floor((F.col(id_col) - int(bounds["lo"])) / width).alias("_bucket"),
         )
-    span = int(bounds["hi"]) - int(bounds["lo"]) + 1
-    width = max(bucket_size, math.ceil(span / max_buckets))
-    d = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"),
-        n_tokens.alias("n_tokens"),
-        F.floor((F.col(id_col) - int(bounds["lo"])) / width).alias("_bucket"),
-    )
+        order_cols = ["doc_id"]
+    else:
+        # hash-ordered two-pass: bucket = first 4 hex chars of md5(id)
+        # (an integer in [0, 65536), optionally widened to respect
+        # max_buckets). Lowercase-hex lexicographic order equals the
+        # prefix-integer numeric order, so ordering by (_bucket, _fp,
+        # id) IS the global (md5(id), id) order — the invariant the
+        # bucket-offset + local-window decomposition needs.
+        fp = F.md5(F.col(id_col).cast("string"))
+        width = max(1, math.ceil(65536 / max_buckets))
+        d = ensure_parallelism(docs).select(
+            F.col(id_col).alias("doc_id"),
+            n_tokens.alias("n_tokens"),
+            fp.alias("_fp"),
+            F.floor(
+                F.conv(F.substring(fp, 1, 4), 16, 10).cast("long") / width
+            ).alias("_bucket"),
+        )
+        order_cols = ["_fp", "doc_id"]
     totals = {
         r["_bucket"]: r["_tot"]
         for r in d.groupBy("_bucket").agg(F.sum("n_tokens").alias("_tot")).collect()
@@ -313,7 +347,7 @@ def pack_shards(
             for x in (b, offsets[b])
         ]
     )
-    w = Window.partitionBy("_bucket").orderBy("doc_id")
+    w = Window.partitionBy("_bucket").orderBy(*order_cols)
     before = F.sum("n_tokens").over(w) - F.col("n_tokens") + offset_map[F.col("_bucket")]
     return d.select(
         "doc_id",

@@ -16,6 +16,7 @@ from typing import Dict, Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .cache import register_intermediates
 from .cleaning import deterministic_sample, pack_shards
 from .dedup import (
     connected_components,
@@ -84,12 +85,15 @@ def curated_doc_ids(
             "doc_id"
         )
 
-    return (
+    out = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(quality_ok, on="doc_id", how="left_semi")
         .join(exact_canonical, on="doc_id", how="left_semi")
         .join(near_dup_losers, on="doc_id", how="left_anti")
     )
+    # q is persisted only in quality mode (register_intermediates skips
+    # unpersisted sources); pairs carries the LSH band-table cache
+    return register_intermediates(out, q, pairs)
 
 
 def canonical_by_quality(
@@ -178,8 +182,13 @@ def curate(
             bands=bands,
             max_bucket=max_bucket,
             canonical=canonical,
-        ).withColumnRenamed("doc_id", id_col)
-        out = docs.join(keep, on=id_col, how="left_semi")
+        )
+        out = register_intermediates(
+            docs.join(
+                keep.withColumnRenamed("doc_id", id_col), on=id_col, how="left_semi"
+            ),
+            keep,
+        )
     if sample_rate is not None or sample_rates:
         if sample_rates and sample_rate is None:
             # an implicit base rate of 0 would silently DROP every doc
@@ -189,12 +198,15 @@ def curate(
                 "sample_rates needs an explicit sample_rate as the base "
                 "rate for strata not listed (use 1.0 to keep them)"
             )
-        out = deterministic_sample(
+        out = register_intermediates(
+            deterministic_sample(
+                out,
+                rate=sample_rate,
+                rates=sample_rates,
+                stratify_col=stratify_col,
+                key_col=id_col,
+            ),
             out,
-            rate=sample_rate,
-            rates=sample_rates,
-            stratify_col=stratify_col,
-            key_col=id_col,
         )
     if shard_budget:
         # the curated survivor set is consumed 4+ times below (shard
@@ -206,7 +218,9 @@ def curate(
         shards = pack_shards(
             out, budget=shard_budget, id_col=id_col, text_col=text_col
         ).withColumnRenamed("doc_id", id_col)
-        out = out.join(shards, on=id_col)
+        # register_intermediates both inherits `out`'s registered list
+        # and records `out` itself (now persisted)
+        out = register_intermediates(out.join(shards, on=id_col), out)
     return out
 
 
@@ -285,6 +299,10 @@ def curate_incremental(
     )
 
     cc = connected_components(pairs)
+    # connected_components checkpoints its labels eagerly, and `pairs`
+    # has no other consumer — the index's cached band/bucket tables are
+    # dead weight from here on, in BOTH update_index modes
+    idx.release()
     if old_ids is not None:
         # components containing ANY already-indexed doc: every increment
         # member of such a cluster is a near-dup of stored content
@@ -318,17 +336,16 @@ def curate_incremental(
         keep.withColumnRenamed("doc_id", id_col), on=id_col, how="left_semi"
     )
     if update_index:
-        # materialize the result BEFORE appending, and cut lineage from
-        # the index path entirely: the candidate pairs (and hence `out`)
-        # must reflect the PRE-increment index, but appending to the
-        # path triggers Spark's recache-by-path, which would silently
-        # RE-EXECUTE a merely-persisted plan against the post-append
-        # index (observed: increment docs self-matching as "old" and
-        # being dropped). localCheckpoint rewrites the plan to an
-        # RDD-backed relation with no path reference, so the append
-        # cannot invalidate it. (Local checkpoints are not
-        # fault-tolerant; a cluster job that must survive executor loss
-        # writes `out` to its own table before calling add().)
-        out = out.localCheckpoint(eager=True)
-        idx.add(docs, id_col=id_col, text_col=text_col)
+        # the candidate pairs (and hence `out`) must reflect the
+        # PRE-increment index, but appending to the path triggers
+        # Spark's recache-by-path, which silently RE-EXECUTES a
+        # merely-persisted plan against the post-append index (observed:
+        # increment docs self-matching as "old" and being dropped).
+        # add(protect=out) eagerly localCheckpoints `out` first —
+        # rewriting its plan to an RDD-backed relation with no path
+        # reference — and returns the protected frame. (Local
+        # checkpoints are not fault-tolerant; a cluster job that must
+        # survive executor loss writes `out` to its own table before
+        # calling add().)
+        out = idx.add(docs, id_col=id_col, text_col=text_col, protect=out)
     return out

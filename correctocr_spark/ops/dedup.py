@@ -17,55 +17,68 @@ from typing import List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import register_intermediates
+
 
 def normalized_words(text_col: str = "text"):
     """Whitespace word array (empty tokens dropped)."""
     return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
 
 
-#: logical-plan node names that imply a shuffle (or an explicit
-#: repartition) somewhere in the plan — on these, ``df.rdd`` would
-#: finalize the AQE plan and EXECUTE the shuffle stages early.
-_NON_SCAN_NODES = frozenset(
+#: ALLOWLIST of logical-plan node names known to be narrow (no shuffle,
+#: no job on ``df.rdd``). The guard used to be a denylist of
+#: shuffle-inducing names, but any wide node NOT in that set —
+#: typed-API MapGroups/AppendColumns, or nodes added in a future Spark —
+#: silently passed it and re-enabled the early-AQE-execution ``df.rdd``
+#: hazard with no error signal. Inverted: anything unrecognized is
+#: treated as non-scan-rooted, failing SAFE (ensure_parallelism becomes
+#: a no-op, never an early job).
+_NARROW_NODES = frozenset(
     {
-        "Join",
-        "Aggregate",
-        "Window",
-        "Deduplicate",
-        "Distinct",
-        "Sort",
-        "Repartition",
-        "RepartitionByExpression",
-        "Intersect",
-        "Except",
-        "GlobalLimit",
-        "CoGroup",
-        "FlatMapGroupsInPandas",
-        "FlatMapCoGroupsInPandas",
-        "FlatMapGroupsInPandasWithState",
+        "Relation",          # file-source scan (parquet/csv/...)
+        "LogicalRDD",        # localCheckpoint output / createDataFrame(rdd)
+        "LocalRelation",     # driver-local literal data
+        "OneRowRelation",
+        "Range",             # spark.range
+        "Project",
+        "Filter",
+        "Generate",          # explode/posexplode
+        "SubqueryAlias",
+        "View",
+        "Union",
+        "LocalLimit",
+        "Sample",
+        "ResolvedHint",
+        "UnresolvedHint",
+        # MapInPandas/mapPartitions outputs are narrow too, but .rdd on
+        # them spins Python workers per probe — cheaper to no-op, so
+        # they are deliberately NOT listed.
     }
 )
 _NODE_NAME_RE = _re.compile(r"^[\s:+\-]*'?([A-Za-z]+)")
 
 
 def _is_scan_rooted(df: DataFrame) -> bool:
-    """True iff the analyzed logical plan contains no shuffle-inducing
-    node — i.e. it is a chain of scan/project/filter/generate/union
-    style narrow operators, for which materializing ``df.rdd`` runs no
-    job. Inspection is driver-side string parsing of the analyzed plan
-    (NOT the executed plan, whose construction is exactly the AQE
-    finalization we must avoid)."""
+    """True iff EVERY node of the analyzed logical plan is a known
+    narrow operator (scan/project/filter/generate/union/coalesce ...),
+    for which materializing ``df.rdd`` runs no job. Inspection is
+    driver-side string parsing of the analyzed plan (NOT the executed
+    plan, whose construction is exactly the AQE finalization we must
+    avoid). Unrecognized node names fail safe (False)."""
     plan = df._jdf.queryExecution().analyzed().toString()
     for line in plan.splitlines():
+        if not line.strip():
+            continue
         m = _NODE_NAME_RE.match(line)
         if not m:
-            continue
+            return False
         node = m.group(1)
         if node == "Repartition":
-            # `Repartition n, false` is coalesce — narrow, no shuffle
+            # `Repartition n, false` is coalesce — narrow, allowed;
+            # `true` is a full shuffle
             if "true" in line:
                 return False
-        elif node in _NON_SCAN_NODES:
+        elif node not in _NARROW_NODES:
             return False
     return True
 
@@ -294,12 +307,13 @@ def lsh_candidate_pairs(
     banded.count()
     left = banded.alias("a")
     right = banded.alias("b")
-    return (
+    out = (
         left.join(right, on="band_key")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    return register_intermediates(out, banded)
 
 
 def jaccard_pairs(
@@ -346,7 +360,9 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
     )
-    return out.where(F.col("jaccard") >= threshold)
+    return register_intermediates(
+        out.where(F.col("jaccard") >= threshold), shingles
+    )
 
 
 def jaccard_verify_candidates(
@@ -423,7 +439,7 @@ def jaccard_verify_candidates(
             F.size("sh_b").alias("n_b"),
         )
     )
-    return (
+    out = (
         counted.select(
             "doc_a",
             "doc_b",
@@ -433,6 +449,7 @@ def jaccard_verify_candidates(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    return register_intermediates(out, candidates, arrays)
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
@@ -535,7 +552,7 @@ def simhash_near_pairs(
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    out = (
         a.join(b, on="band_key")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -546,6 +563,7 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return register_intermediates(out, banded)
 
 
 def embedding_dup_pairs(
@@ -647,13 +665,14 @@ def embedding_dup_pairs_bucketed(
     cosine = dot_col(
         F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
     ) / (F.col("norm_a") * F.col("norm_b"))
-    return (
+    out = (
         probed.join(exact, on="bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine.alias("cosine"))
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+    return register_intermediates(out, bucketed)
 
 
 class MinHashIndex:
@@ -678,9 +697,17 @@ class MinHashIndex:
     :func:`lsh_candidate_pairs`: a boilerplate band shared by f docs
     ACROSS snapshots emits f(f-1)/2 (new-vs-new) / f_new·f_old
     (new-vs-old) join rows, so both joins are gated by one bucket count
-    over stored ∪ new — counting the union (not each side alone) keeps
-    the incremental result equal to a capped FULL recompute over the
-    union, which is the invariant test_minhash_index_incremental pins.
+    over stored ∪ new. Counting the union (not each side alone) makes
+    EACH CALL equal to a capped full recompute over the union AS OF
+    THAT CALL (the invariant test_minhash_index_incremental pins) — but
+    the union of near-dup pairs across a SEQUENCE of calls can exceed a
+    single capped one-shot: a bucket under the cap at snapshot A's run
+    that crosses it once snapshot B arrives has already emitted its
+    A-side pairs, which the one-shot would drop. (For EXACT dups the
+    ``(doc_id, fp)`` side-table closes this — ``exact_dup_ids`` is
+    uncapped.) Same honest-caveat scope as the CLI ``--scrub-lines``
+    note: the cap is a per-call recall/cost dial, not a cross-call
+    replay guarantee.
     """
 
     def __init__(
@@ -698,6 +725,20 @@ class MinHashIndex:
         self.num_hashes = num_hashes
         self.bands = bands
         self.max_bucket = max_bucket
+        #: DataFrames persisted by candidate_pairs, released by
+        #: :meth:`release` once the caller has materialized its results
+        #: — in a long-lived driver curating many snapshots, leaving
+        #: them cached accumulates executor memory/disk per call
+        self._cached: List[DataFrame] = []
+
+    def release(self) -> None:
+        """Unpersist every intermediate candidate_pairs cached. Call
+        after the candidate results are materialized (acted on or
+        checkpointed); before that, unpersisting would just force a
+        recompute at the next action."""
+        for df in self._cached:
+            df.unpersist()
+        self._cached = []
 
     def _banded(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         sig = minhash_signatures(
@@ -771,6 +812,7 @@ class MinHashIndex:
             # the capped semi-join — materialize the increment's
             # shingle->minhash->band pipeline once
             banded = banded.persist()
+            self._cached.append(banded)
             banded.count()
             union = (
                 banded if old is None
@@ -785,6 +827,7 @@ class MinHashIndex:
             # `small` gates BOTH semi-joins — persist + eager count or
             # the union banding + groupBy recomputes once per side
             small = small.persist()
+            self._cached.append(small)
             small.count()
             banded = banded.join(small, on="band_key", how="left_semi")
             if old is not None:
@@ -793,6 +836,7 @@ class MinHashIndex:
         # a lazy persist read by concurrently-launching consumer stages
         # can compute once per consumer (same rule as lsh_candidate_pairs)
         banded = banded.persist()
+        self._cached.append(banded)
         banded.count()
         a, b = banded.alias("a"), banded.alias("b")
         new_new = (
@@ -801,7 +845,7 @@ class MinHashIndex:
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         )
         if old is None:
-            return new_new.distinct()
+            return register_intermediates(new_new.distinct(), *self._cached)
         o = old.select("band_key", F.col("doc_id").alias("_old_id"))
         new_old = (
             banded.join(o, on="band_key")
@@ -811,7 +855,9 @@ class MinHashIndex:
                 F.greatest("_old_id", "doc_id").alias("doc_b"),
             )
         )
-        return new_new.unionByName(new_old).distinct()
+        return register_intermediates(
+            new_new.unionByName(new_old).distinct(), *self._cached
+        )
 
     def indexed_ids(self) -> Optional[DataFrame]:
         """Distinct doc ids already in the index (column-pruned scan of
@@ -834,50 +880,106 @@ class MinHashIndex:
         contract as ``_existing``."""
         return _read_parquet_or_none(self.spark, self._fp_path)
 
+    @property
+    def _q_path(self) -> str:
+        return self.path.rstrip("/") + "/_q"
+
+    def _existing_q(self) -> Optional[DataFrame]:
+        """The stored (doc_id, quality_score, emitted) side-table that
+        quality-canonical INCREMENTAL election reads (emitted = the doc
+        survived its own snapshot's curation and was published — only
+        such docs can ever be superseded), or None if no ``add`` ever
+        supplied quality. Re-adds may duplicate rows; quality is
+        deterministic per doc, so they collapse under max(), and
+        ``emitted`` keeps the strongest claim seen (a doc once
+        published stays published until a retraction is applied
+        downstream)."""
+        stored = _read_parquet_or_none(self.spark, self._q_path)
+        if stored is None:
+            return None
+        return stored.groupBy("doc_id").agg(
+            F.max("quality_score").alias("quality_score"),
+            F.max("emitted").alias("emitted"),
+        )
+
     def exact_dup_ids(
         self, new_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> Optional[DataFrame]:
         """Increment doc ids whose EXACT text already exists in the
-        index under a DIFFERENT doc id (md5 fingerprint join against the
-        stored side-table), or None on a first snapshot. The band index
-        catches most exact dups on its own (sub-``k``-word docs band
-        their whole text as one shingle), but not (a) docs with NO words
-        at all — empty/whitespace text has no shingles — and (b) exact
-        dups inside a band bucket dropped by the ``max_bucket`` cap; the
-        fingerprint table closes both. Matching a doc's OWN stored
-        fingerprint is excluded so re-running an already-indexed
-        snapshot is idempotent rather than self-matching everything
-        into oblivion. Call before ``add``."""
+        index under a doc id OUTSIDE this increment (md5 fingerprint
+        join against the stored side-table), or None on a first
+        snapshot. The band index catches most exact dups on its own
+        (sub-``k``-word docs band their whole text as one shingle), but
+        not (a) docs with NO words at all — empty/whitespace text has no
+        shingles — and (b) exact dups inside a band bucket dropped by
+        the ``max_bucket`` cap; the fingerprint table closes both.
+
+        "Old" means a stored id NOT in the increment — the SAME
+        exclusion rule as curate_incremental's ``old_ids``, anti-joined
+        against the full increment id set, not merely each doc's own id:
+        on a re-run of an already-indexed snapshot that contains
+        within-increment exact duplicates, a per-own-id filter would let
+        each copy match the OTHER copy's stored fingerprint and flag
+        every copy — including the min-id canonical that survived the
+        first run — breaking re-run idempotency (pinned by
+        test_exact_dup_ids_rerun_with_within_increment_dups). Call
+        before ``add``."""
         stored = self._existing_fp()
         if stored is None:
             return None
+        new_ids = new_docs.select(F.col(id_col).alias("_old_id"))
+        old_fp = stored.select(F.col("doc_id").alias("_old_id"), "fp").join(
+            new_ids, on="_old_id", how="left_anti"
+        )
         fp = new_docs.select(
             F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp")
         )
-        return (
-            fp.join(
-                stored.select(F.col("doc_id").alias("_old_id"), "fp"), on="fp"
-            )
-            .where(F.col("_old_id") != F.col("doc_id"))
-            .select("doc_id")
-            .distinct()
-        )
+        return fp.join(old_fp, on="fp").select("doc_id").distinct()
 
     def add(
-        self, new_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-    ) -> None:
+        self,
+        new_docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        protect=None,
+    ):
         """Append the increment's band table AND its (doc_id, fp)
         fingerprint side-table to the index (dedup on read is
         unnecessary: band keys and fingerprints are deterministic per
         doc, so re-adding a doc only duplicates rows that
         ``distinct()``/semi-joins absorb); persists the index
-        parameters on first write and refuses mismatched ones after."""
+        parameters on first write and refuses mismatched ones after.
+
+        ORDERING CONTRACT — recache-by-path: appending parquet under
+        ``self.path`` triggers Spark's recacheByPath, which marks ANY
+        cached plan reading the index for lazy re-execution against the
+        POST-append data at its next action (``persist()+count()`` does
+        NOT protect). A caller composing ``candidate_pairs`` → ``add``
+        → *action on the candidates* would silently see the increment's
+        own bands as "old" and match every doc against itself. Either
+        act on (or ``localCheckpoint(eager=True)``) every index-derived
+        result BEFORE calling ``add``, or pass those results via
+        ``protect`` — each is eagerly localCheckpoint-ed here, which
+        rewrites its plan to a path-free LogicalRDD the append cannot
+        invalidate, and the rewritten frames are returned (single
+        DataFrame in → single out; list in → list out; pinned by
+        test_minhash_index_add_protects_external_caller). Local
+        checkpoints are not fault-tolerant; a cluster job that must
+        survive executor loss writes its results to a real table before
+        calling ``add``."""
         self._check_params()
+        out = None
+        if protect is not None:
+            if isinstance(protect, DataFrame):
+                out = protect.localCheckpoint(eager=True)
+            else:
+                out = [p.localCheckpoint(eager=True) for p in protect]
         self._banded(new_docs, id_col, text_col).write.mode("append").parquet(self.path)
         new_docs.select(
             F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp")
         ).write.mode("append").parquet(self._fp_path)
         self._write_params()
+        return out
 
 
 def duplicate_spans(
@@ -1014,7 +1116,7 @@ def remove_duplicate_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("_n_kept"),
     )
-    return (
+    out = (
         base.select("doc_id", F.size("_ws").alias("n_words"))
         .join(clean, on="doc_id", how="left")
         .select(
@@ -1026,6 +1128,7 @@ def remove_duplicate_spans(
             .alias("n_removed"),
         )
     )
+    return register_intermediates(out, exploded)
 
 
 def dedup_lines(
@@ -1078,7 +1181,7 @@ def dedup_lines(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("_n_kept"),
     )
-    return (
+    out = (
         base.select("doc_id", F.size("_ls").alias("n_lines"))
         .join(clean, on="doc_id", how="left")
         .select(
@@ -1090,6 +1193,7 @@ def dedup_lines(
             .alias("n_removed"),
         )
     )
+    return register_intermediates(out, keyed)
 
 
 def connected_components(
@@ -1171,9 +1275,14 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        # the pointer jump self-joins `relaxed` — persist first or the
-        # relax join+agg lineage runs once per side
+        # the pointer jump self-joins `relaxed` — persist AND eagerly
+        # count first: the module's concurrent-consumer rule (a lazily
+        # persisted subtree read by two concurrently-launching join
+        # sides can compute once PER side; storage dedupes, in-flight
+        # computation does not) applies to this self-join exactly as it
+        # does to the band tables
         relaxed = relaxed.persist()
+        relaxed.count()
         lookup = relaxed.select(
             F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
         )
@@ -1191,12 +1300,15 @@ def connected_components(
             new_labels = new_labels.checkpoint(eager=True)
         else:
             new_labels = new_labels.localCheckpoint(eager=True)
+        # the eager checkpoint has materialized this round — release the
+        # round-local cache NOW (before the convergence count) so an
+        # error in-between cannot strand it
+        relaxed.unpersist()
         # `_prev` (last round's label) rides along through the round, so
         # convergence detection is a shuffle-free filter-count over the
         # just-checkpointed table — not the extra label-vs-label join it
         # used to be (one whole join stage per round saved)
         changed = new_labels.where(F.col("component") != F.col("_prev")).count()
-        relaxed.unpersist()
         labels.unpersist()
         labels = new_labels.select("id", "component")
         if changed == 0:

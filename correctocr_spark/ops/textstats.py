@@ -172,7 +172,9 @@ def unigram_lm_scores(
     )
     # every input doc comes back, including empty ones (no words -> NULL
     # score, 0 counts)
-    return (
+    from .cache import register_intermediates
+
+    out = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(per_doc, on="doc_id", how="left")
         .select(
@@ -192,3 +194,4 @@ def unigram_lm_scores(
             ).alias("avg_logprob"),
         )
     )
+    return register_intermediates(out, model)

@@ -79,3 +79,25 @@ def test_entry(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "corrected" in df.columns
+
+
+def test_oracled_queries_precede_rows_only():
+    """The driver's correctness pass evaluates a bounded PREFIX of
+    queries() (exactly 50 entries in rounds 3 and 4), so every oracled
+    query must precede every rows-only one — otherwise an insertion can
+    silently push a hash-verified oracle pair out of the evaluated
+    window (which happened to dictionary_build in round 4). Also pins
+    that the sole hash-verification for an operator is never parked in
+    the tier-2 overflow: the entries past position 50 must be the
+    designated twins only."""
+    names = list(QUERIES)
+    n_oracled = len(ORACLES)
+    prefix = names[:n_oracled]
+    assert prefix == [n for n in names if n in ORACLES], (
+        "a rows-only query is interleaved with the oracled block"
+    )
+    overflow = set(names[50:n_oracled])
+    assert overflow <= {"ngram_jaccard", "simhash"}, (
+        f"unexpected oracled queries pushed past the driver's 50-entry "
+        f"window: {sorted(overflow)}"
+    )

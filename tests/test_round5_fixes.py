@@ -1,0 +1,290 @@
+"""Round-5 fixes, pinned:
+
+- MinHashIndex.exact_dup_ids excludes the WHOLE increment id set from
+  the stored side (not just each doc's own id), so re-running a
+  snapshot that contains within-increment exact duplicates stays
+  idempotent.
+- MinHashIndex.add(protect=...) checkpoints index-derived results
+  before the append, making the recache-by-path landmine safe for
+  external callers (not just curate_incremental).
+- _is_scan_rooted is an ALLOWLIST: unrecognized plan nodes fail safe.
+- pack_shards accepts STRING (url) keys via md5-ordered two-pass
+  prefix sums — the north-rule pages table keys on url:string.
+- register/release_intermediates: operators tag their persisted
+  intermediates on the returned DataFrame so long-lived drivers can
+  release them after materializing.
+"""
+
+import hashlib
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+STOPWORDS = ["the", "of", "and", "to", "in", "is", "was", "for", "that", "with"]
+
+
+def _unique_doc(i: int) -> str:
+    """Quality-passing text whose 3-shingles are unique to doc i."""
+    return " ".join(f"u{i}x{j} {sw}" for j, sw in enumerate(STOPWORDS))
+
+
+# ---------------------------------------------------------------------------
+# exact_dup_ids: within-increment exact dups must not break idempotency
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dup_ids_rerun_with_within_increment_dups(spark, tmp_path):
+    """Re-running an indexed snapshot whose increment contains exact
+    duplicates OF EACH OTHER: each copy's fingerprint is stored under
+    the other copy's id, so a filter of only `_old_id != doc_id` flags
+    every copy (including the canonical) as exact-vs-old. The fix
+    excludes the FULL increment id set from the stored side."""
+    from correctocr_spark.ops.dedup import MinHashIndex
+
+    # wordless docs: no shingles, never banded -> the fp side-table is
+    # the ONLY mechanism that sees them
+    docs = spark.createDataFrame(
+        [(1, "   "), (2, "   ")], "doc_id long, text string"
+    )
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.add(docs)
+    dup = idx.exact_dup_ids(docs)
+    assert dup is not None
+    assert dup.count() == 0  # all stored copies belong to this increment
+
+    # a LATER wordless doc with the same text does match stored content
+    later = spark.createDataFrame([(3, "   ")], "doc_id long, text string")
+    assert {r["doc_id"] for r in idx.exact_dup_ids(later).collect()} == {3}
+    spark.catalog.clearCache()
+
+
+def test_curate_incremental_rerun_idempotent_with_exact_dups(spark, tmp_path):
+    """curate_incremental-level pin of the same bug: a snapshot with
+    two identical quality-passing docs must return the SAME survivors
+    on a re-run (min-id canonical kept both times, not dropped)."""
+    from correctocr_spark.ops.curate import curate_incremental
+
+    rows = [(i, _unique_doc(i), "en") for i in range(4)]
+    rows.append((9, _unique_doc(2), "en"))  # exact dup of doc 2
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    idx = str(tmp_path / "idx")
+    first = {
+        r["doc_id"]
+        for r in curate_incremental(docs, idx, min_quality=0.5).select("doc_id").collect()
+    }
+    again = {
+        r["doc_id"]
+        for r in curate_incremental(docs, idx, min_quality=0.5).select("doc_id").collect()
+    }
+    assert 2 in first and 9 not in first
+    assert first == again
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# MinHashIndex.add(protect=...): external-caller recache-by-path safety
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_index_add_protects_external_caller(spark, tmp_path):
+    """candidate_pairs -> add(protect=pairs) -> LATE action must return
+    the PRE-append candidates: without the checkpoint, the append makes
+    the lazy plan read the increment's own bands/fingerprints as 'old'
+    at its next action."""
+    from correctocr_spark.ops.dedup import MinHashIndex
+
+    schema = "doc_id long, text string"
+    snap_a = spark.createDataFrame(
+        [(i, _unique_doc(i)) for i in range(4)], schema
+    )
+    snap_b = spark.createDataFrame(
+        [(10, _unique_doc(2).replace("u2x5", "u2z5")), (11, _unique_doc(40))],
+        schema,
+    )
+
+    # reference: an identical index sequence, candidates acted on
+    # IMMEDIATELY (before any append)
+    ref_idx = MinHashIndex(spark, str(tmp_path / "ref"))
+    ref_idx.add(snap_a)
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in ref_idx.candidate_pairs(snap_b).collect()
+    }
+    assert (2, 10) in expected  # the cross-snapshot near-dup is live
+
+    # scenario under test: the action happens AFTER add()
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.add(snap_a)
+    pairs = idx.candidate_pairs(snap_b)
+    protected = idx.add(snap_b, protect=pairs)
+    got = {(r["doc_a"], r["doc_b"]) for r in protected.collect()}
+    assert got == expected
+    idx.release()
+
+    # list form keeps the shape
+    idx2 = MinHashIndex(spark, str(tmp_path / "idx2"))
+    idx2.add(snap_a)
+    out = idx2.add(snap_b, protect=[idx2.candidate_pairs(snap_b)])
+    assert isinstance(out, list) and len(out) == 1
+    assert {(r["doc_a"], r["doc_b"]) for r in out[0].collect()} == expected
+    idx2.release()
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# _is_scan_rooted: allowlist, unknown nodes fail safe
+# ---------------------------------------------------------------------------
+
+
+def test_scan_rooted_allowlist(spark, sf_dir):
+    from correctocr_spark.ops.dedup import _is_scan_rooted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert _is_scan_rooted(docs)
+    assert _is_scan_rooted(
+        docs.where(F.col("doc_id") > 1).select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+    )
+    assert _is_scan_rooted(docs.coalesce(1))
+    assert not _is_scan_rooted(docs.repartition(8))
+    assert not _is_scan_rooted(docs.groupBy("lang").count())
+    assert not _is_scan_rooted(docs.orderBy("doc_id"))
+    # unrecognized-but-narrow nodes fail SAFE (no-op, no early job):
+    # mapInPandas is narrow, yet probing .rdd on it would spin Python
+    # workers — deliberately not allowlisted
+    def ident(it):
+        for pdf in it:
+            yield pdf
+
+    assert not _is_scan_rooted(docs.mapInPandas(ident, docs.schema))
+
+
+# ---------------------------------------------------------------------------
+# pack_shards on string (url) keys
+# ---------------------------------------------------------------------------
+
+
+def _expected_hash_order_shards(rows, budget):
+    """Global cumulative sum over (md5(url), url) order — the oracle."""
+    keyed = sorted(
+        ((hashlib.md5(u.encode()).hexdigest(), u, n) for u, n in rows)
+    )
+    out, running = {}, 0
+    for _fp, u, n in keyed:
+        out[u] = running // budget
+        running += n
+    return out
+
+
+def test_pack_shards_url_keys(spark):
+    from correctocr_spark.ops.cleaning import pack_shards
+
+    rows = [
+        (f"https://h{i % 3}.org/page/{i}", "w " * (i % 17 + 1))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in pack_shards(docs, budget=50, id_col="url").collect()
+    }
+    expected = _expected_hash_order_shards(
+        [(u, len(t.split())) for u, t in rows], budget=50
+    )
+    assert got == expected
+
+
+def test_pack_shards_url_respects_max_buckets(spark):
+    """Widened hash buckets (max_buckets < 65536) leave values
+    unchanged — the decomposition is semantics-free at any width."""
+    from correctocr_spark.ops.cleaning import pack_shards
+
+    rows = [(f"u{i}", "w " * (i % 5 + 1)) for i in range(50)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    base = {
+        r["doc_id"]: r["shard"]
+        for r in pack_shards(docs, budget=20, id_col="url").collect()
+    }
+    wide = {
+        r["doc_id"]: r["shard"]
+        for r in pack_shards(
+            docs, budget=20, id_col="url", max_buckets=16
+        ).collect()
+    }
+    assert base == wide
+
+
+def test_pack_shards_url_empty(spark):
+    from correctocr_spark.ops.cleaning import pack_shards
+
+    docs = spark.createDataFrame([], "url string, text string")
+    out = pack_shards(docs, budget=10, id_col="url")
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_tokens", "shard"]
+
+
+def test_curate_url_keyed_with_shards(spark):
+    """The north-rule flagship shape: curate a url-keyed pages table
+    end-to-end with shard packing — no surrogate numeric id needed."""
+    from correctocr_spark.ops.curate import curate
+
+    rows = [(f"https://site.org/{i}", _unique_doc(i), "en") for i in range(8)]
+    rows.append(("https://mirror.org/3", _unique_doc(3), "en"))  # exact dup
+    docs = spark.createDataFrame(rows, "url string, text string, lang string")
+    out = curate(docs, id_col="url", min_quality=0.5, shard_budget=300)
+    got = out.collect()
+    urls = {r["url"] for r in got}
+    assert len(urls) == 8  # min-id canonical: the lexicographically-first url
+    assert "https://mirror.org/3" in urls  # 'https://m...' < 'https://s...'
+    assert "https://site.org/3" not in urls
+    assert all(r["shard"] is not None for r in got)
+    from correctocr_spark.ops.cache import release_intermediates
+
+    assert release_intermediates(out) >= 1
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# register/release_intermediates
+# ---------------------------------------------------------------------------
+
+
+def test_release_intermediates_frees_op_caches(spark):
+    from correctocr_spark.ops.cache import release_intermediates
+    from correctocr_spark.ops.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\nfooter"), (2, "c\nfooter")], "doc_id long, text string"
+    )
+    out = dedup_lines(docs)
+    out.count()  # materialize first
+    cached = list(getattr(out, "_correctocr_cached"))
+    assert len(cached) == 1
+    assert cached[0].storageLevel.useMemory or cached[0].storageLevel.useDisk
+    assert release_intermediates(out) == 1
+    assert not (
+        cached[0].storageLevel.useMemory or cached[0].storageLevel.useDisk
+    )
+    assert release_intermediates(out) == 0  # idempotent
+
+
+def test_register_intermediates_inherit_through_composition(spark):
+    """curated_doc_ids in quality mode surfaces BOTH its own persisted
+    quality table and the LSH band cache inherited from
+    lsh_candidate_pairs."""
+    from correctocr_spark.ops.cache import release_intermediates
+    from correctocr_spark.ops.curate import curated_doc_ids
+
+    rows = [(i, _unique_doc(i)) for i in range(6)]
+    rows.append((100, _unique_doc(0).replace("u0x3", "u0y3")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curated_doc_ids(docs, min_quality=0.0, canonical="quality")
+    out.count()
+    assert len(getattr(out, "_correctocr_cached")) >= 2
+    assert release_intermediates(out) >= 2
+    spark.catalog.clearCache()

@@ -76,6 +76,7 @@ HEADLINE = [
     "corpus_rollup",
     "link_extract",
     "pack_shards",
+    "pack_shards_url",
     "pagerank",
     "url_canonical",
     "dedup_exact",
@@ -160,14 +161,18 @@ def run_scaling() -> dict:
     # back, so a host-wide steal window hits both sides of pair i alike
     # and cancels in the ratio — where best-of-N can still mix a quiet
     # t_N with a stolen t_4N (or vice versa) and corrupt the quotient in
-    # either direction. The matched-pair MAX is the engine's scaling
-    # under the quietest same-conditions measurement; all pairs are
-    # reported so the spread is visible.
+    # either direction. The HEADLINE matched-pair number is the MEDIAN
+    # of the pair ratios (a robust estimator — the max of a noisy
+    # statistic is biased upward); the max is still reported separately
+    # as the explicit best-case bound, and all pairs for the spread.
+    import statistics
+
     pairs = [
         round(times[n][i] / (4.0 * times[n4][i]), 3) for i in range(SCALING_REPS)
     ]
     out["pair_efficiencies"] = pairs
-    out["matched_pair_efficiency"] = max(pairs)
+    out["matched_pair_efficiency"] = round(statistics.median(pairs), 3)
+    out["matched_pair_best"] = max(pairs)
     return out
 
 

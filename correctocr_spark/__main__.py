@@ -126,6 +126,16 @@ def build_parser() -> argparse.ArgumentParser:
                      help="persistent MinHash band index dir: curate this input as an "
                           "INCREMENT (near-dups vs the index dropped, O(increment) "
                           "banding) and append it to the index afterwards")
+    cur.add_argument("--canonical", choices=["min_id", "quality"], default="min_id",
+                     help="near-dup cluster winner: lowest id (the oracle contract) "
+                          "or highest quality score; with --index-dir, quality "
+                          "elects across stored+increment members and emits a "
+                          "retraction list (see --superseded-out)")
+    cur.add_argument("--superseded-out", default="",
+                     help="with --index-dir --canonical quality: parquet path for "
+                          "the (doc_id) retraction list of previously-published "
+                          "docs that lost their cluster's election this run — "
+                          "apply it downstream as a MERGE/DELETE")
     cur.add_argument("--scrub-lines", action="store_true",
                      help="strip corpus-repeated lines (CCNet-style boilerplate "
                           "scrub) from every document BEFORE the quality/dedup pass")
@@ -395,12 +405,25 @@ def main(argv=None) -> int:
                 max_bucket=args.max_bucket,
                 sample_rate=args.sample_rate,
                 shard_budget=args.shard_budget,
+                canonical=args.canonical,
                 index_path=args.index_dir or None,
             )
             writer = out.write.mode("overwrite")
             if args.shard_budget:
                 writer = writer.partitionBy("shard")
             writer.parquet(args.output)
+            superseded = getattr(out, "_correctocr_superseded", None)
+            if args.superseded_out:
+                if superseded is None:
+                    raise SystemExit(
+                        "--superseded-out requires --index-dir with "
+                        "--canonical quality (nothing can be retracted "
+                        "in min_id mode)"
+                    )
+                superseded.write.mode("overwrite").parquet(args.superseded_out)
+                n_sup = spark.read.parquet(args.superseded_out).count()
+                print(f"superseded: {n_sup} previously-published docs -> "
+                      f"{args.superseded_out}")
             # the write materialized the plan — drop the band/quality
             # caches the curation persisted (a long-lived driver reusing
             # this session would otherwise accumulate them per run)

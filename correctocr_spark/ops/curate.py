@@ -154,12 +154,14 @@ def curate(
 
     With ``index_path`` the dedup stage runs INCREMENTALLY against the
     persistent MinHash band index at that path (and appends the
-    increment to it) — see :func:`curate_incremental`; ``canonical``
-    must stay ``"min_id"`` in that mode (quality election would need
-    the stored docs' scores, which the index does not keep)."""
+    increment to it) — see :func:`curate_incremental`. In that mode
+    ``canonical="quality"`` elects across stored ∪ increment cluster
+    members using the index's quality side-table, and the returned
+    frame carries a ``_correctocr_superseded`` retraction list of
+    previously-published docs that lost their election (preserved
+    through the sampling/sharding steps here)."""
+    superseded = None
     if index_path is not None:
-        if canonical != "min_id":
-            raise ValueError("index_path curation supports canonical='min_id' only")
         out = curate_incremental(
             docs,
             index_path,
@@ -170,7 +172,9 @@ def curate(
             num_hashes=num_hashes,
             bands=bands,
             max_bucket=max_bucket,
+            canonical=canonical,
         )
+        superseded = getattr(out, "_correctocr_superseded", None)
     else:
         keep = curated_doc_ids(
             docs,
@@ -221,6 +225,8 @@ def curate(
         # register_intermediates both inherits `out`'s registered list
         # and records `out` itself (now persisted)
         out = register_intermediates(out.join(shards, on=id_col), out)
+    if superseded is not None:
+        out._correctocr_superseded = superseded
     return out
 
 
@@ -235,12 +241,15 @@ def curate_incremental(
     bands: int = 4,
     max_bucket: Optional[int] = None,
     update_index: bool = True,
+    canonical: str = "min_id",
 ) -> DataFrame:
     """INCREMENTAL snapshot curation against a persistent
     :class:`~correctocr_spark.ops.dedup.MinHashIndex`: only the
     increment is shingled/banded (O(increment), never O(corpus)); its
     near-dup candidates come from the index's new-vs-new + new-vs-old
-    joins, and any increment doc whose cluster touches an ALREADY-
+    joins. ``canonical`` selects the cross-snapshot rule:
+
+    ``"min_id"`` — any increment doc whose cluster touches an ALREADY-
     INDEXED doc is dropped (the stored copy won — it was emitted by an
     earlier snapshot's run). Increment-only clusters keep their min-id
     canonical, exact dups within the increment keep theirs, and the
@@ -249,20 +258,44 @@ def curate_incremental(
     :func:`curated_doc_ids` over the union (pinned by the CLI
     two-snapshot test).
 
+    ``"quality"`` — the HIGHEST-QUALITY member of each cluster wins
+    (ties -> min id), across stored AND increment members: increment
+    quality comes from :func:`quality_scores`, stored quality from the
+    index's ``_q`` side-table (written on every ``add``; an index
+    created before quality support raises here). Because an earlier
+    snapshot may already have PUBLISHED a member that now loses, the
+    result carries a retraction list: the returned frame's
+    ``_correctocr_superseded`` attribute is a ``(doc_id)`` DataFrame of
+    previously-emitted stored docs whose cluster was won by an
+    increment doc — a downstream Iceberg MERGE deletes them, and
+    ``union(per-snapshot outputs) - superseded == one-shot quality
+    curation`` (pinned by test_curate_incremental_quality_equals_union).
+    Election is over INCREMENT-VISIBLE members: stored docs sharing a
+    band (or exact fingerprint) with the increment. A stored doc
+    connected to the cluster only through old-old edges does not
+    compete — when a new doc merges two stored clusters through a
+    narrow bridge, the non-adjacent cluster's canonical stays published
+    even if it would lose the merged election. That is the O(increment)
+    trade; cluster members are mutually similar in practice, so merged
+    clusters are increment-visible in the common case.
+
     Cross-snapshot EXACT dups the band joins can miss are caught via
-    the index's (doc_id, fp) fingerprint side-table
-    (``MinHashIndex.exact_dup_ids``): docs with no words at all (no
-    shingles, hence never banded) and exact dups inside a
-    ``max_bucket``-capped hot bucket. "Old" always means a doc id NOT
-    in this increment, so re-running an already-indexed snapshot is
-    IDEMPOTENT (returns the same survivors) instead of every doc
-    self-matching its own stored bands/fingerprint and being dropped.
-    ``update_index`` appends the increment's band + fingerprint tables
-    after computing candidates (all increment docs, survivors or not:
-    the one-shot-union invariant needs every doc indexed).
+    the index's (doc_id, fp) fingerprint side-table: docs with no words
+    at all (no shingles, hence never banded) and exact dups inside a
+    ``max_bucket``-capped hot bucket — as a drop-list in min_id mode
+    (``exact_dup_ids``), as election edges in quality mode
+    (``exact_dup_pairs``). "Old" always means a doc id NOT in this
+    increment, so re-running an already-indexed snapshot is IDEMPOTENT
+    (returns the same survivors) instead of every doc self-matching its
+    own stored bands/fingerprint and being dropped. ``update_index``
+    appends the increment's band + fingerprint + quality tables after
+    computing candidates (all increment docs, survivors or not: the
+    one-shot-union invariant needs every doc indexed).
     """
     from .dedup import MinHashIndex
 
+    if canonical not in ("min_id", "quality"):
+        raise ValueError(f"canonical must be 'min_id' or 'quality', got {canonical!r}")
     idx = MinHashIndex(
         docs.sparkSession,
         index_path,
@@ -282,15 +315,15 @@ def curate_incremental(
         old_ids = old_ids.join(
             docs.select(F.col(id_col).alias("doc_id")), on="doc_id", how="left_anti"
         )
-    # exact-dup fingerprints close the band joins' residual holes
-    # (wordless docs, capped hot buckets); self-matches already excluded
-    exact_vs_old = idx.exact_dup_ids(docs, id_col=id_col, text_col=text_col)
 
-    quality_ok = (
-        quality_scores(docs, id_col=id_col, text_col=text_col)
-        .where(F.col("quality_score") >= min_quality)
-        .select("doc_id")
+    # quality feeds the gate, the (quality-mode) election, and the _q
+    # side-table write — one corpus scan, eagerly materialized
+    q = quality_scores(docs, id_col=id_col, text_col=text_col).select(
+        "doc_id", "quality_score"
     )
+    q = q.persist()
+    q.count()
+    quality_ok = q.where(F.col("quality_score") >= min_quality).select("doc_id")
     w = Window.partitionBy(F.md5(F.col(text_col)))
     exact_canonical = (
         docs.withColumn("_keep", F.min(id_col).over(w))
@@ -298,54 +331,148 @@ def curate_incremental(
         .select(F.col(id_col).alias("doc_id"))
     )
 
-    cc = connected_components(pairs)
-    # connected_components checkpoints its labels eagerly, and `pairs`
-    # has no other consumer — the index's cached band/bucket tables are
-    # dead weight from here on, in BOTH update_index modes
-    idx.release()
-    if old_ids is not None:
-        # components containing ANY already-indexed doc: every increment
-        # member of such a cluster is a near-dup of stored content
-        stale = (
-            cc.join(
-                old_ids.withColumnRenamed("doc_id", "_old"),
-                on=cc["doc_id"] == F.col("_old"),
-                how="inner",
-            )
-            .select("component")
-            .distinct()
+    superseded = None
+    if canonical == "quality":
+        # fp-only exact dups (wordless / capped-bucket) join the edge
+        # set so they compete under the same election as band matches
+        ex_pairs = idx.exact_dup_pairs(docs, id_col=id_col, text_col=text_col)
+        all_pairs = (
+            pairs.unionByName(ex_pairs) if ex_pairs is not None else pairs
         )
-        losers_vs_old = cc.join(stale, on="component", how="left_semi").select(
-            "doc_id"
+        cc = connected_components(all_pairs)
+        idx.release()
+        inc_ids = docs.select(F.col(id_col).alias("doc_id"))
+        m_new = (
+            cc.join(inc_ids, on="doc_id", how="left_semi")
+            .join(q, on="doc_id")
+            .select(
+                "doc_id",
+                "component",
+                "quality_score",
+                F.lit(False).alias("_old"),
+                F.lit(False).alias("emitted"),
+            )
+        )
+        if old_ids is not None:
+            stored_q = idx._existing_q()
+            if stored_q is None:
+                raise ValueError(
+                    f"MinHashIndex at {index_path} has no quality "
+                    "side-table (_q): it was built without quality "
+                    "support, so stored cluster members cannot compete "
+                    "in a quality election — rebuild the index or use "
+                    "canonical='min_id'"
+                )
+            # left join: a stored doc indexed by a pre-quality add has
+            # no score row — NULL sorts last (it can never win, and
+            # never counts as emitted), loud-failure-free degradation
+            m_old = (
+                cc.join(old_ids, on="doc_id", how="left_semi")
+                .join(stored_q, on="doc_id", how="left")
+                .select(
+                    "doc_id",
+                    "component",
+                    "quality_score",
+                    F.lit(True).alias("_old"),
+                    F.coalesce(F.col("emitted"), F.lit(False)).alias("emitted"),
+                )
+            )
+            members = m_new.unionByName(m_old)
+        else:
+            members = m_new
+        ew = Window.partitionBy("component").orderBy(
+            F.desc_nulls_last("quality_score"), F.asc("doc_id")
+        )
+        ranked = members.withColumn("_r", F.row_number().over(ew))
+        # increment members that lost their cluster's election
+        nd_losers = ranked.where(
+            (F.col("_r") != 1) & (~F.col("_old"))
+        ).select("doc_id")
+        # previously-PUBLISHED stored members that lost: the retraction
+        # list a downstream MERGE applies
+        superseded = ranked.where(
+            (F.col("_r") != 1) & F.col("_old") & F.col("emitted")
+        ).select("doc_id")
+        keep = (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .join(quality_ok, on="doc_id", how="left_semi")
+            .join(exact_canonical, on="doc_id", how="left_semi")
+            .join(nd_losers, on="doc_id", how="left_anti")
         )
     else:
-        losers_vs_old = None
-    losers_in_new = cc.where(F.col("doc_id") != F.col("component")).select("doc_id")
+        # exact-dup fingerprints close the band joins' residual holes
+        # (wordless docs, capped hot buckets); self-matches excluded
+        exact_vs_old = idx.exact_dup_ids(docs, id_col=id_col, text_col=text_col)
+        cc = connected_components(pairs)
+        # connected_components checkpoints its labels eagerly, and
+        # `pairs` has no other consumer — the index's cached band/bucket
+        # tables are dead weight from here on, in BOTH update_index modes
+        idx.release()
+        if old_ids is not None:
+            # components containing ANY already-indexed doc: every
+            # increment member of such a cluster is a near-dup of
+            # stored content
+            stale = (
+                cc.join(
+                    old_ids.withColumnRenamed("doc_id", "_old"),
+                    on=cc["doc_id"] == F.col("_old"),
+                    how="inner",
+                )
+                .select("component")
+                .distinct()
+            )
+            losers_vs_old = cc.join(stale, on="component", how="left_semi").select(
+                "doc_id"
+            )
+        else:
+            losers_vs_old = None
+        losers_in_new = cc.where(F.col("doc_id") != F.col("component")).select(
+            "doc_id"
+        )
+        keep = (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .join(quality_ok, on="doc_id", how="left_semi")
+            .join(exact_canonical, on="doc_id", how="left_semi")
+            .join(losers_in_new, on="doc_id", how="left_anti")
+        )
+        if losers_vs_old is not None:
+            keep = keep.join(losers_vs_old, on="doc_id", how="left_anti")
+        if exact_vs_old is not None:
+            keep = keep.join(exact_vs_old, on="doc_id", how="left_anti")
 
-    keep = (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(quality_ok, on="doc_id", how="left_semi")
-        .join(exact_canonical, on="doc_id", how="left_semi")
-        .join(losers_in_new, on="doc_id", how="left_anti")
-    )
-    if losers_vs_old is not None:
-        keep = keep.join(losers_vs_old, on="doc_id", how="left_anti")
-    if exact_vs_old is not None:
-        keep = keep.join(exact_vs_old, on="doc_id", how="left_anti")
     out = docs.join(
         keep.withColumnRenamed("doc_id", id_col), on=id_col, how="left_semi"
     )
     if update_index:
-        # the candidate pairs (and hence `out`) must reflect the
-        # PRE-increment index, but appending to the path triggers
-        # Spark's recache-by-path, which silently RE-EXECUTES a
-        # merely-persisted plan against the post-append index (observed:
-        # increment docs self-matching as "old" and being dropped).
-        # add(protect=out) eagerly localCheckpoints `out` first —
-        # rewriting its plan to an RDD-backed relation with no path
-        # reference — and returns the protected frame. (Local
-        # checkpoints are not fault-tolerant; a cluster job that must
-        # survive executor loss writes `out` to its own table before
-        # calling add().)
-        out = idx.add(docs, id_col=id_col, text_col=text_col, protect=out)
+        # the candidate pairs (and hence `out`/`superseded`) must
+        # reflect the PRE-increment index, but appending to the path
+        # triggers Spark's recache-by-path, which silently RE-EXECUTES
+        # a merely-persisted plan against the post-append index
+        # (observed: increment docs self-matching as "old" and being
+        # dropped). Eager localCheckpoints rewrite both plans to
+        # RDD-backed relations with no path reference BEFORE the
+        # append. (Local checkpoints are not fault-tolerant; a cluster
+        # job that must survive executor loss writes them to real
+        # tables before calling add().)
+        out = out.localCheckpoint(eager=True)
+        if superseded is not None:
+            superseded = superseded.localCheckpoint(eager=True)
+        # every add records the increment's quality + whether each doc
+        # was published — the state quality-mode election reads later
+        # (derived from the CHECKPOINTED survivors, so the plan cannot
+        # touch the index path)
+        emitted_q = q.join(
+            out.select(F.col(id_col).alias("doc_id"), F.lit(True).alias("_e")),
+            on="doc_id",
+            how="left",
+        ).select(
+            "doc_id",
+            "quality_score",
+            F.coalesce(F.col("_e"), F.lit(False)).alias("emitted"),
+        )
+        idx.add(docs, id_col=id_col, text_col=text_col, quality=emitted_q)
+        # everything derived from q is materialized now
+        q.unpersist()
+    if superseded is not None:
+        out._correctocr_superseded = superseded
     return out

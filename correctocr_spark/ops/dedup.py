@@ -936,12 +936,44 @@ class MinHashIndex:
         )
         return fp.join(old_fp, on="fp").select("doc_id").distinct()
 
+    def exact_dup_pairs(
+        self, new_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> Optional[DataFrame]:
+        """The PAIR form of :meth:`exact_dup_ids`: ``(doc_a, doc_b)``
+        with ``doc_a < doc_b`` linking each increment doc to the stored
+        docs (outside the increment) sharing its exact fingerprint.
+        Quality-canonical incremental election folds these into the
+        candidate-pair edge set so wordless docs and capped-bucket
+        exact dups join their cluster and compete under the SAME
+        (quality desc, id asc) rule as band-matched members — an
+        id-direction drop rule would diverge from the one-shot election
+        whenever the new copy sorts before the stored one."""
+        stored = self._existing_fp()
+        if stored is None:
+            return None
+        new_ids = new_docs.select(F.col(id_col).alias("_old_id"))
+        old_fp = stored.select(F.col("doc_id").alias("_old_id"), "fp").join(
+            new_ids, on="_old_id", how="left_anti"
+        )
+        fp = new_docs.select(
+            F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp")
+        )
+        return (
+            fp.join(old_fp, on="fp")
+            .select(
+                F.least("_old_id", "doc_id").alias("doc_a"),
+                F.greatest("_old_id", "doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
     def add(
         self,
         new_docs: DataFrame,
         id_col: str = "doc_id",
         text_col: str = "text",
         protect=None,
+        quality: Optional[DataFrame] = None,
     ):
         """Append the increment's band table AND its (doc_id, fp)
         fingerprint side-table to the index (dedup on read is
@@ -966,7 +998,17 @@ class MinHashIndex:
         test_minhash_index_add_protects_external_caller). Local
         checkpoints are not fault-tolerant; a cluster job that must
         survive executor loss writes its results to a real table before
-        calling ``add``."""
+        calling ``add``.
+
+        ``quality``: optional ``(doc_id, quality_score, emitted)``
+        frame appended to the ``_q`` side-table — the stored scores
+        quality-canonical incremental election needs (``emitted`` marks
+        docs the caller's curation actually published; only those can
+        later be superseded by a better cluster member). The caller
+        must derive it from ALREADY-MATERIALIZED results (the frames it
+        passed via ``protect``) or from plans not reading this index —
+        it is written after the band/fp appends, so a quality plan
+        reading the index would see post-append state."""
         self._check_params()
         out = None
         if protect is not None:
@@ -978,6 +1020,12 @@ class MinHashIndex:
         new_docs.select(
             F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp")
         ).write.mode("append").parquet(self._fp_path)
+        if quality is not None:
+            quality.select(
+                "doc_id",
+                F.col("quality_score").cast("double").alias("quality_score"),
+                F.col("emitted").cast("boolean").alias("emitted"),
+            ).write.mode("append").parquet(self._q_path)
         self._write_params()
         return out
 

@@ -204,6 +204,68 @@ def streaming_lsh_candidates(
     )
 
 
+def streaming_index_candidates(
+    pages: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: Optional[int] = None,
+    available_now: bool = True,
+):
+    """Near-dup candidate stream bridged to the DURABLE MinHash index —
+    cross-RUN continuity that the in-memory
+    :func:`streaming_lsh_candidates` state cannot give (its
+    applyInPandasWithState buckets die with the query).
+
+    Per micro-batch (foreachBatch): (1) the batch's candidates come
+    from ``MinHashIndex.candidate_pairs`` — new-vs-new within the batch
+    PLUS new-vs-old against every document any previous batch OF ANY
+    RUN indexed; (2) the pairs are appended to ``output_path`` parquet
+    (an ACTION, so the result is materialized BEFORE the index append —
+    the ordering contract of ``MinHashIndex.add``, no recache-by-path
+    hazard); (3) the batch is added to the index. After a restart, new
+    batches still pair against pre-restart documents (pinned by
+    test_streaming_index_candidates_survives_restart).
+
+    Delivery semantics: the streaming checkpoint makes source progress
+    exactly-once, but foreachBatch side effects are AT-LEAST-ONCE — a
+    batch replayed after a crash re-adds its bands (idempotent:
+    deterministic rows the index's distinct/semi-joins absorb) and
+    re-appends its pairs, so consumers of ``output_path`` read with
+    ``.distinct()`` (pairs are already normalized doc_a < doc_b).
+    """
+    from ..ops.dedup import MinHashIndex
+
+    spark = pages.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = MinHashIndex(
+            spark,
+            index_path,
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+            max_bucket=max_bucket,
+        )
+        pairs = idx.candidate_pairs(batch_df, id_col="url", text_col="text")
+        pairs.write.mode("append").parquet(output_path)
+        idx.add(batch_df, id_col="url", text_col="text")
+        idx.release()
+
+    writer = (
+        pages.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def crawl_rate_metrics(
     pages: DataFrame,
     window: str = "1 hour",

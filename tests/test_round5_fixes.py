@@ -17,12 +17,21 @@
 
 import hashlib
 import os
+import subprocess
 import sys
 
 import pytest
 from pyspark.sql import functions as F
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "correctocr_spark", "--cores", "4", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=400,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
 
 STOPWORDS = ["the", "of", "and", "to", "in", "is", "was", "for", "that", "with"]
 
@@ -249,6 +258,95 @@ def test_curate_url_keyed_with_shards(spark):
     spark.catalog.clearCache()
 
 
+def test_cli_curate_quality_incremental(tmp_path, spark):
+    """CLI pin of quality-canonical incremental curation: two
+    snapshots, the second's clean twin supersedes the first's degraded
+    copy, and the retraction list lands at --superseded-out."""
+    schema = "doc_id long, text string, lang string"
+    a_rows = [
+        (i, _degraded(_unique_doc(i)) if i == 3 else _unique_doc(i), "en")
+        for i in range(5)
+    ]
+    b_rows = [(20, _unique_doc(3), "en"), (21, _unique_doc(21), "en")]
+    spark.createDataFrame(a_rows, schema).write.parquet(str(tmp_path / "a"))
+    spark.createDataFrame(b_rows, schema).write.parquet(str(tmp_path / "b"))
+    idx = str(tmp_path / "idx")
+
+    r = run_cli(
+        "curate", "--input", str(tmp_path / "a"),
+        "--output", str(tmp_path / "out_a"),
+        "--index-dir", idx, "--canonical", "quality",
+        "--superseded-out", str(tmp_path / "sup_a"),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli(
+        "curate", "--input", str(tmp_path / "b"),
+        "--output", str(tmp_path / "out_b"),
+        "--index-dir", idx, "--canonical", "quality",
+        "--superseded-out", str(tmp_path / "sup_b"),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ids_a = {x["doc_id"] for x in spark.read.parquet(str(tmp_path / "out_a")).collect()}
+    ids_b = {x["doc_id"] for x in spark.read.parquet(str(tmp_path / "out_b")).collect()}
+    sup_b = {x["doc_id"] for x in spark.read.parquet(str(tmp_path / "sup_b")).collect()}
+    assert 3 in ids_a           # degraded copy published in snapshot A
+    assert 20 in ids_b          # clean twin wins snapshot B's election
+    assert sup_b == {3}         # ...and retracts the stored loser
+    assert "superseded: 1" in r.stdout
+
+
+# ---------------------------------------------------------------------------
+# streaming bridge to the durable MinHash index
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_index_candidates_survives_restart(spark, tmp_path):
+    """Candidates found AFTER a restart include PRE-restart docs, even
+    with a FRESH checkpoint (so the continuity comes from the durable
+    index, not the state store): run 1 indexes batch A; run 2 — new
+    query, new checkpoint — sees a near-dup of an A doc and pairs it."""
+    import datetime
+
+    from correctocr_spark.spark.streaming import (
+        pages_stream,
+        streaming_index_candidates,
+    )
+    from correctocr_spark.spark.synth import PAGES_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    in1 = str(tmp_path / "in1")
+    in2 = str(tmp_path / "in2")
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "pairs")
+    b1 = [
+        ("u://a", ts, None, base, "en"),
+        ("u://b", ts, None, "totally unrelated words here now", "en"),
+    ]
+    spark.createDataFrame(b1, PAGES_SCHEMA).write.parquet(in1)
+    q = streaming_index_candidates(
+        pages_stream(spark, in1), idx, out, str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+
+    # restart: separate input dir AND checkpoint — only the index links
+    # the runs
+    b2 = [("u://c", ts, None, base.replace("lazy", "sleepy"), "en")]
+    spark.createDataFrame(b2, PAGES_SCHEMA).write.parquet(in2)
+    q2 = streaming_index_candidates(
+        pages_stream(spark, in2), idx, out, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(120)
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(out).distinct().collect()
+    }
+    assert ("u://a", "u://c") in pairs
+    assert all("u://b" not in p for p in pairs)
+    spark.catalog.clearCache()
+
+
 # ---------------------------------------------------------------------------
 # register/release_intermediates
 # ---------------------------------------------------------------------------
@@ -271,6 +369,145 @@ def test_release_intermediates_frees_op_caches(spark):
         cached[0].storageLevel.useMemory or cached[0].storageLevel.useDisk
     )
     assert release_intermediates(out) == 0  # idempotent
+
+
+# ---------------------------------------------------------------------------
+# quality-canonical INCREMENTAL curation (index _q side-table + retraction)
+# ---------------------------------------------------------------------------
+
+
+def _degraded(text: str) -> str:
+    """Same content + a punctuation tail: punct_ratio crosses 0.2, so
+    quality drops 1.0 -> 0.75 while nearly all 3-shingles stay shared
+    (the tail adds two shingles out of ~20 — band-match survives)."""
+    return text + " " + "!" * 40
+
+
+def test_curate_incremental_quality_equals_union(spark, tmp_path):
+    """Two-snapshot quality-canonical incremental == one-shot quality
+    curation over the union, once the retraction list is applied:
+    union(out_A, out_B) - superseded_B == one-shot. Covers both
+    directions: a NEW doc beating a stored published one (retraction)
+    and a stored doc beating a new one (plain drop)."""
+    from correctocr_spark.ops.curate import curate_incremental, curated_doc_ids
+
+    schema = "doc_id long, text string, lang string"
+    # A:3 is the DEGRADED copy; B:24 is its clean twin (higher quality)
+    a_rows = [
+        (i, _degraded(_unique_doc(i)) if i == 3 else _unique_doc(i), "en")
+        for i in range(6)
+    ]
+    a_rows.append((6, _degraded(_unique_doc(2)), "en"))  # loses to A:2 in-snapshot
+    b_rows = [(i, _unique_doc(i), "en") for i in range(20, 24)]
+    b_rows.append((24, _unique_doc(3), "en"))        # beats stored A:3
+    b_rows.append((25, _degraded(_unique_doc(4)), "en"))  # loses to stored A:4
+    snap_a = spark.createDataFrame(a_rows, schema)
+    snap_b = spark.createDataFrame(b_rows, schema)
+    idx = str(tmp_path / "idx")
+
+    out_a = curate_incremental(
+        snap_a, idx, min_quality=0.5, canonical="quality"
+    )
+    ids_a = {r["doc_id"] for r in out_a.select("doc_id").collect()}
+    sup_a = {
+        r["doc_id"] for r in out_a._correctocr_superseded.collect()
+    }
+    assert 2 in ids_a and 6 not in ids_a  # in-snapshot election
+    assert 3 in ids_a                     # degraded but unchallenged yet
+    assert sup_a == set()
+
+    out_b = curate_incremental(
+        snap_b, idx, min_quality=0.5, canonical="quality"
+    )
+    ids_b = {r["doc_id"] for r in out_b.select("doc_id").collect()}
+    sup_b = {
+        r["doc_id"] for r in out_b._correctocr_superseded.collect()
+    }
+    assert 24 in ids_b      # new doc won its cluster on quality
+    assert 25 not in ids_b  # stored A:4 won
+    assert sup_b == {3}     # the previously-published loser is retracted
+
+    union_docs = snap_a.unionByName(snap_b)
+    one_shot = {
+        r["doc_id"]
+        for r in curated_doc_ids(
+            union_docs, min_quality=0.5, canonical="quality"
+        ).collect()
+    }
+    assert (ids_a | ids_b) - sup_b == one_shot
+    spark.catalog.clearCache()
+
+
+def test_curate_incremental_quality_rerun_idempotent(spark, tmp_path):
+    """Re-running the second snapshot returns the same survivors and
+    the same retraction list (a downstream MERGE is idempotent)."""
+    from correctocr_spark.ops.curate import curate_incremental
+
+    schema = "doc_id long, text string, lang string"
+    snap_a = spark.createDataFrame(
+        [(3, _degraded(_unique_doc(3)), "en"), (4, _unique_doc(4), "en")], schema
+    )
+    snap_b = spark.createDataFrame([(24, _unique_doc(3), "en")], schema)
+    idx = str(tmp_path / "idx")
+    curate_incremental(snap_a, idx, min_quality=0.5, canonical="quality")
+
+    def run():
+        out = curate_incremental(snap_b, idx, min_quality=0.5, canonical="quality")
+        return (
+            {r["doc_id"] for r in out.select("doc_id").collect()},
+            {r["doc_id"] for r in out._correctocr_superseded.collect()},
+        )
+
+    first, again = run(), run()
+    assert first == again == ({24}, {3})
+    spark.catalog.clearCache()
+
+
+def test_curate_incremental_quality_requires_q_table(spark, tmp_path):
+    """An index built without quality support (bands/fp only) cannot
+    run a quality election — loud refusal, not silent min_id."""
+    from correctocr_spark.ops.curate import curate_incremental
+    from correctocr_spark.ops.dedup import MinHashIndex
+
+    schema = "doc_id long, text string, lang string"
+    snap_a = spark.createDataFrame([(1, _unique_doc(1), "en")], schema)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.add(snap_a.drop("lang"))  # legacy add: no quality side-table
+    snap_b = spark.createDataFrame(
+        [(2, _unique_doc(1).replace("u1x4", "u1z4"), "en")], schema
+    )
+    with pytest.raises(ValueError, match="quality"):
+        curate_incremental(
+            snap_b, str(tmp_path / "idx"), min_quality=0.5, canonical="quality"
+        )
+    spark.catalog.clearCache()
+
+
+def test_curate_incremental_quality_wordless_exact_dup(spark, tmp_path):
+    """A wordless exact dup (no shingles -> fp-pair edge only) competes
+    in the election: equal quality -> min id -> the stored copy wins
+    and the new copy is dropped; no retraction."""
+    from correctocr_spark.ops.curate import curate_incremental
+
+    schema = "doc_id long, text string, lang string"
+    # the wordless doc fails the quality gate either way; use a SHORT
+    # two-word doc instead (sub-k: its whole text bands as one shingle,
+    # but ALSO pin the fp path with a truly wordless doc)
+    snap_a = spark.createDataFrame(
+        [(1, _unique_doc(1), "en"), (2, "   ", "en")], schema
+    )
+    snap_b = spark.createDataFrame(
+        [(30, "   ", "en"), (31, _unique_doc(31), "en")], schema
+    )
+    idx = str(tmp_path / "idx")
+    curate_incremental(snap_a, idx, min_quality=0.5, canonical="quality")
+    out_b = curate_incremental(snap_b, idx, min_quality=0.5, canonical="quality")
+    ids_b = {r["doc_id"] for r in out_b.select("doc_id").collect()}
+    sup_b = {r["doc_id"] for r in out_b._correctocr_superseded.collect()}
+    assert 31 in ids_b
+    assert 30 not in ids_b  # tie -> min id -> stored doc 2 keeps the slot
+    assert sup_b == set()   # doc 2 was never published (fails the gate)
+    spark.catalog.clearCache()
 
 
 def test_register_intermediates_inherit_through_composition(spark):

@@ -451,6 +451,24 @@ def q_dedup_lines(spark, sf_dir):
     )
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode NFC normalization over deterministically DECOMPOSED text
+    (every 'a' gains a combining acute U+0301 — the corpus itself is
+    ASCII, where NFC is the identity and the oracle would be vacuous).
+    The normalizer is the package's Arrow-batched pandas UDF around
+    unicodedata.normalize; DuckDB's nfc_normalize is the cross-engine
+    twin, so the hash check pins the two Unicode implementations
+    against each other."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("replace(text, 'a', 'a\u0301')").alias("text"),
+    )
+    return normalize_text(d)
+
+
 def q_unigram_lm(spark, sf_dir):
     """Corpus-trained unigram LM scoring (KenLM-style quality filter):
     exact-integer micro-nat log probabilities so the per-doc sum is
@@ -1089,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "unigram_lm": q_unigram_lm,
         "dedup_lines": q_dedup_lines,
+        "normalize_text": q_normalize_text,
         # corpus cleaning / curation
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition,
@@ -1100,7 +1119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "pack_shards_url": q_pack_shards_url,
         "pagerank": q_pagerank,
-        "in_degree": q_in_degree,
         "url_canonical": q_url_canonical,
         "canonical_by_quality": q_canonical_by_quality,
         # multimodal plumbing
@@ -1127,6 +1145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-doc SimHash fingerprints — composed and re-verified inside
         # simhash_near_pairs' hamming distances
         "simhash": q_simhash,
+        # trivial edge groupBy count — pagerank's oracle exercises the
+        # same edge extraction far more deeply
+        "in_degree": q_in_degree,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics) ----
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
@@ -1932,6 +1953,15 @@ def oracle_sql() -> dict[str, str]:
                    floor((sum(n_tokens) OVER (ORDER BY md5(url), url
                           ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000)::BIGINT
                        AS shard
+            FROM d
+        """,
+        "normalize_text": """
+            WITH d AS (
+                SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS t
+                FROM documents
+            )
+            SELECT doc_id, nfc_normalize(t) AS norm_text,
+                   nfc_normalize(t) <> t AS changed
             FROM d
         """,
         "pagerank": _pagerank_sql(5),

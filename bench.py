@@ -68,6 +68,7 @@ HEADLINE = [
     "quality",
     "fingerprint",
     "unigram_lm",
+    "normalize_text",
     "pii_scrub",
     "repetition_stats",
     "tfidf_top_terms",

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from typing import Dict, List
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -86,6 +88,55 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         punct_ratio.alias("punct_ratio"),
         sw_ratio.alias("stopword_ratio"),
         F.round(score, 2).alias("quality_score"),
+    )
+
+
+def normalize_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization — the fix-encoding pass a web corpus runs
+    before any hashing/dedup (the same page crawled twice can differ
+    only in composed-vs-decomposed accents, which would defeat every
+    exact fingerprint downstream). Returns ``(doc_id, norm_text,
+    changed)``.
+
+    Spark has no built-in Unicode-normalize expression, so this is one
+    of the package's sanctioned VECTORIZED UDFs (Arrow-batched
+    ``pandas_udf``, never per-row Python) wrapping
+    ``unicodedata.normalize`` — a pure per-row map, scan-speed shape
+    with zero shuffle. Oracled cross-engine against DuckDB's
+    ``nfc_normalize`` (the default NFC form; NFKC/NFD/NFKD are
+    pytest-covered only — DuckDB exposes no twin).
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    # one STRUCT-returning UDF so the normalized text is computed once
+    # per row however the projection is collapsed (two scalar-UDF
+    # mentions of the same expression can each survive into the
+    # physical plan); null text -> null norm_text, changed = false
+    @pandas_udf("norm_text string, changed boolean")
+    def _norm(s: pd.Series) -> pd.DataFrame:
+        normed = s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+        changed = (normed != s) & s.notna()
+        return pd.DataFrame({"norm_text": normed, "changed": changed})
+
+    d = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), _norm(F.col(text_col)).alias("_n")
+    )
+    return d.select(
+        "doc_id",
+        F.col("_n.norm_text").alias("norm_text"),
+        F.col("_n.changed").alias("changed"),
     )
 
 

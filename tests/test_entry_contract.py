@@ -97,7 +97,7 @@ def test_oracled_queries_precede_rows_only():
         "a rows-only query is interleaved with the oracled block"
     )
     overflow = set(names[50:n_oracled])
-    assert overflow <= {"ngram_jaccard", "simhash"}, (
+    assert overflow <= {"ngram_jaccard", "simhash", "in_degree"}, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"
     )

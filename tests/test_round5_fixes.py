@@ -348,6 +348,42 @@ def test_streaming_index_candidates_survives_restart(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# unicode normalization (vectorized pandas UDF)
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_forms(spark):
+    from correctocr_spark.ops.textstats import normalize_text
+
+    docs = spark.createDataFrame(
+        [(1, "cafe\u0301"), (2, "\ufb01ne"), (3, "plain"), (4, None)],
+        "doc_id long, text string",
+    )
+    nfc = {r["doc_id"]: (r["norm_text"], r["changed"])
+           for r in normalize_text(docs).collect()}
+    assert nfc[1] == ("caf\u00e9", True)   # combining acute composes
+    assert nfc[2] == ("\ufb01ne", False)   # NFC keeps the fi ligature
+    assert nfc[3] == ("plain", False)
+    assert nfc[4] == (None, False)
+    nfkc = {r["doc_id"]: r["norm_text"]
+            for r in normalize_text(docs, form="NFKC").collect()}
+    assert nfkc[2] == "fine"                # NFKC folds the ligature
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_text(docs, form="NFX")
+
+
+def test_normalize_text_single_udf_eval(spark):
+    """The struct-returning UDF keeps ONE ArrowEvalPython in the plan —
+    two scalar mentions of the same UDF expression can each survive
+    projection collapse and double the Python work."""
+    from correctocr_spark.ops.textstats import normalize_text
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = normalize_text(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+
+
+# ---------------------------------------------------------------------------
 # register/release_intermediates
 # ---------------------------------------------------------------------------
 

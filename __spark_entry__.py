@@ -1033,6 +1033,180 @@ def q_windowed_agg(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (ops/temporal.py): each click attached to the user's
+    latest purchase at or before it — the point-in-time lookup Spark
+    has no builtin for, expressed as ONE key shuffle + running-last
+    window (no join node). Oracle: DuckDB's native ASOF LEFT JOIN.
+    (user_id, ts) is unique in the synthetic events table, so the
+    match is deterministic without the tiebreak path."""
+    from correctocr_spark.ops.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_cols=["purchase_id", "purchase_value"],
+        right_tiebreak="purchase_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "purchase_id",
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Binned range join (ops/temporal.py): error events landing inside
+    per-host daily activity windows — interval containment WITHOUT the
+    nested-loop plan a raw BETWEEN join produces: intervals explode
+    into hour bins (loudly capped), points take their single bin, and
+    the join is a plain equi-join on bin with exact containment
+    re-checked. Oracle: the same pairs via a DuckDB inequality join."""
+    from correctocr_spark.ops.temporal import range_join
+
+    events = _t(spark, sf_dir, "events")
+    intervals = (
+        events.where(F.col("user_id") < 10)
+        .groupBy(F.col("user_id").alias("host"), F.to_date("ts").alias("day"))
+        .agg(
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+            F.count(F.lit(1)).alias("n_host_events"),
+        )
+        .where(F.col("n_host_events") >= 2)
+        .drop("day")
+    )
+    errors = events.where(F.col("event_type") == "error").select("event_id", "ts")
+    out = range_join(errors, intervals, "ts", "lo", "hi", bin_width=3600.0)
+    return out.select(
+        "event_id",
+        "host",
+        F.date_format("lo", "yyyy-MM-dd HH:mm:ss").alias("lo_ts"),
+        F.date_format("hi", "yyyy-MM-dd HH:mm:ss").alias("hi_ts"),
+        "n_host_events",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+    )
+
+
+def q_snapshot_asof(spark, sf_dir):
+    """Point-in-time snapshot (ops/temporal.py): latest event per user
+    at or before a cutoff — "the page for each url as of crawl T" on
+    the north-rule pages table. Window-shape sibling of topk_per_group
+    (tier 2); oracle: DuckDB QUALIFY row_number() = 1."""
+    from correctocr_spark.ops.temporal import snapshot_asof
+
+    events = _t(spark, sf_dir, "events")
+    out = snapshot_asof(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        as_of="2024-01-16 00:00:00",
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type",
+    )
+
+
+def q_snapshot_delta(spark, sf_dir):
+    """Crawl-to-crawl delta (ops/temporal.py): events recast as a
+    multi-crawl pages table (url = user/event_type, warc_ts = ts,
+    payload = props), diffed between the Jan-10 and Jan-20 snapshots.
+    Composes snapshot_asof twice + full outer join; the join reuses
+    the windows' hash partitioning (plan-pinned). Oracle: two QUALIFY
+    subqueries + FULL OUTER JOIN in DuckDB."""
+    from correctocr_spark.ops.temporal import snapshot_delta
+
+    events = _t(spark, sf_dir, "events")
+    pages = events.select(
+        F.concat(
+            F.lit("u"), F.col("user_id").cast("string"), F.lit("/"), F.col("event_type")
+        ).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        "props",
+        "event_id",
+    )
+    out = snapshot_delta(
+        pages,
+        key_col="url",
+        ts_col="warc_ts",
+        t1="2024-01-10 00:00:00",
+        t2="2024-01-20 00:00:00",
+        fp_col=F.md5(F.col("props")),
+        tiebreak="event_id",
+    )
+    return out.select(
+        "url",
+        "status",
+        F.date_format("ts_1", "yyyy-MM-dd HH:mm:ss").alias("ts_1"),
+        F.date_format("ts_2", "yyyy-MM-dd HH:mm:ss").alias("ts_2"),
+        "fp_1",
+        "fp_2",
+    )
+
+
+def q_forward_fill(spark, sf_dir):
+    """Per-key forward fill (ops/temporal.py): event values nulled for
+    'view' rows, then back-filled from each user's latest preceding
+    non-null value — one key shuffle, running last(ignorenulls).
+    Oracle: DuckDB last_value(... IGNORE NULLS) window."""
+    from correctocr_spark.ops.temporal import forward_fill
+
+    events = _t(spark, sf_dir, "events")
+    sparse = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") != "view", F.col("value")).alias("value"),
+    )
+    out = forward_fill(
+        sparse, on="user_id", ts_col="ts", cols=["value"], tiebreak="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+MIX_TARGETS = {"en": 0.5, "fr": 0.3, "de": 0.2}
+
+
+def q_mix_proportions(spark, sf_dir):
+    """Corpus mixture balancing (ops/cleaning.py): rebalance documents
+    to a 50/30/20 en/fr/de blend by hash-gated downsampling of the
+    over-represented groups; es/zh (absent from targets) drop. The
+    exact selected row set is engine-independent — DuckDB recomputes
+    the same per-group rates and md5 gate."""
+    from correctocr_spark.ops.cleaning import mix_proportions
+
+    docs = _t(spark, sf_dir, "documents")
+    return mix_proportions(
+        docs, MIX_TARGETS, group_col="lang", key_col="doc_id", seed="mix1"
+    ).select("doc_id", "lang")
+
+
 def q_ocr_tokens_binned(spark, sf_dir):
     _ship(spark)
     from correctocr_spark.kernels.heuristics import AGGRESSIVE_SETTINGS
@@ -1087,6 +1261,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "sessionize": q_sessionize,
         "event_type_stats": q_event_type_stats,
+        # temporal joins (ops/temporal.py, new in r5): as-of join and
+        # binned range join — each a distinct operator with no tier-1
+        # sibling, so they take tier-1 slots; context_window and
+        # token_window (4 rounds of green driver rows, and siblings of
+        # the still-tier-1 token_detail view) moved to tier 2 to fit
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         # resource prep (S14) — r4's lost driver row, restored to tier 1
         "dictionary_build": q_dictionary_build,
         # dedup suite
@@ -1128,13 +1309,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity extensions
         "ivf_assign": q_ivf_assign,
         "embedding_dup": q_embedding_dup,
-        # term index (S17/J6) + context window (W3)
+        # term index (S17/J6)
         "term_index": q_term_index,
-        "context_window": q_context_window,
         # server read surface: token-detail endpoint (server.py:231-307)
         "token_detail": q_token_detail,
-        # W4 sliding token window (correcter.py:20-24)
-        "token_window": q_token_window,
         # streaming-shaped windowed agg (batch twin)
         "windowed_agg": q_windowed_agg,
         # ---- tier 2: oracled twins (operator hash-verified via the
@@ -1148,6 +1326,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trivial edge groupBy count — pagerank's oracle exercises the
         # same edge extraction far more deeply
         "in_degree": q_in_degree,
+        # context window (W3) + W4 sliding token window: siblings of
+        # the tier-1 token_detail view over the same token table
+        # (green driver rows r1-r4; moved here for the r5 temporal ops)
+        "context_window": q_context_window,
+        "token_window": q_token_window,
+        # point-in-time snapshot: window-shape sibling of topk_per_group
+        "snapshot_asof": q_snapshot_asof,
+        # crawl delta: composition of snapshot_asof (above) + outer join
+        "snapshot_delta": q_snapshot_delta,
+        # forward fill: the same running-last window core as asof_join
+        "forward_fill": q_forward_fill,
+        # mixture balancing: rate-derivation layer over the tier-1
+        # sample_stratified hash gate
+        "mix_proportions": q_mix_proportions,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics) ----
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
@@ -1813,6 +2005,100 @@ def oracle_sql() -> dict[str, str]:
                    (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value,
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
             FROM events GROUP BY event_type
+        """,
+        # DuckDB's NATIVE ASOF JOIN (inclusive l.ts >= r.ts, latest
+        # right row wins) against the union+running-last window plan;
+        # (user_id, ts) is unique so no tiebreak ambiguity
+        "asof_join": """
+            SELECT l.event_id, l.user_id,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   r.event_id AS purchase_id,
+                   strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                   r.value AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # plain inequality join (fine at DuckDB's scale) vs the binned
+        # equi-join plan — identical pair sets
+        "range_join": """
+            WITH iv AS (
+              SELECT user_id AS host, CAST(ts AS DATE) AS day,
+                     min(ts) AS lo, max(ts) AS hi, count(*)::BIGINT AS n_host_events
+              FROM events WHERE user_id < 10 GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT e.event_id, iv.host,
+                   strftime(iv.lo, '%Y-%m-%d %H:%M:%S') AS lo_ts,
+                   strftime(iv.hi, '%Y-%m-%d %H:%M:%S') AS hi_ts,
+                   iv.n_host_events,
+                   strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts
+            FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts <= iv.hi
+            WHERE e.event_type = 'error'
+        """,
+        "snapshot_asof": """
+            SELECT user_id, event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type
+            FROM events
+            WHERE ts <= TIMESTAMP '2024-01-16 00:00:00'
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "snapshot_delta": """
+            WITH pages AS (
+              SELECT 'u' || CAST(user_id AS VARCHAR) || '/' || event_type AS url,
+                     ts, props, event_id
+              FROM events
+            ),
+            s1 AS (
+              SELECT url, ts, md5(props) AS fp FROM pages
+              WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'
+              QUALIFY row_number() OVER (
+                  PARTITION BY url ORDER BY ts DESC, event_id DESC) = 1
+            ),
+            s2 AS (
+              SELECT url, ts, md5(props) AS fp FROM pages
+              WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+              QUALIFY row_number() OVER (
+                  PARTITION BY url ORDER BY ts DESC, event_id DESC) = 1
+            )
+            SELECT url,
+                   CASE WHEN s1.fp IS NULL THEN 'added'
+                        WHEN s2.fp IS NULL THEN 'removed'
+                        WHEN s1.fp = s2.fp THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   strftime(s1.ts, '%Y-%m-%d %H:%M:%S') AS ts_1,
+                   strftime(s2.ts, '%Y-%m-%d %H:%M:%S') AS ts_2,
+                   s1.fp AS fp_1, s2.fp AS fp_2
+            FROM s1 FULL OUTER JOIN s2 USING (url)
+        """,
+        "forward_fill": """
+            SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   event_type,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+            FROM (
+              SELECT event_id, user_id, ts, event_type,
+                     CASE WHEN event_type <> 'view' THEN value END AS v
+              FROM events
+            )
+        """,
+        # same rate arithmetic (p * T / n, T = min(n / p)) and the same
+        # md5 gate as the Spark op — selected row set must match exactly
+        "mix_proportions": f"""
+            WITH c AS (
+              SELECT lang, count(*)::BIGINT AS n,
+                     CASE {" ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(MIX_TARGETS.items()))}
+                     END AS p
+              FROM documents GROUP BY lang
+            ),
+            c2 AS (SELECT * FROM c WHERE p IS NOT NULL),
+            t AS (SELECT min(n / p) AS big_t FROM c2),
+            r AS (SELECT lang, p * big_t / n AS rate FROM c2 CROSS JOIN t)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r USING (lang)
+            WHERE ('0x' || substr(md5('mix1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  < rate * 4294967296.0
         """,
         "dedup_exact": """
             SELECT fp, n_docs, keep_id FROM (

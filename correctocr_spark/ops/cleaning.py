@@ -199,6 +199,67 @@ def deterministic_sample(
     return docs.where(bucket < r * F.lit(float(2**32)))
 
 
+def mix_proportions(
+    docs: DataFrame,
+    targets: Dict[str, float],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: str = "mix1",
+) -> DataFrame:
+    """Rebalance the corpus to TARGET mixture proportions — the data-
+    mixing step of training-corpus assembly ("make the blend 50% en /
+    30% fr / 20% de") — by deterministically downsampling every group
+    that is over-represented relative to its target share.
+
+    The achievable total is bottlenecked by the scarcest group:
+    ``T = min_g n_g / p_g``; each group keeps ``rate_g = p_g·T / n_g``
+    of its rows (the bottleneck group keeps everything) through the
+    same md5 hash gate as :func:`deterministic_sample`, so the
+    selection is stable across runs, engines, partitionings and
+    retries. Groups absent from ``targets`` are dropped. Expected
+    output shares equal the targets up to hash-Bernoulli noise; the
+    SELECTED ROW SET is exact and engine-independent (oracled against
+    DuckDB computing the same rates and gate).
+
+    Scale shape: one map-side-partial groupBy over the group column
+    (cardinality = number of corpus sources, tiny), a broadcast of the
+    per-group rates back onto the corpus, and a scan-speed gate
+    predicate — no wide shuffle of the data itself, no driver-side
+    state.
+    """
+    if not targets:
+        raise ValueError("mix_proportions: targets must be non-empty")
+    for g, p in targets.items():
+        if p <= 0:
+            raise ValueError(f"mix_proportions: target share for {g!r} must be > 0")
+    p_col = F.lit(None).cast("double")
+    for g, p in sorted(targets.items()):
+        p_col = F.when(F.col(group_col) == g, F.lit(float(p))).otherwise(p_col)
+    counts = (
+        docs.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_p", p_col)
+        .where(F.col("_p").isNotNull())
+    )
+    total = counts.select(F.min(F.col("_n") / F.col("_p")).alias("_T"))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        group_col,
+        (F.col("_p") * F.col("_T") / F.col("_n")).alias("_rate"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(rates), on=group_col, how="inner")
+        .where(bucket < F.col("_rate") * F.lit(float(2**32)))
+        .drop("_rate")
+    )
+
+
 def corpus_rollup(
     docs: DataFrame,
     strat_col: str = "lang",

@@ -1,0 +1,367 @@
+"""Temporal join operators: as-of join, point-in-time snapshot, and
+binned range (interval-containment) join.
+
+The north-rule pages table carries ``(url, warc_ts)`` — a
+Common-Crawl-style corpus holds MANY crawls of the same url over time,
+and a training-data pipeline needs point-in-time semantics over them:
+"the page for this url as of crawl T" (:func:`snapshot_asof`), "for
+each record the latest matching state at or before its timestamp"
+(:func:`asof_join` — Spark has no built-in for this), and "which
+records fall inside which time windows" (:func:`range_join`, which a
+naive inequality join turns into a broadcast-nested-loop or cartesian
+plan). Each is expressed as a composition of built-in DataFrame ops —
+zero UDFs — so the whole plan stays inside whole-stage codegen.
+
+Scale shapes (100 TB framing):
+
+- ``asof_join`` is ONE hash shuffle of ``left ∪ right`` on the join
+  keys plus a per-key sort — the sort-merge-join shape without the
+  join explosion: the running ``last(payload, ignorenulls)`` window
+  carries O(1) state per row, so a key with millions of rows costs
+  its sort and nothing more. Skewed keys cost what any key shuffle
+  costs; there is no row multiplication to amplify them.
+- ``snapshot_asof`` is the same single-shuffle window shape with a
+  ``row_number() = 1`` cut; at 10^12 rows the as-of filter is a scan
+  predicate (pushed to parquet/Iceberg), and AQE handles stragglers.
+- ``range_join`` buckets time into fixed-width bins, explodes each
+  interval into the bins it covers (loudly capped — a runaway
+  interval fails the job instead of silently exploding), and
+  equi-joins points to intervals on (keys, bin). Both sides shuffle
+  once on (keys, bin); hot bins are ordinary equi-join skew, which
+  AQE's skew-join split handles — unlike the nested-loop plan Spark
+  picks for a raw ``p.ts BETWEEN iv.lo AND iv.hi`` predicate, which
+  no amount of AQE can save at scale.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "asof_join",
+    "snapshot_asof",
+    "snapshot_delta",
+    "forward_fill",
+    "range_join",
+]
+
+
+def _keys(on: Union[str, Sequence[str]]) -> List[str]:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def _epoch(df: DataFrame, col: str):
+    """Numeric view of a column for bin/tolerance arithmetic: numerics
+    cast to double directly; TIMESTAMP/DATE go through epoch seconds.
+    TIMESTAMP_NTZ cannot cast to double, so it routes via TIMESTAMP —
+    exact and monotone because :func:`..spark.session.get_spark` pins
+    ``spark.sql.session.timeZone`` to UTC (a DST-shifting session zone
+    would fold the mapping; keep the UTC pin)."""
+    dt = df.schema[col].dataType.simpleString()
+    if dt in ("timestamp_ntz", "date"):
+        return F.col(col).cast("timestamp").cast("double")
+    return F.col(col).cast("double")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]] = "url",
+    left_ts: str = "ts",
+    right_ts: Optional[str] = None,
+    right_cols: Optional[Sequence[str]] = None,
+    tolerance_seconds: Optional[float] = None,
+    right_tiebreak: Optional[str] = None,
+    how: str = "left",
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join: for every left row, attach the right row with the
+    greatest ``right_ts`` satisfying ``right_ts <= left_ts`` within the
+    same ``on`` key(s) — inclusive at equality, matching DuckDB's
+    ``ASOF JOIN ... ON l.ts >= r.ts`` semantics.
+
+    Implemented as a tagged union + running-``last`` window rather
+    than a join: both sides are stacked with a tag column, hash-
+    shuffled ONCE on the key, sorted per key by ``(ts, tag)`` with
+    right rows ordered before left rows at equal timestamps, and each
+    left row reads ``last(right_payload, ignorenulls=True)`` over the
+    unbounded-preceding frame. No join node appears in the plan at
+    all (pinned by tests/test_temporal_ops.py::test_asof_plan_shape).
+
+    ``right_cols`` — right columns to carry (default: everything but
+    the keys and ``right_ts``); carried columns colliding with a left
+    name are suffixed with ``suffix``, as is the matched right
+    timestamp itself. ``tolerance_seconds`` nulls the match out when
+    ``left_ts - right_ts`` exceeds it (timestamps compare as epoch
+    seconds; plain numeric ts columns subtract directly).
+    ``right_tiebreak`` — when several right rows share ``(key, ts)``,
+    the row with the GREATEST tiebreak value wins; without it that
+    pick is partition-order-dependent, so supply one whenever the
+    right side is not unique on ``(key, ts)``. ``how``: ``"left"``
+    keeps unmatched left rows with null payload, ``"inner"`` drops
+    them.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join: how must be 'left' or 'inner', got {how!r}")
+    keys = _keys(on)
+    rts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != rts]
+    rts_out = rts + suffix if rts in left.columns else rts
+    out_names = [c + suffix if c in left.columns else c for c in right_cols]
+    if len(set(out_names + [rts_out])) != len(out_names) + 1:
+        raise ValueError(
+            f"asof_join: right output columns collide after suffixing: {out_names}"
+        )
+
+    pay = F.struct(
+        F.col(rts).alias("_rts"),
+        *[F.col(c).alias(n) for c, n in zip(right_cols, out_names)],
+    )
+    pay_type = right.select(pay.alias("p")).schema[0].dataType
+    lrow = F.struct(*[F.col(c) for c in left.columns])
+    lrow_type = left.select(lrow.alias("l")).schema[0].dataType
+    if right_tiebreak is not None:
+        tb_type = right.select(right_tiebreak).schema[0].dataType.simpleString()
+        r_tb = F.col(right_tiebreak).cast(tb_type)
+    else:
+        tb_type = "int"
+        r_tb = F.lit(0).cast(tb_type)
+
+    l2 = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(tb_type).alias("_tb"),
+        lrow.alias("_lrow"),
+        F.lit(None).cast(pay_type).alias("_pay"),
+    )
+    r2 = right.select(
+        *[F.col(k) for k in keys],
+        F.col(rts).alias("_t"),
+        F.lit(0).alias("_tag"),
+        r_tb.alias("_tb"),
+        F.lit(None).cast(lrow_type).alias("_lrow"),
+        pay.alias("_pay"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").asc(), F.col("_tag").asc(), F.col("_tb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = (
+        l2.unionByName(r2)
+        .withColumn("_m", F.last("_pay", ignorenulls=True).over(w))
+        .where(F.col("_tag") == 1)
+    )
+    if tolerance_seconds is not None:
+        ts_dt = left.schema[left_ts].dataType.simpleString()
+        if ts_dt in ("timestamp_ntz", "date"):
+            # NTZ has no direct double cast; route via TIMESTAMP (exact
+            # under get_spark's pinned UTC session zone, see _epoch)
+            num = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
+        else:
+            num = lambda c: c.cast("double")  # noqa: E731
+        in_tol = (num(F.col("_t")) - num(F.col("_m._rts"))) <= F.lit(
+            float(tolerance_seconds)
+        )
+        u = u.withColumn("_m", F.when(in_tol, F.col("_m")))
+    if how == "inner":
+        u = u.where(F.col("_m").isNotNull())
+    return u.select(
+        F.col("_lrow.*"),
+        F.col("_m._rts").alias(rts_out),
+        *[F.col(f"_m.{n}").alias(n) for n in out_names],
+    )
+
+
+def snapshot_asof(
+    df: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    as_of=None,
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Point-in-time snapshot: the latest row per ``key_col`` with
+    ``ts_col <= as_of`` (or the overall latest when ``as_of`` is
+    None) — "the page for each url as of crawl T" over a multi-crawl
+    corpus. ``tiebreak`` (greatest wins) makes the pick deterministic
+    when a key has several rows at the winning timestamp.
+
+    One scan-pushed filter + one key-shuffled ``row_number`` window;
+    the as-of predicate prunes at the source, so old crawls outside
+    the cut are never read on a ts-partitioned table.
+    """
+    x = df
+    if as_of is not None:
+        cut = F.lit(as_of).cast(x.schema[ts_col].dataType)
+        x = x.where(F.col(ts_col) <= cut)
+    order = [F.col(ts_col).desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return x.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def snapshot_delta(
+    pages: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    t1=None,
+    t2=None,
+    fp_col=None,
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Crawl-to-crawl delta: compare the point-in-time snapshot of a
+    multi-crawl pages table as of ``t1`` against the one as of ``t2``
+    and classify every key as ``added`` (absent at t1), ``removed``
+    (absent at t2 — arises when the table is a bounded per-crawl log,
+    not a cumulative one), ``changed`` (fingerprints differ) or
+    ``unchanged``. ``fp_col`` is a Column fingerprint expression
+    evaluated on each snapshot (default ``md5(text)``); returns
+    ``(key, status, ts_1, ts_2, fp_1, fp_2)``.
+
+    Scale shape: two single-shuffle snapshot windows, both hash-
+    partitioned on the key, then a full outer join ON that same key —
+    Catalyst reuses the windows' output partitioning, so the join adds
+    sorts but no third exchange (pinned by
+    tests/test_temporal_ops.py::test_snapshot_delta_plan_two_exchanges).
+    """
+    fp = fp_col if fp_col is not None else F.md5(F.col("text"))
+
+    def side(cut, n: str) -> DataFrame:
+        snap = snapshot_asof(pages, key_col=key_col, ts_col=ts_col, as_of=cut, tiebreak=tiebreak)
+        return snap.select(
+            F.col(key_col).alias("_k"),
+            F.col(ts_col).alias(f"ts_{n}"),
+            fp.alias(f"fp_{n}"),
+        )
+
+    a, b = side(t1, "1"), side(t2, "2")
+    joined = a.join(b, on="_k", how="full_outer")
+    status = (
+        F.when(F.col("fp_1").isNull(), F.lit("added"))
+        .when(F.col("fp_2").isNull(), F.lit("removed"))
+        .when(F.col("fp_1") == F.col("fp_2"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col("_k").alias(key_col),
+        status.alias("status"),
+        "ts_1",
+        "ts_2",
+        "fp_1",
+        "fp_2",
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    on: Union[str, Sequence[str]] = "url",
+    ts_col: str = "ts",
+    cols: Optional[Sequence[str]] = None,
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Per-key forward fill: replace each null in ``cols`` with the
+    latest preceding non-null value for the same key, ordered by
+    ``ts_col`` (then ``tiebreak``) — the feature-pipeline companion of
+    :func:`asof_join` when old and new values live in the SAME table.
+    One key shuffle + one sort; every filled column is a running
+    ``last(ignorenulls)`` over the same window, so adding columns adds
+    no stages.
+    """
+    keys = _keys(on)
+    if cols is None:
+        cols = [c for c in df.columns if c not in keys and c != ts_col and c != tiebreak]
+    order = [F.col(ts_col).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    on: Optional[Union[str, Sequence[str]]] = None,
+    max_bins_per_interval: int = 4096,
+) -> DataFrame:
+    """Interval-containment join: every ``(point, interval)`` pair with
+    ``lo_col <= point_col <= hi_col`` (inclusive both ends), optionally
+    also equi-matched on ``on`` key(s). Works on timestamps (compared
+    as epoch seconds for binning, natively for containment) and plain
+    numeric columns alike.
+
+    A raw ``BETWEEN`` join predicate gives Spark no equi-key, so it
+    plans a broadcast-nested-loop (or cartesian) — quadratic at scale.
+    Here both sides are mapped onto fixed-width bins: a point lands in
+    exactly one bin, an interval is exploded into every bin it covers
+    (``sequence(floor(lo/w), floor(hi/w))``), and the join is a plain
+    equi-join on (keys, bin) with the exact containment re-checked
+    after — each qualifying pair is produced exactly once, because the
+    point's single bin appears once per interval. An interval covering
+    more than ``max_bins_per_interval`` bins fails the job loudly
+    (``assert_true``) instead of silently exploding the build side;
+    pick ``bin_width`` near the typical interval length so the
+    explode factor stays O(1).
+
+    Both input frames must have disjoint column names apart from the
+    ``on`` keys (raises otherwise).
+    """
+    keys = _keys(on) if on is not None else []
+    clash = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"range_join: overlapping non-key columns {sorted(clash)}; "
+            "rename one side before joining"
+        )
+    w = float(bin_width)
+    if w <= 0:
+        raise ValueError("range_join: bin_width must be positive")
+    p_bin = F.floor(_epoch(points, point_col) / w).cast("long")
+    lo_b = F.floor(_epoch(intervals, lo_col) / w).cast("long")
+    hi_b = F.floor(_epoch(intervals, hi_col) / w).cast("long")
+    pb = points.withColumn("_bin", p_bin)
+    iv = intervals.withColumn("_lo_b", lo_b).withColumn("_hi_b", hi_b)
+    # assert_true folds into the row pipeline: the guard cannot be
+    # pruned away because _hi_b is read through it
+    guarded_hi = F.when(
+        F.assert_true(
+            F.col("_hi_b") - F.col("_lo_b") < F.lit(int(max_bins_per_interval)),
+            F.concat(
+                F.lit(
+                    f"range_join: interval spans > {max_bins_per_interval} bins "
+                    f"of width {w}; raise bin_width or max_bins_per_interval "
+                    "(offending lo="
+                ),
+                F.col(lo_col).cast("string"),
+                F.lit(" hi="),
+                F.col(hi_col).cast("string"),
+                F.lit(")"),
+            ),
+        ).isNull(),
+        F.col("_hi_b"),
+    )
+    ivx = (
+        iv.withColumn("_bin", F.explode(F.sequence(F.col("_lo_b"), guarded_hi)))
+        .drop("_lo_b", "_hi_b")
+    )
+    return (
+        pb.join(ivx, on=keys + ["_bin"], how="inner")
+        .where((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col)))
+        .drop("_bin")
+    )

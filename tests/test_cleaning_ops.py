@@ -233,3 +233,54 @@ def test_canonical_url_crafted(spark):
     assert got[3] == "https://site.org/path"
     assert got[4] == "not a url at all"       # unparseable passes through
     assert got[5] == "http://host.net/KeepCase?x=2"  # trimmed, path case kept
+
+
+def test_mix_proportions_shares_and_determinism(spark):
+    from correctocr_spark.ops.cleaning import mix_proportions
+
+    rows = (
+        [(i, "en") for i in range(600)]
+        + [(i + 1000, "fr") for i in range(200)]
+        + [(i + 2000, "de") for i in range(200)]
+        + [(i + 3000, "zh") for i in range(100)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    targets = {"en": 0.5, "fr": 0.3, "de": 0.2}
+    out = mix_proportions(docs, targets, group_col="lang", key_col="doc_id")
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # bottleneck is fr: T = 200/0.3 = 666.7 -> expected ~333 en / 200 fr / 133 de
+    assert "zh" not in got            # absent from targets: dropped
+    assert got["fr"] == 200           # bottleneck group keeps everything
+    assert abs(got["en"] - 333) < 60  # hash-Bernoulli noise band
+    assert abs(got["de"] - 133) < 40
+    # selection is deterministic: identical re-run picks identical rows
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in mix_proportions(docs, targets, group_col="lang", key_col="doc_id").collect())
+    assert a == b
+    # output keeps all original columns
+    assert set(out.columns) == {"doc_id", "lang"}
+
+
+def test_mix_proportions_validates_targets(spark):
+    import pytest
+
+    from correctocr_spark.ops.cleaning import mix_proportions
+
+    docs = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="non-empty"):
+        mix_proportions(docs, {})
+    with pytest.raises(ValueError, match="must be > 0"):
+        mix_proportions(docs, {"en": 0.0})
+
+
+def test_mix_proportions_plan_broadcasts_rates(spark):
+    from correctocr_spark.ops.cleaning import mix_proportions
+
+    docs = spark.createDataFrame([(1, "en"), (2, "fr")], "doc_id long, lang string")
+    plan = (
+        mix_proportions(docs, {"en": 0.5, "fr": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the corpus-side join against the tiny rates table must be a
+    # broadcast, never a shuffle of the corpus itself
+    assert "BroadcastHashJoin" in plan, plan

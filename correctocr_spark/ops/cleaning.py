@@ -241,7 +241,30 @@ def mix_proportions(
         .withColumn("_p", p_col)
         .where(F.col("_p").isNotNull())
     )
-    total = counts.select(F.min(F.col("_n") / F.col("_p")).alias("_T"))
+    # a target group with ZERO corpus rows makes the blend unachievable
+    # (its true bottleneck T is 0); silently computing the mix over the
+    # present groups would return wrong proportions, so fail loudly —
+    # the check rides the same tiny aggregate, no extra action
+    spark = docs.sparkSession
+    tgt = spark.createDataFrame(
+        [(g,) for g in sorted(targets)], f"{group_col} string"
+    )
+    covered = tgt.join(F.broadcast(counts), on=group_col, how="left").select(
+        group_col,
+        F.when(
+            F.assert_true(
+                F.col("_n").isNotNull(),
+                F.concat(
+                    F.lit("mix_proportions: target group "),
+                    F.col(group_col),
+                    F.lit(" has no rows in the corpus; its target share is unachievable"),
+                ),
+            ).isNull(),
+            F.col("_n"),
+        ).alias("_n"),
+        "_p",
+    )
+    total = covered.select(F.min(F.col("_n") / F.col("_p")).alias("_T"))
     rates = counts.crossJoin(F.broadcast(total)).select(
         group_col,
         (F.col("_p") * F.col("_T") / F.col("_n")).alias("_rate"),

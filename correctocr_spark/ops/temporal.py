@@ -103,6 +103,13 @@ def asof_join(
     right side is not unique on ``(key, ts)``. ``how``: ``"left"``
     keeps unmatched left rows with null payload, ``"inner"`` drops
     them.
+
+    NULLs follow strict SQL inequality semantics: a NULL key or NULL
+    timestamp on either side never matches (right rows with NULLs are
+    filtered; left rows with NULLs keep a null payload). Note DuckDB's
+    ASOF JOIN differs on one corner — it treats a NULL ordering key as
+    comparable-largest and will match NULL-ts to NULL-ts (pinned in
+    tests/test_temporal_ops.py::test_asof_null_keys_and_ts_match_sql_semantics).
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join: how must be 'left' or 'inner', got {how!r}")
@@ -139,7 +146,16 @@ def asof_join(
         lrow.alias("_lrow"),
         F.lit(None).cast(pay_type).alias("_pay"),
     )
-    r2 = right.select(
+    # SQL join semantics: a right row with a NULL key or NULL timestamp
+    # can never satisfy `l.key = r.key AND l.ts >= r.ts`. The window
+    # partitioning would instead GROUP nulls (making a null-key right
+    # row visible to null-key left rows, and a null-ts right row sort
+    # before everything and leak into every match) — filter them out so
+    # the operator agrees with DuckDB's ASOF JOIN on dirty data.
+    right_clean = right.where(F.col(rts).isNotNull())
+    for k in keys:
+        right_clean = right_clean.where(F.col(k).isNotNull())
+    r2 = right_clean.select(
         *[F.col(k) for k in keys],
         F.col(rts).alias("_t"),
         F.lit(0).alias("_tag"),

@@ -273,6 +273,21 @@ def test_mix_proportions_validates_targets(spark):
         mix_proportions(docs, {"en": 0.0})
 
 
+def test_mix_proportions_raises_on_absent_target_group(spark):
+    import pytest
+
+    from correctocr_spark.ops.cleaning import mix_proportions
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(10)], "doc_id long, lang string"
+    )
+    # 'fr' has zero corpus rows: silently mixing without it would
+    # return wrong proportions — must fail loudly at execution
+    out = mix_proportions(docs, {"en": 0.5, "fr": 0.5})
+    with pytest.raises(Exception, match="unachievable"):
+        out.collect()
+
+
 def test_mix_proportions_plan_broadcasts_rates(spark):
     from correctocr_spark.ops.cleaning import mix_proportions
 

@@ -129,6 +129,41 @@ def test_asof_plan_single_shuffle_no_join(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_asof_null_keys_and_ts_match_sql_semantics(spark):
+    """SQL `l.k = r.k AND l.ts >= r.ts` never matches a NULL key or
+    NULL timestamp; the window partitioning would group nulls instead —
+    pin that dirty right rows are excluded and dirty left rows get no
+    match (verified against DuckDB on the same frame)."""
+    lrows = [("a", 5, 1), (None, 5, 2), ("a", None, 3)]
+    rrows = [("a", 3, "ok"), (None, 1, "nullkey"), ("a", None, "nullts")]
+    left = spark.createDataFrame(lrows, "k string, ts int, lid int")
+    right = spark.createDataFrame(rrows, "k string, ts int, rv string")
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(left, right, on="k", left_ts="ts").collect()
+    }
+    assert got == {1: "ok", 2: None, 3: None}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k VARCHAR, ts INT, lid INT)")
+    con.execute("CREATE TABLE r(k VARCHAR, ts INT, rv VARCHAR)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", lrows)
+    con.executemany("INSERT INTO r VALUES (?,?,?)", rrows)
+    want = dict(
+        con.sql(
+            "SELECT l.lid, r.rv FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+    )
+    # null-key rows: both engines agree (equality never matches NULL)
+    assert got[1] == want[1] and got[2] is None and want[2] is None
+    # null-TS divergence, documented: DuckDB's ASOF sorts the ordering
+    # key with NULLs as comparable-largest and MATCHES a null-ts left
+    # row to a null-ts right row (want[3] == 'nullts'); this operator
+    # keeps strict SQL inequality semantics — NULL >= NULL is not true,
+    # so no match. The registered oracle runs on non-null data.
+    assert want[3] == "nullts" and got[3] is None
+
+
 def test_asof_rejects_bad_how(spark):
     df = spark.range(1).select(F.lit("a").alias("k"), F.lit(1).alias("ts"))
     with pytest.raises(ValueError, match="how"):

@@ -91,6 +91,13 @@ HEADLINE = [
     "topk_per_group",
     "sessionize",
     "media_features",
+    # r5: temporal joins + mixture balancing
+    "asof_join",
+    "range_join",
+    "snapshot_asof",
+    "snapshot_delta",
+    "forward_fill",
+    "mix_proportions",
 ]
 
 

@@ -73,3 +73,53 @@ def test_pipeline_shuffle_count_join_path(spark):
     # be a broadcast (small table), not a shuffle
     assert len(shuffles) <= 4, f"unexpected shuffle count {len(shuffles)}:\n{p}"
     assert len(broadcasts) >= 1, f"kbest join not broadcast:\n{p}"
+
+
+def test_asof_query_scan_pruning(spark):
+    """asof_join query: both event scans must push their event_type
+    filter to parquet and read only the needed columns; the whole query
+    has exactly one hash exchange (the window) and no join node."""
+    p = plan_of(entry_mod.q_asof_join(spark, SF))
+    filters = " | ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", p))
+    assert "EqualTo(event_type,click)" in filters
+    assert "EqualTo(event_type,purchase)" in filters
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert cols <= {"event_id", "user_id", "ts", "event_type", "value"}, s
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    exchanges = re.findall(r"\(\d+\) Exchange\b", p)
+    assert len(exchanges) == 1 and "hashpartitioning" in p, p
+
+
+def test_range_join_query_scan_pruning(spark):
+    """range_join query: the interval side pushes user_id < 10, the
+    point side pushes event_type = error; no nested-loop/cartesian."""
+    p = plan_of(entry_mod.q_range_join(spark, SF))
+    filters = " | ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", p))
+    assert "LessThan(user_id,10)" in filters
+    assert "EqualTo(event_type,error)" in filters
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_snapshot_delta_query_pushes_both_cutoffs(spark):
+    """snapshot_delta query: each snapshot's as-of cutoff must reach its
+    parquet scan as a pushed ts predicate — at 10^12 rows on a
+    ts-partitioned table this is the difference between reading two
+    bounded snapshots and reading the whole crawl history twice."""
+    p = plan_of(entry_mod.q_snapshot_delta(spark, SF))
+    filters = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    cut1 = [f for f in filters if "LessThanOrEqual(ts,2024-01-10" in f]
+    cut2 = [f for f in filters if "LessThanOrEqual(ts,2024-01-20" in f]
+    assert cut1 and cut2, filters
+
+
+def test_mix_proportions_query_scan_pruning(spark):
+    """mix query: the counts scan reads lang only; the corpus scan reads
+    (doc_id, lang) — never text; rates come back via broadcast."""
+    p = plan_of(entry_mod.q_mix_proportions(spark, SF))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert cols <= {"doc_id", "lang"}, s
+    assert "BroadcastHashJoin" in p

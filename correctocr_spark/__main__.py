@@ -136,6 +136,15 @@ def build_parser() -> argparse.ArgumentParser:
                           "the (doc_id) retraction list of previously-published "
                           "docs that lost their cluster's election this run — "
                           "apply it downstream as a MERGE/DELETE")
+    cur.add_argument("--mix", default="",
+                     help="target mixture shares as group=share pairs, e.g. "
+                          "'en=0.5,fr=0.3,de=0.2': after the quality/dedup/"
+                          "sample stages, deterministically downsample to this "
+                          "blend over --mix-col (groups not listed are "
+                          "dropped; a listed group with no surviving rows "
+                          "fails loudly)")
+    cur.add_argument("--mix-col", default="lang",
+                     help="grouping column for --mix (default: lang)")
     cur.add_argument("--scrub-lines", action="store_true",
                      help="strip corpus-repeated lines (CCNet-style boilerplate "
                           "scrub) from every document BEFORE the quality/dedup pass")
@@ -397,6 +406,18 @@ def main(argv=None) -> int:
                 docs = apply_scrub(
                     docs, remove_duplicate_spans, n=args.scrub_spans
                 )
+            mix = None
+            if args.mix:
+                try:
+                    mix = {
+                        k.strip(): float(v)
+                        for k, v in (pair.split("=", 1) for pair in args.mix.split(","))
+                    }
+                except ValueError:
+                    raise SystemExit(
+                        f"--mix expects group=share pairs like "
+                        f"'en=0.5,fr=0.3', got {args.mix!r}"
+                    )
             out = curate(
                 docs,
                 id_col=args.id_col,
@@ -407,6 +428,8 @@ def main(argv=None) -> int:
                 shard_budget=args.shard_budget,
                 canonical=args.canonical,
                 index_path=args.index_dir or None,
+                mix=mix,
+                mix_col=args.mix_col,
             )
             writer = out.write.mode("overwrite")
             if args.shard_budget:

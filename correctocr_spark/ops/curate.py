@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .cache import register_intermediates
-from .cleaning import deterministic_sample, pack_shards
+from .cleaning import deterministic_sample, mix_proportions, pack_shards
 from .dedup import (
     connected_components,
     lsh_candidate_pairs,
@@ -147,10 +147,17 @@ def curate(
     shard_budget: Optional[int] = None,
     canonical: str = "min_id",
     index_path: Optional[str] = None,
+    mix: Optional[Dict[str, float]] = None,
+    mix_col: str = "lang",
 ) -> DataFrame:
     """Full curation: filter to surviving docs, optionally sample,
-    optionally assign token-budget shards. Returns the curated documents
-    (all original columns) plus ``n_tokens``/``shard`` when packing.
+    optionally rebalance to a target group mixture
+    (:func:`~correctocr_spark.ops.cleaning.mix_proportions` over
+    ``mix_col`` — runs AFTER the quality/dedup/sample stages so the
+    blend is computed over what actually survived, and BEFORE shard
+    packing so shards hold the final mixture), optionally assign
+    token-budget shards. Returns the curated documents (all original
+    columns) plus ``n_tokens``/``shard`` when packing.
 
     With ``index_path`` the dedup stage runs INCREMENTALLY against the
     persistent MinHash band index at that path (and appends the
@@ -211,6 +218,10 @@ def curate(
                 key_col=id_col,
             ),
             out,
+        )
+    if mix:
+        out = register_intermediates(
+            mix_proportions(out, mix, group_col=mix_col, key_col=id_col), out
         )
     if shard_budget:
         # the curated survivor set is consumed 4+ times below (shard

@@ -197,3 +197,35 @@ def test_cli_curate(tmp_path, spark):
     assert 0 in ids and len(ids) >= 2            # canonical kept
     assert got.select("shard").distinct().count() > 1  # actually sharded
     assert glob.glob(out + "/shard=*/")          # partitioned layout
+
+
+def test_cli_curate_mix(tmp_path, spark):
+    """--mix rebalances the surviving corpus to target blend shares
+    after the quality/dedup stages (unlisted groups dropped)."""
+    stop = ["the", "of", "and", "to", "in", "is", "was", "for", "that", "with"]
+    rows = []
+    for i in range(60):
+        lang = "en" if i < 40 else "fr"
+        text = " ".join(f"w{i}x{j} {sw}" for j, sw in enumerate(stop))
+        rows.append((i, text, lang))
+    rows.append((200, " ".join(f"z{j} {sw}" for j, sw in enumerate(stop)), "zh"))
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        str(tmp_path / "docs")
+    )
+    out = str(tmp_path / "curated")
+    r = run_cli(
+        "curate", "--input", str(tmp_path / "docs"), "--output", out,
+        "--mix", "en=0.5,fr=0.5",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = spark.read.parquet(out)
+    by_lang = {x["lang"]: x["n"] for x in got.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert "zh" not in by_lang                  # unlisted group dropped
+    assert by_lang["fr"] == 20                  # bottleneck keeps all
+    assert abs(by_lang.get("en", 0) - 20) <= 8  # ~rate 0.5 of 40, hash noise
+    # malformed --mix fails with a clear message, not a stack trace
+    r2 = run_cli(
+        "curate", "--input", str(tmp_path / "docs"),
+        "--output", str(tmp_path / "c2"), "--mix", "en:0.5",
+    )
+    assert r2.returncode != 0 and "group=share" in (r2.stderr + r2.stdout)

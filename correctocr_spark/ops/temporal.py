@@ -77,11 +77,15 @@ def asof_join(
     right_tiebreak: Optional[str] = None,
     how: str = "left",
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for every left row, attach the right row with the
     greatest ``right_ts`` satisfying ``right_ts <= left_ts`` within the
     same ``on`` key(s) — inclusive at equality, matching DuckDB's
     ``ASOF JOIN ... ON l.ts >= r.ts`` semantics.
+    ``direction="forward"`` flips the match to the EARLIEST right row
+    with ``right_ts >= left_ts`` (DuckDB's ``l.ts <= r.ts`` form) —
+    same single-shuffle window plan with the sort order reversed.
 
     Implemented as a tagged union + running-``last`` window rather
     than a join: both sides are stacked with a tag column, hash-
@@ -113,6 +117,10 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join: how must be 'left' or 'inner', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', got {direction!r}"
+        )
     keys = _keys(on)
     rts = right_ts or left_ts
     if right_cols is None:
@@ -163,9 +171,16 @@ def asof_join(
         F.lit(None).cast(lrow_type).alias("_lrow"),
         pay.alias("_pay"),
     )
+    # backward: ascending ts, the running last() is the latest right row
+    # at-or-before. forward: DESCENDING ts — the prefix then holds all
+    # rows at-or-after, and last() is the EARLIEST of them. Right rows
+    # (_tag 0) sort before left rows at equal ts in both directions, so
+    # equality stays inclusive; among equal-(key, ts) right rows the
+    # greatest tiebreak still wins (_tb ascending, last() takes the max).
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_t").asc(), F.col("_tag").asc(), F.col("_tb").asc_nulls_first())
+        .orderBy(t_order, F.col("_tag").asc(), F.col("_tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = (
@@ -181,10 +196,14 @@ def asof_join(
             num = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
         else:
             num = lambda c: c.cast("double")  # noqa: E731
-        in_tol = (num(F.col("_t")) - num(F.col("_m._rts"))) <= F.lit(
-            float(tolerance_seconds)
+        gap = (
+            num(F.col("_t")) - num(F.col("_m._rts"))
+            if direction == "backward"
+            else num(F.col("_m._rts")) - num(F.col("_t"))
         )
-        u = u.withColumn("_m", F.when(in_tol, F.col("_m")))
+        u = u.withColumn(
+            "_m", F.when(gap <= F.lit(float(tolerance_seconds)), F.col("_m"))
+        )
     if how == "inner":
         u = u.where(F.col("_m").isNotNull())
     return u.select(

@@ -164,10 +164,71 @@ def test_asof_null_keys_and_ts_match_sql_semantics(spark):
     assert want[3] == "nullts" and got[3] is None
 
 
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame(
+        [("a", 5, 100), ("a", 2, 101), ("a", 9, 102)], ["k", "ts", "lid"]
+    )
+    right = spark.createDataFrame(
+        [("a", 4, "r4"), ("a", 5, "r5"), ("a", 7, "r7")], ["k", "ts", "rv"]
+    )
+    got = {
+        r["lid"]: (r["rv"], r["ts_r"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", direction="forward"
+        ).collect()
+    }
+    assert got[100] == ("r5", 5)   # inclusive at equality
+    assert got[101] == ("r4", 4)   # earliest right at-or-after 2
+    assert got[102] == (None, None)  # nothing after 9
+    # forward tolerance: gap measured right_ts - left_ts
+    tol = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", direction="forward",
+            tolerance_seconds=1.0,
+        ).collect()
+    }
+    assert tol == {100: "r5", 101: None, 102: None}  # 4-2=2 > 1 stale
+
+
+def test_asof_forward_differential_vs_duckdb(spark):
+    rng = random.Random(23)
+    lrows = [(rng.randrange(5), rng.randrange(800), i) for i in range(250)]
+    rseen, rrows = set(), []
+    for j in range(250):
+        k, t = rng.randrange(5), rng.randrange(800)
+        if (k, t) not in rseen:
+            rseen.add((k, t))
+            rrows.append((k, t, j))
+    left = spark.createDataFrame(lrows, ["k", "ts", "lid"])
+    right = spark.createDataFrame(rrows, ["k", "ts", "rid"])
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", direction="forward"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k BIGINT, ts BIGINT, lid BIGINT)")
+    con.execute("CREATE TABLE r(k BIGINT, ts BIGINT, rid BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", lrows)
+    con.executemany("INSERT INTO r VALUES (?,?,?)", rrows)
+    want = sorted(
+        (int(a), None if b is None else int(b))
+        for a, b in con.sql(
+            "SELECT l.lid, r.rid FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.ts <= r.ts"
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_asof_rejects_bad_how(spark):
     df = spark.range(1).select(F.lit("a").alias("k"), F.lit(1).alias("ts"))
     with pytest.raises(ValueError, match="how"):
         asof_join(df, df, on="k", left_ts="ts", how="full")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, on="k", left_ts="ts", direction="nearest")
 
 
 # ------------------------------------------------------------ snapshot

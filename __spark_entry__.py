@@ -737,6 +737,73 @@ def q_pack_shards_url(spark, sf_dir):
     return pack_shards(docs, budget=2000, id_col="url")
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021, Table A1): every
+    per-doc signal (word count, mean word length, #/ellipsis densities,
+    bullet/ellipsis line ratios, alpha-word ratio, distinct stop-word
+    hits) plus the conjunctive verdict — one row-local projection, no
+    shuffle. The verdict is cast to BIGINT so both engines hash the
+    same integral representation."""
+    _ship(spark)
+    from correctocr_spark.ops.filters import gopher_rules
+
+    out = gopher_rules(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "hash_word_ratio",
+        "ellipsis_word_ratio",
+        "bullet_line_ratio",
+        "ellipsis_line_ratio",
+        "alpha_word_ratio",
+        "stop_hits",
+        F.col("passes_gopher").cast("long").alias("passes_gopher"),
+    )
+
+
+def q_domain_blocklist(spark, sf_dir):
+    """UT1-style domain blocklist over deterministically injected urls
+    (subdomains, mixed case, ports): suffix-chain equi semi-join against
+    a broadcastable blocklist. The oracle states the SEMANTICS
+    independently (EXISTS ... host = b OR host LIKE '%.' || b) rather
+    than mirroring the suffix explode, so the hash check is a genuine
+    cross-derivation of the subdomain-boundary rule."""
+    _ship(spark)
+    from correctocr_spark.ops.filters import domain_blocklist
+
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("Sub.")).otherwise(F.lit("")),
+            F.lit("Example"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".COM"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    blocked = spark.createDataFrame(
+        [("example2.com",), ("example3.com",), ("sub.example4.com",)], ["host"]
+    )
+    out = domain_blocklist(pages, blocked)
+    return out.select(
+        "doc_id", "url", "host", F.col("blocked").cast("long").alias("blocked")
+    )
+
+
+def q_train_shuffle(spark, sf_dir):
+    """Seeded deterministic global training order (position = rank by
+    md5(seed:id)) via the two-pass bucket-offset shape — the oracle is
+    the partitionless global window DuckDB can afford at oracle scale."""
+    _ship(spark)
+    from correctocr_spark.ops.filters import deterministic_shuffle
+
+    return deterministic_shuffle(_t(spark, sf_dir, "documents"), seed="r5")
+
+
 def q_media_features(spark, sf_dir):
     _ship(spark)
     from correctocr_spark.ops.multimodal import extract_features
@@ -1270,8 +1337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         # resource prep (S14) — r4's lost driver row, restored to tier 1
         "dictionary_build": q_dictionary_build,
-        # dedup suite
-        "dedup_exact": q_dedup_exact,
+        # dedup suite (dedup_exact — a 0-row-at-sf0.01 result whose
+        # machinery fingerprint + dedup_groups re-verify — moved to
+        # tier 2 for the r5 filter ops)
         "dup_spans": q_dup_spans,
         "span_removal": q_span_removal,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1289,6 +1357,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm": q_unigram_lm,
         "dedup_lines": q_dedup_lines,
         "normalize_text": q_normalize_text,
+        # crawl-filter tier (ops/filters.py, new in r5): each a distinct
+        # operator with no tier-1 sibling
+        "gopher_rules": q_gopher_rules,
+        "domain_blocklist": q_domain_blocklist,
+        "train_shuffle": q_train_shuffle,
         # corpus cleaning / curation
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition,
@@ -1297,7 +1370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "corpus_rollup": q_corpus_rollup,
         "link_extract": q_link_extract,
-        "pack_shards": q_pack_shards,
+        # pack_shards (integer-id variant, green r1-r4) moved to tier 2:
+        # pack_shards_url exercises the same two-pass prefix sum on the
+        # harder string-key path
         "pack_shards_url": q_pack_shards_url,
         "pagerank": q_pagerank,
         "url_canonical": q_url_canonical,
@@ -1306,9 +1381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         # JSON scalar functions
         "json_extract": q_json_extract,
-        # similarity extensions
+        # similarity extensions (embedding_dup — 0 rows at sf0.01, its
+        # hyperplane-bucket machinery shared with tier-1 ann_lsh —
+        # moved to tier 2 for the r5 filter ops)
         "ivf_assign": q_ivf_assign,
-        "embedding_dup": q_embedding_dup,
         # term index (S17/J6)
         "term_index": q_term_index,
         # server read surface: token-detail endpoint (server.py:231-307)
@@ -1340,6 +1416,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mixture balancing: rate-derivation layer over the tier-1
         # sample_stratified hash gate
         "mix_proportions": q_mix_proportions,
+        # r5 demotions (all green r1-r4; displaced for the filter tier):
+        # exact dedup — 0 rows at sf0.01, machinery re-verified through
+        # fingerprint + dedup_groups + training_corpus
+        "dedup_exact": q_dedup_exact,
+        # integer-id shard packing — pack_shards_url runs the same
+        # two-pass prefix sum on the harder string-key path
+        "pack_shards": q_pack_shards,
+        # embedding near-dup — 0 rows at sf0.01, hyperplane bucketing
+        # shared with tier-1 ann_lsh
+        "embedding_dup": q_embedding_dup,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics) ----
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
@@ -1534,6 +1620,80 @@ def _quality_sql() -> str:
                    + (case when punct_ratio <= 0.2 then 0.25 else 0 end)
                    + (case when stopword_ratio >= 0.1 then 0.25 else 0 end))::DOUBLE, 2) AS quality_score
         FROM m
+    """
+
+
+def _gopher_sql() -> str:
+    from correctocr_spark.ops.filters import GOPHER_STOPWORDS
+
+    sw = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+        WITH w AS (SELECT doc_id, text, {_WORDS} AS ws FROM documents),
+        m AS (
+            SELECT doc_id, text, ws,
+                   len(ws)::BIGINT AS n_words,
+                   greatest(len(ws), 1) AS dw,
+                   list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls
+            FROM w
+        ),
+        r AS (
+            SELECT doc_id, n_words,
+                   round(list_sum(list_transform(ws, x -> len(x)))::DOUBLE / dw, 6) AS mean_word_len,
+                   round((length(text) - length(replace(text, '#', '')))::DOUBLE / dw, 6) AS hash_word_ratio,
+                   round(len(regexp_extract_all(text, '\\.{{3}}|…', 0))::DOUBLE / dw, 6) AS ellipsis_word_ratio,
+                   round(len(list_filter(ls, x -> substr(x, 1, 1) IN ('-', '*', '•', '‣', '▪')))::DOUBLE / greatest(len(ls), 1), 6) AS bullet_line_ratio,
+                   round(len(list_filter(ls, x -> x LIKE '%...' OR x LIKE '%…'))::DOUBLE / greatest(len(ls), 1), 6) AS ellipsis_line_ratio,
+                   round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / dw, 6) AS alpha_word_ratio,
+                   len(list_intersect(list_transform(ws, x -> lower(x)), [{sw}]))::BIGINT AS stop_hits
+            FROM m
+        )
+        SELECT doc_id, n_words, mean_word_len, hash_word_ratio,
+               ellipsis_word_ratio, bullet_line_ratio, ellipsis_line_ratio,
+               alpha_word_ratio, stop_hits,
+               (n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3 AND 10
+                AND hash_word_ratio <= 0.1
+                AND ellipsis_word_ratio <= 0.1
+                AND bullet_line_ratio <= 0.9
+                AND ellipsis_line_ratio <= 0.3
+                AND alpha_word_ratio >= 0.8
+                AND stop_hits >= 2)::BIGINT AS passes_gopher
+        FROM r
+    """
+
+
+_BLOCKLIST_URL_INJECT = (
+    "'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'Sub.' ELSE '' END) "
+    "|| 'Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM' "
+    "|| (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) "
+    "|| '/p/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _domain_blocklist_sql() -> str:
+    # semantics stated independently of the suffix-chain implementation:
+    # blocked iff host equals an entry or lies strictly below one
+    return f"""
+        WITH pages AS (SELECT doc_id, {_BLOCKLIST_URL_INJECT} AS url FROM documents),
+        h AS (
+            SELECT doc_id, url,
+                   regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS host
+            FROM pages
+        ),
+        b(bhost) AS (VALUES ('example2.com'), ('example3.com'), ('sub.example4.com'))
+        SELECT doc_id, url, host,
+               (EXISTS (SELECT 1 FROM b WHERE host = bhost OR host LIKE '%.' || bhost))::BIGINT AS blocked
+        FROM h
+    """
+
+
+def _train_shuffle_sql() -> str:
+    return """
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY md5('r5:' || CAST(doc_id AS VARCHAR)), doc_id
+               )::BIGINT AS position
+        FROM documents
     """
 
 
@@ -2214,6 +2374,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_sql(),
         "langid": _langid_sql(),
         "quality": _quality_sql(),
+        "gopher_rules": _gopher_sql(),
+        "domain_blocklist": _domain_blocklist_sql(),
+        "train_shuffle": _train_shuffle_sql(),
         "pii_scrub": _pii_sql(),
         "repetition_stats": _repetition_sql(),
         "tfidf_top_terms": _tfidf_sql(),

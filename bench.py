@@ -91,6 +91,10 @@ HEADLINE = [
     "topk_per_group",
     "sessionize",
     "media_features",
+    # r5: crawl-filter tier
+    "gopher_rules",
+    "domain_blocklist",
+    "train_shuffle",
     # r5: temporal joins + mixture balancing
     "asof_join",
     "range_join",

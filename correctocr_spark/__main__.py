@@ -151,6 +151,16 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--scrub-spans", type=int, default=0, metavar="N",
                      help="strip corpus-repeated N-word spans (C4-style substring "
                           "dedup) from every document BEFORE the quality/dedup pass")
+    cur.add_argument("--gopher", action="store_true",
+                     help="apply the published Gopher document rules as an "
+                          "inline scan filter BEFORE quality/dedup")
+    cur.add_argument("--blocklist", default="",
+                     help="text file of blocked domains (one registrable host "
+                          "per line, UT1-style); pages whose --url-col host "
+                          "is a blocked domain or a subdomain of one are "
+                          "dropped first")
+    cur.add_argument("--url-col", default="url",
+                     help="url column for --blocklist (default: url)")
     cur.add_argument("--id-col", default="doc_id")
     cur.add_argument("--text-col", default="text")
 
@@ -418,6 +428,14 @@ def main(argv=None) -> int:
                         f"--mix expects group=share pairs like "
                         f"'en=0.5,fr=0.3', got {args.mix!r}"
                     )
+            blocklist = None
+            if args.blocklist:
+                # one host per line; blank lines and #-comments skipped
+                blocklist = (
+                    spark.read.text(args.blocklist)
+                    .select(F.trim("value").alias("host"))
+                    .where((F.col("host") != "") & ~F.col("host").startswith("#"))
+                )
             out = curate(
                 docs,
                 id_col=args.id_col,
@@ -430,6 +448,9 @@ def main(argv=None) -> int:
                 index_path=args.index_dir or None,
                 mix=mix,
                 mix_col=args.mix_col,
+                gopher=args.gopher,
+                blocklist=blocklist,
+                url_col=args.url_col,
             )
             writer = out.write.mode("overwrite")
             if args.shard_budget:

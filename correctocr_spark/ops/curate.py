@@ -149,6 +149,9 @@ def curate(
     index_path: Optional[str] = None,
     mix: Optional[Dict[str, float]] = None,
     mix_col: str = "lang",
+    gopher=False,
+    blocklist: Optional[DataFrame] = None,
+    url_col: str = "url",
 ) -> DataFrame:
     """Full curation: filter to surviving docs, optionally sample,
     optionally rebalance to a target group mixture
@@ -166,7 +169,32 @@ def curate(
     members using the index's quality side-table, and the returned
     frame carries a ``_correctocr_superseded`` retraction list of
     previously-published docs that lost their election (preserved
-    through the sampling/sharding steps here)."""
+    through the sampling/sharding steps here).
+
+    ``blocklist`` (a one-column ``host`` DataFrame) and ``gopher`` (True
+    for the published thresholds, or a dict of gopher_filter keyword
+    overrides) prepend the crawl-filter tier, in production order — cheapest gate
+    first: the domain blocklist drops pages by ``url_col`` host
+    (broadcast anti-join of the tiny blocked-id set, the corpus never
+    shuffles), then the Gopher rules run as an INLINE scan filter
+    (:func:`~.filters.gopher_filter`, no join), and only the survivors
+    pay for quality scoring and MinHash banding."""
+    if blocklist is not None:
+        from .filters import blocked_doc_ids
+
+        bad = blocked_doc_ids(docs, blocklist, url_col=url_col, id_col=id_col)
+        docs = docs.join(
+            F.broadcast(bad.withColumnRenamed("doc_id", id_col)),
+            on=id_col,
+            how="left_anti",
+        )
+    if gopher:
+        from .filters import gopher_filter
+
+        # True = published thresholds; a dict = keyword overrides for
+        # gopher_filter (e.g. {"min_words": 10})
+        overrides = gopher if isinstance(gopher, dict) else {}
+        docs = gopher_filter(docs, text_col=text_col, **overrides)
     superseded = None
     if index_path is not None:
         out = curate_incremental(

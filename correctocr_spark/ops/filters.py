@@ -1,0 +1,359 @@
+"""Crawl-filtering tier: Gopher-style document rules, domain blocklists,
+and a deterministic training-order shuffle.
+
+CorrectOCR itself has no crawl-filter stage — its corpus is a fixed,
+hand-listed archive download (reference workspace.py:100-141) — so these
+operators are part of the web-scale curation surface the north rule adds
+on top of the reference's extraction/correction semantics: the document
+rule set published with Gopher (Rae et al. 2021, arXiv:2112.11446, Table
+A1) and the UT1-style domain blocklist pass every Common-Crawl pipeline
+runs before content filters.
+
+Scale notes (100 TB):
+
+* :func:`gopher_rules` is a single row-local projection — every ratio is
+  higher-order-function column algebra over the in-row word/line arrays,
+  no explode, no shuffle; the plan is scan-speed.
+* :func:`domain_blocklist` explodes each url's host into its (bounded)
+  registrable-suffix chain and LEFT SEMI joins the blocklist — the
+  blocklist side is dimension-sized (UT1 is ~4M rows ≈ tens of MB) so
+  Spark's auto-broadcast takes it; the doc side never shuffles.
+* :func:`deterministic_shuffle` reuses the pack_shards two-pass
+  prefix-sum shape (coarse md5 buckets + driver-side offsets + per-bucket
+  local windows) so the global training order needs no partitionless
+  window.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import ensure_parallelism, normalized_words
+
+__all__ = [
+    "gopher_rules",
+    "gopher_filter",
+    "domain_blocklist",
+    "blocked_doc_ids",
+    "deterministic_shuffle",
+    "GOPHER_STOPWORDS",
+]
+
+#: Gopher rule 8: a document must contain at least ``min_stop_hits``
+#: DISTINCT words from this list (Rae et al. 2021, Table A1).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_BULLET_CHARS = ["-", "*", "•", "‣", "▪"]
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+
+
+def _gopher_signals(text_col: str) -> dict:
+    """The rounded per-document signal expressions, in output order.
+
+    Shared by :func:`gopher_rules` (emits them as columns) and
+    :func:`gopher_filter` (folds them into one inline predicate) so the
+    two can never drift apart.
+    """
+    words = normalized_words(text_col)
+    text = F.col(text_col)
+    n_words = F.size(words)
+    denom_w = F.greatest(n_words, F.lit(1))
+    mean_wlen = F.round(
+        F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w)) / denom_w, 6
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = F.size(F.regexp_extract_all(text, F.lit(r"\.{3}|…"), 0))
+    # non-blank lines, trimmed — blank lines are layout, not content
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+    denom_l = F.greatest(n_lines, F.lit(1))
+    bullet = F.array(*[F.lit(c) for c in _BULLET_CHARS])
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.array_contains(bullet, F.substring(l, 1, 1)))
+    )
+    n_ell_end = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.transform(words, F.lower), sw))
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_wlen,
+        "hash_word_ratio": F.round(n_hash / denom_w, 6),
+        "ellipsis_word_ratio": F.round(n_ellipsis / denom_w, 6),
+        "bullet_line_ratio": F.round(n_bullet / denom_l, 6),
+        "ellipsis_line_ratio": F.round(n_ell_end / denom_l, 6),
+        "alpha_word_ratio": F.round(n_alpha / denom_w, 6),
+        "stop_hits": stop_hits.cast("long"),
+    }
+
+
+def _gopher_passes(
+    sig: dict,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_hash_ratio: float,
+    max_ellipsis_word_ratio: float,
+    max_bullet_line_ratio: float,
+    max_ellipsis_line_ratio: float,
+    min_alpha_word_ratio: float,
+    min_stop_hits: int,
+) -> Column:
+    return (
+        sig["n_words"].between(min_words, max_words)
+        & sig["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
+        & (sig["hash_word_ratio"] <= max_hash_ratio)
+        & (sig["ellipsis_word_ratio"] <= max_ellipsis_word_ratio)
+        & (sig["bullet_line_ratio"] <= max_bullet_line_ratio)
+        & (sig["ellipsis_line_ratio"] <= max_ellipsis_line_ratio)
+        & (sig["alpha_word_ratio"] >= min_alpha_word_ratio)
+        & (sig["stop_hits"] >= min_stop_hits)
+    )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_hash_ratio: float = 0.1,
+    max_ellipsis_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality-rule signals + the conjunctive
+    ``passes_gopher`` verdict.
+
+    Emits every signal the verdict is built from (word count, mean word
+    length, #-symbol and ellipsis densities, bullet/ellipsis line
+    ratios, alphabetic-word ratio, distinct stop-word hits) so a caller
+    can re-threshold without recomputing — the same
+    signals-not-just-verdict shape as :func:`~.textstats.quality_scores`.
+    Defaults are the published Gopher thresholds. Entirely row-local:
+    one projection, no shuffle. To GATE a corpus (keep original columns,
+    drop failures) use :func:`gopher_filter` — an inline predicate, no
+    join back.
+    """
+    sig = _gopher_signals(text_col)
+    d = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(name) for name, c in sig.items()],
+    )
+    passes = _gopher_passes(
+        {name: F.col(name) for name in sig},
+        min_words,
+        max_words,
+        min_mean_word_len,
+        max_mean_word_len,
+        max_hash_ratio,
+        max_ellipsis_word_ratio,
+        max_bullet_line_ratio,
+        max_ellipsis_line_ratio,
+        min_alpha_word_ratio,
+        min_stop_hits,
+    )
+    return d.select("*", passes.alias("passes_gopher"))
+
+
+def gopher_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_hash_ratio: float = 0.1,
+    max_ellipsis_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Rows of ``docs`` (ALL original columns) passing the Gopher rules.
+
+    The verdict applied as a single inline Filter over the same rounded
+    signal expressions as :func:`gopher_rules` — no join, no shuffle,
+    so it composes into :func:`~.curate.curate` as a pre-dedup gate at
+    scan speed.
+    """
+    passes = _gopher_passes(
+        _gopher_signals(text_col),
+        min_words,
+        max_words,
+        min_mean_word_len,
+        max_mean_word_len,
+        max_hash_ratio,
+        max_ellipsis_word_ratio,
+        max_bullet_line_ratio,
+        max_ellipsis_line_ratio,
+        min_alpha_word_ratio,
+        min_stop_hits,
+    )
+    return ensure_parallelism(docs).where(passes)
+
+
+def host_col(url) -> Column:
+    """Lowercased host of ``url`` (port stripped); '' when unparseable.
+
+    Regex-based (not ``parse_url``) so the exact same pattern runs in
+    the DuckDB oracle; matches canonicalize_urls' host grammar."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.regexp_replace(F.lower(F.regexp_extract(u, _HOSTPORT_RE, 1)), r":\d+$", "")
+
+
+def domain_blocklist(
+    pages: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_labels: int = 5,
+    broadcast: bool = True,
+) -> DataFrame:
+    """UT1-style domain blocklist filter: a page is blocked when its
+    host IS a blocked domain or is a SUBDOMAIN of one.
+
+    ``blocked`` is a one-column (``host``) DataFrame of lowercase
+    registrable domains. Matching is by suffix chain: ``a.b.example.com``
+    generates suffixes [``a.b.example.com``, ``b.example.com``,
+    ``example.com``, ``com``] (deepest ``max_labels`` labels — real
+    hosts rarely exceed 5, and a blocklist entry deeper than the cap
+    can't match a host it isn't a suffix of within the cap) and matches
+    if ANY suffix equals a blocklist row. That turns the non-equi
+    "endswith" predicate into an EQUI semi-join Spark can broadcast:
+    the blocklist is dimension-sized, so the exploded suffix side —
+    ≤ ``max_labels`` rows per page, generated and consumed in the same
+    stage — never shuffles. Output keeps every input page with a
+    ``blocked`` flag (filter at the call site), so the op composes with
+    lineage/audit the same way the other verdict ops do.
+
+    ``broadcast=True`` (default) pins the semi-join's build side
+    explicitly: a blocklist handed in as a local DataFrame carries no
+    stats, so without the hint Spark sort-merge-joins — shuffling the
+    exploded page side by suffix, the exact shape this op exists to
+    avoid. Set ``broadcast=False`` only for a blocklist too large for
+    executor memory. The page subtree is consumed twice (suffix explode
+    + final flag join) and deliberately NOT persisted: re-scanning two
+    pruned columns beats caching the page table at corpus scale, and
+    the second consumer's build side (the distinct hit ids) is tiny.
+    """
+    base = ensure_parallelism(pages).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        host_col(url_col).alias("_host"),
+    )
+    hit = _blocked_ids_of(base, blocked, max_labels, broadcast).withColumn(
+        "_blocked", F.lit(True)
+    )
+    return (
+        base.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "url",
+            F.col("_host").alias("host"),
+            F.coalesce(F.col("_blocked"), F.lit(False)).alias("blocked"),
+        )
+    )
+
+
+def _blocked_ids_of(
+    base: DataFrame, blocked: DataFrame, max_labels: int, broadcast: bool
+) -> DataFrame:
+    """Distinct ``doc_id`` rows of ``base`` (cols doc_id, _host) whose
+    host matches the blocklist by suffix chain."""
+    labels = F.split(F.col("_host"), r"\.")
+    depth = F.least(F.size(labels), F.lit(max_labels))
+    suffixes = F.transform(
+        F.sequence(F.lit(1), depth),
+        lambda i: F.array_join(F.slice(labels, -i, i), "."),
+    )
+    sufs = base.where(F.col("_host") != "").select(
+        "doc_id", F.explode(suffixes).alias("host")
+    )
+    dim = blocked.select(F.lower("host").alias("host"))
+    if broadcast:
+        dim = F.broadcast(dim)
+    return sufs.join(dim, "host", "leftsemi").select("doc_id").distinct()
+
+
+def blocked_doc_ids(
+    pages: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_labels: int = 5,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Just the ids of blocked pages (one ``doc_id`` column) — the
+    anti-join side for a curation gate, without materializing the
+    flagged full table. Same matching semantics as
+    :func:`domain_blocklist`; typically tiny relative to the corpus, so
+    the caller can broadcast it back onto the page table."""
+    base = ensure_parallelism(pages).select(
+        F.col(id_col).alias("doc_id"), host_col(url_col).alias("_host")
+    )
+    return _blocked_ids_of(base, blocked, max_labels, broadcast)
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    seed: str = "0",
+    id_col: str = "doc_id",
+    max_buckets: int = 65536,
+) -> DataFrame:
+    """Seeded, deterministic GLOBAL training order: position =
+    row_number over ``ORDER BY md5(seed || ':' || id), id``.
+
+    The pre-training shuffle of a data pipeline — reproducible from the
+    seed alone, stable under re-runs and retries, and decorrelated from
+    crawl order/hosts (md5, same argument as the url-hash partitioner).
+    Uses the pack_shards two-pass shape instead of a partitionless
+    window: coarse buckets from the first 16 bits of the SAME md5 (a
+    monotonic prefix of the sort key), per-bucket counts prefix-summed
+    on the driver (≤ ``max_buckets`` rows), then a bucket-local
+    row_number plus the bucket offset — value-identical to the global
+    window (the DuckDB oracle), with every window partitioned.
+    """
+    import math
+
+    fp = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
+    width = max(1, math.ceil(65536 / max_buckets))
+    d = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        fp.alias("_fp"),
+        F.floor(F.conv(F.substring(fp, 1, 4), 16, 10).cast("long") / width).alias(
+            "_bucket"
+        ),
+    )
+    counts = {
+        r["_bucket"]: r["_n"]
+        for r in d.groupBy("_bucket").agg(F.count("*").alias("_n")).collect()
+    }
+    if not counts:
+        return d.select("doc_id", F.lit(None).cast("long").alias("position"))
+    offsets, running = {}, 0
+    for b in sorted(counts):
+        offsets[b] = running
+        running += counts[b]
+    offset_map = F.create_map(
+        *[F.lit(int(x)).cast("long") for b in sorted(offsets) for x in (b, offsets[b])]
+    )
+    w = Window.partitionBy("_bucket").orderBy("_fp", "doc_id")
+    return d.select(
+        "doc_id",
+        (F.row_number().over(w) + offset_map[F.col("_bucket")]).cast("long").alias(
+            "position"
+        ),
+    )

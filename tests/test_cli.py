@@ -229,3 +229,33 @@ def test_cli_curate_mix(tmp_path, spark):
         "--output", str(tmp_path / "c2"), "--mix", "en:0.5",
     )
     assert r2.returncode != 0 and "group=share" in (r2.stderr + r2.stdout)
+
+
+@pytest.mark.slow
+def test_cli_curate_filter_gates(tmp_path, spark):
+    """--blocklist drops pages whose url host is a blocked domain (or a
+    subdomain of one); --gopher applies the published document rules as
+    an inline pre-dedup filter."""
+    stop = ["the", "of", "and", "to", "in", "is", "was", "for", "that", "with"]
+    rows = []
+    for i in range(8):
+        text = " ".join(f"w{i}x{j} {stop[j % 10]}" for j in range(30))  # 60 words
+        host = "spam.example" if i in (3, 5) else f"good{i}.org"
+        rows.append((i, text, "en", f"https://sub.{host}/p/{i}"))
+    # gopher-fail: 60 words but every line a bullet (passes min_quality=0)
+    bullets = "\n".join("- " + " ".join(f"b{j+k} the of" for j in range(3))
+                        for k in range(0, 30, 3))
+    rows.append((20, bullets, "en", "https://good20.org/p"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string"
+    ).write.parquet(str(tmp_path / "docs"))
+    bl = tmp_path / "blocked.txt"
+    bl.write_text("# comment line\nspam.example\n\nother.invalid\n")
+    out = str(tmp_path / "curated")
+    r = run_cli(
+        "curate", "--input", str(tmp_path / "docs"), "--output", out,
+        "--min-quality", "0", "--gopher", "--blocklist", str(bl),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ids = {x["doc_id"] for x in spark.read.parquet(out).select("doc_id").collect()}
+    assert ids == {0, 1, 2, 4, 6, 7}  # 3,5 blocked by host; 20 by rules

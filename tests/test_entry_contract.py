@@ -115,6 +115,12 @@ def test_oracled_queries_precede_rows_only():
         "snapshot_delta",
         "forward_fill",
         "mix_proportions",
+        # r5 demotions for the filter tier: 0-row-at-sf0.01 results
+        # (dedup_exact, embedding_dup) and the integer-id pack_shards
+        # whose string-key sibling stays tier 1
+        "dedup_exact",
+        "pack_shards",
+        "embedding_dup",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

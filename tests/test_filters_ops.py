@@ -1,0 +1,250 @@
+"""Crawl-filter tier: Gopher rules, domain blocklist, deterministic shuffle."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+GOOD = (
+    "The quick brown fox jumped over the lazy dog and then ran off to be "
+    "with the other foxes that have made a den in the hills. "
+) * 3  # 81 words, all alphabetic, plenty of stopwords
+
+
+def _rules(spark, rows, **kw):
+    from correctocr_spark.ops.filters import gopher_rules
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(rows)])
+    out = gopher_rules(df, **kw)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+class TestGopherRules:
+    def test_good_doc_passes(self, spark):
+        r = _rules(spark, [GOOD])[0]
+        assert r["passes_gopher"] is True
+        assert r["n_words"] == 81
+        assert r["stop_hits"] >= 2
+        assert r["alpha_word_ratio"] == 1.0
+
+    def test_short_doc_fails_word_count(self, spark):
+        r = _rules(spark, ["the cat sat with that dog"])[0]
+        assert r["n_words"] == 6 and r["passes_gopher"] is False
+
+    def test_hash_symbol_ratio(self, spark):
+        # 81 words + a 10-hash word -> ratio 10/82 > 0.1 fails; counts CHARS
+        r = _rules(spark, [GOOD + "#" * 10])[0]
+        assert r["hash_word_ratio"] == pytest.approx(10 / 82, abs=1e-6)
+        assert r["passes_gopher"] is False
+
+    def test_ellipsis_counts_both_forms(self, spark):
+        r = _rules(spark, ["foo... bar… baz"])[0]
+        assert r["ellipsis_word_ratio"] == pytest.approx(2 / 3, abs=1e-6)
+
+    def test_bullet_line_ratio_blank_lines_excluded(self, spark):
+        text = GOOD + "\n\n- item one\n* item two\n• item three\nplain line\n\n"
+        r = _rules(spark, [text])[0]
+        # 5 non-blank lines (GOOD is one line), 3 bulleted
+        assert r["bullet_line_ratio"] == pytest.approx(3 / 5, abs=1e-6)
+        assert r["passes_gopher"] is True
+
+    def test_mostly_bullets_fails(self, spark):
+        text = "\n".join(f"- {GOOD}" for _ in range(10))
+        r = _rules(spark, [text])[0]
+        assert r["bullet_line_ratio"] == 1.0 and r["passes_gopher"] is False
+
+    def test_ellipsis_line_ratio(self, spark):
+        text = GOOD + "\nto be continued...\nand more…\nthe end"
+        r = _rules(spark, [text])[0]
+        assert r["ellipsis_line_ratio"] == pytest.approx(2 / 4, abs=1e-6)
+
+    def test_alpha_word_ratio_fails_numeric_doc(self, spark):
+        nums = " ".join(str(i) for i in range(60))
+        r = _rules(spark, ["the of and that " + nums])[0]
+        assert r["alpha_word_ratio"] == pytest.approx(4 / 64, abs=1e-6)
+        assert r["passes_gopher"] is False
+
+    def test_stop_hits_are_distinct_words(self, spark):
+        # 'the' repeated 60 times = ONE distinct stop word -> fails rule 8
+        r = _rules(spark, ["The " * 30 + "the " * 30])[0]
+        assert r["stop_hits"] == 1 and r["passes_gopher"] is False
+
+    def test_mean_word_len_band(self, spark):
+        long_words = " ".join(["the", "of"] + ["x" * 30] * 58)
+        r = _rules(spark, [long_words])[0]
+        assert r["mean_word_len"] > 10 and r["passes_gopher"] is False
+
+    def test_empty_text(self, spark):
+        r = _rules(spark, [""])[0]
+        assert r["n_words"] == 0 and r["passes_gopher"] is False
+
+    def test_thresholds_are_parameters(self, spark):
+        r = _rules(spark, ["the cat sat with that dog"], min_words=3)[0]
+        assert r["passes_gopher"] is True
+
+
+class TestDomainBlocklist:
+    def _run(self, spark, urls, blocked):
+        from correctocr_spark.ops.filters import domain_blocklist
+
+        pages = spark.createDataFrame(
+            [Row(doc_id=i, url=u) for i, u in enumerate(urls)]
+        )
+        bl = spark.createDataFrame([Row(host=h) for h in blocked])
+        out = domain_blocklist(pages, bl)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_exact_subdomain_and_clean(self, spark):
+        got = self._run(
+            spark,
+            [
+                "https://bad.com/x",
+                "https://a.b.bad.com/y?z=1",
+                "https://goodbad.com/",  # NOT a subdomain: no dot boundary
+                "https://good.com/bad.com",  # path must not match
+                "http://EVIL.org:8080/",  # case + port
+                "not a url",
+            ],
+            ["bad.com", "evil.org"],
+        )
+        assert [got[i]["blocked"] for i in range(6)] == [
+            True, True, False, False, True, False,
+        ]
+        assert got[5]["host"] == ""
+        assert got[4]["host"] == "evil.org"
+
+    def test_every_page_kept(self, spark):
+        got = self._run(spark, ["https://a.com", "https://b.com"], ["a.com"])
+        assert len(got) == 2
+
+    def test_blocklist_deeper_than_cap_cannot_false_positive(self, spark):
+        got = self._run(
+            spark, ["https://a.com/"], ["x.y.z.w.v.a.com"]
+        )
+        assert got[0]["blocked"] is False
+
+
+class TestDeterministicShuffle:
+    def test_matches_global_hash_order(self, spark):
+        from correctocr_spark.ops.filters import deterministic_shuffle
+
+        ids = list(range(313))
+        df = spark.createDataFrame([Row(doc_id=i) for i in ids])
+        got = {
+            r["doc_id"]: r["position"]
+            for r in deterministic_shuffle(df, seed="s1").collect()
+        }
+        expect_order = sorted(
+            ids, key=lambda i: (hashlib.md5(f"s1:{i}".encode()).hexdigest(), i)
+        )
+        expect = {doc: pos + 1 for pos, doc in enumerate(expect_order)}
+        assert got == expect
+
+    def test_seed_changes_order_rerun_stable(self, spark):
+        from correctocr_spark.ops.filters import deterministic_shuffle
+
+        df = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+        a1 = {r["doc_id"]: r["position"] for r in deterministic_shuffle(df, "a").collect()}
+        a2 = {r["doc_id"]: r["position"] for r in deterministic_shuffle(df, "a").collect()}
+        b = {r["doc_id"]: r["position"] for r in deterministic_shuffle(df, "b").collect()}
+        assert a1 == a2
+        assert a1 != b
+        assert sorted(a1.values()) == list(range(1, 201))
+
+    def test_no_partitionless_window(self, spark):
+        from correctocr_spark.ops.filters import deterministic_shuffle
+
+        df = spark.createDataFrame([Row(doc_id=i) for i in range(50)])
+        plan = deterministic_shuffle(df)._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                assert "_bucket" in line, line
+
+    def test_empty_input(self, spark):
+        from correctocr_spark.ops.filters import deterministic_shuffle
+
+        df = spark.createDataFrame([], "doc_id long")
+        assert deterministic_shuffle(df).count() == 0
+
+
+def _unique_good_text(i, n=30):
+    sws = ["the", "of", "and", "to", "in", "is", "was", "for", "that", "with"]
+    return " ".join(f"w{i}x{j} {sws[j % len(sws)]}" for j in range(n))
+
+
+class TestFilterGates:
+    def test_gopher_filter_matches_rules_semijoin(self, spark, sf_dir):
+        """The inline-filter gate and the signals+verdict projection are
+        built from the same shared expressions — same survivor set."""
+        from correctocr_spark.ops.filters import gopher_filter, gopher_rules
+
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        # synthetic docs are multilingual (≤1 English stop word) and
+        # 10-99 words: relax those two rules' thresholds so the word
+        # count rule splits the corpus non-trivially
+        kw = dict(min_stop_hits=0)
+        kept = {r["doc_id"] for r in gopher_filter(docs, **kw).select("doc_id").collect()}
+        expect = {
+            r["doc_id"]
+            for r in gopher_rules(docs, **kw).where("passes_gopher").collect()
+        }
+        assert kept == expect
+        assert 0 < len(kept)
+
+    def test_gopher_filter_keeps_all_columns(self, spark):
+        from correctocr_spark.ops.filters import gopher_filter
+
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text=_unique_good_text(1), extra="keepme")]
+        )
+        rows = gopher_filter(df).collect()
+        assert rows and rows[0]["extra"] == "keepme"
+
+    def test_curate_gates(self, spark):
+        """curate(gopher=True, blocklist=...) prepends the crawl-filter
+        tier: blocked hosts and rule-failing docs never reach dedup."""
+        from pyspark.sql import Row
+
+        from correctocr_spark.ops.curate import curate
+
+        rows = []
+        for i in range(8):
+            rows.append(
+                Row(doc_id=i, text=_unique_good_text(i), url=f"https://good{i}.org/p")
+            )
+        # gopher-fail (all-bullet lines) but passes the numeric quality gate
+        bullet_text = "\n".join(
+            "- " + " ".join(f"w9x{j} the of" for j in range(k, k + 3))
+            for k in range(0, 30, 3)
+        )
+        rows.append(Row(doc_id=20, text=bullet_text, url="https://good20.org/p"))
+        # blocked host (subdomain of a blocklist entry)
+        rows.append(
+            Row(doc_id=21, text=_unique_good_text(21), url="https://a.bad.com/x")
+        )
+        docs = spark.createDataFrame(rows)
+        bl = spark.createDataFrame([Row(host="bad.com")])
+        out = curate(docs, min_quality=0.5, gopher=True, blocklist=bl)
+        ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+        spark.catalog.clearCache()
+        assert ids == set(range(8))
+
+    def test_curate_gopher_threshold_overrides(self, spark):
+        from pyspark.sql import Row
+
+        from correctocr_spark.ops.curate import curate
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=_unique_good_text(i, n=10)) for i in range(4)]
+        )
+        # 20 words each: default min_words=50 drops all...
+        none = curate(docs, min_quality=0.0, gopher=True)
+        spark.catalog.clearCache()
+        # ...an override dict relaxes the gate
+        some = curate(docs, min_quality=0.0, gopher={"min_words": 10})
+        n_none, n_some = none.count(), some.count()
+        spark.catalog.clearCache()
+        assert n_none == 0 and n_some == 4

@@ -123,3 +123,40 @@ def test_mix_proportions_query_scan_pruning(spark):
         cols = {c.split(":")[0] for c in s.split(",")}
         assert cols <= {"doc_id", "lang"}, s
     assert "BroadcastHashJoin" in p
+
+
+def test_gopher_rules_scan_speed(spark):
+    """The Gopher rule set is one row-local projection: pruned scan
+    (doc_id, text only) and ZERO exchanges — at 100 TB it must run at
+    scan speed."""
+    p = plan_of(entry_mod.q_gopher_rules(spark, SF))
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
+    assert sorted(c.split(":")[0] for c in rs.split(",")) == ["doc_id", "text"]
+    # the only allowed Exchange is ensure_parallelism's round-robin
+    # spread of the interpreted-HOF projection (a no-op on a real
+    # many-split scan); no key shuffle, join, or aggregate anywhere
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n)*?Arguments: (\S+)", p):
+        assert m.group(1).startswith("RoundRobinPartitioning"), m.group(0)
+    assert "SortMergeJoin" not in p and "HashAggregate" not in p
+
+
+def test_domain_blocklist_broadcast_semi(spark):
+    """The blocklist side is dimension-sized: the suffix-chain match
+    must be a BROADCAST left-semi join (no shuffle of the exploded page
+    side against the blocklist), and the documents scan must read only
+    doc_id (urls are injected)."""
+    p = plan_of(entry_mod.q_domain_blocklist(spark, SF))
+    assert re.search(r"BroadcastHashJoin.*LeftSemi", p)
+    assert not re.search(r"SortMergeJoin.*LeftSemi", p)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert any(s == "doc_id:bigint" for s in schemas)
+
+
+def test_train_shuffle_no_partitionless_window(spark):
+    """Global training order without a global window: every Window in
+    the executed plan must be partitioned by the coarse bucket."""
+    df = entry_mod.q_train_shuffle(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_bucket" in line, line

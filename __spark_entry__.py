@@ -794,6 +794,16 @@ def q_domain_blocklist(spark, sf_dir):
     )
 
 
+def q_ngram_repetition(spark, sf_dir):
+    """Gopher n-gram repetition signals (top-3-gram char fraction,
+    duplicate-5-gram char fraction): one tagged explode, one
+    (doc, tag, gram) shuffle with map-side partials, one doc rollup."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import ngram_repetition
+
+    return ngram_repetition(_t(spark, sf_dir, "documents"))
+
+
 def q_train_shuffle(spark, sf_dir):
     """Seeded deterministic global training order (position = rank by
     md5(seed:id)) via the two-pass bucket-offset shape — the oracle is
@@ -1347,8 +1357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus": q_training_corpus,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "simhash_near_pairs": q_simhash_near_pairs,
-        # similarity search
-        "ann_bruteforce": q_ann_bruteforce,
+        # similarity search (ann_bruteforce — the labeled small-n
+        # baseline twin whose cosine/top-k core ann_lsh re-verifies —
+        # moved to tier 2 for ngram_repetition)
         "ann_lsh": q_ann_lsh,
         # text analysis
         "langid": q_langid,
@@ -1362,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "domain_blocklist": q_domain_blocklist,
         "train_shuffle": q_train_shuffle,
+        "ngram_repetition": q_ngram_repetition,
         # corpus cleaning / curation
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition,
@@ -1426,6 +1438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding near-dup — 0 rows at sf0.01, hyperplane bucketing
         # shared with tier-1 ann_lsh
         "embedding_dup": q_embedding_dup,
+        # brute-force ANN — the labeled small-n baseline; its cosine +
+        # TakeOrderedAndProject core is re-verified by tier-1 ann_lsh
+        "ann_bruteforce": q_ann_bruteforce,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics) ----
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
@@ -1684,6 +1699,49 @@ def _domain_blocklist_sql() -> str:
         SELECT doc_id, url, host,
                (EXISTS (SELECT 1 FROM b WHERE host = bhost OR host LIKE '%.' || bhost))::BIGINT AS blocked
         FROM h
+    """
+
+
+def _ngram_repetition_sql(top_n: int = 3, dup_n: int = 5) -> str:
+    def gram_cte(name: str, n: int) -> str:
+        return (
+            f"{name} AS (SELECT doc_id, unnest(list_transform("
+            f"range(1, len(ws) - {n} + 2), "
+            f"i -> array_to_string(ws[i:i + {n - 1}], ' '))) AS g "
+            f"FROM base WHERE len(ws) >= {n})"
+        )
+
+    return f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+        base AS (
+            SELECT doc_id, ws,
+                   length(array_to_string(ws, ' '))::BIGINT AS tot
+            FROM w
+        ),
+        {gram_cte("tg", top_n)},
+        {gram_cte("dg", dup_n)},
+        tc AS (SELECT doc_id, g, count(*)::BIGINT AS n FROM tg GROUP BY 1, 2),
+        dc AS (SELECT doc_id, g, count(*)::BIGINT AS n FROM dg GROUP BY 1, 2),
+        tt AS (
+            SELECT doc_id, n * length(g) AS top_chars,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY n DESC, g DESC
+                   ) AS r
+            FROM tc
+        ),
+        dd AS (
+            SELECT doc_id,
+                   sum(CASE WHEN n >= 2 THEN n * length(g) ELSE 0 END) AS dup_chars
+            FROM dc GROUP BY 1
+        )
+        SELECT b.doc_id,
+               round(least(coalesce(t.top_chars, 0)::DOUBLE / greatest(tot, 1), 1.0), 6)
+                   AS top_ngram_char_frac,
+               round(least(coalesce(d.dup_chars, 0)::DOUBLE / greatest(tot, 1), 1.0), 6)
+                   AS dup_ngram_char_frac
+        FROM base b
+        LEFT JOIN (SELECT doc_id, top_chars FROM tt WHERE r = 1) t USING (doc_id)
+        LEFT JOIN dd d USING (doc_id)
     """
 
 
@@ -2377,6 +2435,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": _gopher_sql(),
         "domain_blocklist": _domain_blocklist_sql(),
         "train_shuffle": _train_shuffle_sql(),
+        "ngram_repetition": _ngram_repetition_sql(),
         "pii_scrub": _pii_sql(),
         "repetition_stats": _repetition_sql(),
         "tfidf_top_terms": _tfidf_sql(),

@@ -95,6 +95,7 @@ HEADLINE = [
     "gopher_rules",
     "domain_blocklist",
     "train_shuffle",
+    "ngram_repetition",
     # r5: temporal joins + mixture balancing
     "asof_join",
     "range_join",

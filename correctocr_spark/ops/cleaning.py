@@ -124,6 +124,98 @@ def repetition_stats(
     )
 
 
+def ngram_repetition(
+    docs: DataFrame,
+    top_n: int = 3,
+    dup_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The Gopher n-gram repetition signals :func:`repetition_stats`
+    stops short of: per document,
+
+    - ``top_ngram_char_frac``: characters covered by occurrences of the
+      single most frequent word ``top_n``-gram (count × gram length,
+      internal single spaces included) over the characters of the
+      space-normalized document (ties -> lexicographically largest
+      gram, so both engines elect the same winner);
+    - ``dup_ngram_char_frac``: the same character mass summed over ALL
+      ``dup_n``-gram types occurring at least twice. Overlapping
+      occurrences are counted per occurrence, so the sum can exceed the
+      document — capped at 1.0 (documented deviation from
+      position-marking implementations, which need per-character state
+      this relational form deliberately avoids).
+
+    Shape: both gram streams are tagged and unioned IN-ROW before one
+    explode, so the whole operator is a single (doc, tag, gram)-keyed
+    shuffle with map-side partial counts, then a doc-keyed rollup —
+    the same explode→count shape as ``repetition_stats``'s word pass,
+    which is what survives 100 TB. Docs shorter than ``n`` words score
+    0.0 on that signal.
+    """
+    warr = normalized_words(text_col)
+
+    def grams(n: int):
+        return F.when(
+            F.size(warr) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(warr) - n),
+                lambda i: F.concat_ws(" ", F.slice(warr, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.concat_ws(" ", warr)).cast("long").alias("_tot"),
+        grams(top_n).alias("_tg"),
+        grams(dup_n).alias("_dg"),
+    )
+    tagged = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.col("_tg"), lambda g: F.struct(F.lit("t").alias("tag"), g.alias("g"))
+                ),
+                F.transform(
+                    F.col("_dg"), lambda g: F.struct(F.lit("d").alias("tag"), g.alias("g"))
+                ),
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.tag", "x.g")
+    # max(struct) = highest count, then largest gram: the deterministic
+    # winner both engines agree on
+    top = F.max(F.when(F.col("tag") == "t", F.struct(F.col("n"), F.col("g"))))
+    roll = (
+        tagged.groupBy("doc_id", "tag", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            (top.getField("n") * F.length(top.getField("g"))).alias("top_chars"),
+            F.sum(
+                F.when(
+                    (F.col("tag") == "d") & (F.col("n") >= 2),
+                    F.col("n") * F.length("g"),
+                ).otherwise(0)
+            ).alias("dup_chars"),
+        )
+    )
+    denom = F.greatest(F.col("_tot"), F.lit(1))
+    return (
+        base.select("doc_id", "_tot")
+        .join(roll, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.round(
+                F.least(F.coalesce(F.col("top_chars"), F.lit(0)) / denom, F.lit(1.0)), 6
+            ).alias("top_ngram_char_frac"),
+            F.round(
+                F.least(F.coalesce(F.col("dup_chars"), F.lit(0)) / denom, F.lit(1.0)), 6
+            ).alias("dup_ngram_char_frac"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

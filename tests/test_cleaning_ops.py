@@ -1,6 +1,7 @@
 """Unit probes for ops/cleaning.py on crafted inputs (the sf oracles
 cover the corpus-scale behavior; these pin the semantics)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -299,3 +300,37 @@ def test_mix_proportions_plan_broadcasts_rates(spark):
     # the corpus-side join against the tiny rates table must be a
     # broadcast, never a shuffle of the corpus itself
     assert "BroadcastHashJoin" in plan, plan
+
+
+class TestNgramRepetition:
+    def _run(self, spark, texts, **kw):
+        from pyspark.sql import Row
+
+        from correctocr_spark.ops.cleaning import ngram_repetition
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+        return {r["doc_id"]: r for r in ngram_repetition(df, **kw).collect()}
+
+    def test_hand_computed_fractions(self, spark):
+        got = self._run(spark, ["x y x y x y"], top_n=2, dup_n=2)[0]
+        # bigrams: "x y"x3, "y x"x2; joined text = 11 chars
+        assert got["top_ngram_char_frac"] == pytest.approx(9 / 11, abs=1e-6)
+        # dup mass 3*3 + 2*3 = 15 > 11 -> capped at 1.0
+        assert got["dup_ngram_char_frac"] == 1.0
+
+    def test_tie_breaks_to_largest_gram(self, spark):
+        got = self._run(spark, ["a b c d a b c d"], top_n=2, dup_n=5)[0]
+        # "a b"/"b c"/"c d" all x2 -> winner "c d", 2*3 chars of 15
+        assert got["top_ngram_char_frac"] == pytest.approx(6 / 15, abs=1e-6)
+
+    def test_short_and_empty_docs_score_zero(self, spark):
+        got = self._run(spark, ["x", ""], top_n=2, dup_n=2)
+        for i in (0, 1):
+            assert got[i]["top_ngram_char_frac"] == 0.0
+            assert got[i]["dup_ngram_char_frac"] == 0.0
+
+    def test_every_doc_returned(self, spark):
+        got = self._run(spark, ["x", "x y z w v u t s", ""], top_n=3, dup_n=5)
+        assert len(got) == 3

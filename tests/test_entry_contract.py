@@ -121,6 +121,9 @@ def test_oracled_queries_precede_rows_only():
         "dedup_exact",
         "pack_shards",
         "embedding_dup",
+        # the labeled small-n ANN baseline (cosine/top-k core shared
+        # with tier-1 ann_lsh), displaced by ngram_repetition
+        "ann_bruteforce",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -160,3 +160,14 @@ def test_train_shuffle_no_partitionless_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_bucket" in line, line
+
+
+def test_ngram_repetition_single_gram_shuffle(spark):
+    """Both gram streams are tagged and unioned IN-ROW: exactly one
+    explode (Generate) feeds one (doc, tag, gram) aggregation — not one
+    explode+shuffle per n — and the scan reads only (doc_id, text)."""
+    p = plan_of(entry_mod.q_ngram_repetition(spark, SF))
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1
+    for s in re.findall(r"ReadSchema: struct<([^>]*)>", p):
+        assert {c.split(":")[0] for c in s.split(",")} <= {"doc_id", "text"}, s
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

@@ -794,6 +794,23 @@ def q_domain_blocklist(spark, sf_dir):
     )
 
 
+#: fixed lexicon for the wordlist_density query — drawn from the
+#: synthetic generator's vocabulary so hits are non-trivial at any sf
+WORDLIST_LEXICON = ["join", "merge", "scan", "window"]
+
+
+def q_wordlist_density(spark, sf_dir):
+    """Caller-lexicon density scoring (UT1-style soft bad-word pass)
+    over a fixed 4-word lexicon: the list path folds the lexicon into
+    the plan as an array literal — one row-local HOF filter, no
+    shuffle. The DataFrame-lexicon twin is pinned value-identical by
+    test_wordlist_density_list_equals_df."""
+    _ship(spark)
+    from correctocr_spark.ops.filters import wordlist_density
+
+    return wordlist_density(_t(spark, sf_dir, "documents"), WORDLIST_LEXICON)
+
+
 def q_ngram_repetition(spark, sf_dir):
     """Gopher n-gram repetition signals (top-3-gram char fraction,
     duplicate-5-gram char fraction): one tagged explode, one
@@ -1349,8 +1366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary_build": q_dictionary_build,
         # dedup suite (dedup_exact — a 0-row-at-sf0.01 result whose
         # machinery fingerprint + dedup_groups re-verify — moved to
-        # tier 2 for the r5 filter ops)
-        "dup_spans": q_dup_spans,
+        # tier 2 for the r5 filter ops; dup_spans moved likewise:
+        # span_removal composes the same detection half and its
+        # output re-verifies it)
         "span_removal": q_span_removal,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_groups": q_dedup_groups,
@@ -1374,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist": q_domain_blocklist,
         "train_shuffle": q_train_shuffle,
         "ngram_repetition": q_ngram_repetition,
+        "wordlist_density": q_wordlist_density,
         # corpus cleaning / curation
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition,
@@ -1441,6 +1460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # brute-force ANN — the labeled small-n baseline; its cosine +
         # TakeOrderedAndProject core is re-verified by tier-1 ann_lsh
         "ann_bruteforce": q_ann_bruteforce,
+        # C4 duplicate-span DETECTION — composed and re-verified inside
+        # tier-1 span_removal (its hot-span semi-join half)
+        "dup_spans": q_dup_spans,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics) ----
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
@@ -1742,6 +1764,21 @@ def _ngram_repetition_sql(top_n: int = 3, dup_n: int = 5) -> str:
         FROM base b
         LEFT JOIN (SELECT doc_id, top_chars FROM tt WHERE r = 1) t USING (doc_id)
         LEFT JOIN dd d USING (doc_id)
+    """
+
+
+def _wordlist_density_sql() -> str:
+    lex = ", ".join(f"'{w}'" for w in WORDLIST_LEXICON)
+    return f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+        m AS (
+            SELECT doc_id, len(ws)::BIGINT AS n_words,
+                   len(list_filter(ws, x -> list_contains([{lex}], lower(x))))::BIGINT AS hits
+            FROM w
+        )
+        SELECT doc_id, n_words, hits,
+               round(hits::DOUBLE / greatest(n_words, 1), 6) AS hit_ratio
+        FROM m
     """
 
 
@@ -2436,6 +2473,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_blocklist": _domain_blocklist_sql(),
         "train_shuffle": _train_shuffle_sql(),
         "ngram_repetition": _ngram_repetition_sql(),
+        "wordlist_density": _wordlist_density_sql(),
         "pii_scrub": _pii_sql(),
         "repetition_stats": _repetition_sql(),
         "tfidf_top_terms": _tfidf_sql(),

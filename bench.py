@@ -96,6 +96,7 @@ HEADLINE = [
     "domain_blocklist",
     "train_shuffle",
     "ngram_repetition",
+    "wordlist_density",
     # r5: temporal joins + mixture balancing
     "asof_join",
     "range_join",

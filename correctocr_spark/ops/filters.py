@@ -38,6 +38,7 @@ __all__ = [
     "gopher_filter",
     "domain_blocklist",
     "blocked_doc_ids",
+    "wordlist_density",
     "deterministic_shuffle",
     "GOPHER_STOPWORDS",
 ]
@@ -305,6 +306,69 @@ def blocked_doc_ids(
         F.col(id_col).alias("doc_id"), host_col(url_col).alias("_host")
     )
     return _blocked_ids_of(base, blocked, max_labels, broadcast)
+
+
+def wordlist_density(
+    pages: DataFrame,
+    words,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document hit count and density against a caller-supplied
+    lexicon (UT1/RefinedWeb-style "soft" bad-word scoring, topic
+    lexicons, …): ``hits`` = occurrences of lexicon words (lowercased,
+    duplicates counted per occurrence), ``hit_ratio`` = hits / words.
+
+    Two shapes by lexicon size:
+
+    * ``words`` as a Python list/tuple — folded into the plan as an
+      array literal: one row-local HOF filter, scan speed, no shuffle.
+      Right for lists up to a few thousand entries (the expression
+      ships inside the plan).
+    * ``words`` as a one-column (``word``) DataFrame — relational:
+      doc words explode, broadcast INNER join against the lexicon,
+      doc-keyed count, left-joined back so every page keeps a row.
+      Right for dimension-sized lexicons that don't belong in a plan
+      literal.
+
+    Both shapes return identical values (pinned by
+    ``test_wordlist_density_list_equals_df``).
+    """
+    ws = normalized_words(text_col)
+    base = ensure_parallelism(pages)
+    if isinstance(words, (list, tuple, set, frozenset)):
+        lex = F.array(*[F.lit(str(w).lower()) for w in sorted({str(w).lower() for w in words})])
+        hits = F.size(F.filter(ws, lambda w: F.array_contains(lex, F.lower(w))))
+        return base.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(ws).cast("long").alias("n_words"),
+            hits.cast("long").alias("hits"),
+            F.round(hits / F.greatest(F.size(ws), F.lit(1)), 6).alias("hit_ratio"),
+        )
+    lex = F.broadcast(words.select(F.lower("word").alias("w")).distinct())
+    counts = (
+        base.select(F.col(id_col).alias("doc_id"), F.explode(ws).alias("w0"))
+        .select("doc_id", F.lower("w0").alias("w"))
+        .join(lex, "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        base.select(
+            F.col(id_col).alias("doc_id"), F.size(ws).cast("long").alias("n_words")
+        )
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0))
+                / F.greatest(F.col("n_words"), F.lit(1)),
+                6,
+            ).alias("hit_ratio"),
+        )
+    )
 
 
 def deterministic_shuffle(

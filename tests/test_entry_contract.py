@@ -124,6 +124,9 @@ def test_oracled_queries_precede_rows_only():
         # the labeled small-n ANN baseline (cosine/top-k core shared
         # with tier-1 ann_lsh), displaced by ngram_repetition
         "ann_bruteforce",
+        # span DETECTION, composed + re-verified inside tier-1
+        # span_removal; displaced by wordlist_density
+        "dup_spans",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -248,3 +248,48 @@ class TestFilterGates:
         n_none, n_some = none.count(), some.count()
         spark.catalog.clearCache()
         assert n_none == 0 and n_some == 4
+
+
+class TestWordlistDensity:
+    def test_list_path_counts_occurrences(self, spark):
+        from correctocr_spark.ops.filters import wordlist_density
+
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text="Spam and SPAM and eggs"), Row(doc_id=1, text="clean")]
+        )
+        got = {
+            r["doc_id"]: r for r in wordlist_density(df, ["spam", "eggs"]).collect()
+        }
+        assert got[0]["hits"] == 3 and got[0]["n_words"] == 5
+        assert got[0]["hit_ratio"] == pytest.approx(3 / 5, abs=1e-6)
+        assert got[1]["hits"] == 0 and got[1]["hit_ratio"] == 0.0
+
+    def test_wordlist_density_list_equals_df(self, spark, sf_dir):
+        """The array-literal fast path and the broadcast-join relational
+        path must return identical values on the same corpus."""
+        import __spark_entry__ as entry_mod
+        from correctocr_spark.ops.filters import wordlist_density
+
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        lex = entry_mod.WORDLIST_LEXICON
+        a = {
+            r["doc_id"]: (r["n_words"], r["hits"], r["hit_ratio"])
+            for r in wordlist_density(docs, lex).collect()
+        }
+        lex_df = spark.createDataFrame([Row(word=w) for w in lex])
+        b = {
+            r["doc_id"]: (r["n_words"], r["hits"], r["hit_ratio"])
+            for r in wordlist_density(docs, lex_df).collect()
+        }
+        assert a == b
+        assert any(v[1] > 0 for v in a.values())  # lexicon actually hits
+
+    def test_df_path_every_page_kept(self, spark):
+        from correctocr_spark.ops.filters import wordlist_density
+
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text="no match here"), Row(doc_id=1, text="")]
+        )
+        lex_df = spark.createDataFrame([Row(word="zebra")])
+        got = {r["doc_id"]: r for r in wordlist_density(df, lex_df).collect()}
+        assert len(got) == 2 and got[1]["hits"] == 0

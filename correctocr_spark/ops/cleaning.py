@@ -516,15 +516,17 @@ def pack_shards(
         running += totals[b]
     if not offsets:  # empty corpus: keep the output shape
         return d.select("doc_id", "n_tokens", F.lit(None).cast("long").alias("shard"))
-    offset_map = F.create_map(
-        *[
-            F.lit(int(x)).cast("long")
-            for b in sorted(offsets)
-            for x in (b, offsets[b])
-        ]
+    # offsets come back as a BROADCAST-joined table, not a create_map
+    # literal: at the max_buckets ceiling a 65k-entry map literal is a
+    # 131k-node expression tree — plan analysis/codegen alone cost ~25 s
+    # at sf0.1 — while a 65k-row broadcast is microscopic
+    offsets_df = d.sparkSession.createDataFrame(
+        [(int(b), int(offsets[b])) for b in sorted(offsets)],
+        "_bucket long, _offset long",
     )
+    d = d.join(F.broadcast(offsets_df), "_bucket")
     w = Window.partitionBy("_bucket").orderBy(*order_cols)
-    before = F.sum("n_tokens").over(w) - F.col("n_tokens") + offset_map[F.col("_bucket")]
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("_offset")
     return d.select(
         "doc_id",
         "n_tokens",

@@ -411,13 +411,16 @@ def deterministic_shuffle(
     for b in sorted(counts):
         offsets[b] = running
         running += counts[b]
-    offset_map = F.create_map(
-        *[F.lit(int(x)).cast("long") for b in sorted(offsets) for x in (b, offsets[b])]
+    # broadcast-joined offsets, NOT a create_map literal: a 65k-entry
+    # map literal is a 131k-node expression tree whose analysis alone
+    # cost ~25 s at sf0.1 (same fix as pack_shards)
+    offsets_df = d.sparkSession.createDataFrame(
+        [(int(b), int(offsets[b])) for b in sorted(offsets)],
+        "_bucket long, _offset long",
     )
+    d = d.join(F.broadcast(offsets_df), "_bucket")
     w = Window.partitionBy("_bucket").orderBy("_fp", "doc_id")
     return d.select(
         "doc_id",
-        (F.row_number().over(w) + offset_map[F.col("_bucket")]).cast("long").alias(
-            "position"
-        ),
+        (F.row_number().over(w) + F.col("_offset")).cast("long").alias("position"),
     )

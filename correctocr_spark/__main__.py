@@ -161,6 +161,12 @@ def build_parser() -> argparse.ArgumentParser:
                           "dropped first")
     cur.add_argument("--url-col", default="url",
                      help="url column for --blocklist (default: url)")
+    cur.add_argument("--badwords", default="",
+                     help="text file of soft-filter words (one per line): "
+                          "docs whose bad-word density exceeds "
+                          "--max-badword-ratio are dropped before "
+                          "quality/dedup")
+    cur.add_argument("--max-badword-ratio", type=float, default=0.1)
     cur.add_argument("--id-col", default="doc_id")
     cur.add_argument("--text-col", default="text")
 
@@ -428,6 +434,13 @@ def main(argv=None) -> int:
                         f"--mix expects group=share pairs like "
                         f"'en=0.5,fr=0.3', got {args.mix!r}"
                     )
+            badwords = None
+            if args.badwords:
+                badwords = (
+                    spark.read.text(args.badwords)
+                    .select(F.trim("value").alias("word"))
+                    .where((F.col("word") != "") & ~F.col("word").startswith("#"))
+                )
             blocklist = None
             if args.blocklist:
                 # one host per line; blank lines and #-comments skipped
@@ -451,6 +464,8 @@ def main(argv=None) -> int:
                 gopher=args.gopher,
                 blocklist=blocklist,
                 url_col=args.url_col,
+                badwords=badwords,
+                max_badword_ratio=args.max_badword_ratio,
             )
             writer = out.write.mode("overwrite")
             if args.shard_budget:

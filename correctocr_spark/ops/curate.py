@@ -152,6 +152,8 @@ def curate(
     gopher=False,
     blocklist: Optional[DataFrame] = None,
     url_col: str = "url",
+    badwords=None,
+    max_badword_ratio: float = 0.1,
 ) -> DataFrame:
     """Full curation: filter to surviving docs, optionally sample,
     optionally rebalance to a target group mixture
@@ -178,7 +180,12 @@ def curate(
     (broadcast anti-join of the tiny blocked-id set, the corpus never
     shuffles), then the Gopher rules run as an INLINE scan filter
     (:func:`~.filters.gopher_filter`, no join), and only the survivors
-    pay for quality scoring and MinHash banding."""
+    pay for quality scoring and MinHash banding. ``badwords`` (a word
+    list, or a one-column ``word`` DataFrame for dimension-sized
+    lexicons) drops docs whose :func:`~.filters.wordlist_density`
+    ``hit_ratio`` exceeds ``max_badword_ratio`` — the list form is an
+    inline filter like the Gopher gate; the DataFrame form semi-joins
+    the (tiny) surviving-id set."""
     if blocklist is not None:
         from .filters import blocked_doc_ids
 
@@ -195,6 +202,16 @@ def curate(
         # gopher_filter (e.g. {"min_words": 10})
         overrides = gopher if isinstance(gopher, dict) else {}
         docs = gopher_filter(docs, text_col=text_col, **overrides)
+    if badwords is not None:
+        from .filters import wordlist_density
+
+        dens = wordlist_density(docs, badwords, id_col=id_col, text_col=text_col)
+        bad_ids = dens.where(F.col("hit_ratio") > max_badword_ratio).select(
+            F.col("doc_id").alias(id_col)
+        )
+        # flagged docs are the rare case: broadcast the small bad-id
+        # set back as an anti-join (same shape as the blocklist gate)
+        docs = docs.join(F.broadcast(bad_ids), on=id_col, how="left_anti")
     superseded = None
     if index_path is not None:
         out = curate_incremental(

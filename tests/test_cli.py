@@ -259,3 +259,28 @@ def test_cli_curate_filter_gates(tmp_path, spark):
     assert r.returncode == 0, r.stderr[-2000:]
     ids = {x["doc_id"] for x in spark.read.parquet(out).select("doc_id").collect()}
     assert ids == {0, 1, 2, 4, 6, 7}  # 3,5 blocked by host; 20 by rules
+
+
+@pytest.mark.slow
+def test_cli_curate_badwords(tmp_path, spark):
+    """--badwords drops docs whose soft-word density exceeds
+    --max-badword-ratio."""
+    stop = ["the", "of", "and", "to", "in", "is", "was", "for", "that", "with"]
+    rows = []
+    for i in range(4):
+        rows.append((i, " ".join(f"w{i}x{j} {stop[j % 10]}" for j in range(30)), "en"))
+    spam = " ".join(f"w9x{j} {stop[j % 10]}" for j in range(12)) + " " + " ".join(["casino spins"] * 6)
+    rows.append((9, spam, "en"))
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        str(tmp_path / "docs")
+    )
+    bw = tmp_path / "badwords.txt"
+    bw.write_text("casino\nspins\n")
+    out = str(tmp_path / "curated")
+    r = run_cli(
+        "curate", "--input", str(tmp_path / "docs"), "--output", out,
+        "--min-quality", "0", "--badwords", str(bw),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ids = {x["doc_id"] for x in spark.read.parquet(out).select("doc_id").collect()}
+    assert ids == {0, 1, 2, 3}

@@ -293,3 +293,36 @@ class TestWordlistDensity:
         lex_df = spark.createDataFrame([Row(word="zebra")])
         got = {r["doc_id"]: r for r in wordlist_density(df, lex_df).collect()}
         assert len(got) == 2 and got[1]["hits"] == 0
+
+
+class TestBadwordGate:
+    def test_curate_badwords_list_and_df(self, spark):
+        """curate(badwords=...) drops high-density docs before dedup;
+        list and DataFrame lexicons gate identically."""
+        from correctocr_spark.ops.curate import curate
+
+        rows = [Row(doc_id=i, text=_unique_good_text(i)) for i in range(6)]
+        # 60-word doc, 12 lexicon hits -> ratio 0.2 > 0.1
+        spammy = _unique_good_text(9, n=24) + " " + " ".join(["casino spins"] * 6)
+        rows.append(Row(doc_id=9, text=spammy))
+        docs = spark.createDataFrame(rows)
+        a = curate(docs, min_quality=0.0, badwords=["casino", "spins"])
+        ids_a = {r["doc_id"] for r in a.collect()}
+        spark.catalog.clearCache()
+        lex_df = spark.createDataFrame([Row(word="casino"), Row(word="spins")])
+        b = curate(docs, min_quality=0.0, badwords=lex_df)
+        ids_b = {r["doc_id"] for r in b.collect()}
+        spark.catalog.clearCache()
+        assert ids_a == ids_b == set(range(6))
+
+    def test_curate_badword_threshold(self, spark):
+        from correctocr_spark.ops.curate import curate
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=0, text=_unique_good_text(0, n=24) + " casino")]
+        )
+        kept = curate(
+            docs, min_quality=0.0, badwords=["casino"], max_badword_ratio=0.5
+        ).count()
+        spark.catalog.clearCache()
+        assert kept == 1  # ratio 1/49 under the relaxed threshold

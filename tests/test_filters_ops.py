@@ -326,3 +326,32 @@ class TestBadwordGate:
         ).count()
         spark.catalog.clearCache()
         assert kept == 1  # ratio 1/49 under the relaxed threshold
+
+
+class TestFilterTierStreaming:
+    def test_gates_are_stream_legal(self, spark, tmp_path):
+        """The stateless gates (gopher_filter + list-lexicon density
+        predicate) compose into a Structured Streaming pipeline without
+        stateful operators: filter a parquet-source stream end-to-end."""
+        from pyspark.sql import functions as F
+
+        from correctocr_spark.ops.filters import gopher_filter
+
+        inp = str(tmp_path / "in")
+        rows = [Row(doc_id=i, text=_unique_good_text(i)) for i in range(5)]
+        rows.append(Row(doc_id=10, text="too short"))
+        df = spark.createDataFrame(rows)
+        df.write.parquet(inp)
+        stream = spark.readStream.schema(df.schema).parquet(inp)
+        gated = gopher_filter(stream, min_words=20)
+        assert gated.isStreaming
+        q = (
+            gated.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(str(tmp_path / "out"))
+        assert {r["doc_id"] for r in got.collect()} == set(range(5))

@@ -967,6 +967,19 @@ def q_ivf_assign(spark, sf_dir):
     return ivf_assign(_t(spark, sf_dir, "embeddings"), _IVF_CENTROIDS)
 
 
+def q_ivf_search(spark, sf_dir):
+    """IVF approximate top-k: driver-side probe selection over the tiny
+    centroid table, argmin-assignment filter (partition pruning once the
+    table is laid out by centroid_id), cosine TakeOrderedAndProject."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import ivf_search
+
+    q = _query_vec(spark, sf_dir)
+    return ivf_search(
+        _t(spark, sf_dir, "embeddings"), _IVF_CENTROIDS, q, k=10, nprobe=2
+    )
+
+
 def q_embedding_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (threshold 0.9) — the
     bucketed LSH scale path (no cartesian product; the DuckDB oracle is
@@ -1414,8 +1427,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         # similarity extensions (embedding_dup — 0 rows at sf0.01, its
         # hyperplane-bucket machinery shared with tier-1 ann_lsh —
-        # moved to tier 2 for the r5 filter ops)
-        "ivf_assign": q_ivf_assign,
+        # moved to tier 2 for the r5 filter ops; ivf_assign likewise:
+        # ivf_search composes the same argmin assignment and its
+        # probe-filtered ranking re-verifies it)
+        "ivf_search": q_ivf_search,
         # term index (S17/J6)
         "term_index": q_term_index,
         # server read surface: token-detail endpoint (server.py:231-307)
@@ -1463,6 +1478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # C4 duplicate-span DETECTION — composed and re-verified inside
         # tier-1 span_removal (its hot-span semi-join half)
         "dup_spans": q_dup_spans,
+        # IVF coarse assignment — composed and re-verified inside
+        # tier-1 ivf_search's probe filter
+        "ivf_assign": q_ivf_assign,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics) ----
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
@@ -2181,6 +2199,46 @@ def _ivf_sql() -> str:
     """
 
 
+def _ivf_search_sql(k: int = 10, nprobe: int = 2) -> str:
+    def lit(p):
+        return "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+
+    dists = [
+        f"list_distance(embedding::DOUBLE[], {lit(c)})" for c in _IVF_CENTROIDS
+    ]
+    best_id, best_d = "0", dists[0]
+    for cid in range(1, len(dists)):
+        best_id = f"(case when {dists[cid]} < {best_d} then {cid} else {best_id} end)"
+        best_d = f"least({dists[cid]}, {best_d})"
+    centroid_rows = ", ".join(
+        f"({cid}, {lit(c)})" for cid, c in enumerate(_IVF_CENTROIDS)
+    )
+    return f"""
+        WITH q AS (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        c(cid, cv) AS (VALUES {centroid_rows}),
+        probes AS (
+            SELECT cid FROM c, q
+            ORDER BY list_distance(cv, qv), cid
+            LIMIT {nprobe}
+        ),
+        scored AS (
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                                                (SELECT qv FROM q)), 6) AS cosine
+            FROM embeddings
+            WHERE ({best_id}) IN (SELECT cid FROM probes)
+        ),
+        ranked AS (
+            SELECT vec_id, cosine,
+                   row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::INTEGER AS rank
+            FROM scored
+        )
+        SELECT rank, vec_id, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "token_counts": f"""
@@ -2617,6 +2675,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE k IS NOT NULL AND k % 7 = 0
         """,
         "ivf_assign": _ivf_sql(),
+        "ivf_search": _ivf_search_sql(),
         "embedding_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

@@ -97,6 +97,7 @@ HEADLINE = [
     "train_shuffle",
     "ngram_repetition",
     "wordlist_density",
+    "ivf_search",
     # r5: temporal joins + mixture balancing
     "asof_join",
     "range_join",

@@ -129,16 +129,9 @@ def lsh_topk(
     return _ranked_topk(scored, k)
 
 
-def ivf_assign(
-    embeddings: DataFrame,
-    centroids: List[List[float]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF coarse quantization: nearest centroid per vector (squared L2),
-    computed as one column expression — the partition key for an IVF
-    index layout."""
-    vec_d = F.col(vec_col).cast("array<double>")
+def nearest_centroid_col(vec_d: Column, centroids: List[List[float]]) -> Column:
+    """Argmin-centroid (squared L2) as one column expression; strict `<`
+    keeps the earlier centroid on ties."""
     best_id, best_dist = F.lit(0), None
     for cid, c in enumerate(centroids):
         cv = _lit_vec(c)
@@ -153,6 +146,60 @@ def ivf_assign(
         else:
             best_id = F.when(dist < best_dist, F.lit(cid)).otherwise(best_id)
             best_dist = F.when(dist < best_dist, dist).otherwise(best_dist)
+    return best_id.cast("int")
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: List[List[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: nearest centroid per vector (squared L2),
+    computed as one column expression — the partition key for an IVF
+    index layout."""
+    vec_d = F.col(vec_col).cast("array<double>")
     return embeddings.select(
-        F.col(id_col).alias("vec_id"), best_id.cast("int").alias("centroid_id")
+        F.col(id_col).alias("vec_id"),
+        nearest_centroid_col(vec_d, centroids).alias("centroid_id"),
     )
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    centroids: List[List[float]],
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only the ``nprobe`` inverted lists
+    nearest the query.
+
+    The probe set is chosen on the DRIVER from the centroid table (C
+    rows — always tiny; ties break to the lower centroid id), then the
+    corpus is filtered to vectors whose argmin centroid is in the probe
+    set and cosine-ranked with the same TakeOrderedAndProject shape as
+    :func:`brute_force_topk`. At 100 TB the assignment is precomputed
+    and the table partitioned by ``centroid_id``, so the IN-filter
+    becomes partition pruning and a query reads ``nprobe`` partitions
+    instead of the corpus; recall is tuned by ``nprobe``. Completes the
+    IVF path started by :func:`ivf_assign` (which this composes).
+    """
+    qvec = [float(v) for v in query]
+    dists = [
+        (float(np.sum((np.asarray(qvec) - np.asarray(c)) ** 2)), cid)
+        for cid, c in enumerate(centroids)
+    ]
+    probe = sorted(cid for _, cid in sorted(dists)[: max(1, nprobe)])
+    vec_d = F.col(vec_col).cast("array<double>")
+    scored = (
+        embeddings.withColumn("_cid", nearest_centroid_col(vec_d, centroids))
+        .where(F.col("_cid").isin(probe))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_col(vec_d, _lit_vec(qvec)), 6).alias("cosine"),
+        )
+    )
+    return _ranked_topk(scored, k)

@@ -127,6 +127,9 @@ def test_oracled_queries_precede_rows_only():
         # span DETECTION, composed + re-verified inside tier-1
         # span_removal; displaced by wordlist_density
         "dup_spans",
+        # IVF coarse assignment, composed + re-verified inside tier-1
+        # ivf_search's probe filter; displaced by ivf_search
+        "ivf_assign",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

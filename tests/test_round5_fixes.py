@@ -561,3 +561,78 @@ def test_register_intermediates_inherit_through_composition(spark):
     assert len(getattr(out, "_correctocr_cached")) >= 2
     assert release_intermediates(out) >= 2
     spark.catalog.clearCache()
+
+
+def _ivf_embeddings(spark, n=60, dim=8, seed=5):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = [(i, [float(round(x, 6)) for x in rng.randn(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+class TestIvfSearch:
+    def _centroids(self, dim=8, c=4, seed=11):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        return [[round(float(x), 6) for x in rng.randn(dim)] for _ in range(c)]
+
+    def test_equals_bruteforce_over_probe_clusters(self, spark):
+        """ivf_search == brute-force restricted to the probe clusters'
+        members (its exact contract), and is recall-limited, never
+        wrong: every returned pair appears in the full brute-force
+        ranking with the same cosine."""
+        import numpy as np
+
+        from correctocr_spark.ops.similarity import (
+            brute_force_topk,
+            ivf_assign,
+            ivf_search,
+        )
+
+        df = _ivf_embeddings(spark)
+        cents = self._centroids()
+        q = [1.0] * 8
+        got = [
+            (r["rank"], r["vec_id"], r["cosine"])
+            for r in ivf_search(df, cents, q, k=5, nprobe=2).collect()
+        ]
+        # probe set recomputed independently
+        d = [
+            (float(np.sum((np.array(q) - np.array(c)) ** 2)), cid)
+            for cid, c in enumerate(cents)
+        ]
+        probe = {cid for _, cid in sorted(d)[:2]}
+        members = {
+            r["vec_id"]
+            for r in ivf_assign(df, cents).collect()
+            if r["centroid_id"] in probe
+        }
+        assert members and members != set(range(60))  # non-trivial filter
+        member_df = df.where(df.vec_id.isin(list(members)))
+        expect = [
+            (r["rank"], r["vec_id"], r["cosine"])
+            for r in brute_force_topk(member_df, q, k=5).collect()
+        ]
+        assert got == expect
+        full = {r["vec_id"]: r["cosine"] for r in brute_force_topk(df, q, k=60).collect()}
+        assert all(full[v] == c for _, v, c in got)
+
+    def test_nprobe_all_equals_bruteforce(self, spark):
+        from correctocr_spark.ops.similarity import brute_force_topk, ivf_search
+
+        df = _ivf_embeddings(spark)
+        cents = self._centroids()
+        q = [0.5] * 8
+        a = ivf_search(df, cents, q, k=5, nprobe=len(cents)).collect()
+        b = brute_force_topk(df, q, k=5).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_plan_take_ordered_no_window(self, spark):
+        from correctocr_spark.ops.similarity import ivf_search
+
+        df = _ivf_embeddings(spark)
+        out = ivf_search(df, self._centroids(), [1.0] * 8, k=5)
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in p and "Window" not in p

@@ -337,7 +337,18 @@ def wordlist_density(
     ws = normalized_words(text_col)
     base = ensure_parallelism(pages)
     if isinstance(words, (list, tuple, set, frozenset)):
-        lex = F.array(*[F.lit(str(w).lower()) for w in sorted({str(w).lower() for w in words})])
+        vocab = sorted({str(w).lower() for w in words})
+        if not vocab:
+            # a zero-arg F.array() is array<void>: array_contains
+            # against a string column fails analysis — an empty lexicon
+            # trivially hits nothing
+            return base.select(
+                F.col(id_col).alias("doc_id"),
+                F.size(ws).cast("long").alias("n_words"),
+                F.lit(0).cast("long").alias("hits"),
+                F.lit(0.0).alias("hit_ratio"),
+            )
+        lex = F.array(*[F.lit(w) for w in vocab])
         hits = F.size(F.filter(ws, lambda w: F.array_contains(lex, F.lower(w))))
         return base.select(
             F.col(id_col).alias("doc_id"),

@@ -355,3 +355,11 @@ class TestFilterTierStreaming:
         q.awaitTermination(120)
         got = spark.read.parquet(str(tmp_path / "out"))
         assert {r["doc_id"] for r in got.collect()} == set(range(5))
+
+
+def test_wordlist_density_empty_lexicon(spark):
+    from correctocr_spark.ops.filters import wordlist_density
+
+    df = spark.createDataFrame([Row(doc_id=0, text="a b c")])
+    r = wordlist_density(df, []).collect()[0]
+    assert (r["n_words"], r["hits"], r["hit_ratio"]) == (3, 0, 0.0)

@@ -26,8 +26,6 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 

@@ -161,6 +161,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "dropped first")
     cur.add_argument("--url-col", default="url",
                      help="url column for --blocklist (default: url)")
+    cur.add_argument("--shuffle-seed", default="",
+                     help="write the curated corpus in seeded deterministic "
+                          "global training order (adds a position column; "
+                          "files are range-partitioned and sorted by it)")
     cur.add_argument("--badwords", default="",
                      help="text file of soft-filter words (one per line): "
                           "docs whose bad-word density exceeds "
@@ -466,8 +470,18 @@ def main(argv=None) -> int:
                 url_col=args.url_col,
                 badwords=badwords,
                 max_badword_ratio=args.max_badword_ratio,
+                shuffle_seed=args.shuffle_seed or None,
             )
-            writer = out.write.mode("overwrite")
+            to_write = out
+            if args.shuffle_seed:
+                # range partition + local sort: file k holds lower
+                # positions than file k+1, rows sorted inside each —
+                # a reader consuming files in order sees the global
+                # training order without any single-partition sort
+                to_write = out.repartitionByRange("position").sortWithinPartitions(
+                    "position"
+                )
+            writer = to_write.write.mode("overwrite")
             if args.shard_budget:
                 writer = writer.partitionBy("shard")
             writer.parquet(args.output)

@@ -154,6 +154,7 @@ def curate(
     url_col: str = "url",
     badwords=None,
     max_badword_ratio: float = 0.1,
+    shuffle_seed: Optional[str] = None,
 ) -> DataFrame:
     """Full curation: filter to surviving docs, optionally sample,
     optionally rebalance to a target group mixture
@@ -185,7 +186,14 @@ def curate(
     lexicons) drops docs whose :func:`~.filters.wordlist_density`
     ``hit_ratio`` exceeds ``max_badword_ratio`` — the list form is an
     inline filter like the Gopher gate; the DataFrame form semi-joins
-    the (tiny) surviving-id set."""
+    the (tiny) surviving-id set.
+
+    ``shuffle_seed`` appends a ``position`` column — the seeded
+    deterministic global training order over the SURVIVORS
+    (:func:`~.filters.deterministic_shuffle`, reproducible from the
+    seed alone). Runs last so positions are dense over exactly what
+    ships; write ordered via ``repartitionByRange("position")`` +
+    ``sortWithinPartitions`` (the CLI's ``--shuffle-seed`` does)."""
     if blocklist is not None:
         from .filters import blocked_doc_ids
 
@@ -281,6 +289,22 @@ def curate(
         # register_intermediates both inherits `out`'s registered list
         # and records `out` itself (now persisted)
         out = register_intermediates(out.join(shards, on=id_col), out)
+    if shuffle_seed is not None:
+        from .filters import deterministic_shuffle
+
+        # the shuffle reads `out` three times (bucket counts collect,
+        # the bucket-local window, the join back) — eagerly persist the
+        # survivor set unless the shard packer already did
+        lvl = out.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            out = out.persist()
+            out.count()
+        # positions are assigned over the final survivor set (dense over
+        # exactly what ships); the id-keyed join back is doc-count-sized
+        pos = deterministic_shuffle(
+            out.select(F.col(id_col).alias("doc_id")), seed=shuffle_seed
+        ).withColumnRenamed("doc_id", id_col)
+        out = register_intermediates(out.join(pos, on=id_col), out)
     if superseded is not None:
         out._correctocr_superseded = superseded
     return out

@@ -284,3 +284,39 @@ def test_cli_curate_badwords(tmp_path, spark):
     assert r.returncode == 0, r.stderr[-2000:]
     ids = {x["doc_id"] for x in spark.read.parquet(out).select("doc_id").collect()}
     assert ids == {0, 1, 2, 3}
+
+
+@pytest.mark.slow
+def test_cli_curate_shuffle_seed(tmp_path, spark):
+    """--shuffle-seed writes the corpus in seeded global training order:
+    files range-partitioned by position, rows sorted within each, so
+    reading files in name order replays the order."""
+    stop = ["the", "of", "and", "to", "in", "is", "was", "for", "that", "with"]
+    rows = [
+        (i, " ".join(f"w{i}x{j} {stop[j % 10]}" for j in range(30)), "en")
+        for i in range(30)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        str(tmp_path / "docs")
+    )
+    out = str(tmp_path / "curated")
+    r = run_cli(
+        "curate", "--input", str(tmp_path / "docs"), "--output", out,
+        "--min-quality", "0", "--shuffle-seed", "epoch0",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import glob
+    import hashlib
+
+    positions = []
+    for f in sorted(glob.glob(out + "/part-*.parquet")):
+        positions.extend(
+            x["position"] for x in spark.read.parquet(f).select("position").collect()
+        )
+    assert positions == sorted(positions) == list(range(1, 31))
+    got = {
+        x["doc_id"]: x["position"]
+        for x in spark.read.parquet(out).select("doc_id", "position").collect()
+    }
+    order = sorted(got, key=lambda i: (hashlib.md5(f"epoch0:{i}".encode()).hexdigest(), i))
+    assert [got[d] for d in order] == list(range(1, 31))

@@ -363,3 +363,22 @@ def test_wordlist_density_empty_lexicon(spark):
     df = spark.createDataFrame([Row(doc_id=0, text="a b c")])
     r = wordlist_density(df, []).collect()[0]
     assert (r["n_words"], r["hits"], r["hit_ratio"]) == (3, 0, 0.0)
+
+
+def test_curate_shuffle_seed_positions(spark):
+    """curate(shuffle_seed=...) appends a dense, seed-reproducible
+    position column over exactly the survivor set."""
+    import hashlib as _h
+
+    from correctocr_spark.ops.curate import curate
+
+    rows = [Row(doc_id=i, text=_unique_good_text(i)) for i in range(10)]
+    rows.append(Row(doc_id=50, text=rows[0].text))  # exact dup -> dropped
+    docs = spark.createDataFrame(rows)
+    out = curate(docs, min_quality=0.0, shuffle_seed="s7")
+    got = {r["doc_id"]: r["position"] for r in out.select("doc_id", "position").collect()}
+    spark.catalog.clearCache()
+    assert set(got) == set(range(10))               # survivors only
+    assert sorted(got.values()) == list(range(1, 11))  # dense over survivors
+    order = sorted(got, key=lambda i: (_h.md5(f"s7:{i}".encode()).hexdigest(), i))
+    assert [got[d] for d in order] == list(range(1, 11))

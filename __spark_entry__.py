@@ -811,6 +811,56 @@ def q_wordlist_density(spark, sf_dir):
     return wordlist_density(_t(spark, sf_dir, "documents"), WORDLIST_LEXICON)
 
 
+#: deterministic robots-meta html injection (shared with the oracle):
+#: every doc gets a DECOY description meta whose content contains
+#: "noindex" (must NOT count — name filtering is the point); ids
+#: divisible by 4/5/7 add robots metas in varying case, quoting, and
+#: attribute order
+def _robots_html_col():
+    return F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit('<meta name="robots" content="noindex, follow">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("<META NAME='ROBOTS' CONTENT='NOFOLLOW'>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit('<meta content="none" name="Robots">'),
+        ).otherwise(F.lit("")),
+        F.lit('<meta name="description" content="noindex nothing">'),
+        F.lit("</head><body>"),
+        F.col("text"),
+        F.lit("</body></html>"),
+    )
+
+
+def q_robots_directives(spark, sf_dir):
+    """Robots-meta directives over deterministically injected html
+    (case/quoting/attribute-order variants + a decoy description meta
+    whose content says 'noindex'): row-local tag extraction, scan
+    speed."""
+    _ship(spark)
+    from correctocr_spark.ops.filters import robots_directives
+
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id", _robots_html_col().alias("html")
+    )
+    return robots_directives(pages)
+
+
+def q_truncate_docs(spark, sf_dir):
+    """Context-length cap at 40 whitespace tokens (docs run 10-99, so
+    roughly half truncate): row-local slice + rejoin."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import truncate_docs
+
+    return truncate_docs(_t(spark, sf_dir, "documents"), max_tokens=40)
+
+
 def q_ngram_repetition(spark, sf_dir):
     """Gopher n-gram repetition signals (top-3-gram char fraction,
     duplicate-5-gram char fraction): one tagged explode, one
@@ -1358,7 +1408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dehyphen_marks": q_dehyphen_marks,
         # aggregations (A1-A7)
         "doc_stats_by_lang": q_doc_stats_by_lang,
-        "sql_api_stats": q_sql_api_stats,
+        # sql_api_stats — the literal spark.sql() twin of
+        # doc_stats_by_lang (same aggregation through the SQL surface)
+        # — moved to tier 2 for robots_directives
         "revenue_filter_agg": q_revenue_filter_agg,
         "stats_conditional_agg": q_stats_conditional_agg,
         # joins (J1-J7)
@@ -1406,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_shuffle": q_train_shuffle,
         "ngram_repetition": q_ngram_repetition,
         "wordlist_density": q_wordlist_density,
+        "robots_directives": q_robots_directives,
         # corpus cleaning / curation
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition,
@@ -1481,6 +1534,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF coarse assignment — composed and re-verified inside
         # tier-1 ivf_search's probe filter
         "ivf_assign": q_ivf_assign,
+        # the spark.sql() surface twin of tier-1 doc_stats_by_lang
+        "sql_api_stats": q_sql_api_stats,
+        # context-length cap — a row-local slice over the same
+        # whitespace-token machinery tier-1 token_counts hash-verifies
+        "truncate_docs": q_truncate_docs,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics) ----
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
@@ -1797,6 +1855,62 @@ def _wordlist_density_sql() -> str:
         SELECT doc_id, n_words, hits,
                round(hits::DOUBLE / greatest(n_words, 1), 6) AS hit_ratio
         FROM m
+    """
+
+
+_ROBOTS_HTML_INJECT = (
+    "'<html><head>' "
+    "|| (CASE WHEN doc_id % 4 = 0 THEN '<meta name=\"robots\" content=\"noindex, follow\">' ELSE '' END) "
+    "|| (CASE WHEN doc_id % 5 = 0 THEN '<META NAME=''ROBOTS'' CONTENT=''NOFOLLOW''>' ELSE '' END) "
+    "|| (CASE WHEN doc_id % 7 = 0 THEN '<meta content=\"none\" name=\"Robots\">' ELSE '' END) "
+    "|| '<meta name=\"description\" content=\"noindex nothing\">' "
+    "|| '</head><body>' || text || '</body></html>'"
+)
+
+
+def _robots_sql() -> str:
+    from correctocr_spark.ops.filters import (
+        _CONTENT_RE,
+        _META_TAG_RE,
+        _ROBOTS_NAME_RE,
+    )
+
+    def q(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    return f"""
+        WITH pages AS (SELECT doc_id, {_ROBOTS_HTML_INJECT} AS html FROM documents),
+        m AS (
+            SELECT doc_id,
+                   -- coalesce: DuckDB's array_to_string([]) is NULL
+                   -- where Spark's concat_ws is ''
+                   lower(coalesce(array_to_string(
+                       list_transform(
+                           list_filter(
+                               regexp_extract_all(html, '{q(_META_TAG_RE)}', 0),
+                               t -> regexp_matches(t, '{q(_ROBOTS_NAME_RE)}')
+                           ),
+                           t -> regexp_extract(t, '{q(_CONTENT_RE)}', 1)
+                       ), ','), '')) AS joined
+            FROM pages
+        )
+        SELECT doc_id,
+               (joined LIKE '%noindex%'
+                OR regexp_matches(joined, '(^|[,\\s])none($|[,\\s])'))::BIGINT AS noindex,
+               (joined LIKE '%nofollow%'
+                OR regexp_matches(joined, '(^|[,\\s])none($|[,\\s])'))::BIGINT AS nofollow
+        FROM m
+    """
+
+
+def _truncate_sql(max_tokens: int = 40) -> str:
+    return f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents)
+        SELECT doc_id,
+               array_to_string(ws[1:{max_tokens}], ' ') AS text_trunc,
+               len(ws)::BIGINT AS n_tokens,
+               (len(ws) > {max_tokens})::BIGINT AS truncated
+        FROM w
     """
 
 
@@ -2532,6 +2646,8 @@ def oracle_sql() -> dict[str, str]:
         "train_shuffle": _train_shuffle_sql(),
         "ngram_repetition": _ngram_repetition_sql(),
         "wordlist_density": _wordlist_density_sql(),
+        "robots_directives": _robots_sql(),
+        "truncate_docs": _truncate_sql(),
         "pii_scrub": _pii_sql(),
         "repetition_stats": _repetition_sql(),
         "tfidf_top_terms": _tfidf_sql(),

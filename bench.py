@@ -98,6 +98,8 @@ HEADLINE = [
     "ngram_repetition",
     "wordlist_density",
     "ivf_search",
+    "robots_directives",
+    "truncate_docs",
     # r5: temporal joins + mixture balancing
     "asof_join",
     "range_join",

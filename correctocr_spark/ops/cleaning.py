@@ -124,6 +124,28 @@ def repetition_stats(
     )
 
 
+def truncate_docs(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cap each document at its first ``max_tokens`` whitespace tokens —
+    the context-length guard before sequence packing. Returns every doc
+    with the (possibly shortened) text, its ORIGINAL token count, and a
+    truncation flag; whitespace is normalized to single spaces in the
+    output (the same canonical form the packer counts). Row-local slice,
+    no shuffle."""
+    ws = normalized_words(text_col)
+    n = F.size(ws)
+    return ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.concat_ws(" ", F.slice(ws, 1, max_tokens)).alias("text_trunc"),
+        n.cast("long").alias("n_tokens"),
+        (n > max_tokens).cast("long").alias("truncated"),
+    )
+
+
 def ngram_repetition(
     docs: DataFrame,
     top_n: int = 3,

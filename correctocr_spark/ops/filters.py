@@ -380,6 +380,42 @@ def wordlist_density(
     )
 
 
+#: meta-tag grammar, shared verbatim with the DuckDB oracle — Java∩RE2
+#: subset (no backreferences/lookaround), case folded via (?i)
+_META_TAG_RE = r"(?i)<meta\b[^>]*>"
+_ROBOTS_NAME_RE = r"(?i)name\s*=\s*['\"]?robots"
+_CONTENT_RE = r"(?i)content\s*=\s*['\"]([^'\"]*)"
+
+
+def robots_directives(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """Per-page robots meta directives: ``noindex`` / ``nofollow``
+    (with ``none`` implying both) from ``<meta name="robots">`` tags —
+    the crawl-politeness gate a Common-Crawl pipeline applies before a
+    page may enter the corpus.
+
+    Row-local: extract all meta tags, keep the robots-named ones
+    (attribute order and quoting vary in the wild, so name and content
+    are matched independently), fold their content values, and flag the
+    directives. Scan speed, no shuffle; every page keeps a row so the
+    caller anti-joins or filters. Accepts a string html column (decode
+    binary with ``F.decode`` first)."""
+    html = F.col(html_col)
+    metas = F.regexp_extract_all(html, F.lit(_META_TAG_RE), 0)
+    robots = F.filter(metas, lambda m: m.rlike(_ROBOTS_NAME_RE))
+    contents = F.transform(robots, lambda m: F.regexp_extract(m, _CONTENT_RE, 1))
+    joined = F.lower(F.concat_ws(",", contents))
+    none = joined.rlike(r"(^|[,\s])none($|[,\s])")
+    return ensure_parallelism(pages).select(
+        F.col(id_col).alias("doc_id"),
+        (joined.contains("noindex") | none).cast("long").alias("noindex"),
+        (joined.contains("nofollow") | none).cast("long").alias("nofollow"),
+    )
+
+
 def deterministic_shuffle(
     docs: DataFrame,
     seed: str = "0",

@@ -130,6 +130,12 @@ def test_oracled_queries_precede_rows_only():
         # IVF coarse assignment, composed + re-verified inside tier-1
         # ivf_search's probe filter; displaced by ivf_search
         "ivf_assign",
+        # the spark.sql() surface twin of tier-1 doc_stats_by_lang;
+        # displaced by robots_directives
+        "sql_api_stats",
+        # row-local slice over the whitespace-token machinery tier-1
+        # token_counts hash-verifies
+        "truncate_docs",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -382,3 +382,48 @@ def test_curate_shuffle_seed_positions(spark):
     assert sorted(got.values()) == list(range(1, 11))  # dense over survivors
     order = sorted(got, key=lambda i: (_h.md5(f"s7:{i}".encode()).hexdigest(), i))
     assert [got[d] for d in order] == list(range(1, 11))
+
+
+class TestRobotsDirectives:
+    def _run(self, spark, htmls):
+        from correctocr_spark.ops.filters import robots_directives
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, html=h) for i, h in enumerate(htmls)]
+        )
+        return {r["doc_id"]: (r["noindex"], r["nofollow"]) for r in robots_directives(df).collect()}
+
+    def test_variants(self, spark):
+        got = self._run(spark, [
+            '<meta name="robots" content="noindex">ok',            # plain
+            "<META NAME='ROBOTS' CONTENT='NOFOLLOW, NOARCHIVE'>",  # case+quotes
+            '<meta content="none" name="robots">',                 # attr order
+            '<meta name="description" content="noindex nofollow">',# decoy name
+            '<p>noindex nofollow none</p>',                        # body text only
+            '<meta name="robots" content="index, follow">',        # explicit allow
+            '<meta name="robots" content="noindex"><meta name="robots" content="nofollow">',  # two tags
+        ])
+        assert got[0] == (1, 0)
+        assert got[1] == (0, 1)
+        assert got[2] == (1, 1)   # none implies both
+        assert got[3] == (0, 0)
+        assert got[4] == (0, 0)
+        assert got[5] == (0, 0)
+        assert got[6] == (1, 1)
+
+    def test_every_page_kept(self, spark):
+        got = self._run(spark, ["", "<html></html>"])
+        assert got == {0: (0, 0), 1: (0, 0)}
+
+
+def test_truncate_docs_values(spark):
+    from correctocr_spark.ops.cleaning import truncate_docs
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="  a  b\tc\nd e  "), Row(doc_id=1, text="x y")]
+    )
+    got = {r["doc_id"]: r for r in truncate_docs(df, max_tokens=3).collect()}
+    assert got[0]["text_trunc"] == "a b c"
+    assert got[0]["n_tokens"] == 5 and got[0]["truncated"] == 1
+    assert got[1]["text_trunc"] == "x y"
+    assert got[1]["n_tokens"] == 2 and got[1]["truncated"] == 0

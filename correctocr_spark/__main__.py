@@ -161,6 +161,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "dropped first")
     cur.add_argument("--url-col", default="url",
                      help="url column for --blocklist (default: url)")
+    cur.add_argument("--respect-robots", action="store_true",
+                     help="drop pages whose --html-col carries a robots "
+                          "noindex meta directive, before every other gate")
+    cur.add_argument("--html-col", default="html")
     cur.add_argument("--shuffle-seed", default="",
                      help="write the curated corpus in seeded deterministic "
                           "global training order (adds a position column; "
@@ -471,6 +475,8 @@ def main(argv=None) -> int:
                 badwords=badwords,
                 max_badword_ratio=args.max_badword_ratio,
                 shuffle_seed=args.shuffle_seed or None,
+                respect_robots=args.respect_robots,
+                html_col=args.html_col,
             )
             to_write = out
             if args.shuffle_seed:

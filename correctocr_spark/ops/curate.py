@@ -155,6 +155,8 @@ def curate(
     badwords=None,
     max_badword_ratio: float = 0.1,
     shuffle_seed: Optional[str] = None,
+    respect_robots: bool = False,
+    html_col: str = "html",
 ) -> DataFrame:
     """Full curation: filter to surviving docs, optionally sample,
     optionally rebalance to a target group mixture
@@ -188,12 +190,27 @@ def curate(
     inline filter like the Gopher gate; the DataFrame form semi-joins
     the (tiny) surviving-id set.
 
+    ``respect_robots=True`` drops pages whose ``html_col`` carries a
+    robots ``noindex`` directive (:func:`~.filters.robots_directives`)
+    before every other gate — crawl politeness precedes content policy.
+
     ``shuffle_seed`` appends a ``position`` column — the seeded
     deterministic global training order over the SURVIVORS
     (:func:`~.filters.deterministic_shuffle`, reproducible from the
     seed alone). Runs last so positions are dense over exactly what
     ships; write ordered via ``repartitionByRange("position")`` +
     ``sortWithinPartitions`` (the CLI's ``--shuffle-seed`` does)."""
+    if respect_robots:
+        from .filters import robots_directives
+
+        # crawl politeness first — a page asking not to be indexed never
+        # reaches any other gate; noindex ids are rare, broadcast back
+        noidx = (
+            robots_directives(docs, id_col=id_col, html_col=html_col)
+            .where(F.col("noindex") == 1)
+            .select(F.col("doc_id").alias(id_col))
+        )
+        docs = docs.join(F.broadcast(noidx), on=id_col, how="left_anti")
     if blocklist is not None:
         from .filters import blocked_doc_ids
 

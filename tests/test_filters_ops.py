@@ -427,3 +427,22 @@ def test_truncate_docs_values(spark):
     assert got[0]["n_tokens"] == 5 and got[0]["truncated"] == 1
     assert got[1]["text_trunc"] == "x y"
     assert got[1]["n_tokens"] == 2 and got[1]["truncated"] == 0
+
+
+def test_curate_respect_robots(spark):
+    """curate(respect_robots=True) drops noindex pages before every
+    other gate; pages without a robots meta are untouched."""
+    from correctocr_spark.ops.curate import curate
+
+    rows = []
+    for i in range(6):
+        html = "<html><head>"
+        if i in (2, 4):
+            html += '<meta name="robots" content="noindex">'
+        html += f"</head><body>{_unique_good_text(i)}</body></html>"
+        rows.append(Row(doc_id=i, text=_unique_good_text(i), html=html))
+    docs = spark.createDataFrame(rows)
+    out = curate(docs, min_quality=0.0, respect_robots=True)
+    ids = {r["doc_id"] for r in out.collect()}
+    spark.catalog.clearCache()
+    assert ids == {0, 1, 3, 5}

@@ -46,11 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
     prep.add_argument("--input", required=True, help="pages parquet path/table")
     prep.add_argument("--output", required=True, help="output dir (corrected/ + audit/)")
     prep.add_argument(
-        "--format", choices=["pages", "pdf", "hocr"],
+        "--format", choices=["pages", "pdf", "hocr", "warc"],
         default=_env_default("format", "pages"),
         help="'pages' = parquet pages table; 'pdf'/'hocr' = a directory of "
              "source files (binaryFile scan -> token table -> page texts), "
-             "mirroring the reference's per-extension Tokenizer dispatch",
+             "mirroring the reference's per-extension Tokenizer dispatch; "
+             "'warc' = a directory of WARC crawl segments (response "
+             "records become (url, warc_ts, html) pages)",
     )
     prep.add_argument("--k", type=int, default=int(_env_default("k", "4")))
     prep.add_argument("--settings", choices=["shipped", "aggressive"],
@@ -178,6 +180,25 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--id-col", default="doc_id")
     cur.add_argument("--text-col", default="text")
 
+    ing = sub.add_parser(
+        "ingest",
+        help="WARC crawl segments -> north-rule pages parquet "
+             "(url, warc_ts, html, text, lang)",
+    )
+    ing.add_argument("--input", required=True, help="directory of .warc/.warc.gz files")
+    ing.add_argument("--output", required=True, help="pages parquet output path")
+    ing.add_argument("--glob", default="*.warc*")
+    ing.add_argument("--partitions", type=int, default=0,
+                     help="repartition by url hash before extraction "
+                          "(breaks crawl-order host clustering)")
+    ing.add_argument("--raw", action="store_true",
+                     help="skip extraction/lang: write (url, warc_ts, html) only")
+    ing.add_argument("--keep-errors", action="store_true",
+                     help="salvage records before a corruption point instead "
+                          "of failing the task (skip_bad)")
+    ing.add_argument("--all-status", action="store_true",
+                     help="keep non-2xx HTTP responses too")
+
     st = sub.add_parser("stats", help="per-bin metrics; optionally derive settings")
     st.add_argument("--input", required=True, help="pages parquet path")
     st.add_argument("--make-settings", default="",
@@ -280,6 +301,17 @@ def main(argv=None) -> int:
             use_html = not args.no_html
             if args.format == "pages":
                 pages = spark.read.parquet(args.input)
+            elif args.format == "warc":
+                from pyspark.sql import functions as F
+
+                from .spark.warc import read_warc
+
+                # raw WARC rows carry no pre-extracted text column; the
+                # pipeline contract (north-rule pages shape) expects one
+                # even in html mode, where it is the null-html fallback
+                pages = read_warc(spark, args.input).withColumn(
+                    "text", F.lit(None).cast("string")
+                )
             else:
                 from .spark.pdf import (
                     hocr_tokens,
@@ -512,6 +544,25 @@ def main(argv=None) -> int:
             kept = spark.read.parquet(args.output).count()
             total = docs.count()
             print(f"curated: kept {kept}/{total} documents -> {args.output}")
+        elif args.command == "ingest":
+            from .spark.warc import read_warc, warc_pages
+
+            kwargs = dict(
+                glob=args.glob,
+                ok_only=not args.all_status,
+                skip_bad=args.keep_errors,
+            )
+            if args.raw:
+                pages = read_warc(spark, args.input, **kwargs)
+                if args.partitions:
+                    from pyspark.sql import functions as F
+
+                    pages = pages.repartition(args.partitions, F.xxhash64("url"))
+            else:
+                pages = warc_pages(spark, args.input, partitions=args.partitions, **kwargs)
+            pages.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(f"ingested: {n} pages at {args.output}")
         elif args.command == "stats":
             import json as _json
 

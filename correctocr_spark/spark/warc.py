@@ -1,0 +1,187 @@
+"""WARC source and sink — the Common-Crawl on-disk form of the pages table.
+
+Reader: ``spark.read.format("binaryFile")`` over a directory of WARC
+files (plain or per-record gzip), then ``mapInPandas`` runs the pure
+kernel parser (kernels/warc.py) — ONE task per WARC file, so a crawl
+laid out as thousands of ~1 GB segment files parallelizes on the file
+axis exactly as Common Crawl jobs do. No per-row Python: the UDF is
+per-FILE, Arrow-batched on the way out.
+
+Scale notes (100 TB): binaryFile materializes each file in one task —
+correct for the CC layout (segments are sized for exactly this) but a
+single giant WARC would not split; shard at write time instead (the
+sink below writes one member-gzip WARC per partition, which IS the
+splittable-at-member-boundary layout). After parse, repartition by
+url hash before any keyed work — file order is crawl order, which is
+host-clustered and therefore skewed.
+
+The sink is the inverse proof: pages -> WARC shards -> reader recovers
+the exact (url, warc_ts, html) set (pinned by tests/test_warc.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels.warc import iter_pages, write_warc
+
+#: the north-rule pages-table core: (url, warc_ts, html)
+RAW_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+    ]
+)
+
+_SINK_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("n_records", T.LongType(), False),
+    ]
+)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    ok_only: bool = True,
+    skip_bad: bool = False,
+) -> DataFrame:
+    """Read WARC files into ``(url, warc_ts, html)`` rows.
+
+    Only crawl *response* records become rows (warcinfo/request/metadata
+    are skipped); ``ok_only`` drops non-2xx HTTP responses. Corrupt
+    records RAISE (task failure — the job does not silently lose a
+    segment's tail) unless ``skip_bad=True`` salvages the prefix.
+    Timestamps come back as naive UTC, matching the parquet testdata
+    convention.
+    """
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in RAW_PAGES_SCHEMA.fields]
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = [
+                    (url, ts.replace(tzinfo=None) if ts is not None else None, bytes(html))
+                    for url, ts, html in iter_pages(
+                        bytes(content), skip_bad=skip_bad, ok_only=ok_only
+                    )
+                ]
+                yield pd.DataFrame(rows, columns=cols)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+    )
+    return files.mapInPandas(parse, schema=RAW_PAGES_SCHEMA)
+
+
+def warc_pages(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    ok_only: bool = True,
+    skip_bad: bool = False,
+    partitions: int = 0,
+) -> DataFrame:
+    """Full north-rule pages table from WARC input:
+    ``(url, warc_ts, html, text, lang)``.
+
+    Composes :func:`read_warc` with the extraction kernel (boilerplate
+    strip -> ``text``) and the stopword-profile language ID -> ``lang``
+    — one repartition by url hash breaks the crawl-order host
+    clustering, then ONE mapInPandas adds both derived columns (the
+    language profile runs on the just-extracted text in the same Arrow
+    batch; no second shuffle, no join back).
+    """
+    from ..kernels.extract import extract_text
+    from ..ops.textstats import STOPWORDS
+
+    raw = read_warc(spark, path, glob=glob, ok_only=ok_only, skip_bad=skip_bad)
+    if partitions:
+        raw = raw.repartition(partitions, F.xxhash64("url"))
+
+    langs = list(STOPWORDS)
+    profiles = {lang: frozenset(STOPWORDS[lang]) for lang in langs}
+    schema = T.StructType(
+        list(RAW_PAGES_SCHEMA.fields)
+        + [
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+
+    def derive(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # EXACTLY ops.textstats.language_id's rule (whitespace tokens,
+        # whole-token lowercase membership, strict-argmax in profile
+        # order, no hits => 'und') so warc_pages.lang == language_id's
+        # lang_pred on the same text — pinned by tests/test_warc.py
+        def lang_of(text: str) -> str:
+            words = [w.lower() for w in text.split()]
+            if not words:
+                return "und"
+            best, best_hits = "und", 0
+            for lang in langs:
+                profile = profiles[lang]
+                hits = sum(1 for w in words if w in profile)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            return best
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["text"] = [extract_text(h) for h in pdf["html"]]
+            pdf["lang"] = [lang_of(t) for t in pdf["text"]]
+            yield pdf
+
+    return raw.mapInPandas(derive, schema=schema)
+
+
+def write_warc_shards(
+    pages: DataFrame,
+    out_dir: str,
+    gzip_records: bool = True,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Write a pages DataFrame as WARC shards, one file per partition
+    (member-gzip by default — the splittable Common Crawl layout), and
+    RETURN the manifest ``(path, n_records)`` DataFrame. The write is
+    the mapInPandas action itself; callers materialize the manifest.
+
+    Local/posix paths only (executors open(2) the shard path) — on a
+    cluster this is the pattern you back with a shared filesystem or
+    swap the open for the object-store client.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    df = pages.select("url", "warc_ts", "html")
+    if partitions:
+        df = df.repartition(partitions, F.xxhash64("url"))
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                ts_py = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                rows.append((url, ts_py, bytes(html) if html is not None else b""))
+        if not rows:
+            yield pd.DataFrame([], columns=["path", "n_records"])
+            return
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        shard = os.path.join(out_dir, f"part-{pid:05d}.warc" + (".gz" if gzip_records else ""))
+        write_warc(rows, shard, gzip_records=gzip_records)
+        yield pd.DataFrame([(shard, len(rows))], columns=["path", "n_records"])
+
+    return df.mapInPandas(dump, schema=_SINK_SCHEMA)

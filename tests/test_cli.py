@@ -320,3 +320,33 @@ def test_cli_curate_shuffle_seed(tmp_path, spark):
     }
     order = sorted(got, key=lambda i: (hashlib.md5(f"epoch0:{i}".encode()).hexdigest(), i))
     assert [got[d] for d in order] == list(range(1, 31))
+
+
+@pytest.mark.slow
+def test_cli_ingest_warc(tmp_path, spark):
+    """WARC crawl segments -> north-rule pages parquet, then prepare
+    --format warc drives the extraction+correction pipeline straight
+    off the same WARC directory."""
+    from correctocr_spark.spark.synth import synth_pages
+    from correctocr_spark.spark.warc import write_warc_shards
+
+    src = synth_pages(spark, 24, seed=19, partitions=3)
+    warc_dir = str(tmp_path / "warc")
+    assert sum(
+        r.n_records for r in write_warc_shards(src, warc_dir, partitions=2).collect()
+    ) == 24
+
+    out = str(tmp_path / "pages")
+    r = run_cli("ingest", "--input", warc_dir, "--output", out, "--partitions", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ingested: 24 pages" in r.stdout
+    got = spark.read.parquet(out)
+    assert [f.name for f in got.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    truth = {r2.url: r2.text for r2 in src.collect()}
+    for row in got.collect():
+        assert row.text == truth[row.url]
+
+    corr = str(tmp_path / "corrected")
+    r = run_cli("prepare", "--format", "warc", "--input", warc_dir, "--output", corr)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "prepared: 24 documents" in r.stdout

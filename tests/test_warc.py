@@ -1,0 +1,164 @@
+"""WARC source/sink: kernel parse + Spark reader + shard-sink roundtrip."""
+
+import datetime
+import gzip
+import io
+
+import pytest
+
+from correctocr_spark.kernels.warc import (
+    iter_pages,
+    parse_warc,
+    split_http_response,
+    write_warc,
+)
+
+
+def _pages(n=6):
+    return [
+        (
+            f"https://example.org/page/{i}",
+            datetime.datetime(2024, 1, 1, 0, 0, i),
+            f"<html><body><p>doc number {i} body text</p></body></html>".encode(),
+        )
+        for i in range(n)
+    ]
+
+
+class TestWarcKernel:
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_roundtrip(self, tmp_path, gz):
+        pages = _pages()
+        path = str(tmp_path / ("a.warc" + (".gz" if gz else "")))
+        write_warc(pages, path, gzip_records=gz)
+        data = open(path, "rb").read()
+        got = list(iter_pages(data))
+        assert [(u, t, h) for u, t, h in got] == [
+            (u, t.replace(tzinfo=datetime.timezone.utc), h) for u, t, h in pages
+        ]
+
+    def test_writer_deterministic(self, tmp_path):
+        a, b = str(tmp_path / "a.warc.gz"), str(tmp_path / "b.warc.gz")
+        write_warc(_pages(), a)
+        write_warc(_pages(), b)
+        assert open(a, "rb").read() == open(b, "rb").read()
+
+    def test_non_response_records_skipped(self, tmp_path):
+        path = str(tmp_path / "a.warc")
+        write_warc(_pages(2), path, gzip_records=False)
+        info = (
+            b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n"
+        )
+        data = info + open(path, "rb").read()
+        recs = list(parse_warc(data))
+        assert [r.rec_type for r in recs] == ["warcinfo", "response", "response"]
+        assert len(list(iter_pages(data))) == 2
+
+    def test_non_2xx_dropped_unless_ok_only_false(self, tmp_path):
+        path = str(tmp_path / "a.warc")
+        write_warc(_pages(3), path, gzip_records=False, status=404)
+        data = open(path, "rb").read()
+        assert list(iter_pages(data)) == []
+        assert len(list(iter_pages(data, ok_only=False))) == 3
+
+    def test_http_envelope_stripped_byte_exact(self):
+        body = b"<html>\r\n\r\nweird \x00 bytes</html>"
+        status, got = split_http_response(
+            b"HTTP/1.1 200 OK\r\nX: y\r\n\r\n" + body
+        )
+        assert status == 200 and got == body
+        # bare resource payload (no HTTP envelope) passes through whole
+        status, got = split_http_response(body)
+        assert status is None and got == body
+
+    def test_truncated_payload_raises_strict_salvages_with_skip_bad(self, tmp_path):
+        path = str(tmp_path / "a.warc")
+        write_warc(_pages(3), path, gzip_records=False)
+        data = open(path, "rb").read()[:-40]  # cut into the last record
+        with pytest.raises(ValueError):
+            list(parse_warc(data))
+        salvaged = list(iter_pages(data, skip_bad=True))
+        assert len(salvaged) == 2  # records before the corruption point
+
+    def test_truncated_gzip_member_raises(self, tmp_path):
+        path = str(tmp_path / "a.warc.gz")
+        write_warc(_pages(2), path)
+        data = open(path, "rb").read()[:-10]
+        with pytest.raises(ValueError):
+            list(parse_warc(data))
+
+    def test_whole_file_gzip_also_parses(self, tmp_path):
+        path = str(tmp_path / "a.warc")
+        write_warc(_pages(3), path, gzip_records=False)
+        out = io.BytesIO()
+        with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
+            gz.write(open(path, "rb").read())
+        assert len(list(iter_pages(out.getvalue()))) == 3
+
+    def test_bad_date_keeps_record(self, tmp_path):
+        raw = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://x/\r\nWARC-Date: not-a-date\r\n"
+            b"Content-Length: 4\r\n\r\nbody\r\n\r\n"
+        )
+        (url, ts, html), = list(iter_pages(raw))
+        assert url == "https://x/" and ts is None and html == b"body"
+
+    def test_empty_input(self):
+        assert list(parse_warc(b"")) == []
+
+
+class TestWarcSpark:
+    def test_read_warc_roundtrip(self, spark, tmp_path):
+        from correctocr_spark.spark.warc import read_warc
+
+        pages = _pages(10)
+        write_warc(pages[:5], str(tmp_path / "a.warc.gz"))
+        write_warc(pages[5:], str(tmp_path / "b.warc.gz"))
+        df = read_warc(spark, str(tmp_path))
+        assert [f.name for f in df.schema.fields] == ["url", "warc_ts", "html"]
+        got = sorted(
+            (r.url, r.warc_ts, bytes(r.html)) for r in df.collect()
+        )
+        assert got == sorted(pages)
+
+    def test_warc_pages_north_rule_shape_and_lang_parity(self, spark, tmp_path):
+        from correctocr_spark.ops.textstats import language_id
+        from correctocr_spark.spark.synth import synth_pages
+        from correctocr_spark.spark.warc import warc_pages, write_warc_shards
+
+        src = synth_pages(spark, 40, seed=7, partitions=4)
+        manifest = write_warc_shards(src, str(tmp_path / "warc"), partitions=3).collect()
+        assert sum(r.n_records for r in manifest) == 40
+        assert len(manifest) == 3
+
+        df = warc_pages(spark, str(tmp_path / "warc"))
+        assert [f.name for f in df.schema.fields] == [
+            "url", "warc_ts", "html", "text", "lang",
+        ]
+        rows = df.collect()
+        assert len(rows) == 40
+        # extraction matches the synth ground-truth body text
+        truth = {r.url: (r.warc_ts, r.text) for r in src.collect()}
+        for r in rows:
+            ts, text = truth[r.url]
+            assert r.warc_ts == ts
+            assert r.text == text
+        # lang column == ops.textstats.language_id on the same text
+        lid = {
+            r.doc_id: r.lang_pred
+            for r in language_id(df, id_col="url", text_col="text").collect()
+        }
+        for r in rows:
+            assert r.lang == lid[r.url], r.url
+
+    def test_read_warc_parallelism_is_per_file(self, spark, tmp_path):
+        from correctocr_spark.spark.warc import read_warc
+
+        pages = _pages(9)
+        for i in range(3):
+            write_warc(pages[3 * i : 3 * i + 3], str(tmp_path / f"p{i}.warc.gz"))
+        df = read_warc(spark, str(tmp_path))
+        # one task per WARC file: the scan must not collapse to 1 split
+        assert df.rdd.getNumPartitions() >= 3
+        assert df.count() == 9

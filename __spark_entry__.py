@@ -861,6 +861,22 @@ def q_truncate_docs(spark, sf_dir):
     return truncate_docs(_t(spark, sf_dir, "documents"), max_tokens=40)
 
 
+def q_lm_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: head/middle/tail by corpus
+    quantile cuts on the unigram-LM mean log probability (cuts at the
+    70th/30th percentiles here)."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import lm_quality_buckets
+
+    out = lm_quality_buckets(_t(spark, sf_dir, "documents"), head=0.3, tail=0.3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words",
+        "avg_logprob",
+        "bucket",
+    )
+
+
 def q_ngram_repetition(spark, sf_dir):
     """Gopher n-gram repetition signals (top-3-gram char fraction,
     duplicate-5-gram char fraction): one tagged explode, one
@@ -1539,6 +1555,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # context-length cap — a row-local slice over the same
         # whitespace-token machinery tier-1 token_counts hash-verifies
         "truncate_docs": q_truncate_docs,
+        # CCNet perplexity buckets — the scoring core is tier-1
+        # unigram_lm; the layered percentile cuts reuse the
+        # corpus_rollup-proven interpolated-quantile parity
+        "lm_buckets": q_lm_buckets,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics) ----
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
@@ -2780,6 +2800,42 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN p.n_words > 0
                         THEN round(p.smu / p.n_words / 1000000.0, 6) END AS avg_logprob
             FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+        """,
+        "lm_buckets": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            exploded AS (SELECT doc_id, unnest(ws) AS w FROM w),
+            model AS (SELECT w, count(*) AS cnt FROM exploded GROUP BY w),
+            totals AS (SELECT sum(cnt) AS N, count(*) AS V FROM model),
+            scored AS (
+                SELECT w,
+                       CAST(round(ln((cnt + 1) / (N + 1 * V)) * 1000000.0) AS BIGINT)
+                           AS lp_micro
+                FROM model, totals
+            ),
+            per_doc AS (
+                SELECT e.doc_id, count(*) AS n_words, sum(s.lp_micro) AS smu
+                FROM exploded e JOIN scored s USING (w)
+                GROUP BY e.doc_id
+            ),
+            s AS (
+                SELECT d.doc_id,
+                       coalesce(p.n_words, 0)::BIGINT AS n_words,
+                       CASE WHEN p.n_words > 0
+                            THEN round(p.smu / p.n_words / 1000000.0, 6) END
+                           AS avg_logprob
+                FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+            ),
+            cuts AS (
+                SELECT round(quantile_cont(avg_logprob, 0.7), 6) AS hi,
+                       round(quantile_cont(avg_logprob, 0.3), 6) AS lo
+                FROM s
+            )
+            SELECT doc_id, n_words, avg_logprob,
+                   CASE WHEN avg_logprob IS NULL THEN 'tail'
+                        WHEN avg_logprob >= hi THEN 'head'
+                        WHEN avg_logprob <= lo THEN 'tail'
+                        ELSE 'middle' END AS bucket
+            FROM s, cuts
         """,
         "media_features": """
             SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes

@@ -100,6 +100,7 @@ HEADLINE = [
     "ivf_search",
     "robots_directives",
     "truncate_docs",
+    "lm_buckets",
     # r5: temporal joins + mixture balancing
     "asof_join",
     "range_join",

@@ -177,6 +177,14 @@ def build_parser() -> argparse.ArgumentParser:
                           "--max-badword-ratio are dropped before "
                           "quality/dedup")
     cur.add_argument("--max-badword-ratio", type=float, default=0.1)
+    cur.add_argument("--lm-keep", default="",
+                     help="comma-joined perplexity buckets to keep "
+                          "(head,middle,tail) — the CCNet-style "
+                          "unigram-LM gate; empty disables it")
+    cur.add_argument("--lm-head", type=float, default=0.3,
+                     help="head bucket corpus fraction (cut at the "
+                          "1-head percentile of avg log prob)")
+    cur.add_argument("--lm-tail", type=float, default=0.3)
     cur.add_argument("--id-col", default="doc_id")
     cur.add_argument("--text-col", default="text")
 
@@ -509,6 +517,10 @@ def main(argv=None) -> int:
                 shuffle_seed=args.shuffle_seed or None,
                 respect_robots=args.respect_robots,
                 html_col=args.html_col,
+                lm_keep=[b.strip() for b in args.lm_keep.split(",") if b.strip()]
+                or None,
+                lm_head=args.lm_head,
+                lm_tail=args.lm_tail,
             )
             to_write = out
             if args.shuffle_seed:

@@ -11,7 +11,7 @@ this module only composes them.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -157,6 +157,9 @@ def curate(
     shuffle_seed: Optional[str] = None,
     respect_robots: bool = False,
     html_col: str = "html",
+    lm_keep: Optional[List[str]] = None,
+    lm_head: float = 0.3,
+    lm_tail: float = 0.3,
 ) -> DataFrame:
     """Full curation: filter to surviving docs, optionally sample,
     optionally rebalance to a target group mixture
@@ -193,6 +196,12 @@ def curate(
     ``respect_robots=True`` drops pages whose ``html_col`` carries a
     robots ``noindex`` directive (:func:`~.filters.robots_directives`)
     before every other gate — crawl politeness precedes content policy.
+
+    ``lm_keep`` (e.g. ``["head", "middle"]``) runs the CCNet-style
+    perplexity gate (:func:`~.textstats.lm_quality_buckets` with
+    ``lm_head``/``lm_tail`` cut fractions) over the post-crawl-filter
+    survivors and keeps only the named buckets, before quality scoring
+    and dedup pay for the dropped mass.
 
     ``shuffle_seed`` appends a ``position`` column — the seeded
     deterministic global training order over the SURVIVORS
@@ -237,6 +246,24 @@ def curate(
         # flagged docs are the rare case: broadcast the small bad-id
         # set back as an anti-join (same shape as the blocklist gate)
         docs = docs.join(F.broadcast(bad_ids), on=id_col, how="left_anti")
+    if lm_keep:
+        from .textstats import lm_quality_buckets
+
+        bad = set(lm_keep) - {"head", "middle", "tail"}
+        if bad:
+            raise ValueError(f"lm_keep buckets must be head/middle/tail, got {sorted(bad)}")
+        # CCNet-style perplexity gate over the post-crawl-filter corpus
+        # (cuts computed on survivors, as CCNet buckets its own crawl):
+        # the kept-id side is a corpus-scale fraction, so this is a
+        # plain semi-join on the id column, not a broadcast
+        keep_ids = (
+            lm_quality_buckets(
+                docs, id_col=id_col, text_col=text_col, head=lm_head, tail=lm_tail
+            )
+            .where(F.col("bucket").isin(list(lm_keep)))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        docs = docs.join(keep_ids, on=id_col, how="left_semi")
     superseded = None
     if index_path is not None:
         out = curate_incremental(

@@ -246,3 +246,62 @@ def unigram_lm_scores(
         )
     )
     return register_intermediates(out, model)
+
+
+def lm_quality_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head: float = 0.3,
+    tail: float = 0.3,
+    smoothing_k: int = 1,
+    scores: DataFrame = None,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: split the corpus into
+    ``head`` / ``middle`` / ``tail`` by corpus-level quantile cuts on
+    the unigram-LM mean log probability (head = most corpus-typical,
+    the slice CCNet keeps for LM training; tail = the perplexity
+    outliers). ``head``/``tail`` are corpus FRACTIONS (0.3/0.3 -> cuts
+    at the 70th and 30th percentiles of ``avg_logprob``).
+
+    Pass ``scores`` to reuse an existing :func:`unigram_lm_scores`
+    output (the curation pipeline computes it once for the gate and the
+    buckets). Cuts are EXACT interpolated percentiles rounded to 6
+    decimals — the same parity-proven recipe as ``corpus_rollup`` — and
+    the rounded ``avg_logprob`` is compared against the rounded cuts,
+    so bucket labels are engine-independent. Wordless docs (NULL score)
+    land in ``tail`` by policy: a page with no extractable words is a
+    quality outlier by definition.
+
+    Scale shape: the scores plan (see :func:`unigram_lm_scores`), one
+    corpus-level 2-value percentile aggregate (map-side partials), and
+    the 1-row cuts table broadcast back — the corpus is never
+    re-shuffled for bucketing.
+    """
+    from .cache import register_intermediates
+
+    if not (0.0 < head and 0.0 < tail and head + tail <= 1.0):
+        raise ValueError(f"head/tail fractions invalid: {head}, {tail}")
+    if scores is None:
+        scores = unigram_lm_scores(
+            docs, id_col=id_col, text_col=text_col, smoothing_k=smoothing_k
+        )
+    # two consumers (cuts + bucketing) of the scoring plan: persist so
+    # the corpus explode/model join runs once, not twice
+    scores = scores.persist()
+    scores.count()
+    cuts = scores.agg(
+        F.round(F.expr(f"percentile(avg_logprob, {1.0 - head!r})"), 6).alias("hi"),
+        F.round(F.expr(f"percentile(avg_logprob, {tail!r})"), 6).alias("lo"),
+    )
+    out = scores.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_words",
+        "avg_logprob",
+        F.when(F.col("avg_logprob").isNull(), F.lit("tail"))
+        .when(F.col("avg_logprob") >= F.col("hi"), F.lit("head"))
+        .when(F.col("avg_logprob") <= F.col("lo"), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        .alias("bucket"),
+    )
+    return register_intermediates(out, scores)

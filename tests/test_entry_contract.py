@@ -136,6 +136,9 @@ def test_oracled_queries_precede_rows_only():
         # row-local slice over the whitespace-token machinery tier-1
         # token_counts hash-verifies
         "truncate_docs",
+        # CCNet perplexity buckets — scoring core hash-verified by
+        # tier-1 unigram_lm; quantile-cut parity proven by corpus_rollup
+        "lm_buckets",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

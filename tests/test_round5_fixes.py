@@ -636,3 +636,101 @@ class TestIvfSearch:
         out = ivf_search(df, self._centroids(), [1.0] * 8, k=5)
         p = out._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in p and "Window" not in p
+
+
+class TestLmQualityBuckets:
+    """CCNet-style perplexity bucketing over unigram_lm_scores."""
+
+    def _docs(self, spark):
+        # 10 typical docs sharing a vocabulary, 3 gibberish docs of
+        # singleton words (low avg logprob), 1 wordless doc
+        rows = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(10)]
+        rows += [(100 + j, f"zzq{j}a wkx{j}b vvv{j}c qqq{j}d") for j in range(3)]
+        rows.append((200, "   "))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_buckets_partition_corpus(self, spark):
+        from correctocr_spark.ops.textstats import lm_quality_buckets
+
+        out = lm_quality_buckets(self._docs(spark), head=0.3, tail=0.3)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert len(rows) == 14
+        # wordless doc -> tail by policy
+        assert rows[200].bucket == "tail" and rows[200].avg_logprob is None
+        # gibberish singleton docs score below the shared-vocab docs
+        assert all(rows[100 + j].bucket == "tail" for j in range(3))
+        # the shared-vocab docs all tie at the top: >= hi makes them head
+        assert all(rows[i].bucket == "head" for i in range(10))
+        assert set(r.bucket for r in rows.values()) <= {"head", "middle", "tail"}
+
+    def test_middle_exists_with_three_levels(self, spark):
+        from correctocr_spark.ops.textstats import lm_quality_buckets
+
+        rows = [(i, "alpha beta gamma delta epsilon") for i in range(4)]
+        rows += [(10 + i, "alpha beta gamma qq" + str(i)) for i in range(4)]
+        rows += [(20 + i, f"xx{i} yy{i} zz{i} ww{i}") for i in range(4)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = lm_quality_buckets(docs, head=0.25, tail=0.25)
+        by_bucket = {}
+        for r in out.collect():
+            by_bucket.setdefault(r.bucket, []).append(r.doc_id)
+        assert set(by_bucket) == {"head", "middle", "tail"}
+        assert set(by_bucket["tail"]) == {20, 21, 22, 23}
+        assert set(by_bucket["head"]) <= {0, 1, 2, 3}
+
+    def test_scores_reuse_skips_rescoring(self, spark):
+        from correctocr_spark.ops.textstats import lm_quality_buckets, unigram_lm_scores
+
+        docs = self._docs(spark)
+        scores = unigram_lm_scores(docs)
+        a = lm_quality_buckets(docs, scores=scores)
+        b = lm_quality_buckets(docs)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_bad_fractions_raise(self, spark):
+        import pytest as _pytest
+
+        from correctocr_spark.ops.textstats import lm_quality_buckets
+
+        docs = self._docs(spark)
+        for head, tail in [(0.0, 0.3), (0.3, 0.0), (0.6, 0.5)]:
+            with _pytest.raises(ValueError):
+                lm_quality_buckets(docs, head=head, tail=tail)
+
+
+def test_curate_lm_keep_gate(spark):
+    """curate(lm_keep=...) drops perplexity-tail docs before dedup."""
+    from correctocr_spark.ops.curate import curate
+
+    sw = ["the", "of", "and", "to", "in", "is", "was", "for", "that", "with"]
+    rows = [
+        (i, " ".join(f"w{i}x{j} {s}" for j, s in enumerate(sw)), "en")
+        for i in range(10)
+    ]
+    # gibberish: all-singleton vocabulary -> lowest avg logprob -> tail
+    rows += [(100 + j, " ".join(f"zz{j}q{k}" for k in range(20)), "en") for j in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    out = curate(docs, min_quality=0.0, lm_keep=["head", "middle"], lm_tail=0.231)
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == set(range(10))
+
+    # no gate -> everything survives (distinct shingles, no dups)
+    base = curate(docs, min_quality=0.0)
+    assert {r.doc_id for r in base.collect()} == set(range(10)) | {100, 101, 102}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate(docs, min_quality=0.0, lm_keep=["head", "bogus"])
+
+
+def test_cli_lm_keep_flags_parse():
+    from correctocr_spark.__main__ import build_parser
+
+    args = build_parser().parse_args(
+        ["curate", "--input", "i", "--output", "o",
+         "--lm-keep", "head,middle", "--lm-head", "0.2", "--lm-tail", "0.25"]
+    )
+    assert args.lm_keep == "head,middle"
+    assert args.lm_head == 0.2 and args.lm_tail == 0.25

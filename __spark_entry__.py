@@ -861,6 +861,22 @@ def q_truncate_docs(spark, sf_dir):
     return truncate_docs(_t(spark, sf_dir, "documents"), max_tokens=40)
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Context-length chunking (the content-preserving complement of
+    truncate_docs): docs run 10-99 words, so a 40-token max yields 1-3
+    chunks per doc."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import chunk_docs
+
+    out = chunk_docs(_t(spark, sf_dir, "documents"), max_tokens=40)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_idx",
+        "chunk_text",
+        "n_tokens",
+    )
+
+
 def q_lm_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing: head/middle/tail by corpus
     quantile cuts on the unigram-LM mean log probability (cuts at the
@@ -1559,6 +1575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unigram_lm; the layered percentile cuts reuse the
         # corpus_rollup-proven interpolated-quantile parity
         "lm_buckets": q_lm_buckets,
+        # context-length chunking — same row-local whitespace-slice
+        # machinery tier-1 token_counts/span_removal hash-verify
+        "chunk_docs": q_chunk_docs,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics) ----
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
@@ -2800,6 +2819,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN p.n_words > 0
                         THEN round(p.smu / p.n_words / 1000000.0, 6) END AS avg_logprob
             FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+        """,
+        "chunk_docs": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            e AS (
+                SELECT doc_id, ws,
+                       unnest(range(0, greatest(1,
+                           CAST(ceil(len(ws) / 40.0) AS BIGINT)))) AS chunk_idx
+                FROM w
+            )
+            SELECT doc_id,
+                   chunk_idx::BIGINT AS chunk_idx,
+                   array_to_string(
+                       ws[chunk_idx * 40 + 1 : least((chunk_idx + 1) * 40, len(ws))],
+                       ' ') AS chunk_text,
+                   greatest(0, least((chunk_idx + 1) * 40, len(ws))
+                               - chunk_idx * 40)::BIGINT AS n_tokens
+            FROM e
         """,
         "lm_buckets": f"""
             WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),

@@ -101,6 +101,7 @@ HEADLINE = [
     "robots_directives",
     "truncate_docs",
     "lm_buckets",
+    "chunk_docs",
     # r5: temporal joins + mixture balancing
     "asof_join",
     "range_join",

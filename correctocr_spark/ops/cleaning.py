@@ -146,6 +146,47 @@ def truncate_docs(
     )
 
 
+def chunk_docs(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into consecutive ``max_tokens``-token chunks
+    — the content-preserving complement of :func:`truncate_docs` for
+    context-length preparation (a 10k-token page becomes ⌈10k/max⌉
+    training rows instead of losing its tail). Returns
+    ``(doc_id, chunk_idx, chunk_text, n_tokens)`` with ``chunk_idx``
+    dense from 0 per doc and ``n_tokens`` the CHUNK's token count;
+    whitespace normalizes to single spaces (the packer's canonical
+    form). Every doc is represented: a wordless doc yields one empty
+    chunk 0 (the same every-doc-returned policy as span removal).
+
+    Scale shape: one row-local ``sequence``+``explode`` whose fan-out
+    is ⌈doc/max⌉ — bounded by input size, no shuffle, no UDF; feed the
+    output straight to ``pack_shards``/``deterministic_shuffle`` keyed
+    on ``(doc_id, chunk_idx)``."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    ws = normalized_words(text_col)
+    n_chunks = F.greatest(F.lit(1), F.ceil(F.size(ws) / F.lit(max_tokens)))
+    chunk = F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+    exploded = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("_ws"),
+        chunk.alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("_ws"), F.col("chunk_idx") * max_tokens + 1, max_tokens
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
 def ngram_repetition(
     docs: DataFrame,
     top_n: int = 3,

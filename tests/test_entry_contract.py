@@ -139,6 +139,9 @@ def test_oracled_queries_precede_rows_only():
         # CCNet perplexity buckets — scoring core hash-verified by
         # tier-1 unigram_lm; quantile-cut parity proven by corpus_rollup
         "lm_buckets",
+        # context-length chunking — row-local whitespace-slice machinery
+        # shared with tier-1 token_counts/span_removal
+        "chunk_docs",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -734,3 +734,51 @@ def test_cli_lm_keep_flags_parse():
     )
     assert args.lm_keep == "head,middle"
     assert args.lm_head == 0.2 and args.lm_tail == 0.25
+
+
+class TestChunkDocs:
+    def test_chunk_boundaries_and_reassembly(self, spark):
+        from correctocr_spark.ops.cleaning import chunk_docs
+
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"w{i}" for i in range(10))),   # 10 -> 4+4+2
+                (2, " ".join(f"v{i}" for i in range(4))),    # exactly one
+                (3, " ".join(f"u{i}" for i in range(8))),    # exact multiple
+                (4, "  "),                                   # wordless
+            ],
+            "doc_id long, text string",
+        )
+        out = chunk_docs(docs, max_tokens=4).collect()
+        by_doc = {}
+        for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert [r.n_tokens for r in by_doc[1]] == [4, 4, 2]
+        assert [r.chunk_idx for r in by_doc[1]] == [0, 1, 2]
+        assert by_doc[1][2].chunk_text == "w8 w9"
+        assert [r.n_tokens for r in by_doc[2]] == [4]
+        assert [r.n_tokens for r in by_doc[3]] == [4, 4]
+        # wordless doc still represented: one empty chunk
+        assert [(r.chunk_idx, r.chunk_text, r.n_tokens) for r in by_doc[4]] == [(0, "", 0)]
+        # lossless: chunks re-concatenate to the normalized original
+        for doc_id, toks in [(1, 10), (2, 4), (3, 8)]:
+            joined = " ".join(r.chunk_text for r in by_doc[doc_id])
+            assert len(joined.split()) == toks
+
+    def test_bad_max_tokens_raises(self, spark):
+        import pytest as _pytest
+
+        from correctocr_spark.ops.cleaning import chunk_docs
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            chunk_docs(docs, max_tokens=0)
+
+    def test_no_shuffle_in_plan(self, spark):
+        from correctocr_spark.ops.cleaning import chunk_docs
+
+        docs = spark.range(0, 100, 1, 4).selectExpr(
+            "id as doc_id", "repeat('tok ', 90) as text"
+        )
+        plan = chunk_docs(docs, max_tokens=40)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan

@@ -206,6 +206,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "of failing the task (skip_bad)")
     ing.add_argument("--all-status", action="store_true",
                      help="keep non-2xx HTTP responses too")
+    ing.add_argument("--wet-out", default="",
+                     help="also export the extracted text as WET shards "
+                          "(conversion records) at this directory; "
+                          "requires extraction (incompatible with --raw)")
 
     st = sub.add_parser("stats", help="per-bin metrics; optionally derive settings")
     st.add_argument("--input", required=True, help="pages parquet path")
@@ -572,9 +576,23 @@ def main(argv=None) -> int:
                     pages = pages.repartition(args.partitions, F.xxhash64("url"))
             else:
                 pages = warc_pages(spark, args.input, partitions=args.partitions, **kwargs)
+            if args.wet_out and args.raw:
+                raise SystemExit("--wet-out needs extraction; drop --raw")
             pages.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()
             print(f"ingested: {n} pages at {args.output}")
+            if args.wet_out:
+                from .spark.warc import write_wet_shards
+
+                # export from the just-written parquet (one extraction
+                # pass total, not one per sink)
+                manifest = write_wet_shards(
+                    spark.read.parquet(args.output), args.wet_out
+                ).collect()
+                print(
+                    f"wet: {sum(r.n_records for r in manifest)} records in "
+                    f"{len(manifest)} shards at {args.wet_out}"
+                )
         elif args.command == "stats":
             import json as _json
 

@@ -273,3 +273,54 @@ def write_warc(
             chunks.append(record)
     with open(path, "wb") as fh:
         fh.write(b"".join(chunks))
+
+
+def iter_text_records(
+    data: bytes, skip_bad: bool = False
+) -> Iterator[Tuple[str, Optional[datetime], str]]:
+    """Yield ``(url, warc_ts, text)`` from WET *conversion* records —
+    the Common Crawl extracted-text exchange format (a WARC whose
+    records carry ``WARC-Type: conversion`` and a bare UTF-8 payload,
+    no HTTP envelope)."""
+    for record in parse_warc(data, skip_bad=skip_bad):
+        if record.rec_type != "conversion" or record.uri is None:
+            continue
+        yield record.uri, record.date, record.payload.decode("utf-8", "replace")
+
+
+def write_wet(
+    pages: List[Tuple[str, datetime, str]],
+    path: str,
+    gzip_records: bool = True,
+) -> None:
+    """Serialize ``(url, warc_ts, text)`` triples as a WET file
+    (conversion records, bare text/plain payload), per-record gzip by
+    default. Deterministic; the inverse proof for
+    :func:`iter_text_records`."""
+    chunks: List[bytes] = []
+    for i, (url, ts, text) in enumerate(pages):
+        body = text.encode("utf-8")
+        aware = ts if ts.tzinfo is not None else ts.replace(tzinfo=timezone.utc)
+        date = aware.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+        record = (
+            (
+                "WARC/1.0\r\n"
+                "WARC-Type: conversion\r\n"
+                f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0001-{i:012d}>\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: {date}\r\n"
+                "Content-Type: text/plain\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode("utf-8")
+            + body
+            + b"\r\n\r\n"
+        )
+        if gzip_records:
+            out = io.BytesIO()
+            with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
+                gz.write(record)
+            chunks.append(out.getvalue())
+        else:
+            chunks.append(record)
+    with open(path, "wb") as fh:
+        fh.write(b"".join(chunks))

@@ -185,3 +185,83 @@ def write_warc_shards(
         yield pd.DataFrame([(shard, len(rows))], columns=["path", "n_records"])
 
     return df.mapInPandas(dump, schema=_SINK_SCHEMA)
+
+
+#: WET view of the pages table: (url, warc_ts, text)
+WET_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.wet*",
+    skip_bad: bool = False,
+) -> DataFrame:
+    """Read WET files (Common Crawl's extracted-text format: WARC
+    *conversion* records) into ``(url, warc_ts, text)`` rows — the
+    post-extraction projection of the pages table. Same per-file task
+    model and strictness policy as :func:`read_warc`."""
+    from ..kernels.warc import iter_text_records
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WET_SCHEMA.fields]
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = [
+                    (url, ts.replace(tzinfo=None) if ts is not None else None, text)
+                    for url, ts, text in iter_text_records(
+                        bytes(content), skip_bad=skip_bad
+                    )
+                ]
+                yield pd.DataFrame(rows, columns=cols)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+    )
+    return files.mapInPandas(parse, schema=WET_SCHEMA)
+
+
+def write_wet_shards(
+    pages: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    gzip_records: bool = True,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Write extracted text as WET shards (conversion records), one
+    file per partition, returning the ``(path, n_records)`` manifest —
+    the export half of the extraction stage: pages in as WARC, curated
+    text out as WET, both in the crawl ecosystem's own formats."""
+    from ..kernels.warc import write_wet
+
+    os.makedirs(out_dir, exist_ok=True)
+    df = pages.select("url", "warc_ts", F.col(text_col).alias("text"))
+    if partitions:
+        df = df.repartition(partitions, F.xxhash64("url"))
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
+                ts_py = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                rows.append((url, ts_py, text if text is not None else ""))
+        if not rows:
+            yield pd.DataFrame([], columns=["path", "n_records"])
+            return
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        shard = os.path.join(out_dir, f"part-{pid:05d}.wet" + (".gz" if gzip_records else ""))
+        write_wet(rows, shard, gzip_records=gzip_records)
+        yield pd.DataFrame([(shard, len(rows))], columns=["path", "n_records"])
+
+    return df.mapInPandas(dump, schema=_SINK_SCHEMA)

@@ -162,3 +162,39 @@ class TestWarcSpark:
         # one task per WARC file: the scan must not collapse to 1 split
         assert df.rdd.getNumPartitions() >= 3
         assert df.count() == 9
+
+
+class TestWet:
+    def test_kernel_roundtrip(self, tmp_path):
+        import datetime as dt
+
+        from correctocr_spark.kernels.warc import iter_text_records, write_wet
+
+        pages = [
+            (f"https://e/{i}", dt.datetime(2024, 2, 1, 0, 0, i), f"text £{i} — body")
+            for i in range(5)
+        ]
+        path = str(tmp_path / "a.wet.gz")
+        write_wet(pages, path)
+        got = list(iter_text_records(open(path, "rb").read()))
+        assert got == [
+            (u, t.replace(tzinfo=dt.timezone.utc), x) for u, t, x in pages
+        ]
+
+    def test_wet_reader_ignores_response_records(self, tmp_path):
+        from correctocr_spark.kernels.warc import iter_text_records, write_warc
+
+        write_warc(_pages(3), str(tmp_path / "a.warc"), gzip_records=False)
+        assert list(iter_text_records(open(tmp_path / "a.warc", "rb").read())) == []
+
+    def test_spark_wet_roundtrip(self, spark, tmp_path):
+        from correctocr_spark.spark.synth import synth_pages
+        from correctocr_spark.spark.warc import read_wet, write_wet_shards
+
+        src = synth_pages(spark, 30, seed=11, partitions=3)
+        manifest = write_wet_shards(src, str(tmp_path / "wet"), partitions=2).collect()
+        assert sum(r.n_records for r in manifest) == 30
+        df = read_wet(spark, str(tmp_path / "wet"))
+        assert [f.name for f in df.schema.fields] == ["url", "warc_ts", "text"]
+        truth = {(r.url, r.warc_ts, r.text) for r in src.collect()}
+        assert {(r.url, r.warc_ts, r.text) for r in df.collect()} == truth

@@ -782,3 +782,21 @@ class TestChunkDocs:
         )
         plan = chunk_docs(docs, max_tokens=40)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_lm_buckets_plan_broadcasts_cuts(spark):
+    """The bucketing layer must join the 1-row cuts table by BROADCAST
+    (nested-loop over a broadcast single row), never shuffle the scored
+    corpus a second time: the only wide nodes past the persisted scores
+    are the cuts aggregation itself."""
+    from correctocr_spark.ops.cache import release_intermediates
+    from correctocr_spark.ops.textstats import lm_quality_buckets
+
+    docs = spark.range(0, 200, 1, 4).selectExpr(
+        "id as doc_id", "concat('alpha beta w', id % 7) as text"
+    )
+    out = lm_quality_buckets(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    release_intermediates(out)

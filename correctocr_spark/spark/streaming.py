@@ -289,3 +289,65 @@ def crawl_rate_metrics(
             "n_chars",
         )
     )
+
+
+#: binaryFile's fixed schema — readStream file sources require an
+#: explicit schema even when the format defines one
+_BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("modificationTime", T.TimestampType(), False),
+        T.StructField("length", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def warc_pages_stream(
+    spark: SparkSession,
+    warc_dir: str,
+    glob: str = "*.warc*",
+    ok_only: bool = True,
+    skip_bad: bool = False,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Streaming north-rule pages from a directory where WARC crawl
+    segments LAND continuously: the file-source tracks seen segment
+    files in the checkpoint (exactly-once per file), and the stateless
+    parse + extraction stages from ``spark.warc`` apply unchanged —
+    batch and stream run the identical plan."""
+    from .warc import extract_pages, parse_warc_files
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(warc_dir)
+    )
+    return extract_pages(parse_warc_files(files, ok_only=ok_only, skip_bad=skip_bad))
+
+
+def warc_ingest_stream(
+    spark: SparkSession,
+    warc_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    glob: str = "*.warc*",
+    available_now: bool = True,
+):
+    """Continuous WARC ingestion: segments land in ``warc_dir``, pages
+    append to the parquet table at ``output_dir``. The streaming
+    checkpoint makes segment processing exactly-once across restarts —
+    the streaming twin of the ``ingest`` CLI. Returns the started
+    query; callers ``awaitTermination()``."""
+    pages = warc_pages_stream(spark, warc_dir, glob=glob)
+    writer = (
+        pages.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

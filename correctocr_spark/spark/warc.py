@@ -49,22 +49,12 @@ _SINK_SCHEMA = T.StructType(
 )
 
 
-def read_warc(
-    spark: SparkSession,
-    path: str,
-    glob: str = "*.warc*",
-    ok_only: bool = True,
-    skip_bad: bool = False,
+def parse_warc_files(
+    files: DataFrame, ok_only: bool = True, skip_bad: bool = False
 ) -> DataFrame:
-    """Read WARC files into ``(url, warc_ts, html)`` rows.
-
-    Only crawl *response* records become rows (warcinfo/request/metadata
-    are skipped); ``ok_only`` drops non-2xx HTTP responses. Corrupt
-    records RAISE (task failure — the job does not silently lose a
-    segment's tail) unless ``skip_bad=True`` salvages the prefix.
-    Timestamps come back as naive UTC, matching the parquet testdata
-    convention.
-    """
+    """Turn a binaryFile scan (batch OR streaming — any frame with a
+    ``content`` binary column) into ``(url, warc_ts, html)`` rows via
+    the kernel parser. Stateless mapInPandas: streaming-legal."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in RAW_PAGES_SCHEMA.fields]
@@ -78,37 +68,20 @@ def read_warc(
                 ]
                 yield pd.DataFrame(rows, columns=cols)
 
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .load(path)
-        .select("content")
-    )
-    return files.mapInPandas(parse, schema=RAW_PAGES_SCHEMA)
+    return files.select("content").mapInPandas(parse, schema=RAW_PAGES_SCHEMA)
 
 
-def warc_pages(
-    spark: SparkSession,
-    path: str,
-    glob: str = "*.warc*",
-    ok_only: bool = True,
-    skip_bad: bool = False,
-    partitions: int = 0,
-) -> DataFrame:
-    """Full north-rule pages table from WARC input:
-    ``(url, warc_ts, html, text, lang)``.
-
-    Composes :func:`read_warc` with the extraction kernel (boilerplate
-    strip -> ``text``) and the stopword-profile language ID -> ``lang``
+def extract_pages(raw: DataFrame, partitions: int = 0) -> DataFrame:
+    """Add ``text`` (boilerplate-stripped extraction) and ``lang``
+    (stopword-profile language ID) to raw ``(url, warc_ts, html)`` rows
     — one repartition by url hash breaks the crawl-order host
     clustering, then ONE mapInPandas adds both derived columns (the
     language profile runs on the just-extracted text in the same Arrow
-    batch; no second shuffle, no join back).
-    """
+    batch; no second shuffle, no join back). Stateless: applies to the
+    streaming source too."""
     from ..kernels.extract import extract_text
     from ..ops.textstats import STOPWORDS
 
-    raw = read_warc(spark, path, glob=glob, ok_only=ok_only, skip_bad=skip_bad)
     if partitions:
         raw = raw.repartition(partitions, F.xxhash64("url"))
 
@@ -146,6 +119,45 @@ def warc_pages(
             yield pdf
 
     return raw.mapInPandas(derive, schema=schema)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    ok_only: bool = True,
+    skip_bad: bool = False,
+) -> DataFrame:
+    """Read WARC files into ``(url, warc_ts, html)`` rows.
+
+    Only crawl *response* records become rows (warcinfo/request/metadata
+    are skipped); ``ok_only`` drops non-2xx HTTP responses. Corrupt
+    records RAISE (task failure — the job does not silently lose a
+    segment's tail) unless ``skip_bad=True`` salvages the prefix.
+    Timestamps come back as naive UTC, matching the parquet testdata
+    convention.
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return parse_warc_files(files, ok_only=ok_only, skip_bad=skip_bad)
+
+
+def warc_pages(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    ok_only: bool = True,
+    skip_bad: bool = False,
+    partitions: int = 0,
+) -> DataFrame:
+    """Full north-rule pages table from WARC input:
+    ``(url, warc_ts, html, text, lang)`` —
+    :func:`parse_warc_files` composed with :func:`extract_pages`."""
+    raw = read_warc(spark, path, glob=glob, ok_only=ok_only, skip_bad=skip_bad)
+    return extract_pages(raw, partitions=partitions)
 
 
 def write_warc_shards(

@@ -198,3 +198,40 @@ class TestWet:
         assert [f.name for f in df.schema.fields] == ["url", "warc_ts", "text"]
         truth = {(r.url, r.warc_ts, r.text) for r in src.collect()}
         assert {(r.url, r.warc_ts, r.text) for r in df.collect()} == truth
+
+
+class TestWarcStreaming:
+    def test_ingest_stream_exactly_once_across_restart(self, spark, tmp_path):
+        """Segments land -> stream ingests -> restart with a NEW segment:
+        only the new file is processed (checkpointed file tracking), and
+        the final table equals the batch reader's view of all segments."""
+        from correctocr_spark.spark.streaming import warc_ingest_stream
+        from correctocr_spark.spark.warc import warc_pages
+
+        warc_dir, out, ckpt = (
+            str(tmp_path / "warc"),
+            str(tmp_path / "pages"),
+            str(tmp_path / "ckpt"),
+        )
+        import os as _os
+
+        _os.makedirs(warc_dir)
+        write_warc(_pages(4), f"{warc_dir}/seg0.warc.gz")
+        write_warc(_pages(8)[4:], f"{warc_dir}/seg1.warc.gz")
+
+        q = warc_ingest_stream(spark, warc_dir, out, ckpt)
+        q.awaitTermination(120)
+        assert spark.read.parquet(out).count() == 8
+
+        # a new segment lands; restart picks up ONLY seg2
+        write_warc(_pages(11)[8:], f"{warc_dir}/seg2.warc.gz")
+        q2 = warc_ingest_stream(spark, warc_dir, out, ckpt)
+        q2.awaitTermination(120)
+
+        got = spark.read.parquet(out)
+        assert got.count() == 11  # no re-ingest of seg0/seg1
+        batch = warc_pages(spark, warc_dir)
+        assert (
+            sorted((r.url, r.warc_ts, r.text, r.lang) for r in got.collect())
+            == sorted((r.url, r.warc_ts, r.text, r.lang) for r in batch.collect())
+        )

@@ -206,6 +206,11 @@ def build_parser() -> argparse.ArgumentParser:
                           "of failing the task (skip_bad)")
     ing.add_argument("--all-status", action="store_true",
                      help="keep non-2xx HTTP responses too")
+    ing.add_argument("--extractor", choices=["density", "justext"],
+                     default="density",
+                     help="extraction kernel: link-density heuristic "
+                          "(default, the flagship contract) or jusText-"
+                          "style stopword-density block classification")
     ing.add_argument("--wet-out", default="",
                      help="also export the extracted text as WET shards "
                           "(conversion records) at this directory; "
@@ -575,7 +580,10 @@ def main(argv=None) -> int:
 
                     pages = pages.repartition(args.partitions, F.xxhash64("url"))
             else:
-                pages = warc_pages(spark, args.input, partitions=args.partitions, **kwargs)
+                pages = warc_pages(
+                    spark, args.input, partitions=args.partitions,
+                    extractor=args.extractor, **kwargs,
+                )
             if args.wet_out and args.raw:
                 raise SystemExit("--wet-out needs extraction; drop --raw")
             pages.write.mode("overwrite").parquet(args.output)

@@ -145,3 +145,115 @@ def extract_text(
         # malformed markup: fall back to the text collected so far
         pass
     return parser.text(min_block_chars, max_link_density)
+
+
+# ---------------------------------------------------------------------------
+# jusText-style block classification (optional alternative extractor)
+# ---------------------------------------------------------------------------
+
+#: default classification stopwords: union of the engine's language
+#: profiles (ops.textstats.STOPWORDS is the single authority; imported
+#: lazily to keep the kernel layer Spark-free)
+def _default_stopwords() -> frozenset:
+    from ..ops.textstats import STOPWORDS
+
+    return frozenset(w for ws in STOPWORDS.values() for w in ws)
+
+
+def classify_blocks(
+    html,
+    encoding=None,
+    stopwords=None,
+    length_low: int = 70,
+    length_high: int = 200,
+    stopword_low: float = 0.30,
+    stopword_high: float = 0.32,
+    max_link_density: float = 0.5,
+):
+    """jusText-style two-pass block classification (Pomikálek 2011,
+    published algorithm; from-scratch implementation over the same
+    block segmentation as :func:`extract_text`).
+
+    Pass 1 (context-free), per block: ``bad`` if link-dominated;
+    ``short`` if under ``length_low`` chars; else ``good`` /
+    ``near_good`` / ``bad`` by stopword density (``stopword_high`` +
+    ``length_high`` chars -> good; ``stopword_low`` -> near_good).
+    Pass 2 (context-sensitive): a ``short``/``near_good`` block is
+    promoted to ``good`` when its nearest context-free ``good``/``bad``
+    neighbors on BOTH sides are good (edges count as bad, matching
+    jusText's header/footer prior); ``near_good`` also promotes when
+    exactly one side is good. Everything else demotes to ``bad``.
+
+    Returns ``[(block_text, label)]`` with labels in
+    {good, near_good, short, bad} REFLECTING PASS 1 for the middle
+    classes — the final keep-set is pass 2's, exposed via
+    :func:`justext_extract`."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        data = bytes(html)
+        html = data.decode(encoding or detect_encoding(data), errors="replace")
+    if not html:
+        return []
+    parser = _Extractor()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass
+    sw = stopwords if stopwords is not None else _default_stopwords()
+    blocks = []
+    for block in parser._blocks:
+        raw = "".join(block.chars)
+        norm = " ".join(raw.split())
+        if not norm:
+            continue
+        density = block.link_chars / max(1, len(raw.strip()))
+        words = norm.lower().split()
+        sw_density = sum(1 for w in words if w in sw) / max(1, len(words))
+        if density >= max_link_density:
+            label = "bad"
+        elif len(norm) < length_low:
+            label = "bad" if density > 0.0 else "short"
+        elif sw_density >= stopword_high:
+            label = "good" if len(norm) >= length_high else "near_good"
+        elif sw_density >= stopword_low:
+            label = "near_good"
+        else:
+            label = "bad"
+        blocks.append((norm, label))
+    return blocks
+
+
+def _resolve_labels(labels):
+    """Pass 2: context-sensitive resolution -> final keep decisions."""
+    # nearest context-free good/bad on each side; document edges are bad
+    resolved = []
+    hard = [i for i, lab in enumerate(labels) if lab in ("good", "bad")]
+
+    def side(i, direction):
+        js = [j for j in hard if (j < i if direction < 0 else j > i)]
+        if not js:
+            return "bad"
+        j = max(js) if direction < 0 else min(js)
+        return labels[j]
+
+    for i, lab in enumerate(labels):
+        if lab == "good":
+            resolved.append(True)
+        elif lab == "bad":
+            resolved.append(False)
+        elif lab == "near_good":
+            resolved.append(side(i, -1) == "good" or side(i, +1) == "good")
+        else:  # short
+            resolved.append(side(i, -1) == "good" and side(i, +1) == "good")
+    return resolved
+
+
+def justext_extract(html, encoding=None, **kwargs) -> str:
+    """Main-content text via jusText-style classification: pass-1
+    labels + pass-2 context resolution, kept blocks joined with
+    newlines (the same output contract as :func:`extract_text`)."""
+    blocks = classify_blocks(html, encoding=encoding, **kwargs)
+    keep = _resolve_labels([lab for _, lab in blocks])
+    return "\n".join(text for (text, _), k in zip(blocks, keep) if k)

@@ -71,16 +71,27 @@ def parse_warc_files(
     return files.select("content").mapInPandas(parse, schema=RAW_PAGES_SCHEMA)
 
 
-def extract_pages(raw: DataFrame, partitions: int = 0) -> DataFrame:
+def extract_pages(
+    raw: DataFrame, partitions: int = 0, extractor: str = "density"
+) -> DataFrame:
     """Add ``text`` (boilerplate-stripped extraction) and ``lang``
     (stopword-profile language ID) to raw ``(url, warc_ts, html)`` rows
     — one repartition by url hash breaks the crawl-order host
     clustering, then ONE mapInPandas adds both derived columns (the
     language profile runs on the just-extracted text in the same Arrow
     batch; no second shuffle, no join back). Stateless: applies to the
-    streaming source too."""
-    from ..kernels.extract import extract_text
+    streaming source too.
+
+    ``extractor`` selects the extraction kernel: ``"density"`` (the
+    default link-density heuristic — the flagship pipeline's contract)
+    or ``"justext"`` (jusText-style stopword-density classification
+    with context promotion, :func:`~..kernels.extract.justext_extract`)."""
+    from ..kernels.extract import extract_text, justext_extract
     from ..ops.textstats import STOPWORDS
+
+    if extractor not in ("density", "justext"):
+        raise ValueError(f"unknown extractor: {extractor!r}")
+    extract_fn = extract_text if extractor == "density" else justext_extract
 
     if partitions:
         raw = raw.repartition(partitions, F.xxhash64("url"))
@@ -114,7 +125,7 @@ def extract_pages(raw: DataFrame, partitions: int = 0) -> DataFrame:
 
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["text"] = [extract_text(h) for h in pdf["html"]]
+            pdf["text"] = [extract_fn(h) for h in pdf["html"]]
             pdf["lang"] = [lang_of(t) for t in pdf["text"]]
             yield pdf
 
@@ -152,12 +163,13 @@ def warc_pages(
     ok_only: bool = True,
     skip_bad: bool = False,
     partitions: int = 0,
+    extractor: str = "density",
 ) -> DataFrame:
     """Full north-rule pages table from WARC input:
     ``(url, warc_ts, html, text, lang)`` —
     :func:`parse_warc_files` composed with :func:`extract_pages`."""
     raw = read_warc(spark, path, glob=glob, ok_only=ok_only, skip_bad=skip_bad)
-    return extract_pages(raw, partitions=partitions)
+    return extract_pages(raw, partitions=partitions, extractor=extractor)
 
 
 def write_warc_shards(

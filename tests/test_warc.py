@@ -235,3 +235,71 @@ class TestWarcStreaming:
             sorted((r.url, r.warc_ts, r.text, r.lang) for r in got.collect())
             == sorted((r.url, r.warc_ts, r.text, r.lang) for r in batch.collect())
         )
+
+
+class TestJustextExtractor:
+    SW = frozenset("the of and to in is was for that with a it".split())
+    GOOD = (
+        "the results of the study were that the effect was large and the "
+        "sample was varied in the end for all that it was worth and the "
+        "study was good " * 2
+    ).strip()
+
+    def _html(self, middle):
+        return (
+            f"<body><nav><a href=x>Home</a> <a href=y>About</a></nav>"
+            f"<p>{self.GOOD}</p>{middle}<p>{self.GOOD}</p>"
+            f"<div><a href=z>share this</a></div></body>"
+        )
+
+    def test_pass1_labels(self):
+        from correctocr_spark.kernels.extract import classify_blocks
+
+        labels = [
+            lab for _, lab in classify_blocks(self._html("<p>tiny note</p>"), stopwords=self.SW)
+        ]
+        # the <nav> subtree is pruned before blocks exist; the trailing
+        # link-only div survives pruning and classifies bad
+        assert labels == ["good", "short", "good", "bad"]
+
+    def test_short_promoted_between_goods_demoted_at_edges(self):
+        from correctocr_spark.kernels.extract import justext_extract
+
+        out = justext_extract(self._html("<p>tiny note</p>"), stopwords=self.SW)
+        assert "tiny note" in out
+        assert "Home" not in out and "share this" not in out
+        # a leading short block (edge counts as bad side) is dropped
+        lead = f"<body><p>hdr</p><p>{self.GOOD}</p></body>"
+        assert "hdr" not in justext_extract(lead, stopwords=self.SW)
+
+    def test_near_good_promotes_with_one_good_side(self):
+        from correctocr_spark.kernels.extract import classify_blocks, justext_extract
+
+        # long enough to clear length_low, stopword density in the
+        # near-good band, nonsense filler keeps density below high
+        near = ("the " + "zq " * 2) * 12
+        html = f"<body><p>{near}</p><p>{self.GOOD}</p></body>"
+        labs = [lab for _, lab in classify_blocks(html, stopwords=self.SW, stopword_low=0.30, stopword_high=0.40)]
+        assert labs[0] == "near_good"
+        out = justext_extract(html, stopwords=self.SW, stopword_low=0.30, stopword_high=0.40)
+        assert "zq" in out
+
+    def test_gibberish_block_dropped(self):
+        from correctocr_spark.kernels.extract import justext_extract
+
+        junk = " ".join(f"tok{i}" for i in range(40))
+        html = f"<body><p>{self.GOOD}</p><p>{junk}</p><p>{self.GOOD}</p></body>"
+        assert "tok3" not in justext_extract(html, stopwords=self.SW)
+
+    def test_spark_extractor_selection(self, spark, tmp_path):
+        from correctocr_spark.spark.warc import warc_pages, write_warc_shards
+        from correctocr_spark.spark.synth import synth_pages
+
+        src = synth_pages(spark, 12, seed=5, partitions=2)
+        write_warc_shards(src, str(tmp_path / "w"), partitions=1).collect()
+        df = warc_pages(spark, str(tmp_path / "w"), extractor="justext")
+        assert df.count() == 12  # every page returns (text may be empty)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            warc_pages(spark, str(tmp_path / "w"), extractor="bogus")

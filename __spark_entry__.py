@@ -877,6 +877,29 @@ def q_chunk_docs(spark, sf_dir):
     )
 
 
+def q_host_quota(spark, sf_dir):
+    """Per-host document quota (the RefinedWeb/FineWeb-style domain
+    dominance cap): top-30 docs per synthesized host preferring longer
+    text, ranked by the salted two-phase top-N (no window partition
+    ever holds a whole host) — value-identical to the oracle's global
+    per-host row_number."""
+    _ship(spark)
+    from correctocr_spark.ops.filters import host_quota
+
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://example"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.length("text").alias("q"),
+    )
+    out = host_quota(pages, 30, quality_col="q", salt_buckets=8)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "url", "host", "host_rank")
+
+
 def q_lm_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing: head/middle/tail by corpus
     quantile cuts on the unigram-LM mean log probability (cuts at the
@@ -1578,6 +1601,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # context-length chunking — same row-local whitespace-slice
         # machinery tier-1 token_counts/span_removal hash-verify
         "chunk_docs": q_chunk_docs,
+        # per-host quota — the salted top-N shares its window/row_number
+        # plan core with tier-1 topk_per_group; salted==unsalted pinned
+        # by test_host_quota_salted_equals_unsalted
+        "host_quota": q_host_quota,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics) ----
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
@@ -2872,6 +2899,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN avg_logprob <= lo THEN 'tail'
                         ELSE 'middle' END AS bucket
             FROM s, cuts
+        """,
+        "host_quota": """
+            WITH pages AS (
+                SELECT doc_id,
+                       'http://example' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                       'example' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host,
+                       length(text) AS q
+                FROM documents
+            ),
+            ranked AS (
+                SELECT doc_id, url, host,
+                       row_number() OVER (
+                           PARTITION BY host ORDER BY q DESC, doc_id
+                       ) AS host_rank
+                FROM pages
+            )
+            SELECT doc_id, url, host, CAST(host_rank AS BIGINT) AS host_rank
+            FROM ranked WHERE host_rank <= 30
         """,
         "media_features": """
             SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes

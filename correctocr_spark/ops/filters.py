@@ -469,3 +469,68 @@ def deterministic_shuffle(
         "doc_id",
         (F.row_number().over(w) + F.col("_offset")).cast("long").alias("position"),
     )
+
+
+def host_quota(
+    pages: DataFrame,
+    max_per_host: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str = "",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-host document quota: keep at most ``max_per_host`` pages per
+    host, preferring higher ``quality_col`` (ties and the no-quality
+    case break by ascending id) — the domain-dominance cap every
+    Common-Crawl curation pipeline applies so that a handful of
+    template-heavy mega-hosts cannot crowd out the corpus (the
+    reference has no crawl tier; this extends its curation surface the
+    same way gopher_rules does).
+
+    Returns ONLY the surviving rows — ``(doc_id, url, host,
+    host_rank)`` with ``host_rank`` the 1-based per-host rank — because
+    a quota is a keep-set, not a per-row flag; semi-join on ``doc_id``
+    to filter a wider table.
+
+    Scale (100 TB): a naive ``row_number() OVER (PARTITION BY host)``
+    makes one window partition per host, and a mega-host (hundreds of
+    millions of rows) lands on ONE reducer. This op is salted
+    two-phase: phase 1 ranks within ``(host, xxhash64(id) %
+    salt_buckets)`` and keeps the local top ``max_per_host`` — every
+    phase-1 partition holds ~1/``salt_buckets`` of a host's mass —
+    then phase 2 re-ranks the ≤ ``max_per_host × salt_buckets``
+    survivors per host exactly. The union of per-salt top-N sets is a
+    superset of the global top-N under the same total order, so the
+    result is IDENTICAL to the single-window form (the DuckDB oracle's
+    global ``row_number``; equality also pinned by
+    test_host_quota_salted_equals_unsalted). ``salt_buckets=1``
+    degenerates to the single-window form for small inputs.
+    """
+    if max_per_host < 1:
+        raise ValueError(f"max_per_host must be >= 1, got {max_per_host}")
+    qcols = [F.col(quality_col).alias("_q")] if quality_col else []
+    order = ([F.col("_q").desc_nulls_last()] if quality_col else []) + [
+        F.col("doc_id")
+    ]
+    base = ensure_parallelism(pages).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        host_col(url_col).alias("host"),
+        *qcols,
+    )
+    if salt_buckets > 1:
+        w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+        base = (
+            base.withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets))
+            )
+            .withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= max_per_host)
+            .drop("_salt", "_r1")
+        )
+    w = Window.partitionBy("host").orderBy(*order)
+    return (
+        base.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("host_rank") <= max_per_host)
+        .select("doc_id", "url", "host", "host_rank")
+    )

@@ -142,6 +142,10 @@ def test_oracled_queries_precede_rows_only():
         # context-length chunking — row-local whitespace-slice machinery
         # shared with tier-1 token_counts/span_removal
         "chunk_docs",
+        # per-host quota — window/row_number plan core shared with
+        # tier-1 topk_per_group; salted==unsalted pinned in
+        # test_filters_ops.TestHostQuota
+        "host_quota",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

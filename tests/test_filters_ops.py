@@ -446,3 +446,69 @@ def test_curate_respect_robots(spark):
     ids = {r["doc_id"] for r in out.collect()}
     spark.catalog.clearCache()
     assert ids == {0, 1, 3, 5}
+
+
+class TestHostQuota:
+    def _pages(self, spark, n=40, hosts=4):
+        # quality deliberately ANTI-correlated with doc_id so the cap
+        # must actually sort, not just take the first ids
+        return spark.createDataFrame(
+            [
+                Row(
+                    doc_id=i,
+                    url=f"http://example{i % hosts}.com/p/{i}",
+                    q=float(n - i),
+                )
+                for i in range(n)
+            ]
+        )
+
+    def test_caps_per_host_by_quality(self, spark):
+        from correctocr_spark.ops.filters import host_quota
+
+        out = host_quota(
+            self._pages(spark), 3, quality_col="q", salt_buckets=1
+        ).collect()
+        by_host = {}
+        for r in out:
+            by_host.setdefault(r["host"], []).append(r)
+        assert set(by_host) == {f"example{h}.com" for h in range(4)}
+        for h, rows in by_host.items():
+            assert len(rows) == 3
+            # highest quality == lowest doc_id here
+            ids = sorted(r["doc_id"] for r in rows)
+            ranks = {r["doc_id"]: r["host_rank"] for r in rows}
+            assert ids == sorted(ids)[:3]
+            assert [ranks[i] for i in ids] == [1, 2, 3]
+
+    def test_salted_equals_unsalted(self, spark):
+        from correctocr_spark.ops.filters import host_quota
+
+        pages = self._pages(spark, n=97, hosts=3)
+        a = host_quota(pages, 5, quality_col="q", salt_buckets=1)
+        b = host_quota(pages, 5, quality_col="q", salt_buckets=8)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_no_quality_col_orders_by_id(self, spark):
+        from correctocr_spark.ops.filters import host_quota
+
+        out = host_quota(self._pages(spark, n=20, hosts=2), 2).collect()
+        kept = sorted((r["host"], r["doc_id"]) for r in out)
+        assert kept == [
+            ("example0.com", 0),
+            ("example0.com", 2),
+            ("example1.com", 1),
+            ("example1.com", 3),
+        ]
+
+    def test_under_quota_host_keeps_all(self, spark):
+        from correctocr_spark.ops.filters import host_quota
+
+        out = host_quota(self._pages(spark, n=6, hosts=3), 10, quality_col="q")
+        assert out.count() == 6
+
+    def test_rejects_zero_quota(self, spark):
+        from correctocr_spark.ops.filters import host_quota
+
+        with pytest.raises(ValueError):
+            host_quota(self._pages(spark), 0)

@@ -185,6 +185,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="head bucket corpus fraction (cut at the "
                           "1-head percentile of avg log prob)")
     cur.add_argument("--lm-tail", type=float, default=0.3)
+    cur.add_argument("--host-quota", type=int, default=None,
+                     help="keep at most N docs per --url-col host "
+                          "(longest-text-first, salted two-phase "
+                          "top-N) — the domain-dominance cap; runs "
+                          "after dedup, before sampling")
     cur.add_argument("--id-col", default="doc_id")
     cur.add_argument("--text-col", default="text")
 
@@ -530,6 +535,7 @@ def main(argv=None) -> int:
                 or None,
                 lm_head=args.lm_head,
                 lm_tail=args.lm_tail,
+                host_quota=args.host_quota,
             )
             to_write = out
             if args.shuffle_seed:

@@ -160,6 +160,7 @@ def curate(
     lm_keep: Optional[List[str]] = None,
     lm_head: float = 0.3,
     lm_tail: float = 0.3,
+    host_quota: Optional[int] = None,
 ) -> DataFrame:
     """Full curation: filter to surviving docs, optionally sample,
     optionally rebalance to a target group mixture
@@ -202,6 +203,14 @@ def curate(
     ``lm_head``/``lm_tail`` cut fractions) over the post-crawl-filter
     survivors and keeps only the named buckets, before quality scoring
     and dedup pay for the dropped mass.
+
+    ``host_quota`` caps the SURVIVOR set at N docs per ``url_col`` host
+    (:func:`~.filters.host_quota`, salted two-phase top-N preferring
+    longer text — text length is the deterministic quality proxy both
+    engines agree on) — the RefinedWeb-style domain-dominance guard.
+    Runs after dedup (a host's near-dup mass shouldn't consume its
+    quota) and before sampling/mixing, so rates apply to the capped
+    corpus.
 
     ``shuffle_seed`` appends a ``position`` column — the seeded
     deterministic global training order over the SURVIVORS
@@ -296,6 +305,21 @@ def curate(
                 keep.withColumnRenamed("doc_id", id_col), on=id_col, how="left_semi"
             ),
             keep,
+        )
+    if host_quota:
+        from .filters import host_quota as _hq
+
+        capped = _hq(
+            out.withColumn("_hq_q", F.length(F.col(text_col))),
+            host_quota,
+            url_col=url_col,
+            id_col=id_col,
+            quality_col="_hq_q",
+        ).select(F.col("doc_id").alias(id_col))
+        # survivors-per-host is quota-bounded, but the union across
+        # hosts is corpus-scale: plain semi-join, not a broadcast
+        out = register_intermediates(
+            out.join(capped, on=id_col, how="left_semi"), out
         )
     if sample_rate is not None or sample_rates:
         if sample_rates and sample_rate is None:

@@ -350,3 +350,28 @@ def test_cli_ingest_warc(tmp_path, spark):
     r = run_cli("prepare", "--format", "warc", "--input", warc_dir, "--output", corr)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "prepared: 24 documents" in r.stdout
+
+
+@pytest.mark.slow
+def test_cli_curate_host_quota(tmp_path, spark):
+    """--host-quota N keeps at most N docs per url host (longest text
+    first), leaving under-quota hosts whole."""
+    stop = ["the", "of", "and", "to", "in", "is", "was", "for", "that", "with"]
+    rows = []
+    for i in range(9):
+        # ids 0-6 share bulk.example; 7-8 live on their own hosts.
+        # length grows with i so the cap must keep 4,5,6 of the bulk host
+        text = " ".join(f"w{i}x{j} {stop[j % 10]}" for j in range(30 + 2 * i))
+        host = "bulk.example" if i < 7 else f"solo{i}.org"
+        rows.append((i, text, "en", f"https://{host}/p/{i}"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string"
+    ).write.parquet(str(tmp_path / "docs"))
+    out = str(tmp_path / "curated")
+    r = run_cli(
+        "curate", "--input", str(tmp_path / "docs"), "--output", out,
+        "--min-quality", "0", "--host-quota", "3",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ids = {x["doc_id"] for x in spark.read.parquet(out).select("doc_id").collect()}
+    assert ids == {4, 5, 6, 7, 8}

@@ -512,3 +512,37 @@ class TestHostQuota:
 
         with pytest.raises(ValueError):
             host_quota(self._pages(spark), 0)
+
+
+class TestHostQuotaGate:
+    def test_curate_host_quota_caps_survivors(self, spark):
+        """curate(host_quota=N) caps each host at N survivors, keeping
+        the longest texts; hosts under quota are untouched."""
+        from correctocr_spark.ops.curate import curate
+
+        rows = [
+            Row(
+                doc_id=i,
+                # doc_id 0-7 on hostA, 8-9 on hostB; length grows with i
+                url=f"http://host{'a' if i < 8 else 'b'}.com/{i}",
+                text=_unique_good_text(i, n=20 + i),
+            )
+            for i in range(10)
+        ]
+        docs = spark.createDataFrame(rows)
+        out = curate(docs, min_quality=0.0, host_quota=3)
+        ids = {r["doc_id"] for r in out.collect()}
+        spark.catalog.clearCache()
+        # hostA keeps its 3 longest (ids 5,6,7); hostB under quota keeps both
+        assert ids == {5, 6, 7, 8, 9}
+
+    def test_curate_host_quota_preserves_columns(self, spark):
+        from correctocr_spark.ops.curate import curate
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, url="http://h.com/1", text=_unique_good_text(1), lang="da")]
+        )
+        out = curate(docs, min_quality=0.0, host_quota=5)
+        r = out.collect()[0]
+        spark.catalog.clearCache()
+        assert r["lang"] == "da" and "_hq_q" not in out.columns

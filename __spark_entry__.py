@@ -900,6 +900,68 @@ def q_host_quota(spark, sf_dir):
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "url", "host", "host_rank")
 
 
+def _surt_url_col():
+    """Deterministic URL battery exercising every SURT rule: scheme
+    case, www-prefix strip, default-vs-kept ports, path/query
+    lowercasing, query-param sort, fragment strip."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Example"),
+        (did % 5).cast("string"),
+        F.lit(".COM"),
+        F.when(did % 4 == 0, F.lit(":80"))
+        .when(did % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Page/"),
+        did.cast("string"),
+        F.when(did % 3 == 0, F.concat(F.lit("?b=2&a="), did.cast("string"))).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 7 == 0, F.lit("#Frag")).otherwise(F.lit("")),
+    )
+
+
+def q_surt_keys(spark, sf_dir):
+    """SURT urlkeys (the Common-Crawl CDX sort key) over a synthesized
+    URL battery: one row-local regex/array-algebra expression, no UDF;
+    the DuckDB oracle re-derives the transform independently and the
+    Python kernel twin is pinned by tests/test_webindex.py."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import surt_keys
+
+    pages = _t(spark, sf_dir, "documents").select(_surt_url_col().alias("url"))
+    return surt_keys(pages)
+
+
+def q_cdx_fetch_plan(spark, sf_dir):
+    """CDXJ index parse + per-segment fetch planning: synthesized index
+    lines (urlkey ts {json}) -> typed table via regexp + JSON path ->
+    one map-side-combinable agg per WARC segment file."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import fetch_plan, parse_cdxj
+
+    did = F.col("doc_id")
+    lines = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("com,example)/p/"),
+            did.cast("string"),
+            F.lit(" 20240101000000 "),
+            F.lit('{"url": "http://example.com/p/'),
+            did.cast("string"),
+            F.lit('", "status": 200, "digest": "X", "length": '),
+            (100 + did % 50).cast("string"),
+            F.lit(', "offset": '),
+            (did * 200).cast("string"),
+            F.lit(', "filename": "crawl-'),
+            (did % 4).cast("string"),
+            F.lit('.warc.gz"}'),
+        ).alias("value")
+    )
+    return fetch_plan(parse_cdxj(lines))
+
+
 def q_lm_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing: head/middle/tail by corpus
     quantile cuts on the unigram-LM mean log probability (cuts at the
@@ -1605,6 +1667,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plan core with tier-1 topk_per_group; salted==unsalted pinned
         # by test_host_quota_salted_equals_unsalted
         "host_quota": q_host_quota,
+        # SURT urlkeys — row-local regex/array algebra (the same
+        # expression family tier-1 url_canonical hash-verifies); the
+        # kernel twin is pinned byte-identical in tests/test_webindex.py
+        "surt_keys": q_surt_keys,
+        # CDXJ parse + fetch planning — regexp + get_json_object parse
+        # core shared with tier-1 json_extract; the agg is a plain
+        # groupBy like tier-1 event_type_stats
+        "cdx_fetch_plan": q_cdx_fetch_plan,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics) ----
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
@@ -2918,6 +2988,103 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, url, host, CAST(host_rank AS BIGINT) AS host_rank
             FROM ranked WHERE host_rank <= 30
+        """,
+        "surt_keys": r"""
+            WITH urls AS (
+                SELECT CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END
+                       || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+                       || 'Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM'
+                       || CASE WHEN doc_id % 4 = 0 THEN ':80'
+                               WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+                       || '/Page/' || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '?b=2&a=' || CAST(doc_id AS VARCHAR) ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0 THEN '#Frag' ELSE '' END AS url
+                FROM documents
+            ),
+            base AS (
+                SELECT url, regexp_replace(trim(url), '#.*', '') AS nofrag FROM urls
+            ),
+            parts AS (
+                SELECT url,
+                       lower(regexp_extract(nofrag,
+                           '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                       lower(regexp_extract(nofrag,
+                           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS hostport,
+                       lower(regexp_extract(nofrag,
+                           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)', 1)) AS rest
+                FROM base
+            ),
+            hp AS (
+                SELECT url, scheme, rest,
+                       regexp_extract(hostport, ':(\d+)$', 1) AS port0,
+                       regexp_replace(hostport, ':\d+$', '') AS host0
+                FROM parts
+            ),
+            hp2 AS (
+                SELECT url, scheme, rest,
+                       CASE WHEN scheme = 'http' AND port0 = '80' THEN ''
+                            WHEN scheme = 'https' AND port0 = '443' THEN ''
+                            ELSE port0 END AS port,
+                       array_to_string(list_reverse(string_split(
+                           regexp_replace(host0, '^www\d*\.', ''), '.')), ',') AS rev
+                FROM hp
+            ),
+            pq AS (
+                SELECT url, scheme, rev, port,
+                       regexp_extract(rest, '^([^?]*)', 1) AS path0,
+                       regexp_extract(rest, '\?(.*)$', 1) AS query
+                FROM hp2
+            ),
+            fin AS (
+                SELECT url, scheme, rev, port,
+                       CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                       -- list_sort([]) is NULL in DuckDB, so an empty
+                       -- query must be coalesced back to ''
+                       coalesce(array_to_string(list_sort(list_filter(
+                           string_split(query, '&'), x -> x <> '')), '&'), '')
+                           AS qsorted
+                FROM pq
+            )
+            SELECT url,
+                   CASE WHEN scheme = '' THEN lower(trim(url))
+                        ELSE rev
+                             || CASE WHEN port = '' THEN '' ELSE ':' || port END
+                             || ')' || path
+                             || CASE WHEN qsorted = '' THEN ''
+                                     ELSE '?' || qsorted END
+                   END AS urlkey
+            FROM fin
+        """,
+        "cdx_fetch_plan": r"""
+            WITH lines AS (
+                SELECT 'com,example)/p/' || CAST(doc_id AS VARCHAR)
+                       || ' 20240101000000 '
+                       || '{"url": "http://example.com/p/' || CAST(doc_id AS VARCHAR)
+                       || '", "status": 200, "digest": "X", "length": '
+                       || CAST(100 + doc_id % 50 AS VARCHAR)
+                       || ', "offset": ' || CAST(doc_id * 200 AS VARCHAR)
+                       || ', "filename": "crawl-' || CAST(doc_id % 4 AS VARCHAR)
+                       || '.warc.gz"}' AS value
+                FROM documents
+            ),
+            parsed AS (
+                SELECT regexp_extract(value, '^(\S+) (\d{14}) (\{.*\})$', 3) AS js
+                FROM lines
+            ),
+            typed AS (
+                SELECT json_extract_string(js, '$.filename') AS filename,
+                       CAST(json_extract(js, '$.length') AS BIGINT) AS length,
+                       CAST(json_extract(js, '$.offset') AS BIGINT) AS "offset"
+                FROM parsed WHERE js <> ''
+            )
+            SELECT filename,
+                   count(*)::BIGINT AS n_records,
+                   CAST(sum(length) AS BIGINT) AS total_bytes,
+                   min("offset")::BIGINT AS first_offset,
+                   max("offset" + length)::BIGINT AS end_offset
+            FROM typed WHERE filename IS NOT NULL
+            GROUP BY filename
         """,
         "media_features": """
             SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes

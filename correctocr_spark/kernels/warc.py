@@ -28,6 +28,7 @@ records before the corruption point.
 from __future__ import annotations
 
 import gzip
+import re
 import io
 import zlib
 from datetime import datetime, timezone
@@ -324,3 +325,94 @@ def write_wet(
             chunks.append(record)
     with open(path, "wb") as fh:
         fh.write(b"".join(chunks))
+
+
+def iter_record_spans(
+    data: bytes, skip_bad: bool = False
+) -> Iterator[Tuple[int, int, WarcRecord]]:
+    """Yield ``(offset, length, record)`` for each record of a
+    per-record-gzip WARC file — ``offset``/``length`` delimit the
+    record's own gzip member, so an HTTP range request for exactly
+    those bytes decompresses to the record standalone. That is the
+    CDX ``offset``/``length`` contract Common Crawl's index serves
+    (reference has no crawl index; this extends the WARC tier the
+    same way the WET writer does).
+
+    Only the per-record-gzip layout carries the random-access
+    property, so plain/whole-file-gzip inputs raise ``ValueError``
+    (index generation over them would publish unseekable spans).
+    A member holding several records (legal WARC, not the CC layout)
+    yields each record with the member's span."""
+    if not data:
+        return
+    if data[:2] != _GZIP_MAGIC:
+        raise ValueError(
+            "record spans need the per-record-gzip layout; "
+            "plain WARC bytes have no seekable member boundaries"
+        )
+    pos = 0
+    while pos < len(data):
+        try:
+            if data[pos : pos + 2] != _GZIP_MAGIC:
+                raise ValueError(f"expected gzip member at offset {pos}")
+            decomp = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+            member = decomp.decompress(data[pos:])
+            if not decomp.eof:
+                raise ValueError(f"truncated gzip member at offset {pos}")
+            consumed = len(data) - pos - len(decomp.unused_data)
+            records = list(
+                _iter_plain(io.BufferedReader(io.BytesIO(member)))
+            )
+        except (ValueError, zlib.error, OSError, EOFError):
+            if skip_bad:
+                return
+            raise
+        for record in records:
+            yield pos, consumed, record
+        pos += consumed
+
+
+#: SURT (Sort-friendly URI Reordering Transform) — the documented
+#: subset shared byte-for-byte by this kernel, the Spark column twin
+#: (ops/webindex.py surt_key_col) and the DuckDB oracle: fragment
+#: stripped; everything lowercased; default ports dropped, others kept
+#: as ``:port`` after the reversed host; a leading ``www\d*.`` host
+#: label stripped; host labels reversed and comma-joined; query params
+#: split on ``&`` and sorted bytewise; empty path becomes ``/``.
+#: Unparseable inputs (no ``scheme://``) pass through lowercased —
+#: a key transform must never destroy a key.
+_SURT_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://")
+_SURT_HOSTPORT_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)")
+_SURT_REST_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)", re.S)
+
+
+def surt_key(url: str) -> str:
+    """Python twin of the Spark/DuckDB SURT urlkey (see constant doc
+    above); pinned value-identical by tests/test_webindex.py."""
+    u = url.strip()
+    nofrag = u.split("#", 1)[0]
+    m = _SURT_SCHEME_RE.match(nofrag)
+    if not m:
+        return u.lower()
+    scheme = m.group(1).lower()
+    hostport = _SURT_HOSTPORT_RE.match(nofrag).group(1).lower()
+    host, port = hostport, ""
+    pm = re.search(r":(\d+)$", hostport)
+    if pm:
+        host, port = hostport[: pm.start()], pm.group(1)
+    if (scheme == "http" and port == "80") or (scheme == "https" and port == "443"):
+        port = ""
+    host = re.sub(r"^www\d*\.", "", host)
+    rev = ",".join(reversed(host.split(".")))
+    rest = (_SURT_REST_RE.match(nofrag).group(1) or "").lower()
+    path, _, query = rest.partition("?")
+    if path == "":
+        path = "/"
+    qsorted = "&".join(sorted(p for p in query.split("&") if p != ""))
+    return (
+        rev
+        + (f":{port}" if port else "")
+        + ")"
+        + path
+        + (f"?{qsorted}" if qsorted else "")
+    )

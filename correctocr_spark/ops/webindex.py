@@ -1,0 +1,236 @@
+"""Web-archive index tier: SURT urlkeys, CDXJ index parsing, WARC
+fetch planning, and CDX index *generation* from per-record-gzip
+segments.
+
+CorrectOCR's corpus is a hand-listed archive download (reference
+workspace.py:100-141) — it never faces a crawl index. At web scale the
+index IS the random-access layer: Common Crawl publishes a CDXJ index
+(``urlkey timestamp {json}`` lines, urlkey in SURT form) whose
+``filename``/``offset``/``length`` triples let a fetcher range-read
+single records out of multi-GB WARC segments without scanning them.
+This module speaks that layout in both directions:
+
+* :func:`surt_key_col` / :func:`surt_keys` — the SURT urlkey as ONE
+  column expression (regex + array algebra, scan-speed, no UDF),
+  byte-identical to the Python kernel twin
+  (:func:`~..kernels.warc.surt_key`) and the DuckDB oracle.
+* :func:`parse_cdxj` / :func:`read_cdxj` — CDXJ lines to a typed index
+  table, pure column algebra over ``regexp_extract`` +
+  ``get_json_object``.
+* :func:`fetch_plan` — per-segment fetch aggregation (record count,
+  byte mass, offset span): the scheduling input for a range-read
+  fetcher fleet.
+* :func:`cdx_index` — the inverse proof: generate CDXJ records from
+  our own WARC segments (kernel member spans + SURT + CC's
+  sha1-base32 digest), so write_warc_shards → cdx_index → parse_cdxj
+  round-trips.
+
+Scale notes (100 TB): everything except :func:`cdx_index` is row-local
+column algebra (scan-speed, no shuffle; fetch_plan is one map-side
+combinable agg over dimension-small keys). ``cdx_index`` is one
+mapInPandas over a binaryFile scan — the same one-task-per-segment
+shape as the WARC reader, no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dedup import ensure_parallelism
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_REST_RE = r"(?s)^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)"
+
+
+def surt_key_col(url) -> Column:
+    """SURT urlkey as one column expression — see the module doc and
+    the kernel twin's constant doc for the exact shared rule set.
+    Built-in regex/array algebra only (Java∩RE2 patterns, bytewise
+    ``array_sort``), so the same transform runs unchanged in the
+    DuckDB oracle."""
+    u = F.trim(url) if isinstance(url, Column) else F.trim(F.col(url))
+    nofrag = F.regexp_replace(u, r"#.*", "")
+    scheme = F.lower(F.regexp_extract(nofrag, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(nofrag, _HOSTPORT_RE, 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    port = (
+        F.when((scheme == "http") & (port == "80"), F.lit(""))
+        .when((scheme == "https") & (port == "443"), F.lit(""))
+        .otherwise(port)
+    )
+    host = F.regexp_replace(host, r"^www\d*\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    rest = F.lower(F.regexp_extract(nofrag, _REST_RE, 1))
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    qsorted = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda x: x != "")), "&"
+    )
+    key = F.concat(
+        rev,
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        F.lit(")"),
+        path,
+        F.when(qsorted == "", F.lit("")).otherwise(F.concat(F.lit("?"), qsorted)),
+    )
+    return F.when(scheme == "", F.lower(u)).otherwise(key)
+
+
+def surt_keys(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """``(url, urlkey)`` projection — scan-speed; sort/join on
+    ``urlkey`` downstream to co-locate a host's pages (the property
+    the SURT transform exists for: one host, one key prefix)."""
+    return ensure_parallelism(pages).select(
+        F.col(url_col).alias("url"), surt_key_col(url_col).alias("urlkey")
+    )
+
+
+#: one CDXJ line: ``<urlkey> <14-digit-ts> {json}`` — the (?s) suffix
+#: group tolerates embedded newlines nowhere (lines are the unit), but
+#: the json must be non-greedy-free for RE2: match from the first '{'
+_CDXJ_LINE_RE = r"^(\S+) (\d{14}) (\{.*\})$"
+
+CDX_SCHEMA = T.StructType(
+    [
+        T.StructField("urlkey", T.StringType(), True),
+        T.StructField("cdx_ts", T.StringType(), True),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("status", T.LongType(), True),
+        T.StructField("digest", T.StringType(), True),
+        T.StructField("length", T.LongType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("filename", T.StringType(), True),
+    ]
+)
+
+
+def parse_cdxj(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """CDXJ index lines to the typed index table (columns =
+    ``CDX_SCHEMA``). Malformed lines (no urlkey/timestamp/json shape)
+    yield NULL urlkey — filter or quarantine at the call site; a
+    100 TB index scan must not die on one bad line. Pure column
+    algebra: regexp + ``get_json_object``, scan-speed."""
+    v = F.col(value_col)
+    key = F.regexp_extract(v, _CDXJ_LINE_RE, 1)
+    js = F.regexp_extract(v, _CDXJ_LINE_RE, 3)
+    return ensure_parallelism(lines).select(
+        F.when(key == "", F.lit(None)).otherwise(key).alias("urlkey"),
+        F.regexp_extract(v, _CDXJ_LINE_RE, 2).alias("cdx_ts"),
+        F.get_json_object(js, "$.url").alias("url"),
+        F.get_json_object(js, "$.status").cast("long").alias("status"),
+        F.get_json_object(js, "$.digest").alias("digest"),
+        F.get_json_object(js, "$.length").cast("long").alias("length"),
+        F.get_json_object(js, "$.offset").cast("long").alias("offset"),
+        F.get_json_object(js, "$.filename").alias("filename"),
+    )
+
+
+def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
+    """CDXJ file(s) → typed index table (``spark.read.text`` +
+    :func:`parse_cdxj`; gzipped ``.cdx.gz`` shards decompress via the
+    text source's codec handling)."""
+    return parse_cdxj(spark.read.text(path))
+
+
+def fetch_plan(cdx: DataFrame, filename_col: str = "filename") -> DataFrame:
+    """Per-segment fetch schedule from an index table: records to
+    read, total payload bytes, and the offset span — what a
+    range-read fetcher fleet needs to order and batch its GETs.
+    One map-side-combinable aggregation; segment names are
+    dimension-small next to the index itself."""
+    return (
+        ensure_parallelism(cdx)
+        .where(F.col(filename_col).isNotNull())
+        .groupBy(F.col(filename_col).alias("filename"))
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("length").alias("total_bytes"),
+            F.min("offset").alias("first_offset"),
+            F.max(F.col("offset") + F.col("length")).alias("end_offset"),
+        )
+    )
+
+
+def cdx_index(segments: DataFrame) -> DataFrame:
+    """CDX index records from per-record-gzip WARC segments (a
+    binaryFile scan: ``path``/``content`` columns) — the inverse
+    proof for :func:`parse_cdxj` and the random-access layer over our
+    own :func:`~..spark.warc.write_warc_shards` output.
+
+    Per response record: SURT urlkey (kernel twin of
+    :func:`surt_key_col`), the 14-digit CDX timestamp, HTTP status,
+    CC's payload digest convention (base32 of the raw sha1 of the
+    HTTP body), and the member's ``offset``/``length`` under the
+    segment ``filename`` — a range request for exactly those bytes
+    decompresses to the record (kernel
+    :func:`~..kernels.warc.iter_record_spans` guarantee).
+
+    Stateless mapInPandas over the segment scan — one task per
+    segment file, no shuffle; sort by ``urlkey`` at write time to get
+    the index's query layout (SURT keys cluster a host's records)."""
+    from ..kernels.warc import iter_record_spans, split_http_response, surt_key
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CDX_SCHEMA.fields]
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                fname = str(path).rsplit("/", 1)[-1]
+                rows = []
+                for off, length, rec in iter_record_spans(bytes(content)):
+                    if rec.rec_type != "response" or rec.uri is None:
+                        continue
+                    status, body = split_http_response(rec.payload)
+                    digest = base64.b32encode(
+                        hashlib.sha1(body).digest()
+                    ).decode("ascii")
+                    ts = (
+                        rec.date.strftime("%Y%m%d%H%M%S")
+                        if rec.date is not None
+                        else None
+                    )
+                    rows.append(
+                        (
+                            surt_key(rec.uri),
+                            ts,
+                            rec.uri,
+                            status,
+                            digest,
+                            length,
+                            off,
+                            fname,
+                        )
+                    )
+                yield pd.DataFrame(rows, columns=cols)
+
+    return segments.select("path", "content").mapInPandas(gen, schema=CDX_SCHEMA)
+
+
+def cdxj_lines(cdx: DataFrame) -> DataFrame:
+    """Typed index rows back to CDXJ text lines (``value`` column) —
+    the serialization half of the round-trip; write with
+    ``df.sort("urlkey", "cdx_ts").write.text(...)`` for the published
+    sorted layout. ``to_json`` emits the struct fields in declaration
+    order, giving deterministic lines both engines can diff."""
+    payload = F.to_json(
+        F.struct(
+            F.col("url"),
+            F.col("status"),
+            F.col("digest"),
+            F.col("length"),
+            F.col("offset"),
+            F.col("filename"),
+        )
+    )
+    return ensure_parallelism(cdx).select(
+        F.concat_ws(" ", F.col("urlkey"), F.col("cdx_ts"), payload).alias("value")
+    )

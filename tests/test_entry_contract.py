@@ -146,6 +146,12 @@ def test_oracled_queries_precede_rows_only():
         # tier-1 topk_per_group; salted==unsalted pinned in
         # test_filters_ops.TestHostQuota
         "host_quota",
+        # SURT urlkeys — regex/array expression family shared with
+        # tier-1 url_canonical; kernel twin pinned in test_webindex.py
+        "surt_keys",
+        # CDXJ parse + fetch plan — regexp/get_json_object core shared
+        # with tier-1 json_extract; plain groupBy agg
+        "cdx_fetch_plan",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -1,0 +1,178 @@
+"""Web-archive index tier: SURT urlkeys, CDXJ parse/serialize
+round-trip, record-span seekability, fetch planning."""
+
+import base64
+import datetime
+import gzip
+import hashlib
+import io
+import zlib
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from correctocr_spark.kernels.warc import (
+    iter_record_spans,
+    parse_warc,
+    split_http_response,
+    surt_key,
+    write_warc,
+)
+
+
+SURT_CASES = [
+    # (input, expected) — the documented shared subset
+    ("http://example.com/", "com,example)/"),
+    ("http://example.com", "com,example)/"),
+    ("HTTP://WWW.Example.COM:80/Path/One?b=2&a=1#frag", "com,example)/path/one?a=1&b=2"),
+    ("https://sub.example.org:8443/x", "org,example,sub:8443)/x"),
+    ("https://www2.example.net/A?z=1", "net,example)/a?z=1"),
+    ("http://example.com/?", "com,example)/"),
+    ("http://example.com/p?a=1&&b=2", "com,example)/p?a=1&b=2"),
+    ("https://example.com:443/q", "com,example)/q"),
+    ("http://example.com:8080/q", "com,example:8080)/q"),
+    ("  http://example.com/x  ", "com,example)/x"),
+    ("notaurl", "notaurl"),
+    ("NotAUrl UPPER", "notaurl upper"),
+]
+
+
+def _pages(n=6):
+    return [
+        (
+            f"https://WWW.Example{i % 2}.org/Page/{i}?b={i}&a=1",
+            datetime.datetime(2024, 1, 1, 0, 0, i),
+            f"<html><body><p>doc number {i} body text</p></body></html>".encode(),
+        )
+        for i in range(n)
+    ]
+
+
+class TestSurtKernel:
+    @pytest.mark.parametrize("url,expected", SURT_CASES)
+    def test_cases(self, url, expected):
+        assert surt_key(url) == expected
+
+
+class TestSurtColumn:
+    def test_column_equals_kernel(self, spark):
+        """The Spark column twin is byte-identical to the Python kernel
+        over the whole case battery."""
+        from correctocr_spark.ops.webindex import surt_keys
+
+        df = spark.createDataFrame([Row(url=u) for u, _ in SURT_CASES])
+        got = {r["url"]: r["urlkey"] for r in surt_keys(df).collect()}
+        for url, expected in SURT_CASES:
+            assert got[url.strip() if False else url] == expected, url
+        # and the kernel agrees on every case too (belt over the braces)
+        for url, expected in SURT_CASES:
+            assert surt_key(url) == expected
+
+
+class TestRecordSpans:
+    def test_spans_are_seekable(self, tmp_path):
+        """Each (offset, length) span decompresses standalone to its
+        record — the CDX range-request contract."""
+        path = str(tmp_path / "a.warc.gz")
+        write_warc(_pages(), path)
+        data = open(path, "rb").read()
+        spans = list(iter_record_spans(data))
+        assert len(spans) == 6
+        for off, length, rec in spans:
+            member = data[off : off + length]
+            standalone = list(parse_warc(member))
+            assert len(standalone) == 1
+            assert standalone[0].uri == rec.uri
+            assert standalone[0].payload == rec.payload
+
+    def test_plain_warc_rejected(self, tmp_path):
+        path = str(tmp_path / "a.warc")
+        write_warc(_pages(2), path, gzip_records=False)
+        with pytest.raises(ValueError, match="per-record-gzip"):
+            list(iter_record_spans(open(path, "rb").read()))
+
+    def test_truncated_tail(self, tmp_path):
+        path = str(tmp_path / "a.warc.gz")
+        write_warc(_pages(3), path)
+        data = open(path, "rb").read()[:-20]
+        with pytest.raises(ValueError):
+            list(iter_record_spans(data))
+        salvaged = list(iter_record_spans(data, skip_bad=True))
+        assert 0 < len(salvaged) < 3
+
+
+class TestCdxIndex:
+    def _segments(self, spark, tmp_path, n_files=2):
+        for k in range(n_files):
+            write_warc(_pages(4), str(tmp_path / f"seg-{k}.warc.gz"))
+        return spark.read.format("binaryFile").load(
+            str(tmp_path) + "/seg-*.warc.gz"
+        )
+
+    def test_generate_and_reparse_roundtrip(self, spark, tmp_path):
+        """write_warc → cdx_index → cdxj_lines → parse_cdxj is the
+        identity on the typed index table."""
+        from correctocr_spark.ops.webindex import cdx_index, cdxj_lines, parse_cdxj
+
+        idx = cdx_index(self._segments(spark, tmp_path)).cache()
+        rows = idx.collect()
+        assert len(rows) == 8
+        r = next(x for x in rows if x["url"].endswith("/Page/1?b=1&a=1"))
+        assert r["urlkey"].startswith("org,example1)/page/1?")
+        assert r["status"] == 200 and r["filename"].startswith("seg-")
+        assert r["cdx_ts"] == "20240101000001"
+        reparsed = parse_cdxj(cdxj_lines(idx)).collect()
+        assert sorted(map(tuple, reparsed)) == sorted(map(tuple, rows))
+        idx.unpersist()
+
+    def test_digest_is_cc_sha1_base32_of_body(self, spark, tmp_path):
+        from correctocr_spark.ops.webindex import cdx_index
+
+        idx = cdx_index(self._segments(spark, tmp_path, n_files=1))
+        r = idx.where(F.col("url").endswith("/Page/2?b=2&a=1")).collect()[0]
+        body = "<html><body><p>doc number 2 body text</p></body></html>".encode()
+        assert r["digest"] == base64.b32encode(hashlib.sha1(body).digest()).decode()
+
+    def test_offsets_range_read(self, spark, tmp_path):
+        """The published (filename, offset, length) triples really do
+        range-read: slice the segment bytes per index row, decompress,
+        and recover every page body."""
+        from correctocr_spark.ops.webindex import cdx_index
+
+        seg_dir = tmp_path
+        idx = cdx_index(self._segments(spark, seg_dir, n_files=1)).collect()
+        data = open(str(seg_dir / "seg-0.warc.gz"), "rb").read()
+        for r in idx:
+            member = data[r["offset"] : r["offset"] + r["length"]]
+            rec = list(parse_warc(member))[0]
+            assert rec.uri == r["url"]
+
+    def test_fetch_plan(self, spark, tmp_path):
+        from correctocr_spark.ops.webindex import cdx_index, fetch_plan
+
+        idx = cdx_index(self._segments(spark, tmp_path, n_files=2))
+        plan = {r["filename"]: r for r in fetch_plan(idx).collect()}
+        assert set(plan) == {"seg-0.warc.gz", "seg-1.warc.gz"}
+        for r in plan.values():
+            assert r["n_records"] == 4
+            assert r["first_offset"] == 0
+            # members tile the file: end_offset == file size
+            assert r["end_offset"] == (tmp_path / r["filename"]).stat().st_size
+            assert r["total_bytes"] == r["end_offset"]
+
+
+class TestParseCdxjRobustness:
+    def test_malformed_lines_null_urlkey(self, spark):
+        from correctocr_spark.ops.webindex import parse_cdxj
+
+        lines = spark.createDataFrame(
+            [
+                Row(value='com,example)/ 20240101000000 {"url": "http://example.com/", "status": 200, "length": 10, "offset": 0, "filename": "f.warc.gz"}'),
+                Row(value="garbage line with no json"),
+                Row(value='com,example)/x 2024 {"url": "short ts"}'),
+                Row(value=""),
+            ]
+        )
+        out = parse_cdxj(lines).collect()
+        ok = [r for r in out if r["urlkey"] is not None]
+        assert len(ok) == 1 and ok[0]["status"] == 200 and ok[0]["length"] == 10

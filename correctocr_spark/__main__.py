@@ -220,6 +220,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="also export the extracted text as WET shards "
                           "(conversion records) at this directory; "
                           "requires extraction (incompatible with --raw)")
+    ing.add_argument("--cdx-out", default="",
+                     help="also write a CDXJ index of the INPUT segments "
+                          "(urlkey-sorted text shards) at this directory — "
+                          "the range-read layer over per-record-gzip WARCs")
 
     st = sub.add_parser("stats", help="per-bin metrics; optionally derive settings")
     st.add_argument("--input", required=True, help="pages parquet path")
@@ -607,6 +611,22 @@ def main(argv=None) -> int:
                     f"wet: {sum(r.n_records for r in manifest)} records in "
                     f"{len(manifest)} shards at {args.wet_out}"
                 )
+            if args.cdx_out:
+                from .ops.webindex import cdx_index, cdxj_lines
+
+                # index the raw segments themselves (offset/length must
+                # point into the per-record-gzip INPUT files, not any
+                # re-serialization) — one binaryFile task per segment;
+                # urlkey sort gives the published query layout
+                segs = (
+                    spark.read.format("binaryFile")
+                    .option("pathGlobFilter", args.glob)
+                    .load(args.input)
+                )
+                lines = cdxj_lines(cdx_index(segs).sort("urlkey", "cdx_ts"))
+                lines.write.mode("overwrite").text(args.cdx_out)
+                n_idx = spark.read.text(args.cdx_out).count()
+                print(f"cdx: {n_idx} index records at {args.cdx_out}")
         elif args.command == "stats":
             import json as _json
 

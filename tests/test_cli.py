@@ -375,3 +375,34 @@ def test_cli_curate_host_quota(tmp_path, spark):
     assert r.returncode == 0, r.stderr[-2000:]
     ids = {x["doc_id"] for x in spark.read.parquet(out).select("doc_id").collect()}
     assert ids == {4, 5, 6, 7, 8}
+
+
+@pytest.mark.slow
+def test_cli_ingest_cdx_out(tmp_path, spark):
+    """ingest --cdx-out writes a urlkey-sorted CDXJ index whose
+    (filename, offset, length) triples range-read the INPUT segments."""
+    from correctocr_spark.kernels.warc import parse_warc
+    from correctocr_spark.spark.synth import synth_pages
+    from correctocr_spark.spark.warc import write_warc_shards
+    from correctocr_spark.ops.webindex import parse_cdxj
+
+    src = synth_pages(spark, 12, seed=23, partitions=2)
+    warc_dir = str(tmp_path / "warc")
+    write_warc_shards(src, warc_dir, partitions=2).collect()
+
+    out, cdx = str(tmp_path / "pages"), str(tmp_path / "cdx")
+    r = run_cli("ingest", "--input", warc_dir, "--output", out,
+                "--cdx-out", cdx)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "cdx: 12 index records" in r.stdout
+    idx = parse_cdxj(spark.read.text(cdx)).collect()
+    assert len(idx) == 12 and all(x["urlkey"] for x in idx)
+    # range-read one record per referenced file
+    seen = set()
+    for row in idx:
+        if row["filename"] in seen:
+            continue
+        seen.add(row["filename"])
+        data = open(str(tmp_path / "warc" / row["filename"]), "rb").read()
+        rec = list(parse_warc(data[row["offset"]: row["offset"] + row["length"]]))[0]
+        assert rec.uri == row["url"]

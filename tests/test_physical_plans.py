@@ -171,3 +171,44 @@ def test_ngram_repetition_single_gram_shuffle(spark):
     for s in re.findall(r"ReadSchema: struct<([^>]*)>", p):
         assert {c.split(":")[0] for c in s.split(",")} <= {"doc_id", "text"}, s
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_surt_keys_scan_speed(spark):
+    """The SURT urlkey is one row-local regex/array expression: pruned
+    scan (doc_id only — urls are injected) and no key shuffle, join,
+    or aggregate anywhere."""
+    p = plan_of(entry_mod.q_surt_keys(spark, SF))
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
+    assert sorted(c.split(":")[0] for c in rs.split(",")) == ["doc_id"]
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n)*?Arguments: (\S+)", p):
+        assert m.group(1).startswith("RoundRobinPartitioning"), m.group(0)
+    assert "SortMergeJoin" not in p and "HashAggregate" not in p
+
+
+def test_cdx_fetch_plan_partial_agg(spark):
+    """Index parsing is row-local; the fetch plan is ONE hash-partition
+    exchange with a map-side partial aggregate before it (the 100 TB
+    shape: per-segment combine happens in the scan stage)."""
+    p = plan_of(entry_mod.q_cdx_fetch_plan(spark, SF))
+    key_exchanges = [
+        m.group(1)
+        for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n)*?Arguments: (\S+)", p)
+        if not m.group(1).startswith("RoundRobinPartitioning")
+    ]
+    assert len(key_exchanges) == 1 and key_exchanges[0].startswith(
+        "hashpartitioning"
+    ), key_exchanges
+    assert len(set(re.findall(r"\((\d+)\) HashAggregate", p))) == 2  # partial + final
+    assert "SortMergeJoin" not in p
+
+
+def test_host_quota_no_partitionless_window(spark):
+    """Both ranking windows are host-partitioned (phase 1 additionally
+    salt-partitioned) — a partitionless/global window would serialize a
+    mega-host onto one reducer."""
+    p = plan_of(entry_mod.q_host_quota(spark, SF))
+    assert "Window" in p
+    # every Window's partition spec must mention host (never empty)
+    for m in re.finditer(r"\(\d+\) Window\n(?:.*\n)*?Arguments: \[(.*)\]", p):
+        assert "host" in m.group(1), m.group(0)
+    assert "SinglePartition" not in p

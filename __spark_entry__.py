@@ -962,6 +962,48 @@ def q_cdx_fetch_plan(spark, sf_dir):
     return fetch_plan(parse_cdxj(lines))
 
 
+def q_robots_txt_gate(spark, sf_dir):
+    """RFC 9309 robots.txt fetch gate over synthesized per-host robots
+    files (prefix rules, a deeper Allow override, a $-anchored exact
+    rule) and urls fanned over 4 hosts (2 with rules, 2 without):
+    kernel parse -> broadcast host join -> row-local longest-match
+    fold. The oracle restates the matching independently (regexp join
+    + specificity window)."""
+    _ship(spark)
+    from correctocr_spark.ops.filters import robots_txt_gate, robots_txt_rules
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "example0.com",
+                "User-agent: *\nDisallow: /private/\n"
+                "Allow: /private/ok/\nDisallow: /p/8$\n",
+            ),
+            ("example1.com", "User-agent: *\nDisallow: /\nAllow: /p/\n"),
+        ],
+        "host string, content string",
+    )
+    did = F.col("doc_id")
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://example"),
+            (did % 4).cast("string"),
+            F.lit(".com"),
+            F.when(did % 3 == 0, F.concat(F.lit("/private/"), did.cast("string")))
+            .when(did % 3 == 1, F.concat(F.lit("/private/ok/"), did.cast("string")))
+            .otherwise(F.concat(F.lit("/p/"), did.cast("string"))),
+        ).alias("url"),
+    )
+    out = robots_txt_gate(pages, robots_txt_rules(robots))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "url",
+        "host",
+        F.col("allowed").cast("long").alias("allowed"),
+    )
+
+
 def q_lm_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing: head/middle/tail by corpus
     quantile cuts on the unigram-LM mean log probability (cuts at the
@@ -1675,6 +1717,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # core shared with tier-1 json_extract; the agg is a plain
         # groupBy like tier-1 event_type_stats
         "cdx_fetch_plan": q_cdx_fetch_plan,
+        # robots.txt fetch gate — broadcast-dimension join + row-local
+        # HOF fold, the same plan family as tier-1 domain_blocklist and
+        # wordlist_density; kernel grammar pinned in TestRobotsTxtKernel
+        "robots_txt_gate": q_robots_txt_gate,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics) ----
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
@@ -3085,6 +3131,42 @@ def oracle_sql() -> dict[str, str]:
                    max("offset" + length)::BIGINT AS end_offset
             FROM typed WHERE filename IS NOT NULL
             GROUP BY filename
+        """,
+        "robots_txt_gate": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       'example' || CAST(doc_id % 4 AS VARCHAR) || '.com' AS host,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN '/private/' || CAST(doc_id AS VARCHAR)
+                            WHEN doc_id % 3 = 1
+                            THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+                            ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS path
+                FROM documents
+            ),
+            -- the kernel-compiled rule table for the two robots bodies
+            rules(host, allow, raw_len, pattern) AS (VALUES
+                ('example0.com', 0, 9, '^/private/'),
+                ('example0.com', 1, 12, '^/private/ok/'),
+                ('example0.com', 0, 5, '^/p/8$'),
+                ('example1.com', 0, 1, '^/'),
+                ('example1.com', 1, 3, '^/p/')
+            ),
+            matched AS (
+                SELECT p.doc_id, r.allow,
+                       row_number() OVER (
+                           PARTITION BY p.doc_id
+                           ORDER BY r.raw_len DESC, r.allow DESC
+                       ) AS rn
+                FROM pages p
+                JOIN rules r
+                  ON r.host = p.host AND regexp_matches(p.path, r.pattern)
+            )
+            SELECT p.doc_id,
+                   'http://' || p.host || p.path AS url,
+                   p.host,
+                   CAST(coalesce(m.allow, 1) AS BIGINT) AS allowed
+            FROM pages p
+            LEFT JOIN matched m ON m.doc_id = p.doc_id AND m.rn = 1
         """,
         "media_features": """
             SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes

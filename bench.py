@@ -109,6 +109,11 @@ HEADLINE = [
     "snapshot_delta",
     "forward_fill",
     "mix_proportions",
+    # r5: web-index tier + host quota
+    "host_quota",
+    "surt_keys",
+    "cdx_fetch_plan",
+    "robots_txt_gate",
 ]
 
 

@@ -185,6 +185,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="head bucket corpus fraction (cut at the "
                           "1-head percentile of avg log prob)")
     cur.add_argument("--lm-tail", type=float, default=0.3)
+    cur.add_argument("--robots-txt", default="",
+                     help="parquet of per-host robots.txt bodies "
+                          "(host, content): drop pages the RFC 9309 "
+                          "fetch gate disallows (longest-match rules, "
+                          "Allow wins ties)")
     cur.add_argument("--host-quota", type=int, default=None,
                      help="keep at most N docs per --url-col host "
                           "(longest-text-first, salted two-phase "
@@ -540,6 +545,11 @@ def main(argv=None) -> int:
                 lm_head=args.lm_head,
                 lm_tail=args.lm_tail,
                 host_quota=args.host_quota,
+                robots_txt=(
+                    spark.read.parquet(args.robots_txt)
+                    if args.robots_txt
+                    else None
+                ),
             )
             to_write = out
             if args.shuffle_seed:

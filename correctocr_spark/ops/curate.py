@@ -161,6 +161,7 @@ def curate(
     lm_head: float = 0.3,
     lm_tail: float = 0.3,
     host_quota: Optional[int] = None,
+    robots_txt: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Full curation: filter to surviving docs, optionally sample,
     optionally rebalance to a target group mixture
@@ -198,6 +199,12 @@ def curate(
     robots ``noindex`` directive (:func:`~.filters.robots_directives`)
     before every other gate — crawl politeness precedes content policy.
 
+    ``robots_txt`` (a ``(host, content)`` DataFrame of per-host
+    robots.txt bodies) drops pages the RFC 9309 fetch gate disallows
+    (:func:`~.filters.robots_txt_gate` — broadcast host join +
+    row-local longest-match fold), alongside the meta gate: the
+    file-level and tag-level politeness contracts compose.
+
     ``lm_keep`` (e.g. ``["head", "middle"]``) runs the CCNet-style
     perplexity gate (:func:`~.textstats.lm_quality_buckets` with
     ``lm_head``/``lm_tail`` cut fractions) over the post-crawl-filter
@@ -229,6 +236,18 @@ def curate(
             .select(F.col("doc_id").alias(id_col))
         )
         docs = docs.join(F.broadcast(noidx), on=id_col, how="left_anti")
+    if robots_txt is not None:
+        from .filters import robots_txt_gate, robots_txt_rules
+
+        gate = robots_txt_gate(
+            docs, robots_txt_rules(robots_txt), url_col=url_col, id_col=id_col
+        )
+        # the allowed set is corpus-scale: plain semi-join, no broadcast
+        docs = docs.join(
+            gate.where(F.col("allowed")).select(F.col("doc_id").alias(id_col)),
+            on=id_col,
+            how="left_semi",
+        )
     if blocklist is not None:
         from .filters import blocked_doc_ids
 

@@ -534,3 +534,114 @@ def host_quota(
         .where(F.col("host_rank") <= max_per_host)
         .select("doc_id", "url", "host", "host_rank")
     )
+
+
+#: shared with the DuckDB oracle: path+query of a url (the robots match
+#: target), '' when unparseable — the gate treats '' as '/'
+_PATHQUERY_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)"
+
+ROBOTS_RULE_SCHEMA = (
+    "host string, allow boolean, raw_len int, pattern string"
+)
+
+
+def robots_txt_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    content_col: str = "content",
+    agent: str = "*",
+) -> DataFrame:
+    """Per-host robots.txt files → the flat rule table ``(host, allow,
+    raw_len, pattern)`` the gate joins against — rules compiled to the
+    shared Java∩RE2 regexes at parse time by the kernel
+    (:func:`~..kernels.robots.parse_robots_txt`), so downstream
+    matching is pure column algebra in BOTH engines.
+
+    One stateless mapInPandas over the robots corpus — which is
+    host-dimension-sized (one small file per host), never
+    corpus-sized; the output is the broadcastable dimension input of
+    :func:`robots_txt_gate`."""
+    import pandas as pd
+
+    from ..kernels.robots import parse_robots_txt
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf["host"], pdf["content"]):
+                text = (
+                    bytes(content).decode("utf-8", "replace")
+                    if isinstance(content, (bytes, bytearray))
+                    else str(content)
+                )
+                for allow, raw_len, pattern in parse_robots_txt(text, agent):
+                    rows.append((host, allow, raw_len, pattern))
+            yield pd.DataFrame(
+                rows, columns=["host", "allow", "raw_len", "pattern"]
+            )
+
+    return (
+        ensure_parallelism(robots)
+        .select(F.col(host_col).alias("host"), F.col(content_col).alias("content"))
+        .mapInPandas(parse, schema=ROBOTS_RULE_SCHEMA)
+    )
+
+
+def robots_txt_gate(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RFC 9309 fetch gate: every page keeps a row with an ``allowed``
+    flag — the longest-raw-path matching rule for the page's host
+    decides (Allow wins raw-length ties); hosts with no rules (or no
+    robots.txt at all) are allowed.
+
+    Scale (100 TB): the rules are collected to ONE array row per host
+    (robots files are host-dimension-sized) and broadcast-joined on
+    host, then the verdict is a row-local higher-order-function fold —
+    filter the array by ``regexp_like`` against the page path, take
+    the struct-max by ``(raw_len, allow)``. No explode of the page
+    side, no re-shuffle, no window: the corpus never leaves its scan
+    partitions."""
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.col("raw_len").alias("raw_len"),
+                F.col("allow").alias("allow"),
+                F.col("pattern").alias("pattern"),
+            )
+        ).alias("_rules")
+    )
+    path = F.regexp_extract(F.col(url_col), _PATHQUERY_RE, 1)
+    base = ensure_parallelism(pages).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        host_col(url_col).alias("host"),
+        F.when(path == "", F.lit("/")).otherwise(path).alias("_path"),
+    )
+    j = base.join(F.broadcast(per_host), "host", "left")
+    matched = F.filter(
+        F.col("_rules"), lambda r: F.regexp_like(F.col("_path"), r["pattern"])
+    )
+    # struct comparison orders by field position: raw_len first, then
+    # allow (true > false) — exactly longest-match with allow-tiebreak
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                r["raw_len"].alias("raw_len"), r["allow"].alias("allow")
+            ),
+        )
+    )
+    return j.select(
+        "doc_id",
+        "url",
+        "host",
+        # no robots row for the host (NULL _rules) or no matching rule
+        # (empty `matched` -> NULL array_max) both mean: allowed
+        F.when(F.col("_rules").isNull() | best.isNull(), F.lit(True))
+        .otherwise(best["allow"])
+        .alias("allowed"),
+    )

@@ -152,6 +152,10 @@ def test_oracled_queries_precede_rows_only():
         # CDXJ parse + fetch plan — regexp/get_json_object core shared
         # with tier-1 json_extract; plain groupBy agg
         "cdx_fetch_plan",
+        # robots.txt gate — broadcast-dim join + row-local HOF fold,
+        # plan family of tier-1 domain_blocklist/wordlist_density;
+        # kernel grammar pinned in TestRobotsTxtKernel
+        "robots_txt_gate",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

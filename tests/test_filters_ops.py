@@ -546,3 +546,152 @@ class TestHostQuotaGate:
         r = out.collect()[0]
         spark.catalog.clearCache()
         assert r["lang"] == "da" and "_hq_q" not in out.columns
+
+
+ROBOTS_BODY = """
+# global group
+User-agent: *
+Disallow: /private/
+Allow: /private/ok/
+Disallow: /tmp$
+Disallow:
+
+User-agent: specialbot
+User-agent: otherbot
+Disallow: /
+
+Sitemap: https://example.com/sitemap.xml
+"""
+
+
+class TestRobotsTxtKernel:
+    def test_star_group(self):
+        from correctocr_spark.kernels.robots import parse_robots_txt
+
+        rules = parse_robots_txt(ROBOTS_BODY, "*")
+        # empty Disallow skipped; 3 real rules
+        assert len(rules) == 3
+        assert (True, len("/private/ok/"), "^/private/ok/") in rules
+        assert (False, len("/private/"), "^/private/") in rules
+        assert (False, len("/tmp$"), "^/tmp$") in rules
+
+    def test_specific_agent_merges_its_groups(self):
+        from correctocr_spark.kernels.robots import parse_robots_txt
+
+        rules = parse_robots_txt(ROBOTS_BODY, "SpecialBot")
+        assert rules == [(False, 1, "^/")]
+
+    def test_unknown_agent_falls_back_to_star(self):
+        from correctocr_spark.kernels.robots import parse_robots_txt
+
+        assert len(parse_robots_txt(ROBOTS_BODY, "nobody")) == 3
+
+    def test_rules_before_any_group_ignored(self):
+        from correctocr_spark.kernels.robots import parse_robots_txt
+
+        assert parse_robots_txt("Disallow: /x\n", "*") == []
+
+    def test_malformed_lines_skipped(self):
+        from correctocr_spark.kernels.robots import parse_robots_txt
+
+        body = "User-agent: *\nDisallow /nocolon\nDisallow: /ok\ngarbage\n"
+        assert parse_robots_txt(body, "*") == [(False, 3, "^/ok")]
+
+    def test_regex_escapes_specials(self):
+        from correctocr_spark.kernels.robots import parse_robots_txt
+
+        rules = parse_robots_txt("User-agent: *\nDisallow: /a.b+c\n", "*")
+        assert rules == [(False, 6, r"^/a\.b\+c")]
+
+
+class TestRobotsTxtGate:
+    def _gate(self, spark, urls):
+        from correctocr_spark.ops.filters import robots_txt_gate, robots_txt_rules
+
+        robots = spark.createDataFrame(
+            [Row(host="example.com", content=ROBOTS_BODY)]
+        )
+        rules = robots_txt_rules(robots)
+        pages = spark.createDataFrame(
+            [Row(doc_id=i, url=u) for i, u in enumerate(urls)]
+        )
+        out = robots_txt_gate(pages, rules)
+        return {r["url"]: r["allowed"] for r in out.collect()}
+
+    def test_longest_match_and_allow_tiebreak(self, spark):
+        got = self._gate(
+            spark,
+            [
+                "http://example.com/",                    # no match -> allowed
+                "http://example.com/private/x",           # Disallow /private/
+                "http://example.com/private/ok/x",        # deeper Allow wins
+                "http://example.com/tmp",                 # /tmp$ exact: matches
+                "http://example.com/tmp/file",            # $ anchor: no match
+                "http://other.com/private/x",             # no rules for host
+            ],
+        )
+        assert got == {
+            "http://example.com/": True,
+            "http://example.com/private/x": False,
+            "http://example.com/private/ok/x": True,
+            "http://example.com/tmp": False,
+            "http://example.com/tmp/file": True,
+            "http://other.com/private/x": True,
+        }
+
+    def test_query_string_is_matched(self, spark):
+        from correctocr_spark.ops.filters import robots_txt_gate, robots_txt_rules
+
+        robots = spark.createDataFrame(
+            [Row(host="h.com", content="User-agent: *\nDisallow: /*?session=\n")]
+        )
+        pages = spark.createDataFrame(
+            [
+                Row(doc_id=0, url="http://h.com/p?session=1"),
+                Row(doc_id=1, url="http://h.com/p?id=1"),
+            ]
+        )
+        got = {
+            r["doc_id"]: r["allowed"]
+            for r in robots_txt_gate(pages, robots_txt_rules(robots)).collect()
+        }
+        assert got == {0: False, 1: True}
+
+    def test_broadcast_join_no_page_shuffle(self, spark):
+        """The rules side must broadcast; the page side must not hash-
+        shuffle (row-local verdict)."""
+        import io
+        from contextlib import redirect_stdout
+
+        from correctocr_spark.ops.filters import robots_txt_gate, robots_txt_rules
+
+        robots = spark.createDataFrame([Row(host="h.com", content="User-agent: *\nDisallow: /x\n")])
+        pages = spark.createDataFrame([Row(doc_id=0, url="http://h.com/x")])
+        out = robots_txt_gate(pages, robots_txt_rules(robots))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        p = buf.getvalue()
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+
+
+class TestRobotsTxtCurateGate:
+    def test_curate_robots_txt_drops_disallowed(self, spark):
+        from correctocr_spark.ops.curate import curate
+
+        rows = [
+            Row(
+                doc_id=i,
+                url=f"http://h.com/{'private' if i % 2 else 'pub'}/{i}",
+                text=_unique_good_text(i),
+            )
+            for i in range(6)
+        ]
+        robots = spark.createDataFrame(
+            [Row(host="h.com", content="User-agent: *\nDisallow: /private/\n")]
+        )
+        out = curate(spark.createDataFrame(rows), min_quality=0.0, robots_txt=robots)
+        ids = {r["doc_id"] for r in out.collect()}
+        spark.catalog.clearCache()
+        assert ids == {0, 2, 4}

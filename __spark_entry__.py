@@ -623,6 +623,20 @@ def q_link_extract(spark, sf_dir):
     return extract_links(_linked_pages(spark, sf_dir))
 
 
+def q_anchor_stats(spark, sf_dir):
+    """Per-target anchor-text aggregation over the extracted outlinks
+    (off-page relevance signal): link count, distinct source docs, and
+    the modal anchor per href — two partial-agg shuffles + a co-
+    partitioned href join, the modal window only over aggregated pair
+    counts."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import extract_links
+    from correctocr_spark.ops.graph import anchor_stats
+
+    out = anchor_stats(extract_links(_linked_pages(spark, sf_dir)))
+    return out.select("href", "n_links", "n_source_docs", "top_anchor")
+
+
 def _synth_edges(spark, sf_dir):
     """Deterministic 50-node synthetic link graph derived from doc ids
     (the documents table has no real cross-links) — same construction in
@@ -1721,6 +1735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HOF fold, the same plan family as tier-1 domain_blocklist and
         # wordlist_density; kernel grammar pinned in TestRobotsTxtKernel
         "robots_txt_gate": q_robots_txt_gate,
+        # anchor-text aggregation — composes tier-1 link_extract; its
+        # agg/window cores are the tier-1 word_freq/topk_per_group shapes
+        "anchor_stats": q_anchor_stats,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics) ----
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
@@ -2258,6 +2275,27 @@ def _link_sql() -> str:
         + "', 0)) AS a_tag FROM pages)\n"
         "SELECT doc_id, regexp_extract(a_tag, '" + HREF_RE + "', 1) AS href,\n"
         "       regexp_extract(a_tag, '" + ANCHOR_RE + "', 1) AS anchor\nFROM tags"
+    )
+
+
+def _anchor_stats_sql() -> str:
+    """Independent restatement of anchor_stats over the same injected
+    links: pair-count mode via a specificity window, totals via plain
+    aggregation."""
+    return (
+        "WITH links AS (" + _link_sql() + "),\n"
+        "clean AS (SELECT doc_id, href, trim(anchor) AS anchor FROM links"
+        " WHERE href <> ''),\n"
+        "pair AS (SELECT href, anchor, count(*) AS _n FROM clean"
+        " GROUP BY href, anchor),\n"
+        "top AS (SELECT href, anchor AS top_anchor FROM ("
+        "SELECT href, anchor, row_number() OVER (PARTITION BY href"
+        " ORDER BY _n DESC, anchor) AS rk FROM pair) WHERE rk = 1),\n"
+        "totals AS (SELECT href, count(*)::BIGINT AS n_links,"
+        " count(DISTINCT doc_id)::BIGINT AS n_source_docs FROM clean"
+        " GROUP BY href)\n"
+        "SELECT t.href, t.n_links, t.n_source_docs, p.top_anchor\n"
+        "FROM totals t JOIN top p USING (href)"
     )
 
 
@@ -2837,6 +2875,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": _sample_sql(),
         "corpus_rollup": _rollup_sql(),
         "link_extract": _link_sql(),
+        "anchor_stats": _anchor_stats_sql(),
         "pack_shards": f"""
             WITH d AS (SELECT doc_id, len({_WORDS})::BIGINT AS n_tokens FROM documents)
             SELECT doc_id, n_tokens,

@@ -114,6 +114,7 @@ HEADLINE = [
     "surt_keys",
     "cdx_fetch_plan",
     "robots_txt_gate",
+    "anchor_stats",
 ]
 
 

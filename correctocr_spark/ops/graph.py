@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import ensure_parallelism
+
 
 def in_degrees(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """Distinct-edge in-degree per node — the cheapest link-quality
@@ -88,3 +90,48 @@ def pagerank(
     nodes.unpersist()
     outdeg.unpersist()
     return ranks
+
+
+def anchor_stats(
+    links: DataFrame,
+    target_col: str = "href",
+    anchor_col: str = "anchor",
+    source_col: str = "doc_id",
+) -> DataFrame:
+    """Per-target anchor-text aggregation over the outlink table
+    (ops/cleaning.extract_links' output): how many links point at each
+    target, from how many distinct source docs, and the modal anchor
+    text (ties by ascending anchor — deterministic, oracle-checkable).
+    Anchor text is the classic off-page relevance/quality signal a
+    crawl ranker consumes next to in-degree/PageRank.
+
+    Scale (100 TB): two aggregations with map-side partials — one keyed
+    (href, anchor) for the mode, one keyed href for the totals — and a
+    href-keyed join of the two (both sides already hash-partitioned by
+    href after their aggs, so the join reuses that layout). The modal
+    pick is a per-href window over the ALREADY-AGGREGATED pair counts
+    (cardinality = distinct anchors per target, not link count), never
+    over raw links."""
+    from pyspark.sql import Window
+
+    base = (
+        ensure_parallelism(links)
+        .select(
+            F.col(target_col).alias("href"),
+            F.trim(F.col(anchor_col)).alias("anchor"),
+            F.col(source_col).alias("src"),
+        )
+        .where(F.col("href") != "")
+    )
+    pair = base.groupBy("href", "anchor").agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("href").orderBy(F.col("_n").desc(), F.col("anchor"))
+    top = (
+        pair.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("href", F.col("anchor").alias("top_anchor"))
+    )
+    totals = base.groupBy("href").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("src").alias("n_source_docs"),
+    )
+    return totals.join(top, "href")

@@ -156,6 +156,8 @@ def test_oracled_queries_precede_rows_only():
         # plan family of tier-1 domain_blocklist/wordlist_density;
         # kernel grammar pinned in TestRobotsTxtKernel
         "robots_txt_gate",
+        # anchor-text aggregation — composes tier-1 link_extract
+        "anchor_stats",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

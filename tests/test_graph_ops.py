@@ -94,3 +94,43 @@ def test_curated_doc_ids_quality_canonical(spark):
     assert 3 in by_id and 3 in by_q
     assert by_id == {1, 3}
     assert by_q == {2, 3}
+
+
+class TestAnchorStats:
+    def test_counts_mode_and_tiebreak(self, spark):
+        from pyspark.sql import Row
+        from correctocr_spark.ops.graph import anchor_stats
+
+        links = spark.createDataFrame(
+            [
+                Row(doc_id=1, href="http://t.com/a", anchor="click"),
+                Row(doc_id=1, href="http://t.com/a", anchor="click"),
+                Row(doc_id=2, href="http://t.com/a", anchor=" here "),
+                Row(doc_id=2, href="http://t.com/a", anchor="beta"),
+                # tie (1 vs 1) on /b -> ascending anchor wins
+                Row(doc_id=3, href="http://t.com/b", anchor="zz"),
+                Row(doc_id=4, href="http://t.com/b", anchor="aa"),
+                Row(doc_id=5, href="", anchor="dropped"),
+            ]
+        )
+        got = {r["href"]: r for r in anchor_stats(links).collect()}
+        assert set(got) == {"http://t.com/a", "http://t.com/b"}
+        a = got["http://t.com/a"]
+        assert a["n_links"] == 4 and a["n_source_docs"] == 2
+        assert a["top_anchor"] == "click"
+        b = got["http://t.com/b"]
+        assert b["n_links"] == 2 and b["top_anchor"] == "aa"
+
+    def test_anchor_trimmed_before_mode(self, spark):
+        from pyspark.sql import Row
+        from correctocr_spark.ops.graph import anchor_stats
+
+        links = spark.createDataFrame(
+            [
+                Row(doc_id=1, href="h", anchor="x "),
+                Row(doc_id=2, href="h", anchor=" x"),
+                Row(doc_id=3, href="h", anchor="y"),
+            ]
+        )
+        r = anchor_stats(links).collect()[0]
+        assert r["top_anchor"] == "x" and r["n_links"] == 3

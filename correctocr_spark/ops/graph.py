@@ -107,11 +107,15 @@ def anchor_stats(
 
     Scale (100 TB): two aggregations with map-side partials — one keyed
     (href, anchor) for the mode, one keyed href for the totals — and a
-    href-keyed join of the two (both sides already hash-partitioned by
-    href after their aggs, so the join reuses that layout). The modal
-    pick is a per-href window over the ALREADY-AGGREGATED pair counts
-    (cardinality = distinct anchors per target, not link count), never
-    over raw links."""
+    href-keyed join of the two. The modal pick is a per-href window
+    over the ALREADY-AGGREGATED pair counts (cardinality = distinct
+    anchors per target, not link count), never over raw links. The
+    ``links`` input is CONSUMED TWICE (pair branch + totals branch) and
+    deliberately not persisted — same trade as domain_blocklist: at
+    corpus scale ``links`` is a materialized 3-column table whose
+    second pruned scan is cheaper than caching it; hand this op a
+    parquet-backed link table, not an inline html-explode composition,
+    when the input is big."""
     from pyspark.sql import Window
 
     base = (

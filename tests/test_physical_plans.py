@@ -212,3 +212,22 @@ def test_host_quota_no_partitionless_window(spark):
     for m in re.finditer(r"\(\d+\) Window\n(?:.*\n)*?Arguments: \[(.*)\]", p):
         assert "host" in m.group(1), m.group(0)
     assert "SinglePartition" not in p
+
+
+def test_anchor_stats_partial_aggs_and_copartitioned_join(spark):
+    """Every key exchange is an href-rooted hashpartitioning with a
+    map-side partial aggregate below it; the modal window runs behind a
+    WindowGroupLimit (top-1 pushdown over aggregated pair counts, never
+    raw links); no cartesian anywhere. The links input is consumed
+    twice by design (see the op docstring) so two branches of 2 key
+    exchanges each is the expected shape."""
+    p = plan_of(entry_mod.q_anchor_stats(spark, SF))
+    key_exchanges = [
+        m.group(1)
+        for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n)*?Arguments: (\S+)", p)
+        if not m.group(1).startswith("RoundRobinPartitioning")
+    ]
+    assert 2 <= len(key_exchanges) <= 4, key_exchanges
+    assert all(k.startswith("hashpartitioning(href") for k in key_exchanges)
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

@@ -1018,6 +1018,45 @@ def q_robots_txt_gate(spark, sf_dir):
     )
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap discovery parse over injected XML: 9/10 docs carry a
+    urlset (two entries, one with full meta incl. a bogus priority that
+    must NULL via try_cast, whitespace-padded loc) and 1/10 a
+    sitemapindex child — row-local regex explode, scan speed."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import parse_sitemaps
+
+    did = F.col("doc_id")
+    host = F.concat(F.lit("https://ex"), (did % 5).cast("string"), F.lit(".com"))
+    urlset = F.concat(
+        F.lit("<urlset>\n<url>\n<loc> "),
+        host,
+        F.lit("/p/"),
+        did.cast("string"),
+        F.lit(" </loc>\n<lastmod>2024-01-0"),
+        (did % 9 + 1).cast("string"),
+        F.lit("</lastmod>\n<changefreq>daily</changefreq>\n<priority>0."),
+        (did % 10).cast("string"),
+        F.lit("</priority>\n</url>\n<url><loc>"),
+        host,
+        F.lit("/q/"),
+        did.cast("string"),
+        F.lit("</loc><priority>bogus</priority></url>\n</urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex>\n<sitemap>\n<loc>"),
+        host,
+        F.lit("/maps/"),
+        did.cast("string"),
+        F.lit(".xml</loc>\n<lastmod>2024-03-03</lastmod>\n</sitemap>\n</sitemapindex>"),
+    )
+    maps = _t(spark, sf_dir, "documents").select(
+        F.concat(host, F.lit("/sitemap.xml")).alias("url"),
+        F.when(did % 10 == 0, index).otherwise(urlset).alias("content"),
+    )
+    return parse_sitemaps(maps)
+
+
 def q_lm_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing: head/middle/tail by corpus
     quantile cuts on the unigram-LM mean log probability (cuts at the
@@ -1738,6 +1777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # anchor-text aggregation — composes tier-1 link_extract; its
         # agg/window cores are the tier-1 word_freq/topk_per_group shapes
         "anchor_stats": q_anchor_stats,
+        # sitemap discovery parse — regex-explode core shared with
+        # tier-1 link_extract (same Generate shape, injected XML)
+        "sitemap_parse": q_sitemap_parse,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics) ----
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
@@ -2876,6 +2918,67 @@ def oracle_sql() -> dict[str, str]:
         "corpus_rollup": _rollup_sql(),
         "link_extract": _link_sql(),
         "anchor_stats": _anchor_stats_sql(),
+        "sitemap_parse": r"""
+            WITH maps AS (
+                SELECT 'https://ex' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.com/sitemap.xml' AS source,
+                       CASE WHEN doc_id % 10 = 0 THEN
+                           '<sitemapindex>' || chr(10) || '<sitemap>' || chr(10)
+                           || '<loc>https://ex' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.com/maps/' || CAST(doc_id AS VARCHAR)
+                           || '.xml</loc>' || chr(10)
+                           || '<lastmod>2024-03-03</lastmod>' || chr(10)
+                           || '</sitemap>' || chr(10) || '</sitemapindex>'
+                       ELSE
+                           '<urlset>' || chr(10) || '<url>' || chr(10)
+                           || '<loc> https://ex' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.com/p/' || CAST(doc_id AS VARCHAR) || ' </loc>'
+                           || chr(10) || '<lastmod>2024-01-0'
+                           || CAST(doc_id % 9 + 1 AS VARCHAR) || '</lastmod>'
+                           || chr(10) || '<changefreq>daily</changefreq>'
+                           || chr(10) || '<priority>0.'
+                           || CAST(doc_id % 10 AS VARCHAR) || '</priority>'
+                           || chr(10) || '</url>' || chr(10)
+                           || '<url><loc>https://ex' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.com/q/' || CAST(doc_id AS VARCHAR)
+                           || '</loc><priority>bogus</priority></url>'
+                           || chr(10) || '</urlset>'
+                       END AS content
+                FROM documents
+            ),
+            u AS (
+                SELECT source, 'url' AS kind,
+                       unnest(regexp_extract_all(content,
+                           '(?s)<url>.*?</url>', 0)) AS block
+                FROM maps
+            ),
+            sm AS (
+                SELECT source, 'sitemap' AS kind,
+                       unnest(regexp_extract_all(content,
+                           '(?s)<sitemap>.*?</sitemap>', 0)) AS block
+                FROM maps
+            ),
+            both_k AS (
+                SELECT source, kind, block, TRUE AS with_meta FROM u
+                UNION ALL
+                SELECT source, kind, block, FALSE FROM sm
+            ),
+            parsed AS (
+                SELECT source, kind,
+                       trim(regexp_extract(block, '<loc>([^<]*)</loc>', 1)) AS loc,
+                       trim(regexp_extract(block,
+                           '<lastmod>([^<]*)</lastmod>', 1)) AS lastmod,
+                       CASE WHEN with_meta THEN trim(regexp_extract(block,
+                           '<changefreq>([^<]*)</changefreq>', 1)) ELSE '' END
+                           AS changefreq,
+                       CASE WHEN with_meta THEN TRY_CAST(trim(regexp_extract(
+                           block, '<priority>([^<]*)</priority>', 1)) AS DOUBLE)
+                       END AS priority
+                FROM both_k
+            )
+            SELECT * FROM parsed WHERE loc <> ''
+        """,
+
         "pack_shards": f"""
             WITH d AS (SELECT doc_id, len({_WORDS})::BIGINT AS n_tokens FROM documents)
             SELECT doc_id, n_tokens,

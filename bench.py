@@ -115,6 +115,7 @@ HEADLINE = [
     "cdx_fetch_plan",
     "robots_txt_gate",
     "anchor_stats",
+    "sitemap_parse",
 ]
 
 

@@ -234,3 +234,71 @@ def cdxj_lines(cdx: DataFrame) -> DataFrame:
     return ensure_parallelism(cdx).select(
         F.concat_ws(" ", F.col("urlkey"), F.col("cdx_ts"), payload).alias("value")
     )
+
+
+#: sitemap grammar (shared Java∩RE2): (?s) so blocks span lines;
+#: non-greedy block bodies, values as [^<]* runs trimmed engine-side
+_URL_BLOCK_RE = r"(?s)<url>.*?</url>"
+_SMAP_BLOCK_RE = r"(?s)<sitemap>.*?</sitemap>"
+_LOC_RE = r"<loc>([^<]*)</loc>"
+_LASTMOD_RE = r"<lastmod>([^<]*)</lastmod>"
+_CHANGEFREQ_RE = r"<changefreq>([^<]*)</changefreq>"
+_PRIORITY_RE = r"<priority>([^<]*)</priority>"
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame,
+    source_col: str = "url",
+    content_col: str = "content",
+) -> DataFrame:
+    """XML sitemaps → the crawl-discovery table: one row per ``<url>``
+    entry (``kind='url'``: loc, lastmod, changefreq, priority) or per
+    ``<sitemap>`` child of an index file (``kind='sitemap'``: loc,
+    lastmod) — the input a frontier scheduler unions with the link
+    graph. Sitemaps protocol (sitemaps.org), the subset both regex
+    engines state identically: tag-wrapped values, block structure by
+    non-greedy ``(?s)`` spans, values trimmed; ``priority`` cast to
+    double (NULL on garbage), timestamps kept as the raw W3C strings
+    (parse downstream — lastmod formats vary too much to pin here).
+
+    Row-local explode of dimension-small documents (a sitemap file
+    covers a host): scan-speed, one Generate, no shuffle — exactly the
+    link_extract shape."""
+    c = F.col(content_col)
+
+    def _entries(block_re: str, kind: str, with_meta: bool):
+        block = F.explode(
+            F.regexp_extract_all(c, F.lit(block_re), 0)
+        ).alias("_block")
+        cols = [
+            F.col(source_col).alias("source"),
+            F.lit(kind).alias("kind"),
+            F.trim(F.regexp_extract("_block", _LOC_RE, 1)).alias("loc"),
+            F.trim(F.regexp_extract("_block", _LASTMOD_RE, 1)).alias("lastmod"),
+        ]
+        if with_meta:
+            cols += [
+                F.trim(F.regexp_extract("_block", _CHANGEFREQ_RE, 1)).alias(
+                    "changefreq"
+                ),
+                # try_cast (not cast): '' / garbage must yield NULL, not
+                # an ANSI-mode task failure — DuckDB twin uses TRY_CAST
+                F.trim(F.regexp_extract("_block", _PRIORITY_RE, 1))
+                .try_cast("double")
+                .alias("priority"),
+            ]
+        else:
+            cols += [
+                F.lit("").alias("changefreq"),
+                F.lit(None).cast("double").alias("priority"),
+            ]
+        return (
+            ensure_parallelism(sitemaps)
+            .select(F.col(source_col), c, block)
+            .select(*cols)
+            .where(F.col("loc") != "")
+        )
+
+    return _entries(_URL_BLOCK_RE, "url", True).unionByName(
+        _entries(_SMAP_BLOCK_RE, "sitemap", False)
+    )

@@ -158,6 +158,9 @@ def test_oracled_queries_precede_rows_only():
         "robots_txt_gate",
         # anchor-text aggregation — composes tier-1 link_extract
         "anchor_stats",
+        # sitemap parse — regex-explode core shared with tier-1
+        # link_extract
+        "sitemap_parse",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

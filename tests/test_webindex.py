@@ -176,3 +176,64 @@ class TestParseCdxjRobustness:
         out = parse_cdxj(lines).collect()
         ok = [r for r in out if r["urlkey"] is not None]
         assert len(ok) == 1 and ok[0]["status"] == 200 and ok[0]["length"] == 10
+
+
+SITEMAP_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc> https://example.com/a </loc>
+    <lastmod>2024-01-01</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url><loc>https://example.com/b</loc></url>
+  <url><lastmod>2024-02-02</lastmod></url>
+</urlset>
+"""
+
+SITEMAP_INDEX_XML = """<sitemapindex>
+  <sitemap>
+    <loc>https://example.com/sitemap-1.xml.gz</loc>
+    <lastmod>2024-03-03T01:02:03Z</lastmod>
+  </sitemap>
+</sitemapindex>
+"""
+
+
+class TestParseSitemaps:
+    def test_urlset_entries(self, spark):
+        from correctocr_spark.ops.webindex import parse_sitemaps
+
+        df = spark.createDataFrame(
+            [Row(url="https://example.com/sitemap.xml", content=SITEMAP_XML)]
+        )
+        rows = sorted(parse_sitemaps(df).collect(), key=lambda r: r["loc"])
+        # the loc-less <url> block is dropped
+        assert len(rows) == 2
+        a, b = rows
+        assert a["loc"] == "https://example.com/a" and a["kind"] == "url"
+        assert a["lastmod"] == "2024-01-01"
+        assert a["changefreq"] == "daily" and a["priority"] == 0.8
+        assert b["loc"] == "https://example.com/b"
+        assert b["lastmod"] == "" and b["priority"] is None
+
+    def test_sitemapindex_entries(self, spark):
+        from correctocr_spark.ops.webindex import parse_sitemaps
+
+        df = spark.createDataFrame(
+            [Row(url="https://example.com/sitemap.xml", content=SITEMAP_INDEX_XML)]
+        )
+        rows = parse_sitemaps(df).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["kind"] == "sitemap"
+        assert r["loc"] == "https://example.com/sitemap-1.xml.gz"
+        assert r["lastmod"] == "2024-03-03T01:02:03Z" and r["priority"] is None
+
+    def test_garbage_priority_null(self, spark):
+        from correctocr_spark.ops.webindex import parse_sitemaps
+
+        df = spark.createDataFrame(
+            [Row(url="s", content="<url><loc>x</loc><priority>high</priority></url>")]
+        )
+        assert parse_sitemaps(df).collect()[0]["priority"] is None

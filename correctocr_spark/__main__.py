@@ -633,7 +633,11 @@ def main(argv=None) -> int:
                     .option("pathGlobFilter", args.glob)
                     .load(args.input)
                 )
-                lines = cdxj_lines(cdx_index(segs).sort("urlkey", "cdx_ts"))
+                lines = cdxj_lines(
+                    cdx_index(segs, skip_bad=args.keep_errors).sort(
+                        "urlkey", "cdx_ts"
+                    )
+                )
                 lines.write.mode("overwrite").text(args.cdx_out)
                 n_idx = spark.read.text(args.cdx_out).count()
                 print(f"cdx: {n_idx} index records at {args.cdx_out}")

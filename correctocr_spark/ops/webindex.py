@@ -161,7 +161,7 @@ def fetch_plan(cdx: DataFrame, filename_col: str = "filename") -> DataFrame:
     )
 
 
-def cdx_index(segments: DataFrame) -> DataFrame:
+def cdx_index(segments: DataFrame, skip_bad: bool = False) -> DataFrame:
     """CDX index records from per-record-gzip WARC segments (a
     binaryFile scan: ``path``/``content`` columns) — the inverse
     proof for :func:`parse_cdxj` and the random-access layer over our
@@ -186,7 +186,12 @@ def cdx_index(segments: DataFrame) -> DataFrame:
             for path, content in zip(pdf["path"], pdf["content"]):
                 fname = str(path).rsplit("/", 1)[-1]
                 rows = []
-                for off, length, rec in iter_record_spans(bytes(content)):
+                # skip_bad salvages records up to a corruption point in
+                # THIS segment instead of failing the whole task — the
+                # same dial as the WARC reader (strict by default)
+                for off, length, rec in iter_record_spans(
+                    bytes(content), skip_bad=skip_bad
+                ):
                     if rec.rec_type != "response" or rec.uri is None:
                         continue
                     status, body = split_http_response(rec.payload)

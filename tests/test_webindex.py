@@ -237,3 +237,20 @@ class TestParseSitemaps:
             [Row(url="s", content="<url><loc>x</loc><priority>high</priority></url>")]
         )
         assert parse_sitemaps(df).collect()[0]["priority"] is None
+
+
+class TestCdxIndexSkipBad:
+    def test_corrupt_segment_salvaged_or_raises(self, spark, tmp_path):
+        """Strict mode fails the task on a truncated segment; skip_bad
+        salvages the records before the corruption point."""
+        from correctocr_spark.ops.webindex import cdx_index
+
+        path = tmp_path / "seg-bad.warc.gz"
+        write_warc(_pages(4), str(path))
+        data = open(path, "rb").read()
+        open(path, "wb").write(data[:-25])  # truncate the last member
+        segs = spark.read.format("binaryFile").load(str(path))
+        with pytest.raises(Exception):
+            cdx_index(segs).collect()
+        salvaged = cdx_index(segs, skip_bad=True).collect()
+        assert 0 < len(salvaged) < 4

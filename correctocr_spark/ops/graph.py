@@ -1,6 +1,7 @@
-"""Link-graph operators for crawl curation: in-degree and an
-integer-arithmetic PageRank — the quality prior a frontier scheduler or
-document-weighting pass consumes (fed by ops/cleaning.extract_links).
+"""Link-graph operators for crawl curation: in-degree, an
+integer-arithmetic PageRank, and per-target anchor-text aggregation —
+the quality/relevance priors a frontier scheduler or document-weighting
+pass consumes (fed by ops/cleaning.extract_links).
 
 PageRank here is the INTEGER-TRUNCATED variant: ranks are integer
 "micro-rank" units and every step is exact integer arithmetic

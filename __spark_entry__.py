@@ -1018,6 +1018,51 @@ def q_robots_txt_gate(spark, sf_dir):
     )
 
 
+def q_page_metadata(spark, sf_dir):
+    """HTML metadata harvest over injected pages: multi-whitespace
+    titles (collapse pinned), description metas in swapped attribute
+    order on even ids, a robots-meta decoy on every page, canonical
+    links on ids %3 (stylesheet link otherwise — rel filtering
+    pinned). Row-local, scan speed."""
+    _ship(spark)
+    from correctocr_spark.ops.filters import page_metadata
+
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did.cast("string"),
+        F.lit(" \n Title</title>"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<meta content="desc '),
+                did.cast("string"),
+                F.lit("\" name='description'>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<meta name="robots" content="noindex">'),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<link rel=canonical href="https://c.example/'),
+                did.cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit('<link rel="stylesheet" href="/s.css">')),
+        F.lit("</head><body>"),
+        F.col("text"),
+        F.lit("</body></html>"),
+    )
+    pages = _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    out = page_metadata(pages)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "title",
+        "meta_description",
+        "canonical_url",
+    )
+
+
 def q_sitemap_parse(spark, sf_dir):
     """Sitemap discovery parse over injected XML: 9/10 docs carry a
     urlset (two entries, one with full meta incl. a bogus priority that
@@ -1780,6 +1825,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sitemap discovery parse — regex-explode core shared with
         # tier-1 link_extract (same Generate shape, injected XML)
         "sitemap_parse": q_sitemap_parse,
+        # page-metadata harvest — the robots_directives meta grammar
+        # (tier-1) applied to title/description/canonical
+        "page_metadata": q_page_metadata,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics) ----
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
@@ -2918,6 +2966,48 @@ def oracle_sql() -> dict[str, str]:
         "corpus_rollup": _rollup_sql(),
         "link_extract": _link_sql(),
         "anchor_stats": _anchor_stats_sql(),
+        "page_metadata": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                       || ' ' || chr(10) || ' Title</title>'
+                       || CASE WHEN doc_id % 2 = 0 THEN
+                              '<meta content="desc ' || CAST(doc_id AS VARCHAR)
+                              || '" name=''description''>'
+                          ELSE '' END
+                       || '<meta name="robots" content="noindex">'
+                       || CASE WHEN doc_id % 3 = 0 THEN
+                              '<link rel=canonical href="https://c.example/'
+                              || CAST(doc_id AS VARCHAR) || '">'
+                          ELSE '<link rel="stylesheet" href="/s.css">' END
+                       || '</head><body>' || text || '</body></html>' AS html
+                FROM documents
+            ),
+            metas AS (
+                SELECT doc_id, html,
+                       list_filter(
+                           regexp_extract_all(html, '(?i)<meta\b[^>]*>', 0),
+                           m -> regexp_matches(m,
+                               '(?i)name\s*=\s*[''"]?description')) AS descs,
+                       list_filter(
+                           regexp_extract_all(html, '(?i)<link\b[^>]*>', 0),
+                           m -> regexp_matches(m,
+                               '(?i)rel\s*=\s*[''"]?canonical')) AS canons
+                FROM pages
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_extract(html,
+                       '(?is)<title[^>]*>([^<]*)</title>', 1),
+                       '\s+', ' ', 'g')) AS title,
+                   coalesce(regexp_extract(descs[1],
+                       '(?i)content\s*=\s*[''"]([^''"]*)', 1), '')
+                       AS meta_description,
+                   coalesce(regexp_extract(canons[1],
+                       '(?i)href\s*=\s*[''"]([^''"]*)', 1), '')
+                       AS canonical_url
+            FROM metas
+        """,
+
         "sitemap_parse": r"""
             WITH maps AS (
                 SELECT 'https://ex' || CAST(doc_id % 5 AS VARCHAR)

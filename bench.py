@@ -116,6 +116,7 @@ HEADLINE = [
     "robots_txt_gate",
     "anchor_stats",
     "sitemap_parse",
+    "page_metadata",
 ]
 
 

@@ -37,7 +37,13 @@ __all__ = [
     "domain_blocklist",
     "blocked_doc_ids",
     "wordlist_density",
+    "robots_directives",
+    "robots_txt_rules",
+    "robots_txt_gate",
     "deterministic_shuffle",
+    "host_quota",
+    "host_col",
+    "page_metadata",
     "GOPHER_STOPWORDS",
 ]
 
@@ -644,4 +650,55 @@ def robots_txt_gate(
         F.when(F.col("_rules").isNull() | best.isNull(), F.lit(True))
         .otherwise(best["allow"])
         .alias("allowed"),
+    )
+
+
+#: page-metadata grammar (Java∩RE2, shared with the oracle): same
+#: attribute-order-independent meta matching as robots_directives
+_TITLE_RE = r"(?is)<title[^>]*>([^<]*)</title>"
+_DESC_NAME_RE = r"(?i)name\s*=\s*['\"]?description"
+_LINK_TAG_RE = r"(?i)<link\b[^>]*>"
+_CANONICAL_REL_RE = r"(?i)rel\s*=\s*['\"]?canonical"
+_HREF_ATTR_RE = r"""(?i)href\s*=\s*['\"]([^'\"]*)"""
+
+
+def page_metadata(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """Per-page HTML metadata harvest: ``title`` (first ``<title>``
+    text, whitespace-collapsed), ``meta_description`` (first
+    ``<meta name=description>`` content) and ``canonical_url`` (first
+    ``<link rel=canonical>`` href) — the curation metadata every web
+    pipeline keeps next to the extracted text (dedup keys on canonical
+    URLs; title/description feed quality and retrieval signals).
+
+    Same grammar discipline as :func:`robots_directives`: tags matched
+    attribute-order- and quoting-independently, name and value
+    extracted separately, all patterns Java∩RE2 so the DuckDB oracle
+    states them verbatim. Absent fields are empty strings (never NULL
+    — downstream group-bys must not conflate 'no title' with a missing
+    scan row). Row-local, scan-speed, no shuffle."""
+    html = F.col(html_col)
+    # coalesce: a NULL html column must still yield '' fields
+    title = F.coalesce(
+        F.trim(
+            F.regexp_replace(F.regexp_extract(html, _TITLE_RE, 1), r"\s+", " ")
+        ),
+        F.lit(""),
+    )
+    metas = F.regexp_extract_all(html, F.lit(_META_TAG_RE), 0)
+    # F.get (0-based) not element_at: ANSI mode makes element_at
+    # THROW on an empty array; get returns NULL out of bounds
+    desc_tag = F.get(F.filter(metas, lambda m: m.rlike(_DESC_NAME_RE)), 0)
+    desc = F.coalesce(F.regexp_extract(desc_tag, _CONTENT_RE, 1), F.lit(""))
+    links = F.regexp_extract_all(html, F.lit(_LINK_TAG_RE), 0)
+    canon_tag = F.get(F.filter(links, lambda m: m.rlike(_CANONICAL_REL_RE)), 0)
+    canon = F.coalesce(F.regexp_extract(canon_tag, _HREF_ATTR_RE, 1), F.lit(""))
+    return ensure_parallelism(pages).select(
+        F.col(id_col).alias("doc_id"),
+        title.alias("title"),
+        desc.alias("meta_description"),
+        canon.alias("canonical_url"),
     )

@@ -161,6 +161,9 @@ def test_oracled_queries_precede_rows_only():
         # sitemap parse — regex-explode core shared with tier-1
         # link_extract
         "sitemap_parse",
+        # page-metadata harvest — tier-1 robots_directives' meta
+        # grammar applied to title/description/canonical
+        "page_metadata",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -695,3 +695,53 @@ class TestRobotsTxtCurateGate:
         ids = {r["doc_id"] for r in out.collect()}
         spark.catalog.clearCache()
         assert ids == {0, 2, 4}
+
+
+class TestPageMetadata:
+    def test_extracts_all_three(self, spark):
+        from correctocr_spark.ops.filters import page_metadata
+
+        html = (
+            "<html><head>\n<TITLE>\n  My   Page \n</TITLE>"
+            "<meta content='a decoy description' name=\"description\">"
+            '<link href="https://ex.com/canon" rel="canonical">'
+            "</head><body>x</body></html>"
+        )
+        df = spark.createDataFrame([Row(doc_id=1, html=html)])
+        r = page_metadata(df).collect()[0]
+        assert r["title"] == "My Page"
+        assert r["meta_description"] == "a decoy description"
+        assert r["canonical_url"] == "https://ex.com/canon"
+
+    def test_absent_fields_empty_not_null(self, spark):
+        from correctocr_spark.ops.filters import page_metadata
+
+        df = spark.createDataFrame([Row(doc_id=1, html="<p>no head</p>")])
+        r = page_metadata(df).collect()[0]
+        assert r["title"] == "" and r["meta_description"] == ""
+        assert r["canonical_url"] == ""
+
+    def test_first_tag_wins_and_robots_meta_ignored(self, spark):
+        from correctocr_spark.ops.filters import page_metadata
+
+        html = (
+            '<meta name="robots" content="noindex">'
+            '<meta name="description" content="first">'
+            '<meta name="description" content="second">'
+            '<link rel="stylesheet" href="/style.css">'
+            '<link rel="canonical" href="/real">'
+        )
+        df = spark.createDataFrame([Row(doc_id=1, html=html)])
+        r = page_metadata(df).collect()[0]
+        assert r["meta_description"] == "first"
+        assert r["canonical_url"] == "/real"
+
+
+def test_page_metadata_null_html_yields_empty_fields(spark):
+    from correctocr_spark.ops.filters import page_metadata
+
+    probe = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "<title>unclosed")], "doc_id long, html string"
+    )
+    rows = sorted(tuple(r) for r in page_metadata(probe).collect())
+    assert rows == [(1, "", "", ""), (2, "", "", ""), (3, "", "", "")]

@@ -406,3 +406,55 @@ def test_cli_ingest_cdx_out(tmp_path, spark):
         data = open(str(tmp_path / "warc" / row["filename"]), "rb").read()
         rec = list(parse_warc(data[row["offset"]: row["offset"] + row["length"]]))[0]
         assert rec.uri == row["url"]
+
+
+@pytest.mark.slow
+def test_cli_curate_all_gates_compose(tmp_path, spark):
+    """Integration smoke: every curate gate active at once — robots.txt
+    fetch gate, domain blocklist, Gopher rules, badwords, host quota,
+    seeded shuffle — and the survivor set is exactly the docs that pass
+    ALL of them, in a reproducible global order."""
+    stop = ["the", "of", "and", "to", "in", "is", "was", "for", "that", "with"]
+
+    def good_text(i, n=60):
+        return " ".join(f"w{i}x{j} {stop[j % 10]}" for j in range(n))
+
+    rows = []
+    for i in range(12):
+        host = "blocked.example" if i == 1 else "h.com"
+        path = "private" if i == 2 else "pub"
+        text = good_text(i, 20 + 2 * i) if i != 3 else "- b\n- c\n- d"
+        if i == 4:
+            text = good_text(i, 24) + " " + " ".join(["casino spins"] * 6)
+        rows.append((i, text, "en", f"https://{host}/{path}/{i}"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string"
+    ).write.parquet(str(tmp_path / "docs"))
+
+    spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, content string",
+    ).write.parquet(str(tmp_path / "robots"))
+    (tmp_path / "blocked.txt").write_text("blocked.example\n")
+    (tmp_path / "bad.txt").write_text("casino\nspins\n")
+
+    out = str(tmp_path / "curated")
+    r = run_cli(
+        "curate", "--input", str(tmp_path / "docs"), "--output", out,
+        "--min-quality", "0",
+        "--robots-txt", str(tmp_path / "robots"),
+        "--blocklist", str(tmp_path / "blocked.txt"),
+        "--gopher",
+        "--badwords", str(tmp_path / "bad.txt"),
+        "--host-quota", "5",
+        "--shuffle-seed", "s1",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = spark.read.parquet(out).select("doc_id", "position").collect()
+    ids = {x["doc_id"] for x in got}
+    # dropped: 1 (blocked host), 2 (robots /private/), 3 (gopher: all
+    # bullets + too short), 4 (badwords); survivors 0,5..11 = 8 docs,
+    # host quota 5 keeps the 5 LONGEST (ids 7..11)
+    assert ids == {7, 8, 9, 10, 11}
+    # seeded order: dense positions 1..5, reproducible
+    assert sorted(x["position"] for x in got) == [1, 2, 3, 4, 5]

@@ -231,3 +231,15 @@ def test_anchor_stats_partial_aggs_and_copartitioned_join(spark):
     assert all(k.startswith("hashpartitioning(href") for k in key_exchanges)
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_sitemap_and_page_metadata_scan_speed(spark):
+    """Both metadata harvests are row-local: no key shuffle, join, or
+    aggregate; sitemap_parse is a two-branch union of regex Generates
+    over one injected scan."""
+    for q in (entry_mod.q_sitemap_parse, entry_mod.q_page_metadata):
+        p = plan_of(q(spark, SF))
+        for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n)*?Arguments: (\S+)", p):
+            assert m.group(1).startswith("RoundRobinPartitioning"), m.group(0)
+        assert "SortMergeJoin" not in p and "HashAggregate" not in p
+        assert "CartesianProduct" not in p

@@ -1102,6 +1102,17 @@ def q_sitemap_parse(spark, sf_dir):
     return parse_sitemaps(maps)
 
 
+def q_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal (repetitiveness proxy) —
+    Arrow-vectorized UDF, deterministic for a fixed zlib build but not
+    SQL-expressible: rows-only driver entry, value identity vs kernel
+    zlib pinned by TestCompressionRatio."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import compression_ratio
+
+    return compression_ratio(_t(spark, sf_dir, "documents"))
+
+
 def q_lm_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing: head/middle/tail by corpus
     quantile cuts on the unigram-LM mean log probability (cuts at the
@@ -1828,7 +1839,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # page-metadata harvest — the robots_directives meta grammar
         # (tier-1) applied to title/description/canonical
         "page_metadata": q_page_metadata,
-        # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics) ----
+        # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
+        # the zlib compression signal — deterministic but not
+        # SQL-expressible; kernel-zlib identity pinned in pytest) ----
+        "compression_ratio": q_compression_ratio,
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
         "overview_projection": q_overview_projection,

@@ -117,6 +117,7 @@ HEADLINE = [
     "anchor_stats",
     "sitemap_parse",
     "page_metadata",
+    "compression_ratio",
 ]
 
 

@@ -305,3 +305,50 @@ def lm_quality_buckets(
         .alias("bucket"),
     )
     return register_intermediates(out, scores)
+
+
+def compression_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the repetitiveness proxy
+    web-curation pipelines keep next to the Gopher repetition signals
+    (highly templated/duplicated text compresses far below prose;
+    ratio = compressed/raw UTF-8 bytes, rounded to 6 digits, NULL for
+    NULL text, 1.0 for empty). Returns ``(doc_id, n_bytes, ratio)``.
+
+    A sanctioned VECTORIZED UDF (Arrow-batched ``pandas_udf``, the
+    normalize_text pattern): zlib at a fixed level is deterministic
+    for a given zlib build, so values are retry- and partition-stable
+    — but NOT SQL-expressible, hence a rows-only driver entry with the
+    value identity pinned against the kernel zlib in pytest. Pure
+    per-row map: scan-speed, zero shuffle."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_bytes long, ratio double")
+    def _ratio(s: pd.Series) -> pd.DataFrame:
+        def one(t):
+            if t is None:
+                return (None, None)
+            raw = t.encode("utf-8")
+            if not raw:
+                return (0, 1.0)
+            return (len(raw), round(len(zlib.compress(raw, level)) / len(raw), 6))
+
+        pairs = s.map(one)
+        return pd.DataFrame(
+            {"n_bytes": [p[0] for p in pairs], "ratio": [p[1] for p in pairs]}
+        )
+
+    d = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), _ratio(F.col(text_col)).alias("_r")
+    )
+    return d.select(
+        "doc_id",
+        F.col("_r.n_bytes").alias("n_bytes"),
+        F.col("_r.ratio").alias("ratio"),
+    )

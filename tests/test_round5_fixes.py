@@ -800,3 +800,35 @@ def test_lm_buckets_plan_broadcasts_cuts(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     release_intermediates(out)
+
+
+# ---------------------------------------------------------------------------
+# compression_ratio: Arrow UDF values == driver-side zlib, edge rows total
+# ---------------------------------------------------------------------------
+
+
+class TestCompressionRatio:
+    def test_matches_kernel_zlib(self, spark):
+        import zlib
+
+        from pyspark.sql import Row
+        from correctocr_spark.ops.textstats import compression_ratio
+
+        texts = ["abc " * 50, "x", "", None, "prose with varied words herein"]
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+        got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+        for i, t in enumerate(texts):
+            if t is None:
+                assert got[i]["ratio"] is None and got[i]["n_bytes"] is None
+            elif t == "":
+                assert got[i]["ratio"] == 1.0 and got[i]["n_bytes"] == 0
+            else:
+                raw = t.encode()
+                assert got[i]["n_bytes"] == len(raw)
+                assert got[i]["ratio"] == round(
+                    len(zlib.compress(raw, 6)) / len(raw), 6
+                )
+        # the templated doc compresses far below the prose doc
+        assert got[0]["ratio"] < 0.2 < got[4]["ratio"]

@@ -891,6 +891,38 @@ def q_chunk_docs(spark, sf_dir):
     )
 
 
+def q_bloom_gate(spark, sf_dir):
+    """Bloom-filter membership gate over deterministically synthesized
+    urls (blacklist = every 7th doc's url): the bitmap is built by one
+    word-keyed bit_or aggregation, broadcast, and probed with three
+    row-local bit tests — the corpus side never shuffles (pinned by
+    test_probe_is_broadcast_no_corpus_shuffle). m_bits is kept SMALL
+    (512) so real false positives occur and the hash check verifies the
+    exact approximate-membership semantics, not just the true hits; the
+    oracle restates membership as position-subset containment over the
+    same md5 arithmetic."""
+    _ship(spark)
+    from correctocr_spark.ops.filters import bloom_bitmap, bloom_gate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://example"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    bl = docs.where(F.col("doc_id") % 7 == 0).select(F.col("url").alias("key"))
+    bm = bloom_bitmap(bl, "key", m_bits=512, num_hashes=3)
+    out = bloom_gate(docs, bm, "url", m_bits=512, num_hashes=3)
+    return out.select(
+        "doc_id",
+        "url",
+        F.col("maybe_member").cast("long").alias("maybe_member"),
+    )
+
+
 def q_host_quota(spark, sf_dir):
     """Per-host document quota (the RefinedWeb/FineWeb-style domain
     dominance cap): top-30 docs per synthesized host preferring longer
@@ -1687,7 +1719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windows / sequences / top-k (W-class, O-class)
         "topk_per_group": q_topk_per_group,
         "sessionize": q_sessionize,
-        "event_type_stats": q_event_type_stats,
+        # event_type_stats (A5, green r1-r4) moved to tier 2 for
+        # bloom_gate: its max/count agg shape is re-verified by
+        # doc_stats_by_lang + windowed_agg over the same events table
         # temporal joins (ops/temporal.py, new in r5): as-of join and
         # binned range join — each a distinct operator with no tier-1
         # sibling, so they take tier-1 slots; context_window and
@@ -1727,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": q_ngram_repetition,
         "wordlist_density": q_wordlist_density,
         "robots_directives": q_robots_directives,
+        "bloom_gate": q_bloom_gate,
         # corpus cleaning / curation
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition,
@@ -1804,6 +1839,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         # the spark.sql() surface twin of tier-1 doc_stats_by_lang
         "sql_api_stats": q_sql_api_stats,
+        # A5 max/count over events — agg shape re-verified by tier-1
+        # doc_stats_by_lang + windowed_agg (green r1-r4; displaced for
+        # bloom_gate)
+        "event_type_stats": q_event_type_stats,
         # context-length cap — a row-local slice over the same
         # whitespace-token machinery tier-1 token_counts hash-verifies
         "truncate_docs": q_truncate_docs,
@@ -2677,6 +2716,38 @@ def _ivf_search_sql(k: int = 10, nprobe: int = 2) -> str:
     """
 
 
+def _bloom_gate_sql() -> str:
+    """Bloom membership restated as position-subset containment: a key
+    is maybe-in iff every one of its 3 probe positions appears in the
+    DISTINCT position set of the blacklist — exactly the bit set the
+    Spark bitmap's bit_or aggregation packs. Same md5 arithmetic
+    (60 bits mod 512) on both engines, so false positives match
+    bit-for-bit."""
+    pos = "('0x' || substr(md5('bf' || CAST(s.i AS VARCHAR) || '|' || k.url), 1, 15))::BIGINT % 512"
+    return f"""
+        WITH keys AS (
+            SELECT doc_id,
+                   'https://example' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.com/p/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+        ),
+        seeds AS (SELECT i FROM range(3) t(i)),
+        bl_pos AS (
+            SELECT DISTINCT {pos} AS pos
+            FROM keys k, seeds s WHERE k.doc_id % 7 = 0
+        ),
+        probe AS (
+            SELECT k.doc_id, k.url, {pos} AS pos
+            FROM keys k, seeds s
+        )
+        SELECT p.doc_id, p.url,
+               CAST(min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                   AS maybe_member
+        FROM probe p LEFT JOIN bl_pos b ON p.pos = b.pos
+        GROUP BY p.doc_id, p.url
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "token_counts": f"""
@@ -2971,6 +3042,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_repetition": _ngram_repetition_sql(),
         "wordlist_density": _wordlist_density_sql(),
         "robots_directives": _robots_sql(),
+        "bloom_gate": _bloom_gate_sql(),
         "truncate_docs": _truncate_sql(),
         "pii_scrub": _pii_sql(),
         "repetition_stats": _repetition_sql(),

@@ -118,6 +118,7 @@ HEADLINE = [
     "sitemap_parse",
     "page_metadata",
     "compression_ratio",
+    "bloom_gate",
 ]
 
 

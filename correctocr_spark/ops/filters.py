@@ -44,6 +44,9 @@ __all__ = [
     "host_quota",
     "host_col",
     "page_metadata",
+    "bloom_bitmap",
+    "bloom_gate",
+    "bloom_anti_join",
     "GOPHER_STOPWORDS",
 ]
 
@@ -702,3 +705,156 @@ def page_metadata(
         desc.alias("meta_description"),
         canon.alias("canonical_url"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership gate
+# ---------------------------------------------------------------------------
+
+def _bloom_pos(key: Column, seed: int, m_bits: int) -> Column:
+    """Bit position of hash ``seed`` for ``key`` in an ``m_bits`` filter.
+
+    60 bits of md5 (15 hex chars — fits a signed BIGINT) modulo the
+    filter width; the same ``('0x' || substr(md5(...)))::BIGINT``
+    arithmetic every other hash gate in this package shares with its
+    DuckDB oracle, so membership is engine-independent."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bf{seed}|"), key)), 1, 15), 16, 10
+        ).cast("long")
+        % m_bits
+    )
+
+
+def bloom_bitmap(
+    keys: DataFrame,
+    key_col: str = "key",
+    m_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over ``keys`` as a relational bitmap:
+    one row per NON-ZERO 64-bit word, ``(word_index: long, bits: long)``.
+
+    This is the scale path for approximate membership against a key set
+    too large to broadcast raw (billions of seen URLs, benchmark-doc
+    fingerprints, previously-emitted shard keys): the set folds into
+    ``m_bits/8`` bytes once, and :func:`bloom_gate` probes it with
+    row-local bit tests — the corpus side never shuffles. False
+    positives are the documented trade (rate ``(1-e^{-kn/m})^k``);
+    false negatives are impossible, so a NOT-maybe verdict is exact —
+    which is what an anti-join pre-filter needs.
+
+    One explode (``num_hashes`` rows per key) feeds one word-keyed
+    aggregation with at most ``m_bits/64`` groups — map-side partial
+    ``bit_or`` collapses each task's contribution to at most the bitmap
+    size before the (tiny) shuffle.
+    """
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    key = F.col(key_col).cast("string")
+    out = (
+        keys.select(
+            F.explode(
+                F.array(*[_bloom_pos(key, i, m_bits) for i in range(num_hashes)])
+            ).alias("pos")
+        )
+        .select(
+            F.shiftright(F.col("pos"), 6).alias("word_index"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "_w"
+            ),
+        )
+        .groupBy("word_index")
+        .agg(F.bit_or("_w").alias("bits"))
+    )
+    # parameter stamp: a gate probing with different (m, k) is silently
+    # wrong (different positions), so refuse mismatches at probe time —
+    # same contract as MinHashIndex's persisted _meta params
+    out._bloom_params = (m_bits, num_hashes)  # type: ignore[attr-defined]
+    return out
+
+
+def bloom_gate(
+    df: DataFrame,
+    bitmap: DataFrame,
+    key_col: str = "url",
+    m_bits: int = 1 << 20,
+    num_hashes: int = 3,
+    flag_col: str = "maybe_member",
+) -> DataFrame:
+    """Flag each row of ``df`` whose ``key_col`` is *possibly* in the
+    set behind ``bitmap`` (built by :func:`bloom_bitmap` with the SAME
+    ``m_bits``/``num_hashes`` — a stamped mismatch raises).
+
+    The probe is ``num_hashes`` LEFT broadcast equi-joins on
+    ``word_index`` (the bitmap is at most ``m_bits/64`` rows ≪ the
+    auto-broadcast threshold) plus row-local bit tests: the corpus side
+    keeps its partitioning — no exchange, no window, no explode. A
+    missing bitmap word means those 64 bits are all zero, so a NULL
+    probe coalesces to a miss. ``flag_col`` is true iff ALL
+    ``num_hashes`` probed bits are set (false positives possible, false
+    negatives impossible)."""
+    params = getattr(bitmap, "_bloom_params", None)
+    if params is not None and params != (m_bits, num_hashes):
+        raise ValueError(
+            f"bloom_bitmap was built with (m_bits, num_hashes)={params}, "
+            f"gate called with {(m_bits, num_hashes)}"
+        )
+    key = F.col(key_col).cast("string")
+    out = ensure_parallelism(df)
+    hits = []
+    tmp = []
+    for i in range(num_hashes):
+        pos = _bloom_pos(key, i, m_bits)
+        wcol, bcol = f"_bfw{i}", f"_bfbits{i}"
+        tmp += [wcol, bcol]
+        out = out.withColumn(wcol, F.shiftright(pos, 6)).withColumn(
+            f"_bfb{i}", (pos % 64).cast("int")
+        )
+        tmp.append(f"_bfb{i}")
+        probe = bitmap.select(
+            F.col("word_index").alias(wcol), F.col("bits").alias(bcol)
+        )
+        out = out.join(F.broadcast(probe), wcol, "left")
+        hits.append(
+            F.coalesce(
+                F.expr(f"({bcol} & shiftleft(CAST(1 AS BIGINT), _bfb{i})) != 0"),
+                F.lit(False),
+            )
+        )
+    flag = hits[0]
+    for h in hits[1:]:
+        flag = flag & h
+    return out.withColumn(flag_col, flag).drop(*tmp)
+
+
+def bloom_anti_join(
+    df: DataFrame,
+    keys: DataFrame,
+    df_key: str = "url",
+    set_key: str = "key",
+    m_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """EXACT anti-join of ``df`` against ``keys`` with a Bloom
+    pre-filter: rows whose key the filter rules out pass through with
+    no join at all (no false negatives ⇒ they are definitely absent);
+    only the maybe-member sliver reaches the exact LEFT ANTI join —
+    at a healthy false-positive rate the expensive join sees ~|matches|
+    rows instead of the whole corpus. Output == a plain anti-join
+    (pinned by ``test_bloom_anti_join_equals_plain``); the Bloom stage
+    only changes HOW MUCH data the join touches, never the answer."""
+    bm = bloom_bitmap(keys, set_key, m_bits=m_bits, num_hashes=num_hashes)
+    flagged = bloom_gate(
+        df, bm, df_key, m_bits=m_bits, num_hashes=num_hashes, flag_col="_bf_maybe"
+    )
+    clear = flagged.where(~F.col("_bf_maybe")).drop("_bf_maybe")
+    suspect = flagged.where(F.col("_bf_maybe")).drop("_bf_maybe")
+    verified = suspect.join(
+        keys.select(F.col(set_key).alias(df_key)).distinct(),
+        df_key,
+        "left_anti",
+    )
+    return clear.unionByName(verified)

@@ -133,6 +133,9 @@ def test_oracled_queries_precede_rows_only():
         # the spark.sql() surface twin of tier-1 doc_stats_by_lang;
         # displaced by robots_directives
         "sql_api_stats",
+        # A5 max/count agg over events — shape re-verified by tier-1
+        # doc_stats_by_lang + windowed_agg; displaced by bloom_gate
+        "event_type_stats",
         # row-local slice over the whitespace-token machinery tier-1
         # token_counts hash-verifies
         "truncate_docs",

@@ -745,3 +745,127 @@ def test_page_metadata_null_html_yields_empty_fields(spark):
     )
     rows = sorted(tuple(r) for r in page_metadata(probe).collect())
     assert rows == [(1, "", "", ""), (2, "", "", ""), (3, "", "", "")]
+
+
+def _py_bloom_pos(key: str, seed: int, m_bits: int) -> int:
+    # the exact md5 arithmetic bloom_bitmap/bloom_gate compile into the
+    # plan (and the DuckDB oracle restates): 60 md5 bits mod m
+    return int(hashlib.md5(f"bf{seed}|{key}".encode()).hexdigest()[:15], 16) % m_bits
+
+
+class TestBloomGate:
+    M, K = 512, 3  # tiny on purpose: dense enough to produce real FPs
+
+    def _frames(self, spark, n_keys=30, n_corpus=200):
+        keys = spark.range(n_keys).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key")
+        )
+        corpus = spark.range(n_corpus).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("k"), F.col("id")).alias("url"),
+        )
+        return keys, corpus
+
+    def test_matches_python_reference_exactly(self, spark):
+        """Flag map (including any false positives) equals a Python
+        bloom built with the same hash arithmetic — full functional
+        cross-derivation, not just no-false-negatives."""
+        from correctocr_spark.ops.filters import bloom_bitmap, bloom_gate
+
+        keys, corpus = self._frames(spark)
+        bm = bloom_bitmap(keys, "key", m_bits=self.M, num_hashes=self.K)
+        got = {
+            r["url"]: r["maybe_member"]
+            for r in bloom_gate(
+                corpus, bm, "url", m_bits=self.M, num_hashes=self.K
+            ).collect()
+        }
+        bl_pos = {
+            _py_bloom_pos(f"k{i}", s, self.M)
+            for i in range(30)
+            for s in range(self.K)
+        }
+        want = {
+            f"k{i}": all(
+                _py_bloom_pos(f"k{i}", s, self.M) in bl_pos for s in range(self.K)
+            )
+            for i in range(200)
+        }
+        assert got == want
+        assert all(want[f"k{i}"] for i in range(30))  # no false negatives
+
+    def test_bitmap_words_match_python(self, spark):
+        from correctocr_spark.ops.filters import bloom_bitmap
+
+        keys, _ = self._frames(spark)
+        rows = bloom_bitmap(keys, "key", m_bits=self.M, num_hashes=self.K).collect()
+        words = {}
+        for i in range(30):
+            for s in range(self.K):
+                p = _py_bloom_pos(f"k{i}", s, self.M)
+                w, b = p // 64, p % 64
+                # python ints are unbounded; wrap bit 63 to the signed
+                # BIGINT the relational bitmap stores
+                bit = 1 << b
+                if bit >= 1 << 63:
+                    bit -= 1 << 64
+                words[w] = words.get(w, 0) | bit
+                if words[w] >= 1 << 63:
+                    words[w] -= 1 << 64
+        assert {r["word_index"]: r["bits"] for r in rows} == words
+
+    def test_anti_join_equals_plain(self, spark):
+        from correctocr_spark.ops.filters import bloom_anti_join
+
+        keys, corpus = self._frames(spark)
+        got = {
+            r["doc_id"]
+            for r in bloom_anti_join(
+                corpus, keys, "url", "key", m_bits=self.M, num_hashes=self.K
+            ).collect()
+        }
+        plain = {
+            r["doc_id"]
+            for r in corpus.join(
+                keys.select(F.col("key").alias("url")), "url", "left_anti"
+            ).collect()
+        }
+        assert got == plain == set(range(30, 200))
+
+    def test_param_mismatch_raises(self, spark):
+        from correctocr_spark.ops.filters import bloom_bitmap, bloom_gate
+
+        keys, corpus = self._frames(spark, n_corpus=5)
+        bm = bloom_bitmap(keys, "key", m_bits=self.M, num_hashes=self.K)
+        with pytest.raises(ValueError, match="built with"):
+            bloom_gate(corpus, bm, "url", m_bits=self.M * 2, num_hashes=self.K)
+        with pytest.raises(ValueError):
+            bloom_bitmap(keys, "key", m_bits=100)  # not a multiple of 64
+
+    def test_probe_is_broadcast_no_corpus_shuffle(self, spark):
+        """The gate's plan: every probe a BroadcastHashJoin, no
+        SortMergeJoin, and the ONLY hash exchange is the bitmap's own
+        word-keyed aggregation — the corpus side stays scan-partitioned
+        at any scale."""
+        import io
+        from contextlib import redirect_stdout
+
+        from correctocr_spark.ops.filters import bloom_bitmap, bloom_gate
+
+        keys, corpus = self._frames(spark)
+        out = bloom_gate(
+            corpus,
+            bloom_bitmap(keys, "key", m_bits=self.M, num_hashes=self.K),
+            "url",
+            m_bits=self.M,
+            num_hashes=self.K,
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" not in p
+        assert p.count("BroadcastHashJoin") >= self.K
+        for line in p.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "word_index" in line, line

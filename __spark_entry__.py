@@ -923,6 +923,61 @@ def q_bloom_gate(spark, sf_dir):
     )
 
 
+def q_robots_discovery(spark, sf_dir):
+    """Crawl-discovery signals from robots.txt bodies (8 hosts
+    synthesized from the documents table): group-scoped Crawl-delay for
+    the `*` agent — a decoy `specialbot` group carries `Crawl-delay:
+    99` that must NEVER be picked; hosts vary over invalid-then-valid
+    delays, valid delays, and no `*` group at all (NULL) — plus the
+    GLOBAL Sitemap declarations (document order, junk trailing token
+    dropped). The op runs the kernel grammar in one host-dimension
+    mapInPandas; the oracle RESTATES the grammar relationally: line
+    split → comment strip → field/value parse → agent-run group ids
+    via a lag/running-sum window → star-group join → first-valid
+    min_by."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import robots_discovery
+
+    h = F.col("h")
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 8).alias("h"))
+        .distinct()
+    )
+    body = F.concat(
+        F.lit("# policy\nUser-agent: specialbot\nCrawl-delay: 99\n"),
+        F.lit("Sitemap: https://h"),
+        h.cast("string"),
+        F.lit(".example/sm-a.xml\n"),
+        F.when(
+            h % 4 != 2,
+            F.concat(
+                F.lit("User-agent: *\n"),
+                F.when(h % 4 == 0, F.lit("Crawl-delay: fast\nCrawl-delay: 1.5"))
+                .when(
+                    h % 4 == 1,
+                    F.concat(F.lit("Crawl-delay: "), h.cast("string"), F.lit(".25")),
+                )
+                .otherwise(F.lit("Crawl-delay: 10")),
+                F.lit("\nDisallow: /tmp"),
+            ),
+        ).otherwise(F.lit("Disallow: /loose")),
+        F.lit("\nSitemap: https://h"),
+        h.cast("string"),
+        F.lit(".example/map.xml extra"),
+    )
+    robots = hosts.select(
+        F.concat(F.lit("h"), h.cast("string"), F.lit(".example")).alias("host"),
+        body.alias("content"),
+    )
+    out = robots_discovery(robots)
+    return out.select(
+        "host",
+        "crawl_delay",
+        F.concat_ws("|", F.col("sitemaps")).alias("sitemaps"),
+    )
+
+
 def q_host_quota(spark, sf_dir):
     """Per-host document quota (the RefinedWeb/FineWeb-style domain
     dominance cap): top-30 docs per synthesized host preferring longer
@@ -1705,7 +1760,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scans / projections / tokenization (S1, T1, P-class)
         "token_counts": q_token_counts,
         "word_freq": q_word_freq,
-        "dehyphen_marks": q_dehyphen_marks,
+        # dehyphen_marks (W1, green r1-r4) moved to tier 2 for
+        # robots_discovery: the dehyphenate kernel is byte-identity
+        # diff-pinned against the reference's own code every session
         # aggregations (A1-A7)
         "doc_stats_by_lang": q_doc_stats_by_lang,
         # sql_api_stats — the literal spark.sql() twin of
@@ -1762,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordlist_density": q_wordlist_density,
         "robots_directives": q_robots_directives,
         "bloom_gate": q_bloom_gate,
+        "robots_discovery": q_robots_discovery,
         # corpus cleaning / curation
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition,
@@ -1843,6 +1901,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_stats_by_lang + windowed_agg (green r1-r4; displaced for
         # bloom_gate)
         "event_type_stats": q_event_type_stats,
+        # W1 dehyphenation marks — byte-identity diff-pinned vs the
+        # reference's own code (green r1-r4; displaced for
+        # robots_discovery)
+        "dehyphen_marks": q_dehyphen_marks,
         # context-length cap — a row-local slice over the same
         # whitespace-token machinery tier-1 token_counts hash-verifies
         "truncate_docs": q_truncate_docs,
@@ -2748,6 +2810,83 @@ def _bloom_gate_sql() -> str:
     """
 
 
+def _robots_discovery_sql() -> str:
+    """The robots.txt group grammar restated relationally: lines with
+    ordinals (list_transform + unnest), comment strip, field/value
+    split at the FIRST colon, agent-run group ids via lag + running
+    sum (a user-agent line whose previous PARSED line is not
+    user-agent starts a group — blank/comment/colon-less lines are
+    skipped before the lag, as in the kernel), `*`-group join, first
+    VALID Crawl-delay by min_by; Sitemap lines are global."""
+    return r"""
+        WITH hosts AS (SELECT DISTINCT (doc_id % 8) AS h FROM documents),
+        bodies AS (
+          SELECT 'h' || h::VARCHAR || '.example' AS host,
+            '# policy' || chr(10) ||
+            'User-agent: specialbot' || chr(10) ||
+            'Crawl-delay: 99' || chr(10) ||
+            'Sitemap: https://h' || h::VARCHAR || '.example/sm-a.xml' || chr(10) ||
+            CASE WHEN h % 4 <> 2 THEN
+              'User-agent: *' || chr(10) ||
+              CASE WHEN h % 4 = 0 THEN 'Crawl-delay: fast' || chr(10) || 'Crawl-delay: 1.5'
+                   WHEN h % 4 = 1 THEN 'Crawl-delay: ' || h::VARCHAR || '.25'
+                   ELSE 'Crawl-delay: 10' END || chr(10) ||
+              'Disallow: /tmp'
+            ELSE 'Disallow: /loose' END || chr(10) ||
+            'Sitemap: https://h' || h::VARCHAR || '.example/map.xml extra' AS content
+          FROM hosts
+        ),
+        lines AS (
+          SELECT host, unnest(list_transform(range(1, len(ls)+1),
+                                             i -> {'ln': i, 'line': ls[i]})) AS r
+          FROM (SELECT host, string_split(content, chr(10)) AS ls FROM bodies)
+        ),
+        parsed AS (
+          SELECT host, ln, field, value FROM (
+            SELECT host, r.ln AS ln,
+                   lower(trim(split_part(strip, ':', 1))) AS field,
+                   trim(substr(strip, strpos(strip, ':') + 1)) AS value,
+                   strip
+            FROM (SELECT host, r, trim(split_part(r.line, '#', 1)) AS strip
+                  FROM lines)
+          ) WHERE strpos(strip, ':') > 0
+        ),
+        marks AS (
+          SELECT host, ln, field, value,
+                 CASE WHEN field = 'user-agent' AND
+                      coalesce(lag(field) OVER (PARTITION BY host ORDER BY ln), 'x')
+                      <> 'user-agent' THEN 1 ELSE 0 END AS ua_start
+          FROM parsed
+        ),
+        grouped AS (
+          SELECT *, sum(ua_start) OVER (PARTITION BY host ORDER BY ln
+                                        ROWS UNBOUNDED PRECEDING) AS gid
+          FROM marks
+        ),
+        star_groups AS (
+          SELECT DISTINCT host, gid FROM grouped
+          WHERE field = 'user-agent' AND lower(value) = '*'
+        ),
+        delays AS (
+          SELECT g.host, min_by(g.value, g.ln) AS dval
+          FROM grouped g JOIN star_groups s ON g.host = s.host AND g.gid = s.gid
+          WHERE g.field = 'crawl-delay'
+            AND regexp_full_match(g.value, '[0-9]+(\.[0-9]+)?')
+          GROUP BY g.host
+        ),
+        sm AS (
+          SELECT host, string_agg(regexp_extract(value, '^(\S+)', 1), '|'
+                                  ORDER BY ln) AS sitemaps
+          FROM parsed WHERE field = 'sitemap' AND trim(value) <> ''
+          GROUP BY host
+        )
+        SELECT b.host, TRY_CAST(d.dval AS DOUBLE) AS crawl_delay,
+               coalesce(s.sitemaps, '') AS sitemaps
+        FROM bodies b LEFT JOIN delays d ON b.host = d.host
+                      LEFT JOIN sm s ON b.host = s.host
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "token_counts": f"""
@@ -3043,6 +3182,7 @@ def oracle_sql() -> dict[str, str]:
         "wordlist_density": _wordlist_density_sql(),
         "robots_directives": _robots_sql(),
         "bloom_gate": _bloom_gate_sql(),
+        "robots_discovery": _robots_discovery_sql(),
         "truncate_docs": _truncate_sql(),
         "pii_scrub": _pii_sql(),
         "repetition_stats": _repetition_sql(),

@@ -119,6 +119,7 @@ HEADLINE = [
     "page_metadata",
     "compression_ratio",
     "bloom_gate",
+    "robots_discovery",
 ]
 
 

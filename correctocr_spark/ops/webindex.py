@@ -307,3 +307,56 @@ def parse_sitemaps(
     return _entries(_URL_BLOCK_RE, "url", True).unionByName(
         _entries(_SMAP_BLOCK_RE, "sitemap", False)
     )
+
+
+ROBOTS_DISCOVERY_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("crawl_delay", T.DoubleType()),
+        T.StructField("sitemaps", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def robots_discovery(
+    robots: DataFrame,
+    host_col: str = "host",
+    content_col: str = "content",
+    agent: str = "*",
+) -> DataFrame:
+    """Per-host crawl-discovery signals out of robots.txt bodies:
+    ``crawl_delay`` (group-scoped for ``agent``, first valid value,
+    NULL if none — :func:`~..kernels.robots.parse_crawl_delay`) and
+    ``sitemaps`` (the GLOBAL ``Sitemap:`` declarations in document
+    order — :func:`~..kernels.robots.parse_robots_sitemaps`, feeding
+    :func:`parse_sitemaps` for frontier expansion).
+
+    Same shape as :func:`~.filters.robots_txt_rules`: one stateless
+    mapInPandas over the host-dimension robots corpus (never
+    page-scale); the output is a broadcastable dimension table a fetch
+    scheduler joins on host."""
+    from ..kernels.robots import parse_crawl_delay, parse_robots_sitemaps
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf["host"], pdf["content"]):
+                text = (
+                    bytes(content).decode("utf-8", "replace")
+                    if isinstance(content, (bytes, bytearray))
+                    else str(content)
+                )
+                rows.append(
+                    (
+                        host,
+                        parse_crawl_delay(text, agent),
+                        parse_robots_sitemaps(text),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["host", "crawl_delay", "sitemaps"])
+
+    return (
+        ensure_parallelism(robots)
+        .select(F.col(host_col).alias("host"), F.col(content_col).alias("content"))
+        .mapInPandas(parse, schema=ROBOTS_DISCOVERY_SCHEMA)
+    )

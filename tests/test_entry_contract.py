@@ -136,6 +136,10 @@ def test_oracled_queries_precede_rows_only():
         # A5 max/count agg over events — shape re-verified by tier-1
         # doc_stats_by_lang + windowed_agg; displaced by bloom_gate
         "event_type_stats",
+        # W1 dehyphenation marks — byte-identity diff-pinned vs the
+        # reference's own code every session; displaced by
+        # robots_discovery
+        "dehyphen_marks",
         # row-local slice over the whitespace-token machinery tier-1
         # token_counts hash-verifies
         "truncate_docs",

@@ -254,3 +254,75 @@ class TestCdxIndexSkipBad:
             cdx_index(segs).collect()
         salvaged = cdx_index(segs, skip_bad=True).collect()
         assert 0 < len(salvaged) < 4
+
+
+class TestRobotsDiscovery:
+    BODY = (
+        "# fleet policy\n"
+        "Crawl-delay: 3\n"  # before any group: ignored
+        "User-agent: specialbot\n"
+        "Crawl-delay: 99\n"
+        "Sitemap: https://h.example/a.xml\n"
+        "User-agent: *\n"
+        "Crawl-delay: nope\n"  # invalid: skipped, not an error
+        "Crawl-delay: 2.5 # seconds\n"  # comment stripped BEFORE parse
+        "Crawl-delay: 1\n"  # later valid value: first valid wins
+        "Disallow: /tmp\n"
+        "Sitemap: https://h.example/b.xml junk\n"
+        "Sitemap: https://h.example/a.xml\n"  # duplicate kept
+        "Sitemap:\n"  # empty value: skipped
+    )
+
+    def test_crawl_delay_group_scoped(self):
+        from correctocr_spark.kernels.robots import parse_crawl_delay
+
+        assert parse_crawl_delay(self.BODY) == 2.5
+        # exact-token selection: the specialbot group, not *
+        assert parse_crawl_delay(self.BODY, "SpecialBot") == 99.0
+        # unknown token falls back to the * groups
+        assert parse_crawl_delay(self.BODY, "otherbot") == 2.5
+
+    def test_crawl_delay_absent_cases(self):
+        from correctocr_spark.kernels.robots import parse_crawl_delay
+
+        assert parse_crawl_delay("User-agent: *\nDisallow: /x\n") is None
+        assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon\n") is None
+        # pre-group delay never applies
+        assert parse_crawl_delay("Crawl-delay: 3\nUser-agent: *\n") is None
+        assert parse_crawl_delay("") is None
+
+    def test_sitemaps_global_ordered_duplicates_kept(self):
+        from correctocr_spark.kernels.robots import parse_robots_sitemaps
+
+        assert parse_robots_sitemaps(self.BODY) == [
+            "https://h.example/a.xml",
+            "https://h.example/b.xml",
+            "https://h.example/a.xml",
+        ]
+
+    def test_op_matches_kernel(self, spark):
+        from pyspark.sql import Row
+
+        from correctocr_spark.kernels.robots import (
+            parse_crawl_delay,
+            parse_robots_sitemaps,
+        )
+        from correctocr_spark.ops.webindex import robots_discovery
+
+        bodies = {
+            "a.com": self.BODY,
+            "b.com": "User-agent: *\nCrawl-delay: 7\n",
+            "c.com": "just noise, no fields",
+        }
+        df = spark.createDataFrame(
+            [Row(host=h, content=c) for h, c in bodies.items()]
+        )
+        got = {
+            r["host"]: (r["crawl_delay"], r["sitemaps"])
+            for r in robots_discovery(df).collect()
+        }
+        want = {
+            h: (parse_crawl_delay(c), parse_robots_sitemaps(c))
+            for h, c in bodies.items()
+        }
+        assert got == want

@@ -978,6 +978,70 @@ def q_robots_discovery(spark, sf_dir):
     )
 
 
+def q_wat_records(spark, sf_dir):
+    """The WAT metadata view (title / description / canonical /
+    outlink array) over the page_metadata html injection plus anchors —
+    row-local column algebra sharing its grammar with the tier-1
+    page_metadata and link_extract queries (value identity with both
+    pinned by test_wat_records_match_page_metadata_and_links); links
+    kept IN-ROW (no explode). The serialize/parse halves
+    (write_wat_shards / read_wat) are round-trip-pinned in pytest."""
+    _ship(spark)
+    from correctocr_spark.spark.warc import wat_records
+
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did.cast("string"),
+        F.lit(" \n Title</title>"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<meta content="desc '),
+                did.cast("string"),
+                F.lit("\" name='description'>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<link rel=canonical href="https://c.example/'),
+                did.cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit('<link rel="stylesheet" href="/s.css">')),
+        F.lit('</head><body><a href="https://t.example/p/'),
+        did.cast("string"),
+        F.lit('">page '),
+        did.cast("string"),
+        F.lit("</a>"),
+        F.when(
+            did % 2 == 0,
+            F.lit('<a class="x" href="https://t.example/x">x</a>'),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://w.example/p/"), did.cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        html.alias("html"),
+    )
+    out = wat_records(pages)
+    return out.select(
+        "url",
+        "title",
+        "meta_description",
+        "canonical_url",
+        F.size("links").cast("long").alias("n_links"),
+        F.array_join(
+            F.transform(
+                F.col("links"), lambda l: F.concat_ws("|", l["href"], l["anchor"])
+            ),
+            ";",
+        ).alias("links_joined"),
+    )
+
+
 def q_host_quota(spark, sf_dir):
     """Per-host document quota (the RefinedWeb/FineWeb-style domain
     dominance cap): top-30 docs per synthesized host preferring longer
@@ -1940,6 +2004,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # page-metadata harvest — the robots_directives meta grammar
         # (tier-1) applied to title/description/canonical
         "page_metadata": q_page_metadata,
+        # WAT metadata view — composition of the tier-1 page_metadata
+        # and link_extract grammars (value identity with both pinned in
+        # pytest); the WARC-format serialize/parse halves are
+        # round-trip-pinned in tests/test_warc.py::TestWat
+        "wat_records": q_wat_records,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -3231,6 +3300,60 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(regexp_extract(canons[1],
                        '(?i)href\s*=\s*[''"]([^''"]*)', 1), '')
                        AS canonical_url
+            FROM metas
+        """,
+
+        "wat_records": r"""
+            WITH pages AS (
+                SELECT 'https://w.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                       '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                       || ' ' || chr(10) || ' Title</title>'
+                       || CASE WHEN doc_id % 2 = 0 THEN
+                              '<meta content="desc ' || CAST(doc_id AS VARCHAR)
+                              || '" name=''description''>'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0 THEN
+                              '<link rel=canonical href="https://c.example/'
+                              || CAST(doc_id AS VARCHAR) || '">'
+                          ELSE '<link rel="stylesheet" href="/s.css">' END
+                       || '</head><body><a href="https://t.example/p/'
+                       || CAST(doc_id AS VARCHAR) || '">page '
+                       || CAST(doc_id AS VARCHAR) || '</a>'
+                       || CASE WHEN doc_id % 2 = 0 THEN
+                              '<a class="x" href="https://t.example/x">x</a>'
+                          ELSE '' END
+                       || '</body></html>' AS html
+                FROM documents
+            ),
+            metas AS (
+                SELECT url, html,
+                       list_filter(
+                           regexp_extract_all(html, '(?i)<meta\b[^>]*>', 0),
+                           m -> regexp_matches(m,
+                               '(?i)name\s*=\s*[''"]?description')) AS descs,
+                       list_filter(
+                           regexp_extract_all(html, '(?i)<link\b[^>]*>', 0),
+                           m -> regexp_matches(m,
+                               '(?i)rel\s*=\s*[''"]?canonical')) AS canons,
+                       regexp_extract_all(html,
+                           '<a [^>]*href="[^"]+"[^>]*>[^<]*</a>', 0) AS atags
+                FROM pages
+            )
+            SELECT url,
+                   trim(regexp_replace(regexp_extract(html,
+                       '(?is)<title[^>]*>([^<]*)</title>', 1),
+                       '\s+', ' ', 'g')) AS title,
+                   coalesce(regexp_extract(descs[1],
+                       '(?i)content\s*=\s*[''"]([^''"]*)', 1), '')
+                       AS meta_description,
+                   coalesce(regexp_extract(canons[1],
+                       '(?i)href\s*=\s*[''"]([^''"]*)', 1), '')
+                       AS canonical_url,
+                   len(atags)::BIGINT AS n_links,
+                   array_to_string(list_transform(atags,
+                       t -> regexp_extract(t, 'href="([^"]+)"', 1) || '|'
+                            || regexp_extract(t, '>([^<]*)</a>', 1)), ';')
+                       AS links_joined
             FROM metas
         """,
 

@@ -120,6 +120,7 @@ HEADLINE = [
     "compression_ratio",
     "bloom_gate",
     "robots_discovery",
+    "wat_records",
 ]
 
 

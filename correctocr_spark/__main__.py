@@ -225,6 +225,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="also export the extracted text as WET shards "
                           "(conversion records) at this directory; "
                           "requires extraction (incompatible with --raw)")
+    ing.add_argument("--wat-out", default="",
+                     help="also export page metadata (title/description/"
+                          "canonical/outlinks) as WAT shards (metadata "
+                          "records, JSON envelopes) at this directory; "
+                          "works with or without --raw (html column "
+                          "suffices)")
     ing.add_argument("--cdx-out", default="",
                      help="also write a CDXJ index of the INPUT segments "
                           "(urlkey-sorted text shards) at this directory — "
@@ -620,6 +626,16 @@ def main(argv=None) -> int:
                 print(
                     f"wet: {sum(r.n_records for r in manifest)} records in "
                     f"{len(manifest)} shards at {args.wet_out}"
+                )
+            if args.wat_out:
+                from .spark.warc import wat_records, write_wat_shards
+
+                manifest = write_wat_shards(
+                    wat_records(spark.read.parquet(args.output)), args.wat_out
+                ).collect()
+                print(
+                    f"wat: {sum(r.n_records for r in manifest)} records in "
+                    f"{len(manifest)} shards at {args.wat_out}"
                 )
             if args.cdx_out:
                 from .ops.webindex import cdx_index, cdxj_lines

@@ -28,6 +28,7 @@ records before the corruption point.
 from __future__ import annotations
 
 import gzip
+import json
 import re
 import io
 import zlib
@@ -416,3 +417,99 @@ def surt_key(url: str) -> str:
         + path
         + (f"?{qsorted}" if qsorted else "")
     )
+
+
+def wat_payload(
+    url: str,
+    ts: Optional[datetime],
+    title: str,
+    meta_description: str,
+    canonical_url: str,
+    links: List[Tuple[str, str]],
+) -> bytes:
+    """The WAT *metadata-record* JSON envelope for one page — the
+    Common Crawl WAT layout's useful subset: WARC header echo +
+    HTML-Metadata (Head title/meta/canonical link + outgoing Links).
+    ``json.dumps`` with sorted keys and fixed separators, so the bytes
+    are deterministic and parse ∘ serialize round-trips exactly."""
+    head: dict = {}
+    if title:
+        head["Title"] = title
+    if meta_description:
+        head["Metas"] = [{"name": "description", "content": meta_description}]
+    if canonical_url:
+        head["Link"] = [{"rel": "canonical", "url": canonical_url}]
+    env = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Target-URI": url,
+                "WARC-Type": "response",
+                **({"WARC-Date": _wat_date(ts)} if ts is not None else {}),
+            },
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {
+                        "Head": head,
+                        "Links": [
+                            {"path": "A@/href", "url": href, "text": anchor}
+                            for href, anchor in links
+                        ],
+                    }
+                }
+            },
+        }
+    }
+    return json.dumps(env, sort_keys=True, separators=(",", ":")).encode("utf-8")
+
+
+def _wat_date(ts: datetime) -> str:
+    aware = ts if ts.tzinfo is not None else ts.replace(tzinfo=timezone.utc)
+    return aware.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def write_wat(
+    entries: List[Tuple[str, datetime, bytes]],
+    path: str,
+    gzip_records: bool = True,
+) -> None:
+    """Serialize ``(url, warc_ts, wat_json_payload)`` as a WAT file:
+    WARC *metadata* records with an ``application/json`` payload,
+    per-record gzip by default — the third leg of the crawl ecosystem's
+    WARC/WET/WAT triple, and the inverse proof for
+    :func:`iter_metadata_records`."""
+    chunks: List[bytes] = []
+    for i, (url, ts, body) in enumerate(entries):
+        record = (
+            (
+                "WARC/1.0\r\n"
+                "WARC-Type: metadata\r\n"
+                f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0002-{i:012d}>\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: {_wat_date(ts)}\r\n"
+                "Content-Type: application/json\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode("utf-8")
+            + body
+            + b"\r\n\r\n"
+        )
+        if gzip_records:
+            out = io.BytesIO()
+            with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
+                gz.write(record)
+            chunks.append(out.getvalue())
+        else:
+            chunks.append(record)
+    with open(path, "wb") as fh:
+        fh.write(b"".join(chunks))
+
+
+def iter_metadata_records(
+    data: bytes, skip_bad: bool = False
+) -> Iterator[Tuple[str, Optional[datetime], str]]:
+    """Yield ``(url, warc_ts, json_str)`` from WAT *metadata* records —
+    the parse direction of :func:`write_wat`, same strictness policy as
+    every reader here."""
+    for record in parse_warc(data, skip_bad=skip_bad):
+        if record.rec_type != "metadata" or record.uri is None:
+            continue
+        yield record.uri, record.date, record.payload.decode("utf-8", "replace")

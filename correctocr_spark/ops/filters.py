@@ -44,6 +44,7 @@ __all__ = [
     "host_quota",
     "host_col",
     "page_metadata",
+    "page_meta_cols",
     "bloom_bitmap",
     "bloom_gate",
     "bloom_anti_join",
@@ -665,6 +666,29 @@ _CANONICAL_REL_RE = r"(?i)rel\s*=\s*['\"]?canonical"
 _HREF_ATTR_RE = r"""(?i)href\s*=\s*['\"]([^'\"]*)"""
 
 
+def page_meta_cols(html: Column) -> dict:
+    """The title / meta-description / canonical-link expressions over a
+    raw-HTML column, in output order — shared by :func:`page_metadata`
+    and the WAT metadata sink (``spark.warc.wat_records``) so the two
+    surfaces are value-identical by construction."""
+    # coalesce: a NULL html column must still yield '' fields
+    title = F.coalesce(
+        F.trim(
+            F.regexp_replace(F.regexp_extract(html, _TITLE_RE, 1), r"\s+", " ")
+        ),
+        F.lit(""),
+    )
+    metas = F.regexp_extract_all(html, F.lit(_META_TAG_RE), 0)
+    # F.get (0-based) not element_at: ANSI mode makes element_at
+    # THROW on an empty array; get returns NULL out of bounds
+    desc_tag = F.get(F.filter(metas, lambda m: m.rlike(_DESC_NAME_RE)), 0)
+    desc = F.coalesce(F.regexp_extract(desc_tag, _CONTENT_RE, 1), F.lit(""))
+    links = F.regexp_extract_all(html, F.lit(_LINK_TAG_RE), 0)
+    canon_tag = F.get(F.filter(links, lambda m: m.rlike(_CANONICAL_REL_RE)), 0)
+    canon = F.coalesce(F.regexp_extract(canon_tag, _HREF_ATTR_RE, 1), F.lit(""))
+    return {"title": title, "meta_description": desc, "canonical_url": canon}
+
+
 def page_metadata(
     pages: DataFrame,
     id_col: str = "doc_id",
@@ -683,27 +707,10 @@ def page_metadata(
     states them verbatim. Absent fields are empty strings (never NULL
     — downstream group-bys must not conflate 'no title' with a missing
     scan row). Row-local, scan-speed, no shuffle."""
-    html = F.col(html_col)
-    # coalesce: a NULL html column must still yield '' fields
-    title = F.coalesce(
-        F.trim(
-            F.regexp_replace(F.regexp_extract(html, _TITLE_RE, 1), r"\s+", " ")
-        ),
-        F.lit(""),
-    )
-    metas = F.regexp_extract_all(html, F.lit(_META_TAG_RE), 0)
-    # F.get (0-based) not element_at: ANSI mode makes element_at
-    # THROW on an empty array; get returns NULL out of bounds
-    desc_tag = F.get(F.filter(metas, lambda m: m.rlike(_DESC_NAME_RE)), 0)
-    desc = F.coalesce(F.regexp_extract(desc_tag, _CONTENT_RE, 1), F.lit(""))
-    links = F.regexp_extract_all(html, F.lit(_LINK_TAG_RE), 0)
-    canon_tag = F.get(F.filter(links, lambda m: m.rlike(_CANONICAL_REL_RE)), 0)
-    canon = F.coalesce(F.regexp_extract(canon_tag, _HREF_ATTR_RE, 1), F.lit(""))
+    cols = page_meta_cols(F.col(html_col))
     return ensure_parallelism(pages).select(
         F.col(id_col).alias("doc_id"),
-        title.alias("title"),
-        desc.alias("meta_description"),
-        canon.alias("canonical_url"),
+        *(expr.alias(name) for name, expr in cols.items()),
     )
 
 

@@ -289,3 +289,176 @@ def write_wet_shards(
         yield pd.DataFrame([(shard, len(rows))], columns=["path", "n_records"])
 
     return df.mapInPandas(dump, schema=_SINK_SCHEMA)
+
+
+#: WAT metadata view of the pages table
+WAT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("meta_description", T.StringType(), True),
+        T.StructField("canonical_url", T.StringType(), True),
+        T.StructField(
+            "links",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("href", T.StringType()),
+                        T.StructField("anchor", T.StringType()),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def wat_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> DataFrame:
+    """The WAT metadata table for a pages corpus: title / description /
+    canonical link (the exact :func:`~..ops.filters.page_metadata`
+    expressions, shared via ``page_meta_cols`` so the two surfaces
+    cannot drift) plus the per-page outlink array (the
+    :func:`~..ops.cleaning.extract_links` grammar kept IN-ROW as an
+    ``array<struct<href, anchor>>`` — no explode, no shuffle; WAT is a
+    per-record format, so the row stays page-grained).
+
+    Entirely row-local column algebra at scan speed — the metadata half
+    of the crawl ecosystem's WARC (raw) / WET (text) / WAT (metadata)
+    triple; :func:`write_wat_shards` serializes it."""
+    from ..ops.cleaning import A_TAG_RE, ANCHOR_RE, HREF_RE
+    from ..ops.dedup import ensure_parallelism
+    from ..ops.filters import page_meta_cols
+
+    html = F.col(html_col)
+    meta = page_meta_cols(html)
+    links = F.transform(
+        F.regexp_extract_all(html, F.lit(A_TAG_RE), 0),
+        lambda t: F.struct(
+            F.regexp_extract(t, HREF_RE, 1).alias("href"),
+            F.regexp_extract(t, ANCHOR_RE, 1).alias("anchor"),
+        ),
+    )
+    return ensure_parallelism(pages).select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts"),
+        meta["title"].alias("title"),
+        meta["meta_description"].alias("meta_description"),
+        meta["canonical_url"].alias("canonical_url"),
+        links.alias("links"),
+    )
+
+
+def write_wat_shards(
+    wat: DataFrame,
+    out_dir: str,
+    gzip_records: bool = True,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Serialize a :func:`wat_records` table as WAT shards (WARC
+    *metadata* records, deterministic sorted-key JSON envelopes), one
+    file per partition — same sink shape and manifest contract as
+    :func:`write_wet_shards`."""
+    from ..kernels.warc import wat_payload, write_wat
+
+    os.makedirs(out_dir, exist_ok=True)
+    df = wat
+    if partitions:
+        df = df.repartition(partitions, F.xxhash64("url"))
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        entries = []
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ts = row["warc_ts"]
+                ts_py = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                raw_links = row["links"]
+                # Arrow hands the array column back as a numpy array
+                # (ambiguous truthiness) — only None means absent
+                links = [
+                    (l["href"], l["anchor"])
+                    for l in (raw_links if raw_links is not None else [])
+                ]
+                payload = wat_payload(
+                    row["url"],
+                    ts_py,
+                    row["title"] or "",
+                    row["meta_description"] or "",
+                    row["canonical_url"] or "",
+                    links,
+                )
+                entries.append((row["url"], ts_py, payload))
+        if not entries:
+            yield pd.DataFrame([], columns=["path", "n_records"])
+            return
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        shard = os.path.join(
+            out_dir, f"part-{pid:05d}.wat" + (".gz" if gzip_records else "")
+        )
+        write_wat(entries, shard, gzip_records=gzip_records)
+        yield pd.DataFrame([(shard, len(entries))], columns=["path", "n_records"])
+
+    return df.mapInPandas(dump, schema=_SINK_SCHEMA)
+
+
+def read_wat(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.wat*",
+    skip_bad: bool = False,
+) -> DataFrame:
+    """Read WAT files back into the :func:`wat_records` schema — the
+    parse direction; ``read_wat(write_wat_shards(wat_records(pages)))``
+    round-trips exactly (pinned by test_wat_roundtrip). Same per-file
+    task model and strictness policy as :func:`read_warc`."""
+    import json
+
+    from ..kernels.warc import iter_metadata_records
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WAT_SCHEMA.fields]
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = []
+                for url, ts, js in iter_metadata_records(
+                    bytes(content), skip_bad=skip_bad
+                ):
+                    env = json.loads(js).get("Envelope", {})
+                    hm = (
+                        env.get("Payload-Metadata", {})
+                        .get("HTTP-Response-Metadata", {})
+                        .get("HTML-Metadata", {})
+                    )
+                    head = hm.get("Head", {})
+                    metas = head.get("Metas") or [{}]
+                    canon = head.get("Link") or [{}]
+                    rows.append(
+                        (
+                            url,
+                            ts.replace(tzinfo=None) if ts is not None else None,
+                            head.get("Title", ""),
+                            metas[0].get("content", ""),
+                            canon[0].get("url", ""),
+                            [
+                                (l.get("url", ""), l.get("text", ""))
+                                for l in hm.get("Links", [])
+                            ],
+                        )
+                    )
+                yield pd.DataFrame(rows, columns=cols)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+    )
+    return files.mapInPandas(parse, schema=WAT_SCHEMA)

@@ -458,3 +458,28 @@ def test_cli_curate_all_gates_compose(tmp_path, spark):
     assert ids == {7, 8, 9, 10, 11}
     # seeded order: dense positions 1..5, reproducible
     assert sorted(x["position"] for x in got) == [1, 2, 3, 4, 5]
+
+
+@pytest.mark.slow
+def test_cli_ingest_wat_out(tmp_path, spark):
+    """ingest --wat-out exports the metadata (WAT) view alongside the
+    pages parquet, and read_wat round-trips it."""
+    from correctocr_spark.spark.synth import synth_pages
+    from correctocr_spark.spark.warc import read_wat, wat_records, write_warc_shards
+
+    src = synth_pages(spark, 12, seed=23, partitions=2)
+    warc_dir = str(tmp_path / "warc")
+    write_warc_shards(src, warc_dir, partitions=1).collect()
+
+    out = str(tmp_path / "pages")
+    wat_dir = str(tmp_path / "wat")
+    r = run_cli(
+        "ingest", "--input", warc_dir, "--output", out, "--wat-out", wat_dir
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "wat: 12 records" in r.stdout
+    back = read_wat(spark, wat_dir)
+    want = sorted(
+        tuple(x) for x in wat_records(spark.read.parquet(out)).collect()
+    )
+    assert sorted(tuple(x) for x in back.collect()) == want

@@ -140,6 +140,9 @@ def test_oracled_queries_precede_rows_only():
         # reference's own code every session; displaced by
         # robots_discovery
         "dehyphen_marks",
+        # WAT metadata view — composition of tier-1 page_metadata +
+        # link_extract grammars (value identity pinned in pytest)
+        "wat_records",
         # row-local slice over the whitespace-token machinery tier-1
         # token_counts hash-verifies
         "truncate_docs",

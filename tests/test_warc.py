@@ -303,3 +303,90 @@ class TestJustextExtractor:
 
         with _pytest.raises(ValueError):
             warc_pages(spark, str(tmp_path / "w"), extractor="bogus")
+
+
+class TestWat:
+    def _meta_pages(self, spark):
+        from pyspark.sql import Row
+
+        rows = [
+            Row(
+                url=f"https://w.example/p/{i}",
+                warc_ts=datetime.datetime(2024, 2, 1, 0, 0, i),
+                html=(
+                    f"<html><head><title>Doc {i} \n  here</title>"
+                    + (
+                        "<meta content='d%d' name=\"description\">" % i
+                        if i % 2 == 0
+                        else ""
+                    )
+                    + (
+                        f'<link rel=canonical href="https://c.example/{i}">'
+                        if i % 3 == 0
+                        else ""
+                    )
+                    + f'</head><body><a href="https://t.example/{i}">go {i}</a>'
+                    + '<a href="https://t.example/x">x</a></body></html>'
+                ),
+            )
+            for i in range(6)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_wat_records_match_page_metadata_and_links(self, spark):
+        """wat_records must agree with the two oracled ops it shares
+        grammar with — page_metadata per field, extract_links per
+        outlink (order preserved)."""
+        from correctocr_spark.ops.cleaning import extract_links
+        from correctocr_spark.ops.filters import page_metadata
+        from correctocr_spark.spark.warc import wat_records
+
+        pages = self._meta_pages(spark)
+        wat = {r["url"]: r for r in wat_records(pages).collect()}
+        meta = {
+            r["doc_id"]: r
+            for r in page_metadata(pages, id_col="url", html_col="html").collect()
+        }
+        links = {}
+        for r in extract_links(pages, id_col="url", html_col="html").collect():
+            links.setdefault(r["doc_id"], []).append((r["href"], r["anchor"]))
+        assert set(wat) == set(meta)
+        for url, w in wat.items():
+            assert w["title"] == meta[url]["title"]
+            assert w["meta_description"] == meta[url]["meta_description"]
+            assert w["canonical_url"] == meta[url]["canonical_url"]
+            assert [(l["href"], l["anchor"]) for l in w["links"]] == links.get(
+                url, []
+            )
+
+    def test_wat_roundtrip(self, spark, tmp_path):
+        """wat_records -> write_wat_shards -> read_wat is the identity
+        (the WARC/WET/WAT sink-source inverse-proof pattern)."""
+        from correctocr_spark.spark.warc import (
+            read_wat,
+            wat_records,
+            write_wat_shards,
+        )
+
+        wat = wat_records(self._meta_pages(spark))
+        manifest = write_wat_shards(wat, str(tmp_path / "wat"), partitions=2).collect()
+        assert sum(m["n_records"] for m in manifest) == 6
+        back = read_wat(spark, str(tmp_path / "wat"))
+        key = lambda r: r["url"]
+        src = sorted((tuple(r) for r in wat.collect()), key=lambda t: t[0])
+        got = sorted((tuple(r) for r in back.collect()), key=lambda t: t[0])
+        assert got == src
+
+    def test_wat_reader_ignores_conversion_records(self, tmp_path):
+        """A WET file contains no metadata records: read side yields
+        nothing instead of misparsing."""
+        from correctocr_spark.kernels.warc import (
+            iter_metadata_records,
+            write_wet,
+        )
+
+        path = str(tmp_path / "a.wet.gz")
+        write_wet(
+            [("https://e.org/1", datetime.datetime(2024, 1, 1), "text")], path
+        )
+        assert list(iter_metadata_records(open(path, "rb").read())) == []

@@ -719,6 +719,17 @@ def q_in_degree(spark, sf_dir):
     return in_degrees(_synth_edges(spark, sf_dir))
 
 
+def q_hits(spark, sf_dir):
+    """Fixed-iteration integer HITS hubs & authorities (exact
+    L∞-renormalized arithmetic — engine- and reduction-order-
+    independent, hence hash-oracle-checkable; the oracle unrolls the
+    same rounds in SQL)."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import hits
+
+    return hits(_synth_edges(spark, sf_dir), iterations=3)
+
+
 def q_pack_shards(spark, sf_dir):
     """Token-budget shard packing via the two-pass distributed prefix
     sum (no partitionless global window; driver holds only the tiny
@@ -1926,6 +1937,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trivial edge groupBy count — pagerank's oracle exercises the
         # same edge extraction far more deeply
         "in_degree": q_in_degree,
+        # integer HITS — the same exact-arithmetic fixed-iteration
+        # join+agg+checkpoint core as tier-1 pagerank, over the same
+        # synthetic edges
+        "hits": q_hits,
         # context window (W3) + W4 sliding token window: siblings of
         # the tier-1 token_detail view over the same token table
         # (green driver rows r1-r4; moved here for the r5 temporal ops)
@@ -2598,6 +2613,45 @@ def _pagerank_sql(iterations: int = 5) -> str:
             ) s ON s.node = n.node
         )"""
     sql += f"\n        SELECT node, rank FROM r{iterations}"
+    return sql
+
+
+def _hits_sql(iterations: int = 3, scale: int = 1_000_000) -> str:
+    """Integer HITS unrolled: per round an in-edge hub sum renormalized
+    by ``(raw * scale) // max(raw)`` (scalar subquery), then the
+    symmetric out-edge authority sum — the same exact arithmetic as
+    ops.graph.hits, independently restated."""
+    sql = f"""
+        WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        h0 AS (SELECT node, {scale}::BIGINT AS hub FROM nodes)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+        a{i}raw AS (
+            SELECT e.dst AS node, sum(h.hub) AS raw
+            FROM e JOIN h{i-1} h ON h.node = e.src GROUP BY 1
+        ),
+        a{i} AS (
+            SELECT n.node,
+                   ((COALESCE(r.raw, 0) * {scale}) //
+                    (SELECT greatest(max(raw), 1) FROM a{i}raw))::BIGINT
+                       AS authority
+            FROM nodes n LEFT JOIN a{i}raw r ON r.node = n.node
+        ),
+        h{i}raw AS (
+            SELECT e.src AS node, sum(a.authority) AS raw
+            FROM e JOIN a{i} a ON a.node = e.dst GROUP BY 1
+        ),
+        h{i} AS (
+            SELECT n.node,
+                   ((COALESCE(r.raw, 0) * {scale}) //
+                    (SELECT greatest(max(raw), 1) FROM h{i}raw))::BIGINT AS hub
+            FROM nodes n LEFT JOIN h{i}raw r ON r.node = n.node
+        )"""
+    sql += (
+        f"\n        SELECT h.node, h.hub, a.authority"
+        f" FROM h{iterations} h JOIN a{iterations} a ON a.node = h.node"
+    )
     return sql
 
 
@@ -3448,6 +3502,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "pagerank": _pagerank_sql(5),
+        "hits": _hits_sql(3),
         "url_canonical": _url_canonical_sql(),
         "canonical_by_quality": f"""
             WITH RECURSIVE pairs AS (SELECT * FROM ({_minhash_sql()})),

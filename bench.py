@@ -121,6 +121,7 @@ HEADLINE = [
     "bloom_gate",
     "robots_discovery",
     "wat_records",
+    "hits",
 ]
 
 

@@ -140,3 +140,76 @@ def anchor_stats(
         F.countDistinct("src").alias("n_source_docs"),
     )
     return totals.join(top, "href")
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration integer HITS (Kleinberg hubs & authorities) over
+    the distinct edge set — the complementary link prior to
+    :func:`pagerank`: authorities are pages good to KEEP, hubs are
+    pages good to CRAWL FROM (frontier scheduling).
+
+    Same exactness discipline as the integer PageRank: per round,
+    ``auth_raw(n) = Σ hub(src)`` over in-edges, renormalized to
+    ``(raw * scale) div max(raw)`` — an exact integer operation, so a
+    fixed iteration count is bit-identical on any engine or reduction
+    order (the float HITS power iteration is not); then the symmetric
+    hub update over out-edges. Each half-round is one join + one
+    node-keyed aggregation + a 1-row broadcast of the max (the
+    standard L∞ normalization made integer); lineage cut per round
+    with eager localCheckpoints. ``Σ hub ≤ n·scale`` and the renorm
+    multiplies by ``scale`` before dividing, so keep
+    ``n·scale² < 2⁶³`` (drop ``scale`` for billion-node graphs)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+
+    def _renorm(raw: DataFrame, out_name: str) -> DataFrame:
+        mx = raw.agg(F.greatest(F.max("raw"), F.lit(1)).alias("_mx"))
+        side = (
+            nodes.join(raw, on="node", how="left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(f"(coalesce(raw, 0) * {scale}) div _mx")
+                .cast("long")
+                .alias(out_name),
+            )
+        )
+        return side.localCheckpoint(eager=True)
+
+    hub = nodes.withColumn("hub", F.lit(scale).cast("long")).localCheckpoint(
+        eager=True
+    )
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            e.join(hub, on=e.src == hub.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("raw"))
+        )
+        auth = _renorm(araw, "authority")
+        hraw = (
+            e.join(auth, on=e.dst == auth.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("raw"))
+        )
+        hub = _renorm(hraw, "hub")
+    out = hub.join(auth, on="node")
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -143,6 +143,9 @@ def test_oracled_queries_precede_rows_only():
         # WAT metadata view — composition of tier-1 page_metadata +
         # link_extract grammars (value identity pinned in pytest)
         "wat_records",
+        # integer HITS — the exact-arithmetic iteration core shared
+        # with tier-1 pagerank, over the same synthetic edges
+        "hits",
         # row-local slice over the whitespace-token machinery tier-1
         # token_counts hash-verifies
         "truncate_docs",

@@ -134,3 +134,63 @@ class TestAnchorStats:
         )
         r = anchor_stats(links).collect()[0]
         assert r["top_anchor"] == "x" and r["n_links"] == 3
+
+
+def _simulate_hits(edges, iterations=3, scale=1_000_000):
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    hub = {n: scale for n in nodes}
+    auth = {}
+    for _ in range(iterations):
+        raw = {n: 0 for n in nodes}
+        for s, d in e:
+            raw[d] += hub[s]
+        mx = max(max(raw.values()), 1)
+        auth = {n: (raw[n] * scale) // mx for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for s, d in e:
+            raw[s] += auth[d]
+        mx = max(max(raw.values()), 1)
+        hub = {n: (raw[n] * scale) // mx for n in nodes}
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_hits_matches_simulation(spark):
+    from correctocr_spark.ops.graph import hits
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (4, 2), (5, 4), (1, 3), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, iterations=3).collect()
+    }
+    assert got == _simulate_hits(edges)
+
+
+def test_hits_star_graph_roles(spark):
+    """Leaves pointing at a star center: the center is the (only)
+    authority, the leaves are the (equal) hubs, and the center's hub
+    score is 0 (it links to nothing)."""
+    from correctocr_spark.ops.graph import hits
+
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, iterations=2).collect()
+    }
+    assert got[0] == (0, 1_000_000)
+    for leaf in range(1, 6):
+        assert got[leaf] == (1_000_000, 0)
+
+
+def test_hits_duplicate_edges_counted_once(spark):
+    from correctocr_spark.ops.graph import hits
+
+    once = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    dup = spark.createDataFrame(
+        [(1, 2), (1, 2), (3, 2), (3, 2)], "src long, dst long"
+    )
+    k = lambda df: sorted(tuple(r) for r in hits(df, iterations=2).collect())
+    assert k(once) == k(dup)

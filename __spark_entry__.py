@@ -469,6 +469,31 @@ def q_normalize_text(spark, sf_dir):
     return normalize_text(d)
 
 
+def q_classifier_gate(spark, sf_dir):
+    """Hashed linear classifier head applied at corpus scale (the
+    FineWeb-Edu deployment pattern): a 64-bucket exported weight table
+    (deterministic signed micro-unit weights, derived from the bucket
+    id in BOTH engines), md5-hashing-trick features, integer mean
+    pooling, threshold gate. Signed sums exercise the div-truncation
+    parity (Spark `div` == DuckDB `//`, both toward zero)."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import linear_classifier_scores
+
+    weights = spark.range(64).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 37) % 21 - 10).cast("long").alias("weight"),
+    )
+    out = linear_classifier_scores(
+        _t(spark, sf_dir, "documents"), weights, dims=64, bias=3, threshold=2
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "score",
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
 def q_unigram_lm(spark, sf_dir):
     """Corpus-trained unigram LM scoring (KenLM-style quality filter):
     exact-integer micro-nat log probabilities so the per-doc sum is
@@ -1881,7 +1906,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "langid": q_langid,
         "quality": q_quality,
-        "fingerprint": q_fingerprint,
+        # fingerprint (T6 md5 keying, green r1-r4) moved to tier 2 for
+        # classifier_gate: the md5-fingerprint machinery is re-verified
+        # by the tier-1 span_removal / dedup_groups / training_corpus
+        # oracles, all keyed on the same hashes
+        "classifier_gate": q_classifier_gate,
         "unigram_lm": q_unigram_lm,
         "dedup_lines": q_dedup_lines,
         "normalize_text": q_normalize_text,
@@ -1984,6 +2013,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference's own code (green r1-r4; displaced for
         # robots_discovery)
         "dehyphen_marks": q_dehyphen_marks,
+        # T6 md5 fingerprint keying — re-verified by the tier-1 dedup
+        # oracles keyed on the same hashes (green r1-r4; displaced for
+        # classifier_gate)
+        "fingerprint": q_fingerprint,
         # context-length cap — a row-local slice over the same
         # whitespace-token machinery tier-1 token_counts hash-verifies
         "truncate_docs": q_truncate_docs,
@@ -3532,6 +3565,29 @@ def oracle_sql() -> dict[str, str]:
         "in_degree": f"""
             WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL}))
             SELECT dst AS node, count(*)::BIGINT AS in_degree FROM e GROUP BY 1
+        """,
+        "classifier_gate": f"""
+            WITH w AS (
+                SELECT i AS bucket, ((i * 37) % 21 - 10)::BIGINT AS weight
+                FROM range(64) t(i)
+            ),
+            b AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(lower(word)), 1, 15))::BIGINT % 64
+                           AS bucket
+                FROM (SELECT doc_id, unnest({_WORDS}) AS word FROM documents)
+            ),
+            sums AS (
+                SELECT b.doc_id, sum(w.weight) AS s
+                FROM b JOIN w USING (bucket) GROUP BY 1
+            ),
+            n AS (SELECT doc_id, len({_WORDS})::BIGINT AS n_words FROM documents)
+            SELECT n.doc_id, n.n_words,
+                   (3 + COALESCE(s.s, 0) // greatest(n.n_words, 1))::BIGINT
+                       AS score,
+                   CAST((3 + COALESCE(s.s, 0) // greatest(n.n_words, 1)) >= 2
+                        AS BIGINT) AS keep
+            FROM n LEFT JOIN sums s ON s.doc_id = n.doc_id
         """,
         "fingerprint": """
             SELECT doc_id,

@@ -122,6 +122,7 @@ HEADLINE = [
     "robots_discovery",
     "wat_records",
     "hits",
+    "classifier_gate",
 ]
 
 

@@ -352,3 +352,79 @@ def compression_ratio(
         F.col("_r.n_bytes").alias("n_bytes"),
         F.col("_r.ratio").alias("ratio"),
     )
+
+
+def linear_classifier_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    dims: int,
+    bias: int = 0,
+    threshold: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply an offline-trained HASHED linear text classifier (the
+    fastText trick, and the FineWeb-Edu deployment pattern: a small
+    model trained elsewhere, applied at corpus scale as a gate).
+
+    ``weights`` is the exported model head: ``(bucket: long, weight:
+    long)`` in integer micro-units over the hashing-trick feature space
+    ``bucket = md5₆₀(lower(word)) mod dims`` — the same shared
+    Java∩RE2/DuckDB md5 arithmetic as every hash gate here. Hashing
+    keeps the weight table a FIXED ``dims`` rows no matter the corpus
+    vocabulary, so it always broadcasts; absent buckets weigh 0.
+
+    ``score = bias + (Σ weight(bucket(w))) div n_words`` — integer mean
+    pooling, reduction-order independent, hence hash-oracle exact
+    (a float sigmoid is monotone, so thresholding the integer logit IS
+    thresholding the probability; we never emit engine-specific
+    ``exp``). One explode feeds one broadcast join and one doc-keyed
+    sum: a single corpus shuffle, the unigram_lm shape. Wordless docs
+    score ``bias``."""
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    ws = normalized_words(text_col)
+    # persist + eager count: the word array feeds two concurrent
+    # consumers (the explode and the final n_words join) — the module
+    # rule for shared subtrees; tagged for caller release via
+    # register_intermediates
+    base = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.size(ws).cast("long").alias("n_words"),
+            ws.alias("_ws"),
+        )
+        .persist()
+    )
+    base.count()
+    bucket = (
+        F.conv(F.substring(F.md5(F.lower(F.col("_w"))), 1, 15), 16, 10).cast("long")
+        % dims
+    )
+    w = F.broadcast(
+        weights.select(F.col("bucket").alias("_b"), F.col("weight").alias("_wt"))
+    )
+    sums = (
+        base.select("doc_id", F.explode("_ws").alias("_w"))
+        .select("doc_id", bucket.alias("_b"))
+        .join(w, "_b")
+        .groupBy("doc_id")
+        .agg(F.sum("_wt").alias("_s"))
+    )
+    out = (
+        base.drop("_ws")
+        .join(sums, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (
+                F.lit(bias)
+                + F.expr("coalesce(_s, 0) div greatest(n_words, 1)")
+            ).cast("long").alias("score"),
+        )
+        .withColumn("keep", (F.col("score") >= threshold))
+    )
+    from .cache import register_intermediates
+
+    return register_intermediates(out, base)

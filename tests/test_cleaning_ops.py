@@ -334,3 +334,88 @@ class TestNgramRepetition:
     def test_every_doc_returned(self, spark):
         got = self._run(spark, ["x", "x y z w v u t s", ""], top_n=3, dup_n=5)
         assert len(got) == 3
+
+
+class TestLinearClassifier:
+    DIMS, BIAS, THRESH = 64, 3, 2
+
+    @staticmethod
+    def _bucket(word: str) -> int:
+        import hashlib
+
+        return int(hashlib.md5(word.lower().encode()).hexdigest()[:15], 16) % 64
+
+    @classmethod
+    def _weights(cls):
+        return {b: (b * 37) % 21 - 10 for b in range(cls.DIMS)}
+
+    def _wdf(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.range(self.DIMS).select(
+            F.col("id").alias("bucket"),
+            ((F.col("id") * 37) % 21 - 10).cast("long").alias("weight"),
+        )
+
+    def test_matches_python_simulation(self, spark):
+        """Score map equals a driver-side replication of the hashed
+        bag-of-words + integer mean pooling — including trunc-division
+        on NEGATIVE sums."""
+        from pyspark.sql import Row
+
+        from correctocr_spark.ops.textstats import linear_classifier_scores
+
+        docs = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "aaa bbb ccc ddd eee fff"),
+            (2, ""),  # wordless -> bias
+            (3, "one"),
+        ]
+        df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+        got = {
+            r["doc_id"]: (r["n_words"], r["score"], r["keep"])
+            for r in linear_classifier_scores(
+                df, self._wdf(spark), dims=self.DIMS,
+                bias=self.BIAS, threshold=self.THRESH,
+            ).collect()
+        }
+        w = self._weights()
+        for i, t in docs:
+            words = t.split()
+            s = sum(w[self._bucket(x)] for x in words)
+            # Spark `div` truncates toward zero (matches DuckDB //)
+            q = abs(s) // max(len(words), 1)
+            pooled = q if s >= 0 else -q
+            score = self.BIAS + pooled
+            assert got[i] == (len(words), score, score >= self.THRESH), (i, t)
+
+    def test_weights_broadcast_no_smj_on_bucket(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        from pyspark.sql import Row
+
+        from correctocr_spark.ops.textstats import linear_classifier_scores
+
+        df = spark.createDataFrame([Row(doc_id=0, text="a b c")])
+        out = linear_classifier_scores(df, self._wdf(spark), dims=self.DIMS)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        p = buf.getvalue()
+        assert "BroadcastHashJoin" in p
+        for line in p.splitlines():
+            if "SortMergeJoin" in line:
+                assert "_b" not in line, line
+        spark.catalog.clearCache()
+
+    def test_dims_validated(self, spark):
+        import pytest as _pytest
+
+        from pyspark.sql import Row
+
+        from correctocr_spark.ops.textstats import linear_classifier_scores
+
+        df = spark.createDataFrame([Row(doc_id=0, text="x")])
+        with _pytest.raises(ValueError, match="dims"):
+            linear_classifier_scores(df, self._wdf(spark), dims=0)

@@ -146,6 +146,10 @@ def test_oracled_queries_precede_rows_only():
         # integer HITS — the exact-arithmetic iteration core shared
         # with tier-1 pagerank, over the same synthetic edges
         "hits",
+        # T6 md5 fingerprint keying — re-verified by the tier-1 dedup
+        # oracles keyed on the same hashes; displaced by
+        # classifier_gate
+        "fingerprint",
         # row-local slice over the whitespace-token machinery tier-1
         # token_counts hash-verifies
         "truncate_docs",

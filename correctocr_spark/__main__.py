@@ -195,6 +195,17 @@ def build_parser() -> argparse.ArgumentParser:
                           "(longest-text-first, salted two-phase "
                           "top-N) — the domain-dominance cap; runs "
                           "after dedup, before sampling")
+    cur.add_argument("--classifier-weights", default="",
+                     help="parquet of an exported hashed linear model "
+                          "head (bucket, weight in integer micro-"
+                          "units): docs whose integer logit falls "
+                          "below --classifier-threshold are dropped "
+                          "(the FineWeb-Edu-style model gate)")
+    cur.add_argument("--classifier-dims", type=int, default=1 << 16,
+                     help="hashing-trick feature space size the model "
+                          "was trained with")
+    cur.add_argument("--classifier-bias", type=int, default=0)
+    cur.add_argument("--classifier-threshold", type=int, default=0)
     cur.add_argument("--id-col", default="doc_id")
     cur.add_argument("--text-col", default="text")
 
@@ -556,6 +567,14 @@ def main(argv=None) -> int:
                     if args.robots_txt
                     else None
                 ),
+                classifier_weights=(
+                    spark.read.parquet(args.classifier_weights)
+                    if args.classifier_weights
+                    else None
+                ),
+                classifier_dims=args.classifier_dims,
+                classifier_bias=args.classifier_bias,
+                classifier_threshold=args.classifier_threshold,
             )
             to_write = out
             if args.shuffle_seed:

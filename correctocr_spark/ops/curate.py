@@ -162,6 +162,10 @@ def curate(
     lm_tail: float = 0.3,
     host_quota: Optional[int] = None,
     robots_txt: Optional[DataFrame] = None,
+    classifier_weights: Optional[DataFrame] = None,
+    classifier_dims: int = 1 << 16,
+    classifier_bias: int = 0,
+    classifier_threshold: int = 0,
 ) -> DataFrame:
     """Full curation: filter to surviving docs, optionally sample,
     optionally rebalance to a target group mixture
@@ -210,6 +214,14 @@ def curate(
     ``lm_head``/``lm_tail`` cut fractions) over the post-crawl-filter
     survivors and keeps only the named buckets, before quality scoring
     and dedup pay for the dropped mass.
+
+    ``classifier_weights`` (a ``(bucket, weight)`` DataFrame — an
+    exported hashed linear model head, see
+    :func:`~.textstats.linear_classifier_scores`) gates on the integer
+    logit ``>= classifier_threshold`` alongside the other content
+    filters — the FineWeb-Edu-style model-based quality pass; the
+    weight table is fixed-``classifier_dims`` so it broadcasts at any
+    corpus size.
 
     ``host_quota`` caps the SURVIVOR set at N docs per ``url_col`` host
     (:func:`~.filters.host_quota`, salted two-phase top-N preferring
@@ -290,6 +302,25 @@ def curate(
             )
             .where(F.col("bucket").isin(list(lm_keep)))
             .select(F.col("doc_id").alias(id_col))
+        )
+        docs = docs.join(keep_ids, on=id_col, how="left_semi")
+    if classifier_weights is not None:
+        from .textstats import linear_classifier_scores
+
+        # model-based quality gate (the FineWeb-Edu pattern): runs with
+        # the other content gates, before dedup pays for dropped mass;
+        # kept ids are corpus-scale, so a plain semi-join
+        scored = linear_classifier_scores(
+            docs,
+            classifier_weights,
+            dims=classifier_dims,
+            bias=classifier_bias,
+            threshold=classifier_threshold,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        keep_ids = scored.where(F.col("keep")).select(
+            F.col("doc_id").alias(id_col)
         )
         docs = docs.join(keep_ids, on=id_col, how="left_semi")
     superseded = None

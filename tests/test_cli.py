@@ -483,3 +483,46 @@ def test_cli_ingest_wat_out(tmp_path, spark):
         tuple(x) for x in wat_records(spark.read.parquet(out)).collect()
     )
     assert sorted(tuple(x) for x in back.collect()) == want
+
+
+@pytest.mark.slow
+def test_cli_curate_classifier_gate(tmp_path, spark):
+    """--classifier-weights drops docs whose hashed-linear logit falls
+    below --classifier-threshold; survivors match the op applied
+    directly."""
+    import hashlib
+
+    stop = ["the", "of", "and", "to", "in", "is", "was", "for", "that", "with"]
+    rows = [
+        (i, " ".join(f"tok{i}x{j} {stop[j % 10]}" for j in range(40)),
+         "en", f"https://h{i}.org/p/{i}")
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string"
+    ).write.parquet(str(tmp_path / "docs"))
+    dims = 32
+    spark.range(dims).selectExpr(
+        "id AS bucket", "CAST(((id * 11) % 9 - 4) * 100 AS LONG) AS weight"
+    ).write.parquet(str(tmp_path / "w"))
+    out = str(tmp_path / "curated")
+    r = run_cli(
+        "curate", "--input", str(tmp_path / "docs"), "--output", out,
+        "--min-quality", "0",
+        "--classifier-weights", str(tmp_path / "w"),
+        "--classifier-dims", str(dims), "--classifier-threshold", "0",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {x["doc_id"] for x in spark.read.parquet(out).select("doc_id").collect()}
+
+    def bucket(w):
+        return int(hashlib.md5(w.lower().encode()).hexdigest()[:15], 16) % dims
+
+    want = set()
+    for i, text, _, _ in rows:
+        ws = text.split()
+        s = sum(((bucket(w) * 11) % 9 - 4) * 100 for w in ws)
+        q = abs(s) // len(ws)
+        if (q if s >= 0 else -q) >= 0:
+            want.add(i)
+    assert got == want and 0 < len(want) < 12

@@ -243,3 +243,54 @@ def test_sitemap_and_page_metadata_scan_speed(spark):
             assert m.group(1).startswith("RoundRobinPartitioning"), m.group(0)
         assert "SortMergeJoin" not in p and "HashAggregate" not in p
         assert "CartesianProduct" not in p
+
+
+def test_bloom_gate_query_scan_pruning(spark):
+    """bloom_gate reads only doc_id (urls injected), probes via
+    broadcast joins, and the only hash exchange is the bitmap's own
+    word-keyed aggregation — the corpus side stays scan-partitioned."""
+    p = plan_of(entry_mod.q_bloom_gate(spark, SF))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(s == "doc_id:bigint" for s in schemas)
+    assert "SortMergeJoin" not in p
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "word_index" in line, line
+
+
+def test_classifier_gate_query_scan_pruning(spark):
+    """classifier_gate reads (doc_id, text) only; the weight table is
+    broadcast (never an SMJ on the bucket key) — the fixed-dims head
+    must broadcast at any corpus size."""
+    p = plan_of(entry_mod.q_classifier_gate(spark, SF))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert any(
+        sorted(c.split(":")[0] for c in s.split(",")) == ["doc_id", "text"]
+        for s in schemas
+    )
+    assert "BroadcastHashJoin" in p
+    for line in p.splitlines():
+        if "SortMergeJoin" in line:
+            assert "_b" not in line, line
+    spark.catalog.clearCache()
+
+
+def test_wat_records_query_scan_speed(spark):
+    """The WAT metadata view is row-local column algebra: pruned scan,
+    no joins, no aggregates, no key exchanges."""
+    p = plan_of(entry_mod.q_wat_records(spark, SF))
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
+    assert [c.split(":")[0] for c in rs.split(",")] == ["doc_id"]
+    assert "SortMergeJoin" not in p and "HashAggregate" not in p
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n)*?Arguments: (\S+)", p):
+        assert m.group(1).startswith("RoundRobinPartitioning"), m.group(0)
+
+
+def test_robots_discovery_query_scan_shape(spark):
+    """robots_discovery is one mapInPandas over the host-dimension
+    robots table: the documents scan feeds only the distinct host
+    derivation (doc_id), and there is no join anywhere."""
+    p = plan_of(entry_mod.q_robots_discovery(spark, SF))
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
+    assert [c.split(":")[0] for c in rs.split(",")] == ["doc_id"]
+    assert "Join" not in p

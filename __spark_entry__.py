@@ -1840,6 +1840,45 @@ def q_ocr_tokens_binned(spark, sf_dir):
     return bin_metrics(pipe.tokens(pages))
 
 
+def q_gate_funnel(spark, sf_dir):
+    """Filter-funnel attrition report (the RefinedWeb/FineWeb-style
+    per-gate removal table) over five ordered content gates — ONE
+    aggregate over ONE scan regardless of gate count; every cumulative
+    flag is integer row-local column algebra (no float ratios, so the
+    hash twin is exact)."""
+    _ship(spark)
+    from correctocr_spark.ops.filters import gate_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    d = docs.select(
+        "lang",
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))).alias("_len"),
+        F.size(ws).cast("long").alias("_nw"),
+        F.aggregate(
+            ws, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("_sumlen"),
+        F.size(F.filter(ws, lambda x: x.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("_nalpha"),
+    )
+    gates = [
+        ("nonempty", F.col("_len") > 0),
+        ("min_words", F.col("_nw") >= 5),
+        (
+            "word_len",
+            (F.col("_sumlen") >= 2 * F.col("_nw"))
+            & (F.col("_sumlen") <= 12 * F.col("_nw")),
+        ),
+        ("alpha_ratio", 2 * F.col("_nalpha") >= F.col("_nw")),
+        ("lang_known", F.col("lang").isNotNull() & (F.col("lang") != "")),
+    ]
+    return gate_funnel(d, gates)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -2057,6 +2096,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest); the WARC-format serialize/parse halves are
         # round-trip-pinned in tests/test_warc.py::TestWat
         "wat_records": q_wat_records,
+        # filter-funnel attrition report — single-agg + inline-array
+        # pivot; gates are integer row-local algebra so the DuckDB twin
+        # is exact
+        "gate_funnel": q_gate_funnel,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -3442,6 +3485,44 @@ def oracle_sql() -> dict[str, str]:
                             || regexp_extract(t, '>([^<]*)</a>', 1)), ';')
                        AS links_joined
             FROM metas
+        """,
+
+        "gate_funnel": r"""
+            WITH w AS (
+                SELECT lang,
+                       trim(coalesce(text, '')) AS t,
+                       list_filter(regexp_split_to_array(
+                           trim(coalesce(text, '')), '\s+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            m AS (
+                SELECT
+                    length(t) > 0 AS g1,
+                    len(ws) >= 5 AS g2,
+                    coalesce(list_sum(list_transform(ws, x -> len(x))), 0)
+                        BETWEEN 2 * len(ws) AND 12 * len(ws) AS g3,
+                    2 * len(list_filter(ws,
+                        x -> regexp_matches(x, '[A-Za-z]'))) >= len(ws) AS g4,
+                    lang IS NOT NULL AND lang <> '' AS g5
+                FROM w
+            ),
+            c AS (
+                SELECT count(*)::BIGINT AS n0,
+                       sum(CASE WHEN g1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+                       sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+                       sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+                       sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)::BIGINT AS n4,
+                       sum(CASE WHEN g1 AND g2 AND g3 AND g4 AND g5 THEN 1 ELSE 0 END)::BIGINT AS n5
+                FROM m
+            )
+            SELECT 0::INTEGER AS stage, 'total' AS gate, n0 AS n_in,
+                   0::BIGINT AS n_fail, n0 AS n_out FROM c
+            UNION ALL SELECT 1, 'nonempty', n0, n0 - n1, n1 FROM c
+            UNION ALL SELECT 2, 'min_words', n1, n1 - n2, n2 FROM c
+            UNION ALL SELECT 3, 'word_len', n2, n2 - n3, n3 FROM c
+            UNION ALL SELECT 4, 'alpha_ratio', n3, n3 - n4, n4 FROM c
+            UNION ALL SELECT 5, 'lang_known', n4, n4 - n5, n5 FROM c
         """,
 
         "sitemap_parse": r"""

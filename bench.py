@@ -123,6 +123,7 @@ HEADLINE = [
     "wat_records",
     "hits",
     "classifier_gate",
+    "gate_funnel",
 ]
 
 

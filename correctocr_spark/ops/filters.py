@@ -48,6 +48,7 @@ __all__ = [
     "bloom_bitmap",
     "bloom_gate",
     "bloom_anti_join",
+    "gate_funnel",
     "GOPHER_STOPWORDS",
 ]
 
@@ -865,3 +866,69 @@ def bloom_anti_join(
         "left_anti",
     )
     return clear.unionByName(verified)
+
+
+def gate_funnel(docs: DataFrame, gates, total_name: str = "total") -> DataFrame:
+    """Single-scan attrition report for an ordered filter-gate sequence —
+    the funnel table every corpus paper publishes (RefinedWeb Table 2,
+    FineWeb's filtering ablations): for each gate, how many documents
+    entered it, how many it removed, how many survived.
+
+    ``gates`` is an ordered sequence of ``(name, Column)`` pairs, each
+    column a boolean PASS predicate evaluated row-locally. Gate *i* is
+    counted only over the survivors of gates ``1..i-1`` (cumulative
+    conjunction), matching how a real pipeline applies them — cheapest
+    first, later gates never see earlier gates' rejects. A NULL
+    predicate counts as a FAIL (the row is unjudgeable ⇒ dropped),
+    mirroring SQL ``WHERE`` semantics.
+
+    Returns one row per stage: ``(stage int, gate string, n_in long,
+    n_fail long, n_out long)``, led by a ``stage 0`` / ``total_name``
+    row carrying the input count. ``n_out`` of stage *i* == ``n_in`` of
+    stage *i+1*; the last ``n_out`` is the corpus that ships.
+
+    Scale (100 TB): the whole report is ONE aggregate over ONE scan —
+    every cumulative flag is row-local column algebra, the partial sums
+    combine map-side, and a single one-row exchange reaches the driver.
+    No per-gate pass over the corpus, no joins; cost is independent of
+    the number of gates. The pivot to per-gate rows happens on the
+    one-row aggregate via an inline array explode (still JVM-side).
+
+    The reference has no filter tiers to report on (its corpus is a
+    fixed hand-listed download, reference workspace.py:100-141); this is
+    north-rule curation surface.
+    """
+    gates = list(gates)
+    aggs = [F.count(F.lit(1)).alias("_n0")]
+    cum = None
+    for i, (_, cond) in enumerate(gates, start=1):
+        c = F.coalesce(cond.cast("boolean"), F.lit(False))
+        cum = c if cum is None else (cum & c)
+        # coalesce: sum over ZERO rows is NULL — an empty corpus must
+        # report 0 survivors, not null
+        aggs.append(
+            F.coalesce(F.sum(cum.cast("long")), F.lit(0).cast("long")).alias(
+                f"_n{i}"
+            )
+        )
+    row = docs.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(0).cast("int").alias("stage"),
+            F.lit(total_name).alias("gate"),
+            F.col("_n0").alias("n_in"),
+            F.lit(0).cast("long").alias("n_fail"),
+            F.col("_n0").alias("n_out"),
+        )
+    ]
+    for i, (name, _) in enumerate(gates, start=1):
+        entries.append(
+            F.struct(
+                F.lit(i).cast("int").alias("stage"),
+                F.lit(name).alias("gate"),
+                F.col(f"_n{i - 1}").alias("n_in"),
+                (F.col(f"_n{i - 1}") - F.col(f"_n{i}")).alias("n_fail"),
+                F.col(f"_n{i}").alias("n_out"),
+            )
+        )
+    return row.select(F.explode(F.array(*entries)).alias("_e")).select("_e.*")

@@ -181,6 +181,10 @@ def test_oracled_queries_precede_rows_only():
         # page-metadata harvest — tier-1 robots_directives' meta
         # grammar applied to title/description/canonical
         "page_metadata",
+        # filter-funnel report — single conditional-agg core shared
+        # with tier-1 stats_conditional_agg; gate predicates are the
+        # integer row-local algebra tier-1 token_counts/quality verify
+        "gate_funnel",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -869,3 +869,84 @@ class TestBloomGate:
         for line in p.splitlines():
             if "Exchange hashpartitioning" in line:
                 assert "word_index" in line, line
+
+
+class TestGateFunnel:
+    def _docs(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            [
+                (1, "good doc", True),
+                (2, "bad doc", False),
+                (3, "null gate doc", None),
+                (4, "another good", True),
+            ],
+            "doc_id long, text string, keep boolean",
+        )
+
+    def test_cumulative_counts_and_null_fails(self, spark):
+        from pyspark.sql import functions as F
+
+        from correctocr_spark.ops.filters import gate_funnel
+
+        docs = self._docs(spark)
+        out = gate_funnel(
+            docs,
+            [
+                ("keep", F.col("keep")),
+                ("long_text", F.length("text") >= 9),
+            ],
+        ).orderBy("stage")
+        rows = [tuple(r) for r in out.collect()]
+        # NULL keep counts as FAIL (row 3); gate 2 only sees gate-1
+        # survivors (docs 1 and 4), of which only doc 4 is >= 9 chars.
+        assert rows == [
+            (0, "total", 4, 0, 4),
+            (1, "keep", 4, 2, 2),
+            (2, "long_text", 2, 1, 1),
+        ]
+        assert [f.name for f in out.schema.fields] == [
+            "stage", "gate", "n_in", "n_fail", "n_out",
+        ]
+
+    def test_empty_input_and_no_gates(self, spark):
+        from pyspark.sql import functions as F
+
+        from correctocr_spark.ops.filters import gate_funnel
+
+        empty = self._docs(spark).where(F.lit(False))
+        rows = gate_funnel(empty, [("keep", F.col("keep"))]).orderBy(
+            "stage"
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            (0, "total", 0, 0, 0),
+            (1, "keep", 0, 0, 0),
+        ]
+        only_total = gate_funnel(self._docs(spark), []).collect()
+        assert [tuple(r) for r in only_total] == [(0, "total", 4, 0, 4)]
+
+    def test_single_scan_single_aggregate_plan(self, spark):
+        """The whole funnel must be ONE aggregate over ONE scan — per-gate
+        passes or joins would not survive 100 TB."""
+        import io
+        from contextlib import redirect_stdout
+
+        from pyspark.sql import functions as F
+
+        from correctocr_spark.ops.filters import gate_funnel
+
+        docs = self._docs(spark)
+        out = gate_funnel(
+            docs,
+            [("keep", F.col("keep")), ("long_text", F.length("text") >= 9)],
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        p = buf.getvalue()
+        assert "Join" not in p
+        tree = p.split("\n\n")[0]  # node names repeat in the detail section
+        assert tree.count("Scan ") == 1
+        # one partial + one final HashAggregate, nothing per-gate
+        assert tree.count("HashAggregate") <= 2

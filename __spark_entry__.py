@@ -1840,6 +1840,58 @@ def q_ocr_tokens_binned(spark, sf_dir):
     return bin_metrics(pipe.tokens(pages))
 
 
+def _host_links(spark, sf_dir):
+    """Deterministic page-level link table with src urls: a stable
+    cross-host edge (ex{i}→t{i%3}), an even-doc edge inside the ex
+    family, a self-loop every 7th doc, and an unparseable href every
+    11th (must drop) — same construction in the oracle SQL."""
+    did = F.col("doc_id")
+    src = F.concat(
+        F.lit("http://ex"), (did % 5).cast("string"), F.lit(".com/p/"), did.cast("string")
+    )
+    a = F.concat(
+        F.lit("https://t"), (did % 3).cast("string"), F.lit(".example/a/"), did.cast("string")
+    )
+    b = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit("http://ex"), ((did + 1) % 5).cast("string"),
+            F.lit(".com/x/"), did.cast("string"),
+        ),
+    )
+    c = F.when(
+        did % 7 == 0,
+        F.concat(F.lit("http://ex"), (did % 5).cast("string"), F.lit(".com/self")),
+    )
+    d = F.when(did % 11 == 0, F.lit("not a url"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(src.alias("src_url"), F.explode(F.array(a, b, c, d)).alias("href"))
+        .where(F.col("href").isNotNull())
+    )
+
+
+def q_host_graph(spark, sf_dir):
+    """Host-level projection of the page link graph — the 10¹²-edge →
+    10⁷-node collapse every link-quality pass starts with; one
+    host-pair-keyed agg shuffle, host grammar shared with the curation
+    tier."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import host_graph
+
+    return host_graph(_host_links(spark, sf_dir))
+
+
+def q_host_reputation(spark, sf_dir):
+    """TrustRank-lite per-host link features over the host projection
+    (in/out neighbor hosts, link mass, self-loop count, integer ppm
+    inbound share) — full-outer degree composition, all-integer."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import host_graph, host_reputation
+
+    return host_reputation(host_graph(_host_links(spark, sf_dir)))
+
+
 def q_gate_funnel(spark, sf_dir):
     """Filter-funnel attrition report (the RefinedWeb/FineWeb-style
     per-gate removal table) over five ordered content gates — ONE
@@ -2100,6 +2152,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pivot; gates are integer row-local algebra so the DuckDB twin
         # is exact
         "gate_funnel": q_gate_funnel,
+        # host projection of the link graph — host grammar is tier-1
+        # domain_blocklist's (hash-verified); agg is a plain groupBy
+        "host_graph": q_host_graph,
+        # per-host link-reputation features — composes host_graph; the
+        # degree aggs share tier-1 pagerank's node-keyed shapes
+        "host_reputation": q_host_reputation,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -3485,6 +3543,105 @@ def oracle_sql() -> dict[str, str]:
                             || regexp_extract(t, '>([^<]*)</a>', 1)), ';')
                        AS links_joined
             FROM metas
+        """,
+
+        "host_graph": r"""
+            WITH links AS (
+                SELECT 'http://ex' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.com/p/' || CAST(doc_id AS VARCHAR) AS src_url,
+                       unnest(list_filter(list_value(
+                           'https://t' || CAST(doc_id % 3 AS VARCHAR)
+                               || '.example/a/' || CAST(doc_id AS VARCHAR),
+                           CASE WHEN doc_id % 2 = 0 THEN
+                               'http://ex' || CAST((doc_id + 1) % 5 AS VARCHAR)
+                               || '.com/x/' || CAST(doc_id AS VARCHAR) END,
+                           CASE WHEN doc_id % 7 = 0 THEN
+                               'http://ex' || CAST(doc_id % 5 AS VARCHAR)
+                               || '.com/self' END,
+                           CASE WHEN doc_id % 11 = 0 THEN 'not a url' END
+                       ), x -> x IS NOT NULL)) AS href
+                FROM documents
+            ),
+            h AS (
+                SELECT src_url,
+                       regexp_replace(lower(regexp_extract(src_url,
+                           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                           ':[0-9]+$', '') AS src_host,
+                       regexp_replace(lower(regexp_extract(href,
+                           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                           ':[0-9]+$', '') AS dst_host
+                FROM links
+            )
+            SELECT src_host, dst_host, count(*)::BIGINT AS n_links,
+                   count(DISTINCT src_url)::BIGINT AS n_src_pages
+            FROM h
+            WHERE src_host <> '' AND dst_host <> ''
+            GROUP BY 1, 2
+        """,
+
+        "host_reputation": r"""
+            WITH links AS (
+                SELECT 'http://ex' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.com/p/' || CAST(doc_id AS VARCHAR) AS src_url,
+                       unnest(list_filter(list_value(
+                           'https://t' || CAST(doc_id % 3 AS VARCHAR)
+                               || '.example/a/' || CAST(doc_id AS VARCHAR),
+                           CASE WHEN doc_id % 2 = 0 THEN
+                               'http://ex' || CAST((doc_id + 1) % 5 AS VARCHAR)
+                               || '.com/x/' || CAST(doc_id AS VARCHAR) END,
+                           CASE WHEN doc_id % 7 = 0 THEN
+                               'http://ex' || CAST(doc_id % 5 AS VARCHAR)
+                               || '.com/self' END,
+                           CASE WHEN doc_id % 11 = 0 THEN 'not a url' END
+                       ), x -> x IS NOT NULL)) AS href
+                FROM documents
+            ),
+            hedges AS (
+                SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+                FROM (
+                    SELECT src_url,
+                           regexp_replace(lower(regexp_extract(src_url,
+                               '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                               ':[0-9]+$', '') AS src_host,
+                           regexp_replace(lower(regexp_extract(href,
+                               '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                               ':[0-9]+$', '') AS dst_host
+                    FROM links
+                )
+                WHERE src_host <> '' AND dst_host <> ''
+                GROUP BY 1, 2
+            ),
+            cross_e AS (SELECT * FROM hedges WHERE src_host <> dst_host),
+            outs AS (
+                SELECT src_host AS host,
+                       count(DISTINCT dst_host)::BIGINT AS n_out_hosts,
+                       sum(n_links)::BIGINT AS n_out_links
+                FROM cross_e GROUP BY 1
+            ),
+            ins AS (
+                SELECT dst_host AS host,
+                       count(DISTINCT src_host)::BIGINT AS n_in_hosts,
+                       sum(n_links)::BIGINT AS n_in_links
+                FROM cross_e GROUP BY 1
+            ),
+            intra AS (
+                SELECT src_host AS host, n_links AS intra_links
+                FROM hedges WHERE src_host = dst_host
+            ),
+            rep AS (
+                SELECT coalesce(o.host, i.host) AS host,
+                       coalesce(n_in_hosts, 0)::BIGINT AS n_in_hosts,
+                       coalesce(n_in_links, 0)::BIGINT AS n_in_links,
+                       coalesce(n_out_hosts, 0)::BIGINT AS n_out_hosts,
+                       coalesce(n_out_links, 0)::BIGINT AS n_out_links
+                FROM outs o FULL OUTER JOIN ins i ON o.host = i.host
+            )
+            SELECT r.host, n_in_hosts, n_in_links, n_out_hosts, n_out_links,
+                   coalesce(t.intra_links, 0)::BIGINT AS intra_links,
+                   (CASE WHEN n_in_links + n_out_links > 0 THEN
+                        (n_in_links * 1000000) // (n_in_links + n_out_links)
+                    ELSE 0 END)::BIGINT AS in_ratio_ppm
+            FROM rep r LEFT JOIN intra t ON r.host = t.host
         """,
 
         "gate_funnel": r"""

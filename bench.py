@@ -124,6 +124,8 @@ HEADLINE = [
     "hits",
     "classifier_gate",
     "gate_funnel",
+    "host_graph",
+    "host_reputation",
 ]
 
 

@@ -213,3 +213,93 @@ def hits(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def host_graph(
+    links: DataFrame,
+    src_url_col: str = "src_url",
+    dst_url_col: str = "href",
+) -> DataFrame:
+    """Project the page-level link graph onto HOSTS — the standard
+    first move before any link-quality analysis at crawl scale: a
+    10¹²-edge page graph collapses to a ~10⁷-node host graph that
+    iterative algorithms (:func:`pagerank`, :func:`hits`) can chew on.
+
+    One row per (src_host, dst_host) ordered pair — self-loops
+    (intra-host navigation) KEPT so the consumer can measure
+    intra/inter link balance — with ``n_links`` (page-edge count) and
+    ``n_src_pages`` (distinct linking source urls). Unparseable urls
+    (empty host) are dropped.
+
+    Scale (100 TB): one groupBy shuffle keyed on the (small-cardinality)
+    host pair; count + approx-free distinct both partial-aggregate
+    map-side after a row-local host extraction
+    (:func:`~.filters.host_col` — same grammar as the curation tier, so
+    graph hosts join curation hosts exactly).
+    """
+    from .filters import host_col
+
+    return (
+        links.select(
+            host_col(src_url_col).alias("src_host"),
+            host_col(dst_url_col).alias("dst_host"),
+            F.col(src_url_col).alias("_src_url"),
+        )
+        .where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("_src_url").alias("n_src_pages"),
+        )
+    )
+
+
+def host_reputation(hedges: DataFrame) -> DataFrame:
+    """Per-host link-reputation features over a :func:`host_graph`
+    projection — the TrustRank-lite signals a spam/link-farm gate
+    consumes: distinct in/out neighbor hosts, in/out link mass
+    (self-loops excluded from both), intra-host link count, and
+    ``in_ratio_ppm`` — integer parts-per-million share of inbound links
+    in the host's total cross-host link traffic (link farms sit near 0;
+    pure sinks near 10⁶). All-integer so the oracle hash is exact.
+
+    Scale: two aggregations over the (already host-sized) projection —
+    one keyed by src_host, one by dst_host — joined FULL OUTER on host;
+    both sides partial-aggregate and the join keys are co-partitioned
+    from the same exchange.
+    """
+    cross = hedges.where(F.col("src_host") != F.col("dst_host"))
+    out_side = cross.groupBy(F.col("src_host").alias("host")).agg(
+        F.countDistinct("dst_host").alias("n_out_hosts"),
+        F.sum("n_links").alias("n_out_links"),
+    )
+    in_side = cross.groupBy(F.col("dst_host").alias("host")).agg(
+        F.countDistinct("src_host").alias("n_in_hosts"),
+        F.sum("n_links").alias("n_in_links"),
+    )
+    intra = (
+        hedges.where(F.col("src_host") == F.col("dst_host"))
+        .select(F.col("src_host").alias("host"), F.col("n_links").alias("intra_links"))
+    )
+    rep = (
+        out_side.join(in_side, on="host", how="full_outer")
+        .join(intra, on="host", how="left")
+        .select(
+            "host",
+            F.coalesce("n_in_hosts", F.lit(0)).cast("long").alias("n_in_hosts"),
+            F.coalesce("n_in_links", F.lit(0)).cast("long").alias("n_in_links"),
+            F.coalesce("n_out_hosts", F.lit(0)).cast("long").alias("n_out_hosts"),
+            F.coalesce("n_out_links", F.lit(0)).cast("long").alias("n_out_links"),
+            F.coalesce("intra_links", F.lit(0)).cast("long").alias("intra_links"),
+        )
+        .withColumn(
+            "in_ratio_ppm",
+            F.when(
+                F.col("n_in_links") + F.col("n_out_links") > 0,
+                F.expr("(n_in_links * 1000000) div (n_in_links + n_out_links)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    return rep

@@ -185,6 +185,11 @@ def test_oracled_queries_precede_rows_only():
         # with tier-1 stats_conditional_agg; gate predicates are the
         # integer row-local algebra tier-1 token_counts/quality verify
         "gate_funnel",
+        # host projection + reputation — host grammar hash-verified by
+        # tier-1 domain_blocklist; groupBy/degree agg shapes shared
+        # with tier-1 word_freq and pagerank
+        "host_graph",
+        "host_reputation",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -194,3 +194,71 @@ def test_hits_duplicate_edges_counted_once(spark):
     )
     k = lambda df: sorted(tuple(r) for r in hits(df, iterations=2).collect())
     assert k(once) == k(dup)
+
+
+class TestHostGraph:
+    def _links(self, spark):
+        return spark.createDataFrame(
+            [
+                ("http://A.com/1", "http://b.com/x"),
+                ("http://a.com/2", "http://B.com:8080/y"),
+                ("http://a.com/2", "http://b.com/z"),
+                ("http://a.com/3", "http://a.com/self"),
+                ("http://b.com/1", "http://a.com/back"),
+                ("not a url", "http://b.com/q"),
+                ("http://c.com/1", "garbage"),
+            ],
+            "src_url string, href string",
+        )
+
+    def test_projection_counts(self, spark):
+        from correctocr_spark.ops.graph import host_graph
+
+        rows = {
+            (r.src_host, r.dst_host): (r.n_links, r.n_src_pages)
+            for r in host_graph(self._links(spark)).collect()
+        }
+        # hosts lowercased, ports stripped; unparseable rows dropped
+        assert rows == {
+            ("a.com", "b.com"): (3, 2),  # /1 and /2 (x2) -> 2 distinct pages
+            ("a.com", "a.com"): (1, 1),  # self-loop kept
+            ("b.com", "a.com"): (1, 1),
+        }
+
+    def test_reputation_features(self, spark):
+        from correctocr_spark.ops.graph import host_graph, host_reputation
+
+        rep = {
+            r.host: r.asDict()
+            for r in host_reputation(host_graph(self._links(spark))).collect()
+        }
+        assert set(rep) == {"a.com", "b.com"}
+        a, b = rep["a.com"], rep["b.com"]
+        # a.com: 3 out cross-links to b.com, 1 in from b.com, 1 intra
+        assert (a["n_out_hosts"], a["n_out_links"]) == (1, 3)
+        assert (a["n_in_hosts"], a["n_in_links"]) == (1, 1)
+        assert a["intra_links"] == 1
+        assert a["in_ratio_ppm"] == 250000  # 1 in / 4 total cross-links
+        # b.com mirrors: 3 in, 1 out, no intra
+        assert (b["n_in_links"], b["n_out_links"], b["intra_links"]) == (3, 1, 0)
+        assert b["in_ratio_ppm"] == 750000
+
+    def test_isolated_sink_and_source_full_outer(self, spark):
+        """A host appearing ONLY as a target (pure sink) or ONLY as a
+        source must survive the full-outer degree join with zeroed
+        other side."""
+        from correctocr_spark.ops.graph import host_graph, host_reputation
+
+        links = spark.createDataFrame(
+            [("http://s.com/1", "http://sink.com/x")],
+            "src_url string, href string",
+        )
+        rep = {
+            r.host: r.asDict()
+            for r in host_reputation(host_graph(links)).collect()
+        }
+        assert rep["sink.com"]["n_in_links"] == 1
+        assert rep["sink.com"]["n_out_links"] == 0
+        assert rep["sink.com"]["in_ratio_ppm"] == 1000000
+        assert rep["s.com"]["n_out_links"] == 1
+        assert rep["s.com"]["in_ratio_ppm"] == 0

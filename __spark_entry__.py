@@ -1840,6 +1840,43 @@ def q_ocr_tokens_binned(spark, sf_dir):
     return bin_metrics(pipe.tokens(pages))
 
 
+def _synth_cdx(spark, sf_dir):
+    """Deterministic typed CDX index rows (varied SURT hosts, day-of-
+    month timestamps, 3 segment files) — same construction in the
+    oracle SQL."""
+    did = F.col("doc_id")
+    return _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("com,ex"), (did % 7).cast("string"),
+            F.lit(")/p/"), did.cast("string"),
+        ).alias("urlkey"),
+        F.format_string("202401%02d000000", (did % 28 + 1).cast("int")).alias(
+            "cdx_ts"
+        ),
+        F.concat(
+            F.lit("http://ex"), (did % 7).cast("string"),
+            F.lit(".com/p/"), did.cast("string"),
+        ).alias("url"),
+        (did * 100).cast("long").alias("offset"),
+        F.concat(F.lit("seg-"), (did % 3).cast("string"), F.lit(".warc.gz")).alias(
+            "filename"
+        ),
+    )
+
+
+def q_zipnum_blocks(spark, sf_dir):
+    """ZipNum cluster-index block plan (Common Crawl's cluster.idx
+    layout): global (urlkey, ts) order via range repartition +
+    driver-prefix-summed partition counts + partition-local windows,
+    then one block-keyed agg. 64-line blocks, 4 blocks per part."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import zipnum_blocks
+
+    return zipnum_blocks(
+        _synth_cdx(spark, sf_dir), lines_per_block=64, blocks_per_part=4
+    )
+
+
 def _host_links(spark, sf_dir):
     """Deterministic page-level link table with src urls: a stable
     cross-host edge (ex{i}→t{i%3}), an even-doc edge inside the ex
@@ -2158,6 +2195,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-host link-reputation features — composes host_graph; the
         # degree aggs share tier-1 pagerank's node-keyed shapes
         "host_reputation": q_host_reputation,
+        # ZipNum cluster-index block plan — global-order machinery is
+        # tier-1 pack_shards_url/train_shuffle's two-pass shape; the
+        # block agg a plain groupBy; writer round-trip pinned in pytest
+        "zipnum_blocks": q_zipnum_blocks,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -3543,6 +3584,40 @@ def oracle_sql() -> dict[str, str]:
                             || regexp_extract(t, '>([^<]*)</a>', 1)), ';')
                        AS links_joined
             FROM metas
+        """,
+
+        "zipnum_blocks": r"""
+            WITH lines AS (
+                SELECT 'com,ex' || CAST(doc_id % 7 AS VARCHAR)
+                           || ')/p/' || CAST(doc_id AS VARCHAR) AS urlkey,
+                       printf('202401%02d000000', (doc_id % 28 + 1)::INT) AS cdx_ts,
+                       'http://ex' || CAST(doc_id % 7 AS VARCHAR)
+                           || '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                       (doc_id * 100)::BIGINT AS "offset",
+                       'seg-' || CAST(doc_id % 3 AS VARCHAR)
+                           || '.warc.gz' AS filename
+                FROM documents
+            ),
+            n AS (
+                SELECT *, row_number() OVER (
+                    ORDER BY urlkey, cdx_ts, url, "offset", filename
+                ) - 1 AS lineno
+                FROM lines
+            ),
+            b AS (
+                SELECT lineno // 64 AS block, count(*)::BIGINT AS n_records
+                FROM n GROUP BY 1
+            ),
+            f AS (
+                SELECT lineno // 64 AS block, urlkey AS first_urlkey,
+                       cdx_ts AS first_ts
+                FROM n WHERE lineno % 64 = 0
+            )
+            SELECT b.block::BIGINT AS block,
+                   printf('cdx-%05d.gz', (b.block // 4)::INT) AS filename,
+                   first_urlkey, first_ts,
+                   (b.block * 64)::BIGINT AS first_lineno, n_records
+            FROM b JOIN f USING (block)
         """,
 
         "host_graph": r"""

@@ -126,6 +126,7 @@ HEADLINE = [
     "gate_funnel",
     "host_graph",
     "host_reputation",
+    "zipnum_blocks",
 ]
 
 

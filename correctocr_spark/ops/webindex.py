@@ -360,3 +360,219 @@ def robots_discovery(
         .select(F.col(host_col).alias("host"), F.col(content_col).alias("content"))
         .mapInPandas(parse, schema=ROBOTS_DISCOVERY_SCHEMA)
     )
+
+
+#: global sort order of the published index (and the unique tiebreak
+#: chain that makes block boundaries value-stable under any range
+#: partitioning)
+_ZIPNUM_KEY = ["urlkey", "cdx_ts", "url", "offset", "filename"]
+
+
+def zipnum_blocks(
+    cdx: DataFrame,
+    lines_per_block: int = 3000,
+    blocks_per_part: int = 100,
+    partitions: int | None = None,
+) -> DataFrame:
+    """ZipNum block plan over the sorted index — the layout behind
+    Common Crawl's ``cluster.idx`` secondary index: the CDXJ lines in
+    global ``(urlkey, cdx_ts, ...)`` order are cut into blocks of
+    ``lines_per_block``, each block is one gzip member, and
+    ``blocks_per_part`` consecutive blocks share a part file
+    (``cdx-00000.gz`` ...). One cluster.idx line per block (first key in
+    the block) lets a query binary-search ~10⁵ summary lines, then
+    range-read + decompress ONE block to answer any urlkey lookup over
+    a 10¹²-record index.
+
+    Returns one row per block: ``(block, filename, first_urlkey,
+    first_ts, first_lineno, n_records)``. Byte offsets/lengths belong
+    to the WRITER (:func:`write_zipnum`) — they are properties of the
+    compressed artifact, not of the plan.
+
+    Scale (100 TB): global line numbers come from a range
+    repartitioning of the (index-sized, ~0.1% of corpus bytes) table +
+    per-partition counts prefix-summed on the driver (one small
+    collect) + partition-local window — the sampled range boundaries
+    keep the ``com,``-heavy SURT keyspace balanced, which a fixed
+    key-prefix bucketing cannot. The frame is checkpointed between the
+    count job and the window job so partition ids cannot shift under
+    AQE re-planning (same hazard class as ensure_parallelism's
+    scan-rooted rule). Equal-key rows may land in either of two
+    adjacent partitions at a range boundary, but the tiebreak chain
+    makes full duplicates the only ambiguity — indistinguishable rows,
+    so block summaries are value-stable.
+    """
+    d = ensure_parallelism(cdx).where(F.col("urlkey").isNotNull())
+    spark = d.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    s = (
+        d.repartitionByRange(n_part, *_ZIPNUM_KEY)
+        .sortWithinPartitions(*_ZIPNUM_KEY)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["_n"]
+        for r in s.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    }
+    offsets, running = [], 0
+    for p in sorted(counts):
+        offsets.append((int(p), running))
+        running += counts[p]
+    if not offsets:
+        offsets = [(0, 0)]
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy(*_ZIPNUM_KEY)
+    numbered = s.join(F.broadcast(off_df), "_pid").select(
+        *_ZIPNUM_KEY,
+        (F.row_number().over(w) + F.col("_offset") - 1).cast("long").alias("_lineno"),
+    )
+    blocks = (
+        numbered.groupBy(
+            F.expr(f"_lineno div {int(lines_per_block)}").cast("long").alias("block")
+        )
+        .agg(
+            F.min(F.struct(*_ZIPNUM_KEY)).alias("_first"),
+            F.count(F.lit(1)).alias("n_records"),
+        )
+        .select(
+            "block",
+            F.format_string(
+                "cdx-%05d.gz", F.expr(f"block div {int(blocks_per_part)}").cast("int")
+            ).alias("filename"),
+            F.col("_first.urlkey").alias("first_urlkey"),
+            F.col("_first.cdx_ts").alias("first_ts"),
+            (F.col("block") * int(lines_per_block)).cast("long").alias("first_lineno"),
+            F.col("n_records").cast("long").alias("n_records"),
+        )
+    )
+    return blocks
+
+
+def write_zipnum(
+    cdx: DataFrame,
+    out_dir: str,
+    lines_per_block: int = 3000,
+    blocks_per_part: int = 100,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Write the ZipNum artifact pair: gzip-member part files
+    (``cdx-NNNNN.gz``) plus the ``cluster.idx`` secondary index with
+    REAL compressed byte spans — ``gzip.decompress(part[offset:
+    offset+length])`` yields exactly that block's CDXJ lines (the
+    contract :func:`zipnum_blocks` plans and the round-trip test pins).
+
+    One applyInPandas task per part file (same executor-side posix
+    ``open(2)`` seam as write_warc_shards — local/posix paths only);
+    members are ``gzip.compress(..., mtime=0)`` so the artifact is
+    byte-deterministic. Returns the cluster.idx rows ``(first_urlkey,
+    first_ts, filename, offset, length, block, n_records)`` and writes
+    them sorted as ``out_dir/cluster.idx``.
+    """
+    import gzip
+    import os
+
+    from pyspark.sql import Window
+
+    lines = cdxj_lines(cdx.where(F.col("urlkey").isNotNull())).select(
+        F.col("value"),
+        F.regexp_extract("value", r"^(\S+)", 1).alias("urlkey"),
+        F.regexp_extract("value", r"^\S+ (\d{14})", 1).alias("cdx_ts"),
+    )
+    # reuse the block-plan numbering: blocks keyed by the LINE order
+    # (value sorts as (urlkey, ts, json) — its own prefix)
+    d = ensure_parallelism(lines)
+    spark = d.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    s = (
+        d.repartitionByRange(n_part, "value")
+        .sortWithinPartitions("value")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["_n"]
+        for r in s.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    }
+    offsets, running = [], 0
+    for p in sorted(counts):
+        offsets.append((int(p), running))
+        running += counts[p]
+    if not offsets:
+        offsets = [(0, 0)]
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    w = Window.partitionBy("_pid").orderBy("value")
+    numbered = s.join(F.broadcast(off_df), "_pid").select(
+        "value",
+        "urlkey",
+        "cdx_ts",
+        (F.row_number().over(w) + F.col("_offset") - 1).cast("long").alias("_lineno"),
+    )
+    nb, bp = int(lines_per_block), int(blocks_per_part)
+    staged = numbered.select(
+        "value",
+        "urlkey",
+        "cdx_ts",
+        "_lineno",
+        F.expr(f"_lineno div {nb}").cast("long").alias("block"),
+        F.format_string(
+            "cdx-%05d.gz", F.expr(f"(_lineno div {nb}) div {bp}").cast("int")
+        ).alias("filename"),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    out_schema = (
+        "first_urlkey string, first_ts string, filename string, "
+        "offset long, length long, block long, n_records long"
+    )
+
+    def dump(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        fname = key[0]
+        pdf = pdf.sort_values("_lineno")
+        rows, buf, pos = [], [], 0
+        path = os.path.join(out_dir, fname)
+        with open(path, "wb") as fh:
+            for block_id, grp in pdf.groupby("block", sort=True):
+                data = ("\n".join(grp["value"]) + "\n").encode("utf-8")
+                member = gzip.compress(data, mtime=0)
+                fh.write(member)
+                first = grp.iloc[0]
+                rows.append(
+                    (
+                        first["urlkey"],
+                        first["cdx_ts"],
+                        fname,
+                        pos,
+                        len(member),
+                        int(block_id),
+                        len(grp),
+                    )
+                )
+                pos += len(member)
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "first_urlkey",
+                "first_ts",
+                "filename",
+                "offset",
+                "length",
+                "block",
+                "n_records",
+            ],
+        )
+
+    idx = (
+        staged.groupBy("filename")
+        .applyInPandas(dump, schema=out_schema)
+        .sort("block")
+        .localCheckpoint(eager=True)
+    )
+    with open(os.path.join(out_dir, "cluster.idx"), "w", encoding="utf-8") as fh:
+        for r in idx.collect():
+            fh.write(
+                f"{r['first_urlkey']} {r['first_ts']}\t{r['filename']}"
+                f"\t{r['offset']}\t{r['length']}\t{r['block']}\n"
+            )
+    return idx

@@ -190,6 +190,10 @@ def test_oracled_queries_precede_rows_only():
         # with tier-1 word_freq and pagerank
         "host_graph",
         "host_reputation",
+        # ZipNum block plan — two-pass global-order core shared with
+        # tier-1 pack_shards_url/train_shuffle; writer round-trip
+        # pinned in tests/test_webindex.py
+        "zipnum_blocks",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -326,3 +326,115 @@ class TestRobotsDiscovery:
             for h, c in bodies.items()
         }
         assert got == want
+
+
+class TestZipNum:
+    def _cdx(self, spark, n=50):
+        from pyspark.sql import functions as F
+
+        did = F.col("id")
+        return spark.range(n).select(
+            F.concat(
+                F.lit("com,ex"), (did % 5).cast("string"),
+                F.lit(")/p/"), did.cast("string"),
+            ).alias("urlkey"),
+            F.format_string("202401%02d000000", (did % 9 + 1).cast("int")).alias(
+                "cdx_ts"
+            ),
+            F.concat(F.lit("http://e/"), did.cast("string")).alias("url"),
+            F.lit(200).cast("long").alias("status"),
+            F.lit("DIGEST").alias("digest"),
+            (100 + did).cast("long").alias("length"),
+            (did * 100).cast("long").alias("offset"),
+            F.lit("seg-0.warc.gz").alias("filename"),
+        )
+
+    def test_blocks_plan_counts(self, spark):
+        from correctocr_spark.ops.webindex import zipnum_blocks
+
+        out = zipnum_blocks(
+            self._cdx(spark), lines_per_block=8, blocks_per_part=3
+        ).orderBy("block")
+        rows = out.collect()
+        assert [r.block for r in rows] == list(range(7))  # 50/8 -> 7 blocks
+        assert [r.n_records for r in rows] == [8] * 6 + [2]
+        assert rows[0].filename == "cdx-00000.gz"
+        assert rows[3].filename == "cdx-00001.gz"
+        assert rows[6].filename == "cdx-00002.gz"
+        assert [r.first_lineno for r in rows] == [0, 8, 16, 24, 32, 40, 48]
+        # first key of block 0 is the global minimum urlkey
+        assert rows[0].first_urlkey == "com,ex0)/p/0"
+
+    def test_write_roundtrip(self, spark, tmp_path):
+        """cluster.idx spans must decompress to exactly the block's
+        sorted CDXJ lines — the range-read contract."""
+        import gzip
+        import os
+
+        from correctocr_spark.ops.webindex import (
+            cdxj_lines,
+            write_zipnum,
+            zipnum_blocks,
+        )
+
+        cdx = self._cdx(spark)
+        out_dir = str(tmp_path / "zipnum")
+        idx = write_zipnum(
+            cdx, out_dir, lines_per_block=8, blocks_per_part=3
+        ).orderBy("block")
+        rows = idx.collect()
+
+        # plan parity: writer blocks == zipnum_blocks plan
+        plan = {
+            r.block: (r.filename, r.first_urlkey, r.first_ts, r.n_records)
+            for r in zipnum_blocks(
+                cdx, lines_per_block=8, blocks_per_part=3
+            ).collect()
+        }
+        for r in rows:
+            assert plan[r.block] == (
+                r.filename, r.first_urlkey, r.first_ts, r.n_records
+            )
+
+        # byte contract: every (filename, offset, length) span is one
+        # gzip member holding that block's lines in global order
+        expected = sorted(
+            v["value"] for v in cdxj_lines(cdx).collect()
+        )
+        got = []
+        for r in rows:
+            with open(os.path.join(out_dir, r.filename), "rb") as fh:
+                fh.seek(r.offset)
+                data = gzip.decompress(fh.read(r.length))
+            lines = data.decode("utf-8").splitlines()
+            assert len(lines) == r.n_records
+            assert lines[0].startswith(f"{r.first_urlkey} {r.first_ts}")
+            got.extend(lines)
+        assert got == expected
+
+        # cluster.idx file mirrors the returned frame, sorted
+        with open(os.path.join(out_dir, "cluster.idx"), encoding="utf-8") as fh:
+            idx_lines = fh.read().splitlines()
+        assert len(idx_lines) == len(rows)
+        assert idx_lines[0] == (
+            f"{rows[0].first_urlkey} {rows[0].first_ts}\t{rows[0].filename}"
+            f"\t{rows[0].offset}\t{rows[0].length}\t{rows[0].block}"
+        )
+        # members are concatenated back-to-back: offsets are dense
+        by_file = {}
+        for r in rows:
+            by_file.setdefault(r.filename, []).append(r)
+        for fname, rs in by_file.items():
+            pos = 0
+            for r in sorted(rs, key=lambda x: x.block):
+                assert r.offset == pos
+                pos += r.length
+            assert pos == os.path.getsize(os.path.join(out_dir, fname))
+
+    def test_empty_input(self, spark):
+        from pyspark.sql import functions as F
+
+        from correctocr_spark.ops.webindex import zipnum_blocks
+
+        out = zipnum_blocks(self._cdx(spark).where(F.lit(False)))
+        assert out.count() == 0

@@ -476,7 +476,14 @@ def write_zipnum(
 
     from pyspark.sql import Window
 
-    lines = cdxj_lines(cdx.where(F.col("urlkey").isNotNull())).select(
+    # tolerate partial index tables: payload fields absent from the
+    # input serialize as JSON nulls (to_json drops them), the sort/span
+    # machinery only needs urlkey+ts
+    full = cdx.where(F.col("urlkey").isNotNull())
+    for f in CDX_SCHEMA.fields:
+        if f.name not in full.columns:
+            full = full.withColumn(f.name, F.lit(None).cast(f.dataType))
+    lines = cdxj_lines(full).select(
         F.col("value"),
         F.regexp_extract("value", r"^(\S+)", 1).alias("urlkey"),
         F.regexp_extract("value", r"^\S+ (\d{14})", 1).alias("cdx_ts"),

@@ -294,3 +294,54 @@ def test_robots_discovery_query_scan_shape(spark):
     rs = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
     assert [c.split(":")[0] for c in rs.split(",")] == ["doc_id"]
     assert "Join" not in p
+
+
+def test_gate_funnel_query_scan_pruning(spark):
+    """The funnel reads exactly (text, lang) and is one agg over one
+    scan — no per-gate passes, no joins (op-level plan shape pinned in
+    test_filters_ops.TestGateFunnel)."""
+    p = plan_of(entry_mod.q_gate_funnel(spark, SF))
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
+    assert sorted(c.split(":")[0] for c in rs.split(",")) == ["lang", "text"]
+    assert "Join" not in p
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan ") == 1
+
+
+def test_host_graph_query_single_exchange(spark):
+    """Host projection: doc_id is the only column read, host extraction
+    is row-local, no joins, and exactly the two Exchanges of Spark's
+    exact-distinct agg (partial on (pair, src_url) dedups map-side,
+    then the pair-keyed distinct count) — the right exact shape; a
+    third exchange or a join would be a regression."""
+    p = plan_of(entry_mod.q_host_graph(spark, SF))
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
+    assert [c.split(":")[0] for c in rs.split(",")] == ["doc_id"]
+    assert "Join" not in p
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") == 2
+    assert "partial" in p
+
+
+def test_host_reputation_degree_aggs_before_join(spark):
+    """Reputation joins DEGREE tables (post-aggregation, host-sized),
+    never raw edges: every join input in the plan is an aggregate
+    output, and all aggs have map-side partials."""
+    p = plan_of(entry_mod.q_host_reputation(spark, SF))
+    tree = p.split("\n\n")[0]
+    # full_outer + left: 2 joins over aggregated sides
+    assert tree.count("SortMergeJoin") + tree.count("BroadcastHashJoin") == 2
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_zipnum_blocks_scan_pruning(spark):
+    """The block plan reads only doc_id (fixture derives everything)
+    and the window is never partitionless — every row_number runs
+    inside a _pid partition."""
+    p = plan_of(entry_mod.q_zipnum_blocks(spark, SF))
+    assert "Window" in p
+    # a partitionless window would show 'Window [...], [...]' with an
+    # empty partition spec; ours partitions by _pid
+    for line in p.splitlines():
+        if "Arguments:" in line and "row_number()" in line:
+            assert "_pid" in line, line

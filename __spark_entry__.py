@@ -1857,6 +1857,7 @@ def _synth_cdx(spark, sf_dir):
             F.lit("http://ex"), (did % 7).cast("string"),
             F.lit(".com/p/"), did.cast("string"),
         ).alias("url"),
+        F.concat(F.lit("sha1:"), (did % 40).cast("string")).alias("digest"),
         (did * 100).cast("long").alias("offset"),
         F.concat(F.lit("seg-"), (did % 3).cast("string"), F.lit(".warc.gz")).alias(
             "filename"
@@ -1874,6 +1875,20 @@ def q_zipnum_blocks(spark, sf_dir):
 
     return zipnum_blocks(
         _synth_cdx(spark, sf_dir), lines_per_block=64, blocks_per_part=4
+    )
+
+
+def q_revisit_collapse(spark, sf_dir):
+    """Digest-based payload dedup (CC's WARC-write revisit semantics):
+    earliest capture per digest stays a response, later ones become
+    revisit records with refers-to pointers — combinable min-struct agg
+    + digest-keyed join back, never a digest window (hot digests)."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import revisit_collapse
+
+    out = revisit_collapse(_synth_cdx(spark, sf_dir))
+    return out.select(
+        "urlkey", "cdx_ts", "digest", "record_type", "orig_ts", "orig_urlkey"
     )
 
 
@@ -2199,6 +2214,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tier-1 pack_shards_url/train_shuffle's two-pass shape; the
         # block agg a plain groupBy; writer round-trip pinned in pytest
         "zipnum_blocks": q_zipnum_blocks,
+        # digest revisit collapse — the combinable-min + keyed-join
+        # cores are tier-1 dedup_groups/join_agg shapes over the
+        # shared CDX fixture
+        "revisit_collapse": q_revisit_collapse,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -3584,6 +3603,34 @@ def oracle_sql() -> dict[str, str]:
                             || regexp_extract(t, '>([^<]*)</a>', 1)), ';')
                        AS links_joined
             FROM metas
+        """,
+
+        "revisit_collapse": r"""
+            WITH lines AS (
+                SELECT 'com,ex' || CAST(doc_id % 7 AS VARCHAR)
+                           || ')/p/' || CAST(doc_id AS VARCHAR) AS urlkey,
+                       printf('202401%02d000000', (doc_id % 28 + 1)::INT) AS cdx_ts,
+                       'sha1:' || CAST(doc_id % 40 AS VARCHAR) AS digest
+                FROM documents
+            ),
+            w AS (
+                SELECT *,
+                       first_value(cdx_ts) OVER (
+                           PARTITION BY digest ORDER BY cdx_ts, urlkey
+                       ) AS f_ts,
+                       first_value(urlkey) OVER (
+                           PARTITION BY digest ORDER BY cdx_ts, urlkey
+                       ) AS f_key
+                FROM lines
+            )
+            SELECT urlkey, cdx_ts, digest,
+                   CASE WHEN cdx_ts = f_ts AND urlkey = f_key
+                        THEN 'response' ELSE 'revisit' END AS record_type,
+                   CASE WHEN cdx_ts = f_ts AND urlkey = f_key
+                        THEN NULL ELSE f_ts END AS orig_ts,
+                   CASE WHEN cdx_ts = f_ts AND urlkey = f_key
+                        THEN NULL ELSE f_key END AS orig_urlkey
+            FROM w
         """,
 
         "zipnum_blocks": r"""

@@ -127,6 +127,7 @@ HEADLINE = [
     "host_graph",
     "host_reputation",
     "zipnum_blocks",
+    "revisit_collapse",
 ]
 
 

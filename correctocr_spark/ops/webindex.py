@@ -583,3 +583,48 @@ def write_zipnum(
                 f"\t{r['offset']}\t{r['length']}\t{r['block']}\n"
             )
     return idx
+
+
+def revisit_collapse(
+    cdx: DataFrame,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Digest-based payload dedup over a CDX index — what Common Crawl
+    does at WARC-write time: for every set of captures with identical
+    payload digest, the EARLIEST capture (by ``cdx_ts``, urlkey-tiebroken)
+    stays a ``response`` record and every later one becomes a
+    ``revisit`` record pointing at the original (WARC ``refers_to``
+    semantics). Returns the input columns plus ``record_type``
+    ('response'/'revisit') and ``orig_ts``/``orig_urlkey`` (NULL on
+    originals).
+
+    Scale (100 TB): NOT a digest-partitioned window — hot digests (the
+    empty-body sha1, boilerplate error pages) put 10⁹ rows in one
+    window partition. Instead a min-STRUCT aggregation keyed by digest
+    (combinable, so the hot digest collapses map-side to one row per
+    task) followed by a digest-keyed join back — the join's build side
+    is one row per distinct digest, and AQE's skew-join split handles
+    the probe-side hot keys.
+    """
+    d = ensure_parallelism(cdx).where(F.col(digest_col).isNotNull())
+    orig = d.groupBy(F.col(digest_col).alias("_digest")).agg(
+        F.min(F.struct("cdx_ts", "urlkey")).alias("_first")
+    )
+    joined = d.join(orig, on=d[digest_col] == orig["_digest"], how="inner").drop(
+        "_digest"
+    )
+    is_orig = (F.col("cdx_ts") == F.col("_first.cdx_ts")) & (
+        F.col("urlkey") == F.col("_first.urlkey")
+    )
+    return joined.select(
+        *[F.col(c) for c in cdx.columns],
+        F.when(is_orig, F.lit("response")).otherwise(F.lit("revisit")).alias(
+            "record_type"
+        ),
+        F.when(is_orig, F.lit(None).cast("string"))
+        .otherwise(F.col("_first.cdx_ts"))
+        .alias("orig_ts"),
+        F.when(is_orig, F.lit(None).cast("string"))
+        .otherwise(F.col("_first.urlkey"))
+        .alias("orig_urlkey"),
+    )

@@ -194,6 +194,9 @@ def test_oracled_queries_precede_rows_only():
         # tier-1 pack_shards_url/train_shuffle; writer round-trip
         # pinned in tests/test_webindex.py
         "zipnum_blocks",
+        # digest revisit collapse — combinable-min + keyed-join cores
+        # shared with tier-1 dedup_groups/join_agg over the CDX fixture
+        "revisit_collapse",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -438,3 +438,52 @@ class TestZipNum:
 
         out = zipnum_blocks(self._cdx(spark).where(F.lit(False)))
         assert out.count() == 0
+
+
+class TestRevisitCollapse:
+    def test_earliest_wins_and_pointers(self, spark):
+        from correctocr_spark.ops.webindex import revisit_collapse
+
+        cdx = spark.createDataFrame(
+            [
+                ("com,a)/x", "20240102000000", "D1"),
+                ("com,b)/y", "20240101000000", "D1"),   # earliest for D1
+                ("com,c)/z", "20240103000000", "D1"),
+                ("com,d)/q", "20240105000000", "D2"),   # singleton
+                # same-ts tie inside D3: urlkey breaks it
+                ("com,f)/t", "20240104000000", "D3"),
+                ("com,e)/s", "20240104000000", "D3"),
+                ("com,g)/n", None, None),               # null digest dropped
+            ],
+            "urlkey string, cdx_ts string, digest string",
+        )
+        rows = {r.urlkey: r for r in revisit_collapse(cdx).collect()}
+        assert len(rows) == 6
+        assert rows["com,b)/y"].record_type == "response"
+        assert rows["com,b)/y"].orig_ts is None
+        for k in ("com,a)/x", "com,c)/z"):
+            assert rows[k].record_type == "revisit"
+            assert rows[k].orig_ts == "20240101000000"
+            assert rows[k].orig_urlkey == "com,b)/y"
+        assert rows["com,d)/q"].record_type == "response"
+        assert rows["com,e)/s"].record_type == "response"  # tie: smaller urlkey
+        assert rows["com,f)/t"].orig_urlkey == "com,e)/s"
+
+    def test_no_window_in_plan(self, spark):
+        """Hot digests (empty-body sha1) forbid a digest-partitioned
+        window; the plan must be a combinable aggregate + join."""
+        import io
+        from contextlib import redirect_stdout
+
+        from correctocr_spark.ops.webindex import revisit_collapse
+
+        cdx = spark.createDataFrame(
+            [("k", "20240101000000", "D")],
+            "urlkey string, cdx_ts string, digest string",
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            revisit_collapse(cdx).explain("formatted")
+        p = buf.getvalue()
+        assert "Window" not in p
+        assert "HashAggregate" in p or "SortAggregate" in p

@@ -1878,6 +1878,16 @@ def q_zipnum_blocks(spark, sf_dir):
     )
 
 
+def q_ngram_counts(spark, sf_dir):
+    """Corpus-level bigram count table (total occurrences + document
+    frequency, hapax-pruned after full aggregation) — in-row gram
+    build, one explode, two combinable agg phases."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import ngram_counts
+
+    return ngram_counts(_t(spark, sf_dir, "documents"), n=2, min_count=2)
+
+
 def q_revisit_collapse(spark, sf_dir):
     """Digest-based payload dedup (CC's WARC-write revisit semantics):
     earliest capture per digest stays a response, later ones become
@@ -2218,6 +2228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cores are tier-1 dedup_groups/join_agg shapes over the
         # shared CDX fixture
         "revisit_collapse": q_revisit_collapse,
+        # corpus-level n-gram counts — the explode→two-phase-count core
+        # is tier-1 word_freq/ngram_repetition's shape
+        "ngram_counts": q_ngram_counts,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -3603,6 +3616,26 @@ def oracle_sql() -> dict[str, str]:
                             || regexp_extract(t, '>([^<]*)</a>', 1)), ';')
                        AS links_joined
             FROM metas
+        """,
+
+        "ngram_counts": f"""
+            WITH w AS (
+                SELECT doc_id, {_WORDS} AS ws FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws) - 2 + 2),
+                           i -> array_to_string(ws[i:i + 1], ' '))) AS gram
+                FROM w WHERE len(ws) >= 2
+            ),
+            pd AS (
+                SELECT gram, doc_id, count(*)::BIGINT AS m
+                FROM g GROUP BY 1, 2
+            )
+            SELECT gram, sum(m)::BIGINT AS n_occurrences,
+                   count(*)::BIGINT AS n_docs
+            FROM pd GROUP BY 1
+            HAVING sum(m) >= 2
         """,
 
         "revisit_collapse": r"""

@@ -128,6 +128,7 @@ HEADLINE = [
     "host_reputation",
     "zipnum_blocks",
     "revisit_collapse",
+    "ngram_counts",
 ]
 
 

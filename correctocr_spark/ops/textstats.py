@@ -428,3 +428,50 @@ def linear_classifier_scores(
     from .cache import register_intermediates
 
     return register_intermediates(out, base)
+
+
+def ngram_counts(
+    docs: DataFrame,
+    n: int = 2,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level word n-gram count table — the raw material of
+    count-based LM training (Kneser-Ney tables), corpus audits, and
+    the cross-corpus contamination checks decontamination stops short
+    of: one row per distinct ``n``-gram with total occurrence count and
+    document frequency; ``min_count`` prunes the hapax tail AFTER full
+    aggregation (a gram's total must be complete before it is judged).
+
+    Scale (100 TB): grams are built in-row (sequence+slice column
+    algebra, one explode — no self-joins), then counted in two
+    map-side-combinable phases: (gram, doc) partial counts absorb
+    within-doc repetition at the mappers, and the gram-keyed rollup
+    sums occurrences while counting rows for document frequency — so
+    the big shuffle carries one row per DISTINCT (gram, doc), not one
+    per occurrence, and no exact-distinct double exchange is needed.
+    Docs shorter than ``n`` words contribute nothing.
+    """
+    warr = normalized_words(text_col)
+    grams = F.when(
+        F.size(warr) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(warr) - n),
+            lambda i: F.concat_ws(" ", F.slice(warr, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("_doc"), F.explode(grams).alias("gram"))
+        .groupBy("gram", "_doc")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.sum("_m").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= int(min_count))
+    )

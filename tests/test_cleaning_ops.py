@@ -419,3 +419,55 @@ class TestLinearClassifier:
         df = spark.createDataFrame([Row(doc_id=0, text="x")])
         with _pytest.raises(ValueError, match="dims"):
             linear_classifier_scores(df, self._wdf(spark), dims=0)
+
+
+class TestNgramCounts:
+    def test_counts_and_df(self, spark):
+        from correctocr_spark.ops.textstats import ngram_counts
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b c"),      # "a b" x2, "b a" x1, "b c" x1
+                (2, "a b x"),          # "a b" x1, "b x" x1
+                (3, "short"),          # < n words: contributes nothing
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.gram: (r.n_occurrences, r.n_docs) for r in
+                ngram_counts(docs, n=2, min_count=1).collect()}
+        assert rows["a b"] == (3, 2)
+        assert rows["b a"] == (1, 1)
+        assert rows["b x"] == (1, 1)
+        assert "short" not in rows
+
+    def test_min_count_prunes_after_full_aggregation(self, spark):
+        from correctocr_spark.ops.textstats import ngram_counts
+
+        docs = spark.createDataFrame(
+            [(1, "p q"), (2, "p q"), (3, "r s")],
+            "doc_id long, text string",
+        )
+        rows = {r.gram for r in ngram_counts(docs, n=2, min_count=2).collect()}
+        # "p q" totals 2 across docs (1 each) -> kept; "r s" pruned
+        assert rows == {"p q"}
+
+    def test_shuffle_carries_distinct_gram_doc(self, spark):
+        """The plan must pre-aggregate on (gram, doc) with map-side
+        partials and contain no exact-distinct double exchange."""
+        import io
+        from contextlib import redirect_stdout
+
+        from correctocr_spark.ops.textstats import ngram_counts
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b")], "doc_id long, text string"
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            ngram_counts(docs).explain("formatted")
+        p = buf.getvalue()
+        assert "partial_count" in p
+        tree = p.split("\n\n")[0]
+        assert tree.count("Exchange") == 2  # (gram,doc) then gram rollup
+        assert "Join" not in p

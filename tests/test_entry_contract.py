@@ -197,6 +197,9 @@ def test_oracled_queries_precede_rows_only():
         # digest revisit collapse — combinable-min + keyed-join cores
         # shared with tier-1 dedup_groups/join_agg over the CDX fixture
         "revisit_collapse",
+        # corpus n-gram counts — explode→two-phase-count core shared
+        # with tier-1 word_freq/ngram_repetition
+        "ngram_counts",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -177,6 +177,13 @@ def build_parser() -> argparse.ArgumentParser:
                           "--max-badword-ratio are dropped before "
                           "quality/dedup")
     cur.add_argument("--max-badword-ratio", type=float, default=0.1)
+    cur.add_argument("--funnel-out", default="",
+                     help="parquet path for the row-local content-gate "
+                          "attrition report (robots-meta / gopher / "
+                          "badwords funnel, in production order) computed "
+                          "over the curation input in one scan; the "
+                          "badwords gate joins the report only when the "
+                          "lexicon fits the in-plan form (<=10k words)")
     cur.add_argument("--lm-keep", default="",
                      help="comma-joined perplexity buckets to keep "
                           "(head,middle,tail) — the CCNet-style "
@@ -537,6 +544,25 @@ def main(argv=None) -> int:
                     .select(F.trim("value").alias("host"))
                     .where((F.col("host") != "") & ~F.col("host").startswith("#"))
                 )
+            if args.funnel_out:
+                from .ops.filters import curate_funnel
+
+                bw_list = None
+                if badwords is not None:
+                    # the funnel takes the in-plan lexicon form only;
+                    # dimension-sized lists stay a join and skip the row
+                    sample = badwords.limit(10001).collect()
+                    if len(sample) <= 10000:
+                        bw_list = [r["word"] for r in sample]
+                curate_funnel(
+                    docs,
+                    text_col=args.text_col,
+                    html_col=args.html_col,
+                    respect_robots=args.respect_robots,
+                    gopher=args.gopher,
+                    badwords=bw_list,
+                    max_badword_ratio=args.max_badword_ratio,
+                ).write.mode("overwrite").parquet(args.funnel_out)
             out = curate(
                 docs,
                 id_col=args.id_col,

@@ -49,6 +49,8 @@ __all__ = [
     "bloom_gate",
     "bloom_anti_join",
     "gate_funnel",
+    "curate_funnel",
+    "gopher_passes",
     "GOPHER_STOPWORDS",
 ]
 
@@ -178,8 +180,7 @@ def gopher_rules(
     return d.select("*", passes.alias("passes_gopher"))
 
 
-def gopher_filter(
-    docs: DataFrame,
+def gopher_passes(
     text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100000,
@@ -191,15 +192,12 @@ def gopher_filter(
     max_ellipsis_line_ratio: float = 0.3,
     min_alpha_word_ratio: float = 0.8,
     min_stop_hits: int = 2,
-) -> DataFrame:
-    """Rows of ``docs`` (ALL original columns) passing the Gopher rules.
-
-    The verdict applied as a single inline Filter over the same rounded
-    signal expressions as :func:`gopher_rules` — no join, no shuffle,
-    so it composes into :func:`~.curate.curate` as a pre-dedup gate at
-    scan speed.
-    """
-    passes = _gopher_passes(
+) -> Column:
+    """The Gopher pass verdict as ONE boolean column expression (the
+    published thresholds as defaults) — row-local, so it serves both
+    the inline :func:`gopher_filter` gate and cumulative-flag consumers
+    like :func:`curate_funnel`."""
+    return _gopher_passes(
         _gopher_signals(text_col),
         min_words,
         max_words,
@@ -212,7 +210,17 @@ def gopher_filter(
         min_alpha_word_ratio,
         min_stop_hits,
     )
-    return ensure_parallelism(docs).where(passes)
+
+
+def gopher_filter(docs: DataFrame, text_col: str = "text", **overrides) -> DataFrame:
+    """Rows of ``docs`` (ALL original columns) passing the Gopher rules.
+
+    The verdict applied as a single inline Filter over the same rounded
+    signal expressions as :func:`gopher_rules` — no join, no shuffle,
+    so it composes into :func:`~.curate.curate` as a pre-dedup gate at
+    scan speed. Keyword overrides are :func:`gopher_passes` thresholds.
+    """
+    return ensure_parallelism(docs).where(gopher_passes(text_col, **overrides))
 
 
 def host_col(url) -> Column:
@@ -932,3 +940,64 @@ def gate_funnel(docs: DataFrame, gates, total_name: str = "total") -> DataFrame:
             )
         )
     return row.select(F.explode(F.array(*entries)).alias("_e")).select("_e.*")
+
+
+def curate_funnel(
+    docs: DataFrame,
+    text_col: str = "text",
+    html_col: str = "html",
+    respect_robots: bool = False,
+    gopher=False,
+    badwords=None,
+    max_badword_ratio: float = 0.1,
+) -> DataFrame:
+    """Attrition report for :func:`~.curate.curate`'s ROW-LOCAL content
+    gates, in curate's production order (robots-meta → gopher →
+    badwords), as one :func:`gate_funnel` aggregate over one scan — the
+    always-on curation dashboard a 100 TB run can afford to log per
+    batch.
+
+    Deliberately covers only the gates whose verdict is a row-local
+    predicate on the doc itself. The join-tier gates (domain blocklist,
+    robots.txt fetch gate, LM perplexity buckets, classifier head,
+    dedup, host quota) are join/aggregate properties whose attrition is
+    reported by their own oracled operators — folding them here would
+    turn the one-scan report into a multi-join job and defeat its
+    purpose. ``badwords`` therefore accepts only the in-plan list form
+    (the DataFrame lexicon form is a broadcast join — use
+    :func:`wordlist_density` directly).
+
+    Gate verdicts match the gates curate applies — pinned by
+    tests against :func:`robots_directives` / :func:`gopher_filter` /
+    :func:`wordlist_density` over the same rows.
+    """
+    gates = []
+    if respect_robots:
+        metas = F.regexp_extract_all(F.col(html_col), F.lit(_META_TAG_RE), 0)
+        robots = F.filter(metas, lambda m: m.rlike(_ROBOTS_NAME_RE))
+        contents = F.transform(
+            robots, lambda m: F.regexp_extract(m, _CONTENT_RE, 1)
+        )
+        joined = F.lower(F.concat_ws(",", contents))
+        none = joined.rlike(r"(^|[,\s])none($|[,\s])")
+        noindex = joined.contains("noindex") | none
+        gates.append(("robots_meta", ~noindex))
+    if gopher:
+        overrides = gopher if isinstance(gopher, dict) else {}
+        gates.append(("gopher", gopher_passes(text_col, **overrides)))
+    if badwords is not None:
+        if not isinstance(badwords, (list, tuple, set, frozenset)):
+            raise TypeError(
+                "curate_funnel takes the in-plan badwords list form only; "
+                "DataFrame lexicons are a broadcast join — report them via "
+                "wordlist_density"
+            )
+        ws = normalized_words(text_col)
+        vocab = sorted({str(w).lower() for w in badwords})
+        if vocab:
+            lex = F.array(*[F.lit(w) for w in vocab])
+            hits = F.size(F.filter(ws, lambda w: F.array_contains(lex, F.lower(w))))
+            # the same rounded ratio curate compares against
+            ratio = F.round(hits / F.greatest(F.size(ws), F.lit(1)), 6)
+            gates.append(("badwords", ratio <= max_badword_ratio))
+    return gate_funnel(docs, gates)

@@ -950,3 +950,97 @@ class TestGateFunnel:
         assert tree.count("Scan ") == 1
         # one partial + one final HashAggregate, nothing per-gate
         assert tree.count("HashAggregate") <= 2
+
+
+class TestCurateFunnel:
+    def _docs(self, spark):
+        from pyspark.sql import functions as F
+
+        good = " ".join(["the quick brown fox jumps over lazy dogs"] * 8)
+        return spark.createDataFrame(
+            [
+                (1, good, "<html><body>x</body></html>"),
+                (2, good, '<meta name="robots" content="noindex">'),  # robots drop
+                (3, "short", "<html/>"),                              # gopher drop
+                (4, good + " badword badword badword badword badword "
+                    + "badword badword badword badword badword", "<p>"),
+            ],
+            "doc_id long, text string, html string",
+        )
+
+    def test_funnel_matches_sequential_gates(self, spark):
+        """The funnel's survivor counts must equal applying curate's own
+        gate functions sequentially over the same rows."""
+        from pyspark.sql import functions as F
+
+        from correctocr_spark.ops.filters import (
+            curate_funnel,
+            gopher_filter,
+            robots_directives,
+            wordlist_density,
+        )
+
+        docs = self._docs(spark)
+        bad = ["badword"]
+        funnel = {
+            r.gate: r
+            for r in curate_funnel(
+                docs,
+                respect_robots=True,
+                gopher={"min_words": 10},
+                badwords=bad,
+                max_badword_ratio=0.1,
+            ).collect()
+        }
+        # sequential ground truth with the real gate operators
+        noidx = robots_directives(docs).where(F.col("noindex") == 1)
+        s1 = docs.join(noidx.select(F.col("doc_id")), "doc_id", "left_anti")
+        s2 = gopher_filter(s1, min_words=10)
+        dens = wordlist_density(s2, bad)
+        s3 = s2.join(
+            dens.where(F.col("hit_ratio") > 0.1).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        assert funnel["total"].n_in == docs.count()
+        assert funnel["robots_meta"].n_out == s1.count()
+        assert funnel["gopher"].n_out == s2.count()
+        assert funnel["badwords"].n_out == s3.count()
+        assert [funnel[g].stage for g in ("total", "robots_meta", "gopher", "badwords")] == [0, 1, 2, 3]
+
+    def test_dataframe_lexicon_rejected(self, spark):
+        from correctocr_spark.ops.filters import curate_funnel
+
+        lex = spark.createDataFrame([("x",)], "word string")
+        try:
+            curate_funnel(self._docs(spark), badwords=lex)
+            assert False, "expected TypeError"
+        except TypeError:
+            pass
+
+
+def test_cli_curate_funnel_out(tmp_path, spark):
+    """--funnel-out writes the one-scan attrition report next to the
+    curated corpus; its total row matches the input count."""
+    from tests.test_cli import run_cli
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["the of and this text is long enough to pass"] * 6),
+             "<html/>")
+            for i in range(20)
+        ] + [(99, "tiny", "<html/>")],
+        "doc_id long, text string, html string",
+    )
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "curated")
+    funnel_out = str(tmp_path / "funnel")
+    r = run_cli(
+        "curate", "--input", inp, "--output", out,
+        "--min-quality", "0", "--gopher", "--funnel-out", funnel_out,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = {x.gate: x for x in spark.read.parquet(funnel_out).collect()}
+    assert rows["total"].n_in == 21
+    assert rows["gopher"].n_fail >= 1  # the tiny doc

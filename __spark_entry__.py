@@ -1878,6 +1878,37 @@ def q_zipnum_blocks(spark, sf_dir):
     )
 
 
+def q_frontier_schedule(spark, sf_dir):
+    """Politeness-aware crawl-frontier scheduling: priority-ranked urls
+    per host, slot × robots crawl-delay fetch offsets (broadcast delay
+    dim, host-partitioned window, top-slice cap at 40/host)."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import frontier_schedule
+
+    did = F.col("doc_id")
+    urls = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://ex"), (did % 5).cast("string"),
+            F.lit(".com/p/"), did.cast("string"),
+        ).alias("url"),
+        (did % 17).cast("long").alias("prio"),
+    )
+    delays = (
+        _t(spark, sf_dir, "documents")
+        .where(did % 5 < 3)
+        .select(
+            F.concat(F.lit("ex"), (did % 5).cast("string"), F.lit(".com")).alias(
+                "host"
+            ),
+            ((did % 5 + 1) * 0.5).alias("crawl_delay"),
+        )
+        .distinct()
+    )
+    return frontier_schedule(
+        urls, delays, priority_col="prio", max_per_host=40
+    )
+
+
 def q_ngram_counts(spark, sf_dir):
     """Corpus-level bigram count table (total occurrences + document
     frequency, hapax-pruned after full aggregation) — in-row gram
@@ -2231,6 +2262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-level n-gram counts — the explode→two-phase-count core
         # is tier-1 word_freq/ngram_repetition's shape
         "ngram_counts": q_ngram_counts,
+        # frontier scheduling — broadcast-dim join + host window, the
+        # tier-1 host_quota/topk_per_group plan family
+        "frontier_schedule": q_frontier_schedule,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -3616,6 +3650,41 @@ def oracle_sql() -> dict[str, str]:
                             || regexp_extract(t, '>([^<]*)</a>', 1)), ';')
                        AS links_joined
             FROM metas
+        """,
+
+        "frontier_schedule": r"""
+            WITH urls AS (
+                SELECT 'http://ex' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                       (doc_id % 17)::BIGINT AS prio
+                FROM documents
+            ),
+            h AS (
+                SELECT url, prio,
+                       regexp_replace(lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                           ':[0-9]+$', '') AS host
+                FROM urls
+            ),
+            dim AS (
+                SELECT DISTINCT
+                       'ex' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host,
+                       round((doc_id % 5 + 1) * 0.5 * 1000)::BIGINT AS delay_ms
+                FROM documents WHERE doc_id % 5 < 3
+            ),
+            r AS (
+                SELECT url, host,
+                       row_number() OVER (
+                           PARTITION BY host ORDER BY prio DESC, url
+                       ) - 1 AS slot
+                FROM h
+            )
+            SELECT url, r.host, slot::BIGINT AS slot,
+                   coalesce(dim.delay_ms, 1000)::BIGINT AS delay_ms,
+                   (slot * coalesce(dim.delay_ms, 1000))::BIGINT
+                       AS fetch_offset_ms
+            FROM r LEFT JOIN dim ON r.host = dim.host
+            WHERE slot < 40
         """,
 
         "ngram_counts": f"""

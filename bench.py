@@ -129,6 +129,7 @@ HEADLINE = [
     "zipnum_blocks",
     "revisit_collapse",
     "ngram_counts",
+    "frontier_schedule",
 ]
 
 

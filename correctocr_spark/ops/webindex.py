@@ -628,3 +628,75 @@ def revisit_collapse(
         .otherwise(F.col("_first.urlkey"))
         .alias("orig_urlkey"),
     )
+
+
+def frontier_schedule(
+    urls: DataFrame,
+    delays: DataFrame | None = None,
+    url_col: str = "url",
+    priority_col: str | None = None,
+    default_delay_ms: int = 1000,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """Politeness-aware fetch schedule for a crawl frontier: per host,
+    order the candidate urls (highest ``priority_col`` first when given
+    — a PageRank/HITS prior — url-tiebroken; plain url order otherwise),
+    assign each a 0-based ``slot``, and compute ``fetch_offset_ms =
+    slot × the host's crawl delay`` (``delays`` = a
+    :func:`robots_discovery` dimension table; hosts without a declared
+    delay get ``default_delay_ms``). ``max_per_host`` caps each host's
+    scheduled urls per round — the frontier twin of the curation tier's
+    host quota.
+
+    Output: ``(url, host, slot, delay_ms, fetch_offset_ms)``. Integer
+    milliseconds throughout (declared delays round half-up) so the
+    schedule is engine-exact.
+
+    Scale (100 TB frontier): the delay table is host-dimension —
+    broadcast join; the window partitions by host, so a mega-host
+    (10⁸ pending urls) serializes one partition. That is INHERENT to
+    politeness scheduling — those urls ARE strictly ordered in fetch
+    time — but unbounded hosts should be pre-capped (``max_per_host``
+    filters AFTER ranking, so the kept set is the top-priority slice)
+    or quota-gated upstream (:func:`~.filters.host_quota`).
+    """
+    from pyspark.sql import Window
+
+    from .filters import host_col as _host_of
+
+    d = ensure_parallelism(urls).select(
+        F.col(url_col).alias("url"),
+        _host_of(url_col).alias("host"),
+        *(
+            [F.col(priority_col).alias("_prio")]
+            if priority_col
+            else []
+        ),
+    ).where(F.col("host") != "")
+    if delays is not None:
+        dim = delays.select(
+            "host",
+            F.round(F.col("crawl_delay") * 1000)
+            .cast("long")
+            .alias("_delay_ms"),
+        )
+        d = d.join(F.broadcast(dim), on="host", how="left")
+    else:
+        d = d.withColumn("_delay_ms", F.lit(None).cast("long"))
+    order = (
+        [F.col("_prio").desc(), F.col("url")] if priority_col else [F.col("url")]
+    )
+    w = Window.partitionBy("host").orderBy(*order)
+    out = d.select(
+        "url",
+        "host",
+        (F.row_number().over(w) - 1).cast("long").alias("slot"),
+        F.coalesce("_delay_ms", F.lit(int(default_delay_ms)))
+        .cast("long")
+        .alias("delay_ms"),
+    ).withColumn(
+        "fetch_offset_ms", (F.col("slot") * F.col("delay_ms")).cast("long")
+    )
+    if max_per_host is not None:
+        out = out.where(F.col("slot") < int(max_per_host))
+    return out

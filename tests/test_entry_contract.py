@@ -200,6 +200,9 @@ def test_oracled_queries_precede_rows_only():
         # corpus n-gram counts — explode→two-phase-count core shared
         # with tier-1 word_freq/ngram_repetition
         "ngram_counts",
+        # frontier scheduling — broadcast-dim join + host window, the
+        # tier-1 host_quota/topk_per_group plan family
+        "frontier_schedule",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -487,3 +487,68 @@ class TestRevisitCollapse:
         p = buf.getvalue()
         assert "Window" not in p
         assert "HashAggregate" in p or "SortAggregate" in p
+
+
+class TestFrontierSchedule:
+    def test_slots_delays_and_cap(self, spark):
+        from correctocr_spark.ops.webindex import frontier_schedule
+
+        urls = spark.createDataFrame(
+            [
+                ("http://a.com/1", 5),
+                ("http://a.com/2", 9),   # highest prio on a.com -> slot 0
+                ("http://a.com/3", 5),   # prio tie with /1: url order
+                ("http://b.com/x", 1),
+                ("garbage", 7),          # unparseable host dropped
+            ],
+            "url string, prio long",
+        )
+        delays = spark.createDataFrame(
+            [("a.com", 1.5)], "host string, crawl_delay double"
+        )
+        rows = {
+            r.url: r
+            for r in frontier_schedule(
+                urls, delays, priority_col="prio"
+            ).collect()
+        }
+        assert len(rows) == 4
+        assert (rows["http://a.com/2"].slot, rows["http://a.com/2"].fetch_offset_ms) == (0, 0)
+        assert (rows["http://a.com/1"].slot, rows["http://a.com/1"].fetch_offset_ms) == (1, 1500)
+        assert rows["http://a.com/3"].slot == 2
+        # b.com has no declared delay -> default 1000ms
+        assert (rows["http://b.com/x"].delay_ms, rows["http://b.com/x"].fetch_offset_ms) == (1000, 0)
+
+        capped = frontier_schedule(
+            urls, delays, priority_col="prio", max_per_host=2
+        ).collect()
+        a = [r for r in capped if r.host == "a.com"]
+        assert {r.url for r in a} == {"http://a.com/2", "http://a.com/1"}
+
+    def test_no_delays_and_no_priority(self, spark):
+        from correctocr_spark.ops.webindex import frontier_schedule
+
+        urls = spark.createDataFrame(
+            [("http://c.com/b",), ("http://c.com/a",)], "url string"
+        )
+        rows = {r.url: r.slot for r in frontier_schedule(urls).collect()}
+        assert rows == {"http://c.com/a": 0, "http://c.com/b": 1}
+
+    def test_delay_dim_broadcast(self, spark):
+        """The delay table must join as a broadcast dimension — a
+        shuffled join on host would move the whole frontier."""
+        import io
+        from contextlib import redirect_stdout
+
+        from correctocr_spark.ops.webindex import frontier_schedule
+
+        urls = spark.createDataFrame([("http://a.com/1", 1)], "url string, prio long")
+        delays = spark.createDataFrame(
+            [("a.com", 1.0)], "host string, crawl_delay double"
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            frontier_schedule(urls, delays, priority_col="prio").explain("formatted")
+        p = buf.getvalue()
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p

@@ -1878,6 +1878,16 @@ def q_zipnum_blocks(spark, sf_dir):
     )
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Corpus-trained bigram LM scoring (context-aware quality signal):
+    one corpus explode, model-derived context counts + outcome vocab,
+    integer micro-nat per-doc sums."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
 def q_frontier_schedule(spark, sf_dir):
     """Politeness-aware crawl-frontier scheduling: priority-ranked urls
     per host, slot × robots crawl-delay fetch offsets (broadcast delay
@@ -2265,6 +2275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frontier scheduling — broadcast-dim join + host window, the
         # tier-1 host_quota/topk_per_group plan family
         "frontier_schedule": q_frontier_schedule,
+        # bigram LM — the micro-nat quantized-join core is tier-1
+        # unigram_lm's, one context order up
+        "bigram_lm": q_bigram_lm,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -3650,6 +3663,45 @@ def oracle_sql() -> dict[str, str]:
                             || regexp_extract(t, '>([^<]*)</a>', 1)), ';')
                        AS links_joined
             FROM metas
+        """,
+
+        "bigram_lm": f"""
+            WITH w AS (
+                SELECT doc_id, {_WORDS} AS ws FROM documents
+            ),
+            exploded AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                           i -> array_to_string(ws[i:i + 1], ' '))) AS g
+                FROM w WHERE len(ws) >= 2
+            ),
+            model AS (SELECT g, count(*) AS cnt FROM exploded GROUP BY g),
+            ctx AS (
+                SELECT split_part(g, ' ', 1) AS c, sum(cnt) AS ctx_cnt
+                FROM model GROUP BY 1
+            ),
+            vocab AS (
+                SELECT count(DISTINCT split_part(g, ' ', 2)) AS V FROM model
+            ),
+            scored AS (
+                SELECT g,
+                       CAST(round(ln((cnt + 1) / (ctx_cnt + 1 * V)) * 1000000.0)
+                           AS BIGINT) AS lp_micro
+                FROM model JOIN ctx ON split_part(model.g, ' ', 1) = ctx.c,
+                     vocab
+            ),
+            per_doc AS (
+                SELECT e.doc_id, count(*) AS n_bigrams, sum(s.lp_micro) AS smu
+                FROM exploded e JOIN scored s USING (g)
+                GROUP BY e.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(p.smu, 0)::BIGINT AS sum_logprob_micro,
+                   CASE WHEN p.n_bigrams > 0
+                        THEN round(p.smu / p.n_bigrams / 1000000.0, 6)
+                   END AS avg_logprob
+            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
         """,
 
         "frontier_schedule": r"""

@@ -130,6 +130,7 @@ HEADLINE = [
     "revisit_collapse",
     "ngram_counts",
     "frontier_schedule",
+    "bigram_lm",
 ]
 
 

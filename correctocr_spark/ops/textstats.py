@@ -475,3 +475,97 @@ def ngram_counts(
         )
         .where(F.col("n_occurrences") >= int(min_count))
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing_k: int = 1,
+) -> DataFrame:
+    """Corpus-trained BIGRAM language-model scoring — the context-aware
+    step up from :func:`unigram_lm_scores` (word-salad pages with
+    plausible unigrams but shuffled order score low here): each document
+    gets its mean ``ln P(wᵢ | wᵢ₋₁)`` under add-k smoothing,
+    ``P(w|c) = (cnt(c w) + k) / (ctx(c) + k·V)`` with ``ctx(c)`` = the
+    corpus count of ``c`` as a bigram context and ``V`` = the distinct
+    outcome vocabulary (bigram second words). A document's first word
+    has no context and is skipped (``n_bigrams = n_words − 1``).
+
+    Same exactness discipline as the unigram model: every distinct
+    bigram's log probability is quantized ONCE to integer micro-nats
+    and per-document aggregation sums integers, so results are engine-
+    and reduction-order-exact (hash-oracle-safe).
+
+    Scale shape: ONE corpus explode feeds everything — the bigram model
+    is a (gram)-keyed combinable count; context counts and the outcome
+    vocabulary both derive from the MODEL table (O(bigram types), never
+    a second corpus pass); scoring is one Zipf-skewed but
+    AQE-splittable join of the exploded grams against the model, then a
+    doc-keyed integer sum. No driver-side model state.
+    """
+    warr = normalized_words(text_col)
+    grams = F.when(
+        F.size(warr) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(warr) - 2),
+            lambda i: F.concat_ws(" ", F.slice(warr, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
+    )
+    model = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    model.count()
+    first = F.split(F.col("g"), " ", 2).getItem(0)
+    second = F.split(F.col("g"), " ", 2).getItem(1)
+    ctx = model.groupBy(first.alias("c")).agg(F.sum("cnt").alias("ctx_cnt"))
+    vocab = model.agg(F.countDistinct(second).alias("V"))
+    k = int(smoothing_k)
+    scored_model = (
+        model.join(ctx, on=first == F.col("c"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "g",
+            F.round(
+                F.log(
+                    (F.col("cnt") + F.lit(k))
+                    / (F.col("ctx_cnt") + F.lit(k) * F.col("V"))
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    per_doc = (
+        exploded.join(scored_model, on="g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_logprob_micro"),
+        )
+    )
+    from .cache import register_intermediates
+
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("sum_logprob_micro"), F.lit(0))
+            .cast("long")
+            .alias("sum_logprob_micro"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(
+                    F.col("sum_logprob_micro")
+                    / F.col("n_bigrams")
+                    / F.lit(1_000_000.0),
+                    6,
+                ),
+            ).alias("avg_logprob"),
+        )
+    )
+    return register_intermediates(out, model)

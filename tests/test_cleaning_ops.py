@@ -471,3 +471,40 @@ class TestNgramCounts:
         tree = p.split("\n\n")[0]
         assert tree.count("Exchange") == 2  # (gram,doc) then gram rollup
         assert "Join" not in p
+
+
+class TestBigramLm:
+    def test_hand_computed_tiny_corpus(self, spark):
+        import math
+
+        from correctocr_spark.ops.textstats import bigram_lm_scores
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b"), (3, "x"), (4, "")],
+            "doc_id long, text string",
+        )
+        # bigrams: doc1 -> [a b, b a, a b], doc2 -> [a b]
+        # model: "a b":3, "b a":1; ctx: a->3, b->1; V = |{b, a}| = 2
+        rows = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+        lp_ab = round(math.log((3 + 1) / (3 + 2)) * 1e6)
+        lp_ba = round(math.log((1 + 1) / (1 + 2)) * 1e6)
+        assert rows[1].n_bigrams == 3
+        assert rows[1].sum_logprob_micro == 2 * lp_ab + lp_ba
+        assert rows[2].sum_logprob_micro == lp_ab
+        # <2 words: no context anywhere, zeroed with NULL avg
+        assert (rows[3].n_bigrams, rows[3].avg_logprob) == (0, None)
+        assert (rows[4].n_bigrams, rows[4].avg_logprob) == (0, None)
+
+    def test_orders_word_salad_below_typical_text(self, spark):
+        """The signal the unigram model cannot give: identical word
+        multiset, shuffled order -> lower bigram score."""
+        from correctocr_spark.ops.textstats import bigram_lm_scores
+
+        typical = "the cat sat on the mat and the dog sat on the rug"
+        corpus = [(i, typical) for i in range(10)]
+        salad = "mat the on dog sat rug the cat the and on sat the"
+        docs = spark.createDataFrame(
+            corpus + [(99, salad)], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r.avg_logprob for r in bigram_lm_scores(docs).collect()}
+        assert rows[99] < rows[0]

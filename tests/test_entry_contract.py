@@ -203,6 +203,9 @@ def test_oracled_queries_precede_rows_only():
         # frontier scheduling — broadcast-dim join + host window, the
         # tier-1 host_quota/topk_per_group plan family
         "frontier_schedule",
+        # bigram LM — micro-nat quantized-join core shared with tier-1
+        # unigram_lm, one context order up
+        "bigram_lm",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

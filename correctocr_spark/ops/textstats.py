@@ -266,7 +266,9 @@ def lm_quality_buckets(
 
     Pass ``scores`` to reuse an existing :func:`unigram_lm_scores`
     output (the curation pipeline computes it once for the gate and the
-    buckets). Cuts are EXACT interpolated percentiles rounded to 6
+    buckets) — or a :func:`bigram_lm_scores` output to bucket on the
+    context-aware model instead (the count column carries through under
+    its own name). Cuts are EXACT interpolated percentiles rounded to 6
     decimals — the same parity-proven recipe as ``corpus_rollup`` — and
     the rounded ``avg_logprob`` is compared against the rounded cuts,
     so bucket labels are engine-independent. Wordless docs (NULL score)
@@ -294,9 +296,12 @@ def lm_quality_buckets(
         F.round(F.expr(f"percentile(avg_logprob, {1.0 - head!r})"), 6).alias("hi"),
         F.round(F.expr(f"percentile(avg_logprob, {tail!r})"), 6).alias("lo"),
     )
+    # scores may come from the unigram scorer (n_words) or the bigram
+    # scorer (n_bigrams) — carry whichever count the model used
+    count_col = "n_words" if "n_words" in scores.columns else "n_bigrams"
     out = scores.crossJoin(F.broadcast(cuts)).select(
         "doc_id",
-        "n_words",
+        count_col,
         "avg_logprob",
         F.when(F.col("avg_logprob").isNull(), F.lit("tail"))
         .when(F.col("avg_logprob") >= F.col("hi"), F.lit("head"))

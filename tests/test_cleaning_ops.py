@@ -508,3 +508,24 @@ class TestBigramLm:
         )
         rows = {r.doc_id: r.avg_logprob for r in bigram_lm_scores(docs).collect()}
         assert rows[99] < rows[0]
+
+
+def test_lm_buckets_accept_bigram_scores(spark):
+    """lm_quality_buckets composes with the bigram scorer: the count
+    column carries through under its own name and the shuffled-order
+    outlier lands in tail."""
+    from correctocr_spark.ops.textstats import (
+        bigram_lm_scores,
+        lm_quality_buckets,
+    )
+
+    typical = "the cat sat on the mat and the dog sat on the rug"
+    docs = spark.createDataFrame(
+        [(i, typical) for i in range(10)]
+        + [(99, "mat the on dog sat rug the cat the and on sat the")],
+        "doc_id long, text string",
+    )
+    out = lm_quality_buckets(docs, scores=bigram_lm_scores(docs))
+    assert "n_bigrams" in out.columns
+    buckets = {r.doc_id: r.bucket for r in out.collect()}
+    assert buckets[99] == "tail"

@@ -1878,6 +1878,16 @@ def q_zipnum_blocks(spark, sf_dir):
     )
 
 
+def q_split_sentences(spark, sf_dir):
+    """Sentence segmentation over the documents table — shared Java∩RE2
+    boundary grammar via marker replace + split (no lookbehind), one
+    Generate, scan speed."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import split_sentences
+
+    return split_sentences(_t(spark, sf_dir, "documents"))
+
+
 def q_bigram_lm(spark, sf_dir):
     """Corpus-trained bigram LM scoring (context-aware quality signal):
     one corpus explode, model-derived context counts + outcome vocab,
@@ -2278,6 +2288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bigram LM — the micro-nat quantized-join core is tier-1
         # unigram_lm's, one context order up
         "bigram_lm": q_bigram_lm,
+        # sentence segmentation — marker-replace + split + posexplode,
+        # the tier-1 link_extract/sitemap_parse Generate family
+        "split_sentences": q_split_sentences,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -3663,6 +3676,30 @@ def oracle_sql() -> dict[str, str]:
                             || regexp_extract(t, '>([^<]*)</a>', 1)), ';')
                        AS links_joined
             FROM metas
+        """,
+
+        "split_sentences": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       list_filter(list_transform(string_split(
+                           regexp_replace(coalesce(text, ''),
+                               '([.!?]+["''”’)\]]*)\s+',
+                               '\1' || chr(1), 'g'),
+                           chr(1)), x -> trim(x)),
+                           x -> length(x) >= 1) AS parts
+                FROM documents
+            ),
+            u AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(parts) + 1),
+                           i -> struct_pack(sent_id := i - 1,
+                                            sentence := parts[i]))) AS u
+                FROM s
+            )
+            SELECT doc_id, (u.sent_id)::BIGINT AS sent_id,
+                   u.sentence AS sentence,
+                   length(u.sentence)::BIGINT AS n_chars
+            FROM u
         """,
 
         "bigram_lm": f"""

@@ -131,6 +131,7 @@ HEADLINE = [
     "ngram_counts",
     "frontier_schedule",
     "bigram_lm",
+    "split_sentences",
 ]
 
 

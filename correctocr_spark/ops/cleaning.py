@@ -741,3 +741,55 @@ def decontaminate(
         )
         .where(F.col("n_overlap") >= min_overlap)
     )
+
+
+#: sentence boundary: terminal punctuation run, optional close-quote /
+#: bracket, then whitespace. Deliberately a SHARED Java∩RE2 grammar
+#: (no lookbehind — RE2 has none, so the DuckDB oracle could not
+#: restate it): the boundary is marked via group-ref regexp_replace,
+#: then split on the marker. Abbreviation handling is out of grammar
+#: by design (documented simple-segmenter contract, like the BPE-ish
+#: token regex).
+_SENT_BOUNDARY_RE = r"([.!?]+[\"'”’)\]]*)\s+"
+_SENT_MARK = "\x01"
+
+
+def split_sentences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Sentence segmentation — the unit every downstream text op that
+    is finer than a document wants (sentence-level dedup, bitext
+    mining, chunk boundaries that respect sentences): one row per
+    sentence, ``(doc_id, sent_id, sentence, n_chars)``, ``sent_id``
+    dense from 0 in document order. Boundaries are terminal-punctuation
+    runs (with optional closing quotes/brackets) followed by
+    whitespace; the trailing text is the final sentence; sentences trim
+    and drop below ``min_chars``. Wordless docs yield no rows (unlike
+    chunk_docs — a sentence table is a derived view, not a doc
+    partition).
+
+    Scale shape: row-local marker replace + split + posexplode — one
+    Generate, no shuffle, no UDF; fan-out bounded by input bytes.
+    """
+    marked = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")),
+        _SENT_BOUNDARY_RE,
+        "$1" + _SENT_MARK,
+    )
+    parts = F.filter(
+        F.transform(F.split(marked, _SENT_MARK), lambda s: F.trim(s)),
+        lambda s: F.length(s) >= int(min_chars),
+    )
+    return (
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(parts))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("sent_id"),
+            F.col("col").alias("sentence"),
+            F.length("col").cast("long").alias("n_chars"),
+        )
+    )

@@ -529,3 +529,63 @@ def test_lm_buckets_accept_bigram_scores(spark):
     assert "n_bigrams" in out.columns
     buckets = {r.doc_id: r.bucket for r in out.collect()}
     assert buckets[99] == "tail"
+
+
+class TestSplitSentences:
+    def test_boundaries_quotes_and_edge_docs(self, spark):
+        from correctocr_spark.ops.cleaning import split_sentences
+
+        docs = spark.createDataFrame(
+            [
+                (1, 'Hello there. How are you?  Fine!" Next (sic.) end'),
+                (2, None),
+                (3, "   "),
+                (4, "No terminal punct"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = [
+            (r.doc_id, r.sent_id, r.sentence)
+            for r in split_sentences(docs).orderBy("doc_id", "sent_id").collect()
+        ]
+        assert rows == [
+            (1, 0, "Hello there."),
+            (1, 1, "How are you?"),
+            (1, 2, 'Fine!"'),
+            (1, 3, "Next (sic.)"),
+            (1, 4, "end"),
+            (4, 0, "No terminal punct"),
+        ]
+
+    def test_min_chars_keeps_ids_dense(self, spark):
+        from correctocr_spark.ops.cleaning import split_sentences
+
+        docs = spark.createDataFrame(
+            [(1, "One. A. Second real sentence. B. Third.")],
+            "doc_id long, text string",
+        )
+        rows = [
+            (r.sent_id, r.sentence)
+            for r in split_sentences(docs, min_chars=3)
+            .orderBy("sent_id")
+            .collect()
+        ]
+        assert rows == [
+            (0, "One."),
+            (1, "Second real sentence."),
+            (2, "Third."),
+        ]
+
+    def test_scan_speed_plan(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        from correctocr_spark.ops.cleaning import split_sentences
+
+        docs = spark.createDataFrame([(1, "a. b.")], "doc_id long, text string")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            split_sentences(docs).explain("formatted")
+        p = buf.getvalue()
+        assert "Exchange" not in p and "Join" not in p
+        assert "Generate" in p

@@ -206,6 +206,9 @@ def test_oracled_queries_precede_rows_only():
         # bigram LM — micro-nat quantized-join core shared with tier-1
         # unigram_lm, one context order up
         "bigram_lm",
+        # sentence segmentation — the tier-1 link_extract/sitemap_parse
+        # regex-Generate family
+        "split_sentences",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -1878,6 +1878,15 @@ def q_zipnum_blocks(spark, sf_dir):
     )
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 embedding quantization with per-vector worst
+    dequantization error — row-local HOF algebra, scan speed."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 def q_split_sentences(spark, sf_dir):
     """Sentence segmentation over the documents table — shared Java∩RE2
     boundary grammar via marker replace + split (no lookbehind), one
@@ -2291,6 +2300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sentence segmentation — marker-replace + split + posexplode,
         # the tier-1 link_extract/sitemap_parse Generate family
         "split_sentences": q_split_sentences,
+        # int8 embedding quantization — row-local HOF algebra, the
+        # tier-1 ann_lsh/ivf_search expression family
+        "quantize_embeddings": q_quantize_embeddings,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -3676,6 +3688,30 @@ def oracle_sql() -> dict[str, str]:
                             || regexp_extract(t, '>([^<]*)</a>', 1)), ';')
                        AS links_joined
             FROM metas
+        """,
+
+        "quantize_embeddings": r"""
+            WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+            m AS (
+                SELECT id, v,
+                       coalesce(list_max(list_transform(v,
+                           x -> abs(x::DOUBLE))), 0.0) AS ma
+                FROM e
+            ),
+            q AS (
+                SELECT id, v, ma, ma / 127.0 AS scale,
+                       CASE WHEN ma > 0 THEN
+                           list_transform(v, x ->
+                               CAST(round(x::DOUBLE / (ma / 127.0)) AS INTEGER))
+                       ELSE list_transform(v, x -> 0) END AS qvec
+                FROM m
+            )
+            SELECT id, qvec, round(scale, 9) AS scale,
+                   round(coalesce(list_max(list_transform(
+                       range(1, len(v) + 1),
+                       i -> abs(qvec[i]::DOUBLE * scale - v[i]::DOUBLE))),
+                       0.0), 9) AS max_abs_err
+            FROM q
         """,
 
         "split_sentences": r"""

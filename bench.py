@@ -132,6 +132,7 @@ HEADLINE = [
     "frontier_schedule",
     "bigram_lm",
     "split_sentences",
+    "quantize_embeddings",
 ]
 
 

@@ -209,6 +209,9 @@ def test_oracled_queries_precede_rows_only():
         # sentence segmentation — the tier-1 link_extract/sitemap_parse
         # regex-Generate family
         "split_sentences",
+        # int8 embedding quantization — row-local HOF algebra, the
+        # tier-1 ann_lsh/ivf_search expression family
+        "quantize_embeddings",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -339,3 +339,40 @@ def test_streaming_lsh_candidates(spark, tmp_path):
     pairs = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out_dir).collect()}
     assert ("u://a", "u://c") in pairs          # cross-batch candidate found
     assert all("u://b" not in p for p in pairs)  # unrelated doc never paired
+
+
+class TestQuantizeEmbeddings:
+    def test_values_and_error_bound(self, spark):
+        from correctocr_spark.ops.similarity import quantize_embeddings
+
+        emb = spark.createDataFrame(
+            [
+                (1, [1.0, -0.5, 0.25, 0.0]),
+                (2, [0.0, 0.0]),             # zero vector
+                (3, [-2.0]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {r.id: r for r in quantize_embeddings(emb).collect()}
+        assert rows[1].qvec == [127, -64, 32, 0]  # round(±x*127/max)
+        assert abs(rows[1].scale - 1.0 / 127.0) < 1e-9  # scale rounds to 9dp
+        # worst dequant error bounded by scale/2
+        assert rows[1].max_abs_err <= rows[1].scale / 2 + 1e-9
+        assert rows[2].qvec == [0, 0] and rows[2].scale == 0.0
+        assert rows[2].max_abs_err == 0.0
+        assert rows[3].qvec == [-127] and rows[3].max_abs_err == 0.0
+
+    def test_scan_speed_plan(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        from correctocr_spark.ops.similarity import quantize_embeddings
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            quantize_embeddings(emb).explain("formatted")
+        p = buf.getvalue()
+        assert "Exchange" not in p and "Join" not in p

@@ -1878,6 +1878,16 @@ def q_zipnum_blocks(spark, sf_dir):
     )
 
 
+def q_ann_quantized(spark, sf_dir):
+    """Top-k over the int8-quantized store (query = quantized row 0,
+    engine-side end to end; exact-integer dot, one rounded double
+    product) — the 4×-less-IO ANN serving path."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import quantized_topk
+
+    return quantized_topk(_t(spark, sf_dir, "embeddings"), 0, k=10)
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Symmetric int8 embedding quantization with per-vector worst
     dequantization error — row-local HOF algebra, scan speed."""
@@ -2303,6 +2313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # int8 embedding quantization — row-local HOF algebra, the
         # tier-1 ann_lsh/ivf_search expression family
         "quantize_embeddings": q_quantize_embeddings,
+        # quantized ANN serving — composes quantize_embeddings; the
+        # top-k core is tier-1 ann_lsh's TakeOrderedAndProject shape
+        "ann_quantized": q_ann_quantized,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -3688,6 +3701,43 @@ def oracle_sql() -> dict[str, str]:
                             || regexp_extract(t, '>([^<]*)</a>', 1)), ';')
                        AS links_joined
             FROM metas
+        """,
+
+        "ann_quantized": r"""
+            WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+            m AS (
+                SELECT id, v,
+                       coalesce(list_max(list_transform(v,
+                           x -> abs(x::DOUBLE))), 0.0) AS ma
+                FROM e
+            ),
+            qd AS (
+                SELECT id,
+                       CASE WHEN ma > 0 THEN
+                           list_transform(v, x ->
+                               CAST(round(x::DOUBLE / (ma / 127.0)) AS INTEGER))
+                       ELSE list_transform(v, x -> 0) END AS qvec,
+                       round(ma / 127.0, 9) AS scale
+                FROM m
+            ),
+            q AS (SELECT qvec AS qq, scale AS qs FROM qd WHERE id = 0),
+            scored AS (
+                SELECT qd.id AS vec_id,
+                       round(qd.scale * q.qs *
+                           (list_sum(list_transform(
+                               range(1, len(qd.qvec) + 1),
+                               i -> qd.qvec[i]::BIGINT * q.qq[i]::BIGINT))
+                           )::DOUBLE, 6) AS score
+                FROM qd, q
+            ),
+            ranked AS (
+                SELECT vec_id, score,
+                       row_number() OVER (
+                           ORDER BY score DESC, vec_id ASC
+                       )::INTEGER AS rank
+                FROM scored
+            )
+            SELECT rank, vec_id, score FROM ranked WHERE rank <= 10
         """,
 
         "quantize_embeddings": r"""

@@ -133,6 +133,7 @@ HEADLINE = [
     "bigram_lm",
     "split_sentences",
     "quantize_embeddings",
+    "ann_quantized",
 ]
 
 

@@ -259,3 +259,46 @@ def quantize_embeddings(
         F.round("_scale", 9).alias("scale"),
         F.round(err, 9).alias("max_abs_err"),
     )
+
+
+def quantized_topk(
+    emb: DataFrame,
+    query_id,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by approximate dot product over the int8-quantized store —
+    the scoring path an at-scale ANN actually serves from (4× less scan
+    IO; int8 dots SIMD-vectorize on real hardware): the query is row
+    ``query_id`` of the SAME quantized table, so quantization happens
+    entirely engine-side (no driver-side rounding to drift between
+    engines). ``score = scale_d · scale_q · Σ qdᵢ·qqᵢ`` — the Σ is
+    EXACT integer arithmetic, so only one double product rounds (to 6
+    decimals). Returns ``(rank, vec_id, score)`` with the
+    :func:`brute_force_topk` deterministic ordering (score desc, id).
+
+    Scale shape: quantize is row-local (see :func:`quantize_embeddings`),
+    the 1-row query broadcasts, scoring is a scan-speed projection, and
+    top-k compiles to TakeOrderedAndProject — no global window, no
+    shuffle beyond the k-row merge.
+    """
+    qd = quantize_embeddings(emb, id_col=id_col, vec_col=vec_col)
+    qrow = qd.where(F.col("id") == query_id).select(
+        F.col("qvec").alias("_qq"), F.col("scale").alias("_qs")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"), F.col("_qq"), lambda a, b: (a * b).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = qd.crossJoin(F.broadcast(qrow)).select(
+        F.col("id").alias("vec_id"),
+        F.round(
+            F.col("scale") * F.col("_qs") * dot.cast("double"), 6
+        ).alias("cosine"),
+    )
+    out = _ranked_topk(scored, k)
+    return out.select("rank", "vec_id", F.col("cosine").alias("score"))

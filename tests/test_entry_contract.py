@@ -212,6 +212,9 @@ def test_oracled_queries_precede_rows_only():
         # int8 embedding quantization — row-local HOF algebra, the
         # tier-1 ann_lsh/ivf_search expression family
         "quantize_embeddings",
+        # quantized ANN serving — composes quantize_embeddings; top-k
+        # core is tier-1 ann_lsh's TakeOrderedAndProject shape
+        "ann_quantized",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -376,3 +376,50 @@ class TestQuantizeEmbeddings:
             quantize_embeddings(emb).explain("formatted")
         p = buf.getvalue()
         assert "Exchange" not in p and "Join" not in p
+
+
+class TestQuantizedTopk:
+    def test_recall_against_exact_and_self_top(self, spark):
+        """The quantized path must put the query itself at rank 1 and
+        keep high overlap with exact brute-force top-k on separable
+        data."""
+        import numpy as np
+
+        from correctocr_spark.ops.similarity import (
+            brute_force_topk,
+            quantized_topk,
+        )
+
+        rng = np.random.RandomState(5)
+        vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(100)]
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        qr = quantized_topk(emb, 0, k=10).collect()
+        assert qr[0].vec_id == 0 and qr[0].rank == 1
+        # compare against the EXACT dot-product ranking (quantized_topk
+        # scores raw dots — brute_force_topk's cosine is a different
+        # metric on unnormalized vectors, so it is not the ground truth)
+        q = np.array(vecs[0][1])
+        exact_dot = sorted(
+            vecs, key=lambda t: (-float(np.dot(q, t[1])), t[0])
+        )[:10]
+        exact = {i for i, _ in exact_dot}
+        got = {r.vec_id for r in qr}
+        # int8 quantization perturbs only boundary ranks
+        assert len(exact & got) >= 9
+
+    def test_take_ordered_plan(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        from correctocr_spark.ops.similarity import quantized_topk
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(5)],
+            "vec_id long, embedding array<float>",
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            quantized_topk(emb, 0, k=3).explain("formatted")
+        p = buf.getvalue()
+        assert "TakeOrderedAndProject" in p
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

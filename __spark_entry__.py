@@ -2024,6 +2024,32 @@ def q_host_reputation(spark, sf_dir):
     return host_reputation(host_graph(_host_links(spark, sf_dir)))
 
 
+def q_host_communities(spark, sf_dir):
+    """Connected components over the cross-host projection (mirror/
+    link-ring clusters) — string min-labels through the pointer-jumped
+    CC machinery."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import host_communities, host_graph
+
+    return host_communities(host_graph(_host_links(spark, sf_dir)))
+
+
+def q_zipnum_lookup(spark, sf_dir):
+    """ZipNum read path: blocks intersecting a probe range via the
+    dense block+1 successor join (no partitionless lead window)."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import zipnum_blocks, zipnum_lookup
+
+    blocks = zipnum_blocks(
+        _synth_cdx(spark, sf_dir), lines_per_block=64, blocks_per_part=4
+    )
+    out = zipnum_lookup(blocks, "com,ex2)", "com,ex4)")
+    return out.select(
+        "block", "filename", "first_urlkey", "first_ts", "n_records",
+        "next_first",
+    )
+
+
 def q_gate_funnel(spark, sf_dir):
     """Filter-funnel attrition report (the RefinedWeb/FineWeb-style
     per-gate removal table) over five ordered content gates — ONE
@@ -2316,6 +2342,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantized ANN serving — composes quantize_embeddings; the
         # top-k core is tier-1 ann_lsh's TakeOrderedAndProject shape
         "ann_quantized": q_ann_quantized,
+        # host communities — composes host_graph with the tier-1
+        # dedup_groups CC machinery (string labels)
+        "host_communities": q_host_communities,
+        # ZipNum read path — dense block+1 successor join over the
+        # oracled zipnum_blocks plan
+        "zipnum_lookup": q_zipnum_lookup,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -3701,6 +3733,100 @@ def oracle_sql() -> dict[str, str]:
                             || regexp_extract(t, '>([^<]*)</a>', 1)), ';')
                        AS links_joined
             FROM metas
+        """,
+
+        "host_communities": r"""
+            WITH RECURSIVE links AS (
+                SELECT 'http://ex' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.com/p/' || CAST(doc_id AS VARCHAR) AS src_url,
+                       unnest(list_filter(list_value(
+                           'https://t' || CAST(doc_id % 3 AS VARCHAR)
+                               || '.example/a/' || CAST(doc_id AS VARCHAR),
+                           CASE WHEN doc_id % 2 = 0 THEN
+                               'http://ex' || CAST((doc_id + 1) % 5 AS VARCHAR)
+                               || '.com/x/' || CAST(doc_id AS VARCHAR) END,
+                           CASE WHEN doc_id % 7 = 0 THEN
+                               'http://ex' || CAST(doc_id % 5 AS VARCHAR)
+                               || '.com/self' END,
+                           CASE WHEN doc_id % 11 = 0 THEN 'not a url' END
+                       ), x -> x IS NOT NULL)) AS href
+                FROM documents
+            ),
+            hedges AS (
+                SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+                FROM (
+                    SELECT regexp_replace(lower(regexp_extract(src_url,
+                               '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                               ':[0-9]+$', '') AS src_host,
+                           regexp_replace(lower(regexp_extract(href,
+                               '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                               ':[0-9]+$', '') AS dst_host
+                    FROM links
+                )
+                WHERE src_host <> '' AND dst_host <> ''
+                GROUP BY 1, 2
+            ),
+            cross_e AS (
+                SELECT src_host, dst_host FROM hedges
+                WHERE src_host <> dst_host AND n_links >= 1
+            ),
+            edges AS (
+                SELECT src_host AS a, dst_host AS b FROM cross_e
+                UNION
+                SELECT dst_host AS a, src_host AS b FROM cross_e
+            ),
+            reach(node, label) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+            )
+            SELECT node AS host, min(label) AS community
+            FROM reach GROUP BY node
+        """,
+
+        "zipnum_lookup": r"""
+            WITH lines AS (
+                SELECT 'com,ex' || CAST(doc_id % 7 AS VARCHAR)
+                           || ')/p/' || CAST(doc_id AS VARCHAR) AS urlkey,
+                       printf('202401%02d000000', (doc_id % 28 + 1)::INT) AS cdx_ts,
+                       'http://ex' || CAST(doc_id % 7 AS VARCHAR)
+                           || '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                       (doc_id * 100)::BIGINT AS "offset",
+                       'seg-' || CAST(doc_id % 3 AS VARCHAR)
+                           || '.warc.gz' AS filename
+                FROM documents
+            ),
+            n AS (
+                SELECT *, row_number() OVER (
+                    ORDER BY urlkey, cdx_ts, url, "offset", filename
+                ) - 1 AS lineno
+                FROM lines
+            ),
+            b AS (
+                SELECT lineno // 64 AS block, count(*)::BIGINT AS n_records
+                FROM n GROUP BY 1
+            ),
+            f AS (
+                SELECT lineno // 64 AS block, urlkey AS first_urlkey,
+                       cdx_ts AS first_ts
+                FROM n WHERE lineno % 64 = 0
+            ),
+            cluster AS (
+                SELECT b.block::BIGINT AS block,
+                       printf('cdx-%05d.gz', (b.block // 4)::INT) AS filename,
+                       first_urlkey, first_ts, n_records
+                FROM b JOIN f USING (block)
+            ),
+            withnext AS (
+                SELECT c.*, lead(first_urlkey) OVER (ORDER BY block)
+                       AS next_first
+                FROM cluster c
+            )
+            SELECT block, filename, first_urlkey, first_ts, n_records,
+                   next_first
+            FROM withnext
+            WHERE first_urlkey < 'com,ex4)'
+              AND (next_first IS NULL OR next_first > 'com,ex2)')
         """,
 
         "ann_quantized": r"""

@@ -134,6 +134,8 @@ HEADLINE = [
     "split_sentences",
     "quantize_embeddings",
     "ann_quantized",
+    "host_communities",
+    "zipnum_lookup",
 ]
 
 

@@ -303,3 +303,30 @@ def host_reputation(hedges: DataFrame) -> DataFrame:
         )
     )
     return rep
+
+
+def host_communities(hedges: DataFrame, min_links: int = 1) -> DataFrame:
+    """Connected components over the cross-host link projection —
+    mirror networks, link rings and boilerplate-share clusters surface
+    as one ``community`` (labeled by its lexicographically-min host),
+    the unit a curation policy bans or caps as a whole. ``min_links``
+    drops sub-threshold edges first (one stray link should not merge
+    two real communities).
+
+    Thin composition: :func:`host_graph` output →
+    :func:`~.dedup.connected_components` (min-label propagation with
+    pointer jumping, O(log diameter) rounds, per-round eager
+    checkpoints) — string labels propagate through the same machinery
+    the doc-level dedup groups use. Self-loops are irrelevant to
+    connectivity and dropped.
+    """
+    from .dedup import connected_components
+
+    cross = hedges.where(
+        (F.col("src_host") != F.col("dst_host"))
+        & (F.col("n_links") >= int(min_links))
+    )
+    out = connected_components(cross, a_col="src_host", b_col="dst_host")
+    return out.select(
+        F.col("doc_id").alias("host"), F.col("component").alias("community")
+    )

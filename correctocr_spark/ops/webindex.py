@@ -700,3 +700,38 @@ def frontier_schedule(
     if max_per_host is not None:
         out = out.where(F.col("slot") < int(max_per_host))
     return out
+
+
+def zipnum_lookup(
+    cluster: DataFrame,
+    lo: str,
+    hi: str | None = None,
+) -> DataFrame:
+    """The READ side of the ZipNum pair: which blocks a range-reader
+    must fetch to answer a urlkey lookup over ``[lo, hi)`` (pass
+    ``hi=None`` for a point/prefix probe — it becomes ``lo + '\\uffff'``,
+    covering every key extending ``lo``). Block *b* covers the key range
+    ``[first_urlkey_b, first_urlkey_{b+1})`` — the defining invariant of
+    a sorted block index — so the answer is every block whose range
+    intersects the probe.
+
+    Scale: the successor key comes from a ``block+1 = block`` self-join
+    on the DENSE block ids, NOT a partitionless ``lead()`` window — a
+    10¹²-record index still has a ~10⁸-row cluster table, which a single
+    window partition would serialize but a co-partitioned join handles.
+    Returns the matching cluster rows plus ``next_first`` (NULL on the
+    last block).
+    """
+    if hi is None:
+        hi = lo + "￿"
+    nxt = cluster.select(
+        (F.col("block") - 1).alias("block"),
+        F.col("first_urlkey").alias("next_first"),
+    )
+    return (
+        cluster.join(nxt, on="block", how="left")
+        .where(
+            (F.col("first_urlkey") < hi)
+            & (F.col("next_first").isNull() | (F.col("next_first") > lo))
+        )
+    )

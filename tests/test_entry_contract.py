@@ -215,6 +215,11 @@ def test_oracled_queries_precede_rows_only():
         # quantized ANN serving — composes quantize_embeddings; top-k
         # core is tier-1 ann_lsh's TakeOrderedAndProject shape
         "ann_quantized",
+        # host communities — composes host_graph + the tier-1
+        # dedup_groups CC machinery (string labels)
+        "host_communities",
+        # ZipNum read path — successor join over the oracled block plan
+        "zipnum_lookup",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -262,3 +262,36 @@ class TestHostGraph:
         assert rep["sink.com"]["in_ratio_ppm"] == 1000000
         assert rep["s.com"]["n_out_links"] == 1
         assert rep["s.com"]["in_ratio_ppm"] == 0
+
+
+class TestHostCommunities:
+    def test_rings_merge_and_min_links_threshold(self, spark):
+        from correctocr_spark.ops.graph import host_communities
+
+        hedges = spark.createDataFrame(
+            [
+                ("a.com", "b.com", 3),
+                ("b.com", "c.com", 2),   # chain a-b-c -> one community
+                ("x.com", "y.com", 5),   # separate pair
+                ("c.com", "x.com", 1),   # weak bridge
+                ("z.com", "z.com", 9),   # self-loop: irrelevant
+            ],
+            "src_host string, dst_host string, n_links long",
+        )
+        merged = {
+            r.host: r.community
+            for r in host_communities(hedges, min_links=1).collect()
+        }
+        # weak bridge included at min_links=1: all five hosts share one label
+        assert len(set(merged.values())) == 1
+        assert set(merged) == {"a.com", "b.com", "c.com", "x.com", "y.com"}
+        assert merged["y.com"] == "a.com"  # lexicographic min label
+
+        split = {
+            r.host: r.community
+            for r in host_communities(hedges, min_links=2).collect()
+        }
+        # bridge dropped: two communities, labeled by their min hosts
+        assert split["c.com"] == "a.com"
+        assert split["y.com"] == "x.com"
+        assert len(set(split.values())) == 2

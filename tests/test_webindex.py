@@ -552,3 +552,49 @@ class TestFrontierSchedule:
         p = buf.getvalue()
         assert "BroadcastHashJoin" in p
         assert "SortMergeJoin" not in p
+
+
+class TestZipnumLookup:
+    def test_range_and_prefix_probes(self, spark):
+        from correctocr_spark.ops.webindex import zipnum_lookup
+
+        cluster = spark.createDataFrame(
+            [
+                (0, "cdx-00000.gz", "com,a)/1", "20240101000000", 8),
+                (1, "cdx-00000.gz", "com,c)/5", "20240101000000", 8),
+                (2, "cdx-00001.gz", "com,m)/2", "20240101000000", 8),
+                (3, "cdx-00001.gz", "com,t)/9", "20240101000000", 4),
+            ],
+            "block long, filename string, first_urlkey string, "
+            "first_ts string, n_records long",
+        )
+        # range [com,c), com,n)): block 0 may hold keys < com,c)/5? No —
+        # block 0 covers [com,a)/1, com,c)/5): com,c) < com,c)/5 so it
+        # CAN hold com,c)* keys; blocks 1 and 2 intersect too; 3 doesn't
+        got = {r.block for r in zipnum_lookup(
+            cluster, "com,c)", "com,n)").collect()}
+        assert got == {0, 1, 2}
+        # point/prefix probe on the LAST block (open-ended)
+        got = {r.block for r in zipnum_lookup(cluster, "com,z)").collect()}
+        assert got == {3}
+        # next_first is the successor's first key, NULL on the last
+        rows = {r.block: r.next_first for r in zipnum_lookup(
+            cluster, "com,a)", "zzz").collect()}
+        assert rows[0] == "com,c)/5" and rows[3] is None
+
+    def test_no_window_in_plan(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        from correctocr_spark.ops.webindex import zipnum_lookup
+
+        cluster = spark.createDataFrame(
+            [(0, "f", "a", "t", 1)],
+            "block long, filename string, first_urlkey string, "
+            "first_ts string, n_records long",
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            zipnum_lookup(cluster, "a").explain("formatted")
+        p = buf.getvalue()
+        assert "Window" not in p  # successor via block+1 join, not lead()

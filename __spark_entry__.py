@@ -2024,6 +2024,21 @@ def q_host_reputation(spark, sf_dir):
     return host_reputation(host_graph(_host_links(spark, sf_dir)))
 
 
+def q_train_split(spark, sf_dir):
+    """Deterministic hash-based 80/10/10 corpus split — hex-string
+    threshold comparison, no engine-specific hex→int conversion;
+    row-local, scan speed."""
+    _ship(spark)
+    from correctocr_spark.ops.filters import train_val_test_split
+
+    out = train_val_test_split(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed="r5",
+    )
+    return out.select("doc_id", "lang", "split")
+
+
 def q_host_communities(spark, sf_dir):
     """Connected components over the cross-host projection (mirror/
     link-ring clusters) — string min-labels through the pointer-jumped
@@ -2348,6 +2363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ZipNum read path — dense block+1 successor join over the
         # oracled zipnum_blocks plan
         "zipnum_lookup": q_zipnum_lookup,
+        # hash split — the md5-keying core tier-1 train_shuffle
+        # hash-verifies, as a threshold CASE instead of a row_number
+        "train_split": q_train_split,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -3733,6 +3751,16 @@ def oracle_sql() -> dict[str, str]:
                             || regexp_extract(t, '>([^<]*)</a>', 1)), ';')
                        AS links_joined
             FROM metas
+        """,
+
+        "train_split": r"""
+            SELECT doc_id, lang,
+                   CASE WHEN substr(md5('r5:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                             < 'cccccc' THEN 'train'
+                        WHEN substr(md5('r5:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                             < 'e66666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
 
         "host_communities": r"""

@@ -136,6 +136,7 @@ HEADLINE = [
     "ann_quantized",
     "host_communities",
     "zipnum_lookup",
+    "train_split",
 ]
 
 

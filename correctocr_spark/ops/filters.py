@@ -50,6 +50,7 @@ __all__ = [
     "bloom_anti_join",
     "gate_funnel",
     "curate_funnel",
+    "train_val_test_split",
     "gopher_passes",
     "GOPHER_STOPWORDS",
 ]
@@ -1001,3 +1002,58 @@ def curate_funnel(
             ratio = F.round(hits / F.greatest(F.size(ws), F.lit(1)), 6)
             gates.append(("badwords", ratio <= max_badword_ratio))
     return gate_funnel(docs, gates)
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    weights=None,
+    seed: str = "0",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic hash-based corpus split (train/val/test or any
+    named weighting): each doc's split is a pure function of
+    ``(seed, id)`` — reproducible across runs, retries, partitionings
+    and engines, stable under corpus growth (a doc never migrates when
+    OTHER docs are added, unlike row_number-range splits), and
+    decorrelated from crawl order/hosts (md5, the deterministic_shuffle
+    argument).
+
+    Assignment compares the first 6 hex digits of ``md5(seed || ':' ||
+    id)`` against cumulative-weight thresholds AS STRINGS (hex compares
+    bytewise), so no engine-specific hex→int conversion exists to
+    drift; thresholds are ``floor(cum · 16⁶)`` formatted to 6 digits.
+    Granularity is 1/16⁶ ≈ 6e-8 — weights are honored to that
+    resolution. Weights must sum to 1 (±1e-9); dict order defines the
+    interval order.
+
+    Row-local projection: scan speed, no shuffle, no UDF. Returns all
+    input columns plus ``split_col``.
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not weights:
+        raise ValueError("weights must be a non-empty mapping")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    h6 = F.substring(
+        F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string"))),
+        1,
+        6,
+    )
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        thr = format(min(int(cum * 16**6), 16**6 - 1), "06x")
+        cond = h6 < thr
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    out_col = last if expr is None else expr.otherwise(last)
+    return ensure_parallelism(docs).select("*", out_col.alias(split_col))

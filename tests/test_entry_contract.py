@@ -220,6 +220,8 @@ def test_oracled_queries_precede_rows_only():
         "host_communities",
         # ZipNum read path — successor join over the oracled block plan
         "zipnum_lookup",
+        # hash split — md5-keying core shared with tier-1 train_shuffle
+        "train_split",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

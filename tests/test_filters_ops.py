@@ -1044,3 +1044,59 @@ def test_cli_curate_funnel_out(tmp_path, spark):
     rows = {x.gate: x for x in spark.read.parquet(funnel_out).collect()}
     assert rows["total"].n_in == 21
     assert rows["gopher"].n_fail >= 1  # the tiny doc
+
+
+class TestTrainValTestSplit:
+    def test_matches_python_md5_and_proportions(self, spark):
+        import hashlib
+
+        from correctocr_spark.ops.filters import train_val_test_split
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(2000)], "doc_id long"
+        )
+        got = {
+            r.doc_id: r.split
+            for r in train_val_test_split(
+                docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed="s"
+            ).collect()
+        }
+
+        def expect(i):
+            h6 = hashlib.md5(f"s:{i}".encode()).hexdigest()[:6]
+            if h6 < format(int(0.8 * 16**6), "06x"):
+                return "train"
+            if h6 < format(int(0.9 * 16**6), "06x"):
+                return "val"
+            return "test"
+
+        assert got == {i: expect(i) for i in range(2000)}
+        n = len(got)
+        frac = {k: sum(1 for v in got.values() if v == k) / n for k in ("train", "val", "test")}
+        assert abs(frac["train"] - 0.8) < 0.03
+        assert abs(frac["val"] - 0.1) < 0.02
+
+    def test_stable_under_corpus_growth_and_seed_change(self, spark):
+        from correctocr_spark.ops.filters import train_val_test_split
+
+        small = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+        big = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+        a = {r.doc_id: r.split for r in train_val_test_split(small, seed="x").collect()}
+        b = {r.doc_id: r.split for r in train_val_test_split(big, seed="x").collect()}
+        assert all(b[i] == a[i] for i in a)  # no migration on growth
+        c = {r.doc_id: r.split for r in train_val_test_split(small, seed="y").collect()}
+        assert a != c
+
+    def test_weight_validation(self, spark):
+        from correctocr_spark.ops.filters import train_val_test_split
+
+        docs = spark.createDataFrame([(1,)], "doc_id long")
+        for bad in ({}, {"a": 0.5, "b": 0.6}):
+            try:
+                train_val_test_split(docs, bad)
+                assert False, bad
+            except ValueError:
+                pass
+        # single-name weighting degenerates to a constant column
+        one = train_val_test_split(docs, {"all": 1.0}).collect()
+        assert one[0].split == "all"

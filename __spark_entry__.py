@@ -2104,6 +2104,66 @@ def q_gate_funnel(spark, sf_dir):
     return gate_funnel(d, gates)
 
 
+def q_lsh_recall(spark, sf_dir):
+    """MinHash-LSH candidate-quality eval: recall/precision of the
+    banded candidate set vs exact n-gram Jaccard ground truth at 0.5 —
+    the measure-don't-guess harness for (num_hashes, bands, max_bucket)
+    tuning. Integer counts + floored basis points, so the hash is exact."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import lsh_recall_report
+
+    return lsh_recall_report(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        k=SHINGLE_K,
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+    )
+
+
+def q_kmeans_step(spark, sf_dir):
+    """One distributed Lloyd iteration's sufficient statistics over the
+    embeddings table (IVF centroid training): per (centroid, dim) member
+    count + micro-quantized component sums — integer accumulation, so
+    the result is exact across partitionings and engines."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import kmeans_step_stats
+
+    return kmeans_step_stats(_t(spark, sf_dir, "embeddings"), _IVF_CENTROIDS)
+
+
+def q_pack_batches(spark, sf_dir):
+    """Length-bucketed training-batch packing + padding audit: bucket by
+    token length, chunk each bucket into batches of 8 in (len DESC, id)
+    order, report per-batch padding waste. No global sort anywhere."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import batch_padding_stats, pack_batches
+
+    return batch_padding_stats(
+        pack_batches(
+            _t(spark, sf_dir, "documents"), batch_size=8, bucket_width=32
+        )
+    )
+
+
+def q_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnostic over a deliberately skewed synthetic
+    host key (40% of docs funnel to one host): per-key row/byte mass and
+    integer basis-point shares, hot keys flagged — the report that says
+    which key to salt before the big shuffle."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import skew_report
+
+    host = F.concat(
+        F.lit("h"),
+        F.when((F.col("doc_id") % 10) < 4, F.lit(0))
+        .otherwise(F.col("doc_id") % 50)
+        .cast("string"),
+    )
+    keyed = _t(spark, sf_dir, "documents").select(host.alias("host"), "text")
+    return skew_report(keyed, key_col="host", text_col="text", top=20, hot_share_bp=500)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -2366,6 +2426,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash split — the md5-keying core tier-1 train_shuffle
         # hash-verifies, as a threshold CASE instead of a row_number
         "train_split": q_train_split,
+        # LSH candidate-quality eval — composes the tier-1
+        # minhash_lsh_pairs generator with the ngram_jaccard exact twin
+        # and reduces to integer counts/basis points
+        "lsh_recall": q_lsh_recall,
+        # distributed Lloyd step — the argmin core is tier-1
+        # ivf_search's; the integer-quantized accumulation is the
+        # unigram_lm move applied to centroid training
+        "kmeans_step": q_kmeans_step,
+        # length-bucketed batch packing — bucket-local window chunking,
+        # the tier-1 topk_per_group window family with integer padding
+        # audit
+        "pack_batches": q_pack_batches,
+        # shuffle-key skew diagnostic — groupBy + broadcast-totals
+        # shares; the flagship's url-hash-not-host-hash argument as a
+        # first-class measurement
+        "skew_report": q_skew_report,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -2517,6 +2593,85 @@ def _jaccard_lsh_sql() -> str:
         JOIN sizes sa ON sa.doc_id = i.doc_a
         JOIN sizes sb ON sb.doc_id = i.doc_b
         WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.3
+    """
+
+
+def _lsh_eval_sql(threshold: float = 0.5) -> str:
+    """Recall/precision of the banded candidate set vs exact Jaccard:
+    the _minhash_sql cands CTE + the _jaccard_sql exact CTE reduced to
+    one row of integer counts and floored basis points."""
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    mins = ", ".join(f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(MINHASH_HASHES))
+    band_rows = []
+    for b in range(MINHASH_BANDS):
+        parts = " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        band_rows.append(f"SELECT doc_id, '{b}' || '|' || {parts} AS band_key FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+        {_SHINGLES_SQL}
+        , sig AS (SELECT doc_id, {mins} FROM sh2 GROUP BY doc_id)
+        , banded AS ({bands})
+        , cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b USING (band_key)
+            WHERE a.doc_id < b.doc_id
+        )
+        , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id)
+        , inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh2 a JOIN sh2 b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        , exact AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+        )
+        , hit AS (
+            SELECT e.doc_a, e.doc_b FROM exact e
+            JOIN cands c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+        )
+        SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+               (SELECT count(*) FROM cands)::BIGINT AS n_candidates,
+               (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+               CAST(floor((SELECT count(*) FROM hit) * 10000.0
+                          / greatest((SELECT count(*) FROM exact), 1)) AS BIGINT) AS recall_bp,
+               CAST(floor((SELECT count(*) FROM hit) * 10000.0
+                          / greatest((SELECT count(*) FROM cands), 1)) AS BIGINT) AS precision_bp
+    """
+
+
+def _kmeans_sql(scale: int = 1_000_000) -> str:
+    """Lloyd sufficient statistics: the _ivf_sql argmin chain, then
+    parallel-unnest (dim, value) and integer-quantized sums — DuckDB
+    zips same-SELECT unnests, matching Spark's posexplode."""
+    def lit(p):
+        return "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+
+    dists = [
+        f"list_distance(embedding::DOUBLE[], {lit(c)})" for c in _IVF_CENTROIDS
+    ]
+    best_id, best_d = "0", dists[0]
+    for cid in range(1, len(dists)):
+        best_id = f"(case when {dists[cid]} < {best_d} then {cid} else {best_id} end)"
+        best_d = f"least({dists[cid]}, {best_d})"
+    return f"""
+        WITH assigned AS (
+            SELECT ({best_id})::INTEGER AS centroid_id,
+                   embedding::DOUBLE[] AS v
+            FROM embeddings
+        ),
+        x AS (
+            SELECT centroid_id,
+                   CAST(unnest(generate_series(1, len(v))) AS INTEGER) AS dim,
+                   unnest(v) AS val
+            FROM assigned
+        )
+        SELECT centroid_id, dim, count(*)::BIGINT AS n,
+               sum(CAST(round(val * {scale}) AS BIGINT))::BIGINT AS sum_q
+        FROM x GROUP BY 1, 2
     """
 
 
@@ -3761,6 +3916,57 @@ def oracle_sql() -> dict[str, str]:
                              < 'e66666' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+
+        "lsh_recall": _lsh_eval_sql(threshold=0.5),
+
+        "kmeans_step": _kmeans_sql(),
+
+        "pack_batches": f"""
+            WITH d AS (
+                SELECT doc_id, len({_WORDS})::BIGINT AS n_tokens FROM documents
+            ),
+            b AS (
+                SELECT doc_id, n_tokens,
+                       CAST(floor(n_tokens / 32) AS BIGINT) AS bucket
+                FROM d
+            ),
+            r AS (
+                SELECT bucket, n_tokens,
+                       row_number() OVER (PARTITION BY bucket
+                                          ORDER BY n_tokens DESC, doc_id ASC) AS rn
+                FROM b
+            ),
+            p AS (
+                SELECT bucket, CAST(floor((rn - 1) / 8) AS BIGINT) AS batch,
+                       n_tokens
+                FROM r
+            )
+            SELECT bucket, batch, count(*)::BIGINT AS n_docs,
+                   max(n_tokens)::BIGINT AS max_len,
+                   sum(n_tokens)::BIGINT AS sum_len,
+                   (count(*) * max(n_tokens) - sum(n_tokens))::BIGINT AS padding
+            FROM p GROUP BY 1, 2
+        """,
+
+        "skew_report": """
+            WITH keyed AS (
+                SELECT 'h' || CAST(CASE WHEN doc_id % 10 < 4 THEN 0
+                                        ELSE doc_id % 50 END AS VARCHAR) AS key,
+                       strlen(coalesce(text, '')) AS w
+                FROM documents
+            ),
+            per_key AS (
+                SELECT key, count(*)::BIGINT AS n_rows, sum(w)::BIGINT AS n_bytes
+                FROM keyed GROUP BY 1
+            ),
+            t AS (SELECT sum(n_rows) AS tr, sum(n_bytes) AS tb FROM per_key)
+            SELECT key, n_rows, n_bytes,
+                   CAST(floor(n_rows * 10000.0 / greatest(tr, 1)) AS BIGINT) AS row_share_bp,
+                   CAST(floor(n_bytes * 10000.0 / greatest(tb, 1)) AS BIGINT) AS byte_share_bp,
+                   CAST(floor(n_rows * 10000.0 / greatest(tr, 1)) AS BIGINT) >= 500 AS hot
+            FROM per_key, t
+            ORDER BY n_rows DESC, n_bytes DESC, key ASC LIMIT 20
         """,
 
         "host_communities": r"""

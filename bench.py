@@ -137,6 +137,10 @@ HEADLINE = [
     "host_communities",
     "zipnum_lookup",
     "train_split",
+    "lsh_recall",
+    "kmeans_step",
+    "pack_batches",
+    "skew_report",
 ]
 
 

@@ -793,3 +793,140 @@ def split_sentences(
             F.length("col").cast("long").alias("n_chars"),
         )
     )
+
+
+def pack_batches(
+    docs: DataFrame,
+    batch_size: int = 16,
+    bucket_width: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: Optional[str] = None,
+) -> DataFrame:
+    """Length-bucketed BATCH packing: group documents of similar token
+    length into fixed-count training batches so per-batch padding (every
+    sequence pads to the batch max) stays bounded — the batching step
+    between :func:`pack_shards` (byte/token budget per shard) and the
+    trainer. Random batching wastes ~half the FLOPs of a long-tailed
+    corpus on pad tokens; length-sorted batching is the standard fix.
+
+    Assignment: ``bucket = floor(n_tokens / bucket_width)`` (a partition
+    key — all windows below are bucket-local), then within a bucket the
+    docs are ordered ``(n_tokens DESC, id)`` and chunked into batches of
+    ``batch_size``. Within a batch, lengths differ by at most
+    ``bucket_width - 1``, so padding waste per doc is bounded by the
+    bucket width REGARDLESS of corpus length distribution.
+
+    Returns per-doc assignment ``(doc_id, n_tokens, bucket, batch)``
+    (compose downstream: a writer partitions by (bucket, batch); the
+    padding audit aggregates it). Scale shape: one hash shuffle on the
+    bucket key + a bucket-local window — no global sort, no
+    partitionless window (the exact trap :func:`pack_shards` documents;
+    here the GLOBAL order is irrelevant by construction, so the
+    bucketed form isn't even an approximation). Skew note: a corpus
+    spike at one length (e.g. truncation at max_tokens) funnels that
+    bucket; at 100 TB pre-split hot buckets by a salt on
+    ``floor(hash/batch_size)`` — the batch ids stay dense per salt.
+    """
+    n_tokens = (
+        F.col(tokens_col).cast("long")
+        if tokens_col
+        else F.size(normalized_words(text_col)).cast("long")
+    )
+    d = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), n_tokens.alias("n_tokens")
+    )
+    d = d.withColumn(
+        "bucket", F.floor(F.col("n_tokens") / int(bucket_width)).cast("long")
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        F.floor((F.row_number().over(w) - 1) / int(batch_size))
+        .cast("long")
+        .alias("batch"),
+    )
+
+
+def batch_padding_stats(packed: DataFrame) -> DataFrame:
+    """Padding audit over :func:`pack_batches` output: per (bucket,
+    batch) — doc count, max/sum token length, and ``padding`` = tokens
+    spent on pad (``n_docs * max_len - sum_len``). All integer
+    arithmetic; one map-side-combinable aggregation."""
+    return packed.groupBy("bucket", "batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").alias("sum_len"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+        .cast("long")
+        .alias("padding"),
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str = "url",
+    text_col: Optional[str] = "text",
+    top: int = 20,
+    hot_share_bp: int = 500,
+) -> DataFrame:
+    """Partition-skew DIAGNOSTIC: per-key row and byte mass, integer
+    basis-point shares of the corpus, and a hot flag — the report a
+    100 TB job reads BEFORE choosing its shuffle keys. The north rule
+    says "skew handled explicitly"; handling starts with measuring.
+    This is the numeric twin of test_finalize_balanced_under_host_skew:
+    a key whose ``share_bp`` exceeds the flag threshold is the key you
+    salt (or re-key by url-hash) before the big shuffle.
+
+    Returns the ``top`` keys by ``(n_rows DESC, n_bytes DESC, key)``:
+    ``(key, n_rows, n_bytes, row_share_bp, byte_share_bp, hot)``. Shares
+    are ``floor(x * 10000 / total)`` — exact integer inputs, one
+    floored division, cross-engine stable.
+
+    Scale shape: one map-side-combinable groupBy on the key, totals as
+    a 1-row aggregate cross-joined broadcast (never a partitionless
+    window over the key table), and the top-N via orderBy().limit()
+    (TakeOrderedAndProject — each partition keeps its local N).
+    """
+    weight = (
+        F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
+        if text_col
+        else F.lit(1)
+    ).cast("long")
+    per_key = (
+        ensure_parallelism(df)
+        .select(F.col(key_col).alias("key"), weight.alias("_w"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("_w").alias("n_bytes"))
+    )
+    # two consumers (totals + top-N) of one aggregation: persist and
+    # materialize so the scan runs once
+    per_key = per_key.persist()
+    per_key.count()
+    totals = per_key.agg(
+        F.sum("n_rows").alias("_tr"), F.sum("n_bytes").alias("_tb")
+    )
+    out = (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            "n_bytes",
+            F.floor(F.col("n_rows") * 10000.0 / F.greatest(F.col("_tr"), F.lit(1)))
+            .cast("long")
+            .alias("row_share_bp"),
+            F.floor(F.col("n_bytes") * 10000.0 / F.greatest(F.col("_tb"), F.lit(1)))
+            .cast("long")
+            .alias("byte_share_bp"),
+        )
+        .withColumn("hot", F.col("row_share_bp") >= int(hot_share_bp))
+        .orderBy(F.desc("n_rows"), F.desc("n_bytes"), F.asc("key"))
+        .limit(int(top))
+    )
+    from .cache import register_intermediates
+
+    return register_intermediates(out, per_key)

@@ -1371,3 +1371,74 @@ def connected_components(
             "mislabel dedup groups"
         )
     return labels.select(F.col("id").alias("doc_id"), "component")
+
+
+def lsh_recall_report(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: Optional[int] = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate-quality EVAL for the MinHash-LSH near-dup path: recall
+    and precision of the banded candidate set against exact n-gram
+    Jaccard ground truth at ``threshold`` — the measure-don't-guess
+    harness that turns (num_hashes, bands, max_bucket) tuning from
+    folklore into a number. A pipeline that raises ``max_bucket`` or
+    drops bands ships silently lower dedup recall; this report is the
+    regression gate that catches it.
+
+    Returns ONE row: ``(n_exact, n_candidates, n_hit, recall_bp,
+    precision_bp)`` where ``*_bp`` are integer basis points
+    (``floor(hit * 10000 / max(total, 1))``) so the cross-engine hash
+    is exact — counts are integers, the one division floors.
+
+    Scale shape: the exact-Jaccard side is the all-pairs oracle twin
+    (O(freq²) in the hottest shingle) — at 100 TB this report runs on a
+    deterministic SAMPLE (compose with ``deterministic_sample``), which
+    is how recall eval is done in practice; the candidate side is the
+    real banded generator, so the measured recall is the production
+    path's. The three counts aggregate to one row each and cross-join
+    broadcast — no driver collect.
+    """
+    sh = shingles_df(docs, id_col=id_col, text_col=text_col, k=k)
+    exact = jaccard_pairs(sh, threshold=threshold).select("doc_a", "doc_b")
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    cand = lsh_candidate_pairs(
+        sig, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
+    )
+    # both sides feed two consumers (their own count + the hit join):
+    # persist AND materialize so neither subtree computes twice
+    exact = exact.persist()
+    exact.count()
+    cand = cand.persist()
+    cand.count()
+    hit = exact.join(cand, on=["doc_a", "doc_b"], how="left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    out = (
+        n_exact.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hit",
+            F.floor(
+                F.col("n_hit") * 10000.0 / F.greatest(F.col("n_exact"), F.lit(1))
+            )
+            .cast("long")
+            .alias("recall_bp"),
+            F.floor(
+                F.col("n_hit")
+                * 10000.0
+                / F.greatest(F.col("n_candidates"), F.lit(1))
+            )
+            .cast("long")
+            .alias("precision_bp"),
+        )
+    )
+    return register_intermediates(out, exact, cand)

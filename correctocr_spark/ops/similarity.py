@@ -15,6 +15,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import ensure_parallelism
+
 
 def _lit_vec(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
@@ -302,3 +304,103 @@ def quantized_topk(
     )
     out = _ranked_topk(scored, k)
     return out.select("rank", "vec_id", F.col("cosine").alias("score"))
+
+
+def kmeans_step_stats(
+    emb: DataFrame,
+    centroids: List[List[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One distributed Lloyd iteration's SUFFICIENT STATISTICS — how the
+    IVF coarse quantizer (:func:`ivf_assign` / :func:`ivf_search`) gets
+    its centroids trained on the corpus instead of guessed: assign every
+    vector to its nearest centroid (same strict-``<`` argmin as
+    ``ivf_assign``), then per ``(centroid, dimension)`` accumulate the
+    member count and the sum of MICRO-QUANTIZED components
+    (``round(x * scale)`` as int64). Integer sums are
+    reduction-order-independent, so the result is exact across
+    partitionings, retries and engines (the same quantization move as
+    ``unigram_lm_scores``) — a float mean would hash-drift with shuffle
+    order. The division happens once, on the driver, in
+    :func:`kmeans_new_centroids`.
+
+    Returns ``(centroid_id, dim, n, sum_q)`` — K x D rows. Scale
+    shape: the argmin is one codegen'd column expression (no join
+    against a centroid table — K is small by construction), the explode
+    is ``posexplode`` (linear), and the aggregation map-side-combines
+    to K x D partials per partition before one tiny shuffle.
+    """
+    vec_d = F.col(vec_col).cast("array<double>")
+    assigned = ensure_parallelism(emb).select(
+        nearest_centroid_col(vec_d, centroids).alias("centroid_id"),
+        F.posexplode(vec_d).alias("_pos", "_val"),
+    )
+    return assigned.groupBy(
+        "centroid_id", (F.col("_pos") + 1).cast("int").alias("dim")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("_val") * int(scale)).cast("long")).alias("sum_q"),
+    )
+
+
+def kmeans_new_centroids(
+    stats: DataFrame,
+    centroids: List[List[float]],
+    scale: int = 1_000_000,
+) -> List[List[float]]:
+    """Fold Lloyd sufficient statistics into the next centroid list:
+    ``mean_d = (sum_q / n) / scale`` per dimension; a centroid that
+    captured NO vectors keeps its previous position (the standard empty-
+    cluster rule — no reseeding randomness, so training is
+    deterministic). The collect is K x D rows — bounded and tiny, the
+    same driver-side-model pattern as HMM training."""
+    rows = stats.collect()
+    by_c: dict = {}
+    for r in rows:
+        by_c.setdefault(int(r["centroid_id"]), {})[int(r["dim"])] = (
+            int(r["sum_q"]),
+            int(r["n"]),
+        )
+    out: List[List[float]] = []
+    for cid, prev in enumerate(centroids):
+        dims = by_c.get(cid)
+        if not dims:
+            out.append([float(v) for v in prev])
+            continue
+        out.append(
+            [
+                dims[d + 1][0] / dims[d + 1][1] / float(scale)
+                for d in range(len(prev))
+            ]
+        )
+    return out
+
+
+def kmeans_train(
+    emb: DataFrame,
+    init_centroids: List[List[float]],
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> List[List[float]]:
+    """Distributed k-means for IVF centroid training: ``iters`` Lloyd
+    iterations of :func:`kmeans_step_stats` + :func:`kmeans_new_centroids`.
+    Each iteration is one pass over the corpus (scan -> argmin ->
+    map-side-combined K x D aggregation) with only K x D rows ever on
+    the driver; at 10^12 vectors you run it on a deterministic sample
+    first and refine on the full corpus last — both are this function.
+    Deterministic end-to-end: integer-quantized accumulation, strict-<
+    argmin ties, empty clusters hold position."""
+    cents = [[float(v) for v in c] for c in init_centroids]
+    for _ in range(max(0, int(iters))):
+        cents = kmeans_new_centroids(
+            kmeans_step_stats(
+                emb, cents, id_col=id_col, vec_col=vec_col, scale=scale
+            ),
+            cents,
+            scale=scale,
+        )
+    return cents

@@ -222,6 +222,18 @@ def test_oracled_queries_precede_rows_only():
         "zipnum_lookup",
         # hash split — md5-keying core shared with tier-1 train_shuffle
         "train_split",
+        # LSH candidate-quality eval — composes tier-1 minhash_lsh_pairs
+        # with the ngram_jaccard exact twin, reduced to integer counts
+        "lsh_recall",
+        # distributed Lloyd step — argmin core shared with tier-1
+        # ivf_search; integer-quantized accumulation like unigram_lm
+        "kmeans_step",
+        # length-bucketed batch packing — bucket-local window chunking,
+        # tier-1 topk_per_group's window family + integer padding audit
+        "pack_batches",
+        # shuffle-key skew diagnostic — plain groupBy + broadcast-totals
+        # shares; integer basis points
+        "skew_report",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

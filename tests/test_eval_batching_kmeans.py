@@ -1,0 +1,201 @@
+"""Round-5 session ops: LSH recall eval, Lloyd k-means step,
+length-bucketed batch packing, shuffle-key skew report."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+class TestLshRecallReport:
+    def _docs(self, spark):
+        # 3 near-dup pairs (one word changed in 30) + unrelated docs
+        rows = []
+        for g in range(3):
+            text = " ".join(f"g{g}w{i}" for i in range(30))
+            rows.append(Row(doc_id=10 * g, text=text))
+            rows.append(Row(doc_id=10 * g + 1, text=text.replace(f"g{g}w20", "z")))
+        for j in range(5):
+            rows.append(
+                Row(doc_id=100 + j, text=" ".join(f"u{j}_{i}" for i in range(25)))
+            )
+        return spark.createDataFrame(rows)
+
+    def test_counts_and_bounds(self, spark):
+        from correctocr_spark.ops.dedup import lsh_recall_report
+
+        rep = lsh_recall_report(
+            self._docs(spark), threshold=0.5, k=3, num_hashes=8, bands=4
+        ).collect()[0]
+        # the 3 constructed pairs are >=0.5 Jaccard ground truth
+        assert rep["n_exact"] == 3
+        assert 0 <= rep["n_hit"] <= rep["n_exact"]
+        assert rep["n_hit"] <= rep["n_candidates"]
+        assert 0 <= rep["recall_bp"] <= 10000
+        assert 0 <= rep["precision_bp"] <= 10000
+        # 8 hashes / 4 bands over ~93% Jaccard pairs: all found
+        assert rep["recall_bp"] == 10000
+
+    def test_hot_bucket_cap_lowers_recall_never_raises(self, spark):
+        from correctocr_spark.ops.dedup import lsh_recall_report
+
+        docs = self._docs(spark)
+        free = lsh_recall_report(docs, threshold=0.5, num_hashes=8, bands=4)
+        capped = lsh_recall_report(
+            docs, threshold=0.5, num_hashes=8, bands=4, max_bucket=1
+        )
+        f, c = free.collect()[0], capped.collect()[0]
+        assert c["n_candidates"] <= f["n_candidates"]
+        assert c["recall_bp"] <= f["recall_bp"]
+
+    def test_empty_corpus_one_row_zero_bp(self, spark):
+        from correctocr_spark.ops.dedup import lsh_recall_report
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        rep = lsh_recall_report(empty).collect()
+        assert len(rep) == 1
+        assert rep[0]["n_exact"] == 0 and rep[0]["recall_bp"] == 0
+
+
+class TestKmeansStep:
+    CENTS = [[0.0, 0.0], [10.0, 10.0]]
+
+    def _emb(self, spark):
+        rows = [
+            Row(vec_id=0, embedding=[0.5, -0.5]),
+            Row(vec_id=1, embedding=[1.0, 0.25]),
+            Row(vec_id=2, embedding=[9.0, 11.0]),
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_stats_exact(self, spark):
+        from correctocr_spark.ops.similarity import kmeans_step_stats
+
+        got = {
+            (r["centroid_id"], r["dim"]): (r["n"], r["sum_q"])
+            for r in kmeans_step_stats(self._emb(spark), self.CENTS).collect()
+        }
+        assert got == {
+            (0, 1): (2, 1_500_000),  # 0.5 + 1.0
+            (0, 2): (2, -250_000),  # -0.5 + 0.25
+            (1, 1): (1, 9_000_000),
+            (1, 2): (1, 11_000_000),
+        }
+
+    def test_new_centroids_mean_and_empty_cluster_holds(self, spark):
+        from correctocr_spark.ops.similarity import (
+            kmeans_new_centroids,
+            kmeans_step_stats,
+        )
+
+        cents = [[0.0, 0.0], [10.0, 10.0], [99.0, 99.0]]  # 3rd captures nothing
+        stats = kmeans_step_stats(self._emb(spark), cents)
+        new = kmeans_new_centroids(stats, cents)
+        assert new[0] == [0.75, -0.125]
+        assert new[1] == [9.0, 11.0]
+        assert new[2] == [99.0, 99.0]  # empty cluster keeps its position
+
+    def test_train_converges_to_the_two_blobs(self, spark):
+        from correctocr_spark.ops.similarity import kmeans_train
+
+        out = kmeans_train(self._emb(spark), [[0.0, 0.0], [5.0, 5.0]], iters=3)
+        assert out[0] == [0.75, -0.125]
+        assert out[1] == [9.0, 11.0]
+
+    def test_stats_stable_under_repartition(self, spark):
+        from correctocr_spark.ops.similarity import kmeans_step_stats
+
+        emb = self._emb(spark)
+        a = sorted(map(tuple, kmeans_step_stats(emb, self.CENTS).collect()))
+        b = sorted(
+            map(tuple, kmeans_step_stats(emb.repartition(7), self.CENTS).collect())
+        )
+        assert a == b
+
+
+class TestPackBatches:
+    def _docs(self, spark, lengths):
+        return spark.createDataFrame(
+            [
+                Row(doc_id=i, text=" ".join(f"t{j}" for j in range(n)))
+                for i, n in enumerate(lengths)
+            ]
+        )
+
+    def test_batches_are_length_sorted_chunks(self, spark):
+        from correctocr_spark.ops.cleaning import pack_batches
+
+        # all in one bucket (width 100): order by len desc -> batches of 2
+        out = pack_batches(
+            self._docs(spark, [10, 20, 30, 40, 50]),
+            batch_size=2,
+            bucket_width=100,
+        ).collect()
+        by_doc = {r["doc_id"]: r for r in out}
+        assert all(r["bucket"] == 0 for r in out)
+        # len desc: 50,40 | 30,20 | 10
+        assert by_doc[4]["batch"] == 0 and by_doc[3]["batch"] == 0
+        assert by_doc[2]["batch"] == 1 and by_doc[1]["batch"] == 1
+        assert by_doc[0]["batch"] == 2
+
+    def test_padding_bounded_by_bucket_width(self, spark):
+        from correctocr_spark.ops.cleaning import batch_padding_stats, pack_batches
+
+        lengths = list(range(1, 120))
+        stats = batch_padding_stats(
+            pack_batches(self._docs(spark, lengths), batch_size=4, bucket_width=16)
+        ).collect()
+        for r in stats:
+            assert r["padding"] == r["n_docs"] * r["max_len"] - r["sum_len"]
+            # within a bucket lengths differ < bucket_width
+            assert r["padding"] <= r["n_docs"] * 15
+
+    def test_no_partitionless_window(self, spark):
+        from correctocr_spark.ops.cleaning import pack_batches
+
+        plan = pack_batches(
+            self._docs(spark, [5, 6, 7]), batch_size=2, bucket_width=4
+        )._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                assert "bucket" in line  # partitioned by the bucket key
+
+
+class TestSkewReport:
+    def test_shares_and_hot_flag(self, spark):
+        from correctocr_spark.ops.cleaning import skew_report
+
+        rows = [Row(k="hot", text="x" * 10)] * 6 + [
+            Row(k=f"c{i}", text="y" * 5) for i in range(4)
+        ]
+        out = skew_report(
+            spark.createDataFrame(rows),
+            key_col="k",
+            text_col="text",
+            top=10,
+            hot_share_bp=5000,
+        ).collect()
+        by_key = {r["key"]: r for r in out}
+        assert by_key["hot"]["n_rows"] == 6
+        assert by_key["hot"]["row_share_bp"] == 6000
+        assert by_key["hot"]["byte_share_bp"] == 7500  # 60 of 80 bytes
+        assert by_key["hot"]["hot"] is True
+        assert all(not by_key[f"c{i}"]["hot"] for i in range(4))
+
+    def test_top_n_by_rows(self, spark):
+        from correctocr_spark.ops.cleaning import skew_report
+
+        rows = [Row(k=f"k{i:02d}", text="z") for i in range(30) for _ in range(i + 1)]
+        out = skew_report(
+            spark.createDataFrame(rows), key_col="k", text_col="text", top=5
+        ).collect()
+        assert [r["key"] for r in out] == ["k29", "k28", "k27", "k26", "k25"]
+
+    def test_rowcount_weight_without_text(self, spark):
+        from correctocr_spark.ops.cleaning import skew_report
+
+        rows = [Row(k="a", v=1), Row(k="a", v=2), Row(k="b", v=3)]
+        out = skew_report(
+            spark.createDataFrame(rows), key_col="k", text_col=None, top=10
+        ).collect()
+        by_key = {r["key"]: r for r in out}
+        assert by_key["a"]["n_bytes"] == 2  # weight 1 per row
+        assert by_key["a"]["row_share_bp"] == 6666

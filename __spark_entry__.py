@@ -2164,6 +2164,43 @@ def q_skew_report(spark, sf_dir):
     return skew_report(keyed, key_col="host", text_col="text", top=20, hot_share_bp=500)
 
 
+#: multi-script probe strings injected into the Latin-only documents
+#: table so every SCRIPT_RANGES class is exercised (suffix per
+#: doc_id % 4; doc_id % 10 == 7 replaces the text outright so the
+#: dominant-script flip is exercised too)
+_SCRIPT_PROBES = {
+    1: " привет мир как дела",  # Cyrillic
+    2: " 你好世界 こんにちは",  # Han + Hiragana
+    3: " 안녕하세요 세계",  # Hangul
+}
+
+
+def q_script_profile(spark, sf_dir):
+    """Per-doc Unicode script composition + dominant script over the
+    documents table with injected Cyrillic/CJK/Hangul probes — the
+    multilingual routing signal upstream of stopword langid."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import script_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit(_SCRIPT_PROBES[1]))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_SCRIPT_PROBES[2]))
+        .when(F.col("doc_id") % 4 == 3, F.lit(_SCRIPT_PROBES[3]))
+        .otherwise(F.lit(""))
+    )
+    probed = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 7,
+            F.lit((_SCRIPT_PROBES[1] * 5).strip()),
+        )
+        .otherwise(F.concat(F.coalesce(F.col("text"), F.lit("")), suffix))
+        .alias("text"),
+    )
+    return script_profile(probed)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -2442,6 +2479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shares; the flagship's url-hash-not-host-hash argument as a
         # first-class measurement
         "skew_report": q_skew_report,
+        # Unicode script composition — row-local regexp_count algebra,
+        # the multilingual routing signal upstream of tier-1 langid
+        "script_profile": q_script_profile,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -2672,6 +2712,48 @@ def _kmeans_sql(scale: int = 1_000_000) -> str:
         SELECT centroid_id, dim, count(*)::BIGINT AS n,
                sum(CAST(round(val * {scale}) AS BIGINT))::BIGINT AS sum_q
         FROM x GROUP BY 1, 2
+    """
+
+
+def _script_profile_sql() -> str:
+    """Twin of q_script_profile: same probe injection, per-script
+    counts via len(regexp_extract_all) (RE2 accepts the same \\x{..}
+    classes Java does), same strict-> argmax chain."""
+    from correctocr_spark.ops.textstats import SCRIPT_RANGES
+
+    names = list(SCRIPT_RANGES)
+    replace_probe = (_SCRIPT_PROBES[1] * 5).strip()
+    counts = ",\n                   ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat in SCRIPT_RANGES.items()
+    )
+    total = " + ".join(f"n_{name}" for name in names)
+    dominant, best = f"'{names[0]}'", f"n_{names[0]}"
+    for name in names[1:]:
+        dominant = f"(case when n_{name} > {best} then '{name}' else {dominant} end)"
+        best = f"greatest(n_{name}, {best})"
+    return f"""
+        WITH probed AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 7 THEN '{replace_probe}'
+                        ELSE coalesce(text, '') ||
+                             CASE WHEN doc_id % 4 = 1 THEN '{_SCRIPT_PROBES[1]}'
+                                  WHEN doc_id % 4 = 2 THEN '{_SCRIPT_PROBES[2]}'
+                                  WHEN doc_id % 4 = 3 THEN '{_SCRIPT_PROBES[3]}'
+                                  ELSE '' END
+                   END AS t
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id,
+                   {counts}
+            FROM probed
+        )
+        SELECT doc_id, {', '.join('n_' + n for n in names)},
+               ({total})::BIGINT AS n_scripted,
+               CASE WHEN ({total}) > 0 THEN {dominant} ELSE 'none' END AS dominant,
+               CAST(floor({best} * 10000.0 / greatest({total}, 1)) AS BIGINT) AS dominant_bp
+        FROM c
     """
 
 
@@ -3968,6 +4050,8 @@ def oracle_sql() -> dict[str, str]:
             FROM per_key, t
             ORDER BY n_rows DESC, n_bytes DESC, key ASC LIMIT 20
         """,
+
+        "script_profile": _script_profile_sql(),
 
         "host_communities": r"""
             WITH RECURSIVE links AS (

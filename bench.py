@@ -141,6 +141,7 @@ HEADLINE = [
     "kmeans_step",
     "pack_batches",
     "skew_report",
+    "script_profile",
 ]
 
 

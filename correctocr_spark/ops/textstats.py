@@ -574,3 +574,74 @@ def bigram_lm_scores(
         )
     )
     return register_intermediates(out, model)
+
+
+#: Unicode script ranges as ``\x{..}`` character classes — the syntax
+#: subset Java regex (Spark) and RE2 (DuckDB) both accept, so the
+#: counts are oracle-checkable cross-engine. Deliberately coarse BMP
+#: blocks: this is a routing signal, not a linguistic classifier.
+SCRIPT_RANGES: Dict[str, str] = {
+    "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "greek": r"[\x{0370}-\x{03FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    "hebrew": r"[\x{0590}-\x{05FF}]",
+    "devanagari": r"[\x{0900}-\x{097F}]",
+    "cjk": r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]",
+    "hangul": r"[\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]",
+}
+
+
+def script_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Unicode SCRIPT composition — the routing signal a
+    multilingual crawl needs BEFORE language-ID: stopword-profile
+    langid (:func:`language_id`) can only separate languages it has
+    profiles for, all of them Latin-script; a page that is 90%
+    Cyrillic or CJK should be routed to the right model (or the
+    mixed-script spam bin) by codepoint evidence alone. Mixed-script
+    text inside one word is also a classic spam/homoglyph obfuscation
+    signal (Cyrillic 'а' inside Latin words), which the per-script
+    counts expose directly.
+
+    Per doc: one count column per script in :data:`SCRIPT_RANGES`, the
+    total lettered count, the DOMINANT script (argmax, ties to the
+    earlier script in declaration order via strict ``>``; no letters
+    at all => 'none'), and ``dominant_bp`` — the dominant script's
+    share in floored basis points (exact integers, one floored
+    division, cross-engine stable).
+
+    Scale shape: row-local ``regexp_count`` column algebra — one scan,
+    whole-stage codegen, no shuffle, no UDF. The char classes use the
+    ``\\x{..}`` syntax subset shared by Java regex and RE2 so the
+    DuckDB oracle twin counts identically.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).cast("long")
+        for name, pat in SCRIPT_RANGES.items()
+    }
+    d = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+    )
+    names = list(SCRIPT_RANGES)
+    total = None
+    for name in names:
+        col = F.col(f"n_{name}")
+        total = col if total is None else total + col
+    dominant, best = F.lit(names[0]), F.col(f"n_{names[0]}")
+    for name in names[1:]:
+        col = F.col(f"n_{name}")
+        dominant = F.when(col > best, F.lit(name)).otherwise(dominant)
+        best = F.when(col > best, col).otherwise(best)
+    return d.select(
+        "doc_id",
+        *[f"n_{name}" for name in names],
+        total.cast("long").alias("n_scripted"),
+        F.when(total > 0, dominant).otherwise(F.lit("none")).alias("dominant"),
+        F.floor(best * 10000.0 / F.greatest(total, F.lit(1)))
+        .cast("long")
+        .alias("dominant_bp"),
+    )

@@ -234,6 +234,9 @@ def test_oracled_queries_precede_rows_only():
         # shuffle-key skew diagnostic — plain groupBy + broadcast-totals
         # shares; integer basis points
         "skew_report",
+        # Unicode script composition — row-local regexp_count algebra,
+        # the expression family tier-1 langid/quality hash-verify
+        "script_profile",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

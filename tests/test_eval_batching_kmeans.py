@@ -199,3 +199,45 @@ class TestSkewReport:
         by_key = {r["key"]: r for r in out}
         assert by_key["a"]["n_bytes"] == 2  # weight 1 per row
         assert by_key["a"]["row_share_bp"] == 6666
+
+
+class TestScriptProfile:
+    def _profile(self, spark, texts):
+        from correctocr_spark.ops.textstats import script_profile
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+        return {r["doc_id"]: r.asDict() for r in script_profile(df).collect()}
+
+    def test_counts_per_script(self, spark):
+        r = self._profile(spark, ["abc привет 你好 안녕 ¡Ångström!"])[0]
+        assert r["n_latin"] == 3 + 8  # abc + Ångström (Å, ö in Latin-1/Ext-A)
+        assert r["n_cyrillic"] == 6
+        assert r["n_cjk"] == 2
+        assert r["n_hangul"] == 2
+        assert r["dominant"] == "latin"
+
+    def test_dominant_flip_and_tie_to_declaration_order(self, spark):
+        p = self._profile(spark, ["привет мир", "ab ыы"])  # tie: 2 latin, 2 cyr
+        assert p[0]["dominant"] == "cyrillic" and p[0]["dominant_bp"] == 10000
+        assert p[1]["dominant"] == "latin"  # strict > keeps the earlier script
+
+    def test_no_letters_none(self, spark):
+        r = self._profile(spark, ["123 !!! \n"])[0]
+        assert r["n_scripted"] == 0
+        assert r["dominant"] == "none" and r["dominant_bp"] == 0
+
+    def test_null_text(self, spark):
+        from correctocr_spark.ops.textstats import script_profile
+
+        df = spark.createDataFrame([Row(doc_id=1, text=None)], "doc_id long, text string")
+        r = script_profile(df).collect()[0]
+        assert r["dominant"] == "none"
+
+    def test_scan_speed_no_shuffle(self, spark):
+        from correctocr_spark.ops.textstats import script_profile
+
+        df = spark.createDataFrame([Row(doc_id=1, text="abc")])
+        plan = script_profile(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

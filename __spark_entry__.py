@@ -2201,6 +2201,50 @@ def q_script_profile(spark, sf_dir):
     return script_profile(probed)
 
 
+def _canonical_edges(spark, sf_dir):
+    """Synthetic rel=canonical declarations over the documents table:
+    chains (doc_id%10 in 1..3 point one id down), self (4), null (5),
+    a 2-cycle (6 <-> 7), an out-of-crawl target (8), undeclared (0, 9).
+    Same arithmetic in the DuckDB twin."""
+    url = F.concat(
+        F.lit("https://ex"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+
+    def url_of(idc):
+        return F.concat(
+            F.lit("https://ex"),
+            (idc % 5).cast("string"),
+            F.lit(".com/p/"),
+            idc.cast("string"),
+        )
+
+    m = F.col("doc_id") % 10
+    canonical = (
+        F.when(m.isin(1, 2, 3), url_of(F.col("doc_id") - 1))
+        .when(m == 4, url)
+        .when(m == 6, url_of(F.col("doc_id") + 1))
+        .when(m == 7, url_of(F.col("doc_id") - 1))
+        .when(m == 8, F.lit("https://external.example/x"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        url.alias("url"), canonical.alias("canonical")
+    )
+
+
+def q_canonical_chains(spark, sf_dir):
+    """rel=canonical chain resolution: pointer-jumped directed fixpoint
+    (chains fold onto their terminal url; cycles and over-depth chains
+    come back flagged unresolved)."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import resolve_canonical_chains
+
+    return resolve_canonical_chains(_canonical_edges(spark, sf_dir), max_hops=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -2482,6 +2526,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Unicode script composition — row-local regexp_count algebra,
         # the multilingual routing signal upstream of tier-1 langid
         "script_profile": q_script_profile,
+        # rel=canonical chain resolution — directed pointer-jump
+        # fixpoint, the functional-graph sibling of tier-1 dedup_groups'
+        # CC machinery (f^(2^r) exactly, cycles flagged)
+        "canonical_chains": q_canonical_chains,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -2754,6 +2802,56 @@ def _script_profile_sql() -> str:
                CASE WHEN ({total}) > 0 THEN {dominant} ELSE 'none' END AS dominant,
                CAST(floor({best} * 10000.0 / greatest({total}, 1)) AS BIGINT) AS dominant_bp
         FROM c
+    """
+
+
+def _canonical_chains_sql(max_hops: int = 16) -> str:
+    """Twin of q_canonical_chains: Spark's r rounds of pointer jumping
+    compute exactly f^(2^r) (function squaring), so the oracle walks f
+    single-step 2^r times in a depth-bounded recursive CTE."""
+    import math
+
+    rounds = max(1, math.ceil(math.log2(max(2, int(max_hops)))))
+    depth = 2 ** rounds
+
+    def url_of(expr):
+        return (
+            f"'https://ex' || CAST(({expr}) % 5 AS VARCHAR) "
+            f"|| '.com/p/' || CAST({expr} AS VARCHAR)"
+        )
+
+    return f"""
+        WITH RECURSIVE eu AS (
+            SELECT {url_of('doc_id')} AS url,
+                   CASE WHEN doc_id % 10 IN (1, 2, 3) THEN {url_of('doc_id - 1')}
+                        WHEN doc_id % 10 = 4 THEN {url_of('doc_id')}
+                        WHEN doc_id % 10 = 6 THEN {url_of('doc_id + 1')}
+                        WHEN doc_id % 10 = 7 THEN {url_of('doc_id - 1')}
+                        WHEN doc_id % 10 = 8 THEN 'https://external.example/x'
+                        ELSE NULL END AS canonical
+            FROM documents
+        ),
+        e AS (
+            SELECT url,
+                   CASE WHEN canonical IS NULL OR canonical = '' OR canonical = url
+                        THEN url ELSE canonical END AS label
+            FROM eu
+        ),
+        walk(url, label, step) AS (
+            -- step s holds f^s(url): the seed row is f^1 (e.label is
+            -- already one application), so the fixpoint row is step =
+            -- {depth} = 2^rounds, matching Spark's pointer jumping
+            -- exactly (parity matters: a 2-cycle rotates per step)
+            SELECT url, label, 1 FROM e
+            UNION ALL
+            SELECT w.url, coalesce(e2.label, w.label), w.step + 1
+            FROM walk w LEFT JOIN e e2 ON e2.url = w.label
+            WHERE w.step < {depth}
+        ),
+        fin AS (SELECT url, label FROM walk WHERE step = {depth})
+        SELECT f.url, f.label AS canonical_root,
+               (p.label IS NULL OR p.label = f.label) AS resolved
+        FROM fin f LEFT JOIN e p ON p.url = f.label
     """
 
 
@@ -4052,6 +4150,8 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         "script_profile": _script_profile_sql(),
+
+        "canonical_chains": _canonical_chains_sql(max_hops=16),
 
         "host_communities": r"""
             WITH RECURSIVE links AS (

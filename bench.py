@@ -142,6 +142,7 @@ HEADLINE = [
     "pack_batches",
     "skew_report",
     "script_profile",
+    "canonical_chains",
 ]
 
 

@@ -254,6 +254,25 @@ def build_parser() -> argparse.ArgumentParser:
                           "(urlkey-sorted text shards) at this directory — "
                           "the range-read layer over per-record-gzip WARCs")
 
+    sk = sub.add_parser(
+        "skew",
+        help="shuffle-key skew diagnostic: per-key row/byte corpus "
+             "shares in basis points + hot-key flags (measure before "
+             "you pick a shuffle key or decide to salt)",
+    )
+    sk.add_argument("--input", required=True, help="parquet path")
+    sk.add_argument("--key", default="url", help="key column to profile")
+    sk.add_argument("--host-of", default="",
+                    help="profile the HOST extracted from this url column "
+                         "(curation-tier host grammar) instead of --key")
+    sk.add_argument("--text-col", default="text",
+                    help="byte-mass column; '' weighs rows only")
+    sk.add_argument("--top", type=int, default=20)
+    sk.add_argument("--hot-bp", type=int, default=500,
+                    help="hot-key threshold in basis points of row mass")
+    sk.add_argument("--output", default="",
+                    help="write the report parquet here (default: print)")
+
     st = sub.add_parser("stats", help="per-bin metrics; optionally derive settings")
     st.add_argument("--input", required=True, help="pages parquet path")
     st.add_argument("--make-settings", default="",
@@ -702,6 +721,33 @@ def main(argv=None) -> int:
                 lines.write.mode("overwrite").text(args.cdx_out)
                 n_idx = spark.read.text(args.cdx_out).count()
                 print(f"cdx: {n_idx} index records at {args.cdx_out}")
+        elif args.command == "skew":
+            from .ops.cleaning import skew_report
+
+            df = spark.read.parquet(args.input)
+            if args.host_of:
+                from pyspark.sql import functions as F
+
+                from .ops.filters import host_col
+
+                df = df.withColumn("_skew_key", host_col(F.col(args.host_of)))
+                key = "_skew_key"
+            else:
+                key = args.key
+            rep = skew_report(
+                df, key_col=key, text_col=args.text_col or None,
+                top=args.top, hot_share_bp=args.hot_bp,
+            )
+            if args.output:
+                rep.write.mode("overwrite").parquet(args.output)
+                print(f"skew report: top {args.top} keys -> {args.output}")
+            else:
+                for r in rep.collect():
+                    flag = " HOT" if r["hot"] else ""
+                    print(
+                        f"{r['key']}\trows={r['n_rows']}\tbytes={r['n_bytes']}\t"
+                        f"row_bp={r['row_share_bp']}\tbyte_bp={r['byte_share_bp']}{flag}"
+                    )
         elif args.command == "stats":
             import json as _json
 

@@ -330,3 +330,81 @@ def host_communities(hedges: DataFrame, min_links: int = 1) -> DataFrame:
     return out.select(
         F.col("doc_id").alias("host"), F.col("component").alias("community")
     )
+
+
+def resolve_canonical_chains(
+    edges: DataFrame,
+    max_hops: int = 16,
+    url_col: str = "url",
+    canonical_col: str = "canonical",
+) -> DataFrame:
+    """Resolve ``rel=canonical`` POINTER CHAINS to their terminal url —
+    the consolidation step that folds print views, tracking-parameter
+    mirrors and A/B variants onto the url the publisher declared
+    canonical. A crawl dedups by the RESOLVED canonical, not the
+    declared one: chains (a -> b -> c) are common when a site migrates
+    twice, and naive one-hop resolution leaves b-variants split from c.
+
+    Directed functional-graph fixpoint by POINTER JUMPING: each round
+    replaces every label with its label's label (missing target or
+    self-pointer = terminal, keeps the label), so ``r`` rounds resolve
+    chains up to ``2^r`` hops — O(log chain-length) rounds, each one
+    keyed join, with an eager ``localCheckpoint`` per round cutting the
+    lineage exactly like :func:`~.dedup.connected_components`. Chains
+    longer than ``max_hops`` and CYCLES (a <-> b happens in the wild —
+    publisher misconfiguration) cannot stabilize: those rows come back
+    ``resolved = false`` with the depth-``max_hops`` pointer as-is —
+    deterministic (a fixed function of the input, no convergence race),
+    loud in the output, and the caller's policy choice (treat as
+    self-canonical, or drop). NULL / empty / self declarations are
+    terminals: ``canonical_root = url``, trivially resolved.
+
+    Output: ``(url, canonical_root, resolved)``, one row per input row.
+    Scale shape: the jump table starts as (url, target) pairs — edges
+    only, never a dense vertex closure — and every round is one
+    equi-join on the pointer key; at 10^12 urls the join keys are
+    url-hash-partitioned like every other shuffle in this package.
+    """
+    import math
+
+    rounds = max(1, math.ceil(math.log2(max(2, int(max_hops)))))
+    # normalize: declared target, with null/empty/self => terminal
+    tgt = F.col(canonical_col)
+    base = ensure_parallelism(edges).select(
+        F.col(url_col).alias("url"),
+        F.when(
+            tgt.isNull() | (tgt == "") | (tgt == F.col(url_col)), F.col(url_col)
+        )
+        .otherwise(tgt)
+        .alias("label"),
+    )
+    # the jump map starts as the declared pointers of KNOWN urls only;
+    # a label pointing outside the crawl is a terminal by definition
+    labels = base.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        jump = labels.select(
+            F.col("url").alias("_ju"), F.col("label").alias("_jl")
+        )
+        labels = (
+            labels.join(jump, on=labels.label == jump._ju, how="left")
+            .select(
+                "url",
+                F.coalesce(F.col("_jl"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # resolved iff one more hop is a no-op (terminal or out-of-crawl)
+    probe = base.select(
+        F.col("url").alias("_pu"), F.col("label").alias("_pl")
+    )
+    out = (
+        labels.join(probe, on=labels.label == probe._pu, how="left")
+        .select(
+            "url",
+            F.col("label").alias("canonical_root"),
+            (
+                F.col("_pl").isNull() | (F.col("_pl") == F.col("label"))
+            ).alias("resolved"),
+        )
+    )
+    return out

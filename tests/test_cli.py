@@ -526,3 +526,29 @@ def test_cli_curate_classifier_gate(tmp_path, spark):
         if (q if s >= 0 else -q) >= 0:
             want.add(i)
     assert got == want and 0 < len(want) < 12
+
+
+@pytest.mark.slow
+def test_cli_skew_report(tmp_path, spark):
+    inp = str(tmp_path / "pages")
+    rows = [("https://hot.example/p/%d" % i, "x" * 50) for i in range(8)] + [
+        ("https://c%d.example/p" % i, "y" * 10) for i in range(4)
+    ]
+    spark.createDataFrame(rows, ["url", "text"]).write.parquet(inp)
+
+    r = run_cli("skew", "--input", inp, "--host-of", "url", "--hot-bp", "5000")
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if "\trows=" in l]
+    assert lines, r.stdout
+    hot = [l for l in lines if l.startswith("hot.example\t")]
+    assert hot and hot[0].endswith(" HOT")  # 8/12 rows > 50% threshold
+    assert "rows=8" in hot[0]
+
+    out = str(tmp_path / "rep")
+    r = run_cli("skew", "--input", inp, "--key", "url", "--output", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = spark.read.parquet(out)
+    assert rep.count() == 12  # every url key distinct, top default 20
+    assert set(rep.columns) == {
+        "key", "n_rows", "n_bytes", "row_share_bp", "byte_share_bp", "hot"
+    }

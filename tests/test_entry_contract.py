@@ -237,6 +237,9 @@ def test_oracled_queries_precede_rows_only():
         # Unicode script composition — row-local regexp_count algebra,
         # the expression family tier-1 langid/quality hash-verify
         "script_profile",
+        # rel=canonical chain resolution — the directed pointer-jump
+        # sibling of tier-1 dedup_groups' CC machinery
+        "canonical_chains",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

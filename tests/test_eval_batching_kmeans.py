@@ -241,3 +241,58 @@ class TestScriptProfile:
         df = spark.createDataFrame([Row(doc_id=1, text="abc")])
         plan = script_profile(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestResolveCanonicalChains:
+    def _resolve(self, spark, pairs, **kw):
+        from correctocr_spark.ops.graph import resolve_canonical_chains
+
+        df = spark.createDataFrame(
+            [Row(url=u, canonical=c) for u, c in pairs],
+            "url string, canonical string",
+        )
+        return {
+            r["url"]: (r["canonical_root"], r["resolved"])
+            for r in resolve_canonical_chains(df, **kw).collect()
+        }
+
+    def test_chain_resolves_to_terminal(self, spark):
+        out = self._resolve(
+            spark, [("a", "b"), ("b", "c"), ("c", None), ("d", "d")]
+        )
+        assert out["a"] == ("c", True)
+        assert out["b"] == ("c", True)
+        assert out["c"] == ("c", True)
+        assert out["d"] == ("d", True)  # self-declaration is terminal
+
+    def test_out_of_crawl_target_is_terminal(self, spark):
+        out = self._resolve(spark, [("a", "https://elsewhere/x")])
+        assert out["a"] == ("https://elsewhere/x", True)
+
+    def test_two_cycle_flagged_unresolved(self, spark):
+        out = self._resolve(spark, [("a", "b"), ("b", "a"), ("x", "a")])
+        assert out["a"][1] is False and out["b"][1] is False
+        assert out["x"][1] is False  # chain INTO a cycle can't resolve
+
+    def test_depth_bound_and_widening(self, spark):
+        # 20-hop chain: n0 -> n1 -> ... -> n20 (terminal)
+        pairs = [(f"n{i}", f"n{i+1}") for i in range(20)] + [("n20", None)]
+        shallow = self._resolve(spark, pairs, max_hops=16)
+        assert shallow["n0"][1] is False  # 20 hops > 16
+        assert shallow["n10"] == ("n20", True)  # 10 hops fits
+        deep = self._resolve(spark, pairs, max_hops=32)
+        assert deep["n0"] == ("n20", True)
+
+    def test_deterministic_under_repartition(self, spark):
+        from correctocr_spark.ops.graph import resolve_canonical_chains
+
+        pairs = [("a", "b"), ("b", "a"), ("c", "a"), ("d", None)]
+        df = spark.createDataFrame(
+            [Row(url=u, canonical=c) for u, c in pairs],
+            "url string, canonical string",
+        )
+        one = sorted(map(tuple, resolve_canonical_chains(df).collect()))
+        two = sorted(
+            map(tuple, resolve_canonical_chains(df.repartition(5)).collect())
+        )
+        assert one == two

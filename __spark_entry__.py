@@ -2245,6 +2245,29 @@ def q_canonical_chains(spark, sf_dir):
     return resolve_canonical_chains(_canonical_edges(spark, sf_dir), max_hops=16)
 
 
+def q_extraction_eval(spark, sf_dir):
+    """Extraction-quality eval (token P/R/F1 in basis points) over
+    synthetic gold/extracted pairs: extra boilerplate appended (6),
+    first word dropped (7), total miss (8), exact otherwise."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import extraction_token_prf
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 10
+    extracted = (
+        F.when(m == 6, F.concat(F.col("text"), F.lit(" footer boilerplate menu navigation")))
+        .when(m == 7, F.regexp_replace(F.col("text"), r"^\S+\s+", ""))
+        .when(m == 8, F.lit(""))
+        .otherwise(F.col("text"))
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.col("text").alias("expected"),
+        extracted.alias("extracted"),
+    )
+    return extraction_token_prf(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -2530,6 +2553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixpoint, the functional-graph sibling of tier-1 dedup_groups'
         # CC machinery (f^(2^r) exactly, cycles flagged)
         "canonical_chains": q_canonical_chains,
+        # extraction-quality eval — token-multiset P/R/F1, the (doc,
+        # word)-keyed count/join family of tier-1 word_freq/join_agg
+        "extraction_eval": q_extraction_eval,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -2802,6 +2828,64 @@ def _script_profile_sql() -> str:
                CASE WHEN ({total}) > 0 THEN {dominant} ELSE 'none' END AS dominant,
                CAST(floor({best} * 10000.0 / greatest({total}, 1)) AS BIGINT) AS dominant_bp
         FROM c
+    """
+
+
+def _extraction_eval_sql() -> str:
+    """Twin of q_extraction_eval: same synthetic pairs, token multiset
+    overlap via full-outer (doc, word) counts, floored basis points."""
+    def words(col):
+        return (
+            f"list_filter(regexp_split_to_array(trim({col}), '\\s+'), w -> w <> '')"
+        )
+
+    return f"""
+        WITH pairs AS (
+            SELECT doc_id, text AS expected,
+                   CASE WHEN doc_id % 10 = 6 THEN text || ' footer boilerplate menu navigation'
+                        WHEN doc_id % 10 = 7 THEN regexp_replace(text, '^\\S+\\s+', '')
+                        WHEN doc_id % 10 = 8 THEN ''
+                        ELSE text END AS extracted
+            FROM documents
+        ),
+        p2 AS (
+            SELECT doc_id, coalesce(expected, '') AS e, coalesce(extracted, '') AS x
+            FROM pairs
+        ),
+        ec AS (
+            SELECT doc_id, w AS word, count(*) AS n_e
+            FROM (SELECT doc_id, unnest({words('e')}) AS w FROM p2)
+            GROUP BY 1, 2
+        ),
+        xc AS (
+            SELECT doc_id, w AS word, count(*) AS n_x
+            FROM (SELECT doc_id, unnest({words('x')}) AS w FROM p2)
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT coalesce(ec.doc_id, xc.doc_id) AS doc_id,
+                   coalesce(n_e, 0) AS n_e, coalesce(n_x, 0) AS n_x
+            FROM ec FULL OUTER JOIN xc
+              ON ec.doc_id = xc.doc_id AND ec.word = xc.word
+        ),
+        pd AS (
+            SELECT doc_id, sum(n_e)::BIGINT AS n_expected,
+                   sum(n_x)::BIGINT AS n_extracted,
+                   sum(least(n_e, n_x))::BIGINT AS n_inter
+            FROM j GROUP BY 1
+        )
+        SELECT p2.doc_id,
+               coalesce(n_expected, 0)::BIGINT AS n_expected,
+               coalesce(n_extracted, 0)::BIGINT AS n_extracted,
+               coalesce(n_inter, 0)::BIGINT AS n_inter,
+               CAST(floor(coalesce(n_inter, 0) * 10000.0
+                          / greatest(coalesce(n_extracted, 0), 1)) AS BIGINT) AS precision_bp,
+               CAST(floor(coalesce(n_inter, 0) * 10000.0
+                          / greatest(coalesce(n_expected, 0), 1)) AS BIGINT) AS recall_bp,
+               CAST(floor(2 * coalesce(n_inter, 0) * 10000.0
+                          / greatest(coalesce(n_expected, 0) + coalesce(n_extracted, 0), 1)) AS BIGINT) AS f1_bp,
+               (e = x) AS exact
+        FROM p2 LEFT JOIN pd USING (doc_id)
     """
 
 
@@ -4152,6 +4236,8 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_profile_sql(),
 
         "canonical_chains": _canonical_chains_sql(max_hops=16),
+
+        "extraction_eval": _extraction_eval_sql(),
 
         "host_communities": r"""
             WITH RECURSIVE links AS (

@@ -143,6 +143,7 @@ HEADLINE = [
     "skew_report",
     "script_profile",
     "canonical_chains",
+    "extraction_eval",
 ]
 
 

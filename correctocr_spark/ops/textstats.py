@@ -645,3 +645,101 @@ def script_profile(
         .cast("long")
         .alias("dominant_bp"),
     )
+
+
+def extraction_token_prf(
+    docs: DataFrame,
+    expected_col: str = "expected",
+    extracted_col: str = "extracted",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Extraction-quality EVAL: token-level precision/recall/F1 of an
+    extracted text column against its expected (gold) column — the
+    harness that turns "the boilerplate stripper looks fine" into a
+    number, and the regression gate a change to the extractor (density
+    vs justext, a new heuristic threshold) must pass. The engine's
+    extractor already has byte-identity differentials on synthetic
+    pages; this op is the GRADED metric for inputs where byte identity
+    is unattainable (real-world html, OCR noise) and for comparing two
+    extractors' outputs at corpus scale.
+
+    Token multiset overlap, all exact integers: per (doc, word) the
+    expected count ``n_e`` and extracted count ``n_x`` full-outer-join,
+    ``inter = sum(least(n_e, n_x))``; ``precision_bp = floor(inter *
+    10^4 / max(n_extracted, 1))``, recall likewise over ``n_expected``,
+    and token-F1 collapses to ``floor(2 * inter * 10^4 / max(n_e + n_x,
+    1))`` — one floored division each, cross-engine stable. ``exact``
+    flags byte-identical rows (the differential-grade subset).
+
+    Scale shape: two explode + map-side-combinable (doc, word) counts,
+    one (doc, word)-keyed full outer join, one per-doc re-aggregation —
+    every shuffle keyed on (doc, word) or doc, no windows, no UDFs.
+    Empty/null sides degrade to 0 counts (precision 0 vs empty
+    extraction, recall 0 vs empty gold), never a division error.
+    """
+    d = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(expected_col), F.lit("")).alias("_e"),
+        F.coalesce(F.col(extracted_col), F.lit("")).alias("_x"),
+    )
+    d = d.persist()
+    d.count()
+
+    def word_counts(col, out):
+        return (
+            d.select("doc_id", F.explode(normalized_words(col)).alias("word"))
+            .groupBy("doc_id", "word")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    e = word_counts("_e", "n_e")
+    x = word_counts("_x", "n_x")
+    joined = e.join(x, on=["doc_id", "word"], how="full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("n_e"), F.lit(0)).alias("n_e"),
+        F.coalesce(F.col("n_x"), F.lit(0)).alias("n_x"),
+    )
+    per_doc = joined.groupBy("doc_id").agg(
+        F.sum("n_e").cast("long").alias("n_expected"),
+        F.sum("n_x").cast("long").alias("n_extracted"),
+        F.sum(F.least(F.col("n_e"), F.col("n_x"))).cast("long").alias("n_inter"),
+    )
+    exact = d.select("doc_id", (F.col("_e") == F.col("_x")).alias("exact"))
+    out = (
+        # documents with NO words on either side vanish from the word
+        # explode — re-anchor on the input so every doc gets a row
+        d.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_expected"), F.lit(0)).cast("long").alias("n_expected"),
+            F.coalesce(F.col("n_extracted"), F.lit(0)).cast("long").alias("n_extracted"),
+            F.coalesce(F.col("n_inter"), F.lit(0)).cast("long").alias("n_inter"),
+        )
+        .select(
+            "doc_id",
+            "n_expected",
+            "n_extracted",
+            "n_inter",
+            F.floor(
+                F.col("n_inter") * 10000.0 / F.greatest(F.col("n_extracted"), F.lit(1))
+            )
+            .cast("long")
+            .alias("precision_bp"),
+            F.floor(
+                F.col("n_inter") * 10000.0 / F.greatest(F.col("n_expected"), F.lit(1))
+            )
+            .cast("long")
+            .alias("recall_bp"),
+            F.floor(
+                2 * F.col("n_inter") * 10000.0
+                / F.greatest(F.col("n_expected") + F.col("n_extracted"), F.lit(1))
+            )
+            .cast("long")
+            .alias("f1_bp"),
+        )
+        .join(exact, on="doc_id")
+    )
+    from .cache import register_intermediates
+
+    return register_intermediates(out, d)

@@ -240,6 +240,9 @@ def test_oracled_queries_precede_rows_only():
         # rel=canonical chain resolution — the directed pointer-jump
         # sibling of tier-1 dedup_groups' CC machinery
         "canonical_chains",
+        # extraction-quality eval — (doc, word)-keyed multiset counts,
+        # the tier-1 word_freq/join_agg plan family
+        "extraction_eval",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

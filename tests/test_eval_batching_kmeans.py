@@ -296,3 +296,37 @@ class TestResolveCanonicalChains:
             map(tuple, resolve_canonical_chains(df.repartition(5)).collect())
         )
         assert one == two
+
+
+class TestExtractionTokenPrf:
+    def _prf(self, spark, pairs):
+        from correctocr_spark.ops.textstats import extraction_token_prf
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, expected=e, extracted=x) for i, (e, x) in enumerate(pairs)],
+            "doc_id long, expected string, extracted string",
+        )
+        return {r["doc_id"]: r.asDict() for r in extraction_token_prf(df).collect()}
+
+    def test_hand_computed(self, spark):
+        out = self._prf(spark, [("a b b c", "a b d")])
+        r = out[0]
+        # expected {a,b,b,c}, extracted {a,b,d}: inter = a + min(2,1) b = 2
+        assert (r["n_expected"], r["n_extracted"], r["n_inter"]) == (4, 3, 2)
+        assert r["precision_bp"] == 6666  # 2/3
+        assert r["recall_bp"] == 5000  # 2/4
+        assert r["f1_bp"] == 5714  # 4/7
+        assert r["exact"] is False
+
+    def test_exact_match(self, spark):
+        r = self._prf(spark, [("x y", "x y")])[0]
+        assert r["exact"] is True
+        assert r["precision_bp"] == r["recall_bp"] == r["f1_bp"] == 10000
+
+    def test_empty_sides_no_div_error(self, spark):
+        out = self._prf(spark, [("", "a b"), ("a b", ""), ("", ""), (None, None)])
+        assert out[0]["recall_bp"] == 0 and out[0]["precision_bp"] == 0
+        assert out[1]["precision_bp"] == 0 and out[1]["n_expected"] == 2
+        assert out[2]["exact"] is True and out[2]["f1_bp"] == 0
+        assert out[3]["exact"] is True  # null == null after coalesce
+        assert len(out) == 4  # every doc re-anchored, even wordless ones

@@ -330,3 +330,63 @@ class TestExtractionTokenPrf:
         assert out[2]["exact"] is True and out[2]["f1_bp"] == 0
         assert out[3]["exact"] is True  # null == null after coalesce
         assert len(out) == 4  # every doc re-anchored, even wordless ones
+
+
+class TestNewOpPlanShapes:
+    def test_kmeans_step_no_window_no_cartesian(self, spark):
+        from correctocr_spark.ops.similarity import kmeans_step_stats
+
+        emb = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(10)]
+        )
+        plan = (
+            kmeans_step_stats(emb, [[0.0, 0.0], [9.0, 1.0]])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan
+        # the argmin never joins a centroid table: one scan, one agg
+        assert "Join" not in plan
+
+    def test_skew_report_totals_broadcast_no_window(self, spark):
+        from correctocr_spark.ops.cleaning import skew_report
+
+        df = spark.createDataFrame([Row(k=f"k{i % 3}", text="x") for i in range(20)])
+        plan = (
+            skew_report(df, key_col="k", text_col="text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan  # totals come from a broadcast, not
+        # a partitionless window over the key table
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan  # top-N never global-sorts
+
+    def test_lsh_recall_no_cartesian(self, spark):
+        from correctocr_spark.ops.dedup import lsh_recall_report
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(f"w{i}_{j}" for j in range(10))) for i in range(6)]
+        )
+        rep = lsh_recall_report(docs, threshold=0.5, num_hashes=8, bands=4)
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+
+    def test_extraction_prf_joins_keyed_no_window(self, spark):
+        from correctocr_spark.ops.textstats import extraction_token_prf
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, expected="a b", extracted="a")],
+            "doc_id long, expected string, extracted string",
+        )
+        plan = (
+            extraction_token_prf(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan

@@ -2268,6 +2268,253 @@ def q_extraction_eval(spark, sf_dir):
     return extraction_token_prf(pairs)
 
 
+def _tmpl_pages(spark, sf_dir):
+    """Synthetic pages for the template/soft-404 queries: host by
+    doc_id%5, two skeleton families (head+div+anchor shell on %7<2,
+    article shell otherwise), an error-shell text on %11==3. Same
+    arithmetic in the DuckDB twin (:data:`_TMPL_PAGES_SQL`)."""
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://ex"),
+        (did % 5).cast("string"),
+        F.lit(".com/p/"),
+        did.cast("string"),
+    )
+    html = F.when(
+        did % 7 < 2,
+        F.concat(
+            F.lit("<html><head><TITLE>t</TITLE></head><body><div><p>x"),
+            did.cast("string"),
+            F.lit("</p></div><a href=q>nav home</a></body></html>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<html><body><article><h1>h</h1><p>y"),
+            did.cast("string"),
+            F.lit("</p></article></body></html>"),
+        )
+    )
+    text = F.when(
+        did % 11 == 3, F.lit("Page Not Found - error 404 page not found")
+    ).otherwise(F.coalesce(F.col("text"), F.lit("")))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"), html.alias("html"), text.alias("text")
+    )
+
+
+_TMPL_PAGES_SQL = """
+SELECT doc_id,
+  'https://ex' || (doc_id % 5)::VARCHAR || '.com/p/' || doc_id::VARCHAR AS url,
+  CASE WHEN doc_id % 7 < 2
+    THEN '<html><head><TITLE>t</TITLE></head><body><div><p>x' || doc_id::VARCHAR
+         || '</p></div><a href=q>nav home</a></body></html>'
+    ELSE '<html><body><article><h1>h</h1><p>y' || doc_id::VARCHAR
+         || '</p></article></body></html>' END AS html,
+  CASE WHEN doc_id % 11 = 3 THEN 'Page Not Found - error 404 page not found'
+       ELSE coalesce(text, '') END AS text
+FROM documents
+"""
+
+
+def q_template_skeletons(spark, sf_dir):
+    """Host-level DOM-template detection over injected two-family
+    pages: skeleton = md5 of the lowercased opening-tag sequence,
+    counted per (host, skeleton), templated at >=3 — the per-template
+    strip-rule / shell-dedup signal of an extraction pipeline."""
+    _ship(spark)
+    from correctocr_spark.ops.filters import template_skeletons
+
+    return template_skeletons(_tmpl_pages(spark, sf_dir))
+
+
+def q_soft404_detect(spark, sf_dir):
+    """Soft-404 detection over injected error shells (%11==3) and
+    anchor-heavy template pages: phrase hits decisive, shortness and
+    anchor share corroborating, score in exact basis points."""
+    _ship(spark)
+    from correctocr_spark.ops.filters import soft404_detect
+
+    return soft404_detect(_tmpl_pages(spark, sf_dir))
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 lexical retrieval: corpus-trained IDF, micro-quantized
+    integer scores, per-query top-10 (WindowGroupLimit) for three
+    keyword queries over the documents table — one with a term that
+    matches nothing (absent-term semantics pinned)."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [
+            (0, "spark"),
+            (0, "join"),
+            (1, "window"),
+            (1, "merge"),
+            (1, "scan"),
+            (2, "customer"),
+            (2, "zzznope"),
+        ],
+        "query_id long, term string",
+    )
+    return bm25_topk(docs, qt, k=10)
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """One BPE merge-step statistic over the corpus: adjacent
+    initial-symbol (character) pair counts weighted by word frequency —
+    the distributed hot loop of tokenizer training; vocabulary-sized
+    working set, alphabet^2-sized shuffle."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import bpe_pair_counts, word_symbol_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(word_symbol_counts(docs)).withColumnsRenamed(
+        {"left": "lhs", "right": "rhs"}
+    )
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """Within-document paragraph scrub over injected paragraph
+    structure (' the ' becomes a break; ids %3==0 repeat their first
+    paragraph at the end): first occurrence kept in order, repeats
+    dropped, row-local at scan speed."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import dedup_paragraphs_in_doc
+
+    did = F.col("doc_id")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    para_text = F.regexp_replace(t, r" the ", "\n\n")
+    with_dup = F.when(
+        did % 3 == 0,
+        F.concat(
+            para_text, F.lit("\n\n"), F.get(F.split(para_text, r"\n\n"), 0)
+        ),
+    ).otherwise(para_text)
+    pdocs = _t(spark, sf_dir, "documents").select(
+        "doc_id", with_dup.alias("text")
+    )
+    return dedup_paragraphs_in_doc(pdocs)
+
+
+def q_postings_audit(spark, sf_dir):
+    """Per-term inverted-index storage audit: delta+varint posting
+    bytes vs the raw 8-byte layout, savings in floored basis points —
+    the capacity-planning measure for the index tier."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import postings_size_audit
+
+    return postings_size_audit(_t(spark, sf_dir, "documents"))
+
+
+#: mojibake probe: e-acute/c-cedilla/right-quote/bare-tail/a-umlaut-ish
+#: signatures plus a degree sign, as the cp1252-mangled byte shapes.
+_MOJI_PROBE = "Caf\u00c3\u00a9 gar\u00c3\u00a7on \u00e2\u20ac\u2122quote\u00e2\u20ac na\u00c3\u00afve \u00c2\u00b0C"
+
+
+def _moji_docs(spark, sf_dir):
+    """Documents with injected mojibake: signature block on %4==1,
+    U+FFFD replacement chars on %4==2, clean otherwise. Identical
+    arithmetic in the DuckDB twins."""
+    did = F.col("doc_id")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    probed = (
+        F.when(did % 4 == 1, F.concat(t, F.lit(" " + _MOJI_PROBE)))
+        .when(did % 4 == 2, F.concat(t, F.lit(" bad\ufffd\ufffdbytes")))
+        .otherwise(t)
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", probed.alias("text")
+    )
+
+
+def q_mojibake_stats(spark, sf_dir):
+    """Wrong-codec detection: cp1252-mojibake signature + U+FFFD counts
+    and the combined rate in floored basis points — the route-back-to-
+    re-decode signal, not a drop gate."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import mojibake_stats
+
+    return mojibake_stats(_moji_docs(spark, sf_dir))
+
+
+def q_fix_mojibake(spark, sf_dir):
+    """Signature-table mojibake repair (longest-first chained literal
+    replaces) over the same injected docs — the cheap scrub when the
+    source bytes are gone."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import fix_mojibake
+
+    return fix_mojibake(_moji_docs(spark, sf_dir))
+
+
+def q_url_features(spark, sf_dir):
+    """Lexical URL features over synthesized urls (depth/params/digits/
+    index-leaf/session-id probes): the zero-fetch frontier-priority and
+    trap-pruning signals."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import url_features
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://ex"),
+        (did % 5).cast("string"),
+        F.lit(".com"),
+        F.when(did % 10 == 0, F.lit("/")).otherwise(
+            F.concat(
+                F.lit("/cat"),
+                (did % 4).cast("string"),
+                F.lit("/item"),
+                did.cast("string"),
+                F.when(did % 10 == 5, F.lit("/index.html")).otherwise(
+                    F.lit(".html")
+                ),
+            )
+        ),
+        F.when(
+            did % 3 == 0,
+            F.when(did % 9 == 0, F.lit("?a=1&sid=abc123&b=2")).otherwise(
+                F.lit("?page=2&sort=asc")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pages = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return url_features(pages)
+
+
+def q_extraction_density(spark, sf_dir):
+    """Extraction-density audit over the injected template pages: text
+    chars per markup char in floored basis points, tag counts, chars
+    per tag — the no-gold extraction monitoring metric."""
+    _ship(spark)
+    from correctocr_spark.ops.filters import extraction_density
+
+    return extraction_density(_tmpl_pages(spark, sf_dir))
+
+
+def q_host_cardinality(spark, sf_dir):
+    """Per-host crawl-coverage report over pages with injected url
+    repeats (ids mod 300) and content aliases (ids mod 150): fetch /
+    distinct-url / distinct-fingerprint counts and dup rates in
+    floored basis points."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import host_cardinality
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://ex"),
+        (did % 5).cast("string"),
+        F.lit(".com/p/"),
+        (did % 300).cast("string"),
+    )
+    text = F.concat(F.lit("content "), (did % 150).cast("string"))
+    pages = _t(spark, sf_dir, "documents").select(
+        url.alias("url"), text.alias("text")
+    )
+    return host_cardinality(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -2556,6 +2803,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction-quality eval — token-multiset P/R/F1, the (doc,
         # word)-keyed count/join family of tier-1 word_freq/join_agg
         "extraction_eval": q_extraction_eval,
+        # DOM-template detection — the skeleton hash is row-local regex
+        # algebra (tier-1 page_metadata's grammar); the (host, skeleton)
+        # count+join is the tier-1 join_agg shape
+        "template_skeletons": q_template_skeletons,
+        # soft-404 detection — row-local integer evidence scoring, the
+        # tier-1 gopher_rules/wordlist_density expression family
+        "soft404_detect": q_soft404_detect,
+        # BM25 retrieval — corpus-model join + integer micro-quantized
+        # scores (tier-1 unigram_lm's move) + the topk_per_group window
+        "bm25_topk": q_bm25_topk,
+        # BPE merge-step pair counts — vocabulary-sized posexplode
+        # count, the tier-1 word_freq/ngram_counts two-phase family
+        "bpe_pair_counts": q_bpe_pair_counts,
+        # within-doc paragraph scrub — row-local array_distinct algebra,
+        # the tier-1 span_removal/dedup_lines family one granularity up
+        "dedup_paragraphs": q_dedup_paragraphs,
+        # posting-list size audit — distinct + per-term lag window +
+        # combinable sum; the window core is tier-1 sessionize's shape
+        "postings_audit": q_postings_audit,
+        # mojibake detection + repair — row-local literal split/replace
+        # algebra, the tier-1 normalize_text/script_profile family
+        "mojibake_stats": q_mojibake_stats,
+        "fix_mojibake": q_fix_mojibake,
+        # lexical URL features — row-local regex algebra over the
+        # tier-1 url_canonical/surt_keys grammar
+        "url_features": q_url_features,
+        # extraction-density audit — row-local length/tag-count algebra
+        # over the tier-1 page_metadata grammar
+        "extraction_density": q_extraction_density,
+        # per-host coverage/dup-rate report — one host-keyed agg with
+        # two-phase distinct counts; tier-1 join_agg/event_type_stats
+        # family
+        "host_cardinality": q_host_cardinality,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -4238,6 +4518,264 @@ def oracle_sql() -> dict[str, str]:
         "canonical_chains": _canonical_chains_sql(max_hops=16),
 
         "extraction_eval": _extraction_eval_sql(),
+
+        "template_skeletons": f"""
+            WITH pages AS ({_TMPL_PAGES_SQL}),
+            base AS (
+              SELECT doc_id,
+                regexp_replace(lower(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
+                    ':\\d+$', '') AS host,
+                md5(array_to_string(list_transform(
+                    regexp_extract_all(coalesce(html, ''),
+                        '<([a-zA-Z][a-zA-Z0-9]*)', 1),
+                    x -> lower(x)), '>')) AS skeleton,
+                len(regexp_extract_all(coalesce(html, ''),
+                    '<([a-zA-Z][a-zA-Z0-9]*)', 1))::BIGINT AS n_tags
+              FROM pages),
+            counts AS (
+              SELECT host, skeleton, count(*)::BIGINT AS n_same
+              FROM base GROUP BY 1, 2)
+            SELECT doc_id, host, skeleton, n_tags, n_same,
+                   n_same >= 3 AS templated
+            FROM base JOIN counts USING (host, skeleton)
+        """,
+
+        "soft404_detect": f"""
+            WITH pages AS ({_TMPL_PAGES_SQL}),
+            b AS (
+              SELECT doc_id,
+                len(regexp_extract_all(lower(coalesce(text, '')),
+                    'page not found|404 not found|error 404|no longer available|page does not exist|page you requested'
+                    ))::BIGINT AS err_phrases,
+                len({_WORDS})::BIGINT AS n_words,
+                coalesce(list_sum(list_transform(
+                    regexp_extract_all(lower(coalesce(html, '')),
+                        '<a[^>]*>([^<]*)</a', 1),
+                    a -> len(list_filter(
+                        regexp_split_to_array(trim(a), '\\s+'),
+                        x -> x <> '')))), 0)::BIGINT AS link_words
+              FROM pages)
+            SELECT doc_id, err_phrases, n_words, link_words,
+              (least(err_phrases, 2) * 5000
+               + (CASE WHEN n_words < 30 THEN 1 ELSE 0 END) * 2500
+               + (CASE WHEN n_words > 0 AND link_words * 2 >= n_words
+                  THEN 1 ELSE 0 END) * 2500)::BIGINT AS soft404_bp,
+              (least(err_phrases, 2) * 5000
+               + (CASE WHEN n_words < 30 THEN 1 ELSE 0 END) * 2500
+               + (CASE WHEN n_words > 0 AND link_words * 2 >= n_words
+                  THEN 1 ELSE 0 END) * 2500) >= 5000 AS is_soft404
+            FROM b
+        """,
+
+        "bm25_topk": f"""
+            WITH qt(query_id, term) AS (VALUES
+                (0, 'spark'), (0, 'join'), (1, 'window'), (1, 'merge'),
+                (1, 'scan'), (2, 'customer'), (2, 'zzznope')),
+            words AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl
+                   FROM words GROUP BY 1),
+            totals AS (SELECT count(*)::BIGINT AS n_docs,
+                              sum(dl)::BIGINT AS total_dl FROM dl),
+            tf AS (SELECT query_id, term, doc_id, count(*)::BIGINT AS tf
+                   FROM words
+                   JOIN (SELECT DISTINCT query_id, term FROM qt) q
+                     ON words.w = q.term
+                   GROUP BY 1, 2, 3),
+            dft AS (SELECT query_id, term, count(*)::BIGINT AS df
+                    FROM tf GROUP BY 1, 2),
+            contrib AS (
+              SELECT tf.query_id, tf.doc_id,
+                round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                      * tf * ((1200/1000.0) + 1.0)
+                      / (tf + (1200/1000.0) * (1.0 - (750/1000.0)
+                         + (750/1000.0) * (dl.dl * n_docs / total_dl)))
+                      * 1000000.0)::BIGINT AS c_micro
+              FROM tf JOIN dft USING (query_id, term)
+                      JOIN dl USING (doc_id) CROSS JOIN totals),
+            scored AS (
+              SELECT query_id, doc_id, count(*)::BIGINT AS n_terms,
+                     sum(c_micro)::BIGINT AS score_micro
+              FROM contrib GROUP BY 1, 2),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_micro DESC, doc_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, doc_id, n_terms, score_micro,
+                   rank::INT AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+
+        "dedup_paragraphs": """
+            WITH pdocs AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                  THEN regexp_replace(coalesce(text, ''), ' the ',
+                           chr(10)||chr(10), 'g') || chr(10)||chr(10) ||
+                       str_split(regexp_replace(coalesce(text, ''),
+                           ' the ', chr(10)||chr(10), 'g'),
+                           chr(10)||chr(10))[1]
+                  ELSE regexp_replace(coalesce(text, ''), ' the ',
+                           chr(10)||chr(10), 'g') END AS text
+              FROM documents),
+            exploded AS (
+              SELECT doc_id, para, i
+              FROM (SELECT doc_id,
+                           str_split(coalesce(text, ''),
+                               chr(10)||chr(10)) AS paras
+                    FROM pdocs),
+                   LATERAL (SELECT unnest(paras) AS para,
+                                   unnest(range(1, len(paras)+1)) AS i)),
+            firsts AS (
+              SELECT doc_id, para, min(i) AS fi
+              FROM exploded GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10)||chr(10) ORDER BY fi) AS text,
+                     count(*)::BIGINT AS n_unique_paras
+              FROM firsts GROUP BY 1),
+            totals AS (
+              SELECT doc_id, count(*)::BIGINT AS n_paras
+              FROM exploded GROUP BY 1)
+            SELECT doc_id, coalesce(text, '') AS text, n_paras,
+                   n_unique_paras
+            FROM agg JOIN totals USING (doc_id)
+        """,
+
+        "postings_audit": f"""
+            WITH postings AS (
+              SELECT DISTINCT w, doc_id
+              FROM (SELECT doc_id, unnest({_WORDS}) AS w FROM documents)),
+            g AS (SELECT w, coalesce(doc_id - lag(doc_id) OVER (
+                      PARTITION BY w ORDER BY doc_id), doc_id) AS stored
+                  FROM postings),
+            v AS (SELECT w,
+                    (CASE WHEN stored < 128 THEN 1
+                          WHEN stored < 16384 THEN 2
+                          WHEN stored < 2097152 THEN 3
+                          WHEN stored < 268435456 THEN 4
+                          ELSE 5 END)::BIGINT AS vb FROM g),
+            per AS (SELECT w, count(*)::BIGINT AS df,
+                           sum(vb)::BIGINT AS delta_bytes
+                    FROM v GROUP BY 1)
+            SELECT w AS term, df, delta_bytes,
+                   (df * 8)::BIGINT AS raw_bytes,
+                   floor((df * 8 - delta_bytes) * 10000.0
+                         / (df * 8))::BIGINT AS savings_bp
+            FROM per
+        """,
+
+        "mojibake_stats": """
+            WITH m AS (SELECT doc_id,
+  CASE WHEN doc_id % 4 = 1 THEN coalesce(text,'') || ' CafÃ© garÃ§on â€™quoteâ€ naÃ¯ve Â°C'
+       WHEN doc_id % 4 = 2 THEN coalesce(text,'') || ' bad��bytes'
+       ELSE coalesce(text,'') END AS text
+FROM documents)
+            SELECT doc_id,
+              ((len(str_split(text, 'â€')) - 1) + (len(str_split(text, 'Ã©')) - 1) + (len(str_split(text, 'Ã¨')) - 1) + (len(str_split(text, 'Ã¤')) - 1) + (len(str_split(text, 'Ã¶')) - 1) + (len(str_split(text, 'Ã¼')) - 1) + (len(str_split(text, 'Ã±')) - 1) + (len(str_split(text, 'Ã§')) - 1) + (len(str_split(text, 'Ã ')) - 1) + (len(str_split(text, 'Â«')) - 1) + (len(str_split(text, 'Â»')) - 1) + (len(str_split(text, 'Â°')) - 1) + (len(str_split(text, 'Â ')) - 1))::BIGINT AS sig_hits,
+              (len(str_split(text, '�')) - 1)::BIGINT AS replacement_chars,
+              length(text)::BIGINT AS n_chars,
+              floor((((len(str_split(text, 'â€')) - 1) + (len(str_split(text, 'Ã©')) - 1) + (len(str_split(text, 'Ã¨')) - 1) + (len(str_split(text, 'Ã¤')) - 1) + (len(str_split(text, 'Ã¶')) - 1) + (len(str_split(text, 'Ã¼')) - 1) + (len(str_split(text, 'Ã±')) - 1) + (len(str_split(text, 'Ã§')) - 1) + (len(str_split(text, 'Ã ')) - 1) + (len(str_split(text, 'Â«')) - 1) + (len(str_split(text, 'Â»')) - 1) + (len(str_split(text, 'Â°')) - 1) + (len(str_split(text, 'Â ')) - 1)) + (len(str_split(text, '�')) - 1)) * 10000.0
+                    / greatest(length(text), 1))::BIGINT AS mojibake_bp
+            FROM m
+        """,
+
+        "fix_mojibake": """
+            WITH m AS (SELECT doc_id,
+  CASE WHEN doc_id % 4 = 1 THEN coalesce(text,'') || ' CafÃ© garÃ§on â€™quoteâ€ naÃ¯ve Â°C'
+       WHEN doc_id % 4 = 2 THEN coalesce(text,'') || ' bad��bytes'
+       ELSE coalesce(text,'') END AS text
+FROM documents)
+            SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(text, 'â€™', '’'), 'â€œ', '“'), 'â€“', '–'), 'â€”', '—'), 'â€¦', '…'), 'â€', '”'), 'Ã©', 'é'), 'Ã¨', 'è'), 'Ã¤', 'ä'), 'Ã¶', 'ö'), 'Ã¼', 'ü'), 'Ã±', 'ñ'), 'Ã§', 'ç'), 'Ã ', 'à'), 'Â«', '«'), 'Â»', '»'), 'Â°', '°'), 'Â ', ' ') AS text FROM m
+        """,
+
+        "url_features": """
+            WITH p AS (SELECT doc_id,
+              'https://ex' || (doc_id % 5)::VARCHAR || '.com' ||
+              CASE WHEN doc_id % 10 = 0 THEN '/'
+                   ELSE '/cat' || (doc_id % 4)::VARCHAR || '/item'
+                        || doc_id::VARCHAR ||
+                        CASE WHEN doc_id % 10 = 5 THEN '/index.html'
+                             ELSE '.html' END END ||
+              CASE WHEN doc_id % 3 = 0 THEN
+                   CASE WHEN doc_id % 9 = 0 THEN '?a=1&sid=abc123&b=2'
+                        ELSE '?page=2&sort=asc' END
+                   ELSE '' END AS url
+            FROM documents),
+            b AS (
+              SELECT doc_id, coalesce(url,'') AS u,
+                regexp_replace(lower(regexp_extract(coalesce(url,''),
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                    ':\d+$', '') AS host,
+                regexp_extract(coalesce(url,''),
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+                regexp_extract(coalesce(url,''), '\?([^#]*)', 1) AS query
+              FROM p)
+            SELECT doc_id, host,
+              length(u)::BIGINT AS url_len,
+              len(list_filter(str_split(path, '/'), s -> s <> ''))::BIGINT AS path_depth,
+              (CASE WHEN query = '' THEN 0 ELSE len(str_split(query, '&')) END)::BIGINT AS n_params,
+              floor((length(path) - length(regexp_replace(path, '[0-9]', '', 'g'))) * 10000.0
+                    / greatest(length(path), 1))::BIGINT AS digit_bp,
+              (path IN ('', '/') OR regexp_matches(path, '/index\.[a-z0-9]+$')) AS is_index,
+              regexp_matches(lower(query), '(^|&)(sessionid|sid|phpsessid|jsessionid)=') AS has_session_id
+            FROM b
+        """,
+
+        "extraction_density": f"""
+            WITH pages AS ({_TMPL_PAGES_SQL})
+            SELECT doc_id,
+              length(coalesce(html, ''))::BIGINT AS html_chars,
+              length(coalesce(text, ''))::BIGINT AS text_chars,
+              len(regexp_extract_all(coalesce(html, ''),
+                  '<([a-zA-Z][a-zA-Z0-9]*)', 1))::BIGINT AS n_tags,
+              floor(length(coalesce(text, '')) * 10000.0
+                    / greatest(length(coalesce(html, '')), 1))::BIGINT
+                  AS text_bp,
+              floor(length(coalesce(text, '')) * 1.0
+                    / greatest(len(regexp_extract_all(coalesce(html, ''),
+                          '<([a-zA-Z][a-zA-Z0-9]*)', 1)), 1))::BIGINT
+                  AS chars_per_tag
+            FROM pages
+        """,
+
+        "host_cardinality": """
+            WITH pages AS (
+              SELECT 'https://ex' || (doc_id % 5)::VARCHAR || '.com/p/'
+                         || (doc_id % 300)::VARCHAR AS url,
+                     'content ' || (doc_id % 150)::VARCHAR AS text
+              FROM documents),
+            b AS (
+              SELECT regexp_replace(lower(regexp_extract(coalesce(url, ''),
+                         '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
+                         ':\\d+$', '') AS host,
+                     url, md5(coalesce(text, '')) AS fp
+              FROM pages),
+            agg AS (
+              SELECT host, count(*)::BIGINT AS n_pages,
+                     count(DISTINCT url)::BIGINT AS n_urls,
+                     count(DISTINCT fp)::BIGINT AS n_fingerprints
+              FROM b GROUP BY 1)
+            SELECT host, n_pages, n_urls, n_fingerprints,
+              floor((n_pages - n_urls) * 10000.0
+                    / greatest(n_pages, 1))::BIGINT AS url_dup_bp,
+              floor((n_pages - n_fingerprints) * 10000.0
+                    / greatest(n_pages, 1))::BIGINT AS content_dup_bp
+            FROM agg
+        """,
+
+        "bpe_pair_counts": f"""
+            WITH words AS (SELECT unnest({_WORDS}) AS w FROM documents),
+            wc AS (SELECT w, count(*)::BIGINT AS cnt FROM words GROUP BY 1),
+            pairs AS (
+              SELECT substr(w, i::INT, 1) AS lhs,
+                     substr(w, i::INT + 1, 1) AS rhs, cnt
+              FROM (SELECT w, cnt,
+                           unnest(range(1, length(w)::BIGINT)) AS i
+                    FROM wc WHERE length(w) >= 2))
+            SELECT lhs, rhs, sum(cnt)::BIGINT AS n
+            FROM pairs GROUP BY 1, 2
+        """,
 
         "host_communities": r"""
             WITH RECURSIVE links AS (

@@ -144,6 +144,17 @@ HEADLINE = [
     "script_profile",
     "canonical_chains",
     "extraction_eval",
+    "template_skeletons",
+    "soft404_detect",
+    "bm25_topk",
+    "bpe_pair_counts",
+    "dedup_paragraphs",
+    "postings_audit",
+    "mojibake_stats",
+    "fix_mojibake",
+    "url_features",
+    "extraction_density",
+    "host_cardinality",
 ]
 
 

@@ -930,3 +930,31 @@ def skew_report(
     from .cache import register_intermediates
 
     return register_intermediates(out, per_key)
+
+
+def dedup_paragraphs_in_doc(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document paragraph scrub: templated pages repeat the same
+    paragraph block several times inside ONE page (cookie banners
+    re-injected per section, product blurbs under every variant, WYSIWYG
+    copy-paste) — repetition that cross-document line dedup
+    (:func:`~correctocr_spark.ops.dedup.dedup_lines`) never sees because
+    it collapses per corpus-wide key, not per page.
+
+    Paragraphs are the ``\\n\\n``-separated blocks; each keeps its FIRST
+    occurrence in original order (Spark's ``array_distinct`` is
+    documented first-occurrence-preserving) and later exact repeats are
+    dropped, then the survivors re-join with ``\\n\\n``. Purely row-local
+    array algebra: one projection at scan speed, no shuffle, no UDF —
+    the 100 TB cost is the scan itself. Returns ``(doc_id, text,
+    n_paras, n_unique_paras)`` with ``text`` scrubbed.
+    """
+    paras = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n\n")
+    uniq = F.array_distinct(paras)
+    return ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(uniq, "\n\n").alias("text"),
+        F.size(paras).cast("long").alias("n_paras"),
+        F.size(uniq).cast("long").alias("n_unique_paras"),
+    )

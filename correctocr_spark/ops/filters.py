@@ -1057,3 +1057,170 @@ def train_val_test_split(
     last = F.lit(names[-1])
     out_col = last if expr is None else expr.otherwise(last)
     return ensure_parallelism(docs).select("*", out_col.alias(split_col))
+
+
+# ---------------------------------------------------------------------------
+# DOM-template detection + soft-404 classification
+# ---------------------------------------------------------------------------
+
+_TAG_NAME_RE = r"<([a-zA-Z][a-zA-Z0-9]*)"
+
+
+def template_skeletons(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    min_pages: int = 3,
+) -> DataFrame:
+    """Host-level DOM-template detection: pages generated from the same
+    CMS template share an opening-tag sequence even when their text
+    differs completely, so hashing that sequence and counting it per
+    host separates hand-written pages from template instances — the
+    signal a boilerplate-extraction stage uses to learn PER-TEMPLATE
+    strip rules instead of per-page heuristics, and a dedup stage uses
+    to avoid minhashing near-identical shells.
+
+    Skeleton = md5 of the lowercased opening-tag-name sequence
+    (closing tags add no information the opening sequence lacks for
+    template identity). Per page: ``(doc_id, host, skeleton, n_tags,
+    n_same, templated)`` where ``n_same`` counts pages on the SAME
+    host with the SAME skeleton and ``templated = n_same >=
+    min_pages``.
+
+    Scale shape: skeleton hashing is row-local regexp column algebra
+    (scan speed, codegen); the only shuffle is the (host, skeleton)
+    count — fully map-side combinable (template cardinality per host
+    is tiny) — joined back on the same key. Both the tag regex and the
+    hash are in the Java∩RE2∩DuckDB subset, so the oracle twin states
+    them verbatim."""
+    html = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    tags = F.transform(
+        F.regexp_extract_all(html, F.lit(_TAG_NAME_RE), 1), F.lower
+    )
+    base = ensure_parallelism(pages).select(
+        F.col(id_col).alias("doc_id"),
+        host_col(url_col).alias("host"),
+        F.md5(F.array_join(tags, ">")).alias("skeleton"),
+        F.size(tags).cast("long").alias("n_tags"),
+    )
+    counts = base.groupBy("host", "skeleton").agg(
+        F.count(F.lit(1)).alias("n_same")
+    )
+    return base.join(counts, ["host", "skeleton"]).select(
+        "doc_id",
+        "host",
+        "skeleton",
+        "n_tags",
+        "n_same",
+        (F.col("n_same") >= F.lit(int(min_pages))).alias("templated"),
+    )
+
+
+#: Error-page phrases, each anchored to lowercased text. Kept to a
+#: Java∩RE2∩DuckDB-safe alternation (no lookaround, no backrefs).
+_SOFT404_PHRASES = (
+    r"page not found|404 not found|error 404|no longer available"
+    r"|page does not exist|page you requested"
+)
+
+
+def soft404_detect(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    html_col: str = "html",
+    min_words: int = 30,
+    score_threshold_bp: int = 5000,
+) -> DataFrame:
+    """Soft-404 detection: pages that return HTTP 200 but are error
+    shells ("page not found") poison both dedup (thousands of
+    near-identical shells per host) and training data (content-free
+    text). A crawl-curation pass flags them by row-local evidence —
+    no fetch replay needed:
+
+    - ``err_phrases``: count of error-phrase hits in the lowercased
+      text (``page not found``, ``error 404``, ...)
+    - ``n_words``: whitespace token count (error shells are short)
+    - ``link_words``: words inside anchor tags in the html — error
+      shells are mostly navigation, so a high anchor share of a short
+      page is corroborating evidence
+    - ``soft404_bp``: evidence score in basis points — phrases are
+      decisive (5000 each, capped), shortness and anchor-share add
+      2500 each; ``is_soft404 = soft404_bp >= score_threshold_bp``
+      (default: any phrase hit, or short+anchor-heavy together).
+
+    All exact-integer arithmetic over row-local counts: one scan, no
+    shuffle, no UDF; every expression is stated verbatim in the DuckDB
+    oracle twin."""
+    text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    html = F.lower(F.coalesce(F.col(html_col).cast("string"), F.lit("")))
+    err_phrases = F.regexp_count(text, F.lit(_SOFT404_PHRASES)).cast("long")
+    n_words = F.size(normalized_words(text_col)).cast("long")
+    anchors = F.regexp_extract_all(html, F.lit(r"<a[^>]*>([^<]*)</a"), 1)
+    link_words = F.aggregate(
+        F.transform(
+            anchors,
+            lambda a: F.size(F.filter(F.split(F.trim(a), r"\s+"), lambda w: w != "")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, n: acc + n,
+    )
+    short = (n_words < F.lit(int(min_words))).cast("long")
+    # anchor share >= half the words, on a page that has any words
+    anchor_heavy = (
+        (n_words > 0) & (link_words * 2 >= n_words)
+    ).cast("long")
+    score = (
+        F.least(err_phrases, F.lit(2)) * F.lit(5000)
+        + short * F.lit(2500)
+        + anchor_heavy * F.lit(2500)
+    ).cast("long")
+    return ensure_parallelism(pages).select(
+        F.col(id_col).alias("doc_id"),
+        err_phrases.alias("err_phrases"),
+        n_words.alias("n_words"),
+        link_words.alias("link_words"),
+        score.alias("soft404_bp"),
+        (score >= F.lit(int(score_threshold_bp))).alias("is_soft404"),
+    )
+
+
+def extraction_density(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    text_col: str = "text",
+) -> DataFrame:
+    """Extraction-density audit — the per-page measure of how much of
+    the markup survived as text: ``text_bp`` (extracted chars per
+    markup char, floored basis points), tag count, and text chars per
+    tag. Low density on a big page = boilerplate-heavy shell (nav
+    farms, link directories); near-10000 density = plain-text-ish page
+    the extractor barely touched. This is the monitoring metric an
+    extraction fleet tracks per crawl segment to catch extractor
+    regressions and template drift WITHOUT gold spans (the graded twin
+    with gold is ``extraction_token_prf``).
+
+    Row-local column algebra (lengths + one tag count), scan speed, no
+    shuffle, no UDF. Returns ``(doc_id, html_chars, text_chars,
+    n_tags, text_bp, chars_per_tag)``."""
+    html = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_tags = F.size(
+        F.regexp_extract_all(html, F.lit(_TAG_NAME_RE), 1)
+    ).cast("long")
+    hlen = F.length(html).cast("long")
+    tlen = F.length(text).cast("long")
+    return ensure_parallelism(pages).select(
+        F.col(id_col).alias("doc_id"),
+        hlen.alias("html_chars"),
+        tlen.alias("text_chars"),
+        n_tags.alias("n_tags"),
+        F.floor(tlen * F.lit(10000.0) / F.greatest(hlen, F.lit(1)))
+        .cast("long")
+        .alias("text_bp"),
+        F.floor(tlen * F.lit(1.0) / F.greatest(n_tags, F.lit(1)))
+        .cast("long")
+        .alias("chars_per_tag"),
+    )

@@ -15,7 +15,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import ensure_parallelism
+from .dedup import ensure_parallelism, normalized_words
 
 
 def _lit_vec(vec: Sequence[float]) -> Column:
@@ -404,3 +404,110 @@ def kmeans_train(
             scale=scale,
         )
     return cents
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 lexical retrieval — the search-serving twin of the
+    ANN paths: score every document against a small set of keyword
+    queries and keep the top-``k`` per query. This is the read side of
+    the inverted index (``spark/sources.py term_index``, ref
+    commands.py index building): a crawl-scale corpus answers "which
+    pages best match these terms" with corpus-trained IDF weights, no
+    embeddings required.
+
+    ``query_terms`` is a ``(query_id, term)`` table (one row per term;
+    duplicate terms in one query are deduplicated — standard bag-of-
+    words query semantics score each distinct term once with its
+    document TF). ``k1``/``b`` arrive as EXACT MILLI-INTEGERS so both
+    engines derive bit-identical doubles (``1200/1000.0``), never a
+    decimal literal that parses differently.
+
+    Determinism (the hash-oracle contract): each (query, term, doc)
+    contribution ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
+    is computed row-local in one fixed expression order and quantized
+    ONCE to integer micro-units (round * 1e6, the unigram-LM trick);
+    the per-(query, doc) aggregation sums integers, so shuffle
+    reduction order cannot move a final ulp. ``dl/avgdl`` is computed
+    as ``(dl * n_docs) / total_dl`` — two exact integers divided once.
+    IDF is the Robertson-Sparck-Jones form ``ln(1 + (N - df + 0.5) /
+    (df + 0.5))``, always positive.
+
+    Scale shape: the query table is broadcast (queries are human-sized;
+    the corpus is not) and the corpus explode is SEMI-filtered by it
+    before any aggregation, so TF work is proportional to matched
+    postings only. Document length needs one full-corpus (doc)-keyed
+    count — map-side combined, and shared with the (N, total_dl)
+    totals via persist so the corpus explodes once. Final top-k is a
+    per-query rank window — Spark compiles the ``rank <= k`` filter to
+    WindowGroupLimit (per-partition partial top-k before the shuffle),
+    so no query ever gathers the whole corpus.
+
+    Returns ``(query_id, doc_id, n_terms, score_micro, rank)`` with
+    rank ties broken by ascending doc_id.
+    """
+    words = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(normalized_words(text_col)).alias("w"),
+    )
+    terms = query_terms.select("query_id", "term").distinct()
+    # one corpus explode feeds BOTH the dl table and the matched
+    # postings; persist + eager count so it computes once.
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist()
+    dl.count()
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    tf = (
+        words.join(F.broadcast(terms), words["w"] == terms["term"])
+        .groupBy("query_id", "term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    tf.count()
+    df_t = tf.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("df"))
+    k1 = F.lit(int(k1_milli)) / F.lit(1000.0)
+    b = F.lit(int(b_milli)) / F.lit(1000.0)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + k1 * (
+        F.lit(1.0) - b + b * (F.col("dl") * F.col("n_docs") / F.col("total_dl"))
+    )
+    contrib = (
+        tf.join(df_t, ["query_id", "term"])
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * F.col("tf") * (k1 + F.lit(1.0)) / denom * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("c_micro"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("c_micro").alias("score_micro"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    from .cache import register_intermediates
+
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "doc_id", "n_terms", "score_micro", "rank")
+    )
+    return register_intermediates(out, dl, tf)

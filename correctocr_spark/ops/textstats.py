@@ -743,3 +743,213 @@ def extraction_token_prf(
     from .cache import register_intermediates
 
     return register_intermediates(out, d)
+
+
+def word_symbol_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct-word frequency table with each word split into its
+    initial BPE symbol sequence (single characters). The working set of
+    BPE training is VOCABULARY-sized, not corpus-sized — a 10^12-doc
+    crawl collapses to its distinct words (Zipf: tens of millions) in
+    one map-side-combined count, and every training round after that
+    touches only this table."""
+    words = ensure_parallelism(docs).select(
+        F.explode(normalized_words(text_col)).alias("w")
+    )
+    return words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).select(
+        "w", "cnt", F.split(F.col("w"), "(?!$)").alias("syms")
+    )
+
+
+def bpe_pair_counts(
+    symbols: DataFrame,
+) -> DataFrame:
+    """One BPE merge-step statistic: counts of ADJACENT symbol pairs
+    across the vocabulary, weighted by word frequency — the argmax of
+    this table is the next merge a byte-pair-encoding tokenizer learns
+    (Sennrich et al. 2016). Input is the ``(w, cnt, syms)`` table from
+    :func:`word_symbol_counts` (or a partially-merged state from
+    :func:`apply_bpe_merge`).
+
+    Scale shape: ``posexplode`` over ``sequence(1, size-1)`` keeps the
+    pair enumeration row-local and codegen'd; the single shuffle is the
+    (left, right)-keyed sum, whose cardinality is (symbol alphabet)^2 —
+    tiny — with map-side partials absorbing the Zipf mass. Returns
+    ``(left, right, n)``.
+    """
+    pairs = symbols.filter(F.size("syms") >= 2).select(
+        "cnt",
+        F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
+        "syms",
+    )
+    return (
+        pairs.select(
+            F.element_at("syms", F.col("i")).alias("left"),
+            F.element_at("syms", F.col("i") + 1).alias("right"),
+            "cnt",
+        )
+        .groupBy("left", "right")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
+
+
+def apply_bpe_merge(symbols: DataFrame, left: str, right: str) -> DataFrame:
+    """Apply one learned merge ``(left, right) -> left||right`` to every
+    word's symbol sequence, leftmost-greedy (the reference BPE
+    behavior: 'aaa' under merge (a,a) becomes [aa, a]). Expressed as a
+    row-local ``aggregate`` fold — no UDF, no shuffle: the accumulator
+    appends each symbol, or replaces its own tail when (tail, symbol)
+    is the merge pair. A just-merged tail is eligible as the LEFT of a
+    following merge, matching the re-scan semantics of the standard
+    implementation."""
+    merged = F.lit(left + right)
+    folded = F.aggregate(
+        "syms",
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return symbols.select("w", "cnt", folded.alias("syms"))
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list:
+    """Learn ``n_merges`` BPE merges over the corpus: the distributed
+    core of tokenizer training. Each round is one
+    :func:`bpe_pair_counts` aggregation over the vocabulary-sized
+    symbol table, one bounded argmax to the driver (count desc, then
+    (left, right) asc — fully deterministic), and one row-local
+    :func:`apply_bpe_merge`. The per-round driver traffic is ONE row;
+    the symbol table is persisted each round and the previous round
+    unpersisted (lineage is cut by the persist, and n_merges is small
+    by construction — a tokenizer has 10^4-10^5 merges trained on a
+    SAMPLE, not 10^12 docs; this function is that sample-side trainer).
+
+    Returns the ordered merge list ``[(left, right, n), ...]``.
+    """
+    state = word_symbol_counts(docs, id_col=id_col, text_col=text_col).persist()
+    state.count()
+    merges = []
+    try:
+        for _ in range(int(n_merges)):
+            top = (
+                bpe_pair_counts(state)
+                .orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            row = top[0]
+            merges.append((row["left"], row["right"], row["n"]))
+            nxt = apply_bpe_merge(state, row["left"], row["right"]).persist()
+            nxt.count()
+            state.unpersist()
+            state = nxt
+    finally:
+        state.unpersist()
+    return merges
+
+
+#: UTF-8-read-as-cp1252 signature pairs: what '\u00e9' becomes when a
+#: UTF-8 byte stream is decoded with the wrong single-byte codec, and
+#: the character each signature repairs to. Ordered LONGEST-FIRST so
+#: the 3-byte punctuation signatures never lose their tail to a 2-byte
+#: rule. A bounded table by design: these cover the high-frequency
+#: Latin-1/Windows-1252 mass of real crawls; full repair belongs to the
+#: ingestion decoder (kernels/extract.py detect_encoding) -- this op is
+#: the SIGNAL + cheap scrub over already-extracted text.
+MOJIBAKE_PAIRS = (
+    ("\u00e2\u20ac\u2122", "\u2019"),  # right single quote
+    ("\u00e2\u20ac\u0153", "\u201c"),  # left double quote
+    ("\u00e2\u20ac\u201c", "\u2013"),  # en dash
+    ("\u00e2\u20ac\u201d", "\u2014"),  # em dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),  # ellipsis
+    ("\u00e2\u20ac", "\u201d"),  # right double quote (bare tail)
+    ("\u00c3\u00a9", "\u00e9"),  # e-acute
+    ("\u00c3\u00a8", "\u00e8"),  # e-grave
+    ("\u00c3\u00a4", "\u00e4"),  # a-umlaut
+    ("\u00c3\u00b6", "\u00f6"),  # o-umlaut
+    ("\u00c3\u00bc", "\u00fc"),  # u-umlaut
+    ("\u00c3\u00b1", "\u00f1"),  # n-tilde
+    ("\u00c3\u00a7", "\u00e7"),  # c-cedilla
+    ("\u00c3\u00a0", "\u00e0"),  # a-grave
+    ("\u00c2\u00ab", "\u00ab"),  # left guillemet
+    ("\u00c2\u00bb", "\u00bb"),  # right guillemet
+    ("\u00c2\u00b0", "\u00b0"),  # degree sign
+    ("\u00c2\u00a0", " "),  # doubled nbsp -> plain space
+)
+
+
+def mojibake_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mojibake detection -- the tell that a page's bytes were decoded
+    with the wrong codec upstream (UTF-8 read as cp1252/latin-1):
+    per-doc counts of the :data:`MOJIBAKE_PAIRS` signatures plus U+FFFD
+    replacement characters, and the combined rate in floored basis
+    points of the character count. Pages over a few bp are re-decode
+    candidates (route back through ``detect_encoding``), not quality
+    failures -- dropping them would bias the corpus against exactly the
+    languages whose characters exceed ASCII.
+
+    Row-local: the signatures are literal (non-regex) counts via the
+    split-length identity ``count(s in t) = size(split(t, s, -1)) - 1``
+    -- codepoint-exact in both engines. The punctuation family is
+    counted ONCE by its shared 2-char lead (every ``a-circumflex +
+    euro`` continuation is one mangled codepoint, known tail or not),
+    so no signature double-counts another. One projection at scan
+    speed, no shuffle, no UDF."""
+    import re as _re
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def _hits(sig: str):
+        return F.size(F.split(t, _re.escape(sig), -1)) - 1
+
+    leads = ["\u00e2\u20ac"] + [
+        sig for sig, _ in MOJIBAKE_PAIRS if not sig.startswith("\u00e2\u20ac")
+    ]
+    sig_hits = None
+    for sig in leads:
+        h = _hits(sig)
+        sig_hits = h if sig_hits is None else sig_hits + h
+    repl = _hits("\ufffd")
+    n_chars = F.length(t)
+    total = sig_hits + repl
+    return ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        sig_hits.cast("long").alias("sig_hits"),
+        repl.cast("long").alias("replacement_chars"),
+        n_chars.cast("long").alias("n_chars"),
+        F.floor(total * F.lit(10000.0) / F.greatest(n_chars, F.lit(1)))
+        .cast("long")
+        .alias("mojibake_bp"),
+    )
+
+
+def fix_mojibake(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repair the :data:`MOJIBAKE_PAIRS` signatures in place (longest
+    signature first, one chained literal ``replace`` per pair -- all
+    row-local, no regex, no UDF). This is the cheap scrub for text
+    whose source bytes are gone; when the bytes ARE available,
+    re-decoding with ``kernels.extract.detect_encoding`` is the correct
+    fix and this op is the detector's companion, not its replacement.
+    Returns ``(doc_id, text)`` with ``text`` repaired."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    for sig, rep in MOJIBAKE_PAIRS:
+        t = F.replace(t, F.lit(sig), F.lit(rep))
+    return ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), t.alias("text")
+    )

@@ -43,7 +43,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dedup import ensure_parallelism
+from .dedup import ensure_parallelism, normalized_words
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
@@ -734,4 +734,185 @@ def zipnum_lookup(
             (F.col("first_urlkey") < hi)
             & (F.col("next_first").isNull() | (F.col("next_first") > lo))
         )
+    )
+
+
+def postings_size_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-term inverted-index storage audit under delta + varint
+    encoding — the capacity-planning measure for the index tier
+    (``spark/sources.py term_index`` is the match-run builder; the
+    ZipNum writer is the sharded layout): a posting list stores its
+    first doc id raw and every later id as a GAP from its predecessor,
+    each value LEB128-varint-coded, so dense terms (stopwords: small
+    gaps) compress far below the naive 8-bytes-per-posting layout while
+    rare terms do not. Knowing which is which — per term, in bytes —
+    is what sizes shards and caches before building a 10^12-doc index.
+
+    Per term: ``df`` (postings), ``delta_bytes`` (varint-coded
+    first-raw+gaps), ``raw_bytes`` (``df * 8``), and ``savings_bp`` —
+    floored basis points saved vs raw. All exact integers: the varint
+    width is a CASE chain over 7-bit thresholds, never a float log.
+
+    Scale shape: one distinct on (term, doc) with map-side partials,
+    then a per-term ``lag`` window — the sort-by-doc-id inside each
+    term IS the index build's inherent order requirement, not overhead;
+    Zipf-hot terms are exactly the skew AQE splits, and the production
+    write path shards hot postings into blocks (the ZipNum layout)
+    where each block window is bounded. The final per-term sum is a
+    combinable groupBy.
+    """
+    postings = (
+        ensure_parallelism(docs)
+        .select(
+            F.explode(normalized_words(text_col)).alias("w"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("w").orderBy("doc_id")
+    stored = F.coalesce(
+        F.col("doc_id") - F.lag("doc_id").over(w), F.col("doc_id")
+    )
+    vbytes = (
+        F.when(stored < F.lit(128), 1)
+        .when(stored < F.lit(16384), 2)
+        .when(stored < F.lit(2097152), 3)
+        .when(stored < F.lit(268435456), 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    per_term = (
+        postings.select("w", vbytes.alias("vb"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("vb").alias("delta_bytes"),
+        )
+    )
+    return per_term.select(
+        F.col("w").alias("term"),
+        "df",
+        "delta_bytes",
+        (F.col("df") * F.lit(8)).cast("long").alias("raw_bytes"),
+        F.floor(
+            (F.col("df") * F.lit(8) - F.col("delta_bytes"))
+            * F.lit(10000.0)
+            / (F.col("df") * F.lit(8))
+        )
+        .cast("long")
+        .alias("savings_bp"),
+    )
+
+
+def url_features(
+    pages: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """Lexical URL features — the zero-fetch signals a crawl frontier
+    ranks candidates by and a quality gate cheaply prunes on: deep
+    paths and parameter-heavy, digit-heavy or session-id URLs are
+    crawler-trap and low-value-page tells, while root/index pages are
+    hub candidates (McBryan-era heuristics, still the first stage of
+    every production frontier). Complements
+    :func:`~correctocr_spark.ops.cleaning.canonicalize_urls` (which
+    rewrites) and :func:`frontier_schedule` (which this can feed as a
+    priority input).
+
+    Per url: ``host``, ``url_len``, ``path_depth`` (non-empty
+    segments), ``n_params``, ``digit_bp`` (digit share of the path in
+    floored basis points), ``is_index`` (root or ``/index.*`` leaf),
+    ``has_session_id`` (sessionid/sid/phpsessid/jsessionid in the
+    query). All row-local regex/array algebra in the
+    Java∩RE2∩DuckDB subset: one projection at scan speed, no
+    shuffle, no UDF."""
+    u = F.coalesce(F.col(url_col), F.lit(""))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, _HOSTPORT_RE, 1)), r":\d+$", ""
+    )
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    n_digits = F.length(path) - F.length(F.regexp_replace(path, r"[0-9]", ""))
+    digit_bp = F.floor(
+        n_digits * F.lit(10000.0) / F.greatest(F.length(path), F.lit(1))
+    )
+    is_index = (path.isin("", "/")) | path.rlike(r"/index\.[a-z0-9]+$")
+    has_session = F.lower(query).rlike(
+        r"(^|&)(sessionid|sid|phpsessid|jsessionid)="
+    )
+    return ensure_parallelism(pages).select(
+        F.col(id_col).alias("doc_id"),
+        host.alias("host"),
+        F.length(u).cast("long").alias("url_len"),
+        depth.cast("long").alias("path_depth"),
+        n_params.cast("long").alias("n_params"),
+        digit_bp.cast("long").alias("digit_bp"),
+        is_index.alias("is_index"),
+        has_session.alias("has_session_id"),
+    )
+
+
+def host_cardinality(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host crawl-coverage report: pages fetched, distinct URLs,
+    distinct content fingerprints, and the derived dup rates — the
+    table a crawl operator reads to find hosts whose URL space aliases
+    one page (session-id explosions: many urls, one fingerprint) or
+    whose pages were re-fetched (repeat urls), before deciding quotas
+    and canonicalization rules. ``url_dup_bp`` = repeated-fetch share;
+    ``content_dup_bp`` = pages whose content repeats an earlier
+    fingerprint ON THE SAME HOST, in floored basis points.
+
+    Scale shape: one (host)-keyed aggregation — ``count`` plus two
+    ``count(DISTINCT ...)`` which Spark plans as expand + two-phase
+    partial aggregates (map-side combine on (host, url) / (host, fp)
+    first), so no host's page list ever gathers on one task. Hosts are
+    Zipf-skewed but the combined keys are not."""
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.coalesce(F.col(url_col), F.lit("")),
+                                 _HOSTPORT_RE, 1)),
+        r":\d+$",
+        "",
+    )
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    base = ensure_parallelism(pages).select(
+        host.alias("host"), F.col(url_col).alias("url"), fp.alias("fp")
+    )
+    agg = base.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("url").alias("n_urls"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+    )
+    return agg.select(
+        "host",
+        "n_pages",
+        "n_urls",
+        "n_fingerprints",
+        F.floor(
+            (F.col("n_pages") - F.col("n_urls"))
+            * F.lit(10000.0)
+            / F.greatest(F.col("n_pages"), F.lit(1))
+        )
+        .cast("long")
+        .alias("url_dup_bp"),
+        F.floor(
+            (F.col("n_pages") - F.col("n_fingerprints"))
+            * F.lit(10000.0)
+            / F.greatest(F.col("n_pages"), F.lit(1))
+        )
+        .cast("long")
+        .alias("content_dup_bp"),
     )

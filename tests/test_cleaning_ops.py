@@ -589,3 +589,96 @@ class TestSplitSentences:
         p = buf.getvalue()
         assert "Exchange" not in p and "Join" not in p
         assert "Generate" in p
+
+
+class TestDedupParagraphsInDoc:
+    def _run(self, spark, texts):
+        from correctocr_spark.ops.cleaning import dedup_paragraphs_in_doc
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+        return {r["doc_id"]: r.asDict() for r in dedup_paragraphs_in_doc(df).collect()}
+
+    def test_first_occurrence_kept_in_order(self, spark):
+        r = self._run(spark, ["A\n\nB\n\nA\n\nC\n\nB"])[0]
+        assert r["text"] == "A\n\nB\n\nC"
+        assert r["n_paras"] == 5 and r["n_unique_paras"] == 3
+
+    def test_no_duplicates_is_identity(self, spark):
+        t = "alpha\n\nbeta\n\ngamma"
+        r = self._run(spark, [t])[0]
+        assert r["text"] == t and r["n_paras"] == r["n_unique_paras"] == 3
+
+    def test_single_newlines_not_breaks(self, spark):
+        # lines within one paragraph are untouched
+        t = "A\nA\n\nA\nA"
+        r = self._run(spark, [t])[0]
+        assert r["text"] == "A\nA" and r["n_paras"] == 2 and r["n_unique_paras"] == 1
+
+    def test_null_text_empty(self, spark):
+        from correctocr_spark.ops.cleaning import dedup_paragraphs_in_doc
+
+        df = spark.createDataFrame(
+            [(0, None)], "doc_id long, text string"
+        )
+        r = dedup_paragraphs_in_doc(df).first()
+        assert r["text"] == "" and r["n_paras"] == 1
+
+
+
+class TestMojibake:
+    """Wrong-codec detection + signature repair (ops/textstats.py)."""
+
+    def _stats(self, spark, texts):
+        from correctocr_spark.ops.textstats import mojibake_stats
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+        return {r["doc_id"]: r.asDict() for r in mojibake_stats(df).collect()}
+
+    def test_clean_ascii_zero(self, spark):
+        r = self._stats(spark, ["perfectly clean text"])[0]
+        assert r["sig_hits"] == 0 and r["replacement_chars"] == 0
+        assert r["mojibake_bp"] == 0
+
+    def test_punctuation_family_counted_once(self, spark):
+        # \u00e2\u20ac\u2122 contains the bare \u00e2\u20ac lead: one hit, not two
+        r = self._stats(spark, ["x \u00e2\u20ac\u2122 y"])[0]
+        assert r["sig_hits"] == 1
+
+    def test_latin_signatures_and_rate(self, spark):
+        t = "Caf\u00c3\u00a9 gar\u00c3\u00a7on"  # 2 sigs, 12 chars after decode? no: raw len
+        r = self._stats(spark, [t])[0]
+        assert r["sig_hits"] == 2
+        assert r["n_chars"] == len(t)
+        assert r["mojibake_bp"] == (2 * 10000) // len(t)
+
+    def test_replacement_chars_counted(self, spark):
+        r = self._stats(spark, ["ab\ufffd\ufffdcd"])[0]
+        assert r["replacement_chars"] == 2 and r["sig_hits"] == 0
+
+    def test_fix_repairs_longest_first(self, spark):
+        from correctocr_spark.ops.textstats import fix_mojibake
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="Caf\u00c3\u00a9 \u00e2\u20ac\u2122 \u00e2\u20ac\u201c \u00e2\u20ac x \u00c2\u00b0C"),
+                Row(doc_id=1, text=None),
+            ]
+        )
+        out = {r["doc_id"]: r["text"] for r in fix_mojibake(df).collect()}
+        assert out[0] == "Caf\u00e9 \u2019 \u2013 \u201d x \u00b0C"
+        assert out[1] == ""
+
+    def test_fix_idempotent_on_clean(self, spark):
+        from correctocr_spark.ops.textstats import fix_mojibake
+        from pyspark.sql import Row
+
+        t = "already clean caf\u00e9 \u2019quoted\u2019"
+        df = spark.createDataFrame([Row(doc_id=0, text=t)])
+        assert fix_mojibake(df).first()["text"] == t

@@ -243,6 +243,36 @@ def test_oracled_queries_precede_rows_only():
         # extraction-quality eval — (doc, word)-keyed multiset counts,
         # the tier-1 word_freq/join_agg plan family
         "extraction_eval",
+        # DOM-template detection — row-local regex skeleton hash
+        # (tier-1 page_metadata grammar) + the join_agg count shape
+        "template_skeletons",
+        # soft-404 detection — row-local integer evidence scoring, the
+        # tier-1 gopher_rules/wordlist_density expression family
+        "soft404_detect",
+        # BM25 retrieval — unigram_lm's micro-quantized model join +
+        # the tier-1 topk_per_group window
+        "bm25_topk",
+        # BPE merge-step pair counts — tier-1 word_freq/ngram_counts'
+        # two-phase count family
+        "bpe_pair_counts",
+        # within-doc paragraph scrub — row-local array algebra, the
+        # tier-1 span_removal/dedup_lines family one granularity up
+        "dedup_paragraphs",
+        # posting-list size audit — tier-1 sessionize's lag-window core
+        # + combinable per-term sum
+        "postings_audit",
+        # mojibake detection/repair — row-local literal split/replace,
+        # the tier-1 normalize_text/script_profile family
+        "mojibake_stats",
+        "fix_mojibake",
+        # lexical URL features — tier-1 url_canonical/surt_keys grammar
+        "url_features",
+        # extraction-density audit — tier-1 page_metadata's row-local
+        # grammar, lengths only
+        "extraction_density",
+        # host coverage/dup-rate report — tier-1 join_agg family with
+        # two-phase distinct counts
+        "host_cardinality",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

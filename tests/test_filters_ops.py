@@ -1100,3 +1100,128 @@ class TestTrainValTestSplit:
         # single-name weighting degenerates to a constant column
         one = train_val_test_split(docs, {"all": 1.0}).collect()
         assert one[0].split == "all"
+
+
+class TestTemplateSkeletons:
+    def _pages(self, spark, rows):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(doc_id=i, url=u, html=h) for i, (u, h) in enumerate(rows)]
+        )
+
+    def test_same_template_counted_per_host(self, spark):
+        from correctocr_spark.ops.filters import template_skeletons
+
+        shell = "<html><body><div><p>%s</p></div></body></html>"
+        rows = (
+            [("https://a.com/%d" % i, shell % i) for i in range(3)]
+            + [("https://b.com/9", shell % 9)]  # same skeleton, other host
+            + [("https://a.com/x", "<html><body><p>x</p></body></html>")]
+        )
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in template_skeletons(self._pages(spark, rows)).collect()
+        }
+        assert [out[i]["n_same"] for i in range(3)] == [3, 3, 3]
+        assert all(out[i]["templated"] for i in range(3))
+        # same skeleton hash on the other host, counted separately
+        assert out[3]["skeleton"] == out[0]["skeleton"]
+        assert out[3]["n_same"] == 1 and not out[3]["templated"]
+        assert out[4]["n_same"] == 1 and not out[4]["templated"]
+
+    def test_skeleton_ignores_text_case_and_attrs(self, spark):
+        from correctocr_spark.ops.filters import template_skeletons
+
+        rows = [
+            ("https://a.com/1", "<HTML><Body class=x><P id=1>hello</P></Body></HTML>"),
+            ("https://a.com/2", "<html><body><p>entirely different words</p></body></html>"),
+        ]
+        out = template_skeletons(self._pages(spark, rows)).collect()
+        assert out[0]["skeleton"] == out[1]["skeleton"]
+        # closing tags are not counted; null html hashes the empty sequence
+        assert out[0]["n_tags"] == 3
+
+    def test_null_html_empty_sequence(self, spark):
+        from correctocr_spark.ops.filters import template_skeletons
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [(0, "https://a.com/", None)],
+            "doc_id long, url string, html string",
+        )
+        r = template_skeletons(df).first()
+        assert r["n_tags"] == 0 and r["n_same"] == 1
+
+
+class TestSoft404Detect:
+    def _detect(self, spark, rows, **kw):
+        from correctocr_spark.ops.filters import soft404_detect
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t, html=h) for i, (t, h) in enumerate(rows)]
+        )
+        return {r["doc_id"]: r.asDict() for r in soft404_detect(df, **kw).collect()}
+
+    def test_phrase_hit_is_decisive(self, spark):
+        long_text = "word " * 100 + "sadly this Page Not Found today"
+        r = self._detect(spark, [(long_text, "<html></html>")])[0]
+        assert r["err_phrases"] == 1 and r["soft404_bp"] >= 5000
+        assert r["is_soft404"] is True
+
+    def test_phrase_cap_at_two(self, spark):
+        t = "error 404 " * 5 + "word " * 100
+        r = self._detect(spark, [(t, "")])[0]
+        assert r["err_phrases"] == 5 and r["soft404_bp"] == 10000
+
+    def test_short_anchor_heavy_page_flagged(self, spark):
+        html = "<a href=x>home page</a><a href=y>back to start now then</a>"
+        r = self._detect(spark, [("home page back to start now then ok", html)])[0]
+        assert r["err_phrases"] == 0
+        assert r["n_words"] == 8 and r["link_words"] == 7
+        # 7 anchor words * 2 >= 8 text words -> anchor-heavy + short
+        assert r["soft404_bp"] == 5000 and r["is_soft404"] is True
+
+    def test_short_alone_not_flagged(self, spark):
+        r = self._detect(spark, [("just a few words here", "")])[0]
+        assert r["soft404_bp"] == 2500 and r["is_soft404"] is False
+
+    def test_long_clean_page_zero(self, spark):
+        r = self._detect(spark, [("word " * 100, "<p>no anchors</p>")])[0]
+        assert r["soft404_bp"] == 0 and r["is_soft404"] is False
+
+    def test_empty_text_never_anchor_heavy(self, spark):
+        # n_words == 0 must not satisfy link_words*2 >= n_words
+        r = self._detect(spark, [("", "<a href=x>nav</a>")])[0]
+        assert r["n_words"] == 0 and r["link_words"] == 1
+        assert r["soft404_bp"] == 2500  # short only
+
+
+class TestExtractionDensity:
+    def test_density_arithmetic(self, spark):
+        from correctocr_spark.ops.filters import extraction_density
+        from pyspark.sql import Row
+
+        # 3 OPENING tags — closing tags add no skeleton information
+        html = "<html><body><p>hello world</p></body></html>"
+        df = spark.createDataFrame([Row(doc_id=0, html=html, text="hello world")])
+        r = extraction_density(df).first()
+        assert r["html_chars"] == len(html) and r["text_chars"] == 11
+        assert r["n_tags"] == 3
+        assert r["text_bp"] == (11 * 10000) // len(html)
+        assert r["chars_per_tag"] == 11 // 3
+
+    def test_empty_html_guarded(self, spark):
+        from correctocr_spark.ops.filters import extraction_density
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [(0, None, "text with no markup")], "doc_id long, html string, text string"
+        )
+        r = extraction_density(df).first()
+        assert r["html_chars"] == 0 and r["n_tags"] == 0
+        # denominators floor at 1: rate against an empty page is the
+        # text length itself scaled, never a division error
+        assert r["text_bp"] == 19 * 10000
+        assert r["chars_per_tag"] == 19

@@ -345,3 +345,95 @@ def test_zipnum_blocks_scan_pruning(spark):
     for line in p.splitlines():
         if "Arguments:" in line and "row_number()" in line:
             assert "_pid" in line, line
+
+
+def test_bm25_topk_plan_window_limit_and_broadcast(spark):
+    """BM25: per-query top-k must compile to WindowGroupLimit (partial
+    top-k before the shuffle, never a full per-query gather) and the
+    human-sized query-term table must broadcast into the postings
+    semi-filter."""
+    p = plan_of(entry_mod.q_bm25_topk(spark, SF))
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_template_skeletons_single_count_exchange(spark):
+    """Template detection: the skeleton hash is row-local scan algebra;
+    the only wide work is the (host, skeleton) count joined back on the
+    same key — partial aggregation must appear (map-side combine)."""
+    p = plan_of(entry_mod.q_template_skeletons(spark, SF))
+    assert "HashAggregate" in p and "partial_count" in p
+    assert "CartesianProduct" not in p
+
+
+def test_soft404_scan_speed(spark):
+    """Soft-404 scoring is one projection over the scan: no KEY shuffle
+    (only ensure_parallelism's round-robin spread), no aggregate, no
+    join, no Python UDF (pure regexp/HOF column algebra)."""
+    p = plan_of(entry_mod.q_soft404_detect(spark, SF))
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n)*?Arguments: (\S+)", p):
+        assert m.group(1).startswith("RoundRobinPartitioning"), m.group(0)
+    assert "SortMergeJoin" not in p and "HashAggregate" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bpe_pair_counts_partial_aggs(spark):
+    """BPE pair counting: both the vocabulary count and the pair count
+    must partial-aggregate before their exchanges — the Zipf mass is
+    absorbed map-side; the pair enumeration is a Generate (posexplode),
+    never a join."""
+    p = plan_of(entry_mod.q_bpe_pair_counts(spark, SF))
+    assert p.count("partial_count") >= 1 and "partial_sum" in p
+    assert "Generate" in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
+def test_dedup_paragraphs_scan_speed(spark):
+    """Within-doc paragraph scrub is one row-local projection: no key
+    shuffle (only the round-robin spread), no aggregate, no join."""
+    p = plan_of(entry_mod.q_dedup_paragraphs(spark, SF))
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n)*?Arguments: (\S+)", p):
+        assert m.group(1).startswith("RoundRobinPartitioning"), m.group(0)
+    assert "SortMergeJoin" not in p and "HashAggregate" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_postings_audit_partial_aggs(spark):
+    """Postings audit: the (term, doc) distinct and the per-term byte
+    sum must both partial-aggregate map-side; the lag window is keyed
+    by term (never partitionless)."""
+    p = plan_of(entry_mod.q_postings_audit(spark, SF))
+    assert "partial_sum" in p or "partial_count" in p
+    assert "Window" in p
+    # a partitionless window would gather the corpus on one task
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_mojibake_and_url_features_scan_speed(spark):
+    """Mojibake stats/repair and URL features are row-local
+    projections: no key shuffle, no aggregate, no join, no UDF."""
+    for q in (
+        entry_mod.q_mojibake_stats,
+        entry_mod.q_fix_mojibake,
+        entry_mod.q_url_features,
+    ):
+        p = plan_of(q(spark, SF))
+        for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n)*?Arguments: (\S+)", p):
+            assert m.group(1).startswith("RoundRobinPartitioning"), m.group(0)
+        assert "SortMergeJoin" not in p and "HashAggregate" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_extraction_density_scan_speed_and_host_cardinality_partials(spark):
+    """extraction_density is a row-local projection; host_cardinality's
+    two distinct counts must plan as Expand + two-phase partial
+    aggregation (never a per-host gather)."""
+    p = plan_of(entry_mod.q_extraction_density(spark, SF))
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n)*?Arguments: (\S+)", p):
+        assert m.group(1).startswith("RoundRobinPartitioning"), m.group(0)
+    assert "HashAggregate" not in p and "SortMergeJoin" not in p
+    p2 = plan_of(entry_mod.q_host_cardinality(spark, SF))
+    assert "Expand" in p2 and "partial" in p2
+    assert "CartesianProduct" not in p2

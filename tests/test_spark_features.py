@@ -423,3 +423,123 @@ class TestQuantizedTopk:
         p = buf.getvalue()
         assert "TakeOrderedAndProject" in p
         assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+class TestBm25TopK:
+    """Okapi BM25 retrieval (ops/similarity.py bm25_topk)."""
+
+    def _run(self, spark, docs_rows, terms, k=10, **kw):
+        from correctocr_spark.ops.similarity import bm25_topk
+        from pyspark.sql import Row
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(docs_rows)]
+        )
+        qt = spark.createDataFrame(terms, "query_id long, term string")
+        return bm25_topk(docs, qt, k=k, **kw).collect()
+
+    def test_tf_and_idf_ordering(self, spark):
+        # doc 0 mentions 'cat' twice, doc 1 once, 'the' is everywhere
+        # (low idf) so doc 2 with only 'the' scores below both
+        rows = ["cat cat the x", "cat the y z", "the the the w"]
+        out = self._run(spark, rows, [(0, "cat"), (0, "the")])
+        ranked = [(r["rank"], r["doc_id"]) for r in sorted(out, key=lambda r: r["rank"])]
+        assert [d for _, d in ranked] == [0, 1, 2]
+        assert [r for r, _ in ranked] == [1, 2, 3]
+
+    def test_duplicate_query_terms_deduplicated(self, spark):
+        rows = ["cat dog", "cat fish"]
+        once = self._run(spark, rows, [(0, "cat")])
+        twice = self._run(spark, rows, [(0, "cat"), (0, "cat")])
+        key = lambda rs: sorted((r["doc_id"], r["score_micro"], r["n_terms"]) for r in rs)
+        assert key(once) == key(twice)
+
+    def test_unmatched_query_absent(self, spark):
+        out = self._run(spark, ["cat dog"], [(5, "zzznope")])
+        assert out == []
+
+    def test_k_limits_per_query(self, spark):
+        rows = [f"cat filler{i}" for i in range(7)]
+        out = self._run(spark, rows, [(0, "cat")], k=3)
+        assert len(out) == 3 and max(r["rank"] for r in out) == 3
+
+    def test_length_normalization(self, spark):
+        # same tf=1, shorter doc wins under b > 0
+        rows = ["cat", "cat " + "pad " * 20]
+        out = self._run(spark, rows, [(0, "cat")])
+        by_rank = sorted(out, key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in by_rank] == [0, 1]
+
+
+class TestBpe:
+    """BPE tokenizer-training ops (ops/textstats.py)."""
+
+    def test_train_classic_example(self, spark):
+        # Sennrich et al.'s running example: low x5, lower x2,
+        # newest x6, widest x3 -> merges (e,s) (es,t) (l,o) (lo,w)
+        from correctocr_spark.ops.textstats import bpe_train
+        from pyspark.sql import Row
+
+        docs = spark.createDataFrame(
+            [
+                Row(
+                    doc_id=0,
+                    text=" ".join(
+                        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+                    ),
+                )
+            ]
+        )
+        assert bpe_train(docs, 4) == [
+            ("e", "s", 9),
+            ("es", "t", 9),
+            ("l", "o", 7),
+            ("lo", "w", 7),
+        ]
+
+    def test_merge_leftmost_greedy(self, spark):
+        from correctocr_spark.ops.textstats import apply_bpe_merge
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(w="aaa", cnt=1, syms=["a", "a", "a"]),
+             Row(w="aaaa", cnt=1, syms=["a", "a", "a", "a"])]
+        )
+        out = {r["w"]: r["syms"] for r in apply_bpe_merge(df, "a", "a").collect()}
+        assert out["aaa"] == ["aa", "a"]
+        assert out["aaaa"] == ["aa", "aa"]
+
+    def test_merged_tail_eligible_as_left(self, spark):
+        # merge (ab, c) after (a, b) must see the merged 'ab' tail
+        from correctocr_spark.ops.textstats import apply_bpe_merge
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame([Row(w="abc", cnt=1, syms=["a", "b", "c"])])
+        step1 = apply_bpe_merge(df, "a", "b")
+        assert step1.first()["syms"] == ["ab", "c"]
+        assert apply_bpe_merge(step1, "ab", "c").first()["syms"] == ["abc"]
+
+    def test_pair_counts_weighted_by_word_freq(self, spark):
+        from correctocr_spark.ops.textstats import (
+            bpe_pair_counts,
+            word_symbol_counts,
+        )
+        from pyspark.sql import Row
+
+        docs = spark.createDataFrame([Row(doc_id=0, text="ab ab ab cd x")])
+        out = {
+            (r["left"], r["right"]): r["n"]
+            for r in bpe_pair_counts(word_symbol_counts(docs)).collect()
+        }
+        # 'ab' counted once as a distinct word with cnt 3
+        assert out == {("a", "b"): 3, ("c", "d"): 1}
+
+    def test_single_char_words_yield_no_pairs(self, spark):
+        from correctocr_spark.ops.textstats import (
+            bpe_pair_counts,
+            word_symbol_counts,
+        )
+        from pyspark.sql import Row
+
+        docs = spark.createDataFrame([Row(doc_id=0, text="a b c")])
+        assert bpe_pair_counts(word_symbol_counts(docs)).count() == 0

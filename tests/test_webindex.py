@@ -598,3 +598,123 @@ class TestZipnumLookup:
             zipnum_lookup(cluster, "a").explain("formatted")
         p = buf.getvalue()
         assert "Window" not in p  # successor via block+1 join, not lead()
+
+
+class TestPostingsSizeAudit:
+    def _audit(self, spark, texts):
+        from correctocr_spark.ops.webindex import postings_size_audit
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+        return {
+            r["term"]: r.asDict() for r in postings_size_audit(df).collect()
+        }
+
+    def test_dense_term_compresses(self, spark):
+        # 'x' in all 5 docs: stored values = [0,1,1,1,1] -> 5 bytes
+        out = self._audit(spark, ["x"] * 5)
+        r = out["x"]
+        assert r["df"] == 5 and r["delta_bytes"] == 5
+        assert r["raw_bytes"] == 40
+        assert r["savings_bp"] == 8750  # floor(35*10000/40)
+
+    def test_multibyte_gap_width(self, spark):
+        from correctocr_spark.ops.webindex import postings_size_audit
+
+        # doc ids 0 and 200: gap 200 needs 2 varint bytes
+        df = spark.createDataFrame(
+            [(0, "y"), (200, "y")], "doc_id long, text string"
+        )
+        r = postings_size_audit(df).first()
+        assert r["df"] == 2 and r["delta_bytes"] == 1 + 2
+
+    def test_duplicate_occurrences_count_once(self, spark):
+        out = self._audit(spark, ["z z z z"])
+        assert out["z"]["df"] == 1 and out["z"]["delta_bytes"] == 1
+
+    def test_first_id_stored_raw(self, spark):
+        from correctocr_spark.ops.webindex import postings_size_audit
+
+        # a single posting at id 16384 costs 3 varint bytes
+        df = spark.createDataFrame([(16384, "q")], "doc_id long, text string")
+        r = postings_size_audit(df).first()
+        assert r["delta_bytes"] == 3 and r["raw_bytes"] == 8
+
+
+
+class TestUrlFeatures:
+    def _feats(self, spark, urls):
+        from correctocr_spark.ops.webindex import url_features
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, url=u) for i, u in enumerate(urls)]
+        )
+        return {r["doc_id"]: r.asDict() for r in url_features(df).collect()}
+
+    def test_depth_params_digits(self, spark):
+        r = self._feats(spark, ["https://Ex.com:8080/a/b12/c.html?x=1&y=2#frag"])[0]
+        assert r["host"] == "ex.com:8080".replace(":8080", "") or r["host"] == "ex.com"
+        assert r["path_depth"] == 3
+        assert r["n_params"] == 2
+        # path '/a/b12/c.html' = 13 chars, 2 digits
+        assert r["digit_bp"] == (2 * 10000) // 13
+        assert r["is_index"] is False and r["has_session_id"] is False
+
+    def test_root_and_index_pages(self, spark):
+        out = self._feats(
+            spark,
+            ["https://a.com/", "https://a.com", "https://a.com/x/index.html"],
+        )
+        assert all(out[i]["is_index"] for i in range(3))
+        assert out[1]["path_depth"] == 0 and out[1]["n_params"] == 0
+
+    def test_session_id_detection(self, spark):
+        out = self._feats(
+            spark,
+            [
+                "https://a.com/p?phpsessid=deadbeef",
+                "https://a.com/p?a=1&jsessionid=x",
+                "https://a.com/p?subside=x",  # 'sid' must not match inside a name
+            ],
+        )
+        assert out[0]["has_session_id"] and out[1]["has_session_id"]
+        assert not out[2]["has_session_id"]
+
+    def test_unparseable_url_degrades(self, spark):
+        r = self._feats(spark, ["not a url"])[0]
+        assert r["host"] == "" and r["path_depth"] == 0
+        assert r["url_len"] == 9
+
+
+class TestHostCardinality:
+    def test_url_and_content_dup_rates(self, spark):
+        from correctocr_spark.ops.webindex import host_cardinality
+        from pyspark.sql import Row
+
+        rows = [
+            ("https://a.com/1", "x"),
+            ("https://a.com/1", "y"),   # repeated url
+            ("https://a.com/2", "x"),   # repeated content
+            ("https://a.com/3", "z"),
+            ("https://b.com/1", "x"),   # other host: independent
+        ]
+        df = spark.createDataFrame([Row(url=u, text=t) for u, t in rows])
+        out = {r["host"]: r.asDict() for r in host_cardinality(df).collect()}
+        a = out["a.com"]
+        assert a["n_pages"] == 4 and a["n_urls"] == 3 and a["n_fingerprints"] == 3
+        assert a["url_dup_bp"] == 2500 and a["content_dup_bp"] == 2500
+        b = out["b.com"]
+        assert b["n_pages"] == 1 and b["url_dup_bp"] == 0
+
+    def test_unparseable_urls_bucket_empty_host(self, spark):
+        from correctocr_spark.ops.webindex import host_cardinality
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(url="junk", text="t"), Row(url=None, text="t")]
+        )
+        out = {r["host"]: r.asDict() for r in host_cardinality(df).collect()}
+        assert out[""]["n_pages"] == 2

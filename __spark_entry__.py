@@ -2515,6 +2515,18 @@ def q_host_cardinality(spark, sf_dir):
     return host_cardinality(pages)
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """Token-cost accounting under a fixed learned merge list (the
+    encode side of BPE training) — iterative merge application is not
+    SQL-expressible: rows-only driver entry; the merge semantics and
+    the classic training example are pinned bitwise in TestBpe."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import bpe_token_counts
+
+    merges = [("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"), ("e", "r")]
+    return bpe_token_counts(_t(spark, sf_dir, "documents"), merges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -2840,6 +2852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
         "compression_ratio": q_compression_ratio,
+        # BPE encode/token-costing — iterative merges, not
+        # SQL-expressible; semantics pinned in TestBpe
+        "bpe_token_counts": q_bpe_token_counts,
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
         "overview_projection": q_overview_projection,

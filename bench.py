@@ -155,6 +155,7 @@ HEADLINE = [
     "url_features",
     "extraction_density",
     "host_cardinality",
+    "bpe_token_counts",
 ]
 
 

@@ -953,3 +953,70 @@ def fix_mojibake(
     return ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), t.alias("text")
     )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_merges: int = 64,
+) -> DataFrame:
+    """Token-cost accounting under a LEARNED tokenizer — the encode
+    side of :func:`bpe_train`: how many BPE tokens each document costs
+    is the number that prices training runs and packs context windows,
+    and it differs from the whitespace count exactly where it matters
+    (rare words explode into many symbols).
+
+    The merge list is applied IN ORDER to the corpus's distinct-word
+    vocabulary only (``word_symbol_counts``: Zipf makes this the small
+    table), then the per-word token counts join back to the corpus
+    explode — encode work is vocabulary-sized, corpus work is one join
+    + one per-doc sum. Each merge is one row-local
+    :func:`apply_bpe_merge` fold; ``max_merges`` caps the chained
+    expression depth this builds in one Catalyst plan (default 64 —
+    enough for tests and prefix audits; a production 10^4-merge
+    tokenizer encodes the vocabulary in a vectorized Arrow UDF instead,
+    which is the documented seam, and this function raises loudly
+    rather than building a 10^4-deep plan).
+
+    Returns ``(doc_id, n_words, n_tokens)`` with every input doc
+    present (empty docs: zeros).
+    """
+    if len(merges) > int(max_merges):
+        raise ValueError(
+            f"bpe_token_counts applies merges as chained column folds; "
+            f"{len(merges)} merges exceeds max_merges={max_merges} — "
+            f"encode the vocabulary with an Arrow UDF for production-"
+            f"sized merge tables"
+        )
+    exploded = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(normalized_words(text_col)).alias("w"),
+    )
+    vocab = exploded.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).select(
+        "w", F.split(F.col("w"), "(?!$)").alias("syms")
+    )
+    for m in merges:
+        left, right = m[0], m[1]
+        vocab = apply_bpe_merge(
+            vocab.select("w", F.lit(0).alias("cnt"), "syms"), left, right
+        ).select("w", "syms")
+    word_cost = vocab.select("w", F.size("syms").cast("long").alias("nt"))
+    per_doc = (
+        exploded.join(word_cost, on="w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )

@@ -543,3 +543,29 @@ class TestBpe:
 
         docs = spark.createDataFrame([Row(doc_id=0, text="a b c")])
         assert bpe_pair_counts(word_symbol_counts(docs)).count() == 0
+
+
+    def test_token_counts_under_learned_merges(self, spark):
+        from correctocr_spark.ops.textstats import bpe_token_counts
+        from pyspark.sql import Row
+
+        merges = [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text="lower newest"), Row(doc_id=1, text=""),
+             Row(doc_id=2, text="low low")]
+        )
+        out = {r["doc_id"]: r.asDict() for r in bpe_token_counts(df, merges).collect()}
+        # lower -> [lo w? no: l o w e r -> (l,o)=lo, (lo,w)=low -> low e r] = 3
+        # newest -> n e w es t -> n e w est = 4
+        assert out[0] == {"doc_id": 0, "n_words": 2, "n_tokens": 7}
+        assert out[1] == {"doc_id": 1, "n_words": 0, "n_tokens": 0}
+        assert out[2] == {"doc_id": 2, "n_words": 2, "n_tokens": 2}
+
+    def test_token_counts_merge_cap_raises(self, spark):
+        from correctocr_spark.ops.textstats import bpe_token_counts
+        from pyspark.sql import Row
+        import pytest as _pytest
+
+        df = spark.createDataFrame([Row(doc_id=0, text="x")])
+        with _pytest.raises(ValueError, match="max_merges"):
+            bpe_token_counts(df, [("a", "b")] * 65)

@@ -4588,8 +4588,8 @@ def oracle_sql() -> dict[str, str]:
                 (0, 'spark'), (0, 'join'), (1, 'window'), (1, 'merge'),
                 (1, 'scan'), (2, 'customer'), (2, 'zzznope')),
             words AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
-            dl AS (SELECT doc_id, count(*)::BIGINT AS dl
-                   FROM words GROUP BY 1),
+            dl AS (SELECT doc_id, len({_WORDS})::BIGINT AS dl
+                   FROM documents),
             totals AS (SELECT count(*)::BIGINT AS n_docs,
                               sum(dl)::BIGINT AS total_dl FROM dl),
             tf AS (SELECT query_id, term, doc_id, count(*)::BIGINT AS tf
@@ -4720,11 +4720,11 @@ FROM documents)
             b AS (
               SELECT doc_id, coalesce(url,'') AS u,
                 regexp_replace(lower(regexp_extract(coalesce(url,''),
-                    '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
-                    ':\d+$', '') AS host,
+                    '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
+                    ':\\d+$', '') AS host,
                 regexp_extract(coalesce(url,''),
-                    '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
-                regexp_extract(coalesce(url,''), '\?([^#]*)', 1) AS query
+                    '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path,
+                regexp_extract(coalesce(url,''), '\\?([^#]*)', 1) AS query
               FROM p)
             SELECT doc_id, host,
               length(u)::BIGINT AS url_len,
@@ -4732,7 +4732,7 @@ FROM documents)
               (CASE WHEN query = '' THEN 0 ELSE len(str_split(query, '&')) END)::BIGINT AS n_params,
               floor((length(path) - length(regexp_replace(path, '[0-9]', '', 'g'))) * 10000.0
                     / greatest(length(path), 1))::BIGINT AS digit_bp,
-              (path IN ('', '/') OR regexp_matches(path, '/index\.[a-z0-9]+$')) AS is_index,
+              (path IN ('', '/') OR regexp_matches(path, '/index\\.[a-z0-9]+$')) AS is_index,
               regexp_matches(lower(query), '(^|&)(sessionid|sid|phpsessid|jsessionid)=') AS has_session_id
             FROM b
         """,
@@ -4813,10 +4813,10 @@ FROM documents)
                 SELECT src_host, dst_host, count(*)::BIGINT AS n_links
                 FROM (
                     SELECT regexp_replace(lower(regexp_extract(src_url,
-                               '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                               '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
                                ':[0-9]+$', '') AS src_host,
                            regexp_replace(lower(regexp_extract(href,
-                               '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                               '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
                                ':[0-9]+$', '') AS dst_host
                     FROM links
                 )
@@ -5020,7 +5020,7 @@ FROM documents)
             h AS (
                 SELECT url, prio,
                        regexp_replace(lower(regexp_extract(url,
-                           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
                            ':[0-9]+$', '') AS host
                 FROM urls
             ),
@@ -5147,10 +5147,10 @@ FROM documents)
             h AS (
                 SELECT src_url,
                        regexp_replace(lower(regexp_extract(src_url,
-                           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
                            ':[0-9]+$', '') AS src_host,
                        regexp_replace(lower(regexp_extract(href,
-                           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
                            ':[0-9]+$', '') AS dst_host
                 FROM links
             )
@@ -5183,10 +5183,10 @@ FROM documents)
                 FROM (
                     SELECT src_url,
                            regexp_replace(lower(regexp_extract(src_url,
-                               '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                               '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
                                ':[0-9]+$', '') AS src_host,
                            regexp_replace(lower(regexp_extract(href,
-                               '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                               '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
                                ':[0-9]+$', '') AS dst_host
                     FROM links
                 )
@@ -5566,11 +5566,11 @@ FROM documents)
             parts AS (
                 SELECT url,
                        lower(regexp_extract(nofrag,
-                           '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                           '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
                        lower(regexp_extract(nofrag,
-                           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS hostport,
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS hostport,
                        lower(regexp_extract(nofrag,
-                           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)', 1)) AS rest
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*(.*)', 1)) AS rest
                 FROM base
             ),
             hp AS (

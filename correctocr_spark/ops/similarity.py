@@ -443,12 +443,21 @@ def bm25_topk(
     Scale shape: the query table is broadcast (queries are human-sized;
     the corpus is not) and the corpus explode is SEMI-filtered by it
     before any aggregation, so TF work is proportional to matched
-    postings only. Document length needs one full-corpus (doc)-keyed
-    count — map-side combined, and shared with the (N, total_dl)
-    totals via persist so the corpus explodes once. Final top-k is a
-    per-query rank window — Spark compiles the ``rank <= k`` filter to
-    WindowGroupLimit (per-partition partial top-k before the shuffle),
-    so no query ever gathers the whole corpus.
+    postings only. Document length is ROW-LOCAL (``size(words)`` at
+    scan speed — never an explode + re-aggregate shuffle; ``N`` counts
+    every document in the collection, wordless ones at dl 0), and the
+    (N, total_dl) totals are one map-side-combined pass over it. The
+    dl projection is persisted (two longs per doc — storage-trivial)
+    and eagerly counted so its two consumers (totals and the
+    contribution join) cost ONE text scan between them, not one each:
+    the probe-measured alternatives are a corpus-wide explode+groupBy
+    shuffle (the v0 shape, 300M exploded rows at 2M docs) or a third
+    full text scan (recompute-per-consumer) — both slower than the
+    one-row-local-pass + cheap materialization this does.
+    Final top-k is a per-query rank window —
+    Spark compiles the ``rank <= k`` filter to WindowGroupLimit
+    (per-partition partial top-k before the shuffle), so no query ever
+    gathers the whole corpus.
 
     Returns ``(query_id, doc_id, n_terms, score_micro, rank)`` with
     rank ties broken by ascending doc_id.
@@ -458,9 +467,14 @@ def bm25_topk(
         F.explode(normalized_words(text_col)).alias("w"),
     )
     terms = query_terms.select("query_id", "term").distinct()
-    # one corpus explode feeds BOTH the dl table and the matched
-    # postings; persist + eager count so it computes once.
-    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist()
+    dl = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.size(normalized_words(text_col)).cast("long").alias("dl"),
+        )
+        .persist()
+    )
     dl.count()
     totals = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")

@@ -2515,6 +2515,45 @@ def q_host_cardinality(spark, sf_dir):
     return host_cardinality(pages)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    log-likelihood-ratio scoring of every document against a target
+    slice (here: ids ≡ 0 mod 7, the deterministic stand-in for the
+    wiki/books reference corpus). Exact-integer micro-nat λ table so
+    the per-doc sum is reduction-order independent and hash-exact."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dsir_weights(docs, docs.filter(F.col("doc_id") % 7 == 0), dims=1024)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_feats",
+        "logweight_micro",
+        "avg_logweight",
+    )
+
+
+def q_dsir_topk(spark, sf_dir):
+    """DSIR's resampling step: Gumbel top-n over the importance weights
+    == sampling n docs without replacement ∝ w(x) (the Gumbel-max
+    trick), deterministic under a fixed seed via 52-bit md5 uniforms
+    (exact in a double on both engines)."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import dsir_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dsir_topk(
+        docs, docs.filter(F.col("doc_id") % 7 == 0), n=50, seed=42, dims=1024
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "logweight_micro",
+        "gumbel_micro",
+        "key_micro",
+    )
+
+
 def q_bpe_token_counts(spark, sf_dir):
     """Token-cost accounting under a fixed learned merge list (the
     encode side of BPE training) — iterative merge application is not
@@ -2848,6 +2887,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two-phase distinct counts; tier-1 join_agg/event_type_stats
         # family
         "host_cardinality": q_host_cardinality,
+        # DSIR importance weights + Gumbel resampling — the λ-table
+        # core is tier-1 unigram_lm's micro-nat quantized broadcast
+        # join; the top-k is ann_brute's TakeOrderedAndProject shape
+        "dsir_weights": q_dsir_weights,
+        "dsir_topk": q_dsir_topk,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -2870,6 +2914,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _WORDS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+#: shared DSIR CTE chain (dims=1024, add-1 smoothing, target = ids ≡ 0
+#: mod 7): hashed unigram+bigram buckets for raw and target, bucket
+#: distributions, and the integer micro-nat λ table — the common prefix
+#: of the dsir_weights and dsir_topk oracles.
+_DSIR_CTES = f"""
+            wsr AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            wst AS (SELECT doc_id, ws FROM wsr WHERE doc_id % 7 = 0),
+            fr AS (
+              SELECT doc_id, unnest(ws || CASE WHEN len(ws) >= 2
+                  THEN list_transform(range(1, len(ws)),
+                                      i -> array_to_string(ws[i:i+1], ' '))
+                  ELSE [] END) AS f
+              FROM wsr),
+            ft AS (
+              SELECT doc_id, unnest(ws || CASE WHEN len(ws) >= 2
+                  THEN list_transform(range(1, len(ws)),
+                                      i -> array_to_string(ws[i:i+1], ' '))
+                  ELSE [] END) AS f
+              FROM wst),
+            br AS (SELECT doc_id,
+                          ('0x' || substr(md5(lower(f)), 1, 15))::BIGINT % 1024
+                              AS b
+                   FROM fr),
+            bt AS (SELECT ('0x' || substr(md5(lower(f)), 1, 15))::BIGINT % 1024
+                              AS b
+                   FROM ft),
+            q AS (SELECT b, count(*)::BIGINT AS qc FROM br GROUP BY 1),
+            p AS (SELECT b, count(*)::BIGINT AS pc FROM bt GROUP BY 1),
+            tot AS (SELECT (SELECT sum(qc) FROM q) AS nq,
+                           (SELECT coalesce(sum(pc), 0) FROM p) AS np),
+            lam AS (
+              SELECT q.b,
+                     CAST(round(ln((coalesce(p.pc, 0) + 1) / (tot.np + 1 * 1024))
+                                * 1000000.0) AS BIGINT)
+                   - CAST(round(ln((q.qc + 1) / (tot.nq + 1 * 1024))
+                                * 1000000.0) AS BIGINT) AS lam_micro
+              FROM q LEFT JOIN p USING (b), tot),
+            per_doc AS (
+              SELECT br.doc_id, count(*)::BIGINT AS n_feats,
+                     sum(lam_micro)::BIGINT AS w
+              FROM br JOIN lam USING (b) GROUP BY 1),
+            wts AS (
+              SELECT d.doc_id, coalesce(pd.n_feats, 0)::BIGINT AS n_feats,
+                     coalesce(pd.w, 0)::BIGINT AS logweight_micro,
+                     pd.n_feats AS _nf, pd.w AS _w
+              FROM documents d LEFT JOIN per_doc pd ON pd.doc_id = d.doc_id)
+"""
 
 
 def _simhash_sql() -> str:
@@ -4777,6 +4869,29 @@ FROM documents)
               floor((n_pages - n_fingerprints) * 10000.0
                     / greatest(n_pages, 1))::BIGINT AS content_dup_bp
             FROM agg
+        """,
+
+        "dsir_weights": f"""
+            WITH {_DSIR_CTES}
+            SELECT doc_id, n_feats, logweight_micro,
+                   CASE WHEN _nf > 0
+                        THEN round(_w / _nf / 1000000.0, 6)
+                   END AS avg_logweight
+            FROM wts
+        """,
+
+        "dsir_topk": f"""
+            WITH {_DSIR_CTES},
+            g AS (
+              SELECT doc_id, logweight_micro,
+                     CAST(round(-ln(-ln(
+                         (('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 13))::BIGINT
+                          + 0.5) / 4503599627370496.0))
+                         * 1000000.0) AS BIGINT) AS gumbel_micro
+              FROM wts)
+            SELECT doc_id, logweight_micro, gumbel_micro,
+                   (logweight_micro + gumbel_micro)::BIGINT AS key_micro
+            FROM g ORDER BY key_micro DESC, doc_id ASC LIMIT 50
         """,
 
         "bpe_pair_counts": f"""

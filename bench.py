@@ -155,6 +155,8 @@ HEADLINE = [
     "url_features",
     "extraction_density",
     "host_cardinality",
+    "dsir_weights",
+    "dsir_topk",
     "bpe_token_counts",
 ]
 

@@ -445,44 +445,38 @@ def bm25_topk(
     before any aggregation, so TF work is proportional to matched
     postings only. Document length is ROW-LOCAL (``size(words)`` at
     scan speed — never an explode + re-aggregate shuffle; ``N`` counts
-    every document in the collection, wordless ones at dl 0), and the
-    (N, total_dl) totals are one map-side-combined pass over it. The
-    dl projection is persisted (two longs per doc — storage-trivial)
-    and eagerly counted so its two consumers (totals and the
-    contribution join) cost ONE text scan between them, not one each:
-    the probe-measured alternatives are a corpus-wide explode+groupBy
-    shuffle (the v0 shape, 300M exploded rows at 2M docs) or a third
-    full text scan (recompute-per-consumer) — both slower than the
-    one-row-local-pass + cheap materialization this does.
-    Final top-k is a per-query rank window —
-    Spark compiles the ``rank <= k`` filter to WindowGroupLimit
-    (per-partition partial top-k before the shuffle), so no query ever
-    gathers the whole corpus.
+    every document in the collection, wordless ones at dl 0) and RIDES
+    THE EXPLODE: each matched posting carries its doc's dl into the TF
+    aggregation (constant within the group, folded with ``max``), so
+    scoring never joins a corpus-sized dl table — the v1 shape shuffled
+    the full per-doc dl relation to serve the handful of matched docs,
+    and the retrieval probe blamed exactly that join for BM25's 0.55
+    matched-pair scaling at 500k docs. The (N, total_dl) totals are a
+    separate map-side-combined row-local pass (no persist, no eager
+    barrier — nothing corpus-sized is materialized at all). Final top-k
+    is a per-query rank window — Spark compiles the ``rank <= k``
+    filter to WindowGroupLimit (per-partition partial top-k before the
+    shuffle), so no query ever gathers the whole corpus.
 
     Returns ``(query_id, doc_id, n_terms, score_micro, rank)`` with
     rank ties broken by ascending doc_id.
     """
+    nw = normalized_words(text_col)
     words = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(normalized_words(text_col)).alias("w"),
+        F.size(nw).cast("long").alias("dl"),
+        F.explode(nw).alias("w"),
     )
     terms = query_terms.select("query_id", "term").distinct()
-    dl = (
+    totals = (
         ensure_parallelism(docs)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.size(normalized_words(text_col)).cast("long").alias("dl"),
-        )
-        .persist()
-    )
-    dl.count()
-    totals = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+        .select(F.size(nw).cast("long").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl"))
     )
     tf = (
         words.join(F.broadcast(terms), words["w"] == terms["term"])
         .groupBy("query_id", "term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
         .persist()
     )
     tf.count()
@@ -498,7 +492,6 @@ def bm25_topk(
     )
     contrib = (
         tf.join(df_t, ["query_id", "term"])
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(totals))
         .select(
             "query_id",
@@ -524,4 +517,4 @@ def bm25_topk(
         .filter(F.col("rank") <= int(k))
         .select("query_id", "doc_id", "n_terms", "score_micro", "rank")
     )
-    return register_intermediates(out, dl, tf)
+    return register_intermediates(out, tf)

@@ -1020,3 +1020,203 @@ def bpe_token_counts(
             F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
         )
     )
+
+
+def hashed_ngram_buckets(text_col: str, dims: int) -> Column:
+    """Row-local array of hashed unigram+bigram feature buckets — the
+    DSIR feature map (Xie et al. 2023, arXiv:2302.03169): every word
+    and every adjacent word pair, lowercased, hashed into a FIXED
+    ``dims``-bucket space with the shared Java∩DuckDB md5₆₀ arithmetic
+    (the linear_classifier_scores trick). Hashing keeps every model
+    table O(dims) rows regardless of corpus vocabulary, so it always
+    broadcasts."""
+    ws = normalized_words(text_col)
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(ws, bigrams),
+        lambda t: F.conv(F.substring(F.md5(F.lower(t)), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % dims,
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    dims: int = 1024,
+    smoothing_k: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every raw-corpus document by
+    how target-like its hashed n-gram profile is, ``log w(x) = Σ_f
+    count_f(x)·(ln p_target(f) − ln q_raw(f))`` over unigram+bigram
+    features hashed into ``dims`` buckets — the standard
+    "select web data that looks like Wikipedia/books" pre-training
+    selection pass, reduced to two bag-of-buckets distributions.
+
+    All arithmetic is EXACT-INTEGER after one quantization (the
+    unigram_lm trick): each bucket's add-k-smoothed ``ln p`` and
+    ``ln q`` are quantized separately to integer micro-nats, the
+    bucket's λ is their integer difference, and per-document weights
+    sum integers — reduction-order independent, hash-oracle exact.
+
+    Scale shape (100 TB raw + small target): the raw featurization is
+    ONE explode persisted for its two consumers (the q-distribution agg
+    and the scoring join — module rule for shared subtrees); the target
+    is featurized once (it is the small side by construction). Both
+    distributions aggregate map-side into ≤ ``dims`` rows, the λ table
+    is ≤ ``dims`` rows and BROADCAST to the scoring join, so the only
+    corpus-scale shuffle is the final doc-keyed integer sum. No model
+    state ever reaches the driver. Every raw doc returns (featureless
+    docs: 0 features, weight 0, NULL avg).
+
+    Returns ``(doc_id, n_feats, logweight_micro, avg_logweight)``.
+    """
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    if smoothing_k < 1:
+        raise ValueError(f"smoothing_k must be >= 1, got {smoothing_k}")
+    k = int(smoothing_k)
+    raw_b = (
+        ensure_parallelism(raw)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(hashed_ngram_buckets(text_col, dims)).alias("b"),
+        )
+        .persist()
+    )
+    raw_b.count()
+    tgt_b = ensure_parallelism(target).select(
+        F.explode(hashed_ngram_buckets(text_col, dims)).alias("b")
+    )
+    q_cnt = raw_b.groupBy("b").agg(F.count(F.lit(1)).alias("qc"))
+    p_cnt = tgt_b.groupBy("b").agg(F.count(F.lit(1)).alias("pc"))
+    totals = q_cnt.agg(F.sum("qc").alias("nq")).crossJoin(
+        p_cnt.agg(F.coalesce(F.sum("pc"), F.lit(0)).alias("np"))
+    )
+    # λ only needs raw-occurring buckets (a bucket with no raw
+    # occurrence never joins); target-absent buckets smooth to pc=0.
+    micro = F.lit(1_000_000.0)
+    lam = (
+        q_cnt.join(p_cnt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("pc"), F.lit(0)) + F.lit(k))
+                        / (F.col("np") + F.lit(k * dims))
+                    )
+                    * micro
+                ).cast("long")
+                - F.round(
+                    F.log(
+                        (F.col("qc") + F.lit(k)) / (F.col("nq") + F.lit(k * dims))
+                    )
+                    * micro
+                ).cast("long")
+            ).alias("lam_micro"),
+        )
+    )
+    per_doc = (
+        raw_b.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lam_micro").alias("logweight_micro"),
+        )
+    )
+    out = (
+        raw.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce(F.col("logweight_micro"), F.lit(0))
+            .cast("long")
+            .alias("logweight_micro"),
+            F.when(
+                F.col("n_feats") > 0,
+                F.round(F.col("logweight_micro") / F.col("n_feats") / micro, 6),
+            ).alias("avg_logweight"),
+        )
+    )
+    from .cache import register_intermediates
+
+    return register_intermediates(out, raw_b)
+
+
+def dsir_topk(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    seed: int = 42,
+    dims: int = 1024,
+    smoothing_k: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR's resampling step: Gumbel top-``n`` over the importance
+    weights — adding i.i.d. Gumbel noise to log-weights and taking the
+    top ``n`` IS sampling ``n`` documents without replacement with
+    probability ∝ w(x) (the Gumbel-max trick), which is exactly the
+    paper's sampling rule, made deterministic for a given ``seed``.
+
+    The noise is hash-derived: ``u ∈ (0,1)`` from the top 52 md5 bits
+    of ``seed:doc_id`` (52 bits so the integer is EXACT in a double —
+    no engine-dependent 2^60→double rounding in sight), ``g =
+    −ln(−ln(u))`` quantized to micro-nats, and the sort key is the
+    integer ``logweight_micro + gumbel_micro`` with doc_id as the tie
+    break. Spark compiles orderBy+limit to TakeOrderedAndProject
+    (per-partition partial top-n, no global sort), so selection cost is
+    one scan over the weighted corpus.
+
+    Returns ``(doc_id, logweight_micro, gumbel_micro, key_micro)``.
+    """
+    w = dsir_weights(
+        raw,
+        target,
+        dims=dims,
+        smoothing_k=smoothing_k,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    h52 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(str(int(seed))),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h52 + F.lit(0.5)) / F.lit(float(2**52))
+    g_micro = F.round(-F.log(-F.log(u)) * F.lit(1_000_000.0)).cast("long")
+    return (
+        w.select(
+            "doc_id",
+            "logweight_micro",
+            g_micro.alias("gumbel_micro"),
+        )
+        .withColumn(
+            "key_micro", F.col("logweight_micro") + F.col("gumbel_micro")
+        )
+        .orderBy(F.desc("key_micro"), F.asc("doc_id"))
+        .limit(int(n))
+    )

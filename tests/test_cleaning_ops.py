@@ -682,3 +682,132 @@ class TestMojibake:
         t = "already clean caf\u00e9 \u2019quoted\u2019"
         df = spark.createDataFrame([Row(doc_id=0, text=t)])
         assert fix_mojibake(df).first()["text"] == t
+
+
+class TestDsir:
+    """DSIR importance resampling (Xie et al. 2023): hashed
+    unigram+bigram log-likelihood-ratio weights + Gumbel top-k."""
+
+    DIMS = 32
+
+    RAW = [
+        (0, "the cat sat on the mat"),
+        (1, "quantum flux capacitor overload"),
+        (2, "the cat sat"),
+        (3, ""),  # featureless
+        (4, "zzz yyy xxx www"),
+    ]
+    TGT = [(10, "the cat sat on the mat"), (11, "the dog sat on the rug")]
+
+    @staticmethod
+    def _feats(text: str):
+        ws = text.split()
+        return [w.lower() for w in ws] + [
+            f"{a} {b}".lower() for a, b in zip(ws, ws[1:])
+        ]
+
+    @classmethod
+    def _bucket(cls, feat: str) -> int:
+        import hashlib
+
+        return int(hashlib.md5(feat.encode()).hexdigest()[:15], 16) % cls.DIMS
+
+    @staticmethod
+    def _micro(x: float) -> int:
+        import math
+
+        return int(math.copysign(math.floor(abs(x) * 1_000_000.0 + 0.5), x))
+
+    @classmethod
+    def _expected_weights(cls):
+        import math
+        from collections import Counter
+
+        qc = Counter(cls._bucket(f) for _, t in cls.RAW for f in cls._feats(t))
+        pc = Counter(cls._bucket(f) for _, t in cls.TGT for f in cls._feats(t))
+        nq, np_ = sum(qc.values()), sum(pc.values())
+        lam = {
+            b: cls._micro(math.log((pc.get(b, 0) + 1) / (np_ + cls.DIMS)))
+            - cls._micro(math.log((qc[b] + 1) / (nq + cls.DIMS)))
+            for b in qc
+        }
+        out = {}
+        for did, t in cls.RAW:
+            bs = [cls._bucket(f) for f in cls._feats(t)]
+            out[did] = (len(bs), sum(lam[b] for b in bs))
+        return out
+
+    def _df(self, spark, rows):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+    def test_matches_python_simulation(self, spark):
+        """Weight map equals a driver-side replication of the hashed
+        bag-of-features log-ratio — exact integers end to end."""
+        from correctocr_spark.ops.textstats import dsir_weights
+
+        got = {
+            r["doc_id"]: (r["n_feats"], r["logweight_micro"])
+            for r in dsir_weights(
+                self._df(spark, self.RAW),
+                self._df(spark, self.TGT),
+                dims=self.DIMS,
+            ).collect()
+        }
+        assert got == self._expected_weights()
+
+    def test_featureless_doc_returns(self, spark):
+        from correctocr_spark.ops.textstats import dsir_weights
+
+        r = {
+            x["doc_id"]: x
+            for x in dsir_weights(
+                self._df(spark, self.RAW), self._df(spark, self.TGT), dims=self.DIMS
+            ).collect()
+        }[3]
+        assert (r["n_feats"], r["logweight_micro"], r["avg_logweight"]) == (0, 0, None)
+
+    def test_target_like_scores_higher(self, spark):
+        """A raw doc verbatim in the target outranks a disjoint-vocab
+        doc on mean per-feature weight — the selection property the
+        operator exists for."""
+        from correctocr_spark.ops.textstats import dsir_weights
+
+        avg = {
+            r["doc_id"]: r["avg_logweight"]
+            for r in dsir_weights(
+                self._df(spark, self.RAW), self._df(spark, self.TGT), dims=self.DIMS
+            ).collect()
+        }
+        assert avg[0] > avg[1] and avg[0] > avg[4]
+
+    def test_topk_is_weight_plus_gumbel(self, spark):
+        """key_micro == logweight_micro + gumbel_micro, the result has
+        exactly n rows, and a re-run under the same seed is identical
+        (deterministic sampling); a different seed reshuffles."""
+        from correctocr_spark.ops.textstats import dsir_topk
+
+        raw, tgt = self._df(spark, self.RAW), self._df(spark, self.TGT)
+        a = dsir_topk(raw, tgt, n=3, seed=42, dims=self.DIMS).collect()
+        assert len(a) == 3
+        assert all(
+            r["key_micro"] == r["logweight_micro"] + r["gumbel_micro"] for r in a
+        )
+        b = dsir_topk(raw, tgt, n=3, seed=42, dims=self.DIMS).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        keys_a = [r["key_micro"] for r in a]
+        assert keys_a == sorted(keys_a, reverse=True)
+        c = dsir_topk(raw, tgt, n=3, seed=7, dims=self.DIMS).collect()
+        assert {r["gumbel_micro"] for r in c} != {r["gumbel_micro"] for r in a}
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from correctocr_spark.ops.textstats import dsir_weights
+
+        raw = self._df(spark, self.RAW)
+        with _pytest.raises(ValueError):
+            dsir_weights(raw, raw, dims=0)
+        with _pytest.raises(ValueError):
+            dsir_weights(raw, raw, smoothing_k=0)

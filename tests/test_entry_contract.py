@@ -273,6 +273,12 @@ def test_oracled_queries_precede_rows_only():
         # host coverage/dup-rate report — tier-1 join_agg family with
         # two-phase distinct counts
         "host_cardinality",
+        # DSIR importance weights + Gumbel top-k resampling — the
+        # λ-table core is tier-1 unigram_lm's micro-nat quantized
+        # broadcast join; the top-k is ann_brute's
+        # TakeOrderedAndProject shape
+        "dsir_weights",
+        "dsir_topk",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -437,3 +437,15 @@ def test_extraction_density_scan_speed_and_host_cardinality_partials(spark):
     p2 = plan_of(entry_mod.q_host_cardinality(spark, SF))
     assert "Expand" in p2 and "partial" in p2
     assert "CartesianProduct" not in p2
+
+def test_dsir_lambda_broadcast_and_topk(spark):
+    """DSIR: the ≤dims-row λ table must BROADCAST into the scoring join
+    (the corpus side never shuffles for the model), and the Gumbel
+    top-n must compile to TakeOrderedAndProject (per-partition partial
+    top-n, no global sort); no cartesian work anywhere."""
+    p = plan_of(entry_mod.q_dsir_weights(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    p2 = plan_of(entry_mod.q_dsir_topk(spark, SF))
+    assert "TakeOrderedAndProject" in p2
+    assert "CartesianProduct" not in p2

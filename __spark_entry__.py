@@ -2554,6 +2554,41 @@ def q_dsir_topk(spark, sf_dir):
     )
 
 
+def q_kn_bigram_lm(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (absolute discounting +
+    continuation-probability backoff, d = 750 milli): the standard
+    count-based LM smoothing as a corpus quality filter. Exact-integer
+    micro-nat quantization; every statistic derived from the
+    distinct-bigram model table."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import kn_bigram_lm_scores
+
+    out = kn_bigram_lm_scores(_t(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_bigrams",
+        "sum_logprob_micro",
+        "avg_logprob",
+    )
+
+
+def q_bcubed(spark, sf_dir):
+    """B-cubed clustering eval (Bagga & Baldwin 1998): per-item
+    precision/recall of a predicted clustering vs gold classes, all
+    derived from the (pred, gold) contingency table with per-item
+    micro-quantized integer fractions. Fixture: pred = id mod 12,
+    gold = id mod 18 (a 36-cell contingency)."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import bcubed_eval
+
+    items = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 12).alias("cluster_id"),
+        (F.col("doc_id") % 18).alias("gold_id"),
+    )
+    return bcubed_eval(items)
+
+
 def q_bpe_token_counts(spark, sf_dir):
     """Token-cost accounting under a fixed learned merge list (the
     encode side of BPE training) — iterative merge application is not
@@ -2892,6 +2927,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join; the top-k is ann_brute's TakeOrderedAndProject shape
         "dsir_weights": q_dsir_weights,
         "dsir_topk": q_dsir_topk,
+        # interpolated Kneser-Ney bigram LM — the micro-nat quantized
+        # model-join core of tier-1 unigram_lm, with ctx/cont stats
+        # derived from the same bigram table tier-2 bigram_lm verifies
+        "kn_bigram_lm": q_kn_bigram_lm,
+        # B-cubed clustering eval — contingency-table count + marginal
+        # joins, the tier-1 join_agg/word_freq agg family with the
+        # lsh_recall basis-point/micro quantization discipline
+        "bcubed_eval": q_bcubed,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -4878,6 +4921,81 @@ FROM documents)
                         THEN round(_w / _nf / 1000000.0, 6)
                    END AS avg_logweight
             FROM wts
+        """,
+
+        "kn_bigram_lm": f"""
+            WITH w AS (
+                SELECT doc_id, {_WORDS} AS ws FROM documents
+            ),
+            exploded AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                           i -> array_to_string(ws[i:i + 1], ' '))) AS g
+                FROM w WHERE len(ws) >= 2
+            ),
+            model AS (SELECT g, count(*) AS cnt FROM exploded GROUP BY g),
+            ctx AS (
+                SELECT split_part(g, ' ', 1) AS c,
+                       sum(cnt) AS ctx_cnt,
+                       count(*) AS n1_fwd
+                FROM model GROUP BY 1
+            ),
+            cont AS (
+                SELECT split_part(g, ' ', 2) AS o, count(*) AS n1_back
+                FROM model GROUP BY 1
+            ),
+            types AS (SELECT count(*) AS n_types FROM model),
+            scored AS (
+                SELECT g,
+                       CAST(round(ln(
+                           greatest(cnt - (750 / 1000.0), 0.0) / ctx_cnt
+                           + (750 / 1000.0) * n1_fwd / ctx_cnt
+                             * (n1_back / n_types)
+                       ) * 1000000.0) AS BIGINT) AS lp_micro
+                FROM model
+                JOIN ctx ON split_part(model.g, ' ', 1) = ctx.c
+                JOIN cont ON split_part(model.g, ' ', 2) = cont.o,
+                types
+            ),
+            per_doc AS (
+                SELECT e.doc_id, count(*) AS n_bigrams, sum(s.lp_micro) AS smu
+                FROM exploded e JOIN scored s USING (g)
+                GROUP BY e.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(p.smu, 0)::BIGINT AS sum_logprob_micro,
+                   CASE WHEN p.n_bigrams > 0
+                        THEN round(p.smu / p.n_bigrams / 1000000.0, 6)
+                   END AS avg_logprob
+            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+        """,
+
+        "bcubed_eval": """
+            WITH base AS (
+                SELECT doc_id % 12 AS p, doc_id % 18 AS g FROM documents
+            ),
+            pg AS (SELECT p, g, count(*)::BIGINT AS n_pg
+                   FROM base GROUP BY 1, 2),
+            ps AS (SELECT p, sum(n_pg)::BIGINT AS n_p FROM pg GROUP BY 1),
+            gs AS (SELECT g, sum(n_pg)::BIGINT AS n_g FROM pg GROUP BY 1),
+            tot AS (SELECT sum(n_pg)::BIGINT AS n_items,
+                           count(DISTINCT p)::BIGINT AS n_pred_clusters,
+                           count(DISTINCT g)::BIGINT AS n_gold_classes
+                    FROM pg),
+            c AS (
+                SELECT sum(n_pg * ((n_pg * 1000000) // n_p))::BIGINT AS ps_,
+                       sum(n_pg * ((n_pg * 1000000) // n_g))::BIGINT AS rs_
+                FROM pg JOIN ps USING (p) JOIN gs USING (g)
+            )
+            SELECT n_items, n_pred_clusters, n_gold_classes,
+                   (ps_ // n_items)::BIGINT AS precision_micro,
+                   (rs_ // n_items)::BIGINT AS recall_micro,
+                   CASE WHEN (ps_ // n_items) + (rs_ // n_items) > 0
+                        THEN ((2 * (ps_ // n_items) * (rs_ // n_items))
+                              // ((ps_ // n_items) + (rs_ // n_items)))::BIGINT
+                        ELSE 0 END AS f1_micro
+            FROM tot, c
         """,
 
         "dsir_topk": f"""

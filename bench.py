@@ -157,6 +157,8 @@ HEADLINE = [
     "host_cardinality",
     "dsir_weights",
     "dsir_topk",
+    "kn_bigram_lm",
+    "bcubed_eval",
     "bpe_token_counts",
 ]
 

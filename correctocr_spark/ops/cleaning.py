@@ -169,12 +169,17 @@ def chunk_docs(
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
     ws = normalized_words(text_col)
-    n_chunks = F.greatest(F.lit(1), F.ceil(F.size(ws) / F.lit(max_tokens)))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.size("_ws") / F.lit(max_tokens))
+    )
     chunk = F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
-    exploded = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"),
-        ws.alias("_ws"),
-        chunk.alias("chunk_idx"),
+    # the word array materializes in its own projection BELOW the
+    # Generate: a computed HOF next to an explode re-evaluates per
+    # OUTPUT row (the dup_spans/bm25 O(len²) hazard)
+    exploded = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), ws.alias("_ws"))
+        .select("doc_id", "_ws", chunk.alias("chunk_idx"))
     )
     piece = F.slice(
         F.col("_ws"), F.col("chunk_idx") * max_tokens + 1, max_tokens

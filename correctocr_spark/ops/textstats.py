@@ -1220,3 +1220,114 @@ def dsir_topk(
         .orderBy(F.desc("key_micro"), F.asc("doc_id"))
         .limit(int(n))
     )
+
+
+def kn_bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount_milli: int = 750,
+) -> DataFrame:
+    """Corpus-trained INTERPOLATED KNESER-NEY bigram scoring — the
+    standard count-based LM smoothing (Kneser & Ney 1995; Chen &
+    Goodman 1999's interpolated form), the quality filter add-k
+    approximations aspire to: ``P(w|v) = max(c(vw)−d, 0)/c(v·) +
+    d·N₁₊(v·)/c(v·) · N₁₊(·w)/N₁₊(··)`` — absolute discounting with the
+    freed mass backed off to the CONTINUATION probability (how many
+    distinct contexts a word follows), which is what separates
+    "Francisco" (frequent but only after "San") from genuinely
+    versatile words. ``d`` arrives as an exact milli-integer so both
+    engines derive the identical double (``750/1000.0``).
+
+    Every derived statistic comes off the MODEL table (distinct bigram
+    rows), never a second corpus pass: ``c(v·)`` and ``N₁₊(v·)`` are
+    one first-word aggregation (sum + count over distinct-bigram rows),
+    ``N₁₊(·w)`` one second-word count, ``N₁₊(··)`` the 1-row type
+    total. Scoring trains on the corpus itself (the bigram_lm contract)
+    so every scored gram exists in the model — no OOV path. Each
+    gram's log probability is quantized ONCE to integer micro-nats in
+    one fixed expression order; per-doc aggregation sums integers
+    (engine- and reduction-order-exact, hash-oracle-safe).
+
+    Scale shape: one corpus explode persisted for its two consumers
+    (model count + scoring join); ctx/cont joins are O(bigram types) —
+    vocabulary-sized, not corpus-sized; the 1-row type total
+    broadcasts; the only corpus-scale shuffle is the final doc-keyed
+    integer sum. Returns ``(doc_id, n_bigrams, sum_logprob_micro,
+    avg_logprob)``; docs shorter than 2 words score NULL avg.
+    """
+    if not (0 < discount_milli < 1000):
+        raise ValueError(
+            f"discount_milli must be in (0, 1000), got {discount_milli}"
+        )
+    warr = normalized_words(text_col)
+    grams = F.when(
+        F.size(warr) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(warr) - 2),
+            lambda i: F.concat_ws(" ", F.slice(warr, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
+    )
+    model = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    model.count()
+    first = F.split(F.col("g"), " ", 2).getItem(0)
+    second = F.split(F.col("g"), " ", 2).getItem(1)
+    # over distinct-bigram rows: sum(cnt) = c(v·), count(*) = N₁₊(v·)
+    ctx = model.groupBy(first.alias("c")).agg(
+        F.sum("cnt").alias("ctx_cnt"), F.count(F.lit(1)).alias("n1_fwd")
+    )
+    cont = model.groupBy(second.alias("o")).agg(
+        F.count(F.lit(1)).alias("n1_back")
+    )
+    types = model.agg(F.count(F.lit(1)).alias("n_types"))
+    d = F.lit(int(discount_milli)) / F.lit(1000.0)
+    lp = F.log(
+        F.greatest(F.col("cnt") - d, F.lit(0.0)) / F.col("ctx_cnt")
+        + d
+        * F.col("n1_fwd")
+        / F.col("ctx_cnt")
+        * (F.col("n1_back") / F.col("n_types"))
+    )
+    scored_model = (
+        model.join(ctx, on=first == F.col("c"))
+        .join(cont, on=second == F.col("o"))
+        .crossJoin(F.broadcast(types))
+        .select(
+            "g",
+            F.round(lp * F.lit(1_000_000.0)).cast("long").alias("lp_micro"),
+        )
+    )
+    per_doc = (
+        exploded.join(scored_model, on="g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_logprob_micro"),
+        )
+    )
+    from .cache import register_intermediates
+
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("sum_logprob_micro"), F.lit(0))
+            .cast("long")
+            .alias("sum_logprob_micro"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(
+                    F.col("sum_logprob_micro")
+                    / F.col("n_bigrams")
+                    / F.lit(1_000_000.0),
+                    6,
+                ),
+            ).alias("avg_logprob"),
+        )
+    )
+    return register_intermediates(out, model)

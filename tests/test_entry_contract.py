@@ -279,6 +279,12 @@ def test_oracled_queries_precede_rows_only():
         # TakeOrderedAndProject shape
         "dsir_weights",
         "dsir_topk",
+        # interpolated Kneser-Ney bigram LM — tier-1 unigram_lm's
+        # micro-nat model-join core over tier-2 bigram_lm's gram table
+        "kn_bigram_lm",
+        # B-cubed clustering eval — contingency count + marginal joins,
+        # tier-1 join_agg/word_freq family with lsh_recall quantization
+        "bcubed_eval",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

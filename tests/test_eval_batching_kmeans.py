@@ -390,3 +390,65 @@ class TestNewOpPlanShapes:
         )
         assert "Window" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestBcubedEval:
+    """B-cubed clustering eval: hand-computed identity, the perfect /
+    one-big-cluster / all-singletons boundary cases."""
+
+    @staticmethod
+    def _df(spark, triples):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(doc_id=i, cluster_id=p, gold_id=g) for i, p, g in triples]
+        )
+
+    @staticmethod
+    def _one(df):
+        from correctocr_spark.ops.dedup import bcubed_eval
+
+        return bcubed_eval(df).collect()[0]
+
+    def test_hand_computed(self, spark):
+        """gold {1..5}{6,7}, pred {1,2,3,6}{4,5,7}: per-item P =
+        3·(3/4 quantized)+1·(1/4)+2·(2/3)+1·(1/3) over 7 items; same
+        table for R over gold sizes — replicated with the operator's
+        own integer flooring."""
+        triples = [
+            (1, "X", "A"), (2, "X", "A"), (3, "X", "A"), (6, "X", "B"),
+            (4, "Y", "A"), (5, "Y", "A"), (7, "Y", "B"),
+        ]
+        r = self._one(self._df(spark, triples))
+        cells = {("X", "A"): 3, ("X", "B"): 1, ("Y", "A"): 2, ("Y", "B"): 1}
+        n_p = {"X": 4, "Y": 3}
+        n_g = {"A": 5, "B": 2}
+        ps = sum(n * (n * 1_000_000 // n_p[p]) for (p, g), n in cells.items())
+        rs = sum(n * (n * 1_000_000 // n_g[g]) for (p, g), n in cells.items())
+        assert r["n_items"] == 7
+        assert r["n_pred_clusters"] == 2 and r["n_gold_classes"] == 2
+        assert r["precision_micro"] == ps // 7
+        assert r["recall_micro"] == rs // 7
+        p_, r_ = ps // 7, rs // 7
+        assert r["f1_micro"] == (2 * p_ * r_) // (p_ + r_)
+
+    def test_perfect_clustering(self, spark):
+        triples = [(i, i % 3, i % 3) for i in range(12)]
+        r = self._one(self._df(spark, triples))
+        assert (
+            r["precision_micro"],
+            r["recall_micro"],
+            r["f1_micro"],
+        ) == (1_000_000, 1_000_000, 1_000_000)
+
+    def test_one_big_cluster_full_recall(self, spark):
+        triples = [(i, 0, i % 4) for i in range(8)]
+        r = self._one(self._df(spark, triples))
+        assert r["recall_micro"] == 1_000_000
+        assert r["precision_micro"] == 250_000  # each item: 2/8
+
+    def test_singletons_full_precision(self, spark):
+        triples = [(i, i, i % 2) for i in range(6)]
+        r = self._one(self._df(spark, triples))
+        assert r["precision_micro"] == 1_000_000
+        assert r["recall_micro"] == 1_000_000 // 3  # each item: 1/3

@@ -2589,6 +2589,43 @@ def q_bcubed(spark, sf_dir):
     return bcubed_eval(items)
 
 
+def _winnow_docs(spark, sf_dir):
+    """Shared winnowing fixture: deterministic page text where ids ≡
+    mod 250 share the full template and ids further agreeing mod 7 are
+    exact duplicates — so fingerprints witness both passage overlap
+    and exact copies."""
+    did = F.col("doc_id")
+    text = F.concat(
+        F.lit("The quick brown fox jumps over the lazy dog number "),
+        (did % 250).cast("string"),
+        F.lit(" repeated segment alpha beta gamma delta "),
+        (did % 7).cast("string"),
+    )
+    return _t(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
+
+
+def q_winnow_fps(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): window-min selection over hashed char k-grams — any
+    ≥ window+k−1-char match shares a fingerprint. Row-local array
+    algebra, md5₆₀ hashes shared with every hash gate here."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_winnow_docs(spark, sf_dir), k=8, window=4)
+
+
+def q_winnow_candidates(spark, sf_dir):
+    """Passage-overlap candidate pairs from winnowing fingerprints,
+    hot-fingerprint-capped before the self-join (the LSH banding
+    discipline at char granularity)."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import winnow_candidates, winnow_fingerprints
+
+    fps = winnow_fingerprints(_winnow_docs(spark, sf_dir), k=8, window=4)
+    return winnow_candidates(fps, min_shared=2, max_fp_freq=300)
+
+
 def q_bpe_token_counts(spark, sf_dir):
     """Token-cost accounting under a fixed learned merge list (the
     encode side of BPE training) — iterative merge application is not
@@ -2935,6 +2972,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # joins, the tier-1 join_agg/word_freq agg family with the
         # lsh_recall basis-point/micro quantization discipline
         "bcubed_eval": q_bcubed,
+        # winnowing fingerprints + passage-overlap candidates — the
+        # row-local hash-array algebra of tier-1 fingerprint/dup_spans
+        # plus the capped self-join core of tier-1 minhash_lsh_pairs
+        "winnow_fps": q_winnow_fps,
+        "winnow_candidates": q_winnow_candidates,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -4996,6 +5038,76 @@ FROM documents)
                               // ((ps_ // n_items) + (rs_ // n_items)))::BIGINT
                         ELSE 0 END AS f1_micro
             FROM tot, c
+        """,
+
+        "winnow_fps": """
+            WITH p AS (
+              SELECT doc_id,
+                     'The quick brown fox jumps over the lazy dog number '
+                         || (doc_id % 250)::VARCHAR
+                         || ' repeated segment alpha beta gamma delta '
+                         || (doc_id % 7)::VARCHAR AS text
+              FROM documents),
+            n AS (SELECT doc_id,
+                         regexp_replace(lower(coalesce(text, '')),
+                                        '[^a-z0-9]', '', 'g') AS norm
+                  FROM p),
+            g AS (SELECT doc_id,
+                         list_transform(range(0, length(norm) - 8 + 1),
+                                        i -> substr(norm, (i + 1)::INT, 8))
+                             AS grams
+                  FROM n WHERE length(norm) >= 8),
+            h AS (SELECT doc_id,
+                         list_transform(grams,
+                             t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)
+                             AS hashes
+                  FROM g),
+            m AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             range(0, greatest(len(hashes) - 4 + 1, 1)),
+                             j -> list_min(hashes[(j + 1)::INT : (j + 4)::INT])))
+                             AS fps
+                  FROM h)
+            SELECT doc_id, unnest(fps) AS fp FROM m
+        """,
+
+        "winnow_candidates": """
+            WITH p AS (
+              SELECT doc_id,
+                     'The quick brown fox jumps over the lazy dog number '
+                         || (doc_id % 250)::VARCHAR
+                         || ' repeated segment alpha beta gamma delta '
+                         || (doc_id % 7)::VARCHAR AS text
+              FROM documents),
+            n AS (SELECT doc_id,
+                         regexp_replace(lower(coalesce(text, '')),
+                                        '[^a-z0-9]', '', 'g') AS norm
+                  FROM p),
+            g AS (SELECT doc_id,
+                         list_transform(range(0, length(norm) - 8 + 1),
+                                        i -> substr(norm, (i + 1)::INT, 8))
+                             AS grams
+                  FROM n WHERE length(norm) >= 8),
+            h AS (SELECT doc_id,
+                         list_transform(grams,
+                             t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)
+                             AS hashes
+                  FROM g),
+            m AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             range(0, greatest(len(hashes) - 4 + 1, 1)),
+                             j -> list_min(hashes[(j + 1)::INT : (j + 4)::INT])))
+                             AS fps
+                  FROM h),
+            f AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+            cnt AS (SELECT fp, count(*) AS c FROM f GROUP BY 1),
+            ok AS (SELECT f.doc_id, f.fp
+                   FROM f JOIN cnt USING (fp) WHERE cnt.c <= 300)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*)::BIGINT AS n_shared
+            FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
         """,
 
         "dsir_topk": f"""

@@ -159,6 +159,8 @@ HEADLINE = [
     "dsir_topk",
     "kn_bigram_lm",
     "bcubed_eval",
+    "winnow_fps",
+    "winnow_candidates",
     "bpe_token_counts",
 ]
 

@@ -1535,3 +1535,110 @@ def bcubed_eval(
         )
     )
     return register_intermediates(out, pg)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every character ``k``-gram of the
+    normalized text, slide a ``window`` over consecutive gram hashes,
+    keep each window's minimum — the guarantee is that any match of
+    length ≥ ``window + k − 1`` characters between two documents shares
+    at least one selected fingerprint, at expected density
+    ``2/(window+1)``. This is the LOCAL fingerprinting complement to
+    MinHash (which sketches global set similarity): winnowing finds
+    copied PASSAGES — quote farms, partial mirrors, license
+    boilerplate — that whole-doc sketches dilute away.
+
+    Normalization is the fingerprints() discipline (lowercase, strip
+    every non-alphanumeric) so cosmetic edits don't move fingerprints.
+    Hashes are the shared Java∩DuckDB md5₆₀ integers. Docs shorter than
+    ``k`` normalized chars emit nothing; docs with fewer than
+    ``window`` grams emit the single global minimum (the winnowing
+    boundary rule). Everything is ROW-LOCAL array algebra — grams,
+    hashes and window minima never leave the row; the lambdas run
+    interpreted (HOFs have no codegen) but O(len·window) per doc with
+    zero shuffle. Returns exploded ``(doc_id, fp)`` rows, distinct per
+    document.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    norm = F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            "[^a-z0-9]", "")
+    n_grams = F.length("_norm") - F.lit(k) + F.lit(1)
+    grams = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.col("_norm").substr(i + F.lit(1), F.lit(k)),
+    )
+    hashes = F.transform(
+        F.col("_grams"),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    n_windows = F.greatest(F.size("_hashes") - F.lit(window) + F.lit(1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda j: F.array_min(F.slice(F.col("_hashes"), j + F.lit(1), window)),
+    )
+    # each derived array materializes in its OWN projection: computed
+    # siblings of a later Generate would re-evaluate per output row
+    # (the dup_spans/bm25 O(len²) hazard), and chained HOFs in one
+    # projection re-evaluate their input lambda per element
+    staged = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), norm.alias("_norm"))
+        .where(F.length("_norm") >= k)
+        .select("doc_id", grams.alias("_grams"))
+        .select("doc_id", hashes.alias("_hashes"))
+        .select("doc_id", F.array_distinct(mins).alias("_fps"))
+    )
+    return staged.select("doc_id", F.explode("_fps").alias("fp"))
+
+
+def winnow_candidates(
+    fps: DataFrame,
+    min_shared: int = 2,
+    max_fp_freq: Optional[int] = 1000,
+) -> DataFrame:
+    """Passage-overlap candidate pairs from winnowing fingerprints:
+    documents sharing ≥ ``min_shared`` selected fingerprints — each
+    shared fingerprint witnesses a ≥ ``window+k−1``-char common run.
+    The MinHash-LSH banding discipline applies verbatim: fingerprints
+    hotter than ``max_fp_freq`` (license boilerplate on half the web)
+    are dropped BEFORE the self-join so no bucket goes quadratic —
+    pass ``None`` only on bounded inputs. Returns ``(doc_a, doc_b,
+    n_shared)`` with ``doc_a < doc_b``.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    f = fps.select("doc_id", "fp")
+    if max_fp_freq is not None:
+        hot = (
+            f.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") > int(max_fp_freq))
+            .select("fp")
+        )
+        f = f.join(hot, "fp", "left_anti")
+    # two concurrent consumers of the capped table (both join sides):
+    # persist + eager count per the module rule
+    f = f.persist()
+    f.count()
+    a = f.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = f.select(F.col("doc_id").alias("doc_b"), "fp")
+    out = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+    )
+    from .cache import register_intermediates
+
+    return register_intermediates(out, f)

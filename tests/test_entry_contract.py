@@ -285,6 +285,11 @@ def test_oracled_queries_precede_rows_only():
         # B-cubed clustering eval — contingency count + marginal joins,
         # tier-1 join_agg/word_freq family with lsh_recall quantization
         "bcubed_eval",
+        # winnowing fingerprints + candidates — tier-1
+        # fingerprint/dup_spans hash-array algebra + the capped
+        # self-join core of tier-1 minhash_lsh_pairs
+        "winnow_fps",
+        "winnow_candidates",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -569,3 +569,103 @@ class TestBpe:
         df = spark.createDataFrame([Row(doc_id=0, text="x")])
         with _pytest.raises(ValueError, match="max_merges"):
             bpe_token_counts(df, [("a", "b")] * 65)
+
+
+class TestWinnowing:
+    """Winnowing fingerprints (Schleimer et al. 2003): the match
+    guarantee, the boundary rule, normalization invariance, and the
+    capped candidate join."""
+
+    K, W = 8, 4
+
+    @staticmethod
+    def _df(spark, rows):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+    def _fps(self, spark, rows):
+        from correctocr_spark.ops.dedup import winnow_fingerprints
+
+        out = {}
+        for r in winnow_fingerprints(
+            self._df(spark, rows), k=self.K, window=self.W
+        ).collect():
+            out.setdefault(r["doc_id"], set()).add(r["fp"])
+        return out
+
+    @classmethod
+    def _simulate(cls, text):
+        import hashlib
+
+        import re as _re
+
+        norm = _re.sub("[^a-z0-9]", "", (text or "").lower())
+        if len(norm) < cls.K:
+            return set()
+        grams = [norm[i : i + cls.K] for i in range(len(norm) - cls.K + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+        ]
+        m = max(len(hs) - cls.W + 1, 1)
+        return {min(hs[j : j + cls.W]) for j in range(m)}
+
+    def test_matches_python_simulation(self, spark):
+        rows = [
+            (0, "The quick brown fox jumps over the lazy dog"),
+            (1, "shorter text here"),
+            (2, "tiny"),  # norm len 4 < k -> nothing
+            (3, None),
+        ]
+        got = self._fps(spark, rows)
+        for did, t in rows:
+            assert got.get(did, set()) == self._simulate(t), did
+    def test_match_guarantee(self, spark):
+        """Two documents sharing a run of >= window+k-1 normalized
+        chars must share at least one fingerprint — winnowing's
+        defining property (here a 16-char shared passage in otherwise
+        disjoint docs)."""
+        shared = "commonpassagehere"  # 17 chars > 8+4-1
+        rows = [
+            (0, "left filler words " + shared + " alpha ending one"),
+            (1, "totally different prefix " + shared + " omega tail"),
+            (2, "no overlap with anything else at all whatsoever"),
+        ]
+        got = self._fps(spark, rows)
+        assert got[0] & got[1], "guaranteed shared fingerprint missing"
+        assert not (got[0] & got[2] and got[1] & got[2])
+
+    def test_boundary_single_window(self, spark):
+        """k <= norm length < k+window-1: fewer grams than the window
+        -> exactly one fingerprint (the global min)."""
+        rows = [(0, "abcdefghi")]  # 9 chars -> 2 grams < window
+        got = self._fps(spark, rows)
+        assert len(got[0]) == 1
+        assert got[0] == self._simulate("abcdefghi")
+
+    def test_normalization_invariance(self, spark):
+        a = "The Quick, Brown! Fox; jumps over 42 lazy dogs."
+        b = "the quick brown fox JUMPS over 42 LAZY dogs"
+        got = self._fps(spark, [(0, a), (1, b)])
+        assert got[0] == got[1]
+
+    def test_candidates_cap_and_threshold(self, spark):
+        """A fingerprint hot across many docs is dropped by the cap;
+        surviving pairs respect min_shared and doc_a < doc_b."""
+        from correctocr_spark.ops.dedup import (
+            winnow_candidates,
+            winnow_fingerprints,
+        )
+
+        boiler = " all rights reserved standard footer text common everywhere"
+        rows = [(i, f"unique body number {i} with words" + boiler) for i in range(6)]
+        rows += [(10, "identical pair of documents body"), (11, "identical pair of documents body")]
+        fps = winnow_fingerprints(self._df(spark, rows), k=self.K, window=self.W)
+        # cap at 3: the 6-doc boilerplate fps die, the identical pair survives
+        got = {
+            (r["doc_a"], r["doc_b"]): r["n_shared"]
+            for r in winnow_candidates(fps, min_shared=2, max_fp_freq=3).collect()
+        }
+        assert (10, 11) in got
+        assert all(a < b for a, b in got)
+        assert not any(a < 6 and b < 6 for a, b in got), got

@@ -2626,6 +2626,27 @@ def q_winnow_candidates(spark, sf_dir):
     return winnow_candidates(fps, min_shared=2, max_fp_freq=300)
 
 
+def q_domain_reweight(spark, sf_dir):
+    """DoReMi-style exponentiated-gradient mixture update: domains with
+    high excess loss upweight multiplicatively, renormalize, mix 10%
+    uniform. Fixture: 8 domains off doc_id mod 8, uniform prior,
+    losses −0.5..1.25 nats in micro units; η = 100 milli."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import domain_reweight
+
+    doms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 8).alias("_d"))
+        .distinct()
+        .select(
+            F.concat(F.lit("d"), F.col("_d").cast("string")).alias("domain"),
+            F.lit(125000).alias("weight_micro"),
+            (F.col("_d") * 250000 - 500000).alias("excess_loss_micro"),
+        )
+    )
+    return domain_reweight(doms, eta_milli=100, smooth_milli=100)
+
+
 def q_bpe_token_counts(spark, sf_dir):
     """Token-cost accounting under a fixed learned merge list (the
     encode side of BPE training) — iterative merge application is not
@@ -2977,6 +2998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plus the capped self-join core of tier-1 minhash_lsh_pairs
         "winnow_fps": q_winnow_fps,
         "winnow_candidates": q_winnow_candidates,
+        # DoReMi mixture update — dimension-table integer algebra with
+        # a 1-row broadcast total, the micro-quantization discipline of
+        # tier-1 unigram_lm over the mix_proportions planning surface
+        "domain_reweight": q_domain_reweight,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -5108,6 +5133,26 @@ FROM documents)
             FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING count(*) >= 2
+        """,
+
+        "domain_reweight": """
+            WITH d AS (SELECT DISTINCT doc_id % 8 AS dd FROM documents),
+            base AS (SELECT 'd' || dd::VARCHAR AS domain,
+                            125000::BIGINT AS weight_micro,
+                            (dd * 250000 - 500000)::BIGINT AS excess_loss_micro
+                     FROM d),
+            upd AS (SELECT *,
+                           CAST(round(exp((100 / 1000.0)
+                                          * (excess_loss_micro / 1000000.0))
+                                      * 1000000.0) AS BIGINT) AS factor_micro
+                    FROM base),
+            r AS (SELECT *, weight_micro * factor_micro AS raw_ FROM upd),
+            tot AS (SELECT sum(raw_)::BIGINT AS total_,
+                           count(*)::BIGINT AS k_ FROM r)
+            SELECT domain, weight_micro, excess_loss_micro, factor_micro,
+                   ((900 * ((raw_ * 1000000) // total_))
+                    + (100 * (1000000 // k_))) // 1000 AS new_weight_micro
+            FROM r, tot
         """,
 
         "dsir_topk": f"""

@@ -161,6 +161,7 @@ HEADLINE = [
     "bcubed_eval",
     "winnow_fps",
     "winnow_candidates",
+    "domain_reweight",
     "bpe_token_counts",
 ]
 

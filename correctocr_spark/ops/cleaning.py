@@ -963,3 +963,101 @@ def dedup_paragraphs_in_doc(
         F.size(paras).cast("long").alias("n_paras"),
         F.size(uniq).cast("long").alias("n_unique_paras"),
     )
+
+
+def domain_reweight(
+    domains: DataFrame,
+    eta_milli: int = 100,
+    smooth_milli: int = 0,
+    domain_col: str = "domain",
+    weight_col: str = "weight_micro",
+    loss_col: str = "excess_loss_micro",
+) -> DataFrame:
+    """DoReMi-style domain-mixture update (Xie et al. 2023,
+    arXiv:2305.10429): one EXPONENTIATED-GRADIENT step on the sampling
+    weights of a grouped corpus — domains where the proxy model's
+    excess loss is high get upweighted multiplicatively, then the
+    distribution renormalizes and optionally mixes with uniform:
+    ``α'_i ∝ α_i · exp(η · ℓ_i)``, ``α'' = (1−c)·α' + c·u``. The full
+    DoReMi loop alternates proxy training with this step; the step
+    itself is the distributable piece, and its output feeds
+    :func:`mix_proportions` (which APPLIES target shares to the
+    corpus) — plan the blend here, enforce it there.
+
+    Exactness: weights and losses arrive as integer micro-units,
+    ``η`` as an exact milli-integer; each domain's multiplier
+    ``exp(η·ℓ)`` is quantized ONCE to integer micro-units, the update
+    is an integer product, normalization is one integer division
+    against the broadcast total, and the uniform mixing is integer
+    arithmetic throughout — engine- and reduction-order-exact. To keep
+    the normalization numerator inside int64, the multiplier is capped
+    at 9·10⁶ micro (``exp(η·ℓ) ≤ 9``, i.e. ``η·ℓ ≤ ~2.2`` nats): a
+    louder η·loss scale must be rescaled by the caller — the op RAISES
+    rather than silently overflowing.
+
+    Scale shape: the domain table is dimension-sized (one row per
+    corpus source); one 1-row total broadcast, everything else
+    row-local. Returns ``(domain, weight_micro, excess_loss_micro,
+    factor_micro, new_weight_micro)``; new weights sum to ~10⁶ minus
+    flooring.
+    """
+    if eta_milli < 0:
+        raise ValueError(f"eta_milli must be >= 0, got {eta_milli}")
+    if not (0 <= smooth_milli <= 1000):
+        raise ValueError(
+            f"smooth_milli must be in [0, 1000], got {smooth_milli}"
+        )
+    base = domains.select(
+        F.col(domain_col).alias("domain"),
+        F.col(weight_col).cast("long").alias("weight_micro"),
+        F.col(loss_col).cast("long").alias("excess_loss_micro"),
+    )
+    # try_cast: under ANSI mode a plain cast THROWS on exp() overflow
+    # mid-task — NULL instead routes it to the loud guard below, which
+    # owns the error message
+    factor = (
+        F.round(
+            F.exp(
+                (F.lit(int(eta_milli)) / F.lit(1000.0))
+                * (F.col("excess_loss_micro") / F.lit(1_000_000.0))
+            )
+            * F.lit(1_000_000.0)
+        )
+        .try_cast("long")
+        .alias("factor_micro")
+    )
+    upd = base.select("*", factor).withColumn(
+        "_raw", F.col("weight_micro") * F.col("factor_micro")
+    )
+    # loud overflow guard: numerator of the normalization is _raw * 1e6.
+    # NULL factor = the double→long cast itself overflowed (exp(η·ℓ)
+    # beyond int64) — caught by the same branch, not silently dropped.
+    n_over = upd.where(
+        F.col("factor_micro").isNull() | (F.col("factor_micro") > 9_000_000)
+    ).count()
+    if n_over:
+        raise ValueError(
+            f"domain_reweight: {n_over} domain(s) have exp(eta*loss) > 9 "
+            "(int64 overflow in normalization) — rescale eta_milli or the "
+            "loss units"
+        )
+    totals = upd.agg(
+        F.sum("_raw").alias("_total"), F.count(F.lit(1)).alias("_k")
+    )
+    c = int(smooth_milli)
+    out = (
+        upd.crossJoin(F.broadcast(totals))
+        .select(
+            "domain",
+            "weight_micro",
+            "excess_loss_micro",
+            "factor_micro",
+            F.expr(
+                f"(({1000 - c} * ((_raw * 1000000) div _total))"
+                f" + ({c} * (1000000 div _k))) div 1000"
+            )
+            .cast("long")
+            .alias("new_weight_micro"),
+        )
+    )
+    return out

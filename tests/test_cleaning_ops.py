@@ -926,3 +926,91 @@ class TestKneserNey:
         for bad in (0, 1000, -5):
             with _pytest.raises(ValueError):
                 kn_bigram_lm_scores(df, discount_milli=bad)
+
+
+class TestDomainReweight:
+    """DoReMi exponentiated-gradient mixture step: simulation identity,
+    invariances, the overflow guard, uniform smoothing."""
+
+    @staticmethod
+    def _df(spark, rows):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [
+                Row(domain=d, weight_micro=w, excess_loss_micro=l)
+                for d, w, l in rows
+            ]
+        )
+
+    def _run(self, spark, rows, **kw):
+        from correctocr_spark.ops.cleaning import domain_reweight
+
+        return {
+            r["domain"]: r["new_weight_micro"]
+            for r in domain_reweight(self._df(spark, rows), **kw).collect()
+        }
+
+    def test_matches_python_simulation(self, spark):
+        import math
+
+        rows = [("a", 500000, 200000), ("b", 300000, -100000), ("c", 200000, 0)]
+        eta, c = 150, 50
+        raw = {
+            d: w
+            * int(
+                math.copysign(
+                    math.floor(
+                        abs(math.exp((eta / 1000.0) * (l / 1_000_000.0)) * 1e6)
+                        + 0.5
+                    ),
+                    1,
+                )
+            )
+            for d, w, l in rows
+        }
+        tot, k = sum(raw.values()), len(rows)
+        exp = {
+            d: ((1000 - c) * ((r * 1_000_000) // tot) + c * (1_000_000 // k))
+            // 1000
+            for d, r in raw.items()
+        }
+        assert self._run(spark, rows, eta_milli=eta, smooth_milli=c) == exp
+
+    def test_zero_loss_keeps_relative_weights(self, spark):
+        rows = [("a", 600000, 0), ("b", 400000, 0)]
+        got = self._run(spark, rows, eta_milli=100, smooth_milli=0)
+        assert got == {"a": 600000, "b": 400000}
+
+    def test_high_loss_upweights(self, spark):
+        rows = [("hard", 500000, 1_000_000), ("easy", 500000, -1_000_000)]
+        got = self._run(spark, rows, eta_milli=500, smooth_milli=0)
+        assert got["hard"] > 500000 > got["easy"]
+        assert 999_990 <= got["hard"] + got["easy"] <= 1_000_000
+
+    def test_full_smoothing_is_uniform(self, spark):
+        rows = [("a", 900000, 2_000_000), ("b", 100000, -2_000_000)]
+        got = self._run(spark, rows, eta_milli=100, smooth_milli=1000)
+        assert got == {"a": 500000, "b": 500000}
+
+    def test_overflow_guard_raises(self, spark):
+        import pytest as _pytest
+
+        # eta*loss = 3 nats -> factor e^3 ~ 20.1e6 micro > the 9e6 cap
+        rows = [("a", 500000, 3_000_000), ("b", 500000, 0)]
+        with _pytest.raises(ValueError, match="rescale"):
+            self._run(spark, rows, eta_milli=1000, smooth_milli=0)
+        # and a loss big enough that the long CAST itself overflows to
+        # NULL (e^30 * 1e6 > int64) must hit the same loud branch
+        rows = [("a", 500000, 30_000_000), ("b", 500000, 0)]
+        with _pytest.raises(ValueError, match="rescale"):
+            self._run(spark, rows, eta_milli=1000, smooth_milli=0)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        df_rows = [("a", 500000, 0)]
+        with _pytest.raises(ValueError):
+            self._run(spark, df_rows, eta_milli=-1)
+        with _pytest.raises(ValueError):
+            self._run(spark, df_rows, smooth_milli=1001)

@@ -290,6 +290,9 @@ def test_oracled_queries_precede_rows_only():
         # self-join core of tier-1 minhash_lsh_pairs
         "winnow_fps",
         "winnow_candidates",
+        # DoReMi mixture update — dimension-table integer algebra,
+        # tier-1 unigram_lm's micro quantization + broadcast-total
+        "domain_reweight",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -2647,6 +2647,22 @@ def q_domain_reweight(spark, sf_dir):
     return domain_reweight(doms, eta_milli=100, smooth_milli=100)
 
 
+def q_alpha_shares(spark, sf_dir):
+    """Temperature-scaled sampling shares (mBERT/mT5 α-sampling,
+    α = 300 milli): per-language corpus counts → p^α-normalized target
+    shares in integer micro-units — the multilingual head-flattening
+    rule, planned here and enforced by mix_proportions."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import alpha_sample_shares
+
+    counts = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return alpha_sample_shares(counts, alpha_milli=300, group_col="lang")
+
+
 def q_bpe_token_counts(spark, sf_dir):
     """Token-cost accounting under a fixed learned merge list (the
     encode side of BPE training) — iterative merge application is not
@@ -3002,6 +3018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a 1-row broadcast total, the micro-quantization discipline of
         # tier-1 unigram_lm over the mix_proportions planning surface
         "domain_reweight": q_domain_reweight,
+        # α-sampling shares — the same dimension-table micro-integer
+        # planning family as domain_reweight, exp∘ln instead of exp
+        "alpha_shares": q_alpha_shares,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -5153,6 +5172,21 @@ FROM documents)
                    ((900 * ((raw_ * 1000000) // total_))
                     + (100 * (1000000 // k_))) // 1000 AS new_weight_micro
             FROM r, tot
+        """,
+
+        "alpha_shares": """
+            WITH c AS (SELECT lang AS "group", count(*)::BIGINT AS n_docs
+                       FROM documents GROUP BY 1),
+            t AS (SELECT sum(n_docs)::BIGINT AS n_ FROM c),
+            p AS (SELECT "group", n_docs,
+                         (n_docs * 1000000) // n_ AS raw_share_micro,
+                         CAST(round(exp((300 / 1000.0) * ln(n_docs / n_))
+                                    * 1000000.0) AS BIGINT) AS pow_
+                  FROM c, t),
+            pt AS (SELECT sum(pow_)::BIGINT AS pt_ FROM p)
+            SELECT "group", n_docs, raw_share_micro,
+                   (pow_ * 1000000) // pt_ AS alpha_share_micro
+            FROM p, pt
         """,
 
         "dsir_topk": f"""

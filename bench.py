@@ -162,6 +162,7 @@ HEADLINE = [
     "winnow_fps",
     "winnow_candidates",
     "domain_reweight",
+    "alpha_shares",
     "bpe_token_counts",
 ]
 

@@ -1061,3 +1061,65 @@ def domain_reweight(
         )
     )
     return out
+
+
+def alpha_sample_shares(
+    counts: DataFrame,
+    alpha_milli: int = 300,
+    group_col: str = "lang",
+    count_col: str = "n_docs",
+) -> DataFrame:
+    """Temperature-scaled sampling shares — the multilingual mixing
+    rule of mBERT/XLM-R/mT5 (Conneau & Lample 2019; Xue et al. 2021):
+    sample group ``i`` with probability ``p_i^α / Σ_j p_j^α`` where
+    ``p_i`` is its corpus share and ``α ∈ (0, 1]`` flattens the Zipf
+    head so low-resource languages are seen more than their raw share
+    (α=1 keeps natural proportions; mT5 ships α=0.3). Output feeds
+    :func:`mix_proportions` as its target dict — plan here, enforce
+    there (the same division of labor as ``domain_reweight``).
+
+    Exactness: ``p_i^α = exp(α · ln(n_i / N))`` computed in one fixed
+    expression order from exact integers and quantized ONCE to integer
+    micro-units; the normalization is one integer division against the
+    broadcast total. Shares sum to ~10⁶ minus flooring. The group
+    table is dimension-sized (languages/sources); one 1-row broadcast,
+    everything else row-local.
+
+    Returns ``(group, n_docs, raw_share_micro, alpha_share_micro)``.
+    """
+    if not (0 < alpha_milli <= 1000):
+        raise ValueError(
+            f"alpha_milli must be in (0, 1000], got {alpha_milli}"
+        )
+    base = counts.select(
+        F.col(group_col).alias("group"),
+        F.col(count_col).cast("long").alias("n_docs"),
+    )
+    tot = base.agg(F.sum("n_docs").alias("_n"))
+    a = F.lit(int(alpha_milli)) / F.lit(1000.0)
+    powed = (
+        base.crossJoin(F.broadcast(tot))
+        .select(
+            "group",
+            "n_docs",
+            F.expr("(n_docs * 1000000) div _n").alias("raw_share_micro"),
+            F.round(
+                F.exp(a * F.log(F.col("n_docs") / F.col("_n")))
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("_pow_micro"),
+        )
+    )
+    ptot = powed.agg(F.sum("_pow_micro").alias("_pt"))
+    return (
+        powed.crossJoin(F.broadcast(ptot))
+        .select(
+            "group",
+            "n_docs",
+            "raw_share_micro",
+            F.expr("(_pow_micro * 1000000) div _pt")
+            .cast("long")
+            .alias("alpha_share_micro"),
+        )
+    )

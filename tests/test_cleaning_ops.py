@@ -1014,3 +1014,67 @@ class TestDomainReweight:
             self._run(spark, df_rows, eta_milli=-1)
         with _pytest.raises(ValueError):
             self._run(spark, df_rows, smooth_milli=1001)
+
+
+class TestAlphaSampleShares:
+    """mT5 α-sampling: simulation identity, α=1 identity, flattening
+    direction, validation."""
+
+    @staticmethod
+    def _df(spark, rows):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(lang=g, n_docs=n) for g, n in rows]
+        )
+
+    def _run(self, spark, rows, alpha):
+        from correctocr_spark.ops.cleaning import alpha_sample_shares
+
+        return {
+            r["group"]: (r["raw_share_micro"], r["alpha_share_micro"])
+            for r in alpha_sample_shares(
+                self._df(spark, rows), alpha_milli=alpha, group_col="lang"
+            ).collect()
+        }
+
+    def test_matches_python_simulation(self, spark):
+        import math
+
+        rows = [("en", 800), ("fr", 150), ("sw", 50)]
+        alpha = 300
+        n = sum(c for _, c in rows)
+        pow_ = {
+            g: int(
+                math.floor(
+                    abs(math.exp((alpha / 1000.0) * math.log(c / n)) * 1e6)
+                    + 0.5
+                )
+            )
+            for g, c in rows
+        }
+        pt = sum(pow_.values())
+        exp = {
+            g: ((c * 1_000_000) // n, (pow_[g] * 1_000_000) // pt)
+            for g, c in rows
+        }
+        assert self._run(spark, rows, alpha) == exp
+
+    def test_alpha_one_is_identity(self, spark):
+        rows = [("en", 750), ("fr", 250)]
+        got = self._run(spark, rows, 1000)
+        for g, (raw, a) in got.items():
+            assert abs(raw - a) <= 1, got  # identical up to 1-micro flooring
+
+    def test_flattens_toward_uniform(self, spark):
+        rows = [("head", 900), ("tail", 100)]
+        got = self._run(spark, rows, 300)
+        assert got["head"][1] < got["head"][0]
+        assert got["tail"][1] > got["tail"][0]
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        for bad in (0, 1001, -3):
+            with _pytest.raises(ValueError):
+                self._run(spark, [("en", 10)], bad)

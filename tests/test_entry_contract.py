@@ -293,6 +293,8 @@ def test_oracled_queries_precede_rows_only():
         # DoReMi mixture update — dimension-table integer algebra,
         # tier-1 unigram_lm's micro quantization + broadcast-total
         "domain_reweight",
+        # α-sampling shares — same planning family as domain_reweight
+        "alpha_shares",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

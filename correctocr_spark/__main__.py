@@ -273,6 +273,21 @@ def build_parser() -> argparse.ArgumentParser:
     sk.add_argument("--output", default="",
                     help="write the report parquet here (default: print)")
 
+    pl = sub.add_parser(
+        "plan",
+        help="physical-plan audit for a registered driver query: the "
+             "formatted plan plus the scale report card (exchanges by "
+             "kind, codegen spans, Python-UDF nodes, pushed filters, "
+             "read schemas, cartesian/top-k flags) — .explain, "
+             "institutionalized",
+    )
+    pl.add_argument("query", help="name from __spark_entry__.queries(); "
+                                  "'list' prints the registry")
+    pl.add_argument("--sf-dir", default=_env_default("sf_dir", "/root/testdata/sf0.001"))
+    pl.add_argument("--full", action="store_true",
+                    help="print the entire formatted plan (default: the "
+                         "audit summary + plan head)")
+
     st = sub.add_parser("stats", help="per-bin metrics; optionally derive settings")
     st.add_argument("--input", required=True, help="pages parquet path")
     st.add_argument("--make-settings", default="",
@@ -748,6 +763,89 @@ def main(argv=None) -> int:
                         f"{r['key']}\trows={r['n_rows']}\tbytes={r['n_bytes']}\t"
                         f"row_bp={r['row_share_bp']}\tbyte_bp={r['byte_share_bp']}{flag}"
                     )
+        elif args.command == "plan":
+            # the driver contract lives at the repo root next to this
+            # package, not inside it — a dev/ops introspection tool, so
+            # the reverse import is lazy and loudly optional
+            import io as _io
+            import re as _re
+            import sys as _sys
+            from contextlib import redirect_stdout as _redirect
+
+            try:
+                import __spark_entry__ as _entry
+            except ImportError:
+                print(
+                    "plan: __spark_entry__.py not importable — run from "
+                    "the repo root (or add it to PYTHONPATH)",
+                    file=_sys.stderr,
+                )
+                return 2
+            qs = _entry.queries()
+            if args.query == "list":
+                oracled = set(_entry.oracle_sql())
+                for name in qs:
+                    print(f"{name}\t{'oracled' if name in oracled else 'rows-only'}")
+                return 0
+            if args.query not in qs:
+                print(f"plan: unknown query {args.query!r} (try 'list')",
+                      file=_sys.stderr)
+                return 2
+            # AQE wraps the unexecuted plan in AdaptiveSparkPlan and omits
+            # the `[codegen id : N]` annotations; this command only
+            # explains (never executes), so audit the static plan instead
+            aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                df = qs[args.query](spark, args.sf_dir)
+                buf = _io.StringIO()
+                with _redirect(buf):
+                    df.explain("formatted")
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+            plan = buf.getvalue()
+            ex_kinds = {}
+            for m in _re.finditer(
+                r"\(\d+\) Exchange\n(?:.*\n)*?Arguments: (\w+)", plan
+            ):
+                ex_kinds[m.group(1)] = ex_kinds.get(m.group(1), 0) + 1
+            counts = {
+                "broadcast_exchanges": len(_re.findall(r"\(\d+\) BroadcastExchange", plan)),
+                # formatted mode annotates nodes with `[codegen id : N]`
+                # (the tree-mode `WholeStageCodegen (N)` wrapper is absent)
+                "codegen_spans": len(set(_re.findall(r"\[codegen id : (\d+)\]", plan))),
+                "generates": len(_re.findall(r"\(\d+\) Generate", plan)),
+                "windows": len(_re.findall(r"\(\d+\) Window\b", plan)),
+            }
+            python_nodes = sorted(set(
+                _re.findall(r"\((?:\d+)\) (BatchEvalPython|ArrowEvalPython|"
+                            r"MapInPandas|FlatMapGroupsInPandas|PythonMapInArrow)", plan)
+            ))
+            flags = []
+            if "CartesianProduct" in plan:
+                flags.append("CARTESIAN-PRODUCT")
+            if "BatchEvalPython" in plan:
+                flags.append("ROW-AT-A-TIME-PYTHON-UDF")
+            print(f"query: {args.query}")
+            for k, v in ex_kinds.items():
+                print(f"exchange[{k}]: {v}")
+            for k, v in counts.items():
+                print(f"{k}: {v}")
+            print(f"python_nodes: {', '.join(python_nodes) if python_nodes else 'none'}")
+            for m in _re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+                if m.group(1):
+                    print(f"pushed: {m.group(1)}")
+            for m in _re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+                cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+                print(f"scan_cols: {','.join(cols)}")
+            print("top_k: " + ("TakeOrderedAndProject" if "TakeOrderedAndProject" in plan else
+                               "WindowGroupLimit" if "WindowGroupLimit" in plan else "none"))
+            print(f"flags: {', '.join(flags) if flags else 'none'}")
+            if args.full:
+                print("\n" + plan)
+            else:
+                head = "\n".join(plan.splitlines()[:30])
+                print("\n-- plan head --\n" + head)
         elif args.command == "stats":
             import json as _json
 

@@ -552,3 +552,30 @@ def test_cli_skew_report(tmp_path, spark):
     assert set(rep.columns) == {
         "key", "n_rows", "n_bytes", "row_share_bp", "byte_share_bp", "hot"
     }
+
+
+@pytest.mark.slow
+def test_cli_plan_audit():
+    # registry listing marks oracled vs rows-only
+    r = run_cli("plan", "list")
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = dict(l.split("\t") for l in r.stdout.splitlines() if "\t" in l)
+    assert lines.get("word_freq") == "oracled"
+    assert "rows-only" in lines.values()
+
+    # audit of a known query: one hash exchange, scan pruned to text,
+    # codegen spans visible (AQE disabled for the static explain)
+    r = run_cli("plan", "word_freq")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = r.stdout
+    assert "query: word_freq" in out
+    assert "exchange[hashpartitioning]: 1" in out
+    assert "scan_cols: text" in out
+    m = [l for l in out.splitlines() if l.startswith("codegen_spans: ")]
+    assert m and int(m[0].split(": ")[1]) >= 1
+    assert "flags: none" in out
+
+    # unknown query exits 2 with a hint
+    r = run_cli("plan", "no_such_query")
+    assert r.returncode == 2
+    assert "unknown query" in r.stderr

@@ -2663,6 +2663,88 @@ def q_alpha_shares(spark, sf_dir):
     return alpha_sample_shares(counts, alpha_milli=300, group_col="lang")
 
 
+def q_margin_mine(spark, sf_dir):
+    """Bitext mining by ratio margin (Artetxe & Schwenk 2019 — the
+    CCMatrix miner): embeddings split into two synthetic 'languages'
+    (even = src, odd = tgt), with every vec_id ≡ 0 mod 20 cloned into
+    the tgt side at id+500000 as its 'translation' — cos ≈ 1, margin
+    far above the crowd, mined as a mutual best pair."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import margin_mine
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    s = emb.where(F.col("vec_id") % 2 == 0)
+    t = emb.where(F.col("vec_id") % 2 == 1).unionByName(
+        emb.where(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+        )
+    )
+    return margin_mine(s, t, k=4, min_margin_milli=1050)
+
+
+def q_epoch_plan(spark, sf_dir):
+    """Token-budget epoch planner over per-language token inventories:
+    target shares (micro) x 60k-token budget -> per-language repeat
+    factors, capped at 2.0 epochs (Muennighoff-style repeat cap), with
+    the binding domains flagged and their shortfall reported."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import epoch_plan
+    from correctocr_spark.ops.dedup import normalized_words
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", F.size(normalized_words("text")).alias("_t"))
+        .groupBy("lang")
+        .agg(F.sum("_t").alias("n_tokens"))
+    )
+    shares = {"en": 300000, "de": 200000, "es": 200000, "fr": 200000, "zh": 100000}
+    return epoch_plan(
+        toks, budget_tokens=60000, shares_micro=shares,
+        group_col="lang", max_epochs_milli=2000,
+    )
+
+
+def q_host_boilerplate(spark, sf_dir):
+    """Host-scoped template-line scrub (trafilatura/CCNet site-template
+    removal): synthetic 5-host url layout over documents (the
+    host_quota fixture), each page suffixed with ITS host's copyright
+    footer — removed on every page because >= 3 distinct pages of the
+    same host share it, while host-unique content lines survive."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import strip_host_boilerplate
+
+    h = (F.col("doc_id") % 5).cast("string")
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://example"), h, F.lit(".com/p/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.concat(
+            F.col("text"),
+            F.lit("\n(c) example"), h, F.lit(".com - all rights reserved"),
+        ).alias("text"),
+    )
+    return strip_host_boilerplate(pages, min_pages=3)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): embedding-space dedup scoped to
+    k-means clusters — argmin-centroid assignment, then within each
+    cluster drop any vector whose cosine to a higher-keep-priority
+    member exceeds eps (priority = farthest-from-centroid first, the
+    paper's default). Exact duplicates are injected (every vec_id ≡ 0
+    mod 50 gets a clone at id+100000) so the kept=false set is
+    non-trivial at every SF; the clone loses the id tie-break, so the
+    original always survives."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return semdedup(emb.unionByName(clones), _IVF_CENTROIDS, eps=0.95)
+
+
 def q_bpe_token_counts(spark, sf_dir):
     """Token-cost accounting under a fixed learned merge list (the
     encode side of BPE training) — iterative merge application is not
@@ -2703,7 +2785,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sql_api_stats — the literal spark.sql() twin of
         # doc_stats_by_lang (same aggregation through the SQL surface)
         # — moved to tier 2 for robots_directives
-        "revenue_filter_agg": q_revenue_filter_agg,
+        # revenue_filter_agg (green r1-r5) moved to tier 2 for semdedup:
+        # its filter+agg shape is a strict subset of the still-tier-1
+        # stats_conditional_agg over the same lineitem table
+        "semdedup": q_semdedup,
         "stats_conditional_agg": q_stats_conditional_agg,
         # joins (J1-J7)
         "join_agg": q_join_agg,
@@ -2720,7 +2805,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token_window (4 rounds of green driver rows, and siblings of
         # the still-tier-1 token_detail view) moved to tier 2 to fit
         "asof_join": q_asof_join,
-        "range_join": q_range_join,
+        # range_join (green r5 sibling of asof_join: same bin-explode
+        # sort-merge band core) moved to tier 2 for margin_mine — a
+        # genuinely new plan family (integer-quantized kNN-margin
+        # windows over a two-sided candidate join)
+        "margin_mine": q_margin_mine,
         # resource prep (S14) — r4's lost driver row, restored to tier 1
         "dictionary_build": q_dictionary_build,
         # dedup suite (dedup_exact — a 0-row-at-sf0.01 result whose
@@ -3021,6 +3110,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # α-sampling shares — the same dimension-table micro-integer
         # planning family as domain_reweight, exp∘ln instead of exp
         "alpha_shares": q_alpha_shares,
+        # host-scoped boilerplate scrub — dedup_lines' exact plan family
+        # (line explode → hot-key agg → anti-join → reassembly) keyed by
+        # (host, line) with distinct-page counting; the line-scrub core
+        # is hash-verified through tier-1 dedup_lines
+        "host_boilerplate": q_host_boilerplate,
+        # epoch planner — dimension-table integer algebra of the
+        # domain_reweight/alpha_shares planning family, closing the
+        # loop into mix_proportions
+        "epoch_plan": q_epoch_plan,
+        # revenue_filter_agg — demoted from tier 1 for semdedup (its
+        # filter+agg shape is a subset of tier-1 stats_conditional_agg)
+        "revenue_filter_agg": q_revenue_filter_agg,
+        # range_join — demoted from tier 1 for margin_mine (shares
+        # asof_join's bin-explode sort-merge band core)
+        "range_join": q_range_join,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -4135,6 +4239,50 @@ def _ivf_sql() -> str:
         best_d = f"least({dists[cid]}, {best_d})"
     return f"""
         SELECT vec_id, ({best_id})::INTEGER AS centroid_id FROM embeddings
+    """
+
+
+def _semdedup_sql(eps: float = 0.95) -> str:
+    """DuckDB twin of q_semdedup: same injected clones, the _ivf_sql
+    argmin chain over the unioned input, centroid-cos via a VALUES
+    centroid table, and the removed set as the same beats-pair join
+    (priority = centroid_cos ASC, id ASC — keep='far')."""
+    def lit(p):
+        return "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+
+    dists = [f"list_distance(v, {lit(c)})" for c in _IVF_CENTROIDS]
+    best_id, best_d = "0", dists[0]
+    for cid in range(1, len(dists)):
+        best_id = f"(case when {dists[cid]} < {best_d} then {cid} else {best_id} end)"
+        best_d = f"least({dists[cid]}, {best_d})"
+    cents = ", ".join(f"({cid}, {lit(c)})" for cid, c in enumerate(_IVF_CENTROIDS))
+    return f"""
+        WITH inp AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
+            WHERE vec_id % 50 = 0
+        ),
+        cents AS (SELECT * FROM (VALUES {cents}) AS t(cid, cv)),
+        assigned AS (
+            SELECT vec_id, v, ({best_id})::INTEGER AS centroid_id FROM inp
+        ),
+        scored AS (
+            SELECT a.vec_id, a.v, a.centroid_id,
+                   round(list_cosine_similarity(a.v, c.cv), 6) AS centroid_cos
+            FROM assigned a JOIN cents c ON c.cid = a.centroid_id
+        ),
+        removed AS (
+            SELECT DISTINCT b.vec_id
+            FROM scored a JOIN scored b
+              ON a.centroid_id = b.centroid_id
+             AND (a.centroid_cos < b.centroid_cos
+                  OR (a.centroid_cos = b.centroid_cos AND a.vec_id < b.vec_id))
+             AND list_cosine_similarity(a.v, b.v) > {eps!r}
+        )
+        SELECT s.vec_id, s.centroid_id, s.centroid_cos,
+               (r.vec_id IS NULL) AS kept
+        FROM scored s LEFT JOIN removed r ON r.vec_id = s.vec_id
     """
 
 
@@ -6114,6 +6262,143 @@ FROM documents)
             ) WHERE k IS NOT NULL AND k % 7 = 0
         """,
         "ivf_assign": _ivf_sql(),
+        "semdedup": _semdedup_sql(),
+        "margin_mine": """
+            WITH s AS (
+                SELECT vec_id AS src_id, embedding::DOUBLE[] AS sv
+                FROM embeddings WHERE vec_id % 2 = 0
+            ),
+            t AS (
+                SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS tv
+                FROM embeddings WHERE vec_id % 2 = 1
+                UNION ALL
+                SELECT vec_id + 500000, embedding::DOUBLE[]
+                FROM embeddings WHERE vec_id % 20 = 0
+            ),
+            pairs AS (
+                SELECT src_id, tgt_id,
+                       CAST(round(list_cosine_similarity(sv, tv) * 1000000)
+                            AS BIGINT) AS cos_micro
+                FROM s, t
+            ),
+            fwd AS (
+                SELECT src_id, sum(cos_micro)::BIGINT AS den_s,
+                       count(*)::BIGINT AS k_s
+                FROM (SELECT src_id, cos_micro,
+                             row_number() OVER (PARTITION BY src_id
+                                 ORDER BY cos_micro DESC, tgt_id) AS rn
+                      FROM pairs)
+                WHERE rn <= 4 GROUP BY src_id
+            ),
+            bwd AS (
+                SELECT tgt_id, sum(cos_micro)::BIGINT AS den_t,
+                       count(*)::BIGINT AS k_t
+                FROM (SELECT tgt_id, cos_micro,
+                             row_number() OVER (PARTITION BY tgt_id
+                                 ORDER BY cos_micro DESC, src_id) AS rn
+                      FROM pairs)
+                WHERE rn <= 4 GROUP BY tgt_id
+            ),
+            scored AS (
+                SELECT p.src_id, p.tgt_id, p.cos_micro,
+                       ((p.cos_micro * 2 * f.k_s * b.k_t * 1000000)
+                        // (f.den_s * b.k_t + b.den_t * f.k_s))::BIGINT
+                           AS margin_micro
+                FROM pairs p JOIN fwd f USING (src_id) JOIN bwd b USING (tgt_id)
+                WHERE p.cos_micro > 0
+                  AND (f.den_s * b.k_t + b.den_t * f.k_s) > 0
+            ),
+            best AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY src_id
+                           ORDER BY margin_micro DESC, tgt_id) AS rf,
+                       row_number() OVER (PARTITION BY tgt_id
+                           ORDER BY margin_micro DESC, src_id) AS rb
+                FROM scored
+            )
+            SELECT src_id, tgt_id, cos_micro, margin_micro
+            FROM best WHERE rf = 1 AND rb = 1 AND margin_micro >= 1050000
+        """,
+        "epoch_plan": """
+            WITH toks AS (
+                SELECT lang AS "group",
+                       sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '')))::BIGINT AS n_tokens
+                FROM documents GROUP BY 1
+            ),
+            base AS (
+                SELECT "group", n_tokens,
+                       (CASE "group" WHEN 'en' THEN 300000 WHEN 'de' THEN 200000
+                                     WHEN 'es' THEN 200000 WHEN 'fr' THEN 200000
+                                     WHEN 'zh' THEN 100000 ELSE 0 END)::BIGINT
+                           AS share_micro
+                FROM toks
+            ),
+            t AS (
+                -- budget 60000 = hi 0 * 1e6 + lo 60000 (the exact
+                -- base-1e6 decomposition the Spark side uses)
+                SELECT *, ((share_micro * 60000) // 1000000)::BIGINT AS target_tokens
+                FROM base
+            ),
+            e AS (
+                SELECT *, (CASE WHEN n_tokens > 0
+                                THEN (target_tokens * 1000) // n_tokens
+                                ELSE 0 END)::BIGINT AS epochs_raw_milli
+                FROM t
+            ),
+            p AS (
+                SELECT *, least(epochs_raw_milli, 2000)::BIGINT AS epochs_milli,
+                       (epochs_raw_milli > 2000) AS capped
+                FROM e
+            )
+            SELECT "group", n_tokens, share_micro, target_tokens,
+                   epochs_raw_milli, epochs_milli, capped,
+                   ((n_tokens * epochs_milli) // 1000)::BIGINT AS planned_tokens,
+                   (target_tokens - (n_tokens * epochs_milli) // 1000)::BIGINT
+                       AS shortfall_tokens
+            FROM p
+        """,
+        "host_boilerplate": """
+            WITH pages AS (
+                SELECT 'http://example' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                       'example' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host,
+                       text || chr(10) || '(c) example'
+                           || CAST(doc_id % 5 AS VARCHAR)
+                           || '.com - all rights reserved' AS text
+                FROM documents
+            ),
+            w AS (SELECT url, host, string_split(text, chr(10)) AS ls FROM pages),
+            keyed AS (
+                SELECT url, host, s.idx AS idx, s.line AS line,
+                       md5(lower(trim(s.line))) AS lk
+                FROM (
+                    SELECT url, host,
+                           unnest(list_transform(range(0, len(ls)),
+                                  i -> {'idx': i, 'line': ls[i+1]})) AS s
+                    FROM w
+                )
+            ),
+            hot AS (
+                SELECT host, lk FROM keyed WHERE trim(line) <> ''
+                GROUP BY host, lk HAVING count(DISTINCT url) >= 3
+            ),
+            kept AS (
+                SELECT k.url, k.idx, k.line FROM keyed k
+                WHERE NOT EXISTS (SELECT 1 FROM hot h
+                                  WHERE h.host = k.host AND h.lk = k.lk)
+            ),
+            clean AS (
+                SELECT url,
+                       string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY url
+            )
+            SELECT w.url, w.host, coalesce(c.clean_text, '') AS clean_text,
+                   len(w.ls)::BIGINT AS n_lines,
+                   (len(w.ls) - coalesce(c.n_kept, 0))::BIGINT AS n_removed
+            FROM w LEFT JOIN clean c ON c.url = w.url
+        """,
         "ivf_search": _ivf_search_sql(),
         "embedding_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -163,6 +163,10 @@ HEADLINE = [
     "winnow_candidates",
     "domain_reweight",
     "alpha_shares",
+    "semdedup",
+    "host_boilerplate",
+    "epoch_plan",
+    "margin_mine",
     "bpe_token_counts",
 ]
 

@@ -1123,3 +1123,91 @@ def alpha_sample_shares(
             .alias("alpha_share_micro"),
         )
     )
+
+
+def epoch_plan(
+    domain_tokens: DataFrame,
+    budget_tokens: int,
+    shares_micro: dict,
+    group_col: str = "group",
+    tokens_col: str = "n_tokens",
+    max_epochs_milli: int = 4000,
+) -> DataFrame:
+    """Token-budget epoch planner — the missing step between a target
+    mixture (:func:`alpha_sample_shares` / :func:`domain_reweight`) and
+    enforcement (:func:`mix_proportions`): given per-domain token
+    inventories, a total training budget and target shares, how many
+    EPOCHS (repeats) of each domain does the plan imply, and where does
+    the repeat cap bind? Repeating data beyond ~4 epochs stops helping
+    (Muennighoff et al. 2023, arXiv:2305.16264 — the default cap), so a
+    domain whose target exceeds ``max_epochs_milli`` is CAPPED and the
+    plan reports the shortfall the mixture must reallocate.
+
+    All integer arithmetic in fixed order (micro-shares, milli-epochs)
+    — reduction-order-proof and engine-exact. ``budget * share`` is
+    computed by exact base-10⁶ decomposition so a 10¹³-token budget
+    (a 100 TB corpus) cannot overflow int64. A domain absent from
+    ``shares_micro`` plans 0 target (listed, not silently dropped); a
+    0-token domain plans 0 epochs with its full target as shortfall.
+
+    Returns ``(group, n_tokens, share_micro, target_tokens,
+    epochs_raw_milli, epochs_milli, capped, planned_tokens,
+    shortfall_tokens)`` — dimension-table-sized, no corpus shuffle
+    beyond whatever built ``domain_tokens``.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    if max_epochs_milli <= 0:
+        raise ValueError(f"max_epochs_milli must be positive, got {max_epochs_milli}")
+    if not shares_micro:
+        raise ValueError("shares_micro must be a non-empty {group: micro} dict")
+    bad = {k: v for k, v in shares_micro.items() if not (0 < int(v) <= 1_000_000)}
+    if bad:
+        raise ValueError(f"shares must be micro-units in (0, 1e6]: {bad}")
+    if sum(int(v) for v in shares_micro.values()) > 1_000_000:
+        raise ValueError("shares_micro sums past 1e6 (100%)")
+
+    share_map = F.create_map(
+        *[F.lit(x) for kv in sorted(shares_micro.items()) for x in (kv[0], int(kv[1]))]
+    )
+    hi, lo = divmod(int(budget_tokens), 1_000_000)
+    base = domain_tokens.select(
+        F.col(group_col).alias("group"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.coalesce(F.element_at(share_map, F.col(group_col)), F.lit(0))
+        .cast("long")
+        .alias("share_micro"),
+    ).withColumn(
+        # exact budget*share/1e6 without int64 overflow:
+        # share*(budget div 1e6) + share*(budget mod 1e6) div 1e6
+        "target_tokens",
+        (
+            F.col("share_micro") * F.lit(hi)
+            + F.expr(f"(share_micro * {lo}) div 1000000")
+        ).cast("long"),
+    )
+    planned = (
+        base.withColumn(
+            "epochs_raw_milli",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("(target_tokens * 1000) div n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "epochs_milli",
+            F.least(F.col("epochs_raw_milli"), F.lit(int(max_epochs_milli)))
+            .cast("long"),
+        )
+        .withColumn("capped", F.col("epochs_raw_milli") > F.lit(int(max_epochs_milli)))
+        .withColumn(
+            "planned_tokens", F.expr("(n_tokens * epochs_milli) div 1000").cast("long")
+        )
+        .withColumn(
+            "shortfall_tokens",
+            (F.col("target_tokens") - F.col("planned_tokens")).cast("long"),
+        )
+    )
+    return planned

@@ -1642,3 +1642,87 @@ def winnow_candidates(
     from .cache import register_intermediates
 
     return register_intermediates(out, f)
+
+
+def strip_host_boilerplate(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_pages: int = 3,
+) -> DataFrame:
+    """HOST-scoped boilerplate line removal (the trafilatura/CCNet
+    "site template" scrub): a line whose normalized form appears on
+    ``min_pages``+ DISTINCT pages of the SAME host is that host's
+    navigation/footer/cookie-banner template and is dropped from every
+    page of the host; the same line on another host is judged against
+    that host's own page count. This is deliberately different from
+    :func:`dedup_lines` (global corpus-frequency scrub): per-host
+    scoping catches low-traffic templates a global threshold misses and
+    spares legitimately common sentences that only look boilerplate in
+    aggregate. Repetition WITHIN one page does not count toward the
+    threshold (that's :func:`repetition stats <..cleaning>` territory)
+    — the frequency is distinct-page.
+
+    Returns ``(url, host, clean_text, n_lines, n_removed)`` for every
+    input page; blank lines are structure and always survive.
+
+    Scale shape: line explode + md5 at scan speed, one (host, line-key)
+    aggregation with map-side partials (distinct-page counting shuffles
+    on the SAME composite key — no second shuffle family), one
+    anti-join back on that key, one per-page reassembly. Host skew
+    (one giant host) is bounded because the aggregation key includes
+    the line hash — a hot host fans out across the cluster instead of
+    funneling to one reducer.
+    """
+    from .filters import host_col  # local: filters imports this module
+
+    base = pages.select(
+        F.col(url_col).alias("url"),
+        host_col(F.col(url_col)).alias("host"),
+        F.split(F.col(text_col), "\n").alias("_ls"),
+    )
+    keyed = (
+        ensure_parallelism(pages)
+        .select(
+            F.col(url_col).alias("url"),
+            host_col(F.col(url_col)).alias("host"),
+            F.split(F.col(text_col), "\n").alias("_ls"),
+        )
+        .select("url", "host", F.posexplode("_ls").alias("idx", "line"))
+        .withColumn("lk", F.md5(F.lower(F.trim("line"))))
+    )
+    # feeds the template aggregation AND the anti-join — one computation
+    keyed = keyed.persist()
+    keyed.count()
+    hot = (
+        keyed.where(F.trim("line") != "")
+        .groupBy("host", "lk")
+        .agg(F.countDistinct("url").alias("_n"))
+        .where(F.col("_n") >= min_pages)
+        .select("host", "lk")
+    )
+    kept = keyed.join(hot, on=["host", "lk"], how="left_anti")
+    clean = kept.groupBy("url").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("idx"), F.col("line")))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    out = (
+        base.select("url", "host", F.size("_ls").alias("n_lines"))
+        .join(clean, on="url", how="left")
+        .select(
+            "url",
+            "host",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+    return register_intermediates(out, keyed)

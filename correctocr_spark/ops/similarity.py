@@ -528,3 +528,242 @@ def bm25_topk(
         .select("query_id", "doc_id", "n_terms", "score_micro", "rank")
     )
     return register_intermediates(out, tf)
+
+
+def semdedup(
+    embeddings: DataFrame,
+    centroids: List[List[float]],
+    eps: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "far",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    deduplication scoped to k-means clusters — the embedding-space
+    complement of MinHash/SimHash (which only see lexical overlap).
+    Every vector is assigned to its nearest centroid (squared-L2
+    argmin, earliest centroid on ties — the ``ivf_assign`` rule);
+    within each cluster, members are ordered by keep-priority —
+    cosine-to-own-centroid ASCENDING for ``keep="far"`` (the paper's
+    default: retain the example FARTHEST from the centroid) or
+    DESCENDING for ``keep="close"``, ties broken by id — and a vector
+    is REMOVED iff some higher-priority member of its cluster has
+    cosine > ``eps`` with it. That is exactly the reference
+    implementation's sort + ``triu(M)`` max-over-previous rule,
+    re-expressed as a cluster-keyed pair join so no per-cluster
+    similarity matrix ever materializes.
+
+    Returns ``(vec_id, centroid_id, centroid_cos, kept)`` for EVERY
+    input vector (``centroid_cos`` rounded to 6 — the priority key,
+    quantized identically on both engines).
+
+    Scale shape: one argmin projection at scan speed, persisted ONCE
+    for the self-join's two sides (norms precomputed per row, so each
+    candidate pair costs one dot product, not three folds); the only
+    pairwise work is the within-cluster equi-join, bounded by cluster
+    size — the scale lever is k (more centroids → smaller clusters),
+    exactly the paper's regime (50k clusters over LAION). Pass
+    ``max_cluster`` to RAISE loudly when a cluster exceeds the bound
+    you sized executors for, instead of silently exploding the join.
+    """
+    if keep not in ("far", "close"):
+        raise ValueError(f"keep must be 'far' or 'close', got {keep!r}")
+    if not centroids:
+        raise ValueError("semdedup requires a non-empty centroid list")
+    vec_d = F.col(vec_col).cast("array<double>")
+    cents = F.array(*[_lit_vec(c) for c in centroids])
+    assigned = (
+        ensure_parallelism(embeddings)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            vec_d.alias("_v"),
+            nearest_centroid_col(vec_d, centroids).alias("centroid_id"),
+        )
+        .withColumn(
+            "centroid_cos",
+            F.round(
+                cosine_col(F.col("_v"), F.element_at(cents, F.col("centroid_id") + 1)), 6
+            ),
+        )
+        .withColumn("_n", norm_col(F.col("_v")))
+    )
+    # one computation feeding the pair join's two sides AND the output
+    assigned = assigned.persist()
+    assigned.count()
+    if max_cluster is not None:
+        top = (
+            assigned.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.max("_c"))
+            .first()[0]
+        )
+        if top is not None and top > max_cluster:
+            raise ValueError(
+                f"semdedup: largest cluster has {top} members > "
+                f"max_cluster={max_cluster}; raise k (more centroids) "
+                "or the bound"
+            )
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("_ia"),
+        F.col("_v").alias("_va"),
+        F.col("centroid_cos").alias("_ca"),
+        F.col("_n").alias("_na"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("_ib"),
+        F.col("_v").alias("_vb"),
+        F.col("centroid_cos").alias("_cb"),
+        F.col("_n").alias("_nb"),
+    )
+    if keep == "far":
+        beats = (F.col("_ca") < F.col("_cb")) | (
+            (F.col("_ca") == F.col("_cb")) & (F.col("_ia") < F.col("_ib"))
+        )
+    else:
+        beats = (F.col("_ca") > F.col("_cb")) | (
+            (F.col("_ca") == F.col("_cb")) & (F.col("_ia") < F.col("_ib"))
+        )
+    pair_cos = dot_col(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    removed = (
+        a.join(b, on="centroid_id")
+        .where(beats & (pair_cos > F.lit(float(eps))))
+        .select(F.col("_ib").alias("vec_id"))
+        .distinct()
+    )
+    out = (
+        assigned.join(removed.withColumn("_dup", F.lit(True)), on="vec_id", how="left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "centroid_cos",
+            F.col("_dup").isNull().alias("kept"),
+        )
+    )
+    from .cache import register_intermediates
+
+    return register_intermediates(out, assigned)
+
+
+def margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    min_margin_milli: int = 1050,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: List[List[float]] | None = None,
+    mutual: bool = True,
+) -> DataFrame:
+    """Bitext mining by RATIO MARGIN (Artetxe & Schwenk 2019,
+    arXiv:1811.01136 — the CCMatrix/WikiMatrix miner): score every
+    (src, tgt) candidate by ``cos(x,y)`` divided by the mean of the two
+    sides' k-nearest-neighbor cosines — absolute cosine thresholds
+    can't separate parallel pairs from dense-region neighbors (hubness);
+    the margin normalizes by how crowded each vector's neighborhood is.
+    A pair is MINED when its margin clears ``min_margin_milli`` and
+    (``mutual=True``, the paper's intersection rule) each side is the
+    other's best candidate by margin.
+
+    Determinism (the hash-oracle contract): cosines are quantized ONCE
+    to integer micro-units; kNN selection orders by (cos_micro DESC,
+    id) — integer keys, engine-stable; denominators are integer sums of
+    ≤k quantized cosines (reduction-order-proof); the margin is one
+    integer expression ``(c·2·k_s·k_t·10⁶) div (den_s·k_t + den_t·k_s)``
+    evaluated only where both the cosine and the denominator are
+    positive (a non-positive cosine is never parallel text, and the
+    restriction keeps integer division out of the floor-vs-truncate
+    divergence zone between engines).
+
+    Scale shape: with ``planes`` the candidate space is a hyperplane-
+    LSH bucket equi-join (the ``embedding_dup_pairs_bucketed``
+    discipline — kNN denominators then run over the same candidate set,
+    the standard FAISS-approximate regime of the paper); without, a
+    labeled small-n cross join — the exact oracle twin only. Pairs are
+    persisted ONCE for their three consumers (fwd denom, bwd denom,
+    scoring); norms are precomputed per vector so each candidate costs
+    one dot product.
+
+    Returns ``(src_id, tgt_id, cos_micro, margin_micro)``.
+    """
+    from pyspark.sql import Window
+
+    from .cache import register_intermediates
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if min_margin_milli <= 0:
+        raise ValueError(f"min_margin_milli must be positive, got {min_margin_milli}")
+    vec_d = F.col(vec_col).cast("array<double>")
+    s = ensure_parallelism(src).select(
+        F.col(id_col).alias("src_id"),
+        vec_d.alias("_sv"),
+        norm_col(vec_d).alias("_sn"),
+        *([hyperplane_bucket(vec_d, planes).alias("_bkt")] if planes else []),
+    )
+    t = ensure_parallelism(tgt).select(
+        F.col(id_col).alias("tgt_id"),
+        vec_d.alias("_tv"),
+        norm_col(vec_d).alias("_tn"),
+        *([hyperplane_bucket(vec_d, planes).alias("_bkt")] if planes else []),
+    )
+    joined = s.join(t, on="_bkt") if planes else s.crossJoin(t)
+    pairs = joined.select(
+        "src_id",
+        "tgt_id",
+        F.round(
+            dot_col(F.col("_sv"), F.col("_tv")) / (F.col("_sn") * F.col("_tn"))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("cos_micro"),
+    )
+    # one computation, three consumers
+    pairs = pairs.persist()
+    pairs.count()
+    w_fwd = Window.partitionBy("src_id").orderBy(
+        F.col("cos_micro").desc(), F.col("tgt_id").asc()
+    )
+    w_bwd = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_micro").desc(), F.col("src_id").asc()
+    )
+    den_s = (
+        pairs.withColumn("_rn", F.row_number().over(w_fwd))
+        .where(F.col("_rn") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("cos_micro").alias("_den_s"), F.count(F.lit(1)).alias("_k_s"))
+    )
+    den_t = (
+        pairs.withColumn("_rn", F.row_number().over(w_bwd))
+        .where(F.col("_rn") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("cos_micro").alias("_den_t"), F.count(F.lit(1)).alias("_k_t"))
+    )
+    scored = (
+        pairs.join(den_s, on="src_id")
+        .join(den_t, on="tgt_id")
+        .withColumn("_D", F.col("_den_s") * F.col("_k_t") + F.col("_den_t") * F.col("_k_s"))
+        .where((F.col("cos_micro") > 0) & (F.col("_D") > 0))
+        .withColumn(
+            "margin_micro",
+            F.expr("(cos_micro * 2 * _k_s * _k_t * 1000000) div _D").cast("long"),
+        )
+    )
+    if mutual:
+        m_fwd = Window.partitionBy("src_id").orderBy(
+            F.col("margin_micro").desc(), F.col("tgt_id").asc()
+        )
+        m_bwd = Window.partitionBy("tgt_id").orderBy(
+            F.col("margin_micro").desc(), F.col("src_id").asc()
+        )
+        scored = (
+            scored.withColumn("_rf", F.row_number().over(m_fwd))
+            .withColumn("_rb", F.row_number().over(m_bwd))
+            .where((F.col("_rf") == 1) & (F.col("_rb") == 1))
+        )
+    out = scored.where(
+        F.col("margin_micro") >= F.lit(int(min_margin_milli) * 1000)
+    ).select("src_id", "tgt_id", "cos_micro", "margin_micro")
+    return register_intermediates(out, pairs)

@@ -295,6 +295,18 @@ def test_oracled_queries_precede_rows_only():
         "domain_reweight",
         # α-sampling shares — same planning family as domain_reweight
         "alpha_shares",
+        # host-scoped boilerplate scrub — dedup_lines' exact plan
+        # family ((host,line)-keyed), line-scrub core tier-1-verified
+        "host_boilerplate",
+        # epoch planner — domain_reweight/alpha_shares dimension-table
+        # integer-algebra family
+        "epoch_plan",
+        # demoted for semdedup: filter+agg subset of tier-1
+        # stats_conditional_agg (green r1-r5)
+        "revenue_filter_agg",
+        # demoted for margin_mine: shares tier-1 asof_join's
+        # bin-explode sort-merge band core (green r5)
+        "range_join",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -832,3 +832,298 @@ class TestCompressionRatio:
                 )
         # the templated doc compresses far below the prose doc
         assert got[0]["ratio"] < 0.2 < got[4]["ratio"]
+
+
+class TestSemDeDup:
+    """SemDeDup (Abbas et al. 2023): cluster-scoped embedding dedup."""
+
+    CENTS = [[1.0, 0.0], [0.0, 1.0]]
+
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_exact_clone_removed_original_kept(self, spark):
+        from correctocr_spark.ops.similarity import semdedup
+
+        emb = self._emb(spark, [
+            (1, [0.9, 0.1]), (2, [0.9, 0.1]),      # exact dups, cluster 0
+            (3, [0.05, 1.2]),                       # alone in cluster 1
+        ])
+        out = {r["vec_id"]: r for r in semdedup(emb, self.CENTS, eps=0.95).collect()}
+        assert out[1]["kept"] and not out[2]["kept"]
+        assert out[3]["kept"]
+        assert out[1]["centroid_id"] == 0 and out[3]["centroid_id"] == 1
+
+    def test_keep_far_vs_close_priority(self, spark):
+        from correctocr_spark.ops.similarity import semdedup
+
+        # two near-identical cluster-0 vectors, one closer to the centroid
+        emb = self._emb(spark, [(1, [1.0, 0.02]), (2, [0.9, 0.03])])
+        far = {r["vec_id"]: r["kept"] for r in
+               semdedup(emb, self.CENTS, eps=0.9, keep="far").collect()}
+        close = {r["vec_id"]: r["kept"] for r in
+                 semdedup(emb, self.CENTS, eps=0.9, keep="close").collect()}
+        # exactly one survivor under each rule, and they differ
+        assert sum(far.values()) == 1 and sum(close.values()) == 1
+        kept_far = [k for k, v in far.items() if v][0]
+        kept_close = [k for k, v in close.items() if v][0]
+        assert kept_far != kept_close
+
+    def test_eps_gates_unrelated_vectors(self, spark):
+        from correctocr_spark.ops.similarity import semdedup
+
+        # same cluster (both nearer centroid 0) but nearly orthogonal
+        emb = self._emb(spark, [(1, [1.0, 0.0]), (2, [0.6, 0.55])])
+        out = semdedup(emb, self.CENTS, eps=0.95).collect()
+        assert all(r["kept"] for r in out)
+
+    def test_cluster_scoping_blocks_cross_cluster_pairs(self, spark):
+        from correctocr_spark.ops.similarity import semdedup
+
+        # cos(v1, v2) = 1.0 but they sit in different clusters: SemDeDup
+        # by construction never compares across clusters
+        emb = self._emb(spark, [(1, [1.0, 1.0]), (2, [2.0, 2.0])])
+        cents = [[1.0, 0.9], [2.2, 2.2]]
+        out = semdedup(emb, cents, eps=0.95).collect()
+        assert {r["vec_id"]: r["centroid_id"] for r in out} == {1: 0, 2: 1}
+        assert all(r["kept"] for r in out)
+
+    def test_max_cluster_raises(self, spark):
+        from correctocr_spark.ops.similarity import semdedup
+
+        emb = self._emb(spark, [(i, [1.0, 0.0]) for i in range(5)])
+        with pytest.raises(ValueError, match="max_cluster"):
+            semdedup(emb, self.CENTS, max_cluster=3)
+
+    def test_validation(self, spark):
+        from correctocr_spark.ops.similarity import semdedup
+
+        emb = self._emb(spark, [(1, [1.0, 0.0])])
+        with pytest.raises(ValueError, match="keep"):
+            semdedup(emb, self.CENTS, keep="random")
+        with pytest.raises(ValueError, match="centroid"):
+            semdedup(emb, [])
+
+
+class TestHostBoilerplate:
+    """strip_host_boilerplate: per-host template-line scrub."""
+
+    def _pages(self, spark, rows):
+        return spark.createDataFrame(rows, ["url", "text"])
+
+    def test_host_scoping(self, spark):
+        from correctocr_spark.ops.dedup import strip_host_boilerplate
+
+        nav = "Home | About | Contact"
+        rows = [(f"http://a.com/{i}", f"{nav}\nbody a{i}") for i in range(3)]
+        rows += [(f"http://b.com/{i}", f"{nav}\nbody b{i}") for i in range(2)]
+        out = {r["url"]: r for r in
+               strip_host_boilerplate(self._pages(spark, rows), min_pages=3).collect()}
+        # 3 distinct a.com pages share NAV -> scrubbed there...
+        for i in range(3):
+            r = out[f"http://a.com/{i}"]
+            assert r["clean_text"] == f"body a{i}" and r["n_removed"] == 1
+            assert r["host"] == "a.com"
+        # ...but only 2 b.com pages share it -> survives on b.com
+        for i in range(2):
+            r = out[f"http://b.com/{i}"]
+            assert r["clean_text"].startswith(nav) and r["n_removed"] == 0
+
+    def test_within_page_repetition_does_not_count(self, spark):
+        from correctocr_spark.ops.dedup import strip_host_boilerplate
+
+        # the same line 3x on ONE page: distinct-page count is 1 -> kept
+        rows = [("http://a.com/0", "dup\ndup\ndup"),
+                ("http://a.com/1", "other")]
+        out = {r["url"]: r for r in
+               strip_host_boilerplate(self._pages(spark, rows), min_pages=3).collect()}
+        assert out["http://a.com/0"]["n_removed"] == 0
+        assert out["http://a.com/0"]["clean_text"] == "dup\ndup\ndup"
+
+    def test_blank_lines_survive_and_order_preserved(self, spark):
+        from correctocr_spark.ops.dedup import strip_host_boilerplate
+
+        rows = [(f"http://a.com/{i}", f"top{i}\n\nfooter\n\ntail{i}")
+                for i in range(3)]
+        out = {r["url"]: r for r in
+               strip_host_boilerplate(self._pages(spark, rows), min_pages=3).collect()}
+        r = out["http://a.com/1"]
+        assert r["clean_text"] == "top1\n\n\ntail1"
+        assert r["n_lines"] == 5 and r["n_removed"] == 1
+
+    def test_normalization_case_and_trim(self, spark):
+        from correctocr_spark.ops.dedup import strip_host_boilerplate
+
+        rows = [("http://a.com/0", "  Footer Text  \nx"),
+                ("http://a.com/1", "footer text\ny"),
+                ("http://a.com/2", "FOOTER TEXT\nz")]
+        out = {r["url"]: r for r in
+               strip_host_boilerplate(self._pages(spark, rows), min_pages=3).collect()}
+        assert all(out[f"http://a.com/{i}"]["n_removed"] == 1 for i in range(3))
+        assert out["http://a.com/0"]["clean_text"] == "x"
+
+
+class TestEpochPlan:
+    """epoch_plan: token-budget repeat planning, integer-exact."""
+
+    def _toks(self, spark, rows):
+        return spark.createDataFrame(rows, ["group", "n_tokens"])
+
+    def test_cap_binds_and_shortfall(self, spark):
+        from correctocr_spark.ops.cleaning import epoch_plan
+
+        toks = self._toks(spark, [("a", 1000), ("b", 10000)])
+        out = {r["group"]: r for r in epoch_plan(
+            toks, budget_tokens=20000,
+            shares_micro={"a": 500000, "b": 500000},
+            max_epochs_milli=4000,
+        ).collect()}
+        # a: target 10000 over 1000 tokens -> 10 epochs raw, capped at 4
+        assert out["a"]["epochs_raw_milli"] == 10000
+        assert out["a"]["epochs_milli"] == 4000 and out["a"]["capped"]
+        assert out["a"]["planned_tokens"] == 4000
+        assert out["a"]["shortfall_tokens"] == 6000
+        # b: target 10000 over 10000 tokens -> exactly 1 epoch, uncapped
+        assert out["b"]["epochs_milli"] == 1000 and not out["b"]["capped"]
+        assert out["b"]["shortfall_tokens"] == 0
+
+    def test_missing_share_and_zero_tokens(self, spark):
+        from correctocr_spark.ops.cleaning import epoch_plan
+
+        toks = self._toks(spark, [("a", 100), ("orphan", 50), ("empty", 0)])
+        out = {r["group"]: r for r in epoch_plan(
+            toks, budget_tokens=1000,
+            shares_micro={"a": 500000, "empty": 500000},
+        ).collect()}
+        # domain with no share is listed with a zero plan, never dropped
+        assert out["orphan"]["share_micro"] == 0
+        assert out["orphan"]["target_tokens"] == 0
+        assert out["orphan"]["epochs_milli"] == 0
+        # 0-token domain: zero epochs, full target as shortfall
+        assert out["empty"]["epochs_milli"] == 0 and not out["empty"]["capped"]
+        assert out["empty"]["shortfall_tokens"] == 500
+
+    def test_huge_budget_decomposition_exact(self, spark):
+        from correctocr_spark.ops.cleaning import epoch_plan
+
+        # 2.5e13-token budget (a ~100 TB corpus): budget*share would
+        # overflow int64 done naively; the base-1e6 decomposition is
+        # exact vs Python bigints
+        budget = 25_000_000_000_123
+        share = 333_333
+        toks = self._toks(spark, [("a", 7_000_000_000)])
+        r = epoch_plan(
+            toks, budget_tokens=budget, shares_micro={"a": share},
+            max_epochs_milli=5000,
+        ).collect()[0]
+        expect_target = share * (budget // 10**6) + (share * (budget % 10**6)) // 10**6
+        assert r["target_tokens"] == expect_target
+        assert r["epochs_raw_milli"] == expect_target * 1000 // 7_000_000_000
+
+    def test_validation(self, spark):
+        from correctocr_spark.ops.cleaning import epoch_plan
+
+        toks = self._toks(spark, [("a", 10)])
+        with pytest.raises(ValueError, match="budget"):
+            epoch_plan(toks, 0, {"a": 1000})
+        with pytest.raises(ValueError, match="max_epochs"):
+            epoch_plan(toks, 10, {"a": 1000}, max_epochs_milli=0)
+        with pytest.raises(ValueError, match="non-empty"):
+            epoch_plan(toks, 10, {})
+        with pytest.raises(ValueError, match="micro-units"):
+            epoch_plan(toks, 10, {"a": 2_000_000})
+        with pytest.raises(ValueError, match="sums past"):
+            epoch_plan(toks, 10, {"a": 600000, "b": 600000})
+
+
+class TestMarginMine:
+    """margin_mine: ratio-margin bitext mining, integer-exact."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_matches_python_simulation(self, spark):
+        import math
+
+        from correctocr_spark.ops.similarity import margin_mine
+
+        src_rows = [(0, [1.0, 0.0]), (2, [0.6, 0.8])]
+        tgt_rows = [(1, [1.0, 0.0]), (3, [0.8, 0.6]), (5, [0.0, 1.0])]
+        out = {(r["src_id"], r["tgt_id"]): r for r in margin_mine(
+            self._df(spark, src_rows), self._df(spark, tgt_rows),
+            k=2, min_margin_milli=1000, mutual=False,
+        ).collect()}
+
+        def cos_micro(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            v = d / (na * nb) * 1_000_000
+            return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+        pairs = {(s, t): cos_micro(sv, tv)
+                 for s, sv in src_rows for t, tv in tgt_rows}
+        for (s, t), c in pairs.items():
+            if c <= 0:
+                assert (s, t) not in out
+                continue
+            top_s = sorted(((pairs[(s, tt)], -tt) for tt, _ in tgt_rows),
+                           reverse=True)[:2]
+            top_t = sorted(((pairs[(ss, t)], -ss) for ss, _ in src_rows),
+                           reverse=True)[:2]
+            den_s, k_s = sum(v for v, _ in top_s), len(top_s)
+            den_t, k_t = sum(v for v, _ in top_t), len(top_t)
+            d = den_s * k_t + den_t * k_s
+            if d <= 0:
+                assert (s, t) not in out
+                continue
+            margin = (c * 2 * k_s * k_t * 1_000_000) // d
+            if margin >= 1_000_000:
+                assert out[(s, t)]["cos_micro"] == c
+                assert out[(s, t)]["margin_micro"] == margin
+            else:
+                assert (s, t) not in out
+
+    def test_clone_is_mutual_best(self, spark):
+        from correctocr_spark.ops.similarity import margin_mine
+
+        src = self._df(spark, [(0, [1.0, 0.2]), (2, [0.1, 1.0])])
+        tgt = self._df(spark, [(1, [1.0, 0.2]), (3, [0.5, 0.6])])
+        out = margin_mine(src, tgt, k=2, min_margin_milli=1050).collect()
+        mined = {(r["src_id"], r["tgt_id"]) for r in out}
+        assert (0, 1) in mined  # the clone pair
+        for r in out:
+            if (r["src_id"], r["tgt_id"]) == (0, 1):
+                assert r["cos_micro"] == 1_000_000
+
+    def test_mutual_prunes_to_one_per_side(self, spark):
+        from correctocr_spark.ops.similarity import margin_mine
+
+        src = self._df(spark, [(0, [1.0, 0.0]), (2, [0.95, 0.05])])
+        tgt = self._df(spark, [(1, [1.0, 0.01])])
+        out = margin_mine(src, tgt, k=2, min_margin_milli=1, mutual=True).collect()
+        # both srcs point at t1, but t1's best is unique: at most one pair
+        assert len(out) <= 1
+        both = margin_mine(src, tgt, k=2, min_margin_milli=1, mutual=False).collect()
+        assert len(both) == 2
+
+    def test_planes_path_no_cartesian(self, spark):
+        from correctocr_spark.ops.similarity import margin_mine, random_planes
+
+        src = self._df(spark, [(i * 2, [1.0, float(i)]) for i in range(4)])
+        tgt = self._df(spark, [(i * 2 + 1, [1.0, float(i)]) for i in range(4)])
+        out = margin_mine(src, tgt, k=2, min_margin_milli=1,
+                          planes=random_planes(2, 3, seed=5), mutual=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        out.collect()  # runs
+
+    def test_validation(self, spark):
+        from correctocr_spark.ops.similarity import margin_mine
+
+        df = self._df(spark, [(0, [1.0, 0.0])])
+        with pytest.raises(ValueError, match="k must"):
+            margin_mine(df, df, k=0)
+        with pytest.raises(ValueError, match="min_margin"):
+            margin_mine(df, df, min_margin_milli=0)

@@ -2663,6 +2663,28 @@ def q_alpha_shares(spark, sf_dir):
     return alpha_sample_shares(counts, alpha_milli=300, group_col="lang")
 
 
+def q_segment_langs(spark, sf_dir):
+    """Paragraph-level language segmentation over mixed-language pages:
+    every doc_id ≡ 1 mod 3 gets a Spanish stopword paragraph appended,
+    ≡ 2 mod 3 a Danish one — the foreign segments are flagged against
+    the page's majority language."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import segment_languages
+
+    es = "el la de que y en un por con su para como"
+    da = "og i at det er en til på de som med han"
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 1, F.lit("\n" + es))
+            .when(F.col("doc_id") % 3 == 2, F.lit("\n" + da))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return segment_languages(pages)
+
+
 def q_margin_mine(spark, sf_dir):
     """Bitext mining by ratio margin (Artetxe & Schwenk 2019 — the
     CCMatrix miner): embeddings split into two synthetic 'languages'
@@ -3119,6 +3141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # domain_reweight/alpha_shares planning family, closing the
         # loop into mix_proportions
         "epoch_plan": q_epoch_plan,
+        # paragraph-level language segmentation — tier-1 langid's
+        # stopword-argmax core per segment + the topk_per_group window
+        # family for the majority election
+        "segment_langs": q_segment_langs,
         # revenue_filter_agg — demoted from tier 1 for semdedup (its
         # filter+agg shape is a subset of tier-1 stats_conditional_agg)
         "revenue_filter_agg": q_revenue_filter_agg,
@@ -4239,6 +4265,78 @@ def _ivf_sql() -> str:
         best_d = f"least({dists[cid]}, {best_d})"
     return f"""
         SELECT vec_id, ({best_id})::INTEGER AS centroid_id FROM embeddings
+    """
+
+
+def _seglang_sql() -> str:
+    """DuckDB twin of q_segment_langs: the same injected paragraphs,
+    per-segment stopword hits and argmax generated from the SAME
+    STOPWORDS table (no drift), majority by (count DESC, lang ASC)."""
+    from correctocr_spark.ops.textstats import STOPWORDS
+
+    langs = list(STOPWORDS)
+    hits = ", ".join(
+        "len(list_filter(ws, w -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + f"], lower(w)))) AS hits_{lang}"
+        for lang in langs
+    )
+    # same iterative later-wins-strictly argmax as the Spark loop
+    expr_lang, expr_best = "'und'", "0"
+    for lang in langs:
+        expr_lang = (
+            f"(case when hits_{lang} > {expr_best} then '{lang}' "
+            f"else {expr_lang} end)"
+        )
+        expr_best = f"greatest(hits_{lang}, {expr_best})"
+    es = "el la de que y en un por con su para como"
+    da = "og i at det er en til på de som med han"
+    return f"""
+        WITH pages AS (
+            SELECT doc_id,
+                   text || (CASE WHEN doc_id % 3 = 1 THEN chr(10) || '{es}'
+                                 WHEN doc_id % 3 = 2 THEN chr(10) || '{da}'
+                                 ELSE '' END) AS text
+            FROM documents
+        ),
+        w AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM pages),
+        paras AS (
+            SELECT doc_id, s.idx AS idx, s.para AS para
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(0, len(ps)),
+                                i -> {{'idx': i, 'para': ps[i+1]}})) AS s
+                  FROM w)
+        ),
+        tok AS (
+            SELECT doc_id, idx,
+                   list_filter(regexp_split_to_array(trim(para), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM paras
+        ),
+        h AS (SELECT doc_id, idx, len(ws) AS n_words, {hits} FROM tok),
+        sc AS (
+            SELECT doc_id, idx::INTEGER AS idx, n_words::BIGINT AS n_words,
+                   {expr_lang} AS para_lang
+            FROM h
+        ),
+        mc AS (
+            SELECT doc_id, para_lang, count(*) AS c
+            FROM sc WHERE para_lang <> 'und' GROUP BY 1, 2
+        ),
+        mj AS (
+            SELECT doc_id, para_lang AS majority_lang
+            FROM (SELECT doc_id, para_lang,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY c DESC, para_lang) AS rn
+                  FROM mc)
+            WHERE rn = 1
+        )
+        SELECT s.doc_id, s.idx, s.n_words, s.para_lang,
+               coalesce(m.majority_lang, 'und') AS majority_lang,
+               (s.para_lang <> 'und'
+                AND s.para_lang <> coalesce(m.majority_lang, 'und'))
+                   AS is_foreign
+        FROM sc s LEFT JOIN mj m ON m.doc_id = s.doc_id
     """
 
 
@@ -6263,6 +6361,7 @@ FROM documents)
         """,
         "ivf_assign": _ivf_sql(),
         "semdedup": _semdedup_sql(),
+        "segment_langs": _seglang_sql(),
         "margin_mine": """
             WITH s AS (
                 SELECT vec_id AS src_id, embedding::DOUBLE[] AS sv

@@ -167,6 +167,7 @@ HEADLINE = [
     "host_boilerplate",
     "epoch_plan",
     "margin_mine",
+    "segment_langs",
     "bpe_token_counts",
 ]
 

@@ -1331,3 +1331,89 @@ def kn_bigram_lm_scores(
         )
     )
     return register_intermediates(out, model)
+
+
+def segment_languages(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-level language segmentation — the CCNet-style answer to
+    MIXED-LANGUAGE pages (boilerplate in one language wrapping content
+    in another, bilingual news, forum quotes): :func:`language_id`'s
+    stopword-profile argmax applied per ``sep``-delimited segment, plus
+    a per-document MAJORITY language (most non-'und' segments; ties
+    broken by language code ascending — deterministic) and an
+    ``is_foreign`` flag on every segment that disagrees with it. A
+    curation pipeline keeps the majority segments, routes foreign ones
+    to their own language's corpus, and never charges a page's quality
+    score for its navigation chrome being in the site's language.
+
+    Returns ``(doc_id, idx, n_words, para_lang, majority_lang,
+    is_foreign)`` — one row per segment, original order preserved by
+    ``idx``. 'und' segments (no stopword hits — numbers, code, blank
+    lines) are never counted toward the majority and never flagged
+    foreign.
+
+    Scale shape: split materialized in its own projection, then one
+    Generate (the per-output-row recompute rule); per-segment scoring
+    is row-local column algebra at scan speed; the only shuffles are
+    the doc-keyed majority count + window (both on ``doc_id``) and the
+    join back — all one partitioning family. Segment rows are persisted
+    ONCE for their two consumers (majority agg and output join).
+    """
+    from .cache import register_intermediates
+
+    langs = list(STOPWORDS)
+    paras = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("doc_id"), F.split(F.col(text_col), sep).alias("_ps")
+        )
+        .select("doc_id", F.posexplode("_ps").alias("idx", "para"))
+    )
+    words = F.filter(F.split(F.trim(F.col("para")), r"\s+"), lambda w: w != "")
+    h = paras.select(
+        "doc_id",
+        F.col("idx").cast("int").alias("idx"),
+        F.size(words).cast("long").alias("n_words"),
+        *[_stopword_hits(words, lang).alias(f"hits_{lang}") for lang in langs],
+    )
+    best_lang, best_hits = F.lit("und"), F.lit(0)
+    for lang in langs:
+        hits = F.col(f"hits_{lang}")
+        best_lang = F.when(hits > best_hits, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(hits > best_hits, hits).otherwise(best_hits)
+    scored = h.select("doc_id", "idx", "n_words", best_lang.alias("para_lang"))
+    # one computation feeding the majority aggregation AND the output
+    scored = scored.persist()
+    scored.count()
+    from pyspark.sql import Window
+
+    w_maj = Window.partitionBy("doc_id").orderBy(
+        F.col("_c").desc(), F.col("para_lang").asc()
+    )
+    maj = (
+        scored.where(F.col("para_lang") != "und")
+        .groupBy("doc_id", "para_lang")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_rn", F.row_number().over(w_maj))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", F.col("para_lang").alias("majority_lang"))
+    )
+    out = (
+        scored.join(maj, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "idx",
+            "n_words",
+            "para_lang",
+            F.coalesce(F.col("majority_lang"), F.lit("und")).alias("majority_lang"),
+            (
+                (F.col("para_lang") != F.lit("und"))
+                & (F.col("para_lang") != F.coalesce(F.col("majority_lang"), F.lit("und")))
+            ).alias("is_foreign"),
+        )
+    )
+    return register_intermediates(out, scored)

@@ -301,6 +301,9 @@ def test_oracled_queries_precede_rows_only():
         # epoch planner — domain_reweight/alpha_shares dimension-table
         # integer-algebra family
         "epoch_plan",
+        # paragraph-level language segmentation — tier-1 langid's
+        # stopword-argmax core per segment
+        "segment_langs",
         # demoted for semdedup: filter+agg subset of tier-1
         # stats_conditional_agg (green r1-r5)
         "revenue_filter_agg",

@@ -1127,3 +1127,54 @@ class TestMarginMine:
             margin_mine(df, df, k=0)
         with pytest.raises(ValueError, match="min_margin"):
             margin_mine(df, df, min_margin_milli=0)
+
+
+class TestSegmentLanguages:
+    """segment_languages: per-paragraph langid + majority election."""
+
+    ES = "el la de que y en un por con su"
+    DA = "og i at det er en til det som med"
+    EN = "the cat sat on the mat and it was good"
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_majority_and_foreign_flag(self, spark):
+        from correctocr_spark.ops.textstats import segment_languages
+
+        docs = self._docs(spark, [(1, f"{self.EN}\n{self.EN}\n{self.ES}")])
+        out = sorted(segment_languages(docs).collect(), key=lambda r: r["idx"])
+        assert [r["para_lang"] for r in out] == ["en", "en", "es"]
+        assert all(r["majority_lang"] == "en" for r in out)
+        assert [r["is_foreign"] for r in out] == [False, False, True]
+
+    def test_tie_breaks_by_lang_code(self, spark):
+        from correctocr_spark.ops.textstats import segment_languages
+
+        docs = self._docs(spark, [(1, f"{self.ES}\n{self.DA}")])
+        out = segment_languages(docs).collect()
+        # 1 da + 1 es paragraph: tie -> 'da' < 'es' wins
+        assert all(r["majority_lang"] == "da" for r in out)
+
+    def test_und_never_counts(self, spark):
+        from correctocr_spark.ops.textstats import segment_languages
+
+        docs = self._docs(spark, [
+            (1, "12345 67890\n\nxyzzy plugh"),          # all und
+            (2, f"12345\n{self.ES}"),                    # und + es
+        ])
+        out = {(r["doc_id"], r["idx"]): r for r in segment_languages(docs).collect()}
+        assert all(out[(1, i)]["majority_lang"] == "und" for i in range(3))
+        assert not any(out[(1, i)]["is_foreign"] for i in range(3))
+        # the single es paragraph IS doc 2's majority; its und
+        # sibling is unknown, not foreign
+        assert out[(2, 1)]["majority_lang"] == "es"
+        assert not out[(2, 0)]["is_foreign"]
+
+    def test_word_counts_and_order(self, spark):
+        from correctocr_spark.ops.textstats import segment_languages
+
+        docs = self._docs(spark, [(7, "a b c\n\nd e")])
+        out = sorted(segment_languages(docs).collect(), key=lambda r: r["idx"])
+        assert [r["n_words"] for r in out] == [3, 0, 2]
+        assert [r["idx"] for r in out] == [0, 1, 2]

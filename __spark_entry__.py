@@ -2663,6 +2663,27 @@ def q_alpha_shares(spark, sf_dir):
     return alpha_sample_shares(counts, alpha_milli=300, group_col="lang")
 
 
+def q_card_numbers(spark, sf_dir):
+    """Luhn-gated payment-card detection: Visa test numbers injected —
+    a separator-spaced valid 16-digit on %7==1, a checksum-FAILING
+    twin on %7==2, a valid 13-digit on %7==3 — emitted as a masked
+    (n_digits, last4, valid) detection table."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import detect_payment_cards
+
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 1, F.lit(" card 4111 1111 1111 1111 ok"))
+            .when(F.col("doc_id") % 7 == 2, F.lit(" ref 4111-1111-1111-1112 end"))
+            .when(F.col("doc_id") % 7 == 3, F.lit(" pan 4222222222222 x"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return detect_payment_cards(pages)
+
+
 def q_segment_langs(spark, sf_dir):
     """Paragraph-level language segmentation over mixed-language pages:
     every doc_id ≡ 1 mod 3 gets a Spanish stopword paragraph appended,
@@ -3145,6 +3166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stopword-argmax core per segment + the topk_per_group window
         # family for the majority election
         "segment_langs": q_segment_langs,
+        # Luhn-gated card detection — pii_scrub's regex family plus a
+        # row-local integer checksum fold; scan-speed, no shuffle
+        "card_numbers": q_card_numbers,
         # revenue_filter_agg — demoted from tier 1 for semdedup (its
         # filter+agg shape is a subset of tier-1 stats_conditional_agg)
         "revenue_filter_agg": q_revenue_filter_agg,
@@ -6362,6 +6386,41 @@ FROM documents)
         "ivf_assign": _ivf_sql(),
         "semdedup": _semdedup_sql(),
         "segment_langs": _seglang_sql(),
+        "card_numbers": """
+            WITH pages AS (
+                SELECT doc_id,
+                       text || (CASE WHEN doc_id % 7 = 1
+                                     THEN ' card 4111 1111 1111 1111 ok'
+                                     WHEN doc_id % 7 = 2
+                                     THEN ' ref 4111-1111-1111-1112 end'
+                                     WHEN doc_id % 7 = 3
+                                     THEN ' pan 4222222222222 x'
+                                     ELSE '' END) AS text
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text,
+                           '\\b(?:\\d[ -]?){12,18}\\d\\b')) AS cand
+                FROM pages
+            ),
+            d AS (
+                SELECT doc_id,
+                       regexp_replace(cand, '[ -]', '', 'g') AS digits
+                FROM c
+            )
+            SELECT doc_id, length(digits)::BIGINT AS n_digits,
+                   substring(digits, length(digits) - 3, 4) AS last4,
+                   (list_sum(list_transform(range(1, length(digits) + 1),
+                        i -> CASE WHEN i % 2 = 1
+                                  THEN substring(digits, length(digits) - i + 1, 1)::INT
+                                  ELSE CASE WHEN 2 * substring(digits, length(digits) - i + 1, 1)::INT > 9
+                                            THEN 2 * substring(digits, length(digits) - i + 1, 1)::INT - 9
+                                            ELSE 2 * substring(digits, length(digits) - i + 1, 1)::INT
+                                       END
+                             END)) % 10 = 0) AS valid
+            FROM d
+        """,
         "margin_mine": """
             WITH s AS (
                 SELECT vec_id AS src_id, embedding::DOUBLE[] AS sv

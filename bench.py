@@ -168,6 +168,7 @@ HEADLINE = [
     "epoch_plan",
     "margin_mine",
     "segment_langs",
+    "card_numbers",
     "bpe_token_counts",
 ]
 

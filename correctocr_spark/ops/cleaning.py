@@ -1211,3 +1211,65 @@ def epoch_plan(
         )
     )
     return planned
+
+
+#: 13-19 digits with optional single space/hyphen separators, digit-
+#: bounded (\b twice) — Java ∩ RE2 ∩ DuckDB subset, NO lookarounds
+#: (RE2 has none); a 20+-digit run matches nowhere (interior starts
+#: have no word boundary), so too-long runs are rejected identically
+#: on both engines.
+CARD_RE = r"\b(?:\d[ -]?){12,18}\d\b"
+
+#: row-local Luhn checksum over the digits-only candidate `_digits`:
+#: from the RIGHT, odd positions count as-is, even positions double
+#: with 9 subtracted past 9; valid iff the sum ≡ 0 mod 10. Pure
+#: integer SQL expression — identical in Spark and DuckDB.
+_LUHN_SUM = """
+    aggregate(
+        transform(sequence(1, length(_digits)),
+            i -> CASE WHEN i % 2 = 1
+                      THEN CAST(substring(_digits, length(_digits) - i + 1, 1) AS INT)
+                      ELSE CASE WHEN 2 * CAST(substring(_digits, length(_digits) - i + 1, 1) AS INT) > 9
+                                THEN 2 * CAST(substring(_digits, length(_digits) - i + 1, 1) AS INT) - 9
+                                ELSE 2 * CAST(substring(_digits, length(_digits) - i + 1, 1) AS INT)
+                           END
+                 END),
+        0, (acc, x) -> acc + x)
+"""
+
+
+def detect_payment_cards(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Luhn-validated payment-card detection — the CHECKSUM-gated PII
+    pass :func:`pii_scrub`'s regexes cannot express: a bare
+    13-19-digit pattern fires on ISBNs, order numbers and tracking ids,
+    so production scrubbers (e.g. the Presidio/scrubadub family) accept
+    a digit run only when the Luhn checksum holds (ISO/IEC 7812), which
+    rejects ~90% of random digit noise. Emits a DETECTION TABLE — one
+    row per candidate occurrence, MASKED to ``(n_digits, last4)`` so
+    the output never re-publishes the number — that the caller composes
+    into a scrub/route decision (the dup_spans → span_removal division
+    of labor).
+
+    Returns ``(doc_id, n_digits, last4, valid)``.
+
+    Scale shape: one regexp extraction per page, candidates exploded
+    (bounded by the 13-19-digit grammar), the Luhn fold row-local
+    integer algebra at scan speed; no shuffle at all.
+    """
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(F.col(text_col), F.lit(CARD_RE), 0).alias("_cands"),
+    )
+    cands = base.select("doc_id", F.explode("_cands").alias("_cand")).select(
+        "doc_id", F.regexp_replace("_cand", "[ -]", "").alias("_digits")
+    )
+    return cands.select(
+        "doc_id",
+        F.length("_digits").cast("long").alias("n_digits"),
+        # length-anchored (not negative-start) so the expression is
+        # engine-identical verbatim
+        F.expr("substring(_digits, length(_digits) - 3, 4)").alias("last4"),
+        (F.expr(_LUHN_SUM) % 10 == 0).alias("valid"),
+    )

@@ -304,6 +304,9 @@ def test_oracled_queries_precede_rows_only():
         # paragraph-level language segmentation — tier-1 langid's
         # stopword-argmax core per segment
         "segment_langs",
+        # Luhn card detection — pii_scrub's regex family + row-local
+        # integer fold
+        "card_numbers",
         # demoted for semdedup: filter+agg subset of tier-1
         # stats_conditional_agg (green r1-r5)
         "revenue_filter_agg",

@@ -1178,3 +1178,60 @@ class TestSegmentLanguages:
         out = sorted(segment_languages(docs).collect(), key=lambda r: r["idx"])
         assert [r["n_words"] for r in out] == [3, 0, 2]
         assert [r["idx"] for r in out] == [0, 1, 2]
+
+
+class TestPaymentCards:
+    """detect_payment_cards: Luhn-gated, masked detection table."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_luhn_accepts_and_rejects(self, spark):
+        from correctocr_spark.ops.cleaning import detect_payment_cards
+
+        docs = self._docs(spark, [
+            (1, "pay 4111111111111111 now"),     # valid Visa test
+            (2, "pay 4111111111111112 now"),     # checksum fails
+            (3, "pan 4222222222222 ok"),         # valid 13-digit
+            (4, "amex 371449635398431 ok"),      # valid 15-digit
+        ])
+        out = {r["doc_id"]: r for r in detect_payment_cards(docs).collect()}
+        assert out[1]["valid"] and not out[2]["valid"]
+        assert out[3]["valid"] and out[3]["n_digits"] == 13
+        assert out[4]["valid"] and out[4]["n_digits"] == 15
+
+    def test_separators_and_masking(self, spark):
+        from correctocr_spark.ops.cleaning import detect_payment_cards
+
+        docs = self._docs(spark, [(1, "c 4111 1111 1111 1111 / 4111-1111-1111-1111")])
+        out = detect_payment_cards(docs).collect()
+        assert len(out) == 2
+        for r in out:
+            assert r["valid"] and r["n_digits"] == 16 and r["last4"] == "1111"
+        # masked: the full number never appears in the output schema
+        assert set(out[0].asDict()) == {"doc_id", "n_digits", "last4", "valid"}
+
+    def test_length_bounds(self, spark):
+        from correctocr_spark.ops.cleaning import detect_payment_cards
+
+        docs = self._docs(spark, [
+            (1, "short 123456789012 x"),          # 12 digits: below grammar
+            (2, "long 41111111111111111111 x"),   # 20 digits: no boundary fit
+            (3, "phone +1 555 123 4567 x"),       # 11 digits: ignored
+        ])
+        assert detect_payment_cards(docs).count() == 0
+
+    def test_python_luhn_identity(self, spark):
+        from correctocr_spark.ops.cleaning import detect_payment_cards
+
+        def luhn_ok(digits):
+            s = 0
+            for i, ch in enumerate(reversed(digits), start=1):
+                v = int(ch)
+                s += v if i % 2 == 1 else (2 * v - 9 if 2 * v > 9 else 2 * v)
+            return s % 10 == 0
+
+        nums = [str(4000000000000000 + k) for k in range(25)]
+        docs = self._docs(spark, [(i, f"n {n} .") for i, n in enumerate(nums)])
+        out = {r["doc_id"]: r["valid"] for r in detect_payment_cards(docs).collect()}
+        assert out == {i: luhn_ok(n) for i, n in enumerate(nums)}

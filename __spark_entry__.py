@@ -2663,6 +2663,27 @@ def q_alpha_shares(spark, sf_dir):
     return alpha_sample_shares(counts, alpha_milli=300, group_col="lang")
 
 
+def q_readability(spark, sf_dir):
+    """Flesch Reading Ease + Flesch-Kincaid grade in integer milli
+    arithmetic — the readability axis of crawl quality scoring; a
+    sentence-punctuated paragraph is injected on %5==4 so the
+    sentence-count path is non-degenerate over the one-line fixture."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import readability_scores
+
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 4,
+                F.lit(" This is simple. It reads easily! Does it? Yes."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return readability_scores(pages)
+
+
 def q_card_numbers(spark, sf_dir):
     """Luhn-gated payment-card detection: Visa test numbers injected —
     a separator-spaced valid 16-digit on %7==1, a checksum-FAILING
@@ -3169,6 +3190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Luhn-gated card detection — pii_scrub's regex family plus a
         # row-local integer checksum fold; scan-speed, no shuffle
         "card_numbers": q_card_numbers,
+        # Flesch/FKG readability — row-local integer-milli fold, the
+        # gopher_rules/wordlist_density quality-signal family
+        "readability": q_readability,
         # revenue_filter_agg — demoted from tier 1 for semdedup (its
         # filter+agg shape is a subset of tier-1 stats_conditional_agg)
         "revenue_filter_agg": q_revenue_filter_agg,
@@ -6386,6 +6410,40 @@ FROM documents)
         "ivf_assign": _ivf_sql(),
         "semdedup": _semdedup_sql(),
         "segment_langs": _seglang_sql(),
+        "readability": """
+            WITH pages AS (
+                SELECT doc_id,
+                       text || (CASE WHEN doc_id % 5 = 4
+                                THEN ' This is simple. It reads easily! Does it? Yes.'
+                                ELSE '' END) AS text
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> '') AS ws,
+                       greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+                           AS n_sentences
+                FROM pages
+            ),
+            b AS (
+                SELECT doc_id, len(ws)::BIGINT AS n_words, n_sentences,
+                       coalesce(list_sum(list_transform(ws,
+                           w -> greatest(1, len(regexp_extract_all(lower(w),
+                                '[aeiouy]+'))))), 0)::BIGINT AS n_syllables
+                FROM t
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   (CASE WHEN n_words > 0
+                         THEN 206835 - (1015 * n_words) // n_sentences
+                              - (84600 * n_syllables) // n_words
+                    END)::BIGINT AS fre_milli,
+                   (CASE WHEN n_words > 0
+                         THEN (390 * n_words) // n_sentences
+                              + (11800 * n_syllables) // n_words - 15590
+                    END)::BIGINT AS fkg_milli
+            FROM b
+        """,
         "card_numbers": """
             WITH pages AS (
                 SELECT doc_id,

@@ -169,6 +169,7 @@ HEADLINE = [
     "margin_mine",
     "segment_langs",
     "card_numbers",
+    "readability",
     "bpe_token_counts",
 ]
 

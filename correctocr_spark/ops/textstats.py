@@ -1417,3 +1417,73 @@ def segment_languages(
         )
     )
     return register_intermediates(out, scored)
+
+
+def readability_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade (Flesch 1948; Kincaid
+    et al. 1975) — the readability axis of crawl quality scoring (a
+    precursor signal of the educational-quality classifiers): FRE =
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/word), FKG =
+    0.39·(words/sentences) + 11.8·(syllables/word) − 15.59. Sentences
+    are ``[.!?]+`` runs (min 1); syllables are vowel-group counts per
+    word (``[aeiouy]+``, min 1 per word) — the standard programmatic
+    approximation.
+
+    Exactness: all three ratios are evaluated as INTEGER MILLI
+    arithmetic in fixed order (``(1015·W) div S`` etc. on positive
+    longs, where truncating and flooring division agree), so scores are
+    engine- and partitioning-exact. Word-less documents report NULL
+    scores rather than a fake grade. Row-local fold over the word
+    array — scan speed, zero shuffle.
+
+    Returns ``(doc_id, n_words, n_sentences, n_syllables, fre_milli,
+    fkg_milli)``.
+    """
+    words = normalized_words(text_col)
+    syl = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.lit(1),
+                F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), 0)),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).cast("long").alias("n_words"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)),
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+    )
+    w_ok = F.col("n_words") > 0
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            w_ok,
+            F.lit(206835)
+            - F.expr("(1015 * n_words) div n_sentences")
+            - F.expr("(84600 * n_syllables) div n_words"),
+        )
+        .cast("long")
+        .alias("fre_milli"),
+        F.when(
+            w_ok,
+            F.expr("(390 * n_words) div n_sentences")
+            + F.expr("(11800 * n_syllables) div n_words")
+            - F.lit(15590),
+        )
+        .cast("long")
+        .alias("fkg_milli"),
+    )

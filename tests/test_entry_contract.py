@@ -307,6 +307,9 @@ def test_oracled_queries_precede_rows_only():
         # Luhn card detection — pii_scrub's regex family + row-local
         # integer fold
         "card_numbers",
+        # Flesch/FKG readability — row-local integer-milli quality
+        # signal, the gopher_rules/wordlist_density family
+        "readability",
         # demoted for semdedup: filter+agg subset of tier-1
         # stats_conditional_agg (green r1-r5)
         "revenue_filter_agg",

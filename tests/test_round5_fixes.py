@@ -1235,3 +1235,53 @@ class TestPaymentCards:
         docs = self._docs(spark, [(i, f"n {n} .") for i, n in enumerate(nums)])
         out = {r["doc_id"]: r["valid"] for r in detect_payment_cards(docs).collect()}
         assert out == {i: luhn_ok(n) for i, n in enumerate(nums)}
+
+
+class TestReadability:
+    """readability_scores: Flesch/FKG in integer milli arithmetic."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_known_example(self, spark):
+        from correctocr_spark.ops.textstats import readability_scores
+
+        # "The cat sat on the mat." : 6 words, 1 sentence, 6 syllables
+        r = readability_scores(
+            self._docs(spark, [(1, "The cat sat on the mat.")])
+        ).collect()[0]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 1, 6)
+        assert r["fre_milli"] == 206835 - 1015 * 6 - 84600  # = 116145
+        assert r["fkg_milli"] == 390 * 6 + 11800 - 15590    # = -1450
+
+    def test_sentence_and_syllable_counting(self, spark):
+        from correctocr_spark.ops.textstats import readability_scores
+
+        r = readability_scores(
+            self._docs(spark, [(1, "Readable?! Yes... maybe birthday")])
+        ).collect()[0]
+        # [.!?]+ runs: '?!' and '...' -> 2 sentences
+        assert r["n_sentences"] == 2
+        # rea-da-ble? vowel groups: ea,a,e =3; yes=1; maybe: ay,e=2;
+        # birthday: i,ay=2 -> 8
+        assert r["n_syllables"] == 8
+
+    def test_no_punctuation_is_one_sentence(self, spark):
+        from correctocr_spark.ops.textstats import readability_scores
+
+        r = readability_scores(self._docs(spark, [(1, "plain words here")])).collect()[0]
+        assert r["n_sentences"] == 1
+
+    def test_wordless_doc_null_scores(self, spark):
+        from correctocr_spark.ops.textstats import readability_scores
+
+        r = readability_scores(self._docs(spark, [(1, "  ")])).collect()[0]
+        assert r["n_words"] == 0
+        assert r["fre_milli"] is None and r["fkg_milli"] is None
+
+    def test_vowelless_word_counts_one_syllable(self, spark):
+        from correctocr_spark.ops.textstats import readability_scores
+
+        r = readability_scores(self._docs(spark, [(1, "hmm pfft xyz")])).collect()[0]
+        # y in xyz is a vowel group; hmm/pfft floor at 1 each
+        assert r["n_syllables"] == 3

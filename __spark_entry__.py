@@ -2663,6 +2663,29 @@ def q_alpha_shares(spark, sf_dir):
     return alpha_sample_shares(counts, alpha_milli=300, group_col="lang")
 
 
+def q_param_relevance(spark, sf_dir):
+    """Learned URL-param relevance: every doc served twice under
+    ?id=<doc_id>&utm=<0|1> — utm varies with identical content
+    (irrelevance 10000 bp per host), id varies with distinct content
+    (0 bp); the evidence table behind canonicalization strip-rules."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import mine_param_relevance
+
+    pages = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.explode(F.array(F.lit(0), F.lit(1))).alias("_k"))
+        .select(
+            F.concat(
+                F.lit("http://example"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".com/page?id="), F.col("doc_id").cast("string"),
+                F.lit("&utm="), F.col("_k").cast("string"),
+            ).alias("url"),
+            "text",
+        )
+    )
+    return mine_param_relevance(pages)
+
+
 def q_readability(spark, sf_dir):
     """Flesch Reading Ease + Flesch-Kincaid grade in integer milli
     arithmetic — the readability axis of crawl quality scoring; a
@@ -3193,6 +3216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Flesch/FKG readability — row-local integer-milli fold, the
         # gopher_rules/wordlist_density quality-signal family
         "readability": q_readability,
+        # learned URL-param relevance — url_canonical's grammar family
+        # feeding two (host,param[,residual])-keyed distinct-count aggs
+        "param_relevance": q_param_relevance,
         # revenue_filter_agg — demoted from tier 1 for semdedup (its
         # filter+agg shape is a subset of tier-1 stats_conditional_agg)
         "revenue_filter_agg": q_revenue_filter_agg,
@@ -6410,6 +6436,36 @@ FROM documents)
         "ivf_assign": _ivf_sql(),
         "semdedup": _semdedup_sql(),
         "segment_langs": _seglang_sql(),
+        "param_relevance": """
+            WITH pages AS (
+                SELECT 'example' || (doc_id % 5) || '.com' AS host,
+                       doc_id, text, k
+                FROM documents, (VALUES (0), (1)) AS v(k)
+            ),
+            keyed AS (
+                -- the op's residual for each of the two params: path +
+                -- '?' + the sorted other k=v pairs ('id' < 'utm')
+                SELECT host, 'id' AS param, CAST(doc_id AS VARCHAR) AS pval,
+                       '/page?utm=' || k AS residual, md5(text) AS fp
+                FROM pages
+                UNION ALL
+                SELECT host, 'utm', CAST(k AS VARCHAR),
+                       '/page?id=' || doc_id, md5(text)
+                FROM pages
+            ),
+            groups AS (
+                SELECT host, param, residual,
+                       count(DISTINCT pval) AS nv, count(DISTINCT fp) AS nf
+                FROM keyed GROUP BY 1, 2, 3
+                HAVING count(DISTINCT pval) >= 2
+            )
+            SELECT host, param, count(*)::BIGINT AS n_groups,
+                   sum(CASE WHEN nf = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_constant_groups,
+                   ((sum(CASE WHEN nf = 1 THEN 1 ELSE 0 END) * 10000)
+                    // count(*))::BIGINT AS irrelevance_bp
+            FROM groups GROUP BY 1, 2
+        """,
         "readability": """
             WITH pages AS (
                 SELECT doc_id,

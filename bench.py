@@ -170,6 +170,7 @@ HEADLINE = [
     "segment_langs",
     "card_numbers",
     "readability",
+    "param_relevance",
     "bpe_token_counts",
 ]
 

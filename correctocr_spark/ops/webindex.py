@@ -916,3 +916,97 @@ def host_cardinality(
         .cast("long")
         .alias("content_dup_bp"),
     )
+
+
+def mine_param_relevance(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    fp_col: str | None = None,
+    min_values: int = 2,
+) -> DataFrame:
+    """LEARNED URL-parameter relevance — the evidence table behind
+    canonicalization strip-rules: ``canonicalize_urls`` ships a fixed
+    tracking-param list (utm_*, fbclid, ...), but every big site grows
+    its own session/ab-test junk params; production crawlers learn them
+    from the corpus. For each (host, param), group URLs that are
+    IDENTICAL except for that param's value (the residual key =
+    host + path + the sorted other k=v pairs); a group where the param
+    takes ``min_values``+ distinct values is an EXPERIMENT, and the
+    param is content-irrelevant in that experiment iff all its
+    variants share one content fingerprint. The per-(host, param)
+    irrelevance rate in basis points is the strip-rule confidence —
+    near 10000 means the param never changes content on that host and
+    is safe to canonicalize away (fewer refetches, better URL dedup).
+
+    A param repeated in one URL contributes one experiment per
+    occurrence (each against the residual retaining the other copies)
+    — deterministic, engine-identical. Bare params (``?flag``) parse
+    as value ''.
+
+    Returns ``(host, param, n_groups, n_constant_groups,
+    irrelevance_bp)`` — only params with at least one experiment.
+
+    Scale shape: URL parsing and param explode are row-local (the
+    sorted param array materialized in its own projection before the
+    Generate); then two aggregations — (host, param, residual) with
+    two distinct-counts, and (host, param) — whose first key includes
+    the residual, so a hot host fans out instead of funneling.
+    """
+    from .filters import host_col
+
+    fp = F.col(fp_col) if fp_col else F.md5(F.col(text_col))
+    base = pages.select(
+        host_col(url_col).alias("host"),
+        F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+        .alias("path"),
+        F.sort_array(
+            F.filter(
+                F.split(
+                    F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1), "&"
+                ),
+                lambda x: x != "",
+            )
+        ).alias("_parr"),
+        fp.alias("_fp"),
+    )
+    exploded = ensure_parallelism(base).select(
+        "host", "path", "_parr", "_fp", F.explode("_parr").alias("_e")
+    )
+    keyed = exploded.select(
+        "host",
+        F.regexp_extract("_e", r"^([^=]*)", 1).alias("param"),
+        F.regexp_extract("_e", r"^[^=]*=?(.*)$", 1).alias("_pval"),
+        F.concat(
+            F.col("path"),
+            F.lit("?"),
+            F.array_join(F.filter(F.col("_parr"), lambda x: x != F.col("_e")), "&"),
+        ).alias("_residual"),
+        "_fp",
+    )
+    groups = (
+        keyed.groupBy("host", "param", "_residual")
+        .agg(
+            F.countDistinct("_pval").alias("_nv"),
+            F.countDistinct("_fp").alias("_nf"),
+        )
+        .where(F.col("_nv") >= int(min_values))
+    )
+    return (
+        groups.groupBy("host", "param")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("_nf") == 1, 1).otherwise(0)).alias(
+                "n_constant_groups"
+            ),
+        )
+        .select(
+            "host",
+            "param",
+            F.col("n_groups").cast("long").alias("n_groups"),
+            F.col("n_constant_groups").cast("long").alias("n_constant_groups"),
+            F.expr("(n_constant_groups * 10000) div n_groups")
+            .cast("long")
+            .alias("irrelevance_bp"),
+        )
+    )

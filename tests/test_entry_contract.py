@@ -310,6 +310,9 @@ def test_oracled_queries_precede_rows_only():
         # Flesch/FKG readability — row-local integer-milli quality
         # signal, the gopher_rules/wordlist_density family
         "readability",
+        # learned URL-param relevance — url_canonical grammar +
+        # host_cardinality's distinct-count agg family
+        "param_relevance",
         # demoted for semdedup: filter+agg subset of tier-1
         # stats_conditional_agg (green r1-r5)
         "revenue_filter_agg",

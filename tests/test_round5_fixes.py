@@ -1285,3 +1285,74 @@ class TestReadability:
         r = readability_scores(self._docs(spark, [(1, "hmm pfft xyz")])).collect()[0]
         # y in xyz is a vowel group; hmm/pfft floor at 1 each
         assert r["n_syllables"] == 3
+
+
+class TestParamRelevance:
+    """mine_param_relevance: learned canonicalization evidence."""
+
+    def _pages(self, spark, rows):
+        return spark.createDataFrame(rows, ["url", "text"])
+
+    def test_irrelevant_vs_relevant_param(self, spark):
+        from correctocr_spark.ops.webindex import mine_param_relevance
+
+        rows = []
+        for i in range(3):
+            for s in ("x", "y"):  # session varies, content does not
+                rows.append((f"http://a.com/p?id={i}&sess={s}", f"content {i}"))
+        out = {(r["host"], r["param"]): r
+               for r in mine_param_relevance(self._pages(spark, rows)).collect()}
+        sess = out[("a.com", "sess")]
+        assert sess["n_groups"] == 3 and sess["irrelevance_bp"] == 10000
+        ident = out[("a.com", "id")]
+        assert ident["n_groups"] == 2  # one per sess value
+        assert ident["irrelevance_bp"] == 0
+
+    def test_single_value_param_is_no_experiment(self, spark):
+        from correctocr_spark.ops.webindex import mine_param_relevance
+
+        rows = [("http://a.com/p?v=1&q=a", "t1"),
+                ("http://a.com/p?v=1&q=b", "t1")]
+        out = {r["param"] for r in
+               mine_param_relevance(self._pages(spark, rows)).collect()}
+        # v never varies within a residual group; q does
+        assert out == {"q"}
+
+    def test_bare_param_and_no_query(self, spark):
+        from correctocr_spark.ops.webindex import mine_param_relevance
+
+        rows = [("http://a.com/p?flag&x=1", "t"),
+                ("http://a.com/p?flag&x=2", "t"),
+                ("http://a.com/plain", "t")]
+        out = {r["param"]: r for r in
+               mine_param_relevance(self._pages(spark, rows)).collect()}
+        # the bare 'flag' has one value ('') -> no experiment; x varies
+        # with constant content -> irrelevant; the query-less url adds
+        # no params at all
+        assert set(out) == {"x"} and out["x"]["irrelevance_bp"] == 10000
+
+    def test_mixed_evidence_rate(self, spark):
+        from correctocr_spark.ops.webindex import mine_param_relevance
+
+        rows = [
+            # experiment 1: t varies, content constant
+            ("http://a.com/p?k=1&t=a", "same"),
+            ("http://a.com/p?k=1&t=b", "same"),
+            # experiment 2: t varies, content CHANGES
+            ("http://a.com/p?k=2&t=a", "one"),
+            ("http://a.com/p?k=2&t=b", "two"),
+        ]
+        out = {r["param"]: r for r in
+               mine_param_relevance(self._pages(spark, rows)).collect()}
+        t = out["t"]
+        assert t["n_groups"] == 2 and t["n_constant_groups"] == 1
+        assert t["irrelevance_bp"] == 5000
+
+    def test_hosts_are_independent(self, spark):
+        from correctocr_spark.ops.webindex import mine_param_relevance
+
+        rows = [("http://a.com/p?s=1", "x"), ("http://a.com/p?s=2", "x"),
+                ("http://b.com/p?s=1", "p"), ("http://b.com/p?s=2", "q")]
+        out = {(r["host"], r["param"]): r["irrelevance_bp"]
+               for r in mine_param_relevance(self._pages(spark, rows)).collect()}
+        assert out[("a.com", "s")] == 10000 and out[("b.com", "s")] == 0

@@ -2663,6 +2663,32 @@ def q_alpha_shares(spark, sf_dir):
     return alpha_sample_shares(counts, alpha_milli=300, group_col="lang")
 
 
+def q_page_churn(spark, sf_dir):
+    """Per-url content churn between two synthetic snapshots: docs
+    %10==3 only in the new crawl (added), %10==7 only in the old
+    (removed), %4==1 gain a revision line (changed at 5000 bp — one
+    of two lines survives), everything else unchanged."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import page_change_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://s"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".com/p/"), F.col("doc_id").cast("string"),
+    ).alias("url")
+    old = d.where(F.col("doc_id") % 10 != 3).select(url, "text")
+    new = d.where(F.col("doc_id") % 10 != 7).select(
+        url,
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 1, F.lit("\nrevision 2")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return page_change_ratio(old, new)
+
+
 def q_param_relevance(spark, sf_dir):
     """Learned URL-param relevance: every doc served twice under
     ?id=<doc_id>&utm=<0|1> — utm varies with identical content
@@ -3219,6 +3245,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # learned URL-param relevance — url_canonical's grammar family
         # feeding two (host,param[,residual])-keyed distinct-count aggs
         "param_relevance": q_param_relevance,
+        # per-url snapshot churn — snapshot_delta's changed-flag graded
+        # to line-set Jaccard bp; dedup_lines' explode family + one
+        # url-keyed rollup
+        "page_churn": q_page_churn,
         # revenue_filter_agg — demoted from tier 1 for semdedup (its
         # filter+agg shape is a subset of tier-1 stats_conditional_agg)
         "revenue_filter_agg": q_revenue_filter_agg,
@@ -6436,6 +6466,71 @@ FROM documents)
         "ivf_assign": _ivf_sql(),
         "semdedup": _semdedup_sql(),
         "segment_langs": _seglang_sql(),
+        "page_churn": """
+            WITH oldp AS (
+                SELECT 'http://s' || (doc_id % 5) || '.com/p/' || doc_id AS url,
+                       text
+                FROM documents WHERE doc_id % 10 <> 3
+            ),
+            newp AS (
+                SELECT 'http://s' || (doc_id % 5) || '.com/p/' || doc_id AS url,
+                       text || (CASE WHEN doc_id % 4 = 1
+                                THEN chr(10) || 'revision 2' ELSE '' END) AS text
+                FROM documents WHERE doc_id % 10 <> 7
+            ),
+            lo AS (
+                SELECT DISTINCT url, md5(lower(trim(line))) AS lk
+                FROM (SELECT url, unnest(string_split(text, chr(10))) AS line
+                      FROM oldp)
+                WHERE trim(line) <> ''
+            ),
+            ln AS (
+                SELECT DISTINCT url, md5(lower(trim(line))) AS lk
+                FROM (SELECT url, unnest(string_split(text, chr(10))) AS line
+                      FROM newp)
+                WHERE trim(line) <> ''
+            ),
+            tags AS (
+                SELECT url, lk, 1 AS io, 0 AS inn FROM lo
+                UNION ALL
+                SELECT url, lk, 0, 1 FROM ln
+            ),
+            g AS (SELECT url, lk, max(io) AS io, max(inn) AS inn
+                  FROM tags GROUP BY 1, 2),
+            r AS (SELECT url, sum(io) AS n_old, sum(inn) AS n_new,
+                         sum(io * inn) AS n_common
+                  FROM g GROUP BY 1),
+            u AS (
+                SELECT coalesce(a.url, b.url) AS url,
+                       (a.url IS NOT NULL)::INT AS po,
+                       (b.url IS NOT NULL)::INT AS pn
+                FROM (SELECT DISTINCT url FROM oldp) a
+                FULL OUTER JOIN (SELECT DISTINCT url FROM newp) b
+                  ON a.url = b.url
+            ),
+            j AS (
+                SELECT u.url, u.po, u.pn,
+                       coalesce(r.n_old, 0)::BIGINT AS n_lines_old,
+                       coalesce(r.n_new, 0)::BIGINT AS n_lines_new,
+                       coalesce(r.n_common, 0)::BIGINT AS n_common
+                FROM u LEFT JOIN r ON r.url = u.url
+            ),
+            f AS (
+                SELECT *,
+                       (CASE WHEN n_lines_old + n_lines_new - n_common > 0
+                             THEN 10000 - (n_common * 10000)
+                                  // (n_lines_old + n_lines_new - n_common)
+                             WHEN po = 1 AND pn = 1 THEN 0
+                             ELSE 10000 END)::BIGINT AS change_bp
+                FROM j
+            )
+            SELECT url, n_lines_old, n_lines_new, n_common, change_bp,
+                   (CASE WHEN po = 0 THEN 'added'
+                         WHEN pn = 0 THEN 'removed'
+                         WHEN change_bp = 0 THEN 'unchanged'
+                         ELSE 'changed' END) AS status
+            FROM f
+        """,
         "param_relevance": """
             WITH pages AS (
                 SELECT 'example' || (doc_id % 5) || '.com' AS host,

@@ -171,6 +171,7 @@ HEADLINE = [
     "card_numbers",
     "readability",
     "param_relevance",
+    "page_churn",
     "bpe_token_counts",
 ]
 

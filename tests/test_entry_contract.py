@@ -313,6 +313,9 @@ def test_oracled_queries_precede_rows_only():
         # learned URL-param relevance — url_canonical grammar +
         # host_cardinality's distinct-count agg family
         "param_relevance",
+        # per-url snapshot churn — snapshot_delta's flag graded to
+        # line-set Jaccard; dedup_lines' explode family
+        "page_churn",
         # demoted for semdedup: filter+agg subset of tier-1
         # stats_conditional_agg (green r1-r5)
         "revenue_filter_agg",

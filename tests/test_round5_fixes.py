@@ -1356,3 +1356,59 @@ class TestParamRelevance:
         out = {(r["host"], r["param"]): r["irrelevance_bp"]
                for r in mine_param_relevance(self._pages(spark, rows)).collect()}
         assert out[("a.com", "s")] == 10000 and out[("b.com", "s")] == 0
+
+
+class TestPageChangeRatio:
+    """page_change_ratio: line-set Jaccard churn between snapshots."""
+
+    def _pages(self, spark, rows):
+        return spark.createDataFrame(rows, ["url", "text"])
+
+    def test_statuses_and_ratios(self, spark):
+        from correctocr_spark.ops.temporal import page_change_ratio
+
+        old = self._pages(spark, [
+            ("u1", "a\nb\nc"),       # unchanged
+            ("u2", "a\nb\nc\nd"),    # loses d, gains e -> 3/5 common
+            ("u3", "gone"),          # removed
+        ])
+        new = self._pages(spark, [
+            ("u1", "a\nb\nc"),
+            ("u2", "a\nb\nc\ne"),
+            ("u4", "fresh"),         # added
+        ])
+        out = {r["url"]: r for r in page_change_ratio(old, new).collect()}
+        assert out["u1"]["status"] == "unchanged" and out["u1"]["change_bp"] == 0
+        u2 = out["u2"]
+        assert u2["status"] == "changed"
+        assert (u2["n_lines_old"], u2["n_lines_new"], u2["n_common"]) == (4, 4, 3)
+        assert u2["change_bp"] == 10000 - 30000 // 5
+        assert out["u3"]["status"] == "removed" and out["u3"]["change_bp"] == 10000
+        assert out["u4"]["status"] == "added" and out["u4"]["change_bp"] == 10000
+
+    def test_line_set_semantics(self, spark):
+        from correctocr_spark.ops.temporal import page_change_ratio
+
+        # duplicate lines count once; case/whitespace-normalized;
+        # blank lines ignored
+        old = self._pages(spark, [("u", "X\nx\n\n  x  ")])
+        new = self._pages(spark, [("u", "x")])
+        r = page_change_ratio(old, new).collect()[0]
+        assert (r["n_lines_old"], r["n_lines_new"], r["n_common"]) == (1, 1, 1)
+        assert r["status"] == "unchanged"
+
+    def test_both_empty_is_unchanged(self, spark):
+        from correctocr_spark.ops.temporal import page_change_ratio
+
+        old = self._pages(spark, [("u", "  ")])
+        new = self._pages(spark, [("u", "")])
+        r = page_change_ratio(old, new).collect()[0]
+        assert r["status"] == "unchanged" and r["change_bp"] == 0
+
+    def test_added_empty_page(self, spark):
+        from correctocr_spark.ops.temporal import page_change_ratio
+
+        old = self._pages(spark, [("w", "seed")])
+        new = self._pages(spark, [("u", "")])
+        out = {r["url"]: r for r in page_change_ratio(old, new).collect()}
+        assert out["u"]["status"] == "added" and out["u"]["change_bp"] == 10000

@@ -2663,6 +2663,26 @@ def q_alpha_shares(spark, sf_dir):
     return alpha_sample_shares(counts, alpha_milli=300, group_col="lang")
 
 
+def q_vocab_kl(spark, sf_dir):
+    """Per-language vocabulary drift vs the corpus (KL in integer
+    micro-nats); a lang-specific token block is injected on zh docs so
+    one group is a real outlier rather than five similar salads."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import vocab_kl_divergence
+
+    pages = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("lang") == "zh",
+                F.lit(" zhtok1 zhtok2 zhtok3 zhtok1 zhtok2 zhtok1"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return vocab_kl_divergence(pages)
+
+
 def q_page_churn(spark, sf_dir):
     """Per-url content churn between two synthetic snapshots: docs
     %10==3 only in the new crawl (added), %10==7 only in the old
@@ -3249,6 +3269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to line-set Jaccard bp; dedup_lines' explode family + one
         # url-keyed rollup
         "page_churn": q_page_churn,
+        # per-group vocab KL — unigram_lm's micro-nat quantization over
+        # word_freq's count family; the domain_reweight diagnostic
+        "vocab_kl": q_vocab_kl,
         # revenue_filter_agg — demoted from tier 1 for semdedup (its
         # filter+agg shape is a subset of tier-1 stats_conditional_agg)
         "revenue_filter_agg": q_revenue_filter_agg,
@@ -6466,6 +6489,40 @@ FROM documents)
         "ivf_assign": _ivf_sql(),
         "semdedup": _semdedup_sql(),
         "segment_langs": _seglang_sql(),
+        "vocab_kl": """
+            WITH pages AS (
+                SELECT lang AS "group",
+                       text || (CASE WHEN lang = 'zh'
+                                THEN ' zhtok1 zhtok2 zhtok3 zhtok1 zhtok2 zhtok1'
+                                ELSE '' END) AS text
+                FROM documents
+            ),
+            base AS (
+                SELECT "group", unnest(list_filter(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '')) AS w
+                FROM pages
+            ),
+            gw AS (SELECT "group", w, count(*)::BIGINT AS c_gw
+                   FROM base GROUP BY 1, 2),
+            wmarg AS (SELECT w, sum(c_gw)::BIGINT AS c_w FROM gw GROUP BY 1),
+            gtot AS (SELECT "group", sum(c_gw)::BIGINT AS n_g FROM gw GROUP BY 1),
+            tot AS (SELECT sum(n_g)::BIGINT AS n FROM gtot),
+            j AS (
+                SELECT g."group", g.c_gw, m.c_w, t.n_g, tt.n,
+                       CAST(round((CAST(g.c_gw AS DOUBLE) / CAST(t.n_g AS DOUBLE)) *
+                            ln((CAST(g.c_gw AS DOUBLE) * CAST(tt.n AS DOUBLE)) /
+                               (CAST(t.n_g AS DOUBLE) * CAST(m.c_w AS DOUBLE))) *
+                            1000000.0) AS BIGINT) AS term
+                FROM gw g
+                JOIN wmarg m ON m.w = g.w
+                JOIN gtot t ON t."group" = g."group", tot tt
+            )
+            SELECT "group", max(n_g)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_terms,
+                   sum(term)::BIGINT AS kl_micro
+            FROM j GROUP BY 1
+        """,
         "page_churn": """
             WITH oldp AS (
                 SELECT 'http://s' || (doc_id % 5) || '.com/p/' || doc_id AS url,

@@ -172,6 +172,7 @@ HEADLINE = [
     "readability",
     "param_relevance",
     "page_churn",
+    "vocab_kl",
     "bpe_token_counts",
 ]
 

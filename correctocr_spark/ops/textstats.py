@@ -1487,3 +1487,66 @@ def readability_scores(
         .cast("long")
         .alias("fkg_milli"),
     )
+
+
+def vocab_kl_divergence(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-group vocabulary drift: KL(P_group ‖ P_corpus) over unigram
+    distributions, in integer micro-nats — the mixture diagnostic
+    behind domain-shift checks (is this source's language distribution
+    an outlier?), re-balancing decisions feeding
+    :func:`~.cleaning.domain_reweight`, and contamination triage (a
+    shard whose KL suddenly drops toward 0 got blended). Unsmoothed and
+    well-defined by construction: every group term has corpus support,
+    so no add-k knob to disagree about.
+
+    Exactness: the per-term contribution
+    ``(c_gw/N_g) · ln((c_gw·N)/(N_g·c_w))`` is evaluated in ONE fixed
+    double expression (identical text on both engines) and quantized to
+    micro-nats before the per-group sum — integer sums are
+    reduction-order-proof, so the score is partitioning- and
+    engine-exact.
+
+    Returns ``(group, n_tokens, n_terms, kl_micro)``.
+
+    Scale shape: one corpus explode into a (group, word)-keyed count
+    with map-side partials — the ONLY corpus-scale shuffle; the word
+    marginal and group totals derive from that table (O(distinct
+    terms), never a second corpus pass); group totals and the 1-row
+    corpus total join back broadcast.
+    """
+    from .cache import register_intermediates
+
+    base = (
+        ensure_parallelism(docs)
+        .select(F.col(group_col).alias("group"), normalized_words(text_col).alias("_ws"))
+        .select("group", F.explode("_ws").alias("w"))
+    )
+    gw = base.groupBy("group", "w").agg(F.count(F.lit(1)).alias("c_gw"))
+    # one computation for its three consumers (marginal, totals, join)
+    gw = gw.persist()
+    gw.count()
+    wmarg = gw.groupBy("w").agg(F.sum("c_gw").alias("c_w"))
+    gtot = gw.groupBy("group").agg(F.sum("c_gw").alias("n_g"))
+    tot = gtot.agg(F.sum("n_g").alias("n"))
+    j = (
+        gw.join(wmarg, on="w")
+        .join(F.broadcast(gtot), on="group")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (
+        "CAST(round((CAST(c_gw AS DOUBLE) / CAST(n_g AS DOUBLE)) * "
+        "ln((CAST(c_gw AS DOUBLE) * CAST(n AS DOUBLE)) / "
+        "(CAST(n_g AS DOUBLE) * CAST(c_w AS DOUBLE))) * 1000000.0) AS BIGINT)"
+    )
+    out = (
+        j.withColumn("_t", F.expr(term))
+        .groupBy("group")
+        .agg(
+            F.max("n_g").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("_t").cast("long").alias("kl_micro"),
+        )
+    )
+    return register_intermediates(out, gw)

@@ -316,6 +316,9 @@ def test_oracled_queries_precede_rows_only():
         # per-url snapshot churn — snapshot_delta's flag graded to
         # line-set Jaccard; dedup_lines' explode family
         "page_churn",
+        # per-group vocab KL — unigram_lm micro-nat quantization over
+        # word_freq's count family
+        "vocab_kl",
         # demoted for semdedup: filter+agg subset of tier-1
         # stats_conditional_agg (green r1-r5)
         "revenue_filter_agg",

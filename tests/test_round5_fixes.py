@@ -1412,3 +1412,53 @@ class TestPageChangeRatio:
         new = self._pages(spark, [("u", "")])
         out = {r["url"]: r for r in page_change_ratio(old, new).collect()}
         assert out["u"]["status"] == "added" and out["u"]["change_bp"] == 10000
+
+
+class TestVocabKl:
+    """vocab_kl_divergence: per-group unigram KL vs corpus, micro-nats."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, ["lang", "text"])
+
+    def test_matches_python_simulation(self, spark):
+        import math
+        from collections import Counter
+
+        from correctocr_spark.ops.textstats import vocab_kl_divergence
+
+        rows = [("a", "x x y z"), ("a", "x q"), ("b", "y y z w w w")]
+        out = {r["group"]: r for r in vocab_kl_divergence(self._docs(spark, rows)).collect()}
+
+        gw, marg = {}, Counter()
+        for g, t in rows:
+            c = Counter(t.split())
+            gw.setdefault(g, Counter()).update(c)
+            marg.update(c)
+        n = sum(marg.values())
+        for g, c in gw.items():
+            n_g = sum(c.values())
+            kl = sum(
+                int(round((v / n_g) * math.log((v * n) / (n_g * marg[w])) * 1e6))
+                for w, v in c.items()
+            )
+            assert out[g]["kl_micro"] == kl
+            assert out[g]["n_tokens"] == n_g and out[g]["n_terms"] == len(c)
+
+    def test_identical_groups_zero_kl(self, spark):
+        from correctocr_spark.ops.textstats import vocab_kl_divergence
+
+        rows = [("a", "x y z"), ("b", "x y z")]
+        out = vocab_kl_divergence(self._docs(spark, rows)).collect()
+        assert all(r["kl_micro"] == 0 for r in out)
+
+    def test_disjoint_group_positive_kl(self, spark):
+        from correctocr_spark.ops.textstats import vocab_kl_divergence
+
+        rows = [("a", "x x x x"), ("b", "y y y y y y y y y y y y")]
+        out = {r["group"]: r["kl_micro"] for r in
+               vocab_kl_divergence(self._docs(spark, rows)).collect()}
+        # each group's vocab has no corpus mass from the other, so
+        # KL = ln(N / N_g) exactly
+        import math
+        assert out["a"] == int(round(math.log(16 / 4) * 1e6))
+        assert out["b"] == int(round(math.log(16 / 12) * 1e6))

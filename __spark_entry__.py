@@ -2663,6 +2663,30 @@ def q_alpha_shares(spark, sf_dir):
     return alpha_sample_shares(counts, alpha_milli=300, group_col="lang")
 
 
+def q_extraction_blocks(spark, sf_dir):
+    """Per-block extraction lineage over deterministic synthetic html
+    (nav menu = link-density drop, article body = kept, a short linky
+    trailer = short_linky drop) — rows-only: the block parser is the
+    flagship's HTMLParser kernel, not SQL-expressible; the
+    reconstruction invariant vs extract_text is pinned in pytest."""
+    _ship(spark)
+    from correctocr_spark.spark.warc import extraction_block_audit
+
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://b"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><body><div class="m"><a href="/">Home</a> '
+                  '<a href="/a">About</a> <a href="/c">Contact</a></div><p>'),
+            F.col("text"),
+            F.lit('</p><p>tiny <a>x</a></p></body></html>'),
+        ).cast("binary").alias("html"),
+    )
+    return extraction_block_audit(pages)
+
+
 def q_vocab_kl(spark, sf_dir):
     """Per-language vocabulary drift vs the corpus (KL in integer
     micro-nats); a lang-specific token block is injected on zh docs so
@@ -3285,6 +3309,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE encode/token-costing — iterative merges, not
         # SQL-expressible; semantics pinned in TestBpe
         "bpe_token_counts": q_bpe_token_counts,
+        # per-block extraction lineage — the flagship density
+        # extractor's audit table (HTMLParser kernel in the sanctioned
+        # mapInPandas family; reconstruction == extract_text pinned in
+        # TestExtractionBlockAudit)
+        "extraction_blocks": q_extraction_blocks,
         "ocr_correct": _ocr_correct,
         "ocr_tokens_binned": q_ocr_tokens_binned,
         "overview_projection": q_overview_projection,

@@ -174,6 +174,7 @@ HEADLINE = [
     "page_churn",
     "vocab_kl",
     "bpe_token_counts",
+    "extraction_blocks",
 ]
 
 

@@ -107,6 +107,65 @@ class _Extractor(HTMLParser):
         return "\n".join(kept)
 
 
+def block_records(
+    html: Union[bytes, str, None],
+    encoding: Optional[str] = None,
+    min_block_chars: int = 8,
+    max_link_density: float = 0.5,
+) -> List[dict]:
+    """Per-block LINEAGE of the density extractor — the audit trail
+    :func:`extract_text` collapses away: one record per non-empty block
+    with its length, link density (floored basis points) and the keep
+    decision + reason (``kept`` / ``link_density`` / ``short_linky``).
+    This is what a 10^12-page pipeline writes next to the extracted
+    text so "why did the extractor drop my paragraph" is answerable
+    without re-parsing the page.
+
+    INVARIANT (pinned by tests): joining the kept records' ``text``
+    with ``\n`` reproduces :func:`extract_text`'s output byte for
+    byte — same parser, same thresholds, same order.
+    """
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        data = bytes(html)
+        html = data.decode(encoding or detect_encoding(data), errors="replace")
+    if not html:
+        return []
+    parser = _Extractor()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass
+    out: List[dict] = []
+    idx = 0
+    for block in parser._blocks:
+        raw = "".join(block.chars)
+        norm = " ".join(raw.split())
+        if not norm:
+            continue
+        density = block.link_chars / max(1, len(raw.strip()))
+        if density >= max_link_density:
+            kept, reason = False, "link_density"
+        elif len(norm) < min_block_chars and density > 0.0:
+            kept, reason = False, "short_linky"
+        else:
+            kept, reason = True, "kept"
+        out.append(
+            {
+                "block_idx": idx,
+                "n_chars": len(norm),
+                "link_density_bp": int(density * 10000),
+                "kept": kept,
+                "reason": reason,
+                "text": norm,
+            }
+        )
+        idx += 1
+    return out
+
+
 def detect_encoding(data: bytes, sample: int = 500 * 1024) -> str:
     """S8 (fileio.py:56-66): UnicodeDammit-style sniff of the first
     500 KB — utf-8 if it decodes cleanly, else windows-1252 (the same

@@ -462,3 +462,70 @@ def read_wat(
         .select("content")
     )
     return files.mapInPandas(parse, schema=WAT_SCHEMA)
+
+
+def extraction_block_audit(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_block_chars: int = 8,
+    max_link_density: float = 0.5,
+) -> DataFrame:
+    """Per-block extraction LINEAGE table — the audit artifact a
+    10^12-page pipeline writes next to its extracted text so "why did
+    the extractor drop this paragraph" is answerable without
+    re-parsing: one row per non-empty DOM block with length, link
+    density (floored bp) and the keep decision + reason, via
+    :func:`~..kernels.extract.block_records` (the SAME parser and
+    thresholds as the flagship's ``extract_text``; joining the kept
+    rows' text with ``\\n`` rebuilds its output byte-identically —
+    pinned by tests).
+
+    Returns ``(url, block_idx, n_chars, link_density_bp, kept,
+    reason, block_text)``.
+
+    Scale shape: one ``mapInPandas`` over Arrow batches (the
+    pipeline's sanctioned vectorized-UDF family — HTML parsing is not
+    SQL-expressible), rows fan out per block — stateless and
+    shuffle-free; partition by url-hash upstream like the extract
+    stage itself.
+    """
+    from ..kernels.extract import block_records
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), True),
+            T.StructField("block_idx", T.IntegerType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+            T.StructField("link_density_bp", T.LongType(), True),
+            T.StructField("kept", T.BooleanType(), True),
+            T.StructField("reason", T.StringType(), True),
+            T.StructField("block_text", T.StringType(), True),
+        ]
+    )
+    cols = [c.name for c in schema.fields]
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for r in block_records(
+                    html,
+                    min_block_chars=min_block_chars,
+                    max_link_density=max_link_density,
+                ):
+                    rows.append(
+                        (
+                            url,
+                            r["block_idx"],
+                            r["n_chars"],
+                            r["link_density_bp"],
+                            r["kept"],
+                            r["reason"],
+                            r["text"],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    src = pages.select(F.col(url_col).alias("url"), F.col(html_col).alias("html"))
+    return src.mapInPandas(audit, schema=schema)

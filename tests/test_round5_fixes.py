@@ -1462,3 +1462,75 @@ class TestVocabKl:
         import math
         assert out["a"] == int(round(math.log(16 / 4) * 1e6))
         assert out["b"] == int(round(math.log(16 / 12) * 1e6))
+
+
+class TestExtractionBlockAudit:
+    """block_records / extraction_block_audit: per-block lineage whose
+    kept rows rebuild extract_text byte-identically."""
+
+    HTML = (
+        '<html><body><nav><a>skip</a></nav>'
+        '<div class="m"><a href="/">Home</a> <a href="/a">About</a> '
+        '<a href="/c">Contact</a></div>'
+        '<p>The real article body, long enough to keep easily.</p>'
+        '<p>tiny <a>x</a></p>'
+        '<p>A second good paragraph with words.</p></body></html>'
+    )
+
+    def test_kernel_reconstruction_invariant(self):
+        from correctocr_spark.kernels.extract import block_records, extract_text
+
+        cases = [
+            self.HTML,
+            "",
+            None,
+            "<p>plain</p>",
+            "<p>broken <b>markup",                    # unclosed tags
+            b"<p>bytes round the encoding sniff</p>",
+            "<div><a>all links here totally</a></div>",
+        ]
+        for html in cases:
+            rs = block_records(html)
+            rebuilt = "\n".join(r["text"] for r in rs if r["kept"])
+            assert rebuilt == extract_text(html), repr(html)
+
+    def test_decisions_and_reasons(self):
+        from correctocr_spark.kernels.extract import block_records
+
+        rs = block_records(self.HTML)
+        by_reason = {}
+        for r in rs:
+            by_reason.setdefault(r["reason"], []).append(r)
+        menu = by_reason["link_density"][0]
+        # the inter-anchor spaces are non-link chars: 16/18 -> 8888 bp
+        assert menu["link_density_bp"] == 8888 and not menu["kept"]
+        short = by_reason["short_linky"][0]
+        assert short["text"] == "tiny x" and short["n_chars"] == 6
+        kept = [r["text"] for r in by_reason["kept"]]
+        assert kept == [
+            "The real article body, long enough to keep easily.",
+            "A second good paragraph with words.",
+        ]
+        assert [r["block_idx"] for r in rs] == list(range(len(rs)))
+
+    def test_spark_audit_matches_kernel(self, spark):
+        from correctocr_spark.kernels.extract import block_records
+        from correctocr_spark.spark.warc import extraction_block_audit
+
+        pages = spark.createDataFrame(
+            [("u1", bytearray(self.HTML.encode())),
+             ("u2", bytearray(b"<p>only one good block here</p>"))],
+            "url string, html binary",
+        )
+        got = sorted(
+            ((r["url"], r["block_idx"], r["n_chars"], r["link_density_bp"],
+              r["kept"], r["reason"], r["block_text"])
+             for r in extraction_block_audit(pages).collect())
+        )
+        want = sorted(
+            (u, r["block_idx"], r["n_chars"], r["link_density_bp"],
+             r["kept"], r["reason"], r["text"])
+            for u, h in (("u1", self.HTML), ("u2", "<p>only one good block here</p>"))
+            for r in block_records(h)
+        )
+        assert got == want

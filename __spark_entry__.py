@@ -2663,6 +2663,27 @@ def q_alpha_shares(spark, sf_dir):
     return alpha_sample_shares(counts, alpha_milli=300, group_col="lang")
 
 
+def q_signature_terms(spark, sf_dir):
+    """Fightin' Words per-language signature terms (top-5 by
+    Dirichlet-smoothed log-odds z): the zh-injected token block from
+    vocab_kl dominates zh's signature, with natural distributional
+    noise ranking everywhere else."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import domain_signature_terms
+
+    pages = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("lang") == "zh",
+                F.lit(" zhtok1 zhtok2 zhtok3 zhtok1 zhtok2 zhtok1"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return domain_signature_terms(pages, k=5)
+
+
 def q_extraction_blocks(spark, sf_dir):
     """Per-block extraction lineage over deterministic synthetic html
     (nav menu = link-density drop, article body = kept, a short linky
@@ -3296,6 +3317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-group vocab KL — unigram_lm's micro-nat quantization over
         # word_freq's count family; the domain_reweight diagnostic
         "vocab_kl": q_vocab_kl,
+        # Fightin' Words signature terms — vocab_kl's gram table + the
+        # topk_per_group window; z expression shared verbatim with the
+        # oracle via fightin_z_expr
+        "signature_terms": q_signature_terms,
         # revenue_filter_agg — demoted from tier 1 for semdedup (its
         # filter+agg shape is a subset of tier-1 stats_conditional_agg)
         "revenue_filter_agg": q_revenue_filter_agg,
@@ -4493,6 +4518,47 @@ def _seglang_sql() -> str:
                 AND s.para_lang <> coalesce(m.majority_lang, 'und'))
                    AS is_foreign
         FROM sc s LEFT JOIN mj m ON m.doc_id = s.doc_id
+    """
+
+
+def _sig_terms_sql(k: int = 5, alpha_milli: int = 10) -> str:
+    """DuckDB twin of q_signature_terms: the gram-table CTEs plus the
+    SAME z expression text the Spark plan uses (fightin_z_expr)."""
+    from correctocr_spark.ops.textstats import fightin_z_expr
+
+    return f"""
+        WITH pages AS (
+            SELECT lang AS "group",
+                   text || (CASE WHEN lang = 'zh'
+                            THEN ' zhtok1 zhtok2 zhtok3 zhtok1 zhtok2 zhtok1'
+                            ELSE '' END) AS text
+            FROM documents
+        ),
+        base AS (
+            SELECT "group", unnest(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x <> '')) AS word
+            FROM pages
+        ),
+        gw AS (SELECT "group", word, count(*)::BIGINT AS c_gw
+               FROM base GROUP BY 1, 2),
+        wmarg AS (SELECT word, sum(c_gw)::BIGINT AS c_w FROM gw GROUP BY 1),
+        gtot AS (SELECT "group", sum(c_gw)::BIGINT AS n_g FROM gw GROUP BY 1),
+        nv AS (SELECT sum(c_w)::BIGINT AS n, count(*)::BIGINT AS v FROM wmarg),
+        j AS (
+            SELECT g."group", g.word, g.c_gw, m.c_w, t.n_g, x.n, x.v
+            FROM gw g
+            JOIN wmarg m ON m.word = g.word
+            JOIN gtot t ON t."group" = g."group", nv x
+        ),
+        scored AS (SELECT "group", word, c_gw,
+                          {fightin_z_expr(alpha_milli)} AS z_micro
+                   FROM j)
+        SELECT "group", rank::INTEGER AS rank, word, c_gw, z_micro
+        FROM (SELECT *, row_number() OVER (PARTITION BY "group"
+                  ORDER BY z_micro DESC, word) AS rank
+              FROM scored)
+        WHERE rank <= {int(k)}
     """
 
 
@@ -6518,6 +6584,7 @@ FROM documents)
         "ivf_assign": _ivf_sql(),
         "semdedup": _semdedup_sql(),
         "segment_langs": _seglang_sql(),
+        "signature_terms": _sig_terms_sql(),
         "vocab_kl": """
             WITH pages AS (
                 SELECT lang AS "group",

@@ -173,6 +173,7 @@ HEADLINE = [
     "param_relevance",
     "page_churn",
     "vocab_kl",
+    "signature_terms",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -1550,3 +1550,92 @@ def vocab_kl_divergence(
         )
     )
     return register_intermediates(out, gw)
+
+
+def fightin_z_expr(alpha_milli: int = 10) -> str:
+    """The Monroe et al. log-odds z-score as ONE SQL expression over
+    bare columns ``c_gw, n_g, c_w, n, v`` — shared VERBATIM between the
+    Spark plan (``F.expr``) and the DuckDB oracle, so the two engines
+    cannot drift on float evaluation order."""
+    a = f"({int(alpha_milli)} / 1000.0)"
+    return (
+        f"CAST(round(("
+        f"ln((CAST(c_gw AS DOUBLE) + {a}) / "
+        f"(CAST(n_g AS DOUBLE) + {a} * CAST(v AS DOUBLE) - CAST(c_gw AS DOUBLE) - {a})) - "
+        f"ln((CAST(c_w - c_gw AS DOUBLE) + {a}) / "
+        f"(CAST(n - n_g AS DOUBLE) + {a} * CAST(v AS DOUBLE) - CAST(c_w - c_gw AS DOUBLE) - {a}))"
+        f") / sqrt(1.0 / (CAST(c_gw AS DOUBLE) + {a}) + "
+        f"1.0 / (CAST(c_w - c_gw AS DOUBLE) + {a})) * 1000000.0) AS BIGINT)"
+    )
+
+
+def domain_signature_terms(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 10,
+    alpha_milli: int = 10,
+) -> DataFrame:
+    """"Fightin' Words" domain signature terms (Monroe, Colaresi &
+    Quinn 2008): per group, the ``k`` terms most OVER-represented vs
+    the rest of the corpus by Dirichlet-smoothed log-odds z-score —
+    the term-level complement of :func:`vocab_kl_divergence`'s scalar
+    drift (that says a source moved; this says WHICH words moved it:
+    leaked boilerplate, spam vocabulary, a topic shift). Raw
+    log-odds/PMI over-ranks rare terms; the z normalization by
+    ``sqrt(1/(c_gw+α) + 1/(c_rest+α))`` is the paper's fix.
+
+    Exactness: the z-score is ONE fixed double expression (identical
+    text on both engines, α as an exact milli literal) quantized to
+    integer micro-units; ranking orders by (z_micro DESC, word ASC) —
+    engine-stable.
+
+    Returns ``(group, rank, word, c_gw, z_micro)``.
+
+    Scale shape: the same single corpus-scale shuffle as
+    ``vocab_kl_divergence`` — one (group, word) count; the word
+    marginal, group totals and (N, V) corpus row derive from it;
+    totals join back broadcast; the top-k is a per-group
+    WindowGroupLimit, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    from .cache import register_intermediates
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if alpha_milli <= 0:
+        raise ValueError(f"alpha_milli must be positive, got {alpha_milli}")
+    base = (
+        ensure_parallelism(docs)
+        .select(F.col(group_col).alias("group"), normalized_words(text_col).alias("_ws"))
+        .select("group", F.explode("_ws").alias("word"))
+    )
+    gw = base.groupBy("group", "word").agg(F.count(F.lit(1)).alias("c_gw"))
+    gw = gw.persist()
+    gw.count()
+    wmarg = gw.groupBy("word").agg(F.sum("c_gw").alias("c_w"))
+    gtot = gw.groupBy("group").agg(F.sum("c_gw").alias("n_g"))
+    nv = wmarg.agg(F.sum("c_w").alias("n"), F.count(F.lit(1)).alias("v"))
+    z = fightin_z_expr(alpha_milli)
+    scored = (
+        gw.join(wmarg, on="word")
+        .join(F.broadcast(gtot), on="group")
+        .crossJoin(F.broadcast(nv))
+        .withColumn("z_micro", F.expr(z))
+    )
+    w = Window.partitionBy("group").orderBy(
+        F.col("z_micro").desc(), F.col("word").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "group",
+            F.col("rank").cast("int").alias("rank"),
+            "word",
+            F.col("c_gw").cast("long").alias("c_gw"),
+            "z_micro",
+        )
+    )
+    return register_intermediates(out, gw)

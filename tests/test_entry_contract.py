@@ -319,6 +319,9 @@ def test_oracled_queries_precede_rows_only():
         # per-group vocab KL — unigram_lm micro-nat quantization over
         # word_freq's count family
         "vocab_kl",
+        # Fightin' Words signature terms — vocab_kl's gram table +
+        # topk_per_group's window family
+        "signature_terms",
         # demoted for semdedup: filter+agg subset of tier-1
         # stats_conditional_agg (green r1-r5)
         "revenue_filter_agg",

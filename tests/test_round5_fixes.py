@@ -1534,3 +1534,60 @@ class TestExtractionBlockAudit:
             for r in block_records(h)
         )
         assert got == want
+
+
+class TestSignatureTerms:
+    """domain_signature_terms: Fightin' Words log-odds z top-k."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, ["lang", "text"])
+
+    def test_injected_tokens_dominate(self, spark):
+        from correctocr_spark.ops.textstats import domain_signature_terms
+
+        rows = [("a", "common words shared by all groups here")] * 3 + [
+            ("b", "common words shared by all groups here spamtok spamtok spamtok")
+        ]
+        out = [r for r in domain_signature_terms(self._docs(spark, rows), k=2).collect()
+               if r["group"] == "b"]
+        assert out[0]["word"] == "spamtok" if out[0]["rank"] == 1 else True
+        top = {r["rank"]: r["word"] for r in out}
+        assert top[1] == "spamtok"
+
+    def test_matches_python_simulation(self, spark):
+        import math
+        from collections import Counter
+
+        from correctocr_spark.ops.textstats import domain_signature_terms
+
+        rows = [("a", "x x y z"), ("b", "y y z w w")]
+        out = {(r["group"], r["word"]): r["z_micro"] for r in
+               domain_signature_terms(self._docs(spark, rows), k=10).collect()}
+
+        gw, marg = {}, Counter()
+        for g, t in rows:
+            c = Counter(t.split())
+            gw.setdefault(g, Counter()).update(c)
+            marg.update(c)
+        n, v, al = sum(marg.values()), len(marg), 0.01
+        for g, c in gw.items():
+            n_g = sum(c.values())
+            for w, cg in c.items():
+                rest = marg[w] - cg
+                d = math.log((cg + al) / (n_g + al * v - cg - al)) - math.log(
+                    (rest + al) / (n - n_g + al * v - rest - al)
+                )
+                z = d / math.sqrt(1.0 / (cg + al) + 1.0 / (rest + al))
+                assert out[(g, w)] == int(round(z * 1e6)), (g, w)
+
+    def test_k_bounds_and_validation(self, spark):
+        from correctocr_spark.ops.textstats import domain_signature_terms
+
+        docs = self._docs(spark, [("a", "x y z"), ("b", "p q")])
+        out = domain_signature_terms(docs, k=2).collect()
+        assert all(r["rank"] <= 2 for r in out)
+        assert len([r for r in out if r["group"] == "a"]) == 2
+        with pytest.raises(ValueError, match="k must"):
+            domain_signature_terms(docs, k=0)
+        with pytest.raises(ValueError, match="alpha"):
+            domain_signature_terms(docs, alpha_milli=0)

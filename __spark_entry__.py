@@ -2684,6 +2684,64 @@ def q_signature_terms(spark, sf_dir):
     return domain_signature_terms(pages, k=5)
 
 
+def q_registered_domains(spark, sf_dir):
+    """Per-page eTLD+1 over synthesized urls exercising every PSL
+    branch: plain + multi-label rules, the *.ck wildcard, the !www.ck
+    exception, a host that IS a public suffix, an unparseable url,
+    private-section rules (github.io) and the implicit-* default."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import registered_domains
+
+    d = F.col("doc_id")
+    url = (
+        F.when(d % 8 == 0, F.concat(F.lit("http://www.site"), (d % 20).cast("string"), F.lit(".example.com/p")))
+        .when(d % 8 == 1, F.concat(F.lit("https://a.b.site"), (d % 20).cast("string"), F.lit(".co.uk:8080/x?q=1")))
+        .when(d % 8 == 2, F.lit("http://foo.bar.ck/"))
+        .when(d % 8 == 3, F.lit("http://www.ck/"))
+        .when(d % 8 == 4, F.lit("http://com/"))
+        .when(d % 8 == 5, F.concat(F.lit("not a url "), d.cast("string")))
+        .when(d % 8 == 6, F.concat(F.lit("http://u"), (d % 7).cast("string"), F.lit(".github.io/r")))
+        .otherwise(F.concat(F.lit("http://h"), (d % 9).cast("string"), F.lit(".unknowntld.zz/")))
+    )
+    pages = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return registered_domains(pages)
+
+
+def q_lang_agreement(spark, sf_dir):
+    """Declared-vs-detected language audit over synthesized html:
+    %7==0 declares 'EN-us' (case + region subtag normalization),
+    %7==1 declares the bogus 'xx' (disagree), %7==2 omits the
+    attribute (undeclared), the rest declare the row's own lang."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import lang_agreement
+
+    d = F.col("doc_id")
+    decl = (
+        F.when(d % 7 == 0, F.lit("EN-us"))
+        .when(d % 7 == 1, F.lit("xx"))
+        .otherwise(F.col("lang"))
+    )
+    html = F.when(
+        d % 7 == 2, F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>"))
+    ).otherwise(
+        F.concat(F.lit('<html lang="'), decl, F.lit('"><body>'), F.col("text"), F.lit("</body></html>"))
+    )
+    pages = _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"), "text")
+    return lang_agreement(pages)
+
+
+def q_contamination_fraction(spark, sf_dir):
+    """Graded benchmark contamination: distinct-3-shingle hit share in
+    floored basis points against the same BENCHMARK_TEXTS fixture the
+    boolean decontamination gate uses — every doc returned."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import contamination_fraction
+
+    return contamination_fraction(
+        _t(spark, sf_dir, "documents"), BENCHMARK_TEXTS, k=SHINGLE_K
+    )
+
+
 def q_extraction_blocks(spark, sf_dir):
     """Per-block extraction lineage over deterministic synthetic html
     (nav menu = link-density drop, article body = kept, a short linky
@@ -3007,7 +3065,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         # text analysis
         "langid": q_langid,
-        "quality": q_quality,
+        # quality (green r1-r4) moved to tier 2 for lang_agreement:
+        # tier-1 canonical_by_quality recomputes quality_scores
+        # end-to-end and gopher_rules covers the row-local heuristic
+        # family
+        "lang_agreement": q_lang_agreement,
         # fingerprint (T6 md5 keying, green r1-r4) moved to tier 2 for
         # classifier_gate: the md5-fingerprint machinery is re-verified
         # by the tier-1 span_removal / dedup_groups / training_corpus
@@ -3055,10 +3117,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_index": q_term_index,
         # server read surface: token-detail endpoint (server.py:231-307)
         "token_detail": q_token_detail,
-        # streaming-shaped windowed agg (batch twin)
-        "windowed_agg": q_windowed_agg,
+        # windowed_agg (green r1-r4) moved to tier 2 for
+        # registered_domains: its event-time tumbling-window groupBy
+        # core is re-verified by tier-1 sessionize over the same
+        # events table, and the streaming twin stays pytest-pinned
+        "registered_domains": q_registered_domains,
         # ---- tier 2: oracled twins (operator hash-verified via the
         # sibling above; these stay oracle-checked in-repo) ----
+        "quality": q_quality,
+        "windowed_agg": q_windowed_agg,
+        # graded sibling of tier-1 decontamination: the SAME shingle
+        # recurrence + benchmark fixture, counts instead of the gate
+        "contamination_fraction": q_contamination_fraction,
         # all-pairs Jaccard — the labeled oracle twin of the LSH-gated
         # ngram_jaccard_lsh verify path
         "ngram_jaccard": q_ngram_jaccard,
@@ -3786,6 +3856,135 @@ def _langid_sql() -> str:
         SELECT doc_id, {best_lang} AS lang_pred,
                round({best_hits} / greatest(n_words, 1), 6) AS stopword_ratio
         FROM h
+    """
+
+
+def _regdom_sql() -> str:
+    """DuckDB twin of q_registered_domains: same url synthesis, host
+    grammar, and PSL algorithm (suffix chain x rules join, exception >
+    longest > implicit-*)."""
+    from correctocr_spark.ops.webindex import PSL_SNAPSHOT
+
+    kinds = {}
+    for r in PSL_SNAPSHOT:
+        if r.startswith("!"):
+            kinds[r[1:]] = 2
+        elif r.startswith("*."):
+            kinds[r[2:]] = 1
+        else:
+            kinds.setdefault(r, 0)
+    values = ", ".join(f"('{b}', {k})" for b, k in sorted(kinds.items()))
+    return f"""
+        WITH pages AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN doc_id % 8 = 0 THEN 'http://www.site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p'
+                     WHEN doc_id % 8 = 1 THEN 'https://a.b.site' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk:8080/x?q=1'
+                     WHEN doc_id % 8 = 2 THEN 'http://foo.bar.ck/'
+                     WHEN doc_id % 8 = 3 THEN 'http://www.ck/'
+                     WHEN doc_id % 8 = 4 THEN 'http://com/'
+                     WHEN doc_id % 8 = 5 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+                     WHEN doc_id % 8 = 6 THEN 'http://u' || CAST(doc_id % 7 AS VARCHAR) || '.github.io/r'
+                     ELSE 'http://h' || CAST(doc_id % 9 AS VARCHAR) || '.unknowntld.zz/'
+                   END AS url
+            FROM documents
+        ),
+        rules(base, kind) AS (VALUES {values}),
+        l AS (
+            SELECT doc_id,
+                   regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS host
+            FROM pages
+        ),
+        u AS (SELECT doc_id, host, string_split(host, '.') AS ls,
+                     len(string_split(host, '.'))::INTEGER AS n FROM l),
+        sx AS (SELECT doc_id, n, ls,
+                      unnest(generate_series(1, least(n, 6))) AS d
+               FROM u),
+        sfx AS (SELECT doc_id, n, d,
+                       array_to_string(ls[n - d + 1 : n], '.') AS s
+                FROM sx),
+        m AS (SELECT doc_id,
+                     max(CASE WHEN kind = 2 THEN d - 1 END) AS exc,
+                     max(CASE WHEN kind = 0 THEN d
+                              WHEN kind = 1 AND n > d THEN d + 1 END) AS reg
+              FROM sfx JOIN rules ON s = base GROUP BY doc_id),
+        fin AS (SELECT u.doc_id, u.host, u.ls, u.n, coalesce(m.exc, m.reg, 1) AS ps
+                FROM u LEFT JOIN m USING (doc_id))
+        SELECT doc_id, host,
+               CASE WHEN host <> '' AND n >= ps THEN array_to_string(ls[n - ps + 1 : n], '.') END AS public_suffix,
+               CASE WHEN host <> '' AND n > ps THEN array_to_string(ls[n - ps : n], '.') END AS registered_domain
+        FROM fin
+    """
+
+
+def _langagree_sql() -> str:
+    """DuckDB twin of q_lang_agreement: same html synthesis, the SAME
+    declared-lang regex text (shared Java∩RE2 grammar), and the langid
+    stopword argmax over the same profiles."""
+    from correctocr_spark.ops.textstats import STOPWORDS, _DECLARED_LANG_RE
+
+    langs = list(STOPWORDS)
+    hit_cols = ", ".join(
+        "len(list_filter(ws, w -> list_contains(["
+        + ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+        + f"], lower(w)))) AS hits_{lang}"
+        for lang in langs
+    )
+    best_lang, best_hits = "'und'", "0"
+    for lang in langs:
+        best_lang = f"(case when hits_{lang} > {best_hits} then '{lang}' else {best_lang} end)"
+        best_hits = f"greatest(hits_{lang}, {best_hits})"
+    return f"""
+        WITH pages AS (
+            SELECT doc_id, text,
+                   CASE WHEN doc_id % 7 = 2
+                        THEN '<html><body>' || text || '</body></html>'
+                        ELSE '<html lang="' ||
+                             (CASE WHEN doc_id % 7 = 0 THEN 'EN-us'
+                                   WHEN doc_id % 7 = 1 THEN 'xx'
+                                   ELSE lang END) ||
+                             '"><body>' || text || '</body></html>'
+                   END AS html
+            FROM documents
+        ),
+        w AS (SELECT doc_id,
+                     lower(string_split(regexp_extract(html, '{_DECLARED_LANG_RE}', 1), '-')[1]) AS lang_declared,
+                     {_WORDS} AS ws
+              FROM pages),
+        h AS (SELECT doc_id, lang_declared, len(ws) AS n_words, {hit_cols} FROM w)
+        SELECT doc_id, lang_declared, {best_lang} AS lang_pred,
+               CASE WHEN lang_declared = '' THEN 'undeclared'
+                    WHEN {best_lang} = 'und' THEN 'undetected'
+                    WHEN lang_declared = {best_lang} THEN 'agree'
+                    ELSE 'disagree' END AS status
+        FROM h
+    """
+
+
+def _contamfrac_sql() -> str:
+    """DuckDB twin of q_contamination_fraction: same shingle recurrence
+    as decontaminate (incl. the sub-k short-text tail), distinct
+    shingles intersected with the benchmark literal set."""
+    bench = set()
+    for t in BENCHMARK_TEXTS:
+        ws = [w for w in t.split() if w]
+        for i in range(max(len(ws) - SHINGLE_K + 1, 0)):
+            bench.add(" ".join(ws[i : i + SHINGLE_K]))
+    lits = ", ".join(f"'{s}'" for s in sorted(bench))
+    k = SHINGLE_K
+    return f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+        s AS (SELECT doc_id,
+                     list_distinct(list_filter(
+                         list_transform(generate_series(0, greatest(len(ws) - {k}, 0)),
+                                        i -> array_to_string(ws[i + 1 : i + {k}], ' ')),
+                         x -> x <> '')) AS sh
+              FROM w)
+        SELECT doc_id,
+               len(sh)::BIGINT AS n_shingles,
+               len(list_intersect(sh, [{lits}]))::BIGINT AS n_hits,
+               ((len(list_intersect(sh, [{lits}])) * 10000) // greatest(len(sh), 1))::BIGINT AS contamination_bp
+        FROM s
     """
 
 
@@ -5042,6 +5241,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": _ann_sql_parts(),
         "ann_lsh": _ann_lsh_sql(),
         "langid": _langid_sql(),
+        "lang_agreement": _langagree_sql(),
+        "registered_domains": _regdom_sql(),
+        "contamination_fraction": _contamfrac_sql(),
         "quality": _quality_sql(),
         "gopher_rules": _gopher_sql(),
         "domain_blocklist": _domain_blocklist_sql(),

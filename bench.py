@@ -65,6 +65,7 @@ HEADLINE = [
     "ann_bruteforce",
     "ann_lsh",
     "langid",
+    "lang_agreement",
     "quality",
     "fingerprint",
     "unigram_lm",
@@ -73,6 +74,7 @@ HEADLINE = [
     "repetition_stats",
     "tfidf_top_terms",
     "decontamination",
+    "contamination_fraction",
     "sample_stratified",
     "corpus_rollup",
     "link_extract",
@@ -80,6 +82,7 @@ HEADLINE = [
     "pack_shards_url",
     "pagerank",
     "url_canonical",
+    "registered_domains",
     "dedup_exact",
     "dup_spans",
     "span_removal",

@@ -1639,3 +1639,67 @@ def domain_signature_terms(
         )
     )
     return register_intermediates(out, gw)
+
+
+#: ``<html ... lang="...">`` declared-language attribute. Deliberately
+#: a SHARED Java∩RE2 grammar (no lookaround) so the DuckDB oracle runs
+#: the IDENTICAL pattern: the html open tag's first lang attribute,
+#: value optionally quoted, BCP-47 tag captured whole (primary subtag
+#: split off downstream by array algebra, not regex).
+_DECLARED_LANG_RE = r'(?i)<html[^>]*[\s"]lang\s*=\s*["\x27]?([A-Za-z][A-Za-z0-9-]*)'
+
+
+def declared_lang_col(html) -> Column:
+    """Lowercased PRIMARY subtag of the html open tag's ``lang``
+    attribute (``EN-us`` -> ``en``); '' when absent/None. Row-local."""
+    h = F.col(html) if isinstance(html, str) else html
+    tag = F.regexp_extract(F.coalesce(h, F.lit("")), _DECLARED_LANG_RE, 1)
+    return F.lower(F.element_at(F.split(tag, "-"), 1))
+
+
+def lang_agreement(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    text_col: str = "text",
+) -> DataFrame:
+    """Declared-vs-detected language audit: the served ``<html lang>``
+    attribute against :func:`language_id`'s stopword argmax over the
+    extracted text — the standard crawl-QA cross-check (W3C's own
+    surveys put declared-lang error rates in whole percents; CLD-family
+    pipelines demote the attribute to a weak prior for exactly this
+    reason). Disagreement rows route to re-detection or quarantine:
+    trusting the attribute mislabels spam/templated pages, trusting the
+    detector alone wastes the publisher signal on short pages.
+
+    Returns every input page as ``(doc_id, lang_declared, lang_pred,
+    status)`` with status ``agree`` / ``disagree`` / ``undeclared``
+    (no usable attribute) / ``undetected`` (declared but no stopword
+    evidence — short/boilerplate text, the "weak prior wins" row).
+
+    Scale shape: ONE projection — the attribute regex, the stopword
+    hit counts and the argmax are all row-local column algebra over the
+    scan (same shape as ``language_id``); zero joins, zero shuffle.
+    """
+    words = normalized_words(text_col)
+    langs = list(STOPWORDS)
+    d = ensure_parallelism(pages).select(
+        F.col(id_col).alias("doc_id"),
+        declared_lang_col(html_col).alias("lang_declared"),
+        *[_stopword_hits(words, lang).alias(f"hits_{lang}") for lang in langs],
+    )
+    best_lang, best_hits = F.lit("und"), F.lit(0)
+    for lang in langs:
+        hits = F.col(f"hits_{lang}")
+        best_lang = F.when(hits > best_hits, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(hits > best_hits, hits).otherwise(best_hits)
+    return d.select(
+        "doc_id",
+        "lang_declared",
+        best_lang.alias("lang_pred"),
+        F.when(F.col("lang_declared") == "", F.lit("undeclared"))
+        .when(best_lang == "und", F.lit("undetected"))
+        .when(F.col("lang_declared") == best_lang, F.lit("agree"))
+        .otherwise(F.lit("disagree"))
+        .alias("status"),
+    )

@@ -1010,3 +1010,160 @@ def mine_param_relevance(
             .alias("irrelevance_bp"),
         )
     )
+
+
+#: Public Suffix List SNAPSHOT — a deterministic, test-sized subset of
+#: the publicsuffix.org rule grammar (plain rules, ``*.`` wildcards,
+#: ``!`` exceptions; ICANN + a few private-section shapes). The full
+#: ~9.6k-rule PSL drops in via the ``rules`` parameter unchanged — the
+#: matcher is a broadcast map literal either way (the full list is a
+#: few hundred KB of plan, still dimension-sized).
+PSL_SNAPSHOT = (
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "co",
+    "de", "fr", "it", "nl", "es", "se", "no", "dk", "fi", "pl",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "jp", "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "au", "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "br", "com.br", "net.br", "org.br",
+    "cn", "com.cn", "net.cn", "org.cn", "gov.cn",
+    "in", "co.in", "net.in", "org.in",
+    "ru", "com.ru", "za", "co.za",
+    "ck", "*.ck", "!www.ck",
+    "jm", "*.jm",
+    "github.io", "blogspot.com", "s3.amazonaws.com",
+)
+
+
+def registered_domain_cols(
+    url, rules=PSL_SNAPSHOT, max_depth: int = 6
+) -> dict:
+    """``host`` / ``public_suffix`` / ``registered_domain`` (eTLD+1)
+    columns for ``url``, matched against a Public Suffix List rule set
+    — the key every per-site policy actually wants: host-keyed quotas,
+    blocklists and dedup scopes treat ``a.blogspot.com`` and
+    ``b.blogspot.com`` as one site and ``sub1.example.co.uk`` /
+    ``sub2.example.co.uk`` as two, when the operative boundaries are
+    the opposite (publicsuffix.org's raison d'etre).
+
+    Full PSL algorithm over the snapshot grammar: plain rules match
+    their exact suffix; ``*.base`` matches one label deeper than
+    ``base``; ``!base`` (exception) wins outright with a public suffix
+    one label SHORTER than ``base``; no match falls back to the
+    implicit ``*`` rule (public suffix = rightmost label). The
+    registered domain is the public suffix plus one label; a host that
+    IS a public suffix (or the empty/unparseable host) yields NULL.
+
+    Scale shape: entirely row-local — the rule set inlines as one map
+    literal, the suffix chain is a bounded array ``transform`` (PSL
+    rules max out at depth 5; ``max_depth`` caps the probe), lookups
+    are ``element_at``. Zero joins, zero shuffle, scan speed; composes
+    with any downstream groupBy on ``registered_domain``.
+
+    Refs: publicsuffix.org/list (public algorithm); reference has no
+    URL tier (corpus is a hand-listed download, workspace.py:100-141).
+    """
+    from .filters import host_col
+
+    kinds = {}
+    for r in rules:
+        if r.startswith("!"):
+            kinds[r[1:]] = 2
+        elif r.startswith("*."):
+            kinds[r[2:]] = 1
+        else:
+            kinds.setdefault(r, 0)
+    pairs = []
+    for base in sorted(kinds):
+        pairs += [F.lit(base), F.lit(kinds[base])]
+    rules_map = F.create_map(*pairs)
+
+    host = host_col(url)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    depths = F.sequence(F.lit(1), F.least(n, F.lit(int(max_depth))))
+
+    def kind(d):
+        return F.element_at(
+            rules_map, F.concat_ws(".", F.slice(labels, n - d + 1, d))
+        )
+
+    exc = F.array_max(
+        F.filter(
+            F.transform(depths, lambda d: F.when(kind(d) == 2, d - 1)),
+            lambda x: x.isNotNull(),
+        )
+    )
+    reg = F.array_max(
+        F.filter(
+            F.transform(
+                depths,
+                lambda d: F.when(kind(d) == 0, d).when(
+                    (kind(d) == 1) & (n > d), d + 1
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    ps_len = F.coalesce(exc, reg, F.lit(1))
+    nonempty = host != ""
+    return {
+        "host": host,
+        "public_suffix": F.when(
+            nonempty & (n >= ps_len),
+            F.concat_ws(".", F.slice(labels, n - ps_len + 1, ps_len)),
+        ),
+        "registered_domain": F.when(
+            nonempty & (n > ps_len),
+            F.concat_ws(".", F.slice(labels, n - ps_len, ps_len + 1)),
+        ),
+    }
+
+
+def registered_domains(
+    pages: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    rules=PSL_SNAPSHOT,
+    max_depth: int = 6,
+) -> DataFrame:
+    """Per-page eTLD+1 table ``(doc_id, host, public_suffix,
+    registered_domain)`` — every input page kept (NULLs where the host
+    is itself a public suffix or unparseable), so the table composes as
+    the site-key side of quota/blocklist/dedup joins. One projection
+    over the scan; see :func:`registered_domain_cols`."""
+    cols = registered_domain_cols(F.col(url_col), rules, max_depth)
+    return ensure_parallelism(pages).select(
+        F.col(id_col).alias("doc_id"),
+        cols["host"].alias("host"),
+        cols["public_suffix"].alias("public_suffix"),
+        cols["registered_domain"].alias("registered_domain"),
+    )
+
+
+def domain_rollup(
+    pages: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    rules=PSL_SNAPSHOT,
+    max_depth: int = 6,
+) -> DataFrame:
+    """Pages + distinct hosts per registered domain — the site-level
+    census behind crawl quotas and domain-cap sampling (`host_quota`
+    caps HOSTS; a spam farm spreads one site over thousands of
+    subdomains, so the quota that matters is per eTLD+1). Unmatched
+    hosts roll up under their NULL-safe literal ``'(none)'``.
+
+    One map-side-combinable agg keyed by registered_domain after the
+    row-local match — a single dimension-keyed shuffle."""
+    rd = registered_domains(pages, url_col, id_col, rules, max_depth)
+    return (
+        rd.groupBy(
+            F.coalesce(F.col("registered_domain"), F.lit("(none)")).alias(
+                "registered_domain"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+        )
+    )

@@ -322,6 +322,15 @@ def test_oracled_queries_precede_rows_only():
         # Fightin' Words signature terms — vocab_kl's gram table +
         # topk_per_group's window family
         "signature_terms",
+        # quality (green r1-r4) demoted for lang_agreement: tier-1
+        # canonical_by_quality recomputes quality_scores end-to-end
+        "quality",
+        # windowed_agg (green r1-r4) demoted for registered_domains:
+        # event-time window core re-verified by tier-1 sessionize
+        "windowed_agg",
+        # graded sibling of tier-1 decontamination (same shingle
+        # recurrence + fixture, counts instead of the boolean gate)
+        "contamination_fraction",
         # demoted for semdedup: filter+agg subset of tier-1
         # stats_conditional_agg (green r1-r5)
         "revenue_filter_agg",

@@ -1591,3 +1591,94 @@ class TestSignatureTerms:
             domain_signature_terms(docs, k=0)
         with pytest.raises(ValueError, match="alpha"):
             domain_signature_terms(docs, alpha_milli=0)
+
+
+class TestLangAgreement:
+    """declared-vs-detected language audit."""
+
+    def test_statuses(self, spark):
+        from correctocr_spark.ops.textstats import lang_agreement
+
+        en = "the of and to in is was he for it with as his on be"
+        rows = [
+            (1, '<html lang="EN-us"><body>x</body></html>', en),
+            (2, "<html LANG='de'><body>x</body></html>", en),
+            (3, "<html><body>no attr</body></html>", en),
+            (4, '<html lang="fr">', "zz qq ww ee rr"),
+            (5, None, en),
+            (6, '<div lang="en"><html>', en),  # wrong tag -> undeclared
+            (7, "<html lang=en >", en),        # unquoted value
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "html", "text"])
+        got = {r["doc_id"]: r for r in lang_agreement(df).collect()}
+        assert (got[1]["lang_declared"], got[1]["status"]) == ("en", "agree")
+        assert (got[2]["lang_declared"], got[2]["status"]) == ("de", "disagree")
+        assert (got[3]["lang_declared"], got[3]["status"]) == ("", "undeclared")
+        assert (got[4]["lang_pred"], got[4]["status"]) == ("und", "undetected")
+        assert got[5]["status"] == "undeclared"
+        assert got[6]["status"] == "undeclared"
+        assert (got[7]["lang_declared"], got[7]["status"]) == ("en", "agree")
+
+    def test_single_projection_no_shuffle(self, spark):
+        from correctocr_spark.ops.textstats import lang_agreement
+
+        df = spark.createDataFrame([(1, "<html lang=en>", "the of")],
+                                   ["doc_id", "html", "text"])
+        plan = lang_agreement(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestContaminationFraction:
+    """graded benchmark contamination in basis points."""
+
+    def test_hand_counts(self, spark):
+        from correctocr_spark.ops.cleaning import contamination_fraction
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),      # 4 distinct shingles, 2 hit
+                (2, "x y"),              # one sub-k tail shingle, 0 hit
+                (3, "a b c x a b c"),    # 4 distinct (dup window folds), 1 hit
+                (4, ""),                 # 0 shingles
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in
+               contamination_fraction(docs, ["a b c d q", "zz"], k=3).collect()}
+        assert (out[1]["n_shingles"], out[1]["n_hits"], out[1]["contamination_bp"]) == (4, 2, 5000)
+        assert (out[2]["n_shingles"], out[2]["n_hits"], out[2]["contamination_bp"]) == (1, 0, 0)
+        assert (out[3]["n_shingles"], out[3]["n_hits"], out[3]["contamination_bp"]) == (4, 1, 2500)
+        assert (out[4]["n_shingles"], out[4]["contamination_bp"]) == (0, 0)
+
+    def test_empty_bench_and_validation(self, spark):
+        from correctocr_spark.ops.cleaning import contamination_fraction
+
+        docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+        assert contamination_fraction(docs, [], k=3).collect()[0]["n_hits"] == 0
+        with pytest.raises(ValueError, match="k must"):
+            contamination_fraction(docs, ["a b c"], k=0)
+
+    def test_agrees_with_decontaminate_universe(self, spark):
+        """A doc decontaminate flags (>=1 overlap) has bp > 0 here and
+        the hit counts match decontaminate's n_overlap."""
+        from correctocr_spark.ops.cleaning import contamination_fraction, decontaminate
+
+        bench = ["big order scan", "row column sort"]
+        docs = spark.createDataFrame(
+            [(1, "big order scan now row column sort"), (2, "nothing shared here")],
+            ["doc_id", "text"],
+        )
+        frac = {r["doc_id"]: r for r in
+                contamination_fraction(docs, bench, k=3).collect()}
+        dec = {r["doc_id"]: r for r in
+               decontaminate(docs, bench, k=3, min_overlap=1).collect()}
+        assert dec.keys() == {1}
+        assert frac[1]["n_hits"] == dec[1]["n_overlap"] == 2
+        assert frac[2]["n_hits"] == 0
+
+    def test_scan_speed_no_shuffle(self, spark):
+        from correctocr_spark.ops.cleaning import contamination_fraction
+
+        docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+        plan = contamination_fraction(docs, ["a b c"], k=3)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Generate" not in plan

@@ -718,3 +718,67 @@ class TestHostCardinality:
         )
         out = {r["host"]: r.asDict() for r in host_cardinality(df).collect()}
         assert out[""]["n_pages"] == 2
+
+
+class TestRegisteredDomains:
+    """PSL eTLD+1 extraction: plain/wildcard/exception rules, default
+    rule, host-is-suffix and unparseable edges, and the rollup."""
+
+    CASES = [
+        # (url, host, public_suffix, registered_domain)
+        ("http://www.example.com/a", "www.example.com", "com", "example.com"),
+        ("https://a.b.example.co.uk:8080/x?y=1", "a.b.example.co.uk", "co.uk", "example.co.uk"),
+        ("http://foo.bar.ck/", "foo.bar.ck", "bar.ck", "foo.bar.ck"),  # *.ck
+        ("http://www.ck/", "www.ck", "ck", "www.ck"),                  # !www.ck
+        ("http://com/", "com", "com", None),                           # host IS a PS
+        ("not a url", "", None, None),
+        ("http://user.github.io/repo", "user.github.io", "github.io", "user.github.io"),
+        ("http://deep.sub.user.blogspot.com/", "deep.sub.user.blogspot.com", "blogspot.com", "user.blogspot.com"),
+        ("http://unknowntld.zz/", "unknowntld.zz", "zz", "unknowntld.zz"),  # implicit *
+        ("http://ck/", "ck", "ck", None),  # wildcard base itself: no match
+    ]
+
+    def test_psl_branches(self, spark):
+        from correctocr_spark.ops.webindex import registered_domains
+
+        df = spark.createDataFrame(
+            [(i, c[0]) for i, c in enumerate(self.CASES)], ["doc_id", "url"]
+        )
+        got = {r["doc_id"]: r for r in registered_domains(df).collect()}
+        for i, (_, host, ps, rd) in enumerate(self.CASES):
+            assert got[i]["host"] == host, i
+            assert got[i]["public_suffix"] == ps, i
+            assert got[i]["registered_domain"] == rd, i
+
+    def test_custom_rules_and_depth_cap(self, spark):
+        from correctocr_spark.ops.webindex import registered_domains
+
+        df = spark.createDataFrame(
+            [(1, "http://x.y.a.b.c/"), (2, "http://p.q.a.b.c/")],
+            ["doc_id", "url"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in registered_domains(df, rules=("a.b.c", "*.q.a.b.c")).collect()
+        }
+        assert out[1]["registered_domain"] == "y.a.b.c"
+        # wildcard one deeper than its base wins over the plain rule
+        assert out[2]["public_suffix"] == "p.q.a.b.c"
+        assert out[2]["registered_domain"] is None
+
+    def test_domain_rollup(self, spark):
+        from correctocr_spark.ops.webindex import domain_rollup
+
+        rows = [
+            (1, "http://a.blogspot.com/"),
+            (2, "http://b.blogspot.com/"),
+            (3, "http://a.blogspot.com/x"),
+            (4, "junk"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "url"])
+        out = {r["registered_domain"]: r for r in domain_rollup(df).collect()}
+        # each *.blogspot.com subdomain is its OWN registered domain
+        assert out["a.blogspot.com"]["n_pages"] == 2
+        assert out["a.blogspot.com"]["n_hosts"] == 1
+        assert out["b.blogspot.com"]["n_pages"] == 1
+        assert out["(none)"]["n_pages"] == 1

@@ -2742,6 +2742,53 @@ def q_contamination_fraction(spark, sf_dir):
     )
 
 
+def q_host_lang_entropy(spark, sf_dir):
+    """Per-host language-mix entropy over synthesized urls (host =
+    doc_id%25, uncorrelated with the lang column, so hosts are
+    genuinely mixed): majority language + share + Shannon entropy in
+    micro-nats — the mixed-language-host spam signal."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import host_lang_entropy
+
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 25).cast("string"),
+            F.lit(".example.com/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    return host_lang_entropy(pages)
+
+
+def q_vocab_health(spark, sf_dir):
+    """Per-language vocabulary health: token mass, type count, TTR and
+    hapax share in basis points — the corpus-hygiene panel."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import vocab_health
+
+    return vocab_health(_t(spark, sf_dir, "documents"))
+
+
+def q_crawl_freshness(spark, sf_dir):
+    """Per-host snapshot staleness as of 2024-02-01 over the events
+    table recast as crawl snapshots (url per user, host = user%40):
+    exact interpolated median age, max age, stale share at 14 days."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import crawl_freshness
+
+    pages = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("http://h"), (F.col("user_id") % 40).cast("string"),
+            F.lit(".example.com/p"), F.col("user_id").cast("string"),
+        ).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        "event_id",
+    )
+    return crawl_freshness(
+        pages, "2024-02-01 00:00:00", stale_after_days=14, tiebreak="event_id"
+    )
+
+
 def q_extraction_blocks(spark, sf_dir):
     """Per-block extraction lineage over deterministic synthetic html
     (nav menu = link-density drop, article body = kept, a short linky
@@ -3091,7 +3138,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus cleaning / curation
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition,
-        "tfidf_top_terms": q_tfidf_top_terms,
+        # tfidf_top_terms (green r1-r4) moved to tier 2 for
+        # host_lang_entropy: its doc-keyed window is tier-1
+        # topk_per_group's shape and its idf model join is tier-1
+        # unigram_lm's
+        "host_lang_entropy": q_host_lang_entropy,
         "decontamination": q_decontamination,
         "sample_stratified": q_sample_stratified,
         "corpus_rollup": q_corpus_rollup,
@@ -3129,6 +3180,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded sibling of tier-1 decontamination: the SAME shingle
         # recurrence + benchmark fixture, counts instead of the gate
         "contamination_fraction": q_contamination_fraction,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        # (group, word) gram-table family of tier-1 word_freq /
+        # vocab_kl; single dimension-keyed rollup
+        "vocab_health": q_vocab_health,
+        # snapshot_asof's latest-per-key window (tier-2, cited to
+        # tier-1 topk_per_group) + one host-keyed agg
+        "crawl_freshness": q_crawl_freshness,
         # all-pairs Jaccard — the labeled oracle twin of the LSH-gated
         # ngram_jaccard_lsh verify path
         "ngram_jaccard": q_ngram_jaccard,
@@ -3985,6 +4043,98 @@ def _contamfrac_sql() -> str:
                len(list_intersect(sh, [{lits}]))::BIGINT AS n_hits,
                ((len(list_intersect(sh, [{lits}])) * 10000) // greatest(len(sh), 1))::BIGINT AS contamination_bp
         FROM s
+    """
+
+
+def _hostlang_sql() -> str:
+    """DuckDB twin of q_host_lang_entropy: same url/host synthesis,
+    langid argmax, and the SAME per-term entropy expression text
+    quantized to micro-nats before the integer sum."""
+    from correctocr_spark.ops.textstats import STOPWORDS
+
+    langs = list(STOPWORDS)
+    hit_cols = ", ".join(
+        "len(list_filter(ws, w -> list_contains(["
+        + ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+        + f"], lower(w)))) AS hits_{lang}"
+        for lang in langs
+    )
+    best_lang, best_hits = "'und'", "0"
+    for lang in langs:
+        best_lang = f"(case when hits_{lang} > {best_hits} then '{lang}' else {best_lang} end)"
+        best_hits = f"greatest(hits_{lang}, {best_hits})"
+    return f"""
+        WITH pages AS (
+            SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) || '.example.com' AS host,
+                   text
+            FROM documents
+        ),
+        w AS (SELECT host, {_WORDS} AS ws FROM pages),
+        h AS (SELECT host, {hit_cols} FROM w),
+        p AS (SELECT host, {best_lang} AS lang_pred FROM h),
+        hl AS (SELECT host, lang_pred, count(*)::BIGINT AS c FROM p GROUP BY 1, 2),
+        tot AS (SELECT host, sum(c)::BIGINT AS n FROM hl GROUP BY 1),
+        j AS (SELECT hl.host, lang_pred, c, n,
+                     CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                          ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS t
+              FROM hl JOIN tot USING (host)),
+        agg AS (SELECT host, max(n)::BIGINT AS n_pages, count(*)::BIGINT AS n_langs,
+                       sum(t)::BIGINT AS entropy_micro
+                FROM j GROUP BY 1),
+        top AS (SELECT host, lang_pred AS top_lang, c FROM j
+                QUALIFY row_number() OVER (PARTITION BY host ORDER BY c DESC, lang_pred ASC) = 1)
+        SELECT a.host, a.n_pages, a.n_langs, t.top_lang,
+               ((t.c * 10000) // a.n_pages)::BIGINT AS top_share_bp,
+               a.entropy_micro
+        FROM agg a JOIN top t USING (host)
+    """
+
+
+def _vocabhealth_sql() -> str:
+    return f"""
+        WITH b AS (SELECT lang AS "group", unnest({_WORDS}) AS w FROM documents),
+        gw AS (SELECT "group", w, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+        a AS (SELECT "group",
+                     sum(c)::BIGINT AS n_tokens,
+                     count(*)::BIGINT AS n_types,
+                     sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_types
+              FROM gw GROUP BY 1)
+        SELECT "group", n_tokens, n_types,
+               ((n_types * 10000) // greatest(n_tokens, 1))::BIGINT AS ttr_bp,
+               hapax_types,
+               ((hapax_types * 10000) // greatest(n_types, 1))::BIGINT AS hapax_share_bp
+        FROM a
+    """
+
+
+def _freshness_sql() -> str:
+    """DuckDB twin of q_crawl_freshness: the url synthesized per
+    user_id, so latest-per-url == latest-per-user; same floor-days and
+    interpolated-median definitions."""
+    return """
+        WITH pages AS (
+            SELECT 'h' || CAST(user_id % 40 AS VARCHAR) || '.example.com' AS host,
+                   user_id, ts, event_id
+            FROM events
+            WHERE ts <= TIMESTAMP '2024-02-01 00:00:00'
+        ),
+        latest AS (
+            SELECT host, ts FROM pages
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        ),
+        aged AS (
+            SELECT host,
+                   CAST(floor((epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(ts)) / 86400.0) AS BIGINT) AS age_days
+            FROM latest
+        ),
+        a AS (SELECT host, count(*)::BIGINT AS n_urls,
+                     round(median(age_days), 6) AS median_age_days,
+                     max(age_days)::BIGINT AS max_age_days,
+                     sum(CASE WHEN age_days > 14 THEN 1 ELSE 0 END)::BIGINT AS stale_urls
+              FROM aged GROUP BY 1)
+        SELECT host, n_urls, median_age_days, max_age_days, stale_urls,
+               ((stale_urls * 10000) // greatest(n_urls, 1))::BIGINT AS stale_share_bp
+        FROM a
     """
 
 
@@ -5242,6 +5392,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_sql(),
         "langid": _langid_sql(),
         "lang_agreement": _langagree_sql(),
+        "host_lang_entropy": _hostlang_sql(),
+        "vocab_health": _vocabhealth_sql(),
+        "crawl_freshness": _freshness_sql(),
         "registered_domains": _regdom_sql(),
         "contamination_fraction": _contamfrac_sql(),
         "quality": _quality_sql(),

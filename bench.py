@@ -66,6 +66,7 @@ HEADLINE = [
     "ann_lsh",
     "langid",
     "lang_agreement",
+    "host_lang_entropy",
     "quality",
     "fingerprint",
     "unigram_lm",
@@ -111,6 +112,7 @@ HEADLINE = [
     "snapshot_asof",
     "snapshot_delta",
     "forward_fill",
+    "crawl_freshness",
     "mix_proportions",
     # r5: web-index tier + host quota
     "host_quota",
@@ -177,6 +179,7 @@ HEADLINE = [
     "page_churn",
     "vocab_kl",
     "signature_terms",
+    "vocab_health",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -491,3 +491,63 @@ def page_change_ratio(
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def crawl_freshness(
+    pages: DataFrame,
+    as_of,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    stale_after_days: int = 30,
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Per-host crawl FRESHNESS report as of a cutoff: over each url's
+    latest snapshot at or before ``as_of``, the age distribution that
+    prices the refetch budget — :func:`page_change_ratio` says how fast
+    a page churns, this says how stale our copy already is; together
+    they schedule the recrawl. Returns ``(host, n_urls,
+    median_age_days, max_age_days, stale_urls, stale_share_bp)`` where
+    a url is stale when its age exceeds ``stale_after_days``.
+
+    Exactness: ages floor to integer days from epoch seconds (UTC
+    session pin, see ``_epoch``); the median is the standard linearly
+    interpolated exact percentile (identical definition both engines);
+    shares are floored basis points.
+
+    Scale shape: one url-keyed ``row_number`` window (the same
+    latest-per-key shuffle ``snapshot_asof`` is; the as-of predicate
+    prunes old crawls at the scan on a ts-partitioned table), then
+    row-local host + age algebra and ONE host-keyed agg with map-side
+    partials. No percentile over raw pages — ages reduce per url first.
+    """
+    from .filters import host_col
+
+    latest = snapshot_asof(
+        pages, key_col=url_col, ts_col=ts_col, as_of=as_of, tiebreak=tiebreak
+    )
+    cut = F.lit(as_of).cast(pages.schema[ts_col].dataType).cast("timestamp").cast("double")
+    age = F.floor((cut - _epoch(latest, ts_col)) / F.lit(86400.0)).cast("long")
+    aged = latest.select(
+        host_col(url_col).alias("host"), age.alias("age_days")
+    )
+    return (
+        aged.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.round(F.percentile("age_days", F.lit(0.5)), 6).alias("median_age_days"),
+            F.max("age_days").cast("long").alias("max_age_days"),
+            F.sum(
+                F.when(F.col("age_days") > int(stale_after_days), 1).otherwise(0)
+            ).cast("long").alias("stale_urls"),
+        )
+        .select(
+            "host",
+            "n_urls",
+            "median_age_days",
+            "max_age_days",
+            "stale_urls",
+            F.expr("(stale_urls * 10000) div greatest(n_urls, 1)")
+            .cast("long")
+            .alias("stale_share_bp"),
+        )
+    )

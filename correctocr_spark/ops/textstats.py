@@ -1703,3 +1703,116 @@ def lang_agreement(
         .otherwise(F.lit("disagree"))
         .alias("status"),
     )
+
+
+def host_lang_entropy(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host language mix: majority predicted language + its share,
+    and the Shannon entropy of the host's language distribution in
+    integer micro-nats — the mixed-language-host spam signal (content
+    farms and scraped-aggregator hosts serve many languages from one
+    host; legitimate sites are near-monolingual, so entropy ranks hosts
+    for quarantine and langid-disagreement triage composes per host).
+
+    Returns ``(host, n_pages, n_langs, top_lang, top_share_bp,
+    entropy_micro)`` — ties for the majority break to the
+    lexicographically smallest language (engine-stable).
+
+    Exactness: each language's entropy term ``-(c/N)·ln(c/N)`` is ONE
+    fixed double expression quantized to micro-nats BEFORE the per-host
+    integer sum — reduction-order-proof, like ``vocab_kl_divergence``.
+
+    Scale shape: the language argmax is row-local (``language_id``'s
+    column algebra inline); ONE corpus-scale shuffle into the
+    (host, lang) count with map-side partials; host totals derive from
+    that table and join back host-keyed (O(hosts x langs) rows).
+    """
+    from .filters import host_col
+
+    words = normalized_words(text_col)
+    langs = list(STOPWORDS)
+    d = ensure_parallelism(pages).select(
+        host_col(url_col).alias("host"),
+        *[_stopword_hits(words, lang).alias(f"hits_{lang}") for lang in langs],
+    )
+    best_lang, best_hits = F.lit("und"), F.lit(0)
+    for lang in langs:
+        hits = F.col(f"hits_{lang}")
+        best_lang = F.when(hits > best_hits, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(hits > best_hits, hits).otherwise(best_hits)
+    hl = (
+        d.select("host", best_lang.alias("lang_pred"))
+        .groupBy("host", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = hl.groupBy("host").agg(F.sum("c").alias("n"))
+    term = (
+        "CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * "
+        "ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    )
+    top = F.min(F.struct((-F.col("c")).alias("nc"), F.col("lang_pred").alias("lg")))
+    return (
+        hl.join(tot, on="host")
+        .withColumn("_t", F.expr(term))
+        .groupBy("host")
+        .agg(
+            F.max("n").cast("long").alias("n_pages"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            top.alias("_top"),
+            F.sum("_t").cast("long").alias("entropy_micro"),
+        )
+        .select(
+            "host",
+            "n_pages",
+            "n_langs",
+            F.col("_top.lg").alias("top_lang"),
+            F.expr("(-_top.nc * 10000) div n_pages").cast("long").alias("top_share_bp"),
+            "entropy_micro",
+        )
+    )
+
+
+def vocab_health(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-group vocabulary health: token mass, type count, type-token
+    ratio and hapax-legomenon share (types seen once) in floored basis
+    points — the corpus-hygiene panel read before training: OCR noise,
+    mojibake and aggressive concatenation INFLATE hapax share (junk
+    types), template/boilerplate floods DEFLATE TTR (few types, huge
+    mass); both move before eyeballs catch them. Complements
+    ``vocab_kl_divergence`` (drift between groups) with within-group
+    composition.
+
+    Returns ``(group, n_tokens, n_types, ttr_bp, hapax_types,
+    hapax_share_bp)`` — all exact integers, engine-stable.
+
+    Scale shape: one corpus explode into the (group, word) count (the
+    only corpus-scale shuffle, map-side partials), then one
+    dimension-keyed group agg.
+    """
+    base = (
+        ensure_parallelism(docs)
+        .select(F.col(group_col).alias("group"), normalized_words(text_col).alias("_ws"))
+        .select("group", F.explode("_ws").alias("w"))
+    )
+    gw = base.groupBy("group", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        gw.groupBy("group")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("hapax_types"),
+        )
+        .select(
+            "group",
+            "n_tokens",
+            "n_types",
+            F.expr("(n_types * 10000) div greatest(n_tokens, 1)").cast("long").alias("ttr_bp"),
+            "hapax_types",
+            F.expr("(hapax_types * 10000) div greatest(n_types, 1)").cast("long").alias("hapax_share_bp"),
+        )
+    )

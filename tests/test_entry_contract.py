@@ -331,6 +331,14 @@ def test_oracled_queries_precede_rows_only():
         # graded sibling of tier-1 decontamination (same shingle
         # recurrence + fixture, counts instead of the boolean gate)
         "contamination_fraction",
+        # tfidf_top_terms (green r1-r4) demoted for host_lang_entropy:
+        # doc-keyed window = topk_per_group's shape, idf model join =
+        # unigram_lm's
+        "tfidf_top_terms",
+        # (group, word) gram-table family of tier-1 word_freq/vocab_kl
+        "vocab_health",
+        # snapshot_asof latest-per-key window + one host-keyed agg
+        "crawl_freshness",
         # demoted for semdedup: filter+agg subset of tier-1
         # stats_conditional_agg (green r1-r5)
         "revenue_filter_agg",

@@ -1682,3 +1682,70 @@ class TestContaminationFraction:
         docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
         plan = contamination_fraction(docs, ["a b c"], k=3)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Generate" not in plan
+
+
+class TestHostLangEntropy:
+    """per-host language-mix entropy in micro-nats."""
+
+    EN = "the of and to in is was he for it"
+    DE = "der die und das ein ist nicht mit sich auf"
+
+    def test_mono_vs_mixed(self, spark):
+        import math
+
+        from correctocr_spark.ops.textstats import host_lang_entropy
+
+        rows = [(f"http://mono.com/{i}", self.EN) for i in range(4)] + [
+            ("http://mixed.com/1", self.EN),
+            ("http://mixed.com/2", self.DE),
+            ("http://mixed.com/3", self.EN),
+            ("http://mixed.com/4", self.DE),
+        ]
+        df = spark.createDataFrame(rows, ["url", "text"])
+        out = {r["host"]: r for r in host_lang_entropy(df).collect()}
+        mono = out["mono.com"]
+        assert (mono["n_langs"], mono["top_lang"], mono["top_share_bp"]) == (1, "en", 10000)
+        assert mono["entropy_micro"] == 0
+        mixed = out["mixed.com"]
+        assert mixed["n_pages"] == 4 and mixed["n_langs"] == 2
+        assert mixed["top_share_bp"] == 5000
+        # two quantized ln(2)/2 terms
+        assert mixed["entropy_micro"] == 2 * int(round(0.5 * math.log(2) * 1e6))
+
+    def test_tie_breaks_to_smallest_lang(self, spark):
+        from correctocr_spark.ops.textstats import host_lang_entropy
+
+        rows = [("http://t.com/1", self.EN), ("http://t.com/2", self.DE)]
+        df = spark.createDataFrame(rows, ["url", "text"])
+        out = host_lang_entropy(df).collect()[0]
+        langs = sorted([out["top_lang"]])
+        assert out["top_share_bp"] == 5000
+        # the winner must be the lexicographically smallest of the tied
+        # pair regardless of shuffle order: re-run with reversed input
+        rev = spark.createDataFrame(list(reversed(rows)), ["url", "text"])
+        assert host_lang_entropy(rev).collect()[0]["top_lang"] == out["top_lang"]
+
+
+class TestVocabHealth:
+    def test_hand_counts(self, spark):
+        from correctocr_spark.ops.textstats import vocab_health
+
+        docs = spark.createDataFrame(
+            [("a", "x x x y z"), ("b", "p q r s p")], ["lang", "text"]
+        )
+        out = {r["group"]: r for r in vocab_health(docs).collect()}
+        a = out["a"]
+        assert (a["n_tokens"], a["n_types"], a["hapax_types"]) == (5, 3, 2)
+        assert (a["ttr_bp"], a["hapax_share_bp"]) == (6000, 6666)
+        b = out["b"]
+        assert (b["n_tokens"], b["n_types"], b["hapax_types"]) == (5, 4, 3)
+        assert (b["ttr_bp"], b["hapax_share_bp"]) == (8000, 7500)
+
+    def test_empty_group_text(self, spark):
+        from correctocr_spark.ops.textstats import vocab_health
+
+        docs = spark.createDataFrame([("a", ""), ("b", "w")], ["lang", "text"])
+        out = {r["group"]: r for r in vocab_health(docs).collect()}
+        # wordless docs contribute no rows (explode of empty array)
+        assert "a" not in out
+        assert out["b"]["ttr_bp"] == 10000

@@ -422,3 +422,43 @@ def test_range_join_plan_no_nested_loop(spark):
     iv = spark.createDataFrame([(10, 0.0, 9.0)], ["iid", "lo", "hi"])
     plan = _plan(range_join(p, iv, "x", "lo", "hi", bin_width=4.0))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+class TestCrawlFreshness:
+    def test_hand_ages(self, spark):
+        import datetime
+
+        from correctocr_spark.ops.temporal import crawl_freshness
+
+        ts = lambda d: datetime.datetime(2024, 1, d)
+        pages = spark.createDataFrame(
+            [
+                ("http://a.com/1", ts(1)),   # superseded
+                ("http://a.com/1", ts(10)),  # latest -> age 21
+                ("http://a.com/2", ts(28)),  # age 3
+                ("http://b.com/1", ts(2)),   # age 29
+            ],
+            ["url", "warc_ts"],
+        )
+        out = {r["host"]: r for r in
+               crawl_freshness(pages, "2024-01-31 00:00:00", stale_after_days=20).collect()}
+        a = out["a.com"]
+        assert (a["n_urls"], a["max_age_days"], a["stale_urls"], a["stale_share_bp"]) == (2, 21, 1, 5000)
+        assert a["median_age_days"] == 12.0  # interpolated (21+3)/2
+        b = out["b.com"]
+        assert (b["n_urls"], b["median_age_days"], b["stale_share_bp"]) == (1, 29.0, 10000)
+
+    def test_as_of_excludes_future_snapshots(self, spark):
+        import datetime
+
+        from correctocr_spark.ops.temporal import crawl_freshness
+
+        pages = spark.createDataFrame(
+            [
+                ("http://a.com/1", datetime.datetime(2024, 1, 1)),
+                ("http://a.com/1", datetime.datetime(2024, 3, 1)),  # after cut
+            ],
+            ["url", "warc_ts"],
+        )
+        out = crawl_freshness(pages, "2024-01-31 00:00:00", stale_after_days=10).collect()
+        assert out[0]["max_age_days"] == 30  # the future row never wins

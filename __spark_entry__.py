@@ -2789,6 +2789,69 @@ def q_crawl_freshness(spark, sf_dir):
     )
 
 
+def q_feed_parse(spark, sf_dir):
+    """RSS/Atom feed discovery parse over synthesized feeds: even docs
+    serve an RSS channel (CDATA title + a dateless second item), odd
+    docs an Atom feed (published-falls-back-to-updated on %4==1)."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import parse_feeds
+
+    d = F.col("doc_id")
+    i = d.cast("string")
+    rss = F.concat(
+        F.lit("<rss><channel><title>Chan</title><item><title><![CDATA[Post "), i,
+        F.lit("]]></title><link>http://s"), (d % 9).cast("string"),
+        F.lit(".example.com/p"), i,
+        F.lit("</link><pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+              "<item><link>http://s"), (d % 9).cast("string"),
+        F.lit(".example.com/q"), i, F.lit("</link></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed><entry><title>E'), i,
+        F.lit('</title><link rel="alternate" href="http://a'), (d % 9).cast("string"),
+        F.lit(".example.com/x"), i, F.lit('"/>'),
+        F.when(d % 4 == 1, F.lit("<updated>2024-01-02T00:00:00Z</updated>")).otherwise(
+            F.lit("<published>2024-01-03T00:00:00Z</published>"
+                  "<updated>2024-01-04T00:00:00Z</updated>")
+        ),
+        F.lit("</entry></feed>"),
+    )
+    feeds = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://feed"), i, F.lit(".example.com/f")).alias("url"),
+        F.when(d % 2 == 0, rss).otherwise(atom).alias("content"),
+    )
+    return parse_feeds(feeds)
+
+
+def q_outlink_profile(spark, sf_dir):
+    """Per-page outlink profile over synthesized anchors: two external
+    hosts (one repeated), a nofollow on odd docs, an internal relative
+    link and a self-host link."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import outlink_profile
+
+    d = F.col("doc_id")
+    i = d.cast("string")
+    html = F.concat(
+        F.lit('<a href="http://ext'), (d % 3).cast("string"), F.lit('.com/a">x</a>'),
+        F.when(
+            d % 2 == 1,
+            F.concat(F.lit('<a href="http://ext'), (d % 3).cast("string"),
+                     F.lit('.com/b" rel="nofollow">y</a>')),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="http://other.com/c">z</a>'),
+        F.lit('<a href="/internal">i</a>'),
+        F.lit('<a href="http://me'), (d % 10).cast("string"),
+        F.lit('.example.com/self">s</a>'),
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://me"), (d % 10).cast("string"),
+                 F.lit(".example.com/p"), i).alias("url"),
+        html.alias("html"),
+    )
+    return outlink_profile(pages)
+
+
 def q_extraction_blocks(spark, sf_dir):
     """Per-block extraction lineage over deterministic synthetic html
     (nav menu = link-density drop, article body = kept, a short linky
@@ -3187,6 +3250,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snapshot_asof's latest-per-key window (tier-2, cited to
         # tier-1 topk_per_group) + one host-keyed agg
         "crawl_freshness": q_crawl_freshness,
+        # regex-explode discovery family of tier-1 link_extract /
+        # robots_discovery (sitemap_parse's sibling channel)
+        "feed_parse": q_feed_parse,
+        # link_extract's anchor grammar + row-local host array algebra
+        # (the url grammar tier-1 url_canonical/registered_domains pin)
+        "outlink_profile": q_outlink_profile,
         # all-pairs Jaccard — the labeled oracle twin of the LSH-gated
         # ngram_jaccard_lsh verify path
         "ngram_jaccard": q_ngram_jaccard,
@@ -4134,6 +4203,98 @@ def _freshness_sql() -> str:
               FROM aged GROUP BY 1)
         SELECT host, n_urls, median_age_days, max_age_days, stale_urls,
                ((stale_urls * 10000) // greatest(n_urls, 1))::BIGINT AS stale_share_bp
+        FROM a
+    """
+
+
+def _feedparse_sql() -> str:
+    """DuckDB twin of q_feed_parse: same synthesis, the SAME regex
+    texts (imported constants), CDATA strip with the 'g' flag (Spark's
+    regexp_replace is global by default)."""
+    from correctocr_spark.ops.webindex import (
+        _ATOM_DATE_RE,
+        _ATOM_ENTRY_RE,
+        _ATOM_LINK_RE,
+        _ATOM_UPDATED_RE,
+        _FEED_TITLE_RE,
+        _RSS_DATE_RE,
+        _RSS_ITEM_RE,
+        _RSS_LINK_RE,
+    )
+
+    return f"""
+        WITH feeds AS (
+            SELECT 'http://feed' || CAST(doc_id AS VARCHAR) || '.example.com/f' AS source,
+                   CASE WHEN doc_id % 2 = 0 THEN
+                     '<rss><channel><title>Chan</title><item><title><![CDATA[Post ' || CAST(doc_id AS VARCHAR) ||
+                     ']]></title><link>http://s' || CAST(doc_id % 9 AS VARCHAR) || '.example.com/p' || CAST(doc_id AS VARCHAR) ||
+                     '</link><pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item><item><link>http://s' ||
+                     CAST(doc_id % 9 AS VARCHAR) || '.example.com/q' || CAST(doc_id AS VARCHAR) || '</link></item></channel></rss>'
+                   ELSE
+                     '<feed><entry><title>E' || CAST(doc_id AS VARCHAR) ||
+                     '</title><link rel="alternate" href="http://a' || CAST(doc_id % 9 AS VARCHAR) ||
+                     '.example.com/x' || CAST(doc_id AS VARCHAR) || '"/>' ||
+                     (CASE WHEN doc_id % 4 = 1 THEN '<updated>2024-01-02T00:00:00Z</updated>'
+                           ELSE '<published>2024-01-03T00:00:00Z</published><updated>2024-01-04T00:00:00Z</updated>' END) ||
+                     '</entry></feed>'
+                   END AS content
+            FROM documents
+        ),
+        c AS (SELECT source,
+                     regexp_replace(regexp_replace(content, '<!\\[CDATA\\[', '', 'g'), '\\]\\]>', '', 'g') AS content
+              FROM feeds),
+        rb AS (SELECT source, unnest(regexp_extract_all(content, '{_RSS_ITEM_RE}', 0)) AS b FROM c),
+        rr AS (SELECT source, 'rss' AS kind,
+                      trim(regexp_extract(b, '{_RSS_LINK_RE}', 1)) AS link,
+                      trim(regexp_extract(b, '{_FEED_TITLE_RE}', 1)) AS title,
+                      trim(regexp_extract(b, '{_RSS_DATE_RE}', 1)) AS published
+               FROM rb),
+        ab AS (SELECT source, unnest(regexp_extract_all(content, '{_ATOM_ENTRY_RE}', 0)) AS b FROM c),
+        ar AS (SELECT source, 'atom' AS kind,
+                      trim(regexp_extract(b, '{_ATOM_LINK_RE}', 1)) AS link,
+                      trim(regexp_extract(b, '{_FEED_TITLE_RE}', 1)) AS title,
+                      CASE WHEN trim(regexp_extract(b, '{_ATOM_DATE_RE}', 1)) <> ''
+                           THEN trim(regexp_extract(b, '{_ATOM_DATE_RE}', 1))
+                           ELSE trim(regexp_extract(b, '{_ATOM_UPDATED_RE}', 1)) END AS published
+               FROM ab)
+        SELECT * FROM rr WHERE link <> ''
+        UNION ALL
+        SELECT * FROM ar WHERE link <> ''
+    """
+
+
+def _outlink_sql() -> str:
+    """DuckDB twin of q_outlink_profile: same anchor/href/nofollow/host
+    regex texts over list algebra."""
+    from correctocr_spark.ops.cleaning import A_TAG_RE, HREF_RE, NOFOLLOW_RE
+
+    host = "regexp_replace(lower(regexp_extract({0}, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), ':[0-9]+$', '')"
+    return f"""
+        WITH pages AS (
+            SELECT 'http://me' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+                   '<a href="http://ext' || CAST(doc_id % 3 AS VARCHAR) || '.com/a">x</a>' ||
+                   (CASE WHEN doc_id % 2 = 1
+                         THEN '<a href="http://ext' || CAST(doc_id % 3 AS VARCHAR) || '.com/b" rel="nofollow">y</a>'
+                         ELSE '' END) ||
+                   '<a href="http://other.com/c">z</a><a href="/internal">i</a>' ||
+                   '<a href="http://me' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/self">s</a>' AS html
+            FROM documents
+        ),
+        t AS (SELECT url, {host.format('url')} AS ph,
+                     regexp_extract_all(html, '{A_TAG_RE}', 0) AS tags
+              FROM pages),
+        x AS (SELECT url, ph, tags,
+                     list_transform(tags, tg -> {host.format(f"regexp_extract(tg, '{HREF_RE}', 1)")}) AS hosts
+              FROM t),
+        a AS (SELECT url,
+                     len(tags)::BIGINT AS n_links,
+                     len(list_filter(hosts, h -> h <> '' AND h <> ph))::BIGINT AS n_external,
+                     len(list_filter(tags, tg -> regexp_matches(tg, '{NOFOLLOW_RE}')))::BIGINT AS n_nofollow,
+                     len(list_distinct(list_filter(hosts, h -> h <> '' AND h <> ph)))::BIGINT AS n_ext_hosts
+              FROM x)
+        SELECT url, n_links, n_external, n_nofollow, n_ext_hosts,
+               ((n_external * 10000) // greatest(n_links, 1))::BIGINT AS external_bp,
+               ((n_nofollow * 10000) // greatest(n_links, 1))::BIGINT AS nofollow_bp
         FROM a
     """
 
@@ -5395,6 +5556,8 @@ def oracle_sql() -> dict[str, str]:
         "host_lang_entropy": _hostlang_sql(),
         "vocab_health": _vocabhealth_sql(),
         "crawl_freshness": _freshness_sql(),
+        "feed_parse": _feedparse_sql(),
+        "outlink_profile": _outlink_sql(),
         "registered_domains": _regdom_sql(),
         "contamination_fraction": _contamfrac_sql(),
         "quality": _quality_sql(),

@@ -79,6 +79,7 @@ HEADLINE = [
     "sample_stratified",
     "corpus_rollup",
     "link_extract",
+    "outlink_profile",
     "pack_shards",
     "pack_shards_url",
     "pagerank",
@@ -121,6 +122,7 @@ HEADLINE = [
     "robots_txt_gate",
     "anchor_stats",
     "sitemap_parse",
+    "feed_parse",
     "page_metadata",
     "compression_ratio",
     "bloom_gate",

@@ -1343,3 +1343,66 @@ def contamination_fraction(
             .alias("contamination_bp"),
         )
     )
+
+
+#: rel attribute containing the nofollow token, inside the (double-
+#: quote-grammar) anchor tag — shared Java∩RE2 text like A_TAG_RE
+NOFOLLOW_RE = r'rel="[^"]*nofollow[^"]*"'
+
+
+def outlink_profile(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per-page OUTLINK profile: link count, external share, nofollow
+    share (floored bp) and distinct external host count — the
+    link-spam feature row (SEO farms show high external share across
+    few repeated hosts; comment-spam victims show high nofollow share;
+    `soft404_detect` uses anchor mass, this profiles where the anchors
+    POINT). Every page is returned; ``extract_links``'s double-quote
+    anchor grammar, so the two ops profile the same universe.
+    Relative and protocol-relative hrefs have no scheme, parse to host
+    '' and count as internal (documented subset).
+
+    Returns ``(url, n_links, n_external, n_nofollow, n_ext_hosts,
+    external_bp, nofollow_bp)``.
+
+    Scale shape: zero shuffle, zero explode — the tag array is
+    materialized in its OWN projection (the Generate-recompute rule,
+    though there is no Generate: one regexp_extract_all evaluation per
+    row, not one per consumer), then counts are row-local array
+    algebra over it.
+    """
+    from .filters import host_col
+
+    tagged = ensure_parallelism(pages).select(
+        F.col(url_col).alias("url"),
+        host_col(url_col).alias("_ph"),
+        F.regexp_extract_all(F.col(html_col), F.lit(A_TAG_RE), 0).alias("_tags"),
+    )
+    link_hosts = F.transform(
+        "_tags", lambda t: host_col(F.regexp_extract(t, HREF_RE, 1))
+    )
+    profiled = tagged.select(
+        "url",
+        F.size("_tags").cast("long").alias("n_links"),
+        F.size(
+            F.filter(link_hosts, lambda h: (h != "") & (h != F.col("_ph")))
+        ).cast("long").alias("n_external"),
+        F.size(
+            F.filter("_tags", lambda t: t.rlike(NOFOLLOW_RE))
+        ).cast("long").alias("n_nofollow"),
+        F.size(
+            F.array_distinct(
+                F.filter(link_hosts, lambda h: (h != "") & (h != F.col("_ph")))
+            )
+        ).cast("long").alias("n_ext_hosts"),
+    )
+    return profiled.select(
+        "url",
+        "n_links",
+        "n_external",
+        "n_nofollow",
+        "n_ext_hosts",
+        F.expr("(n_external * 10000) div greatest(n_links, 1)").cast("long").alias("external_bp"),
+        F.expr("(n_nofollow * 10000) div greatest(n_links, 1)").cast("long").alias("nofollow_bp"),
+    )

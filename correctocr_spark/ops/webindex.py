@@ -1167,3 +1167,67 @@ def domain_rollup(
             F.countDistinct("host").cast("long").alias("n_hosts"),
         )
     )
+
+
+_RSS_ITEM_RE = r"(?s)<item[>\s].*?</item>"
+_ATOM_ENTRY_RE = r"(?s)<entry[>\s].*?</entry>"
+_FEED_TITLE_RE = r"(?s)<title[^>]*>\s*(.*?)\s*</title>"
+_RSS_LINK_RE = r"<link>([^<]*)</link>"
+_ATOM_LINK_RE = r'<link[^>]*href\s*=\s*["\x27]([^"\x27]*)'
+_RSS_DATE_RE = r"<pubDate>([^<]*)</pubDate>"
+_ATOM_DATE_RE = r"<published>([^<]*)</published>"
+_ATOM_UPDATED_RE = r"<updated>([^<]*)</updated>"
+
+
+def parse_feeds(
+    feeds: DataFrame,
+    source_col: str = "url",
+    content_col: str = "content",
+) -> DataFrame:
+    """RSS 2.0 / Atom feeds → the crawl-discovery table: one row per
+    ``<item>`` (``kind='rss'``) or ``<entry>`` (``kind='atom'``) with
+    ``(source, kind, link, title, published)`` — the freshest discovery
+    channel a frontier has (feeds surface new urls hours before
+    sitemaps regenerate and days before inlinks appear), unioned with
+    :func:`parse_sitemaps` output into the scheduler.
+
+    Grammar subset both regex engines state identically (the
+    sitemaps-parser philosophy): non-greedy ``(?s)`` block spans; RSS
+    links tag-wrapped, Atom links in the ``href`` attribute (first
+    ``<link>`` of the entry); titles tag-wrapped with CDATA wrappers
+    stripped up front (literal replace — CDATA containing markup is
+    out of grammar); dates kept as raw strings (RFC 822 vs RFC 3339
+    — parse downstream); Atom ``published`` falls back to ``updated``.
+    Entries without a link are dropped.
+
+    Row-local explode of dimension-small documents (a feed covers a
+    host): scan-speed, one Generate per kind, no shuffle.
+    """
+    c = F.regexp_replace(
+        F.regexp_replace(F.col(content_col), F.lit(r"<!\[CDATA\["), F.lit("")),
+        F.lit(r"\]\]>"),
+        F.lit(""),
+    )
+
+    def _entries(block_re: str, kind: str, link_re: str, date_re: str, fb_re=None):
+        block = F.explode(F.regexp_extract_all(c, F.lit(block_re), 0)).alias("_b")
+        published = F.trim(F.regexp_extract("_b", date_re, 1))
+        if fb_re is not None:
+            fb = F.trim(F.regexp_extract("_b", fb_re, 1))
+            published = F.when(published != "", published).otherwise(fb)
+        return (
+            ensure_parallelism(feeds)
+            .select(F.col(source_col), block)
+            .select(
+                F.col(source_col).alias("source"),
+                F.lit(kind).alias("kind"),
+                F.trim(F.regexp_extract("_b", link_re, 1)).alias("link"),
+                F.trim(F.regexp_extract("_b", _FEED_TITLE_RE, 1)).alias("title"),
+                published.alias("published"),
+            )
+            .where(F.col("link") != "")
+        )
+
+    return _entries(_RSS_ITEM_RE, "rss", _RSS_LINK_RE, _RSS_DATE_RE).unionByName(
+        _entries(_ATOM_ENTRY_RE, "atom", _ATOM_LINK_RE, _ATOM_DATE_RE, _ATOM_UPDATED_RE)
+    )

@@ -1078,3 +1078,34 @@ class TestAlphaSampleShares:
         for bad in (0, 1001, -3):
             with _pytest.raises(ValueError):
                 self._run(spark, [("en", 10)], bad)
+
+
+class TestOutlinkProfile:
+    def test_hand_profile(self, spark):
+        from correctocr_spark.ops.cleaning import outlink_profile
+
+        html = (
+            '<a href="http://ext1.com/a">x</a>'
+            '<a href="http://ext1.com/b" rel="nofollow">y</a>'
+            '<a href="http://ext2.com/c">z</a>'
+            '<a href="/internal">i</a>'
+            '<a href="http://me.com/self">s</a>'
+        )
+        pages = spark.createDataFrame(
+            [("http://me.com/p", html), ("http://me.com/none", "text only")],
+            ["url", "html"],
+        )
+        out = {r["url"]: r for r in outlink_profile(pages).collect()}
+        p = out["http://me.com/p"]
+        assert (p["n_links"], p["n_external"], p["n_nofollow"], p["n_ext_hosts"]) == (5, 3, 1, 2)
+        assert (p["external_bp"], p["nofollow_bp"]) == (6000, 2000)
+        none = out["http://me.com/none"]
+        assert none["n_links"] == 0 and none["external_bp"] == 0
+
+    def test_row_local_plan(self, spark):
+        from correctocr_spark.ops.cleaning import outlink_profile
+
+        pages = spark.createDataFrame([("http://a.com/", "<a href=\"http://b.com/\">l</a>")],
+                                      ["url", "html"])
+        plan = outlink_profile(pages)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Generate" not in plan

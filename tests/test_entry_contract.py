@@ -339,6 +339,10 @@ def test_oracled_queries_precede_rows_only():
         "vocab_health",
         # snapshot_asof latest-per-key window + one host-keyed agg
         "crawl_freshness",
+        # regex-explode discovery family of tier-1 link_extract
+        "feed_parse",
+        # anchor grammar of tier-1 link_extract + row-local host algebra
+        "outlink_profile",
         # demoted for semdedup: filter+agg subset of tier-1
         # stats_conditional_agg (green r1-r5)
         "revenue_filter_agg",

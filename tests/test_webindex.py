@@ -782,3 +782,41 @@ class TestRegisteredDomains:
         assert out["a.blogspot.com"]["n_hosts"] == 1
         assert out["b.blogspot.com"]["n_pages"] == 1
         assert out["(none)"]["n_pages"] == 1
+
+
+class TestParseFeeds:
+    RSS = """<rss><channel><title>Chan</title>
+<item><title><![CDATA[Post One]]></title><link>http://a.com/1</link><pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>
+<item><link> http://a.com/2 </link></item>
+<item><title>No link drops</title></item>
+</channel></rss>"""
+    ATOM = """<feed><title>F</title>
+<entry><title>E1</title><link rel="alternate" href="http://b.com/x"/><updated>2024-01-02T00:00:00Z</updated></entry>
+<entry><link href='http://b.com/y'/><published>2024-01-03T00:00:00Z</published><updated>2024-01-04T00:00:00Z</updated></entry>
+</feed>"""
+
+    def test_rss_and_atom(self, spark):
+        from correctocr_spark.ops.webindex import parse_feeds
+
+        df = spark.createDataFrame(
+            [("http://a.com/feed", self.RSS), ("http://b.com/atom", self.ATOM)],
+            ["url", "content"],
+        )
+        out = {(r["kind"], r["link"]): r for r in parse_feeds(df).collect()}
+        assert len(out) == 4  # the linkless item dropped
+        r1 = out[("rss", "http://a.com/1")]
+        assert r1["title"] == "Post One"  # CDATA stripped
+        assert r1["published"].startswith("Mon, 01 Jan")
+        assert out[("rss", "http://a.com/2")]["published"] == ""  # link trimmed
+        # atom: published falls back to updated; single-quoted href parses
+        assert out[("atom", "http://b.com/x")]["published"] == "2024-01-02T00:00:00Z"
+        assert out[("atom", "http://b.com/y")]["published"] == "2024-01-03T00:00:00Z"
+
+    def test_empty_and_garbage(self, spark):
+        from correctocr_spark.ops.webindex import parse_feeds
+
+        df = spark.createDataFrame(
+            [("u1", ""), ("u2", "not xml at all"), ("u3", "<item>no close")],
+            ["url", "content"],
+        )
+        assert parse_feeds(df).count() == 0

@@ -3103,6 +3103,188 @@ def q_bpe_token_counts(spark, sf_dir):
     return bpe_token_counts(_t(spark, sf_dir, "documents"), merges)
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangles + clustering coefficient via degree-ordered
+    wedge enumeration (Suri & Vassilvitskii 2011) over a deterministic
+    circulant host graph C7(1,2) plus a chord, direction noise, and
+    self-loops (all must collapse). coeff_ppm is exact integer, so the
+    hash twin is exact."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import triangle_count
+
+    did = F.col("doc_id")
+    a = did % 7
+    docs = _t(spark, sf_dir, "documents")
+
+    def h(col):
+        return F.concat(F.lit("h"), col.cast("string"))
+
+    edges = (
+        docs.select(h(a).alias("src"), h((a + 1) % 7).alias("dst"))
+        .unionByName(
+            docs.where(did % 2 == 0).select(
+                h(a).alias("src"), h((a + 2) % 7).alias("dst")
+            )
+        )
+        .unionByName(
+            # reversed duplicates — direction must collapse
+            docs.where(did % 3 == 0).select(
+                h((a + 1) % 7).alias("src"), h(a).alias("dst")
+            )
+        )
+        .unionByName(
+            # self-loops — must drop
+            docs.where(did % 5 == 0).select(h(a).alias("src"), h(a).alias("dst"))
+        )
+        .unionByName(
+            # one chord: breaks the circulant's degree uniformity
+            docs.where(did % 11 == 0).select(
+                F.lit("h0").alias("src"), F.lit("h3").alias("dst")
+            )
+        )
+    )
+    return triangle_count(edges)
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Top-50 bigram collocations by PMI (integer micro-nats, one
+    double ln per distinct pair on both engines; min_count=5 suppresses
+    the hapax-pair pathology). TakeOrderedAndProject cut under a total
+    order, so the boundary is oracle-exact."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, top_k=50
+    )
+
+
+def q_host_mirrors(spark, sf_dir):
+    """Host-level union-MinHash mirror detection: a full mirror of host
+    h0 (every doc re-hosted) and a half mirror of h1 are injected; the
+    full mirror MUST surface at 10000 bp (identical shingle unions
+    collide in every band). Same md5 minhash universe as the tier-1
+    doc-level pass."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import host_mirrors
+
+    did = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    url = F.concat(
+        F.lit("http://h"), (did % 4).cast("string"),
+        F.lit(".example/p/"), did.cast("string"),
+    )
+    base = docs.select(url.alias("url"), "text")
+    full_mirror = docs.where(did % 4 == 0).select(
+        F.concat(F.lit("http://mirror0.example/p/"), did.cast("string")).alias("url"),
+        "text",
+    )
+    half_mirror = docs.where(did % 8 == 1).select(
+        F.concat(F.lit("http://partial1.example/p/"), did.cast("string")).alias("url"),
+        "text",
+    )
+    inp = base.unionByName(full_mirror).unionByName(half_mirror)
+    return host_mirrors(inp, num_hashes=8, bands=4, min_match_bp=2500)
+
+
+def q_trustrank(spark, sf_dir):
+    """Seed-personalized integer TrustRank over the pagerank edge
+    fixture, seeds = nodes ≡ 0 (mod 10) — exact arithmetic, so the
+    5-round unrolled DuckDB twin hashes identically. Non-seeds start
+    at 0 and get no teleport: trust only flows along links from the
+    vetted set."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import trustrank
+
+    edges = _synth_edges(spark, sf_dir)
+    seeds = edges.select(F.col("src").alias("node")).where(
+        F.col("node") % 10 == 0
+    )
+    return trustrank(edges, seeds, iterations=5)
+
+
+def q_k_core(spark, sf_dir):
+    """2-core by iterative peeling over the triangle fixture's
+    circulant host graph extended with two-hop pendant chains
+    (h→p→q): q-nodes peel in round 1, p-nodes in round 2, the
+    circulant survives — two genuine peel rounds before the fixpoint.
+    Engine loops with early break + convergence raise; the oracle
+    unrolls exactly max_rounds rounds (monotone, so both see the
+    fixpoint)."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import k_core
+
+    did = F.col("doc_id")
+    a = did % 7
+    docs = _t(spark, sf_dir, "documents")
+
+    def h(prefix, col):
+        return F.concat(F.lit(prefix), col.cast("string"))
+
+    edges = (
+        docs.select(h("h", a).alias("src"), h("h", (a + 1) % 7).alias("dst"))
+        .unionByName(
+            docs.where(did % 2 == 0).select(
+                h("h", a).alias("src"), h("h", (a + 2) % 7).alias("dst")
+            )
+        )
+        .unionByName(
+            docs.select(h("h", a).alias("src"), h("p", a).alias("dst"))
+        )
+        .unionByName(
+            docs.select(h("p", a).alias("src"), h("q", a).alias("dst"))
+        )
+    )
+    return k_core(edges, k=2, max_rounds=6)
+
+
+#: mixed-script host label — 'p' + CYRILLIC SMALL A + 'ypal': renders
+#: as "paypal" but is a homoglyph spoof (the TR39 case)
+_SPOOF_LABEL = "p\u0430ypal"
+#: all-Cyrillic label ("pochta") — a legitimate IDN, must NOT be flagged
+_IDN_LABEL = "\u043f\u043e\u0447\u0442\u0430"
+
+
+def q_host_script_audit(spark, sf_dir):
+    """IDN homoglyph audit over a synthesized host mix: 5 plain Latin
+    hosts, a mixed-script spoof (Cyrillic а inside a Latin label —
+    MUST flag), an all-Cyrillic legitimate IDN (must NOT flag), and an
+    ACE/punycode label (counted, not flagged)."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import host_script_audit
+
+    did = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+
+    def u(prefix, suffix):
+        return F.concat(F.lit(prefix), did.cast("string"), F.lit(suffix))
+
+    pages = (
+        docs.select(
+            F.concat(
+                F.lit("http://site"), (did % 5).cast("string"),
+                F.lit(".example/p/"), did.cast("string"),
+            ).alias("url")
+        )
+        .unionByName(
+            docs.where(did % 7 == 0).select(
+                u(f"http://{_SPOOF_LABEL}.example/a/", "").alias("url")
+            )
+        )
+        .unionByName(
+            docs.where(did % 9 == 0).select(
+                u(f"http://{_IDN_LABEL}.example/b/", "").alias("url")
+            )
+        )
+        .unionByName(
+            docs.where(did % 11 == 0).select(
+                u("http://xn--pypal-4ve.example/c/", "").alias("url")
+            )
+        )
+    )
+    return host_script_audit(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -3524,6 +3706,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # range_join — demoted from tier 1 for margin_mine (shares
         # asof_join's bin-explode sort-merge band core)
         "range_join": q_range_join,
+        # degree-ordered triangle counting — the pagerank/host_
+        # reputation link-quality family; wedge join keyed on the
+        # pivot, closure join on the oriented edge, exact-integer ppm
+        "triangle_count": q_triangle_count,
+        # PMI collocations — the word_freq/vocab_kl gram-count family
+        # with the module's standard micro-nat ln quantization and a
+        # TakeOrderedAndProject cut
+        "pmi_collocations": q_pmi_collocations,
+        # host-level union-MinHash mirror detection — the tier-1
+        # minhash_lsh_pairs machinery re-keyed on host; row-local
+        # signature zip for the match share
+        "host_mirrors": q_host_mirrors,
+        # k-core peeling — the iterate+localCheckpoint discipline of
+        # tier-1 dedup_groups/pagerank (semi-join + degree agg per
+        # round, monotone fixpoint, unrolled-round oracle)
+        "k_core": q_k_core,
+        # IDN homoglyph host audit — script_profile's \x{..} class
+        # family as row-local label-array algebra; one dimension-sized
+        # distinct
+        "host_script_audit": q_host_script_audit,
+        # TrustRank — tier-1 pagerank's exact-integer iteration with a
+        # seed-gated teleport; same edges, same round shape
+        "trustrank": q_trustrank,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -5262,6 +5467,218 @@ def _robots_discovery_sql() -> str:
                coalesce(s.sitemaps, '') AS sitemaps
         FROM bodies b LEFT JOIN delays d ON b.host = d.host
                       LEFT JOIN sm s ON b.host = s.host
+    """
+
+
+def _host_mirrors_sql(num_hashes: int = 8, bands: int = 4, min_bp: int = 2500) -> str:
+    """DuckDB twin of q_host_mirrors: the same url synthesis (full
+    mirror of h0, half mirror of h1), the host regex of the tier-1 url
+    family, the _SHINGLES_SQL universe keyed on host, per-host min-md5
+    union signatures, the _minhash_sql banding, and a positionwise
+    match count in basis points."""
+    host = (
+        "regexp_replace(lower(regexp_extract(url, "
+        "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), ':[0-9]+$', '')"
+    )
+    mins = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    rows_per_band = num_hashes // bands
+    band_rows = []
+    for b in range(bands):
+        parts = " || '|' || ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_rows.append(f"SELECT host, '{b}' || '|' || {parts} AS band_key FROM sig")
+    bands_sql = " UNION ALL ".join(band_rows)
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+        WITH inp AS (
+            SELECT 'http://h' || (doc_id % 4)::VARCHAR || '.example/p/'
+                       || doc_id::VARCHAR AS url, text
+            FROM documents
+            UNION ALL
+            SELECT 'http://mirror0.example/p/' || doc_id::VARCHAR, text
+            FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT 'http://partial1.example/p/' || doc_id::VARCHAR, text
+            FROM documents WHERE doc_id % 8 = 1
+        ),
+        hw AS (SELECT {host} AS host, {_WORDS} AS ws FROM inp),
+        sh AS (
+            SELECT DISTINCT host,
+                   unnest(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+                          i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+            FROM hw WHERE host <> ''
+        ),
+        sh2 AS (SELECT * FROM sh WHERE shingle <> ''),
+        sig AS (SELECT host, {mins} FROM sh2 GROUP BY host),
+        banded AS ({bands_sql}),
+        cand AS (
+            SELECT DISTINCT a.host AS host_a, b.host AS host_b
+            FROM banded a JOIN banded b USING (band_key)
+            WHERE a.host < b.host
+        )
+        SELECT host_a, host_b,
+               ((({matches}) * 10000) // {num_hashes})::BIGINT AS match_bp
+        FROM cand
+        JOIN sig sa ON sa.host = cand.host_a
+        JOIN sig sb ON sb.host = cand.host_b
+        WHERE ((({matches}) * 10000) // {num_hashes}) >= {min_bp}
+    """
+
+
+def _trustrank_sql(iterations: int = 5) -> str:
+    """DuckDB twin of q_trustrank: _pagerank_sql with a seed-gated
+    teleport (seeds = src nodes ≡ 0 mod 10), unrolled per round."""
+    base, damping, init = 150_000, 85, 1_000_000
+    sql = f"""
+        WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 10 = 0),
+        flagged AS (
+            SELECT n.node,
+                   (CASE WHEN s.node IS NULL THEN 0 ELSE 1 END)::BIGINT
+                       AS is_seed
+            FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+        ),
+        outdeg AS (SELECT src, count(*)::BIGINT AS od FROM e GROUP BY 1),
+        r0 AS (SELECT node, ({init} * is_seed)::BIGINT AS rank FROM flagged)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+        r{i} AS (
+            SELECT f.node,
+                   ({base} * f.is_seed
+                    + ({damping} * COALESCE(s.inc, 0)) // 100)::BIGINT AS rank
+            FROM flagged f LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank // o.od) AS inc
+                FROM e JOIN r{i-1} r ON r.node = e.src
+                       JOIN outdeg o ON o.src = e.src
+                GROUP BY 1
+            ) s ON s.node = f.node
+        )"""
+    sql += f"\n        SELECT node, rank FROM r{iterations}"
+    return sql
+
+
+def _k_core_sql(k: int = 2, rounds: int = 6) -> str:
+    """DuckDB twin of q_k_core: the same edge synthesis, then exactly
+    ``rounds`` unrolled peel rounds (monotone — equals the engine's
+    early-break fixpoint whenever it converges within the budget,
+    which the engine RAISES about otherwise)."""
+    ctes = [
+        """
+        raw AS (
+            SELECT 'h' || (doc_id % 7)::VARCHAR AS src,
+                   'h' || ((doc_id % 7 + 1) % 7)::VARCHAR AS dst
+            FROM documents
+            UNION ALL
+            SELECT 'h' || (doc_id % 7)::VARCHAR,
+                   'h' || ((doc_id % 7 + 2) % 7)::VARCHAR
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 'h' || (doc_id % 7)::VARCHAR,
+                   'p' || (doc_id % 7)::VARCHAR
+            FROM documents
+            UNION ALL
+            SELECT 'p' || (doc_id % 7)::VARCHAR,
+                   'q' || (doc_id % 7)::VARCHAR
+            FROM documents
+        ),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        ),
+        s0 AS MATERIALIZED (
+            SELECT DISTINCT node FROM (
+                SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+            )
+        )"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""
+        s{i} AS MATERIALIZED (
+            SELECT node FROM (
+                SELECT und.u AS node FROM und
+                JOIN s{i - 1} a ON a.node = und.u
+                JOIN s{i - 1} b ON b.node = und.v
+                UNION ALL
+                SELECT und.v AS node FROM und
+                JOIN s{i - 1} a ON a.node = und.u
+                JOIN s{i - 1} b ON b.node = und.v
+            ) GROUP BY node HAVING count(*) >= {k}
+        )""")
+    return f"""
+        WITH {','.join(ctes)},
+        live AS (
+            SELECT und.u, und.v FROM und
+            JOIN s{rounds} a ON a.node = und.u
+            JOIN s{rounds} b ON b.node = und.v
+        )
+        SELECT node, count(*)::BIGINT AS core_degree FROM (
+            SELECT u AS node FROM live UNION ALL SELECT v AS node FROM live
+        ) GROUP BY node
+    """
+
+
+def _host_script_audit_sql() -> str:
+    """DuckDB twin of q_host_script_audit: same url synthesis, the
+    tier-1 host regex, label split, and per-label script counts via
+    len(regexp_extract_all) over the shared \\x{{..}} classes."""
+    from correctocr_spark.ops.textstats import SCRIPT_RANGES
+
+    lat, cyr, grk = (
+        SCRIPT_RANGES["latin"],
+        SCRIPT_RANGES["cyrillic"],
+        SCRIPT_RANGES["greek"],
+    )
+    host = (
+        "regexp_replace(lower(regexp_extract(url, "
+        "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), ':[0-9]+$', '')"
+    )
+
+    def n(pat):
+        return f"len(regexp_extract_all(l, '{pat}'))"
+
+    mixed = (
+        f"(CASE WHEN {n(lat)} > 0 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {n(cyr)} > 0 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {n(grk)} > 0 THEN 1 ELSE 0 END) >= 2"
+    )
+    nonlatin = f"{n(lat)} = 0 AND ({n(cyr)} > 0 OR {n(grk)} > 0)"
+    return f"""
+        WITH urls AS (
+            SELECT 'http://site' || (doc_id % 5)::VARCHAR || '.example/p/'
+                       || doc_id::VARCHAR AS url
+            FROM documents
+            UNION ALL
+            SELECT 'http://{_SPOOF_LABEL}.example/a/' || doc_id::VARCHAR
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT 'http://{_IDN_LABEL}.example/b/' || doc_id::VARCHAR
+            FROM documents WHERE doc_id % 9 = 0
+            UNION ALL
+            SELECT 'http://xn--pypal-4ve.example/c/' || doc_id::VARCHAR
+            FROM documents WHERE doc_id % 11 = 0
+        ),
+        hosts AS (
+            SELECT DISTINCT host FROM (SELECT {host} AS host FROM urls)
+            WHERE host <> ''
+        ),
+        lab AS (SELECT host, string_split(host, '.') AS labels FROM hosts)
+        SELECT host,
+               len(labels)::BIGINT AS n_labels,
+               len(list_filter(labels, l -> l LIKE 'xn--%'))::BIGINT
+                   AS n_punycode,
+               len(list_filter(labels, l -> {mixed}))::BIGINT
+                   AS n_mixed_script,
+               len(list_filter(labels, l -> {nonlatin}))::BIGINT
+                   AS n_nonlatin,
+               (len(list_filter(labels, l -> {mixed})) > 0) AS suspicious
+        FROM lab
     """
 
 
@@ -7483,6 +7900,102 @@ FROM documents)
                 FROM (SELECT unnest({_WORDS}) AS w FROM documents)
             ) WHERE word <> '' AND regexp_matches(word, '\\p{{L}}')
         """,
+        "triangle_count": """
+            WITH raw AS (
+                SELECT 'h' || (doc_id % 7)::VARCHAR AS src,
+                       'h' || ((doc_id % 7 + 1) % 7)::VARCHAR AS dst
+                FROM documents
+                UNION ALL
+                SELECT 'h' || (doc_id % 7)::VARCHAR,
+                       'h' || ((doc_id % 7 + 2) % 7)::VARCHAR
+                FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT 'h' || ((doc_id % 7 + 1) % 7)::VARCHAR,
+                       'h' || (doc_id % 7)::VARCHAR
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT 'h' || (doc_id % 7)::VARCHAR,
+                       'h' || (doc_id % 7)::VARCHAR
+                FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT 'h0', 'h3' FROM documents WHERE doc_id % 11 = 0
+            ),
+            und AS (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM raw WHERE src <> dst
+            ),
+            deg AS (
+                SELECT node, count(*)::BIGINT AS degree FROM (
+                    SELECT u AS node FROM und
+                    UNION ALL SELECT v AS node FROM und
+                ) GROUP BY node
+            ),
+            ori AS (
+                SELECT CASE WHEN (du.degree < dv.degree)
+                                 OR (du.degree = dv.degree AND u < v)
+                            THEN u ELSE v END AS a,
+                       CASE WHEN (du.degree < dv.degree)
+                                 OR (du.degree = dv.degree AND u < v)
+                            THEN v ELSE u END AS b,
+                       CASE WHEN (du.degree < dv.degree)
+                                 OR (du.degree = dv.degree AND u < v)
+                            THEN dv.degree ELSE du.degree END AS db
+                FROM und
+                JOIN deg du ON du.node = und.u
+                JOIN deg dv ON dv.node = und.v
+            ),
+            closed AS (
+                SELECT w1.a AS p, w1.b AS x, w2.b AS y
+                FROM ori w1
+                JOIN ori w2 ON w1.a = w2.a
+                JOIN ori e ON e.a = w1.b AND e.b = w2.b
+                WHERE (w1.db < w2.db) OR (w1.db = w2.db AND w1.b < w2.b)
+            ),
+            pn AS (
+                SELECT node, count(*)::BIGINT AS triangles FROM (
+                    SELECT p AS node FROM closed
+                    UNION ALL SELECT x AS node FROM closed
+                    UNION ALL SELECT y AS node FROM closed
+                ) GROUP BY node
+            )
+            SELECT deg.node, deg.degree,
+                   coalesce(pn.triangles, 0)::BIGINT AS triangles,
+                   (CASE WHEN deg.degree >= 2
+                         THEN (2 * coalesce(pn.triangles, 0) * 1000000)
+                              // (deg.degree * (deg.degree - 1))
+                         ELSE 0 END)::BIGINT AS coeff_ppm
+            FROM deg LEFT JOIN pn USING (node)
+        """,
+        "pmi_collocations": f"""
+            WITH w AS (SELECT {_WORDS} AS ws FROM documents),
+            g AS (
+                SELECT unnest(list_transform(range(1, len(ws) - 1 + 1),
+                              i -> array_to_string(ws[i:i+1], ' '))) AS g
+                FROM w WHERE len(ws) >= 2
+            ),
+            m AS (SELECT g, count(*)::BIGINT AS cnt FROM g GROUP BY g),
+            l AS (SELECT split_part(g, ' ', 1) AS w1,
+                         sum(cnt)::BIGINT AS l_cnt FROM m GROUP BY 1),
+            r AS (SELECT split_part(g, ' ', 2) AS w2,
+                         sum(cnt)::BIGINT AS r_cnt FROM m GROUP BY 1),
+            n AS (SELECT sum(cnt)::BIGINT AS N FROM m)
+            SELECT split_part(g, ' ', 1) AS w1,
+                   split_part(g, ' ', 2) AS w2,
+                   cnt,
+                   round(ln((cnt * N) / (l.l_cnt * r.r_cnt)) * 1000000)::BIGINT
+                       AS pmi_micro
+            FROM m
+            JOIN l ON l.w1 = split_part(g, ' ', 1)
+            JOIN r ON r.w2 = split_part(g, ' ', 2)
+            CROSS JOIN n
+            WHERE cnt >= 5
+            ORDER BY pmi_micro DESC, w1, w2
+            LIMIT 50
+        """,
+        "host_mirrors": _host_mirrors_sql(),
+        "k_core": _k_core_sql(),
+        "host_script_audit": _host_script_audit_sql(),
+        "trustrank": _trustrank_sql(5),
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.
     }

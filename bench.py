@@ -182,6 +182,12 @@ HEADLINE = [
     "vocab_kl",
     "signature_terms",
     "vocab_health",
+    "triangle_count",
+    "pmi_collocations",
+    "host_mirrors",
+    "k_core",
+    "host_script_audit",
+    "trustrank",
     "bpe_token_counts",
     "extraction_blocks",
 ]

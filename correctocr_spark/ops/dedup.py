@@ -1598,7 +1598,20 @@ def winnow_fingerprints(
         .select("doc_id", hashes.alias("_hashes"))
         .select("doc_id", F.array_distinct(mins).alias("_fps"))
     )
-    return staged.select("doc_id", F.explode("_fps").alias("fp"))
+    # explode_OUTER, not explode: a plain explode makes
+    # InferFiltersFromGenerate add `size(_fps) > 0`, and predicate
+    # pushdown then substitutes the WHOLE staged expression into a
+    # scan-level filter — where `_hashes` lands INSIDE the window
+    # lambda and the md5 chain re-evaluates per window position:
+    # O(len²) md5 calls per document (measured 143 s for the sf0.1
+    # HEADLINE row; 1.5 s after this fix). The infer rule skips outer
+    # generates, and the null filter on the GENERATED column cannot be
+    # pushed below the Generate. Every doc past the length gate has
+    # ≥ 1 fingerprint, so outer+filter is value-identical to explode.
+    return (
+        staged.select("doc_id", F.explode_outer("_fps").alias("fp"))
+        .where(F.col("fp").isNotNull())
+    )
 
 
 def winnow_candidates(

@@ -408,3 +408,281 @@ def resolve_canonical_chains(
         )
     )
     return out
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over
+    the undirected simple projection of ``edges`` (direction collapsed,
+    self-loops dropped, duplicate edges merged) — the classic
+    link-farm / tight-clique signal next to :func:`host_reputation`:
+    organic host neighborhoods are sparse (coefficient near 0), paid
+    link rings and mirror farms interlink densely (near 10⁶ ppm).
+
+    Degree-ordered wedge enumeration (the MapReduce triangle scheme of
+    Suri & Vassilvitskii, WWW 2011): every undirected edge is oriented
+    from its ``(degree, node)``-smaller endpoint to the larger, so each
+    triangle has exactly ONE pivot vertex with two out-edges and is
+    counted exactly once where the wedge ``(pivot→b, pivot→c)`` closes
+    via the oriented edge ``b→c``. Out-degree under this orientation is
+    O(√m) regardless of hub degree — a 10⁸-follower hub contributes no
+    wedge fan-out because its edges all point INTO it — which is what
+    makes the wedge self-join survive web-scale skew.
+
+    Scale (100 TB): five key-partitioned shuffles, no iteration —
+    distinct-edge, degree aggregation (map-side partials), the wedge
+    self-join keyed on the pivot (fan-out bounded per the above), the
+    closure join keyed on the candidate (b, c) edge, and the final
+    per-node count. ``coeff_ppm = (2·T·10⁶) div (d·(d−1))`` is exact
+    integer arithmetic, so the oracle hash is exact. Returns
+    ``(node, degree, triangles, coeff_ppm)`` — every node of the simple
+    graph appears, zero-filled.
+    """
+    from .cache import register_intermediates
+
+    und = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .persist()
+    )
+    und.count()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .persist()
+    )
+    deg.count()
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("_du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("_dv"))
+    # orient u→v toward the (degree, node)-larger endpoint; keep the
+    # head's degree so the wedge pair can be π-ordered without a
+    # re-join against the degree table
+    ori = (
+        und.join(du, on="u")
+        .join(dv, on="v")
+        .select(
+            F.when(
+                (F.col("_du") < F.col("_dv"))
+                | ((F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))),
+                F.struct(
+                    F.col("u").alias("a"),
+                    F.col("v").alias("b"),
+                    F.col("_dv").alias("db"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("a"),
+                    F.col("u").alias("b"),
+                    F.col("_du").alias("db"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.a", "e.b", "e.db")
+        .persist()
+    )
+    ori.count()
+    w1 = ori.select(F.col("a").alias("p"), F.col("b").alias("x"), F.col("db").alias("dx"))
+    w2 = ori.select(F.col("a").alias("p"), F.col("b").alias("y"), F.col("db").alias("dy"))
+    wedges = w1.join(w2, on="p").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = ori.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, on=["x", "y"]).select("p", "x", "y")
+    per_node = (
+        tri.select(F.explode(F.array("p", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = (
+        deg.join(per_node, on="node", how="left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(2 * coalesce(triangles, 0) * 1000000)"
+                    " div (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("coeff_ppm"),
+        )
+    )
+    return register_intermediates(out, und, deg, ori)
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """The k-core of the undirected simple projection of ``edges`` —
+    the maximal subgraph in which every node has degree ≥ k — by
+    iterative peeling: drop all nodes of degree < k, recompute degrees
+    in the induced subgraph, repeat to fixpoint. The crawl-graph use is
+    the same as :func:`triangle_count`'s, one notch more global: spam
+    link rings and mirror farms sit in deep cores (every member links
+    many members), while organic long-tail hosts peel away in the
+    first rounds — and "which round a node peeled at" is the standard
+    graph-degeneracy quality prior.
+
+    Determinism contract: peeling is MONOTONE (survivor sets only
+    shrink), so running exactly R rounds equals the fixpoint whenever
+    convergence happens within R — the engine loops to ``max_rounds``
+    with an early break on convergence and RAISES if still changing
+    (same loud-failure discipline as connected components), while the
+    DuckDB oracle unrolls exactly ``max_rounds`` rounds; both see the
+    converged set. Returns ``(node, core_degree)`` — degree within the
+    final core, all survivors.
+
+    Scale (100 TB): per round, two node-keyed semi-joins (induced edge
+    set) + one degree aggregation with map-side partials; the survivor
+    table is eagerly localCheckpoint'ed per round (the exponential-
+    lineage rule, see ops/dedup.py). Real crawls converge in a handful
+    of rounds for small k; max_rounds bounds the worst case loudly
+    rather than silently under-peeling.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .persist()
+    )
+    und.count()
+    survivors = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = survivors.count()
+    deg = None
+    converged = False
+    for _ in range(max_rounds):
+        live = und.join(
+            survivors.select(F.col("node").alias("u")), on="u", how="left_semi"
+        ).join(
+            survivors.select(F.col("node").alias("v")), on="v", how="left_semi"
+        )
+        deg = (
+            live.select(F.col("u").alias("node"))
+            .unionByName(live.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+            .where(F.col("core_degree") >= k)
+        )
+        survivors = deg.select("node").localCheckpoint(eager=True)
+        n_now = survivors.count()
+        if n_now == n_prev:
+            converged = True
+            break
+        n_prev = n_now
+    if not converged:
+        und.unpersist()
+        raise RuntimeError(
+            f"k_core did not converge within max_rounds={max_rounds}; "
+            f"raise max_rounds (survivors still shrinking at {n_prev})"
+        )
+    # materialize before releasing the cached edge set: the returned
+    # plan must not silently re-derive `und` from scratch at the
+    # caller's first action
+    out = deg.select(
+        "node", F.col("core_degree").cast("long").alias("core_degree")
+    ).localCheckpoint(eager=True)
+    und.unpersist()
+    return out
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    init: int = 1_000_000,
+    base: int = 150_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) — the
+    seed-personalized variant of :func:`pagerank` and the classic
+    web-spam demotion signal: trust mass originates ONLY at a
+    hand-vetted seed set and attenuates along out-links, so spam farms
+    — however densely interlinked (high raw PageRank, high
+    :func:`triangle_count` density) — collect ~zero trust unless a
+    trusted page actually links toward them. Rank gaps between
+    PageRank and TrustRank are the spam-mass estimator of the paper.
+
+    Same exact-integer discipline as :func:`pagerank` (bit-identical
+    on any engine/partitioning, hash-oracle-checkable): seeds start at
+    ``init`` micro-rank and receive the ``base`` teleport each round;
+    non-seeds start at 0 and receive no teleport —
+    ``rank' = base·[seed] + (damping·incoming) div 100``.
+
+    Scale (100 TB): identical to pagerank — one join + one node-keyed
+    aggregation per round over the host-sized projection, label table
+    eagerly localCheckpoint'ed per round; the seed flag rides the node
+    table (computed once, never re-joined).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_set = seeds.select(F.col(seed_col).alias("node")).distinct()
+    flagged = (
+        nodes.join(seed_set.withColumn("_s", F.lit(1)), on="node", how="left")
+        .select("node", F.coalesce("_s", F.lit(0)).cast("long").alias("is_seed"))
+        .persist()
+    )
+    flagged.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).persist()
+    outdeg.count()
+    ranks = flagged.select(
+        "node", (F.lit(init) * F.col("is_seed")).cast("long").alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, on=e.src == ranks.node)
+            .join(outdeg, on="src")
+            .select("dst", F.expr("rank div od").alias("c"))
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        new_ranks = (
+            flagged.join(incoming, on=flagged.node == incoming.dst, how="left")
+            .select(
+                "node",
+                (
+                    F.lit(base) * F.col("is_seed")
+                    + F.expr(f"({damping_pct} * coalesce(inc, 0)) div 100")
+                ).cast("long").alias("rank"),
+            )
+        )
+        ranks = new_ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    flagged.unpersist()
+    outdeg.unpersist()
+    return ranks

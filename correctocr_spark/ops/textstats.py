@@ -1816,3 +1816,95 @@ def vocab_health(
             F.expr("(hapax_types * 10000) div greatest(n_types, 1)").cast("long").alias("hapax_share_bp"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    corpus-profiling companion of :func:`tfidf_top_terms` (per-doc) and
+    :func:`domain_signature_terms` (per-group): which adjacent word
+    pairs co-occur far above chance corpus-wide. On web text the top of
+    this table is multiword entities and boilerplate idioms ("privacy
+    policy", "all rights reserved") — exactly the units a tokenizer
+    merge list or a boilerplate lexicon wants; a corpus whose top PMI
+    pairs are template fragments is under-deduplicated.
+
+    ``pmi = ln( P(w₁w₂) / (P(w₁)·P(w₂)) )`` with all probabilities from
+    the bigram population itself (marginals = the bigram table's own
+    left/right sums, so the estimator is self-consistent and needs no
+    separate unigram pass): ``ln(cnt·N / (l_cnt·r_cnt))``, quantized
+    once to integer micro-nats (the module's standard exactness trick —
+    both engines evaluate ONE double ``ln`` per distinct pair, never a
+    float sum). ``min_count`` suppresses the classic PMI
+    rare-pair pathology (a hapax pair maxes the score).
+
+    Returns the top ``top_k`` rows ``(w1, w2, cnt, pmi_micro)`` ordered
+    by (pmi desc, w1, w2) — a deterministic total order, so the cut is
+    oracle-exact.
+
+    Scale (100 TB): ONE corpus explode → one (gram)-keyed count with
+    map-side partials (the model, O(bigram types)); marginals are two
+    aggregations OVER THE MODEL (never a second corpus pass); the
+    1-row total broadcasts; the final top-k is TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows), never a global
+    sort.
+    """
+    # materialize the gram array in its own projection BEFORE the
+    # explode: Generate re-evaluates computed child expressions per
+    # OUTPUT row (O(len²) on long docs)
+    with_arr = ensure_parallelism(docs).select(
+        normalized_words(text_col).alias("_ws")
+    ).select(
+        F.when(
+            F.size("_ws") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ws") - 2),
+                lambda i: F.concat_ws(" ", F.slice("_ws", i + 1, 2)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_grams")
+    )
+    model = (
+        with_arr.select(F.explode("_grams").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    model.count()
+    w1 = F.split(F.col("g"), " ", 2).getItem(0)
+    w2 = F.split(F.col("g"), " ", 2).getItem(1)
+    left = model.groupBy(w1.alias("w1")).agg(F.sum("cnt").alias("l_cnt"))
+    right = model.groupBy(w2.alias("w2")).agg(F.sum("cnt").alias("r_cnt"))
+    total = model.agg(F.sum("cnt").alias("N"))
+    out = (
+        model.where(F.col("cnt") >= int(min_count))
+        .select(w1.alias("w1"), w2.alias("w2"), "cnt")
+        .join(left, on="w1")
+        .join(right, on="w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(
+                F.log(
+                    (F.col("cnt") * F.col("N"))
+                    / (F.col("l_cnt") * F.col("r_cnt"))
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(int(top_k))
+    )
+    from .cache import register_intermediates
+
+    return register_intermediates(out, model)

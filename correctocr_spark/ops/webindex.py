@@ -1231,3 +1231,174 @@ def parse_feeds(
     return _entries(_RSS_ITEM_RE, "rss", _RSS_LINK_RE, _RSS_DATE_RE).unionByName(
         _entries(_ATOM_ENTRY_RE, "atom", _ATOM_LINK_RE, _ATOM_DATE_RE, _ATOM_UPDATED_RE)
     )
+
+
+def host_mirrors(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    min_match_bp: int = 5000,
+    max_bucket: "int | None" = None,
+) -> DataFrame:
+    """Content-level mirror-host detection via per-host UNION MinHash —
+    the signal :func:`~.graph.host_communities` (link-structure
+    clusters) cannot see: two hosts that serve the same corpus under
+    different urls without ever linking to each other. Mirror farms
+    are the single largest source of residual near-duplication after
+    doc-level dedup at crawl scale (the same CMS dump re-hosted 500×
+    defeats per-doc LSH budgets but collapses to 500 host-level
+    signatures here).
+
+    MinHash is closed under set union: ``min(h(A ∪ B)) =
+    min(min(h(A)), min(h(B)))``, so the min-aggregation of every
+    host's doc shingles IS the signature of the host's union shingle
+    set, and matching signature positions estimate the Jaccard of the
+    two hosts' FULL content sets. The host is simply treated as the
+    "document": shingle → per-host min-aggregate → band → bucket-join,
+    reusing the exact machinery of the doc-level pass
+    (:func:`~.dedup.shingles_df`, :func:`~.dedup.minhash_signatures`,
+    :func:`~.dedup.lsh_candidate_pairs`), then the candidate pair's
+    match share is ONE row-local zip over the two stored signatures.
+
+    Returns ``(host_a, host_b, match_bp)`` — matching signature
+    positions in basis points (10⁴ = identical content universe),
+    ``host_a < host_b``, filtered to ``match_bp >= min_match_bp``.
+    All-integer, so the oracle hash is exact.
+
+    Scale (100 TB): the shingle explode is the dominant scan (same cost
+    wherever dedup runs); the min-aggregation collapses it to
+    ``n_hosts × num_hashes`` cells with map-side partials (hosts are
+    ~10⁷ against 10¹² pages — four orders of magnitude smaller than the
+    doc signature table); banding and the bucket self-join then run on
+    host cardinality, where even a full cross of a hot bucket is
+    trivial. ``max_bucket`` still guards pathological buckets (parked
+    domains all serving the same registrar page). No per-doc pair work
+    anywhere.
+    """
+    from .dedup import lsh_candidate_pairs, minhash_signatures, shingles_df
+    from .filters import host_col
+    from .cache import register_intermediates
+
+    hosts = docs.select(
+        host_col(url_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).where(F.col("doc_id") != "")
+    sig = minhash_signatures(
+        shingles_df(hosts, k=k), num_hashes=num_hashes
+    ).persist()
+    sig.count()
+    cand = lsh_candidate_pairs(
+        sig, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
+    )
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sig_a"))
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sig_b"))
+    out = (
+        cand.join(sig_a, on="doc_a")
+        .join(sig_b, on="doc_b")
+        .select(
+            F.col("doc_a").alias("host_a"),
+            F.col("doc_b").alias("host_b"),
+            F.expr(
+                "(aggregate(zip_with(_sig_a, _sig_b, (x, y) -> IF(x = y, 1, 0)),"
+                f" 0, (acc, v) -> acc + v) * 10000) div {int(num_hashes)}"
+            )
+            .cast("long")
+            .alias("match_bp"),
+        )
+        .where(F.col("match_bp") >= int(min_match_bp))
+    )
+    return register_intermediates(out, sig, cand)
+
+
+def host_script_audit(
+    pages: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host IDN homoglyph / script-spoofing audit — the zero-fetch
+    frontier gate against lookalike-domain phishing and spam farms:
+    ``аpple.com`` with a Cyrillic ``а`` renders identically to
+    ``apple.com`` but is a different host, and a crawl that treats it
+    as reputable inherits the spoof. Per DISTINCT host of the input's
+    urls, over its dot-separated labels:
+
+    * ``n_labels`` — label count;
+    * ``n_punycode`` — labels carrying the ACE prefix ``xn--`` (the
+      encoded form of any non-ASCII label; not suspicious alone, but
+      the unit a confusable-policy decodes);
+    * ``n_mixed_script`` — labels mixing letters of two or more
+      Unicode scripts (Latin / Cyrillic / Greek — the confusable
+      triangle of the Unicode TR39 highly-restrictive profile): the
+      direct homoglyph signal;
+    * ``n_nonlatin`` — labels whose letters are entirely non-Latin
+      (legitimate IDNs; routed, not flagged);
+    * ``suspicious`` — ``n_mixed_script > 0`` (TR39's "do not mix
+      scripts within a label" core rule).
+
+    Scale (100 TB): host extraction + label split + per-label
+    ``regexp_count`` folds are ALL row-local array algebra (the label
+    array materializes in its own projection before any fold — the
+    Generate-recompute rule does not even apply, nothing explodes);
+    the only shuffle is the distinct on host — dimension-sized
+    (~10⁷ hosts), map-side combinable. Char classes are the
+    ``\\x{..}`` Java∩RE2∩DuckDB subset of
+    :data:`~.textstats.SCRIPT_RANGES`, so the oracle twin counts
+    identically.
+    """
+    from .filters import host_col
+    from .textstats import SCRIPT_RANGES
+
+    lat, cyr, grk = (
+        SCRIPT_RANGES["latin"],
+        SCRIPT_RANGES["cyrillic"],
+        SCRIPT_RANGES["greek"],
+    )
+    hosts = (
+        pages.select(host_col(url_col).alias("host"))
+        .where(F.col("host") != "")
+        .distinct()
+    )
+    labeled = hosts.select("host", F.split(F.col("host"), r"\.").alias("_labels"))
+
+    # patterns go through F.lit (as in script_profile), never through a
+    # SQL string literal — SQL escaping would eat the \x{..} classes
+    per_label = labeled.select(
+        "host",
+        F.transform(
+            "_labels",
+            lambda l: F.struct(
+                F.when(l.startswith("xn--"), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("puny"),
+                F.regexp_count(l, F.lit(lat)).alias("lat"),
+                F.regexp_count(l, F.lit(cyr)).alias("cyr"),
+                F.regexp_count(l, F.lit(grk)).alias("grk"),
+            ),
+        ).alias("_s"),
+    )
+
+    def _mixed(s):
+        return (
+            (s["lat"] > 0).cast("int")
+            + (s["cyr"] > 0).cast("int")
+            + (s["grk"] > 0).cast("int")
+        ) >= 2
+
+    n_mixed = F.size(F.filter("_s", _mixed))
+    n_nonlatin = F.size(
+        F.filter(
+            "_s",
+            lambda s: (s["lat"] == 0) & ((s["cyr"] > 0) | (s["grk"] > 0)),
+        )
+    )
+    return per_label.select(
+        "host",
+        F.size("_s").cast("long").alias("n_labels"),
+        F.aggregate("_s", F.lit(0), lambda acc, s: acc + s["puny"])
+        .cast("long")
+        .alias("n_punycode"),
+        n_mixed.cast("long").alias("n_mixed_script"),
+        n_nonlatin.cast("long").alias("n_nonlatin"),
+        (n_mixed > 0).alias("suspicious"),
+    )

@@ -349,6 +349,29 @@ def test_oracled_queries_precede_rows_only():
         # demoted for margin_mine: shares tier-1 asof_join's
         # bin-explode sort-merge band core (green r5)
         "range_join",
+        # degree-ordered triangle counting — distinct-edge/degree-agg/
+        # keyed-join cores shared with tier-1 pagerank + dedup_groups
+        # over the same synthetic edge family
+        "triangle_count",
+        # PMI collocations — gram-count + marginal-join core of tier-1
+        # word_freq/unigram_lm (same micro-nat ln quantization);
+        # TakeOrderedAndProject cut shared with tier-1 ann_lsh
+        "pmi_collocations",
+        # host-level union-MinHash mirrors — the tier-1
+        # minhash_lsh_pairs shingle/md5/banding machinery re-keyed on
+        # host; signature zip is row-local array algebra
+        "host_mirrors",
+        # k-core peeling — the iterate+checkpoint round discipline of
+        # tier-1 dedup_groups (CC) with pagerank's semi-join/degree-agg
+        # shapes; unrolled-round oracle equals the monotone fixpoint
+        "k_core",
+        # IDN homoglyph host audit — script_profile's shared \x{..}
+        # class counting over row-local label arrays; one
+        # dimension-sized distinct
+        "host_script_audit",
+        # TrustRank — tier-1 pagerank's exact-integer round (same
+        # edges, same join+agg shape) with a seed-gated teleport
+        "trustrank",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -1870,8 +1870,14 @@ def pmi_collocations(
         .otherwise(F.array().cast("array<string>"))
         .alias("_grams")
     )
+    # explode_OUTER + null filter, not a plain explode: the winnowing
+    # lesson (ops/dedup.py winnow_fingerprints) — InferFiltersFromGenerate
+    # would add `size(_grams) > 0` and predicate pushdown substitutes the
+    # whole staged expression into a scan-level filter whose lambda
+    # re-evaluates the word split per gram: a latent O(len²) on long docs
     model = (
-        with_arr.select(F.explode("_grams").alias("g"))
+        with_arr.select(F.explode_outer("_grams").alias("g"))
+        .where(F.col("g").isNotNull())
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()

@@ -3187,6 +3187,35 @@ def q_host_mirrors(spark, sf_dir):
     return host_mirrors(inp, num_hashes=8, bands=4, min_match_bp=2500)
 
 
+def q_cocitation(spark, sf_dir):
+    """Co-citation related-pairs over a synthesized citation mix —
+    20 source hosts each citing a 7-target core (all-pairs related),
+    even docs adding a 13-target overlay (varied counts), and a
+    directory page citing EVERYTHING that the max_out cap MUST drop
+    (the LSH hot-bucket discipline on the wedge join)."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import cocitation
+
+    did = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+
+    def lbl(p, col):
+        return F.concat(F.lit(p), col.cast("string"))
+
+    edges = (
+        docs.select(lbl("s", did % 20).alias("src"), lbl("t", did % 7).alias("dst"))
+        .unionByName(
+            docs.where(did % 2 == 0).select(
+                lbl("s", did % 20).alias("src"), lbl("t", did % 13).alias("dst")
+            )
+        )
+        .unionByName(
+            docs.select(F.lit("dir").alias("src"), lbl("t", did % 50).alias("dst"))
+        )
+    )
+    return cocitation(edges, min_common=2, max_out=15)
+
+
 def q_trustrank(spark, sf_dir):
     """Seed-personalized integer TrustRank over the pagerank edge
     fixture, seeds = nodes ≡ 0 (mod 10) — exact arithmetic, so the
@@ -3729,6 +3758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TrustRank — tier-1 pagerank's exact-integer iteration with a
         # seed-gated teleport; same edges, same round shape
         "trustrank": q_trustrank,
+        # co-citation — triangle_count's wedge join without the
+        # closure, under the LSH hot-bucket cap discipline
+        "cocitation": q_cocitation,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -7996,6 +8028,26 @@ FROM documents)
         "k_core": _k_core_sql(),
         "host_script_audit": _host_script_audit_sql(),
         "trustrank": _trustrank_sql(5),
+        "cocitation": """
+            WITH raw AS (
+                SELECT 's' || (doc_id % 20)::VARCHAR AS src,
+                       't' || (doc_id % 7)::VARCHAR AS dst
+                FROM documents
+                UNION ALL
+                SELECT 's' || (doc_id % 20)::VARCHAR,
+                       't' || (doc_id % 13)::VARCHAR
+                FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT 'dir', 't' || (doc_id % 50)::VARCHAR FROM documents
+            ),
+            e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+            keep AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 15),
+            e2 AS (SELECT e.src, e.dst FROM e JOIN keep USING (src))
+            SELECT a.dst AS dst_a, b.dst AS dst_b,
+                   count(*)::BIGINT AS n_common
+            FROM e2 a JOIN e2 b ON a.src = b.src AND a.dst < b.dst
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.
     }

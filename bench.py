@@ -188,6 +188,7 @@ HEADLINE = [
     "k_core",
     "host_script_audit",
     "trustrank",
+    "cocitation",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -372,6 +372,9 @@ def test_oracled_queries_precede_rows_only():
         # TrustRank — tier-1 pagerank's exact-integer round (same
         # edges, same join+agg shape) with a seed-gated teleport
         "trustrank",
+        # co-citation — the wedge self-join + combinable pair count of
+        # tier-1 minhash_lsh_pairs' bucket join, hot-source-capped
+        "cocitation",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -454,3 +454,69 @@ class TestTrustRank:
         got = {r["node"]: r["rank"] for r in trustrank(e, s).collect()}
         assert set(got.values()) == {0}
         assert 999 not in got  # rank table covers graph nodes only
+
+
+# ---------------------------------------------------------------------------
+# cocitation
+# ---------------------------------------------------------------------------
+
+
+def _cocite_simulate(edges, min_common, max_out):
+    from collections import defaultdict
+    from itertools import combinations
+
+    e = sorted({(s, d) for s, d in edges if s != d})
+    out = defaultdict(set)
+    for s, d in e:
+        out[s].add(d)
+    pairs = defaultdict(int)
+    for s, ds in out.items():
+        if max_out is not None and len(ds) > max_out:
+            continue
+        for a, b in combinations(sorted(ds), 2):
+            pairs[(a, b)] += 1
+    return {k: v for k, v in pairs.items() if v >= min_common}
+
+
+class TestCocitation:
+    EDGES = (
+        [(f"s{i}", "tA") for i in range(5)]
+        + [(f"s{i}", "tB") for i in range(5)]
+        + [("s0", "tC"), ("s1", "tC")]
+        + [("hubdir", f"t{i}") for i in range(30)]   # directory page
+        + [("s0", "s0")]                             # self-loop noise
+        + [("s1", "tA"), ("s1", "tB")]               # exact dups
+    )
+
+    def test_matches_simulation_with_cap(self, spark):
+        from correctocr_spark.ops.graph import cocitation
+
+        df = spark.createDataFrame(self.EDGES, "src string, dst string")
+        got = {
+            (r["dst_a"], r["dst_b"]): r["n_common"]
+            for r in cocitation(df, min_common=2, max_out=10).collect()
+        }
+        assert got == _cocite_simulate(self.EDGES, 2, 10)
+        assert got[("tA", "tB")] == 5
+        assert got[("tA", "tC")] == 2
+        # the directory page's 30-outlink pairs must NOT appear
+        assert ("t0", "t1") not in got
+        assert set(got) == {("tA", "tB"), ("tA", "tC"), ("tB", "tC")}
+
+    def test_uncapped_includes_directory(self, spark):
+        from correctocr_spark.ops.graph import cocitation
+
+        df = spark.createDataFrame(self.EDGES, "src string, dst string")
+        got = {
+            (r["dst_a"], r["dst_b"]): r["n_common"]
+            for r in cocitation(df, min_common=1, max_out=None).collect()
+        }
+        assert got == _cocite_simulate(self.EDGES, 1, None)
+        assert ("t0", "t1") in got  # directory pairs present uncapped
+
+    def test_validation(self, spark):
+        from correctocr_spark.ops.graph import cocitation
+
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with pytest.raises(ValueError):
+            cocitation(df, min_common=0)

@@ -3187,6 +3187,21 @@ def q_host_mirrors(spark, sf_dir):
     return host_mirrors(inp, num_hashes=8, bands=4, min_match_bp=2500)
 
 
+def q_spam_mass(spark, sf_dir):
+    """Relative spam mass over the pagerank fixture with the trustrank
+    seed set — the VLDB'04 demotion signal composing the two oracled
+    iterations; TR ≤ PR holds exactly in integer arithmetic, so the
+    bp share is hash-exact."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import spam_mass
+
+    edges = _synth_edges(spark, sf_dir)
+    seeds = edges.select(F.col("src").alias("node")).where(
+        F.col("node") % 10 == 0
+    )
+    return spam_mass(edges, seeds, iterations=5)
+
+
 def q_cocitation(spark, sf_dir):
     """Co-citation related-pairs over a synthesized citation mix —
     20 source hosts each citing a 7-target core (all-pairs related),
@@ -3761,6 +3776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # co-citation — triangle_count's wedge join without the
         # closure, under the LSH hot-bucket cap discipline
         "cocitation": q_cocitation,
+        # spam mass — the (pagerank − trustrank)/pagerank bp share
+        # composing the two oracled integer iterations
+        "spam_mass": q_spam_mass,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -5593,6 +5611,55 @@ def _trustrank_sql(iterations: int = 5) -> str:
             ) s ON s.node = f.node
         )"""
     sql += f"\n        SELECT node, rank FROM r{iterations}"
+    return sql
+
+
+def _spam_mass_sql(iterations: int = 5) -> str:
+    """DuckDB twin of q_spam_mass: the _pagerank_sql and _trustrank_sql
+    round chains under disjoint CTE names (p*/t*), joined on node."""
+    base, damping, init = 150_000, 85, 1_000_000
+    sql = f"""
+        WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 10 = 0),
+        flagged AS (
+            SELECT n.node,
+                   (CASE WHEN s.node IS NULL THEN 0 ELSE 1 END)::BIGINT
+                       AS is_seed
+            FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+        ),
+        outdeg AS (SELECT src, count(*)::BIGINT AS od FROM e GROUP BY 1),
+        p0 AS (SELECT node, {init}::BIGINT AS rank FROM nodes),
+        t0 AS (SELECT node, ({init} * is_seed)::BIGINT AS rank FROM flagged)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+        p{i} AS (
+            SELECT n.node,
+                   ({base} + ({damping} * COALESCE(s.inc, 0)) // 100)::BIGINT AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank // o.od) AS inc
+                FROM e JOIN p{i-1} r ON r.node = e.src
+                       JOIN outdeg o ON o.src = e.src
+                GROUP BY 1
+            ) s ON s.node = n.node
+        ),
+        t{i} AS (
+            SELECT f.node,
+                   ({base} * f.is_seed
+                    + ({damping} * COALESCE(s.inc, 0)) // 100)::BIGINT AS rank
+            FROM flagged f LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank // o.od) AS inc
+                FROM e JOIN t{i-1} r ON r.node = e.src
+                       JOIN outdeg o ON o.src = e.src
+                GROUP BY 1
+            ) s ON s.node = f.node
+        )"""
+    sql += f"""
+        SELECT p.node, p.rank, t.rank AS trust,
+               (CASE WHEN p.rank > 0
+                     THEN ((p.rank - t.rank) * 10000) // p.rank
+                     ELSE 0 END)::BIGINT AS spam_mass_bp
+        FROM p{iterations} p JOIN t{iterations} t ON t.node = p.node"""
     return sql
 
 
@@ -8028,6 +8095,7 @@ FROM documents)
         "k_core": _k_core_sql(),
         "host_script_audit": _host_script_audit_sql(),
         "trustrank": _trustrank_sql(5),
+        "spam_mass": _spam_mass_sql(5),
         "cocitation": """
             WITH raw AS (
                 SELECT 's' || (doc_id % 20)::VARCHAR AS src,

@@ -189,6 +189,7 @@ HEADLINE = [
     "host_script_audit",
     "trustrank",
     "cocitation",
+    "spam_mass",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -745,3 +745,50 @@ def cocitation(
     from .cache import register_intermediates
 
     return register_intermediates(out, e)
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Relative spam mass (Gyöngyi et al., VLDB 2004 §6) — the share of
+    a node's PageRank NOT backed by trust: ``(PR − TR) / PR`` in
+    floored basis points. A page can earn high PageRank two ways —
+    links from the reputable web (TrustRank follows those, gap ≈ 0) or
+    a spam farm's dense interlinking (TrustRank never arrives, gap →
+    10⁴). This is the paper's actual demotion signal; :func:`pagerank`
+    and :func:`trustrank` are its two halves.
+
+    With this module's integer arithmetic ``TR ≤ PR`` holds
+    component-wise by induction (seed-gated teleport ≤ uniform
+    teleport, same damping), so ``spam_mass_bp ∈ [0, 10⁴]`` exactly and
+    the oracle hash is exact. Returns ``(node, rank, trust,
+    spam_mass_bp)``.
+
+    Scale: the two iterations run over the same distinct edge set and
+    node-keyed round shape (each bounded as documented on its
+    operator); the final join is node-keyed on the host-sized table.
+    """
+    pr = pagerank(
+        edges, iterations=iterations, src_col=src_col, dst_col=dst_col
+    ).select("node", F.col("rank").alias("rank"))
+    tr = trustrank(
+        edges, seeds, iterations=iterations,
+        src_col=src_col, dst_col=dst_col, seed_col=seed_col,
+    ).select("node", F.col("rank").alias("trust"))
+    return pr.join(tr, on="node").select(
+        "node",
+        "rank",
+        "trust",
+        F.when(
+            F.col("rank") > 0,
+            F.expr("((rank - trust) * 10000) div rank"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("spam_mass_bp"),
+    )

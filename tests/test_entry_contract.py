@@ -375,6 +375,9 @@ def test_oracled_queries_precede_rows_only():
         # co-citation — the wedge self-join + combinable pair count of
         # tier-1 minhash_lsh_pairs' bucket join, hot-source-capped
         "cocitation",
+        # spam mass — composition of the oracled pagerank + trustrank
+        # integer iterations, one node-keyed join
+        "spam_mass",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -520,3 +520,22 @@ class TestCocitation:
         df = spark.createDataFrame([("a", "b")], "src string, dst string")
         with pytest.raises(ValueError):
             cocitation(df, min_common=0)
+
+
+class TestSpamMass:
+    def test_ring_maxes_and_invariant(self, spark):
+        from correctocr_spark.ops.graph import spam_mass
+
+        e = spark.createDataFrame(TestTrustRank.EDGES, "src long, dst long")
+        s = spark.createDataFrame([(1,)], "node long")
+        rows = {r["node"]: r for r in spam_mass(e, s).collect()}
+        for n, r in rows.items():
+            # TR <= PR component-wise => bp share in [0, 10000]
+            assert 0 <= r["trust"] <= r["rank"]
+            assert 0 <= r["spam_mass_bp"] <= 10000
+        # the unreachable dense ring owes ALL its rank to spam
+        assert rows[10]["spam_mass_bp"] == 10000
+        assert rows[11]["spam_mass_bp"] == 10000
+        # pages fed by the seed owe much less
+        assert rows[2]["spam_mass_bp"] < 10000
+        assert rows[3]["spam_mass_bp"] < rows[10]["spam_mass_bp"]

@@ -3231,6 +3231,81 @@ def q_cocitation(spark, sf_dir):
     return cocitation(edges, min_common=2, max_out=15)
 
 
+def q_reciprocal_links(spark, sf_dir):
+    """Per-source link reciprocity (mutual out-links in floored bp)
+    over the pagerank edge fixture — the link-exchange/link-farm
+    demotion signal that needs no seed set. Exact integers end-to-end."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import reciprocal_links
+
+    return reciprocal_links(_synth_edges(spark, sf_dir))
+
+
+def q_typosquat_pairs(spark, sf_dir):
+    """Levenshtein-1 registered-domain pairs via the SymSpell
+    deletion-neighborhood join (no |D|² cross-join) over a synthesized
+    domain census: 50 base sites plus sparse '.co' suffix squats and
+    'x'-prefix insertion squats that MUST surface at distance 1."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import typosquat_pairs
+
+    did = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    doms = (
+        docs.select(
+            F.concat(F.lit("site"), (did % 50).cast("string"), F.lit(".com")).alias(
+                "registered_domain"
+            )
+        )
+        .unionByName(
+            docs.where(did % 97 == 0).select(
+                F.concat(F.lit("site"), (did % 50).cast("string"), F.lit(".co")).alias(
+                    "registered_domain"
+                )
+            )
+        )
+        .unionByName(
+            docs.where(did % 89 == 3).select(
+                F.concat(
+                    F.lit("xsite"), (did % 50).cast("string"), F.lit(".com")
+                ).alias("registered_domain")
+            )
+        )
+    )
+    return typosquat_pairs(doms)
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle-set containment ≥ 8000 bp via the published
+    prefix filter (SSJoin/AllPairs probe-prefix × full-index join), the
+    aggregator/quote detector Jaccard-targeted LSH structurally misses.
+    Fixture: base documents plus alien-tail supersets (did ≡ 0 mod 7)
+    and 10-word snippets (did ≡ 0 mod 11) — both MUST surface at
+    10⁴ bp against their source. Candidates are provably complete, the
+    verify is exact-integer, so the oracle is the plain all-pairs twin."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import containment_pairs, normalized_words
+
+    did = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    snip = F.concat_ws(" ", F.slice(normalized_words("text"), 1, 10))
+    inp = (
+        docs.select("doc_id", "text")
+        .unionByName(
+            docs.where(did % 7 == 0).select(
+                (did + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zq1 zq2 zq3 zq4 zq5")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.where(did % 11 == 0).select(
+                (did + 2000000).alias("doc_id"), snip.alias("text")
+            )
+        )
+    )
+    return containment_pairs(inp, k=SHINGLE_K, threshold_bp=8000)
+
+
 def q_trustrank(spark, sf_dir):
     """Seed-personalized integer TrustRank over the pagerank edge
     fixture, seeds = nodes ≡ 0 (mod 10) — exact arithmetic, so the
@@ -3779,6 +3854,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spam mass — the (pagerank − trustrank)/pagerank bp share
         # composing the two oracled integer iterations
         "spam_mass": q_spam_mass,
+        # link reciprocity — distinct-edge mutual-link bp share, the
+        # seedless link-farm tell (one reversed self-equi-join)
+        "reciprocal_links": q_reciprocal_links,
+        # typosquat census — SymSpell deletion-neighborhood join, exact
+        # levenshtein==1 verify on candidates only
+        "typosquat_pairs": q_typosquat_pairs,
+        # asymmetric containment — prefix-filtered (SSJoin/AllPairs)
+        # candidates + row-local exact verify, all-pairs oracle twin
+        "containment_pairs": q_containment_pairs,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -8115,6 +8199,86 @@ FROM documents)
                    count(*)::BIGINT AS n_common
             FROM e2 a JOIN e2 b ON a.src = b.src AND a.dst < b.dst
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "reciprocal_links": f"""
+            WITH e AS (
+                SELECT DISTINCT src, dst FROM ({_EDGES_SQL}) WHERE src <> dst
+            ),
+            m AS (
+                SELECT e.src, count(*) AS n_mutual
+                FROM e JOIN e r ON e.src = r.dst AND e.dst = r.src
+                GROUP BY e.src
+            ),
+            o AS (SELECT src, count(*) AS n_out FROM e GROUP BY src)
+            SELECT o.src AS node, n_out,
+                   coalesce(n_mutual, 0) AS n_mutual,
+                   (coalesce(n_mutual, 0) * 10000) // n_out AS reciprocity_bp
+            FROM o LEFT JOIN m ON o.src = m.src
+        """,
+        "typosquat_pairs": """
+            WITH doms AS (
+              SELECT DISTINCT dom FROM (
+                SELECT 'site' || (doc_id % 50) || '.com' AS dom FROM documents
+                UNION ALL
+                SELECT 'site' || (doc_id % 50) || '.co' FROM documents
+                WHERE doc_id % 97 = 0
+                UNION ALL
+                SELECT 'xsite' || (doc_id % 50) || '.com' FROM documents
+                WHERE doc_id % 89 = 3
+              ) WHERE strlen(dom) >= 5
+            ),
+            v AS (
+              SELECT dom, unnest(list_distinct(list_append(
+                  list_transform(range(1, strlen(dom) + 1),
+                      i -> substr(dom, 1, i - 1) || substr(dom, i + 1, strlen(dom))),
+                  dom))) AS variant
+              FROM doms
+            ),
+            cand AS (
+              SELECT DISTINCT a.dom AS domain_a, b.dom AS domain_b
+              FROM v a JOIN v b USING (variant) WHERE a.dom < b.dom
+            )
+            SELECT domain_a, domain_b,
+                   CAST(levenshtein(domain_a, domain_b) AS BIGINT) AS distance
+            FROM cand WHERE levenshtein(domain_a, domain_b) = 1
+        """,
+        # containment: the oracle is the plain ALL-PAIRS form — the
+        # engine's prefix-filter candidates are provably complete
+        # (probe-prefix lemma in ops/dedup.containment_prefix_candidates)
+        # and its verify is exact-integer, so outputs coincide.
+        "containment_pairs": f"""
+            WITH inp AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text || ' zq1 zq2 zq3 zq4 zq5'
+              FROM documents WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id + 2000000, array_to_string(({_WORDS})[1:10], ' ')
+              FROM documents WHERE doc_id % 11 = 0
+            ),
+            w AS (SELECT doc_id, {_WORDS} AS ws FROM inp),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                         range(1, greatest(len(ws) - {SHINGLE_K - 1}, 1) + 1),
+                         i -> array_to_string(ws[i:i+{SHINGLE_K - 1}], ' '))) AS shingle
+              FROM w
+            ),
+            sh2 AS (SELECT * FROM sh WHERE shingle <> ''),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh2 a JOIN sh2 b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_inter,
+                   least(sa.n_sh, sb.n_sh) AS n_min,
+                   (n_inter * 10000) // least(sa.n_sh, sb.n_sh) AS containment_bp
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE (n_inter * 10000) // least(sa.n_sh, sb.n_sh) >= 8000
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

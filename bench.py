@@ -190,6 +190,9 @@ HEADLINE = [
     "trustrank",
     "cocitation",
     "spam_mass",
+    "reciprocal_links",
+    "typosquat_pairs",
+    "containment_pairs",
     "bpe_token_counts",
     "extraction_blocks",
 ]

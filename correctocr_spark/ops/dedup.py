@@ -1739,3 +1739,147 @@ def strip_host_boilerplate(
         )
     )
     return register_intermediates(out, keyed)
+
+
+def containment_prefix_candidates(
+    shingles: DataFrame, threshold_bp: int = 8000
+) -> DataFrame:
+    """Candidate pairs for shingle-set CONTAINMENT ≥ ``threshold_bp``
+    via the prefix filter (Chaudhuri/Ganti/Kaushik SSJoin, ICDE 2006;
+    Bayardo et al. AllPairs, WWW 2007): order each doc's shingles by
+    ascending global document frequency (ties by shingle — a total
+    order), keep only the first ``n - ceil(t·n) + 1`` as the PROBE
+    prefix, and join prefix × full index on the shingle.
+
+    Completeness: for a qualifying pair let A be the smaller set, so
+    ``|A∩B| ≥ α = ceil(t·|A|)``. If none of A's first ``|A| − α + 1``
+    shingles were in B, at most ``α − 1`` of A's shingles could be —
+    contradiction. So probing every doc's own-size prefix against the
+    FULL set of every other doc is a superset of all qualifying pairs
+    (the min side of each pair probes), and the exact verify
+    (:func:`containment_verify`) makes the composition exact — the
+    DuckDB oracle is the plain all-pairs form.
+
+    Why not MinHash-LSH: band collision probability tracks JACCARD,
+    and a 50-shingle snippet fully contained in a 5000-shingle page
+    has Jaccard ≈ 0.01 — LSH never surfaces it. Containment is the
+    aggregator/quote/syndication detector, and the prefix filter is
+    its published scale path.
+
+    Scale (100 TB): three keyed shuffles (df count by shingle, the
+    df join back, the per-doc window rank) + the prefix-probe join.
+    The df-ascending order is the whole trick: prefixes hold each
+    doc's RAREST shingles, so a boilerplate shingle with df = 10⁶
+    almost never lands in a prefix and its join fan-out never
+    materializes; worst-case fan-out of a probe row is df(shingle),
+    bounded by how rare prefix members are. High thresholds shrink
+    prefixes (t = 0.8 → ~20% + 1 of each doc).
+    """
+    from pyspark.sql import Window
+
+    sh = ensure_parallelism(shingles).select("doc_id", "shingle")
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(df_counts, on="shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    # prefix length = n - ceil(t*n) + 1, all-integer ceil
+    prefix = ranked.where(
+        F.col("rn")
+        <= F.col("n_sh")
+        - F.expr(f"(n_sh * {int(threshold_bp)} + 9999) div 10000")
+        + 1
+    ).select("doc_id", "shingle")
+    a = prefix.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def containment_verify(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold_bp: int = 8000,
+) -> DataFrame:
+    """Exact containment verification at PAIR granularity — same
+    row-local array shape as :func:`jaccard_verify_candidates` (semi-
+    join the corpus to candidate members, build each member's distinct-
+    shingle ARRAY once, join pairs to both sides, intersect row-
+    locally). Containment is against the SMALLER set:
+    ``floor(|A∩B| · 10⁴ / min(|A|,|B|))`` basis points — all-integer,
+    oracle-hash-exact. Returns ``(doc_a, doc_b, n_inter, n_min,
+    containment_bp)`` for pairs at or above ``threshold_bp``.
+    """
+    candidates = candidates.persist()
+    candidates.count()
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    members = docs.join(cand_ids, on=id_col, how="left_semi")
+    arrays = (
+        members.repartition(F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), shingles_col(text_col, k).alias("sh"))
+        .where(F.size("sh") > 0)
+        .persist()
+    )
+    arrays.count()
+    a = arrays.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = arrays.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    out = (
+        candidates.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.least(F.size("sh_a"), F.size("sh_b")).cast("long").alias("n_min"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_min",
+            F.expr("(n_inter * 10000) div n_min").cast("long").alias("containment_bp"),
+        )
+        .where(F.col("containment_bp") >= threshold_bp)
+    )
+    return register_intermediates(out, candidates, arrays)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold_bp: int = 8000,
+) -> DataFrame:
+    """Prefix-filtered exact containment pairs — candidates from
+    :func:`containment_prefix_candidates`, verified by
+    :func:`containment_verify`. The asymmetric complement of the
+    Jaccard near-dup pass: catches a snippet/quote/syndicated article
+    embedded in a much larger page, which Jaccard-targeted LSH
+    structurally misses."""
+    sh = shingles_df(docs, id_col=id_col, text_col=text_col, k=k)
+    cands = containment_prefix_candidates(sh, threshold_bp=threshold_bp)
+    return containment_verify(
+        docs, cands, id_col=id_col, text_col=text_col, k=k,
+        threshold_bp=threshold_bp,
+    )

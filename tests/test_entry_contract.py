@@ -378,6 +378,17 @@ def test_oracled_queries_precede_rows_only():
         # spam mass — composition of the oracled pagerank + trustrank
         # integer iterations, one node-keyed join
         "spam_mass",
+        # link reciprocity — in_degree/host_graph's distinct-edge agg
+        # shape plus one reversed self-equi-join; exact integers
+        "reciprocal_links",
+        # typosquat census — the flatMap Generate + equi-join + verify
+        # discipline of tier-1 minhash_lsh_pairs, keyed on deletion
+        # variants instead of bands
+        "typosquat_pairs",
+        # asymmetric containment — tier-1 ngram_jaccard_lsh's gated
+        # verify (same shingles_col row-local intersect) with prefix-
+        # filter candidates instead of LSH bands
+        "containment_pairs",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -3306,6 +3306,79 @@ def q_containment_pairs(spark, sf_dir):
     return containment_pairs(inp, k=SHINGLE_K, threshold_bp=8000)
 
 
+def q_char_entropy(spark, sf_dir):
+    """Per-document character-distribution Shannon entropy in integer
+    micro-nats — the zero-model gibberish/noise gate, built entirely
+    row-locally (no per-character explode). Each codepoint's term is
+    one fixed double expression quantized before the integer sum."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+def q_path_templates(spark, sf_dir):
+    """Per-host URL path-template census (hex runs → {h}, digit runs →
+    {n}) over synthesized urls: root pages, a parametric item template,
+    and md5-session trap paths that MUST collapse to one {h} template.
+    The crawl-trap / faceted-navigation detector."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import path_templates
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://ex"),
+        (did % 5).cast("string"),
+        F.lit(".com"),
+        F.when(did % 10 == 0, F.lit("/"))
+        .when(
+            did % 13 == 0,
+            F.concat(
+                F.lit("/session/"), F.md5(did.cast("string")), F.lit("/view")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/cat"),
+                (did % 4).cast("string"),
+                F.lit("/item"),
+                did.cast("string"),
+                F.lit(".html"),
+            )
+        ),
+    )
+    pages = _t(spark, sf_dir, "documents").select(url.alias("url"))
+    return path_templates(pages)
+
+
+def q_bibliographic_coupling(spark, sf_dir):
+    """Kessler coupling (shared OUT-links) over a citation mix whose
+    transpose exercises the cocitation machinery: a 7-target core every
+    source cites, an 11-target overlay only even docs add, and a 'cdn'
+    target cited by everything that the max_in cap MUST drop."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import bibliographic_coupling
+
+    did = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+
+    def lbl(p, col):
+        return F.concat(F.lit(p), col.cast("string"))
+
+    edges = (
+        docs.select(lbl("s", did % 20).alias("src"), lbl("t", did % 7).alias("dst"))
+        .unionByName(
+            docs.where(did % 2 == 0).select(
+                lbl("s", did % 20).alias("src"), lbl("u", did % 11).alias("dst")
+            )
+        )
+        .unionByName(
+            docs.select(lbl("s", did % 20).alias("src"), F.lit("cdn").alias("dst"))
+        )
+    )
+    return bibliographic_coupling(edges, min_common=2, max_in=15)
+
+
 def q_trustrank(spark, sf_dir):
     """Seed-personalized integer TrustRank over the pagerank edge
     fixture, seeds = nodes ≡ 0 (mod 10) — exact arithmetic, so the
@@ -3863,6 +3936,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asymmetric containment — prefix-filtered (SSJoin/AllPairs)
         # candidates + row-local exact verify, all-pairs oracle twin
         "containment_pairs": q_containment_pairs,
+        # char-distribution entropy — row-local histogram, micro-nat
+        # quantized terms (the host_lang_entropy discipline per doc)
+        "char_entropy": q_char_entropy,
+        # path-template census — row-local regex algebra + one keyed agg,
+        # the crawl-trap detector
+        "path_templates": q_path_templates,
+        # bibliographic coupling — cocitation on the transposed edges,
+        # max_in hot-target cap
+        "bibliographic_coupling": q_bibliographic_coupling,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -8279,6 +8361,85 @@ FROM documents)
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE (n_inter * 10000) // least(sa.n_sh, sb.n_sh) >= 8000
+        """,
+        "char_entropy": """
+            WITH ch AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+              FROM documents
+            ),
+            cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+            n AS (SELECT doc_id, count(*) AS n_chars FROM ch GROUP BY 1)
+            SELECT cc.doc_id,
+                   max(n.n_chars) AS n_chars,
+                   count(*) AS n_distinct,
+                   sum(CAST(round(
+                       -(CAST(k AS DOUBLE) / CAST(n.n_chars AS DOUBLE)) *
+                       ln(CAST(k AS DOUBLE) / CAST(n.n_chars AS DOUBLE)) *
+                       1000000.0) AS BIGINT)) AS entropy_micro
+            FROM cc JOIN n ON cc.doc_id = n.doc_id
+            GROUP BY cc.doc_id
+        """,
+        "path_templates": r"""
+            WITH pages AS (
+              SELECT 'https://ex' || (doc_id % 5) || '.com' ||
+                CASE WHEN doc_id % 10 = 0 THEN '/'
+                     WHEN doc_id % 13 = 0
+                       THEN '/session/' || md5(doc_id::VARCHAR) || '/view'
+                     ELSE '/cat' || (doc_id % 4) || '/item' || doc_id
+                          || '.html' END AS url
+              FROM documents
+            ),
+            p AS (
+              SELECT lower(regexp_replace(regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+                         ':\d+$', '')) AS host,
+                     CASE WHEN regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) = ''
+                       THEN '/'
+                       ELSE regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1)
+                       END AS path
+              FROM pages
+            ),
+            t AS (
+              SELECT host, path,
+                     regexp_replace(regexp_replace(path,
+                         '[0-9a-fA-F]{16,}', '{h}', 'g'),
+                         '[0-9]+', '{n}', 'g') AS template
+              FROM p
+            ),
+            agg AS (
+              SELECT host, template, count(*)::BIGINT AS n_pages,
+                     count(DISTINCT path)::BIGINT AS n_paths
+              FROM t GROUP BY 1, 2
+            ),
+            tot AS (SELECT host, sum(n_pages) AS hp FROM agg GROUP BY 1)
+            SELECT agg.host, template, n_pages, n_paths,
+                   (n_pages * 10000) // hp AS host_share_bp
+            FROM agg JOIN tot ON agg.host = tot.host
+        """,
+        # bibliographic coupling: the cocitation oracle verbatim on the
+        # TRANSPOSED distinct edge set (src/dst swapped in e), cap 15
+        "bibliographic_coupling": """
+            WITH raw AS (
+                SELECT 's' || (doc_id % 20)::VARCHAR AS src,
+                       't' || (doc_id % 7)::VARCHAR AS dst
+                FROM documents
+                UNION ALL
+                SELECT 's' || (doc_id % 20)::VARCHAR,
+                       'u' || (doc_id % 11)::VARCHAR
+                FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT 's' || (doc_id % 20)::VARCHAR, 'cdn' FROM documents
+            ),
+            e AS (SELECT DISTINCT dst AS src, src AS dst FROM raw
+                  WHERE src <> dst),
+            keep AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 15),
+            e2 AS (SELECT e.src, e.dst FROM e JOIN keep USING (src))
+            SELECT a.dst AS src_a, b.dst AS src_b,
+                   count(*)::BIGINT AS n_common
+            FROM e2 a JOIN e2 b ON a.src = b.src AND a.dst < b.dst
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -193,6 +193,9 @@ HEADLINE = [
     "reciprocal_links",
     "typosquat_pairs",
     "containment_pairs",
+    "char_entropy",
+    "path_templates",
+    "bibliographic_coupling",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -847,3 +847,43 @@ def reciprocal_links(
             ).cast("long").alias("reciprocity_bp"),
         )
     )
+
+
+def bibliographic_coupling(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 2,
+    max_in: "int | None" = 1000,
+) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963) — the structural DUAL of
+    :func:`cocitation`: two SOURCES are related when they cite many
+    common targets. Where co-citation needs the web to have already
+    judged two pages (links pointing AT them accumulate over years),
+    coupling works the moment a page is crawled — its out-links are in
+    hand — so it is the related-pages signal available for NEW pages,
+    and a strong host-level topical-community feature next to
+    :func:`host_communities` (which needs direct linkage).
+
+    Implemented AS ``cocitation`` on the transposed edge set — one
+    reversed projection, zero new join machinery, so every property
+    proved for the co-citation wedge join (pair law, cap-before-join,
+    map-side partial aggregation) transfers verbatim. ``max_in`` caps
+    target IN-degree on the original graph: a target cited by
+    everything (a jquery CDN, a privacy-policy page) carries no
+    topical signal and alone would emit f(f−1)/2 pairs — the same
+    hot-bucket law, now on the popularity axis.
+
+    Returns ``(src_a, src_b, n_common)`` — distinct shared targets,
+    ``src_a < src_b``, ``n_common >= min_common``.
+    """
+    rev = edges.select(
+        F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+    )
+    return cocitation(
+        rev, min_common=min_common, max_out=max_in
+    ).select(
+        F.col("dst_a").alias("src_a"),
+        F.col("dst_b").alias("src_b"),
+        "n_common",
+    )

@@ -1914,3 +1914,66 @@ def pmi_collocations(
     from .cache import register_intermediates
 
     return register_intermediates(out, model)
+
+
+def char_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the CHARACTER distribution in
+    integer micro-nats — the zero-model gibberish gate: binary spew and
+    base64/hex blobs score anomalously HIGH (flat distribution over a
+    wide alphabet), repeated-character spam and template shells score
+    anomalously LOW, while natural-language text sits in a tight
+    per-language band. Complements :func:`compression_ratio` (zlib
+    sees longer-range structure but is not SQL-expressible; this is
+    pure column algebra and oracle-hash-exact) and
+    :func:`script_profile` (which classes codepoints but ignores their
+    distribution).
+
+    Returns ``(doc_id, n_chars, n_distinct, entropy_micro)`` for every
+    doc with at least one character. Exactness: each codepoint's term
+    ``-(k/N)·ln(k/N)`` is ONE fixed double expression quantized to
+    micro-nats BEFORE the integer sum — reduction-order-proof, the
+    :func:`host_lang_entropy` / ``vocab_kl_divergence`` discipline.
+
+    Scale shape: entirely ROW-LOCAL — the histogram is built inside
+    higher-order functions (``array_distinct`` + ``filter`` counting),
+    so there is NO per-character explode: a 100 TB corpus never
+    shuffles at all, the op runs at scan speed inside whole-stage
+    codegen. Per-row cost is O(alphabet × len); text alphabets are
+    ≤ a few hundred distinct codepoints, so this beats the
+    explode + (doc, char) groupBy shape (which ships one row per
+    CHARACTER — the corpus itself — through a shuffle). Codepoints via
+    ``(?s).`` — Java and RE2 both match exactly one codepoint,
+    newlines included, so the DuckDB twin sees identical histograms.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    d = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.regexp_extract_all(t, F.lit(r"(?s)."), 0).alias("_chars"),
+        )
+        .where(F.size("_chars") > 0)
+        .withColumn(
+            "_counts",
+            F.expr(
+                "transform(array_distinct(_chars), "
+                "c -> size(filter(_chars, x -> x = c)))"
+            ),
+        )
+    )
+    term = (
+        "CAST(round(-(CAST(k AS DOUBLE) / CAST(size(_chars) AS DOUBLE)) * "
+        "ln(CAST(k AS DOUBLE) / CAST(size(_chars) AS DOUBLE)) * 1000000.0) "
+        "AS BIGINT)"
+    )
+    return d.select(
+        "doc_id",
+        F.size("_chars").cast("long").alias("n_chars"),
+        F.size("_counts").cast("long").alias("n_distinct"),
+        F.expr(
+            f"aggregate(transform(_counts, k -> {term}), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("entropy_micro"),
+    )

@@ -1472,3 +1472,73 @@ def typosquat_pairs(
             F.expr("levenshtein(domain_a, domain_b)").cast("long").alias("distance"),
         )
     )
+
+
+#: path (query stripped) of a url — '' when unparseable; templates
+#: treat '' as '/'. Shared Java∩RE2 grammar, same host rules as
+#: filters.host_col.
+_PATH_ONLY_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+
+
+def path_templates(
+    pages: DataFrame, url_col: str = "url", min_pages: int = 1
+) -> DataFrame:
+    """Per-host URL path-TEMPLATE census: paths with long hex runs
+    collapsed to ``{h}`` then digit runs to ``{n}`` (``/item4711.html``
+    → ``/item{n}.html``), counted per ``(host, template)``. The
+    crawl-trap / faceted-navigation detector: a calendar, session-id
+    or pagination trap shows up as ONE template exploding into
+    thousands of distinct paths (high ``n_paths``), and a host whose
+    page budget is dominated by one parametric template
+    (``host_share_bp`` → 10⁴) is spending its crawl quota on a
+    database, not a site. Complements
+    :func:`url_param_relevance` (query-string rules; this is the PATH
+    side) and :func:`~.filters.url_features` (per-url lexical signals;
+    this is the host-level structural rollup a frontier scheduler
+    budgets with).
+
+    Returns ``(host, template, n_pages, n_paths, host_share_bp)``,
+    ``host_share_bp`` = this template's floored bp share of the host's
+    pages, filtered to ``n_pages >= min_pages``. All-integer counts and
+    one floored division — oracle-hash-exact.
+
+    Scale (100 TB): host/path/template are row-local regex algebra at
+    scan speed; ONE shuffle into the (host, template) aggregate where
+    ``count`` partial-aggregates map-side and the distinct-path count
+    rides the same key; host totals derive from the aggregate itself
+    (template-dimension-sized, NOT corpus-sized) and join back
+    host-keyed. Hot hosts spread over their templates; a pathological
+    single-template host is exactly the skew the op exists to report.
+    """
+    from .filters import host_col as _host_col
+
+    raw = F.regexp_extract(F.col(url_col), _PATH_ONLY_RE, 1)
+    path = F.when(raw == "", F.lit("/")).otherwise(raw)
+    template = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-fA-F]{16,}", "{h}"),
+        r"[0-9]+",
+        "{n}",
+    )
+    d = ensure_parallelism(pages).select(
+        _host_col(url_col).alias("host"),
+        path.alias("_path"),
+        template.alias("template"),
+    )
+    agg = d.groupBy("host", "template").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.countDistinct("_path").cast("long").alias("n_paths"),
+    )
+    totals = agg.groupBy("host").agg(F.sum("n_pages").alias("_host_pages"))
+    return (
+        agg.join(totals, on="host")
+        .select(
+            "host",
+            "template",
+            "n_pages",
+            "n_paths",
+            F.expr("(n_pages * 10000) div _host_pages")
+            .cast("long")
+            .alias("host_share_bp"),
+        )
+        .where(F.col("n_pages") >= int(min_pages))
+    )

@@ -389,6 +389,15 @@ def test_oracled_queries_precede_rows_only():
         # verify (same shingles_col row-local intersect) with prefix-
         # filter candidates instead of LSH bands
         "containment_pairs",
+        # char entropy — host_lang_entropy's quantized micro-nat term
+        # discipline, fully row-local (no shuffle at all)
+        "char_entropy",
+        # path templates — url_features' row-local url regex algebra
+        # plus one keyed count agg (word_freq's verified shape)
+        "path_templates",
+        # bibliographic coupling — literally cocitation (tier-2 green)
+        # on a reversed projection; no new join machinery
+        "bibliographic_coupling",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -3477,6 +3477,133 @@ def q_host_script_audit(spark, sf_dir):
     return host_script_audit(pages)
 
 
+def _lang_words(spark, sf_dir):
+    """(lang, word) exploded lowercase \\W+ tokens — the shared
+    high-cardinality key stream the two cardinality sketches run on."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang", F.explode(F.split(F.lower(F.col("text")), r"\W+")).alias("word")
+        )
+        .where(F.col("word") != "")
+    )
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-vocabulary sketch per language:
+    k=16 smallest md5-32 hashes of the words, kth-min retained, exact
+    integer estimator — the mergeable cardinality layer under crawl
+    dashboards (exact countDistinct at 10^12 rows shuffles every key;
+    this shuffles ≤ k per group per partition via WindowGroupLimit)."""
+    _ship(spark)
+    from correctocr_spark.ops.sketch import kmv_sketch
+
+    return kmv_sketch(_lang_words(spark, sf_dir), "word", "lang", k=16)
+
+
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog register TABLE per language (b=6 → 64 buckets):
+    bucket = high 6 hash bits, register = max leading-zero rank of the
+    26-bit remainder, rank via length(bin(x)) — exact integers, so the
+    sketch state itself hash-checks cross-engine (the float estimate is
+    a separate helper, tolerance-pinned in pytest). Merge = groupBy max,
+    by construction."""
+    _ship(spark)
+    from correctocr_spark.ops.sketch import hll_registers
+
+    return hll_registers(_lang_words(spark, sf_dir), "word", "lang", b=6)
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase search over positional postings — the query 'batch
+    batch' deliberately repeats its term, so a hit needs TWO distinct
+    phrase offsets satisfied at one anchor (the countDistinct(off)
+    subtlety naive position-join intersections get wrong). One isin
+    scan filter + one (doc, base) agg: the same two-stage plan for any
+    phrase length, no self-join chain."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), "batch batch")
+
+
+def q_ranking_auc(spark, sf_dir):
+    """ROC-AUC of a synthetic quality score against binary labels in
+    exact integer basis points (Mann-Whitney over per-distinct-score
+    counts — the window runs on the ≤100-row score table, never the
+    corpus). Positives (ids ≡ 0 mod 7) score 50+id%50, negatives
+    id%70: overlapping but shifted, so the AUC is strictly between
+    5000 and 10000 and every tie path is exercised."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import ranking_auc
+
+    did = F.col("doc_id")
+    scored = _t(spark, sf_dir, "documents").select(
+        F.when(did % 7 == 0, 50 + did % 50).otherwise(did % 70).alias("score"),
+        (did % 7 == 0).cast("int").alias("label"),
+    )
+    return ranking_auc(scored, "score", "label")
+
+
+def q_agreement_kappa(spark, sf_dir):
+    """Cohen's kappa (exact integer bp, closed form — no float
+    probabilities) between the declared lang column and a perturbed
+    twin that mislabels ids ≡ 0 mod 5 as 'xx', grouped by source: the
+    label-QA agreement audit between two classifier versions."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import agreement_kappa
+
+    did = F.col("doc_id")
+    pairs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("lang").alias("lang_a"),
+        F.when(did % 5 == 0, F.lit("xx")).otherwise(F.col("lang")).alias("lang_b"),
+    )
+    return agreement_kappa(pairs, "lang_a", "lang_b", group_cols="source")
+
+
+def q_edit_distance_eval(spark, sf_dir):
+    """Character-level extraction eval: JVM-native Levenshtein of each
+    doc's text vs a deterministically corrupted twin (e→3 for ids ≡ 0
+    mod 3, identity otherwise — so zero AND nonzero distances appear),
+    CER in basis points over the longer side, both sides clamped to
+    400 printable-ASCII chars to bound the per-row DP."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import edit_distance_eval
+
+    did = F.col("doc_id")
+    pairs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").alias("gold"),
+        F.when(did % 3 == 0, F.regexp_replace(F.col("text"), "e", "3"))
+        .otherwise(F.col("text"))
+        .alias("pred"),
+    )
+    return edit_distance_eval(pairs)
+
+
+def q_stratified_quotas(spark, sf_dir):
+    """Largest-remainder (Hamilton) integer quota allocation: 97 slots
+    proportional to per-language doc counts, quotas summing to EXACTLY
+    97 — both windows run over the 5-row strata table, never the
+    corpus."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import stratified_quotas
+
+    return stratified_quotas(_t(spark, sf_dir, "documents"), "lang", 97)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample honoring the Hamilton quotas
+    exactly: per-stratum salted-md5 rank, literal row_number() <= total
+    pre-cut (WindowGroupLimit partial top-k), broadcast quota join for
+    the exact per-group cut. Re-run-stable — no RNG state."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import stratified_sample
+
+    return stratified_sample(_t(spark, sf_dir, "documents"), "lang", 97)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -3945,6 +4072,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bibliographic coupling — cocitation on the transposed edges,
         # max_in hot-target cap
         "bibliographic_coupling": q_bibliographic_coupling,
+        # KMV distinct sketch — mergeable cardinality state, exact
+        # integer estimator, WindowGroupLimit-bounded shuffle
+        "kmv_distinct": q_kmv_distinct,
+        # HLL register table — the sketch state itself in exact
+        # integers (rank via length(bin(x)), never float log2)
+        "hll_registers": q_hll_registers,
+        # positional-postings exact-phrase search — repeated-term
+        # phrase, countDistinct(offset) anchor semantics
+        "phrase_search": q_phrase_search,
+        # Mann-Whitney ROC-AUC in integer bp over per-distinct-score
+        # counts (window on the score table, not the corpus)
+        "ranking_auc": q_ranking_auc,
+        # Cohen's kappa closed integer form per source group
+        "agreement_kappa": q_agreement_kappa,
+        # Levenshtein CER extraction eval, clamped printable-ASCII
+        "edit_distance_eval": q_edit_distance_eval,
+        # Hamilton largest-remainder quota allocation (sums to total)
+        "stratified_quotas": q_stratified_quotas,
+        # quota-exact deterministic stratified sample
+        "stratified_sample": q_stratified_sample,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -8440,6 +8587,196 @@ FROM documents)
                    count(*)::BIGINT AS n_common
             FROM e2 a JOIN e2 b ON a.src = b.src AND a.dst < b.dst
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "kmv_distinct": r"""
+            WITH w AS (
+              SELECT lang, unnest(regexp_split_to_array(lower(text), '\W+')) AS word
+              FROM documents
+            ),
+            h AS (
+              SELECT DISTINCT lang,
+                     ('0x' || substr(md5('kmv|' || word), 1, 8))::BIGINT AS _h
+              FROM w WHERE word <> ''
+            ),
+            kept AS (
+              SELECT lang, _h,
+                     row_number() OVER (PARTITION BY lang ORDER BY _h) AS rn
+              FROM h QUALIFY rn <= 16
+            ),
+            agg AS (
+              SELECT lang, count(*)::BIGINT AS n_min, max(_h) AS kth_min
+              FROM kept GROUP BY lang
+            )
+            SELECT lang, n_min, kth_min,
+                   CASE WHEN n_min < 16 THEN n_min
+                        ELSE (15 * 4294967296) // kth_min END::BIGINT
+                       AS est_distinct
+            FROM agg
+        """,
+        "hll_registers": r"""
+            WITH w AS (
+              SELECT lang, unnest(regexp_split_to_array(lower(text), '\W+')) AS word
+              FROM documents
+            ),
+            h AS (
+              SELECT lang,
+                     ('0x' || substr(md5('hll|' || word), 1, 8))::BIGINT AS _h
+              FROM w WHERE word <> ''
+            ),
+            br AS (
+              SELECT lang, (_h // 67108864)::INT AS bucket,
+                     CASE WHEN _h % 67108864 = 0 THEN 27
+                          ELSE 26 - length(bin(_h % 67108864)) + 1 END::INT AS rho
+              FROM h
+            )
+            SELECT lang, bucket, max(rho) AS register
+            FROM br GROUP BY 1, 2
+        """,
+        "phrase_search": r"""
+            WITH post AS (
+              SELECT doc_id, t.w AS term, t.i - 1 AS pos
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(text), '\W+') AS ws
+                    FROM documents),
+              LATERAL (SELECT unnest(ws) AS w,
+                              generate_subscripts(ws, 1) AS i) t
+              WHERE t.w <> ''
+            ),
+            anch AS (
+              SELECT doc_id, pos - o.i AS base, o.i AS off
+              FROM post
+              JOIN (VALUES ('batch', 0), ('batch', 1)) o(t, i)
+                ON post.term = o.t
+              WHERE pos - o.i >= 0
+            ),
+            hit AS (
+              SELECT doc_id, base FROM anch
+              GROUP BY doc_id, base HAVING count(DISTINCT off) = 2
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_hits FROM hit GROUP BY doc_id
+        """,
+        "ranking_auc": """
+            WITH sc AS (
+              SELECT CASE WHEN doc_id % 7 = 0 THEN 50 + doc_id % 50
+                          ELSE doc_id % 70 END AS score,
+                     CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS label
+              FROM documents
+            ),
+            ps AS (
+              SELECT score AS _s, sum(label) AS _pos, sum(1 - label) AS _neg
+              FROM sc GROUP BY 1
+            ),
+            c AS (
+              SELECT _pos, _neg,
+                     _pos * (2 * coalesce(sum(_neg) OVER (ORDER BY _s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         + _neg) AS _numer2
+              FROM ps
+            )
+            SELECT sum(_pos)::BIGINT AS n_pos, sum(_neg)::BIGINT AS n_neg,
+                   ((sum(_numer2) * 5000) // (sum(_pos) * sum(_neg)))::BIGINT
+                       AS auc_bp
+            FROM c
+        """,
+        "agreement_kappa": """
+            WITH pr AS (
+              SELECT source, lang AS _a,
+                     CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS _b
+              FROM documents
+            ),
+            base AS (
+              SELECT source, count(*)::BIGINT AS n,
+                     sum(CASE WHEN _a = _b THEN 1 ELSE 0 END)::BIGINT AS agree
+              FROM pr GROUP BY 1
+            ),
+            ma AS (SELECT source, _a AS _k, count(*)::BIGINT AS _na
+                   FROM pr GROUP BY 1, 2),
+            mb AS (SELECT source, _b AS _k, count(*)::BIGINT AS _nb
+                   FROM pr GROUP BY 1, 2),
+            p AS (
+              SELECT source, sum(_na * _nb) AS _sp
+              FROM ma JOIN mb USING (source, _k) GROUP BY 1
+            )
+            SELECT base.source, n, agree,
+                   CASE WHEN n * n = coalesce(_sp, 0) THEN 10000
+                        ELSE ((n * agree - coalesce(_sp, 0)) * 10000)
+                             // (n * n - coalesce(_sp, 0)) END::BIGINT
+                       AS kappa_bp
+            FROM base LEFT JOIN p USING (source)
+        """,
+        "edit_distance_eval": """
+            WITH p AS (
+              SELECT doc_id,
+                substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 400) AS g,
+                substr(regexp_replace(
+                    CASE WHEN doc_id % 3 = 0
+                         THEN regexp_replace(text, 'e', '3', 'g')
+                         ELSE text END,
+                    '[^ -~]', '', 'g'), 1, 400) AS pd
+              FROM documents
+            )
+            SELECT doc_id,
+                   length(g)::BIGINT AS gold_chars,
+                   length(pd)::BIGINT AS pred_chars,
+                   levenshtein(g, pd)::BIGINT AS edit_distance,
+                   ((levenshtein(g, pd) * 10000)
+                    // greatest(length(g), length(pd), 1))::BIGINT AS cer_bp
+            FROM p
+        """,
+        "stratified_quotas": """
+            WITH c AS (SELECT lang AS grp, count(*)::BIGINT AS n_docs
+                       FROM documents GROUP BY 1),
+            b AS (
+              SELECT grp, n_docs,
+                     (97 * n_docs) // sum(n_docs) OVER () AS _base,
+                     (97 * n_docs) % (sum(n_docs) OVER ()) AS _rem
+              FROM c
+            ),
+            r AS (
+              SELECT *, row_number() OVER (ORDER BY _rem DESC, grp ASC)
+                            AS _rank,
+                     97 - sum(_base) OVER () AS _left
+              FROM b
+            )
+            SELECT grp AS lang, n_docs,
+                   (_base + CASE WHEN _rank <= _left THEN 1 ELSE 0 END)::BIGINT
+                       AS quota
+            FROM r
+        """,
+        "stratified_sample": """
+            WITH c AS (SELECT lang AS grp, count(*)::BIGINT AS n_docs
+                       FROM documents GROUP BY 1),
+            b AS (
+              SELECT grp, n_docs,
+                     (97 * n_docs) // sum(n_docs) OVER () AS _base,
+                     (97 * n_docs) % (sum(n_docs) OVER ()) AS _rem
+              FROM c
+            ),
+            r AS (
+              SELECT *, row_number() OVER (ORDER BY _rem DESC, grp ASC)
+                            AS _rank,
+                     97 - sum(_base) OVER () AS _left
+              FROM b
+            ),
+            q AS (
+              SELECT grp AS lang,
+                     (_base + CASE WHEN _rank <= _left THEN 1 ELSE 0 END)
+                         ::BIGINT AS quota
+              FROM r
+            ),
+            rk AS (
+              SELECT lang, doc_id,
+                     md5('strat1|' || CAST(doc_id AS VARCHAR)) AS _h
+              FROM documents
+            ),
+            rn AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY _h, doc_id) AS _rn
+              FROM rk
+            )
+            SELECT rn.lang, doc_id, _rn::BIGINT AS sample_rank
+            FROM rn JOIN q USING (lang) WHERE _rn <= quota
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -196,6 +196,14 @@ HEADLINE = [
     "char_entropy",
     "path_templates",
     "bibliographic_coupling",
+    "kmv_distinct",
+    "hll_registers",
+    "phrase_search",
+    "ranking_auc",
+    "agreement_kappa",
+    "edit_distance_eval",
+    "stratified_quotas",
+    "stratified_sample",
     "bpe_token_counts",
     "extraction_blocks",
 ]

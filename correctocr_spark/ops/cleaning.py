@@ -1406,3 +1406,100 @@ def outlink_profile(
         F.expr("(n_external * 10000) div greatest(n_links, 1)").cast("long").alias("external_bp"),
         F.expr("(n_nofollow * 10000) div greatest(n_links, 1)").cast("long").alias("nofollow_bp"),
     )
+
+
+def stratified_quotas(
+    docs: DataFrame,
+    group_col: str,
+    total: int,
+) -> DataFrame:
+    """Exact integer per-stratum sample quotas by the largest-remainder
+    (Hamilton) method: quotas sum to EXACTLY ``total`` and track each
+    stratum's population share as closely as integers allow — the
+    allocation layer under "sample 10M docs, proportional by domain".
+
+    ``quota_g = floor(total·n_g / N)`` plus +1 for the strata with the
+    largest remainders (ties broken by group value ascending, so the
+    allocation is deterministic). All arithmetic is integer; both
+    windows run over the per-group table (strata-cardinality sized,
+    tiny), never the corpus. Output: (group, n_docs, quota).
+    """
+    if total < 0:
+        raise ValueError(f"stratified_quotas needs total >= 0, got {total}")
+    counts = (
+        ensure_parallelism(docs)
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w_all = Window.partitionBy()
+    base = counts.select(
+        "grp",
+        "n_docs",
+        F.sum("n_docs").over(w_all).alias("_N"),
+    ).select(
+        "grp",
+        "n_docs",
+        F.expr(f"CAST(({total} * n_docs) div _N AS BIGINT)").alias("_base"),
+        F.expr(f"({total} * n_docs) % _N").alias("_rem"),
+    )
+    w_rem = Window.orderBy(F.col("_rem").desc(), F.col("grp").asc())
+    leftover = F.lit(total) - F.sum("_base").over(w_all.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    ))
+    return (
+        base.withColumn("_rank", F.row_number().over(w_rem))
+        .withColumn("_leftover", leftover)
+        .select(
+            "grp",
+            "n_docs",
+            (
+                F.col("_base")
+                + F.when(F.col("_rank") <= F.col("_leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    group_col: str,
+    total: int,
+    id_col: str = "doc_id",
+    seed: str = "strat1",
+) -> DataFrame:
+    """Deterministic stratified sample honoring :func:`stratified_quotas`
+    EXACTLY: within each stratum, rows are ranked by a salted md5 hash
+    of their id (re-run-stable, no RNG state) and the first ``quota``
+    survive. Returns the surviving rows' (group, id, hash-rank).
+
+    Two shuffles total: the tiny quota aggregation, and one per-group
+    window. The window is pre-filtered by the LITERAL bound
+    ``row_number() <= total`` (every quota ≤ total by construction),
+    which Spark rewrites to a WindowGroupLimit partial top-k — so at
+    100 TB the shuffle carries at most ``total`` rows per group per
+    input partition, never a giant stratum's full mass; the exact
+    per-group ``quota`` cut is then a broadcast-join filter.
+    """
+    q = stratified_quotas(docs, group_col, total)
+    h = F.md5(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    ranked = (
+        ensure_parallelism(docs)
+        .select(group_col, id_col, h.alias("_h"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(int(total)))
+    )
+    return (
+        ranked.join(F.broadcast(q.select(group_col, "quota")), on=group_col)
+        .where(F.col("_rn") <= F.col("quota"))
+        .select(
+            group_col,
+            id_col,
+            F.col("_rn").cast("long").alias("sample_rank"),
+        )
+    )

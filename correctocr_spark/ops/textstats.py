@@ -1977,3 +1977,168 @@ def char_entropy(
             "CAST(0 AS BIGINT), (a, x) -> a + x)"
         ).alias("entropy_micro"),
     )
+
+
+def ranking_auc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    group_cols=None,
+) -> DataFrame:
+    """ROC-AUC of a quality/classifier score against binary labels, in
+    exact integer basis points — the calibration check every filter
+    threshold decision rests on.
+
+    Mann-Whitney identity, computed WITHOUT a global per-row rank: the
+    rows collapse to per-distinct-score (pos, neg) counts first — one
+    map-side-combinable aggregation — and the window then runs over the
+    distinct-score table only (bounded by score granularity, e.g. ≤
+    10^4 rows for basis-point scores, not by corpus size). Numerator is
+    kept doubled so ties contribute exactly ½ without floats:
+
+        numer2 = Σ_s pos_s · (2·neg_below(s) + neg_s)
+        auc_bp = numer2 · 5000 // (n_pos · n_neg)
+
+    Output: (groups…,) n_pos, n_neg, auc_bp.
+    """
+    from pyspark.sql import Window
+
+    gs = (
+        []
+        if group_cols is None
+        else ([group_cols] if isinstance(group_cols, str) else list(group_cols))
+    )
+    lbl = F.col(label_col).cast("long")
+    per_score = (
+        ensure_parallelism(scored)
+        .groupBy(*gs, F.col(score_col).alias("_s"))
+        .agg(
+            F.sum(lbl).alias("_pos"),
+            F.sum(1 - lbl).alias("_neg"),
+        )
+    )
+    w = (
+        Window.partitionBy(*[F.col(g) for g in gs])
+        .orderBy(F.col("_s").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = per_score.select(
+        *gs,
+        "_pos",
+        "_neg",
+        (
+            F.col("_pos")
+            * (2 * F.coalesce(F.sum("_neg").over(w), F.lit(0)) + F.col("_neg"))
+        ).alias("_numer2"),
+    )
+    out = contrib.groupBy(*gs).agg(
+        F.sum("_pos").cast("long").alias("n_pos"),
+        F.sum("_neg").cast("long").alias("n_neg"),
+        F.sum("_numer2").alias("_n2"),
+    )
+    return out.select(
+        *gs,
+        "n_pos",
+        "n_neg",
+        F.expr("CAST((_n2 * 5000) div (n_pos * n_neg) AS BIGINT)").alias("auc_bp"),
+    )
+
+
+def agreement_kappa(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    group_cols=None,
+) -> DataFrame:
+    """Cohen's kappa between two categorical labelers, exact integer
+    basis points — chance-corrected agreement for label-QA (e.g. the
+    declared-lang attribute vs the n-gram detector, or two classifier
+    versions over the same snapshot).
+
+        kappa = (p_o - p_e) / (1 - p_e)
+              = (N·agree - Σ_k na_k·nb_k) / (N² - Σ_k na_k·nb_k)
+
+    — the closed integer form, so ``kappa_bp`` is exact; no float
+    probabilities. Marginal products come from one join of the two
+    per-label marginal tables (label-cardinality sized, tiny), the
+    agree count from one conditional agg over the pair table; both
+    map-side combinable. Output: (groups…,) n, agree, kappa_bp.
+    """
+    gs = (
+        []
+        if group_cols is None
+        else ([group_cols] if isinstance(group_cols, str) else list(group_cols))
+    )
+    d = ensure_parallelism(pairs).select(
+        *gs, F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    )
+    base = d.groupBy(*gs).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    ma = d.groupBy(*gs, F.col("_a").alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_na")
+    )
+    mb = d.groupBy(*gs, F.col("_b").alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_nb")
+    )
+    prod = (
+        ma.join(mb, on=gs + ["_k"], how="inner")
+        .groupBy(*gs)
+        .agg(F.sum(F.col("_na") * F.col("_nb")).alias("_sum_prod"))
+    )
+    if gs:
+        out = base.join(prod, on=gs, how="left").na.fill({"_sum_prod": 0})
+    else:
+        out = base.crossJoin(prod)  # both sides are single-row aggregates
+    kappa = F.expr(
+        "CASE WHEN n * n = _sum_prod THEN 10000 "
+        "ELSE CAST(((n * agree - _sum_prod) * 10000) div (n * n - _sum_prod) "
+        "AS BIGINT) END"
+    )
+    return out.select(*gs, "n", "agree", kappa.alias("kappa_bp"))
+
+
+def edit_distance_eval(
+    pairs: DataFrame,
+    gold_col: str = "gold",
+    pred_col: str = "pred",
+    id_col: str = "doc_id",
+    max_chars: int = 400,
+) -> DataFrame:
+    """Character-level extraction-quality eval: Levenshtein distance of
+    predicted vs gold text per document, plus a normalized error rate
+    in basis points (CER-style: distance over the longer side).
+
+    The complement of :func:`extraction_token_prf` — token P/R/F1 says
+    WHICH words survived, edit distance prices every character of
+    divergence including ordering and boilerplate residue. Both sides
+    are clamped to ``max_chars`` codepoints and non-printable-ASCII is
+    stripped first (``[^ -~]`` — the same class both engines support),
+    bounding the O(len²) DP per row and pinning cross-engine char
+    semantics. JVM-native ``levenshtein`` — no Python in the loop.
+    """
+    g = F.substring(
+        F.regexp_replace(F.col(gold_col), r"[^ -~]", ""), 1, int(max_chars)
+    )
+    p = F.substring(
+        F.regexp_replace(F.col(pred_col), r"[^ -~]", ""), 1, int(max_chars)
+    )
+    base = ensure_parallelism(pairs).select(
+        F.col(id_col).alias("doc_id"),
+        F.length(g).cast("long").alias("gold_chars"),
+        F.length(p).cast("long").alias("pred_chars"),
+        F.levenshtein(g, p).cast("long").alias("edit_distance"),
+    )
+    return base.select(
+        "doc_id",
+        "gold_chars",
+        "pred_chars",
+        "edit_distance",
+        F.expr(
+            "CAST((edit_distance * 10000) div "
+            "greatest(gold_chars, pred_chars, 1) AS BIGINT)"
+        ).alias("cer_bp"),
+    )

@@ -1542,3 +1542,87 @@ def path_templates(
         )
         .where(F.col("n_pages") >= int(min_pages))
     )
+
+
+def positional_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional postings ``(term, doc_id, pos)`` — the index layer
+    phrase and proximity queries run on.
+
+    Analyzer: lowercase, split on non-word runs (``\\W+``), positions
+    assigned on the RAW split array (so they are comparable with the
+    DuckDB ``generate_subscripts`` twin) and empty tokens dropped
+    AFTER position assignment. Pure column algebra: one ``posexplode``
+    at scan speed, no shuffle — the storage layout (sort/bucket by
+    term) is the writer's choice downstream.
+    """
+    words = F.split(F.lower(F.col(text_col)), r"\W+")
+    return (
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), words.alias("_ws"))
+        .select("doc_id", F.posexplode("_ws").alias("pos", "term"))
+        .where(F.col("term") != "")
+        .select("term", "doc_id", F.col("pos").cast("long").alias("pos"))
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase occurrence counts per document over positional
+    postings: ``(doc_id, n_hits)`` for every doc containing the phrase
+    at least once, consecutive-token semantics.
+
+    Shape (the standard positional-index intersection, distributed):
+    filter the postings to the phrase's terms — an ``isin`` predicate
+    that reaches the scan, so at 100 TB only the phrase terms' postings
+    leave storage — then anchor each term at its phrase offset
+    (``base = pos - i``) and count per ``(doc, base)`` anchor: a base
+    position where ALL n terms land is one phrase hit. One shuffle on
+    ``(doc_id, base)``, map-side combinable; no self-join chain, so the
+    plan is the same two stages for a 2-word and a 12-word phrase.
+
+    Repeated terms in the phrase are handled by counting DISTINCT
+    phrase offsets matched per anchor (a term at one position may
+    satisfy several offsets of itself).
+    """
+    terms = [t for t in _re_split_words(phrase)]
+    if not terms:
+        raise ValueError("phrase_search needs a non-empty phrase")
+    n = len(terms)
+    post = positional_postings(docs, id_col=id_col, text_col=text_col)
+    # (term -> its offsets in the phrase); explode a literal map. The
+    # phrase is tiny, so this is a broadcast-shaped literal array join.
+    offsets = [(t, i) for i, t in enumerate(terms)]
+    pairs = F.array(
+        *[F.struct(F.lit(t).alias("t"), F.lit(i).alias("i")) for t, i in offsets]
+    )
+    hits = (
+        post.where(F.col("term").isin(list({t for t, _ in offsets})))
+        .select("doc_id", "pos", "term", F.explode(pairs).alias("_o"))
+        .where(F.col("_o.t") == F.col("term"))
+        .select(
+            "doc_id",
+            (F.col("pos") - F.col("_o.i")).alias("base"),
+            F.col("_o.i").alias("off"),
+        )
+        .where(F.col("base") >= 0)
+        .groupBy("doc_id", "base")
+        .agg(F.countDistinct("off").alias("_n_off"))
+        .where(F.col("_n_off") == n)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return hits
+
+
+def _re_split_words(phrase: str):
+    import re
+
+    return [w for w in re.split(r"\W+", phrase.lower()) if w]

@@ -398,6 +398,34 @@ def test_oracled_queries_precede_rows_only():
         # bibliographic coupling — literally cocitation (tier-2 green)
         # on a reversed projection; no new join machinery
         "bibliographic_coupling",
+        # KMV distinct sketch — md5-32 hash keying of tier-1
+        # train_shuffle/fingerprint plus topk_per_group's verified
+        # row_number window (WindowGroupLimit) over distinct hashes
+        "kmv_distinct",
+        # HLL register table — the same md5-32 keying, registers via
+        # exact integer length(bin(x)) algebra + one groupBy max
+        # (word_freq's combinable-agg shape)
+        "hll_registers",
+        # positional-phrase search — posexplode postings (tier-1
+        # token_window/word_freq Generate family) + one (doc, base)
+        # count agg; repeated-term offsets pinned in pytest
+        "phrase_search",
+        # Mann-Whitney AUC — stats_conditional_agg's conditional-count
+        # core + sessionize's ordered-window family over the
+        # dimension-sized distinct-score table, exact integers
+        "ranking_auc",
+        # Cohen's kappa — closed integer form over lang_agreement's
+        # verified pair grammar; marginal join is dimension-sized
+        "agreement_kappa",
+        # Levenshtein CER eval — row-local JVM levenshtein (typosquat's
+        # verified primitive) over clamped printable-ASCII, no shuffle
+        "edit_distance_eval",
+        # Hamilton quota allocation — strata-table integer windows,
+        # the domain_reweight/epoch_plan dimension-algebra family
+        "stratified_quotas",
+        # quota-exact stratified sample — host_quota's salted-md5
+        # window core + a broadcast quota join; quotas tier-2 green
+        "stratified_sample",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

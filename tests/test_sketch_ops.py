@@ -1,0 +1,302 @@
+"""Unit tests for the round-5 batch-2 operators: cardinality sketches
+(KMV / HLL), positional phrase search, ranking AUC, Cohen's kappa,
+Levenshtein CER eval, and Hamilton stratified sampling.
+
+The cross-engine value checks live in test_entry_contract.py (each op
+has an oracled queries() entry); these tests pin the semantic claims
+the oracles can't see: mergeability, estimate tolerance, known-value
+closed forms, repeated-term phrase anchors, and quota exactness.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from correctocr_spark.ops.sketch import (
+    hll_estimate,
+    hll_registers,
+    kmv_merge,
+    kmv_retained,
+    kmv_sketch,
+)
+
+
+def _ids(spark, n, label_mod=2):
+    return spark.range(n).select(
+        F.col("id").alias("key"),
+        (F.col("id") % label_mod).cast("string").alias("grp"),
+    )
+
+
+class TestKmv:
+    def test_exact_below_k(self, spark):
+        """Fewer than k distinct keys: the sketch IS the distinct set
+        and the estimate is exact."""
+        df = _ids(spark, 10, label_mod=1)
+        row = kmv_sketch(df, "key", "grp", k=64).collect()[0]
+        assert row["n_min"] == 10
+        assert row["est_distinct"] == 10
+
+    def test_duplicates_do_not_eat_slots(self, spark):
+        """KMV is defined over DISTINCT hashes: replicating every key
+        3x must not change the sketch."""
+        df = _ids(spark, 200, label_mod=1)
+        tripled = df.unionByName(df).unionByName(df)
+        a = kmv_sketch(df, "key", "grp", k=16).collect()[0]
+        b = kmv_sketch(tripled, "key", "grp", k=16).collect()[0]
+        assert (a["n_min"], a["kth_min"], a["est_distinct"]) == (
+            b["n_min"],
+            b["kth_min"],
+            b["est_distinct"],
+        )
+
+    def test_merge_equals_union(self, spark):
+        """Merging the parts' retained minima == sketching the union —
+        the property that makes the sketch usable across snapshots."""
+        df = _ids(spark, 500, label_mod=3)
+        h1 = kmv_retained(df.where(F.col("key") % 2 == 0), "key", "grp", k=16)
+        h2 = kmv_retained(df.where(F.col("key") % 2 == 1), "key", "grp", k=16)
+        merged = (
+            kmv_merge(h1.unionByName(h2), "grp", 16).orderBy("grp").collect()
+        )
+        full = kmv_sketch(df, "key", "grp", k=16).orderBy("grp").collect()
+        assert [tuple(r) for r in merged] == [tuple(r) for r in full]
+
+    def test_estimate_tolerance(self, spark):
+        """k=256 over 5000 distinct keys: KMV std error ~ 1/sqrt(k-1)
+        ≈ 6.3%; assert within 4 sigma."""
+        df = _ids(spark, 5000, label_mod=1)
+        est = kmv_sketch(df, "key", "grp", k=256).collect()[0]["est_distinct"]
+        assert abs(est - 5000) / 5000 < 0.25
+
+    def test_k_validation(self, spark):
+        with pytest.raises(ValueError):
+            kmv_sketch(_ids(spark, 5), "key", "grp", k=1)
+
+
+class TestHll:
+    def test_merge_is_groupby_max(self, spark):
+        """Registers of a union == element-wise max of the parts'
+        registers."""
+        df = _ids(spark, 1000, label_mod=2)
+        full = hll_registers(df, "key", "grp", b=6)
+        parts = hll_registers(
+            df.where(F.col("key") < 500), "key", "grp", b=6
+        ).unionByName(hll_registers(df.where(F.col("key") >= 500), "key", "grp", b=6))
+        merged = parts.groupBy("grp", "bucket").agg(
+            F.max("register").alias("register")
+        )
+        a = sorted(tuple(r) for r in full.collect())
+        b = sorted(tuple(r) for r in merged.collect())
+        assert a == b
+
+    def test_estimate_tolerance(self, spark):
+        """b=10 (m=1024) over 20000 distinct keys: HLL std error
+        ~ 1.04/sqrt(m) ≈ 3.3%; assert within ~5 sigma."""
+        df = _ids(spark, 20000, label_mod=1)
+        regs = hll_registers(df, "key", "grp", b=10)
+        est = hll_estimate(regs, "grp", b=10).collect()[0]["est_distinct"]
+        assert abs(est - 20000) / 20000 < 0.17
+
+    def test_small_range_linear_counting(self, spark):
+        """Tiny cardinality (10 keys, m=64): the zero-register linear
+        counting path must engage and land near-exact."""
+        df = _ids(spark, 10, label_mod=1)
+        regs = hll_registers(df, "key", "grp", b=6)
+        est = hll_estimate(regs, "grp", b=6).collect()[0]["est_distinct"]
+        assert abs(est - 10) <= 2
+
+    def test_b_validation(self, spark):
+        with pytest.raises(ValueError):
+            hll_registers(_ids(spark, 5), "key", "grp", b=2)
+
+
+class TestPhraseSearch:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_basic_and_counts(self, spark):
+        from correctocr_spark.ops.webindex import phrase_search
+
+        docs = self._docs(
+            spark,
+            [
+                (1, "the quick brown fox"),
+                (2, "quick brown, then quick brown again"),
+                (3, "brown quick"),  # reversed — no hit
+                (4, "quick and brown"),  # gap — no hit
+            ],
+        )
+        got = {
+            r["doc_id"]: r["n_hits"]
+            for r in phrase_search(docs, "quick brown").collect()
+        }
+        assert got == {1: 1, 2: 2}
+
+    def test_repeated_term_needs_distinct_offsets(self, spark):
+        """'buffalo buffalo' must need two CONSECUTIVE copies: a doc
+        with a single 'buffalo' satisfies both phrase offsets at
+        different anchors but neither anchor fully."""
+        from correctocr_spark.ops.webindex import phrase_search
+
+        docs = self._docs(
+            spark,
+            [
+                (1, "buffalo"),  # no hit
+                (2, "buffalo buffalo"),  # one hit
+                (3, "buffalo buffalo buffalo"),  # two hits (overlapping)
+                (4, "buffalo x buffalo"),  # no hit
+            ],
+        )
+        got = {
+            r["doc_id"]: r["n_hits"]
+            for r in phrase_search(docs, "buffalo buffalo").collect()
+        }
+        assert got == {2: 1, 3: 2}
+
+    def test_analyzer_case_and_punct(self, spark):
+        from correctocr_spark.ops.webindex import phrase_search
+
+        docs = self._docs(spark, [(1, "Quick-BROWN! fox")])
+        got = phrase_search(docs, "quick brown").collect()
+        assert [(r["doc_id"], r["n_hits"]) for r in got] == [(1, 1)]
+
+    def test_empty_phrase_raises(self, spark):
+        from correctocr_spark.ops.webindex import phrase_search
+
+        with pytest.raises(ValueError):
+            phrase_search(self._docs(spark, [(1, "x")]), "...")
+
+
+class TestRankingAuc:
+    def test_perfect_separation(self, spark):
+        from correctocr_spark.ops.textstats import ranking_auc
+
+        df = spark.createDataFrame(
+            [(1, 1), (2, 1), (0, 0), (-1, 0)], "score int, label int"
+        )
+        row = ranking_auc(df, "score", "label").collect()[0]
+        assert (row["n_pos"], row["n_neg"], row["auc_bp"]) == (2, 2, 10000)
+
+    def test_all_ties_is_half(self, spark):
+        from correctocr_spark.ops.textstats import ranking_auc
+
+        df = spark.createDataFrame(
+            [(5, 1), (5, 1), (5, 0), (5, 0)], "score int, label int"
+        )
+        assert ranking_auc(df, "score", "label").collect()[0]["auc_bp"] == 5000
+
+    def test_known_mixed_value(self, spark):
+        """scores pos=[3,1], neg=[2,1]: pairs (3>2),(3>1),(1<2),(1=1)
+        → AUC = (2 + 0.5)/4 = 0.625."""
+        from correctocr_spark.ops.textstats import ranking_auc
+
+        df = spark.createDataFrame(
+            [(3, 1), (1, 1), (2, 0), (1, 0)], "score int, label int"
+        )
+        assert ranking_auc(df, "score", "label").collect()[0]["auc_bp"] == 6250
+
+
+class TestAgreementKappa:
+    def test_perfect_agreement(self, spark):
+        from correctocr_spark.ops.textstats import agreement_kappa
+
+        df = spark.createDataFrame(
+            [("a", "a"), ("b", "b"), ("c", "c")], "x string, y string"
+        )
+        assert agreement_kappa(df, "x", "y").collect()[0]["kappa_bp"] == 10000
+
+    def test_known_value(self, spark):
+        """Classic 2x2: N=100, agree=70, marginals a=(60,40), b=(50,50)
+        → pe=0.5, kappa=(0.7-0.5)/0.5=0.4 → 4000 bp."""
+        from correctocr_spark.ops.textstats import agreement_kappa
+
+        rows = (
+            [("p", "p")] * 40
+            + [("p", "n")] * 20
+            + [("n", "p")] * 10
+            + [("n", "n")] * 30
+        )
+        df = spark.createDataFrame(rows, "x string, y string")
+        row = agreement_kappa(df, "x", "y").collect()[0]
+        assert (row["n"], row["agree"], row["kappa_bp"]) == (100, 70, 4000)
+
+    def test_degenerate_single_label(self, spark):
+        """Both raters emit one identical label: pe == 1, defined as
+        kappa=10000 (full agreement, zero information)."""
+        from correctocr_spark.ops.textstats import agreement_kappa
+
+        df = spark.createDataFrame([("a", "a")] * 5, "x string, y string")
+        assert agreement_kappa(df, "x", "y").collect()[0]["kappa_bp"] == 10000
+
+
+class TestEditDistanceEval:
+    def test_known_distances(self, spark):
+        from correctocr_spark.ops.textstats import edit_distance_eval
+
+        df = spark.createDataFrame(
+            [
+                (1, "kitten", "sitting"),
+                (2, "same", "same"),
+                (3, "", "abc"),
+            ],
+            "doc_id long, gold string, pred string",
+        )
+        got = {r["doc_id"]: r for r in edit_distance_eval(df).collect()}
+        assert got[1]["edit_distance"] == 3
+        assert got[1]["cer_bp"] == 3 * 10000 // 7
+        assert got[2]["edit_distance"] == 0 and got[2]["cer_bp"] == 0
+        assert got[3]["edit_distance"] == 3 and got[3]["cer_bp"] == 10000
+
+    def test_clamp_and_ascii_strip(self, spark):
+        from correctocr_spark.ops.textstats import edit_distance_eval
+
+        df = spark.createDataFrame(
+            [(1, "a" * 1000, "a" * 1000 + "bbb"), (2, "café", "caf")],
+            "doc_id long, gold string, pred string",
+        )
+        got = {r["doc_id"]: r for r in edit_distance_eval(df, max_chars=400).collect()}
+        # both sides clamp to 400 'a's → identical
+        assert got[1]["edit_distance"] == 0
+        assert got[1]["gold_chars"] == 400
+        # é stripped from gold → 'caf' vs 'caf'
+        assert got[2]["edit_distance"] == 0
+
+
+class TestStratified:
+    def test_quotas_sum_exactly(self, spark):
+        from correctocr_spark.ops.cleaning import stratified_quotas
+
+        df = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 7).cast("string").alias("grp"),
+        )
+        for total in (0, 1, 97, 999, 1000):
+            q = stratified_quotas(df, "grp", total)
+            assert q.agg(F.sum("quota")).collect()[0][0] == total
+
+    def test_quota_tracks_share(self, spark):
+        """A stratum with 90% of rows gets 90%±1 of the quota."""
+        from correctocr_spark.ops.cleaning import stratified_quotas
+
+        df = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 900, "big").otherwise("small").alias("grp"),
+        )
+        got = {r["grp"]: r["quota"] for r in stratified_quotas(df, "grp", 100).collect()}
+        assert got == {"big": 90, "small": 10}
+
+    def test_sample_honors_quotas_and_is_stable(self, spark):
+        from correctocr_spark.ops.cleaning import stratified_quotas, stratified_sample
+
+        df = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 5).cast("string").alias("grp"),
+        )
+        s = stratified_sample(df, "grp", 97)
+        per_grp = {r["grp"]: r["n"] for r in s.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+        quotas = {r["grp"]: r["quota"] for r in stratified_quotas(df, "grp", 97).collect()}
+        assert per_grp == {g: q for g, q in quotas.items() if q > 0}
+        # deterministic: same ids on re-run
+        a = sorted(r["doc_id"] for r in s.collect())
+        b = sorted(r["doc_id"] for r in stratified_sample(df, "grp", 97).collect())
+        assert a == b

@@ -3604,6 +3604,37 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(_t(spark, sf_dir, "documents"), "lang", 97)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis A-Res weighted sampling without replacement:
+    top-7 per language by the exponential sort key ln(u)/w (u from the
+    salted md5-32 idiom, w = n_chars), key micro-quantized ONCE — the
+    quality-weighted sampling primitive; WindowGroupLimit bounds the
+    shuffle at k per group per partition."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+        "n_chars",
+        7,
+        group_col="lang",
+    )
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Per-cluster embedding outliers: IVF argmin assignment, squared-L2
+    residual micro-quantized once, exact integer cluster moments
+    (mean/var/floor-sqrt std), |z| >= 1.5 flagged — the mislabeled-doc /
+    embedding-failure curation signal. One scan + one dimension-small
+    agg broadcast back."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import embedding_outliers
+
+    return embedding_outliers(
+        _t(spark, sf_dir, "embeddings"), _IVF_CENTROIDS, z_milli_threshold=1500
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -4092,6 +4123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_quotas": q_stratified_quotas,
         # quota-exact deterministic stratified sample
         "stratified_sample": q_stratified_sample,
+        # A-Res weighted sampling — micro-quantized ln(u)/w keys,
+        # WindowGroupLimit top-k
+        "weighted_sample": q_weighted_sample,
+        # per-cluster embedding z-outliers — exact integer moments over
+        # micro-quantized residuals
+        "embedding_outliers": q_embedding_outliers,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -5637,6 +5674,46 @@ def _sig_terms_sql(k: int = 5, alpha_milli: int = 10) -> str:
                   ORDER BY z_micro DESC, word) AS rank
               FROM scored)
         WHERE rank <= {int(k)}
+    """
+
+
+def _embedding_outliers_sql(z_milli_threshold: int = 1500) -> str:
+    """DuckDB twin of q_embedding_outliers: the _ivf_sql strict-< argmin
+    chain, squared residual = least(list_distance²) micro-rounded (the
+    same 6-decimal float-parity move as semdedup's centroid_cos), then
+    exact integer moments and truncating integer division (both engines
+    truncate toward zero, verified)."""
+
+    def lit(p):
+        return "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+
+    dists = [f"list_distance(v, {lit(c)})" for c in _IVF_CENTROIDS]
+    best_id, best_d = "0", dists[0]
+    for cid in range(1, len(dists)):
+        best_id = f"(case when {dists[cid]} < {best_d} then {cid} else {best_id} end)"
+        best_d = f"least({dists[cid]}, {best_d})"
+    d2 = "least(" + ", ".join(f"{d} * {d}" for d in dists) + ")"
+    # HUGEINT moments (sum of micro squares overflows BIGINT); '//' on
+    # non-negative numerators == the Spark twin's exact decimal division
+    z = (
+        "CAST(((d_micro - (_s // _n)) * 1000) // "
+        "greatest(CAST(floor(sqrt((_n * _s2 - _s * _s) "
+        "// (_n::HUGEINT * _n))) AS BIGINT), 1) AS BIGINT)"
+    )
+    return f"""
+        WITH inp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        a AS (
+          SELECT vec_id, ({best_id})::INTEGER AS centroid_id,
+                 CAST(round({d2} * 1000000.0) AS BIGINT) AS d_micro
+          FROM inp
+        ),
+        s AS (SELECT centroid_id, count(*)::BIGINT AS _n,
+                     sum(d_micro::HUGEINT) AS _s,
+                     sum(d_micro::HUGEINT * d_micro) AS _s2
+              FROM a GROUP BY 1),
+        j AS (SELECT a.*, s._n, s._s, s._s2 FROM a JOIN s USING (centroid_id))
+        SELECT vec_id, centroid_id, d_micro, {z} AS z_milli
+        FROM j WHERE abs({z}) >= {z_milli_threshold}
     """
 
 
@@ -8778,6 +8855,27 @@ FROM documents)
             SELECT rn.lang, doc_id, _rn::BIGINT AS sample_rank
             FROM rn JOIN q USING (lang) WHERE _rn <= quota
         """,
+        "weighted_sample": """
+            WITH d AS (
+              SELECT lang, doc_id AS _id, n_chars AS weight,
+                CAST(round(ln((('0x' || substr(md5('ws1|'
+                         || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                       / 4294967296.0)
+                     / CAST(n_chars AS DOUBLE) * 1000000.0) AS BIGINT)
+                    AS key_micro
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY lang
+                            ORDER BY key_micro DESC, _id ASC) AS rn
+              FROM d
+            )
+            SELECT lang, _id AS doc_id, weight, key_micro,
+                   rn::BIGINT AS sample_rank
+            FROM r WHERE rn <= 7
+        """,
+        "embedding_outliers": _embedding_outliers_sql(1500),
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.
     }

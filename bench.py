@@ -204,6 +204,8 @@ HEADLINE = [
     "edit_distance_eval",
     "stratified_quotas",
     "stratified_sample",
+    "weighted_sample",
+    "embedding_outliers",
     "bpe_token_counts",
     "extraction_blocks",
 ]

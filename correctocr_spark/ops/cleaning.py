@@ -1503,3 +1503,81 @@ def stratified_sample(
             F.col("_rn").cast("long").alias("sample_rank"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    group_col: Optional[str] = None,
+    id_col: str = "doc_id",
+    seed: str = "ws1",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res): each row draws a deterministic uniform u from a salted md5
+    hash and is ranked by the exponential sort key ``ln(u) / w`` — the
+    top-k ranked rows are a without-replacement sample where inclusion
+    tracks weight mass. The quality-weighted "sample 10M docs, prefer
+    high-quality" primitive.
+
+    Determinism contract: u = (h32 + 1) / 2^32 from the shared md5-32
+    idiom, and the sort key is quantized ONCE to integer micro units
+    (round(ln(u)/w · 1e6)) — the module's standard cross-engine-safe
+    ln treatment — with id ascending as the total tie-break. Rows with
+    weight <= 0 or NULL are excluded (zero mass is never sampled).
+
+    Shape: grouped top-k via ``row_number() <= k`` (WindowGroupLimit —
+    map-side partial top-k); ungrouped via ``orderBy().limit(k)``
+    (TakeOrderedAndProject). No RNG state, re-run-stable.
+
+    Output: (group?,) id, weight, key_micro, sample_rank.
+    """
+    if k < 1:
+        raise ValueError(f"weighted_sample needs k >= 1, got {k}")
+    gs = [group_col] if group_col else []
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1).cast("double") / F.lit(float(1 << 32))
+    w = F.col(weight_col).cast("double")
+    key_micro = F.round(F.log(u) / w * 1e6).cast("long")
+    ranked = (
+        ensure_parallelism(docs)
+        .where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            *gs,
+            F.col(id_col).alias("_id"),
+            F.col(weight_col).alias("weight"),
+            key_micro.alias("key_micro"),
+        )
+    )
+    if gs:
+        win = Window.partitionBy(*gs).orderBy(
+            F.col("key_micro").desc(), F.col("_id").asc()
+        )
+        kept = (
+            ranked.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") <= k)
+        )
+    else:
+        kept = (
+            ranked.orderBy(F.col("key_micro").desc(), F.col("_id").asc())
+            .limit(k)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.orderBy(F.col("key_micro").desc(), F.col("_id").asc())
+                ),
+            )
+        )
+    return kept.select(
+        *gs,
+        F.col("_id").alias(id_col),
+        "weight",
+        "key_micro",
+        F.col("_rn").cast("long").alias("sample_rank"),
+    )

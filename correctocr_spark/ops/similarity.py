@@ -767,3 +767,81 @@ def margin_mine(
         F.col("margin_micro") >= F.lit(int(min_margin_milli) * 1000)
     ).select("src_id", "tgt_id", "cos_micro", "margin_micro")
     return register_intermediates(out, pairs)
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    centroids: List[List[float]],
+    z_milli_threshold: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster embedding outlier detection: assign each vector to
+    its nearest centroid (the IVF argmin), quantize the squared-L2
+    residual ONCE to integer micro units, and flag members whose
+    z-score against their own cluster's residual distribution exceeds
+    the threshold — the "weird vectors in an otherwise tight cluster"
+    curation signal (mislabeled docs, embedding-model failures,
+    adversarial content).
+
+    All moments are exact integers over the micro-quantized residuals:
+    ``mean = floor(Σd / n)``, ``var = floor((n·Σd² − (Σd)²) / n²)``,
+    ``std = floor(sqrt(var))``, ``z_milli = (d − mean)·1000 div
+    max(std, 1)``. The second moment is summed in DECIMAL(38,0) —
+    Spark's int64 sum would overflow (and its decimal ``div`` silently
+    WRAPS to long, so the divisions use ``floor(a / b)``, equal to
+    truncation because every numerator here is non-negative; the z
+    division stays bigint ``div``, both engines truncating toward
+    zero, verified). The DuckDB twin's HUGEINT ``//`` matches by the
+    same non-negativity. sqrt enters through a double cast — exact
+    below 2^53 (any normalized-embedding cluster); above it both
+    engines round-to-nearest the same way. One scan computes
+    assignments + residuals; one dimension-small agg per centroid
+    broadcasts back. No per-row Python, no float crosses a row
+    boundary.
+
+    Output: (vec_id, centroid_id, d_micro, z_milli), outliers only.
+    """
+    vec_d = F.col(vec_col).cast("array<double>")
+    cid = nearest_centroid_col(vec_d, centroids)
+    # residual = squared L2 to the ASSIGNED centroid — recompute via
+    # min over the same literal distances (strict-< argmin twin)
+    dists = [
+        F.aggregate(
+            F.zip_with(vec_d, _lit_vec(c), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    d2 = F.least(*dists) if len(dists) > 1 else dists[0]
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        cid.alias("centroid_id"),
+        F.round(d2 * 1e6).cast("long").alias("d_micro"),
+    )
+    dec = F.col("d_micro").cast("decimal(38,0)")
+    stats = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(dec).alias("_s"),
+        F.sum(dec * dec).alias("_s2"),
+    )
+    joined = assigned.join(F.broadcast(stats), on="centroid_id")
+    # Exact integer division on decimals: (a - a % b) / b — Spark's
+    # plain decimal '/' rounds at a fixed scale and its 'div' wraps to
+    # long, but an exactly-divisible quotient is representable, so this
+    # is exact; equals DuckDB's HUGEINT '//' for the non-negative
+    # numerators here.
+    mean = "CAST((_s - _s % _n) / _n AS BIGINT)"
+    var_num = "(_n * _s2 - _s * _s)"
+    var_den = "(CAST(_n AS DECIMAL(38,0)) * _n)"
+    var = f"(({var_num} - {var_num} % {var_den}) / {var_den})"
+    z = F.expr(
+        f"CAST(((d_micro - {mean}) * 1000) div "
+        f"greatest(CAST(floor(sqrt(CAST({var} AS DOUBLE))) "
+        "AS BIGINT), 1) AS BIGINT)"
+    )
+    return (
+        joined.select("vec_id", "centroid_id", "d_micro", z.alias("z_milli"))
+        .where(F.abs(F.col("z_milli")) >= int(z_milli_threshold))
+    )

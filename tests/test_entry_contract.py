@@ -426,6 +426,12 @@ def test_oracled_queries_precede_rows_only():
         # quota-exact stratified sample — host_quota's salted-md5
         # window core + a broadcast quota join; quotas tier-2 green
         "stratified_sample",
+        # A-Res weighted sampling — host_quota's salted-md5 window with
+        # the unigram_lm micro-quantized ln discipline as the sort key
+        "weighted_sample",
+        # embedding z-outliers — ivf_assign's verified argmin + the
+        # kmeans_step micro-quantization; moments are exact integers
+        "embedding_outliers",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -300,3 +300,85 @@ class TestStratified:
         a = sorted(r["doc_id"] for r in s.collect())
         b = sorted(r["doc_id"] for r in stratified_sample(df, "grp", 97).collect())
         assert a == b
+
+
+class TestWeightedSample:
+    def test_heavy_weight_dominates(self, spark):
+        """One item carries ~99.9% of the mass: it must appear in the
+        k=1 sample (P(miss) ~ 1e-3 per uniform draw; the fixture is
+        deterministic so this is a fixed, checked-in outcome)."""
+        from correctocr_spark.ops.cleaning import weighted_sample
+
+        rows = [(i, 1.0) for i in range(100)] + [(999, 100000.0)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = weighted_sample(df, "w", 1).collect()
+        assert [r["doc_id"] for r in got] == [999]
+
+    def test_rerun_stable_and_excludes_nonpositive(self, spark):
+        from correctocr_spark.ops.cleaning import weighted_sample
+
+        rows = [(i, float(i % 5)) for i in range(50)]  # w=0 for i%5==0
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        a = sorted(r["doc_id"] for r in weighted_sample(df, "w", 10).collect())
+        b = sorted(r["doc_id"] for r in weighted_sample(df, "w", 10).collect())
+        assert a == b and len(a) == 10
+        assert all(i % 5 != 0 for i in a)
+
+    def test_grouped_k_per_group(self, spark):
+        from pyspark.sql import functions as F
+        from correctocr_spark.ops.cleaning import weighted_sample
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("string").alias("g"),
+            (F.col("id") + 1).cast("double").alias("w"),
+        )
+        s = weighted_sample(df, "w", 5, group_col="g")
+        per = {r["g"]: r["n"] for r in s.groupBy("g").agg(F.count("*").alias("n")).collect()}
+        assert per == {"0": 5, "1": 5, "2": 5, "3": 5}
+        ranks = {r["sample_rank"] for r in s.collect()}
+        assert ranks == {1, 2, 3, 4, 5}
+
+    def test_k_validation(self, spark):
+        from correctocr_spark.ops.cleaning import weighted_sample
+
+        df = spark.createDataFrame([(1, 1.0)], "doc_id long, w double")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            weighted_sample(df, "w", 0)
+
+
+class TestEmbeddingOutliers:
+    def test_injected_outlier_flagged(self, spark):
+        """A tight cluster at the origin plus one far point: only the
+        far point's |z| crosses the threshold."""
+        from correctocr_spark.ops.similarity import embedding_outliers
+
+        rows = [(i, [0.001 * i, 0.0]) for i in range(30)]
+        rows.append((99, [5.0, 5.0]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = embedding_outliers(df, [[0.0, 0.0]], z_milli_threshold=2000)
+        got = [r["vec_id"] for r in out.collect()]
+        assert got == [99]
+
+    def test_uniform_cluster_no_outliers(self, spark):
+        from correctocr_spark.ops.similarity import embedding_outliers
+
+        rows = [(i, [float(i % 2), 0.0]) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = embedding_outliers(df, [[0.5, 0.0]], z_milli_threshold=2000)
+        assert out.count() == 0
+
+    def test_assignment_matches_ivf(self, spark):
+        """centroid_id must agree with ivf_assign's argmin on the same
+        centroids (strict-< tie semantics shared by construction)."""
+        from correctocr_spark.ops.similarity import embedding_outliers, ivf_assign
+
+        cents = [[0.0, 0.0], [10.0, 0.0]]
+        rows = [(i, [float(i), 0.0]) for i in range(12)] + [(50, [100.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = embedding_outliers(df, cents, z_milli_threshold=0)  # keep all
+        assign = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(df, cents).collect()}
+        for r in out.collect():
+            assert r["centroid_id"] == assign[r["vec_id"]]

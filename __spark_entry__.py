@@ -3635,6 +3635,43 @@ def q_embedding_outliers(spark, sf_dir):
     )
 
 
+def q_html_tables(spark, sf_dir):
+    """Structured <table> extraction over deterministic synthetic html:
+    a header row (with an &amp; entity that MUST decode), two data rows
+    carrying doc values, and on ids ≡ 0 mod 4 a second table — the
+    HTMLParser kernel runs in one mapInPandas; the oracle derives the
+    expected cells from the SAME base columns by construction (no SQL
+    HTML parsing needed)."""
+    _ship(spark)
+    from correctocr_spark.spark.warc import html_tables
+
+    did = F.col("doc_id")
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://t"), (did % 5).cast("string"),
+            F.lit(".com/p/"), did.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><body><p>noise</p><table><tr><th>k&amp;1</th>"
+                  "<th>v</th></tr><tr><td>id</td><td>"),
+            did.cast("string"),
+            F.lit("</td></tr><tr><td>lang</td><td>"),
+            F.col("lang"),
+            F.lit("</td></tr></table>"),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit("<table><tr><td>x "),
+                    (did % 9).cast("string"),
+                    F.lit("</td></tr></table>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).cast("binary").alias("html"),
+    )
+    return html_tables(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -4129,6 +4166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-cluster embedding z-outliers — exact integer moments over
         # micro-quantized residuals
         "embedding_outliers": q_embedding_outliers,
+        # structured <table> extraction — HTMLParser kernel in
+        # mapInPandas; oracle derives expected cells by construction
+        "html_tables": q_html_tables,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -8876,6 +8916,29 @@ FROM documents)
             FROM r WHERE rn <= 7
         """,
         "embedding_outliers": _embedding_outliers_sql(1500),
+        "html_tables": """
+            WITH u AS (
+              SELECT doc_id, lang,
+                     'http://t' || (doc_id % 5) || '.com/p/' || doc_id AS url
+              FROM documents
+            )
+            SELECT url, 0 AS table_idx, c.row_idx, c.col_idx, c.header,
+                   CASE c.slot
+                     WHEN 'id' THEN CAST(doc_id AS VARCHAR)
+                     WHEN 'lang' THEN lang
+                     ELSE c.cell END AS cell
+            FROM u CROSS JOIN (
+              VALUES (0, 0, TRUE,  'k&1',  'lit'),
+                     (0, 1, TRUE,  'v',    'lit'),
+                     (1, 0, FALSE, 'id',   'lit'),
+                     (1, 1, FALSE, '',     'id'),
+                     (2, 0, FALSE, 'lang', 'lit'),
+                     (2, 1, FALSE, '',     'lang')
+            ) c(row_idx, col_idx, header, cell, slot)
+            UNION ALL
+            SELECT url, 1, 0, 0, FALSE, 'x ' || (doc_id % 9)
+            FROM u WHERE doc_id % 4 = 0
+        """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.
     }

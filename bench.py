@@ -206,6 +206,7 @@ HEADLINE = [
     "stratified_sample",
     "weighted_sample",
     "embedding_outliers",
+    "html_tables",
     "bpe_token_counts",
     "extraction_blocks",
 ]

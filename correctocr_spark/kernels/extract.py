@@ -316,3 +316,105 @@ def justext_extract(html, encoding=None, **kwargs) -> str:
     blocks = classify_blocks(html, encoding=encoding, **kwargs)
     keep = _resolve_labels([lab for _, lab in blocks])
     return "\n".join(text for (text, _), k in zip(blocks, keep) if k)
+
+
+class _TableParser(HTMLParser):
+    """Streaming ``<table>`` structure collector: one record per cell,
+    nested tables tracked as their own tables (a pushed context — the
+    inner table's cells never leak into the outer row), text outside
+    cells ignored, ``<th>`` marked as header. Malformed input degrades
+    gracefully: unclosed cells/rows are flushed when their parent
+    closes or at EOF."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.records: List[dict] = []
+        self._next_table = 0
+        # stack of [table_idx, row_idx, col_idx, in_cell, header, chars]
+        self._stack: List[list] = []
+
+    # -- cell lifecycle -------------------------------------------------
+    def _flush_cell(self) -> None:
+        ctx = self._stack[-1]
+        if not ctx[3]:
+            return
+        text = " ".join("".join(ctx[5]).split())
+        self.records.append(
+            {
+                "table_idx": ctx[0],
+                "row_idx": ctx[1],
+                "col_idx": ctx[2],
+                "header": ctx[4],
+                "cell": text,
+            }
+        )
+        ctx[2] += 1
+        ctx[3] = False
+        ctx[5] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "table":
+            self._stack.append([self._next_table, -1, 0, False, False, []])
+            self._next_table += 1
+            return
+        if not self._stack:
+            return
+        ctx = self._stack[-1]
+        if tag == "tr":
+            self._flush_cell()
+            ctx[1] += 1
+            ctx[2] = 0
+        elif tag in ("td", "th"):
+            self._flush_cell()
+            if ctx[1] < 0:  # cell before any <tr>: implicit first row
+                ctx[1] = 0
+            ctx[3] = True
+            ctx[4] = tag == "th"
+            ctx[5] = []
+
+    def handle_endtag(self, tag):
+        if not self._stack:
+            return
+        if tag in ("td", "th", "tr"):
+            self._flush_cell()
+        elif tag == "table":
+            self._flush_cell()
+            self._stack.pop()
+
+    def handle_data(self, data):
+        if self._stack and self._stack[-1][3]:
+            self._stack[-1][5].append(data)
+
+    def close(self):
+        super().close()
+        while self._stack:
+            self._flush_cell()
+            self._stack.pop()
+
+
+def table_records(
+    html: Union[bytes, str, None],
+    encoding: Optional[str] = None,
+) -> List[dict]:
+    """Structured ``<table>`` extraction: one record per cell —
+    ``(table_idx, row_idx, col_idx, header, cell)`` with
+    whitespace-normalized text and entities decoded. The tabular
+    complement of :func:`extract_text`: density extraction keeps prose
+    and drops tables as boilerplate; a training-data pipeline instead
+    lifts them into rows (tables are where facts live). Nested tables
+    get their own ``table_idx``; text between cells is dropped; input
+    decoding mirrors :func:`block_records` (sniff + replace)."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        data = bytes(html)
+        html = data.decode(encoding or detect_encoding(data), errors="replace")
+    if not html:
+        return []
+    parser = _TableParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass
+    return parser.records

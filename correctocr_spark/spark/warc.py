@@ -529,3 +529,57 @@ def extraction_block_audit(
 
     src = pages.select(F.col(url_col).alias("url"), F.col(html_col).alias("html"))
     return src.mapInPandas(audit, schema=schema)
+
+
+def html_tables(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Structured ``<table>`` extraction over the pages table: one row
+    per cell — ``(url, table_idx, row_idx, col_idx, header, cell)`` —
+    via :func:`~..kernels.extract.table_records`. The tabular
+    complement of the flagship's density extractor (which treats
+    tables as boilerplate): a training-data pipeline lifts tables into
+    rows instead of discarding them.
+
+    Scale shape: same family as :func:`extraction_block_audit` — one
+    stateless ``mapInPandas`` over Arrow batches (HTML parsing is not
+    SQL-expressible), rows fan out per cell, no shuffle; nested tables
+    index separately, entities decode, whitespace normalizes.
+    """
+    from ..kernels.extract import table_records
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), True),
+            T.StructField("table_idx", T.IntegerType(), True),
+            T.StructField("row_idx", T.IntegerType(), True),
+            T.StructField("col_idx", T.IntegerType(), True),
+            T.StructField("header", T.BooleanType(), True),
+            T.StructField("cell", T.StringType(), True),
+        ]
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                for r in table_records(html):
+                    rows.append(
+                        (
+                            url,
+                            r["table_idx"],
+                            r["row_idx"],
+                            r["col_idx"],
+                            r["header"],
+                            r["cell"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[c.name for c in schema.fields]
+            )
+
+    return pages.select(
+        F.col(url_col).alias(url_col), F.col(html_col).alias(html_col)
+    ).mapInPandas(parse, schema=schema)

@@ -432,6 +432,9 @@ def test_oracled_queries_precede_rows_only():
         # embedding z-outliers — ivf_assign's verified argmin + the
         # kmeans_step micro-quantization; moments are exact integers
         "embedding_outliers",
+        # <table> extraction — extraction_blocks' HTMLParser mapInPandas
+        # family; the oracle derives expected cells by construction
+        "html_tables",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

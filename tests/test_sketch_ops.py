@@ -382,3 +382,67 @@ class TestEmbeddingOutliers:
         assign = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(df, cents).collect()}
         for r in out.collect():
             assert r["centroid_id"] == assign[r["vec_id"]]
+
+
+class TestHtmlTables:
+    def test_kernel_structure_nested_entities(self):
+        from correctocr_spark.kernels.extract import table_records
+
+        h = (
+            "<html><body><p>intro</p>"
+            "<table><tr><th>K</th><th>V &amp; W</th></tr>"
+            "<tr><td>id</td><td>42</td></tr>"
+            "<tr><td>outer<table><tr><td>inner</td></tr></table></td>"
+            "<td>after</td></tr></table>"
+            "<table><tr><td>t2</td></table>tail</body></html>"
+        )
+        recs = table_records(h)
+        by_key = {
+            (r["table_idx"], r["row_idx"], r["col_idx"]): (r["header"], r["cell"])
+            for r in recs
+        }
+        assert by_key[(0, 0, 0)] == (True, "K")
+        assert by_key[(0, 0, 1)] == (True, "V & W")  # entity decoded
+        assert by_key[(0, 1, 1)] == (False, "42")
+        # nested table is its OWN table; outer cell keeps only its text
+        assert by_key[(1, 0, 0)] == (False, "inner")
+        assert by_key[(0, 2, 0)] == (False, "outer")
+        assert by_key[(0, 2, 1)] == (False, "after")
+        assert by_key[(2, 0, 0)] == (False, "t2")
+        assert len(recs) == len(by_key)
+
+    def test_kernel_malformed_and_implied_rows(self):
+        from correctocr_spark.kernels.extract import table_records
+
+        # unclosed cells, cell before any <tr>, EOF inside a table
+        recs = table_records("<table><td>a<td>b<tr><td>c")
+        assert [(r["row_idx"], r["col_idx"], r["cell"]) for r in recs] == [
+            (0, 0, "a"),
+            (0, 1, "b"),
+            (1, 0, "c"),
+        ]
+
+    def test_kernel_none_bytes_and_no_tables(self):
+        from correctocr_spark.kernels.extract import table_records
+
+        assert table_records(None) == []
+        assert table_records("<p>no tables here</p>") == []
+        got = table_records(b"<table><tr><td>bytes</td></tr></table>")
+        assert [r["cell"] for r in got] == ["bytes"]
+
+    def test_spark_op_matches_kernel(self, spark):
+        from correctocr_spark.kernels.extract import table_records
+        from correctocr_spark.spark.warc import html_tables
+
+        h = "<table><tr><th>a</th></tr><tr><td>b1</td><td>b2</td></tr></table>"
+        pages = spark.createDataFrame(
+            [("u1", h.encode()), ("u2", None)], "url string, html binary"
+        )
+        got = sorted(
+            tuple(r) for r in html_tables(pages).collect()
+        )
+        want = sorted(
+            ("u1", r["table_idx"], r["row_idx"], r["col_idx"], r["header"], r["cell"])
+            for r in table_records(h)
+        )
+        assert got == want

@@ -1588,9 +1588,13 @@ def phrase_search(
     ``(doc_id, base)``, map-side combinable; no self-join chain, so the
     plan is the same two stages for a 2-word and a 12-word phrase.
 
-    Repeated terms in the phrase are handled by counting DISTINCT
-    phrase offsets matched per anchor (a term at one position may
-    satisfy several offsets of itself).
+    Repeated terms in the phrase are handled by counting the phrase
+    OFFSETS matched per anchor (a term at one position may satisfy
+    several offsets of itself, each landing at a different anchor).
+    ``(doc, base, off)`` is unique by construction — postings hold one
+    row per (doc, pos) and ``pos = base + off`` pins the source — so a
+    plain ``count`` equals ``countDistinct`` without the distinct
+    agg's extra expand/exchange stage (plan-pinned).
     """
     terms = [t for t in _re_split_words(phrase)]
     if not terms:
@@ -1614,7 +1618,7 @@ def phrase_search(
         )
         .where(F.col("base") >= 0)
         .groupBy("doc_id", "base")
-        .agg(F.countDistinct("off").alias("_n_off"))
+        .agg(F.count(F.lit(1)).alias("_n_off"))
         .where(F.col("_n_off") == n)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))

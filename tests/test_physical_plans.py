@@ -449,3 +449,54 @@ def test_dsir_lambda_broadcast_and_topk(spark):
     p2 = plan_of(entry_mod.q_dsir_topk(spark, SF))
     assert "TakeOrderedAndProject" in p2
     assert "CartesianProduct" not in p2
+
+
+def test_kmv_window_group_limit_and_ungrouped_take_ordered(spark):
+    """Grouped KMV must keep per-group minima via WindowGroupLimit;
+    ungrouped must take the TakeOrderedAndProject path (a global window
+    would single-partition every distinct hash)."""
+    from correctocr_spark.ops.sketch import kmv_sketch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    grouped = plan_of(kmv_sketch(docs, "doc_id", "lang", k=16))
+    assert "WindowGroupLimit" in grouped
+    ungrouped = plan_of(kmv_sketch(docs, "doc_id", None, k=16))
+    assert "TakeOrderedAndProject" in ungrouped
+    assert "WindowGroupLimit" not in ungrouped
+
+
+def test_stratified_sample_plan(spark):
+    """The literal row_number() <= total pre-cut must compile to
+    WindowGroupLimit and the quota join must broadcast."""
+    from correctocr_spark.ops.cleaning import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(stratified_sample(docs, "lang", 97))
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_embedding_outliers_plan(spark):
+    """One scan + one broadcast of the dimension-small moment table —
+    no sort-merge join, no more than the two agg exchanges."""
+    import __spark_entry__ as em
+    from correctocr_spark.ops.similarity import embedding_outliers
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(embedding_outliers(emb, em._IVF_CENTROIDS, 1500))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # formatted explain lists each node twice (tree + details)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+
+
+def test_phrase_search_plan_no_distinct_expand(spark):
+    """(doc, base, off) is unique by construction, so the anchor agg is
+    a plain count — the plan must carry no Expand (distinct-agg) node
+    and at most 3 exchanges."""
+    from correctocr_spark.ops.webindex import phrase_search
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(phrase_search(docs, "batch batch"))
+    assert "Expand" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3

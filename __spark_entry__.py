@@ -3672,6 +3672,64 @@ def q_html_tables(spark, sf_dir):
     return html_tables(pages)
 
 
+def q_anchor_entropy(spark, sf_dir):
+    """Per-target anchor-text diversity (Shannon entropy in integer
+    micro-nats + volume) over a synthesized link mix: 7 shared targets,
+    anchors split between two generic phrases and a parametric family —
+    the paid-link/anchor-bombing tell anchor_stats' modal pick can't
+    see (uniform money-phrase anchors → entropy ~0 at high volume)."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import anchor_entropy
+
+    did = F.col("doc_id")
+    links = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://t.example/"), (did % 7).cast("string")).alias(
+            "href"
+        ),
+        F.when(did % 3 == 0, F.lit("click here"))
+        .when(did % 3 == 1, F.concat(F.lit("page "), (did % 5).cast("string")))
+        .otherwise(F.lit("read more"))
+        .alias("anchor"),
+    )
+    return anchor_entropy(links)
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Per-shard write-verification manifest: row count, byte mass, and
+    an order-independent mod-2^61 checksum over 60-bit md5 row
+    fingerprints summed in DECIMAL(38,0) — retries, speculation and
+    re-writes surface as drift without re-reading in any order; the
+    HUGEINT oracle twin matches the modular sum exactly."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import shard_manifest
+
+    did = F.col("doc_id")
+    sh = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.concat(F.lit("s"), (did % 8).cast("string")).alias("shard")
+    )
+    return shard_manifest(sh, "shard")
+
+
+def q_recrawl_intervals(spark, sf_dir):
+    """Recrawl-cadence histogram: gaps between consecutive snapshots of
+    the same key (events as url revisits, url = user, host = user%5)
+    bucketed into <=1d/<=7d/<=30d/>30d bins via one key-partitioned lag
+    window + one combinable count — the refetch-budget distribution
+    crawl_freshness' staleness view complements."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import recrawl_intervals
+
+    snaps = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts"),
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")).alias("host"),
+    )
+    return recrawl_intervals(
+        snaps, "url", "ts", group_col="host", bucket_days=(1, 7, 30)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -4169,6 +4227,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structured <table> extraction — HTMLParser kernel in
         # mapInPandas; oracle derives expected cells by construction
         "html_tables": q_html_tables,
+        # anchor-text diversity entropy — the paid-link tell; micro-nat
+        # quantized terms, co-partitioned pair/totals join
+        "anchor_entropy": q_anchor_entropy,
+        # order-independent shard checksums — decimal modular sums
+        "shard_manifest": q_shard_manifest,
+        # recrawl cadence histogram — lag window + combinable count
+        "recrawl_intervals": q_recrawl_intervals,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -8938,6 +9003,60 @@ FROM documents)
             UNION ALL
             SELECT url, 1, 0, 0, FALSE, 'x ' || (doc_id % 9)
             FROM u WHERE doc_id % 4 = 0
+        """,
+        "anchor_entropy": """
+            WITH links AS (
+              SELECT doc_id, 'https://t.example/' || (doc_id % 7) AS href,
+                CASE WHEN doc_id % 3 = 0 THEN 'click here'
+                     WHEN doc_id % 3 = 1 THEN 'page ' || (doc_id % 5)
+                     ELSE 'read more' END AS anchor
+              FROM documents
+            ),
+            pair AS (SELECT href, anchor, count(*)::BIGINT AS _n
+                     FROM links GROUP BY 1, 2),
+            tot AS (SELECT href, sum(_n)::BIGINT AS _N,
+                           count(*)::BIGINT AS n_anchor_texts
+                    FROM pair GROUP BY 1)
+            SELECT p.href, max(t._N)::BIGINT AS n_links,
+                   max(t.n_anchor_texts) AS n_anchor_texts,
+                   sum(CAST(round(-(CAST(p._n AS DOUBLE) / t._N)
+                       * ln(CAST(p._n AS DOUBLE) / t._N)
+                       * 1000000.0) AS BIGINT))::BIGINT AS entropy_micro
+            FROM pair p JOIN tot t USING (href) GROUP BY 1
+        """,
+        "shard_manifest": """
+            WITH d AS (
+              SELECT 's' || (doc_id % 8) AS shard,
+                     length(coalesce(text, ''))::BIGINT AS _b,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                          || md5(coalesce(text, ''))), 1, 15))::BIGINT AS _h
+              FROM documents
+            )
+            SELECT shard, count(*)::BIGINT AS n_docs,
+                   sum(_b)::BIGINT AS byte_mass,
+                   CAST(sum(_h::HUGEINT) % 2305843009213693952 AS BIGINT)
+                       AS checksum
+            FROM d GROUP BY 1
+        """,
+        "recrawl_intervals": """
+            WITH s AS (
+              SELECT 'u' || user_id AS url, ts,
+                     'h' || (user_id % 5) AS host
+              FROM events
+            ),
+            g AS (
+              SELECT host, url,
+                     epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY url
+                         ORDER BY epoch(ts), url) AS _gap
+              FROM s
+            )
+            SELECT host,
+                   CASE WHEN _gap <= 86400 THEN '<=1d'
+                        WHEN _gap <= 604800 THEN '<=7d'
+                        WHEN _gap <= 2592000 THEN '<=30d'
+                        ELSE '>30d' END AS bucket,
+                   count(*)::BIGINT AS n_gaps
+            FROM g WHERE _gap IS NOT NULL GROUP BY 1, 2
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -207,6 +207,9 @@ HEADLINE = [
     "weighted_sample",
     "embedding_outliers",
     "html_tables",
+    "anchor_entropy",
+    "shard_manifest",
+    "recrawl_intervals",
     "bpe_token_counts",
     "extraction_blocks",
 ]

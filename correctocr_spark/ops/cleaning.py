@@ -1581,3 +1581,50 @@ def weighted_sample(
         "key_micro",
         F.col("_rn").cast("long").alias("sample_rank"),
     )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    shard_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard write-verification manifest: row count, byte mass, and
+    an ORDER-INDEPENDENT content checksum — how a 100 TB distributed
+    write is verified without re-reading in any particular order (task
+    retries, speculative duplicates and partial re-writes all surface
+    as a checksum or count drift; a sorted-concat hash would force a
+    global order first).
+
+    Checksum: each row contributes the 60-bit integer prefix of
+    ``md5(id ':' md5(text))``; contributions SUM (in DECIMAL(38,0) —
+    an int64 sum would overflow within ~500 rows) and reduce mod 2^61.
+    Addition commutes, so the checksum is partitioning-, retry- and
+    order-independent, and manifests of sub-shards merge by re-summing.
+    One map-side-combinable aggregation; the DuckDB twin's HUGEINT sum
+    matches exactly.
+
+    Returns ``(shard, n_docs, byte_mass, checksum)``.
+    """
+    fp = F.md5(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))),
+        )
+    )
+    h60 = F.conv(F.substring(fp, 1, 15), 16, 10).cast("long")
+    return (
+        ensure_parallelism(docs)
+        .select(
+            F.col(shard_col).alias("shard"),
+            F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("_b"),
+            h60.cast("decimal(38,0)").alias("_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_b").alias("byte_mass"),
+            (F.sum("_h") % F.lit(1 << 61)).cast("long").alias("checksum"),
+        )
+    )

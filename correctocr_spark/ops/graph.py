@@ -887,3 +887,49 @@ def bibliographic_coupling(
         F.col("dst_b").alias("src_b"),
         "n_common",
     )
+
+
+def anchor_entropy(
+    links: DataFrame,
+    target_col: str = "href",
+    anchor_col: str = "anchor",
+    min_links: int = 1,
+) -> DataFrame:
+    """Per-target anchor-text DIVERSITY: Shannon entropy of the anchor
+    distribution in integer micro-nats, plus volume — the paid-link /
+    anchor-bombing tell :func:`anchor_stats`' modal pick can't see
+    (thousands of links all saying the same exact money phrase score
+    entropy ~0 at high volume; organic links vary).
+
+    Same quantization discipline as the module's iterations: each
+    anchor's term ``-(n/N)·ln(n/N)`` is quantized ONCE to micro-nats,
+    then integer-summed — reduction-order-independent, oracle-exact.
+    Shape: one (target, anchor) partial agg, one target-keyed totals
+    agg, a co-partitioned join of the two (both already keyed on the
+    target — no extra exchange), one final target agg.
+
+    Returns ``(href, n_links, n_anchor_texts, entropy_micro)``.
+    """
+    t, a = F.col(target_col), F.col(anchor_col)
+    pair = links.groupBy(t.alias("href"), a.alias("_anchor")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    totals = pair.groupBy("href").agg(
+        F.sum("_n").alias("_N"),
+        F.count(F.lit(1)).cast("long").alias("n_anchor_texts"),
+    )
+    # totals derives FROM pair, so the join needs explicit aliases to
+    # break the shared-lineage attribute ambiguity
+    p = F.col("p._n") / F.col("t._N")
+    term = F.round(-p * F.log(p) * 1e6).cast("long")
+    return (
+        pair.alias("p")
+        .join(totals.alias("t"), on="href")
+        .groupBy("href")
+        .agg(
+            F.max("t._N").cast("long").alias("n_links"),
+            F.max("t.n_anchor_texts").alias("n_anchor_texts"),
+            F.sum(term).alias("entropy_micro"),
+        )
+        .where(F.col("n_links") >= int(min_links))
+    )

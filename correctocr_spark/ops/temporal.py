@@ -551,3 +551,44 @@ def crawl_freshness(
             .alias("stale_share_bp"),
         )
     )
+
+
+def recrawl_intervals(
+    snaps: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    group_col: Optional[str] = None,
+    bucket_days: Sequence[int] = (1, 7, 30),
+) -> DataFrame:
+    """Histogram of gaps between consecutive snapshots of the same url
+    — the recrawl-cadence distribution a refetch scheduler budgets
+    with (:func:`crawl_freshness` prices staleness at a cutoff; this
+    prices how often the crawler actually came back).
+
+    Each url's snapshots sort once in a url-partitioned lag window
+    (url-hash keyed, the flagship's balanced partitioning), the gap in
+    seconds buckets into ``<=1d / <=7d / <=30d / >30d`` day bins (half
+    -open, label = first fitting bound), and one map-side-combinable
+    count rolls up per (group?, bucket). Urls seen once contribute
+    nothing.
+
+    Returns ``(group?, bucket, n_gaps)``.
+    """
+    from pyspark.sql import Window
+
+    gs = [group_col] if group_col else []
+    ep = _epoch(snaps, ts_col)
+    w = Window.partitionBy(F.col(url_col)).orderBy(ep.asc(), F.col(url_col))
+    gap = (ep - F.lag(ep, 1).over(w)).alias("_gap")
+    d = snaps.select(*gs, F.col(url_col), gap).where(F.col("_gap").isNotNull())
+    bounds = sorted(int(b) for b in bucket_days)
+    # nest when() so the SMALLEST fitting bound labels the gap
+    bucket = F.lit(f">{bounds[-1]}d")
+    for b in reversed(bounds):
+        bucket = F.when(F.col("_gap") <= b * 86400, F.lit(f"<={b}d")).otherwise(
+            bucket
+        )
+    return (
+        d.groupBy(*gs, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    )

@@ -435,6 +435,15 @@ def test_oracled_queries_precede_rows_only():
         # <table> extraction — extraction_blocks' HTMLParser mapInPandas
         # family; the oracle derives expected cells by construction
         "html_tables",
+        # anchor entropy — host_lang_entropy's micro-nat term discipline
+        # over anchor_stats' verified pair/totals agg shapes
+        "anchor_entropy",
+        # shard checksums — fingerprint's md5 keying + word_freq's
+        # combinable agg; modular decimal sum is order-independent
+        "shard_manifest",
+        # recrawl histogram — sessionize's lag-window core + one
+        # combinable count
+        "recrawl_intervals",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

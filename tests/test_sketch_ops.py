@@ -446,3 +446,133 @@ class TestHtmlTables:
             for r in table_records(h)
         )
         assert got == want
+
+
+class TestAnchorEntropy:
+    def test_uniform_single_anchor_is_zero(self, spark):
+        """The anchor-bombing case: many links, ONE exact phrase →
+        entropy exactly 0 at high volume."""
+        from correctocr_spark.ops.graph import anchor_entropy
+
+        links = spark.createDataFrame(
+            [(i, "https://t/x", "buy cheap now") for i in range(50)],
+            "doc_id long, href string, anchor string",
+        )
+        row = anchor_entropy(links).collect()[0]
+        assert (row["n_links"], row["n_anchor_texts"], row["entropy_micro"]) == (
+            50,
+            1,
+            0,
+        )
+
+    def test_uniform_k_anchors_is_ln_k(self, spark):
+        """4 equally-frequent anchors → entropy = ln 4 micro-nats."""
+        import math
+
+        from correctocr_spark.ops.graph import anchor_entropy
+
+        links = spark.createDataFrame(
+            [(i, "https://t/x", f"a{i % 4}") for i in range(40)],
+            "doc_id long, href string, anchor string",
+        )
+        row = anchor_entropy(links).collect()[0]
+        assert row["entropy_micro"] == 4 * round(0.25 * math.log(4) * 1e6)
+
+
+class TestShardManifest:
+    def test_order_and_partitioning_independent(self, spark):
+        """Reversing row order and changing partitioning must not move
+        the checksum — the property that makes it a distributed-write
+        verifier."""
+        from pyspark.sql import functions as F
+        from correctocr_spark.ops.cleaning import shard_manifest
+
+        df = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+            (F.col("id") % 3).cast("string").alias("shard"),
+        )
+        a = {r["shard"]: tuple(r) for r in shard_manifest(df, "shard").collect()}
+        rev = df.orderBy(F.col("doc_id").desc()).repartition(17)
+        b = {r["shard"]: tuple(r) for r in shard_manifest(rev, "shard").collect()}
+        assert a == b
+
+    def test_single_row_drift_moves_checksum(self, spark):
+        from pyspark.sql import functions as F
+        from correctocr_spark.ops.cleaning import shard_manifest
+
+        df = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            F.lit("same").alias("text"),
+            F.lit("s0").alias("shard"),
+        )
+        tweaked = df.withColumn(
+            "text", F.when(F.col("doc_id") == 7, "SAME").otherwise(F.col("text"))
+        )
+        a = shard_manifest(df, "shard").collect()[0]
+        b = shard_manifest(tweaked, "shard").collect()[0]
+        assert a["n_docs"] == b["n_docs"] and a["byte_mass"] == b["byte_mass"]
+        assert a["checksum"] != b["checksum"]
+
+    def test_submanifests_merge_by_resumming(self, spark):
+        from pyspark.sql import functions as F
+        from correctocr_spark.ops.cleaning import shard_manifest
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("x"), F.col("id").cast("string")).alias("text"),
+            F.lit("s").alias("shard"),
+        )
+        full = shard_manifest(df, "shard").collect()[0]
+        parts = shard_manifest(df.where(F.col("doc_id") < 40), "shard").unionByName(
+            shard_manifest(df.where(F.col("doc_id") >= 40), "shard")
+        )
+        merged = (
+            parts.groupBy("shard")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("byte_mass").alias("byte_mass"),
+                (F.sum(F.col("checksum").cast("decimal(38,0)")) % (1 << 61))
+                .cast("long")
+                .alias("checksum"),
+            )
+            .collect()[0]
+        )
+        assert tuple(full) == tuple(merged)
+
+
+class TestRecrawlIntervals:
+    def test_buckets_and_singletons(self, spark):
+        import datetime as dt
+
+        from correctocr_spark.ops.temporal import recrawl_intervals
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            # u1: gaps of 1h (<=1d) and 3d (<=7d)
+            ("u1", t0), ("u1", t0 + dt.timedelta(hours=1)),
+            ("u1", t0 + dt.timedelta(hours=1, days=3)),
+            # u2: gap of 40d (>30d)
+            ("u2", t0), ("u2", t0 + dt.timedelta(days=40)),
+            # u3: singleton — contributes nothing
+            ("u3", t0),
+        ]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+        got = {
+            r["bucket"]: r["n_gaps"]
+            for r in recrawl_intervals(df, "url", "warc_ts").collect()
+        }
+        assert got == {"<=1d": 1, "<=7d": 1, ">30d": 1}
+
+    def test_exact_boundary_is_inclusive(self, spark):
+        import datetime as dt
+
+        from correctocr_spark.ops.temporal import recrawl_intervals
+
+        t0 = dt.datetime(2026, 1, 1)
+        df = spark.createDataFrame(
+            [("u", t0), ("u", t0 + dt.timedelta(days=1))],
+            "url string, warc_ts timestamp",
+        )
+        got = recrawl_intervals(df, "url", "warc_ts").collect()
+        assert [(r["bucket"], r["n_gaps"]) for r in got] == [("<=1d", 1)]

@@ -3730,6 +3730,36 @@ def q_recrawl_intervals(spark, sf_dir):
     )
 
 
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) layout keys over (doc_id%256, n_chars): min-max
+    integer ranks bit-interleaved into one sort key — the lakehouse
+    data-skipping layout for multi-dimensional predicates; all integer
+    algebra over one broadcast min/max agg, locality pinned in
+    pytest."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import zorder_key
+
+    zin = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 256).alias("x"), F.col("n_chars").alias("y")
+    )
+    return zorder_key(zin, ["x", "y"], bits=8).select("doc_id", "zkey")
+
+
+def q_rendezvous_assign(spark, sf_dir):
+    """Rendezvous (HRW) key→node placement over 5 literal nodes: max
+    md5 weight wins, row-local argmax chain at scan speed — the
+    elastic-cluster assignment whose minimal-disruption property
+    (removing a node moves only its own keys) is pinned in pytest."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import rendezvous_assign
+
+    return rendezvous_assign(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        ["node-a", "node-b", "node-c", "node-d", "node-e"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -4234,6 +4264,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         # recrawl cadence histogram — lag window + combinable count
         "recrawl_intervals": q_recrawl_intervals,
+        # Morton z-order layout keys — integer rank interleave
+        "zorder_key": q_zorder_key,
+        # rendezvous hashing placement — row-local argmax chain
+        "rendezvous_assign": q_rendezvous_assign,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -5780,6 +5814,26 @@ def _sig_terms_sql(k: int = 5, alpha_milli: int = 10) -> str:
               FROM scored)
         WHERE rank <= {int(k)}
     """
+
+
+def _rendezvous_sql(nodes) -> str:
+    """DuckDB twin of q_rendezvous_assign: the same strict-> argmax
+    chain over md5-60-bit node weights, ties toward the earlier node."""
+
+    def w(n):
+        return (
+            f"('0x' || substr(md5('hrw1|{n}|' || CAST(doc_id AS VARCHAR)),"
+            " 1, 15))::BIGINT"
+        )
+
+    bn, bw = f"'{nodes[0]}'", w(nodes[0])
+    for n in nodes[1:]:
+        bn = f"(CASE WHEN {w(n)} > {bw} THEN '{n}' ELSE {bn} END)"
+        bw = f"greatest({w(n)}, {bw})"
+    return (
+        f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, {bn} AS node"
+        " FROM documents"
+    )
 
 
 def _embedding_outliers_sql(z_milli_threshold: int = 1500) -> str:
@@ -9058,6 +9112,27 @@ FROM documents)
                    count(*)::BIGINT AS n_gaps
             FROM g WHERE _gap IS NOT NULL GROUP BY 1, 2
         """,
+        "zorder_key": f"""
+            WITH zin AS (SELECT doc_id, doc_id % 256 AS x, n_chars AS y
+                         FROM documents),
+            mm AS (SELECT min(x) AS _min_0, max(x) AS _max_0,
+                          min(y) AS _min_1, max(y) AS _max_1 FROM zin),
+            r AS (
+              SELECT doc_id,
+                coalesce(((x - _min_0) * 255)
+                    // greatest(_max_0 - _min_0, 1), 0) AS _r_0,
+                coalesce(((y - _min_1) * 255)
+                    // greatest(_max_1 - _min_1, 1), 0) AS _r_1
+              FROM zin, mm
+            )
+            SELECT doc_id, CAST({" + ".join(
+                f"(((_r_{j} >> {b}) & 1) << {b * 2 + j})"
+                for b in range(8) for j in range(2)
+            )} AS BIGINT) AS zkey FROM r
+        """,
+        "rendezvous_assign": _rendezvous_sql(
+            ["node-a", "node-b", "node-c", "node-d", "node-e"]
+        ),
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.
     }

@@ -210,6 +210,8 @@ HEADLINE = [
     "anchor_entropy",
     "shard_manifest",
     "recrawl_intervals",
+    "zorder_key",
+    "rendezvous_assign",
     "bpe_token_counts",
     "extraction_blocks",
 ]

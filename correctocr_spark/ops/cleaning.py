@@ -1628,3 +1628,99 @@ def shard_manifest(
             (F.sum("_h") % F.lit(1 << 61)).cast("long").alias("checksum"),
         )
     )
+
+
+def zorder_key(
+    docs: DataFrame,
+    cols: List[str],
+    bits: int = 16,
+) -> DataFrame:
+    """Z-order (Morton) storage-layout key over 2+ numeric columns:
+    each column min-max-normalizes to a ``bits``-wide integer rank and
+    the ranks bit-interleave into one sort key. Sorting/range-
+    partitioning shards by this key clusters rows that are close in
+    EVERY keyed dimension, so per-file min/max statistics prune
+    multi-dimensional predicates — the lakehouse data-skipping layout
+    a single-column sort can't give (sorted by time alone, a host
+    predicate touches every file; z-ordered by (time, host-rank) it
+    touches a band).
+
+    All integer algebra: rank = ``(v - min)·(2^bits - 1) div
+    max(max - min, 1)`` over one dimension-small min/max agg (broadcast
+    back), interleave = shift-and-mask — exact in both engines, so the
+    key itself is oracle-checkable. Total key width ``bits·len(cols)``
+    must fit 63 bits. NULLs rank 0 (sort first). Appends ``zkey``.
+    """
+    if len(cols) < 2:
+        raise ValueError("zorder_key needs at least 2 columns")
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder_key: {bits} bits x {len(cols)} cols exceeds 63 bits"
+        )
+    span = (1 << bits) - 1
+    mm = docs.agg(
+        *[F.min(F.col(c).cast("long")).alias(f"_min_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("long")).alias(f"_max_{i}") for i, c in enumerate(cols)],
+    )
+    d = docs.crossJoin(F.broadcast(mm))
+    ranks = []
+    for i, c in enumerate(cols):
+        v = F.col(c).cast("long")
+        lo, hi = F.col(f"_min_{i}"), F.col(f"_max_{i}")
+        r = F.expr(
+            f"CAST(((CAST({c} AS BIGINT) - _min_{i}) * {span}) div "
+            f"greatest(_max_{i} - _min_{i}, 1) AS BIGINT)"
+        )
+        ranks.append(F.coalesce(r, F.lit(0)).alias(f"_r_{i}"))
+    d = d.select(*docs.columns, *ranks)
+    n = len(cols)
+    terms = []
+    for bit in range(bits):
+        for j in range(n):
+            terms.append(
+                f"(((_r_{j} >> {bit}) & 1) << {bit * n + j})"
+            )
+    zkey = F.expr(" + ".join(terms)).cast("long")
+    return d.select(*docs.columns, zkey.alias("zkey"))
+
+
+def rendezvous_assign(
+    docs: DataFrame,
+    key_col: str,
+    nodes: List[str],
+    salt: str = "hrw1",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) assignment of each key to one
+    of ``nodes``: the node with the max ``md5(salt|node|key)`` weight
+    wins — the elastic-cluster placement primitive whose defining
+    property is MINIMAL DISRUPTION: removing a node reassigns ONLY the
+    keys that lived on it (pinned in pytest), where mod-N hashing
+    reshuffles ~half the corpus on every resize.
+
+    Row-local column algebra (one strict-> argmax chain over the
+    node-literal weights, the ``nearest_centroid_col`` discipline —
+    ties broken toward the earlier node in list order), scan speed, no
+    shuffle; the weight hash is the module's md5-60-bit idiom, so the
+    assignment is oracle-checkable. Returns (key, node).
+    """
+    if not nodes:
+        raise ValueError("rendezvous_assign needs at least one node")
+    key = F.col(key_col).cast("string")
+
+    def weight(node: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}|{node}|"), key)), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    best_node, best_w = F.lit(nodes[0]), weight(nodes[0])
+    for nd in nodes[1:]:
+        w = weight(nd)
+        best_node = F.when(w > best_w, F.lit(nd)).otherwise(best_node)
+        best_w = F.when(w > best_w, w).otherwise(best_w)
+    return ensure_parallelism(docs).select(
+        key.alias(key_col), best_node.alias("node")
+    )

@@ -444,6 +444,12 @@ def test_oracled_queries_precede_rows_only():
         # recrawl histogram — sessionize's lag-window core + one
         # combinable count
         "recrawl_intervals",
+        # Morton keys — row-local integer shift/mask over a broadcast
+        # min/max agg (pack_shards' bounds discipline)
+        "zorder_key",
+        # rendezvous placement — nearest_centroid_col's argmax chain
+        # over the md5-60 idiom, scan-speed
+        "rendezvous_assign",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -576,3 +576,100 @@ class TestRecrawlIntervals:
         )
         got = recrawl_intervals(df, "url", "warc_ts").collect()
         assert [(r["bucket"], r["n_gaps"]) for r in got] == [("<=1d", 1)]
+
+
+class TestZorderKey:
+    def test_known_interleave(self, spark):
+        """bits=2, values already in range: z(x=0b10, y=0b01) with x at
+        even positions → key = x0 + y0<<1 + x1<<2 + y1<<3 = 0 + 2 + 4
+        + 0 = 6."""
+        from correctocr_spark.ops.cleaning import zorder_key
+
+        df = spark.createDataFrame(
+            [(1, 2, 1), (2, 0, 0), (3, 3, 3)], "doc_id long, x long, y long"
+        )
+        got = {
+            r["doc_id"]: r["zkey"]
+            for r in zorder_key(df, ["x", "y"], bits=2).collect()
+        }
+        assert got == {1: 6, 2: 0, 3: 15}
+
+    def test_locality_beats_single_column_sort(self, spark):
+        """The data-skipping claim, measured: chunk the z-sorted corpus
+        into files of 64 and sum per-file (x-range + y-range); the
+        z-layout's total bounding ranges must be far tighter than a
+        sort by x alone (whose y min/max spans everything per file)."""
+        from pyspark.sql import functions as F
+        from correctocr_spark.ops.cleaning import zorder_key
+
+        df = spark.range(4096).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),  # full 64x64 grid
+        )
+        z = zorder_key(df, ["x", "y"], bits=6)
+        rows = z.orderBy("zkey", "doc_id").collect()
+        by_x = z.orderBy("x", "doc_id").collect()
+
+        def cost(rs):
+            tot = 0
+            for i in range(0, len(rs), 64):
+                chunk = rs[i : i + 64]
+                xs = [r["x"] for r in chunk]
+                ys = [r["y"] for r in chunk]
+                tot += (max(xs) - min(xs)) + (max(ys) - min(ys))
+            return tot
+
+        assert cost(rows) < cost(by_x) * 0.5
+
+    def test_validations(self, spark):
+        from correctocr_spark.ops.cleaning import zorder_key
+
+        df = spark.createDataFrame([(1, 1)], "a long, b long")
+        with pytest.raises(ValueError):
+            zorder_key(df, ["a"], bits=8)
+        with pytest.raises(ValueError):
+            zorder_key(df, ["a", "b"], bits=32)
+
+
+class TestRendezvousAssign:
+    def test_minimal_disruption_on_node_removal(self, spark):
+        """THE rendezvous property: dropping node-c only reassigns keys
+        that lived on node-c; every other key keeps its node."""
+        from correctocr_spark.ops.cleaning import rendezvous_assign
+
+        df = spark.range(500).select(F.col("id").alias("k"))
+        full = {
+            r["k"]: r["node"]
+            for r in rendezvous_assign(
+                df, "k", ["node-a", "node-b", "node-c"]
+            ).collect()
+        }
+        reduced = {
+            r["k"]: r["node"]
+            for r in rendezvous_assign(df, "k", ["node-a", "node-b"]).collect()
+        }
+        for k, n in full.items():
+            if n != "node-c":
+                assert reduced[k] == n
+        assert any(n == "node-c" for n in full.values())
+
+    def test_roughly_balanced(self, spark):
+        from correctocr_spark.ops.cleaning import rendezvous_assign
+
+        df = spark.range(3000).select(F.col("id").alias("k"))
+        counts = {
+            r["node"]: r["count"]
+            for r in rendezvous_assign(df, "k", ["a", "b", "c"])
+            .groupBy("node")
+            .count()
+            .collect()
+        }
+        for n, c in counts.items():
+            assert abs(c - 1000) < 200, counts
+
+    def test_empty_nodes_raises(self, spark):
+        from correctocr_spark.ops.cleaning import rendezvous_assign
+
+        with pytest.raises(ValueError):
+            rendezvous_assign(spark.range(1), "id", [])

@@ -3760,6 +3760,38 @@ def q_rendezvous_assign(spark, sf_dir):
     )
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index between a reference score
+    distribution (id%100) and a shifted half-corpus twin ((3·id)%100+5)
+    — the standard quality-filter input-drift monitor, in integer
+    micro units: equal-width integer binning, add-1-smoothed
+    per-bucket (p−q)·ln(p/q) terms quantized once, exact integer
+    sum."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import psi_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.select((F.col("doc_id") % 100).alias("score"))
+    cur = docs.where(F.col("doc_id") % 2 == 0).select(
+        ((F.col("doc_id") * 3) % 100 + 5).alias("score")
+    )
+    return psi_drift(ref, cur, "score", n_buckets=10, lo=0, hi=100)
+
+
+def q_threshold_calibration(spark, sf_dir):
+    """Per-language filter-threshold calibration to a 30% target
+    keep-rate: exact integer quantile semantics over per-distinct-score
+    counts — the descending cumulative window runs on the
+    score-cardinality-sized table, never the corpus."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import threshold_calibration
+
+    sc = _t(spark, sf_dir, "documents").select(
+        "lang", (F.col("n_chars") % 97).alias("q")
+    )
+    return threshold_calibration(sc, "q", 3000, group_cols="lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -4268,6 +4300,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         # rendezvous hashing placement — row-local argmax chain
         "rendezvous_assign": q_rendezvous_assign,
+        # PSI input-drift monitor — micro-quantized smoothed terms
+        "psi_drift": q_psi_drift,
+        # keep-rate → threshold calibration — exact integer quantiles
+        "threshold_calibration": q_threshold_calibration,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -9133,6 +9169,48 @@ FROM documents)
         "rendezvous_assign": _rendezvous_sql(
             ["node-a", "node-b", "node-c", "node-d", "node-e"]
         ),
+        "psi_drift": """
+            WITH ref AS (SELECT doc_id % 100 AS score FROM documents),
+            cur AS (SELECT (doc_id * 3) % 100 + 5 AS score FROM documents
+                    WHERE doc_id % 2 = 0),
+            br AS (SELECT least(9, CAST((greatest(0, least(100,
+                         CAST(score AS BIGINT))) - 0) // 10 AS INT)) AS _b,
+                         count(*)::BIGINT AS _nr
+                   FROM ref GROUP BY 1),
+            bc AS (SELECT least(9, CAST((greatest(0, least(100,
+                         CAST(score AS BIGINT))) - 0) // 10 AS INT)) AS _b,
+                         count(*)::BIGINT AS _nc
+                   FROM cur GROUP BY 1),
+            ab AS (SELECT coalesce(br._b, bc._b) AS _b,
+                          coalesce(_nr, 0) AS _nr, coalesce(_nc, 0) AS _nc
+                   FROM br FULL JOIN bc ON br._b = bc._b),
+            tot AS (SELECT sum(_nr)::BIGINT AS n_ref,
+                           sum(_nc)::BIGINT AS n_cur FROM ab)
+            SELECT max(n_ref)::BIGINT AS n_ref, max(n_cur)::BIGINT AS n_cur,
+                   sum(CAST(round(
+                     ((CAST(_nr + 1 AS DOUBLE) / (n_ref + 10))
+                      - (CAST(_nc + 1 AS DOUBLE) / (n_cur + 10)))
+                     * ln((CAST(_nr + 1 AS DOUBLE) / (n_ref + 10))
+                          / (CAST(_nc + 1 AS DOUBLE) / (n_cur + 10)))
+                     * 1000000.0) AS BIGINT))::BIGINT AS psi_micro
+            FROM ab, tot
+        """,
+        "threshold_calibration": """
+            WITH sc AS (SELECT lang, n_chars % 97 AS q FROM documents),
+            per AS (SELECT lang, CAST(q AS BIGINT) AS _s,
+                           count(*)::BIGINT AS _n
+                    FROM sc GROUP BY 1, 2),
+            c AS (SELECT lang, _s,
+                    sum(_n) OVER (PARTITION BY lang ORDER BY _s DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS _cum,
+                    sum(_n) OVER (PARTITION BY lang) AS _N
+                  FROM per),
+            ok AS (SELECT * FROM c WHERE _cum * 10000 >= 3000 * _N)
+            SELECT lang, max(_N)::BIGINT AS n_docs, max(_s)::BIGINT AS cutoff,
+                   min((_cum * 10000) // _N)::BIGINT AS kept_bp_actual
+            FROM ok GROUP BY 1
+        """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.
     }

@@ -212,6 +212,8 @@ HEADLINE = [
     "recrawl_intervals",
     "zorder_key",
     "rendezvous_assign",
+    "psi_drift",
+    "threshold_calibration",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -2142,3 +2142,120 @@ def edit_distance_eval(
             "greatest(gold_chars, pred_chars, 1) AS BIGINT)"
         ).alias("cer_bp"),
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    score_col: str = "score",
+    n_buckets: int = 10,
+    lo: int = 0,
+    hi: int = 100,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    score distribution — the standard "did my quality-filter inputs
+    drift between crawls" monitor (rule of thumb: <0.10 stable,
+    0.10-0.25 watch, >0.25 investigate; here in integer micro units).
+
+    Scores bucket into ``n_buckets`` equal-width bins over [lo, hi]
+    (clamped; integer arithmetic so binning is oracle-exact), each
+    side reduces to per-bucket counts — two map-side-combinable aggs —
+    and PSI sums ``(p - q)·ln(p/q)`` per bucket with add-1-count
+    smoothing (so empty buckets stay finite) under the module's
+    standard micro-nat quantization: each bucket's term quantizes ONCE
+    to an integer, the total is an exact integer sum.
+
+    Returns one row: (n_ref, n_cur, psi_micro).
+    """
+    if n_buckets < 2 or hi <= lo:
+        raise ValueError("psi_drift needs n_buckets >= 2 and hi > lo")
+    width = (hi - lo + n_buckets - 1) // n_buckets  # ceil: covers [lo, hi]
+
+    clamp = f"greatest({lo}, least({hi}, CAST({score_col} AS BIGINT)))"
+    bexpr = f"least({n_buckets - 1}, CAST(({clamp} - {lo}) div {width} AS INT))"
+
+    def counts(df, name):
+        return (
+            ensure_parallelism(df)
+            .select(F.expr(bexpr).alias("_b"))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    r = counts(ref, "_nr")
+    c = counts(cur, "_nc")
+    allb = (
+        r.join(c, on="_b", how="full")
+        .na.fill({"_nr": 0, "_nc": 0})
+    )
+    tot = allb.agg(
+        F.sum("_nr").alias("n_ref"), F.sum("_nc").alias("n_cur")
+    )
+    j = allb.crossJoin(F.broadcast(tot))
+    # add-1 smoothing on counts; p = (nr+1)/(N_ref + K), q likewise
+    p = (F.col("_nr") + 1) / (F.col("n_ref") + n_buckets)
+    q = (F.col("_nc") + 1) / (F.col("n_cur") + n_buckets)
+    term = F.round((p - q) * F.log(p / q) * 1e6).cast("long")
+    return j.groupBy().agg(
+        F.max("n_ref").cast("long").alias("n_ref"),
+        F.max("n_cur").cast("long").alias("n_cur"),
+        F.sum(term).alias("psi_micro"),
+    )
+
+
+def threshold_calibration(
+    docs: DataFrame,
+    score_col: str,
+    keep_bp: int,
+    group_cols=None,
+) -> DataFrame:
+    """Calibrate a filter threshold to a target keep-rate: the HIGHEST
+    integer score cutoff whose ``score >= cutoff`` population still
+    reaches ``keep_bp`` basis points of the group (the smallest keep-set
+    meeting the target) — how "keep the top 30% by quality" becomes a
+    concrete per-language threshold without eyeballing histograms.
+
+    Exact integer quantile semantics (no percentile interpolation):
+    per-distinct-score counts (map-side combinable), a descending
+    cumulative sum over the score-cardinality-sized table, and the
+    max score with ``cum·10000 >= keep_bp·N`` wins. Returns (groups…,)
+    n_docs, cutoff, kept_bp_actual.
+    """
+    from pyspark.sql import Window
+
+    if not 0 < keep_bp <= 10000:
+        raise ValueError(f"threshold_calibration needs 0 < keep_bp <= 10000")
+    gs = (
+        []
+        if group_cols is None
+        else ([group_cols] if isinstance(group_cols, str) else list(group_cols))
+    )
+    per = (
+        ensure_parallelism(docs)
+        .groupBy(*gs, F.col(score_col).cast("long").alias("_s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    w = (
+        Window.partitionBy(*[F.col(g) for g in gs])
+        .orderBy(F.col("_s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*[F.col(g) for g in gs])
+    scored = per.select(
+        *gs,
+        "_s",
+        F.sum("_n").over(w).alias("_cum"),
+        F.sum("_n").over(wall).alias("_N"),
+    )
+    ok = scored.where(F.col("_cum") * 10000 >= F.lit(keep_bp) * F.col("_N"))
+    return (
+        ok.groupBy(*gs)
+        .agg(
+            F.max("_N").alias("n_docs"),
+            F.max("_s").alias("cutoff"),
+            F.min(
+                F.expr("CAST((_cum * 10000) div _N AS BIGINT)")
+            ).alias("kept_bp_actual"),
+        )
+        .select(*gs, "n_docs", "cutoff", "kept_bp_actual")
+    )

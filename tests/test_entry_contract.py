@@ -450,6 +450,12 @@ def test_oracled_queries_precede_rows_only():
         # rendezvous placement — nearest_centroid_col's argmax chain
         # over the md5-60 idiom, scan-speed
         "rendezvous_assign",
+        # PSI drift — vocab_kl's micro-nat smoothed-ratio discipline
+        # over two combinable bucket aggs
+        "psi_drift",
+        # threshold calibration — ranking_auc's distinct-score window
+        # family, exact integer quantile semantics
+        "threshold_calibration",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -673,3 +673,72 @@ class TestRendezvousAssign:
 
         with pytest.raises(ValueError):
             rendezvous_assign(spark.range(1), "id", [])
+
+
+class TestPsiDrift:
+    def test_identical_distributions_near_zero(self, spark):
+        from correctocr_spark.ops.textstats import psi_drift
+
+        df = spark.range(1000).select((F.col("id") % 100).alias("score"))
+        row = psi_drift(df, df, "score").collect()[0]
+        assert row["psi_micro"] == 0
+        assert (row["n_ref"], row["n_cur"]) == (1000, 1000)
+
+    def test_shift_detected(self, spark):
+        """A hard shift (all mass moves buckets) must cross the 0.25
+        'investigate' line (250000 micro)."""
+        from correctocr_spark.ops.textstats import psi_drift
+
+        ref = spark.range(1000).select((F.col("id") % 30).alias("score"))
+        cur = spark.range(1000).select((F.col("id") % 30 + 70).alias("score"))
+        row = psi_drift(ref, cur, "score").collect()[0]
+        assert row["psi_micro"] > 250_000
+
+    def test_validations(self, spark):
+        from correctocr_spark.ops.textstats import psi_drift
+
+        df = spark.range(5).select(F.col("id").alias("score"))
+        with pytest.raises(ValueError):
+            psi_drift(df, df, "score", n_buckets=1)
+        with pytest.raises(ValueError):
+            psi_drift(df, df, "score", lo=10, hi=10)
+
+
+class TestThresholdCalibration:
+    def test_exact_semantics(self, spark):
+        """scores 1..100 uniform, keep 30% → cutoff 71 keeps exactly 30
+        of 100 (3000 bp)."""
+        from correctocr_spark.ops.textstats import threshold_calibration
+
+        df = spark.range(1, 101).select(F.col("id").alias("q"))
+        row = threshold_calibration(df, "q", 3000).collect()[0]
+        assert (row["n_docs"], row["cutoff"], row["kept_bp_actual"]) == (
+            100,
+            71,
+            3000,
+        )
+
+    def test_ties_spill_over_target(self, spark):
+        """With mass concentrated on one score the kept share may
+        exceed the target but never undershoot it."""
+        from correctocr_spark.ops.textstats import threshold_calibration
+
+        rows = [(50,)] * 90 + [(99,)] * 10
+        df = spark.createDataFrame(rows, "q int")
+        row = threshold_calibration(df, "q", 2000).collect()[0]
+        assert row["cutoff"] == 50  # the 99s alone are only 10%
+        assert row["kept_bp_actual"] == 10000
+
+    def test_keep_all(self, spark):
+        from correctocr_spark.ops.textstats import threshold_calibration
+
+        df = spark.range(1, 11).select(F.col("id").alias("q"))
+        row = threshold_calibration(df, "q", 10000).collect()[0]
+        assert row["cutoff"] == 1 and row["kept_bp_actual"] == 10000
+
+    def test_validation(self, spark):
+        from correctocr_spark.ops.textstats import threshold_calibration
+
+        df = spark.range(5).select(F.col("id").alias("q"))
+        with pytest.raises(ValueError):
+            threshold_calibration(df, "q", 0)

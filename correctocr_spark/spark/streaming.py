@@ -351,3 +351,58 @@ def warc_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_shard_manifest(
+    pages: DataFrame,
+    manifest_path: str,
+    shard_col: str = "shard",
+    id_col: str = "url",
+    text_col: str = "text",
+    checkpoint: Optional[str] = None,
+    available_now: bool = True,
+):
+    """Streaming twin of :func:`~..ops.cleaning.shard_manifest`: a
+    foreachBatch sink that maintains a durable per-shard manifest
+    (n_docs, byte_mass, mod-2^61 checksum) ACROSS micro-batches — the
+    exactly-once verification artifact for streaming ingest. Because
+    the checksum is an order-independent modular SUM, per-batch
+    manifests merge with the stored one by re-summing (the same merge
+    the batch op's sub-manifest test pins): read stored, union the
+    batch's manifest, re-aggregate, overwrite. No per-row state, no
+    growing state store — the manifest is shard-cardinality-sized.
+
+    Returns the started StreamingQuery.
+    """
+    from ..ops.cleaning import shard_manifest
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bm = shard_manifest(batch_df, shard_col, id_col=id_col, text_col=text_col)
+        try:
+            stored = spark.read.parquet(manifest_path)
+        except Exception:
+            stored = None
+        if stored is not None:
+            bm = stored.unionByName(bm)
+        merged = (
+            bm.groupBy("shard")
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("byte_mass").cast("long").alias("byte_mass"),
+                (F.sum(F.col("checksum").cast("decimal(38,0)")) % F.lit(1 << 61))
+                .cast("long")
+                .alias("checksum"),
+            )
+        )
+        # materialize BEFORE overwriting the path the plan reads from
+        # (the MinHashIndex recache-by-path discipline)
+        rows = merged.localCheckpoint(eager=True)
+        rows.write.mode("overwrite").parquet(manifest_path)
+
+    writer = pages.writeStream.foreachBatch(upsert).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

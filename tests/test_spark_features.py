@@ -669,3 +669,57 @@ class TestWinnowing:
         assert (10, 11) in got
         assert all(a < b for a, b in got)
         assert not any(a < 6 and b < 6 for a, b in got), got
+
+
+def test_streaming_shard_manifest_matches_batch(spark, tmp_path):
+    """foreachBatch manifest maintenance across two restarts equals the
+    batch shard_manifest of the full union — the modular checksum's
+    mergeability carried into streaming ingest."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from correctocr_spark.ops.cleaning import shard_manifest
+    from correctocr_spark.spark.streaming import (
+        pages_stream,
+        streaming_shard_manifest,
+    )
+    from correctocr_spark.spark.synth import PAGES_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    inp = str(tmp_path / "in")
+    man = str(tmp_path / "manifest")
+    b1 = [(f"u://{i}", ts, None, f"text {i}", "en") for i in range(20)]
+    spark.createDataFrame(b1, PAGES_SCHEMA).write.parquet(inp)
+
+    def with_shard(df):
+        return df.withColumn(
+            "shard", F.substring(F.md5(F.col("url")), 1, 1)
+        )
+
+    q = streaming_shard_manifest(
+        with_shard(pages_stream(spark, inp)),
+        man,
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+
+    b2 = [(f"u://{i}", ts, None, f"text {i}", "en") for i in range(20, 50)]
+    spark.createDataFrame(b2, PAGES_SCHEMA).write.mode("append").parquet(inp)
+    q = streaming_shard_manifest(
+        with_shard(pages_stream(spark, inp)),
+        man,
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["shard"]: (r["n_docs"], r["byte_mass"], r["checksum"])
+        for r in spark.read.parquet(man).collect()
+    }
+    full = spark.createDataFrame(b1 + b2, PAGES_SCHEMA)
+    want = {
+        r["shard"]: (r["n_docs"], r["byte_mass"], r["checksum"])
+        for r in shard_manifest(with_shard(full), "shard", id_col="url").collect()
+    }
+    assert got == want

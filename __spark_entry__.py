@@ -27,6 +27,11 @@ SIMHASH_BITS = 64
 MINHASH_HASHES = 8
 MINHASH_BANDS = 4
 SHINGLE_K = 3
+#: mirrors ops.webindex.BITEXT_LANGS (equality pinned in pytest) so the
+#: oracle stays buildable without importing the package
+BITEXT_LANG_ALT = (
+    "en|fr|de|es|it|pt|nl|ru|ja|zh|ko|ar|pl|tr|sv|da|fi|cs|el|hu|ro|uk|vi|th"
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -3351,6 +3356,86 @@ def q_path_templates(spark, sf_dir):
     return path_templates(pages)
 
 
+def q_path_prefix_census(spark, sf_dir):
+    """Per-host path-HIERARCHY rollup (page counts at every prefix up
+    to depth 3) over synthesized urls mixing root pages, depth-1
+    /about leaves, query-carrying /blog/{n} pages and depth-4
+    /docs/guide/ch{k}/sec{id} chains that MUST stop counting below the
+    max_depth cap — the crawl-budget zoom-out of path_templates."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import path_prefix_census
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://s"),
+        (did % 4).cast("string"),
+        F.lit(".example"),
+        F.when(did % 10 == 0, F.lit("/"))
+        .when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("/docs/guide/ch"),
+                (did % 7).cast("string"),
+                F.lit("/sec"),
+                did.cast("string"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("/blog/"),
+                (did % 5).cast("string"),
+                F.lit("?page="),
+                did.cast("string"),
+            ),
+        )
+        .otherwise(F.lit("/about")),
+    )
+    pages = _t(spark, sf_dir, "documents").select(url.alias("url"))
+    return path_prefix_census(pages, max_depth=3)
+
+
+def q_bitext_candidates(spark, sf_dir):
+    """URL-structure parallel-document mining over synthesized urls:
+    en/fr/de article pairs sharing a skeleton, /plain/ pages with no
+    language segment (must not participate), and a query-string hub
+    trap mapping ~13 urls per skeleton that the max_variants cap MUST
+    drop. The ParaCrawl/CCMatrix candidate stage."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import bitext_candidates
+
+    did = F.col("doc_id")
+    base = F.expr("doc_id div 2")
+    lang = (
+        F.when(did % 2 == 0, F.lit("en"))
+        .when(did % 4 == 1, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    url = F.concat(
+        F.lit("https://s"),
+        (base % 3).cast("string"),
+        F.lit(".example"),
+        F.when(did % 10 == 0, F.concat(F.lit("/plain/p"), did.cast("string")))
+        .when(
+            base % 13 == 0,
+            F.concat(F.lit("/"), lang, F.lit("/hub?sid="), did.cast("string")),
+        )
+        .otherwise(F.concat(F.lit("/"), lang, F.lit("/art"), base.cast("string"))),
+    )
+    pages = _t(spark, sf_dir, "documents").select(url.alias("url"))
+    return bitext_candidates(pages, max_variants=8)
+
+
+def q_novelty_scores(spark, sf_dir):
+    """First-occurrence shingle attribution over the documents table in
+    doc_id (arrival) order — the marginal-value/curriculum signal:
+    per-doc share of word 3-shingles the doc introduces to the corpus."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import novelty_scores
+
+    return novelty_scores(_t(spark, sf_dir, "documents"), k=SHINGLE_K)
+
+
 def q_bibliographic_coupling(spark, sf_dir):
     """Kessler coupling (shared OUT-links) over a citation mix whose
     transpose exercises the cocitation machinery: a 7-target core every
@@ -3512,6 +3597,40 @@ def q_hll_registers(spark, sf_dir):
     from correctocr_spark.ops.sketch import hll_registers
 
     return hll_registers(_lang_words(spark, sf_dir), "word", "lang", b=6)
+
+
+def q_cms_sketch(spark, sf_dir):
+    """Count-min sketch STATE per language (depth 3 x width 16 —
+    deliberately narrow so bucket collisions exist at this vocab):
+    the frequency-counting sibling of kmv/hll — exact per-key counts
+    at 10^12 rows shuffle every key; the CMS shuffles <= depth*width
+    combinable counters per group and merges by (row, bucket) sum.
+    md5-32 bucketing, hash-exact cross-engine."""
+    _ship(spark)
+    from correctocr_spark.ops.sketch import cms_table
+
+    return cms_table(
+        _lang_words(spark, sf_dir), "word", group_cols="lang", depth=3, width=16
+    )
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Heavy hitters via the count-min guarantee: words whose CMS
+    estimate (depth 3 x width 16) reaches 900 occurrences. One-sided —
+    every true >=900 word MUST surface (estimates never undercount);
+    collisions at the narrow width can promote near-threshold
+    impostors, identically in both engines. Probes run against the
+    broadcast <=48-row sketch; only the per-key min aggregates."""
+    _ship(spark)
+    from correctocr_spark.ops.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _lang_words(spark, sf_dir).select("word"),
+        "word",
+        threshold=900,
+        depth=3,
+        width=16,
+    )
 
 
 def q_phrase_search(spark, sf_dir):
@@ -4257,12 +4376,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # path-template census — row-local regex algebra + one keyed agg,
         # the crawl-trap detector
         "path_templates": q_path_templates,
+        # path-prefix census — path_templates' host/path grammar with a
+        # depth-BOUNDED literal prefix array (≤ max_depth+1 rows/page)
+        # feeding one combinable (host, depth, prefix) count
+        "path_prefix_census": q_path_prefix_census,
+        # bitext candidate mining — url_canonical/path_templates' url
+        # grammar feeding a skeleton-keyed capped self-join (the
+        # minhash_lsh_pairs bucket-join discipline, keyed on url
+        # structure instead of bands)
+        "bitext_candidates": q_bitext_candidates,
+        # novelty attribution — the _SHINGLES grammar of tier-1
+        # ngram_jaccard_lsh with a combinable min + co-partitioned
+        # attribution join (word_freq's agg family)
+        "novelty_scores": q_novelty_scores,
         # bibliographic coupling — cocitation on the transposed edges,
         # max_in hot-target cap
         "bibliographic_coupling": q_bibliographic_coupling,
         # KMV distinct sketch — mergeable cardinality state, exact
         # integer estimator, WindowGroupLimit-bounded shuffle
         "kmv_distinct": q_kmv_distinct,
+        # count-min sketch state + heavy hitters — the frequency
+        # sibling of kmv/hll: bounded literal probe array (the
+        # path_prefix_census fan-out rule) into one combinable sum;
+        # lookup joins the broadcast sketch
+        "cms_sketch": q_cms_sketch,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         # HLL register table — the sketch state itself in exact
         # integers (rank via length(bin(x)), never float log2)
         "hll_registers": q_hll_registers,
@@ -8837,6 +8975,127 @@ FROM documents)
                    (n_pages * 10000) // hp AS host_share_bp
             FROM agg JOIN tot ON agg.host = tot.host
         """,
+        # path_prefix_census: unrolled depth branches (one UNION ALL
+        # arm per depth 0..3) mirror the engine's bounded literal
+        # prefix array; trailing-slash and query-string folds shared
+        # with the path_templates grammar above
+        "path_prefix_census": r"""
+            WITH pages AS (
+              SELECT 'https://s' || (doc_id % 4) || '.example' ||
+                CASE WHEN doc_id % 10 = 0 THEN '/'
+                     WHEN doc_id % 3 = 0
+                       THEN '/docs/guide/ch' || (doc_id % 7)
+                            || '/sec' || doc_id
+                     WHEN doc_id % 3 = 1
+                       THEN '/blog/' || (doc_id % 5) || '?page=' || doc_id
+                     ELSE '/about' END AS url
+              FROM documents
+            ),
+            p AS (
+              SELECT lower(regexp_replace(regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+                         ':\d+$', '')) AS host,
+                     CASE WHEN regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) = ''
+                       THEN '/'
+                       ELSE regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1)
+                       END AS path
+              FROM pages
+            ),
+            s AS (SELECT host,
+                         list_filter(string_split(path, '/'), x -> x <> '')
+                             AS ss
+                  FROM p),
+            pr AS (
+              SELECT host, 0 AS depth, '/' AS prefix FROM s
+              UNION ALL
+              SELECT host, 1, '/' || ss[1] FROM s WHERE len(ss) >= 1
+              UNION ALL
+              SELECT host, 2, '/' || ss[1] || '/' || ss[2]
+              FROM s WHERE len(ss) >= 2
+              UNION ALL
+              SELECT host, 3, '/' || ss[1] || '/' || ss[2] || '/' || ss[3]
+              FROM s WHERE len(ss) >= 3
+            )
+            SELECT host, depth, prefix, count(*)::BIGINT AS n_pages
+            FROM pr GROUP BY 1, 2, 3
+        """,
+        # bitext_candidates: same url synthesis, host/path grammar and
+        # the (?i)-inline lang-segment regex (RE2 has no lookbehind, so
+        # the pattern consumes the slashes and restores the trailing
+        # one via \2 — Java does the same via $2; both engines scan
+        # left-to-right non-overlapping)
+        "bitext_candidates": rf"""
+            WITH pg AS (
+              SELECT doc_id AS did, doc_id // 2 AS base,
+                     CASE WHEN doc_id % 2 = 0 THEN 'en'
+                          WHEN doc_id % 4 = 1 THEN 'fr'
+                          ELSE 'de' END AS lg
+              FROM documents
+            ),
+            u AS (
+              SELECT 'https://s' || (base % 3) || '.example' ||
+                CASE WHEN did % 10 = 0 THEN '/plain/p' || did
+                     WHEN base % 13 = 0 THEN '/' || lg || '/hub?sid=' || did
+                     ELSE '/' || lg || '/art' || base END AS url
+              FROM pg
+            ),
+            p AS (
+              SELECT url,
+                     lower(regexp_replace(regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+                         ':\d+$', '')) AS host,
+                     CASE WHEN regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) = ''
+                       THEN '/'
+                       ELSE regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1)
+                       END AS path
+              FROM u
+            ),
+            l AS (
+              SELECT url,
+                     lower(regexp_extract(path,
+                         '(?i)/({BITEXT_LANG_ALT})(?:-[A-Za-z]{{2}})?(/|$)',
+                         1)) AS lang,
+                     host || regexp_replace(path,
+                         '(?i)/({BITEXT_LANG_ALT})(?:-[A-Za-z]{{2}})?(/|$)',
+                         '/{{lang}}\2', 'g') AS skeleton
+              FROM p
+            ),
+            d AS (SELECT DISTINCT skeleton, lang, url FROM l
+                  WHERE lang <> ''),
+            keep AS (SELECT skeleton FROM d GROUP BY 1
+                     HAVING count(*) BETWEEN 2 AND 8),
+            d2 AS (SELECT d.* FROM d JOIN keep USING (skeleton))
+            SELECT a.skeleton, a.lang AS lang_a, a.url AS url_a,
+                   b.lang AS lang_b, b.url AS url_b
+            FROM d2 a JOIN d2 b
+              ON a.skeleton = b.skeleton AND a.url < b.url
+             AND a.lang <> b.lang
+        """,
+        # novelty_scores: the shared _SHINGLES grammar, shingle -> min
+        # doc_id attribution, LEFT JOIN keeps shingle-less docs with
+        # NULL novelty_bp in both engines
+        "novelty_scores": f"""
+            {_SHINGLES_SQL}
+            , fst AS (SELECT shingle, min(doc_id) AS f FROM sh2
+                      GROUP BY 1),
+            pd AS (
+              SELECT doc_id, count(*)::BIGINT AS n_shingles,
+                     sum(CASE WHEN doc_id = f THEN 1 ELSE 0 END)::BIGINT
+                         AS n_novel
+              FROM sh2 JOIN fst USING (shingle) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(pd.n_shingles, 0)::BIGINT AS n_shingles,
+                   coalesce(pd.n_novel, 0)::BIGINT AS n_novel,
+                   CASE WHEN pd.n_shingles > 0
+                        THEN (pd.n_novel * 10000) // pd.n_shingles
+                   END AS novelty_bp
+            FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
         # bibliographic coupling: the cocitation oracle verbatim on the
         # TRANSPOSED distinct edge set (src/dst swapped in e), cap 15
         "bibliographic_coupling": """
@@ -8903,6 +9162,74 @@ FROM documents)
             )
             SELECT lang, bucket, max(rho) AS register
             FROM br GROUP BY 1, 2
+        """,
+        # cms_sketch: one UNION ALL arm per depth row (the bounded
+        # literal probe array unrolled), md5-32 % width bucketing
+        # identical to _hash32; "row" quoted (DuckDB keyword)
+        "cms_sketch": r"""
+            WITH w AS (
+              SELECT lang, unnest(regexp_split_to_array(lower(text), '\W+')) AS word
+              FROM documents
+            ),
+            k AS (SELECT lang, word FROM w WHERE word <> ''),
+            p AS (
+              SELECT lang, 0 AS "row",
+                     (('0x' || substr(md5('cms0|' || word), 1, 8))::BIGINT % 16)::INT AS bucket
+              FROM k
+              UNION ALL
+              SELECT lang, 1,
+                     (('0x' || substr(md5('cms1|' || word), 1, 8))::BIGINT % 16)::INT
+              FROM k
+              UNION ALL
+              SELECT lang, 2,
+                     (('0x' || substr(md5('cms2|' || word), 1, 8))::BIGINT % 16)::INT
+              FROM k
+            )
+            SELECT lang, "row", bucket, count(*)::BIGINT AS cnt
+            FROM p GROUP BY 1, 2, 3
+        """,
+        # cms_heavy_hitters: the ungrouped sketch, probed for every
+        # distinct word, min over the 3 rows, threshold 900 — the
+        # one-sided overcount surfaces identically in both engines
+        "cms_heavy_hitters": r"""
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(lower(text), '\W+')) AS word
+              FROM documents
+            ),
+            k AS (SELECT word FROM w WHERE word <> ''),
+            p AS (
+              SELECT 0 AS "row",
+                     (('0x' || substr(md5('cms0|' || word), 1, 8))::BIGINT % 16)::INT AS bucket
+              FROM k
+              UNION ALL
+              SELECT 1,
+                     (('0x' || substr(md5('cms1|' || word), 1, 8))::BIGINT % 16)::INT
+              FROM k
+              UNION ALL
+              SELECT 2,
+                     (('0x' || substr(md5('cms2|' || word), 1, 8))::BIGINT % 16)::INT
+              FROM k
+            ),
+            sk AS (SELECT "row", bucket, count(*)::BIGINT AS cnt
+                   FROM p GROUP BY 1, 2),
+            dk AS (SELECT DISTINCT word FROM k),
+            probes AS (
+              SELECT word, 0 AS "row",
+                     (('0x' || substr(md5('cms0|' || word), 1, 8))::BIGINT % 16)::INT AS bucket
+              FROM dk
+              UNION ALL
+              SELECT word, 1,
+                     (('0x' || substr(md5('cms1|' || word), 1, 8))::BIGINT % 16)::INT
+              FROM dk
+              UNION ALL
+              SELECT word, 2,
+                     (('0x' || substr(md5('cms2|' || word), 1, 8))::BIGINT % 16)::INT
+              FROM dk
+            )
+            SELECT word, min(coalesce(sk.cnt, 0))::BIGINT AS est
+            FROM probes LEFT JOIN sk USING ("row", bucket)
+            GROUP BY word
+            HAVING min(coalesce(sk.cnt, 0)) >= 900
         """,
         "phrase_search": r"""
             WITH post AS (

@@ -195,8 +195,13 @@ HEADLINE = [
     "containment_pairs",
     "char_entropy",
     "path_templates",
+    "path_prefix_census",
+    "bitext_candidates",
+    "novelty_scores",
     "bibliographic_coupling",
     "kmv_distinct",
+    "cms_sketch",
+    "cms_heavy_hitters",
     "hll_registers",
     "phrase_search",
     "ranking_auc",

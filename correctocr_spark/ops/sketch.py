@@ -261,3 +261,219 @@ def hll_estimate(
         zeros.alias("zero_registers"),
         F.round(est).cast("long").alias("est_distinct"),
     )
+
+
+def cms_table(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Union[str, Sequence[str], None] = None,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: Optional[str] = None,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch state: per group, a ``depth x width`` counter
+    table as rows ``(groups..., row, bucket, cnt)``.
+
+    The frequency-counting sibling of the cardinality sketches above:
+    exact per-key counts over a web-scale key domain (shingles, urls,
+    query terms) shuffle EVERY key; the CMS shuffles at most
+    ``depth * width`` combinable counters per group and answers point
+    queries with the classic one-sided guarantee — estimates never
+    undercount, and overcount by <= eps * total mass with probability
+    1 - delta at ``width = ceil(e/eps)``, ``depth = ceil(ln 1/delta)``
+    (Cormode & Muthukrishnan 2005).
+
+    Determinism contract as the module header: row ``i`` buckets by
+    ``md5('{salt}{i}|' || key)`` truncated to 32 bits, mod ``width`` —
+    bit-identical in DuckDB, so the sketch table itself is oracled.
+    ``weight_col`` (optional, integer) makes it a weighted CMS
+    (byte mass, token mass); default weight 1 counts occurrences.
+
+    Mergeable by construction: the union's sketch is the (row, bucket)
+    SUM of the parts' sketches (pinned by
+    tests/test_sketch_ops.py::TestCms::test_merge_equals_union).
+
+    Scale (100 TB): one depth-bounded literal struct array explodes
+    (``depth`` rows per input row — the bounded-fan-out rule of
+    path_prefix_census, never a data-dependent Generate) into ONE
+    combinable groupBy sum; map-side partials collapse hot keys before
+    the Exchange, and the aggregate is hard-bounded at
+    ``depth * width`` rows per group.
+    """
+    if depth < 1:
+        raise ValueError(f"cms_table needs depth >= 1, got {depth}")
+    if width < 2:
+        raise ValueError(f"cms_table needs width >= 2, got {width}")
+    gs = _groups(group_cols)
+    wt = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (_hash32(F.col(key_col), f"{salt}{i}") % width)
+                .cast("int")
+                .alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    d = ensure_parallelism(df).select(
+        *gs, F.explode(probes).alias("_p"), wt.alias("_w")
+    )
+    return (
+        d.groupBy(*gs, F.col("_p.row").alias("row"), F.col("_p.bucket").alias("bucket"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    group_cols: Union[str, Sequence[str], None] = None,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query a :func:`cms_table` sketch for each distinct key in
+    ``keys``: ``est = min over rows of cnt[row][bucket_row(key)]``,
+    0 for keys whose probes all miss (LEFT join keeps them — a key the
+    sketch never saw reports 0, not NULL).
+
+    ``depth``/``width``/``salt`` must match the sketch's build
+    parameters — they define the probe grammar.
+
+    Scale: the probe side explodes ``depth`` rows per distinct key and
+    joins the sketch on ``(groups, row, bucket)``; the sketch side is
+    <= depth * width rows per group, so Spark broadcasts it and the
+    probe never shuffles — only the final per-key min aggregates
+    (combinable, ``depth`` rows per key). For a zero-shuffle row-local
+    form over an ungrouped sketch see :func:`cms_lookup_local`.
+    """
+    if depth < 1:
+        raise ValueError(f"cms_lookup needs depth >= 1, got {depth}")
+    gs = _groups(group_cols)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (_hash32(F.col("_key"), f"{salt}{i}") % width)
+                .cast("int")
+                .alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    k = (
+        ensure_parallelism(keys)
+        .select(*gs, F.col(key_col).alias("_key"))
+        .distinct()
+        .select(*gs, "_key", F.explode(probes).alias("_p"))
+        .select(
+            *gs,
+            "_key",
+            F.col("_p.row").alias("row"),
+            F.col("_p.bucket").alias("bucket"),
+        )
+    )
+    joined = k.join(F.broadcast(cms), on=gs + ["row", "bucket"], how="left")
+    return (
+        joined.groupBy(*gs, "_key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+        .select(*gs, F.col("_key").alias(key_col), "est")
+    )
+
+
+def cms_lookup_local(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Zero-shuffle point lookup over an UNGROUPED sketch: the
+    ``depth x width`` counter table is collected once (bounded by the
+    sketch parameters — the same documented-bounded-collect rule as
+    pack_shards' bucket offsets) into a dense integer literal, and the
+    estimate is row-local ``least`` over ``element_at`` probes — the
+    production shape for scoring a firehose of keys against a small
+    broadcast sketch without a join or an aggregate.
+
+    Value-identical to :func:`cms_lookup` on the same sketch (pinned by
+    tests/test_sketch_ops.py::TestCms::test_local_equals_join); keys
+    are NOT deduplicated here (row-local means one output row per
+    input row).
+    """
+    if depth < 1:
+        raise ValueError(f"cms_lookup_local needs depth >= 1, got {depth}")
+    if depth * width > 1_000_000:
+        raise ValueError(
+            f"cms_lookup_local collects depth*width = {depth * width} "
+            "counters into a literal; that is past the documented bound "
+            "(1e6) — use cms_lookup's broadcast join instead"
+        )
+    extra = [c for c in cms.columns if c not in ("row", "bucket", "cnt")]
+    if extra:
+        raise ValueError(
+            f"cms_lookup_local needs an ungrouped sketch; found extra "
+            f"columns {extra} — use cms_lookup with group_cols"
+        )
+    dense = [[0] * width for _ in range(depth)]
+    for r in cms.collect():  # bounded: depth * width rows max
+        dense[r["row"]][r["bucket"]] = r["cnt"]
+    table = F.array(
+        *[
+            F.array(*[F.lit(int(c)).cast("long") for c in dense[i]])
+            for i in range(depth)
+        ]
+    )
+    est = F.least(
+        *[
+            F.element_at(
+                F.element_at(table, i + 1),
+                (_hash32(F.col(key_col), f"{salt}{i}") % width).cast("int") + 1,
+            )
+            for i in range(depth)
+        ]
+    )
+    return ensure_parallelism(keys).withColumn("est", est.cast("long"))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: Optional[str] = None,
+    salt: str = "cms",
+) -> DataFrame:
+    """Keys whose CMS estimate reaches ``threshold``: build the sketch,
+    probe every distinct key, keep ``est >= threshold``. One-sided by
+    the CMS guarantee — no true heavy hitter is ever missed; the
+    overcount can admit near-threshold impostors (that is the eps
+    tradeoff, sized by ``width``).
+
+    Enumerating distinct keys is the SMALL-DICTIONARY demo form (at
+    10^12 rows you don't re-enumerate the key domain you sketched to
+    avoid): production probes a bounded CANDIDATE stream — the current
+    increment's new keys, a dashboard's watchlist — against the
+    broadcast sketch via :func:`cms_lookup` / :func:`cms_lookup_local`,
+    which is exactly what this composition does with ``df``'s own
+    distinct keys as the candidates.
+
+    Returns ``(key_col, est)``.
+    """
+    sketch = cms_table(
+        df, key_col, depth=depth, width=width, weight_col=weight_col, salt=salt
+    )
+    looked = cms_lookup(
+        sketch, df.select(key_col), key_col, depth=depth, width=width, salt=salt
+    )
+    return looked.where(F.col("est") >= int(threshold))

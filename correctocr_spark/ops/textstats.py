@@ -2259,3 +2259,81 @@ def threshold_calibration(
         )
         .select(*gs, "n_docs", "cutoff", "kept_bp_actual")
     )
+
+
+def novelty_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """First-occurrence shingle ATTRIBUTION: how much of each document
+    is new to the corpus when documents are taken in ``id_col`` order
+    (crawl/arrival order for a snapshot keyed by ingest id). Every
+    distinct word ``k``-shingle is attributed to the smallest doc id
+    containing it; a document's novelty is the share of its shingles it
+    introduces. The curriculum/marginal-value signal exact dedup can't
+    give: a page can be 0% exact-duplicate yet 2% novel (boilerplate +
+    quotes + syndicated fragments), and a crawl's novelty CURVE over
+    arrival order is the diminishing-returns diagnostic that decides
+    when another snapshot stops paying for itself.
+
+    Shingle universe shared with the MinHash/Jaccard suite
+    (:func:`~.dedup.shingles_col` — distinct, whitespace words; a doc
+    with fewer than ``k`` words contributes its whole word sequence as
+    one shingle, per the shared grammar). Every input document is
+    returned: shingle-less docs (empty/whitespace text) get
+    ``n_shingles = n_novel = 0`` and NULL ``novelty_bp``, deciding
+    nothing rather than faking 0% or 100%.
+
+    Returns ``(doc_id, n_shingles, n_novel, novelty_bp)``,
+    ``novelty_bp`` = floored bp share — all-integer, oracle-hash-exact.
+
+    Scale (100 TB): one explode into a (shingle → min id) aggregate —
+    combinable, map-side partials, the word_freq shape on a bigger
+    dictionary; the attribution join back runs co-partitioned on the
+    same shingle key; then one doc-keyed count. Hot shingles
+    (boilerplate) concentrate COUNT mass but min() partials collapse
+    them map-side; no self-joins, no windows over the corpus.
+    """
+    from .cache import register_intermediates
+    from .dedup import shingles_col
+
+    if k < 1:
+        raise ValueError(f"novelty_scores needs k >= 1, got {k}")
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), shingles_col(text_col, k=k).alias("_sh")
+    )
+    # the fan-out table feeds BOTH the min-agg and the attribution
+    # join — persist+count (the ngram_jaccard fan-out rule) so the
+    # shingle generation runs once; caller releases via
+    # cache.release_intermediates
+    exploded = base.select("doc_id", F.explode("_sh").alias("shingle")).persist()
+    exploded.count()
+    first = exploded.groupBy("shingle").agg(F.min("doc_id").alias("_first"))
+    per_doc = (
+        exploded.join(first, on="shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("_first"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    out = (
+        base.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.expr("CAST((n_novel * 10000) div n_shingles AS BIGINT)"),
+            ).alias("novelty_bp"),
+        )
+    )
+    return register_intermediates(out, exploded)

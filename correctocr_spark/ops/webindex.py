@@ -1630,3 +1630,167 @@ def _re_split_words(phrase: str):
     import re
 
     return [w for w in re.split(r"\W+", phrase.lower()) if w]
+
+
+def path_prefix_census(
+    pages: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 3,
+    min_pages: int = 1,
+) -> DataFrame:
+    """Per-host PATH-HIERARCHY rollup: page counts at every path prefix
+    up to ``max_depth`` (``/``, ``/a``, ``/a/b``, …) — the site-structure
+    census a crawl budgeter allocates against (which sections of a host
+    hold the mass, where a depth cap should bite) and the zoom-out
+    companion of :func:`path_templates` (which collapses parametric
+    LEAVES; this aggregates the TREE).
+
+    Row-local: host + path split once, a depth-bounded literal array of
+    prefixes explodes (≤ max_depth+1 rows per page — bounded fan-out,
+    unlike an unbounded per-segment explode), then ONE combinable
+    (host, depth, prefix) count. Query/fragment stripped; empty path is
+    ``/`` at depth 0; deeper pages still count toward every ancestor
+    prefix they pass through.
+
+    Returns ``(host, depth, prefix, n_pages)``.
+    """
+    if max_depth < 1:
+        raise ValueError(f"path_prefix_census needs max_depth >= 1, got {max_depth}")
+    from .filters import host_col as _host_col
+
+    raw = F.regexp_extract(F.col(url_col), _PATH_ONLY_RE, 1)
+    path = F.when(raw == "", F.lit("/")).otherwise(raw)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    prefixes = [F.struct(F.lit(0).alias("depth"), F.lit("/").alias("prefix"))]
+    for d in range(1, max_depth + 1):
+        prefixes.append(
+            F.when(
+                F.size(segs) >= d,
+                F.struct(
+                    F.lit(d).alias("depth"),
+                    F.concat(
+                        F.lit("/"), F.concat_ws("/", F.slice(segs, 1, d))
+                    ).alias("prefix"),
+                ),
+            )
+        )
+    arr = F.filter(F.array(*prefixes), lambda p: p.isNotNull())
+    d = ensure_parallelism(pages).select(
+        _host_col(url_col).alias("host"), F.explode(arr).alias("_p")
+    )
+    return (
+        d.groupBy(
+            "host",
+            F.col("_p.depth").alias("depth"),
+            F.col("_p.prefix").alias("prefix"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+        .where(F.col("n_pages") >= int(min_pages))
+    )
+
+
+#: Default language-code whitelist for :func:`bitext_candidates`.
+#: A CLOSED list, not ``[a-z]{2}`` — two-letter path segments are
+#: usually English words (``/to/``, ``/on/``, ``/id/``…); the listed
+#: codes are the ones that actually appear as URL language markers.
+#: ``id``/``no``/``is`` style collisions are the standard tradeoff and
+#: stay out of the default list on purpose.
+BITEXT_LANGS = (
+    "en", "fr", "de", "es", "it", "pt", "nl", "ru", "ja", "zh", "ko",
+    "ar", "pl", "tr", "sv", "da", "fi", "cs", "el", "hu", "ro", "uk",
+    "vi", "th",
+)
+
+
+def bitext_candidates(
+    pages: DataFrame,
+    url_col: str = "url",
+    langs: tuple = BITEXT_LANGS,
+    max_variants: int = 8,
+) -> DataFrame:
+    """URL-structure parallel-document mining (the ParaCrawl/CCMatrix
+    candidate stage): sites publish translations at URLs differing only
+    in a language path segment (``/en/about`` ↔ ``/fr/about``), so
+    replacing every whitelisted language segment with ``{lang}`` yields
+    a SKELETON key under which translation candidates collide — no
+    content comparison, no embedding model, just the URL grammar. The
+    output pairs feed a downstream aligner; this op's job is recall
+    with a bounded join.
+
+    Semantics (identical in the DuckDB oracle): path extracted
+    query-free (the shared ``_PATH_ONLY_RE`` grammar), language
+    segments matched case-insensitively between slashes with an
+    optional ``-XX`` region suffix (``/en-US/`` → lang ``en`` — region
+    variants collapse to one language, so en-US↔en-GB pairs are
+    excluded as same-language), ``url_lang`` = the FIRST match,
+    skeleton = host + path with ALL matches replaced (left-to-right
+    non-overlapping in both engines). Pages with no language segment
+    don't participate. Skeletons with fewer than 2 or more than
+    ``max_variants`` distinct urls are dropped — the lower bound is
+    definitional, the upper is the hot-bucket law (a query-string trap
+    maps unboundedly many urls onto one skeleton; its pairs are
+    garbage and its join is quadratic).
+
+    Returns ``(skeleton, lang_a, url_a, lang_b, url_b)`` with
+    ``url_a < url_b`` and ``lang_a <> lang_b``.
+
+    Scale (100 TB): host/path/lang/skeleton are row-local regex
+    algebra at scan speed; one distinct + count into the skeleton key,
+    then the self-join runs co-partitioned on the same key with
+    per-skeleton fan-out ≤ ``max_variants`` — candidate volume is
+    O(pages · max_variants), never quadratic in a skeleton's bucket.
+    """
+    if max_variants < 2:
+        raise ValueError(
+            f"bitext_candidates needs max_variants >= 2, got {max_variants}"
+        )
+    for code in langs:
+        if not (code.isascii() and code.isalpha() and code.islower()):
+            raise ValueError(f"bad language code {code!r}")
+    from .filters import host_col as _host_col
+
+    seg = "(?i)/(" + "|".join(langs) + r")(?:-[A-Za-z]{2})?(/|$)"
+    raw = F.regexp_extract(F.col(url_col), _PATH_ONLY_RE, 1)
+    path = F.when(raw == "", F.lit("/")).otherwise(raw)
+    lang = F.lower(F.regexp_extract(path, seg, 1))
+    skeleton = F.concat(
+        _host_col(url_col), F.regexp_replace(path, seg, r"/{lang}$2")
+    )
+    from .cache import register_intermediates
+
+    d = (
+        ensure_parallelism(pages)
+        .select(
+            skeleton.alias("skeleton"),
+            lang.alias("_lang"),
+            F.col(url_col).alias("_url"),
+        )
+        .where(F.col("_lang") != "")
+        .distinct()
+        .persist()
+    )
+    # three consumers (the keep agg + both self-join sides) would each
+    # recompute the scan+distinct subtree — same rule as host_mirrors'
+    # signature table; caller releases via cache.release_intermediates
+    d.count()
+    keep = (
+        d.groupBy("skeleton")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where((F.col("_n") >= 2) & (F.col("_n") <= int(max_variants)))
+        .select("skeleton")
+    )
+    d2 = d.join(keep, on="skeleton")
+    a, b = d2.alias("a"), d2.alias("b")
+    out = a.join(
+        b,
+        (F.col("a.skeleton") == F.col("b.skeleton"))
+        & (F.col("a._url") < F.col("b._url"))
+        & (F.col("a._lang") != F.col("b._lang")),
+    ).select(
+        F.col("a.skeleton").alias("skeleton"),
+        F.col("a._lang").alias("lang_a"),
+        F.col("a._url").alias("url_a"),
+        F.col("b._lang").alias("lang_b"),
+        F.col("b._url").alias("url_b"),
+    )
+    return register_intermediates(out, d)

@@ -395,6 +395,17 @@ def test_oracled_queries_precede_rows_only():
         # path templates — url_features' row-local url regex algebra
         # plus one keyed count agg (word_freq's verified shape)
         "path_templates",
+        # path-prefix census — path_templates' host/path grammar with a
+        # depth-bounded literal prefix array; the count agg is
+        # word_freq's verified shape
+        "path_prefix_census",
+        # bitext mining — url_canonical/path_templates' url grammar
+        # feeding a skeleton-keyed capped self-join (the
+        # minhash_lsh_pairs bucket discipline on url structure)
+        "bitext_candidates",
+        # novelty attribution — tier-1 ngram_jaccard_lsh's _SHINGLES
+        # grammar + word_freq's combinable min/count agg family
+        "novelty_scores",
         # bibliographic coupling — literally cocitation (tier-2 green)
         # on a reversed projection; no new join machinery
         "bibliographic_coupling",
@@ -402,6 +413,11 @@ def test_oracled_queries_precede_rows_only():
         # train_shuffle/fingerprint plus topk_per_group's verified
         # row_number window (WindowGroupLimit) over distinct hashes
         "kmv_distinct",
+        # count-min sketch + heavy hitters — kmv/hll's md5-32 keying
+        # with path_prefix_census' bounded literal-array fan-out into
+        # word_freq's combinable count shape
+        "cms_sketch",
+        "cms_heavy_hitters",
         # HLL register table — the same md5-32 keying, registers via
         # exact integer length(bin(x)) algebra + one groupBy max
         # (word_freq's combinable-agg shape)

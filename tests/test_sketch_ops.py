@@ -742,3 +742,192 @@ class TestThresholdCalibration:
         df = spark.range(5).select(F.col("id").alias("q"))
         with pytest.raises(ValueError):
             threshold_calibration(df, "q", 0)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _md5_32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _cms_simulate(pairs, depth, width, salt="cms"):
+    """pairs: (key, weight). Returns {(row, bucket): cnt} and the exact
+    per-key totals."""
+    from collections import Counter
+
+    sketch = Counter()
+    exact = Counter()
+    for key, w in pairs:
+        exact[key] += w
+        for i in range(depth):
+            sketch[(i, _md5_32(f"{salt}{i}|{key}") % width)] += w
+    return dict(sketch), dict(exact)
+
+
+class TestCms:
+    PAIRS = [("alpha", 1)] * 7 + [("beta", 1)] * 3 + [
+        ("gamma", 1),
+        ("delta", 1),
+        ("delta", 1),
+    ] + [(f"tail{i}", 1) for i in range(20)]
+
+    def _df(self, spark, pairs):
+        return spark.createDataFrame(pairs, "key string, w long")
+
+    def test_table_matches_simulation(self, spark):
+        from correctocr_spark.ops.sketch import cms_table
+
+        got = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cms_table(
+                self._df(spark, self.PAIRS), "key", depth=3, width=16
+            ).collect()
+        }
+        want, _ = _cms_simulate(self.PAIRS, depth=3, width=16)
+        assert got == want
+
+    def test_weighted_and_grouped(self, spark):
+        from correctocr_spark.ops.sketch import cms_table
+
+        pairs = [("a", "x", 5), ("a", "y", 2), ("b", "x", 7)]
+        df = spark.createDataFrame(pairs, "grp string, key string, w long")
+        got = {
+            (r["grp"], r["row"], r["bucket"]): r["cnt"]
+            for r in cms_table(
+                df, "key", group_cols="grp", depth=2, width=8, weight_col="w"
+            ).collect()
+        }
+        for grp in ("a", "b"):
+            want, _ = _cms_simulate(
+                [(k, w) for g, k, w in pairs if g == grp], depth=2, width=8
+            )
+            assert {(r, b): c for (g, r, b), c in got.items() if g == grp} == want
+
+    def test_merge_equals_union(self, spark):
+        from correctocr_spark.ops.sketch import cms_table
+
+        half = len(self.PAIRS) // 2
+        a = cms_table(self._df(spark, self.PAIRS[:half]), "key", depth=3, width=16)
+        b = cms_table(self._df(spark, self.PAIRS[half:]), "key", depth=3, width=16)
+        merged = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in a.unionByName(b)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        full = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cms_table(
+                self._df(spark, self.PAIRS), "key", depth=3, width=16
+            ).collect()
+        }
+        assert merged == full
+
+    def test_lookup_never_undercounts_and_exact_when_wide(self, spark):
+        from correctocr_spark.ops.sketch import cms_lookup, cms_table
+
+        df = self._df(spark, self.PAIRS)
+        _, exact = _cms_simulate(self.PAIRS, depth=3, width=16)
+        # narrow sketch: collisions may overcount, never undercount
+        sk = cms_table(df, "key", depth=3, width=16)
+        got = {
+            r["key"]: r["est"]
+            for r in cms_lookup(sk, df.select("key"), "key", depth=3, width=16).collect()
+        }
+        assert set(got) == set(exact)
+        assert all(got[k] >= exact[k] for k in exact)
+        # wide sketch: no collisions at this cardinality -> exact
+        wide = cms_table(df, "key", depth=4, width=4096)
+        got_w = {
+            r["key"]: r["est"]
+            for r in cms_lookup(
+                wide, df.select("key"), "key", depth=4, width=4096
+            ).collect()
+        }
+        assert got_w == exact
+
+    def test_absent_key_reports_zero_or_collision(self, spark):
+        from correctocr_spark.ops.sketch import cms_lookup, cms_table
+
+        df = self._df(spark, self.PAIRS)
+        sk = cms_table(df, "key", depth=4, width=4096)
+        probe = spark.createDataFrame([("neverseen",)], "key string")
+        [r] = cms_lookup(sk, probe, "key", depth=4, width=4096).collect()
+        assert r["est"] == 0  # all four probes miss at this width
+
+    def test_local_equals_join(self, spark):
+        from correctocr_spark.ops.sketch import cms_lookup, cms_lookup_local, cms_table
+
+        df = self._df(spark, self.PAIRS)
+        sk = cms_table(df, "key", depth=3, width=16)
+        keys = df.select("key").distinct()
+        join_form = {
+            r["key"]: r["est"]
+            for r in cms_lookup(sk, keys, "key", depth=3, width=16).collect()
+        }
+        local_form = {
+            r["key"]: r["est"]
+            for r in cms_lookup_local(sk, keys, "key", depth=3, width=16).collect()
+        }
+        assert local_form == join_form
+
+    def test_local_plan_has_no_join_or_shuffle(self, spark):
+        from correctocr_spark.ops.sketch import cms_lookup_local, cms_table
+
+        df = self._df(spark, self.PAIRS)
+        sk = cms_table(df, "key", depth=2, width=8)
+        keys = spark.range(50).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key")
+        )
+        plan = (
+            cms_lookup_local(sk, keys, "key", depth=2, width=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan and "Exchange" not in plan
+
+    def test_heavy_hitters_one_sided(self, spark):
+        from correctocr_spark.ops.sketch import cms_heavy_hitters
+
+        df = self._df(spark, self.PAIRS)
+        _, exact = _cms_simulate(self.PAIRS, depth=3, width=16)
+        got = {
+            r["key"]: r["est"]
+            for r in cms_heavy_hitters(
+                df, "key", threshold=3, depth=3, width=16
+            ).collect()
+        }
+        # every true heavy hitter present (no false negatives)
+        for k, n in exact.items():
+            if n >= 3:
+                assert k in got and got[k] >= n
+        # impostors only via collision, still >= their exact count
+        assert all(got[k] >= exact[k] for k in got)
+
+    def test_bad_params_raise(self, spark):
+        from correctocr_spark.ops.sketch import (
+            cms_lookup,
+            cms_lookup_local,
+            cms_table,
+        )
+
+        df = self._df(spark, self.PAIRS[:2])
+        with pytest.raises(ValueError):
+            cms_table(df, "key", depth=0)
+        with pytest.raises(ValueError):
+            cms_table(df, "key", width=1)
+        with pytest.raises(ValueError):
+            cms_lookup(df, df, "key", depth=0)
+        with pytest.raises(ValueError):
+            cms_lookup_local(df.select("key"), df, "key", depth=2, width=600_000)
+        grouped = df.select(F.lit("g").alias("grp"), F.lit(0).alias("row"),
+                            F.lit(0).alias("bucket"), F.lit(1).alias("cnt"))
+        with pytest.raises(ValueError):
+            cms_lookup_local(grouped, df, "key")

@@ -3911,6 +3911,46 @@ def q_threshold_calibration(spark, sf_dir):
     return threshold_calibration(sc, "q", 3000, group_cols="lang")
 
 
+def q_neighbor_sample(spark, sf_dir):
+    """Deterministic k=7 out-neighbor sampling (the GraphSAGE fan-out /
+    crawl-frontier per-host cap) over a 20-source × 97-target link mix
+    — hash-ordered so the sample is retry-stable and oracle-checkable;
+    WindowGroupLimit keeps the per-src shuffle at k rows."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import neighbor_sample
+
+    did = F.col("doc_id")
+    edges = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("s"), (did % 20).cast("string")).alias("src"),
+        F.concat(F.lit("d"), (did % 97).cast("string")).alias("dst"),
+    )
+    return neighbor_sample(edges, k=7)
+
+
+def q_rp_project(spark, sf_dir):
+    """Signed random projection 64→8 over the embeddings table —
+    micro-quantized before the signed sums so every output is an exact
+    int64; the ±1 matrix is md5-derived, and the DuckDB oracle
+    re-derives it from the same md5 expression (no shipped artifact)."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import rp_project
+
+    return rp_project(_t(spark, sf_dir, "embeddings"), dim_in=64, dim_out=8)
+
+
+def q_novelty_curve(spark, sf_dir):
+    """Arrival-order novelty curve (50-doc buckets): per-bucket newly
+    introduced word 3-shingles + the cumulative distinct count — the
+    diminishing-returns signal for when another crawl snapshot stops
+    paying; the cumulative window runs on the BUCKET dimension only."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import novelty_curve
+
+    return novelty_curve(
+        _t(spark, sf_dir, "documents"), bucket_size=50, k=SHINGLE_K
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -4442,6 +4482,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         # keep-rate → threshold calibration — exact integer quantiles
         "threshold_calibration": q_threshold_calibration,
+        # bounded neighborhood sampling — hash-ordered WindowGroupLimit
+        "neighbor_sample": q_neighbor_sample,
+        # JL signed random projection — row-local integer sums
+        "rp_project": q_rp_project,
+        # corpus novelty curve — bucket-dimension cumulative window
+        "novelty_curve": q_novelty_curve,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -9537,6 +9583,60 @@ FROM documents)
             SELECT lang, max(_N)::BIGINT AS n_docs, max(_s)::BIGINT AS cutoff,
                    min((_cum * 10000) // _N)::BIGINT AS kept_bp_actual
             FROM ok GROUP BY 1
+        """,
+        # neighbor_sample: same md5 tiebreak-ordered row_number, k=7
+        "neighbor_sample": """
+            WITH e AS (
+              SELECT DISTINCT 's' || (doc_id % 20)::VARCHAR AS src,
+                     'd' || (doc_id % 97)::VARCHAR AS dst
+              FROM documents
+            ),
+            r AS (
+              SELECT src, dst,
+                     row_number() OVER (
+                       PARTITION BY src
+                       ORDER BY ('0x' || substr(md5('nbr|' || src || '|' || dst),
+                                 1, 8))::BIGINT, dst
+                     ) AS rnk
+              FROM e
+            )
+            SELECT src, dst, rnk::INTEGER AS rnk FROM r WHERE rnk <= 7
+        """,
+        # rp_project: the ±1 matrix re-derived from the same md5
+        # expression the Spark side's rp_signs uses — pins the
+        # no-shipped-artifact claim, not just the sums
+        "rp_project": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                         x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS qv
+              FROM embeddings
+            ),
+            t AS (
+              SELECT vec_id, j.range AS j,
+                     sum(CASE WHEN ('0x' || substr(md5('rp|' || j.range::VARCHAR
+                                || '|' || (i.range - 1)::VARCHAR), 1, 8))::BIGINT
+                                % 2 = 0
+                              THEN qv[i.range] ELSE -qv[i.range] END)::BIGINT
+                         AS comp
+              FROM q, range(0, 8) j, range(1, 65) i
+              GROUP BY 1, 2
+            )
+            SELECT vec_id, list(comp ORDER BY j) AS proj FROM t GROUP BY vec_id
+        """,
+        # novelty_curve: shingle→min(doc_id) attribution bucketed at 50
+        "novelty_curve": f"""
+            {_SHINGLES_SQL}
+            , fst AS (SELECT shingle, min(doc_id) AS f FROM sh2 GROUP BY 1),
+            nb AS (SELECT f // 50 AS bucket, count(*)::BIGINT AS new_shingles
+                   FROM fst GROUP BY 1),
+            bd AS (SELECT doc_id // 50 AS bucket, count(*)::BIGINT AS n_docs
+                   FROM documents GROUP BY 1)
+            SELECT bucket::BIGINT AS bucket, bd.n_docs,
+                   coalesce(nb.new_shingles, 0)::BIGINT AS new_shingles,
+                   (sum(coalesce(nb.new_shingles, 0))
+                        OVER (ORDER BY bucket))::BIGINT AS cum_shingles
+            FROM bd LEFT JOIN nb USING (bucket)
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

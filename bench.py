@@ -219,6 +219,9 @@ HEADLINE = [
     "rendezvous_assign",
     "psi_drift",
     "threshold_calibration",
+    "neighbor_sample",
+    "rp_project",
+    "novelty_curve",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -933,3 +933,56 @@ def anchor_entropy(
         )
         .where(F.col("n_links") >= int(min_links))
     )
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    salt: str = "nbr",
+) -> DataFrame:
+    """Deterministic bounded neighborhood sampling: at most ``k``
+    out-neighbors per source, chosen by md5 order — the GraphSAGE /
+    PinSAGE fan-out step that turns an unbounded adjacency into
+    fixed-budget training neighborhoods, and the same primitive that
+    caps a crawl frontier's per-host expansion. Hash-ordered rather
+    than random so the sample is retry-stable, partitioning-invariant
+    and oracle-checkable (the ``sample_stratified`` determinism rule);
+    varying ``salt`` yields independent re-samples for multi-epoch
+    training.
+
+    Returns ``(src, dst, rnk)`` with ``rnk`` 1..k in hash order —
+    downstream multi-hop sampling composes by joining ``dst`` back as
+    the next hop's ``src``.
+
+    Scale (100 TB of edges): distinct + one ``row_number() <= k``
+    window per src — Spark rewrites it to WindowGroupLimit, a map-side
+    partial top-k, so the shuffle carries at most k rows per src per
+    input partition even for celebrity nodes (the kmv_sketch shape;
+    pinned in tests/test_graph_extras.py).
+    """
+    if k < 1:
+        raise ValueError(f"neighbor_sample needs k >= 1, got {k}")
+    from pyspark.sql import Window
+
+    e = (
+        ensure_parallelism(edges)
+        .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col("src"), F.col("dst"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("src").orderBy(h.asc(), F.col("dst").asc())
+    return (
+        e.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= int(k))
+        .select("src", "dst", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -845,3 +845,78 @@ def embedding_outliers(
         joined.select("vec_id", "centroid_id", "d_micro", z.alias("z_milli"))
         .where(F.abs(F.col("z_milli")) >= int(z_milli_threshold))
     )
+
+
+def rp_signs(dim_in: int, dim_out: int, salt: str = "rp") -> List[List[int]]:
+    """The deterministic ±1 projection matrix behind :func:`rp_project`:
+    ``sign[j][i] = +1`` iff the 32-bit md5 of ``'{salt}|{j}|{i}'`` is
+    even — derivable identically in any engine (the DuckDB oracle
+    recomputes it from the same md5 expression, pinning this
+    derivation), so the projection needs no shipped model artifact."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{salt}|{j}|{i}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1
+            for i in range(dim_in)
+        ]
+        for j in range(dim_out)
+    ]
+
+
+def rp_project(
+    emb: DataFrame,
+    dim_in: int,
+    dim_out: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "rp",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Signed random projection (Achlioptas 2003 / Johnson-Lindenstrauss
+    with a ±1 matrix): compress ``dim_in`` float embeddings to
+    ``dim_out`` integer components, ``proj[j] = sum_i sign(j,i) *
+    round(v_i * scale)`` — the dimensionality-reduction front end that
+    makes downstream ANN / clustering / near-dup passes cheaper at
+    10^12 vectors while JL preserves pairwise distances to within the
+    standard (1 ± eps) bound at ``dim_out = O(log n / eps^2)``.
+
+    Components are micro-quantized BEFORE the signed sum (the
+    ``kmeans_step_stats`` move), so every output is an exact int64 —
+    reduction-order-independent and hash-identical cross-engine. The
+    sign matrix comes from :func:`rp_signs` (md5-derived constants, no
+    model artifact to ship). ``dim_in`` is an explicit parameter — the
+    package rule against driver-side data probes.
+
+    Returns ``(id_col, proj array<bigint> of length dim_out)``.
+
+    Scale: ENTIRELY row-local — one quantizing transform + dim_out
+    literal-signed sums over ``element_at``; no shuffle, no join, no
+    UDF (plan pinned Exchange-free in tests/test_similarity_extras.py).
+    """
+    if dim_in < 1 or dim_out < 1:
+        raise ValueError(
+            f"rp_project needs dim_in/dim_out >= 1, got {dim_in}/{dim_out}"
+        )
+    signs = rp_signs(dim_in, dim_out, salt=salt)
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda v: F.round(v * int(scale)).cast("long"),
+    )
+    d = ensure_parallelism(emb).select(F.col(id_col).alias(id_col), q.alias("_q"))
+    comps = []
+    for j in range(dim_out):
+        terms = [
+            F.element_at(F.col("_q"), i + 1)
+            if signs[j][i] > 0
+            else -F.element_at(F.col("_q"), i + 1)
+            for i in range(dim_in)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        comps.append(acc.cast("long"))
+    return d.select(id_col, F.array(*comps).alias("proj"))

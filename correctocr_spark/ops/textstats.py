@@ -2337,3 +2337,67 @@ def novelty_scores(
         )
     )
     return register_intermediates(out, exploded)
+
+
+def novelty_curve(
+    docs: DataFrame,
+    bucket_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """The corpus-level rollup of :func:`novelty_scores`: arrival-order
+    buckets of ``bucket_size`` docs, each reporting how many distinct
+    word ``k``-shingles it INTRODUCES and the cumulative distinct count
+    — the diminishing-returns curve that decides when another crawl
+    snapshot stops paying for itself (a flattening ``cum_shingles`` is
+    the stop signal; per-doc novelty can stay noisy long after the
+    aggregate has saturated).
+
+    A shingle belongs to the bucket of the smallest doc id containing
+    it (the :func:`novelty_scores` attribution). Every bucket with
+    documents appears, even with zero new shingles.
+
+    Returns ``(bucket, n_docs, new_shingles, cum_shingles)`` —
+    ``bucket = doc_id div bucket_size``; all-integer.
+
+    Scale: the shingle -> min(doc_id) aggregate is the combinable
+    word_freq shape; everything after runs on the BUCKET dimension
+    (corpus_size / bucket_size rows), where the cumulative window is
+    trivially safe — the corpus itself never meets a window.
+    """
+    from .dedup import shingles_col
+
+    if bucket_size < 1:
+        raise ValueError(f"novelty_curve needs bucket_size >= 1, got {bucket_size}")
+    if k < 1:
+        raise ValueError(f"novelty_curve needs k >= 1, got {k}")
+    from pyspark.sql import Window
+
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), shingles_col(text_col, k=k).alias("_sh")
+    )
+    per_bucket_docs = base.groupBy(
+        F.expr(f"doc_id div {int(bucket_size)}").cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    firsts = (
+        base.select("doc_id", F.explode("_sh").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.min("doc_id").alias("_first"))
+        .groupBy(
+            F.expr(f"_first div {int(bucket_size)}").cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("new_shingles"))
+    )
+    curve = per_bucket_docs.join(firsts, on="bucket", how="left").select(
+        "bucket",
+        "n_docs",
+        F.coalesce("new_shingles", F.lit(0)).cast("long").alias("new_shingles"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return curve.select(
+        "bucket",
+        "n_docs",
+        "new_shingles",
+        F.sum("new_shingles").over(w).cast("long").alias("cum_shingles"),
+    )

@@ -472,6 +472,17 @@ def test_oracled_queries_precede_rows_only():
         # threshold calibration — ranking_auc's distinct-score window
         # family, exact integer quantile semantics
         "threshold_calibration",
+        # bounded neighborhood sampling — the tier-1 topk_per_group /
+        # host_quota WindowGroupLimit family over md5-ordered edges
+        "neighbor_sample",
+        # JL signed random projection — row-local integer HOF algebra,
+        # the tier-1 quantize_embeddings expression family; the md5
+        # sign derivation is re-derived inside the oracle itself
+        "rp_project",
+        # corpus novelty curve — shingle→min(doc_id) attribution on
+        # tier-1 ngram_jaccard_lsh's shingle machinery, rolled up on
+        # the bucket dimension
+        "novelty_curve",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -3951,6 +3951,68 @@ def q_novelty_curve(spark, sf_dir):
     )
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal Rank Fusion over two deterministic arithmetic rank
+    lists with guaranteed overlap (every A-list doc also appears in the
+    B list at a different rank) — the hybrid lexical+embedding merge;
+    integer micro contributions, stable ties, fused_rank window."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import rrf_fusion
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    lists = []
+    for mod in (50, 25):
+        part = None
+        for q in range(3):
+            lst = docs.where(did % mod == q).select(
+                F.lit(q).cast("long").alias("query_id"),
+                did.alias("doc_id"),
+                (F.expr(f"doc_id div {mod}") + 1).cast("long").alias("rank"),
+            ).where(F.col("rank") <= 10)
+            part = lst if part is None else part.unionByName(lst)
+        lists.append(part)
+    return rrf_fusion(lists, k0=60)
+
+
+def q_calibration_report(spark, sf_dir):
+    """Reliability bins + exact integer ECE terms for a synthetic
+    near-calibrated gate (score and label both doc_id-derived, label
+    fires when a second hash-free uniform lands under the score) —
+    the decision-layer drift monitor beside psi_drift's input layer."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import calibration_report
+
+    did = F.col("doc_id")
+    scored = _t(spark, sf_dir, "documents").select(
+        ((did * 7919) % 1000001).cast("long").alias("score_micro"),
+        F.when(
+            (did * 104729) % 1000000 < (did * 7919) % 1000001, F.lit(1)
+        ).otherwise(F.lit(0)).cast("long").alias("label"),
+    )
+    return calibration_report(scored, n_bins=10)
+
+
+def q_grouped_split(spark, sf_dir):
+    """Leakage-safe 80/10/10 split keyed on the HOST hash — every page
+    of a host co-assigned (the eval-contamination guard); row-local
+    hex-threshold projection at scan speed."""
+    _ship(spark)
+    from correctocr_spark.ops.filters import grouped_split
+
+    did = F.col("doc_id")
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (did % 37).cast("string")).alias("host"),
+    )
+    return grouped_split(
+        pages,
+        "host",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed="r5g",
+    ).select("doc_id", "host", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -4488,6 +4550,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_project": q_rp_project,
         # corpus novelty curve — bucket-dimension cumulative window
         "novelty_curve": q_novelty_curve,
+        # reciprocal rank fusion — integer micro RRF, list-bounded
+        "rrf_fusion": q_rrf_fusion,
+        # reliability bins + exact ECE terms — decision-layer drift
+        "calibration_report": q_calibration_report,
+        # leakage-safe host-keyed split — row-local hex thresholds
+        "grouped_split": q_grouped_split,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -9637,6 +9705,76 @@ FROM documents)
                    (sum(coalesce(nb.new_shingles, 0))
                         OVER (ORDER BY bucket))::BIGINT AS cum_shingles
             FROM bd LEFT JOIN nb USING (bucket)
+        """,
+        # rrf_fusion: both arithmetic rank lists rebuilt as CTEs, the
+        # exact integer 1e6 // (60 + rank) contribution summed
+        "rrf_fusion": """
+            WITH qs AS (SELECT unnest([0, 1, 2]) AS query_id),
+            la AS (
+              SELECT q.query_id, d.doc_id, (d.doc_id // 50 + 1) AS rank
+              FROM documents d JOIN qs q ON d.doc_id % 50 = q.query_id
+              WHERE d.doc_id // 50 + 1 <= 10
+            ),
+            lb AS (
+              SELECT q.query_id, d.doc_id, (d.doc_id // 25 + 1) AS rank
+              FROM documents d JOIN qs q ON d.doc_id % 25 = q.query_id
+              WHERE d.doc_id // 25 + 1 <= 10
+            ),
+            u AS (
+              SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM la
+              UNION ALL
+              SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM lb
+            ),
+            f AS (
+              SELECT query_id, doc_id, count(*)::INTEGER AS n_lists,
+                     sum(c)::BIGINT AS rrf_micro
+              FROM u GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, n_lists, rrf_micro,
+                   row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY rrf_micro DESC, doc_id ASC
+                   )::INTEGER AS fused_rank
+            FROM f
+        """,
+        # calibration_report: same integer bin/conf/acc/ece algebra
+        "calibration_report": """
+            WITH s AS (
+              SELECT (doc_id * 7919) % 1000001 AS sc,
+                     CASE WHEN (doc_id * 104729) % 1000000 <
+                               (doc_id * 7919) % 1000001
+                          THEN 1 ELSE 0 END AS lab
+              FROM documents
+            ),
+            b AS (
+              SELECT least(greatest((sc * 10) // 1000000, 0), 9) AS bin,
+                     count(*)::BIGINT AS n,
+                     sum(lab)::BIGINT AS positives,
+                     sum(sc)::BIGINT AS sum_score_micro
+              FROM s GROUP BY 1
+            )
+            SELECT bin::BIGINT AS bin, n, positives, sum_score_micro,
+                   (sum_score_micro // n)::BIGINT AS conf_micro,
+                   ((1000000 * positives) // n)::BIGINT AS acc_micro,
+                   (abs(1000000 * positives - sum_score_micro) // n)::BIGINT
+                       AS gap_micro,
+                   abs(1000000 * positives - sum_score_micro)::BIGINT
+                       AS ece_term
+            FROM b
+        """,
+        # grouped_split: the train_split hex thresholds keyed on host
+        "grouped_split": """
+            WITH p AS (
+              SELECT doc_id, 'h' || (doc_id % 37)::VARCHAR AS host
+              FROM documents
+            )
+            SELECT doc_id, host,
+                   CASE WHEN substr(md5('r5g:' || host), 1, 6)
+                             < 'cccccc' THEN 'train'
+                        WHEN substr(md5('r5g:' || host), 1, 6)
+                             < 'e66666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM p
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

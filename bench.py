@@ -222,6 +222,9 @@ HEADLINE = [
     "neighbor_sample",
     "rp_project",
     "novelty_curve",
+    "rrf_fusion",
+    "calibration_report",
+    "grouped_split",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -1224,3 +1224,31 @@ def extraction_density(
         .cast("long")
         .alias("chars_per_tag"),
     )
+
+
+def grouped_split(
+    docs: DataFrame,
+    group_col: str,
+    weights=None,
+    seed: str = "0",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the assignment hash is keyed
+    on ``group_col`` (host, registered domain, url prefix, near-dup
+    cluster id...), so EVERY row of a group lands in the same split —
+    the eval-contamination guard a per-document split silently lacks
+    (boilerplate, templates and near-duplicates within a host otherwise
+    straddle train and test, inflating eval). Same hex-threshold
+    determinism as :func:`train_val_test_split` (this is that operator
+    keyed one level up); weights are honored at GROUP granularity —
+    document-mass proportions follow only as far as group sizes are
+    even, which is the price of the leakage guarantee and is the
+    documented trade (measure with `skew_report` if it matters).
+
+    Row-local projection at scan speed: no shuffle, no group
+    materialization — co-assignment needs no join because the hash is
+    a pure function of the group key itself.
+    """
+    return train_val_test_split(
+        docs, weights=weights, seed=seed, id_col=group_col, split_col=split_col
+    )

@@ -920,3 +920,87 @@ def rp_project(
             acc = acc + t
         comps.append(acc.cast("long"))
     return d.select(id_col, F.array(*comps).alias("proj"))
+
+
+def rrf_fusion(
+    rankings: Sequence[DataFrame],
+    k0: int = 60,
+    top_k: int = None,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Büttcher 2009) — the
+    standard hybrid-retrieval combiner: fuse N per-query rank lists
+    (e.g. BM25 lexical + ANN embedding recall) by summing
+    ``1/(k0 + rank)`` per document, no score normalization needed
+    because only RANKS enter. The training-data uses: hybrid
+    benchmark-decontamination recall, retrieval-based hard-negative
+    mining, and merging per-shard top-k lists from shard-local indexes.
+
+    Integer-exact twist for the hash-oracle contract: each list
+    contributes ``1_000_000 // (k0 + rank)`` micro-units (floor), so
+    the fused score is an exact int64 sum — reduction-order-independent
+    and cross-engine identical, while preserving the RRF ordering for
+    any rank ≤ ~1e6·k0. Ties break by ascending id (the package's
+    stable-tie rule).
+
+    Each ranking is a ``(query_col, id_col, rank_col)`` table with rank
+    ≥ 1; duplicate (query, doc) rows WITHIN one list are an upstream
+    bug RRF must not paper over, so lists are used as-is (a doc in m
+    lists gets m contributions — the RRF definition).
+
+    Returns ``(query_col, id_col, n_lists, rrf_micro, fused_rank)``,
+    optionally cut to ``top_k`` per query.
+
+    Scale: the input lists are top-k slices (human/query-sized per
+    query, NEVER corpus-sized), so the union + one (query, doc)-keyed
+    combinable agg is bounded by Σ|lists|; the final per-query window
+    compiles to WindowGroupLimit when ``top_k`` is set. The corpus
+    itself never enters this operator — the upstream retrievers bound
+    it.
+    """
+    if not rankings:
+        raise ValueError("rrf_fusion needs at least one ranking")
+    if k0 < 0:
+        raise ValueError(f"rrf_fusion needs k0 >= 0, got {k0}")
+    if top_k is not None and top_k < 1:
+        raise ValueError(f"rrf_fusion needs top_k >= 1, got {top_k}")
+    from pyspark.sql import Window
+
+    # `div` keeps the contribution in exact int64 arithmetic end-to-end
+    # (double division then truncation agrees here, but exactness
+    # shouldn't hinge on a rounding argument)
+    contrib = F.expr(
+        f"1000000L div (cast({int(k0)} as bigint) + cast({rank_col} as bigint))"
+    )
+    parts = [
+        ensure_parallelism(r).select(
+            F.col(query_col).alias("_q"),
+            F.col(id_col).alias("_d"),
+            contrib.cast("long").alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("_q", "_d").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+        F.sum("_c").cast("long").alias("rrf_micro"),
+    )
+    w = Window.partitionBy("_q").orderBy(
+        F.col("rrf_micro").desc(), F.col("_d").asc()
+    )
+    out = fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("int")
+    )
+    if top_k is not None:
+        out = out.where(F.col("fused_rank") <= int(top_k))
+    return out.select(
+        F.col("_q").alias(query_col),
+        F.col("_d").alias(id_col),
+        "n_lists",
+        "rrf_micro",
+        "fused_rank",
+    )

@@ -2401,3 +2401,78 @@ def novelty_curve(
         "new_shingles",
         F.sum("new_shingles").over(w).cast("long").alias("cum_shingles"),
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "score_micro",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reliability-diagram bins for a quality/toxicity classifier whose
+    scores gate corpus admission — the monitoring table behind "is the
+    0.8 threshold still meaning 80%?": equal-width bins over micro-unit
+    scores (``[0, 1_000_000]``), per bin the count, positive count,
+    mean confidence, empirical accuracy and |confidence − accuracy|
+    gap. A gate calibrated on last year's crawl drifts; this is the
+    drift detector for the DECISION layer (PSI covers the input layer).
+
+    All integer-exact (the hash-oracle contract): ``conf_micro =
+    sum_score // n``, ``acc_micro = 1_000_000·pos // n``, and the
+    expected-calibration-error numerator ``ece_term = |1_000_000·pos −
+    sum_score|`` is emitted UN-divided per bin — ``ECE_micro =
+    sum(ece_term) // N`` exactly, since the standard ``Σ (n_b/N)·
+    |acc_b − conf_b|`` telescopes to that integer sum. No float enters.
+
+    Out-of-range scores clamp into the edge bins (documented, not
+    silent: a score > 1e6 is upstream's bug but lands visibly in the
+    top bin rather than vanishing). Bin = ``score·n_bins div 1e6``
+    capped at ``n_bins − 1`` so the score 1_000_000 joins the top bin.
+
+    Returns ``(bin, n, positives, sum_score_micro, conf_micro,
+    acc_micro, gap_micro, ece_term)`` — one combinable groupBy on the
+    bin key; bins ≤ n_bins rows, so every downstream consumer is
+    driver-cheap.
+    """
+    if n_bins < 1:
+        raise ValueError(f"calibration_report needs n_bins >= 1, got {n_bins}")
+    s = F.col(score_col).cast("long")
+    lab = F.col(label_col).cast("long")
+    bin_ = F.least(
+        F.greatest(
+            F.expr(f"(cast({score_col} as bigint) * {int(n_bins)}) div 1000000"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(int(n_bins) - 1).cast("long"),
+    )
+    agg = (
+        ensure_parallelism(scored)
+        .select(bin_.alias("bin"), s.alias("_s"), lab.alias("_l"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_l").cast("long").alias("positives"),
+            F.sum("_s").cast("long").alias("sum_score_micro"),
+        )
+    )
+    conf = F.expr("sum_score_micro div n")
+    acc = F.expr("(1000000 * positives) div n")
+    return agg.select(
+        "bin",
+        "n",
+        "positives",
+        "sum_score_micro",
+        conf.cast("long").alias("conf_micro"),
+        acc.cast("long").alias("acc_micro"),
+        F.abs(
+            F.lit(1_000_000).cast("long") * F.col("positives")
+            - F.col("sum_score_micro")
+        )
+        .cast("long")
+        .alias("ece_term"),
+    ).withColumn(
+        "gap_micro", F.expr("ece_term div n").cast("long")
+    ).select(
+        "bin", "n", "positives", "sum_score_micro", "conf_micro",
+        "acc_micro", "gap_micro", "ece_term",
+    )

@@ -483,6 +483,17 @@ def test_oracled_queries_precede_rows_only():
         # tier-1 ngram_jaccard_lsh's shingle machinery, rolled up on
         # the bucket dimension
         "novelty_curve",
+        # reciprocal rank fusion — list-bounded union + combinable agg,
+        # the tier-1 join_agg/topk_per_group plan family in exact
+        # integer micro arithmetic
+        "rrf_fusion",
+        # reliability bins / ECE — one combinable bin agg, the tier-1
+        # stats_conditional_agg integer algebra family
+        "calibration_report",
+        # leakage-safe grouped split — tier-1 train_shuffle's md5-keying
+        # discipline through the train_split hex thresholds, keyed on
+        # the group column
+        "grouped_split",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -4013,6 +4013,47 @@ def q_grouped_split(spark, sf_dir):
     ).select("doc_id", "host", "split")
 
 
+def q_ndcg_eval(spark, sf_dir):
+    """nDCG@10 for the arithmetic lexical list against graded synthetic
+    judgments (grades 0–3, zero-rel rows included so the unjudged-vs-
+    judged-irrelevant distinction is live) — integer gains × Python-
+    prequantized discounts, idcg over the per-query ideal window."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import ndcg_eval
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    ranking = None
+    qrels = None
+    for q in range(3):
+        rl = docs.where(did % 50 == q).select(
+            F.lit(q).cast("long").alias("query_id"),
+            did.alias("doc_id"),
+            (F.expr("doc_id div 50") + 1).cast("long").alias("rank"),
+        ).where(F.col("rank") <= 10)
+        jl = docs.where(did % 25 == q).select(
+            F.lit(q).cast("long").alias("query_id"),
+            did.alias("doc_id"),
+            (F.expr("doc_id div 25") % 4).cast("long").alias("rel"),
+        )
+        ranking = rl if ranking is None else ranking.unionByName(rl)
+        qrels = jl if qrels is None else qrels.unionByName(jl)
+    return ndcg_eval(ranking, qrels, k=10)
+
+
+def q_personalized_pagerank(spark, sf_dir):
+    """Topic-sensitive PageRank seeded at nodes {0,1,2} over the shared
+    synthetic edge fixture — proximity-to-seed mass, exact integer
+    arithmetic, unreachable nodes at honest rank 0."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import personalized_pagerank
+
+    seeds = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    return personalized_pagerank(
+        _synth_edges(spark, sf_dir), seeds, iterations=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -4556,6 +4597,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_report": q_calibration_report,
         # leakage-safe host-keyed split — row-local hex thresholds
         "grouped_split": q_grouped_split,
+        # nDCG@10 — integer gains × prequantized discounts
+        "ndcg_eval": q_ndcg_eval,
+        # personalized PageRank — seed-restricted teleport mass
+        "personalized_pagerank": q_personalized_pagerank,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -5744,6 +5789,92 @@ def _pagerank_sql(iterations: int = 5) -> str:
         )"""
     sql += f"\n        SELECT node, rank FROM r{iterations}"
     return sql
+
+
+def _ppr_sql(iterations: int = 5, seeds=(0, 1, 2)) -> str:
+    """:func:`_pagerank_sql` with the teleport mass gated to the seed
+    set — the same unrolled exact-integer rounds, base term
+    ``is_seed * 1_000_000``."""
+    base, damping = 1_000_000, 85
+    seed_list = ", ".join(str(s) for s in seeds)
+    sql = f"""
+        WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        sn AS (SELECT node,
+                      CASE WHEN node IN ({seed_list}) THEN 1 ELSE 0 END AS is_seed
+               FROM nodes),
+        outdeg AS (SELECT src, count(*)::BIGINT AS od FROM e GROUP BY 1),
+        r0 AS (SELECT node, (is_seed * {base})::BIGINT AS rank FROM sn)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+        r{i} AS (
+            SELECT n.node,
+                   (n.is_seed * {base}
+                    + ({damping} * COALESCE(s.inc, 0)) // 100)::BIGINT AS rank
+            FROM sn n LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank // o.od) AS inc
+                FROM e JOIN r{i-1} r ON r.node = e.src
+                       JOIN outdeg o ON o.src = e.src
+                GROUP BY 1
+            ) s ON s.node = n.node
+        )"""
+    sql += f"\n        SELECT node, rank FROM r{iterations}"
+    return sql
+
+
+def _ndcg_sql(k: int = 10) -> str:
+    """nDCG oracle: the SAME Python-prequantized discount constants
+    (ops.similarity.ndcg_discounts) embedded as a DuckDB list literal —
+    no per-row log2 has to agree cross-engine."""
+    from correctocr_spark.ops.similarity import ndcg_discounts
+
+    disc = "[" + ", ".join(str(d) for d in ndcg_discounts(k)) + "]"
+    return f"""
+        WITH qs AS (SELECT unnest([0, 1, 2]) AS query_id),
+        r AS (
+          SELECT q.query_id, d.doc_id, (d.doc_id // 50 + 1) AS rank
+          FROM documents d JOIN qs q ON d.doc_id % 50 = q.query_id
+          WHERE d.doc_id // 50 + 1 <= {k}
+        ),
+        j AS (
+          SELECT q.query_id, d.doc_id, (d.doc_id // 25) % 4 AS rel
+          FROM documents d JOIN qs q ON d.doc_id % 25 = q.query_id
+        ),
+        dcg AS (
+          SELECT r.query_id,
+                 sum(((1::BIGINT << coalesce(j.rel, 0)) - 1)
+                     * ({disc})[r.rank])::BIGINT AS dcg_micro,
+                 sum(CASE WHEN j.rel IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS judged_in_topk
+          FROM r LEFT JOIN j USING (query_id, doc_id)
+          GROUP BY 1
+        ),
+        ideal AS (
+          SELECT query_id,
+                 sum(((1::BIGINT << rel) - 1) * ({disc})[ir])::BIGINT
+                     AS idcg_micro
+          FROM (
+            SELECT query_id, rel, doc_id,
+                   row_number() OVER (
+                     PARTITION BY query_id ORDER BY rel DESC, doc_id ASC
+                   ) AS ir
+            FROM j WHERE rel > 0
+          ) WHERE ir <= {k}
+          GROUP BY 1
+        ),
+        allq AS (SELECT query_id FROM j UNION SELECT query_id FROM r)
+        SELECT a.query_id,
+               coalesce(dcg.dcg_micro, 0)::BIGINT AS dcg_micro,
+               coalesce(ideal.idcg_micro, 0)::BIGINT AS idcg_micro,
+               coalesce(dcg.judged_in_topk, 0)::BIGINT AS judged_in_topk,
+               CASE WHEN coalesce(ideal.idcg_micro, 0) > 0
+                    THEN (10000 * coalesce(dcg.dcg_micro, 0))
+                         // ideal.idcg_micro
+               END::BIGINT AS ndcg_bp
+        FROM allq a
+        LEFT JOIN dcg ON dcg.query_id = a.query_id
+        LEFT JOIN ideal ON ideal.query_id = a.query_id
+    """
 
 
 def _hits_sql(iterations: int = 3, scale: int = 1_000_000) -> str:
@@ -9776,6 +9907,8 @@ FROM documents)
                         ELSE 'test' END AS split
             FROM p
         """,
+        "ndcg_eval": _ndcg_sql(10),
+        "personalized_pagerank": _ppr_sql(5),
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.
     }

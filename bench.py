@@ -225,6 +225,8 @@ HEADLINE = [
     "rrf_fusion",
     "calibration_report",
     "grouped_split",
+    "ndcg_eval",
+    "personalized_pagerank",
     "bpe_token_counts",
     "extraction_blocks",
 ]

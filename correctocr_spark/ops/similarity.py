@@ -1004,3 +1004,118 @@ def rrf_fusion(
         "rrf_micro",
         "fused_rank",
     )
+
+
+def ndcg_discounts(k: int, scale: int = 1_000_000) -> List[int]:
+    """The micro-quantized rank discounts behind :func:`ndcg_eval`:
+    ``disc[r-1] = round(scale / log2(r + 1))`` for rank r in 1..k —
+    quantized ONCE in Python (deterministic IEEE doubles) and embedded
+    as literals on BOTH engines (the ``rp_signs`` no-shipped-artifact
+    discipline), so no per-row transcendental ever has to agree
+    cross-engine."""
+    import math
+
+    return [round(scale / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def ndcg_eval(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """nDCG@k for a retrieval ranking against graded judgments — the
+    standard eval closing the loop on ``bm25_topk`` / the ANN paths /
+    ``rrf_fusion``: per query, ``DCG = Σ (2^rel − 1) · 1/log2(rank+1)``
+    over the top-k, normalized by the ideal ordering's DCG. The
+    training-data uses: scoring retrieval-based decontamination and
+    hard-negative miners before trusting them at corpus scale.
+
+    Integer-exact: gains ``2^rel − 1`` are exact ints (rel graded 0–30
+    supported before overflow concerns), discounts come pre-quantized
+    from :func:`ndcg_discounts`, so ``dcg_micro``/``idcg_micro`` are
+    reduction-order-independent int64 sums and ``ndcg_bp = 10000 ·
+    dcg div idcg``. A query with no positive judgments has idcg 0 and
+    reports ``ndcg_bp`` NULL (undefined, surfaced — not a silent 0).
+
+    ``qrels`` is ``(query_col, id_col, rel_col)`` with non-negative
+    integer grades; unjudged ranked docs gain 0 (standard trec_eval
+    semantics). Queries appearing only in qrels still report (their
+    dcg is 0) — the eval must expose retrievers that return nothing.
+
+    Scale: qrels and rank lists are eval-sized, never corpus-sized —
+    one left join rank→rel, one per-query ideal window over qrels
+    (WindowGroupLimit), two combinable aggs, one query-keyed join.
+    """
+    if k < 1:
+        raise ValueError(f"ndcg_eval needs k >= 1, got {k}")
+    from pyspark.sql import Window
+
+    disc = ndcg_discounts(k)
+    disc_arr = F.array(*[F.lit(d).cast("long") for d in disc])
+    # 2^rel − 1: pow(2.0, n) is EXACT for integer n ≤ 52 (the double
+    # is the correctly-rounded — here representable — power of two);
+    # shiftleft would be nicer but pyspark's takes only a literal bit
+    # count. Grades are eval-human-sized, nowhere near 52.
+    gain = lambda c: (F.pow(F.lit(2.0), c).cast("long") - 1).cast("long")
+
+    r = ensure_parallelism(ranking).select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_d"),
+        F.col(rank_col).cast("int").alias("_r"),
+    ).where(F.col("_r") <= int(k))
+    j = qrels.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_d"),
+        F.col(rel_col).cast("long").alias("_rel"),
+    )
+    dcg = (
+        r.join(j, on=["_q", "_d"], how="left")
+        .select(
+            "_q",
+            (
+                gain(F.coalesce(F.col("_rel"), F.lit(0)))
+                * F.element_at(disc_arr, F.col("_r"))
+            ).alias("_t"),
+            F.when(F.col("_rel").isNotNull(), 1).otherwise(0).alias("_j"),
+        )
+        .groupBy("_q")
+        .agg(
+            F.sum("_t").cast("long").alias("dcg_micro"),
+            F.sum("_j").cast("long").alias("judged_in_topk"),
+        )
+    )
+    w = Window.partitionBy("_q").orderBy(F.col("_rel").desc(), F.col("_d").asc())
+    ideal = (
+        j.withColumn("_ir", F.row_number().over(w))
+        .where((F.col("_ir") <= int(k)) & (F.col("_rel") > 0))
+        .select(
+            "_q",
+            (gain(F.col("_rel")) * F.element_at(disc_arr, F.col("_ir"))).alias("_t"),
+        )
+        .groupBy("_q")
+        .agg(F.sum("_t").cast("long").alias("idcg_micro"))
+    )
+    out = (
+        j.select("_q").union(r.select("_q")).distinct()
+        .join(dcg, on="_q", how="left")
+        .join(ideal, on="_q", how="left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.coalesce("dcg_micro", F.lit(0)).cast("long").alias("dcg_micro"),
+            F.coalesce("idcg_micro", F.lit(0)).cast("long").alias("idcg_micro"),
+            F.coalesce("judged_in_topk", F.lit(0)).cast("long")
+            .alias("judged_in_topk"),
+        )
+        .withColumn(
+            "ndcg_bp",
+            F.when(
+                F.col("idcg_micro") > 0,
+                F.expr("(10000 * dcg_micro) div idcg_micro"),
+            ).cast("long"),
+        )
+    )
+    return out

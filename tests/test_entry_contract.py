@@ -494,6 +494,13 @@ def test_oracled_queries_precede_rows_only():
         # discipline through the train_split hex thresholds, keyed on
         # the group column
         "grouped_split",
+        # nDCG@k — eval-sized joins/windows, the tier-1
+        # stats_conditional_agg integer algebra with prequantized
+        # discount constants (the rp_signs discipline)
+        "ndcg_eval",
+        # personalized PageRank — tier-1 pagerank's exact-integer
+        # iteration core with seed-gated teleport
+        "personalized_pagerank",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

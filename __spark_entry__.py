@@ -4054,6 +4054,37 @@ def q_personalized_pagerank(spark, sf_dir):
     )
 
 
+def q_select_to_budget(spark, sf_dir):
+    """Quality-greedy selection to a 30k-token budget over a synthetic
+    integer score with ties — pack_shards' two-pass prefix sum keyed on
+    the score buckets, straddling doc kept, full audit table out."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import select_to_budget
+
+    did = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", ((did * 31) % 1000).cast("long").alias("q")
+    )
+    return select_to_budget(docs, 30000, "q")
+
+
+def q_pr_curve(spark, sf_dir):
+    """Exact PR/F1 table at every distinct score threshold over the
+    calibration fixture's near-calibrated gate — the descending
+    cumulative runs on the score-cardinality table, never the corpus."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import pr_curve
+
+    did = F.col("doc_id")
+    scored = _t(spark, sf_dir, "documents").select(
+        ((did * 7919) % 1000001).cast("long").alias("score"),
+        F.when(
+            (did * 104729) % 1000000 < (did * 7919) % 1000001, F.lit(1)
+        ).otherwise(F.lit(0)).cast("long").alias("label"),
+    )
+    return pr_curve(scored)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -4601,6 +4632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         # personalized PageRank — seed-restricted teleport mass
         "personalized_pagerank": q_personalized_pagerank,
+        # token-budget greedy selection — bucketed two-pass prefix sum
+        "select_to_budget": q_select_to_budget,
+        # PR/F1 per threshold — score-cardinality cumulative window
+        "pr_curve": q_pr_curve,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -9909,6 +9944,63 @@ FROM documents)
         """,
         "ndcg_eval": _ndcg_sql(10),
         "personalized_pagerank": _ppr_sql(5),
+        # select_to_budget: the naive global-window cumsum twin
+        "select_to_budget": f"""
+            WITH d AS (
+              SELECT doc_id, len({_WORDS})::BIGINT AS n_tokens,
+                     ((doc_id * 31) % 1000)::BIGINT AS score
+              FROM documents
+            ),
+            c AS (
+              SELECT *,
+                     coalesce(sum(n_tokens) OVER (
+                       ORDER BY score DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0)::BIGINT AS tokens_before
+              FROM d
+            )
+            SELECT doc_id, n_tokens, score, tokens_before,
+                   CASE WHEN tokens_before < 30000 THEN 1 ELSE 0 END::INTEGER
+                       AS selected
+            FROM c
+        """,
+        # pr_curve: per-distinct-score counts + descending cumulative
+        "pr_curve": """
+            WITH s AS (
+              SELECT (doc_id * 7919) % 1000001 AS score,
+                     CASE WHEN (doc_id * 104729) % 1000000 <
+                               (doc_id * 7919) % 1000001
+                          THEN 1 ELSE 0 END AS lab
+              FROM documents
+            ),
+            per AS (
+              SELECT score AS threshold, count(*)::BIGINT AS n,
+                     sum(lab)::BIGINT AS pos
+              FROM s GROUP BY 1
+            ),
+            c AS (
+              SELECT threshold,
+                     sum(n) OVER (ORDER BY threshold DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS n_at_or_above,
+                     sum(pos) OVER (ORDER BY threshold DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS tp,
+                     sum(pos) OVER () AS p
+              FROM per
+            )
+            SELECT threshold::BIGINT AS threshold,
+                   n_at_or_above::BIGINT AS n_at_or_above,
+                   tp::BIGINT AS tp,
+                   (n_at_or_above - tp)::BIGINT AS fp,
+                   (p - tp)::BIGINT AS fn,
+                   ((10000 * tp) // n_at_or_above)::BIGINT AS precision_bp,
+                   CASE WHEN p > 0 THEN (10000 * tp) // p END::BIGINT
+                       AS recall_bp,
+                   CASE WHEN p > 0 THEN (20000 * tp) // (n_at_or_above + p)
+                       END::BIGINT AS f1_bp
+            FROM c
+        """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.
     }

@@ -227,6 +227,8 @@ HEADLINE = [
     "grouped_split",
     "ndcg_eval",
     "personalized_pagerank",
+    "select_to_budget",
+    "pr_curve",
     "bpe_token_counts",
     "extraction_blocks",
 ]

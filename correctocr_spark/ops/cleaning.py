@@ -1724,3 +1724,97 @@ def rendezvous_assign(
     return ensure_parallelism(docs).select(
         key.alias(key_col), best_node.alias("node")
     )
+
+
+def select_to_budget(
+    docs: DataFrame,
+    budget: int,
+    score_col: str,
+    bucket_size: int = 256,
+    max_buckets: int = 65536,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: Optional[str] = None,
+) -> DataFrame:
+    """Quality-greedy corpus selection under a token budget — "take the
+    best documents until ``budget`` tokens": rank by ``(score DESC,
+    id ASC)`` and keep every document whose running-total-before is
+    still under budget (the straddling doc is kept, same boundary rule
+    as :func:`pack_shards` shard 0). This is the data-selection step
+    between scoring (quality/unigram-LM/DSIR/classifier) and training —
+    phrased as a deterministic global rule rather than sampling, so two
+    engines and two runs agree on the exact survivor set.
+
+    Scores must be INTEGERS (micro-units — every scorer in this package
+    emits them): the coarse buckets are ``(hi − score) div width``, a
+    monotone function of the sort key, so bucket-ascending order IS
+    score-descending order and the :func:`pack_shards` two-pass prefix
+    sum applies verbatim — per-bucket sums prefix-summed on the driver
+    (≤ ``max_buckets`` rows, width auto-widens), then one bucket-keyed
+    LOCAL window. No partitionless window anywhere; identical values to
+    the global-window oracle twin.
+
+    Returns every input doc as ``(doc_id, n_tokens, score,
+    tokens_before, selected)`` — the rejected tail stays visible (the
+    gate_funnel discipline: a selection you can't audit is a bug
+    magnet), ``selected`` is 1/0.
+    """
+    import math
+
+    if budget < 0:
+        raise ValueError(f"select_to_budget needs budget >= 0, got {budget}")
+    dt = dict(docs.dtypes).get(score_col, "")
+    if dt not in {"tinyint", "smallint", "int", "bigint"}:
+        raise ValueError(
+            f"select_to_budget needs an integer {score_col!r} (micro-unit "
+            f"scores), got {dt or 'missing column'}"
+        )
+    n_tokens = (
+        F.col(tokens_col)
+        if tokens_col
+        else F.size(normalized_words(text_col)).cast("long")
+    )
+    bounds = docs.agg(
+        F.min(F.col(score_col)).alias("lo"), F.max(F.col(score_col)).alias("hi")
+    ).first()
+    if bounds["lo"] is None:  # empty corpus: keep the output shape
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            n_tokens.alias("n_tokens"),
+            F.col(score_col).cast("long").alias("score"),
+            F.lit(None).cast("long").alias("tokens_before"),
+            F.lit(None).cast("int").alias("selected"),
+        )
+    span = int(bounds["hi"]) - int(bounds["lo"]) + 1
+    width = max(bucket_size, math.ceil(span / max_buckets))
+    d = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        F.col(score_col).cast("long").alias("score"),
+        F.expr(f"(cast({int(bounds['hi'])} as bigint) - cast({score_col} as bigint)) div {width}")
+        .alias("_bucket"),
+    )
+    totals = {
+        r["_bucket"]: r["_tot"]
+        for r in d.groupBy("_bucket").agg(F.sum("n_tokens").alias("_tot")).collect()
+    }
+    offsets, running = {}, 0
+    for b in sorted(totals):
+        offsets[b] = running
+        running += totals[b]
+    offsets_df = d.sparkSession.createDataFrame(
+        [(int(b), int(offsets[b])) for b in sorted(offsets)],
+        "_bucket long, _offset long",
+    )
+    d = d.join(F.broadcast(offsets_df), "_bucket")
+    w = Window.partitionBy("_bucket").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("_offset")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        before.cast("long").alias("tokens_before"),
+        F.when(before < int(budget), 1).otherwise(0).cast("int").alias("selected"),
+    )

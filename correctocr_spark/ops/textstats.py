@@ -2476,3 +2476,78 @@ def calibration_report(
         "bin", "n", "positives", "sum_score_micro", "conf_micro",
         "acc_micro", "gap_micro", "ece_term",
     )
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact precision/recall/F1 at EVERY distinct score threshold —
+    the gate-tuning table: predict positive when ``score >= threshold``
+    and report the confusion counts plus basis-point metrics per
+    candidate threshold, so "what cutoff maximizes F1 / hits 95%
+    precision" is one ORDER BY over this output. Complements
+    `ranking_auc` (one number) and `threshold_calibration` (inverts a
+    target KEEP-RATE; this inverts target QUALITY) on the same
+    integer-exact terms.
+
+    Machinery: per-distinct-score (n, positives) counts — the corpus
+    meets ONE combinable aggregation — then a DESCENDING cumulative
+    window over the score-cardinality-sized table (micro-unit scores
+    keep that cardinality ≤ ~1e6 + 1 regardless of corpus size, the
+    threshold_calibration argument). tp = cumulative positives at or
+    above the threshold; fp = cumulative negatives; fn = P − tp. All
+    integer: ``precision_bp = 10000·tp div (tp+fp)``, ``recall_bp =
+    10000·tp div P``, ``f1_bp = 20000·tp div (2tp + fp + fn)``.
+
+    Returns ``(threshold, n_at_or_above, tp, fp, fn, precision_bp,
+    recall_bp, f1_bp)``, one row per distinct score. A corpus with no
+    positives reports recall/f1 NULL (undefined, surfaced — precision
+    still meaningful).
+    """
+    per = (
+        ensure_parallelism(scored)
+        .select(
+            F.col(score_col).cast("long").alias("threshold"),
+            F.col(label_col).cast("long").alias("_l"),
+        )
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_l").cast("long").alias("_pos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col("threshold").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy()
+    cum = per.select(
+        "threshold",
+        F.sum("_n").over(w).cast("long").alias("n_at_or_above"),
+        F.sum("_pos").over(w).cast("long").alias("tp"),
+        F.sum("_pos").over(wall).cast("long").alias("_P"),
+    )
+    fp = (F.col("n_at_or_above") - F.col("tp")).cast("long")
+    fn = (F.col("_P") - F.col("tp")).cast("long")
+    # 2tp + fp + fn telescopes to n_at_or_above + P (≥ 1 on every row —
+    # each threshold counts at least itself), so F1's denominator never
+    # needs a zero guard beyond the no-positives NULL
+    return cum.select(
+        "threshold",
+        "n_at_or_above",
+        "tp",
+        fp.alias("fp"),
+        fn.alias("fn"),
+        F.expr("(10000 * tp) div n_at_or_above").cast("long").alias("precision_bp"),
+        F.when(F.col("_P") > 0, F.expr("(10000 * tp) div _P"))
+        .cast("long")
+        .alias("recall_bp"),
+        F.when(
+            F.col("_P") > 0,
+            F.expr("(20000 * tp) div (n_at_or_above + _P)"),
+        ).cast("long").alias("f1_bp"),
+    )

@@ -501,6 +501,12 @@ def test_oracled_queries_precede_rows_only():
         # personalized PageRank — tier-1 pagerank's exact-integer
         # iteration core with seed-gated teleport
         "personalized_pagerank",
+        # budget selection — tier-1 pack_shards_url's two-pass prefix
+        # sum keyed on score buckets
+        "select_to_budget",
+        # PR/F1 threshold table — threshold_calibration's descending
+        # cumulative machinery plus confusion algebra
+        "pr_curve",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

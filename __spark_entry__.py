@@ -4085,6 +4085,48 @@ def q_pr_curve(spark, sf_dir):
     return pr_curve(scored)
 
 
+def q_rate_anomalies(spark, sf_dir):
+    """Per-host daily burst detection with an injected storm entity
+    (8 exactly-uniform quiet days → zero variance → std floor 1, then a
+    10× spike) riding the natural per-host event mix — integer trailing
+    moments, bursts only."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import rate_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 7).cast("string")).alias("host"),
+        "ts",
+    )
+    quiet = ev.where(F.col("event_id") % 100 < 8).select(
+        F.lit("storm").alias("host"),
+        F.expr(
+            "timestamp(date_add(DATE '1970-01-01',"
+            " cast(19740 + event_id % 100 as int)))"
+        ).alias("ts"),
+    )
+    spike = ev.where(F.col("event_id") % 10 == 0).select(
+        F.lit("storm").alias("host"),
+        F.expr("timestamp(date_add(DATE '1970-01-01', 19749))").alias("ts"),
+    )
+    return rate_anomalies(
+        base.unionByName(quiet).unionByName(spike),
+        entity_col="host",
+        baseline_days=7,
+        z_milli_threshold=2000,
+    )
+
+
+def q_corpus_datacard(spark, sf_dir):
+    """The release datacard over the documents table: totals,
+    lang/source composition in basis points, exact-dup mass — one
+    long-format integer table, four combinable aggregations."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import corpus_datacard
+
+    return corpus_datacard(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -4636,6 +4678,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_to_budget": q_select_to_budget,
         # PR/F1 per threshold — score-cardinality cumulative window
         "pr_curve": q_pr_curve,
+        # daily burst detection — integer trailing moments, bursts only
+        "rate_anomalies": q_rate_anomalies,
+        # corpus release datacard — long-format integer rollup
+        "corpus_datacard": q_corpus_datacard,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -10000,6 +10046,88 @@ FROM documents)
                    CASE WHEN p > 0 THEN (20000 * tp) // (n_at_or_above + p)
                        END::BIGINT AS f1_bp
             FROM c
+        """,
+        # rate_anomalies: same trailing integer moments, burst side only
+        "rate_anomalies": """
+            WITH pts AS (
+              SELECT 'h' || (user_id % 7)::VARCHAR AS entity,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS epoch_day
+              FROM events
+              UNION ALL
+              SELECT 'storm', (19740 + event_id % 100)::BIGINT
+              FROM events WHERE event_id % 100 < 8
+              UNION ALL
+              SELECT 'storm', 19749::BIGINT
+              FROM events WHERE event_id % 10 = 0
+            ),
+            daily AS (
+              SELECT entity, epoch_day, count(*)::BIGINT AS n
+              FROM pts GROUP BY 1, 2
+            ),
+            w AS (
+              SELECT entity, epoch_day, n,
+                     count(*) OVER win AS k,
+                     sum(n) OVER win AS s,
+                     sum(n * n) OVER win AS s2
+              FROM daily
+              WINDOW win AS (PARTITION BY entity ORDER BY epoch_day
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            ),
+            f AS (
+              SELECT entity, epoch_day, n, (s // k)::BIGINT AS mean,
+                     greatest(CAST(floor(sqrt(
+                       ((k * s2 - s * s) // (k * k))::DOUBLE)) AS BIGINT), 1)
+                       AS std
+              FROM w WHERE k = 7
+            )
+            SELECT entity, epoch_day, n AS n_events,
+                   mean AS mean_trailing,
+                   (((n - mean) * 1000) // std)::BIGINT AS z_milli
+            FROM f
+            WHERE n > mean AND ((n - mean) * 1000) // std >= 2000
+        """,
+        # corpus_datacard: the same four aggregations, stacked long
+        "corpus_datacard": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     coalesce(lang, '<null>') AS l,
+                     coalesce(source, '<null>') AS src,
+                     len({_WORDS})::BIGINT AS tok,
+                     length(coalesce(text, ''))::BIGINT AS ch,
+                     md5(coalesce(text, '')) AS fp
+              FROM documents
+            ),
+            tot AS (
+              SELECT count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS n_tokens,
+                     sum(ch)::BIGINT AS n_chars,
+                     count(DISTINCT l)::BIGINT AS n_langs,
+                     count(DISTINCT src)::BIGINT AS n_sources
+              FROM d
+            ),
+            dups AS (
+              SELECT coalesce(sum(n), 0)::BIGINT AS dups FROM (
+                SELECT count(*)::BIGINT AS n FROM d GROUP BY fp HAVING count(*) > 1
+              )
+            )
+            SELECT 'total' AS section, 'docs' AS metric, n_docs AS value FROM tot
+            UNION ALL SELECT 'total', 'tokens', n_tokens FROM tot
+            UNION ALL SELECT 'total', 'chars', n_chars FROM tot
+            UNION ALL SELECT 'distinct', 'langs', n_langs FROM tot
+            UNION ALL SELECT 'distinct', 'sources', n_sources FROM tot
+            UNION ALL
+            SELECT 'lang=' || l, 'docs', count(*)::BIGINT FROM d GROUP BY l
+            UNION ALL
+            SELECT 'lang=' || l, 'share_bp',
+                   ((10000 * count(*)) // (SELECT n_docs FROM tot))::BIGINT
+            FROM d GROUP BY l
+            UNION ALL
+            SELECT 'source=' || src, 'docs', count(*)::BIGINT FROM d GROUP BY src
+            UNION ALL
+            SELECT 'dedup', 'exact_dup_docs', dups FROM dups
+            UNION ALL
+            SELECT 'dedup', 'exact_dup_bp',
+                   ((10000 * dups) // greatest((SELECT n_docs FROM tot), 1))::BIGINT
+            FROM dups
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -229,6 +229,8 @@ HEADLINE = [
     "personalized_pagerank",
     "select_to_budget",
     "pr_curve",
+    "rate_anomalies",
+    "corpus_datacard",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -1818,3 +1818,97 @@ def select_to_budget(
         before.cast("long").alias("tokens_before"),
         F.when(before < int(budget), 1).otherwise(0).cast("int").alias("selected"),
     )
+
+
+def corpus_datacard(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """The "datasheets for datasets" rollup as ONE long-format integer
+    table — the release artifact accompanying a training corpus:
+    totals, composition shares by language and source, and the exact-
+    duplicate rate, each a ``(section, metric, value)`` row so the card
+    diffs cleanly across corpus versions (join on (section, metric),
+    compare value — the shard_manifest drift discipline applied to the
+    whole corpus). Quantiles live in :func:`corpus_rollup` (they need a
+    numeric-typed column, not this table's uniform long).
+
+    Sections: ``total`` (docs/tokens/chars), ``distinct``
+    (langs/sources), ``lang=<x>`` (docs + share_bp per language),
+    ``source=<x>`` (docs per source), ``dedup`` (exact_dup_docs —
+    members of any md5(text) group of size > 1, the canonical INCLUDED
+    — and exact_dup_bp). NULL langs/sources report under ``<null>``.
+    All integers; shares in basis points with `div` floor.
+
+    Scale: four combinable aggregations over the corpus (totals,
+    per-lang, per-source, per-fingerprint) + aggregate-sized unions.
+    Nothing corpus-sized is collected, windowed, or joined wide.
+    """
+    d = ensure_parallelism(docs).select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(F.col(lang_col).cast("string"), F.lit("<null>")).alias("_lang"),
+        F.coalesce(F.col(source_col).cast("string"), F.lit("<null>")).alias("_src"),
+        F.size(normalized_words(text_col)).cast("long").alias("_tok"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("_ch"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
+    )
+    totals = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_tok").cast("long").alias("n_tokens"),
+        F.sum("_ch").cast("long").alias("n_chars"),
+        F.countDistinct("_lang").cast("long").alias("n_langs"),
+        F.countDistinct("_src").cast("long").alias("n_sources"),
+    )
+    tot_rows = totals.selectExpr(
+        "stack(5, "
+        "'total', 'docs', n_docs, "
+        "'total', 'tokens', n_tokens, "
+        "'total', 'chars', n_chars, "
+        "'distinct', 'langs', n_langs, "
+        "'distinct', 'sources', n_sources"
+        ") AS (section, metric, value)"
+    )
+    n_docs_col = F.broadcast(totals.select("n_docs"))
+    by_lang = (
+        d.groupBy("_lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(n_docs_col)
+    )
+    lang_rows = by_lang.select(
+        F.concat(F.lit("lang="), F.col("_lang")).alias("section"),
+        F.lit("docs").alias("metric"),
+        F.col("n").alias("value"),
+    ).unionByName(
+        by_lang.select(
+            F.concat(F.lit("lang="), F.col("_lang")).alias("section"),
+            F.lit("share_bp").alias("metric"),
+            F.expr("(10000 * n) div n_docs").cast("long").alias("value"),
+        )
+    )
+    src_rows = (
+        d.groupBy("_src").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.concat(F.lit("source="), F.col("_src")).alias("section"),
+            F.lit("docs").alias("metric"),
+            F.col("n").alias("value"),
+        )
+    )
+    dup_docs = (
+        d.groupBy("_fp").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("dups"))
+    )
+    dup_rows = dup_docs.crossJoin(n_docs_col).selectExpr(
+        "stack(2, "
+        "'dedup', 'exact_dup_docs', dups, "
+        "'dedup', 'exact_dup_bp', CAST((10000 * dups) div greatest(n_docs, 1) AS BIGINT)"
+        ") AS (section, metric, value)"
+    )
+    return (
+        tot_rows.unionByName(lang_rows)
+        .unionByName(src_rows)
+        .unionByName(dup_rows)
+        .select("section", "metric", F.col("value").cast("long").alias("value"))
+    )

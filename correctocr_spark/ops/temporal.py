@@ -40,6 +40,8 @@ from typing import List, Optional, Sequence, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import ensure_parallelism
+
 __all__ = [
     "asof_join",
     "snapshot_asof",
@@ -591,4 +593,86 @@ def recrawl_intervals(
     return (
         d.groupBy(*gs, bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    )
+
+
+def rate_anomalies(
+    events: DataFrame,
+    entity_col: str = "host",
+    ts_col: str = "ts",
+    baseline_days: int = 7,
+    z_milli_threshold: int = 2000,
+) -> DataFrame:
+    """Per-entity daily-rate burst detection — the crawl-ops storm/trap
+    alarm: a host whose fetch count suddenly towers over its own
+    trailing baseline is a crawler trap, a misbehaving frontier shard,
+    or a site restructure flooding the queue. Day counts per entity,
+    then each day's z-score against the ``baseline_days`` OBSERVED days
+    immediately preceding it (row-based trailing window — silent days
+    don't pad the baseline; a sparse host's baseline is its active
+    days, documented).
+
+    Integer-exact (the embedding_outliers moments discipline):
+    ``mean = Σx div n``, ``var = (n·Σx² − (Σx)²) div n²``, ``std =
+    max(floor(sqrt(var)), 1)``, ``z_milli = (x − mean)·1000 div std``.
+    Only BURSTS are reported (``x > mean``), which also keeps every
+    ``div`` numerator non-negative — truncation equals floor equals the
+    DuckDB twin; the quiet side is a different question (freshness
+    decay — `crawl_freshness`). Days with fewer than ``baseline_days``
+    preceding observations emit nothing (no baseline, no verdict).
+    sqrt enters through a double cast — exact below 2^53, far above
+    any daily count².
+
+    Day keys are INTEGER epoch days (no engine date-type in the
+    output). Returns ``(entity, epoch_day, n_events, mean_trailing,
+    z_milli)`` for rows at or above the threshold.
+
+    Scale: one (entity, day) combinable count — the corpus' only
+    full-size shuffle — then entity-keyed windows on the per-day table
+    (≤ days·entities rows); no partitionless window.
+    """
+    if baseline_days < 1:
+        raise ValueError(
+            f"rate_anomalies needs baseline_days >= 1, got {baseline_days}"
+        )
+    daily = (
+        ensure_parallelism(events)
+        .select(
+            F.col(entity_col).alias("entity"),
+            F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("epoch_day"),
+        )
+        .groupBy("entity", "epoch_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("entity")
+        .orderBy("epoch_day")
+        .rowsBetween(-int(baseline_days), -1)
+    )
+    with_stats = daily.select(
+        "entity",
+        "epoch_day",
+        "n_events",
+        F.count(F.lit(1)).over(w).cast("long").alias("_k"),
+        F.sum("n_events").over(w).cast("long").alias("_s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w)
+        .cast("long")
+        .alias("_s2"),
+    ).where(F.col("_k") == int(baseline_days))
+    mean = "(_s div _k)"
+    var = "((_k * _s2 - _s * _s) div (_k * _k))"
+    std = f"greatest(CAST(floor(sqrt(CAST({var} AS DOUBLE))) AS BIGINT), 1)"
+    z = F.expr(f"((n_events - {mean}) * 1000) div {std}")
+    return (
+        with_stats.where(F.col("n_events") > F.expr(mean))
+        .select(
+            "entity",
+            "epoch_day",
+            "n_events",
+            F.expr(mean).cast("long").alias("mean_trailing"),
+            z.cast("long").alias("z_milli"),
+        )
+        .where(F.col("z_milli") >= int(z_milli_threshold))
     )

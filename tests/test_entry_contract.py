@@ -507,6 +507,12 @@ def test_oracled_queries_precede_rows_only():
         # PR/F1 threshold table — threshold_calibration's descending
         # cumulative machinery plus confusion algebra
         "pr_curve",
+        # daily burst detection — embedding_outliers' integer moments
+        # over tier-1 sessionize/windowed_agg's keyed-window family
+        "rate_anomalies",
+        # release datacard — stacked combinable aggs, the tier-1
+        # doc_stats_by_lang/word_freq shapes in long format
+        "corpus_datacard",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

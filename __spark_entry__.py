@@ -4127,6 +4127,148 @@ def q_corpus_datacard(spark, sf_dir):
     return corpus_datacard(_t(spark, sf_dir, "documents"))
 
 
+def q_mime_sniff(spark, sf_dir):
+    """Magic-byte MIME routing over synthesized binaries (headers from
+    doc_id arithmetic, text bytes appended) with deliberately lying
+    declared types — bounded 16-byte hex probe, scan speed."""
+    _ship(spark)
+    from correctocr_spark.ops.multimodal import mime_sniff
+
+    did = F.col("doc_id")
+    m = did % 6
+    hdr = (
+        F.when(m == 0, F.unhex(F.lit("255044462D312E34")))      # %PDF-1.4
+        .when(m == 1, F.unhex(F.lit("1F8B0800")))                # gzip
+        .when(m == 2, F.unhex(F.lit("89504E470D0A1A0A")))        # PNG
+        .when(m == 3, F.encode(F.lit("<!DOCTYPE html>"), "utf-8"))
+        .when(m == 4, F.encode(F.lit("<?xml version"), "utf-8"))
+        .otherwise(F.encode(F.lit("plain "), "utf-8"))
+    )
+    decl = (
+        F.when(m == 0, F.lit("application/pdf"))
+        .when(m == 1, F.lit("text/html"))                        # the lie
+        .when(m == 2, F.lit("image/png"))
+        .when(m == 3, F.lit("text/html; charset=utf-8"))
+        .when(m == 4, F.lit("application/xml"))
+        .otherwise(F.lit("text/plain"))                          # octet lie
+    )
+    media = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(hdr, F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"))
+        .alias("data"),
+        decl.alias("ct"),
+    )
+    return mime_sniff(media, data_col="data", declared_col="ct")
+
+
+def q_concentration_gini(spark, sf_dir):
+    """Char-mass Gini across 37 synthetic hosts — the one-number
+    corpus-balance gate; rank window on the host-cardinality table."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import concentration_gini
+
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (did % 37).cast("string")).alias("host"),
+        F.col("n_chars").cast("long").alias("mass"),
+    )
+    return concentration_gini(d, "host", "mass")
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity release audit: quasi tuple (lang, 128-char size
+    bucket), sensitive attribute = source; one-row integer summary
+    with the l-diversity floor."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import k_anonymity
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr("n_chars div 128").cast("long").alias("size_bucket"),
+        "source",
+    )
+    return k_anonymity(d, ["lang", "size_bucket"], k=5, sensitive_col="source")
+
+
+def q_k_anonymity_violations(spark, sf_dir):
+    """The actionable classes below k: exact (lang, size_bucket)
+    combinations to coarsen or suppress before release."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import k_anonymity_violations
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr("n_chars div 128").cast("long").alias("size_bucket"),
+        "source",
+    )
+    return k_anonymity_violations(
+        d, ["lang", "size_bucket"], k=5, sensitive_col="source"
+    )
+
+
+def q_http_headers(spark, sf_dir):
+    """Typed fields out of synthesized CRLF response-header blocks
+    (status/type/charset/length/redirect/last-modified varied by
+    doc_id arithmetic, length tied to n_chars) — six anchored
+    regexp_extract probes, scan speed."""
+    _ship(spark)
+    from correctocr_spark.ops.webindex import http_headers
+
+    did = F.col("doc_id")
+    m = did % 4
+    status_line = (
+        F.when(m == 0, F.lit("HTTP/1.1 200 OK"))
+        .when(m == 1, F.lit("HTTP/1.1 301 Moved Permanently"))
+        .when(m == 2, F.lit("HTTP/1.0 404 Not Found"))
+        .otherwise(F.lit("junk not a status line"))
+    )
+    ct_line = (
+        F.when(m == 0, F.lit("\r\nContent-Type: TEXT/HTML; charset=UTF-8"))
+        .when(m == 1, F.lit("\r\nContent-Type: text/plain"))
+        .when(m == 2, F.lit("\r\ncontent-type: application/pdf; charset=latin-1"))
+        .otherwise(F.lit(""))
+    )
+    extras = F.concat(
+        F.when(m == 1, F.lit("\r\nLocation: https://example.org/moved")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            m % 2 == 0,
+            F.concat(
+                F.lit("\r\nContent-Length: "), F.col("n_chars").cast("string")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            m == 2, F.lit("\r\nLast-Modified: Tue, 15 Nov 1994 12:45:26 GMT")
+        ).otherwise(F.lit("")),
+    )
+    recs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            status_line, F.lit("\r\nServer: nginx"), ct_line, extras, F.lit("\r\n\r\n")
+        ).alias("headers"),
+    )
+    return http_headers(recs)
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source exact-dup overlap matrix with an injected 'mirror'
+    source republishing every 11th document verbatim."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import source_overlap
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mirror = (
+        base.where(F.col("doc_id") % 11 == 0)
+        .select(
+            (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+            "text",
+            F.lit("mirror").alias("source"),
+        )
+    )
+    return source_overlap(base.unionByName(mirror))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -4682,6 +4824,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_anomalies": q_rate_anomalies,
         # corpus release datacard — long-format integer rollup
         "corpus_datacard": q_corpus_datacard,
+        # magic-byte MIME routing — bounded hex probe, scan speed
+        "mime_sniff": q_mime_sniff,
+        # corpus-balance Gini — key-cardinality Lorenz rank window
+        "concentration_gini": q_concentration_gini,
+        # k-anonymity release audit — one shuffle, class-table agg
+        "k_anonymity": q_k_anonymity,
+        # the actionable below-k classes, bounded output
+        "k_anonymity_violations": q_k_anonymity_violations,
+        # HTTP response-header parse — six anchored regex probes
+        "http_headers": q_http_headers,
+        # cross-source exact-dup overlap matrix — fp self-join bounded
+        # by source cardinality
+        "source_overlap": q_source_overlap,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -10128,6 +10283,167 @@ FROM documents)
             SELECT 'dedup', 'exact_dup_bp',
                    ((10000 * dups) // greatest((SELECT n_docs FROM tot), 1))::BIGINT
             FROM dups
+        """,
+        # mime_sniff: rebuild the same synthesized binaries (header from
+        # doc_id % 6, utf-8 text appended) and sniff the first 16 bytes
+        # independently — DuckDB lacks substring(BLOB), so hex the blob
+        # and probe the first 32 hex chars (same 16 bytes).
+        "mime_sniff": """
+            WITH media AS (
+              SELECT doc_id,
+                     (CASE doc_id % 6
+                        WHEN 0 THEN from_hex('255044462D312E34')
+                        WHEN 1 THEN from_hex('1F8B0800')
+                        WHEN 2 THEN from_hex('89504E470D0A1A0A')
+                        WHEN 3 THEN encode('<!DOCTYPE html>')
+                        WHEN 4 THEN encode('<?xml version')
+                        ELSE encode('plain ')
+                      END) || encode(coalesce(text, '')) AS data,
+                     CASE doc_id % 6
+                        WHEN 0 THEN 'application/pdf'
+                        WHEN 1 THEN 'text/html'
+                        WHEN 2 THEN 'image/png'
+                        WHEN 3 THEN 'text/html; charset=utf-8'
+                        WHEN 4 THEN 'application/xml'
+                        ELSE 'text/plain'
+                     END AS ct
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     upper(substring(hex(data), 1, 32)) AS p,
+                     lower(trim(regexp_replace(ct, ';.*$', ''))) AS declared
+              FROM media
+            ),
+            sn AS (
+              SELECT doc_id, declared,
+                     CASE
+                       WHEN p LIKE '25504446%' THEN 'application/pdf'
+                       WHEN p LIKE '1F8B%' THEN 'application/gzip'
+                       WHEN p LIKE '89504E47%' THEN 'image/png'
+                       WHEN p LIKE 'FFD8FF%' THEN 'image/jpeg'
+                       WHEN p LIKE '47494638%' THEN 'image/gif'
+                       WHEN p LIKE '504B0304%' THEN 'application/zip'
+                       WHEN p LIKE '574152432F%' THEN 'application/warc'
+                       WHEN p LIKE '3C21444F%' THEN 'text/html'
+                       WHEN p LIKE '3C68746D%' THEN 'text/html'
+                       WHEN p LIKE '3C48544D%' THEN 'text/html'
+                       WHEN p LIKE '3C3F786D%' THEN 'application/xml'
+                       WHEN p LIKE 'EFBBBF%' THEN 'text/plain'
+                       ELSE 'application/octet-stream'
+                     END AS sniffed
+              FROM s
+            )
+            SELECT doc_id, sniffed, declared,
+                   (CASE WHEN sniffed = declared THEN 1 ELSE 0 END)::INT AS agree
+            FROM sn
+        """,
+        # concentration_gini: exact integer Lorenz form, rank window on
+        # the 37-host cardinality table only.
+        "concentration_gini": """
+            WITH per AS (
+              SELECT 'h' || (doc_id % 37)::VARCHAR AS _k,
+                     sum(n_chars::BIGINT)::BIGINT AS _x
+              FROM documents GROUP BY 1
+            ),
+            ranked AS (
+              SELECT _x, row_number() OVER (ORDER BY _x ASC, _k ASC)::BIGINT AS _i
+              FROM per
+            )
+            SELECT count(*)::BIGINT AS n_keys,
+                   sum(_x)::BIGINT AS total_mass,
+                   ((10000 * (2 * sum(_i * _x) - (count(*) + 1) * sum(_x)))
+                     // (count(*) * sum(_x)))::BIGINT AS gini_bp
+            FROM ranked
+        """,
+        # k_anonymity: same class table, same integer algebra; the div
+        # keeps at_risk_bp exact at any count
+        "k_anonymity": """
+            WITH per AS (
+              SELECT lang, n_chars // 128 AS size_bucket,
+                     count(*)::BIGINT AS class_size,
+                     count(DISTINCT source)::BIGINT AS l
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT 5::BIGINT AS k,
+                   coalesce(sum(class_size), 0)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_classes,
+                   min(class_size)::BIGINT AS min_class_size,
+                   coalesce(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END), 0)::BIGINT
+                     AS violating_classes,
+                   coalesce(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END), 0)::BIGINT
+                     AS rows_at_risk,
+                   CASE WHEN coalesce(sum(class_size), 0) > 0 THEN
+                     ((10000 * coalesce(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END), 0))
+                       // sum(class_size))::BIGINT
+                   END AS at_risk_bp,
+                   min(l)::BIGINT AS min_l
+            FROM per
+        """,
+        "k_anonymity_violations": """
+            SELECT lang, (n_chars // 128)::BIGINT AS size_bucket,
+                   count(*)::BIGINT AS class_size,
+                   count(DISTINCT source)::BIGINT AS l
+            FROM documents GROUP BY 1, 2 HAVING count(*) < 5
+        """,
+        # http_headers: rebuild the same CRLF blocks (E'' escapes) and
+        # run the SAME six RE2 patterns (raw string: backslashes reach
+        # the regex engine, matching the Java-side patterns verbatim)
+        "http_headers": r"""
+            WITH m AS (
+              SELECT doc_id, doc_id % 4 AS m, n_chars FROM documents
+            ),
+            recs AS (
+              SELECT doc_id,
+                (CASE m WHEN 0 THEN 'HTTP/1.1 200 OK'
+                        WHEN 1 THEN 'HTTP/1.1 301 Moved Permanently'
+                        WHEN 2 THEN 'HTTP/1.0 404 Not Found'
+                        ELSE 'junk not a status line' END)
+                || E'\r\nServer: nginx'
+                || (CASE m WHEN 0 THEN E'\r\nContent-Type: TEXT/HTML; charset=UTF-8'
+                           WHEN 1 THEN E'\r\nContent-Type: text/plain'
+                           WHEN 2 THEN E'\r\ncontent-type: application/pdf; charset=latin-1'
+                           ELSE '' END)
+                || (CASE WHEN m = 1 THEN E'\r\nLocation: https://example.org/moved' ELSE '' END)
+                || (CASE WHEN m % 2 = 0 THEN E'\r\nContent-Length: ' || n_chars::VARCHAR ELSE '' END)
+                || (CASE WHEN m = 2 THEN E'\r\nLast-Modified: Tue, 15 Nov 1994 12:45:26 GMT' ELSE '' END)
+                || E'\r\n\r\n' AS headers
+              FROM m
+            )
+            SELECT doc_id,
+                   nullif(regexp_extract(headers, '^HTTP/[0-9.]+ ([0-9]{3})', 1), '')::BIGINT AS status,
+                   lower(nullif(trim(regexp_extract(headers, '(?im)^content-type:[ \t]*([^;\r\n]+)', 1)), '')) AS content_type,
+                   lower(nullif(regexp_extract(headers, '(?im)^content-type:[^\r\n]*charset=([A-Za-z0-9_\-]+)', 1), '')) AS charset,
+                   nullif(regexp_extract(headers, '(?im)^content-length:[ \t]*([0-9]+)', 1), '')::BIGINT AS content_length,
+                   nullif(regexp_extract(headers, '(?im)^location:[ \t]*([^\r\n]+)', 1), '') AS location,
+                   nullif(regexp_extract(headers, '(?im)^last-modified:[ \t]*([^\r\n]+)', 1), '') AS last_modified
+            FROM recs
+        """,
+        # source_overlap: same injected mirror source, same integer
+        # basis points
+        "source_overlap": """
+            WITH base AS (
+              SELECT md5(coalesce(text, '')) AS fp, source FROM documents
+              UNION ALL
+              SELECT md5(coalesce(text, '')) AS fp, 'mirror' AS source
+              FROM documents WHERE doc_id % 11 = 0
+            ),
+            d AS (SELECT DISTINCT fp, source FROM base),
+            sizes AS (SELECT source, count(*)::BIGINT AS n FROM d GROUP BY 1),
+            pairs AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     count(*)::BIGINT AS shared_fps
+              FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, shared_fps,
+                   sa.n AS fps_a, sb.n AS fps_b,
+                   ((10000 * shared_fps) // (sa.n + sb.n - shared_fps))::BIGINT AS jaccard_bp,
+                   ((10000 * shared_fps) // sa.n)::BIGINT AS containment_a_bp,
+                   ((10000 * shared_fps) // sb.n)::BIGINT AS containment_b_bp
+            FROM pairs
+            JOIN sizes sa ON source_a = sa.source
+            JOIN sizes sb ON source_b = sb.source
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

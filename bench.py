@@ -231,6 +231,12 @@ HEADLINE = [
     "pr_curve",
     "rate_anomalies",
     "corpus_datacard",
+    "mime_sniff",
+    "concentration_gini",
+    "k_anonymity",
+    "k_anonymity_violations",
+    "http_headers",
+    "source_overlap",
     "bpe_token_counts",
     "extraction_blocks",
 ]

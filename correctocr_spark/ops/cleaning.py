@@ -1912,3 +1912,217 @@ def corpus_datacard(
         .unionByName(dup_rows)
         .select("section", "metric", F.col("value").cast("long").alias("value"))
     )
+
+
+def concentration_gini(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Gini concentration of corpus mass across a key (host, domain,
+    source, language) in basis points — the one-number inequality
+    complement to `skew_report`'s top-N shares: 0 = perfectly even,
+    → 10000 = one key owns everything. The corpus-balance gate a
+    mixture designer checks before training ("40% of tokens from one
+    host" is a Gini symptom long before it is a loss symptom).
+
+    Exact integer Lorenz form over per-key masses sorted ascending
+    (ties by key — deterministic): ``gini_bp = 10000 · (2·Σ i·x₍ᵢ₎ −
+    (n+1)·S) div (n·S)`` — one fused division, no intermediate
+    rounding. ``weight_col`` (e.g. a token count) defaults to row
+    count. Empty input returns zero rows; a single key returns 0.
+
+    Scale: one combinable corpus agg to per-key masses, then the rank
+    window + final agg run on the KEY-CARDINALITY table (hosts, not
+    docs — the pr_curve argument); the corpus never meets a window.
+
+    Returns one row: ``(n_keys, total_mass, gini_bp)``.
+    """
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
+    per = (
+        ensure_parallelism(df)
+        .select(F.col(key_col).alias("_k"), w.alias("_w"))
+        .groupBy("_k")
+        .agg(F.sum("_w").cast("long").alias("_x"))
+    )
+    from pyspark.sql import Window
+
+    rw = Window.orderBy(F.col("_x").asc(), F.col("_k").asc())
+    ranked = per.select(
+        "_x", F.row_number().over(rw).cast("long").alias("_i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_x").cast("long").alias("total_mass"),
+        F.expr(
+            "CAST((10000 * (2 * sum(_i * _x) - (count(1) + 1) * sum(_x)))"
+            " div (count(1) * sum(_x)) AS BIGINT)"
+        ).alias("gini_bp"),
+    )
+
+
+def _k_anon_classes(
+    df: DataFrame,
+    quasi_cols: List[str],
+    sensitive_col: Optional[str] = None,
+) -> DataFrame:
+    """Equivalence classes over the quasi-identifier tuple: one row per
+    distinct quasi combination with its ``class_size`` (and, when a
+    ``sensitive_col`` is given, ``l`` = distinct sensitive values in
+    the class — the l-diversity count). NULL quasi values group
+    together (Spark and the SQL oracle agree on NULL grouping)."""
+    if not quasi_cols:
+        raise ValueError("k_anonymity needs at least one quasi-identifier column")
+    aggs = [F.count(F.lit(1)).cast("long").alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(F.col(sensitive_col)).cast("long").alias("l"))
+    return ensure_parallelism(df).groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: List[str],
+    k: int = 5,
+    sensitive_col: Optional[str] = None,
+) -> DataFrame:
+    """k-anonymity release audit over quasi-identifier columns — the
+    privacy gate a corpus datacard needs before metadata ships next to
+    the text: any quasi-identifier combination (host, lang, geo bucket,
+    size bucket, ...) shared by FEWER than k rows re-identifies those
+    rows by linkage, no matter how well the text itself was scrubbed
+    (:func:`pii_scrub` and :func:`detect_payment_cards` clean content;
+    this measures the structure around it).
+
+    One row: ``(k, n_rows, n_classes, min_class_size,
+    violating_classes, rows_at_risk, at_risk_bp)`` — integer basis
+    points of the corpus sitting in classes below k. With a
+    ``sensitive_col``, adds ``min_l``: the l-diversity floor (minimum
+    distinct sensitive values inside any class — k-anonymous but
+    l=1 means the class still leaks the attribute exactly).
+
+    Scale: ONE shuffle (groupBy the quasi tuple, map-side partials);
+    the final aggregate runs on the class-cardinality table. Empty
+    input yields n_rows=0 with NULL min/bp fields (0/0 surfaced, not
+    fabricated). A class of size exactly k is NOT a violation.
+    """
+    per = _k_anon_classes(df, quasi_cols, sensitive_col)
+    viol = F.col("class_size") < F.lit(int(k))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.coalesce(F.sum("class_size"), F.lit(0)).cast("long").alias("n_rows"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        F.coalesce(F.sum(F.when(viol, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("violating_classes"),
+        F.coalesce(F.sum(F.when(viol, F.col("class_size")).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    ]
+    if sensitive_col is not None:
+        aggs.append(F.min("l").cast("long").alias("min_l"))
+    out = per.agg(*aggs).select(
+        F.lit(int(k)).cast("long").alias("k"),
+        "n_rows",
+        "n_classes",
+        "min_class_size",
+        "violating_classes",
+        "rows_at_risk",
+        F.when(
+            F.col("n_rows") > 0,
+            F.expr("(10000 * rows_at_risk) div n_rows"),
+        )
+        .cast("long")
+        .alias("at_risk_bp"),
+        *([F.col("min_l")] if sensitive_col is not None else []),
+    )
+    return out
+
+
+def k_anonymity_violations(
+    df: DataFrame,
+    quasi_cols: List[str],
+    k: int = 5,
+    sensitive_col: Optional[str] = None,
+) -> DataFrame:
+    """The actionable half of :func:`k_anonymity`: the equivalence
+    classes BELOW k — ``(*quasi_cols, class_size[, l])`` — i.e. the
+    exact quasi combinations to generalize (bucket coarser) or suppress
+    before release. Output is bounded by the number of violating
+    classes, never corpus-sized; same one-shuffle shape."""
+    per = _k_anon_classes(df, quasi_cols, sensitive_col)
+    return per.where(F.col("class_size") < F.lit(int(k)))
+
+
+def source_overlap(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source exact-duplicate overlap matrix — the release audit
+    behind "how much of source A is already inside source B": mixture
+    weights (``domain_reweight``, ``alpha_shares``) silently double-count
+    a slice that two sources share, and cross-source leakage is how a
+    "held-out" source contaminates training. One row per UNordered
+    source pair that shares at least one fingerprint:
+    ``(source_a, source_b, shared_fps, fps_a, fps_b, jaccard_bp,
+    containment_a_bp, containment_b_bp)`` — all integer basis points
+    (``div``), containment_x = shared/fps_x. Zero-overlap pairs are
+    ABSENT (inner join keeps the output bounded by actually-shared
+    mass, not source-count squared; a reader treats a missing pair as
+    0). Pair order is lexicographic (source_a < source_b).
+
+    Scale: distinct (fp, source) is one md5-keyed shuffle; the fp
+    self-join fans out per fingerprint by the number of sources
+    holding it — bounded by SOURCE cardinality (a dimension, not the
+    corpus); per-source sizes are a dimension-small broadcast.
+    """
+    d = (
+        ensure_parallelism(docs)
+        .select(
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
+            F.col(source_col).alias("_src"),
+        )
+        .distinct()
+    )
+    d = d.persist()
+    d.count()  # two consumers launch below — compute the distinct once
+    sizes = d.groupBy("_src").agg(F.count(F.lit(1)).cast("long").alias("n_fps"))
+    a = d.select("fp", F.col("_src").alias("source_a"))
+    b = d.select("fp", F.col("_src").alias("source_b"))
+    pairs = (
+        a.join(b, on="fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("_src", "source_a")).withColumnRenamed(
+                "n_fps", "fps_a"
+            ),
+            on="source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("_src", "source_b")).withColumnRenamed(
+                "n_fps", "fps_b"
+            ),
+            on="source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_fps",
+            "fps_a",
+            "fps_b",
+            F.expr(
+                "(10000 * shared_fps) div (fps_a + fps_b - shared_fps)"
+            ).alias("jaccard_bp"),
+            F.expr("(10000 * shared_fps) div fps_a").alias("containment_a_bp"),
+            F.expr("(10000 * shared_fps) div fps_b").alias("containment_b_bp"),
+        )
+    )
+    from .cache import register_intermediates
+
+    register_intermediates(out, d)
+    return out

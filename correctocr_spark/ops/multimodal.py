@@ -110,3 +110,74 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+#: magic-byte table for :func:`mime_sniff` — (uppercase hex prefix,
+#: mime). ORDER MATTERS: longer/more-specific prefixes first (PNG's
+#: 89504E47 before nothing else claims 89; '<!DO' before a bare '<').
+#: Hex-prefix matching keeps the whole check a byte-exact string
+#: comparison that Spark and the SQL oracle share verbatim.
+MAGIC_PREFIXES = [
+    ("25504446", "application/pdf"),        # %PDF
+    ("1F8B", "application/gzip"),
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("504B0304", "application/zip"),
+    ("574152432F", "application/warc"),     # WARC/
+    ("3C21444F", "text/html"),              # <!DO
+    ("3C68746D", "text/html"),              # <htm
+    ("3C48544D", "text/html"),              # <HTM
+    ("3C3F786D", "application/xml"),        # <?xm
+    ("EFBBBF", "text/plain"),               # UTF-8 BOM
+]
+
+
+def mime_sniff(
+    media: DataFrame,
+    data_col: str = "data",
+    id_col: str = "doc_id",
+    declared_col: str = None,
+) -> DataFrame:
+    """Magic-byte MIME detection on an opaque ``binary`` column — the
+    WARC-ingest routing gate: servers lie in Content-Type (text/html
+    bytes that are really a PDF, gzip members behind a plain text
+    header), and the extractor chosen off the DECLARED type silently
+    produces garbage text. Sniff the first bytes, and when a
+    ``declared_col`` is given also report agreement so the
+    mislabeled mass is measurable before extraction.
+
+    Row-local and bounded: only the first 16 bytes are hexed
+    (``hex(substring(data, 1, 16))``) — never the blob — then matched
+    against :data:`MAGIC_PREFIXES` in order; unknown prefixes report
+    ``application/octet-stream`` (honest fallback, not a guess).
+    Declared types compare on the lowercased bare type with any
+    ``;charset=...`` parameter stripped.
+
+    Returns ``(id_col, sniffed)`` plus ``(declared, agree)`` when
+    ``declared_col`` is given. Scan speed; no shuffle, no UDF. The hex
+    probe is hoisted into its own projection (``_p``) so the 12-branch
+    CASE provably evaluates it once per row — not once per branch —
+    independent of codegen subexpression elimination.
+    """
+    probe = F.upper(F.hex(F.expr(f"substring({data_col}, 1, 16)")))
+    sniff = None
+    for hx, mime in MAGIC_PREFIXES:
+        cond = F.col("_p").startswith(hx)
+        sniff = F.when(cond, mime) if sniff is None else sniff.when(cond, mime)
+    sniff = sniff.otherwise("application/octet-stream")
+    if declared_col is None:
+        return media.select(F.col(id_col), probe.alias("_p")).select(
+            id_col, sniff.alias("sniffed")
+        )
+    bare = F.lower(F.trim(F.regexp_replace(F.col(declared_col), r";.*$", "")))
+    return (
+        media.select(F.col(id_col), probe.alias("_p"), bare.alias("declared"))
+        .select(id_col, sniff.alias("sniffed"), "declared")
+        .withColumn(
+            "agree",
+            F.when(F.col("sniffed") == F.col("declared"), 1)
+            .otherwise(0)
+            .cast("int"),
+        )
+    )

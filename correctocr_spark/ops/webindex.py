@@ -1794,3 +1794,60 @@ def bitext_candidates(
         F.col("b._url").alias("url_b"),
     )
     return register_intermediates(out, d)
+
+
+#: HTTP response-header field regexes — the common Java-regex ∩ RE2
+#: subset ((?im) inline flags, no lookarounds), so the Spark plan and
+#: the DuckDB oracle run the SAME pattern. Header blocks are CRLF or
+#: LF terminated (a lone CR line break is out of contract: Java ^
+#: would match after it, RE2 would not).
+_HTTP_STATUS_RE = r"^HTTP/[0-9.]+ ([0-9]{3})"
+_HTTP_CT_RE = r"(?im)^content-type:[ \t]*([^;\r\n]+)"
+_HTTP_CHARSET_RE = r"(?im)^content-type:[^\r\n]*charset=([A-Za-z0-9_\-]+)"
+_HTTP_CL_RE = r"(?im)^content-length:[ \t]*([0-9]+)"
+_HTTP_LOC_RE = r"(?im)^location:[ \t]*([^\r\n]+)"
+_HTTP_LM_RE = r"(?im)^last-modified:[ \t]*([^\r\n]+)"
+
+
+def http_headers(
+    records: DataFrame,
+    header_col: str = "headers",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Typed fields out of a raw HTTP response-header block — the WARC
+    response-record metadata a crawl pipeline routes on before it ever
+    touches the payload: status (redirect chains, soft-404 priors),
+    bare content-type + declared charset (the DECLARED side of
+    :func:`~.multimodal.mime_sniff`'s agreement audit), content-length
+    (fetch planning), Location (redirect target for
+    ``canonical_chains``), Last-Modified (recrawl scheduling input).
+
+    Pure column algebra: six ``regexp_extract`` probes over the block,
+    each anchored line-start under ``(?im)`` — no split, no explode, no
+    UDF; scan-speed. Absent headers are NULL (``nullif(_, '')`` — the
+    empty-match convention both engines share), never fabricated.
+    ``content_type`` is lowercased and parameter-stripped;
+    ``charset`` is lowercased. Malformed blocks yield NULL status and
+    survive — a 100 TB header scan must not die on one bad record.
+
+    Returns ``(id_col, status, content_type, charset, content_length,
+    location, last_modified)``.
+    """
+    h = F.col(header_col)
+
+    def _nn(col):
+        return F.nullif(col, F.lit(""))
+
+    return ensure_parallelism(records).select(
+        F.col(id_col),
+        _nn(F.regexp_extract(h, _HTTP_STATUS_RE, 1)).cast("long").alias("status"),
+        F.lower(_nn(F.trim(F.regexp_extract(h, _HTTP_CT_RE, 1)))).alias(
+            "content_type"
+        ),
+        F.lower(_nn(F.regexp_extract(h, _HTTP_CHARSET_RE, 1))).alias("charset"),
+        _nn(F.regexp_extract(h, _HTTP_CL_RE, 1)).cast("long").alias(
+            "content_length"
+        ),
+        _nn(F.regexp_extract(h, _HTTP_LOC_RE, 1)).alias("location"),
+        _nn(F.regexp_extract(h, _HTTP_LM_RE, 1)).alias("last_modified"),
+    )

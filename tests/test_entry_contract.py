@@ -513,6 +513,24 @@ def test_oracled_queries_precede_rows_only():
         # release datacard — stacked combinable aggs, the tier-1
         # doc_stats_by_lang/word_freq shapes in long format
         "corpus_datacard",
+        # magic-byte MIME routing — row-local CASE chain over a bounded
+        # hex probe, the tier-1 url_canonical/domain_blocklist
+        # expression family (zero shuffles, plan-pinned)
+        "mime_sniff",
+        # corpus-balance Gini — rank window on the key-cardinality
+        # table, tier-1 skew_report/topk_per_group's window family
+        "concentration_gini",
+        # k-anonymity audit — one quasi-tuple groupBy + class-table
+        # agg, the tier-1 doc_stats_by_lang/gate_funnel shapes with
+        # integer-div basis points
+        "k_anonymity",
+        "k_anonymity_violations",
+        # HTTP header parse — the tier-1 link_extract/robots_directives
+        # anchored-regex family, row-local
+        "http_headers",
+        # cross-source overlap — fingerprint-keyed join + dimension
+        # broadcast, the tier-1 dedup_exact/join_agg shapes
+        "source_overlap",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -4269,6 +4269,43 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(base.unionByName(mirror))
 
 
+def q_sanitize_controls(spark, sf_dir):
+    """Control/bidi scrub over documents with injected hazards: BOM
+    prefix, RLO override, NUL+unit-separator pair, a KEPT ZWJ — one
+    regexp_replace projection; clean-text equality pins Java/RE2
+    pattern parity."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import sanitize_controls
+
+    did = F.col("doc_id")
+    m = did % 5
+    t = F.coalesce(F.col("text"), F.lit(""))
+    injected = (
+        F.when(m == 0, F.concat(F.lit("﻿"), t))
+        .when(m == 1, F.concat(t, F.lit("‮"), F.lit("x")))
+        .when(m == 2, F.concat(F.lit("\x00\x1f"), t))
+        .when(m == 3, F.concat(t, F.lit("‍")))  # ZWJ stays
+        .otherwise(t)
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", injected.alias("text"))
+    return sanitize_controls(d)
+
+
+def q_mass_tiers(spark, sf_dir):
+    """Head/torso/tail Lorenz table across 23 synthetic hosts with
+    doc_id-modulated masses; rank window + totals ride one pass over
+    the host-cardinality table."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import mass_tiers
+
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (did % 23).cast("string")).alias("host"),
+        (F.col("n_chars") * (F.lit(1) + did % 5)).cast("long").alias("mass"),
+    )
+    return mass_tiers(d, "host", "mass", head_bp=5000, torso_bp=9000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -4837,6 +4874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-source exact-dup overlap matrix — fp self-join bounded
         # by source cardinality
         "source_overlap": q_source_overlap,
+        # control/bidi character scrub — one regexp_replace projection
+        "sanitize_controls": q_sanitize_controls,
+        # head/torso/tail Lorenz tiering — key-cardinality window
+        "mass_tiers": q_mass_tiers,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -10444,6 +10485,58 @@ FROM documents)
             FROM pairs
             JOIN sizes sa ON source_a = sa.source
             JOIN sizes sb ON source_b = sb.source
+        """,
+        # sanitize_controls: same injected hazards (chr() code points —
+        # no raw control bytes in the SQL text), same pattern literal
+        # (raw string so backslashes reach RE2), 'g' flag = Spark's
+        # replace-all default
+        "sanitize_controls": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE doc_id % 5
+                       WHEN 0 THEN chr(65279) || coalesce(text, '')
+                       WHEN 1 THEN coalesce(text, '') || chr(8238) || 'x'
+                       WHEN 2 THEN chr(0) || chr(31) || coalesce(text, '')
+                       WHEN 3 THEN coalesce(text, '') || chr(8205)
+                       ELSE coalesce(text, '')
+                     END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(t,
+                     '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}\x{FEFF}\x{200E}\x{200F}\x{202A}-\x{202E}\x{2066}-\x{2069}]',
+                     '', 'g') AS clean_text,
+                   (length(t) - length(regexp_replace(t,
+                     '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}\x{FEFF}\x{200E}\x{200F}\x{202A}-\x{202E}\x{2066}-\x{2069}]',
+                     '', 'g')))::BIGINT AS n_removed
+            FROM d
+        """,
+        # mass_tiers: same Lorenz window; tier boundaries by integer
+        # cross-multiplication, boundary-crossing key joins the
+        # smaller tier
+        "mass_tiers": """
+            WITH per AS (
+              SELECT 'h' || (doc_id % 23)::VARCHAR AS key,
+                     sum(n_chars * (1 + doc_id % 5))::BIGINT AS mass
+              FROM documents GROUP BY 1
+            ),
+            ranked AS (
+              SELECT key, mass,
+                     row_number() OVER win::BIGINT AS rank,
+                     sum(mass) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_mass,
+                     sum(mass) OVER ()::BIGINT AS _total
+              FROM per
+              WINDOW win AS (ORDER BY mass DESC, key ASC)
+            )
+            SELECT key, mass, rank, cum_mass,
+                   ((10000 * mass) // _total)::BIGINT AS share_bp,
+                   ((10000 * cum_mass) // _total)::BIGINT AS cum_share_bp,
+                   CASE
+                     WHEN 10000 * (cum_mass - mass) < 5000 * _total THEN 'head'
+                     WHEN 10000 * (cum_mass - mass) < 9000 * _total THEN 'torso'
+                     ELSE 'tail'
+                   END AS tier
+            FROM ranked
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -237,6 +237,8 @@ HEADLINE = [
     "k_anonymity_violations",
     "http_headers",
     "source_overlap",
+    "sanitize_controls",
+    "mass_tiers",
     "bpe_token_counts",
     "extraction_blocks",
 ]

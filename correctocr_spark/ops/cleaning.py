@@ -2126,3 +2126,81 @@ def source_overlap(
 
     register_intermediates(out, d)
     return out
+
+
+def mass_tiers(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Optional[str] = None,
+    head_bp: int = 5000,
+    torso_bp: int = 9000,
+) -> DataFrame:
+    """Head/torso/tail tiering of corpus mass by key — the mixture
+    designer's partition of the web: the few hosts that carry half the
+    tokens (head), the mid-frequency body, and the long tail get
+    DIFFERENT treatment (per-host caps, quality thresholds, sampling
+    rates), and this is the table those policies key off. Complements
+    :func:`skew_report` (top-N shares) and :func:`concentration_gini`
+    (one number) with the full ranked Lorenz table.
+
+    A key is **head** while the cumulative mass BEFORE it is under
+    ``head_bp`` (so the key that crosses the boundary still belongs to
+    the smaller tier — "smallest prefix covering ≥ head_bp"), torso
+    while before ``torso_bp``, else tail. Boundaries compare
+    cross-multiplied integers (``10000·cum_before < bp·total``) — no
+    division, exact at any scale. Rank order: mass desc, key asc
+    (deterministic ties).
+
+    Scale: one combinable agg to per-key masses; the rank window and
+    cumulative sum run on the KEY-cardinality table. Returns
+    ``(key, mass, rank, cum_mass, share_bp, cum_share_bp, tier)``.
+    """
+    if not (0 < head_bp < torso_bp <= 10000):
+        raise ValueError("need 0 < head_bp < torso_bp <= 10000")
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
+    per = (
+        ensure_parallelism(df)
+        .select(F.col(key_col).alias("key"), w.alias("_w"))
+        .groupBy("key")
+        .agg(F.sum("_w").cast("long").alias("mass"))
+    )
+    rw = Window.orderBy(F.col("mass").desc(), F.col("key").asc())
+    # the rank window is already one pass over the single-partition
+    # key-cardinality table; the grand total rides the SAME pass as an
+    # unbounded frame instead of a second consumer of `per` (which
+    # would recompute the corpus aggregation)
+    ranked = per.select(
+        "key",
+        "mass",
+        F.row_number().over(rw).cast("long").alias("rank"),
+        F.sum("mass").over(rw.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_mass"),
+        F.sum("mass")
+        .over(
+            rw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .cast("long")
+        .alias("_total"),
+    )
+    out = ranked.select(
+        "key",
+        "mass",
+        "rank",
+        "cum_mass",
+        F.expr("(10000 * mass) div _total").cast("long").alias("share_bp"),
+        F.expr("(10000 * cum_mass) div _total").cast("long").alias("cum_share_bp"),
+        F.when(
+            F.lit(10000) * (F.col("cum_mass") - F.col("mass"))
+            < F.lit(int(head_bp)) * F.col("_total"),
+            "head",
+        )
+        .when(
+            F.lit(10000) * (F.col("cum_mass") - F.col("mass"))
+            < F.lit(int(torso_bp)) * F.col("_total"),
+            "torso",
+        )
+        .otherwise("tail")
+        .alias("tier"),
+    )
+    return out

@@ -2551,3 +2551,46 @@ def pr_curve(
             F.expr("(20000 * tp) div (n_at_or_above + _P)"),
         ).cast("long").alias("f1_bp"),
     )
+
+
+#: Characters :func:`sanitize_controls` strips — written in the
+#: ``\x{hhhh}`` form BOTH Java regex (Spark) and RE2 (DuckDB oracle)
+#: parse identically: C0 controls except TAB/LF/CR, DEL, C1 controls
+#: (the cp1252-smuggling range), the BOM/ZWNBSP, and the bidi override
+#: family (LRM/RLM, LRE..RLO, LRI..PDI) — the homoglyph-spoofing
+#: vector that makes rendered text diverge from stored bytes. ZWJ and
+#: ZWNJ are deliberately KEPT: they are orthographic in Indic/Persian
+#: scripts and inside emoji sequences.
+CONTROL_CHARS_RE = (
+    r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F"
+    r"\x{0080}-\x{009F}\x{FEFF}\x{200E}\x{200F}"
+    r"\x{202A}-\x{202E}\x{2066}-\x{2069}]"
+)
+
+
+def sanitize_controls(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Strip non-printing control and direction-override characters —
+    the scrub between :func:`normalize_text` (composition form) and
+    :func:`fix_mojibake` (encoding damage): C0/C1 controls break
+    tokenizers and terminal renderers, a mid-document BOM splits
+    words invisibly, and bidi overrides make text render differently
+    than it hashes (a prompt-injection / spoofing vector worth
+    removing from TRAINING text, not just display). TAB/LF/CR and
+    ZWJ/ZWNJ survive (structure and orthography respectively).
+
+    Returns ``(doc_id, clean_text, n_removed)`` — every removal is a
+    single code point, so ``n_removed = length(text) -
+    length(clean_text)`` exactly. One ``regexp_replace`` projection,
+    scan-speed, no UDF; NULL text passes through with n_removed 0.
+    """
+    t = F.col(text_col)
+    cleaned = F.regexp_replace(t, CONTROL_CHARS_RE, "")
+    return ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        cleaned.alias("clean_text"),
+        F.coalesce(F.length(t) - F.length(cleaned), F.lit(0))
+        .cast("long")
+        .alias("n_removed"),
+    )

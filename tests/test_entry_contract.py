@@ -531,6 +531,12 @@ def test_oracled_queries_precede_rows_only():
         # cross-source overlap — fingerprint-keyed join + dimension
         # broadcast, the tier-1 dedup_exact/join_agg shapes
         "source_overlap",
+        # control/bidi scrub — tier-1 pii_scrub's replace-projection
+        # shape, one regex
+        "sanitize_controls",
+        # Lorenz tier table — concentration_gini's key-cardinality
+        # window, one pass
+        "mass_tiers",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -4306,6 +4306,51 @@ def q_mass_tiers(spark, sf_dir):
     return mass_tiers(d, "host", "mass", head_bp=5000, torso_bp=9000)
 
 
+def q_dedup_profile(spark, sf_dir):
+    """Cluster-size histogram + dedup savings (docs and char mass)
+    over the MinHash-LSH component labeling; singletons accounted, the
+    min-id canonical's mass kept per cluster."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import (
+        connected_components,
+        dedup_profile,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles_df(docs, k=SHINGLE_K)
+    sig = minhash_signatures(sh, num_hashes=MINHASH_HASHES)
+    pairs = lsh_candidate_pairs(sig, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS)
+    cc = connected_components(pairs)
+    return dedup_profile(docs, cc, weight_col="n_chars")
+
+
+def q_coverage_diff(spark, sf_dir):
+    """Frontier-vs-fetch reconciliation over synthesized url sets:
+    discovery emits every page, the fetcher skipped every third and
+    fetched an off-plan '/x' variant for every seventh."""
+    _ship(spark)
+    from correctocr_spark.ops.filters import coverage_diff
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"),
+        (did % 13).cast("string"),
+        F.lit(".example/p"),
+        did.cast("string"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    discovered = docs.select(url.alias("url"))
+    crawled = docs.where(did % 3 != 0).select(url.alias("url")).unionByName(
+        docs.where(did % 7 == 0).select(
+            F.concat(url, F.lit("/x")).alias("url")
+        )
+    )
+    return coverage_diff(discovered, crawled)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -4878,6 +4923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sanitize_controls": q_sanitize_controls,
         # head/torso/tail Lorenz tiering — key-cardinality window
         "mass_tiers": q_mass_tiers,
+        # dup-cluster histogram + savings — component-cardinality aggs
+        "dedup_profile": q_dedup_profile,
+        # frontier-vs-fetch reconciliation — one full-outer url join
+        "coverage_diff": q_coverage_diff,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -10537,6 +10586,86 @@ FROM documents)
                      ELSE 'tail'
                    END AS tier
             FROM ranked
+        """,
+        # dedup_profile: the dedup_groups recursive CTE + singleton
+        # coalesce, arg_min keeps the min-id canonical's mass
+        "dedup_profile": f"""
+            WITH RECURSIVE pairs AS (SELECT * FROM ({_minhash_sql()})),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            reach(node, label) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            comp AS (
+                SELECT node AS doc_id, min(label) AS component
+                FROM reach GROUP BY node
+            ),
+            labeled AS (
+                SELECT d.doc_id,
+                       coalesce(c.component, d.doc_id) AS component,
+                       d.n_chars::BIGINT AS w
+                FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+            ),
+            per AS (
+                SELECT component, count(*)::BIGINT AS sz,
+                       sum(w)::BIGINT AS mass,
+                       arg_min(w, doc_id)::BIGINT AS canon_mass
+                FROM labeled GROUP BY component
+            )
+            SELECT sz AS cluster_size,
+                   count(*)::BIGINT AS n_clusters,
+                   sum(sz)::BIGINT AS n_docs,
+                   sum(mass)::BIGINT AS total_mass,
+                   sum(sz - 1)::BIGINT AS removable_docs,
+                   sum(mass - canon_mass)::BIGINT AS removable_mass
+            FROM per GROUP BY sz
+        """,
+        # coverage_diff: same synthesized url sets, same host grammar
+        "coverage_diff": """
+            WITH discovered AS (
+              SELECT DISTINCT 'https://h' || (doc_id % 13)::VARCHAR
+                     || '.example/p' || doc_id::VARCHAR AS u
+              FROM documents
+            ),
+            crawled AS (
+              SELECT DISTINCT u FROM (
+                SELECT 'https://h' || (doc_id % 13)::VARCHAR
+                       || '.example/p' || doc_id::VARCHAR AS u
+                FROM documents WHERE doc_id % 3 <> 0
+                UNION ALL
+                SELECT 'https://h' || (doc_id % 13)::VARCHAR
+                       || '.example/p' || doc_id::VARCHAR || '/x' AS u
+                FROM documents WHERE doc_id % 7 = 0
+              )
+            ),
+            j AS (
+              SELECT coalesce(d.u, c.u) AS u,
+                     CASE WHEN d.u IS NULL THEN 0 ELSE 1 END AS _d,
+                     CASE WHEN c.u IS NULL THEN 0 ELSE 1 END AS _c
+              FROM discovered d FULL OUTER JOIN crawled c ON d.u = c.u
+            ),
+            h AS (
+              SELECT regexp_replace(lower(regexp_extract(u,
+                       '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
+                       ':\\d+$', '') AS host,
+                     _d, _c
+              FROM j
+            )
+            SELECT host,
+                   sum(_d)::BIGINT AS n_discovered,
+                   sum(_c)::BIGINT AS n_crawled,
+                   sum(_d * _c)::BIGINT AS n_both,
+                   sum(_d * (1 - _c))::BIGINT AS n_backlog,
+                   sum((1 - _d) * _c)::BIGINT AS n_offplan,
+                   CASE WHEN sum(_d) > 0 THEN
+                     ((10000 * sum(_d * _c)) // sum(_d))::BIGINT
+                   END AS coverage_bp
+            FROM h GROUP BY host
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

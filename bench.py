@@ -239,6 +239,8 @@ HEADLINE = [
     "source_overlap",
     "sanitize_controls",
     "mass_tiers",
+    "dedup_profile",
+    "coverage_diff",
     "bpe_token_counts",
     "extraction_blocks",
 ]

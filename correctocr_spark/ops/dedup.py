@@ -1883,3 +1883,63 @@ def containment_pairs(
         docs, cands, id_col=id_col, text_col=text_col, k=k,
         threshold_bp=threshold_bp,
     )
+
+
+def dedup_profile(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Cluster-size histogram + dedup savings estimate over a
+    component labeling — the number a curation plan is actually sold
+    on: "dedup removes X docs / Y bytes" broken down by cluster size
+    (a corpus dominated by pairs dedups very differently from one with
+    thousand-page syndication blobs). ``components`` is any
+    ``(doc_id, component)`` labeling (:func:`connected_components`
+    output); docs absent from it are singletons (their own label), so
+    the histogram always accounts for the WHOLE corpus. The canonical
+    kept per cluster is the min-id member (the oracle contract
+    everywhere in this module); ``removable_mass`` charges every
+    non-canonical member's weight.
+
+    Returns one row per ``cluster_size``: ``(cluster_size, n_clusters,
+    n_docs, total_mass, removable_docs, removable_mass)``.
+
+    Scale: one left join docs⟕labels on id, one combinable
+    per-component agg (``min_by`` picks the canonical's weight inside
+    the same pass — no second join back), then the histogram agg runs
+    on the COMPONENT-cardinality table. No windows, no corpus-sized
+    driver state.
+    """
+    w = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
+    labeled = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), w.alias("_w"))
+        .join(
+            components.select("doc_id", "component"), on="doc_id", how="left"
+        )
+        .select(
+            "doc_id",
+            "_w",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+    per = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.sum("_w").cast("long").alias("mass"),
+        F.min_by("_w", "doc_id").cast("long").alias("canon_mass"),
+    )
+    return per.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum("mass").cast("long").alias("total_mass"),
+        F.sum(F.col("sz") - 1).cast("long").alias("removable_docs"),
+        F.sum(F.col("mass") - F.col("canon_mass")).cast("long").alias(
+            "removable_mass"
+        ),
+    )

@@ -1252,3 +1252,49 @@ def grouped_split(
     return train_val_test_split(
         docs, weights=weights, seed=seed, id_col=group_col, split_col=split_col
     )
+
+
+def coverage_diff(
+    discovered: DataFrame,
+    crawled: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host crawl-coverage reconciliation — the frontier QA table:
+    which hosts have discovered-but-unfetched backlog (sitemap/feed/
+    link discovery running ahead of fetch capacity) and which have
+    OFF-PLAN fetches (crawled urls discovery never produced — trap
+    params, redirect drift, seed leakage). Full outer join of the two
+    distinct url sets; one row per host: ``(host, n_discovered,
+    n_crawled, n_both, n_backlog, n_offplan, coverage_bp)`` with
+    coverage = both/discovered in integer basis points (NULL when the
+    host was never discovered — 0/0 stays honest).
+
+    Scale: two distincts + one url-keyed full outer join + one
+    combinable host agg; hosts are the output cardinality. Host
+    grammar is :func:`host_col` (the oracled regex), so lookalike
+    urls reconcile under the same key the blocklist/quota tiers use.
+    """
+    d = discovered.select(F.col(url_col).alias("_u")).distinct().withColumn(
+        "_d", F.lit(1)
+    )
+    c = crawled.select(F.col(url_col).alias("_u")).distinct().withColumn(
+        "_c", F.lit(1)
+    )
+    j = d.join(c, on="_u", how="full_outer").select(
+        host_col("_u").alias("host"),
+        F.coalesce(F.col("_d"), F.lit(0)).alias("_d"),
+        F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
+    )
+    return j.groupBy("host").agg(
+        F.sum("_d").cast("long").alias("n_discovered"),
+        F.sum("_c").cast("long").alias("n_crawled"),
+        F.sum(F.col("_d") * F.col("_c")).cast("long").alias("n_both"),
+        F.sum(F.col("_d") * (1 - F.col("_c"))).cast("long").alias("n_backlog"),
+        F.sum((1 - F.col("_d")) * F.col("_c")).cast("long").alias("n_offplan"),
+        F.when(
+            F.sum("_d") > 0,
+            F.expr("(10000 * sum(_d * _c)) div sum(_d)"),
+        )
+        .cast("long")
+        .alias("coverage_bp"),
+    )

@@ -537,6 +537,12 @@ def test_oracled_queries_precede_rows_only():
         # Lorenz tier table — concentration_gini's key-cardinality
         # window, one pass
         "mass_tiers",
+        # dup-cluster histogram — composes tier-1 dedup_groups' CC
+        # labeling; the savings aggs are component-cardinality
+        "dedup_profile",
+        # frontier reconciliation — full-outer url join + host agg,
+        # tier-1 join_agg/domain_blocklist shapes and host grammar
+        "coverage_diff",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

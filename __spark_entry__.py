@@ -4351,6 +4351,35 @@ def q_coverage_diff(spark, sf_dir):
     return coverage_diff(discovered, crawled)
 
 
+def q_rank_agreement(spark, sf_dir):
+    """Spearman agreement between two tie-heavy synthetic scores
+    (64-char length buckets vs a doc_id hash residue) — exact integer
+    half-ranks, decimal(38) moments."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import rank_agreement
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.expr("n_chars div 64").cast("long").alias("x"),
+        (F.col("doc_id") * 2654435761 % 97).cast("long").alias("y"),
+    )
+    return rank_agreement(d, "x", "y")
+
+
+def q_percentile_normalize(spark, sf_dir):
+    """Per-lang mid-rank percentile of the 128-char size bucket —
+    the cross-source score normalizer; window on the (lang, score)
+    distinct-value table."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import percentile_normalize
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr("n_chars div 128").cast("long").alias("score"),
+    )
+    return percentile_normalize(d, "lang", "score")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -4927,6 +4956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_profile": q_dedup_profile,
         # frontier-vs-fetch reconciliation — one full-outer url join
         "coverage_diff": q_coverage_diff,
+        # Spearman filter agreement — exact half-ranks, decimal moments
+        "rank_agreement": q_rank_agreement,
+        # per-group mid-rank percentile normalization — score-table window
+        "percentile_normalize": q_percentile_normalize,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -10666,6 +10699,65 @@ FROM documents)
                      ((10000 * sum(_d * _c)) // sum(_d))::BIGINT
                    END AS coverage_bp
             FROM h GROUP BY host
+        """,
+        # rank_agreement: same half-rank construction; HUGEINT keeps
+        # the moments exact, sign*(abs//) matches Spark's
+        # toward-zero div on negatives
+        "rank_agreement": """
+            WITH rows_ AS (
+              SELECT (n_chars // 64)::BIGINT AS x,
+                     ((doc_id * 2654435761) % 97)::BIGINT AS y
+              FROM documents
+            ),
+            hx AS (
+              SELECT x, (2 * coalesce(sum(cnt) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + cnt + 1)::HUGEINT AS hx
+              FROM (SELECT x, count(*)::HUGEINT AS cnt FROM rows_ GROUP BY x)
+            ),
+            hy AS (
+              SELECT y, (2 * coalesce(sum(cnt) OVER (ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + cnt + 1)::HUGEINT AS hy
+              FROM (SELECT y, count(*)::HUGEINT AS cnt FROM rows_ GROUP BY y)
+            ),
+            m AS (
+              SELECT count(*)::HUGEINT AS n,
+                     sum(hx)::HUGEINT AS sx, sum(hy)::HUGEINT AS sy,
+                     sum(hx * hx)::HUGEINT AS sxx,
+                     sum(hy * hy)::HUGEINT AS syy,
+                     sum(hx * hy)::HUGEINT AS sxy
+              FROM rows_ JOIN hx USING (x) JOIN hy USING (y)
+            )
+            SELECT n::BIGINT AS n_rows,
+                   CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+                     (CASE WHEN (n * sxy - sx * sy) < 0 THEN -1 ELSE 1 END
+                      * least(1000::HUGEINT,
+                          (1000 * abs(n * sxy - sx * sy)) //
+                          CAST(floor(sqrt(((n * sxx - sx * sx)
+                            * (n * syy - sy * sy))::DOUBLE)) AS HUGEINT)))::BIGINT
+                   END AS rho_milli
+            FROM m
+        """,
+        # percentile_normalize: same Hazen mid-rank on the
+        # (lang, score) distinct-value table
+        "percentile_normalize": """
+            WITH rows_ AS (
+              SELECT doc_id, lang, (n_chars // 128)::BIGINT AS score
+              FROM documents
+            ),
+            per AS (
+              SELECT lang, score, count(*)::BIGINT AS t FROM rows_ GROUP BY 1, 2
+            ),
+            pct AS (
+              SELECT lang, score,
+                     ((10000 * (2 * coalesce(sum(t) OVER (PARTITION BY lang ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t))
+                       // (2 * sum(t) OVER (PARTITION BY lang)))::BIGINT AS pct_bp
+              FROM per
+            )
+            SELECT r.doc_id, r.lang, r.score, p.pct_bp
+            FROM rows_ r JOIN pct p ON r.lang = p.lang AND r.score = p.score
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -241,6 +241,8 @@ HEADLINE = [
     "mass_tiers",
     "dedup_profile",
     "coverage_diff",
+    "rank_agreement",
+    "percentile_normalize",
     "bpe_token_counts",
     "extraction_blocks",
 ]

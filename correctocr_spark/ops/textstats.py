@@ -2594,3 +2594,138 @@ def sanitize_controls(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def rank_agreement(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank agreement between two score columns — "do my two
+    quality filters order the corpus the same way?": before swapping a
+    cheap heuristic for a model score (or trusting a new filter
+    version), measure how much of the old ordering survives. Pearson
+    on ranks, with ties getting their AVERAGE rank — kept exact by
+    working in HALF-RANK units (``2·avg_rank = 2·cum_before + t + 1``,
+    always an integer, no .5s).
+
+    All moments accumulate as DECIMAL(38,0) (half-ranks reach 2n, so
+    ``n·Σr²`` ~ 4n⁴ overflows int64 past ~40k rows); the final
+    ``rho_milli`` (−1000..1000) divides via ``sign·(abs div)`` so
+    truncation is toward zero in BOTH engines (DuckDB's ``//`` floors
+    negatives — div'ing the absolute value sidesteps the mismatch).
+    The denominator is ONE ``floor(sqrt(double))`` of the variance
+    PRODUCT — when |rho| = 1 the product is a perfect square (equal
+    rank vectors up to reversal), so ±1 survive exactly where two
+    separate isqrts would under-divide — with a ``least`` clamp
+    absorbing the float-ulp edge on huge inputs; the double pipeline
+    is deterministic cross-engine (conversion and sqrt are exactly
+    rounded, identically, in the JVM and DuckDB). vx·vy ≤ 16n⁶ caps
+    exact DECIMAL(38) arithmetic at n ≈ 1.4e6 scored rows — rank
+    agreement past that runs on a sample (``sample_deterministic``)
+    by design. Rows with a NULL on either side are dropped; a constant
+    column (zero variance) yields NULL rho, never a fabricated 0.
+
+    Scale: two distinct-value (score-cardinality) windows + two joins
+    back + one combinable moment agg. Returns one row:
+    ``(n_rows, rho_milli)``.
+    """
+    from pyspark.sql import Window
+
+    rows = ensure_parallelism(df).select(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+
+    def _half_ranks(col: str):
+        per = rows.groupBy(col).agg(F.count(F.lit(1)).alias("_t"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return per.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("_t").over(w), F.lit(0))
+                + F.col("_t")
+                + 1
+            ).alias(f"_h{col}"),
+        )
+
+    hx = _half_ranks("_x")
+    hy = _half_ranks("_y")
+    j = rows.join(hx, on="_x").join(hy, on="_y")
+    d38 = "DECIMAL(38,0)"
+    m = j.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("_h_x").cast(d38)).alias("sx"),
+        F.sum(F.col("_h_y").cast(d38)).alias("sy"),
+        F.sum((F.col("_h_x") * F.col("_h_x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("_h_y") * F.col("_h_y")).cast(d38)).alias("syy"),
+        F.sum((F.col("_h_x") * F.col("_h_y")).cast(d38)).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.when(
+            (F.expr("n * sxx - sx * sx") > 0) & (F.expr("n * syy - sy * sy") > 0),
+            F.expr(
+                "CAST(sign(n * sxy - sx * sy) AS DECIMAL(38,0)) * "
+                "least(CAST(1000 AS DECIMAL(38,0)), "
+                "CAST((1000 * abs(n * sxy - sx * sy)) div "
+                "CAST(floor(sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)"
+                " AS DOUBLE))) AS DECIMAL(38,0)) AS DECIMAL(38,0)))"
+            ),
+        )
+        .cast("long")
+        .alias("rho_milli"),
+    )
+
+
+def percentile_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group mid-rank percentile of a score, in integer basis
+    points — the normalization that makes ONE global threshold
+    meaningful across heterogeneous sources: raw quality scores are
+    not comparable between a news domain and a forum dump, but "this
+    doc is in its own source's 87th percentile" is. Hazen mid-rank
+    (``(2·cum_before + t) / 2n``) so ties share one percentile and the
+    extremes never collapse to exactly 0/10000.
+
+    Scale: the rank window runs per group on the (group, score)
+    DISTINCT-value table (score cardinality, not corpus), then one
+    join back on (group, score). Returns ``(id_col, group_col,
+    score_col, pct_bp)``.
+    """
+    from pyspark.sql import Window
+
+    rows = ensure_parallelism(df).select(
+        F.col(id_col), F.col(group_col), F.col(score_col)
+    )
+    per = rows.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("_t")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy(group_col)
+    # cum-before and group-n ride the distinct-value table, never the
+    # corpus
+    per2 = per.select(
+        group_col,
+        score_col,
+        "_t",
+        F.coalesce(F.sum("_t").over(w), F.lit(0)).alias("_cb"),
+        F.sum("_t").over(wn).alias("_n"),
+    )
+    pct = per2.select(
+        group_col,
+        score_col,
+        F.expr("(10000 * (2 * _cb + _t)) div (2 * _n)")
+        .cast("long")
+        .alias("pct_bp"),
+    )
+    return rows.join(pct, on=[group_col, score_col]).select(
+        id_col, group_col, score_col, "pct_bp"
+    )

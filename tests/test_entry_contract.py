@@ -543,6 +543,12 @@ def test_oracled_queries_precede_rows_only():
         # frontier reconciliation — full-outer url join + host agg,
         # tier-1 join_agg/domain_blocklist shapes and host grammar
         "coverage_diff",
+        # Spearman agreement — pr_curve's distinct-score window family
+        # + one moment agg
+        "rank_agreement",
+        # mid-rank percentile normalization — the same distinct-score
+        # window, joined back (threshold_calibration's shape inverted)
+        "percentile_normalize",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -4380,6 +4380,43 @@ def q_percentile_normalize(spark, sf_dir):
     return percentile_normalize(d, "lang", "score")
 
 
+def q_retention_plan(spark, sf_dir):
+    """Exponential snapshot thinning over synthesized (url, day)
+    histories — 20 snapshots per url at irregular spacing, planned
+    as of day 1000."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import retention_plan
+
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("u"), F.expr("doc_id div 20").cast("string")).alias("url"),
+        ((did % 20) * 37 % 1000).cast("long").alias("epoch_day"),
+    )
+    return retention_plan(d, on="url", ts_col="epoch_day", as_of=1000)
+
+
+def q_status_transitions(spark, sf_dir):
+    """HTTP status transition matrix over synthesized per-url crawl
+    histories (5 snapshots per url, status from doc_id arithmetic) —
+    keyed lag window + transition-cardinality shares."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import status_transitions
+
+    did = F.col("doc_id")
+    m = (did * 7) % 10
+    status = (
+        F.when(m < 6, F.lit(200))
+        .when(m < 8, F.lit(301))
+        .otherwise(F.lit(404))
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("u"), F.expr("doc_id div 5").cast("string")).alias("url"),
+        (did % 5).cast("long").alias("epoch_day"),
+        status.cast("long").alias("status"),
+    )
+    return status_transitions(d, on="url", ts_col="epoch_day", status_col="status")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -4960,6 +4997,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_agreement": q_rank_agreement,
         # per-group mid-rank percentile normalization — score-table window
         "percentile_normalize": q_percentile_normalize,
+        # exponential snapshot thinning — (key, age-octave) windows
+        "retention_plan": q_retention_plan,
+        # status transition matrix — keyed lag + per-from shares
+        "status_transitions": q_status_transitions,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -10758,6 +10799,51 @@ FROM documents)
             )
             SELECT r.doc_id, r.lang, r.score, p.pct_bp
             FROM rows_ r JOIN pct p ON r.lang = p.lang AND r.score = p.score
+        """,
+        # retention_plan: same age-octave buckets via length(bin()),
+        # keep = tied-newest per (url, bucket)
+        "retention_plan": """
+            WITH snaps AS (
+              SELECT 'u' || (doc_id // 20)::VARCHAR AS url,
+                     ((doc_id % 20) * 37 % 1000)::BIGINT AS epoch_day
+              FROM documents
+            ),
+            aged AS (
+              SELECT url, epoch_day,
+                     greatest(1000 - epoch_day, 0)::BIGINT AS age,
+                     length(bin(greatest(1000 - epoch_day, 0) + 1))::BIGINT AS bucket
+              FROM snaps
+            )
+            SELECT url, epoch_day, age, bucket,
+                   (epoch_day = max(epoch_day) OVER (PARTITION BY url, bucket))
+                     AS keep
+            FROM aged
+        """,
+        # status_transitions: same keyed lag + per-from shares
+        "status_transitions": """
+            WITH snaps AS (
+              SELECT 'u' || (doc_id // 5)::VARCHAR AS url,
+                     (doc_id % 5)::BIGINT AS epoch_day,
+                     (CASE WHEN (doc_id * 7) % 10 < 6 THEN 200
+                           WHEN (doc_id * 7) % 10 < 8 THEN 301
+                           ELSE 404 END)::BIGINT AS status
+              FROM documents
+            ),
+            pairs AS (
+              SELECT lag(status) OVER (PARTITION BY url ORDER BY epoch_day)
+                       AS from_status,
+                     status AS to_status
+              FROM snaps
+            ),
+            counts AS (
+              SELECT from_status, to_status, count(*)::BIGINT AS n
+              FROM pairs WHERE from_status IS NOT NULL
+              GROUP BY 1, 2
+            )
+            SELECT from_status, to_status, n,
+                   ((10000 * n) // sum(n) OVER (PARTITION BY from_status))::BIGINT
+                     AS share_bp
+            FROM counts
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

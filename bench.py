@@ -243,6 +243,8 @@ HEADLINE = [
     "coverage_diff",
     "rank_agreement",
     "percentile_normalize",
+    "retention_plan",
+    "status_transitions",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -676,3 +676,90 @@ def rate_anomalies(
         )
         .where(F.col("z_milli") >= int(z_milli_threshold))
     )
+
+
+def retention_plan(
+    snapshots: DataFrame,
+    on: Union[str, Sequence[str]] = "url",
+    ts_col: str = "epoch_day",
+    as_of: int = None,
+) -> DataFrame:
+    """Exponential snapshot thinning — the archive retention policy
+    behind "keep everything recent, one per doubling of age beyond":
+    a url recrawled daily for years carries hundreds of near-identical
+    snapshots, and storage planning wants the newest, plus one
+    representative per age octave (1-day, 2-3, 4-7, 8-15, ... days
+    old), the rest marked droppable. Age buckets are
+    ``length(bin(age + 1))`` — the exact integer ``floor(log2)+1``
+    both engines share — and the NEWEST snapshot in each (key, bucket)
+    is kept. Timestamp ties keep ALL tied-newest rows (a max
+    comparison, not an arbitrary row_number election — deterministic,
+    and over-retention is the safe failure for a deletion plan).
+    ``as_of`` is the integer day the plan is computed at; snapshots
+    dated after it get age 0 (bucket 1), never negative ages.
+
+    Output: every input row plus ``(age, bucket, keep)`` — a PLAN, not
+    a filter: the caller audits `keep = false` mass before deleting.
+
+    Scale: one keyed window partitioned by (key, bucket) — no global
+    window, no corpus-sized state.
+    """
+    if as_of is None:
+        raise ValueError("retention_plan needs an explicit as_of day")
+    keys = _keys(on)
+    ts = F.col(ts_col).cast("long")
+    age = F.greatest(F.lit(int(as_of)) - ts, F.lit(0))
+    base = ensure_parallelism(snapshots).select(
+        *keys,
+        ts.alias(ts_col),
+        age.cast("long").alias("age"),
+        F.length(F.bin(age + 1)).cast("long").alias("bucket"),
+    )
+    w = Window.partitionBy(*keys, "bucket")
+    return base.withColumn(
+        "keep", (F.col(ts_col) == F.max(ts_col).over(w)).cast("boolean")
+    )
+
+
+def status_transitions(
+    snapshots: DataFrame,
+    on: Union[str, Sequence[str]] = "url",
+    ts_col: str = "epoch_day",
+    status_col: str = "status",
+) -> DataFrame:
+    """Crawl-to-crawl HTTP status transition matrix — the corpus-level
+    link-rot / soft-404 drift monitor: per key, order snapshots by
+    time, pair each status with its predecessor (lag), and count
+    transitions. ``share_bp`` normalizes each row per FROM-status
+    (integer basis points), so "of pages that were 200, how many went
+    404 next crawl" reads straight off the row. First snapshots have
+    no predecessor and are excluded (a transition needs two ends).
+
+    Scale: one keyed lag window (partitioned by the key — never
+    global) + one combinable pair count; the share window runs on the
+    TRANSITION-cardinality table (status² rows at most).
+    """
+    keys = _keys(on)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    pairs = (
+        ensure_parallelism(snapshots)
+        .select(*keys, F.col(ts_col), F.col(status_col).alias("_to"))
+        .withColumn("_from", F.lag("_to").over(w))
+        .where(F.col("_from").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("_from").alias("from_status"), F.col("_to").alias("to_status")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wf = Window.partitionBy("from_status")
+    return counts.select(
+        "from_status",
+        "to_status",
+        "n",
+        F.expr("(10000 * n)").cast("long").alias("_num"),
+        F.sum("n").over(wf).cast("long").alias("_den"),
+    ).select(
+        "from_status",
+        "to_status",
+        "n",
+        F.expr("_num div _den").cast("long").alias("share_bp"),
+    )

@@ -549,6 +549,11 @@ def test_oracled_queries_precede_rows_only():
         # mid-rank percentile normalization — the same distinct-score
         # window, joined back (threshold_calibration's shape inverted)
         "percentile_normalize",
+        # snapshot thinning — keyed windows, recrawl_intervals' family
+        "retention_plan",
+        # status transition matrix — sessionize/snapshot_delta's keyed
+        # lag, shares on the status² table
+        "status_transitions",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -4417,6 +4417,30 @@ def q_status_transitions(spark, sf_dir):
     return status_transitions(d, on="url", ts_col="epoch_day", status_col="status")
 
 
+def q_ks_test(spark, sf_dir):
+    """Exact two-sample KS between en and de 32-char size-bucket
+    distributions — integer cross-multiplied CDF gaps on the
+    distinct-score table."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import ks_test
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", F.expr("n_chars div 32").cast("long").alias("score")
+    )
+    return ks_test(d, "lang", "score", "en", "de")
+
+
+def q_ngram_diversity(spark, sf_dir):
+    """Distinct-1/2/3 diversity panel per lang — the repetitiveness
+    complement of vocab_health; two-phase combinable gram counts."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import ngram_diversity
+
+    return ngram_diversity(
+        _t(spark, sf_dir, "documents"), ns=(1, 2, 3), group_col="lang"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5001,6 +5025,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_plan": q_retention_plan,
         # status transition matrix — keyed lag + per-from shares
         "status_transitions": q_status_transitions,
+        # exact two-sample KS — distinct-score CDF gap windows
+        "ks_test": q_ks_test,
+        # distinct-n diversity panel — two-phase gram counts
+        "ngram_diversity": q_ngram_diversity,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -10844,6 +10872,80 @@ FROM documents)
                    ((10000 * n) // sum(n) OVER (PARTITION BY from_status))::BIGINT
                      AS share_bp
             FROM counts
+        """,
+        # ks_test: same integer cross-multiplied CDF gaps on the
+        # distinct-score table; at_score = smallest argmax
+        "ks_test": """
+            WITH rows_ AS (
+              SELECT lang, (n_chars // 32)::BIGINT AS score
+              FROM documents
+              WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+            ),
+            per AS (
+              SELECT score,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca,
+                     sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS cb
+              FROM rows_ GROUP BY 1
+            ),
+            cum AS (
+              SELECT score AS s,
+                     sum(ca) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+                     sum(cb) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+                     sum(ca) OVER () AS na,
+                     sum(cb) OVER () AS nb
+              FROM per
+            ),
+            gaps AS (
+              SELECT s, na, nb, abs(nb * cuma - na * cumb) AS gap FROM cum
+            )
+            SELECT max(na)::BIGINT AS n_a,
+                   max(nb)::BIGINT AS n_b,
+                   CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+                     ((1000 * max(gap)) // (max(na) * max(nb)))::BIGINT
+                   END AS d_milli,
+                   min(CASE WHEN gap = (SELECT max(gap) FROM gaps) THEN s END)::BIGINT
+                     AS at_score
+            FROM gaps
+        """,
+        # ngram_diversity: the ngram_counts gram grammar per order,
+        # stacked long
+        "ngram_diversity": f"""
+            WITH w AS (
+              SELECT lang, {_WORDS} AS ws FROM documents
+            ),
+            p1 AS (
+              SELECT lang, gram, count(*)::BIGINT AS c FROM (
+                SELECT lang, unnest(ws) AS gram FROM w WHERE len(ws) >= 1
+              ) GROUP BY 1, 2
+            ),
+            p2 AS (
+              SELECT lang, gram, count(*)::BIGINT AS c FROM (
+                SELECT lang, unnest(list_transform(range(1, len(ws) - 2 + 2),
+                         i -> array_to_string(ws[i:i + 1], ' '))) AS gram
+                FROM w WHERE len(ws) >= 2
+              ) GROUP BY 1, 2
+            ),
+            p3 AS (
+              SELECT lang, gram, count(*)::BIGINT AS c FROM (
+                SELECT lang, unnest(list_transform(range(1, len(ws) - 3 + 2),
+                         i -> array_to_string(ws[i:i + 2], ' '))) AS gram
+                FROM w WHERE len(ws) >= 3
+              ) GROUP BY 1, 2
+            )
+            SELECT lang AS grp, 1::BIGINT AS n, sum(c)::BIGINT AS total_grams,
+                   count(*)::BIGINT AS distinct_grams,
+                   ((10000 * count(*)) // sum(c))::BIGINT AS distinct_bp
+            FROM p1 GROUP BY lang
+            UNION ALL
+            SELECT lang, 2::BIGINT, sum(c)::BIGINT, count(*)::BIGINT,
+                   ((10000 * count(*)) // sum(c))::BIGINT
+            FROM p2 GROUP BY lang
+            UNION ALL
+            SELECT lang, 3::BIGINT, sum(c)::BIGINT, count(*)::BIGINT,
+                   ((10000 * count(*)) // sum(c))::BIGINT
+            FROM p3 GROUP BY lang
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -245,6 +245,8 @@ HEADLINE = [
     "percentile_normalize",
     "retention_plan",
     "status_transitions",
+    "ks_test",
+    "ngram_diversity",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -5,7 +5,7 @@ no Python UDFs — so they run at scan speed over a 100 TB corpus.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional, Sequence
 
 import pandas as pd
 
@@ -2729,3 +2729,135 @@ def percentile_normalize(
     return rows.join(pct, on=[group_col, score_col]).select(
         id_col, group_col, score_col, "pct_bp"
     )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between two
+    groups' score distributions — the bucket-free complement of
+    ``psi_drift``: PSI needs binning and smoothing choices; KS is the
+    max CDF gap over the scores the data actually took, so "did this
+    crawl's quality distribution move" has one assumption-free number.
+
+    Exact integer cross-multiplication: at every distinct score s,
+    the gap ``|n_b·cum_a(s) − n_a·cum_b(s)|`` is an integer;
+    ``d_milli = 1000·max_gap div (n_a·n_b)``. ``at_score`` is the
+    SMALLEST score achieving the max (deterministic tie-break) — where
+    the distributions diverge most, which is also the natural split
+    threshold. Either group empty → NULL distance.
+
+    Scale: per-(score) group counts are one combinable agg; the CDF
+    windows and the argmax run on the DISTINCT-score table. Returns
+    one row: ``(n_a, n_b, d_milli, at_score)``.
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    rows = ensure_parallelism(df).where(
+        g.isin([group_a, group_b]) & F.col(score_col).isNotNull()
+    )
+    per = rows.groupBy(score_col).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+    )
+    w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        F.col(score_col).alias("_s"),
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+        F.sum("_ca").over(wall).alias("_na"),
+        F.sum("_cb").over(wall).alias("_nb"),
+    ).withColumn(
+        "_gap",
+        F.abs(F.col("_nb") * F.col("_cuma") - F.col("_na") * F.col("_cumb")),
+    )
+    cum = cum.withColumn("_maxgap", F.max("_gap").over(wall))
+    return cum.agg(
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+        F.when(
+            (F.max("_na") > 0) & (F.max("_nb") > 0),
+            F.expr("(1000 * max(_gap)) div (max(_na) * max(_nb))"),
+        )
+        .cast("long")
+        .alias("d_milli"),
+        F.min(F.when(F.col("_gap") == F.col("_maxgap"), F.col("_s"))).alias(
+            "at_score"
+        ),
+    )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    ns: Sequence[int] = (1, 2, 3),
+    group_col: Optional[str] = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct-n diversity panel — the repetitiveness complement of
+    ``vocab_health``'s unigram TTR: distinct n-grams over total
+    n-grams, per order, in integer basis points. Template farms and
+    model-generated filler collapse distinct-2/3 long before unigram
+    vocabulary looks sick; corpus release reports quote exactly these
+    numbers (self-BLEU's cheap deterministic cousin).
+
+    Scale: grams built in-row (the ``ngram_counts`` sequence+slice
+    algebra, one explode per order), counted in two combinable phases;
+    the distinct count rides the (gram)-keyed rollup's row count, so
+    no exact-distinct double exchange. One row per (group, n):
+    ``(group, n, total_grams, distinct_grams, distinct_bp)``.
+    """
+    outs = []
+    gcol = (
+        F.col(group_col).alias("_g")
+        if group_col is not None
+        else F.lit("all").alias("_g")
+    )
+    base = ensure_parallelism(docs).select(
+        gcol, normalized_words(text_col).alias("_w")
+    )
+    for n in ns:
+        n = int(n)
+        # NB: the transform lambda must take exactly ONE parameter — a
+        # second would be interpreted as the (element, index) arity and
+        # shadow n with the index column; the lambda runs eagerly, so
+        # closing over the loop variable is safe
+        grams = F.when(
+            F.size(F.col("_w")) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col("_w")) - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        per_gram = (
+            base.select("_g", F.explode(grams).alias("_gram"))
+            .groupBy("_g", "_gram")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        )
+        outs.append(
+            per_gram.groupBy("_g")
+            .agg(
+                F.sum("_c").cast("long").alias("total_grams"),
+                F.count(F.lit(1)).cast("long").alias("distinct_grams"),
+            )
+            .select(
+                F.col("_g").alias("grp"),
+                F.lit(n).cast("long").alias("n"),
+                "total_grams",
+                "distinct_grams",
+                F.expr("(10000 * distinct_grams) div total_grams")
+                .cast("long")
+                .alias("distinct_bp"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -554,6 +554,11 @@ def test_oracled_queries_precede_rows_only():
         # status transition matrix — sessionize/snapshot_delta's keyed
         # lag, shares on the status² table
         "status_transitions",
+        # exact two-sample KS — pr_curve's distinct-score cumulative
+        # window + one argmax
+        "ks_test",
+        # distinct-n panel — ngram_counts' gram grammar, stacked long
+        "ngram_diversity",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

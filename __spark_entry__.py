@@ -4441,6 +4441,26 @@ def q_ngram_diversity(spark, sf_dir):
     )
 
 
+def q_vocab_richness(spark, sf_dir):
+    """Chao1 + Good–Turing unseen-vocabulary estimate per lang —
+    integer-exact f1/f2 estimators over the word_freq rollup."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import vocab_richness
+
+    return vocab_richness(_t(spark, sf_dir, "documents"), group_col="lang")
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf head-slope per lang — milli-nat quantized OLS over the
+    top-128 rank/frequency head, exact-integer sums."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import zipf_fit
+
+    return zipf_fit(
+        _t(spark, sf_dir, "documents"), group_col="lang", max_rank=128
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5029,6 +5049,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": q_ks_test,
         # distinct-n diversity panel — two-phase gram counts
         "ngram_diversity": q_ngram_diversity,
+        # Chao1 + Good–Turing unseen-vocabulary estimate — integer f1/f2
+        "vocab_richness": q_vocab_richness,
+        # Zipf head-slope OLS — milli-nat logs, exact integer sums
+        "zipf_fit": q_zipf_fit,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -10946,6 +10970,67 @@ FROM documents)
             SELECT lang, 3::BIGINT, sum(c)::BIGINT, count(*)::BIGINT,
                    ((10000 * count(*)) // sum(c))::BIGINT
             FROM p3 GROUP BY lang
+        """,
+        # vocab_richness: integer-exact Chao1 + Good–Turing over the
+        # (lang, word) rollup
+        "vocab_richness": f"""
+            WITH per AS (
+              SELECT lang AS grp, w, count(*)::BIGINT AS c FROM (
+                SELECT lang, unnest({_WORDS}) AS w FROM documents
+              ) GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT grp,
+                     sum(c)::BIGINT AS n_tokens,
+                     count(*)::BIGINT AS vocab,
+                     sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+                     sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+              FROM per GROUP BY 1
+            )
+            SELECT grp, n_tokens, vocab, f1, f2,
+                   (1000 * vocab
+                    + (1000 * f1 * (f1 - 1)) // (2 * (f2 + 1)))::BIGINT
+                     AS chao1_milli,
+                   ((10000 * f1) // n_tokens)::BIGINT AS gt_unseen_bp,
+                   ((10000 * f1) // vocab)::BIGINT AS singleton_share_bp
+            FROM agg
+        """,
+        # zipf_fit: milli-nat quantized OLS over the top-128 head;
+        # every sum is exact BIGINT, numerators non-negative by
+        # monotonicity so // == Spark's div
+        "zipf_fit": f"""
+            WITH per AS (
+              SELECT lang AS grp, w, count(*)::BIGINT AS c FROM (
+                SELECT lang, unnest({_WORDS}) AS w FROM documents
+              ) GROUP BY 1, 2
+            ),
+            head AS (
+              SELECT grp,
+                     floor(1000.0 * ln(row_number() OVER (
+                       PARTITION BY grp ORDER BY c DESC, w ASC
+                     )::DOUBLE))::BIGINT AS x,
+                     floor(1000.0 * ln(c::DOUBLE))::BIGINT AS y
+              FROM per
+              QUALIFY row_number() OVER (
+                PARTITION BY grp ORDER BY c DESC, w ASC) <= 128
+            ),
+            sums AS (
+              SELECT grp, count(*)::BIGINT AS n,
+                     sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+              FROM head GROUP BY 1
+            )
+            SELECT grp, n AS n_ranks,
+                   CASE WHEN n * sxx - sx * sx > 0 THEN
+                     ((1000 * (sx * sy - n * sxy))
+                      // (n * sxx - sx * sx))::BIGINT
+                   END AS neg_slope_milli,
+                   CASE WHEN n * sxx - sx * sx > 0 THEN
+                     ((sy * (n * sxx - sx * sx)
+                       + (sx * sy - n * sxy) * sx)
+                      // (n * (n * sxx - sx * sx)))::BIGINT
+                   END AS intercept_milli
+            FROM sums
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

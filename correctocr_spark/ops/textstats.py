@@ -2861,3 +2861,165 @@ def ngram_diversity(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def vocab_richness(
+    docs: DataFrame,
+    group_col: Optional[str] = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Chao1 vocabulary-richness estimate plus Good–Turing unseen mass
+    per group — "how much vocabulary has this crawl slice NOT seen
+    yet", the question behind deciding whether another crawl of a
+    language is worth the fetch budget. ``vocab_health`` describes the
+    vocabulary we HAVE; this estimates the one we're missing.
+
+    Bias-corrected Chao1 (integer-exact):
+    ``chao1_milli = 1000·V + (1000·f1·(f1−1)) div (2·(f2+1))`` where V
+    is the observed vocabulary and f1/f2 the singleton/doubleton word
+    counts. Good–Turing unseen-probability mass ``gt_unseen_bp =
+    (10000·f1) div N`` (Gale–Sampson's P0 = f1/N). All outputs are
+    integer basis points / millis — no float in the pipeline, so the
+    oracle hashes exactly.
+
+    Scale: one (group, word) count rollup (combinable, the word_freq
+    shuffle), then one combinable per-group agg over it; f1/f2 are
+    conditional sums, never a second scan. One row per group:
+    ``(grp, n_tokens, vocab, f1, f2, chao1_milli, gt_unseen_bp,
+    singleton_share_bp)``.
+    """
+    gcol = (
+        F.col(group_col).alias("_g")
+        if group_col is not None
+        else F.lit("all").alias("_g")
+    )
+    per_word = (
+        ensure_parallelism(docs)
+        .select(gcol, F.explode(normalized_words(text_col)).alias("_w"))
+        .groupBy("_g", "_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    return (
+        per_word.groupBy("_g")
+        .agg(
+            F.sum("_c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("f1"),
+            F.sum(F.when(F.col("_c") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("f2"),
+        )
+        .select(
+            F.col("_g").alias("grp"),
+            "n_tokens",
+            "vocab",
+            "f1",
+            "f2",
+            F.expr(
+                "1000 * vocab + (1000 * f1 * (f1 - 1)) div (2 * (f2 + 1))"
+            )
+            .cast("long")
+            .alias("chao1_milli"),
+            F.expr("(10000 * f1) div n_tokens").cast("long").alias(
+                "gt_unseen_bp"
+            ),
+            F.expr("(10000 * f1) div vocab").cast("long").alias(
+                "singleton_share_bp"
+            ),
+        )
+    )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    group_col: Optional[str] = None,
+    text_col: str = "text",
+    max_rank: int = 128,
+) -> DataFrame:
+    """Zipf-law head fit per group: OLS slope of log-frequency against
+    log-rank over the top ``max_rank`` words. Natural text sits near
+    slope −1; template farms and model-generated filler flatten the
+    head (slope → 0), keyword-stuffed spam steepens it — so the slope
+    is a one-number corpus-naturalness diagnostic that complements
+    ``ngram_diversity`` (which looks at the tail's repetitiveness).
+
+    Determinism: each log is quantized ONCE to integer milli-nats
+    (``floor(1000·ln(·))`` — the unigram_lm micro-nat convention), and
+    every downstream OLS sum is exact 64-bit integer arithmetic; with
+    ranks capped at 128 the worst-case intercept numerator
+    |num·Σx| + |Σy·den| < 3e18 stays inside long even for a
+    10^13-count head word (Σy ≤ 128·30e3). The slope is
+    reported NEGATED (``neg_slope_milli``, so ≈1000 for natural text):
+    frequency is non-increasing in rank by construction, hence the
+    covariance is ≤ 0 and the negated integer division is
+    floor-consistent between Spark and the oracle (both engines
+    truncate non-negative div identically; negative div semantics
+    differ, so we never emit one).
+
+    Rank ties break by word (ascending) — a total order, so the top-K
+    head is reproducible. Groups with < 2 distinct head ranks return
+    NULL fit columns.
+
+    Scale: the (group, word) rollup is the word_freq shuffle; the
+    top-K head is a per-group window over that rollup (combinable
+    count first, window second), and the OLS itself is one combinable
+    agg over ≤ max_rank rows per group. One row per group:
+    ``(grp, n_ranks, neg_slope_milli, intercept_milli)``.
+    """
+    from pyspark.sql import Window
+
+    gcol = (
+        F.col(group_col).alias("_g")
+        if group_col is not None
+        else F.lit("all").alias("_g")
+    )
+    per_word = (
+        ensure_parallelism(docs)
+        .select(gcol, F.explode(normalized_words(text_col)).alias("_w"))
+        .groupBy("_g", "_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w = Window.partitionBy("_g").orderBy(
+        F.col("_c").desc(), F.col("_w").asc()
+    )
+    head = (
+        per_word.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= int(max_rank))
+        .select(
+            "_g",
+            F.floor(F.lit(1000.0) * F.log(F.col("_r").cast("double")))
+            .cast("long")
+            .alias("_x"),
+            F.floor(F.lit(1000.0) * F.log(F.col("_c").cast("double")))
+            .cast("long")
+            .alias("_y"),
+        )
+    )
+    sums = head.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+    )
+    return sums.select(
+        F.col("_g").alias("grp"),
+        F.col("_n").alias("n_ranks"),
+        F.expr(
+            "CASE WHEN _n * _sxx - _sx * _sx > 0 THEN"
+            " (1000 * (_sx * _sy - _n * _sxy))"
+            " div (_n * _sxx - _sx * _sx) END"
+        )
+        .cast("long")
+        .alias("neg_slope_milli"),
+        F.expr(
+            "CASE WHEN _n * _sxx - _sx * _sx > 0 THEN"
+            " (_sy * (_n * _sxx - _sx * _sx)"
+            "  + (_sx * _sy - _n * _sxy) * _sx)"
+            " div (_n * (_n * _sxx - _sx * _sx)) END"
+        )
+        .cast("long")
+        .alias("intercept_milli"),
+    )

@@ -4461,6 +4461,31 @@ def q_zipf_fit(spark, sf_dir):
     )
 
 
+def q_mannwhitney(spark, sf_dir):
+    """Tie-exact Mann–Whitney U between en and de 16-char size
+    buckets — doubled mid-ranks on the distinct-score table, fixed
+    IEEE expression shape for z."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import mannwhitney_test
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", F.expr("n_chars div 16").cast("long").alias("score")
+    )
+    return mannwhitney_test(d, "lang", "score", "en", "de")
+
+
+def q_range_bounds(spark, sf_dir):
+    """Exact equi-depth range-partition cut points over the n_chars
+    key, P=16 — per-key rollup then distinct-key-table windows."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import range_bounds
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("k")
+    )
+    return range_bounds(d, "k", 16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5053,6 +5078,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_richness": q_vocab_richness,
         # Zipf head-slope OLS — milli-nat logs, exact integer sums
         "zipf_fit": q_zipf_fit,
+        # tie-exact Mann–Whitney U — doubled mid-ranks, IEEE-pinned z
+        "mannwhitney": q_mannwhitney,
+        # exact equi-depth range-partition planner — distinct-key windows
+        "range_bounds": q_range_bounds,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -11031,6 +11060,79 @@ FROM documents)
                       // (n * (n * sxx - sx * sx)))::BIGINT
                    END AS intercept_milli
             FROM sums
+        """,
+        # mannwhitney: doubled mid-ranks on the distinct-score table;
+        # z uses the IDENTICAL IEEE expression shape as the Spark op
+        "mannwhitney": """
+            WITH rows_ AS (
+              SELECT lang, (n_chars // 16)::BIGINT AS score
+              FROM documents
+              WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+            ),
+            per AS (
+              SELECT score,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca,
+                     sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS cb
+              FROM rows_ GROUP BY 1
+            ),
+            ranked AS (
+              SELECT ca, cb, ca + cb AS m,
+                     sum(ca + cb) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - (ca + cb) AS prev
+              FROM per
+            ),
+            sums AS (
+              SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+                     sum(ca * (2 * prev + m + 1))::BIGINT AS r2a,
+                     sum(m * m * m - m)::BIGINT AS tsum
+              FROM ranked
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   (r2a - na * (na + 1))::BIGINT AS u2_a,
+                   CASE WHEN na > 0 AND nb > 0 AND na + nb > 1
+                         AND CAST(na + nb + 1 AS DOUBLE)
+                             - CAST(tsum AS DOUBLE)
+                               / CAST((na + nb) * (na + nb - 1) AS DOUBLE) > 0
+                   THEN floor(1000.0 * (
+                     CAST((r2a - na * (na + 1)) - na * nb AS DOUBLE)
+                     / (2.0 * sqrt(
+                         CAST(na * nb AS DOUBLE)
+                         * (CAST(na + nb + 1 AS DOUBLE)
+                            - CAST(tsum AS DOUBLE)
+                              / CAST((na + nb) * (na + nb - 1) AS DOUBLE))
+                         / 12.0))
+                   ))::BIGINT
+                   END AS z_milli
+            FROM sums
+        """,
+        # range_bounds: exact equi-depth cuts — per-key counts, then the
+        # distinct-key cumulative window, split indices by integer div
+        "range_bounds": """
+            WITH per AS (
+              SELECT n_chars::BIGINT AS k, count(*)::BIGINT AS c
+              FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+            ),
+            cum AS (
+              SELECT k,
+                     sum(c) OVER (ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     sum(c) OVER (ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - c AS prev,
+                     sum(c) OVER () AS n
+              FROM per
+            ),
+            spans AS (
+              SELECT k, cum,
+                     ((16 * prev) // n + 1)::BIGINT AS lo,
+                     least((16 * cum) // n, 15)::BIGINT AS hi
+              FROM cum
+            )
+            SELECT unnest(generate_series(lo, hi))::BIGINT AS split_idx,
+                   k AS bound_key, cum::BIGINT AS cum_rows
+            FROM spans WHERE hi >= lo
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -2204,3 +2204,71 @@ def mass_tiers(
         .alias("tier"),
     )
     return out
+
+
+def range_bounds(
+    df: DataFrame,
+    key_col: str,
+    num_partitions: int,
+) -> DataFrame:
+    """EXACT equi-depth range-partition boundary planner — the
+    deterministic twin of what ``repartitionByRange`` derives by
+    reservoir sampling. Sampled bounds wobble run-to-run and under
+    skew; a layout job that WRITES range-partitioned output (Iceberg
+    sort orders, Z-order tiles' major key, manifest-pruned shards)
+    wants reproducible cut points, and auditing a skewed key wants the
+    true depth per range, so the planner is worth one exact pass.
+
+    Split i (1..P−1) cuts at the smallest key whose cumulative row
+    count covers fraction i/P, integer-exactly: ``bound_i = min key
+    with P·cum ≥ i·N``. Per grouped-key row the covered split indices
+    are the integers in ``((P·cum_prev) div N, (P·cum) div N]`` — one
+    `sequence` per key row, so no per-split scan and no join.
+
+    Scale: the only full-data pass is the combinable per-key count;
+    the cumulative window runs on the DISTINCT-KEY table (the same
+    distinct-table window discipline as ``ks_test``). P·N must fit a
+    long — fine for P ≤ 1e6 shards over 1e12 rows. One row per split:
+    ``(split_idx, bound_key, cum_rows)`` where cum_rows counts rows
+    with key ≤ bound_key.
+    """
+    p = int(num_partitions)
+    if p < 2:
+        raise ValueError("num_partitions must be ≥ 2")
+    per = (
+        ensure_parallelism(df)
+        .where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w = Window.orderBy(key_col).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        F.col(key_col).alias("_k"),
+        F.sum("_c").over(w).alias("_cum"),
+        (F.sum("_c").over(w) - F.col("_c")).alias("_prev"),
+        F.sum("_c").over(wall).alias("_n"),
+    )
+    cum = cum.select(
+        "_k",
+        "_cum",
+        (F.expr(f"({p} * _prev) div _n") + F.lit(1)).alias("_lo"),
+        F.least(F.expr(f"({p} * _cum) div _n"), F.lit(p - 1).cast("long")).alias(
+            "_hi"
+        ),
+    )
+    return (
+        cum.where(F.col("_hi") >= F.col("_lo"))
+        .select(
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_i"),
+            F.col("_k").alias("bound_key"),
+            F.col("_cum").cast("long").alias("cum_rows"),
+        )
+        .select(
+            F.col("_i").cast("long").alias("split_idx"),
+            "bound_key",
+            "cum_rows",
+        )
+    )

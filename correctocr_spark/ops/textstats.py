@@ -3023,3 +3023,98 @@ def zipf_fit(
         .cast("long")
         .alias("intercept_milli"),
     )
+
+
+def mannwhitney_test(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) between two
+    groups' scores — the LOCATION-shift complement of ``ks_test``: KS
+    asks "did the distribution change anywhere", U asks the release
+    question "does group A score systematically higher", robustly and
+    without normality assumptions.
+
+    Tie-exact integer core: ranks never materialize per row — per
+    DISTINCT score s with m = ca+cb pooled occurrences, the doubled
+    mid-rank is the integer ``2·prev + m + 1``, so the doubled rank
+    sum ``r2_a = Σ ca·(2·prev + m + 1)`` and the doubled statistic
+    ``u2_a = r2_a − n_a·(n_a+1)`` are exact longs. The normal
+    approximation uses the standard tie-corrected variance
+    ``Var(U) = (n_a·n_b/12)·((n+1) − Σ(m³−m)/(n(n−1)))``; z is
+    computed with one fixed IEEE expression shape (exact-integer
+    inputs, only correctly-rounded ·, /, sqrt), then quantized to
+    ``z_milli = floor(1000·z)`` — reproducible bit-for-bit across
+    engines. All-tied data (zero variance) or an empty group → NULL z.
+
+    Envelope: the tie term m³ needs the largest single-score tie group
+    < 2e6 rows to stay in long — quantize continuous scores no coarser
+    than that. Scale: one combinable per-score rollup, then windows on
+    the distinct-score table only (the ``ks_test`` discipline). One
+    row: ``(n_a, n_b, u2_a, z_milli)`` — u2_a is 2·U_a, so
+    u2_a/(2·n_a·n_b) is the common-language effect size.
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    rows = ensure_parallelism(df).where(
+        g.isin([group_a, group_b]) & F.col(score_col).isNotNull()
+    )
+    per = rows.groupBy(score_col).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+    )
+    w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, 0)
+    per = per.withColumn("_m", F.col("_ca") + F.col("_cb")).withColumn(
+        "_prev", F.sum("_m").over(w) - F.col("_m")
+    )
+    sums = per.agg(
+        F.sum("_ca").cast("long").alias("_na"),
+        F.sum("_cb").cast("long").alias("_nb"),
+        F.sum(F.col("_ca") * (2 * F.col("_prev") + F.col("_m") + 1))
+        .cast("long")
+        .alias("_r2a"),
+        F.sum(F.col("_m") * F.col("_m") * F.col("_m") - F.col("_m"))
+        .cast("long")
+        .alias("_tsum"),
+    )
+    # one fixed expression shape for z so Spark and the oracle perform
+    # the IDENTICAL sequence of correctly-rounded IEEE ops
+    z_expr = (
+        "CAST(u2_a - _na * _nb AS DOUBLE) / (2.0D * SQRT("
+        "CAST(_na * _nb AS DOUBLE) * (CAST(_n + 1 AS DOUBLE)"
+        " - CAST(_tsum AS DOUBLE) / CAST(_n * (_n - 1) AS DOUBLE))"
+        " / 12.0D))"
+    )
+    out = sums.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        (F.col("_r2a") - F.col("_na") * (F.col("_na") + 1))
+        .cast("long")
+        .alias("u2_a"),
+        (F.col("_na") + F.col("_nb")).alias("_n"),
+        F.col("_na"),
+        F.col("_nb"),
+        F.col("_tsum"),
+    )
+    cond = (
+        (F.col("_na") > 0)
+        & (F.col("_nb") > 0)
+        & (F.col("_n") > 1)
+        & (
+            F.expr("CAST(_n + 1 AS DOUBLE)"
+                   " - CAST(_tsum AS DOUBLE) / CAST(_n * (_n - 1) AS DOUBLE)")
+            > 0
+        )
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        "u2_a",
+        F.when(cond, F.floor(F.lit(1000.0) * F.expr(z_expr)))
+        .cast("long")
+        .alias("z_milli"),
+    )

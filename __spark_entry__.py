@@ -4486,6 +4486,35 @@ def q_range_bounds(spark, sf_dir):
     return range_bounds(d, "k", 16)
 
 
+def q_term_burstiness(spark, sf_dir):
+    """Per-term Fano factor over 30 synthetic crawl days (doc_id%30) —
+    zero-filled daily variance/mean in exact decimal arithmetic."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import term_burstiness
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 30).cast("long").alias("day"), "text"
+    )
+    return term_burstiness(d, "day", min_count=5)
+
+
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking over a (lang, length-band) key —
+    two-pass global rank, w=3 successor pairs across bucket seams."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import sorted_neighborhood
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("lang"),
+            F.lit("#"),
+            F.lpad(F.expr("n_chars div 128").cast("string"), 4, "0"),
+        ).alias("key"),
+    )
+    return sorted_neighborhood(d, "key", id_col="doc_id", window=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5082,6 +5111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mannwhitney": q_mannwhitney,
         # exact equi-depth range-partition planner — distinct-key windows
         "range_bounds": q_range_bounds,
+        # per-term Fano burstiness — decimal-exact daily variance/mean
+        "term_burstiness": q_term_burstiness,
+        # sorted-neighborhood blocking — two-pass global rank pairs
+        "sorted_neighborhood": q_sorted_neighborhood,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -11133,6 +11166,48 @@ FROM documents)
             SELECT unnest(generate_series(lo, hi))::BIGINT AS split_idx,
                    k AS bound_key, cum::BIGINT AS cum_rows
             FROM spans WHERE hi >= lo
+        """,
+        # term_burstiness: zero-filled Fano over 30 synthetic days,
+        # HUGEINT cross products (decimal(38,0) on the Spark side)
+        "term_burstiness": f"""
+            WITH per AS (
+              SELECT w, (doc_id % 30)::BIGINT AS d, count(*)::BIGINT AS c
+              FROM (
+                SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+              ) GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT w AS term, sum(c)::BIGINT AS s,
+                     sum(c::HUGEINT * c) AS q,
+                     count(*)::BIGINT AS days_active
+              FROM per GROUP BY 1
+            )
+            SELECT term, s AS n_total, days_active,
+                   ((1000 * ((SELECT count(DISTINCT d) FROM per)::HUGEINT * q
+                             - s::HUGEINT * s))
+                    // ((SELECT count(DISTINCT d) FROM per)::HUGEINT * s)
+                   )::BIGINT AS fano_milli
+            FROM agg WHERE s >= 5
+        """,
+        # sorted_neighborhood: the two-pass rank equals the global
+        # row_number ORDER BY (key, id); pairs = rank-offset self-join
+        "sorted_neighborhood": """
+            WITH k AS (
+              SELECT doc_id,
+                     lang || '#' || lpad((n_chars // 128)::VARCHAR, 4, '0')
+                       AS key
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+            ),
+            r AS (
+              SELECT doc_id, key,
+                     row_number() OVER (ORDER BY key, doc_id) AS rk
+              FROM k
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.key AS key_a, b.key AS key_b,
+                   (b.rk - a.rk)::BIGINT AS gap
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 2
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -1943,3 +1943,118 @@ def dedup_profile(
             "removable_mass"
         ),
     )
+
+
+def sorted_neighborhood(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    window: int = 3,
+    prefix_len: int = 2,
+    bucket_size: int = 1 << 16,
+    max_buckets: int = 1 << 16,
+) -> DataFrame:
+    """Sorted-neighborhood blocking — the record-linkage classic
+    (Hernández–Stolfo): sort the corpus by a designed blocking key and
+    emit each record paired with its ``window−1`` successors. The
+    LSH family (``lsh_candidate_pairs``) buckets by CONTENT signature;
+    sorted-neighborhood complements it where near-matches share a sort
+    PREFIX but not a signature — metadata linkage (title+year,
+    host+path-template, lang+length band) and fuzzy-key joins.
+
+    The global sort rank is the ``pack_shards`` two-pass recipe, never
+    a partitionless window: coarse buckets that are a MONOTONIC prefix
+    of the ``(key, id)`` sort order (leading ``prefix_len`` chars for
+    string keys, fixed-width id spans for integral keys — width
+    auto-widens so the driver holds ≤ ``max_buckets`` offset rows) get
+    their counts prefix-summed on the driver; each bucket then ranks
+    locally in a bucket-keyed window and adds its offset. Identical to
+    the global ``row_number() OVER (ORDER BY key, id)`` (the oracle
+    twin), and pairs CROSS bucket boundaries exactly because ranks are
+    global — the seam the naive per-block variant drops.
+
+    Pair fan-out is an explode of ``1..window−1`` rank offsets plus one
+    equi-join on rank — N·(window−1) rows, no quadratic block blow-up
+    (a skewed blocking key costs a skewed JOIN key here, not a squared
+    bucket). Ties order by id, so output is deterministic. One row per
+    adjacent pair: ``(id_a, id_b, key_a, key_b, gap)`` with
+    ``gap ∈ [1, window)`` the rank distance.
+    """
+    import math
+
+    w = int(window)
+    if w < 2:
+        raise ValueError("window must be ≥ 2")
+    key_dtype = dict(df.dtypes).get(key_col, "")
+    base = ensure_parallelism(df).select(
+        F.col(key_col).alias("_key"), F.col(id_col).alias("_id")
+    ).where(F.col(key_col).isNotNull())
+    if key_dtype in {"tinyint", "smallint", "int", "bigint"}:
+        bounds = base.agg(
+            F.min("_key").alias("lo"), F.max("_key").alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            empty = base.limit(0)
+            return empty.select(
+                F.col("_id").alias("id_a"),
+                F.col("_id").alias("id_b"),
+                F.col("_key").alias("key_a"),
+                F.col("_key").alias("key_b"),
+                F.lit(0).cast("long").alias("gap"),
+            )
+        span = int(bounds["hi"]) - int(bounds["lo"]) + 1
+        width = max(int(bucket_size), math.ceil(span / int(max_buckets)))
+        bucket = F.floor((F.col("_key") - int(bounds["lo"])) / width)
+    else:
+        bucket = F.substring(F.col("_key").cast("string"), 1, int(prefix_len))
+    keyed = base.withColumn("_bucket", bucket)
+    counts = (
+        keyed.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .orderBy("_bucket")
+        .collect()
+    )
+    offsets, running = [], 0
+    for r in counts:
+        offsets.append((r["_bucket"], running))
+        running += r["_c"]
+    if not offsets:
+        return keyed.limit(0).select(
+            F.col("_id").alias("id_a"),
+            F.col("_id").alias("id_b"),
+            F.col("_key").alias("key_a"),
+            F.col("_key").alias("key_b"),
+            F.lit(0).cast("long").alias("gap"),
+        )
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets, schema=keyed.select("_bucket").schema.add("_offset", "long")
+    )
+    lw = Window.partitionBy("_bucket").orderBy("_key", "_id")
+    ranked = (
+        keyed.join(F.broadcast(off_df), on="_bucket")
+        .withColumn("_r", F.row_number().over(lw) + F.col("_offset"))
+        .select("_key", "_id", "_r")
+    )
+    left = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_key").alias("key_a"),
+        F.col("_r").alias("_rl"),
+        F.explode(
+            F.sequence(F.col("_r") + 1, F.col("_r") + (w - 1))
+        ).alias("_rt"),
+    )
+    right = ranked.select(
+        F.col("_id").alias("id_b"),
+        F.col("_key").alias("key_b"),
+        F.col("_r").alias("_rt"),
+    )
+    return left.join(right, on="_rt").select(
+        "id_a",
+        "id_b",
+        "key_a",
+        "key_b",
+        (F.col("_rt") - F.col("_rl")).cast("long").alias("gap"),
+    )

@@ -3118,3 +3118,63 @@ def mannwhitney_test(
         .cast("long")
         .alias("z_milli"),
     )
+
+
+def term_burstiness(
+    docs: DataFrame,
+    ts_col: str,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-term BURSTINESS (Fano factor) over crawl days: variance over
+    mean of the term's daily count, zero-filled across the corpus's
+    observed days. A term drawn steadily (function words, boilerplate)
+    sits near Fano ≈ 1·mean-scaled baseline; an event/spam term
+    concentrates its mass in few days and its Fano explodes — this is
+    the per-TERM twin of ``rate_anomalies`` (which watches per-host
+    volume) and feeds trending-term reports and spam-campaign triage.
+
+    Integer-exact over D = distinct observed days: with per-day counts
+    c (zeros implicit), ``Var·D² = D·Σc² − S²`` and mean·D = S, so
+    ``fano_milli = 1000·(D·Σc² − S²) div (D·S)`` never touches a
+    float. The cross products run in decimal(38,0) (HUGEINT on the
+    oracle side) — ``D·Σc²`` overflows a long for a head word already
+    at ~1.5e8 occurrences/day over a year — and the quotient
+    (≤ 1000·max-daily-count) lands back in a long.
+    ``min_count`` bounds the output to terms with support.
+
+    Scale: one (term, day) rollup (combinable), one per-term agg over
+    it, and D rides a 1-row cross-joined aggregate — no per-term
+    distinct-day rescan. One row per kept term:
+    ``(term, n_total, days_active, fano_milli)``.
+    """
+    base = ensure_parallelism(docs).select(
+        F.col(ts_col).alias("_d"), F.explode(normalized_words(text_col)).alias("_w")
+    )
+    per = base.groupBy("_w", "_d").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    days = per.agg(F.count_distinct("_d").cast("long").alias("_days"))
+    agg = per.groupBy("_w").agg(
+        F.sum("_c").cast("long").alias("_s"),
+        # square in decimal — a 3e9+ single-day count would overflow the
+        # long product before the sum ever saw it
+        F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_c")).alias("_q"),
+        F.count(F.lit(1)).cast("long").alias("days_active"),
+    )
+    return (
+        agg.where(F.col("_s") >= int(min_count))
+        .crossJoin(F.broadcast(days))
+        .select(
+            F.col("_w").alias("term"),
+            F.col("_s").alias("n_total"),
+            "days_active",
+            F.expr(
+                "(1000 * (CAST(_days AS DECIMAL(38,0)) * _q"
+                " - CAST(_s AS DECIMAL(38,0)) * _s))"
+                " div (CAST(_days AS DECIMAL(38,0)) * _s)"
+            )
+            .cast("long")
+            .alias("fano_milli"),
+        )
+    )

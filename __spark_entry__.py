@@ -4515,6 +4515,24 @@ def q_sorted_neighborhood(spark, sf_dir):
     return sorted_neighborhood(d, "key", id_col="doc_id", window=3)
 
 
+def q_lsh_tuning_curve(spark, sf_dir):
+    """LSH (bands×rows) planner for a 32-hash signature — S-curve +
+    threshold per factorization over a 500-bp similarity grid."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import lsh_tuning_curve
+
+    return lsh_tuning_curve(spark, 32, s_step_bp=500)
+
+
+def q_vocab_overlap(spark, sf_dir):
+    """Pairwise lang-vocabulary Jaccard in bp — distinct (lang, word)
+    projection self-joined on the word key."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import vocab_overlap
+
+    return vocab_overlap(_t(spark, sf_dir, "documents"), group_col="lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5115,6 +5133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_burstiness": q_term_burstiness,
         # sorted-neighborhood blocking — two-pass global rank pairs
         "sorted_neighborhood": q_sorted_neighborhood,
+        # LSH bands×rows S-curve planner — broadcast-scale pure compute
+        "lsh_tuning_curve": q_lsh_tuning_curve,
+        # pairwise lang-vocab Jaccard — word-keyed distinct self-join
+        "vocab_overlap": q_vocab_overlap,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -11208,6 +11230,52 @@ FROM documents)
                    a.key AS key_a, b.key AS key_b,
                    (b.rk - a.rk)::BIGINT AS gap
             FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 2
+        """,
+        # lsh_tuning_curve: identical POW nesting and milli floors as
+        # the Spark op — the only non-correctly-rounded primitive is
+        # pow itself, shared shape keeps the floors aligned
+        "lsh_tuning_curve": """
+            WITH combos AS (
+              SELECT b::BIGINT AS bands, (32 // b)::BIGINT AS rows_per_band
+              FROM generate_series(1, 32) t(b) WHERE 32 % b = 0
+            ),
+            grid AS (
+              SELECT s::BIGINT AS s_bp FROM generate_series(500, 9500, 500) g(s)
+            )
+            SELECT bands, rows_per_band,
+                   floor(1000.0 * POW(1.0 / CAST(bands AS DOUBLE),
+                     1.0 / CAST(rows_per_band AS DOUBLE)))::BIGINT
+                     AS threshold_milli,
+                   s_bp,
+                   floor(1000.0 * (1.0 - POW(1.0
+                     - POW(CAST(s_bp AS DOUBLE) / 10000.0,
+                           CAST(rows_per_band AS DOUBLE)),
+                     CAST(bands AS DOUBLE))))::BIGINT AS collide_milli
+            FROM combos, grid
+        """,
+        # vocab_overlap: distinct (lang, word) self-join on the word key
+        "vocab_overlap": f"""
+            WITH per AS (
+              SELECT DISTINCT lang AS g, w FROM (
+                SELECT lang, unnest({_WORDS}) AS w FROM documents
+                WHERE lang IS NOT NULL
+              )
+            ),
+            sizes AS (
+              SELECT g, count(*)::BIGINT AS v FROM per GROUP BY 1
+            ),
+            inter AS (
+              SELECT a.g AS grp_a, b.g AS grp_b, count(*)::BIGINT AS inter
+              FROM per a JOIN per b ON a.w = b.w AND a.g < b.g
+              GROUP BY 1, 2
+            )
+            SELECT grp_a, grp_b,
+                   sa.v AS vocab_a, sb.v AS vocab_b, inter,
+                   ((10000 * inter) // (sa.v + sb.v - inter))::BIGINT
+                     AS jaccard_bp
+            FROM inter
+            JOIN sizes sa ON sa.g = grp_a
+            JOIN sizes sb ON sb.g = grp_b
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -2058,3 +2058,127 @@ def sorted_neighborhood(
         "key_b",
         (F.col("_rt") - F.col("_rl")).cast("long").alias("gap"),
     )
+
+
+def lsh_tuning_curve(
+    spark,
+    num_hashes: int,
+    s_step_bp: int = 500,
+) -> DataFrame:
+    """LSH (bands × rows) PLANNER: for every factorization b·r of the
+    signature length, the S-curve — collision probability
+    ``1 − (1 − s^r)^b`` over a Jaccard-similarity grid — plus each
+    combo's threshold ``(1/b)^(1/r)``. This is the table an operator
+    of ``lsh_candidate_pairs`` / ``MinHashIndex`` reads to pick
+    ``bands`` for a target similarity: the op answers "which (b, r)
+    puts the knee at my threshold, and what false-positive mass does
+    it pay below it" before any corpus-scale job runs.
+
+    Pure broadcast-scale compute (divisors × grid — hundreds of rows,
+    no input table, no shuffle). Probabilities are quantized to milli
+    with ONE fixed expression shape — the only non-correctly-rounded
+    primitive is ``pow`` itself, and the oracle twin uses the
+    identical nesting, so both engines floor the same double in
+    practice (the ks_test/unigram-lm quantization convention).
+
+    One row per (combo, grid point): ``(bands, rows_per_band,
+    threshold_milli, s_bp, collide_milli)``.
+    """
+    h = int(num_hashes)
+    step = int(s_step_bp)
+    if h < 1 or step < 1 or step >= 10000:
+        raise ValueError("need num_hashes ≥ 1 and 0 < s_step_bp < 10000")
+    combos = [(b, h // b) for b in range(1, h + 1) if h % b == 0]
+    cdf = spark.createDataFrame(combos, "bands long, rows_per_band long")
+    grid = spark.range(step, 10000, step).select(
+        F.col("id").cast("long").alias("s_bp")
+    )
+    return (
+        cdf.crossJoin(grid)
+        .select(
+            "bands",
+            "rows_per_band",
+            F.floor(
+                F.lit(1000.0)
+                * F.expr(
+                    "POW(1.0 / CAST(bands AS DOUBLE),"
+                    " 1.0 / CAST(rows_per_band AS DOUBLE))"
+                )
+            )
+            .cast("long")
+            .alias("threshold_milli"),
+            "s_bp",
+            F.floor(
+                F.lit(1000.0)
+                * F.expr(
+                    "1.0 - POW(1.0 - POW(CAST(s_bp AS DOUBLE) / 10000.0,"
+                    " CAST(rows_per_band AS DOUBLE)),"
+                    " CAST(bands AS DOUBLE))"
+                )
+            )
+            .cast("long")
+            .alias("collide_milli"),
+        )
+    )
+
+
+def vocab_overlap(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise VOCABULARY Jaccard between groups (langs, sources,
+    snapshots): |V_a ∩ V_b| over |V_a ∪ V_b| in basis points, for every
+    unordered group pair. High en↔de overlap flags mislabeled or
+    code-mixed slices; a crawl snapshot whose vocabulary barely
+    overlaps its predecessor flags an extraction regression — the
+    GROUP-level complement of ``source_overlap`` (which intersects
+    doc-level content hashes, not vocabularies).
+
+    Exact and shuffle-lean: one distinct (group, word) projection,
+    self-joined per word (the word is the join key, so co-located),
+    counted per pair; union sizes come from per-group vocab counts
+    broadcast back — never a second scan. One row per unordered pair
+    with a shared word: ``(grp_a, grp_b, vocab_a, vocab_b, inter,
+    jaccard_bp)``.
+    """
+    per = (
+        ensure_parallelism(docs)
+        .where(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            F.explode(normalized_words(text_col)).alias("_w"),
+        )
+        .distinct()
+    )
+    sizes = per.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    a = per.select(F.col("_g").alias("grp_a"), "_w")
+    b = per.select(F.col("_g").alias("grp_b"), "_w")
+    inter = (
+        a.join(b, on="_w")
+        .where(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("_g").alias("grp_a"),
+                                     F.col("_v").alias("vocab_a"))),
+            on="grp_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_g").alias("grp_b"),
+                                     F.col("_v").alias("vocab_b"))),
+            on="grp_b",
+        )
+        .select(
+            "grp_a",
+            "grp_b",
+            "vocab_a",
+            "vocab_b",
+            "inter",
+            F.expr("(10000 * inter) div (vocab_a + vocab_b - inter)")
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )

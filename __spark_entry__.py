@@ -4533,6 +4533,28 @@ def q_vocab_overlap(spark, sf_dir):
     return vocab_overlap(_t(spark, sf_dir, "documents"), group_col="lang")
 
 
+def q_weight_ess(spark, sf_dir):
+    """Kish effective sample size of length-weighted sampling per
+    lang — decimal-exact (Σw)²/Σw² in milli-docs and bp share."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import weight_ess
+
+    return weight_ess(
+        _t(spark, sf_dir, "documents"), "n_chars", group_col="lang"
+    )
+
+
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit per lang over 32 id-bucket
+    checkpoints — first-seen-bucket rollup + exact-integer OLS."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import heaps_fit
+
+    return heaps_fit(
+        _t(spark, sf_dir, "documents"), group_col="lang", num_points=32
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5137,6 +5159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_tuning_curve": q_lsh_tuning_curve,
         # pairwise lang-vocab Jaccard — word-keyed distinct self-join
         "vocab_overlap": q_vocab_overlap,
+        # Kish ESS of importance weights — one combinable decimal agg
+        "weight_ess": q_weight_ess,
+        # Heaps'-law vocab growth fit — checkpoint rollups + exact OLS
+        "heaps_fit": q_heaps_fit,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -11276,6 +11302,89 @@ FROM documents)
             FROM inter
             JOIN sizes sa ON sa.g = grp_a
             JOIN sizes sb ON sb.g = grp_b
+        """,
+        # weight_ess: Kish ESS, HUGEINT moments (decimal(38,0) on the
+        # Spark side)
+        "weight_ess": """
+            WITH agg AS (
+              SELECT lang AS grp, count(*)::BIGINT AS n_rows,
+                     sum(n_chars)::HUGEINT AS s,
+                     sum(n_chars::HUGEINT * n_chars) AS q
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars >= 0
+              GROUP BY 1
+            )
+            SELECT grp, n_rows, s::BIGINT AS w_sum,
+                   CASE WHEN q > 0 THEN
+                     ((1000 * s * s) // q)::BIGINT END AS ess_milli,
+                   CASE WHEN q > 0 THEN
+                     ((10000 * s * s) // (n_rows * q))::BIGINT
+                   END AS ess_share_bp
+            FROM agg
+        """,
+        # heaps_fit: driver width recipe replayed in SQL; first-seen
+        # bucket = min(bucket); signed div truncates identically in
+        # Spark and DuckDB (pinned by test_r5_ess_heaps)
+        "heaps_fit": f"""
+            WITH w AS (
+              SELECT min(doc_id) AS lo,
+                     greatest(1, (max(doc_id) - min(doc_id) + 1 + 31) // 32)
+                       AS width
+              FROM documents
+            ),
+            base AS (
+              SELECT lang AS g, (doc_id - lo) // width AS b,
+                     {_WORDS} AS ws
+              FROM documents, w
+            ),
+            toks AS (
+              SELECT g, b, sum(len(ws))::BIGINT AS t FROM base GROUP BY 1, 2
+            ),
+            firsts AS (
+              SELECT g, b, count(*)::BIGINT AS v FROM (
+                SELECT g, w_, min(b) AS b FROM (
+                  SELECT g, b, unnest(ws) AS w_ FROM base
+                ) GROUP BY 1, 2
+              ) GROUP BY 1, 2
+            ),
+            per AS (
+              SELECT coalesce(t.g, f.g) AS g, coalesce(t.b, f.b) AS b,
+                     coalesce(t.t, 0) AS t, coalesce(f.v, 0) AS v
+              FROM toks t FULL JOIN firsts f ON t.g = f.g AND t.b = f.b
+            ),
+            cums AS (
+              SELECT g,
+                     sum(t) OVER (PARTITION BY g ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cn,
+                     sum(v) OVER (PARTITION BY g ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cv
+              FROM per
+            ),
+            pts AS (
+              SELECT g,
+                     floor(1000.0 * ln(cn::DOUBLE))::BIGINT AS x,
+                     floor(1000.0 * ln(cv::DOUBLE))::BIGINT AS y
+              FROM cums WHERE cn > 0 AND cv > 0
+            ),
+            sums AS (
+              SELECT g, count(*)::BIGINT AS n,
+                     sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+              FROM pts GROUP BY 1
+            )
+            SELECT g AS grp, n AS n_points,
+                   CASE WHEN n * sxx - sx * sx > 0 THEN
+                     ((1000 * (n * sxy - sx * sy))
+                      // (n * sxx - sx * sx))::BIGINT
+                   END AS beta_milli,
+                   CASE WHEN n * sxx - sx * sx > 0 THEN
+                     ((sy * (n * sxx - sx * sx)
+                       - (n * sxy - sx * sy) * sx)
+                      // (n * (n * sxx - sx * sx)))::BIGINT
+                   END AS lnk_milli
+            FROM sums
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -3178,3 +3178,185 @@ def term_burstiness(
             .alias("fano_milli"),
         )
     )
+
+
+def weight_ess(
+    df: DataFrame,
+    weight_col: str,
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """Effective sample size of an importance-weighted corpus slice —
+    Kish's ``ESS = (Σw)²/Σw²`` — per group. The one-number health
+    check on ``dsir_weights`` / ``domain_reweight`` outputs: a slice
+    whose ESS collapses to a handful of documents means the reweighted
+    "million docs" is statistically a few hundred, and training on it
+    overfits those few. Release datacards quote exactly this.
+
+    Integer-exact over integer weights (micro-scale float weights
+    upstream): both moments accumulate in decimal(38,0) (HUGEINT on
+    the oracle side — (Σw)² overflows a long at corpus scale), and the
+    outputs land back in longs: ``ess_milli = (1000·(Σw)²) div Σw²``
+    (thousandths of an effective document) and ``ess_share_bp =
+    (10000·(Σw)²) div (n·Σw²)`` (ESS as a share of the nominal count).
+    Zero-weight rows count toward n but not ESS — that is the honest
+    reading of a gate that zeroes documents.
+
+    Scale: one combinable aggregation, no window, no join. One row per
+    group: ``(grp, n_rows, w_sum, ess_milli, ess_share_bp)``.
+    """
+    gcol = (
+        F.col(group_col).alias("_g")
+        if group_col is not None
+        else F.lit("all").alias("_g")
+    )
+    w = F.col(weight_col).cast("decimal(38,0)")
+    agg = (
+        ensure_parallelism(df)
+        .where(F.col(weight_col).isNotNull() & (F.col(weight_col) >= 0))
+        .select(gcol, w.alias("_w"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_w").alias("_s"),
+            F.sum(F.col("_w") * F.col("_w")).alias("_q"),
+        )
+    )
+    return agg.select(
+        F.col("_g").alias("grp"),
+        "n_rows",
+        F.col("_s").cast("long").alias("w_sum"),
+        F.when(
+            F.col("_q") > 0, F.expr("(1000 * _s * _s) div _q")
+        )
+        .cast("long")
+        .alias("ess_milli"),
+        F.when(
+            F.col("_q") > 0, F.expr("(10000 * _s * _s) div (n_rows * _q)")
+        )
+        .cast("long")
+        .alias("ess_share_bp"),
+    )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    group_col: Optional[str] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_points: int = 32,
+) -> DataFrame:
+    """Heaps'-law fit per group: OLS of log cumulative vocabulary
+    against log cumulative tokens, ``V(N) ≈ K·N^β``, measured at
+    ``num_points`` id-ordered checkpoints. Natural corpora sit at
+    β ≈ 0.4–0.6; β drifting toward 0 as a crawl grows means the slice
+    stopped finding new language (diminishing returns — stop
+    fetching); β ≈ 1 flags id-spaced noise (every doc all-new tokens).
+    The GROWTH-CURVE complement of the static ``vocab_richness``
+    estimate and ``zipf_fit`` head shape.
+
+    Exactness: checkpoints are coarse doc-id buckets of driver-derived
+    integer width ``max(1, ceil(span/num_points))`` (the pack_shards
+    min/max recipe); a word's first-seen bucket is ``min(bucket)`` —
+    monotone in id, so identical to bucketing the min id. Cumulative
+    (tokens, vocab) prefix-sums run on the ≤ num_points-row per-group
+    checkpoint table, logs quantize once to milli-nats, and the OLS is
+    the zipf_fit exact-integer core (signed div floors identically in
+    Spark and the oracle — pinned by test).
+
+    Scale: one token-count rollup + one first-occurrence rollup (both
+    combinable), windows only on the checkpoint table. One row per
+    group: ``(grp, n_points, beta_milli, lnk_milli)``.
+    """
+    from pyspark.sql import Window
+
+    np_ = int(num_points)
+    if np_ < 2:
+        raise ValueError("num_points must be ≥ 2")
+    gcol = (
+        F.col(group_col).alias("_g")
+        if group_col is not None
+        else F.lit("all").alias("_g")
+    )
+    bounds = docs.agg(
+        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return (
+            docs.limit(0)
+            .select(
+                F.lit("all").alias("grp"),
+                F.lit(0).cast("long").alias("n_points"),
+                F.lit(None).cast("long").alias("beta_milli"),
+                F.lit(None).cast("long").alias("lnk_milli"),
+            )
+        )
+    lo = int(bounds["lo"])
+    span = int(bounds["hi"]) - lo + 1
+    width = max(1, (span + np_ - 1) // np_)
+    base = ensure_parallelism(docs).select(
+        gcol,
+        F.expr(f"(CAST({id_col} AS BIGINT) - {lo}) div {width}").alias("_b"),
+        normalized_words(text_col).alias("_ws"),
+    )
+    toks = base.groupBy("_g", "_b").agg(
+        F.sum(F.size("_ws")).cast("long").alias("_t")
+    )
+    firsts = (
+        base.select("_g", "_b", F.explode("_ws").alias("_w"))
+        .groupBy("_g", "_w")
+        .agg(F.min("_b").alias("_b"))
+        .groupBy("_g", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    )
+    per = toks.join(firsts, on=["_g", "_b"], how="full").select(
+        "_g",
+        "_b",
+        F.coalesce("_t", F.lit(0)).alias("_t"),
+        F.coalesce("_v", F.lit(0)).alias("_v"),
+    )
+    w = Window.partitionBy("_g").orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pts = (
+        per.select(
+            "_g",
+            F.sum("_t").over(w).alias("_cn"),
+            F.sum("_v").over(w).alias("_cv"),
+        )
+        .where((F.col("_cn") > 0) & (F.col("_cv") > 0))
+        .select(
+            "_g",
+            F.floor(F.lit(1000.0) * F.log(F.col("_cn").cast("double")))
+            .cast("long")
+            .alias("_x"),
+            F.floor(F.lit(1000.0) * F.log(F.col("_cv").cast("double")))
+            .cast("long")
+            .alias("_y"),
+        )
+    )
+    sums = pts.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+    )
+    return sums.select(
+        F.col("_g").alias("grp"),
+        F.col("_n").alias("n_points"),
+        F.expr(
+            "CASE WHEN _n * _sxx - _sx * _sx > 0 THEN"
+            " (1000 * (_n * _sxy - _sx * _sy))"
+            " div (_n * _sxx - _sx * _sx) END"
+        )
+        .cast("long")
+        .alias("beta_milli"),
+        F.expr(
+            "CASE WHEN _n * _sxx - _sx * _sx > 0 THEN"
+            " (_sy * (_n * _sxx - _sx * _sx)"
+            "  - (_n * _sxy - _sx * _sy) * _sx)"
+            " div (_n * (_n * _sxx - _sx * _sx)) END"
+        )
+        .cast("long")
+        .alias("lnk_milli"),
+    )

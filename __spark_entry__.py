@@ -4555,6 +4555,23 @@ def q_heaps_fit(spark, sf_dir):
     )
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable log-histogram quantile sketch over n_chars per lang —
+    bit-length octaves (never float log), certified [lo, hi) interval
+    per requested quantile."""
+    _ship(spark)
+    from correctocr_spark.ops.sketch import quantile_bins, quantile_estimates
+
+    b = quantile_bins(
+        _t(spark, sf_dir, "documents"), "n_chars", sub_bins=16,
+        group_cols="lang",
+    )
+    return quantile_estimates(
+        b, qs_bp=(100, 2500, 5000, 7500, 9900), sub_bins=16,
+        group_cols="lang",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5163,6 +5180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weight_ess": q_weight_ess,
         # Heaps'-law vocab growth fit — checkpoint rollups + exact OLS
         "heaps_fit": q_heaps_fit,
+        # mergeable log-histogram quantile sketch — bit-length octaves
+        "quantile_sketch": q_quantile_sketch,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -11385,6 +11404,56 @@ FROM documents)
                       // (n * (n * sxx - sx * sx)))::BIGINT
                    END AS lnk_milli
             FROM sums
+        """,
+        # quantile_sketch: identical bit-length octave binning (DuckDB
+        # bin() == Spark bin(), verified no leading zeros) and integer
+        # interval reads
+        "quantile_sketch": """
+            WITH b AS (
+              SELECT lang,
+                     (CASE WHEN n_chars = 0 THEN -1
+                           ELSE length(bin(n_chars)) - 1 END)::BIGINT
+                       AS bin_e,
+                     (CASE WHEN n_chars = 0 THEN 0
+                           ELSE ((n_chars
+                                  - (1::BIGINT << (length(bin(n_chars)) - 1)))
+                                 * 16)
+                                // (1::BIGINT << (length(bin(n_chars)) - 1))
+                      END)::BIGINT AS bin_k
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+            ),
+            bins AS (
+              SELECT lang, bin_e, bin_k, count(*)::BIGINT AS n
+              FROM b GROUP BY 1, 2, 3
+            ),
+            cum AS (
+              SELECT lang, bin_e, bin_k,
+                     sum(n) OVER (PARTITION BY lang ORDER BY bin_e, bin_k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS c,
+                     sum(n) OVER (PARTITION BY lang ORDER BY bin_e, bin_k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n AS prev,
+                     sum(n) OVER (PARTITION BY lang) AS tot
+              FROM bins
+            ),
+            grid AS (
+              SELECT unnest([100, 2500, 5000, 7500, 9900])::BIGINT AS q_bp
+            )
+            SELECT lang, q_bp, tot::BIGINT AS n_rows, bin_e, bin_k,
+                   (CASE WHEN bin_e < 0 THEN 0
+                         ELSE ((1::BIGINT << bin_e::INT) * (16 + bin_k)) // 16
+                    END)::BIGINT AS est_lo,
+                   (CASE WHEN bin_e < 0 THEN 1
+                         ELSE greatest(
+                           ((1::BIGINT << bin_e::INT) * (16 + bin_k)) // 16
+                             + 1,
+                           ((1::BIGINT << bin_e::INT) * (16 + bin_k + 1))
+                             // 16)
+                    END)::BIGINT AS est_hi
+            FROM cum, grid
+            WHERE c >= (q_bp * tot + 9999) // 10000
+              AND prev < (q_bp * tot + 9999) // 10000
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -477,3 +477,141 @@ def cms_heavy_hitters(
         sketch, df.select(key_col), key_col, depth=depth, width=width, salt=salt
     )
     return looked.where(F.col("est") >= int(threshold))
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    sub_bins: int = 16,
+    group_cols: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Mergeable LOG-HISTOGRAM quantile sketch — the missing member of
+    the sketch family (KMV/HLL count distincts, CMS counts items; this
+    holds a whole DISTRIBUTION in ≤ 64·sub_bins counters per group).
+    Each non-negative integer value lands in bin ``(e, k)``: octave
+    ``e = floor(log2 v)`` computed EXACTLY as the bit length
+    (``length(bin(v)) − 1`` — never a float log, so no boundary ulp),
+    sub-bin ``k = ((v − 2^e)·S) div 2^e`` (S linear steps per octave →
+    relative value error ≤ 1/S). Zero gets octave −1. Merging sketches
+    across shards or crawl snapshots is count ADDITION on
+    (group, bin_e, bin_k) — the same additive contract as
+    ``cms_table`` — so per-shard sketches roll up to the corpus
+    distribution without re-scanning.
+
+    Scale: one combinable rollup; output cardinality per group is
+    bounded by 64·S regardless of data volume. One row per occupied
+    bin: ``(group…, bin_e, bin_k, n)``.
+    """
+    s = int(sub_bins)
+    if s < 1:
+        raise ValueError("sub_bins must be ≥ 1")
+    gs = _groups(group_cols)
+    v = F.col(value_col).cast("long")
+    e = (F.length(F.expr(f"bin(CAST({value_col} AS BIGINT))")) - 1).cast(
+        "long"
+    )
+    pow_e = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT),"
+        f" length(bin(CAST({value_col} AS BIGINT))) - 1)"
+    )
+    k = F.expr(
+        f"((CAST({value_col} AS BIGINT)"
+        f" - shiftleft(CAST(1 AS BIGINT),"
+        f" length(bin(CAST({value_col} AS BIGINT))) - 1)) * {s})"
+        f" div shiftleft(CAST(1 AS BIGINT),"
+        f" length(bin(CAST({value_col} AS BIGINT))) - 1)"
+    )
+    return (
+        ensure_parallelism(df)
+        .where(v.isNotNull() & (v >= 0))
+        .select(
+            *gs,
+            F.when(v == 0, F.lit(-1).cast("long")).otherwise(e).alias("bin_e"),
+            F.when(v == 0, F.lit(0).cast("long")).otherwise(k).alias("bin_k"),
+        )
+        .groupBy(*gs, "bin_e", "bin_k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def quantile_estimates(
+    bins: DataFrame,
+    qs_bp: Sequence[int] = (100, 2500, 5000, 7500, 9900),
+    sub_bins: int = 16,
+    group_cols: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Quantile READ over a ``quantile_bins`` sketch (possibly the
+    union of many shards' sketches): for each requested quantile q the
+    bin containing rank ``ceil(q·N/10000)`` in (bin_e, bin_k) order,
+    with its EXACT integer value bounds ``[est_lo, est_hi)`` —
+    ``lo = (2^e·(S+k)) div S`` — so the answer is a certified interval
+    (true quantile ∈ interval by construction), not a point guess.
+
+    Scale: bins per group are ≤ 64·S, so the cumulative window and the
+    grid cross-join are driver-trivial regardless of corpus size. One
+    row per (group, q): ``(group…, q_bp, n_rows, bin_e, bin_k,
+    est_lo, est_hi)``.
+    """
+    s = int(sub_bins)
+    gs = _groups(group_cols)
+    qs = sorted({int(q) for q in qs_bp})
+    if not qs or qs[0] < 1 or qs[-1] > 10000:
+        raise ValueError("quantiles must be in (0, 10000] basis points")
+    spark = bins.sparkSession
+    grid = spark.createDataFrame([(q,) for q in qs], "q_bp long")
+    merged = bins.groupBy(*gs, "bin_e", "bin_k").agg(
+        F.sum("n").cast("long").alias("_n")
+    )
+    w = (
+        Window.partitionBy(*[F.col(g) for g in gs])
+        if gs
+        else Window.partitionBy()
+    ).orderBy("bin_e", "bin_k").rowsBetween(Window.unboundedPreceding, 0)
+    wall = (
+        Window.partitionBy(*[F.col(g) for g in gs])
+        if gs
+        else Window.partitionBy()
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = merged.select(
+        *gs,
+        "bin_e",
+        "bin_k",
+        F.sum("_n").over(w).alias("_cum"),
+        (F.sum("_n").over(w) - F.col("_n")).alias("_prev"),
+        F.sum("_n").over(wall).alias("_tot"),
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(grid))
+        .withColumn("_target", F.expr("(q_bp * _tot + 9999) div 10000"))
+        .where(
+            (F.col("_cum") >= F.col("_target"))
+            & (F.col("_prev") < F.col("_target"))
+        )
+    )
+    lo = F.when(F.col("bin_e") < 0, F.lit(0)).otherwise(
+        F.expr(
+            f"(shiftleft(CAST(1 AS BIGINT), CAST(bin_e AS INT))"
+            f" * ({s} + bin_k)) div {s}"
+        )
+    )
+    # octaves narrower than S (2^e < S) floor both bounds to the same
+    # integer — clamp to lo+1 so the interval stays non-empty and still
+    # certified (such a bin can only hold the single integer lo)
+    hi = F.when(F.col("bin_e") < 0, F.lit(1)).otherwise(
+        F.greatest(
+            lo + 1,
+            F.expr(
+                f"(shiftleft(CAST(1 AS BIGINT), CAST(bin_e AS INT))"
+                f" * ({s} + bin_k + 1)) div {s}"
+            ),
+        )
+    )
+    return hit.select(
+        *gs,
+        "q_bp",
+        F.col("_tot").cast("long").alias("n_rows"),
+        "bin_e",
+        "bin_k",
+        lo.cast("long").alias("est_lo"),
+        hi.cast("long").alias("est_hi"),
+    )

@@ -4572,6 +4572,21 @@ def q_quantile_sketch(spark, sf_dir):
     )
 
 
+def q_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometry across 37 synthetic hosts — ppm
+    function-word z-gaps, micro-floored pair terms, capped quadratic."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import burrows_delta
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string")).alias(
+            "host"
+        ),
+        "text",
+    )
+    return burrows_delta(d, "host", top_words=30, max_groups=40)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5182,6 +5197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit": q_heaps_fit,
         # mergeable log-histogram quantile sketch — bit-length octaves
         "quantile_sketch": q_quantile_sketch,
+        # Burrows' Delta stylometry — capped host-pair style distance
+        "burrows_delta": q_burrows_delta,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -11454,6 +11471,55 @@ FROM documents)
             FROM cum, grid
             WHERE c >= (q_bp * tot + 9999) // 10000
               AND prev < (q_bp * tot + 9999) // 10000
+        """,
+        # burrows_delta: ppm quantization, exact-integer z cores, each
+        # pair term micro-floored BEFORE the (order-free) sum; the term
+        # expression shape matches the Spark op exactly
+        "burrows_delta": f"""
+            WITH base AS (
+              SELECT 'h' || (doc_id % 37)::VARCHAR AS g,
+                     unnest({_WORDS}) AS w
+              FROM documents
+            ),
+            per AS (
+              SELECT g, w, count(*)::BIGINT AS c FROM base GROUP BY 1, 2
+            ),
+            totals AS (SELECT g, sum(c)::BIGINT AS t FROM per GROUP BY 1),
+            kept AS (
+              SELECT g, t FROM totals ORDER BY t DESC, g ASC LIMIT 40
+            ),
+            topw AS (
+              SELECT w FROM (
+                SELECT p.w, sum(p.c)::BIGINT AS wc
+                FROM per p JOIN kept k ON p.g = k.g GROUP BY 1
+              ) ORDER BY wc DESC, w ASC LIMIT 30
+            ),
+            f AS (
+              SELECT k.g, tw.w,
+                     ((1000000 * coalesce(p.c, 0)) // k.t)::BIGINT AS f
+              FROM kept k CROSS JOIN topw tw
+              LEFT JOIN per p ON p.g = k.g AND p.w = tw.w
+            ),
+            z AS (
+              SELECT g, w,
+                     (f * count(*) OVER (PARTITION BY w)
+                      - sum(f) OVER (PARTITION BY w))::BIGINT AS znum,
+                     (count(*) OVER (PARTITION BY w)
+                        * sum(f * f) OVER (PARTITION BY w)
+                      - sum(f) OVER (PARTITION BY w)
+                        * sum(f) OVER (PARTITION BY w))::BIGINT AS dw
+              FROM f
+            ),
+            zf AS (SELECT * FROM z WHERE dw > 0),
+            pairs AS (
+              SELECT a.g AS ga, b.g AS gb,
+                     floor(1000000.0 * abs(a.znum - b.znum)::DOUBLE
+                           / sqrt(a.dw::DOUBLE))::BIGINT AS term
+              FROM zf a JOIN zf b ON a.w = b.w AND a.g < b.g
+            )
+            SELECT ga AS grp_a, gb AS grp_b, count(*)::BIGINT AS n_words,
+                   (sum(term) // count(*))::BIGINT AS delta_micro
+            FROM pairs GROUP BY 1, 2
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

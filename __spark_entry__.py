@@ -4587,6 +4587,38 @@ def q_burrows_delta(spark, sf_dir):
     return burrows_delta(d, "host", top_words=30, max_groups=40)
 
 
+def q_benford(spark, sf_dir):
+    """Benford first-digit χ² per synthetic host over in-text numbers
+    (doc_id/n_chars appended so every doc carries numerals) — exact
+    ppm constants, per-digit floored decimal terms."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import benford_deviation
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 19).cast("string")).alias(
+            "host"
+        ),
+        F.concat_ws(
+            " ",
+            "text",
+            F.col("doc_id").cast("string"),
+            F.col("n_chars").cast("string"),
+        ).alias("text"),
+    )
+    return benford_deviation(d, "host", min_numeric=50)
+
+
+def q_robust_location(spark, sf_dir):
+    """Exact per-lang median and MAD of n_chars — doubled order
+    statistics on cascaded distinct-value cumulative windows."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import robust_location
+
+    return robust_location(
+        _t(spark, sf_dir, "documents"), "n_chars", group_col="lang"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5199,6 +5231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         # Burrows' Delta stylometry — capped host-pair style distance
         "burrows_delta": q_burrows_delta,
+        # Benford first-digit χ² — numeric-content quality gate
+        "benford": q_benford,
+        # exact median + MAD — doubled order statistics, no global sort
+        "robust_location": q_robust_location,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -11520,6 +11556,93 @@ FROM documents)
             SELECT ga AS grp_a, gb AS grp_b, count(*)::BIGINT AS n_words,
                    (sum(term) // count(*))::BIGINT AS delta_micro
             FROM pairs GROUP BY 1, 2
+        """,
+        # benford: same ppm constants, per-digit HUGEINT floors summed
+        "benford": f"""
+            WITH grid(digit, p_ppm) AS (
+              VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+                     (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+                     (9, 45757)
+            ),
+            toks AS (
+              SELECT 'h' || (doc_id % 19)::VARCHAR AS g,
+                     substring(w, 1, 1)::BIGINT AS digit
+              FROM (
+                -- coalesce each piece: Spark's concat_ws SKIPS nulls,
+                -- DuckDB's || would null the whole string
+                SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(trim(coalesce(text, '') || ' '
+                    || coalesce(doc_id::VARCHAR, '') || ' '
+                    || coalesce(n_chars::VARCHAR, '')), '\\s+'),
+                  x -> x <> '')) AS w
+                FROM documents
+              )
+              WHERE regexp_matches(w, '^[1-9][0-9]*([.,][0-9]+)?$')
+            ),
+            obs AS (
+              SELECT g, digit, count(*)::BIGINT AS o FROM toks GROUP BY 1, 2
+            ),
+            totals AS (
+              SELECT g, sum(o)::BIGINT AS n FROM obs GROUP BY 1
+              HAVING sum(o) >= 50
+            ),
+            filled AS (
+              SELECT t.g, t.n, gr.digit, gr.p_ppm::BIGINT AS p_ppm,
+                     coalesce(o.o, 0)::BIGINT AS o
+              FROM totals t CROSS JOIN grid gr
+              LEFT JOIN obs o ON o.g = t.g AND o.digit = gr.digit
+            )
+            SELECT g AS grp, max(n)::BIGINT AS n_numeric,
+                   sum((1000 * (1000000::HUGEINT * o - n::HUGEINT * p_ppm)
+                        * (1000000::HUGEINT * o - n::HUGEINT * p_ppm))
+                       // (1000000::HUGEINT * n * p_ppm))::BIGINT
+                     AS chi2_milli
+            FROM filled GROUP BY 1
+        """,
+        # robust_location: cascaded doubled-order-statistic medians on
+        # distinct-value cumulative windows
+        "robust_location": """
+            WITH per AS (
+              SELECT lang AS g, n_chars::BIGINT AS x, count(*)::BIGINT AS c
+              FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+            ),
+            c1 AS (
+              SELECT g, x,
+                     sum(c) OVER (PARTITION BY g ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     sum(c) OVER (PARTITION BY g) AS n
+              FROM per
+            ),
+            med AS (
+              SELECT g, max(n)::BIGINT AS n_rows,
+                     (min(CASE WHEN cum >= (n + 1) // 2 THEN x END)
+                      + min(CASE WHEN cum >= (n + 2) // 2 THEN x END)
+                     )::BIGINT AS med_x2
+              FROM c1 GROUP BY 1
+            ),
+            dev AS (
+              SELECT p.g, abs(2 * p.x - m.med_x2) AS d,
+                     sum(p.c)::BIGINT AS c
+              FROM per p JOIN med m ON p.g = m.g GROUP BY 1, 2
+            ),
+            c2 AS (
+              SELECT g, d,
+                     sum(c) OVER (PARTITION BY g ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     sum(c) OVER (PARTITION BY g) AS n
+              FROM dev
+            ),
+            mad AS (
+              SELECT g,
+                     (min(CASE WHEN cum >= (n + 1) // 2 THEN d END)
+                      + min(CASE WHEN cum >= (n + 2) // 2 THEN d END)
+                     )::BIGINT AS mad_x4
+              FROM c2 GROUP BY 1
+            )
+            SELECT m.g AS grp, m.n_rows, m.med_x2, mad.mad_x4
+            FROM med m JOIN mad ON mad.g = m.g
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

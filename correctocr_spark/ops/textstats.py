@@ -3360,3 +3360,191 @@ def heaps_fit(
         .cast("long")
         .alias("lnk_milli"),
     )
+
+
+#: Benford first-digit probabilities in ppm — the standard rounded
+#: constants; they sum to exactly 1,000,000, so the zero-filled χ²
+#: terms partition N exactly.
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992,
+               51153, 45757)
+
+
+def benford_deviation(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    min_numeric: int = 50,
+) -> DataFrame:
+    """Benford's-law first-digit deviation per group (host): χ² of the
+    observed leading-digit distribution of in-text numbers against
+    ``log10(1+1/d)``. Organic measurements (prices, populations,
+    counts) follow Benford; generated/spun numeric filler and
+    scraped-table spam do not — a numeric-content quality signal the
+    word-level gates (``gopher_rules``, ``unigram_lm``) cannot see.
+
+    Numeric tokens are words matching ``^[1-9][0-9]*([.,][0-9]+)?$``
+    (leading-zero and signed forms excluded — decimals like 0.5 carry
+    no Benford leading digit); the leading digit is the first char.
+    Exactness: Benford probabilities are the standard ppm constants
+    (sum exactly 10⁶), every χ² term is
+    ``(1000·(10⁶·o_d − N·p_d)²) div (10⁶·N·p_d)`` — squared in
+    decimal(38,0)/HUGEINT, floored per digit, then summed (order-free)
+    — and missing digits zero-fill through a 9-row grid so their
+    ``N·p_d`` mass still counts. χ² ≥ ~15.5 (milli 15500) rejects
+    Benford at p<0.05 for 8 dof.
+
+    Scale: one combinable (group, digit) rollup against a broadcast
+    9-row grid. One row per group with ≥ ``min_numeric`` numbers:
+    ``(grp, n_numeric, chi2_milli)``.
+    """
+    spark = docs.sparkSession
+    grid = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(BENFORD_PPM)],
+        "digit long, p_ppm long",
+    )
+    toks = (
+        ensure_parallelism(docs)
+        .where(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            F.explode(normalized_words(text_col)).alias("_w"),
+        )
+        .where(F.col("_w").rlike(r"^[1-9][0-9]*([.,][0-9]+)?$"))
+        .select("_g", F.substring("_w", 1, 1).cast("long").alias("digit"))
+    )
+    obs = toks.groupBy("_g", "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("_o")
+    )
+    totals = obs.groupBy("_g").agg(F.sum("_o").cast("long").alias("_n"))
+    filled = (
+        totals.where(F.col("_n") >= int(min_numeric))
+        .crossJoin(F.broadcast(grid))
+        .join(obs, on=["_g", "digit"], how="left")
+        .select(
+            "_g",
+            "_n",
+            "digit",
+            "p_ppm",
+            F.coalesce("_o", F.lit(0)).cast("long").alias("_o"),
+        )
+    )
+    terms = filled.select(
+        "_g",
+        "_n",
+        "digit",
+        "_o",
+        F.expr(
+            "(1000 * (CAST(1000000 AS DECIMAL(38,0)) * _o - CAST(_n AS"
+            " DECIMAL(38,0)) * p_ppm)"
+            " * (CAST(1000000 AS DECIMAL(38,0)) * _o - CAST(_n AS"
+            " DECIMAL(38,0)) * p_ppm))"
+            " div (CAST(1000000 AS DECIMAL(38,0)) * _n * p_ppm)"
+        )
+        .cast("long")
+        .alias("_t"),
+    )
+    return (
+        terms.groupBy("_g")
+        .agg(
+            F.max("_n").cast("long").alias("n_numeric"),
+            F.sum("_t").cast("long").alias("chi2_milli"),
+        )
+        .select(F.col("_g").alias("grp"), "n_numeric", "chi2_milli")
+    )
+
+
+def robust_location(
+    df: DataFrame,
+    value_col: str,
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """EXACT median and MAD (median absolute deviation) per group —
+    the outlier-proof location/scale pair behind robust z-scores and
+    threshold setting. The sketched ``quantile_bins`` answers "roughly
+    where is p50" in bounded memory; this answers it EXACTLY where the
+    tails matter (gate thresholds, SLA cutoffs), still without a
+    global sort.
+
+    Integer-exact via doubled order statistics: the median of n values
+    is ``(x_⌈n/2⌉ + x_⌈(n+1)/2⌉)/2``, so ``med_x2 = x_lo + x_hi`` is
+    always an integer; deviations double once more (``dev2 =
+    |2x − med_x2|``) and their doubled median is ``mad_x4`` = 4·MAD.
+    Both passes are the ks_test discipline: per-(group, value) counts,
+    cumulative windows on the DISTINCT-value table, order statistic =
+    first value whose cumulative count reaches the rank — never a
+    per-row global sort.
+
+    One row per group: ``(grp, n_rows, med_x2, mad_x4)``.
+    """
+    from pyspark.sql import Window
+
+    gcol = (
+        F.col(group_col).alias("_g")
+        if group_col is not None
+        else F.lit("all").alias("_g")
+    )
+
+    def doubled_median(vals: DataFrame, vcol: str) -> DataFrame:
+        """(_g, vcol, _c) counts -> (_g, n, m2 = doubled median)."""
+        w = (
+            Window.partitionBy("_g")
+            .orderBy(vcol)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wall = Window.partitionBy("_g").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = vals.select(
+            "_g",
+            F.col(vcol).alias("_v"),
+            F.sum("_c").over(w).alias("_cum"),
+            F.sum("_c").over(wall).alias("_n"),
+        )
+        return cum.groupBy("_g").agg(
+            F.max("_n").cast("long").alias("n"),
+            (
+                F.min(
+                    F.when(
+                        F.col("_cum") >= F.expr("(_n + 1) div 2"), F.col("_v")
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col("_cum") >= F.expr("(_n + 2) div 2"), F.col("_v")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("m2"),
+        )
+
+    base = (
+        ensure_parallelism(df)
+        .where(F.col(value_col).isNotNull())
+        .select(gcol, F.col(value_col).cast("long").alias("_x"))
+    )
+    per = base.groupBy("_g", "_x").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    med = doubled_median(per, "_x").select(
+        "_g", F.col("n").alias("n_rows"), F.col("m2").alias("med_x2")
+    )
+    dev = (
+        per.join(med.select("_g", "med_x2"), on="_g")
+        .select(
+            "_g",
+            F.abs(2 * F.col("_x") - F.col("med_x2")).alias("_d"),
+            "_c",
+        )
+        .groupBy("_g", "_d")
+        .agg(F.sum("_c").cast("long").alias("_c"))
+    )
+    mad = doubled_median(dev, "_d").select(
+        "_g", F.col("m2").alias("mad_x4")
+    )
+    return (
+        med.join(mad, on="_g")
+        .select(
+            F.col("_g").alias("grp"), "n_rows", "med_x2", "mad_x4"
+        )
+    )

@@ -4619,6 +4619,37 @@ def q_robust_location(spark, sf_dir):
     )
 
 
+def q_paragraph_diff(spark, sf_dir):
+    """Paragraph-level diff between two synthetic snapshots of the
+    same urls (even/odd doc pairing, sentence-split paragraphs) —
+    set semantics per url via one full-outer join."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import paragraph_diff
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("u"), F.expr("doc_id div 2").cast("string")).alias(
+            "url"
+        ),
+        F.regexp_replace(F.coalesce("text", F.lit("")), r"\. ", "\n\n").alias(
+            "text"
+        ),
+    )
+    return paragraph_diff(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+    )
+
+
+def q_entropy_rate(spark, sf_dir):
+    """Unigram/bigram entropy and conditional rate per lang in
+    micro-nats — per-gram floored terms, order-free sums."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import entropy_rate
+
+    return entropy_rate(_t(spark, sf_dir, "documents"), group_col="lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5235,6 +5266,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         # exact median + MAD — doubled order statistics, no global sort
         "robust_location": q_robust_location,
+        # paragraph-level snapshot diff — (url, para) full-outer sets
+        "paragraph_diff": q_paragraph_diff,
+        # entropy rate H(w2|w1) — per-gram floored micro-nat terms
+        "entropy_rate": q_entropy_rate,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -11643,6 +11678,83 @@ FROM documents)
             )
             SELECT m.g AS grp, m.n_rows, m.med_x2, mad.mad_x4
             FROM med m JOIN mad ON mad.g = m.g
+        """,
+        # paragraph_diff: same sentence-split paragraphs, DISTINCT per
+        # side, full-outer set counts per url
+        "paragraph_diff": """
+            WITH old_ AS (
+              SELECT DISTINCT 'u' || (doc_id // 2)::VARCHAR AS u, p FROM (
+                SELECT doc_id, unnest(string_split(
+                  regexp_replace(coalesce(text, ''), '\\. ', E'\\n\\n', 'g'),
+                  E'\\n\\n')) AS p
+                FROM documents WHERE doc_id % 2 = 0
+              ) WHERE trim(p) <> ''
+            ),
+            new_ AS (
+              SELECT DISTINCT 'u' || (doc_id // 2)::VARCHAR AS u, p FROM (
+                SELECT doc_id, unnest(string_split(
+                  regexp_replace(coalesce(text, ''), '\\. ', E'\\n\\n', 'g'),
+                  E'\\n\\n')) AS p
+                FROM documents WHERE doc_id % 2 = 1
+              ) WHERE trim(p) <> ''
+            ),
+            j AS (
+              SELECT coalesce(o.u, n.u) AS u,
+                     (CASE WHEN o.u IS NULL THEN 0 ELSE 1 END) AS io,
+                     (CASE WHEN n.u IS NULL THEN 0 ELSE 1 END) AS inn
+              FROM old_ o FULL JOIN new_ n ON o.u = n.u AND o.p = n.p
+            ),
+            agg AS (
+              SELECT u, sum(io)::BIGINT AS n_old, sum(inn)::BIGINT AS n_new,
+                     sum(io * inn)::BIGINT AS kept,
+                     sum((1 - io) * inn)::BIGINT AS added,
+                     sum(io * (1 - inn))::BIGINT AS removed
+              FROM j GROUP BY 1
+            )
+            SELECT u AS url, n_old, n_new, kept, added, removed,
+                   ((10000 * (added + removed))
+                    // (kept + added + removed))::BIGINT AS churn_bp
+            FROM agg
+        """,
+        # entropy_rate: per-gram floored micro-nat terms with the
+        # identical IEEE shape, grams built by the ngram_diversity
+        # slice algebra
+        "entropy_rate": f"""
+            WITH w AS (SELECT lang, {_WORDS} AS ws FROM documents),
+            uni AS (
+              SELECT lang AS g, gram, count(*)::BIGINT AS c FROM (
+                SELECT lang, unnest(ws) AS gram FROM w WHERE len(ws) >= 1
+              ) GROUP BY 1, 2
+            ),
+            unit AS (SELECT g, sum(c)::BIGINT AS n FROM uni GROUP BY 1),
+            h1 AS (
+              SELECT u.g, max(t.n)::BIGINT AS n_tokens,
+                     sum(floor(1000000.0 * u.c::DOUBLE / t.n::DOUBLE
+                       * (ln(t.n::DOUBLE) - ln(u.c::DOUBLE)))::BIGINT
+                     )::BIGINT AS h1
+              FROM uni u JOIN unit t ON u.g = t.g GROUP BY 1
+            ),
+            bi AS (
+              SELECT lang AS g, gram, count(*)::BIGINT AS c FROM (
+                SELECT lang, unnest(list_transform(range(1, len(ws) - 2 + 2),
+                         i -> array_to_string(ws[i:i + 1], ' '))) AS gram
+                FROM w WHERE len(ws) >= 2
+              ) GROUP BY 1, 2
+            ),
+            bit_ AS (SELECT g, sum(c)::BIGINT AS n FROM bi GROUP BY 1),
+            h2 AS (
+              SELECT b.g, max(t.n)::BIGINT AS n_bigrams,
+                     sum(floor(1000000.0 * b.c::DOUBLE / t.n::DOUBLE
+                       * (ln(t.n::DOUBLE) - ln(b.c::DOUBLE)))::BIGINT
+                     )::BIGINT AS h2
+              FROM bi b JOIN bit_ t ON b.g = t.g GROUP BY 1
+            )
+            SELECT h1.g AS grp, h1.n_tokens,
+                   coalesce(h2.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   h1.h1 AS h1_micro,
+                   coalesce(h2.h2, 0)::BIGINT AS h2_micro,
+                   (coalesce(h2.h2, 0) - h1.h1)::BIGINT AS rate_micro
+            FROM h1 LEFT JOIN h2 ON h2.g = h1.g
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -763,3 +763,66 @@ def status_transitions(
         "n",
         F.expr("_num div _den").cast("long").alias("share_bp"),
     )
+
+
+def paragraph_diff(
+    old: DataFrame,
+    new: DataFrame,
+    on: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paragraph-level DIFF between two crawl snapshots of the same
+    urls — the block-granular complement of ``snapshot_delta`` (which
+    classifies whole documents as changed/unchanged): per url, how many
+    ``\\n\\n`` paragraphs were kept, added, removed, and the resulting
+    churn share. Separates "the article text changed" from "only the
+    sidebar rotated" — the signal recrawl scheduling actually wants,
+    and the audit for an extractor upgrade (templates should churn,
+    content should not).
+
+    Set semantics per url (paragraphs DISTINCT within each side, empty
+    blocks dropped): kept = |old ∩ new|, added = |new ∖ old|,
+    removed = |old ∖ new|; ``churn_bp = (10000·(added+removed)) div
+    union``. Urls present in only one snapshot count as all-removed /
+    all-added.
+
+    Scale: one distinct projection per side, one (url, para)-keyed
+    full-outer join (co-located on the join key), one combinable per-
+    url rollup — no window, no collect. One row per url:
+    ``(url, n_old, n_new, kept, added, removed, churn_bp)``.
+    """
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        paras = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n\n")
+        return (
+            ensure_parallelism(df)
+            .select(F.col(on).alias("_u"), F.explode(paras).alias("_p"))
+            .where(F.trim(F.col("_p")) != "")
+            .distinct()
+            .withColumn(name, F.lit(1))
+        )
+    o = side(old, "_in_old")
+    n = side(new, "_in_new")
+    joined = o.join(n, on=["_u", "_p"], how="full").select(
+        "_u",
+        F.coalesce("_in_old", F.lit(0)).alias("_io"),
+        F.coalesce("_in_new", F.lit(0)).alias("_in"),
+    )
+    agg = joined.groupBy("_u").agg(
+        F.sum("_io").cast("long").alias("n_old"),
+        F.sum("_in").cast("long").alias("n_new"),
+        F.sum(F.col("_io") * F.col("_in")).cast("long").alias("kept"),
+        F.sum((1 - F.col("_io")) * F.col("_in")).cast("long").alias("added"),
+        F.sum(F.col("_io") * (1 - F.col("_in"))).cast("long").alias("removed"),
+    )
+    return agg.select(
+        F.col("_u").alias(on),
+        "n_old",
+        "n_new",
+        "kept",
+        "added",
+        "removed",
+        F.expr("(10000 * (added + removed)) div (kept + added + removed)")
+        .cast("long")
+        .alias("churn_bp"),
+    )

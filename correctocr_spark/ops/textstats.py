@@ -3548,3 +3548,98 @@ def robust_location(
             F.col("_g").alias("grp"), "n_rows", "med_x2", "mad_x4"
         )
     )
+
+
+def entropy_rate(
+    docs: DataFrame,
+    group_col: Optional[str] = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Word-level ENTROPY RATE per group: unigram entropy H₁, bigram
+    entropy H₂, and the conditional rate H₂ − H₁ = H(wₙ | wₙ₋₁) in
+    micro-nats. Natural language keeps the conditional rate well above
+    zero (the next word stays surprising); template farms and spun
+    text collapse it long before unigram entropy looks sick — the
+    INFORMATION-theoretic twin of ``ngram_diversity``'s count-based
+    distinct-2 share, and the corpus-level complement of
+    ``char_entropy`` (which watches the character alphabet).
+
+    Determinism: each gram's term ``(c/N)·ln(N/c)`` is evaluated with
+    ONE fixed IEEE shape — ``floor(1000000.0·c/N·(ln N − ln c))`` —
+    and floored to integer micro-nats BEFORE the (order-free) sum, the
+    same per-term-floor convention as ``burrows_delta``; ln is shared
+    by both engines' libm on identical doubles. H therefore
+    under-counts by < 1 micro-nat per distinct gram, identically in
+    Spark and the oracle.
+
+    Scale: the two gram rollups are the ``ngram_diversity`` shuffles;
+    the per-group totals ride the same rollup and broadcast back. One
+    row per group: ``(grp, n_tokens, n_bigrams, h1_micro, h2_micro,
+    rate_micro)``.
+    """
+    gcol = (
+        F.col(group_col).alias("_g")
+        if group_col is not None
+        else F.lit("all").alias("_g")
+    )
+    base = ensure_parallelism(docs).select(
+        gcol, normalized_words(text_col).alias("_w")
+    )
+
+    def h_micro(grams: DataFrame) -> DataFrame:
+        """(_g, _gram) rows -> (_g, n, h) with per-term floors."""
+        per = grams.groupBy("_g", "_gram").agg(
+            F.count(F.lit(1)).cast("long").alias("_c")
+        )
+        tot = per.groupBy("_g").agg(F.sum("_c").cast("long").alias("_n"))
+        terms = per.join(F.broadcast(tot), on="_g").select(
+            "_g",
+            "_n",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("_c").cast("double")
+                / F.col("_n").cast("double")
+                * (
+                    F.log(F.col("_n").cast("double"))
+                    - F.log(F.col("_c").cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("_t"),
+        )
+        return terms.groupBy("_g").agg(
+            F.max("_n").cast("long").alias("n"),
+            F.sum("_t").cast("long").alias("h"),
+        )
+    uni = base.select("_g", F.explode("_w").alias("_gram"))
+    bi = base.select(
+        "_g",
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - 2),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_gram"),
+    )
+    h1 = h_micro(uni).select(
+        "_g", F.col("n").alias("n_tokens"), F.col("h").alias("h1_micro")
+    )
+    h2 = h_micro(bi).select(
+        "_g", F.col("n").alias("n_bigrams"), F.col("h").alias("h2_micro")
+    )
+    return (
+        h1.join(h2, on="_g", how="left")
+        .select(
+            F.col("_g").alias("grp"),
+            "n_tokens",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "h1_micro",
+            F.coalesce("h2_micro", F.lit(0)).cast("long").alias("h2_micro"),
+            (F.coalesce("h2_micro", F.lit(0)) - F.col("h1_micro"))
+            .cast("long")
+            .alias("rate_micro"),
+        )
+    )

@@ -4650,6 +4650,31 @@ def q_entropy_rate(spark, sf_dir):
     return entropy_rate(_t(spark, sf_dir, "documents"), group_col="lang")
 
 
+def q_mcnemar_gates(spark, sf_dir):
+    """McNemar paired test between a char-length gate and a word-count
+    gate on the same documents — discordant-cell integer chi2."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import normalized_words
+    from correctocr_spark.ops.textstats import mcnemar_test
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("n_chars") >= 400).alias("gate_a"),
+        (F.size(normalized_words("text")) >= 74).alias("gate_b"),
+    )
+    return mcnemar_test(d, "gate_a", "gate_b")
+
+
+def q_contingency_chi2(spark, sf_dir):
+    """Pearson chi-square of lang x source independence with Cramer's
+    V — per-cell floored milli terms, order-free integer sum."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import contingency_chi2
+
+    return contingency_chi2(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5270,6 +5295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_diff": q_paragraph_diff,
         # entropy rate H(w2|w1) — per-gram floored micro-nat terms
         "entropy_rate": q_entropy_rate,
+        # McNemar paired gate swap — discordant-cell integer chi2
+        "mcnemar_gates": q_mcnemar_gates,
+        # lang x source independence chi2 + Cramer's V — floored cells
+        "contingency_chi2": q_contingency_chi2,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -11755,6 +11784,64 @@ FROM documents)
                    coalesce(h2.h2, 0)::BIGINT AS h2_micro,
                    (coalesce(h2.h2, 0) - h1.h1)::BIGINT AS rate_micro
             FROM h1 LEFT JOIN h2 ON h2.g = h1.g
+        """,
+        # mcnemar_gates: paired 2x2 over the identical gate predicates;
+        # chi2 in HUGEINT, quotient back to BIGINT
+        "mcnemar_gates": f"""
+            WITH g AS (
+              SELECT n_chars >= 400 AS a, len({_WORDS}) >= 74 AS b
+              FROM documents
+            ),
+            t AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT
+                       AS both_pass,
+                     sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+                       AS only_a,
+                     sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT
+                       AS only_b
+              FROM g
+            )
+            SELECT n, both_pass, only_a, only_b,
+                   CASE WHEN only_a + only_b > 0 THEN
+                     ((1000 * (only_a::HUGEINT - only_b)
+                       * (only_a::HUGEINT - only_b))
+                      // (only_a::HUGEINT + only_b))::BIGINT
+                   END AS chi2_milli
+            FROM t
+        """,
+        # contingency_chi2: per-cell floored milli terms in HUGEINT,
+        # margins re-derived from the cell table
+        "contingency_chi2": """
+            WITH cells AS (
+              SELECT lang AS r, source AS c, count(*)::BIGINT AS o
+              FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            rm AS (SELECT r, sum(o)::BIGINT AS rm FROM cells GROUP BY 1),
+            cm AS (SELECT c, sum(o)::BIGINT AS cm FROM cells GROUP BY 1),
+            tot AS (
+              SELECT sum(o)::BIGINT AS n,
+                     count(DISTINCT r)::BIGINT AS nr,
+                     count(DISTINCT c)::BIGINT AS nc
+              FROM cells
+            ),
+            terms AS (
+              SELECT ((1000 * tot.n::HUGEINT * o * o)
+                      // (rm.rm::HUGEINT * cm.cm)) AS t
+              FROM cells JOIN rm USING (r) JOIN cm USING (c), tot
+            ),
+            s AS (SELECT sum(t) AS tsum FROM terms)
+            SELECT tot.n AS n, tot.nr AS n_row_cats, tot.nc AS n_col_cats,
+                   ((tot.nr - 1) * (tot.nc - 1))::BIGINT AS dof,
+                   (s.tsum - 1000 * tot.n::HUGEINT)::BIGINT AS chi2_milli,
+                   CASE WHEN least(tot.nr, tot.nc) > 1 AND tot.n > 0 THEN
+                     ((1000 * (s.tsum - 1000 * tot.n::HUGEINT))
+                      // (tot.n::HUGEINT
+                          * (least(tot.nr, tot.nc) - 1)))::BIGINT
+                   END AS v2_micro
+            FROM s, tot
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

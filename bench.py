@@ -247,6 +247,23 @@ HEADLINE = [
     "status_transitions",
     "ks_test",
     "ngram_diversity",
+    # r5 final session: statistics + stylometry + sketch tier
+    "weight_ess",
+    "heaps_fit",
+    "vocab_richness",
+    "zipf_fit",
+    "mannwhitney",
+    "range_bounds",
+    "term_burstiness",
+    "sorted_neighborhood",
+    "lsh_tuning_curve",
+    "vocab_overlap",
+    "quantile_sketch",
+    "burrows_delta",
+    "benford",
+    "robust_location",
+    "paragraph_diff",
+    "entropy_rate",
     "bpe_token_counts",
     "extraction_blocks",
 ]

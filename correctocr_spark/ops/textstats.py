@@ -3643,3 +3643,137 @@ def entropy_rate(
             .alias("rate_micro"),
         )
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """McNemar's paired test over two boolean GATES evaluated on the
+    SAME documents — the release question ``ks_test`` / ``mannwhitney``
+    cannot answer: when we swap gate A (say ``gopher_rules``) for gate
+    B (a classifier), are the disagreements symmetric, or does B
+    systematically pass documents A rejected? Marginal homogeneity is
+    exactly what a filter swap must hold fixed to keep corpus size —
+    and only the DISCORDANT pairs (``only_a``/``only_b``) carry
+    information, so the test is immune to the huge both-pass mass that
+    drowns an unpaired comparison.
+
+    Integer-exact: the 2×2 paired table is one combinable aggregation;
+    ``chi2_milli = (1000·(only_a − only_b)²) div (only_a + only_b)``
+    runs in decimal(38,0) (HUGEINT on the oracle side — the squared
+    discordant gap overflows a long at crawl scale) and the quotient
+    lands back in a long (chi² ≤ the discordant count ≤ n). The
+    continuity correction is deliberately omitted: at corpus scale the
+    discordant count is large and the correction is a sub-milli
+    perturbation — documented, not hidden. Zero discordant pairs →
+    NULL chi² (the gates are indistinguishable on this corpus).
+
+    Scale: one shuffle-free combinable agg, no window, no join. One
+    row: ``(n, both_pass, only_a, only_b, chi2_milli)``.
+    """
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    agg = ensure_parallelism(df).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("long").alias("both_pass"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).cast("long").alias("only_a"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).cast("long").alias("only_b"),
+    )
+    return agg.select(
+        "n",
+        "both_pass",
+        "only_a",
+        "only_b",
+        F.when(
+            F.col("only_a") + F.col("only_b") > 0,
+            F.expr(
+                "(1000 * (CAST(only_a AS DECIMAL(38,0)) - only_b)"
+                " * (CAST(only_a AS DECIMAL(38,0)) - only_b))"
+                " div (CAST(only_a AS DECIMAL(38,0)) + only_b)"
+            ),
+        )
+        .cast("long")
+        .alias("chi2_milli"),
+    )
+
+
+def contingency_chi2(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson χ² test of independence between two categorical corpus
+    facets (lang × source, mime × status class, host tier × gate
+    outcome) plus Cramér's V — the association-STRENGTH companion the
+    raw χ² lacks at crawl scale, where n is so large that even a
+    trivial association is "significant". V² answers the question the
+    datacard actually asks: how much does knowing the source tell you
+    about the language mix?
+
+    Integer-exact and reduction-order-independent: χ² = N·(Σ_ij
+    O_ij²/(r_i·c_j) − 1), and each cell's term is quantized FIRST —
+    ``t_ij = (1000·N·O_ij²) div (r_i·c_j)`` in decimal(38,0) — so the
+    final sum is an integer sum with no float addition order anywhere
+    (the ``unigram_lm`` discipline, without even the single ``ln``).
+    ``chi2_milli = Σt_ij − 1000·N`` carries a per-cell floor bias of
+    at most one milli-unit per OCCUPIED cell — documented envelope,
+    negligible against any χ² worth acting on. ``v2_micro =
+    (1000·chi2_milli) div (N·k)`` with ``k = min(R,C) − 1`` gives
+    Cramér's V² in micro-units (≤ 1e6 by construction). Envelope:
+    chi2_milli ≤ 1000·N·k must fit a long — holds to N·k ≈ 9e15,
+    i.e. beyond 10^12 rows for any small-k facet pair. Degenerate
+    single-category facets (k = 0) → NULL v2.
+
+    Scale: one (row,col) cell rollup (combinable), margins re-derived
+    FROM the cell table (no second scan of the input), broadcast back
+    onto cells (margins are category-sized, tiny), one final agg. One
+    row: ``(n, n_row_cats, n_col_cats, dof, chi2_milli, v2_micro)``.
+    """
+    cells = (
+        ensure_parallelism(df)
+        .where(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(F.col(row_col).alias("_r"), F.col(col_col).alias("_c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_o"))
+    )
+    rmarg = cells.groupBy("_r").agg(F.sum("_o").cast("long").alias("_rm"))
+    cmarg = cells.groupBy("_c").agg(F.sum("_o").cast("long").alias("_cm"))
+    tot = cells.agg(
+        F.sum("_o").cast("long").alias("_n"),
+        F.count_distinct("_r").cast("long").alias("_nr"),
+        F.count_distinct("_c").cast("long").alias("_nc"),
+    )
+    terms = (
+        cells.join(F.broadcast(rmarg), on="_r")
+        .join(F.broadcast(cmarg), on="_c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "(1000 * CAST(_n AS DECIMAL(38,0)) * _o * _o)"
+                " div (CAST(_rm AS DECIMAL(38,0)) * _cm)"
+            ).alias("_t")
+        )
+    )
+    sums = terms.agg(F.sum("_t").alias("_tsum")).crossJoin(F.broadcast(tot))
+    k = F.least(F.col("_nr"), F.col("_nc")) - 1
+    chi2 = (
+        F.col("_tsum") - F.lit(1000).cast("decimal(38,0)") * F.col("_n")
+    )
+    return sums.select(
+        F.col("_n").alias("n"),
+        F.col("_nr").alias("n_row_cats"),
+        F.col("_nc").alias("n_col_cats"),
+        ((F.col("_nr") - 1) * (F.col("_nc") - 1)).cast("long").alias("dof"),
+        chi2.cast("long").alias("chi2_milli"),
+        F.when(
+            (k > 0) & (F.col("_n") > 0),
+            F.expr(
+                "(1000 * (_tsum - 1000 * CAST(_n AS DECIMAL(38,0))))"
+                " div (CAST(_n AS DECIMAL(38,0))"
+                " * (least(_nr, _nc) - 1))"
+            ),
+        )
+        .cast("long")
+        .alias("v2_micro"),
+    )

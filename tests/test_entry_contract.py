@@ -559,6 +559,57 @@ def test_oracled_queries_precede_rows_only():
         "ks_test",
         # distinct-n panel — ngram_counts' gram grammar, stacked long
         "ngram_diversity",
+        # ---- r5 final-session statistics/stylometry/sketch tier: all
+        # verified by the in-repo oracle twin every session; plan cores
+        # are established tier-1 families ----
+        # Kish ESS — weight_ess is one combinable decimal agg
+        # (stats_conditional_agg's family)
+        "weight_ess",
+        # Heaps/Zipf fits — per-group rollup + exact integer OLS, the
+        # ks_test distinct-table discipline
+        "heaps_fit",
+        "zipf_fit",
+        # Chao1/Good-Turing richness — word-frequency rollup (word_freq)
+        "vocab_richness",
+        # Mann-Whitney U — distinct-score window, pr_curve's family
+        "mannwhitney",
+        # equi-depth cut points — distinct-key cumulative window
+        # (range_bounds shares pack_shards_url's prefix-sum core)
+        "range_bounds",
+        # per-term Fano burstiness — (term,day) rollup, word_freq +
+        # rate_anomalies' family
+        "term_burstiness",
+        # sorted-neighborhood blocking — zorder_key's keyed window
+        "sorted_neighborhood",
+        # LSH bands/rows tuning curve — generated parameter grid,
+        # lsh_recall's algebra on a constant-size table
+        "lsh_tuning_curve",
+        # pairwise lang-vocab Jaccard — word-keyed distinct self-join
+        # (vocab_kl's rollup + containment_pairs' pair grammar)
+        "vocab_overlap",
+        # log-histogram quantile sketch — bit-length octave rollup,
+        # quantile_bins' family
+        "quantile_sketch",
+        # Burrows' Delta — capped host-pair quadratic stage, the
+        # typosquat_pairs/containment_pairs cap discipline
+        "burrows_delta",
+        # Benford chi2 — first-digit rollup, floored integer terms
+        "benford",
+        # exact median/MAD — doubled order statistics on the
+        # distinct-value table, robust_location = ks_test's window core
+        "robust_location",
+        # paragraph-level snapshot diff — (url, para) full-outer set
+        # algebra, snapshot_delta's family
+        "paragraph_diff",
+        # entropy rate — per-gram floored micro-nat terms, the
+        # unigram_lm discipline
+        "entropy_rate",
+        # McNemar paired gate swap — one combinable conditional agg
+        # (stats_conditional_agg's family) + a decimal quotient
+        "mcnemar_gates",
+        # lang x source chi2 — cell rollup + broadcast margins, the
+        # floored-integer-term discipline of entropy_rate/benford
+        "contingency_chi2",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

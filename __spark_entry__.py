@@ -4675,6 +4675,80 @@ def q_contingency_chi2(spark, sf_dir):
     )
 
 
+def q_page_survival(spark, sf_dir):
+    """Kaplan-Meier/Nelson-Aalen survival over per-user event-day
+    lifetimes, right-censored at the corpus horizon — per-step
+    quantized hazard/log terms, integer cumsums."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import survival_curve
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("_day"),
+    )
+    per = ev.groupBy("user_id").agg(
+        F.min("_day").alias("_lo"), F.max("_day").alias("_hi")
+    )
+    hz = per.agg(F.max("_hi").alias("_hz"))
+    spans = per.crossJoin(F.broadcast(hz)).select(
+        (F.col("_hi") - F.col("_lo")).cast("long").alias("duration"),
+        (F.col("_hi") < F.col("_hz")).cast("int").alias("event"),
+    )
+    return survival_curve(spans)
+
+
+def q_gate_rate_ztest(spark, sf_dir):
+    """Two-proportion z-test + Wilson intervals: does the n_chars gate
+    pass src1 at a different rate than src2? Integer z2, floored
+    double-sqrt Wilson bounds."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import two_proportion_gate
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", (F.col("n_chars") >= 400).alias("gate")
+    )
+    return two_proportion_gate(d, "source", "gate", "src1", "src2")
+
+
+def q_js_drift(spark, sf_dir):
+    """Jensen-Shannon divergence between en and fr unigram
+    distributions in micro-nats — per-word floored terms."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import js_divergence
+
+    return js_divergence(
+        _t(spark, sf_dir, "documents"), "lang", "en", "fr"
+    )
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman's r) of the synthetic link graph —
+    four exact integer sums, one floored double quotient."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import degree_assortativity
+
+    return degree_assortativity(_synth_edges(spark, sf_dir))
+
+
+def q_ht_estimate(spark, sf_dir):
+    """Horvitz-Thompson corpus-total estimation from the deterministic
+    hash sample — integer-exact estimate and variance per stratum."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import horvitz_thompson
+
+    return horvitz_thompson(
+        _t(spark, sf_dir, "documents"),
+        "n_chars",
+        rate_bp=2000,
+        rates_bp={"zh": 5000},
+        stratify_col="lang",
+        key_col="doc_id",
+        seed="s1",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5299,6 +5373,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcnemar_gates": q_mcnemar_gates,
         # lang x source independence chi2 + Cramer's V — floored cells
         "contingency_chi2": q_contingency_chi2,
+        # KM/Nelson-Aalen survival — quantized steps, integer cumsums
+        "page_survival": q_page_survival,
+        # unpaired two-proportion z-test + Wilson intervals
+        "gate_rate_ztest": q_gate_rate_ztest,
+        # symmetric JSD corpus drift in floored micro-nats
+        "js_drift": q_js_drift,
+        # Newman degree assortativity — exact integer sums
+        "assortativity": q_assortativity,
+        # Horvitz-Thompson sampled-total estimation with variance
+        "ht_estimate": q_ht_estimate,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -11842,6 +11926,226 @@ FROM documents)
                           * (least(tot.nr, tot.nc) - 1)))::BIGINT
                    END AS v2_micro
             FROM s, tot
+        """,
+        # page_survival: KM/Nelson-Aalen — per-step quantized hazard and
+        # log-survival terms, INTEGER cumsums ordered by t (no float
+        # accumulation), curve-hit-zero carried by a max flag
+        "page_survival": """
+            WITH ev AS (
+              SELECT user_id,
+                     datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT
+                       AS day
+              FROM events
+            ),
+            per AS (
+              SELECT user_id, min(day) AS lo, max(day) AS hi
+              FROM ev GROUP BY 1
+            ),
+            hz AS (SELECT max(hi) AS h FROM per),
+            spans AS (
+              SELECT (hi - lo)::BIGINT AS duration,
+                     CASE WHEN hi < hz.h THEN 1 ELSE 0 END AS event
+              FROM per, hz
+            ),
+            per_t AS (
+              SELECT duration AS t, sum(event)::BIGINT AS d,
+                     sum(1 - event)::BIGINT AS c
+              FROM spans GROUP BY 1
+            ),
+            ar AS (
+              SELECT t, d, c,
+                     (sum(d + c) OVER ()
+                      - coalesce(sum(d + c) OVER (
+                          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0))::BIGINT AS n
+              FROM per_t
+            ),
+            st AS (
+              SELECT t, d, c, n, ((1000000 * d) // n)::BIGINT AS h,
+                     CASE WHEN n > d THEN
+                       floor(1000000.0 * (ln(n::DOUBLE)
+                             - ln((n - d)::DOUBLE)))::BIGINT
+                     END AS sstep
+              FROM ar
+            ),
+            cum AS (
+              SELECT t, d, c, n, h,
+                     sum(h) OVER (ORDER BY t)::BIGINT AS cumhaz_micro,
+                     sum(coalesce(sstep, 0)) OVER (ORDER BY t)::BIGINT
+                       AS neglog,
+                     max(CASE WHEN sstep IS NULL AND d > 0 THEN 1
+                         ELSE 0 END) OVER (ORDER BY t) AS dead
+              FROM st
+            )
+            SELECT t, n AS n_risk, d AS n_events, c AS n_censored,
+                   h AS hazard_micro, cumhaz_micro,
+                   CASE WHEN dead = 1 THEN 0 ELSE
+                     floor(1000000.0
+                           * exp(-neglog::DOUBLE / 1000000.0))::BIGINT
+                   END AS km_micro
+            FROM cum WHERE d > 0 ORDER BY t
+        """,
+        # gate_rate_ztest: z2 folded to pure integers in HUGEINT; Wilson
+        # bounds are IEEE-double sqrt on integer args, floored micro
+        "gate_rate_ztest": """
+            WITH a AS (
+              SELECT
+                sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::BIGINT
+                  AS n_a,
+                sum(CASE WHEN source = 'src1' AND n_chars >= 400
+                    THEN 1 ELSE 0 END)::BIGINT AS k_a,
+                sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)::BIGINT
+                  AS n_b,
+                sum(CASE WHEN source = 'src2' AND n_chars >= 400
+                    THEN 1 ELSE 0 END)::BIGINT AS k_b
+              FROM documents
+            )
+            SELECT n_a, k_a, n_b, k_b,
+              CASE WHEN n_a > 0 THEN
+                ((1000000 * k_a) // n_a)::BIGINT END AS rate_a_micro,
+              CASE WHEN n_b > 0 THEN
+                ((1000000 * k_b) // n_b)::BIGINT END AS rate_b_micro,
+              CASE WHEN n_a > 0 THEN floor(1000000.0 * (
+                (k_a / n_a::DOUBLE + 1.96 * 1.96 / (2 * n_a)
+                 - 1.96 * sqrt(k_a / n_a::DOUBLE
+                     * (1 - k_a / n_a::DOUBLE) / n_a
+                     + 1.96 * 1.96 / (4.0 * n_a * n_a)))
+                / (1 + 1.96 * 1.96 / n_a)))::BIGINT
+              END AS wilson_a_lo_micro,
+              CASE WHEN n_a > 0 THEN floor(1000000.0 * (
+                (k_a / n_a::DOUBLE + 1.96 * 1.96 / (2 * n_a)
+                 + 1.96 * sqrt(k_a / n_a::DOUBLE
+                     * (1 - k_a / n_a::DOUBLE) / n_a
+                     + 1.96 * 1.96 / (4.0 * n_a * n_a)))
+                / (1 + 1.96 * 1.96 / n_a)))::BIGINT
+              END AS wilson_a_hi_micro,
+              CASE WHEN n_b > 0 THEN floor(1000000.0 * (
+                (k_b / n_b::DOUBLE + 1.96 * 1.96 / (2 * n_b)
+                 - 1.96 * sqrt(k_b / n_b::DOUBLE
+                     * (1 - k_b / n_b::DOUBLE) / n_b
+                     + 1.96 * 1.96 / (4.0 * n_b * n_b)))
+                / (1 + 1.96 * 1.96 / n_b)))::BIGINT
+              END AS wilson_b_lo_micro,
+              CASE WHEN n_b > 0 THEN floor(1000000.0 * (
+                (k_b / n_b::DOUBLE + 1.96 * 1.96 / (2 * n_b)
+                 + 1.96 * sqrt(k_b / n_b::DOUBLE
+                     * (1 - k_b / n_b::DOUBLE) / n_b
+                     + 1.96 * 1.96 / (4.0 * n_b * n_b)))
+                / (1 + 1.96 * 1.96 / n_b)))::BIGINT
+              END AS wilson_b_hi_micro,
+              CASE WHEN n_a > 0 AND n_b > 0 AND k_a + k_b > 0
+                        AND k_a + k_b < n_a + n_b THEN
+                ((1000 * (k_a::HUGEINT * n_b - k_b::HUGEINT * n_a)
+                       * (k_a::HUGEINT * n_b - k_b::HUGEINT * n_a)
+                       * (n_a::HUGEINT + n_b))
+                 // (n_a::HUGEINT * n_b * (k_a::HUGEINT + k_b)
+                     * (n_a::HUGEINT + n_b - k_a - k_b)))::BIGINT
+              END AS z2_milli
+            FROM a
+        """,
+        # js_drift: per-word floored micro-nat JSD terms over the same
+        # whitespace token array as word_freq/unigram_lm
+        "js_drift": f"""
+            WITH w AS (
+              SELECT lang = 'en' AS ga, unnest({_WORDS}) AS w
+              FROM documents WHERE lang IN ('en', 'fr')
+            ),
+            c AS (
+              SELECT w,
+                     sum(CASE WHEN ga THEN 1 ELSE 0 END)::BIGINT AS a,
+                     sum(CASE WHEN NOT ga THEN 1 ELSE 0 END)::BIGINT AS b
+              FROM w GROUP BY 1
+            ),
+            tt AS (SELECT sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb
+                   FROM c),
+            pq AS (SELECT a, b, a / ta::DOUBLE AS p, b / tb::DOUBLE AS q
+                   FROM c, tt),
+            t AS (
+              SELECT a, b,
+                floor(1000000.0 * (
+                  (CASE WHEN a > 0
+                    THEN p * (ln(2.0 * p) - ln(p + q)) ELSE 0 END)
+                  + (CASE WHEN b > 0
+                    THEN q * (ln(2.0 * q) - ln(p + q)) ELSE 0 END)
+                ) / 2.0)::BIGINT AS term
+              FROM pq
+            )
+            SELECT count(*)::BIGINT AS vocab,
+                   sum(CASE WHEN a > 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS vocab_a,
+                   sum(CASE WHEN b > 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS vocab_b,
+                   sum(a)::BIGINT AS tokens_a,
+                   sum(b)::BIGINT AS tokens_b,
+                   sum(term)::BIGINT AS jsd_micro
+            FROM t
+        """,
+        # assortativity: four exact integer sums over the symmetrized
+        # distinct edge set; one floored double quotient
+        "assortativity": """
+            WITH und AS (
+              SELECT DISTINCT least(doc_id % 50, (doc_id * 7 + 3) % 50)
+                       AS a,
+                     greatest(doc_id % 50, (doc_id * 7 + 3) % 50) AS b
+              FROM documents
+              WHERE doc_id % 50 <> (doc_id * 7 + 3) % 50
+            ),
+            sym AS (SELECT a AS u, b AS v FROM und
+                    UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT u, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+            pr AS (
+              SELECT dj.d AS j, dk.d AS k
+              FROM sym JOIN deg dj ON sym.u = dj.u
+                       JOIN deg dk ON sym.v = dk.u
+            ),
+            s AS (
+              SELECT count(*)::BIGINT AS m, sum(j::HUGEINT * k) AS sjk,
+                     sum(j)::HUGEINT AS sj, sum(j::HUGEINT * j) AS sj2
+              FROM pr
+            ),
+            nn AS (SELECT count(*)::BIGINT AS n_nodes FROM deg),
+            ne AS (SELECT count(*)::BIGINT AS n_edges FROM und)
+            SELECT nn.n_nodes, ne.n_edges,
+              CASE WHEN (s.m::DOUBLE * s.sj2::DOUBLE
+                         - s.sj::DOUBLE * s.sj::DOUBLE) <> 0 THEN
+                floor(1000000.0
+                  * (s.m::DOUBLE * s.sjk::DOUBLE
+                     - s.sj::DOUBLE * s.sj::DOUBLE)
+                  / (s.m::DOUBLE * s.sj2::DOUBLE
+                     - s.sj::DOUBLE * s.sj::DOUBLE))::BIGINT
+              END AS r_micro
+            FROM s, nn, ne
+        """,
+        # ht_estimate: the deterministic_sample md5 gate + pure-integer
+        # HT estimate/variance in HUGEINT; se = floored double sqrt
+        "ht_estimate": """
+            WITH g AS (
+              SELECT lang AS stratum, n_chars AS y,
+                     CASE WHEN lang = 'zh' THEN 5000
+                          ELSE 2000 END::BIGINT AS bp,
+                     ('0x' || substr(md5('s1|' || CAST(doc_id AS VARCHAR)),
+                      1, 8))::BIGINT AS bk
+              FROM documents
+            ),
+            s AS (SELECT * FROM g
+                  WHERE bk < (bp / 10000.0) * 4294967296.0),
+            a AS (
+              SELECT stratum, max(bp)::BIGINT AS rate_bp,
+                     count(*)::BIGINT AS n_sampled,
+                     sum(y)::BIGINT AS sum_sampled,
+                     sum(y::HUGEINT * y) AS sy2
+              FROM s GROUP BY 1
+            )
+            SELECT stratum, rate_bp, n_sampled, sum_sampled,
+                   ((sum_sampled::HUGEINT * 10000) // rate_bp)::BIGINT
+                     AS est_total,
+                   (((10000 - rate_bp) * 10000::HUGEINT * sy2)
+                    // (rate_bp::HUGEINT * rate_bp))::BIGINT AS var_total,
+                   floor(sqrt((((10000 - rate_bp)
+                                * 10000::HUGEINT * sy2)
+                     // (rate_bp::HUGEINT * rate_bp))::DOUBLE))::BIGINT
+                     AS se_total
+            FROM a
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

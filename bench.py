@@ -264,6 +264,13 @@ HEADLINE = [
     "robust_location",
     "paragraph_diff",
     "entropy_rate",
+    "mcnemar_gates",
+    "contingency_chi2",
+    "page_survival",
+    "gate_rate_ztest",
+    "js_drift",
+    "assortativity",
+    "ht_estimate",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -2272,3 +2272,107 @@ def range_bounds(
             "cum_rows",
         )
     )
+
+
+def horvitz_thompson(
+    docs: DataFrame,
+    value_col: str,
+    rate_bp: int = 1000,
+    rates_bp: Optional[Dict[str, int]] = None,
+    stratify_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: str = "s1",
+) -> DataFrame:
+    """Horvitz-Thompson estimation over the :func:`deterministic_sample`
+    gate — the half of the sampling story the engine asserts but never
+    QUANTIFIES: pipelines profile a 1-10% hash sample because scanning
+    10^12 rows for every datacard number is absurd, and HT is the
+    design-unbiased way to blow a sampled total back up to the corpus
+    with an honest variance. Each row's inclusion probability is KNOWN
+    BY CONSTRUCTION here (the md5 gate is a fixed per-stratum
+    Bernoulli π), which is exactly the regime where HT is exact:
+    ``ŷ = Σ y_i/π``, ``V̂ = (1−π)/π² · Σ y_i²`` per stratum.
+
+    Rates are INTEGER basis points (``rate_bp``/``rates_bp``, the
+    per-stratum override mirroring ``deterministic_sample(rates=...)``)
+    so the estimator is integer-exact end-to-end: ``est = (Σy·10000)
+    div bp`` and ``var = ((10000−bp)·10⁴·Σy²) div bp²`` (the exact
+    integer form of (1−π)/π²·Σy²), computed in decimal(38,0) and
+    emitted as a long — envelope: fits while Σy²·(10⁴−bp)·10⁴/bp²
+    < 2⁶³, i.e. any per-stratum profile sum at bp ≥ 100; for
+    micro-rate whale strata lower the value unit. No float anywhere
+    in est/var, the oracle hash is exact. The
+    gate threshold is ``bucket < bp/10000 · 2³²`` — BIT-IDENTICAL to
+    ``deterministic_sample(rate=bp/10000.0)`` (same seed, same md5
+    prefix, and the float product is exact for ≤ 2^16 bp against 2^32)
+    — so profiling this sample and TRAINING on that sample select the
+    same rows. ``se`` (floor of the integer sqrt of var) is the
+    display column; compare ``|est − other| ≤ 2·(se_a+se_b)`` across
+    snapshots before alarming on drift.
+
+    Scale: ONE scan-speed gated pass over the corpus — the entire
+    point; no join, no window, one stratum-keyed combinable agg
+    (stratum cardinality-sized output). Returns per stratum:
+    ``(stratum, rate_bp, n_sampled, sum_sampled, est_total,
+    var_total, se_total)``.
+    """
+    if not (0 < int(rate_bp) <= 10000):
+        raise ValueError(f"horvitz_thompson: rate_bp must be in (0, 10000], got {rate_bp}")
+    for sval, bp in (rates_bp or {}).items():
+        if not (0 < int(bp) <= 10000):
+            raise ValueError(
+                f"horvitz_thompson: rates_bp[{sval!r}] must be in (0, 10000], got {bp}"
+            )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    bp_col = F.lit(int(rate_bp))
+    if rates_bp:
+        for sval, bp in sorted(rates_bp.items()):
+            bp_col = F.when(
+                F.col(stratify_col) == sval, F.lit(int(bp))
+            ).otherwise(bp_col)
+    sampled = (
+        docs.select(
+            F.col(stratify_col).alias("stratum"),
+            F.col(value_col).cast("long").alias("_y"),
+            bp_col.cast("long").alias("_bp"),
+            bucket.alias("_bk"),
+        )
+        .where(
+            F.col("_bk")
+            < (F.col("_bp").cast("double") / F.lit(10000.0))
+            * F.lit(float(2**32))
+        )
+    )
+    agg = sampled.groupBy("stratum").agg(
+        F.max("_bp").cast("long").alias("rate_bp"),
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("_y").cast("long").alias("sum_sampled"),
+        F.sum(F.col("_y").cast("decimal(38,0)") * F.col("_y")).alias("_sy2"),
+    )
+    return agg.select(
+        "stratum",
+        "rate_bp",
+        "n_sampled",
+        "sum_sampled",
+        F.expr("(CAST(sum_sampled AS DECIMAL(38,0)) * 10000) div rate_bp")
+        .cast("long")
+        .alias("est_total"),
+        F.expr(
+            "((10000 - rate_bp) * CAST(10000 AS DECIMAL(38,0)) * _sy2)"
+            " div (CAST(rate_bp AS DECIMAL(38,0)) * rate_bp)"
+        )
+        .cast("long")
+        .alias("var_total"),
+        F.floor(F.sqrt(F.expr(
+            "CAST(((10000 - rate_bp) * CAST(10000 AS DECIMAL(38,0)) * _sy2)"
+            " div (CAST(rate_bp AS DECIMAL(38,0)) * rate_bp) AS DOUBLE)"
+        )))
+        .cast("long")
+        .alias("se_total"),
+    )

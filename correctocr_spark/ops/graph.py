@@ -1075,3 +1075,83 @@ def personalized_pagerank(
     nodes.unpersist()
     outdeg.unpersist()
     return ranks
+
+
+def degree_assortativity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree assortativity (Newman's r) of the undirected host graph
+    in micro-units — the one-number structural summary the graph tier
+    lacks: do high-degree hosts link to other hubs (r > 0, portal/
+    directory webs) or to the long tail (r < 0, the hub-and-spoke
+    shape organic link graphs and ALSO link farms take)? Read next to
+    :func:`reciprocal_links` and :func:`spam_mass`, a corpus whose
+    assortativity swings between crawls signals a seed-list or
+    frontier-policy change before any per-host score moves.
+
+    Pearson correlation over DEGREE PAIRS at the ends of each
+    undirected edge (both orientations counted, the standard
+    convention): with j, k the endpoint degrees and M directed edge
+    slots, ``r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²)`` — by symmetry
+    Σj = Σk, so the whole statistic reduces to FOUR integer sums. The
+    sums are exact integer aggregation (degrees are longs, products
+    land in decimal(38,0)); only the final one-row quotient runs in
+    doubles, floored to micro-units — identical in both engines.
+    Degenerate graphs (all degrees equal, zero variance) → NULL r.
+
+    Self-loops are excluded; the edge set is deduplicated to distinct
+    undirected pairs first (page-level multigraph → host pair set),
+    then symmetrized. Returns one row ``(n_nodes, n_edges,
+    r_micro)`` where n_edges counts undirected edges.
+
+    Scale (100 TB): distinct-pair dedup is one shuffle; degrees are a
+    combinable count over the symmetrized set; the degree table is
+    node-sized (≤ 10⁷ hosts vs 10⁹ pages) and joins back onto edges
+    twice by key — co-partitioned equi-joins, no broadcast assumption
+    needed (though AQE will broadcast it when it fits); the final agg
+    is one row. A hot hub costs its degree in join rows, never
+    degree².
+    """
+    und = (
+        ensure_parallelism(edges)
+        .select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    sym = und.select(F.col("_a").alias("_u"), F.col("_b").alias("_v")).unionByName(
+        und.select(F.col("_b").alias("_u"), F.col("_a").alias("_v"))
+    )
+    deg = sym.groupBy("_u").agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    paired = (
+        sym.join(deg, on="_u")
+        .select(F.col("_v").alias("_u2"), F.col("_d").alias("_j"))
+        .join(deg.select(F.col("_u").alias("_u2"), F.col("_d").alias("_k")), on="_u2")
+    )
+    sums = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.sum(F.col("_j").cast("decimal(38,0)") * F.col("_k")).alias("_sjk"),
+        F.sum("_j").cast("decimal(38,0)").alias("_sj"),
+        F.sum(F.col("_j").cast("decimal(38,0)") * F.col("_j")).alias("_sj2"),
+    )
+    n_nodes_df = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges_df = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    num = F.col("_m").cast("double") * F.col("_sjk").cast("double") - (
+        F.col("_sj").cast("double") * F.col("_sj").cast("double")
+    )
+    den = F.col("_m").cast("double") * F.col("_sj2").cast("double") - (
+        F.col("_sj").cast("double") * F.col("_sj").cast("double")
+    )
+    return (
+        sums.crossJoin(F.broadcast(n_nodes_df))
+        .crossJoin(F.broadcast(n_edges_df))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.when(den != F.lit(0.0), F.floor(F.lit(1000000.0) * num / den))
+            .cast("long")
+            .alias("r_micro"),
+        )
+    )

@@ -826,3 +826,128 @@ def paragraph_diff(
         .cast("long")
         .alias("churn_bp"),
     )
+
+
+def survival_curve(
+    spans: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan-Meier / Nelson-Aalen page-survival curve over subject
+    lifetimes with right-censoring — the crawl-planning question
+    `crawl_freshness` and `recrawl_intervals` stop short of: "what
+    fraction of pages is still alive D days after first sight?", asked
+    over a corpus where most pages are STILL alive at the horizon
+    (censored), so a naive mean/median lifetime is biased low exactly
+    on the long-lived mass that matters. The product-limit estimator
+    is the standard unbiased answer under independent censoring.
+
+    Input is one row per subject: an integer ``duration`` (time units
+    observed, e.g. epoch-day span) and a boolean/int ``event`` (1 =
+    death observed at that duration, 0 = right-censored there). At
+    each distinct EVENT time t (standard KM: censoring times between
+    events shift the risk set but emit no row): ``n_risk`` = subjects
+    with duration >= t, ``n_events``/``n_censored`` = counts exactly
+    at t.
+
+    Integer-exact (the `rate_anomalies` / `unigram_lm` discipline):
+    per-step hazard ``hazard_micro = (1e6*d) div n`` and log-survival
+    step ``floor(1e6*ln(n/(n-d)))`` are quantized FIRST, then the
+    cumulative sums are INTEGER sums ordered by t — no float
+    accumulation order anywhere. ``cumhaz_micro`` is Nelson-Aalen in
+    micro-units; ``km_micro = floor(1e6*exp(-neglog/1e6))`` re-exposes
+    the curve on the probability scale (one exp per emitted row, both
+    engines IEEE-double on the same integer argument). When the last
+    risk set dies entirely (n == d) the log step is undefined and the
+    curve hits hard zero: km_micro = 0, neglog carried as NULL from
+    that step on (documented, matches the textbook estimate S(t)=0).
+
+    Scale: one combinable ``groupBy(duration)`` rollup — the only
+    full-size shuffle — then a single-partition ordered cumsum over
+    the per-duration table, whose size is bounded by the TIME RANGE in
+    units (a few thousand days), not the corpus; same bounded-window
+    rationale as `status_transitions`. Returns ``(t, n_risk, n_events,
+    n_censored, hazard_micro, cumhaz_micro, km_micro)`` at event times
+    ascending.
+    """
+    per_t = (
+        ensure_parallelism(spans)
+        .select(
+            F.col(duration_col).cast("long").alias("t"),
+            F.col(event_col).cast("int").alias("_e"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("_e").cast("long").alias("_d"),
+            F.sum(1 - F.col("_e")).cast("long").alias("_c"),
+        )
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = per_t.select(
+        "t",
+        "_d",
+        "_c",
+        (
+            F.sum(F.col("_d") + F.col("_c")).over(
+                Window.orderBy("t").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            - F.coalesce(F.sum(F.col("_d") + F.col("_c")).over(w), F.lit(0))
+        )
+        .cast("long")
+        .alias("_n"),
+    )
+    stepped = at_risk.select(
+        "t",
+        "_d",
+        "_c",
+        "_n",
+        F.expr("(1000000 * _d) div _n").cast("long").alias("_h"),
+        F.when(
+            F.col("_n") > F.col("_d"),
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    F.log(F.col("_n").cast("double"))
+                    - F.log((F.col("_n") - F.col("_d")).cast("double"))
+                )
+            ),
+        ).alias("_s"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # a NULL step (curve hit zero) poisons every later cumsum via a
+    # max-carried zero flag, not via NULL-skipping sum semantics
+    cum = stepped.select(
+        "t",
+        "_d",
+        "_c",
+        "_n",
+        "_h",
+        F.sum("_h").over(wcum).cast("long").alias("cumhaz_micro"),
+        F.sum(F.coalesce("_s", F.lit(0))).over(wcum).cast("long").alias("_neglog"),
+        F.max(F.when(F.col("_s").isNull() & (F.col("_d") > 0), 1).otherwise(0))
+        .over(wcum)
+        .alias("_dead"),
+    )
+    return (
+        cum.where(F.col("_d") > 0)
+        .select(
+            "t",
+            F.col("_n").alias("n_risk"),
+            F.col("_d").alias("n_events"),
+            F.col("_c").alias("n_censored"),
+            F.col("_h").alias("hazard_micro"),
+            "cumhaz_micro",
+            F.when(F.col("_dead") == 1, F.lit(0))
+            .otherwise(
+                F.floor(
+                    F.lit(1000000.0)
+                    * F.exp(-F.col("_neglog").cast("double") / F.lit(1000000.0))
+                )
+            )
+            .cast("long")
+            .alias("km_micro"),
+        )
+        .orderBy("t")
+    )

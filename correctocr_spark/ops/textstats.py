@@ -3777,3 +3777,190 @@ def contingency_chi2(
         .cast("long")
         .alias("v2_micro"),
     )
+
+
+def two_proportion_gate(
+    df: DataFrame,
+    group_col: str,
+    pass_col: str,
+    group_a: str,
+    group_b: str,
+    z_milli: int = 1960,
+) -> DataFrame:
+    """Two-proportion z-test + Wilson score intervals between two
+    corpus slices' gate pass-rates — the UNPAIRED companion to
+    :func:`mcnemar_test`: McNemar answers "did swapping the gate move
+    the same documents?", this answers "does the SAME gate pass source
+    A at a different rate than source B?" — the release question when
+    a new crawl source or extractor variant lands and its keep-rate
+    must be shown compatible before it joins the blend. The Wilson
+    interval (never the Wald) is reported per slice because keep-rates
+    near 0 or 1 are exactly where Wald collapses.
+
+    Integer-exact test statistic: algebra folds the pooled z² into
+    pure integers — ``z2_milli = (1000·(k_a·n_b − k_b·n_a)²·N) div
+    (n_a·n_b·K·(N−K))`` with ``K = k_a+k_b``, ``N = n_a+n_b`` — one
+    decimal(38,0) expression, no float anywhere in the decision value
+    (compare against ``(z_milli/1000)²``, e.g. 1.96² → 3841 milli).
+    The Wilson bounds are display values: IEEE-double sqrt (correctly
+    rounded, safer than the ln the micro-nat ops already rely on) on
+    integer-derived arguments, floored to micro-units — identical in
+    both engines. Degenerate slices (n = 0) or an all-pooled edge
+    (K = 0 or K = N, z² undefined: 0/0) → NULL z2_milli.
+
+    Scale: one conditional combinable aggregation over the two slices
+    — no shuffle beyond the 1-row agg, no join, no window. One row:
+    ``(n_a, k_a, n_b, k_b, rate_a_micro, rate_b_micro, wilson_a_lo_micro,
+    wilson_a_hi_micro, wilson_b_lo_micro, wilson_b_hi_micro, z2_milli)``.
+    """
+    g = F.col(group_col).cast("string")
+    p = F.col(pass_col).cast("boolean")
+    agg = ensure_parallelism(df).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when((g == group_a) & p, 1).otherwise(0))
+        .cast("long")
+        .alias("k_a"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when((g == group_b) & p, 1).otherwise(0))
+        .cast("long")
+        .alias("k_b"),
+    )
+    z = float(z_milli) / 1000.0
+
+    def wilson(k: str, n: str, hi: bool):
+        kk = F.col(k).cast("double")
+        nn = F.col(n).cast("double")
+        z2 = F.lit(z * z)
+        center = kk / nn + z2 / (F.lit(2.0) * nn)
+        half = F.lit(z) * F.sqrt(
+            kk / nn * (F.lit(1.0) - kk / nn) / nn
+            + z2 / (F.lit(4.0) * nn * nn)
+        )
+        denom = F.lit(1.0) + z2 / nn
+        val = (center + half if hi else center - half) / denom
+        return F.when(
+            F.col(n) > 0, F.floor(F.lit(1000000.0) * val).cast("long")
+        )
+
+    return agg.select(
+        "n_a",
+        "k_a",
+        "n_b",
+        "k_b",
+        F.when(F.col("n_a") > 0, F.expr("(1000000 * k_a) div n_a"))
+        .cast("long")
+        .alias("rate_a_micro"),
+        F.when(F.col("n_b") > 0, F.expr("(1000000 * k_b) div n_b"))
+        .cast("long")
+        .alias("rate_b_micro"),
+        wilson("k_a", "n_a", False).alias("wilson_a_lo_micro"),
+        wilson("k_a", "n_a", True).alias("wilson_a_hi_micro"),
+        wilson("k_b", "n_b", False).alias("wilson_b_lo_micro"),
+        wilson("k_b", "n_b", True).alias("wilson_b_hi_micro"),
+        F.when(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("k_a") + F.col("k_b") > 0)
+            & (F.col("k_a") + F.col("k_b") < F.col("n_a") + F.col("n_b")),
+            F.expr(
+                "(1000"
+                " * (CAST(k_a AS DECIMAL(38,0)) * n_b - CAST(k_b AS DECIMAL(38,0)) * n_a)"
+                " * (CAST(k_a AS DECIMAL(38,0)) * n_b - CAST(k_b AS DECIMAL(38,0)) * n_a)"
+                " * (CAST(n_a AS DECIMAL(38,0)) + n_b))"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b"
+                "      * (CAST(k_a AS DECIMAL(38,0)) + k_b)"
+                "      * (CAST(n_a AS DECIMAL(38,0)) + n_b - k_a - k_b))"
+            ),
+        )
+        .cast("long")
+        .alias("z2_milli"),
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpus slices' unigram
+    distributions in micro-nats — the SYMMETRIC, bounded (≤ ln 2)
+    drift measure the datacard pairs with :func:`vocab_kl`: KL(A‖B)
+    explodes to infinity on any word B lacks (vocab_kl documents its
+    smoothing), while JSD handles disjoint support natively — each
+    side's zero-opposite mass contributes exactly ``p·ln 2`` — so two
+    snapshots, two sources, or pre/post-filter corpora compare without
+    a smoothing knob to justify.
+
+    Integer-exact accumulation (the house micro-nat discipline):
+    per word w with shares p = a/A, q = b/B, the term ``floor(1e6 ·
+    ½·(p·ln(2p/(p+q)) + q·ln(2q/(p+q))))`` is quantized FIRST (a
+    one-sided word drops its absent half), then summed as integers —
+    no float addition order anywhere. Terms may be negative (where
+    q > p the p-half is negative); floor is toward −∞ in both engines,
+    so the per-term bias envelope is one micro-nat per VOCAB word,
+    documented, direction-fixed. Words are :func:`normalized_words`
+    tokens — same tokenizer as `word_freq`/`unigram_lm`, so the three
+    metrics read the same distribution.
+
+    Scale: one word-keyed combinable rollup with conditional partial
+    sums (one scan of both slices together, no join — the two slices
+    ride the same groupBy), a 1-row totals crossJoin broadcast back,
+    and a final 1-row sum. Output: ``(vocab, vocab_a, vocab_b,
+    tokens_a, tokens_b, jsd_micro)``.
+    """
+    from .dedup import normalized_words
+
+    g = F.col(group_col).cast("string")
+    base = ensure_parallelism(df).where(g.isin([group_a, group_b])).select(
+        (g == group_a).alias("_ga"),
+        F.explode(normalized_words(text_col)).alias("_w"),
+    )
+    counts = base.groupBy("_w").agg(
+        F.sum(F.when(F.col("_ga"), 1).otherwise(0)).cast("long").alias("_a"),
+        F.sum(F.when(~F.col("_ga"), 1).otherwise(0)).cast("long").alias("_b"),
+    )
+    tot = counts.agg(
+        F.sum("_a").cast("long").alias("_ta"),
+        F.sum("_b").cast("long").alias("_tb"),
+    )
+    pq = counts.crossJoin(F.broadcast(tot)).select(
+        "_a",
+        "_b",
+        (F.col("_a").cast("double") / F.col("_ta")).alias("_p"),
+        (F.col("_b").cast("double") / F.col("_tb")).alias("_q"),
+    )
+    half = (
+        F.when(
+            F.col("_a") > 0,
+            F.col("_p")
+            * (
+                F.log(F.lit(2.0) * F.col("_p"))
+                - F.log(F.col("_p") + F.col("_q"))
+            ),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("_b") > 0,
+            F.col("_q")
+            * (
+                F.log(F.lit(2.0) * F.col("_q"))
+                - F.log(F.col("_p") + F.col("_q"))
+            ),
+        ).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    terms = pq.select(
+        F.when(F.col("_a") > 0, 1).otherwise(0).alias("_ia"),
+        F.when(F.col("_b") > 0, 1).otherwise(0).alias("_ib"),
+        F.floor(F.lit(1000000.0) * half).cast("long").alias("_t"),
+        "_a",
+        "_b",
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("_ia").cast("long").alias("vocab_a"),
+        F.sum("_ib").cast("long").alias("vocab_b"),
+        F.sum("_a").cast("long").alias("tokens_a"),
+        F.sum("_b").cast("long").alias("tokens_b"),
+        F.sum("_t").cast("long").alias("jsd_micro"),
+    )

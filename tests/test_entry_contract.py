@@ -610,6 +610,22 @@ def test_oracled_queries_precede_rows_only():
         # lang x source chi2 — cell rollup + broadcast margins, the
         # floored-integer-term discipline of entropy_rate/benford
         "contingency_chi2",
+        # KM survival — groupBy(duration) rollup + bounded ordered
+        # cumsum, the status_transitions window family; quantized
+        # per-step terms, the entropy_rate discipline
+        "page_survival",
+        # two-proportion z-test — one combinable conditional agg, the
+        # mcnemar_gates/stats_conditional_agg family
+        "gate_rate_ztest",
+        # JSD corpus drift — word-keyed conditional rollup + broadcast
+        # totals, vocab_kl's plan with floored symmetric terms
+        "js_drift",
+        # degree assortativity — distinct-edge dedup + degree joins,
+        # the reciprocal_links family; four integer sums
+        "assortativity",
+        # Horvitz-Thompson — the sample_stratified md5 gate + one
+        # combinable stratum agg in decimal
+        "ht_estimate",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

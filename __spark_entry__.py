@@ -4749,6 +4749,68 @@ def q_ht_estimate(spark, sf_dir):
     )
 
 
+def q_langid_eval(spark, sf_dir):
+    """Per-class P/R/F1 over (gold lang, perturbed pred) — integer
+    basis points, F1 in telescoped form."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import classifier_eval
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("gold"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("en"))
+        .otherwise(F.col("lang"))
+        .alias("pred"),
+    )
+    return classifier_eval(d, "gold", "pred")
+
+
+def q_brier_report(spark, sf_dir):
+    """Murphy REL/RES/UNC decomposition of the Brier score over a
+    synthetic calibration table — per-bin quantized decimal terms."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import brier_decomposition
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.least(F.col("n_chars"), F.lit(1000)) * 1000).alias("p_micro"),
+        ((F.col("n_chars") + F.col("doc_id") % 200) >= 500).alias("hit"),
+    )
+    return brier_decomposition(d, "p_micro", "hit", bins=10)
+
+
+def q_trend_gate(spark, sf_dir):
+    """Cochran-Armitage: is the word-count gate's pass rate monotone
+    in the size bucket? Pure-integer z2 in milli."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import normalized_words
+    from correctocr_spark.ops.textstats import trend_test
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.least(F.expr("n_chars div 200"), F.lit(9)).alias("bucket"),
+        (F.size(normalized_words("text")) >= 74).alias("gate"),
+    )
+    return trend_test(d, "bucket", "gate")
+
+
+def q_tail_index(spark, sf_dir):
+    """Hill tail-index of the doc-size distribution per lang —
+    distinct-value top-k cut, floored micro log terms."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import tail_index
+
+    return tail_index(
+        _t(spark, sf_dir, "documents"), "n_chars", k=60, group_col="lang"
+    )
+
+
+def q_seasonality(spark, sf_dir):
+    """Day-of-week x hour event grid with per-cell uniformity chi2
+    terms — one combinable rollup, <= 168 rows."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import seasonality
+
+    return seasonality(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5383,6 +5445,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         # Horvitz-Thompson sampled-total estimation with variance
         "ht_estimate": q_ht_estimate,
+        # per-class P/R/F1 multi-class eval in integer basis points
+        "langid_eval": q_langid_eval,
+        # Murphy Brier decomposition — REL/RES/UNC in micro units
+        "brier_report": q_brier_report,
+        # Cochran-Armitage ordered-bucket trend test
+        "trend_gate": q_trend_gate,
+        # Hill tail-index of the size distribution per lang
+        "tail_index": q_tail_index,
+        # day-of-week x hour uniformity grid
+        "seasonality": q_seasonality,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -12146,6 +12218,161 @@ FROM documents)
                      // (rate_bp::HUGEINT * rate_bp))::DOUBLE))::BIGINT
                      AS se_total
             FROM a
+        """,
+        # langid_eval: cell rollup + margins derived FROM the cells;
+        # F1 telescoped — no nested rounding
+        "langid_eval": """
+            WITH cells AS (
+              SELECT lang AS t,
+                     CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS p,
+                     count(*)::BIGINT AS n
+              FROM documents GROUP BY 1, 2
+            ),
+            tm AS (SELECT t AS label, sum(n)::BIGINT AS n_true
+                   FROM cells GROUP BY 1),
+            pm AS (SELECT p AS label, sum(n)::BIGINT AS n_pred
+                   FROM cells GROUP BY 1),
+            tp AS (SELECT t AS label, n AS tp FROM cells WHERE t = p)
+            SELECT label,
+                   coalesce(n_true, 0)::BIGINT AS n_true,
+                   coalesce(n_pred, 0)::BIGINT AS n_pred,
+                   coalesce(tp, 0)::BIGINT AS tp,
+                   CASE WHEN coalesce(n_pred, 0) > 0 THEN
+                     ((10000 * coalesce(tp, 0)) // n_pred)::BIGINT
+                   END AS precision_bp,
+                   CASE WHEN coalesce(n_true, 0) > 0 THEN
+                     ((10000 * coalesce(tp, 0)) // n_true)::BIGINT
+                   END AS recall_bp,
+                   ((20000 * coalesce(tp, 0))
+                    // (coalesce(n_true, 0) + coalesce(n_pred, 0)))::BIGINT
+                     AS f1_bp
+            FROM tm FULL OUTER JOIN pm USING (label)
+                    LEFT JOIN tp USING (label)
+        """,
+        # brier_report: per-bin quantized HUGEINT terms, algebraic
+        # REL/RES forms — no float accumulation
+        "brier_report": """
+            WITH b AS (
+              SELECT least(n_chars, 1000) * 1000 AS p,
+                     CASE WHEN n_chars + doc_id % 200 >= 500
+                          THEN 1 ELSE 0 END AS o
+              FROM documents
+            ),
+            bb AS (SELECT p, o,
+                          least((p * 10) // 1000000, 9)::BIGINT AS k
+                   FROM b),
+            pb AS (
+              SELECT k, count(*)::BIGINT AS cnt, sum(p)::HUGEINT AS sp,
+                     sum(o)::BIGINT AS pos,
+                     sum((p::HUGEINT - 1000000 * o)
+                         * (p::HUGEINT - 1000000 * o)) AS sq
+              FROM bb GROUP BY 1
+            ),
+            tt AS (SELECT sum(cnt)::BIGINT AS tot,
+                          sum(pos)::BIGINT AS tpos, sum(sq) AS tsq,
+                          count(*)::BIGINT AS nb
+                   FROM pb),
+            tm AS (
+              SELECT tot, tpos, tsq, nb,
+                sum(((sp - 1000000::HUGEINT * pos)
+                     * (sp - 1000000::HUGEINT * pos))
+                    // (cnt::HUGEINT * 1000000)) AS rl,
+                sum((1000000::HUGEINT
+                     * (pos::HUGEINT * tot - tpos::HUGEINT * cnt)
+                     * (pos::HUGEINT * tot - tpos::HUGEINT * cnt))
+                    // (cnt::HUGEINT * tot * tot)) AS rs
+              FROM pb, tt GROUP BY 1, 2, 3, 4
+            )
+            SELECT tot AS n, nb AS n_bins_occupied,
+                   (tsq // (tot::HUGEINT * 1000000))::BIGINT
+                     AS brier_micro,
+                   (rl // tot)::BIGINT AS rel_micro,
+                   (rs // tot)::BIGINT AS res_micro,
+                   ((1000000::HUGEINT * tpos * (tot - tpos))
+                    // (tot::HUGEINT * tot))::BIGINT AS unc_micro
+            FROM tm
+        """,
+        # trend_gate: Cochran-Armitage z2 folded to pure integers
+        "trend_gate": f"""
+            WITH per AS (
+              SELECT least(n_chars // 200, 9) AS t,
+                     count(*)::BIGINT AS cnt,
+                     sum(CASE WHEN len({_WORDS}) >= 74
+                         THEN 1 ELSE 0 END)::BIGINT AS kk
+              FROM documents GROUP BY 1
+            ),
+            s AS (
+              SELECT sum(cnt)::BIGINT AS tot, sum(kk)::BIGINT AS ktot,
+                     count(*)::BIGINT AS nb,
+                     sum(t::HUGEINT * kk) AS tk,
+                     sum(t::HUGEINT * cnt) AS tn,
+                     sum(t::HUGEINT * t * cnt) AS t2n
+              FROM per
+            )
+            SELECT tot AS n, nb AS n_buckets, ktot AS k_total,
+              CASE WHEN (tot::HUGEINT * tk - ktot::HUGEINT * tn) > 0
+                   THEN 1
+                   WHEN (tot::HUGEINT * tk - ktot::HUGEINT * tn) < 0
+                   THEN -1 ELSE 0 END::INT AS direction,
+              CASE WHEN ktot > 0 AND ktot < tot
+                        AND (tot::HUGEINT * t2n - tn * tn) > 0 THEN
+                ((1000 * tot
+                  * (tot::HUGEINT * tk - ktot::HUGEINT * tn)
+                  * (tot::HUGEINT * tk - ktot::HUGEINT * tn))
+                 // (ktot::HUGEINT * (tot - ktot)
+                     * (tot::HUGEINT * t2n - tn * tn)))::BIGINT
+              END AS z2_milli
+            FROM s
+        """,
+        # tail_index: distinct-value top-k cut with the deterministic
+        # boundary-remainder tie policy; floored micro log terms
+        "tail_index": """
+            WITH vals AS (
+              SELECT lang AS grp, n_chars AS x, count(*)::BIGINT AS c
+              FROM documents WHERE n_chars > 0 GROUP BY 1, 2
+            ),
+            cut AS (
+              SELECT grp, x, c,
+                     coalesce(sum(c) OVER (
+                       PARTITION BY grp ORDER BY x DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)::BIGINT AS bef
+              FROM vals
+            ),
+            tk AS (SELECT grp, x, least(c, 60 - bef)::BIGINT AS take
+                   FROM cut WHERE bef < 60),
+            km AS (SELECT grp, min(x)::BIGINT AS x_kmin,
+                          sum(take)::BIGINT AS kgot
+                   FROM tk GROUP BY 1),
+            tm AS (
+              SELECT tk.grp, km.x_kmin, km.kgot,
+                     (take * floor(1000000.0 * (ln(x::DOUBLE)
+                        - ln(x_kmin::DOUBLE)))::BIGINT)::BIGINT AS t
+              FROM tk JOIN km ON tk.grp = km.grp
+            )
+            SELECT grp, kgot AS k, x_kmin,
+                   sum(t)::BIGINT AS sum_log_micro,
+                   CASE WHEN sum(t) > 0 THEN
+                     ((1000 * kgot * 1000000::HUGEINT)
+                      // sum(t))::BIGINT
+                   END AS alpha_milli
+            FROM tm GROUP BY grp, kgot, x_kmin
+        """,
+        # seasonality: (isodow, hour) rollup, cross-multiplied
+        # uniformity terms ("hour" quoted — DuckDB reserved word)
+        "seasonality": """
+            WITH cells AS (
+              SELECT isodow(ts)::INT AS dow, hour(ts)::INT AS "hour",
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            ),
+            tt AS (SELECT sum(n)::BIGINT AS tot FROM cells)
+            SELECT dow, "hour", n AS n_events,
+                   ((10000 * n) // tot)::BIGINT AS share_bp,
+                   ((1000 * (168 * n::HUGEINT - tot)
+                          * (168 * n::HUGEINT - tot))
+                    // (168 * tot::HUGEINT))::BIGINT AS chi2_term_milli
+            FROM cells, tt
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -271,6 +271,11 @@ HEADLINE = [
     "js_drift",
     "assortativity",
     "ht_estimate",
+    "langid_eval",
+    "brier_report",
+    "trend_gate",
+    "tail_index",
+    "seasonality",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -2376,3 +2376,106 @@ def horvitz_thompson(
         .cast("long")
         .alias("se_total"),
     )
+
+
+def tail_index(
+    docs: DataFrame,
+    value_col: str,
+    k: int = 200,
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """Hill tail-index of a size distribution — "HOW heavy is the
+    tail", where `skew_report` shows the top-N and `mass_tiers` the
+    Lorenz shape: the layout decisions (shard width, `pack_shards`
+    budget, executor memory sizing, straggler expectations) all hinge
+    on the power-law exponent of doc/host sizes. Hill's estimator over
+    the top ``k`` order statistics: ``α̂ = k / Σ ln(x_(i)/x_(k))``;
+    α ≤ 2 means infinite variance (whale-dominated — cap before you
+    shuffle), α > 3 behaves like light tails.
+
+    Exactness discipline: the top-k cut runs on the DISTINCT-VALUE
+    table (value, count) via a cumulative window — never a corpus
+    sort; ties at the k-th value are resolved by taking exactly the
+    deterministic remainder from the boundary value (so the estimator
+    uses exactly k order statistics, engine-independently). Per-item
+    log terms ``floor(1e6·(ln x − ln x_kmin))`` are quantized FIRST
+    — multiplied by their multiplicity as integers — then summed
+    order-free; ``alpha_milli = 1000·k·10⁶ div Σ_micro`` (NULL when
+    the top-k are all equal — no tail information). Values ≤ 0 are
+    excluded (log-scale estimator, documented).
+
+    Scale: one combinable (group, value) rollup, then windows on the
+    distinct-value table (bounded by value cardinality, not corpus
+    rows). Output per group: ``(grp, k, x_kmin, sum_log_micro,
+    alpha_milli)``.
+    """
+    if k < 2:
+        raise ValueError(f"tail_index: k must be >= 2, got {k}")
+    g = (
+        F.col(group_col).cast("string")
+        if group_col
+        else F.lit("all")
+    )
+    vals = (
+        docs.select(
+            g.alias("grp"), F.col(value_col).cast("long").alias("_x")
+        )
+        .where(F.col("_x") > 0)
+        .groupBy("grp", "_x")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("_x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cut = vals.select(
+        "grp",
+        "_x",
+        "_c",
+        F.coalesce(F.sum("_c").over(w), F.lit(0)).cast("long").alias("_before"),
+    ).where(F.col("_before") < int(k))
+    # take = full multiplicity above the boundary, the exact remainder
+    # k - cum_before AT the boundary value (deterministic tie policy)
+    take = cut.select(
+        "grp",
+        "_x",
+        F.least(F.col("_c"), F.lit(int(k)) - F.col("_before"))
+        .cast("long")
+        .alias("_take"),
+    )
+    kmin = take.groupBy("grp").agg(
+        F.min("_x").cast("long").alias("x_kmin"),
+        F.sum("_take").cast("long").alias("_kgot"),
+    )
+    terms = take.join(kmin, on="grp").select(
+        "grp",
+        "x_kmin",
+        "_kgot",
+        (
+            F.col("_take")
+            * F.floor(
+                F.lit(1000000.0)
+                * (
+                    F.log(F.col("_x").cast("double"))
+                    - F.log(F.col("x_kmin").cast("double"))
+                )
+            )
+        )
+        .cast("long")
+        .alias("_t"),
+    )
+    return terms.groupBy("grp", "x_kmin", "_kgot").agg(
+        F.sum("_t").cast("long").alias("sum_log_micro")
+    ).select(
+        "grp",
+        F.col("_kgot").alias("k"),
+        "x_kmin",
+        "sum_log_micro",
+        F.when(
+            F.col("sum_log_micro") > 0,
+            F.expr("(1000 * _kgot * CAST(1000000 AS DECIMAL(38,0))) div sum_log_micro"),
+        )
+        .cast("long")
+        .alias("alpha_milli"),
+    )

@@ -951,3 +951,57 @@ def survival_curve(
         )
         .orderBy("t")
     )
+
+
+def seasonality(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-of-week × hour crawl seasonality grid with a per-cell
+    uniformity χ² term — the fetch-rate heatmap behind politeness and
+    capacity planning (`rate_anomalies` finds per-host bursts; this
+    shows the CORPUS clock: nightly-batch sources, weekday-only CMS
+    publishes, crawler-induced harmonics). Each (dow, hour) cell gets
+    its count, share, and its χ² term against the uniform 1/168
+    expectation, so both the heatmap and the "is the clock flat"
+    number read from one table (total χ² = Σ terms, a SQL-side sum).
+
+    Integer-exact: ``share_bp = 10⁴·n div N`` and the per-cell term
+    in milli via cross-multiplication — ``(1000·(168·O − N)²) div
+    (168·N)`` in decimal(38,0) (the contingency_chi2 floored-term
+    discipline; bias ≤ 1 milli per occupied cell). Day-of-week is
+    ISO (1 = Monday), hours 0-23, both integers — no engine date
+    type in the output. Cells with zero events are absent (the χ²
+    contribution of an empty cell, N/168, is derivable from N and
+    the occupied-cell count; emitting 168 constant rows adds nothing
+    the reader can't).
+
+    Scale: ONE combinable (dow, hour) rollup — at most 168 output
+    rows regardless of corpus size — plus a broadcast 1-row total.
+    Output: ``(dow, hour, n_events, share_bp, chi2_term_milli)``.
+    """
+    cells = (
+        ensure_parallelism(events)
+        .select(
+            (((F.dayofweek(F.col(ts_col)) + 5) % 7) + 1)
+            .cast("int")
+            .alias("dow"),
+            F.hour(F.col(ts_col)).cast("int").alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    tot = cells.agg(F.sum("n_events").cast("long").alias("_N"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hour",
+        "n_events",
+        F.expr("(10000 * n_events) div _N").cast("long").alias("share_bp"),
+        F.expr(
+            "(1000 * (168 * CAST(n_events AS DECIMAL(38,0)) - _N)"
+            " * (168 * CAST(n_events AS DECIMAL(38,0)) - _N))"
+            " div (168 * CAST(_N AS DECIMAL(38,0)))"
+        )
+        .cast("long")
+        .alias("chi2_term_milli"),
+    )

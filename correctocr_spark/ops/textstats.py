@@ -3964,3 +3964,248 @@ def js_divergence(
         F.sum("_b").cast("long").alias("tokens_b"),
         F.sum("_t").cast("long").alias("jsd_micro"),
     )
+
+
+def classifier_eval(
+    df: DataFrame,
+    true_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision/recall/F1 over a (gold, predicted) label
+    table — the multi-class companion of `ranking_auc`/`pr_curve`
+    (binary) and `agreement_kappa` (chance-corrected agreement): when
+    the langid or quality-tier classifier ships, the release question
+    is per-CLASS ("Portuguese recall collapsed, everything else held"),
+    which a single accuracy or kappa hides. Classes appearing in gold
+    OR predictions get a row (a class the model never predicts still
+    shows its zero recall; an hallucinated class shows zero precision).
+
+    Integer-exact basis points: ``precision_bp = 10⁴·tp div n_pred``,
+    ``recall_bp = 10⁴·tp div n_true``, and F1 in its telescoped form
+    ``f1_bp = 2·10⁴·tp div (n_true + n_pred)`` — the harmonic mean of
+    the two rates without ever forming them (no nested rounding, no
+    zero guard beyond the absent side: a class with n_pred = 0 has
+    NULL precision but still a well-defined f1 via the sum). No float
+    anywhere; the oracle hash is exact.
+
+    Scale: one (gold, pred) cell rollup — combinable, cell table is
+    classes², tiny — then the margins derive FROM the cell table and
+    join back at class cardinality. No second scan of the corpus.
+    Returns ``(label, n_true, n_pred, tp, precision_bp, recall_bp,
+    f1_bp)`` per class.
+    """
+    cells = (
+        ensure_parallelism(df)
+        .groupBy(
+            F.col(true_col).cast("string").alias("_t"),
+            F.col(pred_col).cast("string").alias("_p"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    tmarg = cells.groupBy(F.col("_t").alias("label")).agg(
+        F.sum("_n").cast("long").alias("n_true")
+    )
+    pmarg = cells.groupBy(F.col("_p").alias("label")).agg(
+        F.sum("_n").cast("long").alias("n_pred")
+    )
+    tp = (
+        cells.where(F.col("_t") == F.col("_p"))
+        .select(F.col("_t").alias("label"), F.col("_n").alias("tp"))
+    )
+    return (
+        tmarg.join(pmarg, on="label", how="full_outer")
+        .join(tp, on="label", how="left")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.when(
+                F.coalesce("n_pred", F.lit(0)) > 0,
+                F.expr("(10000 * coalesce(tp, 0)) div n_pred"),
+            )
+            .cast("long")
+            .alias("precision_bp"),
+            F.when(
+                F.coalesce("n_true", F.lit(0)) > 0,
+                F.expr("(10000 * coalesce(tp, 0)) div n_true"),
+            )
+            .cast("long")
+            .alias("recall_bp"),
+            F.expr(
+                "(20000 * coalesce(tp, 0))"
+                " div (coalesce(n_true, 0) + coalesce(n_pred, 0))"
+            )
+            .cast("long")
+            .alias("f1_bp"),
+        )
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_micro_col: str,
+    label_col: str,
+    bins: int = 20,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score — reliability /
+    resolution / uncertainty — over a calibration table of predicted
+    probabilities (INTEGER micro-units, 0..10⁶, the classifier_gate /
+    calibration_report convention) and boolean outcomes. The ECE in
+    `calibration_report` answers "how far off are the bins on
+    average"; Murphy's REL/RES split answers the sharper release
+    question: is a bad Brier score mis-CALIBRATION (REL, fixable by
+    remapping scores) or missing DISCRIMINATION (RES ≪ UNC, needs a
+    better model)? ``brier ≈ rel − res + unc`` up to binning.
+
+    Integer-exact via the algebraic forms (house decimal discipline):
+    per bin k with n_k rows, Σp (micro) and s_k positives,
+    ``rel_k = (Σp − 10⁶·s_k)² div (n_k·10⁶)`` and
+    ``res_k = 10⁶·(s_k·N − S·n_k)² div (n_k·N²)`` are quantized
+    per-bin FIRST (decimal(38,0) numerators), then integer-summed;
+    ``unc = 10⁶·S·(N−S) div N²``; the raw Brier sums per-row squared
+    residuals ``(p − 10⁶·o)²`` exactly and divides once. All in
+    micro-Brier units (0..10⁶). Empty input → no row; a single bin
+    gives res = 0 against the global base rate, the textbook edge.
+
+    Scale: one combinable bin rollup (bins rows), margins broadcast
+    from a 1-row agg riding the same cell table; the raw-Brier sum is
+    a second combinable agg on the same scan. One output row:
+    ``(n, n_bins_occupied, brier_micro, rel_micro, res_micro,
+    unc_micro)``.
+    """
+    if bins < 1:
+        raise ValueError(f"brier_decomposition: bins must be >= 1, got {bins}")
+    p = F.col(prob_micro_col).cast("long")
+    o = F.col(label_col).cast("boolean").cast("int")
+    base = ensure_parallelism(df).select(
+        p.alias("_p"), o.alias("_o")
+    ).withColumn(
+        "_k",
+        F.least(
+            F.expr(f"(_p * {int(bins)}) div 1000000"),
+            F.lit(int(bins) - 1).cast("long"),
+        ).cast("long"),
+    )
+    per_bin = base.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_p").cast("decimal(38,0)").alias("_sp"),
+        F.sum("_o").cast("long").alias("_s"),
+        F.sum(
+            (F.col("_p").cast("decimal(38,0)") - F.lit(1000000) * F.col("_o"))
+            * (F.col("_p").cast("decimal(38,0)") - F.lit(1000000) * F.col("_o"))
+        ).alias("_sq"),
+    )
+    tot = per_bin.agg(
+        F.sum("_n").cast("long").alias("_tot_n"),
+        F.sum("_s").cast("long").alias("_tot_s"),
+        F.sum("_sq").alias("_tot_sq"),
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+    )
+    terms = per_bin.crossJoin(F.broadcast(tot)).select(
+        "_tot_n",
+        "_tot_s",
+        "_tot_sq",
+        "_nb",
+        F.expr(
+            "((_sp - CAST(1000000 AS DECIMAL(38,0)) * _s)"
+            " * (_sp - CAST(1000000 AS DECIMAL(38,0)) * _s))"
+            " div (CAST(_n AS DECIMAL(38,0)) * 1000000)"
+        ).alias("_rel"),
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0))"
+            " * (CAST(_s AS DECIMAL(38,0)) * _tot_n"
+            "    - CAST(_tot_s AS DECIMAL(38,0)) * _n)"
+            " * (CAST(_s AS DECIMAL(38,0)) * _tot_n"
+            "    - CAST(_tot_s AS DECIMAL(38,0)) * _n))"
+            " div (CAST(_n AS DECIMAL(38,0)) * _tot_n * _tot_n)"
+        ).alias("_res"),
+    )
+    return terms.groupBy("_tot_n", "_tot_s", "_tot_sq", "_nb").agg(
+        F.sum("_rel").alias("_rl"), F.sum("_res").alias("_rs")
+    ).select(
+        F.col("_tot_n").alias("n"),
+        F.col("_nb").alias("n_bins_occupied"),
+        F.expr("_tot_sq div (CAST(_tot_n AS DECIMAL(38,0)) * 1000000)")
+        .cast("long")
+        .alias("brier_micro"),
+        F.expr("_rl div _tot_n").cast("long").alias("rel_micro"),
+        F.expr("_rs div _tot_n").cast("long").alias("res_micro"),
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * _tot_s * (_tot_n - _tot_s))"
+            " div (CAST(_tot_n AS DECIMAL(38,0)) * _tot_n)"
+        )
+        .cast("long")
+        .alias("unc_micro"),
+    )
+
+
+def trend_test(
+    df: DataFrame,
+    bucket_col: str,
+    pass_col: str,
+) -> DataFrame:
+    """Cochran-Armitage trend test: is the gate pass-rate MONOTONE in
+    an ordered integer bucket (size decile, quality tier, crawl
+    depth)? The pairwise `two_proportion_gate` and the global
+    `contingency_chi2` both miss ordering — ten buckets can pass the
+    independence test while hiding a clean monotone drift that means
+    the gate is really a length proxy. CA weights each bucket by its
+    integer score and concentrates all power on the linear trend.
+
+    Integer-exact: with per-bucket (n_i, k_i), t_i the bucket value,
+    N = Σn, K = Σk, the squared statistic folds to
+    ``z² = N·(N·Σt·k − K·Σt·n)² / (K·(N−K)·(N·Σn·t² − (Σn·t)²))`` —
+    pure integer sums (decimal(38,0) products), one div,
+    ``z2_milli`` in milli. Sign of the trend is reported separately
+    (``direction`` = sign(N·Σtk − K·Σtn): +1 pass-rate rises with the
+    bucket). Degenerate cases (all pass, none pass, single bucket,
+    zero bucket variance) → NULL z2, not a divide error.
+
+    Scale: one combinable bucket rollup (bucket-cardinality rows),
+    then a 1-row integer agg. Output: ``(n, n_buckets, k_total,
+    direction, z2_milli)``.
+    """
+    t = F.col(bucket_col).cast("long")
+    pb = F.col(pass_col).cast("boolean").cast("int")
+    per = (
+        ensure_parallelism(df)
+        .select(t.alias("_t"), pb.alias("_e"))
+        .groupBy("_t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_e").cast("long").alias("_k"),
+        )
+    )
+    sums = per.agg(
+        F.sum("_n").cast("long").alias("_N"),
+        F.sum("_k").cast("long").alias("_K"),
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+        F.sum(F.col("_t").cast("decimal(38,0)") * F.col("_k")).alias("_tk"),
+        F.sum(F.col("_t").cast("decimal(38,0)") * F.col("_n")).alias("_tn"),
+        F.sum(
+            F.col("_t").cast("decimal(38,0)") * F.col("_t") * F.col("_n")
+        ).alias("_t2n"),
+    )
+    num_lin = F.expr("CAST(_N AS DECIMAL(38,0)) * _tk - CAST(_K AS DECIMAL(38,0)) * _tn")
+    var_t = F.expr("CAST(_N AS DECIMAL(38,0)) * _t2n - _tn * _tn")
+    return sums.select(
+        F.col("_N").alias("n"),
+        F.col("_nb").alias("n_buckets"),
+        F.col("_K").alias("k_total"),
+        F.signum(num_lin.cast("double")).cast("int").alias("direction"),
+        F.when(
+            (F.col("_K") > 0)
+            & (F.col("_K") < F.col("_N"))
+            & (var_t > F.lit(0)),
+            F.expr(
+                "(1000 * _N"
+                " * (CAST(_N AS DECIMAL(38,0)) * _tk - CAST(_K AS DECIMAL(38,0)) * _tn)"
+                " * (CAST(_N AS DECIMAL(38,0)) * _tk - CAST(_K AS DECIMAL(38,0)) * _tn))"
+                " div (CAST(_K AS DECIMAL(38,0)) * (_N - _K)"
+                "      * (CAST(_N AS DECIMAL(38,0)) * _t2n - _tn * _tn))"
+            ),
+        )
+        .cast("long")
+        .alias("z2_milli"),
+    )

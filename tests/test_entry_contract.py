@@ -626,6 +626,20 @@ def test_oracled_queries_precede_rows_only():
         # Horvitz-Thompson — the sample_stratified md5 gate + one
         # combinable stratum agg in decimal
         "ht_estimate",
+        # multi-class P/R/F1 — the (gold, pred) cell rollup, the
+        # contingency_chi2 margins-from-cells family
+        "langid_eval",
+        # Murphy Brier decomposition — binned conditional rollup, the
+        # calibration_report bin family with decimal quantized terms
+        "brier_report",
+        # Cochran-Armitage trend — one bucket rollup + 1-row integer
+        # agg, the mcnemar_gates decimal-quotient family
+        "trend_gate",
+        # Hill tail-index — distinct-value window cut, the
+        # robust_location/ks_test distinct-table family
+        "tail_index",
+        # day-of-week x hour grid — one combinable rollup, <= 168 rows
+        "seasonality",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

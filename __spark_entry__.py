@@ -4811,6 +4811,65 @@ def q_seasonality(spark, sf_dir):
     return seasonality(_t(spark, sf_dir, "events"))
 
 
+def q_rate_shrinkage(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-source gate
+    rates — integer micro-rate moments, deterministic doubles."""
+    _ship(spark)
+    from correctocr_spark.ops.filters import eb_shrinkage
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", (F.col("n_chars") >= 400).alias("gate")
+    )
+    return eb_shrinkage(d, "source", "gate", min_n=5)
+
+
+def q_byte_percentiles(spark, sf_dir):
+    """Byte-weighted size percentiles per lang — cross-multiplied
+    integer rule on the distinct-value cumsum."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import weighted_percentiles
+
+    return weighted_percentiles(
+        _t(spark, sf_dir, "documents"),
+        "n_chars",
+        "n_chars",
+        (2500, 5000, 7500),
+        group_col="lang",
+    )
+
+
+def q_winsorized_mean(spark, sf_dir):
+    """Winsorized mean doc size per lang — integer clamp-and-sum on
+    the distinct-value table."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import winsorized_mean
+
+    return winsorized_mean(
+        _t(spark, sf_dir, "documents"), "n_chars", 500, 9500, group_col="lang"
+    )
+
+
+def q_uncertainty_coeff(spark, sf_dir):
+    """Theil's U(lang|source) — asymmetric information-theoretic
+    association, floored micro-nat cell terms."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import theils_u
+
+    return theils_u(_t(spark, sf_dir, "documents"), "source", "lang")
+
+
+def q_runs_gate(spark, sf_dir):
+    """Wald-Wolfowitz runs test of the size gate in doc_id order per
+    source — pure-integer z2, clustering direction."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import runs_test
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", (F.col("n_chars") >= 400).alias("gate")
+    )
+    return runs_test(d, "source", "doc_id", "gate")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5455,6 +5514,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tail_index": q_tail_index,
         # day-of-week x hour uniformity grid
         "seasonality": q_seasonality,
+        # empirical-Bayes beta-binomial rate shrinkage
+        "rate_shrinkage": q_rate_shrinkage,
+        # byte-weighted percentiles (lower-percentile integer rule)
+        "byte_percentiles": q_byte_percentiles,
+        # winsorized mean — robust location that keeps tail mass
+        "winsorized_mean": q_winsorized_mean,
+        # Theil's uncertainty coefficient U(lang|source)
+        "uncertainty_coeff": q_uncertainty_coeff,
+        # Wald-Wolfowitz runs test — batch-effect detector
+        "runs_gate": q_runs_gate,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -12373,6 +12442,170 @@ FROM documents)
                           * (168 * n::HUGEINT - tot))
                     // (168 * tot::HUGEINT))::BIGINT AS chi2_term_milli
             FROM cells, tt
+        """,
+        # rate_shrinkage: integer micro-rate moments -> identical IEEE
+        # doubles in both engines; degenerate priors NULL
+        "rate_shrinkage": """
+            WITH per AS (
+              SELECT source AS grp, count(*)::BIGINT AS n,
+                     sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END)::BIGINT
+                       AS k
+              FROM documents GROUP BY 1
+            ),
+            p2 AS (SELECT grp, n, k,
+                          ((1000000 * k) // n)::BIGINT AS rate_micro
+                   FROM per),
+            pri AS (
+              SELECT count(*)::BIGINT AS h, sum(rate_micro)::HUGEINT AS sr,
+                     sum(rate_micro::HUGEINT * rate_micro) AS sr2
+              FROM p2 WHERE n >= 5
+            ),
+            j AS (
+              SELECT p2.*, pri.h,
+                (sr::DOUBLE / h::DOUBLE / 1000000.0) AS m,
+                ((h::DOUBLE * sr2::DOUBLE - sr::DOUBLE * sr::DOUBLE)
+                 / (h::DOUBLE * h::DOUBLE) / 1.0e12) AS v
+              FROM p2, pri
+            ),
+            j2 AS (
+              SELECT *, (m * (1.0 - m) / v - 1.0) AS ab,
+                (h >= 2 AND v > 0 AND m > 0 AND m < 1
+                 AND (m * (1.0 - m) / v - 1.0) > 0) AS okp
+              FROM j
+            )
+            SELECT grp, n, k, rate_micro,
+              CASE WHEN okp THEN floor(1000000.0 * m)::BIGINT END
+                AS prior_micro,
+              CASE WHEN okp THEN floor(1000.0 * ab)::BIGINT END
+                AS strength_milli,
+              CASE WHEN okp THEN
+                floor((1000000.0 * k::DOUBLE + 1000000.0 * m * ab)
+                      / (n::DOUBLE + ab))::BIGINT
+              END AS shrunk_micro
+            FROM j2
+        """,
+        # byte_percentiles: lower weighted percentile by integer
+        # cross-multiplication on the distinct-value cumsum
+        "byte_percentiles": """
+            WITH vals AS (
+              SELECT lang AS grp, n_chars AS v, sum(n_chars)::BIGINT AS wv
+              FROM documents GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT grp, v,
+                     sum(wv) OVER (PARTITION BY grp ORDER BY v)::BIGINT
+                       AS cw,
+                     sum(wv) OVER (PARTITION BY grp)::BIGINT AS tw
+              FROM vals
+            ),
+            q AS (SELECT unnest([2500, 5000, 7500])::BIGINT AS q_bp)
+            SELECT grp, q_bp, min(v)::BIGINT AS value,
+                   max(tw)::BIGINT AS total_weight
+            FROM cum, q WHERE 10000 * cw >= q_bp * tw GROUP BY 1, 2
+        """,
+        # winsorized_mean: integer clamp-and-sum over the distinct
+        # table, cuts by the same lower-percentile rule
+        "winsorized_mean": """
+            WITH vals AS (
+              SELECT lang AS grp, n_chars AS v, count(*)::BIGINT AS c
+              FROM documents GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT grp, v, c,
+                     sum(c) OVER (PARTITION BY grp ORDER BY v)::BIGINT
+                       AS cn,
+                     sum(c) OVER (PARTITION BY grp)::BIGINT AS tn
+              FROM vals
+            ),
+            cuts AS (
+              SELECT grp,
+                min(CASE WHEN 10000 * cn >= 500 * tn THEN v END)::BIGINT
+                  AS lo_cut,
+                min(CASE WHEN 10000 * cn >= 9500 * tn THEN v END)::BIGINT
+                  AS hi_cut,
+                max(tn)::BIGINT AS n
+              FROM cum GROUP BY 1
+            ),
+            cl AS (
+              SELECT vals.grp, n, lo_cut, hi_cut,
+                     (c * greatest(least(v, hi_cut), lo_cut))::HUGEINT AS s
+              FROM vals JOIN cuts ON vals.grp = cuts.grp
+            )
+            SELECT grp, n, lo_cut, hi_cut,
+                   ((1000000::HUGEINT * sum(s)) // n)::BIGINT
+                     AS winsorized_mean_micro
+            FROM cl GROUP BY 1, 2, 3, 4
+        """,
+        # uncertainty_coeff: floored micro-nat cell terms, margins from
+        # the cell table
+        "uncertainty_coeff": """
+            WITH cells AS (
+              SELECT source AS x, lang AS y, count(*)::BIGINT AS o
+              FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            xm AS (SELECT x, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+            ym AS (SELECT y, sum(o)::BIGINT AS cy FROM cells GROUP BY 1),
+            tt AS (SELECT sum(o)::BIGINT AS tot FROM cells),
+            hy AS (
+              SELECT sum(floor(1000000.0 * cy::DOUBLE / tot
+                    * (ln(tot::DOUBLE) - ln(cy::DOUBLE)))::BIGINT)::BIGINT
+                AS h_y_micro
+              FROM ym, tt
+            ),
+            hyx AS (
+              SELECT sum(floor(1000000.0 * o::DOUBLE / tot
+                    * (ln(r::DOUBLE) - ln(o::DOUBLE)))::BIGINT)::BIGINT
+                AS h_y_given_x_micro
+              FROM cells JOIN xm USING (x), tt
+            )
+            SELECT tot AS n, h_y_micro, h_y_given_x_micro,
+              CASE WHEN h_y_micro > 0 THEN
+                ((10000 * (h_y_micro - h_y_given_x_micro))
+                 // h_y_micro)::BIGINT
+              END AS u_bp
+            FROM tt, hy, hyx
+        """,
+        # runs_gate: per-group lag window, textbook mean/variance
+        # folded to one HUGEINT quotient
+        "runs_gate": """
+            WITH b AS (
+              SELECT source AS grp, doc_id AS ord,
+                     CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS e
+              FROM documents
+            ),
+            l AS (
+              SELECT grp, e,
+                CASE WHEN lag(e) OVER (PARTITION BY grp ORDER BY ord)
+                       IS NULL
+                     OR lag(e) OVER (PARTITION BY grp ORDER BY ord) <> e
+                THEN 1 ELSE 0 END AS nr
+              FROM b
+            ),
+            a AS (
+              SELECT grp, count(*)::BIGINT AS n, sum(e)::BIGINT AS n_pass,
+                     sum(nr)::BIGINT AS runs
+              FROM l GROUP BY 1
+            ),
+            f AS (
+              SELECT *,
+                (n::HUGEINT * (runs - 1)
+                 - 2 * n_pass::HUGEINT * (n - n_pass)) AS lin,
+                (n_pass > 0 AND n_pass < n AND n > 1
+                 AND 2 * n_pass::HUGEINT * (n - n_pass) > n) AS okr
+              FROM a
+            )
+            SELECT grp, n, n_pass, runs,
+              CASE WHEN okr THEN
+                (CASE WHEN lin > 0 THEN 1 WHEN lin < 0 THEN -1
+                 ELSE 0 END)::INT END AS direction,
+              CASE WHEN okr THEN
+                ((1000 * lin * lin * (n - 1))
+                 // (2 * n_pass::HUGEINT * (n - n_pass)
+                     * (2 * n_pass::HUGEINT * (n - n_pass) - n)))::BIGINT
+              END AS z2_milli
+            FROM f
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

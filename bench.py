@@ -276,6 +276,11 @@ HEADLINE = [
     "trend_gate",
     "tail_index",
     "seasonality",
+    "rate_shrinkage",
+    "byte_percentiles",
+    "winsorized_mean",
+    "uncertainty_coeff",
+    "runs_gate",
     "bpe_token_counts",
     "extraction_blocks",
 ]

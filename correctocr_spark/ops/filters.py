@@ -1298,3 +1298,100 @@ def coverage_diff(
         .cast("long")
         .alias("coverage_bp"),
     )
+
+
+def eb_shrinkage(
+    df: DataFrame,
+    group_col: str,
+    pass_col: str,
+    min_n: int = 5,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-group gate
+    pass-rates — the small-sample fix `host_reputation` rankings need:
+    a host with 2/2 passes must not outrank one with 970/1000, and a
+    host with 0/1 must not be blacklisted. Raw rates are shrunk toward
+    the corpus prior with strength inversely proportional to evidence:
+    ``shrunk = (k + α)/(n + α + β)`` with (α, β) fit by method of
+    moments on the observed rate distribution over groups with at
+    least ``min_n`` rows (small groups still GET shrunk — they just
+    don't vote on the prior).
+
+    Determinism discipline: the moment inputs are INTEGER micro-rates
+    (``r_i = 10⁶·k div n``; mean and variance from exact integer sums
+    over eligible groups), so both engines derive (α, β) from
+    identical integers through identical IEEE-double arithmetic, and
+    ``shrunk_micro = floor((10⁶·k + 10⁶·α) / (n + α + β))`` hashes
+    exactly. Degenerate priors — fewer than 2 eligible groups, zero
+    between-group variance, or variance ≥ m(1−m) (over-dispersion
+    beyond what a beta supports, α+β ≤ 0) — yield NULL shrunk rates
+    and a NULL prior, never a fabricated number.
+
+    Scale: one combinable group rollup (group-cardinality rows), a
+    1-row prior agg over it, broadcast back. Returns per group:
+    ``(grp, n, k, rate_micro, prior_micro, strength_milli,
+    shrunk_micro)`` where strength = α+β in milli.
+    """
+    g = F.col(group_col).cast("string")
+    per = (
+        ensure_parallelism(df)
+        .select(
+            g.alias("grp"),
+            F.col(pass_col).cast("boolean").cast("int").alias("_e"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_e").cast("long").alias("k"),
+        )
+        .withColumn("rate_micro", F.expr("(1000000 * k) div n").cast("long"))
+    )
+    elig = per.where(F.col("n") >= int(min_n))
+    prior = elig.agg(
+        F.count(F.lit(1)).cast("long").alias("_h"),
+        F.sum("rate_micro").cast("decimal(38,0)").alias("_sr"),
+        F.sum(
+            F.col("rate_micro").cast("decimal(38,0)") * F.col("rate_micro")
+        ).alias("_sr2"),
+    )
+    # m, v in double FROM exact integers: m = Σr/H/1e6 (rate scale),
+    # v = (H·Σr² − (Σr)²)/H²/1e12; α+β = m(1−m)/v − 1, α = m(α+β)
+    joined = per.crossJoin(F.broadcast(prior))
+    m = (
+        F.col("_sr").cast("double")
+        / F.col("_h").cast("double")
+        / F.lit(1000000.0)
+    )
+    v = (
+        (
+            F.col("_h").cast("double") * F.col("_sr2").cast("double")
+            - F.col("_sr").cast("double") * F.col("_sr").cast("double")
+        )
+        / (F.col("_h").cast("double") * F.col("_h").cast("double"))
+        / F.lit(1.0e12)
+    )
+    ab = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    ok = (
+        (F.col("_h") >= 2)
+        & (v > F.lit(0.0))
+        & (m > F.lit(0.0))
+        & (m < F.lit(1.0))
+        & (ab > F.lit(0.0))
+    )
+    alpha = m * ab
+    return joined.select(
+        "grp",
+        "n",
+        "k",
+        "rate_micro",
+        F.when(ok, F.floor(F.lit(1000000.0) * m)).cast("long").alias("prior_micro"),
+        F.when(ok, F.floor(F.lit(1000.0) * ab)).cast("long").alias("strength_milli"),
+        F.when(
+            ok,
+            F.floor(
+                (F.lit(1000000.0) * F.col("k").cast("double") + F.lit(1000000.0) * alpha)
+                / (F.col("n").cast("double") + ab)
+            ),
+        )
+        .cast("long")
+        .alias("shrunk_micro"),
+    )

@@ -1005,3 +1005,95 @@ def seasonality(
         .cast("long")
         .alias("chi2_term_milli"),
     )
+
+
+def runs_test(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    pass_col: str,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test of gate outcomes in fetch order, per
+    group — the batch-effect detector the RATE monitors miss: a
+    source whose keep-rate is a steady 50% can still deliver its
+    passes in long blocks (a CMS section crawled contiguously, a
+    mid-crawl extractor regression, a queue serving one template at a
+    time), which breaks every downstream assumption of
+    within-source exchangeability (split leakage, stratified-sample
+    validity, shard balance). Too FEW runs = clustered outcomes; too
+    many = alternation (interleaved dual pipelines).
+
+    Exact integer statistic: with n1 passes, n0 fails, N = n1+n0 and
+    R observed runs, ``z² = (N·(R−1) − 2·n1·n0)²·(N−1) /
+    (2·n1·n0·(2·n1·n0 − N))`` — the textbook mean/variance folded to
+    one integer quotient (decimal(38,0) products), ``z2_milli`` with
+    the usual 1000 scale, ``direction`` = sign(N(R−1) − 2n1n0)
+    (−1 = clustering). One-sided outcomes (n1 = 0 or n0 = 0) and the
+    N = 1 edge → NULL. ``order_col`` must order rows uniquely within
+    a group (doc_id / event_id); ties would make R engine-dependent,
+    so the caller supplies a total order.
+
+    Scale: one keyed lag window (the `status_transitions` shape —
+    partition by group, never partitionless) plus one combinable
+    group agg. Output per group: ``(grp, n, n_pass, runs, direction,
+    z2_milli)``.
+    """
+    g = F.col(group_col).cast("string")
+    w = Window.partitionBy("grp").orderBy("_ord")
+    base = ensure_parallelism(df).select(
+        g.alias("grp"),
+        F.col(order_col).cast("long").alias("_ord"),
+        F.col(pass_col).cast("boolean").cast("int").alias("_e"),
+    )
+    lagged = base.select(
+        "grp",
+        "_e",
+        F.when(
+            F.lag("_e").over(w).isNull() | (F.lag("_e").over(w) != F.col("_e")),
+            1,
+        )
+        .otherwise(0)
+        .alias("_newrun"),
+    )
+    agg = lagged.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_e").cast("long").alias("n_pass"),
+        F.sum("_newrun").cast("long").alias("runs"),
+    )
+    lin = F.expr(
+        "CAST(n AS DECIMAL(38,0)) * (runs - 1)"
+        " - 2 * CAST(n_pass AS DECIMAL(38,0)) * (n - n_pass)"
+    )
+    ok = (
+        (F.col("n_pass") > 0)
+        & (F.col("n_pass") < F.col("n"))
+        & (F.col("n") > 1)
+        & (
+            F.expr(
+                "2 * CAST(n_pass AS DECIMAL(38,0)) * (n - n_pass)"
+            )
+            > F.col("n").cast("decimal(38,0)")
+        )
+    )
+    return agg.select(
+        "grp",
+        "n",
+        "n_pass",
+        "runs",
+        F.when(ok, F.signum(lin.cast("double")).cast("int")).alias("direction"),
+        F.when(
+            ok,
+            F.expr(
+                "(1000"
+                " * (CAST(n AS DECIMAL(38,0)) * (runs - 1)"
+                "    - 2 * CAST(n_pass AS DECIMAL(38,0)) * (n - n_pass))"
+                " * (CAST(n AS DECIMAL(38,0)) * (runs - 1)"
+                "    - 2 * CAST(n_pass AS DECIMAL(38,0)) * (n - n_pass))"
+                " * (n - 1))"
+                " div (2 * CAST(n_pass AS DECIMAL(38,0)) * (n - n_pass)"
+                "      * (2 * CAST(n_pass AS DECIMAL(38,0)) * (n - n_pass) - n))"
+            ),
+        )
+        .cast("long")
+        .alias("z2_milli"),
+    )

@@ -9,7 +9,7 @@ from typing import Dict, List, Optional, Sequence
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import ensure_parallelism, normalized_words
@@ -4208,4 +4208,254 @@ def trend_test(
         )
         .cast("long")
         .alias("z2_milli"),
+    )
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs_bp: Sequence[int] = (2500, 5000, 7500),
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """Weighted percentiles per group — the BYTE-weighted (or
+    token-weighted) twin of `robust_location`'s row-weighted median:
+    "the median document is 2 KB" and "the median BYTE lives in a
+    2 MB document" are both true of a heavy-tailed corpus, and
+    storage/packing decisions need the second number. For each
+    requested ``q_bp`` the lower weighted percentile: the smallest
+    value v with ``10⁴·cumweight(≤v) ≥ q·W`` — cross-multiplied
+    integers, no rate division anywhere, engine-exact.
+
+    Scale: one (group, value) combinable weight rollup, one cumsum
+    window on the DISTINCT-value table, one tiny per-(group, q) min.
+    Output long format: ``(grp, q_bp, value, total_weight)``.
+    """
+    if not qs_bp:
+        raise ValueError("weighted_percentiles: qs_bp must be non-empty")
+    for q in qs_bp:
+        if not (0 < int(q) <= 10000):
+            raise ValueError(
+                f"weighted_percentiles: q_bp must be in (0, 10000], got {q}"
+            )
+    g = F.col(group_col).cast("string") if group_col else F.lit("all")
+    vals = (
+        ensure_parallelism(df)
+        .select(
+            g.alias("grp"),
+            F.col(value_col).cast("long").alias("_v"),
+            F.col(weight_col).cast("long").alias("_w"),
+        )
+        .groupBy("grp", "_v")
+        .agg(F.sum("_w").cast("long").alias("_wv"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        "grp",
+        "_v",
+        F.sum("_wv").over(w).cast("long").alias("_cw"),
+        F.sum("_wv").over(wtot).cast("long").alias("_tw"),
+    )
+    qdf = df.sparkSession.createDataFrame(
+        [(int(q),) for q in sorted(set(int(q) for q in qs_bp))], "q_bp long"
+    )
+    hits = cum.crossJoin(F.broadcast(qdf)).where(
+        F.lit(10000) * F.col("_cw") >= F.col("q_bp") * F.col("_tw")
+    )
+    return hits.groupBy("grp", "q_bp").agg(
+        F.min("_v").cast("long").alias("value"),
+        F.max("_tw").cast("long").alias("total_weight"),
+    )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    value_col: str,
+    lo_bp: int = 500,
+    hi_bp: int = 9500,
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """Winsorized mean per group — the robust location that still USES
+    the tail mass (`robust_location`'s median ignores magnitudes
+    entirely; the plain mean hands whales the steering wheel): values
+    below the ``lo_bp`` percentile are clamped up to it, above
+    ``hi_bp`` clamped down, then the mean is exact integer arithmetic.
+    The standard "average doc size for capacity planning without the
+    one 2 GB page deciding it" estimator.
+
+    Percentile cuts use the same lower-percentile cross-multiplied
+    rule as `weighted_percentiles` (weight = row count), clamping and
+    summation run on the DISTINCT-value table as integers
+    (``Σ c·clamp(v)``), and ``mean_micro = 10⁶·S div N`` — no float
+    anywhere, exact hash parity.
+
+    Scale: one (group, value) combinable rollup, one cumsum window on
+    the distinct-value table, one broadcast of the two per-group cut
+    values back onto it. Output: ``(grp, n, lo_cut, hi_cut,
+    winsorized_mean_micro)``.
+    """
+    if not (0 < int(lo_bp) < int(hi_bp) <= 10000):
+        raise ValueError(
+            f"winsorized_mean: need 0 < lo_bp < hi_bp <= 10000, got {lo_bp}, {hi_bp}"
+        )
+    g = F.col(group_col).cast("string") if group_col else F.lit("all")
+    vals = (
+        ensure_parallelism(df)
+        .select(g.alias("grp"), F.col(value_col).cast("long").alias("_v"))
+        .groupBy("grp", "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        "grp",
+        "_v",
+        "_c",
+        F.sum("_c").over(w).cast("long").alias("_cn"),
+        F.sum("_c").over(wtot).cast("long").alias("_tn"),
+    )
+    cuts = cum.groupBy("grp").agg(
+        F.min(
+            F.when(
+                F.lit(10000) * F.col("_cn") >= F.lit(int(lo_bp)) * F.col("_tn"),
+                F.col("_v"),
+            )
+        )
+        .cast("long")
+        .alias("lo_cut"),
+        F.min(
+            F.when(
+                F.lit(10000) * F.col("_cn") >= F.lit(int(hi_bp)) * F.col("_tn"),
+                F.col("_v"),
+            )
+        )
+        .cast("long")
+        .alias("hi_cut"),
+        F.max("_tn").cast("long").alias("n"),
+    )
+    clamped = vals.join(F.broadcast(cuts), on="grp").select(
+        "grp",
+        "n",
+        "lo_cut",
+        "hi_cut",
+        (
+            F.col("_c")
+            * F.greatest(F.least(F.col("_v"), F.col("hi_cut")), F.col("lo_cut"))
+        )
+        .cast("decimal(38,0)")
+        .alias("_s"),
+    )
+    return clamped.groupBy("grp", "n", "lo_cut", "hi_cut").agg(
+        F.sum("_s").alias("_ss")
+    ).select(
+        "grp",
+        "n",
+        "lo_cut",
+        "hi_cut",
+        F.expr("(CAST(1000000 AS DECIMAL(38,0)) * _ss) div n")
+        .cast("long")
+        .alias("winsorized_mean_micro"),
+    )
+
+
+def theils_u(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil's uncertainty coefficient U(y|x) — the ASYMMETRIC,
+    information-theoretic companion to `contingency_chi2`'s Cramér's
+    V: "knowing the source removes what fraction of the uncertainty
+    about the language?" is directional (U(lang|source) ≠
+    U(source|lang)) and V, being symmetric, can't say which way the
+    association runs — exactly the datacard question when deciding
+    whether a facet is worth stratifying on.
+
+    ``U = (H(y) − H(y|x)) / H(y)``; every entropy is a sum of
+    per-cell floored micro-nat terms (the entropy_rate discipline):
+    ``H(y) = Σ_j floor(10⁶·(c_j/N)·ln(N/c_j))``, ``H(y|x) = Σ_ij
+    floor(10⁶·(o_ij/N)·ln(r_i/o_ij))`` — integer sums, no float
+    accumulation; ``u_bp = 10⁴·(hy − hyx) div hy``. Degenerate
+    single-valued y (H(y) = 0) → NULL U. NULL facet values are
+    excluded (they are missingness, not a category — same policy as
+    contingency_chi2).
+
+    Scale: one (x, y) cell rollup; margins derive from the cell table
+    and broadcast back; two tiny sums. One row: ``(n, h_y_micro,
+    h_y_given_x_micro, u_bp)``.
+    """
+    cells = (
+        ensure_parallelism(df)
+        .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(
+            F.col(x_col).cast("string").alias("_x"),
+            F.col(y_col).cast("string").alias("_y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_o"))
+    )
+    xm = cells.groupBy("_x").agg(F.sum("_o").cast("long").alias("_r"))
+    ym = cells.groupBy("_y").agg(F.sum("_o").cast("long").alias("_cy"))
+    tot = cells.agg(F.sum("_o").cast("long").alias("_tot"))
+    hy = (
+        ym.crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("_cy").cast("double")
+                / F.col("_tot")
+                * (
+                    F.log(F.col("_tot").cast("double"))
+                    - F.log(F.col("_cy").cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("_t")
+        )
+        .agg(F.sum("_t").cast("long").alias("h_y_micro"))
+    )
+    hyx = (
+        cells.join(F.broadcast(xm), on="_x")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("_o").cast("double")
+                / F.col("_tot")
+                * (
+                    F.log(F.col("_r").cast("double"))
+                    - F.log(F.col("_o").cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("_t")
+        )
+        .agg(F.sum("_t").cast("long").alias("h_y_given_x_micro"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(hyx))
+        .select(
+            F.col("_tot").alias("n"),
+            "h_y_micro",
+            "h_y_given_x_micro",
+            F.when(
+                F.col("h_y_micro") > 0,
+                F.expr("(10000 * (h_y_micro - h_y_given_x_micro)) div h_y_micro"),
+            )
+            .cast("long")
+            .alias("u_bp"),
+        )
     )

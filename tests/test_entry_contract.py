@@ -640,6 +640,20 @@ def test_oracled_queries_precede_rows_only():
         "tail_index",
         # day-of-week x hour grid — one combinable rollup, <= 168 rows
         "seasonality",
+        # EB beta-binomial shrinkage — group rollup + broadcast prior,
+        # the gate_rate_ztest conditional-agg family
+        "rate_shrinkage",
+        # weighted percentiles — distinct-value cumsum windows, the
+        # robust_location/ks_test family
+        "byte_percentiles",
+        # winsorized mean — same distinct-value window family
+        "winsorized_mean",
+        # Theil's U — cell rollup + derived margins, the
+        # contingency_chi2 family with entropy_rate floored terms
+        "uncertainty_coeff",
+        # Wald-Wolfowitz runs — keyed lag window, the
+        # status_transitions shape
+        "runs_gate",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -4870,6 +4870,50 @@ def q_runs_gate(spark, sf_dir):
     return runs_test(d, "source", "doc_id", "gate")
 
 
+def q_unimax_plan(spark, sf_dir):
+    """UniMax water-fill mixture allocation (budget 600 docs, 2-epoch
+    cap) — exact integer level + deterministic remainder."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import unimax_allocation
+
+    return unimax_allocation(
+        _t(spark, sf_dir, "documents"), budget=600, epochs_cap=2
+    )
+
+
+def q_padding_plan(spark, sf_dir):
+    """Context-length sweep under concat-pack-truncate — integer
+    truncation/utilization shares per candidate cap."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import padding_sweep
+
+    return padding_sweep(
+        _t(spark, sf_dir, "documents"), "n_chars", (512, 2048)
+    )
+
+
+def q_conformal_gate(spark, sf_dir):
+    """Split-conformal threshold at alpha=5% per lang — exact
+    finite-sample rank on the distinct-score table."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import conformal_threshold
+
+    return conformal_threshold(
+        _t(spark, sf_dir, "documents"), "n_chars", alpha_bp=500,
+        group_col="lang",
+    )
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Wrong-label nearest neighbors per anchor (contrastive-training
+    hard negatives) — exact cosine twin of the bucketed path."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.where(F.col("vec_id") < 4), k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5524,6 +5568,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uncertainty_coeff": q_uncertainty_coeff,
         # Wald-Wolfowitz runs test — batch-effect detector
         "runs_gate": q_runs_gate,
+        # UniMax water-fill mixture allocation
+        "unimax_plan": q_unimax_plan,
+        # context-length padding/truncation sweep
+        "padding_plan": q_padding_plan,
+        # split-conformal acceptance threshold
+        "conformal_gate": q_conformal_gate,
+        # wrong-label nearest neighbors (contrastive negatives)
+        "hard_negatives": q_hard_negatives,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -12606,6 +12658,139 @@ FROM documents)
                      * (2 * n_pass::HUGEINT * (n - n_pass) - n)))::BIGINT
               END AS z2_milli
             FROM f
+        """,
+        # unimax_plan: the same integer water-fill — saturation by
+        # cross-multiplied prefix test, floor level + deterministic
+        # remainder in (cap, grp) order
+        "unimax_plan": """
+            WITH per AS (
+              SELECT lang AS grp, count(*)::BIGINT AS available
+              FROM documents GROUP BY 1
+            ),
+            p2 AS (SELECT grp, available,
+                          (available * 2)::BIGINT AS cap FROM per),
+            st AS (
+              SELECT *,
+                (row_number() OVER (ORDER BY cap, grp) - 1)::BIGINT AS i,
+                coalesce(sum(cap) OVER (ORDER BY cap, grp
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS cum,
+                count(*) OVER ()::BIGINT AS l
+              FROM p2
+            ),
+            st2 AS (
+              SELECT *, (cap::HUGEINT * (l - i) <= 600::HUGEINT - cum)
+                AS saturated
+              FROM st
+            ),
+            sat AS (
+              SELECT coalesce(sum(cap) FILTER (saturated), 0)::BIGINT
+                       AS satsum,
+                     (count(*) FILTER (saturated))::BIGINT AS nsat
+              FROM st2
+            ),
+            lv AS (SELECT st2.*, sat.satsum, sat.nsat,
+                          (st2.l - sat.nsat)::BIGINT AS unsat
+                   FROM st2, sat),
+            lv2 AS (
+              SELECT *,
+                CASE WHEN unsat > 0 THEN
+                  ((600::HUGEINT - satsum) // unsat)::BIGINT END
+                  AS lam,
+                CASE WHEN unsat > 0 THEN
+                  ((600::HUGEINT - satsum)
+                   - ((600::HUGEINT - satsum) // unsat) * unsat)::BIGINT
+                ELSE 0 END AS rem
+              FROM lv
+            ),
+            al AS (
+              SELECT *,
+                CASE WHEN NOT saturated THEN
+                  row_number() OVER (PARTITION BY saturated
+                                     ORDER BY cap, grp) END AS urank
+              FROM lv2
+            )
+            SELECT grp, available, cap,
+              (CASE WHEN saturated THEN cap
+               ELSE lam + CASE WHEN urank <= rem THEN 1 ELSE 0 END
+               END)::BIGINT AS allocation,
+              saturated,
+              ((1000 * CASE WHEN saturated THEN cap
+                 ELSE lam + CASE WHEN urank <= rem THEN 1 ELSE 0 END
+                 END) // available)::BIGINT AS epochs_milli
+            FROM al
+        """,
+        # padding_plan: one shared scan x broadcast caps grid;
+        # "sequences" quoted (DuckDB reserved word)
+        "padding_plan": """
+            WITH grid AS (SELECT unnest([512, 2048])::BIGINT AS cap),
+            b AS (SELECT n_chars AS toks, cap FROM documents, grid),
+            a AS (
+              SELECT cap, count(*)::BIGINT AS n_docs,
+                     sum(CASE WHEN toks > cap THEN 1 ELSE 0 END)::BIGINT
+                       AS n_truncated_docs,
+                     sum(toks)::BIGINT AS tokens_total,
+                     sum(least(toks, cap))::BIGINT AS tokens_used
+              FROM b GROUP BY 1
+            )
+            SELECT cap, n_docs, n_truncated_docs, tokens_total,
+                   tokens_used,
+                   ((10000 * (tokens_total - tokens_used))
+                    // tokens_total)::BIGINT AS tokens_truncated_bp,
+                   ((tokens_used + cap - 1) // cap)::BIGINT
+                     AS "sequences",
+                   (((tokens_used + cap - 1) // cap) * cap
+                    - tokens_used)::BIGINT AS pad_last,
+                   ((10000 * tokens_used)
+                    // (((tokens_used + cap - 1) // cap) * cap))::BIGINT
+                     AS utilization_bp
+            FROM a
+        """,
+        # conformal_gate: exact ceil rank + distinct-score cumsum
+        "conformal_gate": """
+            WITH vals AS (
+              SELECT lang AS grp, n_chars AS s, count(*)::BIGINT AS c
+              FROM documents GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT grp, s,
+                     sum(c) OVER (PARTITION BY grp ORDER BY s)::BIGINT
+                       AS cn,
+                     sum(c) OVER (PARTITION BY grp)::BIGINT AS tn
+              FROM vals
+            ),
+            k AS (SELECT *,
+                    (((tn + 1) * (10000 - 500) + 9999) // 10000)::BIGINT
+                      AS kk
+                  FROM cum)
+            SELECT grp, max(tn)::BIGINT AS n, 500::BIGINT AS alpha_bp,
+                   max(kk)::BIGINT AS k_rank,
+                   min(CASE WHEN cn >= kk THEN s END)::BIGINT
+                     AS threshold
+            FROM k GROUP BY 1
+        """,
+        # hard_negatives: exact wrong-label cosine twin, 6-dp rounding
+        "hard_negatives": """
+            WITH a AS (
+              SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS avec,
+                     label AS albl
+              FROM embeddings WHERE vec_id < 4
+            ),
+            s AS (
+              SELECT anchor_id, e.vec_id, e.label,
+                     round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], a.avec), 6) AS cosine
+              FROM embeddings e, a WHERE e.label <> a.albl
+            ),
+            r AS (
+              SELECT anchor_id,
+                     row_number() OVER (PARTITION BY anchor_id
+                       ORDER BY cosine DESC, vec_id ASC)::INT AS rank,
+                     vec_id, cosine, label
+              FROM s
+            )
+            SELECT anchor_id, rank, vec_id, cosine, label
+            FROM r WHERE rank <= 5
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

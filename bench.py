@@ -281,6 +281,10 @@ HEADLINE = [
     "winsorized_mean",
     "uncertainty_coeff",
     "runs_gate",
+    "unimax_plan",
+    "padding_plan",
+    "conformal_gate",
+    "hard_negatives",
     "bpe_token_counts",
     "extraction_blocks",
 ]

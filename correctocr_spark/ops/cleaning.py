@@ -10,7 +10,7 @@ divisions rounded after, counts are integers.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -2478,4 +2478,196 @@ def tail_index(
         )
         .cast("long")
         .alias("alpha_milli"),
+    )
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    budget: int,
+    epochs_cap: int = 4,
+    group_col: str = "lang",
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023, arXiv:2304.09151)
+    — the third published mixing strategy next to `alpha_sample_shares`
+    (mT5 temperature) and `domain_reweight` (DoReMi): spread the token
+    budget as UNIFORMLY across languages as their data allows, capping
+    every language at ``epochs_cap`` repeats of its corpus. Temperature
+    sampling over-represents head languages at any α; UniMax's
+    water-fill gives each language min(its cap, the common level λ)
+    where λ solves ``Σ min(cap_i, λ) = B`` — scale-invariant by
+    construction.
+
+    Exact integer water-fill: languages sorted by cap ascending; for
+    prefix position i (0-based, cum_i = Σ caps before i, L langs), the
+    level candidate ``λ_i = (B − cum_i) div (L − i)`` is valid iff
+    cap_{i-1} ≤ λ_i < cap_i's saturation test — resolved as: a language
+    is SATURATED iff ``cap_i · (L − i) ≤ B − cum_i`` fails... concretely
+    saturated ⇔ ``cap_i ≤ λ*`` with λ* from the first unsaturated
+    position; the remainder ``B − Σalloc`` after flooring is handed out
+    one unit per unsaturated language in (cap, group) order, so
+    ``Σ alloc = min(B, Σ caps)`` EXACTLY, deterministically, in both
+    engines. If total data ≤ B, every language saturates (allocation =
+    its cap) and the leftover is reported, never silently inflated.
+
+    Scale: one combinable group rollup; all windows run on the
+    LANGUAGE-cardinality table. Output per group: ``(grp, available,
+    cap, allocation, saturated, epochs_milli)`` where epochs_milli =
+    1000·allocation div available.
+    """
+    if budget < 0:
+        raise ValueError(f"unimax_allocation: budget must be >= 0, got {budget}")
+    if epochs_cap < 1:
+        raise ValueError(
+            f"unimax_allocation: epochs_cap must be >= 1, got {epochs_cap}"
+        )
+    wcol = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    per = (
+        docs.select(F.col(group_col).cast("string").alias("grp"), wcol.alias("_w"))
+        .groupBy("grp")
+        .agg(F.sum("_w").cast("long").alias("available"))
+        .withColumn("cap", (F.col("available") * F.lit(int(epochs_cap))).cast("long"))
+    )
+    w_ord = Window.orderBy("cap", "grp")
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    staged = per.select(
+        "grp",
+        "available",
+        "cap",
+        (F.row_number().over(w_ord) - 1).cast("long").alias("_i"),
+        F.coalesce(
+            F.sum("cap").over(
+                Window.orderBy("cap", "grp").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_cum"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("_l"),
+    )
+    # saturated iff granting this cap to every language from here on
+    # still fits the remaining budget: cap_i * (L - i) <= B - cum_i
+    staged = staged.withColumn(
+        "saturated",
+        (
+            F.col("cap").cast("decimal(38,0)") * (F.col("_l") - F.col("_i"))
+            <= F.lit(int(budget)).cast("decimal(38,0)") - F.col("_cum")
+        ),
+    )
+    sat = staged.where(F.col("saturated")).agg(
+        F.coalesce(F.sum("cap"), F.lit(0)).cast("long").alias("_satsum"),
+        F.count(F.lit(1)).cast("long").alias("_nsat"),
+    )
+    lvl = staged.crossJoin(F.broadcast(sat)).withColumn(
+        "_unsat", F.col("_l") - F.col("_nsat")
+    )
+    lvl = lvl.withColumn(
+        "_lambda",
+        F.when(
+            F.col("_unsat") > 0,
+            F.expr(f"(CAST({int(budget)} AS DECIMAL(38,0)) - _satsum) div _unsat"),
+        ).cast("long"),
+    ).withColumn(
+        "_rem",
+        F.when(
+            F.col("_unsat") > 0,
+            F.expr(
+                f"(CAST({int(budget)} AS DECIMAL(38,0)) - _satsum)"
+                " - CAST(_lambda AS DECIMAL(38,0)) * _unsat"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    w_unsat = Window.partitionBy("saturated").orderBy("cap", "grp")
+    alloc = lvl.withColumn(
+        "_urank",
+        F.when(~F.col("saturated"), F.row_number().over(w_unsat)).cast("long"),
+    ).withColumn(
+        "allocation",
+        F.when(F.col("saturated"), F.col("cap")).otherwise(
+            F.col("_lambda")
+            + F.when(F.col("_urank") <= F.col("_rem"), 1).otherwise(0)
+        )
+        .cast("long"),
+    )
+    return alloc.select(
+        "grp",
+        "available",
+        "cap",
+        "allocation",
+        "saturated",
+        F.expr("(1000 * allocation) div available").cast("long").alias(
+            "epochs_milli"
+        ),
+    )
+
+
+def padding_sweep(
+    docs: DataFrame,
+    len_col: str,
+    caps: Sequence[int] = (512, 1024, 2048, 4096, 8192),
+) -> DataFrame:
+    """Context-length planning sweep — the sizing table behind "train
+    at 2k or 8k?": for each candidate sequence cap L, what the corpus
+    costs under the standard concat-pack-truncate model: per doc
+    ``used = min(len, L)`` tokens enter packing, ``len − L`` beyond
+    the cap are truncated away, packed sequences = ``ceil(Σused / L)``
+    and the last sequence's padding is the only padding (concat
+    packing crosses document boundaries — the `pack_batches` per-batch
+    audit covers the padded non-concat regime). Integer exact:
+    truncation share and utilization in basis points via integer div.
+
+    Scale: one conditional-sum aggregation per cap over ONE scan (the
+    caps grid is crossJoined as a broadcast literal table, so the scan
+    is shared and the shuffle is caps-sized). Output per cap:
+    ``(cap, n_docs, n_truncated_docs, tokens_total, tokens_used,
+    tokens_truncated_bp, sequences, pad_last, utilization_bp)``.
+    """
+    if not caps:
+        raise ValueError("padding_sweep: caps must be non-empty")
+    for c in caps:
+        if int(c) < 1:
+            raise ValueError(f"padding_sweep: caps must be >= 1, got {c}")
+    spark = docs.sparkSession
+    grid = spark.createDataFrame(
+        [(int(c),) for c in sorted(set(int(c) for c in caps))], "cap long"
+    )
+    base = docs.select(F.col(len_col).cast("long").alias("_len")).crossJoin(
+        F.broadcast(grid)
+    )
+    agg = base.groupBy("cap").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("_len") > F.col("cap"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated_docs"),
+        F.sum("_len").cast("long").alias("tokens_total"),
+        F.sum(F.least(F.col("_len"), F.col("cap"))).cast("long").alias(
+            "tokens_used"
+        ),
+    )
+    return agg.select(
+        "cap",
+        "n_docs",
+        "n_truncated_docs",
+        "tokens_total",
+        "tokens_used",
+        F.expr("(10000 * (tokens_total - tokens_used)) div tokens_total")
+        .cast("long")
+        .alias("tokens_truncated_bp"),
+        F.expr("(tokens_used + cap - 1) div cap").cast("long").alias("sequences"),
+        F.expr("((tokens_used + cap - 1) div cap) * cap - tokens_used")
+        .cast("long")
+        .alias("pad_last"),
+        F.expr(
+            "(10000 * tokens_used) div (((tokens_used + cap - 1) div cap) * cap)"
+        )
+        .cast("long")
+        .alias("utilization_bp"),
     )

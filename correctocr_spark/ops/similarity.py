@@ -12,7 +12,7 @@ from typing import List, Sequence
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import ensure_parallelism, normalized_words
@@ -1229,4 +1229,75 @@ def burrows_delta(
     return pairs.groupBy("grp_a", "grp_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_words"),
         F.expr("sum(_term) div count(1)").cast("long").alias("delta_micro"),
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each ANCHOR
+    vector, the ``k`` most-similar corpus vectors carrying a DIFFERENT
+    label — the negatives that actually teach a bi-encoder something
+    (random negatives are trivially separable after the first epoch;
+    the highest-cosine wrong-label neighbors define the decision
+    boundary). The same-label filter is applied BEFORE ranking, so a
+    near-duplicate of the anchor with the anchor's own label never
+    burns a negative slot.
+
+    Determinism: cosine rounded to 6 dp (the `brute_force_topk`
+    contract) with (cosine desc, id asc) tie order, so the ranked
+    output hash-matches the DuckDB twin exactly.
+
+    Scale: this is the EXACT form — the anchor set is a bounded batch
+    (a training mini-batch or eval probe set, broadcast: anchor count
+    × corpus scoring is the oracle twin of the production path, which
+    applies the same label≠ filter inside `lsh_topk`/`ivf_search`'s
+    candidate stage and inherits their bucketed plans). Corpus side
+    scans once per call; per-anchor ranking is a window partitioned by
+    anchor, never global. Returns ``(anchor_id, rank, vec_id, cosine,
+    label)``.
+    """
+    if k < 1:
+        raise ValueError(f"hard_negatives: k must be >= 1, got {k}")
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).cast("array<double>").alias("_avec"),
+            F.col(label_col).alias("_albl"),
+        )
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+        F.col(label_col).alias("label"),
+    )
+    scored = (
+        c.crossJoin(a)
+        .where(F.col("label") != F.col("_albl"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            "label",
+            F.round(cosine_col(F.col("_cvec"), F.col("_avec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.select(
+            "anchor_id",
+            F.row_number().over(w).cast("int").alias("rank"),
+            "vec_id",
+            "cosine",
+            "label",
+        )
+        .where(F.col("rank") <= int(k))
     )

@@ -4459,3 +4459,67 @@ def theils_u(
             .alias("u_bp"),
         )
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    alpha_bp: int = 1000,
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """Split-conformal threshold over a calibration set of
+    nonconformity scores (HIGHER = more nonconforming, e.g. a quality
+    classifier's junk score): the cutoff ``q̂`` such that accepting
+    future scores ≤ q̂ guarantees coverage ≥ 1 − α under
+    exchangeability — the distribution-free version of the guarantee
+    `threshold_calibration` approximates with a plug-in keep-rate. The
+    finite-sample rank is the standard ``⌈(n+1)(1−α)⌉``-th smallest
+    calibration score; with integer basis points the rank is exact:
+    ``k = ceil((n+1)·(10⁴−α_bp)/10⁴) = ((n+1)·(10⁴−α_bp) + 10⁴−1) div
+    10⁴``. When k > n the guarantee needs a threshold of +∞ (the
+    calibration set is too small for this α) — reported as a NULL
+    threshold with the rank still shown, never a fabricated max score.
+
+    Exactness: the k-th order statistic reads off the distinct-score
+    cumulative table (smallest score with cum ≥ k) — integers
+    end-to-end, engine-exact ties included. Scale: one (group, score)
+    combinable rollup, one cumsum window on the distinct-score table.
+    Output per group: ``(grp, n, alpha_bp, k_rank, threshold)``.
+    """
+    if not (0 < int(alpha_bp) < 10000):
+        raise ValueError(
+            f"conformal_threshold: alpha_bp must be in (0, 10000), got {alpha_bp}"
+        )
+    g = F.col(group_col).cast("string") if group_col else F.lit("all")
+    vals = (
+        ensure_parallelism(df)
+        .select(g.alias("grp"), F.col(score_col).cast("long").alias("_s"))
+        .groupBy("grp", "_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    a = int(alpha_bp)
+    cum = vals.select(
+        "grp",
+        "_s",
+        F.sum("_c").over(w).cast("long").alias("_cn"),
+        F.sum("_c").over(wtot).cast("long").alias("_tn"),
+    ).withColumn(
+        "_k",
+        F.expr(f"((_tn + 1) * (10000 - {a}) + 9999) div 10000").cast("long"),
+    )
+    return cum.groupBy("grp").agg(
+        F.max("_tn").cast("long").alias("n"),
+        F.lit(a).cast("long").alias("alpha_bp"),
+        F.max("_k").cast("long").alias("k_rank"),
+        F.min(F.when(F.col("_cn") >= F.col("_k"), F.col("_s")))
+        .cast("long")
+        .alias("threshold"),
+    )

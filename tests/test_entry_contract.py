@@ -654,6 +654,18 @@ def test_oracled_queries_precede_rows_only():
         # Wald-Wolfowitz runs — keyed lag window, the
         # status_transitions shape
         "runs_gate",
+        # UniMax water-fill — lang-cardinality windows, the
+        # select_to_budget prefix-sum family
+        "unimax_plan",
+        # padding sweep — one scan x broadcast caps grid, the
+        # stats_conditional_agg family
+        "padding_plan",
+        # conformal threshold — distinct-score cumsum, the
+        # threshold_calibration family with the exact (n+1) rank
+        "conformal_gate",
+        # hard negatives — the ann_bruteforce cosine/window core with
+        # a label!= filter
+        "hard_negatives",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

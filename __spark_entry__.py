@@ -4914,6 +4914,70 @@ def q_hard_negatives(spark, sf_dir):
     return hard_negatives(emb, emb.where(F.col("vec_id") < 4), k=5)
 
 
+def q_cusum_changepoint(spark, sf_dir):
+    """Two-sided CUSUM level-shift detection on per-event-type daily
+    counts — prefix-sum identity, integer micro units."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import cusum_changepoint
+
+    return cusum_changepoint(
+        _t(spark, sf_dir, "events"), "event_type", "ts", h_bp=30000
+    )
+
+
+def q_woe_iv(spark, sf_dir):
+    """Weight-of-evidence / information value of source vs the length
+    gate — Laplace-smoothed, micro-floored per cell."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import woe_iv
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "gate", F.col("n_chars") >= 400
+    )
+    return woe_iv(d, "source", "gate")
+
+
+def q_effect_size(spark, sf_dir):
+    """One-vs-rest Cohen's d + Hedges' g of doc length per source —
+    exact integer moments, one milli-floor per statistic."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import cohens_d
+
+    return cohens_d(_t(spark, sf_dir, "documents"), "n_chars", "source")
+
+
+def q_krippendorff(spark, sf_dir):
+    """Krippendorff's alpha (nominal) across three threshold
+    annotators — coincidence formulation, integer-exact."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import krippendorff_alpha
+
+    # ONE scan: the three threshold annotators explode row-locally
+    # (a 3x union would read the table three times at 100 TB)
+    d = _t(spark, sf_dir, "documents")
+    ratings = d.select(
+        F.col("doc_id").alias("unit"),
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(name).alias("rater"),
+                        (F.col("n_chars") >= cut)
+                        .cast("string")
+                        .alias("value"),
+                    )
+                    for name, cut in (
+                        ("r350", 350),
+                        ("r400", 400),
+                        ("r450", 450),
+                    )
+                )
+            )
+        ).alias("_r"),
+    ).select("unit", F.col("_r.rater"), F.col("_r.value"))
+    return krippendorff_alpha(ratings, "unit", "rater", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5576,6 +5640,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_gate": q_conformal_gate,
         # wrong-label nearest neighbors (contrastive negatives)
         "hard_negatives": q_hard_negatives,
+        # two-sided CUSUM level-shift detection (prefix-sum identity)
+        "cusum_changepoint": q_cusum_changepoint,
+        # weight-of-evidence / information value facet screen
+        "woe_iv": q_woe_iv,
+        # one-vs-rest Cohen's d + Hedges' g effect sizes
+        "effect_size": q_effect_size,
+        # Krippendorff's alpha, nominal, 3 threshold annotators
+        "krippendorff_alpha": q_krippendorff,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -12791,6 +12863,169 @@ FROM documents)
             )
             SELECT anchor_id, rank, vec_id, cosine, label
             FROM r WHERE rank <= 5
+        """,
+        # cusum_changepoint: the max(0, S+d) recursion as prefix-sum
+        # minus running-min; all-integer micro units
+        "cusum_changepoint": """
+            WITH daily AS (
+              SELECT event_type AS grp,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS epoch_day,
+                     count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1, 2
+            ),
+            k AS (
+              SELECT grp, epoch_day, n_events,
+                     ((1000000 * sum(n_events) OVER (PARTITION BY grp))
+                       // (count(*) OVER (PARTITION BY grp)))::BIGINT AS kk
+              FROM daily
+            ),
+            pref AS (
+              SELECT grp, epoch_day, n_events, kk,
+                     sum(1000000 * n_events - kk) OVER
+                       (PARTITION BY grp ORDER BY epoch_day)::BIGINT AS p
+              FROM k
+            ),
+            cus AS (
+              SELECT grp, epoch_day, n_events, kk, p,
+                     least(0, min(p) OVER
+                       (PARTITION BY grp ORDER BY epoch_day))::BIGINT
+                       AS pmin,
+                     greatest(0, max(p) OVER
+                       (PARTITION BY grp ORDER BY epoch_day))::BIGINT
+                       AS pmax
+              FROM pref
+            )
+            SELECT grp, epoch_day, n_events,
+                   (p - pmin)::BIGINT AS cusum_up_micro,
+                   (pmax - p)::BIGINT AS cusum_down_micro,
+                   (CASE WHEN p - pmin > (30000 * kk) // 10000 THEN 1
+                         WHEN pmax - p > (30000 * kk) // 10000 THEN -1
+                         ELSE 0 END)::INTEGER AS alarm
+            FROM cus
+        """,
+        # woe_iv: +1/V Laplace smoothing, one micro-floor per cell
+        "woe_iv": """
+            WITH cells AS (
+              SELECT source AS feature,
+                     sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0
+                         END)::BIGINT AS pos,
+                     sum(CASE WHEN n_chars >= 400 THEN 0 ELSE 1
+                         END)::BIGINT AS neg
+              FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL
+              GROUP BY 1
+            ),
+            tot AS (
+              SELECT feature, pos, neg,
+                     sum(pos) OVER ()::BIGINT AS p,
+                     sum(neg) OVER ()::BIGINT AS n,
+                     count(*) OVER ()::BIGINT AS v
+              FROM cells
+            ),
+            scored AS (
+              SELECT feature, pos, neg,
+                floor(1000000.0 * (ln(CAST(pos + 1 AS DOUBLE)
+                    / CAST(p + v AS DOUBLE))
+                  - ln(CAST(neg + 1 AS DOUBLE)
+                    / CAST(n + v AS DOUBLE))))::BIGINT AS woe_micro,
+                floor(1000000.0 * ((CAST(pos + 1 AS DOUBLE)
+                    / CAST(p + v AS DOUBLE))
+                  - (CAST(neg + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)))
+                  * (ln(CAST(pos + 1 AS DOUBLE) / CAST(p + v AS DOUBLE))
+                   - ln(CAST(neg + 1 AS DOUBLE)
+                     / CAST(n + v AS DOUBLE))))::BIGINT AS iv_term_micro
+              FROM tot
+            )
+            SELECT feature, pos, neg, woe_micro, iv_term_micro,
+                   sum(iv_term_micro) OVER ()::BIGINT AS iv_total_micro
+            FROM scored
+        """,
+        # effect_size: exact integer moments, the d/g doubles mirror the
+        # Spark expression tree operation-for-operation
+        "effect_size": """
+            WITH g AS (
+              SELECT source AS grp, count(*)::BIGINT AS n,
+                     sum(n_chars)::BIGINT AS s,
+                     sum(n_chars * n_chars)::BIGINT AS s2
+              FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL
+              GROUP BY 1
+            ),
+            t AS (
+              SELECT grp, n, s, s2,
+                     (sum(n) OVER ())::BIGINT - n AS rn,
+                     (sum(s) OVER ())::BIGINT - s AS rs,
+                     (sum(s2) OVER ())::BIGINT - s2 AS rs2
+              FROM g
+            )
+            SELECT grp, n,
+              ((1000000 * s) // n)::BIGINT AS mean_micro,
+              CASE WHEN n >= 2 AND rn >= 2 THEN
+                floor(1000.0 * (((CAST(s AS DOUBLE) / n)
+                    - (CAST(rs AS DOUBLE) / rn))
+                  / sqrt(((n - 1) * ((s2 - CAST(s AS DOUBLE)
+                        * (CAST(s AS DOUBLE) / n)) / (n - 1))
+                      + (rn - 1) * ((rs2 - CAST(rs AS DOUBLE)
+                        * (CAST(rs AS DOUBLE) / rn)) / (rn - 1)))
+                    / (n + rn - 2))))::BIGINT END AS d_milli,
+              CASE WHEN n >= 2 AND rn >= 2 THEN
+                floor(1000.0 * (((CAST(s AS DOUBLE) / n)
+                    - (CAST(rs AS DOUBLE) / rn))
+                  / sqrt(((n - 1) * ((s2 - CAST(s AS DOUBLE)
+                        * (CAST(s AS DOUBLE) / n)) / (n - 1))
+                      + (rn - 1) * ((rs2 - CAST(rs AS DOUBLE)
+                        * (CAST(rs AS DOUBLE) / rn)) / (rn - 1)))
+                    / (n + rn - 2)))
+                  * (1.0 - 3.0 / (4.0 * (n + rn) - 9.0)))::BIGINT
+                END AS g_milli
+            FROM t
+        """,
+        # krippendorff_alpha: coincidence formulation, integer-exact
+        "krippendorff_alpha": """
+            WITH ratings AS (
+              SELECT doc_id::VARCHAR AS u,
+                     (n_chars >= 350)::VARCHAR AS v FROM documents
+              UNION ALL
+              SELECT doc_id::VARCHAR, (n_chars >= 400)::VARCHAR
+              FROM documents
+              UNION ALL
+              SELECT doc_id::VARCHAR, (n_chars >= 450)::VARCHAR
+              FROM documents
+            ),
+            cells AS (
+              SELECT u, v, count(*)::BIGINT AS nc
+              FROM ratings GROUP BY 1, 2
+            ),
+            per_unit AS (
+              SELECT u, sum(nc)::BIGINT AS m,
+                     sum(nc * nc)::BIGINT AS sq
+              FROM cells GROUP BY 1 HAVING sum(nc) >= 2
+            ),
+            pu AS (
+              SELECT u, m,
+                     ((1000000 * (m * m - sq)) // (m - 1))::BIGINT AS o_u
+              FROM per_unit
+            ),
+            o AS (
+              SELECT count(*)::BIGINT AS n_units,
+                     sum(m)::BIGINT AS n_ratings,
+                     sum(o_u)::BIGINT AS o_micro
+              FROM pu
+            ),
+            margins AS (
+              SELECT v, sum(nc)::BIGINT AS nm
+              FROM cells JOIN pu USING (u) GROUP BY 1
+            ),
+            e AS (
+              SELECT ((1000000 * (sum(nm) * sum(nm) - sum(nm * nm)))
+                       // (sum(nm) - 1))::BIGINT AS e_micro
+              FROM margins
+            )
+            SELECT n_units, n_ratings, o_micro, e_micro,
+                   CASE WHEN e_micro >= 100 THEN
+                     10000 - (10000 * (o_micro // 100))
+                       // (e_micro // 100) END::BIGINT AS alpha_bp
+            FROM o CROSS JOIN e
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -285,6 +285,10 @@ HEADLINE = [
     "padding_plan",
     "conformal_gate",
     "hard_negatives",
+    "cusum_changepoint",
+    "woe_iv",
+    "effect_size",
+    "krippendorff_alpha",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -1097,3 +1097,94 @@ def runs_test(
         .cast("long")
         .alias("z2_milli"),
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    h_bp: int = 30000,
+) -> DataFrame:
+    """Two-sided CUSUM change detection on per-group daily counts —
+    the drift alarm `rate_anomalies` can't raise: a z-score test sees
+    each day alone, so a level shift of +0.5σ/day never trips it,
+    while the CUSUM accumulates small same-signed deviations until the
+    sum itself is undeniable (Page 1954). The crawl-ops question it
+    answers: "did this event stream's BASE RATE move, and when?" —
+    recrawl-policy and frontier-budget changes show up here first.
+
+    The textbook recursion ``S_t = max(0, S_{t-1} + (x_t − k))`` looks
+    window-hostile, but it is exactly the prefix-sum identity
+    ``S_t = P_t − min(P_0..P_t)`` with ``P_0 = 0`` — so both one-sided
+    CUSUMs are two plain windows (running sum + running extreme) per
+    group: no recursion, no UDF, single shuffle on the group key.
+
+    Integer-exact: reference ``k_micro = (10⁶·Σx) div n_days`` (the
+    group's own mean daily count — the in-control level), deviations
+    ``d_t = 10⁶·x_t − k_micro``, prefix sums and running extremes all
+    BIGINT. Alarm threshold ``h_micro = (h_bp · k_micro) div 10⁴`` —
+    h expressed in units of the mean (default 3× mean, a deliberately
+    coarse "the level really moved" bar). Non-negative divisions only
+    (Σx, k_micro ≥ 0), so Spark's truncating ``div`` equals DuckDB's
+    floor ``//``.
+
+    Returns one row per (group, day): ``(grp, epoch_day, n_events,
+    cusum_up_micro, cusum_down_micro, alarm)`` — alarm ∈ {-1, 0, 1}
+    (down-shift, in-control, up-shift; up wins a same-day tie).
+
+    Scale: one (group, day) combinable count rollup is the only
+    full-size shuffle; the windows run on the tiny per-day table.
+    Days with zero events contribute no row (observed-days basis,
+    same policy as `rate_anomalies`).
+    """
+    if h_bp < 1:
+        raise ValueError(f"cusum_changepoint needs h_bp >= 1, got {h_bp}")
+    daily = (
+        ensure_parallelism(events)
+        .select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("epoch_day"),
+        )
+        .groupBy("grp", "epoch_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    wg = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wrun = (
+        Window.partitionBy("grp")
+        .orderBy("epoch_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_k = (
+        daily.withColumn("_sx", F.sum("n_events").over(wg).cast("long"))
+        .withColumn("_nd", F.count(F.lit(1)).over(wg).cast("long"))
+        .withColumn("_k", F.expr("(1000000 * _sx) div _nd").cast("long"))
+    )
+    pref = with_k.withColumn(
+        "_d", F.lit(1000000) * F.col("n_events") - F.col("_k")
+    ).withColumn("_p", F.sum("_d").over(wrun).cast("long"))
+    cus = pref.withColumn(
+        "_pmin", F.least(F.lit(0).cast("long"), F.min("_p").over(wrun))
+    ).withColumn(
+        "_pmax", F.greatest(F.lit(0).cast("long"), F.max("_p").over(wrun))
+    ).withColumn(
+        "cusum_up_micro", (F.col("_p") - F.col("_pmin")).cast("long")
+    ).withColumn(
+        "cusum_down_micro", (F.col("_pmax") - F.col("_p")).cast("long")
+    )
+    h = F.expr(f"({int(h_bp)} * _k) div 10000")
+    return cus.select(
+        "grp",
+        "epoch_day",
+        "n_events",
+        "cusum_up_micro",
+        "cusum_down_micro",
+        F.when(F.col("cusum_up_micro") > h, F.lit(1))
+        .when(F.col("cusum_down_micro") > h, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("alarm"),
+    )

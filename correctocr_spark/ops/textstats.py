@@ -4523,3 +4523,249 @@ def conformal_threshold(
         .cast("long")
         .alias("threshold"),
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Weight-of-evidence + information value of a categorical facet
+    against a binary label — the credit-scoring feature screen applied
+    to corpus curation: "how much does knowing the source tell me
+    about whether a doc passes the quality gate, and WHICH categories
+    carry the signal?" `contingency_chi2` answers "is there any
+    association"; WOE/IV ranks the categories and yields the standard
+    keep/drop screen (IV < 0.02 → facet is noise, > 0.3 → strong).
+
+    ``woe_c = ln((pos_c+1)/(P+V)) − ln((neg_c+1)/(N+V))`` with +1/V
+    Laplace smoothing (V = #categories) so empty cells stay finite;
+    the IV term is ``((pos_c+1)/(P+V) − (neg_c+1)/(N+V))·woe_c``.
+    Each statistic quantizes ONCE to integer micro units (the module's
+    entropy_rate discipline: a single floor of a fixed double
+    expression built from exact integer counts, then integer sums —
+    no float accumulation). NULL facet/label rows are excluded.
+
+    Returns per category: ``(feature, pos, neg, woe_micro,
+    iv_term_micro, iv_total_micro)`` — iv_total repeated per row via
+    an unbounded window so the screen threshold reads off any row.
+
+    Scale: one (feature, label) cell rollup; everything downstream
+    runs on the ≤V-row cell table.
+    """
+    cells = (
+        ensure_parallelism(df)
+        .where(F.col(feature_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(feature_col).cast("string").alias("feature"))
+        .agg(
+            F.sum(F.when(F.col(label_col).cast("boolean"), 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+            F.sum(F.when(F.col(label_col).cast("boolean"), 0).otherwise(1))
+            .cast("long")
+            .alias("neg"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = (
+        cells.withColumn("_P", F.sum("pos").over(wall).cast("long"))
+        .withColumn("_N", F.sum("neg").over(wall).cast("long"))
+        .withColumn("_V", F.count(F.lit(1)).over(wall).cast("long"))
+    )
+    p_pos = "(CAST(pos + 1 AS DOUBLE) / CAST(_P + _V AS DOUBLE))"
+    p_neg = "(CAST(neg + 1 AS DOUBLE) / CAST(_N + _V AS DOUBLE))"
+    woe = f"(ln({p_pos}) - ln({p_neg}))"
+    scored = tot.withColumn(
+        "woe_micro",
+        F.expr(f"CAST(floor(1000000.0 * {woe}) AS BIGINT)"),
+    ).withColumn(
+        "iv_term_micro",
+        F.expr(
+            f"CAST(floor(1000000.0 * ({p_pos} - {p_neg}) * {woe}) AS BIGINT)"
+        ),
+    )
+    return scored.select(
+        "feature",
+        "pos",
+        "neg",
+        "woe_micro",
+        "iv_term_micro",
+        F.sum("iv_term_micro").over(wall).cast("long").alias("iv_total_micro"),
+    )
+
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One-vs-rest Cohen's d (+ Hedges' g small-sample correction) per
+    group — the EFFECT-SIZE companion to `mannwhitney`/`gate_rate_ztest`:
+    those answer "is the difference real?", this answers "is it BIG
+    ENOUGH to matter?" — at corpus scale every difference is
+    significant, so the curation decision ("does this source's doc
+    length actually differ from the rest of the corpus?") rides on d,
+    not p.
+
+    ``d = (mean_g − mean_rest) / s_pooled`` with the pooled unbiased
+    variance ``s² = ((n₁−1)s₁² + (n₂−1)s₂²)/(n₁+n₂−2)``; Hedges'
+    ``g = d·(1 − 3/(4m−9))``, m = n₁+n₂. Group moments come from
+    exact integer ``(n, Σx, Σx²)`` — the rest-side moments are the
+    grand totals minus the group's (one rollup, no second scan). The
+    final statistics are fixed double expressions over those integers,
+    each quantized ONCE to milli units (floor). Groups with n < 2 on
+    either side emit NULL d (undefined variance).
+
+    Returns ``(grp, n, mean_micro, d_milli, g_milli)``.
+
+    Scale: one combinable (group) rollup; the one-vs-rest algebra runs
+    on the tiny per-group table via unbounded-window grand totals.
+    """
+    g = (
+        ensure_parallelism(df)
+        .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_v").cast("long").alias("_s"),
+            F.sum(F.col("_v") * F.col("_v")).cast("long").alias("_s2"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = (
+        g.withColumn("_tn", F.sum("n").over(wall).cast("long"))
+        .withColumn("_ts", F.sum("_s").over(wall).cast("long"))
+        .withColumn("_ts2", F.sum("_s2").over(wall).cast("long"))
+        .withColumn("_rn", F.col("_tn") - F.col("n"))
+        .withColumn("_rs", F.col("_ts") - F.col("_s"))
+        .withColumn("_rs2", F.col("_ts2") - F.col("_s2"))
+    )
+    m1 = "(CAST(_s AS DOUBLE) / n)"
+    m2 = "(CAST(_rs AS DOUBLE) / _rn)"
+    v1 = f"((_s2 - CAST(_s AS DOUBLE) * {m1}) / (n - 1))"
+    v2 = f"((_rs2 - CAST(_rs AS DOUBLE) * {m2}) / (_rn - 1))"
+    sp = f"sqrt(((n - 1) * {v1} + (_rn - 1) * {v2}) / (n + _rn - 2))"
+    d = f"(({m1} - {m2}) / {sp})"
+    corr = "(1.0 - 3.0 / (4.0 * (n + _rn) - 9.0))"
+    return t.select(
+        "grp",
+        "n",
+        F.expr("(1000000 * _s) div n").cast("long").alias("mean_micro"),
+        F.when(
+            (F.col("n") >= 2) & (F.col("_rn") >= 2),
+            F.expr(f"CAST(floor(1000.0 * {d}) AS BIGINT)"),
+        ).alias("d_milli"),
+        F.when(
+            (F.col("n") >= 2) & (F.col("_rn") >= 2),
+            F.expr(f"CAST(floor(1000.0 * {d} * {corr}) AS BIGINT)"),
+        ).alias("g_milli"),
+    )
+
+
+def krippendorff_alpha(
+    ratings: DataFrame,
+    unit_col: str,
+    rater_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) over a long-format
+    ``(unit, rater, value)`` table — the agreement statistic
+    `agreement_kappa` can't be: kappa needs exactly two raters and
+    complete data; alpha handles ANY number of raters and missing
+    ratings (units rated by ≥2 raters count, weighted by coverage),
+    which is what a real annotation pass over a web corpus looks like.
+
+    Coincidence formulation: within each unit u with m_u ≥ 2 ratings,
+    the disagreeing-pair mass is ``Σ_{c≠c'} n_uc·n_uc' / (m_u−1)``
+    = ``(m_u² − Σ_c n_uc²) / (m_u−1)``; observed disagreement
+    ``O = Σ_u`` of that, expected ``E = Σ_{c≠c'} n_c·n_c' / (n−1)``
+    = ``(n² − Σ_c n_c²)/(n−1)`` over the pooled value margins, and
+    ``alpha = 1 − O/E``. Per-unit terms are EXACT integer division
+    scaled to micro (numerator 10⁶·(m²−Σn²) is non-negative, so
+    truncation = floor = the DuckDB twin); O and E are integer sums
+    of those — no float anywhere; ``alpha_bp = 10⁴ − (10⁴·(O_micro
+    div 100)·(n−1)) div (E_raw div 100) ... `` computed with
+    pre-scaled operands to stay within BIGINT.
+
+    Returns one row: ``(n_units, n_ratings, o_micro, e_micro,
+    alpha_bp)``. Units with a single rating are dropped (no pair, no
+    evidence — the canonical treatment).
+
+    Scale: one (unit, value) cell rollup (the only full-size shuffle),
+    then per-unit aggregation on the cell table; margins broadcast.
+    """
+    cells = (
+        ensure_parallelism(ratings)
+        .where(
+            F.col(unit_col).isNotNull()
+            & F.col(rater_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(unit_col).cast("string").alias("_u"),
+            F.col(value_col).cast("string").alias("_c"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_nc"))
+    )
+    per_unit = (
+        cells.groupBy("_u")
+        .agg(
+            F.sum("_nc").cast("long").alias("_m"),
+            F.sum(F.col("_nc") * F.col("_nc")).cast("long").alias("_sq"),
+        )
+        .where(F.col("_m") >= 2)
+        .select(
+            "_u",
+            "_m",
+            F.expr("(1000000 * (_m * _m - _sq)) div (_m - 1)")
+            .cast("long")
+            .alias("_o_u"),
+        )
+    )
+    o_tot = per_unit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("_m").cast("long").alias("n_ratings"),
+        F.sum("_o_u").cast("long").alias("o_micro"),
+    )
+    kept_units = per_unit.select("_u")
+    margins = (
+        cells.join(F.broadcast(kept_units), on="_u")
+        .groupBy("_c")
+        .agg(F.sum("_nc").cast("long").alias("_nm"))
+    )
+    e_parts = margins.agg(
+        F.sum("_nm").cast("long").alias("_n"),
+        F.sum(F.col("_nm") * F.col("_nm")).cast("long").alias("_nsq"),
+    )
+    return (
+        o_tot.crossJoin(F.broadcast(e_parts))
+        .select(
+            "n_units",
+            "n_ratings",
+            "o_micro",
+            F.expr("(1000000 * (_n * _n - _nsq)) div (_n - 1)")
+            .cast("long")
+            .alias("e_micro"),
+        )
+        .select(
+            "n_units",
+            "n_ratings",
+            "o_micro",
+            "e_micro",
+            F.when(
+                F.col("e_micro") >= 100,
+                F.lit(10000)
+                - F.expr("(10000 * (o_micro div 100)) div (e_micro div 100)"),
+            )
+            .cast("long")
+            .alias("alpha_bp"),
+        )
+    )

@@ -666,6 +666,18 @@ def test_oracled_queries_precede_rows_only():
         # hard negatives — the ann_bruteforce cosine/window core with
         # a label!= filter
         "hard_negatives",
+        # CUSUM level shift — the rate_anomalies daily-count rollup
+        # with running-sum/extreme windows (seasonality family)
+        "cusum_changepoint",
+        # WOE/IV facet screen — the theils_u/contingency_chi2 cell
+        # rollup with micro-floored ln terms
+        "woe_iv",
+        # one-vs-rest Cohen's d — gate_rate_ztest's integer-moments
+        # family with unbounded-window grand totals
+        "effect_size",
+        # Krippendorff alpha — agreement_kappa's coincidence counting
+        # generalized to 3 raters, integer-exact
+        "krippendorff_alpha",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -4978,6 +4978,48 @@ def q_krippendorff(spark, sf_dir):
     return krippendorff_alpha(ratings, "unit", "rater", "value")
 
 
+def q_ewma_control(spark, sf_dir):
+    """EWMA control chart on per-event-type daily counts — exact
+    rational weights over a 16-day trailing window."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import ewma_control
+
+    return ewma_control(_t(spark, sf_dir, "events"), "event_type", "ts")
+
+
+def q_cliffs_delta(spark, sf_dir):
+    """One-vs-rest Cliff's delta of doc length per lang — ordinal
+    effect size via distinct-value pair counting."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import cliffs_delta
+
+    return cliffs_delta(_t(spark, sf_dir, "documents"), "n_chars", "lang")
+
+
+def q_sample_size(spark, sf_dir):
+    """Two-proportion power plan per lang for the length gate —
+    z constants as integer micro units, one ceil."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import sample_size_plan
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "gate", F.col("n_chars") >= 400
+    )
+    return sample_size_plan(d, "gate", "lang")
+
+
+def q_best_split(spark, sf_dir):
+    """Exact Gini decision stump: label-optimal length threshold for
+    lang=en — cumulative counts, one micro-floor per candidate."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import best_split
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    return best_split(d, "n_chars", "is_en")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5648,6 +5690,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effect_size": q_effect_size,
         # Krippendorff's alpha, nominal, 3 threshold annotators
         "krippendorff_alpha": q_krippendorff,
+        # EWMA control chart, exact rational weights, 16-day window
+        "ewma_control": q_ewma_control,
+        # one-vs-rest Cliff's delta (ordinal effect size)
+        "cliffs_delta": q_cliffs_delta,
+        # two-proportion sample-size / power plan
+        "sample_size_plan": q_sample_size,
+        # exact Gini decision stump (label-optimal threshold)
+        "best_split": q_best_split,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -5675,6 +5725,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _WORDS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+#: EWMA oracle pieces — the same exact rational weights the Spark op
+#: uses (lag i carries 3^(i-1)·4^(16-i); Σw = 4^16 − 3^16), generated
+#: here so op and oracle can never drift apart
+_EWMA_LAGS = ",\n                     ".join(
+    f"lag(n_events, {i}) OVER w AS l{i}" for i in range(1, 17)
+)
+_EWMA_NUM = " + ".join(
+    f"({3 ** (i - 1) * 4 ** (16 - i)} * l{i})" for i in range(1, 17)
+)
+_EWMA_DENOM = 4**16 - 3**16
 
 #: shared DSIR CTE chain (dims=1024, add-1 smoothing, target = ids ≡ 0
 #: mod 7): hashed unigram+bigram buckets for raw and target, bucket
@@ -13026,6 +13087,177 @@ FROM documents)
                      10000 - (10000 * (o_micro // 100))
                        // (e_micro // 100) END::BIGINT AS alpha_bp
             FROM o CROSS JOIN e
+        """,
+        # ewma_control: exact rational 16-lag weights (shared constants
+        # above), magnitude-floored signed z
+        "ewma_control": f"""
+            WITH daily AS (
+              SELECT event_type AS grp,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS epoch_day,
+                     count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1, 2
+            ),
+            lagged AS (
+              SELECT grp, epoch_day, n_events,
+                     {_EWMA_LAGS},
+                     count(n_events) OVER wt AS k,
+                     sum(n_events) OVER wt::BIGINT AS s,
+                     sum(n_events * n_events) OVER wt::BIGINT AS s2
+              FROM daily
+              WINDOW w AS (PARTITION BY grp ORDER BY epoch_day),
+                     wt AS (PARTITION BY grp ORDER BY epoch_day
+                            ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)
+            ),
+            f AS (
+              SELECT grp, epoch_day, n_events,
+                     ((1000 * ({_EWMA_NUM})) // {_EWMA_DENOM})::BIGINT
+                       AS ewma_milli,
+                     greatest(CAST(floor(sqrt(CAST(
+                       (16 * s2 - s * s) // 256 AS DOUBLE))) AS BIGINT),
+                       1) AS std
+              FROM lagged WHERE k = 16
+            )
+            SELECT grp, epoch_day, n_events, ewma_milli,
+                   (CASE WHEN 1000 * n_events - ewma_milli >= 0
+                         THEN (1000 * n_events - ewma_milli) // std
+                         ELSE -((-(1000 * n_events - ewma_milli)) // std)
+                    END)::BIGINT AS z_milli
+            FROM f
+        """,
+        # cliffs_delta: distinct-value pair counting, split-floored
+        # delta (each div numerator non-negative)
+        "cliffs_delta": """
+            WITH vals AS (
+              SELECT lang AS grp, n_chars AS v, count(*)::BIGINT AS c
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            allv AS (SELECT v, sum(c)::BIGINT AS ca FROM vals GROUP BY 1),
+            allcum AS (
+              SELECT v, ca,
+                     coalesce(sum(ca) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS all_below,
+                     sum(ca) OVER ()::BIGINT AS all_n
+              FROM allv
+            ),
+            g AS (
+              SELECT grp, v, c,
+                     coalesce(sum(c) OVER (PARTITION BY grp ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS own_below,
+                     sum(c) OVER (PARTITION BY grp)::BIGINT AS n_g
+              FROM vals
+            ),
+            per AS (
+              SELECT grp, c, n_g, all_n - n_g AS n_r,
+                     all_below - own_below AS rb,
+                     (all_n - all_below - ca)
+                       - (n_g - own_below - c) AS ra
+              FROM g JOIN allcum USING (v)
+            )
+            SELECT grp, max(n_g)::BIGINT AS n, max(n_r)::BIGINT AS n_rest,
+                   sum(c * rb)::BIGINT AS gt_pairs,
+                   sum(c * ra)::BIGINT AS lt_pairs,
+                   (CASE WHEN max(n_g) > 0 AND max(n_r) > 0 THEN
+                      (1000 * sum(c * rb)) // (max(n_g) * max(n_r))
+                      - (1000 * sum(c * ra)) // (max(n_g) * max(n_r))
+                    END)::BIGINT AS delta_milli
+            FROM per GROUP BY 1
+        """,
+        # sample_size_plan: the normal-approximation two-proportion n,
+        # z constants entering via a single /1e6
+        "sample_size_plan": """
+            WITH g AS (
+              SELECT lang AS grp,
+                     sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0
+                         END)::BIGINT AS pos,
+                     count(*)::BIGINT AS n
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+              GROUP BY 1
+            ),
+            t AS (
+              SELECT grp, pos, n,
+                     (sum(pos) OVER ())::BIGINT - pos AS pos_rest,
+                     (sum(n) OVER ())::BIGINT - n AS n_rest
+              FROM g
+            )
+            SELECT grp, pos, n, pos_rest, n_rest,
+              CASE WHEN n_rest > 0 AND pos * n_rest <> pos_rest * n THEN
+                CAST(ceil((((CAST(1959964 AS DOUBLE) / 1000000.0)
+                    * sqrt(2.0 * (CAST(pos + pos_rest AS DOUBLE)
+                        / CAST(n + n_rest AS DOUBLE))
+                      * (1.0 - (CAST(pos + pos_rest AS DOUBLE)
+                        / CAST(n + n_rest AS DOUBLE))))
+                  + (CAST(841621 AS DOUBLE) / 1000000.0)
+                    * sqrt((CAST(pos AS DOUBLE) / n)
+                        * (1.0 - (CAST(pos AS DOUBLE) / n))
+                      + (CAST(pos_rest AS DOUBLE) / n_rest)
+                        * (1.0 - (CAST(pos_rest AS DOUBLE) / n_rest))))
+                  * ((CAST(1959964 AS DOUBLE) / 1000000.0)
+                    * sqrt(2.0 * (CAST(pos + pos_rest AS DOUBLE)
+                        / CAST(n + n_rest AS DOUBLE))
+                      * (1.0 - (CAST(pos + pos_rest AS DOUBLE)
+                        / CAST(n + n_rest AS DOUBLE))))
+                  + (CAST(841621 AS DOUBLE) / 1000000.0)
+                    * sqrt((CAST(pos AS DOUBLE) / n)
+                        * (1.0 - (CAST(pos AS DOUBLE) / n))
+                      + (CAST(pos_rest AS DOUBLE) / n_rest)
+                        * (1.0 - (CAST(pos_rest AS DOUBLE) / n_rest)))))
+                  / (((CAST(pos AS DOUBLE) / n)
+                      - (CAST(pos_rest AS DOUBLE) / n_rest))
+                    * ((CAST(pos AS DOUBLE) / n)
+                      - (CAST(pos_rest AS DOUBLE) / n_rest))))
+                  AS BIGINT) END AS n_per_arm
+            FROM t
+        """,
+        # best_split: cumulative label counts on the distinct-value
+        # table, one micro-floor per candidate, deterministic argmin
+        "best_split": """
+            WITH vals AS (
+              SELECT n_chars AS v,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0
+                         END)::BIGINT AS p,
+                     sum(CASE WHEN lang = 'en' THEN 0 ELSE 1
+                         END)::BIGINT AS q
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+              GROUP BY 1
+            ),
+            cum AS (
+              SELECT v,
+                     sum(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW)::BIGINT AS pos_left,
+                     sum(q) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW)::BIGINT AS neg_left,
+                     sum(p) OVER ()::BIGINT AS tp,
+                     sum(q) OVER ()::BIGINT AS tq
+              FROM vals
+            ),
+            sc AS (
+              SELECT v, pos_left, neg_left,
+                     tp - pos_left AS pos_right,
+                     tq - neg_left AS neg_right,
+                     pos_left + neg_left AS ml,
+                     (tp - pos_left) + (tq - neg_left) AS mr
+              FROM cum
+            ),
+            scored AS (
+              SELECT v, pos_left, neg_left, pos_right, neg_right,
+                floor(1000000.0 * (CAST(ml * ml - pos_left * pos_left
+                      - neg_left * neg_left AS DOUBLE)
+                    / (CAST(ml + mr AS DOUBLE) * ml)
+                  + CAST(mr * mr - pos_right * pos_right
+                      - neg_right * neg_right AS DOUBLE)
+                    / (CAST(ml + mr AS DOUBLE) * mr)))::BIGINT
+                  AS impurity_micro
+              FROM sc WHERE mr > 0
+            )
+            SELECT v AS threshold, impurity_micro, pos_left, neg_left,
+                   pos_right, neg_right
+            FROM scored ORDER BY impurity_micro, v LIMIT 1
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -289,6 +289,10 @@ HEADLINE = [
     "woe_iv",
     "effect_size",
     "krippendorff_alpha",
+    "ewma_control",
+    "cliffs_delta",
+    "sample_size_plan",
+    "best_split",
     "bpe_token_counts",
     "extraction_blocks",
 ]

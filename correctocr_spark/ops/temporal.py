@@ -1188,3 +1188,99 @@ def cusum_changepoint(
         .cast("int")
         .alias("alarm"),
     )
+
+
+def ewma_control(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EWMA control chart on per-group daily counts — the THIRD member
+    of the monitoring triad: `rate_anomalies` (single-day z spike),
+    `cusum_changepoint` (sustained level shift), and this — a
+    geometrically-weighted forecast of today's level from the last 16
+    observed days, λ = 1/4, flagging days whose count deviates from
+    the forecast in units of the trailing std. The EWMA reacts faster
+    than CUSUM to medium shifts and is less twitchy than a raw z.
+
+    Exactness: a truncated-and-renormalized EWMA over exactly 16
+    preceding observed days (not calendar days — sparse-group policy
+    of `rate_anomalies`), with EXACT rational weights: lag i (1 = most
+    recent) carries ``w_i = 3^(i−1)·4^(16−i)``, and ``Σw = 4^16 − 3^16
+    = 4251920575`` — so ``ewma_milli = (1000·Σ w_i·x_{t−i}) div Σw``
+    is pure BIGINT (numerator ≤ 10³·Σw·max_count, safe far past any
+    daily count). Deviation ``dev_milli = 1000·x_t − ewma_milli``;
+    trailing std via the integer-moments rule over the same 16 days;
+    ``z_milli`` floors the MAGNITUDE then restores the sign, so every
+    integer division has a non-negative numerator (truncation ==
+    floor == the DuckDB twin — negative ``div`` disagrees between
+    engines and is never evaluated here).
+
+    Returns ``(grp, epoch_day, n_events, ewma_milli, z_milli)`` for
+    days with a full 16-day history.
+
+    Scale: one (group, day) combinable count rollup is the only
+    full-size shuffle; the 16 lag() reads are one sorted window pass
+    over the tiny per-day table.
+    """
+    daily = (
+        ensure_parallelism(events)
+        .select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("epoch_day"),
+        )
+        .groupBy("grp", "epoch_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("grp").orderBy("epoch_day")
+    wtrail = (
+        Window.partitionBy("grp")
+        .orderBy("epoch_day")
+        .rowsBetween(-16, -1)
+    )
+    lagged = daily
+    for i in range(1, 17):
+        lagged = lagged.withColumn(f"_l{i}", F.lag("n_events", i).over(w))
+    num = " + ".join(
+        f"({3 ** (i - 1)} * {4 ** (16 - i)} * _l{i})" for i in range(1, 17)
+    )
+    denom = 4**16 - 3**16
+    stats = (
+        lagged.withColumn("_k", F.count("n_events").over(wtrail).cast("long"))
+        .withColumn("_s", F.sum("n_events").over(wtrail).cast("long"))
+        .withColumn(
+            "_s2",
+            F.sum(F.col("n_events") * F.col("n_events"))
+            .over(wtrail)
+            .cast("long"),
+        )
+        .where(F.col("_k") == 16)
+        .withColumn(
+            "ewma_milli",
+            F.expr(f"(1000 * ({num})) div {denom}").cast("long"),
+        )
+        .withColumn(
+            "_dev", F.lit(1000) * F.col("n_events") - F.col("ewma_milli")
+        )
+        .withColumn(
+            "_std",
+            F.expr(
+                "greatest(CAST(floor(sqrt(CAST("
+                "(16 * _s2 - _s * _s) div 256 AS DOUBLE))) AS BIGINT), 1)"
+            ),
+        )
+    )
+    return stats.select(
+        "grp",
+        "epoch_day",
+        "n_events",
+        "ewma_milli",
+        F.expr(
+            "CASE WHEN _dev >= 0 THEN _dev div _std "
+            "ELSE -((-_dev) div _std) END"
+        )
+        .cast("long")
+        .alias("z_milli"),
+    )

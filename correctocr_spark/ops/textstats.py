@@ -4769,3 +4769,276 @@ def krippendorff_alpha(
             .alias("alpha_bp"),
         )
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One-vs-rest Cliff's delta per group — the ORDINAL effect size:
+    `cohens_d` presumes the means tell the story (ruined by heavy
+    tails, which web doc lengths always have); `mannwhitney` gives a
+    p-value but not a magnitude. Cliff's δ = P(x_g > x_rest) −
+    P(x_g < x_rest) is the probability-of-superiority difference —
+    robust, bounded [−1, 1], the standard "negligible/small/medium/
+    large" ladder at |δ| = 0.147/0.33/0.474.
+
+    Pair counting runs on the DISTINCT-value table (never the raw
+    pairs): per (group, value) with count ``c_g``, the rest-side mass
+    strictly below/above comes from two cumulative windows — a global
+    one over all groups and a per-group one — subtracted
+    (``rest_below = all_below − own_below``); then ``gt = Σ c_g ·
+    rest_below``, ``lt = Σ c_g · rest_above``. Both numerators are
+    non-negative, so ``delta_milli = (1000·gt) div (n_g·n_r) −
+    (1000·lt) div (n_g·n_r)`` floors each side separately (negative
+    ``div`` disagrees between engines and is never evaluated; the ≤
+    2/1000 split-floor bias is documented here and identical in the
+    oracle).
+
+    Returns ``(grp, n, n_rest, gt_pairs, lt_pairs, delta_milli)``.
+
+    Scale: one (group, value) combinable rollup; the windows run on
+    the distinct-value table (≤ groups × distinct values rows) — the
+    O(n²) pair space is never materialized.
+    """
+    vals = (
+        ensure_parallelism(df)
+        .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .groupBy("grp", "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    # global per-value mass, joined back so each (grp, v) row sees the
+    # all-groups cumulative at its own value
+    allv = vals.groupBy("_v").agg(F.sum("_c").cast("long").alias("_ca"))
+    wa = (
+        Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot_a = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    allcum = allv.select(
+        "_v",
+        "_ca",
+        F.coalesce(F.sum("_ca").over(wa), F.lit(0))
+        .cast("long")
+        .alias("_all_below"),
+        F.sum("_ca").over(wtot_a).cast("long").alias("_all_n"),
+    )
+    wg = (
+        Window.partitionBy("grp")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot_g = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per = (
+        vals.select(
+            "grp",
+            "_v",
+            "_c",
+            F.coalesce(F.sum("_c").over(wg), F.lit(0))
+            .cast("long")
+            .alias("_own_below"),
+            F.sum("_c").over(wtot_g).cast("long").alias("_n_g"),
+        )
+        .join(F.broadcast(allcum), on="_v")
+        .select(
+            "grp",
+            "_c",
+            "_n_g",
+            (F.col("_all_n") - F.col("_n_g")).alias("_n_r"),
+            (F.col("_all_below") - F.col("_own_below")).alias("_rb"),
+            (
+                (F.col("_all_n") - F.col("_all_below") - F.col("_ca"))
+                - (F.col("_n_g") - F.col("_own_below") - F.col("_c"))
+            ).alias("_ra"),
+        )
+    )
+    return (
+        per.groupBy("grp")
+        .agg(
+            F.max("_n_g").cast("long").alias("n"),
+            F.max("_n_r").cast("long").alias("n_rest"),
+            F.sum(F.col("_c") * F.col("_rb")).cast("long").alias("gt_pairs"),
+            F.sum(F.col("_c") * F.col("_ra")).cast("long").alias("lt_pairs"),
+        )
+        .select(
+            "grp",
+            "n",
+            "n_rest",
+            "gt_pairs",
+            "lt_pairs",
+            F.when(
+                (F.col("n") > 0) & (F.col("n_rest") > 0),
+                F.expr("(1000 * gt_pairs) div (n * n_rest)")
+                - F.expr("(1000 * lt_pairs) div (n * n_rest)"),
+            )
+            .cast("long")
+            .alias("delta_milli"),
+        )
+    )
+
+
+def sample_size_plan(
+    df: DataFrame,
+    label_col: str,
+    group_col: str,
+    alpha_z_micro: int = 1_959_964,
+    power_z_micro: int = 841_621,
+) -> DataFrame:
+    """Two-proportion sample-size (power) plan per group — the A/B
+    harness question every curation-gate change raises: "how many docs
+    per arm must the next experiment sample to DETECT the gate-rate
+    difference this group already shows vs the rest of the corpus, at
+    α = 5% two-sided and 80% power?" Groups whose observed lift needs
+    more samples than the corpus holds are not worth testing — the
+    planning twin of `gate_rate_ztest`'s after-the-fact verdict.
+
+    ``n/arm = ceil((z_α·√(2·p̄·(1−p̄)) + z_β·√(p₁(1−p₁)+p₂(1−p₂)))²
+    / (p₁−p₂)²)`` — the classic normal-approximation formula; z values
+    arrive as integer micro units (defaults: 1.959964 ≈ z₀.₀₂₅,
+    0.841621 ≈ z₀.₂₀) and enter the double expression via a single
+    ``/1e6``. Proportions are exact integer counts over exact totals;
+    the whole formula is one fixed double expression, ceil'd once.
+    Groups with p₁ = p₂ (zero observed lift) emit NULL — no effect, no
+    finite n.
+
+    Returns ``(grp, pos, n, pos_rest, n_rest, n_per_arm)``.
+
+    Scale: one combinable (group, label) rollup; the algebra runs on
+    the tiny per-group table with unbounded-window grand totals.
+    """
+    g = (
+        ensure_parallelism(df)
+        .where(F.col(group_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(group_col).cast("string").alias("grp"))
+        .agg(
+            F.sum(F.when(F.col(label_col).cast("boolean"), 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = (
+        g.withColumn(
+            "pos_rest",
+            (F.sum("pos").over(wall) - F.col("pos")).cast("long"),
+        )
+        .withColumn(
+            "n_rest", (F.sum("n").over(wall) - F.col("n")).cast("long")
+        )
+    )
+    p1 = "(CAST(pos AS DOUBLE) / n)"
+    p2 = "(CAST(pos_rest AS DOUBLE) / n_rest)"
+    pbar = "(CAST(pos + pos_rest AS DOUBLE) / CAST(n + n_rest AS DOUBLE))"
+    za = f"(CAST({int(alpha_z_micro)} AS DOUBLE) / 1000000.0)"
+    zb = f"(CAST({int(power_z_micro)} AS DOUBLE) / 1000000.0)"
+    num = (
+        f"({za} * sqrt(2.0 * {pbar} * (1.0 - {pbar})) "
+        f"+ {zb} * sqrt({p1} * (1.0 - {p1}) + {p2} * (1.0 - {p2})))"
+    )
+    formula = f"ceil(({num} * {num}) / (({p1} - {p2}) * ({p1} - {p2})))"
+    return t.select(
+        "grp",
+        "pos",
+        "n",
+        "pos_rest",
+        "n_rest",
+        F.when(
+            (F.col("n_rest") > 0)
+            & (
+                F.col("pos") * F.col("n_rest")
+                != F.col("pos_rest") * F.col("n")
+            ),
+            F.expr(f"CAST({formula} AS BIGINT)"),
+        ).alias("n_per_arm"),
+    )
+
+
+def best_split(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact Gini decision stump: the single threshold on a numeric
+    feature that best separates a binary label — the 1-node version of
+    what a quality-classifier trainer does, and the exact answer to
+    "where should the length gate actually sit?" (`threshold_calibration`
+    picks a threshold for a target KEEP RATE; this picks the
+    label-OPTIMAL one).
+
+    Every candidate threshold t (each distinct feature value; split is
+    ``x ≤ t``) is scored by weighted Gini impurity ``(m_L² − pos_L² −
+    neg_L²)/(m·m_L) + (m_R² − pos_R² − neg_R²)/(m·m_R)`` — computed as
+    ONE fixed double expression over exact integer cumulative counts
+    and floored ONCE to micro units; argmin breaks ties on the smaller
+    threshold (fully deterministic). The max-value row (empty right
+    side) is excluded.
+
+    Returns one row: ``(threshold, impurity_micro, pos_left, neg_left,
+    pos_right, neg_right)``.
+
+    Scale: one (value) combinable rollup with conditional label sums,
+    one cumsum window over the distinct-value table, one global argmin
+    — the O(n·distinct) naive scoring never materializes.
+    """
+    vals = (
+        ensure_parallelism(df)
+        .where(F.col(value_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(value_col).cast("long").alias("_v"))
+        .agg(
+            F.sum(F.when(F.col(label_col).cast("boolean"), 1).otherwise(0))
+            .cast("long")
+            .alias("_p"),
+            F.sum(F.when(F.col(label_col).cast("boolean"), 0).otherwise(1))
+            .cast("long")
+            .alias("_q"),
+        )
+    )
+    wrun = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = (
+        vals.withColumn("pos_left", F.sum("_p").over(wrun).cast("long"))
+        .withColumn("neg_left", F.sum("_q").over(wrun).cast("long"))
+        .withColumn("_tp", F.sum("_p").over(wall).cast("long"))
+        .withColumn("_tq", F.sum("_q").over(wall).cast("long"))
+        .withColumn("pos_right", (F.col("_tp") - F.col("pos_left")))
+        .withColumn("neg_right", (F.col("_tq") - F.col("neg_left")))
+        .withColumn("_ml", F.col("pos_left") + F.col("neg_left"))
+        .withColumn("_mr", F.col("pos_right") + F.col("neg_right"))
+        .where(F.col("_mr") > 0)
+    )
+    gini = (
+        "(CAST(_ml * _ml - pos_left * pos_left - neg_left * neg_left"
+        " AS DOUBLE) / (CAST(_ml + _mr AS DOUBLE) * _ml)"
+        " + CAST(_mr * _mr - pos_right * pos_right - neg_right * neg_right"
+        " AS DOUBLE) / (CAST(_ml + _mr AS DOUBLE) * _mr))"
+    )
+    scored = cum.withColumn(
+        "impurity_micro",
+        F.expr(f"CAST(floor(1000000.0 * {gini}) AS BIGINT)"),
+    )
+    pick = Window.orderBy("impurity_micro", "_v")
+    return (
+        scored.withColumn("_rk", F.row_number().over(pick))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("_v").alias("threshold"),
+            "impurity_micro",
+            "pos_left",
+            "neg_left",
+            "pos_right",
+            "neg_right",
+        )
+    )

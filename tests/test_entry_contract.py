@@ -678,6 +678,18 @@ def test_oracled_queries_precede_rows_only():
         # Krippendorff alpha — agreement_kappa's coincidence counting
         # generalized to 3 raters, integer-exact
         "krippendorff_alpha",
+        # EWMA control chart — rate_anomalies' daily rollup + trailing
+        # moments with exact rational lag weights
+        "ewma_control",
+        # Cliff's delta — mannwhitney's distinct-value cumulative
+        # machinery turned into an effect size
+        "cliffs_delta",
+        # two-proportion power plan — gate_rate_ztest's cell algebra
+        # run forward (planning, not verdict)
+        "sample_size_plan",
+        # Gini decision stump — threshold_calibration's cumsum family
+        # with a label-optimal objective
+        "best_split",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -5020,6 +5020,33 @@ def q_best_split(spark, sf_dir):
     return best_split(d, "n_chars", "is_en")
 
 
+def q_anova(spark, sf_dir):
+    """One-way ANOVA of doc length across langs — micro-quantized
+    per-group SS terms, one milli-floor for F."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import anova_oneway
+
+    return anova_oneway(_t(spark, sf_dir, "documents"), "n_chars", "lang")
+
+
+def q_grubbs(spark, sf_dir):
+    """Grubbs' max-studentized-deviate per lang — exact integer
+    deviation ranking, one milli-floor for G."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import grubbs_outlier
+
+    return grubbs_outlier(_t(spark, sf_dir, "documents"), "n_chars", "lang")
+
+
+def q_fertility(spark, sf_dir):
+    """Tokenizer fertility (subtokens per word) per lang — pure
+    integer ratios over the corpus BPE-ish regex."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import tokenizer_fertility
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"), "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5698,6 +5725,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_size_plan": q_sample_size,
         # exact Gini decision stump (label-optimal threshold)
         "best_split": q_best_split,
+        # one-way ANOVA F across langs
+        "anova_oneway": q_anova,
+        # Grubbs' extreme-studentized-deviate per lang
+        "grubbs_outlier": q_grubbs,
+        # tokenizer fertility (subtokens per word) per lang
+        "tokenizer_fertility": q_fertility,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -13258,6 +13291,97 @@ FROM documents)
             SELECT v AS threshold, impurity_micro, pos_left, neg_left,
                    pos_right, neg_right
             FROM scored ORDER BY impurity_micro, v LIMIT 1
+        """,
+        # anova_oneway: per-group SS terms micro-floored then
+        # integer-summed; F is one double over the integer sums
+        "anova_oneway": """
+            WITH g AS (
+              SELECT lang AS grp, count(*)::BIGINT AS n,
+                     sum(n_chars)::BIGINT AS s,
+                     sum(n_chars * n_chars)::BIGINT AS s2
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+              GROUP BY 1
+            ),
+            terms AS (
+              SELECT n, s, s2,
+                floor(1000000.0 * (CAST(s AS DOUBLE) * s / n))::BIGINT
+                  AS ssb_t,
+                floor(1000000.0 * (s2 - CAST(s AS DOUBLE) * s / n))::BIGINT
+                  AS ssw_t
+              FROM g
+            ),
+            a AS (
+              SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+                     sum(s)::BIGINT AS ts,
+                     sum(ssb_t)::BIGINT AS ssb_sum,
+                     sum(ssw_t)::BIGINT AS ssw_micro
+              FROM terms
+            )
+            SELECT k, n,
+              (ssb_sum - floor(1000000.0 * (CAST(ts AS DOUBLE) * ts / n)
+                )::BIGINT)::BIGINT AS ssb_micro,
+              ssw_micro,
+              CASE WHEN k >= 2 AND n > k AND ssw_micro > 0 THEN
+                floor(1000.0 * ((CAST(ssb_sum - floor(1000000.0
+                    * (CAST(ts AS DOUBLE) * ts / n))::BIGINT AS DOUBLE)
+                    / (k - 1))
+                  / (CAST(ssw_micro AS DOUBLE) / (n - k))))::BIGINT
+                END AS f_milli
+            FROM a
+        """,
+        # grubbs_outlier: |n·x − Σx| exact integer arg-max (ties →
+        # smaller value), one milli-floor for G
+        "grubbs_outlier": """
+            WITH rows_ AS (
+              SELECT lang AS grp, n_chars::BIGINT AS v,
+                     count(*) OVER (PARTITION BY lang)::BIGINT AS n,
+                     sum(n_chars) OVER (PARTITION BY lang)::BIGINT AS s,
+                     sum(n_chars * n_chars) OVER
+                       (PARTITION BY lang)::BIGINT AS s2
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+            ),
+            d AS (
+              SELECT grp, v, n, s, s2, abs(n * v - s)::BIGINT AS dev,
+                     row_number() OVER (PARTITION BY grp
+                       ORDER BY abs(n * v - s) DESC, v ASC) AS rk
+              FROM rows_
+            )
+            SELECT grp, n, v AS outlier_value, dev AS dev_scaled,
+              CASE WHEN n >= 3 AND n * s2 > s * s THEN
+                floor(1000.0 * (CAST(dev AS DOUBLE) / n)
+                  / sqrt(CAST(n * s2 - s * s AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (n - 1))))::BIGINT
+                END AS g_milli
+            FROM d WHERE rk = 1
+        """,
+        # tokenizer_fertility: the token_counts word/subtoken grammars
+        # rolled up per lang, pure integer ratios
+        "tokenizer_fertility": f"""
+            WITH d AS (
+              SELECT lang AS grp,
+                     len({_WORDS})::BIGINT AS w,
+                     len(regexp_extract_all(text, '{_BPE_RE}', 0))::BIGINT
+                       AS t,
+                     length(text)::BIGINT AS c
+              FROM documents
+            ),
+            g AS (
+              SELECT grp, count(*)::BIGINT AS n_docs,
+                     sum(w)::BIGINT AS words,
+                     sum(t)::BIGINT AS subtokens,
+                     sum(c)::BIGINT AS chars
+              FROM d GROUP BY 1
+            )
+            SELECT grp, n_docs, words, subtokens,
+                   (CASE WHEN words > 0
+                    THEN (1000 * subtokens) // words END)::BIGINT
+                     AS fertility_milli,
+                   (CASE WHEN subtokens > 0
+                    THEN (1000 * chars) // subtokens END)::BIGINT
+                     AS chars_per_subtoken_milli
+            FROM g
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

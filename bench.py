@@ -293,6 +293,9 @@ HEADLINE = [
     "cliffs_delta",
     "sample_size_plan",
     "best_split",
+    "anova_oneway",
+    "grubbs_outlier",
+    "tokenizer_fertility",
     "bpe_token_counts",
     "extraction_blocks",
 ]

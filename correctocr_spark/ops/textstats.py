@@ -5042,3 +5042,239 @@ def best_split(
             "neg_right",
         )
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One-way ANOVA F statistic across groups — the k-group
+    generalization of `cohens_d`'s two-sided question: "do doc lengths
+    differ across languages AT ALL?" asked once, instead of k pairwise
+    tests with a multiplicity problem. The datacard gate for "is this
+    facet worth stratifying".
+
+    Sum-of-squares from exact integer per-group moments ``(n_g, Σx,
+    Σx²)``, each group's between/within term quantized ONCE to micro
+    (the entropy_rate discipline): ``ssb_g = floor(10⁶·s_g²/n_g)``
+    summed minus ``floor(10⁶·S²/N)``; ``ssw_g = floor(10⁶·(s2_g −
+    s_g²/n_g))`` summed. ``F_milli = floor(10³·(ssb/(k−1)) /
+    (ssw/(N−k)))`` — a fixed double expression over the integer sums.
+    Degenerate inputs (k < 2, N ≤ k, or zero within-variance) emit
+    NULL F.
+
+    Returns one row: ``(k, n, ssb_micro, ssw_micro, f_milli)``.
+
+    Scale: one combinable (group) rollup; the SS algebra runs on the
+    k-row table.
+    """
+    g = (
+        ensure_parallelism(df)
+        .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_v").cast("long").alias("_s"),
+            F.sum(F.col("_v") * F.col("_v")).cast("long").alias("_s2"),
+        )
+    )
+    terms = g.select(
+        "_n",
+        "_s",
+        "_s2",
+        F.expr(
+            "CAST(floor(1000000.0 * (CAST(_s AS DOUBLE) * _s / _n))"
+            " AS BIGINT)"
+        ).alias("_ssb_t"),
+        F.expr(
+            "CAST(floor(1000000.0 * (_s2 - CAST(_s AS DOUBLE) * _s / _n))"
+            " AS BIGINT)"
+        ).alias("_ssw_t"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_s").cast("long").alias("_ts"),
+        F.sum("_ssb_t").cast("long").alias("_ssb_sum"),
+        F.sum("_ssw_t").cast("long").alias("ssw_micro"),
+    )
+    return agg.select(
+        "k",
+        "n",
+        (
+            F.col("_ssb_sum")
+            - F.expr(
+                "CAST(floor(1000000.0 * (CAST(_ts AS DOUBLE) * _ts / n))"
+                " AS BIGINT)"
+            )
+        ).alias("ssb_micro"),
+        "ssw_micro",
+        F.when(
+            (F.col("k") >= 2)
+            & (F.col("n") > F.col("k"))
+            & (F.col("ssw_micro") > 0),
+            F.expr(
+                "CAST(floor(1000.0 * ((CAST(_ssb_sum - CAST(floor("
+                "1000000.0 * (CAST(_ts AS DOUBLE) * _ts / n)) AS BIGINT)"
+                " AS DOUBLE) / (k - 1)) / (CAST(ssw_micro AS DOUBLE)"
+                " / (n - k)))) AS BIGINT)"
+            ),
+        ).alias("f_milli"),
+    )
+
+
+def grubbs_outlier(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Grubbs' extreme-studentized-deviate per group — "what is each
+    language's single most anomalous doc length, and HOW anomalous?"
+    The per-group whale detector that `rate_anomalies` is for time
+    series: G = max|x − mean| / sd. G above the critical value (≈ 3–4
+    for corpus-sized n) marks a group whose tail needs a look before
+    it skews every mean-based stat downstream.
+
+    The deviation ranking is EXACT integer arithmetic: |n·x − Σx| is
+    the deviation scaled by n, so the arg-max (ties → smaller value)
+    needs no floats; only the final G quantizes — ``g_milli =
+    floor(10³·(maxdev/n)/sd)`` with ``sd = sqrt((n·Σx² − (Σx)²)/
+    (n·(n−1)))`` (sample sd), one fixed double expression over exact
+    integers. Groups with n < 3 or zero variance emit NULL G.
+
+    Returns ``(grp, n, outlier_value, dev_scaled, g_milli)`` —
+    dev_scaled = |n·x − Σx| for the audit trail.
+
+    Scale: a window partitioned by group would funnel every row of a
+    popular language through one task — instead: one combinable
+    moments rollup (map-side partial agg), the tiny per-group table
+    broadcast back onto the scan, then a combinable struct-argmax
+    rollup. Two map-side-combining shuffles of k rows each; the full
+    table is never shuffled.
+    """
+    base = (
+        ensure_parallelism(df)
+        .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+    )
+    moms = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_v").cast("long").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).cast("long").alias("_s2"),
+    )
+    rows = base.join(F.broadcast(moms), on="grp").withColumn(
+        "_dev", F.abs(F.col("_n") * F.col("_v") - F.col("_s"))
+    )
+    # struct max = (dev DESC, value ASC) arg-max: negate the value so
+    # the lexicographic max prefers the SMALLER value on dev ties
+    top = (
+        rows.groupBy("grp")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_dev"),
+                    (-F.col("_v")).alias("_nv"),
+                    F.col("_n"),
+                    F.col("_s"),
+                    F.col("_s2"),
+                )
+            ).alias("_t")
+        )
+        .select(
+            "grp",
+            F.col("_t._dev").alias("_dev"),
+            (-F.col("_t._nv")).alias("_v"),
+            F.col("_t._n").alias("_n"),
+            F.col("_t._s").alias("_s"),
+            F.col("_t._s2").alias("_s2"),
+        )
+    )
+    sd = (
+        "sqrt(CAST(_n * _s2 - _s * _s AS DOUBLE)"
+        " / (CAST(_n AS DOUBLE) * (_n - 1)))"
+    )
+    return top.select(
+        "grp",
+        F.col("_n").alias("n"),
+        F.col("_v").alias("outlier_value"),
+        F.col("_dev").alias("dev_scaled"),
+        F.when(
+            (F.col("_n") >= 3)
+            & (F.col("_n") * F.col("_s2") > F.col("_s") * F.col("_s")),
+            F.expr(
+                f"CAST(floor(1000.0 * (CAST(_dev AS DOUBLE) / _n)"
+                f" / {sd}) AS BIGINT)"
+            ),
+        ).alias("g_milli"),
+    )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility per group — subword tokens emitted per
+    whitespace word, the standard multilingual-pipeline capacity
+    metric: a language whose fertility is 2× English pays 2× the
+    context budget for the same text, which feeds directly into
+    `unimax_plan` / `mix_proportions` decisions. Uses the corpus'
+    BPE-ish regex tokenizer (same ``BPE_TOKEN_RE`` the `token_counts`
+    oracle pins) against `normalized_words` whitespace words.
+
+    Pure integer: ``fertility_milli = (10³·Σ subtokens) div Σ words``
+    per group, plus the per-doc-average lens ``chars_per_subtoken
+    _milli`` — both non-negative divisions (truncation == floor ==
+    DuckDB).
+
+    Returns ``(grp, n_docs, words, subtokens, fertility_milli,
+    chars_per_subtoken_milli)``.
+
+    Scale: one scan with row-local counting expressions, one
+    combinable (group) rollup — scan-dominated, zero UDF.
+    """
+    d = ensure_parallelism(docs).select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.size(normalized_words(text_col)).cast("long").alias("_w"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+        )
+        .cast("long")
+        .alias("_t"),
+        F.length(F.col(text_col)).cast("long").alias("_c"),
+    )
+    return (
+        d.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_w").cast("long").alias("words"),
+            F.sum("_t").cast("long").alias("subtokens"),
+            F.sum("_c").cast("long").alias("_chars"),
+        )
+        .select(
+            "grp",
+            "n_docs",
+            "words",
+            "subtokens",
+            F.when(
+                F.col("words") > 0,
+                F.expr("(1000 * subtokens) div words"),
+            )
+            .cast("long")
+            .alias("fertility_milli"),
+            F.when(
+                F.col("subtokens") > 0,
+                F.expr("(1000 * _chars) div subtokens"),
+            )
+            .cast("long")
+            .alias("chars_per_subtoken_milli"),
+        )
+    )

@@ -690,6 +690,12 @@ def test_oracled_queries_precede_rows_only():
         # Gini decision stump — threshold_calibration's cumsum family
         # with a label-optimal objective
         "best_split",
+        # one-way ANOVA — cohens_d's integer-moments family, k groups
+        "anova_oneway",
+        # Grubbs ESD — integer deviation arg-max over the same moments
+        "grubbs_outlier",
+        # tokenizer fertility — token_counts' grammars rolled up
+        "tokenizer_fertility",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -1,0 +1,365 @@
+"""Unit tests for the round-5 analysis tier: cusum_changepoint /
+ewma_control (python-loop twins of the recursive definitions — proving
+the window identities, not just cross-engine parity), woe_iv, cohens_d,
+krippendorff_alpha (textbook hand case), cliffs_delta (brute-force pair
+twin), sample_size_plan (closed form), best_split (brute-force
+threshold sweep), anova_oneway, grubbs_outlier, tokenizer_fertility.
+All integer twins use truncate-toward-zero div (Spark `div` ==
+DuckDB `//`)."""
+
+import math
+from datetime import datetime
+
+import pytest
+
+from correctocr_spark.ops.temporal import cusum_changepoint, ewma_control
+from correctocr_spark.ops.textstats import (
+    anova_oneway,
+    best_split,
+    cliffs_delta,
+    cohens_d,
+    grubbs_outlier,
+    krippendorff_alpha,
+    sample_size_plan,
+    tokenizer_fertility,
+    woe_iv,
+)
+
+
+def tdiv(a, b):
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+def _events(spark, counts_by_day, etype="view"):
+    """counts_by_day: {epoch_day: n} -> events rows on those days."""
+    rows = []
+    i = 0
+    for day, n in counts_by_day.items():
+        for _ in range(n):
+            ts = datetime.utcfromtimestamp(day * 86400 + 3600)
+            rows.append((i, ts, etype))
+            i += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+
+
+class TestCusum:
+    def test_matches_recursive_definition(self, spark):
+        counts = {d: 10 for d in range(100, 110)}
+        counts.update({d: 14 for d in range(110, 116)})  # level shift
+        df = cusum_changepoint(_events(spark, counts), h_bp=30000)
+        got = {
+            r["epoch_day"]: (
+                r["cusum_up_micro"],
+                r["cusum_down_micro"],
+                r["alarm"],
+            )
+            for r in df.collect()
+        }
+        xs = sorted(counts.items())
+        k = tdiv(1_000_000 * sum(n for _, n in xs), len(xs))
+        h = tdiv(30000 * k, 10000)
+        s_up, s_dn = 0, 0
+        for day, x in xs:
+            d = 1_000_000 * x - k
+            s_up = max(0, s_up + d)
+            s_dn = max(0, s_dn - d)
+            alarm = 1 if s_up > h else (-1 if s_dn > h else 0)
+            assert got[day] == (s_up, s_dn, alarm), day
+        # the shift must actually trip the up-alarm by the last day
+        assert got[115][2] == 1
+
+    def test_down_shift_and_validation(self, spark):
+        counts = {d: 20 for d in range(50, 60)}
+        counts.update({d: 12 for d in range(60, 70)})
+        df = cusum_changepoint(_events(spark, counts), h_bp=20000)
+        last = sorted(df.collect(), key=lambda r: r["epoch_day"])[-1]
+        assert last["alarm"] == -1
+        with pytest.raises(ValueError):
+            cusum_changepoint(_events(spark, counts), h_bp=0)
+
+
+class TestEwma:
+    def test_matches_weighted_definition(self, spark):
+        counts = {d: 5 + (d % 4) for d in range(200, 222)}
+        df = ewma_control(_events(spark, counts))
+        got = {
+            r["epoch_day"]: (r["ewma_milli"], r["z_milli"])
+            for r in df.collect()
+        }
+        days = sorted(counts)
+        denom = 4**16 - 3**16
+        expected_days = days[16:]
+        assert sorted(got) == expected_days
+        for t, day in enumerate(days):
+            if t < 16:
+                continue
+            lags = [counts[days[t - i]] for i in range(1, 17)]
+            num = sum(
+                3 ** (i - 1) * 4 ** (16 - i) * lags[i - 1]
+                for i in range(1, 17)
+            )
+            ewma = tdiv(1000 * num, denom)
+            window = lags
+            s, s2 = sum(window), sum(v * v for v in window)
+            var = tdiv(16 * s2 - s * s, 256)
+            std = max(int(math.floor(math.sqrt(var))), 1)
+            dev = 1000 * counts[day] - ewma
+            z = tdiv(dev, std) if dev >= 0 else -tdiv(-dev, std)
+            assert got[day] == (ewma, z), day
+
+
+class TestWoeIv:
+    def test_hand_case(self, spark):
+        rows = [("a", True)] * 8 + [("a", False)] * 2
+        rows += [("b", True)] * 3 + [("b", False)] * 7
+        df = spark.createDataFrame(rows, "f string, y boolean")
+        got = {r["feature"]: r.asDict() for r in woe_iv(df, "f", "y").collect()}
+        P, N, V = 11, 9, 2
+        for feat, pos, neg in (("a", 8, 2), ("b", 3, 7)):
+            pp = (pos + 1) / (P + V)
+            pn = (neg + 1) / (N + V)
+            w = math.log(pp) - math.log(pn)
+            assert got[feat]["pos"] == pos and got[feat]["neg"] == neg
+            assert got[feat]["woe_micro"] == math.floor(1_000_000 * w)
+            assert got[feat]["iv_term_micro"] == math.floor(
+                1_000_000 * (pp - pn) * w
+            )
+        assert (
+            got["a"]["iv_total_micro"]
+            == got["a"]["iv_term_micro"] + got["b"]["iv_term_micro"]
+        )
+
+
+class TestCohensD:
+    def test_hand_case(self, spark):
+        a, b = [10, 12, 14, 16], [20, 22, 24, 26, 28]
+        df = spark.createDataFrame(
+            [("a", v) for v in a] + [("b", v) for v in b], "g string, v long"
+        )
+        got = {r["grp"]: r.asDict() for r in cohens_d(df, "v", "g").collect()}
+
+        def expect(x, y):
+            n1, n2 = len(x), len(y)
+            m1, m2 = sum(x) / n1, sum(y) / n2
+            v1 = sum((v - m1) ** 2 for v in x) / (n1 - 1)
+            v2 = sum((v - m2) ** 2 for v in y) / (n2 - 1)
+            sp = math.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+            d = (m1 - m2) / sp
+            g = d * (1 - 3 / (4 * (n1 + n2) - 9))
+            return math.floor(1000 * d), math.floor(1000 * g)
+
+        d_a, g_a = expect(a, b)
+        assert got["a"]["d_milli"] == d_a and got["a"]["g_milli"] == g_a
+        assert got["a"]["mean_micro"] == tdiv(1_000_000 * sum(a), len(a))
+        # one-vs-rest symmetry for two groups: d_b = -d_a up to floor
+        assert got["b"]["d_milli"] in (-d_a, -d_a - 1)
+
+    def test_small_group_null(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 5), ("b", 7), ("b", 9)], "g string, v long"
+        )
+        got = {r["grp"]: r["d_milli"] for r in cohens_d(df, "v", "g").collect()}
+        assert got["a"] is None and got["b"] is None  # rest of b has n=1
+
+
+class TestKrippendorff:
+    def test_perfect_agreement(self, spark):
+        rows = [(u, r, "x") for u in range(10) for r in ("r1", "r2", "r3")]
+        df = spark.createDataFrame(rows, "u long, r string, v string")
+        row = krippendorff_alpha(df, "u", "r", "v").collect()[0]
+        assert row["o_micro"] == 0
+        # single value class -> e_micro may be 0 for all-same data;
+        # use a two-value perfect-agreement table instead for alpha=1
+        rows = [(u, r, "x" if u % 2 else "y") for u in range(10)
+                for r in ("r1", "r2", "r3")]
+        df = spark.createDataFrame(rows, "u long, r string, v string")
+        row = krippendorff_alpha(df, "u", "r", "v").collect()[0]
+        assert row["o_micro"] == 0 and row["alpha_bp"] == 10000
+
+    def test_hand_case_with_missing(self, spark):
+        # units: u0 (3 raters agree), u1 (2-1 split), u2 (single rating
+        # -> dropped), u3 (2 raters disagree)
+        rows = (
+            [(0, "r1", "a"), (0, "r2", "a"), (0, "r3", "a")]
+            + [(1, "r1", "a"), (1, "r2", "a"), (1, "r3", "b")]
+            + [(2, "r1", "a")]
+            + [(3, "r1", "a"), (3, "r2", "b")]
+        )
+        df = spark.createDataFrame(rows, "u long, r string, v string")
+        row = krippendorff_alpha(df, "u", "r", "v").collect()[0]
+        assert row["n_units"] == 3 and row["n_ratings"] == 8
+        # O = sum over units of 1e6*(m^2 - sum nc^2)/(m-1)
+        o = tdiv(1_000_000 * (9 - 9), 2)
+        o += tdiv(1_000_000 * (9 - 5), 2)
+        o += tdiv(1_000_000 * (4 - 2), 1)
+        assert row["o_micro"] == o
+        # margins over kept units: a=5, b=3, n=8
+        e = tdiv(1_000_000 * (64 - 25 - 9), 7)
+        assert row["e_micro"] == e
+        assert row["alpha_bp"] == 10000 - tdiv(
+            10000 * tdiv(o, 100), tdiv(e, 100)
+        )
+
+
+class TestCliffsDelta:
+    def test_brute_force_twin(self, spark):
+        a = [1, 3, 3, 5, 9]
+        b = [2, 3, 4, 4, 6, 7]
+        c = [1, 1, 8]
+        data = [("a", v) for v in a] + [("b", v) for v in b] + [
+            ("c", v) for v in c
+        ]
+        df = spark.createDataFrame(data, "g string, v long")
+        got = {r["grp"]: r.asDict() for r in cliffs_delta(df, "v", "g").collect()}
+        groups = {"a": a, "b": b, "c": c}
+        for g, vals in groups.items():
+            rest = [v for k, vs in groups.items() if k != g for v in vs]
+            gt = sum(1 for x in vals for y in rest if x > y)
+            lt = sum(1 for x in vals for y in rest if x < y)
+            D = len(vals) * len(rest)
+            assert got[g]["gt_pairs"] == gt, g
+            assert got[g]["lt_pairs"] == lt, g
+            assert got[g]["delta_milli"] == tdiv(1000 * gt, D) - tdiv(
+                1000 * lt, D
+            ), g
+
+
+class TestSampleSize:
+    def test_closed_form(self, spark):
+        rows = [("a", True)] * 30 + [("a", False)] * 70
+        rows += [("b", True)] * 50 + [("b", False)] * 50
+        df = spark.createDataFrame(rows, "g string, y boolean")
+        got = {
+            r["grp"]: r["n_per_arm"]
+            for r in sample_size_plan(df, "y", "g").collect()
+        }
+        za, zb = 1959964 / 1e6, 841621 / 1e6
+        for g, pos, n, pos_r, n_r in (
+            ("a", 30, 100, 50, 100),
+            ("b", 50, 100, 30, 100),
+        ):
+            p1, p2 = pos / n, pos_r / n_r
+            pbar = (pos + pos_r) / (n + n_r)
+            num = za * math.sqrt(2 * pbar * (1 - pbar)) + zb * math.sqrt(
+                p1 * (1 - p1) + p2 * (1 - p2)
+            )
+            exp = math.ceil(num * num / ((p1 - p2) ** 2))
+            assert got[g] == exp
+
+    def test_no_lift_null(self, spark):
+        rows = [("a", True), ("a", False), ("b", True), ("b", False)]
+        df = spark.createDataFrame(rows, "g string, y boolean")
+        got = {
+            r["grp"]: r["n_per_arm"]
+            for r in sample_size_plan(df, "y", "g").collect()
+        }
+        assert got["a"] is None and got["b"] is None
+
+
+class TestBestSplit:
+    def test_brute_force_twin(self, spark):
+        data = [(v, v >= 5) for v in (1, 2, 2, 3, 5, 6, 7, 7, 9, 4)]
+        df = spark.createDataFrame(data, "v long, y boolean")
+        row = best_split(df, "v", "y").collect()[0]
+        vals = sorted(set(v for v, _ in data))
+        best = None
+        for t in vals[:-1]:
+            pl = sum(1 for v, y in data if v <= t and y)
+            nl = sum(1 for v, y in data if v <= t and not y)
+            pr = sum(1 for v, y in data if v > t and y)
+            nr = sum(1 for v, y in data if v > t and not y)
+            ml, mr, m = pl + nl, pr + nr, len(data)
+            imp = (ml * ml - pl * pl - nl * nl) / (m * ml) + (
+                mr * mr - pr * pr - nr * nr
+            ) / (m * mr)
+            key = (math.floor(1_000_000 * imp), t)
+            if best is None or key < best:
+                best = key
+        assert (row["impurity_micro"], row["threshold"]) == best
+        # the label is perfectly separable at v <= 4
+        assert row["threshold"] == 4 and row["impurity_micro"] == 0
+
+
+class TestAnova:
+    def test_hand_case(self, spark):
+        groups = {"a": [1, 2, 3], "b": [4, 5, 6], "c": [9, 9, 9, 9]}
+        data = [(g, v) for g, vs in groups.items() for v in vs]
+        df = spark.createDataFrame(data, "g string, v long")
+        row = anova_oneway(df, "v", "g").collect()[0]
+        ssb_sum = sum(
+            math.floor(1e6 * sum(vs) ** 2 / len(vs)) for vs in groups.values()
+        )
+        ssw = sum(
+            math.floor(1e6 * (sum(v * v for v in vs) - sum(vs) ** 2 / len(vs)))
+            for vs in groups.values()
+        )
+        ts = sum(sum(vs) for vs in groups.values())
+        n = sum(len(vs) for vs in groups.values())
+        ssb = ssb_sum - math.floor(1e6 * ts * ts / n)
+        k = 3
+        f = math.floor(1000 * (ssb / (k - 1)) / (ssw / (n - k)))
+        assert (row["ssb_micro"], row["ssw_micro"], row["f_milli"]) == (
+            ssb,
+            ssw,
+            f,
+        )
+
+    def test_zero_within_null(self, spark):
+        df = spark.createDataFrame(
+            [("a", 5), ("a", 5), ("b", 7), ("b", 7)], "g string, v long"
+        )
+        assert anova_oneway(df, "v", "g").collect()[0]["f_milli"] is None
+
+
+class TestGrubbs:
+    def test_hand_case_and_tie(self, spark):
+        # 8 is the outlier; 0 and 8 tie on |dev| would prefer smaller v
+        vals = [4, 4, 4, 4, 8]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "g string, v long"
+        )
+        row = grubbs_outlier(df, "v", "g").collect()[0]
+        n, s = len(vals), sum(vals)
+        s2 = sum(v * v for v in vals)
+        dev = max(abs(n * v - s) for v in vals)
+        sd = math.sqrt((n * s2 - s * s) / (n * (n - 1)))
+        assert row["outlier_value"] == 8 and row["dev_scaled"] == dev
+        assert row["g_milli"] == math.floor(1000 * (dev / n) / sd)
+        # symmetric data: tie broken toward the smaller value
+        df = spark.createDataFrame(
+            [("g", v) for v in (0, 4, 8)], "g string, v long"
+        )
+        assert grubbs_outlier(df, "v", "g").collect()[0]["outlier_value"] == 0
+
+    def test_zero_variance_null(self, spark):
+        df = spark.createDataFrame(
+            [("g", 3), ("g", 3), ("g", 3)], "g string, v long"
+        )
+        assert grubbs_outlier(df, "v", "g").collect()[0]["g_milli"] is None
+
+
+class TestFertility:
+    def test_hand_counts(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("en", "hello world"),
+                ("en", "it's a test-case"),
+                ("de", "donaudampfschiff 42!"),
+            ],
+            "lang string, text string",
+        )
+        got = {
+            r["grp"]: r.asDict()
+            for r in tokenizer_fertility(df, "lang", "text").collect()
+        }
+        # en: words 2+3=5; subtokens: [hello, world]=2 +
+        # [it, ', s, a, test, -, case]=7 -> 9
+        assert got["en"]["words"] == 5 and got["en"]["subtokens"] == 9
+        assert got["en"]["fertility_milli"] == tdiv(1000 * 9, 5)
+        # de: words 2; subtokens [donaudampfschiff, 42, !] = 3
+        assert got["de"]["subtokens"] == 3
+        chars = len("donaudampfschiff 42!")
+        assert got["de"]["chars_per_subtoken_milli"] == tdiv(1000 * chars, 3)

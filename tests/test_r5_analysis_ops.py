@@ -49,7 +49,7 @@ class TestCusum:
     def test_matches_recursive_definition(self, spark):
         counts = {d: 10 for d in range(100, 110)}
         counts.update({d: 14 for d in range(110, 116)})  # level shift
-        df = cusum_changepoint(_events(spark, counts), h_bp=30000)
+        df = cusum_changepoint(_events(spark, counts), h_bp=10000)
         got = {
             r["epoch_day"]: (
                 r["cusum_up_micro"],
@@ -60,7 +60,7 @@ class TestCusum:
         }
         xs = sorted(counts.items())
         k = tdiv(1_000_000 * sum(n for _, n in xs), len(xs))
-        h = tdiv(30000 * k, 10000)
+        h = tdiv(10000 * k, 10000)
         s_up, s_dn = 0, 0
         for day, x in xs:
             d = 1_000_000 * x - k
@@ -196,8 +196,8 @@ class TestKrippendorff:
         o += tdiv(1_000_000 * (9 - 5), 2)
         o += tdiv(1_000_000 * (4 - 2), 1)
         assert row["o_micro"] == o
-        # margins over kept units: a=5, b=3, n=8
-        e = tdiv(1_000_000 * (64 - 25 - 9), 7)
+        # margins over kept units: a = 3+2+1 = 6, b = 1+1 = 2, n = 8
+        e = tdiv(1_000_000 * (64 - 36 - 4), 7)
         assert row["e_micro"] == e
         assert row["alpha_bp"] == 10000 - tdiv(
             10000 * tdiv(o, 100), tdiv(e, 100)

@@ -5047,6 +5047,43 @@ def q_fertility(spark, sf_dir):
     return tokenizer_fertility(_t(spark, sf_dir, "documents"), "lang")
 
 
+def q_kruskal(spark, sf_dir):
+    """Kruskal–Wallis H of doc length across langs — integer midranks
+    from the distinct-value table, one milli-floor for H."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import kruskal_wallis
+
+    return kruskal_wallis(_t(spark, sf_dir, "documents"), "n_chars", "lang")
+
+
+def q_brown_forsythe(spark, sf_dir):
+    """Brown–Forsythe equal-variance W across langs — exact doubled
+    group medians, then the ANOVA algebra on |2x − 2·med|."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import brown_forsythe
+
+    return brown_forsythe(_t(spark, sf_dir, "documents"), "n_chars", "lang")
+
+
+def q_cochran(spark, sf_dir):
+    """Cochran's Q over three row-local quality gates (length ≥ 200,
+    has sentence-final period, contains a digit) — all-integer until
+    one milli-floor."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import cochran_q
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            (F.col("n_chars") >= 200).cast("long").alias("g_len"),
+            F.col("text").contains(".").cast("long").alias("g_period"),
+            F.col("text").rlike("[0-9]").cast("long").alias("g_digit"),
+        )
+    )
+    return cochran_q(d, ["g_len", "g_period", "g_digit"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5731,6 +5768,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grubbs_outlier": q_grubbs,
         # tokenizer fertility (subtokens per word) per lang
         "tokenizer_fertility": q_fertility,
+        # Kruskal–Wallis rank H across langs
+        "kruskal_wallis": q_kruskal,
+        # Brown–Forsythe equal-variance W across langs
+        "brown_forsythe": q_brown_forsythe,
+        # Cochran's Q over three matched quality gates
+        "cochran_q": q_cochran,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -13382,6 +13425,157 @@ FROM documents)
                     THEN (1000 * chars) // subtokens END)::BIGINT
                      AS chars_per_subtoken_milli
             FROM g
+        """,
+        # kruskal_wallis: integer doubled midranks from the
+        # distinct-value cumulation, micro-floored per-group rank
+        # terms, exact tie sum, one milli-floor for H
+        "kruskal_wallis": """
+            WITH base AS (
+              SELECT lang AS grp, n_chars::BIGINT AS v
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+            ),
+            vals AS (
+              SELECT v, count(*)::BIGINT AS cnt FROM base GROUP BY 1
+            ),
+            ranked AS (
+              SELECT v, cnt,
+                (2 * sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) - cnt + 1)::BIGINT AS dr
+              FROM vals
+            ),
+            gv AS (
+              SELECT grp, v, count(*)::BIGINT AS c FROM base GROUP BY 1, 2
+            ),
+            g AS (
+              SELECT grp, sum(c)::BIGINT AS ng,
+                     sum(c * dr)::BIGINT AS s2
+              FROM gv JOIN ranked USING (v) GROUP BY 1
+            ),
+            terms AS (
+              SELECT ng,
+                floor(1000000.0 * (CAST(s2 AS DOUBLE) * s2
+                  / (4.0 * ng)))::BIGINT AS tm
+              FROM g
+            ),
+            t AS (
+              SELECT sum(cnt * cnt * cnt - cnt)::BIGINT AS tie_sum
+              FROM vals
+            ),
+            a AS (
+              SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+                     sum(tm)::BIGINT AS rank_term_micro
+              FROM terms
+            )
+            SELECT k, n, tie_sum, rank_term_micro,
+              CASE WHEN k >= 2 AND n >= 2
+                AND (1.0 - CAST(tie_sum AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * n * n - n)) > 0 THEN
+                floor(1000.0
+                  * (12.0 * (CAST(rank_term_micro AS DOUBLE) / 1000000.0)
+                     / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+                  / (1.0 - CAST(tie_sum AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * n * n - n)))::BIGINT
+                END AS h_milli
+            FROM a, t
+        """,
+        # brown_forsythe: exact per-group doubled medians by
+        # order-statistic cumulation, then the anova_oneway SS algebra
+        # on z = |2x − 2·med|, F relabeled W
+        "brown_forsythe": """
+            WITH base AS (
+              SELECT lang AS grp, n_chars::BIGINT AS v
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+            ),
+            gv AS (
+              SELECT grp, v, count(*)::BIGINT AS c FROM base GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT grp, v, c,
+                sum(c) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cm,
+                sum(c) OVER (PARTITION BY grp)::BIGINT AS nn
+              FROM gv
+            ),
+            med AS (
+              SELECT grp,
+                (max(CASE WHEN cm - c < (nn + 1) // 2
+                          AND (nn + 1) // 2 <= cm THEN v END)
+                 + max(CASE WHEN cm - c < nn // 2 + 1
+                            AND nn // 2 + 1 <= cm THEN v END))::BIGINT
+                  AS dm
+              FROM cum GROUP BY 1
+            ),
+            z AS (
+              SELECT b.grp AS grp, abs(2 * b.v - m.dm)::BIGINT AS zv
+              FROM base b JOIN med m ON b.grp = m.grp
+            ),
+            g AS (
+              SELECT grp, count(*)::BIGINT AS n, sum(zv)::BIGINT AS s,
+                     sum(zv * zv)::BIGINT AS s2
+              FROM z GROUP BY 1
+            ),
+            terms AS (
+              SELECT n, s, s2,
+                floor(1000000.0 * (CAST(s AS DOUBLE) * s / n))::BIGINT
+                  AS ssb_t,
+                floor(1000000.0 * (s2 - CAST(s AS DOUBLE) * s / n))::BIGINT
+                  AS ssw_t
+              FROM g
+            ),
+            a AS (
+              SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+                     sum(s)::BIGINT AS ts,
+                     sum(ssb_t)::BIGINT AS ssb_sum,
+                     sum(ssw_t)::BIGINT AS ssw_micro
+              FROM terms
+            )
+            SELECT k, n,
+              (ssb_sum - floor(1000000.0 * (CAST(ts AS DOUBLE) * ts / n)
+                )::BIGINT)::BIGINT AS ssb_micro,
+              ssw_micro,
+              CASE WHEN k >= 2 AND n > k AND ssw_micro > 0 THEN
+                floor(1000.0 * ((CAST(ssb_sum - floor(1000000.0
+                    * (CAST(ts AS DOUBLE) * ts / n))::BIGINT AS DOUBLE)
+                    / (k - 1))
+                  / (CAST(ssw_micro AS DOUBLE) / (n - k))))::BIGINT
+                END AS w_milli
+            FROM a
+        """,
+        # cochran_q: matched-design gate-rate test — every term an
+        # exact integer sum, one milli-floor for Q
+        "cochran_q": """
+            WITH d AS (
+              SELECT
+                (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)::BIGINT
+                  AS g_len,
+                (CASE WHEN position('.' IN text) > 0 THEN 1 ELSE 0
+                  END)::BIGINT AS g_period,
+                (CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0
+                  END)::BIGINT AS g_digit
+              FROM documents
+              WHERE text IS NOT NULL AND n_chars IS NOT NULL
+            ),
+            a AS (
+              SELECT count(*)::BIGINT AS n,
+                sum(g_len + g_period + g_digit)::BIGINT AS t,
+                sum((g_len + g_period + g_digit)
+                  * (g_len + g_period + g_digit))::BIGINT AS sum_l2,
+                sum(g_len)::BIGINT AS g0, sum(g_period)::BIGINT AS g1,
+                sum(g_digit)::BIGINT AS g2
+              FROM d
+            )
+            SELECT 3::BIGINT AS k, n, t,
+              (g0 * g0 + g1 * g1 + g2 * g2)::BIGINT AS sum_g2,
+              sum_l2,
+              CASE WHEN 3 * t - sum_l2 > 0 THEN
+                floor(1000.0 * 2
+                  * (CAST(3 * (g0 * g0 + g1 * g1 + g2 * g2) - t * t
+                     AS DOUBLE))
+                  / (3 * t - sum_l2))::BIGINT
+                END AS q_milli
+            FROM a
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

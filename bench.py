@@ -296,6 +296,9 @@ HEADLINE = [
     "anova_oneway",
     "grubbs_outlier",
     "tokenizer_fertility",
+    "kruskal_wallis",
+    "brown_forsythe",
+    "cochran_q",
     "bpe_token_counts",
     "extraction_blocks",
 ]

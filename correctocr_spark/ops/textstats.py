@@ -5278,3 +5278,270 @@ def tokenizer_fertility(
             .alias("chars_per_subtoken_milli"),
         )
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H across groups — the rank-based (distribution-
+    free) sibling of `anova_oneway`: "do doc-length DISTRIBUTIONS
+    differ across languages?" robust to the heavy tails that make the
+    F test lie on web text. The datacard gate to run when
+    `grubbs_outlier` already flagged whales.
+
+    Midranks without a global row window: ranks depend only on the
+    VALUE, so they are computed on the distinct-value table —
+    ``dblrank(v) = 2·cum(v) − cnt(v) + 1`` (twice the midrank, always
+    an integer; ``cum`` = running count over values ≤ v). Per-group
+    rank sums are then ``S2_g = Σ_v c_{g,v}·dblrank(v)``, exact
+    integers. Each group's rank term quantizes ONCE to micro
+    (`anova_oneway` discipline): ``term_g = floor(10⁶·S2_g²/(4·n_g))``
+    — S2_g²/4 = (S2_g/2)² is the classic S_g². Tie correction is exact:
+    ``tie_sum = Σ_v (cnt³ − cnt)``. The final
+    ``h_milli = floor(10³ · H / C)`` with
+    ``H = 12·(Σterm/10⁶)/(N(N+1)) − 3(N+1)`` and
+    ``C = 1 − tie_sum/(N³−N)`` is one fixed double expression over the
+    integer sums. Degenerate inputs (k < 2, N < 2, or C ≤ 0 — all
+    values tied) emit NULL H.
+
+    Returns one row: ``(k, n, tie_sum, rank_term_micro, h_milli)``.
+
+    Scale: two combinable rollups over the scan (value counts and
+    (group, value) counts); the only ordered window runs on the
+    DISTINCT-VALUE table (cardinality = distinct lengths, thousands
+    at most at any corpus scale — never the row table), broadcast
+    back onto the small (group, value) aggregate.
+    """
+    base = (
+        ensure_parallelism(df)
+        .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+    )
+    vals = base.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vals.select(
+        "_v",
+        "_cnt",
+        (2 * F.sum("_cnt").over(w) - F.col("_cnt") + 1)
+        .cast("long")
+        .alias("_dr"),
+    )
+    gv = base.groupBy("grp", "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    g = (
+        gv.join(F.broadcast(ranked), on="_v")
+        .groupBy("grp")
+        .agg(
+            F.sum("_c").cast("long").alias("_ng"),
+            F.sum(F.col("_c") * F.col("_dr")).cast("long").alias("_s2"),
+        )
+    )
+    terms = g.select(
+        "_ng",
+        F.expr(
+            "CAST(floor(1000000.0 * (CAST(_s2 AS DOUBLE) * _s2"
+            " / (4.0 * _ng))) AS BIGINT)"
+        ).alias("_tm"),
+    )
+    a = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("_ng").cast("long").alias("n"),
+        F.sum("_tm").cast("long").alias("rank_term_micro"),
+    )
+    t = vals.agg(
+        F.sum(
+            F.col("_cnt") * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")
+        )
+        .cast("long")
+        .alias("tie_sum")
+    )
+    c_expr = (
+        "(1.0 - CAST(tie_sum AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * n * n - n))"
+    )
+    h_expr = (
+        "(12.0 * (CAST(rank_term_micro AS DOUBLE) / 1000000.0)"
+        " / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))"
+    )
+    return a.crossJoin(t).select(
+        "k",
+        "n",
+        "tie_sum",
+        "rank_term_micro",
+        F.when(
+            (F.col("k") >= 2)
+            & (F.col("n") >= 2)
+            & (F.expr(c_expr) > 0),
+            F.expr(
+                f"CAST(floor(1000.0 * {h_expr} / {c_expr}) AS BIGINT)"
+            ),
+        ).alias("h_milli"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Brown–Forsythe equal-VARIANCE test across groups — ANOVA's
+    validity check and a corpus question in its own right: "is doc
+    length merely centered differently per language, or differently
+    SPREAD?" (a language whose length variance explodes after a crawl
+    change is a template-churn signal `anova_oneway` on means misses).
+    W is exactly the one-way ANOVA F statistic applied to absolute
+    deviations from the GROUP MEDIAN — robust where Levene's
+    mean-centered form is whale-dominated.
+
+    Exact integer throughout the data pass: the per-group doubled
+    median ``2·med = v(⌊(n+1)/2⌋) + v(⌊n/2⌋+1)`` comes from
+    order-statistic cumulation on the per-group DISTINCT-VALUE table
+    (no row-table window), so ``z = |2x − 2·med|`` is an exact
+    integer; the SS algebra on z then reuses `anova_oneway` verbatim
+    (micro-floored per-group terms, one milli-floor for W).
+
+    Returns one row: ``(k, n, ssb_micro, ssw_micro, w_milli)`` — the
+    ANOVA row shape with F relabeled W.
+
+    Scale: one combinable (group, value) rollup; per-group medians on
+    that small table (window partitioned BY GROUP over distinct
+    values); the k-row median table broadcast back onto the scan; then
+    the ANOVA rollup. The row table is never shuffled by a window.
+    """
+    base = (
+        ensure_parallelism(df)
+        .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+    )
+    gv = base.groupBy("grp", "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("grp")
+    cum = gv.select(
+        "grp",
+        "_v",
+        "_c",
+        F.sum("_c").over(wcum).cast("long").alias("_cm"),
+        F.sum("_c").over(wall).cast("long").alias("_n"),
+    )
+    med = (
+        cum.select(
+            "grp",
+            "_v",
+            "_c",
+            "_cm",
+            F.expr("(_n + 1) div 2").alias("_lo"),
+            F.expr("_n div 2 + 1").alias("_hi"),
+        )
+        .groupBy("grp")
+        .agg(
+            (
+                F.max(
+                    F.when(
+                        (F.col("_cm") - F.col("_c") < F.col("_lo"))
+                        & (F.col("_lo") <= F.col("_cm")),
+                        F.col("_v"),
+                    )
+                )
+                + F.max(
+                    F.when(
+                        (F.col("_cm") - F.col("_c") < F.col("_hi"))
+                        & (F.col("_hi") <= F.col("_cm")),
+                        F.col("_v"),
+                    )
+                )
+            )
+            .cast("long")
+            .alias("_dm")
+        )
+    )
+    z = base.join(F.broadcast(med), on="grp").select(
+        "grp",
+        F.abs(2 * F.col("_v") - F.col("_dm")).cast("long").alias("_z"),
+    )
+    out = anova_oneway(z, "_z", "grp")
+    return out.select(
+        "k", "n", "ssb_micro", "ssw_micro", F.col("f_milli").alias("w_milli")
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    gate_cols: Sequence[str],
+) -> DataFrame:
+    """Cochran's Q over k binary gates applied to the SAME documents —
+    "do our quality gates fire at genuinely different rates, or is the
+    apparent difference row-noise?" The matched-design complement to
+    `gate_funnel` (which only reports marginal rates) and the k-gate
+    generalization of `mcnemar_gates`: Q reduces exactly to McNemar's
+    statistic at k = 2.
+
+    FULLY integer until one floor: with per-row gate-sum ``L_i`` and
+    per-gate totals ``G_j``, ``Q = (k−1)·(k·ΣG_j² − T²) /
+    (k·T − ΣL_i²)`` where ``T = ΣL_i = ΣG_j`` — every term an exact
+    integer sum; ``q_milli = floor(10³·Q)`` is the single
+    quantization. Rows where all gates agree (all 0 or all 1)
+    contribute nothing, as the theory requires. A zero denominator
+    (every row unanimous) emits NULL Q.
+
+    Returns one row: ``(k, n, t, sum_g2, sum_l2, q_milli)``.
+
+    Scale: one scan with row-local gate algebra feeding a single
+    combinable global rollup — map-side partials, one 1-row shuffle.
+    """
+    k = len(gate_cols)
+    if k < 2:
+        raise ValueError("cochran_q needs at least 2 gate columns")
+    d = ensure_parallelism(df).select(
+        *[F.col(c).cast("long").alias(c) for c in gate_cols]
+    )
+    lsum = None
+    for c in gate_cols:
+        lsum = F.col(c) if lsum is None else lsum + F.col(c)
+    d = d.select(*gate_cols, lsum.cast("long").alias("_l"))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_l").cast("long").alias("t"),
+        F.sum(F.col("_l") * F.col("_l")).cast("long").alias("sum_l2"),
+    ] + [F.sum(c).cast("long").alias(f"_g{i}") for i, c in enumerate(gate_cols)]
+    a = d.agg(*aggs)
+    g2 = None
+    for i in range(k):
+        term = F.col(f"_g{i}") * F.col(f"_g{i}")
+        g2 = term if g2 is None else g2 + term
+    a = a.select(
+        F.lit(k).cast("long").alias("k"),
+        "n",
+        "t",
+        g2.cast("long").alias("sum_g2"),
+        "sum_l2",
+    )
+    return a.select(
+        "k",
+        "n",
+        "t",
+        "sum_g2",
+        "sum_l2",
+        F.when(
+            F.col("k") * F.col("t") - F.col("sum_l2") > 0,
+            F.expr(
+                "CAST(floor(1000.0 * (k - 1)"
+                " * (CAST(k * sum_g2 - t * t AS DOUBLE))"
+                " / (k * t - sum_l2)) AS BIGINT)"
+            ),
+        ).alias("q_milli"),
+    )

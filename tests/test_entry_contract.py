@@ -696,6 +696,13 @@ def test_oracled_queries_precede_rows_only():
         "grubbs_outlier",
         # tokenizer fertility — token_counts' grammars rolled up
         "tokenizer_fertility",
+        # Kruskal–Wallis — mannwhitney's midrank family, k groups
+        "kruskal_wallis",
+        # Brown–Forsythe — robust_location's order-stat medians feeding
+        # anova_oneway's SS algebra
+        "brown_forsythe",
+        # Cochran's Q — mcnemar_gates' matched-gate family, k gates
+        "cochran_q",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

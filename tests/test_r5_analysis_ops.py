@@ -15,6 +15,8 @@ import pytest
 from correctocr_spark.ops.temporal import cusum_changepoint, ewma_control
 from correctocr_spark.ops.textstats import (
     anova_oneway,
+    brown_forsythe,
+    kruskal_wallis,
     best_split,
     cliffs_delta,
     cohens_d,
@@ -363,3 +365,189 @@ class TestFertility:
         assert got["de"]["subtokens"] == 3
         chars = len("donaudampfschiff 42!")
         assert got["de"]["chars_per_subtoken_milli"] == tdiv(1000 * chars, 3)
+
+
+class TestKruskalWallis:
+    @staticmethod
+    def _twin(pairs):
+        """Brute-force twin: classic midrank KW with tie correction,
+        quantized exactly like the op (per-group micro term, one
+        milli-floor)."""
+        vals = {}
+        for _, v in pairs:
+            vals[v] = vals.get(v, 0) + 1
+        cum, dr = 0, {}
+        for v in sorted(vals):
+            cum += vals[v]
+            dr[v] = 2 * cum - vals[v] + 1
+        groups = {}
+        for g, v in pairs:
+            n, s2 = groups.get(g, (0, 0))
+            groups[g] = (n + 1, s2 + dr[v])
+        term = sum(
+            math.floor(1000000.0 * (float(s2) * s2 / (4.0 * n)))
+            for n, s2 in groups.values()
+        )
+        tie = sum(c * c * c - c for c in vals.values())
+        n = len(pairs)
+        k = len(groups)
+        h = 12.0 * (term / 1000000.0) / (float(n) * (n + 1)) - 3.0 * (n + 1)
+        c = 1.0 - tie / (float(n) * n * n - n)
+        h_milli = (
+            math.floor(1000.0 * h / c)
+            if k >= 2 and n >= 2 and c > 0
+            else None
+        )
+        return k, n, tie, term, h_milli
+
+    def test_matches_twin_with_ties(self, spark):
+        pairs = (
+            [("a", v) for v in [1, 2, 2, 3, 7]]
+            + [("b", v) for v in [2, 5, 5, 9]]
+            + [("c", v) for v in [1, 1, 8, 8, 8, 10]]
+        )
+        df = spark.createDataFrame(pairs, "g string, v long")
+        row = kruskal_wallis(df, "v", "g").collect()[0]
+        assert (
+            row["k"],
+            row["n"],
+            row["tie_sum"],
+            row["rank_term_micro"],
+            row["h_milli"],
+        ) == self._twin(pairs)
+        # and the doubled midranks really are the textbook midranks:
+        # scipy-free sanity on the untied permutation
+        assert row["h_milli"] is not None and row["h_milli"] > 0
+
+    def test_all_tied_null(self, spark):
+        df = spark.createDataFrame(
+            [("a", 5), ("a", 5), ("b", 5)], "g string, v long"
+        )
+        assert kruskal_wallis(df, "v", "g").collect()[0]["h_milli"] is None
+
+    def test_identical_distributions_small_h(self, spark):
+        pairs = [("a", v) for v in range(1, 21)] + [
+            ("b", v) for v in range(1, 21)
+        ]
+        df = spark.createDataFrame(pairs, "g string, v long")
+        row = kruskal_wallis(df, "v", "g").collect()[0]
+        assert row["h_milli"] == 0  # exactly equal rank sums -> H = 0
+
+
+class TestBrownForsythe:
+    @staticmethod
+    def _twin(groups):
+        """Medians by order statistics, then the ANOVA twin on
+        z = |2x − 2·med|, exactly as quantized by the op."""
+        zs = {}
+        for g, vs in groups.items():
+            sv = sorted(vs)
+            n = len(sv)
+            dm = sv[(n + 1) // 2 - 1] + sv[n // 2 + 1 - 1]
+            zs[g] = [abs(2 * v - dm) for v in vs]
+        ssb_sum = sum(
+            math.floor(1e6 * (float(sum(z)) * sum(z) / len(z)))
+            for z in zs.values()
+        )
+        ssw = sum(
+            math.floor(
+                1e6
+                * (sum(v * v for v in z) - float(sum(z)) * sum(z) / len(z))
+            )
+            for z in zs.values()
+        )
+        ts = sum(sum(z) for z in zs.values())
+        n = sum(len(z) for z in zs.values())
+        k = len(zs)
+        ssb = ssb_sum - math.floor(1e6 * (float(ts) * ts / n))
+        w = (
+            math.floor(1000.0 * (ssb / (k - 1)) / (ssw / (n - k)))
+            if k >= 2 and n > k and ssw > 0
+            else None
+        )
+        return k, n, ssb, ssw, w
+
+    def test_matches_twin_odd_even(self, spark):
+        groups = {
+            "a": [1, 3, 9, 20],  # even n: dbl_med = 3 + 9
+            "b": [2, 2, 7],  # odd n: dbl_med = 2 + 2
+            "c": [5, 6, 6, 8, 40],  # odd with ties
+        }
+        data = [(g, v) for g, vs in groups.items() for v in vs]
+        df = spark.createDataFrame(data, "g string, v long")
+        row = brown_forsythe(df, "v", "g").collect()[0]
+        assert (
+            row["k"],
+            row["n"],
+            row["ssb_micro"],
+            row["ssw_micro"],
+            row["w_milli"],
+        ) == self._twin(groups)
+
+    def test_equal_spread_zero_w(self, spark):
+        # two groups, different centers, identical spread around median
+        groups = {"a": [10, 20, 30], "b": [110, 120, 130]}
+        data = [(g, v) for g, vs in groups.items() for v in vs]
+        df = spark.createDataFrame(data, "g string, v long")
+        row = brown_forsythe(df, "v", "g").collect()[0]
+        assert row["w_milli"] == 0  # z-distributions identical
+
+
+class TestCochranQ:
+    def test_hand_case(self, spark):
+        # 6 docs x 3 gates, mixed agreement
+        rows = [
+            (1, 1, 0),
+            (1, 0, 0),
+            (1, 1, 1),
+            (0, 0, 0),
+            (1, 0, 1),
+            (1, 1, 0),
+        ]
+        df = spark.createDataFrame(rows, "g1 long, g2 long, g3 long")
+        from correctocr_spark.ops.textstats import cochran_q
+
+        row = cochran_q(df, ["g1", "g2", "g3"]).collect()[0]
+        k = 3
+        ls = [sum(r) for r in rows]
+        gs = [sum(r[j] for r in rows) for j in range(3)]
+        t = sum(ls)
+        sum_l2 = sum(x * x for x in ls)
+        sum_g2 = sum(x * x for x in gs)
+        q = math.floor(
+            1000.0 * (k - 1) * float(k * sum_g2 - t * t) / (k * t - sum_l2)
+        )
+        assert (
+            row["k"],
+            row["n"],
+            row["t"],
+            row["sum_g2"],
+            row["sum_l2"],
+            row["q_milli"],
+        ) == (3, 6, t, sum_g2, sum_l2, q)
+
+    def test_unanimous_rows_null(self, spark):
+        rows = [(1, 1, 1), (0, 0, 0), (1, 1, 1)]
+        df = spark.createDataFrame(rows, "g1 long, g2 long, g3 long")
+        from correctocr_spark.ops.textstats import cochran_q
+
+        assert cochran_q(df, ["g1", "g2", "g3"]).collect()[0][
+            "q_milli"
+        ] is None
+
+    def test_reduces_to_mcnemar_shape_at_k2(self, spark):
+        # k=2: Q = (b-c)^2/(b+c) — the McNemar statistic
+        rows = [(1, 0)] * 5 + [(0, 1)] * 2 + [(1, 1)] * 3 + [(0, 0)] * 4
+        df = spark.createDataFrame(rows, "g1 long, g2 long")
+        from correctocr_spark.ops.textstats import cochran_q
+
+        row = cochran_q(df, ["g1", "g2"]).collect()[0]
+        b, c = 5, 2
+        assert row["q_milli"] == math.floor(1000.0 * (b - c) ** 2 / (b + c))
+
+    def test_k1_raises(self, spark):
+        from correctocr_spark.ops.textstats import cochran_q
+
+        df = spark.createDataFrame([(1,)], "g1 long")
+        with pytest.raises(ValueError):
+            cochran_q(df, ["g1"])

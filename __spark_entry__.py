@@ -5084,6 +5084,34 @@ def q_cochran(spark, sf_dir):
     return cochran_q(d, ["g_len", "g_period", "g_digit"])
 
 
+def q_dunn(spark, sf_dir):
+    """Dunn's post-hoc pairwise z between langs on the Kruskal–Wallis
+    midranks — one milli-floor per pair."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import dunn_pairwise
+
+    return dunn_pairwise(_t(spark, sf_dir, "documents"), "n_chars", "lang")
+
+
+def q_kendall(spark, sf_dir):
+    """Kendall tau-b between doc char length and whitespace word
+    count on the bit-length coarsening — exact integer C/D/tie
+    counts, one milli-floor."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import kendall_tau
+    from correctocr_spark.ops.dedup import normalized_words
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            F.col("n_chars").cast("long").alias("nc"),
+            F.size(normalized_words("text")).cast("long").alias("nw"),
+        )
+    )
+    return kendall_tau(d, "nc", "nw")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5774,6 +5802,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brown_forsythe": q_brown_forsythe,
         # Cochran's Q over three matched quality gates
         "cochran_q": q_cochran,
+        # Dunn post-hoc pairwise z on the KW midranks
+        "dunn_pairwise": q_dunn,
+        # Kendall tau-b on the bit-length coarsening
+        "kendall_tau": q_kendall,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -13576,6 +13608,92 @@ FROM documents)
                   / (3 * t - sum_l2))::BIGINT
                 END AS q_milli
             FROM a
+        """,
+        # dunn_pairwise: the kruskal_wallis rank machinery feeding a
+        # k-row pairwise self-join, one milli-floor per pair
+        "dunn_pairwise": """
+            WITH base AS (
+              SELECT lang AS grp, n_chars::BIGINT AS v
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+            ),
+            vals AS (
+              SELECT v, count(*)::BIGINT AS cnt FROM base GROUP BY 1
+            ),
+            ranked AS (
+              SELECT v, cnt,
+                (2 * sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) - cnt + 1)::BIGINT AS dr
+              FROM vals
+            ),
+            g AS (
+              SELECT grp, sum(c)::BIGINT AS ng, sum(c * dr)::BIGINT AS s2
+              FROM (
+                SELECT grp, v, count(*)::BIGINT AS c
+                FROM base GROUP BY 1, 2
+              ) gv JOIN ranked USING (v)
+              GROUP BY 1
+            ),
+            tot AS (
+              SELECT (SELECT count(*)::BIGINT FROM base) AS n,
+                     (SELECT sum(cnt * cnt * cnt - cnt)::BIGINT
+                      FROM vals) AS tie
+            )
+            SELECT a.grp AS grp_a, b.grp AS grp_b,
+                   a.ng AS n_a, b.ng AS n_b,
+              CASE WHEN n >= 3
+                AND (CAST(n AS DOUBLE) * (n + 1) / 12.0
+                     - CAST(tie AS DOUBLE) / (12.0 * (n - 1))) > 0 THEN
+                floor(1000.0
+                  * (CAST(a.s2 AS DOUBLE) / (2.0 * a.ng)
+                     - CAST(b.s2 AS DOUBLE) / (2.0 * b.ng))
+                  / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
+                          - CAST(tie AS DOUBLE) / (12.0 * (n - 1)))
+                         * (1.0 / a.ng + 1.0 / b.ng)))::BIGINT
+                END AS z_milli
+            FROM g a JOIN g b ON a.grp < b.grp, tot
+        """,
+        # kendall_tau: tau-b over the bit-length contingency — exact
+        # integer concordance/tie counting, cell self-join, one floor
+        "kendall_tau": f"""
+            WITH base AS (
+              SELECT length(bin(n_chars::BIGINT))::BIGINT AS bx,
+                     length(bin(len({_WORDS})::BIGINT))::BIGINT AS by_
+              FROM documents
+              WHERE text IS NOT NULL AND n_chars IS NOT NULL
+            ),
+            cells AS (
+              SELECT bx, by_, count(*)::BIGINT AS c FROM base GROUP BY 1, 2
+            ),
+            conc AS (
+              SELECT coalesce(sum(c1.c * c2.c), 0)::BIGINT AS concordant
+              FROM cells c1 JOIN cells c2
+                ON c1.bx < c2.bx AND c1.by_ < c2.by_
+            ),
+            disc AS (
+              SELECT coalesce(sum(c1.c * c2.c), 0)::BIGINT AS discordant
+              FROM cells c1 JOIN cells c2
+                ON c1.bx < c2.bx AND c1.by_ > c2.by_
+            ),
+            tx AS (
+              SELECT sum(t * (t - 1) // 2)::BIGINT AS ties_x
+              FROM (SELECT sum(c)::BIGINT AS t FROM cells GROUP BY bx)
+            ),
+            ty AS (
+              SELECT sum(t * (t - 1) // 2)::BIGINT AS ties_y
+              FROM (SELECT sum(c)::BIGINT AS t FROM cells GROUP BY by_)
+            ),
+            nn AS (SELECT sum(c)::BIGINT AS n FROM cells)
+            SELECT n, (n * (n - 1) // 2)::BIGINT AS n0,
+                   concordant, discordant, ties_x, ties_y,
+              CASE WHEN n * (n - 1) // 2 > ties_x
+                    AND n * (n - 1) // 2 > ties_y THEN
+                floor(1000.0
+                  * CAST(concordant - discordant AS DOUBLE)
+                  / sqrt(CAST(n * (n - 1) // 2 - ties_x AS DOUBLE)
+                         * (n * (n - 1) // 2 - ties_y)))::BIGINT
+                END AS tau_milli
+            FROM nn, conc, disc, tx, ty
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

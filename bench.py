@@ -299,6 +299,8 @@ HEADLINE = [
     "kruskal_wallis",
     "brown_forsythe",
     "cochran_q",
+    "dunn_pairwise",
+    "kendall_tau",
     "bpe_token_counts",
     "extraction_blocks",
 ]

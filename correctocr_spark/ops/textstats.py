@@ -5545,3 +5545,226 @@ def cochran_q(
             ),
         ).alias("q_milli"),
     )
+
+
+def dunn_pairwise(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise z after `kruskal_wallis` — once H says
+    "SOME language differs", this says WHICH pairs do, on the same
+    midranks (no re-ranking, no per-pair re-test): ``z_uv = (r̄_u −
+    r̄_v) / sqrt(σ²·(1/n_u + 1/n_v))`` with the tie-corrected
+    ``σ² = N(N+1)/12 − tie_sum/(12(N−1))``.
+
+    All inputs exact integers (doubled rank sums ``S2_g``, group
+    sizes, N, tie_sum — the `kruskal_wallis` construction verbatim);
+    ``z_milli = floor(10³·z)`` is the only quantization, one per pair
+    (floor toward −∞ in BOTH engines, so negative z is safe). Pairs
+    emitted once with ``grp_a < grp_b``; σ² ≤ 0 (all values tied) or
+    N < 3 emits NULL z.
+
+    Returns ``(grp_a, grp_b, n_a, n_b, z_milli)`` — k(k−1)/2 rows.
+
+    Scale: identical to `kruskal_wallis` (no row-table window); the
+    pairwise stage is a self-join of the k-row group table.
+    """
+    base = (
+        ensure_parallelism(df)
+        .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+    )
+    vals = base.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vals.select(
+        "_v",
+        "_cnt",
+        (2 * F.sum("_cnt").over(w) - F.col("_cnt") + 1)
+        .cast("long")
+        .alias("_dr"),
+    )
+    g = (
+        base.groupBy("grp", "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .join(F.broadcast(ranked), on="_v")
+        .groupBy("grp")
+        .agg(
+            F.sum("_c").cast("long").alias("_ng"),
+            F.sum(F.col("_c") * F.col("_dr")).cast("long").alias("_s2"),
+        )
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("_n")).crossJoin(
+        vals.agg(
+            F.sum(
+                F.col("_cnt") * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")
+            )
+            .cast("long")
+            .alias("_tie")
+        )
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = (
+        a.join(b, F.col("a.grp") < F.col("b.grp"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a.grp").alias("grp_a"),
+            F.col("b.grp").alias("grp_b"),
+            F.col("a._ng").alias("n_a"),
+            F.col("b._ng").alias("n_b"),
+            F.col("a._s2").alias("_s2a"),
+            F.col("b._s2").alias("_s2b"),
+            "_n",
+            "_tie",
+        )
+    )
+    var_expr = (
+        "(CAST(_n AS DOUBLE) * (_n + 1) / 12.0"
+        " - CAST(_tie AS DOUBLE) / (12.0 * (_n - 1)))"
+    )
+    diff_expr = (
+        "(CAST(_s2a AS DOUBLE) / (2.0 * n_a)"
+        " - CAST(_s2b AS DOUBLE) / (2.0 * n_b))"
+    )
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("_n") >= 3) & (F.expr(var_expr) > 0),
+            F.expr(
+                f"CAST(floor(1000.0 * {diff_expr}"
+                f" / sqrt({var_expr} * (1.0 / n_a + 1.0 / n_b)))"
+                f" AS BIGINT)"
+            ),
+        ).alias("z_milli"),
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's tau-b between two non-negative integer columns,
+    computed on a MONOTONE coarsening: each value maps to its binary
+    bit length (``length(bin(v))`` = ⌊log₂v⌋+1 — order-preserving,
+    ~20 bins at any corpus scale, byte-identical in Spark and DuckDB).
+    The binned tau is the exact tau OF THE BINNED VARIABLES — ties
+    within a bin are handled by the tau-b tie terms, not ignored.
+    The corpus question: "does doc length actually travel with word
+    count / link count / quality, monotonically?" where `rank_agreement`
+    (Spearman) needs global ranks, this needs only a contingency
+    rollup.
+
+    Exact integers end to end: concordant/discordant counts are
+    Σ c₁·c₂ over strictly-dominating / anti-dominating cell pairs of
+    the bit-length contingency table; tie terms ``n1 = Σ t(t−1)/2``
+    over x margins (t(t−1) always even — the div is exact), same for
+    y; ``tau_milli = floor(10³·(C−D)/sqrt((n0−n1)(n0−n2)))`` is the
+    single quantization. Degenerate margins (all mass in one x or one
+    y bin) emit NULL tau.
+
+    Returns one row: ``(n, n0, concordant, discordant, ties_x,
+    ties_y, tau_milli)``.
+
+    Scale: one combinable contingency rollup over the scan; the cell
+    self-join runs on ≤ ~400 cells regardless of corpus size (bins
+    are bit lengths, bounded by the value width) — never the rows.
+    """
+    base = (
+        ensure_parallelism(df)
+        .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(
+            F.length(F.bin(F.col(x_col).cast("long"))).cast("long").alias("_bx"),
+            F.length(F.bin(F.col(y_col).cast("long"))).cast("long").alias("_by"),
+        )
+    )
+    cells = base.groupBy("_bx", "_by").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    c1 = cells.alias("c1")
+    c2 = cells.alias("c2")
+    conc = (
+        c1.join(
+            c2,
+            (F.col("c1._bx") < F.col("c2._bx"))
+            & (F.col("c1._by") < F.col("c2._by")),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c1._c") * F.col("c2._c")), F.lit(0)
+            )
+            .cast("long")
+            .alias("concordant")
+        )
+    )
+    disc = (
+        c1.join(
+            c2,
+            (F.col("c1._bx") < F.col("c2._bx"))
+            & (F.col("c1._by") > F.col("c2._by")),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c1._c") * F.col("c2._c")), F.lit(0)
+            )
+            .cast("long")
+            .alias("discordant")
+        )
+    )
+    tx = (
+        cells.groupBy("_bx")
+        .agg(F.sum("_c").cast("long").alias("_t"))
+        .agg(
+            F.sum(F.expr("_t * (_t - 1) div 2"))
+            .cast("long")
+            .alias("ties_x")
+        )
+    )
+    ty = (
+        cells.groupBy("_by")
+        .agg(F.sum("_c").cast("long").alias("_t"))
+        .agg(
+            F.sum(F.expr("_t * (_t - 1) div 2"))
+            .cast("long")
+            .alias("ties_y")
+        )
+    )
+    n = cells.agg(F.sum("_c").cast("long").alias("n"))
+    out = (
+        n.crossJoin(conc)
+        .crossJoin(disc)
+        .crossJoin(tx)
+        .crossJoin(ty)
+        .select(
+            "n",
+            F.expr("n * (n - 1) div 2").cast("long").alias("n0"),
+            "concordant",
+            "discordant",
+            "ties_x",
+            "ties_y",
+        )
+    )
+    return out.select(
+        "n",
+        "n0",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        F.when(
+            (F.col("n0") > F.col("ties_x")) & (F.col("n0") > F.col("ties_y")),
+            F.expr(
+                "CAST(floor(1000.0"
+                " * (CAST(concordant - discordant AS DOUBLE))"
+                " / sqrt(CAST(n0 - ties_x AS DOUBLE)"
+                "   * (n0 - ties_y))) AS BIGINT)"
+            ),
+        ).alias("tau_milli"),
+    )

@@ -703,6 +703,10 @@ def test_oracled_queries_precede_rows_only():
         "brown_forsythe",
         # Cochran's Q — mcnemar_gates' matched-gate family, k gates
         "cochran_q",
+        # Dunn post-hoc — kruskal_wallis' rank machinery, pairwise
+        "dunn_pairwise",
+        # Kendall tau-b — binned contingency concordance counting
+        "kendall_tau",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

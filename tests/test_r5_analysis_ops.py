@@ -16,6 +16,8 @@ from correctocr_spark.ops.temporal import cusum_changepoint, ewma_control
 from correctocr_spark.ops.textstats import (
     anova_oneway,
     brown_forsythe,
+    dunn_pairwise,
+    kendall_tau,
     kruskal_wallis,
     best_split,
     cliffs_delta,
@@ -551,3 +553,111 @@ class TestCochranQ:
         df = spark.createDataFrame([(1,)], "g1 long")
         with pytest.raises(ValueError):
             cochran_q(df, ["g1"])
+
+
+class TestDunnPairwise:
+    def test_matches_twin(self, spark):
+        pairs = (
+            [("a", v) for v in [1, 2, 2, 3, 7, 11]]
+            + [("b", v) for v in [2, 5, 5, 9]]
+            + [("c", v) for v in [1, 1, 8, 8, 8, 10, 30]]
+        )
+        df = spark.createDataFrame(pairs, "g string, v long")
+        got = {
+            (r["grp_a"], r["grp_b"]): (r["n_a"], r["n_b"], r["z_milli"])
+            for r in dunn_pairwise(df, "v", "g").collect()
+        }
+        # twin: textbook midranks (1-based average ranks)
+        vals = {}
+        for _, v in pairs:
+            vals[v] = vals.get(v, 0) + 1
+        cum, dr = 0, {}
+        for v in sorted(vals):
+            cum += vals[v]
+            dr[v] = 2 * cum - vals[v] + 1  # doubled midrank
+        groups = {}
+        for g, v in pairs:
+            n, s2 = groups.get(g, (0, 0))
+            groups[g] = (n + 1, s2 + dr[v])
+        n = len(pairs)
+        tie = sum(c * c * c - c for c in vals.values())
+        var = float(n) * (n + 1) / 12.0 - float(tie) / (12.0 * (n - 1))
+        keys = sorted(groups)
+        assert len(got) == len(keys) * (len(keys) - 1) // 2
+        for i, u in enumerate(keys):
+            for w_ in keys[i + 1:]:
+                nu, su = groups[u]
+                nv, sv = groups[w_]
+                z = math.floor(
+                    1000.0
+                    * (float(su) / (2.0 * nu) - float(sv) / (2.0 * nv))
+                    / math.sqrt(var * (1.0 / nu + 1.0 / nv))
+                )
+                assert got[(u, w_)] == (nu, nv, z), (u, w_)
+
+    def test_all_tied_null(self, spark):
+        df = spark.createDataFrame(
+            [("a", 4), ("a", 4), ("b", 4), ("b", 4)], "g string, v long"
+        )
+        rows = dunn_pairwise(df, "v", "g").collect()
+        assert len(rows) == 1 and rows[0]["z_milli"] is None
+
+
+class TestKendallTau:
+    @staticmethod
+    def _twin(xy):
+        blen = lambda v: len(bin(v)) - 2 if v > 0 else 1  # len(bin()) twin
+        b = [(blen(x), blen(y)) for x, y in xy]
+        n = len(b)
+        conc = disc = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx = (b[i][0] > b[j][0]) - (b[i][0] < b[j][0])
+                dy = (b[i][1] > b[j][1]) - (b[i][1] < b[j][1])
+                if dx * dy > 0:
+                    conc += 1
+                elif dx * dy < 0:
+                    disc += 1
+        n0 = n * (n - 1) // 2
+        from collections import Counter
+
+        tx = sum(
+            t * (t - 1) // 2 for t in Counter(p[0] for p in b).values()
+        )
+        ty = sum(
+            t * (t - 1) // 2 for t in Counter(p[1] for p in b).values()
+        )
+        tau = (
+            math.floor(
+                1000.0 * (conc - disc)
+                / math.sqrt(float(n0 - tx) * (n0 - ty))
+            )
+            if n0 > tx and n0 > ty
+            else None
+        )
+        return n, n0, conc, disc, tx, ty, tau
+
+    def test_matches_brute_force(self, spark):
+        xy = [
+            (3, 1), (8, 2), (17, 4), (300, 60), (1023, 200),
+            (2, 9), (40, 3), (5000, 900), (7, 7), (128, 32),
+            (1, 1), (64, 1), (9000, 2000), (12, 2), (700, 150),
+        ]
+        df = spark.createDataFrame(xy, "x long, y long")
+        r = kendall_tau(df, "x", "y").collect()[0]
+        assert (
+            r["n"], r["n0"], r["concordant"], r["discordant"],
+            r["ties_x"], r["ties_y"], r["tau_milli"],
+        ) == self._twin(xy)
+
+    def test_perfect_monotone_tau_1000(self, spark):
+        # strictly increasing across DISTINCT bit lengths -> tau = 1
+        xy = [(1, 2), (2, 4), (4, 8), (8, 16), (16, 32)]
+        df = spark.createDataFrame(xy, "x long, y long")
+        assert kendall_tau(df, "x", "y").collect()[0]["tau_milli"] == 1000
+
+    def test_degenerate_margin_null(self, spark):
+        # all x in one bit-length bin -> n0 == ties_x -> NULL
+        xy = [(4, 1), (5, 200), (6, 3), (7, 4000)]
+        df = spark.createDataFrame(xy, "x long, y long")
+        assert kendall_tau(df, "x", "y").collect()[0]["tau_milli"] is None

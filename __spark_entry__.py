@@ -3586,6 +3586,16 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_sketch(_lang_words(spark, sf_dir), "word", "lang", k=16)
 
 
+def q_kmv_set_ops(spark, sf_dir):
+    """Pairwise cross-language vocabulary union/intersection/Jaccard
+    estimates from the k=16 KMV sketches — all set algebra on k-row
+    sketch tables, never the word stream."""
+    _ship(spark)
+    from correctocr_spark.ops.sketch import kmv_set_ops
+
+    return kmv_set_ops(_lang_words(spark, sf_dir), "word", "lang", k=16)
+
+
 def q_hll_registers(spark, sf_dir):
     """HyperLogLog register TABLE per language (b=6 → 64 buckets):
     bucket = high 6 hash bits, register = max leading-zero rank of the
@@ -5806,6 +5816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dunn_pairwise": q_dunn,
         # Kendall tau-b on the bit-length coarsening
         "kendall_tau": q_kendall,
+        # pairwise KMV union/intersection/Jaccard across langs
+        "kmv_set_ops": q_kmv_set_ops,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -13694,6 +13706,62 @@ FROM documents)
                          * (n * (n - 1) // 2 - ties_y)))::BIGINT
                 END AS tau_milli
             FROM nn, conc, disc, tx, ty
+        """,
+        # kmv_set_ops: kmv_distinct's md5-32 sketch machinery, pair
+        # algebra on the k-row retained-minima tables — integer
+        # estimators, bit-identical divs
+        "kmv_set_ops": r"""
+            WITH w AS (
+              SELECT lang, unnest(regexp_split_to_array(lower(text),
+                '\W+')) AS word
+              FROM documents
+            ),
+            h AS (
+              SELECT DISTINCT lang,
+                ('0x' || substr(md5('kmv|' || word), 1, 8))::BIGINT AS _h
+              FROM w WHERE word <> ''
+            ),
+            kept AS (
+              SELECT lang, _h,
+                row_number() OVER (PARTITION BY lang ORDER BY _h) AS rn
+              FROM h QUALIFY rn <= 16
+            ),
+            gl AS (SELECT DISTINCT lang FROM kept),
+            pr AS (
+              SELECT a.lang AS grp_a, b.lang AS grp_b
+              FROM gl a JOIN gl b ON a.lang < b.lang
+            ),
+            e AS (
+              SELECT pr.grp_a, pr.grp_b, k._h,
+                max(CASE WHEN k.lang = pr.grp_a THEN 1 ELSE 0
+                  END)::BIGINT AS ia,
+                max(CASE WHEN k.lang = pr.grp_b THEN 1 ELSE 0
+                  END)::BIGINT AS ib
+              FROM pr JOIN kept k
+                ON k.lang = pr.grp_a OR k.lang = pr.grp_b
+              GROUP BY 1, 2, 3
+            ),
+            x AS (
+              SELECT grp_a, grp_b, _h, ia, ib,
+                row_number() OVER (PARTITION BY grp_a, grp_b
+                  ORDER BY _h) AS rn
+              FROM e QUALIFY rn <= 16
+            ),
+            agg AS (
+              SELECT grp_a, grp_b, count(*)::BIGINT AS n_min,
+                max(_h) AS kth_min,
+                sum(ia * ib)::BIGINT AS both_minima
+              FROM x GROUP BY 1, 2
+            )
+            SELECT grp_a, grp_b, n_min, kth_min, both_minima,
+              (CASE WHEN n_min < 16 THEN n_min
+                ELSE (15 * 4294967296) // kth_min END)::BIGINT
+                AS est_union,
+              ((both_minima * (CASE WHEN n_min < 16 THEN n_min
+                ELSE (15 * 4294967296) // kth_min END))
+                // n_min)::BIGINT AS est_intersect,
+              ((1000 * both_minima) // n_min)::BIGINT AS jaccard_milli
+            FROM agg
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -301,6 +301,7 @@ HEADLINE = [
     "cochran_q",
     "dunn_pairwise",
     "kendall_tau",
+    "kmv_set_ops",
     "bpe_token_counts",
     "extraction_blocks",
 ]

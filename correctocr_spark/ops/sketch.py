@@ -615,3 +615,91 @@ def quantile_estimates(
         lo.cast("long").alias("est_lo"),
         hi.cast("long").alias("est_hi"),
     )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Pairwise set-operation estimates across groups from bottom-k
+    (KMV / theta) sketches — the workflow `kmv_sketch` exists FOR:
+    "how much vocabulary do en and de share? what's the distinct-URL
+    union of source A and source B?" answered from k-row sketches
+    instead of an exact distinct-join over the full key stream.
+
+    Per pair (a < b): merge the two retained-minima sets, keep the k
+    smallest of the union (the union's own KMV sketch — the merge
+    identity `kmv_merge` pins); ``est_union`` is the standard integer
+    estimator; intersection uses the ratio estimator counted on the
+    union's retained set X: ``est_intersect = (|X ∩ A ∩ B| ·
+    est_union) div |X|`` and ``jaccard_milli = 10³·|X ∩ A ∩ B| div
+    |X|``. Everything is deterministic pure-integer arithmetic over
+    md5-32 hashes — the DuckDB twin is bit-identical, and all divs
+    have non-negative numerators.
+
+    Returns one row per group pair: ``(grp_a, grp_b, n_min, kth_min,
+    both_minima, est_union, est_intersect, jaccard_milli)``.
+
+    Scale: the ONLY pass over the data is the per-group sketch build
+    (distinct + WindowGroupLimit top-k, ≤ k rows out per group per
+    partition); every set operation runs on g·k sketch rows — for
+    10^12 keys and 100 sources that is 6,400 rows of pair algebra.
+    """
+    if k < 2:
+        raise ValueError(f"kmv_set_ops needs k >= 2, got {k}")
+    d = (
+        ensure_parallelism(df)
+        .select(
+            F.col(group_col).cast("string").alias("_g"),
+            _hash32(F.col(key_col), salt).alias("_h"),
+        )
+        .distinct()
+    )
+    ret = _k_smallest(d, ["_g"], k)
+    glist = ret.select("_g").distinct()
+    pairs = (
+        glist.select(F.col("_g").alias("grp_a"))
+        .join(
+            glist.select(F.col("_g").alias("grp_b")),
+            F.col("grp_a") < F.col("grp_b"),
+        )
+    )
+    e = (
+        F.broadcast(pairs)
+        .join(
+            ret,
+            (F.col("_g") == F.col("grp_a")) | (F.col("_g") == F.col("grp_b")),
+        )
+        .groupBy("grp_a", "grp_b", "_h")
+        .agg(
+            F.max((F.col("_g") == F.col("grp_a")).cast("long")).alias("_ia"),
+            F.max((F.col("_g") == F.col("grp_b")).cast("long")).alias("_ib"),
+        )
+    )
+    x = _k_smallest(e, ["grp_a", "grp_b"], k)
+    agg = x.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_min"),
+        F.max("_h").alias("kth_min"),
+        F.sum(F.col("_ia") * F.col("_ib")).cast("long").alias("both_minima"),
+    )
+    est_u = (
+        f"CASE WHEN n_min < {k} THEN n_min"
+        f" ELSE CAST(({k - 1} * {_HASH_SPAN}) div kth_min AS BIGINT) END"
+    )
+    return agg.select(
+        "grp_a",
+        "grp_b",
+        "n_min",
+        "kth_min",
+        "both_minima",
+        F.expr(est_u).cast("long").alias("est_union"),
+        F.expr(f"(both_minima * ({est_u})) div n_min")
+        .cast("long")
+        .alias("est_intersect"),
+        F.expr("(1000 * both_minima) div n_min")
+        .cast("long")
+        .alias("jaccard_milli"),
+    )

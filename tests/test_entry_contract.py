@@ -707,6 +707,8 @@ def test_oracled_queries_precede_rows_only():
         "dunn_pairwise",
         # Kendall tau-b — binned contingency concordance counting
         "kendall_tau",
+        # KMV pairwise set ops — kmv_distinct's sketch machinery
+        "kmv_set_ops",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

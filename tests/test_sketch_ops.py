@@ -73,6 +73,78 @@ class TestKmv:
             kmv_sketch(_ids(spark, 5), "key", "grp", k=1)
 
 
+class TestKmvSetOps:
+    def test_exact_below_k(self, spark):
+        """Both groups under k: the union sketch is the exact distinct
+        union, the intersection estimator is exact too."""
+        from correctocr_spark.ops.sketch import kmv_set_ops
+
+        # grp a: keys 0..19, grp b: keys 10..29 -> union 30, inter 10
+        rows = [(i, "a") for i in range(20)] + [
+            (i, "b") for i in range(10, 30)
+        ]
+        df = spark.createDataFrame(rows, "key long, grp string")
+        r = kmv_set_ops(df, "key", "grp", k=64).collect()[0]
+        assert (r["grp_a"], r["grp_b"]) == ("a", "b")
+        assert r["n_min"] == 30 and r["est_union"] == 30
+        assert r["both_minima"] == 10
+        assert r["est_intersect"] == 10
+        assert r["jaccard_milli"] == (1000 * 10) // 30
+
+    def test_matches_python_twin_saturated(self, spark):
+        """k-saturated regime: every output field equals a python
+        twin computed from the same md5-32 hashes."""
+        import hashlib
+
+        from correctocr_spark.ops.sketch import kmv_set_ops
+
+        rows = [(i, "a") for i in range(300)] + [
+            (i, "b") for i in range(150, 450)
+        ]
+        df = spark.createDataFrame(rows, "key long, grp string")
+        k = 16
+        r = kmv_set_ops(df, "key", "grp", k=k).collect()[0]
+
+        def h32(v):
+            return int(hashlib.md5(f"kmv|{v}".encode()).hexdigest()[:8], 16)
+
+        ha = sorted({h32(i) for i in range(300)})[:k]
+        hb = sorted({h32(i) for i in range(150, 450)})[:k]
+        x = sorted(set(ha) | set(hb))[:k]
+        n_min, kth = len(x), x[-1]
+        both = sum(1 for h in x if h in set(ha) and h in set(hb))
+        est_u = n_min if n_min < k else ((k - 1) * (1 << 32)) // kth
+        assert (
+            r["n_min"], r["kth_min"], r["both_minima"],
+            r["est_union"], r["est_intersect"], r["jaccard_milli"],
+        ) == (
+            n_min, kth, both, est_u,
+            (both * est_u) // n_min, (1000 * both) // n_min,
+        )
+
+    def test_estimate_tolerance(self, spark):
+        """k=256, 3000-key groups with 1000 shared: union/intersection
+        estimates land within 4 sigma of truth."""
+        from correctocr_spark.ops.sketch import kmv_set_ops
+
+        rows = [(i, "a") for i in range(3000)] + [
+            (i, "b") for i in range(2000, 5000)
+        ]
+        df = spark.createDataFrame(rows, "key long, grp string")
+        r = kmv_set_ops(df, "key", "grp", k=256).collect()[0]
+        assert abs(r["est_union"] - 5000) / 5000 < 0.25
+        assert abs(r["est_intersect"] - 1000) / 1000 < 0.5
+
+    def test_pair_count_and_validation(self, spark):
+        from correctocr_spark.ops.sketch import kmv_set_ops
+
+        df = _ids(spark, 90, label_mod=3)
+        out = kmv_set_ops(df, "key", "grp", k=8).collect()
+        assert len(out) == 3  # 3 groups -> 3 pairs
+        with pytest.raises(ValueError):
+            kmv_set_ops(df, "key", "grp", k=1)
+
+
 class TestHll:
     def test_merge_is_groupby_max(self, spark):
         """Registers of a union == element-wise max of the parts'

@@ -16,7 +16,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -5122,6 +5122,102 @@ def q_kendall(spark, sf_dir):
     return kendall_tau(d, "nc", "nw")
 
 
+def q_pearson(spark, sf_dir):
+    """Pearson r between doc char length and whitespace word count
+    per language — exact long moment sums, one milli-floor with two
+    sqrts (the linear member of the Spearman/Kendall trio)."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import normalized_words
+    from correctocr_spark.ops.textstats import pearson_corr
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(
+            F.col("text").isNotNull()
+            & F.col("n_chars").isNotNull()
+            & F.col("lang").isNotNull()
+        )
+        .select(
+            "lang",
+            F.col("n_chars").cast("long").alias("nc"),
+            F.size(normalized_words("text")).cast("long").alias("nw"),
+        )
+    )
+    return pearson_corr(d, "nc", "nw", "lang").orderBy("grp")
+
+
+def q_cronbach(spark, sf_dir):
+    """Cronbach's alpha over a 3-item per-doc quality battery (char
+    length, whitespace word count, newline line count) — exact long
+    moment sums, one milli-floor."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import normalized_words
+    from correctocr_spark.ops.textstats import cronbach_alpha
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            F.col("n_chars").cast("long").alias("i_chars"),
+            F.size(normalized_words("text")).cast("long").alias("i_words"),
+            F.size(F.split(F.col("text"), "\n")).cast("long").alias("i_lines"),
+        )
+    )
+    return cronbach_alpha(d, ["i_chars", "i_words", "i_lines"])
+
+
+def q_mrr(spark, sf_dir):
+    """MRR@10 for the arithmetic lexical list against binary synthetic
+    relevance (the `ndcg_eval` harness with ungraded judgments) —
+    integer reciprocal ranks, integer-div mean."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import mrr_eval
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    ranking = None
+    qrels = None
+    for q in range(3):
+        rl = (
+            docs.where(did % 50 == q)
+            .select(
+                F.lit(q).cast("long").alias("query_id"),
+                did.alias("doc_id"),
+                (F.expr("doc_id div 50") + 1).cast("long").alias("rank"),
+            )
+            .where(F.col("rank") <= 10)
+        )
+        jl = docs.where(did % 40 == q).select(
+            F.lit(q).cast("long").alias("query_id"),
+            did.alias("doc_id"),
+        )
+        ranking = rl if ranking is None else ranking.unionByName(rl)
+        qrels = jl if qrels is None else qrels.unionByName(jl)
+    return mrr_eval(ranking, qrels, k=10)
+
+
+def q_acf(spark, sf_dir):
+    """ACF at lags 1..7 of the daily event-count series — n-scaled
+    integer deviations, exact long numerators/denominator, one
+    milli-floor per lag."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import autocorrelation
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    series = daily.select(
+        (
+            F.row_number().over(Window.orderBy("d")) - 1
+        ).cast("long").alias("t"),
+        "y",
+    )
+    return autocorrelation(series, "t", "y", max_lag=7).orderBy("lag")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5818,6 +5914,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau": q_kendall,
         # pairwise KMV union/intersection/Jaccard across langs
         "kmv_set_ops": q_kmv_set_ops,
+        # Pearson r per lang — linear member of the correlation trio
+        "pearson_corr": q_pearson,
+        # Cronbach's alpha — composite-quality reliability gate
+        "cronbach_alpha": q_cronbach,
+        # MRR@10 — first-relevant-hit retrieval eval
+        "mrr_eval": q_mrr,
+        # daily-count autocorrelation, lags 1..7
+        "autocorrelation": q_acf,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -13762,6 +13866,155 @@ FROM documents)
                 // n_min)::BIGINT AS est_intersect,
               ((1000 * both_minima) // n_min)::BIGINT AS jaccard_milli
             FROM agg
+        """,
+        # pearson_corr: exact long moment sums, milli-floor with two
+        # sqrts (never sqrt of the product — overflow)
+        "pearson_corr": f"""
+            WITH base AS (
+              SELECT lang AS grp, n_chars::BIGINT AS vx,
+                     len({_WORDS})::BIGINT AS vy
+              FROM documents
+              WHERE text IS NOT NULL AND n_chars IS NOT NULL
+                AND lang IS NOT NULL
+            ),
+            a AS (
+              SELECT grp, count(*)::BIGINT AS n,
+                sum(vx)::BIGINT AS sx, sum(vy)::BIGINT AS sy,
+                sum(vx * vy)::BIGINT AS sxy,
+                sum(vx * vx)::BIGINT AS sxx,
+                sum(vy * vy)::BIGINT AS syy
+              FROM base GROUP BY grp
+            )
+            SELECT grp, n,
+              (n * sxy - sx * sy)::BIGINT AS cov_num,
+              (n * sxx - sx * sx)::BIGINT AS varx_num,
+              (n * syy - sy * sy)::BIGINT AS vary_num,
+              CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                        AND (n * syy - sy * sy) > 0
+                THEN CASE
+                  WHEN (n * sxy - sx * sy)::HUGEINT * (n * sxy - sx * sy)
+                       = (n * sxx - sx * sx)::HUGEINT
+                         * (n * syy - sy * sy)
+                  THEN CASE WHEN (n * sxy - sx * sy) >= 0
+                    THEN 1000 ELSE -1000 END
+                  ELSE floor(1000.0 * (n * sxy - sx * sy)::DOUBLE
+                    / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                       * sqrt((n * syy - sy * sy)::DOUBLE)))::BIGINT
+                END
+              END AS r_milli
+            FROM a
+        """,
+        # cronbach_alpha: 3-item battery, n-scaled variance numerators,
+        # one milli-floor — matches the op's f-string 3.0/2.0 shape
+        "cronbach_alpha": f"""
+            WITH base AS (
+              SELECT n_chars::BIGINT AS i1,
+                     len({_WORDS})::BIGINT AS i2,
+                     len(string_split(text, chr(10)))::BIGINT AS i3
+              FROM documents
+              WHERE text IS NOT NULL AND n_chars IS NOT NULL
+            ),
+            a AS (
+              SELECT count(*)::BIGINT AS n,
+                sum(i1)::BIGINT AS s1, sum(i1 * i1)::BIGINT AS q1,
+                sum(i2)::BIGINT AS s2, sum(i2 * i2)::BIGINT AS q2,
+                sum(i3)::BIGINT AS s3, sum(i3 * i3)::BIGINT AS q3,
+                sum(i1 + i2 + i3)::BIGINT AS st,
+                sum((i1 + i2 + i3) * (i1 + i2 + i3))::BIGINT AS qt
+              FROM base
+            )
+            SELECT n, 3::BIGINT AS k,
+              ((n * q1 - s1 * s1) + (n * q2 - s2 * s2)
+                + (n * q3 - s3 * s3))::BIGINT AS items_var_num,
+              (n * qt - st * st)::BIGINT AS total_var_num,
+              CASE WHEN n >= 2 AND (n * qt - st * st) > 0
+                THEN floor(1000.0 * (3.0 / 2.0)
+                  * (1.0 - ((n * q1 - s1 * s1) + (n * q2 - s2 * s2)
+                            + (n * q3 - s3 * s3))::DOUBLE
+                         / (n * qt - st * st)::DOUBLE))::BIGINT
+              END AS alpha_milli
+            FROM a
+        """,
+        # mrr_eval: ndcg_eval's synthetic harness with binary
+        # judgments; 10^6 div first_rank, integer-div mean
+        "mrr_eval": r"""
+            WITH docs AS (SELECT doc_id::BIGINT AS doc_id FROM documents),
+            ranking AS (
+              SELECT (doc_id % 50)::BIGINT AS query_id, doc_id,
+                     (doc_id // 50 + 1)::BIGINT AS rank
+              FROM docs
+              WHERE doc_id % 50 IN (0, 1, 2) AND (doc_id // 50 + 1) <= 10
+            ),
+            qrels AS (
+              SELECT (doc_id % 40)::BIGINT AS query_id, doc_id
+              FROM docs WHERE doc_id % 40 IN (0, 1, 2)
+            ),
+            hit AS (
+              SELECT r.query_id, min(r.rank)::BIGINT AS fr
+              FROM ranking r
+              JOIN qrels j
+                ON r.query_id = j.query_id AND r.doc_id = j.doc_id
+              GROUP BY r.query_id
+            ),
+            allq AS (
+              SELECT DISTINCT query_id FROM (
+                SELECT query_id FROM ranking
+                UNION ALL SELECT query_id FROM qrels
+              )
+            ),
+            per AS (
+              SELECT a.query_id,
+                coalesce(1000000 // f.fr, 0)::BIGINT AS rr,
+                CASE WHEN f.fr IS NOT NULL THEN 1 ELSE 0 END AS h
+              FROM allq a LEFT JOIN hit f USING (query_id)
+            )
+            SELECT count(*)::BIGINT AS n_queries, sum(h)::BIGINT AS n_hit,
+              sum(rr)::BIGINT AS sum_rr_micro,
+              (sum(rr) // count(*))::BIGINT AS mrr_micro
+            FROM per
+        """,
+        # autocorrelation: daily event counts, n-scaled integer
+        # deviations, exact long sums, one milli-floor per lag
+        "autocorrelation": r"""
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS d, count(*)::BIGINT AS y
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ),
+            series AS (
+              SELECT (row_number() OVER (ORDER BY d) - 1)::BIGINT AS t, y
+              FROM daily
+            ),
+            tot AS (
+              SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+              FROM series
+            ),
+            dev AS (
+              SELECT s2.t, (tot.n * s2.y - tot.s)::BIGINT AS dd, tot.n
+              FROM series s2, tot
+            ),
+            den AS (
+              SELECT max(n)::BIGINT AS n, sum(dd * dd)::BIGINT AS den
+              FROM dev
+            ),
+            lags AS (SELECT range::BIGINT AS lag FROM range(1, 8)),
+            pairs AS (
+              SELECT l.lag, count(*)::BIGINT AS n_pairs,
+                     sum(a.dd * b.dd)::BIGINT AS num
+              FROM lags l
+              JOIN dev a ON TRUE
+              JOIN dev b ON b.t = a.t + l.lag
+              GROUP BY l.lag
+            )
+            SELECT l.lag, den.n,
+              coalesce(p.n_pairs, 0)::BIGINT AS n_pairs,
+              coalesce(p.num, 0)::BIGINT AS num, den.den,
+              CASE WHEN den.n >= 2 AND den.den > 0
+                THEN floor(1000.0 * coalesce(p.num, 0)::DOUBLE
+                           / den.den::DOUBLE)::BIGINT
+              END AS acf_milli
+            FROM lags l
+            LEFT JOIN pairs p ON p.lag = l.lag
+            CROSS JOIN den
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

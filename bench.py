@@ -302,6 +302,10 @@ HEADLINE = [
     "dunn_pairwise",
     "kendall_tau",
     "kmv_set_ops",
+    "pearson_corr",
+    "cronbach_alpha",
+    "mrr_eval",
+    "autocorrelation",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -1301,3 +1301,63 @@ def hard_negatives(
         )
         .where(F.col("rank") <= int(k))
     )
+
+
+def mrr_eval(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Mean reciprocal rank @ k — the first-relevant-hit eval
+    companion to :func:`ndcg_eval` (graded list quality) and
+    `pr_curve` (threshold sweeps): for known-item tasks —
+    decontamination probes, mirror lookup, canonical-URL retrieval —
+    the only question is "how deep is the FIRST correct answer", and
+    MRR is its standard summary.
+
+    Per query: ``rr_micro = 10⁶ div first_rank`` over the minimum rank
+    of any judged-relevant doc in the top-k (exact integer; a query
+    with no relevant doc in the top-k scores 0 — standard MRR, misses
+    count). Queries come from the UNION of ranking and qrels query
+    sets, so empty retrievals are penalized, not dropped (the
+    `ndcg_eval` convention). ``mrr_micro = Σrr div n_queries`` —
+    integer div, non-negative numerator, engine-identical.
+
+    Returns one row: ``(n_queries, n_hit, sum_rr_micro, mrr_micro)``.
+
+    Scale: eval-sized inputs — one (query,doc) equi-join, one
+    per-query min, one global agg. Nothing touches the corpus.
+    """
+    if k < 1:
+        raise ValueError(f"mrr_eval needs k >= 1, got {k}")
+    r = ensure_parallelism(ranking).select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_d"),
+        F.col(rank_col).cast("long").alias("_r"),
+    ).where(F.col("_r") <= int(k))
+    j = qrels.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_d"),
+    )
+    first = (
+        r.join(j, on=["_q", "_d"])
+        .groupBy("_q")
+        .agg(F.min("_r").cast("long").alias("_fr"))
+    )
+    allq = r.select("_q").union(j.select("_q")).distinct()
+    per = allq.join(first, on="_q", how="left").select(
+        "_q",
+        F.coalesce(
+            F.expr("1000000 div _fr").cast("long"), F.lit(0)
+        ).alias("_rr"),
+        F.when(F.col("_fr").isNotNull(), 1).otherwise(0).alias("_h"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("_h").cast("long").alias("n_hit"),
+        F.sum("_rr").cast("long").alias("sum_rr_micro"),
+        F.expr("CAST(sum(_rr) div count(1) AS BIGINT)").alias("mrr_micro"),
+    )

@@ -1284,3 +1284,94 @@ def ewma_control(
         .cast("long")
         .alias("z_milli"),
     )
+
+
+def autocorrelation(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation function (ACF) of an integer time series
+    at lags 1..max_lag — the seasonality detector behind
+    :func:`seasonality`'s fixed grid: a crawl-rate series whose ACF
+    spikes at lag 7 has a weekly cycle; one that stays high at EVERY
+    lag has drift (see :func:`cusum_changepoint`); one near zero is
+    healthy noise around a stable rate.
+
+    ``t_col`` must be a dense integer index (0,1,2,...; the caller
+    densifies with row_number over the aggregated series — days,
+    hours). Exactness: with ``S = Σy`` the n-scaled deviations ``d_t =
+    n·y_t − S`` are exact longs, so ``num_L = Σ_{t} d_t·d_{t+L}`` and
+    ``den = Σ d_t²`` are exact integer sums (the `pearson_corr` moment
+    trick — the common n² scale cancels in the ratio), and ``acf_milli
+    = floor(1000·num_L/den)`` is ONE fixed IEEE shape per lag. The
+    denominator uses all n terms and the GLOBAL mean (the standard
+    biased-ACF estimator, the one statsmodels defaults to). n < 2 or a
+    constant series → NULL acf.
+
+    Returns one row per lag: ``(lag, n, n_pairs, num, den,
+    acf_milli)``.
+
+    Scale: the series is an AGGREGATED rollup (days of a crawl — 10³
+    rows from 10¹² events), so the lag self-join and the totals
+    crossJoin are driver-trivial; the only big-data work is the rollup
+    the CALLER already paid for. The op itself never touches the row
+    table.
+    """
+    if max_lag < 1:
+        raise ValueError(f"autocorrelation needs max_lag >= 1, got {max_lag}")
+    base = (
+        series.where(F.col(t_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(
+            F.col(t_col).cast("long").alias("_t"),
+            F.col(y_col).cast("long").alias("_y"),
+        )
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_s"),
+    )
+    d = base.crossJoin(F.broadcast(tot)).select(
+        "_t",
+        "_n",
+        (F.col("_n") * F.col("_y") - F.col("_s")).cast("long").alias("_d"),
+    )
+    den = d.agg(
+        F.max("_n").cast("long").alias("n"),
+        F.sum(F.col("_d") * F.col("_d")).cast("long").alias("den"),
+    )
+    lags = d.sparkSession.range(1, int(max_lag) + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    left = d.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("_t") + F.col("lag")).alias("_tr"), F.col("_d").alias("_dl")
+    )
+    pairs = left.join(
+        d.select(F.col("_t").alias("_tr"), F.col("_d").alias("_dr")),
+        on="_tr",
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("_dl") * F.col("_dr")).cast("long").alias("num"),
+    )
+    out = (
+        lags.join(num, on="lag", how="left")
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("num", F.lit(0)).cast("long").alias("num"),
+            "den",
+            F.when(
+                (F.col("n") >= 2) & (F.col("den") > 0),
+                F.expr(
+                    "CAST(floor(1000.0"
+                    " * CAST(coalesce(num, 0) AS DOUBLE)"
+                    " / CAST(den AS DOUBLE)) AS BIGINT)"
+                ),
+            ).alias("acf_milli"),
+        )
+    )
+    return out

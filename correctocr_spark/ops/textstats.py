@@ -5768,3 +5768,191 @@ def kendall_tau(
             ),
         ).alias("tau_milli"),
     )
+
+
+def pearson_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """Pearson product-moment correlation between two integer signals,
+    optionally per group — the LINEAR-association member of the
+    correlation trio next to `rank_agreement` (Spearman) and
+    `kendall_tau` (concordance): "does byte length track token count
+    proportionally per language, or only monotonically?" A language
+    whose Pearson r collapses while Spearman holds is a nonlinearity
+    flag (markup whales, CJK segmentation) the rank statistics hide.
+
+    Exact to the last integer until a single final expression: one
+    combinable rollup collects ``(n, Σx, Σy, Σxy, Σx², Σy²)`` as
+    longs, the n-scaled moment numerators ``cov = n·Σxy − Σx·Σy``,
+    ``varx = n·Σx² − (Σx)²``, ``vary = n·Σy² − (Σy)²`` are exact
+    BIGINT algebra on those sums, and ``r_milli = floor(1000·cov /
+    (sqrt(varx)·sqrt(vary)))`` is ONE fixed IEEE shape (two sqrts —
+    never sqrt(varx·vary), whose product overflows long first).
+    EXACTLY-linear groups short-circuit first: cov² == varx·vary is
+    tested in decimal(38,0) (safe to |cov| ~ 9e18) and emits ±1000
+    directly, because the two-sqrt product can land one ulp high and
+    floor a perfect r to 999.
+    Degenerate inputs (n < 2 or a zero-variance side) emit NULL.
+    Envelope: n·Σxy must fit a long — holds to ~9e18, e.g. 10⁹ rows
+    of 10⁴-char docs; past that the rollup moves to decimal(38,0).
+
+    Returns one row per group: ``(grp, n, cov_num, varx_num,
+    vary_num, r_milli)``.
+
+    Scale: ONE map-side-combinable aggregation over the scan — the
+    cheapest statistic in the file; no window, no join, no second
+    pass.
+    """
+    gcol = (
+        F.col(group_col).cast("string").alias("grp")
+        if group_col is not None
+        else F.lit("all").alias("grp")
+    )
+    base = (
+        ensure_parallelism(df)
+        .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(
+            gcol,
+            F.col(x_col).cast("long").alias("_x"),
+            F.col(y_col).cast("long").alias("_y"),
+        )
+    )
+    a = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+    )
+    cov = (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "long"
+    )
+    varx = (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "long"
+    )
+    vary = (F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+        "long"
+    )
+    out = a.select(
+        "grp",
+        "n",
+        cov.alias("cov_num"),
+        varx.alias("varx_num"),
+        vary.alias("vary_num"),
+    )
+    valid = (
+        (F.col("n") >= 2)
+        & (F.col("varx_num") > 0)
+        & (F.col("vary_num") > 0)
+    )
+    # sqrt(varx)·sqrt(vary) can land one ulp ABOVE the true product,
+    # flooring an exactly-linear group to 999 — so perfect correlation
+    # (cov² == varx·vary, checked EXACTLY in decimal(38,0), safe to
+    # |cov| ~ 9e18) short-circuits to ±1000 before any IEEE step.
+    perfect = (
+        F.col("cov_num").cast("decimal(38,0)") * F.col("cov_num")
+        == F.col("varx_num").cast("decimal(38,0)") * F.col("vary_num")
+    )
+    return out.select(
+        "grp",
+        "n",
+        "cov_num",
+        "varx_num",
+        "vary_num",
+        F.when(
+            valid & perfect,
+            F.when(F.col("cov_num") >= 0, F.lit(1000)).otherwise(
+                F.lit(-1000)
+            ).cast("long"),
+        )
+        .when(
+            valid,
+            F.expr(
+                "CAST(floor(1000.0 * CAST(cov_num AS DOUBLE)"
+                " / (sqrt(CAST(varx_num AS DOUBLE))"
+                "    * sqrt(CAST(vary_num AS DOUBLE)))) AS BIGINT)"
+            ),
+        )
+        .alias("r_milli"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols: Sequence[str],
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient over a battery
+    of k integer item scores per row — the reliability gate for a
+    composite quality score: if the battery's items (length band,
+    stopword density, repetition signal, ...) don't co-vary, their SUM
+    is noise and every threshold tuned on it is fiction. Low alpha says
+    "don't ship this composite"; the datacard question `woe_iv` and
+    `threshold_calibration` both presuppose.
+
+    alpha = k/(k−1) · (1 − Σᵢ Var(itemᵢ) / Var(Σᵢ itemᵢ)). Using the
+    n²-scaled variance numerators ``v_i = n·Σx² − (Σx)²`` (exact
+    longs, the `pearson_corr` moment algebra) the common scale cancels
+    in the ratio, so the data pass is integer-exact; ``alpha_milli =
+    floor(1000·(k/(k−1))·(1 − Σv_i / v_tot))`` is one fixed IEEE
+    shape. n < 2 or zero total variance → NULL.
+
+    Returns one row: ``(n, k, items_var_num, total_var_num,
+    alpha_milli)``.
+
+    Scale: ONE combinable aggregation computing every per-item moment
+    and the row-sum moments in the same pass — no unpivot, no shuffle
+    beyond the rollup; k widens the aggregate, never the row count.
+    """
+    k = len(item_cols)
+    if k < 2:
+        raise ValueError("cronbach_alpha needs at least 2 items")
+    cond = F.lit(True)
+    for c in item_cols:
+        cond = cond & F.col(c).isNotNull()
+    items = [F.col(c).cast("long") for c in item_cols]
+    tot = items[0]
+    for it in items[1:]:
+        tot = tot + it
+    base = ensure_parallelism(df).where(cond).select(
+        *[it.alias(f"_i{j}") for j, it in enumerate(items)],
+        tot.cast("long").alias("_t"),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for j in range(k):
+        c = F.col(f"_i{j}")
+        aggs.append(F.sum(c).cast("long").alias(f"_s{j}"))
+        aggs.append(F.sum(c * c).cast("long").alias(f"_q{j}"))
+    aggs.append(F.sum("_t").cast("long").alias("_st"))
+    aggs.append(
+        F.sum(F.col("_t") * F.col("_t")).cast("long").alias("_qt")
+    )
+    a = base.agg(*aggs)
+    iv = None
+    for j in range(k):
+        v = F.col("n") * F.col(f"_q{j}") - F.col(f"_s{j}") * F.col(f"_s{j}")
+        iv = v if iv is None else iv + v
+    tv = F.col("n") * F.col("_qt") - F.col("_st") * F.col("_st")
+    out = a.select(
+        "n",
+        F.lit(k).cast("long").alias("k"),
+        iv.cast("long").alias("items_var_num"),
+        tv.cast("long").alias("total_var_num"),
+    )
+    return out.select(
+        "n",
+        "k",
+        "items_var_num",
+        "total_var_num",
+        F.when(
+            (F.col("n") >= 2) & (F.col("total_var_num") > 0),
+            F.expr(
+                f"CAST(floor(1000.0 * ({k}.0 / {k - 1}.0)"
+                " * (1.0 - CAST(items_var_num AS DOUBLE)"
+                "        / CAST(total_var_num AS DOUBLE))) AS BIGINT)"
+            ),
+        ).alias("alpha_milli"),
+    )

@@ -709,6 +709,14 @@ def test_oracled_queries_precede_rows_only():
         "kendall_tau",
         # KMV pairwise set ops — kmv_distinct's sketch machinery
         "kmv_set_ops",
+        # Pearson r — kendall_tau's input pair, linear statistic
+        "pearson_corr",
+        # Cronbach alpha — pearson_corr's moment algebra over a battery
+        "cronbach_alpha",
+        # MRR@10 — ndcg_eval's harness with binary judgments
+        "mrr_eval",
+        # daily-count ACF — pearson_corr's n-scaled deviation trick
+        "autocorrelation",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -5218,6 +5218,79 @@ def q_acf(spark, sf_dir):
     return autocorrelation(series, "t", "y", max_lag=7).orderBy("lag")
 
 
+def q_wasserstein(spark, sf_dir):
+    """W1 (earth mover's) distance between en and fr doc-length
+    distributions — exact cross-multiplied CDF gaps integrated over
+    the distinct-score axis, one integer div."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import wasserstein_1d
+
+    return wasserstein_1d(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars", "en", "fr"
+    )
+
+
+def q_fleiss(spark, sf_dir):
+    """Fleiss' kappa over a 3-heuristic length-band panel (thresholds
+    200/1000, 180/950, 220/1100) — exact long A/B sums, one
+    milli-floor."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import fleiss_kappa
+
+    def band(lo, hi):
+        nc = F.col("n_chars")
+        return (
+            F.when(nc < lo, "short").when(nc < hi, "med").otherwise("long")
+        )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull())
+        .select(
+            "doc_id",
+            band(200, 1000).alias("r1"),
+            band(180, 950).alias("r2"),
+            band(220, 1100).alias("r3"),
+        )
+    )
+    return fleiss_kappa(d, "doc_id", ["r1", "r2", "r3"])
+
+
+def q_friedman(spark, sf_dir):
+    """Friedman blocked-rank test: do languages rank consistently by
+    total chars across sources? blocks=source, treatments=lang,
+    complete blocks only — integer doubled midranks, one
+    milli-floor."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import friedman_test
+
+    return friedman_test(
+        _t(spark, sf_dir, "documents"), "source", "lang", "n_chars"
+    )
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil–Sen robust slope of the daily event-count series —
+    per-pair milli-floored slopes, exact doubled median by cumulative
+    counts on the distinct-slope table."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import theil_sen
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    series = daily.select(
+        (
+            F.row_number().over(Window.orderBy("d")) - 1
+        ).cast("long").alias("t"),
+        "y",
+    )
+    return theil_sen(series, "t", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -5922,6 +5995,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrr_eval": q_mrr,
         # daily-count autocorrelation, lags 1..7
         "autocorrelation": q_acf,
+        # exact 1-D earth mover's distance, en vs fr lengths
+        "wasserstein_1d": q_wasserstein,
+        # Fleiss' kappa — multi-rater panel agreement
+        "fleiss_kappa": q_fleiss,
+        # Friedman blocked-rank test, sources × langs
+        "friedman_test": q_friedman,
+        # Theil–Sen robust slope of the daily count series
+        "theil_sen": q_theil_sen,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -14015,6 +14096,178 @@ FROM documents)
             FROM lags l
             LEFT JOIN pairs p ON p.lag = l.lag
             CROSS JOIN den
+        """,
+        # wasserstein_1d: ks_test's cross-multiplied CDF machinery,
+        # integrated over the distinct-score axis with lead() gaps
+        "wasserstein_1d": r"""
+            WITH per AS (
+              SELECT n_chars::BIGINT AS s,
+                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca,
+                sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS cb
+              FROM documents
+              WHERE lang IN ('en', 'fr') AND n_chars IS NOT NULL
+              GROUP BY 1
+            ),
+            cum AS (
+              SELECT s,
+                sum(ca) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cuma,
+                sum(cb) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cumb,
+                sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+                lead(s) OVER (ORDER BY s) AS nxt
+              FROM per
+            ),
+            c2 AS (
+              SELECT na, nb,
+                (abs(nb * cuma - na * cumb)
+                 * coalesce(nxt - s, 0))::BIGINT AS contrib
+              FROM cum
+            )
+            SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+              sum(contrib)::BIGINT AS w1_num,
+              CASE WHEN max(na) > 0 AND max(nb) > 0
+                THEN ((1000 * sum(contrib))
+                      // (max(na) * max(nb)))::BIGINT
+              END AS w1_milli
+            FROM c2
+        """,
+        # fleiss_kappa: 3-rater length-band panel; exact A/B longs,
+        # the op's pbar/pe double shapes verbatim
+        "fleiss_kappa": r"""
+            WITH votes AS (
+              SELECT doc_id AS i, CASE WHEN n_chars < 200 THEN 'short'
+                WHEN n_chars < 1000 THEN 'med' ELSE 'long' END AS cat
+              FROM documents WHERE n_chars IS NOT NULL
+              UNION ALL
+              SELECT doc_id, CASE WHEN n_chars < 180 THEN 'short'
+                WHEN n_chars < 950 THEN 'med' ELSE 'long' END
+              FROM documents WHERE n_chars IS NOT NULL
+              UNION ALL
+              SELECT doc_id, CASE WHEN n_chars < 220 THEN 'short'
+                WHEN n_chars < 1100 THEN 'med' ELSE 'long' END
+              FROM documents WHERE n_chars IS NOT NULL
+            ),
+            nij AS (
+              SELECT i, cat, count(*)::BIGINT AS c
+              FROM votes GROUP BY 1, 2
+            ),
+            a AS (
+              SELECT count(DISTINCT i)::BIGINT AS n_subjects,
+                     sum(c * c)::BIGINT AS asum
+              FROM nij
+            ),
+            b AS (
+              SELECT sum(q * q)::BIGINT AS bsum FROM (
+                SELECT sum(c)::BIGINT AS q FROM nij GROUP BY cat
+              )
+            )
+            SELECT n_subjects, 3::BIGINT AS n_raters,
+              asum AS sum_nij_sq, bsum AS cat_mass_sq,
+              CASE WHEN n_subjects > 0
+                        AND bsum < n_subjects * 3 * n_subjects * 3
+                THEN floor(1000.0
+                  * (((asum::DOUBLE - n_subjects::DOUBLE * 3)
+                      / (n_subjects::DOUBLE * 3 * 2))
+                     - (bsum::DOUBLE
+                        / (n_subjects::DOUBLE * 3
+                           * n_subjects::DOUBLE * 3)))
+                  / (1.0 - (bsum::DOUBLE
+                            / (n_subjects::DOUBLE * 3
+                               * n_subjects::DOUBLE * 3))))::BIGINT
+              END AS kappa_milli
+            FROM a, b
+        """,
+        # friedman_test: complete source×lang blocks, integer doubled
+        # midranks within block, tie-corrected Q with exact S/D longs
+        "friedman_test": r"""
+            WITH cells AS (
+              SELECT source AS b, lang AS t, sum(n_chars)::BIGINT AS v
+              FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL
+                AND n_chars IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM cells),
+            complete AS (
+              SELECT b, t, v FROM (
+                SELECT b, t, v,
+                  count(*) OVER (PARTITION BY b) AS bk,
+                  (SELECT k FROM kk) AS k
+                FROM cells
+              ) WHERE bk = k
+            ),
+            ranked AS (
+              SELECT b, t,
+                (2 * rank() OVER (PARTITION BY b ORDER BY v)
+                 + count(*) OVER (PARTITION BY b, v) - 1)::BIGINT AS r2
+              FROM complete
+            ),
+            nb AS (
+              SELECT (count(*) // (SELECT k FROM kk))::BIGINT
+                       AS n_blocks,
+                     (SELECT k FROM kk) AS k,
+                     sum(r2 * r2)::BIGINT AS sumsq
+              FROM ranked
+            ),
+            r2j AS (
+              SELECT t, sum(r2)::BIGINT AS R2 FROM ranked GROUP BY t
+            ),
+            s AS (
+              SELECT sum((R2 - nb.n_blocks * (nb.k + 1))
+                         * (R2 - nb.n_blocks * (nb.k + 1)))::BIGINT
+                       AS s_num
+              FROM r2j, nb
+            )
+            SELECT nb.n_blocks, nb.k, s.s_num,
+              (nb.sumsq - nb.n_blocks * nb.k * (nb.k + 1)
+               * (nb.k + 1))::BIGINT AS d_den,
+              CASE WHEN nb.k >= 2
+                        AND (nb.sumsq - nb.n_blocks * nb.k
+                             * (nb.k + 1) * (nb.k + 1)) > 0
+                THEN floor(1000.0 * (nb.k - 1) * s.s_num::DOUBLE
+                  / (nb.sumsq - nb.n_blocks * nb.k * (nb.k + 1)
+                     * (nb.k + 1))::DOUBLE)::BIGINT
+              END AS q_milli
+            FROM nb, s
+        """,
+        # theil_sen: autocorrelation's daily series, per-pair
+        # milli-floored slopes, robust_location's doubled-median idiom
+        "theil_sen": r"""
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS d, count(*)::BIGINT AS y
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ),
+            series AS (
+              SELECT (row_number() OVER (ORDER BY d) - 1)::BIGINT AS t, y
+              FROM daily
+            ),
+            np AS (SELECT count(*)::BIGINT AS n_points FROM series),
+            slp AS (
+              SELECT floor(1000.0 * (b.y - a.y)::DOUBLE
+                           / (b.t - a.t)::DOUBLE)::BIGINT AS sl
+              FROM series a JOIN series b ON a.t < b.t
+            ),
+            dist AS (
+              SELECT sl, count(*)::BIGINT AS c FROM slp GROUP BY 1
+            ),
+            cum AS (
+              SELECT sl,
+                sum(c) OVER (ORDER BY sl ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cum,
+                sum(c) OVER () AS m
+              FROM dist
+            ),
+            med AS (
+              SELECT max(m)::BIGINT AS n_pairs,
+                (min(CASE WHEN cum >= (m + 1) // 2 THEN sl END)
+                 + min(CASE WHEN cum >= (m + 2) // 2 THEN sl END)
+                )::BIGINT AS slope2_milli
+              FROM cum
+            )
+            SELECT n_points, coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+                   slope2_milli
+            FROM np, med
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -306,6 +306,10 @@ HEADLINE = [
     "cronbach_alpha",
     "mrr_eval",
     "autocorrelation",
+    "wasserstein_1d",
+    "fleiss_kappa",
+    "friedman_test",
+    "theil_sen",
     "bpe_token_counts",
     "extraction_blocks",
 ]

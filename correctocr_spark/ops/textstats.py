@@ -5956,3 +5956,289 @@ def cronbach_alpha(
             ),
         ).alias("alpha_milli"),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between two
+    groups' integer score distributions — the MAGNITUDE-of-shift
+    complement of :func:`ks_test`'s max CDF gap: KS says the largest
+    vertical divergence, W₁ integrates |F_a − F_b| over the score
+    axis, so it is the average number of score units a document must
+    MOVE to turn one distribution into the other. A length shift of
+    +50 chars everywhere barely moves KS (one modest gap everywhere)
+    but reads exactly 50 in W₁ — the statistic a re-crawl length
+    audit actually wants.
+
+    Exact integer cross-multiplication (the ``ks_test`` CDF
+    machinery): at each distinct score s_t the scaled gap
+    ``|n_b·cum_a − n_a·cum_b|`` is an integer; W₁'s integral is
+    ``w1_num = Σ_t gap_t · (s_{t+1} − s_t)`` (exact long), and
+    ``w1_milli = (1000·w1_num) div (n_a·n_b)`` — non-negative
+    numerator, engine-identical truncation. Units: score units ×
+    10⁻³. Either group empty → NULL. Envelope: gap ≤ n_a·n_b, so
+    w1_num fits a long while n_a·n_b·range < 9e18 — e.g. two 10⁶-doc
+    groups over a 10⁶-wide score axis; shard larger audits by facet.
+
+    Scale: one combinable per-score rollup; the CDF window and the
+    lead() run on the DISTINCT-score table. Returns one row:
+    ``(n_a, n_b, w1_num, w1_milli)``.
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    rows = ensure_parallelism(df).where(
+        g.isin([group_a, group_b]) & F.col(score_col).isNotNull()
+    )
+    per = rows.groupBy(F.col(score_col).cast("long").alias("_s")).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
+    wlead = Window.orderBy("_s")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "_s",
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+        F.sum("_ca").over(wall).alias("_na"),
+        F.sum("_cb").over(wall).alias("_nb"),
+        F.lead("_s").over(wlead).alias("_next"),
+    ).select(
+        "_na",
+        "_nb",
+        (
+            F.abs(
+                F.col("_nb") * F.col("_cuma")
+                - F.col("_na") * F.col("_cumb")
+            )
+            * F.coalesce(F.col("_next") - F.col("_s"), F.lit(0))
+        )
+        .cast("long")
+        .alias("_contrib"),
+    )
+    return cum.agg(
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+        F.sum("_contrib").cast("long").alias("w1_num"),
+        F.when(
+            (F.max("_na") > 0) & (F.max("_nb") > 0),
+            F.expr("(1000 * sum(_contrib)) div (max(_na) * max(_nb))"),
+        )
+        .cast("long")
+        .alias("w1_milli"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    id_col: str,
+    rater_cols: Sequence[str],
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among a FIXED panel
+    of n ≥ 2 raters assigning one category each per subject: the
+    multi-rater generalization `agreement_kappa` (Cohen, 2 raters)
+    and `krippendorff_alpha` (missing-data-tolerant) bracket. The
+    corpus use: k deterministic labeling heuristics (length band,
+    langid variant, quality gate) vote per document; kappa says
+    whether the panel agrees beyond what its marginal category rates
+    guarantee — below ~0.4 the "ensemble" is noise.
+
+    Integer-exact: with ``n_ij`` the raters placing subject i in
+    category j, the data pass produces exact longs ``A = Σ_ij n_ij²``
+    and ``B = Σ_j (Σ_i n_ij)²``; then ``P̄ = (A − N·n)/(N·n·(n−1))``,
+    ``P_e = B/(N·n)²`` and ``kappa_milli = floor(1000·(P̄ − P_e)/(1 −
+    P_e))`` is ONE fixed IEEE expression. Rows with ANY null rater
+    vote are dropped (Fleiss requires complete panels — use
+    Krippendorff when votes can be missing); P_e = 1 (every vote one
+    category) → NULL.
+
+    Returns one row: ``(n_subjects, n_raters, sum_nij_sq,
+    cat_mass_sq, kappa_milli)``.
+
+    Scale: the melt is a per-row array explode (no join), then ONE
+    (subject, category) rollup — combinable — a category-keyed
+    rollup of that small table, and two scalar aggs. Categories and
+    raters are panel-sized; only the subject stream is big.
+    """
+    n = len(rater_cols)
+    if n < 2:
+        raise ValueError("fleiss_kappa needs at least 2 raters")
+    cond = F.lit(True)
+    for c in rater_cols:
+        cond = cond & F.col(c).isNotNull()
+    votes = (
+        ensure_parallelism(df)
+        .where(cond)
+        .select(
+            F.col(id_col).alias("_i"),
+            F.explode(
+                F.array(*[F.col(c).cast("string") for c in rater_cols])
+            ).alias("_cat"),
+        )
+    )
+    nij = votes.groupBy("_i", "_cat").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    a = nij.agg(
+        F.count_distinct("_i").cast("long").alias("n_subjects"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("sum_nij_sq"),
+    )
+    b = (
+        nij.groupBy("_cat")
+        .agg(F.sum("_c").cast("long").alias("_q"))
+        .agg(
+            F.sum(F.col("_q") * F.col("_q")).cast("long").alias("cat_mass_sq")
+        )
+    )
+    out = a.crossJoin(F.broadcast(b)).select(
+        "n_subjects",
+        F.lit(n).cast("long").alias("n_raters"),
+        "sum_nij_sq",
+        "cat_mass_sq",
+    )
+    pbar = (
+        "((CAST(sum_nij_sq AS DOUBLE) - CAST(n_subjects AS DOUBLE)"
+        f" * {n}) / (CAST(n_subjects AS DOUBLE) * {n} * {n - 1}))"
+    )
+    pe = (
+        "(CAST(cat_mass_sq AS DOUBLE)"
+        f" / (CAST(n_subjects AS DOUBLE) * {n}"
+        f"    * CAST(n_subjects AS DOUBLE) * {n}))"
+    )
+    return out.select(
+        "n_subjects",
+        "n_raters",
+        "sum_nij_sq",
+        "cat_mass_sq",
+        F.when(
+            (F.col("n_subjects") > 0)
+            & (
+                F.col("cat_mass_sq")
+                < F.col("n_subjects") * n * F.col("n_subjects") * n
+            ),
+            F.expr(
+                f"CAST(floor(1000.0 * ({pbar} - {pe})"
+                f" / (1.0 - {pe})) AS BIGINT)"
+            ),
+        ).alias("kappa_milli"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman test — the BLOCKED rank test completing the
+    nonparametric family: `kruskal_wallis` compares independent
+    groups; Friedman compares k treatments WITHIN matched blocks,
+    removing between-block variation entirely. Corpus shape: blocks =
+    sources (or crawl snapshots), treatments = languages (or pipeline
+    variants), value = an integer per-cell rollup — "do languages
+    rank consistently across sources, or is the apparent lang effect
+    just source mix?"
+
+    Cells with multiple rows are summed (document the rollup you
+    mean); blocks missing any of the k global treatments are DROPPED
+    (classic complete-block Friedman — the incomplete-design variants
+    are a different statistic). Within each block the k cell values
+    get integer DOUBLED midranks ``r2 = 2·rank_min + cnt_eq − 1``;
+    with ``R2_j = Σ_blocks r2_ij`` the tie-corrected statistic is
+    ``Q = (k−1)·S/D`` with exact long ``S = Σ_j (R2_j − n(k+1))²``
+    and ``D = Σ_ij r2_ij² − n·k·(k+1)²`` (the doubled-rank scale
+    cancels), floored once to ``q_milli``. D ≤ 0 (all values tied in
+    every block) or k < 2 → NULL.
+
+    Returns one row: ``(n_blocks, k, s_num, d_den, q_milli)``.
+
+    Scale: one combinable (block, treatment) rollup over the scan;
+    everything after runs on the cell table (blocks × k rows), whose
+    within-block windows partition BY BLOCK — no global funnel. The
+    treatment count k is a broadcast scalar.
+    """
+    cells = (
+        ensure_parallelism(df)
+        .where(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(block_col).cast("string").alias("_b"),
+            F.col(treatment_col).cast("string").alias("_t"),
+        )
+        .agg(F.sum(F.col(value_col).cast("long")).cast("long").alias("_v"))
+    )
+    kdf = cells.agg(F.count_distinct("_t").cast("long").alias("_k"))
+    wb = Window.partitionBy("_b")
+    complete = (
+        cells.withColumn("_bk", F.count(F.lit(1)).over(wb))
+        .crossJoin(F.broadcast(kdf))
+        .where(F.col("_bk") == F.col("_k"))
+    )
+    wrank = Window.partitionBy("_b").orderBy("_v")
+    weq = Window.partitionBy("_b", "_v")
+    ranked = complete.select(
+        "_b",
+        "_t",
+        "_k",
+        (
+            2 * F.rank().over(wrank) + F.count(F.lit(1)).over(weq) - 1
+        )
+        .cast("long")
+        .alias("_r2"),
+    )
+    nb = ranked.agg(
+        (F.count(F.lit(1)) / F.max("_k")).cast("long").alias("n_blocks"),
+        F.max("_k").cast("long").alias("k"),
+        F.sum(F.col("_r2") * F.col("_r2")).cast("long").alias("_sumsq"),
+    )
+    r2j = ranked.groupBy("_t").agg(F.sum("_r2").cast("long").alias("_R2"))
+    s = (
+        r2j.crossJoin(F.broadcast(nb))
+        .select(
+            (
+                (F.col("_R2") - F.col("n_blocks") * (F.col("k") + 1))
+                * (F.col("_R2") - F.col("n_blocks") * (F.col("k") + 1))
+            )
+            .cast("long")
+            .alias("_d2")
+        )
+        .agg(F.sum("_d2").cast("long").alias("s_num"))
+    )
+    out = nb.crossJoin(F.broadcast(s)).select(
+        "n_blocks",
+        "k",
+        "s_num",
+        (
+            F.col("_sumsq")
+            - F.col("n_blocks")
+            * F.col("k")
+            * (F.col("k") + 1)
+            * (F.col("k") + 1)
+        )
+        .cast("long")
+        .alias("d_den"),
+    )
+    return out.select(
+        "n_blocks",
+        "k",
+        "s_num",
+        "d_den",
+        F.when(
+            (F.col("k") >= 2) & (F.col("d_den") > 0),
+            F.expr(
+                "CAST(floor(1000.0 * (k - 1) * CAST(s_num AS DOUBLE)"
+                " / CAST(d_den AS DOUBLE)) AS BIGINT)"
+            ),
+        ).alias("q_milli"),
+    )

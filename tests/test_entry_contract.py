@@ -717,6 +717,14 @@ def test_oracled_queries_precede_rows_only():
         "mrr_eval",
         # daily-count ACF — pearson_corr's n-scaled deviation trick
         "autocorrelation",
+        # W1 distance — ks_test's CDF machinery, integrated
+        "wasserstein_1d",
+        # Fleiss' kappa — agreement_kappa's family, n-rater panel
+        "fleiss_kappa",
+        # Friedman — kruskal_wallis' blocked sibling
+        "friedman_test",
+        # Theil–Sen — robust_location's median idiom on pair slopes
+        "theil_sen",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

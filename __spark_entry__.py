@@ -5291,6 +5291,100 @@ def q_theil_sen(spark, sf_dir):
     return theil_sen(series, "t", "y")
 
 
+def q_weighted_kappa(spark, sf_dir):
+    """Quadratic-weighted Cohen's kappa between two ordinal length-band
+    labelers (thresholds 200/1000 vs 180/950) — closed integer form,
+    zero floats."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import weighted_kappa
+
+    nc = F.col("n_chars")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(nc.isNotNull())
+        .select(
+            F.when(nc < 200, 0).when(nc < 1000, 1).otherwise(2)
+            .cast("long")
+            .alias("band_a"),
+            F.when(nc < 180, 0).when(nc < 950, 1).otherwise(2)
+            .cast("long")
+            .alias("band_b"),
+        )
+    )
+    return weighted_kappa(d, "band_a", "band_b", "quadratic")
+
+
+def q_mcc(spark, sf_dir):
+    """MCC of the n_chars >= 400 gate against a word-count >= 60
+    truth — exact long confusion counts, decimal perfect-case
+    short-circuit, one milli-floor."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import normalized_words
+    from correctocr_spark.ops.textstats import mcc_eval
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            (F.col("n_chars") >= 400).alias("pred"),
+            (F.size(normalized_words("text")) >= 60).alias("truth"),
+        )
+    )
+    return mcc_eval(d, "pred", "truth")
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend test on the daily event-count series —
+    exact integer S and tie-corrected variance, continuity-corrected
+    z with one milli-floor."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import mann_kendall
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    series = daily.select(
+        (
+            F.row_number().over(Window.orderBy("d")) - 1
+        ).cast("long").alias("t"),
+        "y",
+    )
+    return mann_kendall(series, "t", "y")
+
+
+def q_logrank(spark, sf_dir):
+    """Log-rank test between even/odd user-id cohorts' event-day
+    lifetimes (page_survival's span construction) — per-time
+    micro-floored O−E and hypergeometric variance terms, integer
+    sums, one milli-floor."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import logrank_test
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("_day"),
+    )
+    per = ev.groupBy("user_id").agg(
+        F.min("_day").alias("_lo"), F.max("_day").alias("_hi")
+    )
+    hz = per.agg(F.max("_hi").alias("_hz"))
+    spans = per.crossJoin(F.broadcast(hz)).select(
+        F.when(F.col("user_id") % 2 == 0, "even")
+        .otherwise("odd")
+        .alias("grp"),
+        (F.col("_hi") - F.col("_lo")).cast("long").alias("duration"),
+        (F.col("_hi") < F.col("_hz")).cast("int").alias("event"),
+    )
+    return logrank_test(
+        spans, "duration", "event", "grp", "even", "odd"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -6003,6 +6097,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "friedman_test": q_friedman,
         # Theil–Sen robust slope of the daily count series
         "theil_sen": q_theil_sen,
+        # quadratic-weighted kappa over ordinal length bands
+        "weighted_kappa": q_weighted_kappa,
+        # Matthews correlation of the length gate vs word-count truth
+        "mcc_eval": q_mcc,
+        # Mann–Kendall trend significance on the daily series
+        "mann_kendall": q_mann_kendall,
+        # two-cohort log-rank survival-difference test
+        "logrank_test": q_logrank,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -14268,6 +14370,188 @@ FROM documents)
             SELECT n_points, coalesce(n_pairs, 0)::BIGINT AS n_pairs,
                    slope2_milli
             FROM np, med
+        """,
+        # weighted_kappa: quadratic disagreement weights, closed
+        # integer form — agreement_kappa's discipline, zero floats
+        "weighted_kappa": r"""
+            WITH d AS (
+              SELECT (CASE WHEN n_chars < 200 THEN 0
+                WHEN n_chars < 1000 THEN 1 ELSE 2 END)::BIGINT AS a,
+                (CASE WHEN n_chars < 180 THEN 0
+                 WHEN n_chars < 950 THEN 1 ELSE 2 END)::BIGINT AS b
+              FROM documents WHERE n_chars IS NOT NULL
+            ),
+            cells AS (
+              SELECT a, b, count(*)::BIGINT AS o FROM d GROUP BY 1, 2
+            ),
+            obs AS (
+              SELECT sum(o)::BIGINT AS n,
+                sum((abs(a - b) * abs(a - b)) * o)::BIGINT
+                  AS obs_weighted
+              FROM cells
+            ),
+            ma AS (SELECT a, sum(o)::BIGINT AS ra FROM cells GROUP BY 1),
+            mb AS (SELECT b, sum(o)::BIGINT AS cb FROM cells GROUP BY 1),
+            nc AS (
+              SELECT count(*)::BIGINT AS n_cats FROM (
+                SELECT a AS k FROM cells UNION SELECT b FROM cells
+              )
+            ),
+            ex AS (
+              SELECT sum((abs(ma.a - mb.b) * abs(ma.a - mb.b))
+                         * ra * cb)::BIGINT AS exp_weighted
+              FROM ma, mb
+            )
+            SELECT n, n_cats, obs_weighted, exp_weighted,
+              CASE WHEN exp_weighted > 0
+                THEN (10000 - (10000 * n * obs_weighted)
+                      // exp_weighted)::BIGINT
+              END AS kappa_w_bp
+            FROM obs, nc, ex
+        """,
+        # mcc_eval: one confusion rollup, HUGEINT perfect-case check,
+        # four-sqrt milli-floor — pearson_corr's binary corner
+        "mcc_eval": f"""
+            WITH d AS (
+              SELECT n_chars >= 400 AS p, len({_WORDS}) >= 60 AS t
+              FROM documents
+              WHERE text IS NOT NULL AND n_chars IS NOT NULL
+            ),
+            a AS (
+              SELECT
+                sum(CASE WHEN p AND t THEN 1 ELSE 0 END)::BIGINT AS tp,
+                sum(CASE WHEN p AND NOT t THEN 1 ELSE 0 END)::BIGINT
+                  AS fp,
+                sum(CASE WHEN NOT p AND t THEN 1 ELSE 0 END)::BIGINT
+                  AS fn,
+                sum(CASE WHEN NOT p AND NOT t THEN 1 ELSE 0 END)::BIGINT
+                  AS tn
+              FROM d
+            )
+            SELECT tp, fp, fn, tn,
+              CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0
+                        AND (tn + fp) > 0 AND (tn + fn) > 0
+                THEN CASE
+                  WHEN (tp * tn - fp * fn)::HUGEINT * (tp * tn - fp * fn)
+                       = ((tp + fp)::HUGEINT * (tp + fn))
+                         * ((tn + fp)::HUGEINT * (tn + fn))
+                  THEN CASE WHEN (tp * tn - fp * fn) >= 0
+                    THEN 1000 ELSE -1000 END
+                  ELSE floor(1000.0 * (tp * tn - fp * fn)::DOUBLE
+                    / (sqrt((tp + fp)::DOUBLE) * sqrt((tp + fn)::DOUBLE)
+                       * sqrt((tn + fp)::DOUBLE)
+                       * sqrt((tn + fn)::DOUBLE)))::BIGINT
+                END
+              END AS mcc_milli
+            FROM a
+        """,
+        # mann_kendall: theil_sen's pair join reduced to sign counts,
+        # exact tie-corrected variance, continuity-corrected z
+        "mann_kendall": r"""
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS d, count(*)::BIGINT AS y
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ),
+            series AS (
+              SELECT (row_number() OVER (ORDER BY d) - 1)::BIGINT AS t, y
+              FROM daily
+            ),
+            s AS (
+              SELECT coalesce(sum(sign(b.y - a.y)), 0)::BIGINT AS s_stat
+              FROM series a JOIN series b ON a.t < b.t
+            ),
+            ties AS (
+              SELECT sum(c * (c - 1) * (2 * c + 5))::BIGINT AS tie_term
+              FROM (
+                SELECT count(*)::BIGINT AS c FROM series GROUP BY y
+              )
+            ),
+            n AS (SELECT count(*)::BIGINT AS n FROM series)
+            SELECT n.n, s.s_stat, ties.tie_term,
+              (n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term)::BIGINT
+                AS var18,
+              CASE WHEN (n.n * (n.n - 1) * (2 * n.n + 5)
+                         - ties.tie_term) > 0
+                THEN floor(1000.0 * (CASE WHEN s.s_stat > 0
+                    THEN s.s_stat - 1 WHEN s.s_stat < 0
+                    THEN s.s_stat + 1 ELSE 0 END)::DOUBLE
+                  / sqrt((n.n * (n.n - 1) * (2 * n.n + 5)
+                          - ties.tie_term)::DOUBLE / 18.0))::BIGINT
+              END AS z_milli
+            FROM n, s, ties
+        """,
+        # logrank_test: page_survival's span construction, even/odd
+        # user cohorts; per-event-time micro-floored O−E and variance
+        "logrank_test": r"""
+            WITH ev AS (
+              SELECT user_id,
+                datediff('day', DATE '1970-01-01',
+                         CAST(ts AS DATE))::BIGINT AS day
+              FROM events WHERE ts IS NOT NULL
+            ),
+            per AS (
+              SELECT user_id, min(day) AS lo, max(day) AS hi
+              FROM ev GROUP BY 1
+            ),
+            hz AS (SELECT max(hi) AS hz FROM per),
+            spans AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 'even'
+                ELSE 'odd' END AS grp,
+                (hi - lo)::BIGINT AS t,
+                CASE WHEN hi < (SELECT hz FROM hz) THEN 1 ELSE 0
+                  END AS e
+              FROM per
+            ),
+            per2 AS (
+              SELECT t,
+                sum(CASE WHEN grp = 'even' THEN 1 ELSE 0 END)::BIGINT
+                  AS ca,
+                sum(CASE WHEN grp = 'odd' THEN 1 ELSE 0 END)::BIGINT
+                  AS cb,
+                sum(CASE WHEN grp = 'even' AND e = 1 THEN 1 ELSE 0
+                  END)::BIGINT AS da,
+                sum(CASE WHEN grp = 'odd' AND e = 1 THEN 1 ELSE 0
+                  END)::BIGINT AS db
+              FROM spans GROUP BY 1
+            ),
+            cum AS (
+              SELECT t, da, db,
+                (sum(ca) OVER () - sum(ca) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 + ca)::BIGINT AS na,
+                (sum(cb) OVER () - sum(cb) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 + cb)::BIGINT AS nb,
+                sum(ca) OVER ()::BIGINT AS tot_a,
+                sum(cb) OVER ()::BIGINT AS tot_b
+              FROM per2
+            ),
+            evt AS (SELECT * FROM cum WHERE da + db > 0),
+            terms AS (
+              SELECT tot_a, tot_b,
+                floor(1000000.0 * (da * (na + nb)
+                      - (da + db) * na)::DOUBLE / (na + nb))::BIGINT
+                  AS oe,
+                CASE WHEN na + nb > 1
+                  THEN floor(1000000.0 * na::DOUBLE * nb * (da + db)
+                    * ((na + nb) - (da + db))
+                    / ((na + nb)::DOUBLE * (na + nb)
+                       * ((na + nb) - 1)))::BIGINT
+                  ELSE 0 END AS v
+              FROM evt
+            )
+            SELECT max(tot_a)::BIGINT AS n_a,
+              max(tot_b)::BIGINT AS n_b,
+              count(*)::BIGINT AS n_event_times,
+              sum(oe)::BIGINT AS oe_micro,
+              sum(v)::BIGINT AS var_micro,
+              CASE WHEN sum(v) > 0
+                THEN floor(1000.0
+                  * (sum(oe)::DOUBLE / 1000000.0)
+                  * (sum(oe)::DOUBLE / 1000000.0)
+                  / (sum(v)::DOUBLE / 1000000.0))::BIGINT
+              END AS chi2_milli
+            FROM terms
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

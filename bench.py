@@ -310,6 +310,10 @@ HEADLINE = [
     "fleiss_kappa",
     "friedman_test",
     "theil_sen",
+    "weighted_kappa",
+    "mcc_eval",
+    "mann_kendall",
+    "logrank_test",
     "bpe_token_counts",
     "extraction_blocks",
 ]

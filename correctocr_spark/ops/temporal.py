@@ -1460,3 +1460,205 @@ def theil_sen(
         F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
         "slope2_milli",
     )
+
+
+def mann_kendall(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mann–Kendall trend TEST over an integer series — the
+    significance companion to :func:`theil_sen`'s slope ESTIMATE
+    (the pairing every monitoring textbook ships): S = Σ_{i<j}
+    sign(y_j − y_i) counts concordant-minus-discordant time pairs,
+    distribution-free, so a crawl-rate drift call doesn't depend on
+    normality the way `trend_gate`'s regression z does.
+
+    Exact integers end to end: S from the pair join; the tie
+    correction ``T = Σ_v t_v(t_v−1)(2t_v+5)`` from the distinct-value
+    counts; ``var18 = n(n−1)(2n+5) − T`` (18·Var(S)). The
+    continuity-corrected ``z_milli = floor(1000·(S∓1)/
+    sqrt(var18/18))`` (∓: toward zero; S = 0 → 0) is ONE fixed IEEE
+    shape. var18 ≤ 0 (n < 2 or everything tied) → NULL.
+
+    Returns one row: ``(n, s_stat, tie_term, var18, z_milli)``.
+
+    Scale: the `theil_sen` shape — the series is the caller's
+    aggregated rollup, the O(n²) pair join runs on thousands of rows,
+    never the event table.
+    """
+    base = series.where(
+        F.col(t_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    r = base.select(F.col("_t").alias("_tj"), F.col("_y").alias("_yj"))
+    s = base.join(r, F.col("_t") < F.col("_tj")).agg(
+        F.sum(F.signum(F.col("_yj") - F.col("_y")).cast("long"))
+        .cast("long")
+        .alias("s_stat")
+    )
+    ties = (
+        base.groupBy("_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nv"),
+            F.sum(
+                F.col("_c")
+                * (F.col("_c") - 1)
+                * (2 * F.col("_c") + 5)
+            )
+            .cast("long")
+            .alias("tie_term"),
+        )
+    )
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            F.coalesce("s_stat", F.lit(0)).cast("long").alias("s_stat"),
+            "tie_term",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            )
+            .cast("long")
+            .alias("var18"),
+        )
+    )
+    z = (
+        "CAST(floor(1000.0 * CAST(CASE WHEN s_stat > 0 THEN s_stat - 1"
+        " WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS DOUBLE)"
+        " / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT)"
+    )
+    return out.select(
+        "n",
+        "s_stat",
+        "tie_term",
+        "var18",
+        F.when(F.col("var18") > 0, F.expr(z)).alias("z_milli"),
+    )
+
+
+def logrank_test(
+    spans: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_col: str = "grp",
+    group_a: str = "a",
+    group_b: str = "b",
+) -> DataFrame:
+    """Two-group log-rank test — "do these two cohorts' survival
+    curves differ?", the hypothesis test :func:`survival_curve`'s
+    Kaplan–Meier picture begs for (re-hosted vs stable pages, two
+    crawler configs' page lifetimes). At each distinct EVENT time:
+    observed-minus-expected group-a deaths under the shared-hazard
+    null, with the hypergeometric variance; χ² = (ΣO−E)² / ΣV.
+
+    Determinism (the `survival_curve` per-term discipline): each
+    time's O−E term has EXACT integer numerator ``d_a·n − d·n_a``
+    and is quantized ONCE — ``floor(10⁶·num/n)`` (floor toward −∞,
+    negative-safe) — and each variance term is one fixed IEEE shape
+    ``floor(10⁶·n_a·n_b·d·(n−d) / (n²·(n−1)))``, so both sums are
+    integer sums with no float accumulation order. The final
+    ``chi2_milli = floor(1000·(ΣO−E/10⁶)² / (ΣV/10⁶))`` is one
+    fixed expression. ΣV ≤ 0 (no comparable event time) → NULL.
+    Censoring follows standard KM: censored subjects leave the risk
+    set after their time; ties between events and censorings at the
+    same time keep the censored subject AT RISK for that time's
+    events (the Kalbfleisch–Prentice convention).
+
+    Returns one row: ``(n_a, n_b, n_event_times, oe_micro,
+    var_micro, chi2_milli)``.
+
+    Scale: one (duration, group) rollup over the span table
+    (combinable), cumulative windows on the DISTINCT-duration table
+    for the risk sets, one final agg. Subjects stream through once.
+    """
+    g = F.col(group_col)
+    base = spans.where(
+        g.isin([group_a, group_b])
+        & F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+    ).select(
+        (g == group_a).alias("_ia"),
+        F.col(duration_col).cast("long").alias("_t"),
+        F.col(event_col).cast("int").alias("_e"),
+    )
+    per = base.groupBy("_t").agg(
+        F.sum(F.when(F.col("_ia"), 1).otherwise(0))
+        .cast("long")
+        .alias("_ca"),
+        F.sum(F.when(~F.col("_ia"), 1).otherwise(0))
+        .cast("long")
+        .alias("_cb"),
+        F.sum(F.when(F.col("_ia") & (F.col("_e") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("_da"),
+        F.sum(F.when((~F.col("_ia")) & (F.col("_e") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("_db"),
+    )
+    w = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "_t",
+        "_da",
+        "_db",
+        (F.sum("_ca").over(wall) - F.sum("_ca").over(w) + F.col("_ca"))
+        .cast("long")
+        .alias("_na"),
+        (F.sum("_cb").over(wall) - F.sum("_cb").over(w) + F.col("_cb"))
+        .cast("long")
+        .alias("_nb"),
+        F.sum("_ca").over(wall).cast("long").alias("_tot_a"),
+        F.sum("_cb").over(wall).cast("long").alias("_tot_b"),
+    ).where((F.col("_da") + F.col("_db")) > 0)
+    terms = cum.select(
+        "_tot_a",
+        "_tot_b",
+        F.expr(
+            "CAST(floor(1000000.0 * CAST(_da * (_na + _nb)"
+            " - (_da + _db) * _na AS DOUBLE) / (_na + _nb)) AS BIGINT)"
+        ).alias("_oe"),
+        F.when(
+            (F.col("_na") + F.col("_nb")) > 1,
+            F.expr(
+                "CAST(floor(1000000.0 * CAST(_na AS DOUBLE) * _nb"
+                " * (_da + _db) * ((_na + _nb) - (_da + _db))"
+                " / (CAST(_na + _nb AS DOUBLE) * (_na + _nb)"
+                "    * ((_na + _nb) - 1))) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_v"),
+    )
+    agg = terms.agg(
+        F.max("_tot_a").cast("long").alias("n_a"),
+        F.max("_tot_b").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_event_times"),
+        F.sum("_oe").cast("long").alias("oe_micro"),
+        F.sum("_v").cast("long").alias("var_micro"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_event_times",
+        "oe_micro",
+        "var_micro",
+        F.when(
+            F.col("var_micro") > 0,
+            F.expr(
+                "CAST(floor(1000.0"
+                " * (CAST(oe_micro AS DOUBLE) / 1000000.0)"
+                " * (CAST(oe_micro AS DOUBLE) / 1000000.0)"
+                " / (CAST(var_micro AS DOUBLE) / 1000000.0)) AS BIGINT)"
+            ),
+        ).alias("chi2_milli"),
+    )

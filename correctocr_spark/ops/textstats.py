@@ -6242,3 +6242,167 @@ def friedman_test(
             ),
         ).alias("q_milli"),
     )
+
+
+def weighted_kappa(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    weight: str = "quadratic",
+) -> DataFrame:
+    """Weighted Cohen's kappa for ORDINAL labels — `agreement_kappa`
+    treats "short vs medium" and "short vs long" as equally wrong;
+    for graded scales (quality bands, star ratings, length tiers)
+    near-misses should cost less. Disagreement weights ``v_ij =
+    (i−j)²`` (quadratic — the variant that equals an ICC) or
+    ``|i−j|`` (linear); labels must BE the ordinal integers.
+
+        κ_w = 1 − Σ v_ij·O_ij / Σ v_ij·E_ij,   E_ij = ra_i·cb_j / N
+
+    Closed integer form (the `agreement_kappa` discipline): with
+    exact longs ``obs_w = Σ v·O`` and ``exp_w = Σ v·ra·cb`` the
+    output is ``kappa_w_bp = 10000 − (10000·N·obs_w) div exp_w`` —
+    non-negative numerators, no floats at all. ``exp_w = 0`` (all
+    mass on one label for either rater, nothing to disagree about)
+    → NULL. Envelope: 10000·N·obs_w must fit a long — with bands
+    0..9, obs_w ≤ 81·N, so safe past N = 10¹².
+
+    Returns one row: ``(n, n_cats, obs_weighted, exp_weighted,
+    kappa_w_bp)``.
+
+    Scale: one (a,b) cell rollup (combinable); marginals re-derived
+    from the cell table; the weighted-expectation cross join runs on
+    the two label-cardinality marginal tables — k² rows, driver
+    trivia.
+    """
+    if weight not in ("quadratic", "linear"):
+        raise ValueError(
+            f"weight must be 'quadratic' or 'linear', got {weight!r}"
+        )
+
+    def v(i, j):
+        d = F.abs(i - j)
+        return (d * d) if weight == "quadratic" else d
+
+    d = ensure_parallelism(pairs).where(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(
+        F.col(a_col).cast("long").alias("_a"),
+        F.col(b_col).cast("long").alias("_b"),
+    )
+    cells = d.groupBy("_a", "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_o")
+    )
+    obs = cells.agg(
+        F.sum("_o").cast("long").alias("n"),
+        F.sum(v(F.col("_a"), F.col("_b")) * F.col("_o"))
+        .cast("long")
+        .alias("obs_weighted"),
+    )
+    ma = cells.groupBy("_a").agg(F.sum("_o").cast("long").alias("_ra"))
+    mb = cells.groupBy("_b").agg(F.sum("_o").cast("long").alias("_cb"))
+    nc = (
+        cells.select(F.col("_a").alias("_k"))
+        .union(cells.select("_b"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cats"))
+    )
+    ex = ma.crossJoin(mb).agg(
+        F.sum(v(F.col("_a"), F.col("_b")) * F.col("_ra") * F.col("_cb"))
+        .cast("long")
+        .alias("exp_weighted")
+    )
+    out = (
+        obs.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(ex))
+    )
+    return out.select(
+        "n",
+        "n_cats",
+        "obs_weighted",
+        "exp_weighted",
+        F.when(
+            F.col("exp_weighted") > 0,
+            F.lit(10000).cast("long")
+            - F.expr("(10000 * n * obs_weighted) div exp_weighted"),
+        )
+        .cast("long")
+        .alias("kappa_w_bp"),
+    )
+
+
+def mcc_eval(
+    df: DataFrame,
+    pred_col: str,
+    truth_col: str,
+) -> DataFrame:
+    """Matthews correlation coefficient of a binary gate against
+    truth — the single-number confusion summary that, unlike
+    accuracy/F1 (`langid_eval`, `pr_curve`), stays honest under the
+    class imbalance every corpus gate lives with (99% of pages pass;
+    a gate that says "pass" always gets 99% accuracy and MCC 0).
+    MCC is Pearson's r of the two binary indicators — the binary
+    corner of `pearson_corr`.
+
+    ``num = tp·tn − fp·fn`` and the four marginals are exact longs
+    from ONE combinable rollup. Exactly like `pearson_corr`, the
+    perfect case short-circuits: ``num² == (tp+fp)(tp+fn)(tn+fp)
+    (tn+fn)`` compared in decimal(38,0) emits ±1000 before any IEEE
+    step; otherwise ``mcc_milli = floor(1000·num / (√a·√b·√c·√d))``
+    is one fixed shape. Any zero marginal (a degenerate gate or
+    degenerate truth) → NULL. Envelope: the decimal comparison is
+    exact while (a·b)·(c·d) < 10³⁸ — n up to ~3·10⁹ rows; beyond
+    that the short-circuit silently disables (overflow → NULL
+    condition → double branch) and the double path stands alone.
+
+    Returns one row: ``(tp, fp, fn, tn, mcc_milli)``.
+    """
+    p = F.col(pred_col).cast("boolean")
+    t = F.col(truth_col).cast("boolean")
+    a = ensure_parallelism(df).where(p.isNotNull() & t.isNotNull()).agg(
+        F.sum(F.when(p & t, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(p & ~t, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~p & t, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~p & ~t, 1).otherwise(0)).cast("long").alias("tn"),
+    )
+    num = (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")).cast(
+        "long"
+    )
+    m1 = (F.col("tp") + F.col("fp")).cast("long")
+    m2 = (F.col("tp") + F.col("fn")).cast("long")
+    m3 = (F.col("tn") + F.col("fp")).cast("long")
+    m4 = (F.col("tn") + F.col("fn")).cast("long")
+    out = a.select(
+        "tp", "fp", "fn", "tn",
+        num.alias("_num"),
+        m1.alias("_m1"), m2.alias("_m2"),
+        m3.alias("_m3"), m4.alias("_m4"),
+    )
+    valid = (
+        (F.col("_m1") > 0) & (F.col("_m2") > 0)
+        & (F.col("_m3") > 0) & (F.col("_m4") > 0)
+    )
+    perfect = (
+        F.col("_num").cast("decimal(38,0)") * F.col("_num")
+        == (F.col("_m1").cast("decimal(38,0)") * F.col("_m2"))
+        * (F.col("_m3").cast("decimal(38,0)") * F.col("_m4"))
+    )
+    return out.select(
+        "tp", "fp", "fn", "tn",
+        F.when(
+            valid & perfect,
+            F.when(F.col("_num") >= 0, F.lit(1000)).otherwise(
+                F.lit(-1000)
+            ).cast("long"),
+        )
+        .when(
+            valid,
+            F.expr(
+                "CAST(floor(1000.0 * CAST(_num AS DOUBLE)"
+                " / (sqrt(CAST(_m1 AS DOUBLE)) * sqrt(CAST(_m2 AS DOUBLE))"
+                "    * sqrt(CAST(_m3 AS DOUBLE))"
+                "    * sqrt(CAST(_m4 AS DOUBLE)))) AS BIGINT)"
+            ),
+        )
+        .alias("mcc_milli"),
+    )

@@ -725,6 +725,14 @@ def test_oracled_queries_precede_rows_only():
         "friedman_test",
         # Theil–Sen — robust_location's median idiom on pair slopes
         "theil_sen",
+        # weighted kappa — agreement_kappa's ordinal sibling
+        "weighted_kappa",
+        # MCC — pearson_corr's binary corner over the gate confusion
+        "mcc_eval",
+        # Mann–Kendall — theil_sen's pair join, sign statistic
+        "mann_kendall",
+        # log-rank — page_survival's spans, two cohorts
+        "logrank_test",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

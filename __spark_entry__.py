@@ -5148,7 +5148,7 @@ def q_pearson(spark, sf_dir):
 
 def q_cronbach(spark, sf_dir):
     """Cronbach's alpha over a 3-item per-doc quality battery (char
-    length, whitespace word count, newline line count) — exact long
+    length, whitespace word count, distinct-word count) — exact long
     moment sums, one milli-floor."""
     _ship(spark)
     from correctocr_spark.ops.dedup import normalized_words
@@ -5160,10 +5160,12 @@ def q_cronbach(spark, sf_dir):
         .select(
             F.col("n_chars").cast("long").alias("i_chars"),
             F.size(normalized_words("text")).cast("long").alias("i_words"),
-            F.size(F.split(F.col("text"), "\n")).cast("long").alias("i_lines"),
+            F.size(F.array_distinct(normalized_words("text")))
+            .cast("long")
+            .alias("i_vocab"),
         )
     )
-    return cronbach_alpha(d, ["i_chars", "i_words", "i_lines"])
+    return cronbach_alpha(d, ["i_chars", "i_words", "i_vocab"])
 
 
 def q_mrr(spark, sf_dir):
@@ -5382,6 +5384,73 @@ def q_logrank(spark, sf_dir):
     )
     return logrank_test(
         spans, "duration", "event", "grp", "even", "odd"
+    )
+
+
+def q_partial_corr(spark, sf_dir):
+    """Partial correlation of word count vs distinct-word count
+    controlling for char length — exact long/decimal moment algebra,
+    one milli-floor; the three raw r's ride along."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import normalized_words
+    from correctocr_spark.ops.textstats import partial_corr
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            F.size(normalized_words("text")).cast("long").alias("nw"),
+            F.size(F.array_distinct(normalized_words("text")))
+            .cast("long")
+            .alias("nd"),
+            F.col("n_chars").cast("long").alias("nc"),
+        )
+    )
+    return partial_corr(d, "nw", "nd", "nc")
+
+
+def q_icc(spark, sf_dir):
+    """ICC(1) of doc length across sources — how much length variance
+    is BETWEEN sources; anova_oneway's exact SS machinery plus the
+    unbalanced n0, one milli-floor."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import icc_oneway
+
+    return icc_oneway(_t(spark, sf_dir, "documents"), "n_chars", "source")
+
+
+def q_cmh(spark, sf_dir):
+    """CMH test: does lang=en predict n_chars>=400 WITHIN sources
+    (Simpson-proof), plus the MH common odds ratio — per-stratum
+    micro-floored terms, integer sums."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import cmh_test
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(
+            F.col("source").isNotNull()
+            & F.col("lang").isNotNull()
+            & F.col("n_chars").isNotNull()
+        )
+        .select(
+            "source",
+            (F.col("lang") == "en").alias("is_en"),
+            (F.col("n_chars") >= 400).alias("is_long"),
+        )
+    )
+    return cmh_test(d, "source", "is_en", "is_long")
+
+
+def q_page_trend(spark, sf_dir):
+    """Page's L ordered-trend test over sources × langs (treatment
+    order = ascending lang label) — friedman_test's doubled-midrank
+    machinery, exact L2/E2/var144 longs, one milli-floor."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import page_trend
+
+    return page_trend(
+        _t(spark, sf_dir, "documents"), "source", "lang", "n_chars"
     )
 
 
@@ -6105,6 +6174,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         # two-cohort log-rank survival-difference test
         "logrank_test": q_logrank,
+        # partial correlation (confounder-controlled Pearson)
+        "partial_corr": q_partial_corr,
+        # ICC(1) — between-source share of length variance
+        "icc_oneway": q_icc,
+        # Cochran–Mantel–Haenszel stratified 2×2 association
+        "cmh_test": q_cmh,
+        # Page's L — directional Friedman over ordered treatments
+        "page_trend": q_page_trend,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -14093,7 +14170,7 @@ FROM documents)
             WITH base AS (
               SELECT n_chars::BIGINT AS i1,
                      len({_WORDS})::BIGINT AS i2,
-                     len(string_split(text, chr(10)))::BIGINT AS i3
+                     len(list_distinct({_WORDS}))::BIGINT AS i3
               FROM documents
               WHERE text IS NOT NULL AND n_chars IS NOT NULL
             ),
@@ -14552,6 +14629,229 @@ FROM documents)
                   / (sum(v)::DOUBLE / 1000000.0))::BIGINT
               END AS chi2_milli
             FROM terms
+        """,
+        # partial_corr: pearson_corr's moment algebra, HUGEINT
+        # products for the partial's numerator/radicands
+        "partial_corr": f"""
+            WITH base AS (
+              SELECT len({_WORDS})::BIGINT AS x,
+                     len(list_distinct({_WORDS}))::BIGINT AS y,
+                     n_chars::BIGINT AS z
+              FROM documents
+              WHERE text IS NOT NULL AND n_chars IS NOT NULL
+            ),
+            a AS (
+              SELECT count(*)::BIGINT AS n,
+                sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                sum(z)::BIGINT AS sz,
+                sum(x * y)::BIGINT AS sxy, sum(x * z)::BIGINT AS sxz,
+                sum(y * z)::BIGINT AS syz,
+                sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+                sum(z * z)::BIGINT AS szz
+              FROM base
+            ),
+            d AS (
+              SELECT 'all' AS grp, n,
+                (n * sxy - sx * sy)::BIGINT AS cxy,
+                (n * sxz - sx * sz)::BIGINT AS cxz,
+                (n * syz - sy * sz)::BIGINT AS cyz,
+                (n * sxx - sx * sx)::BIGINT AS vx,
+                (n * syy - sy * sy)::BIGINT AS vy,
+                (n * szz - sz * sz)::BIGINT AS vz
+              FROM a
+            )
+            SELECT grp, n,
+              CASE WHEN vx > 0 AND vy > 0
+                THEN floor(1000.0 * cxy::DOUBLE
+                  / (sqrt(vx::DOUBLE) * sqrt(vy::DOUBLE)))::BIGINT
+              END AS r_xy_milli,
+              CASE WHEN vx > 0 AND vz > 0
+                THEN floor(1000.0 * cxz::DOUBLE
+                  / (sqrt(vx::DOUBLE) * sqrt(vz::DOUBLE)))::BIGINT
+              END AS r_xz_milli,
+              CASE WHEN vy > 0 AND vz > 0
+                THEN floor(1000.0 * cyz::DOUBLE
+                  / (sqrt(vy::DOUBLE) * sqrt(vz::DOUBLE)))::BIGINT
+              END AS r_yz_milli,
+              CASE WHEN n >= 3
+                        AND (vx::HUGEINT * vz - cxz::HUGEINT * cxz) > 0
+                        AND (vy::HUGEINT * vz - cyz::HUGEINT * cyz) > 0
+                THEN floor(1000.0
+                  * (cxy::HUGEINT * vz - cxz::HUGEINT * cyz)::DOUBLE
+                  / (sqrt((vx::HUGEINT * vz
+                           - cxz::HUGEINT * cxz)::DOUBLE)
+                     * sqrt((vy::HUGEINT * vz
+                             - cyz::HUGEINT * cyz)::DOUBLE)))::BIGINT
+              END AS r_partial_milli
+            FROM d
+        """,
+        # icc_oneway: anova_oneway's oracle plus Σn_g² and the
+        # unbalanced-n0 ICC expression
+        "icc_oneway": r"""
+            WITH g AS (
+              SELECT source AS grp, count(*)::BIGINT AS n,
+                     sum(n_chars)::BIGINT AS s,
+                     sum(n_chars * n_chars)::BIGINT AS s2
+              FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL
+              GROUP BY 1
+            ),
+            terms AS (
+              SELECT n, s, s2,
+                floor(1000000.0 * (CAST(s AS DOUBLE) * s / n))::BIGINT
+                  AS ssb_t,
+                floor(1000000.0 * (s2 - CAST(s AS DOUBLE) * s / n)
+                  )::BIGINT AS ssw_t
+              FROM g
+            ),
+            a AS (
+              SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+                     sum(s)::BIGINT AS ts,
+                     sum(n * n)::BIGINT AS sum_nsq,
+                     sum(ssb_t)::BIGINT AS ssb_sum,
+                     sum(ssw_t)::BIGINT AS ssw_micro
+              FROM terms
+            ),
+            o AS (
+              SELECT k, n,
+                (ssb_sum - floor(1000000.0
+                   * (CAST(ts AS DOUBLE) * ts / n))::BIGINT)::BIGINT
+                  AS ssb_micro,
+                ssw_micro, sum_nsq
+              FROM a
+            )
+            SELECT k, n, ssb_micro, ssw_micro, sum_nsq,
+              CASE WHEN k >= 2 AND n > k
+                AND ((CAST(ssb_micro AS DOUBLE) / 1000000.0 / (k - 1))
+                     + (((CAST(n AS DOUBLE)
+                          - CAST(sum_nsq AS DOUBLE) / n)
+                         / (CAST(k AS DOUBLE) - 1)) - 1.0)
+                       * (CAST(ssw_micro AS DOUBLE) / 1000000.0
+                          / (n - k))) > 0
+                THEN floor(1000.0
+                  * ((CAST(ssb_micro AS DOUBLE) / 1000000.0 / (k - 1))
+                     - (CAST(ssw_micro AS DOUBLE) / 1000000.0
+                        / (n - k)))
+                  / ((CAST(ssb_micro AS DOUBLE) / 1000000.0 / (k - 1))
+                     + (((CAST(n AS DOUBLE)
+                          - CAST(sum_nsq AS DOUBLE) / n)
+                         / (CAST(k AS DOUBLE) - 1)) - 1.0)
+                       * (CAST(ssw_micro AS DOUBLE) / 1000000.0
+                          / (n - k))))::BIGINT
+              END AS icc_milli
+            FROM o
+        """,
+        # cmh_test: per-source 2×2 (is_en vs is_long), micro-floored
+        # E/V/ad/bc terms — the logrank discipline
+        "cmh_test": r"""
+            WITH cellsrc AS (
+              SELECT source AS s, lang = 'en' AS e,
+                     n_chars >= 400 AS o2
+              FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL
+                AND n_chars IS NOT NULL
+            ),
+            per AS (
+              SELECT s,
+                sum(CASE WHEN e AND o2 THEN 1 ELSE 0 END)::BIGINT AS a,
+                sum(CASE WHEN e AND NOT o2 THEN 1 ELSE 0 END)::BIGINT
+                  AS b,
+                sum(CASE WHEN NOT e AND o2 THEN 1 ELSE 0 END)::BIGINT
+                  AS c,
+                sum(CASE WHEN NOT e AND NOT o2 THEN 1 ELSE 0
+                  END)::BIGINT AS d
+              FROM cellsrc GROUP BY 1
+            ),
+            per2 AS (
+              SELECT a, b, c, d, (a + b + c + d)::BIGINT AS n
+              FROM per WHERE (a + b + c + d) >= 2
+            ),
+            terms AS (
+              SELECT a, n,
+                floor(1000000.0 * CAST((a + b) AS DOUBLE) * (a + c)
+                      / n)::BIGINT AS e_t,
+                floor(1000000.0 * CAST((a + b) AS DOUBLE) * (c + d)
+                      * (a + c) * (b + d)
+                      / (CAST(n AS DOUBLE) * n * (n - 1)))::BIGINT
+                  AS v_t,
+                floor(1000000.0 * CAST(a AS DOUBLE) * d / n)::BIGINT
+                  AS ad_t,
+                floor(1000000.0 * CAST(b AS DOUBLE) * c / n)::BIGINT
+                  AS bc_t
+              FROM per2
+            )
+            SELECT count(*)::BIGINT AS n_strata,
+              sum(n)::BIGINT AS n_total,
+              sum(a)::BIGINT AS sum_a,
+              sum(e_t)::BIGINT AS exp_micro,
+              sum(v_t)::BIGINT AS var_micro,
+              CASE WHEN sum(bc_t) > 0
+                THEN ((1000 * sum(ad_t)) // sum(bc_t))::BIGINT
+              END AS or_milli,
+              CASE WHEN sum(v_t) > 0
+                THEN floor(1000.0
+                  * (CAST(sum(a) AS DOUBLE)
+                     - CAST(sum(e_t) AS DOUBLE) / 1000000.0)
+                  * (CAST(sum(a) AS DOUBLE)
+                     - CAST(sum(e_t) AS DOUBLE) / 1000000.0)
+                  / (CAST(sum(v_t) AS DOUBLE) / 1000000.0))::BIGINT
+              END AS cmh_milli
+            FROM terms
+        """,
+        # page_trend: friedman_test's doubled midranks with the
+        # label-order j weighting; exact L2/E2/var144 longs
+        "page_trend": r"""
+            WITH cells AS (
+              SELECT source AS b, lang AS t, sum(n_chars)::BIGINT AS v
+              FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL
+                AND n_chars IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM cells),
+            complete AS (
+              SELECT b, t, v FROM (
+                SELECT b, t, v,
+                  count(*) OVER (PARTITION BY b) AS bk,
+                  (SELECT k FROM kk) AS k
+                FROM cells
+              ) WHERE bk = k
+            ),
+            ranked AS (
+              SELECT b, t,
+                (2 * rank() OVER (PARTITION BY b ORDER BY v)
+                 + count(*) OVER (PARTITION BY b, v) - 1)::BIGINT AS r2
+              FROM complete
+            ),
+            r2j AS (
+              SELECT t, sum(r2)::BIGINT AS R2,
+                     count(*)::BIGINT AS nb2
+              FROM ranked GROUP BY t
+            ),
+            l2 AS (
+              SELECT sum(jr)::BIGINT AS l2_stat,
+                     max(nb2)::BIGINT AS n_blocks,
+                     count(*)::BIGINT AS k
+              FROM (
+                SELECT (row_number() OVER (ORDER BY t))::BIGINT * R2
+                         AS jr, nb2
+                FROM r2j
+              )
+            )
+            SELECT n_blocks, k, l2_stat,
+              ((n_blocks * k * (k + 1) * (k + 1)) // 2)::BIGINT
+                AS e2_stat,
+              (n_blocks * k * k * (k + 1) * (k + 1) * (k - 1))::BIGINT
+                AS var144,
+              CASE WHEN k >= 2
+                AND (n_blocks * k * k * (k + 1) * (k + 1) * (k - 1)) > 0
+                THEN floor(6000.0
+                  * (l2_stat - (n_blocks * k * (k + 1) * (k + 1))
+                     // 2)::DOUBLE
+                  / sqrt((n_blocks * k * k * (k + 1) * (k + 1)
+                          * (k - 1))::DOUBLE))::BIGINT
+              END AS z_milli
+            FROM l2
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

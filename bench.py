@@ -314,6 +314,10 @@ HEADLINE = [
     "mcc_eval",
     "mann_kendall",
     "logrank_test",
+    "partial_corr",
+    "icc_oneway",
+    "cmh_test",
+    "page_trend",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -6406,3 +6406,452 @@ def mcc_eval(
         )
         .alias("mcc_milli"),
     )
+
+
+def partial_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """First-order partial correlation r_xy·z — `pearson_corr` with a
+    confounder REMOVED: "does punctuation density track quality score
+    after controlling for document length?" Raw pairwise r over a
+    corpus is usually just length in disguise; the partial is the
+    one-line fix before anyone ships a causal-sounding datacard
+    claim.
+
+    The closed form avoids ever forming the three r's: with the
+    n-scaled moment numerators (exact longs, `pearson_corr` algebra)
+    ``c_xy, c_xz, c_yz, v_x, v_y, v_z``,
+
+        r_xy·z = (c_xy·v_z − c_xz·c_yz)
+                 / (√(v_x·v_z − c_xz²) · √(v_y·v_z − c_yz²))
+
+    — numerator and both radicands are EXACT products of two longs,
+    computed in decimal(38,0) (Spark) / HUGEINT (the oracle), good to
+    |c| ~ 10¹⁹; one final fixed IEEE shape floors to milli. The three
+    raw milli-r's ride along for the datacard. Degenerate (n < 3 or a
+    non-positive radicand — a zero-variance side or |r_xz| = 1) →
+    NULL partial.
+
+    Returns one row per group: ``(grp, n, r_xy_milli, r_xz_milli,
+    r_yz_milli, r_partial_milli)``.
+
+    Scale: ONE map-side-combinable rollup of ten integer moments —
+    `pearson_corr`'s scan shape, nothing extra.
+    """
+    gcol = (
+        F.col(group_col).cast("string").alias("grp")
+        if group_col is not None
+        else F.lit("all").alias("grp")
+    )
+    base = (
+        ensure_parallelism(df)
+        .where(
+            F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+            & F.col(z_col).isNotNull()
+        )
+        .select(
+            gcol,
+            F.col(x_col).cast("long").alias("_x"),
+            F.col(y_col).cast("long").alias("_y"),
+            F.col(z_col).cast("long").alias("_z"),
+        )
+    )
+    a = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum("_z").cast("long").alias("_sz"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_z")).cast("long").alias("_sxz"),
+        F.sum(F.col("_y") * F.col("_z")).cast("long").alias("_syz"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+        F.sum(F.col("_z") * F.col("_z")).cast("long").alias("_szz"),
+    )
+    d = a.select(
+        "grp",
+        "n",
+        (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        .cast("long")
+        .alias("_cxy"),
+        (F.col("n") * F.col("_sxz") - F.col("_sx") * F.col("_sz"))
+        .cast("long")
+        .alias("_cxz"),
+        (F.col("n") * F.col("_syz") - F.col("_sy") * F.col("_sz"))
+        .cast("long")
+        .alias("_cyz"),
+        (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        .cast("long")
+        .alias("_vx"),
+        (F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+        .cast("long")
+        .alias("_vy"),
+        (F.col("n") * F.col("_szz") - F.col("_sz") * F.col("_sz"))
+        .cast("long")
+        .alias("_vz"),
+    )
+
+    def r_milli(c, va, vb):
+        return F.when(
+            (F.col(va) > 0) & (F.col(vb) > 0),
+            F.expr(
+                f"CAST(floor(1000.0 * CAST({c} AS DOUBLE)"
+                f" / (sqrt(CAST({va} AS DOUBLE))"
+                f"    * sqrt(CAST({vb} AS DOUBLE)))) AS BIGINT)"
+            ),
+        )
+
+    dec = "decimal(38,0)"
+    num = (
+        F.col("_cxy").cast(dec) * F.col("_vz")
+        - F.col("_cxz").cast(dec) * F.col("_cyz")
+    )
+    rad1 = (
+        F.col("_vx").cast(dec) * F.col("_vz")
+        - F.col("_cxz").cast(dec) * F.col("_cxz")
+    )
+    rad2 = (
+        F.col("_vy").cast(dec) * F.col("_vz")
+        - F.col("_cyz").cast(dec) * F.col("_cyz")
+    )
+    d2 = d.withColumn("_num", num).withColumn("_r1", rad1).withColumn(
+        "_r2", rad2
+    )
+    return d2.select(
+        "grp",
+        "n",
+        r_milli("_cxy", "_vx", "_vy").alias("r_xy_milli"),
+        r_milli("_cxz", "_vx", "_vz").alias("r_xz_milli"),
+        r_milli("_cyz", "_vy", "_vz").alias("r_yz_milli"),
+        F.when(
+            (F.col("n") >= 3) & (F.col("_r1") > 0) & (F.col("_r2") > 0),
+            F.expr(
+                "CAST(floor(1000.0 * CAST(_num AS DOUBLE)"
+                " / (sqrt(CAST(_r1 AS DOUBLE))"
+                "    * sqrt(CAST(_r2 AS DOUBLE)))) AS BIGINT)"
+            ),
+        ).alias("r_partial_milli"),
+    )
+
+
+def icc_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1) — "what
+    fraction of doc-length variance lives BETWEEN hosts?" The
+    clustering-strength number behind `weight_ess`'s design effect
+    and every "should I stratify by host" decision: ICC near 0 means
+    hosts are interchangeable; ICC near 1 means host identity IS the
+    signal and host-level sampling drives the variance budget.
+
+    Reuses `anova_oneway`'s exact machinery verbatim: per-group
+    integer moments, micro-floored SS terms; the unbalanced-design
+    group size ``n0 = (N − Σn_g²/N)/(G−1)`` adds one more exact long
+    (Σn_g²). ``icc_milli = floor(1000·(MSB − MSW)/(MSB + (n0−1)·
+    MSW))`` is one fixed IEEE expression over the integer sums
+    (Fisher's classic estimator; can be < 0 by sampling noise, left
+    visible). Degenerate (G < 2, N ≤ G, zero denominator) → NULL.
+
+    Returns one row: ``(k, n, ssb_micro, ssw_micro, sum_nsq,
+    icc_milli)``.
+
+    Scale: identical to `anova_oneway` — one combinable rollup, SS
+    algebra on the k-row table.
+    """
+    g = (
+        ensure_parallelism(df)
+        .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_v").cast("long").alias("_s"),
+            F.sum(F.col("_v") * F.col("_v")).cast("long").alias("_s2"),
+        )
+    )
+    terms = g.select(
+        "_n",
+        "_s",
+        "_s2",
+        F.expr(
+            "CAST(floor(1000000.0 * (CAST(_s AS DOUBLE) * _s / _n))"
+            " AS BIGINT)"
+        ).alias("_ssb_t"),
+        F.expr(
+            "CAST(floor(1000000.0 * (_s2 - CAST(_s AS DOUBLE) * _s / _n))"
+            " AS BIGINT)"
+        ).alias("_ssw_t"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_s").cast("long").alias("_ts"),
+        F.sum(F.col("_n") * F.col("_n")).cast("long").alias("sum_nsq"),
+        F.sum("_ssb_t").cast("long").alias("_ssb_sum"),
+        F.sum("_ssw_t").cast("long").alias("ssw_micro"),
+    )
+    out = agg.select(
+        "k",
+        "n",
+        (
+            F.col("_ssb_sum")
+            - F.expr(
+                "CAST(floor(1000000.0 * (CAST(_ts AS DOUBLE) * _ts / n))"
+                " AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("ssb_micro"),
+        "ssw_micro",
+        "sum_nsq",
+    )
+    msb = "(CAST(ssb_micro AS DOUBLE) / 1000000.0 / (k - 1))"
+    msw = "(CAST(ssw_micro AS DOUBLE) / 1000000.0 / (n - k))"
+    n0 = (
+        "((CAST(n AS DOUBLE) - CAST(sum_nsq AS DOUBLE) / n)"
+        " / (CAST(k AS DOUBLE) - 1))"
+    )
+    den = f"({msb} + ({n0} - 1.0) * {msw})"
+    return out.select(
+        "k",
+        "n",
+        "ssb_micro",
+        "ssw_micro",
+        "sum_nsq",
+        F.when(
+            (F.col("k") >= 2)
+            & (F.col("n") > F.col("k"))
+            & (F.expr(den) > 0),
+            F.expr(
+                f"CAST(floor(1000.0 * ({msb} - {msw}) / {den}) AS BIGINT)"
+            ),
+        ).alias("icc_milli"),
+    )
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel test of exposure↔outcome association
+    ACROSS strata, plus the Mantel–Haenszel common odds ratio — the
+    confounding-aware version of `contingency_chi2`'s pooled 2×2:
+    pooling "lang → long-doc rate" over sources invites Simpson's
+    paradox; CMH tests the association WITHIN each source and
+    combines. The per-stratum 2×2s are (exposure, outcome) booleans.
+
+    Per stratum (kept when n_i ≥ 2; smaller strata carry no
+    information and an undefined variance): exact integer ``a_i``
+    and micro-floored fixed-shape terms (the `logrank_test`
+    discipline) for ``E_i = r1·c1/n`` and ``V_i = r1·r2·c1·c2/
+    (n²(n−1))``; ``cmh_milli = floor(1000·(Σa − ΣE)²/ΣV)`` (no
+    continuity correction — at corpus n it is noise). The MH odds
+    ratio pools ``floor(10⁶·a·d/n)`` over ``floor(10⁶·b·c/n)``:
+    ``or_milli = (1000·Σad) div Σbc`` — integer div, non-negative.
+    ΣV = 0 → NULL test; Σbc = 0 → NULL odds ratio.
+
+    Returns one row: ``(n_strata, n_total, sum_a, exp_micro,
+    var_micro, or_milli, cmh_milli)``.
+
+    Scale: ONE combinable (stratum) rollup computing all four cell
+    counts; everything else on the strata-sized table.
+    """
+    e = F.col(exposure_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    per = (
+        ensure_parallelism(df)
+        .where(
+            F.col(stratum_col).isNotNull()
+            & e.isNotNull()
+            & o.isNotNull()
+        )
+        .groupBy(F.col(stratum_col).alias("_s"))
+        .agg(
+            F.sum(F.when(e & o, 1).otherwise(0)).cast("long").alias("_a"),
+            F.sum(F.when(e & ~o, 1).otherwise(0)).cast("long").alias("_b"),
+            F.sum(F.when(~e & o, 1).otherwise(0)).cast("long").alias("_c"),
+            F.sum(F.when(~e & ~o, 1).otherwise(0)).cast("long").alias("_d"),
+        )
+        .withColumn(
+            "_n",
+            (
+                F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")
+            ).cast("long"),
+        )
+        .where(F.col("_n") >= 2)
+    )
+    terms = per.select(
+        "_a",
+        "_n",
+        F.expr(
+            "CAST(floor(1000000.0 * CAST((_a + _b) AS DOUBLE)"
+            " * (_a + _c) / _n) AS BIGINT)"
+        ).alias("_e"),
+        F.expr(
+            "CAST(floor(1000000.0 * CAST((_a + _b) AS DOUBLE)"
+            " * (_c + _d) * (_a + _c) * (_b + _d)"
+            " / (CAST(_n AS DOUBLE) * _n * (_n - 1))) AS BIGINT)"
+        ).alias("_v"),
+        F.expr(
+            "CAST(floor(1000000.0 * CAST(_a AS DOUBLE) * _d / _n)"
+            " AS BIGINT)"
+        ).alias("_ad"),
+        F.expr(
+            "CAST(floor(1000000.0 * CAST(_b AS DOUBLE) * _c / _n)"
+            " AS BIGINT)"
+        ).alias("_bc"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("_n").cast("long").alias("n_total"),
+        F.sum("_a").cast("long").alias("sum_a"),
+        F.sum("_e").cast("long").alias("exp_micro"),
+        F.sum("_v").cast("long").alias("var_micro"),
+        F.sum("_ad").cast("long").alias("_sad"),
+        F.sum("_bc").cast("long").alias("_sbc"),
+    )
+    diff = (
+        "(CAST(sum_a AS DOUBLE) - CAST(exp_micro AS DOUBLE) / 1000000.0)"
+    )
+    return agg.select(
+        "n_strata",
+        "n_total",
+        "sum_a",
+        "exp_micro",
+        "var_micro",
+        F.when(
+            F.col("_sbc") > 0,
+            F.expr("(1000 * _sad) div _sbc"),
+        )
+        .cast("long")
+        .alias("or_milli"),
+        F.when(
+            F.col("var_micro") > 0,
+            F.expr(
+                f"CAST(floor(1000.0 * {diff} * {diff}"
+                " / (CAST(var_micro AS DOUBLE) / 1000000.0)) AS BIGINT)"
+            ),
+        ).alias("cmh_milli"),
+    )
+
+
+def page_trend(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Page's L test — `friedman_test`'s DIRECTIONAL sibling: Friedman
+    asks "do the k treatments differ at all within blocks?"; Page asks
+    "do they trend in THIS order?" (treatments ordered by ascending
+    label — make the labels encode the hypothesis: crawl epochs,
+    size tiers, pipeline versions). Far more powerful than Friedman
+    when the alternative really is monotone.
+
+    Reuses the Friedman machinery verbatim (complete blocks, integer
+    doubled midranks): ``L2 = Σ_j j·R2_j`` is an exact long with
+    ``E[L2] = n·k·(k+1)²/2``; the no-ties null variance gives
+    ``z_milli = floor(6000·(L2 − E2)/sqrt(var144))`` with ``var144 =
+    n·k²·(k+1)²·(k−1)`` (= 144·Var[L]; with ties this z is slightly
+    conservative — documented, standard practice). k < 2 or var144
+    ≤ 0 → NULL.
+
+    Returns one row: ``(n_blocks, k, l2_stat, e2_stat, var144,
+    z_milli)``.
+
+    Scale: identical to `friedman_test` — one combinable cell
+    rollup, block-partitioned windows on the cell table.
+    """
+    cells = (
+        ensure_parallelism(df)
+        .where(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(block_col).cast("string").alias("_b"),
+            F.col(treatment_col).cast("string").alias("_t"),
+        )
+        .agg(F.sum(F.col(value_col).cast("long")).cast("long").alias("_v"))
+    )
+    kdf = cells.agg(F.count_distinct("_t").cast("long").alias("_k"))
+    wb = Window.partitionBy("_b")
+    complete = (
+        cells.withColumn("_bk", F.count(F.lit(1)).over(wb))
+        .crossJoin(F.broadcast(kdf))
+        .where(F.col("_bk") == F.col("_k"))
+    )
+    wrank = Window.partitionBy("_b").orderBy("_v")
+    weq = Window.partitionBy("_b", "_v")
+    ranked = complete.select(
+        "_b",
+        "_t",
+        "_k",
+        (2 * F.rank().over(wrank) + F.count(F.lit(1)).over(weq) - 1)
+        .cast("long")
+        .alias("_r2"),
+    )
+    r2j = ranked.groupBy("_t").agg(
+        F.sum("_r2").cast("long").alias("_R2"),
+        (F.count(F.lit(1))).cast("long").alias("_nb"),
+    )
+    wj = Window.orderBy("_t")
+    l2 = r2j.select(
+        (F.row_number().over(wj).cast("long") * F.col("_R2")).alias("_jr"),
+        "_nb",
+    ).agg(
+        F.sum("_jr").cast("long").alias("l2_stat"),
+        F.max("_nb").cast("long").alias("n_blocks"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    out = l2.select(
+        "n_blocks",
+        "k",
+        "l2_stat",
+        (
+            F.col("n_blocks")
+            * F.col("k")
+            * (F.col("k") + 1)
+            * (F.col("k") + 1)
+        )
+        .cast("long")
+        .alias("e2_stat")
+        .alias("e2_stat"),
+        (
+            F.col("n_blocks")
+            * F.col("k")
+            * F.col("k")
+            * (F.col("k") + 1)
+            * (F.col("k") + 1)
+            * (F.col("k") - 1)
+        )
+        .cast("long")
+        .alias("var144"),
+    )
+    return out.select(
+        "n_blocks",
+        "k",
+        "l2_stat",
+        F.expr("CAST(e2_stat div 2 AS BIGINT)").alias("e2_stat"),
+        "var144",
+        F.when(
+            (F.col("k") >= 2) & (F.col("var144") > 0),
+            F.expr(
+                "CAST(floor(6000.0 * CAST(l2_stat - e2_stat div 2"
+                " AS DOUBLE) / sqrt(CAST(var144 AS DOUBLE))) AS BIGINT)"
+            ),
+        ).alias("z_milli"),
+    )

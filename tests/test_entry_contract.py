@@ -733,6 +733,14 @@ def test_oracled_queries_precede_rows_only():
         "mann_kendall",
         # log-rank — page_survival's spans, two cohorts
         "logrank_test",
+        # partial correlation — pearson_corr's moments, confounder out
+        "partial_corr",
+        # ICC(1) — anova_oneway's SS machinery + unbalanced n0
+        "icc_oneway",
+        # CMH — contingency_chi2's 2×2 stratified, Simpson-proof
+        "cmh_test",
+        # Page's L — friedman_test's midranks, directional
+        "page_trend",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -5454,6 +5454,59 @@ def q_page_trend(spark, sf_dir):
     )
 
 
+def q_ams_f2(spark, sf_dir):
+    """AMS F2 (self-join size) sketch of the word stream, k=8 sign
+    hashes — exact z_j longs, doubled-median estimate, exact F2 and
+    relative error alongside."""
+    _ship(spark)
+    from correctocr_spark.ops.sketch import ams_f2_sketch
+
+    return ams_f2_sketch(
+        _lang_words(spark, sf_dir).select("word"), "word", k=8
+    )
+
+
+def q_link_prediction(spark, sf_dir):
+    """Common-neighbor / Adamic-Adar / Jaccard link-prediction scores
+    for non-adjacent pairs of the synthetic 50-node graph — per-term
+    floored 1/ln(deg), exact integer Jaccard."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import link_prediction
+
+    return link_prediction(_synth_edges(spark, sf_dir))
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient curve phi(k) for k in {1,2,4,8} over the
+    synthetic graph — exact integer ppm ratios."""
+    _ship(spark)
+    from correctocr_spark.ops.graph import rich_club
+
+    return rich_club(_synth_edges(spark, sf_dir), ks=(1, 2, 4, 8))
+
+
+def q_forecast_baselines(spark, sf_dir):
+    """Naive vs seasonal-naive error floor and MASE over the daily
+    event-count series (season=7) — exact integer SAEs, one integer
+    div."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import forecast_baselines
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    series = daily.select(
+        (
+            F.row_number().over(Window.orderBy("d")) - 1
+        ).cast("long").alias("t"),
+        "y",
+    )
+    return forecast_baselines(series, "t", "y", season=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -6182,6 +6235,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cmh_test": q_cmh,
         # Page's L — directional Friedman over ordered treatments
         "page_trend": q_page_trend,
+        # AMS F2 sketch — self-join size estimate + exact calibration
+        "ams_f2": q_ams_f2,
+        # CN / Adamic–Adar / Jaccard link prediction
+        "link_prediction": q_link_prediction,
+        # rich-club coefficient curve over degree thresholds
+        "rich_club": q_rich_club,
+        # naive/seasonal-naive error floor + MASE
+        "forecast_baselines": q_forecast_baselines,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -14852,6 +14913,189 @@ FROM documents)
                           * (k - 1))::DOUBLE))::BIGINT
               END AS z_milli
             FROM l2
+        """,
+        # ams_f2: kmv_distinct's md5 hash discipline as ±1 signs,
+        # robust_location's doubled median over the k estimates
+        "ams_f2": r"""
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(lower(text),
+                '\W+')) AS word
+              FROM documents
+            ),
+            counts AS (
+              SELECT word AS v, count(*)::BIGINT AS c
+              FROM w WHERE word <> '' GROUP BY 1
+            ),
+            exact AS (
+              SELECT count(*)::BIGINT AS n_keys,
+                     sum(c)::BIGINT AS n_rows,
+                     sum(c * c)::BIGINT AS f2_exact
+              FROM counts
+            ),
+            js AS (SELECT range::BIGINT AS j FROM range(0, 8)),
+            signed AS (
+              SELECT j,
+                ((1 - 2 * (('0x' || substr(md5('ams|' || j || '|' || v),
+                   1, 8))::BIGINT % 2)) * c)::BIGINT AS s
+              FROM counts, js
+            ),
+            ests AS (
+              SELECT (z * z)::BIGINT AS e FROM (
+                SELECT j, sum(s)::BIGINT AS z FROM signed GROUP BY j
+              )
+            ),
+            dist AS (SELECT e, count(*)::BIGINT AS cnt FROM ests
+                     GROUP BY 1),
+            cum AS (
+              SELECT e,
+                sum(cnt) OVER (ORDER BY e ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cum,
+                sum(cnt) OVER () AS m
+              FROM dist
+            ),
+            med AS (
+              SELECT (min(CASE WHEN cum >= (m + 1) // 2 THEN e END)
+                + min(CASE WHEN cum >= (m + 2) // 2 THEN e END)
+                )::BIGINT AS est2_med
+              FROM cum
+            )
+            SELECT n_keys, n_rows, f2_exact, est2_med,
+              CASE WHEN f2_exact > 0
+                THEN floor(1000.0 * abs(est2_med::DOUBLE
+                  - 2.0 * f2_exact)
+                  / (2.0 * f2_exact::DOUBLE))::BIGINT
+              END AS rel_err_milli
+            FROM exact, med
+        """,
+        # link_prediction: degree-capped wedge join on the synthetic
+        # graph; per-term floored 1/ln(deg), NOT-EXISTS anti-join
+        "link_prediction": r"""
+            WITH e0 AS (
+              SELECT (doc_id % 50)::BIGINT AS src,
+                     ((doc_id * 7 + 3) % 50)::BIGINT AS dst
+              FROM documents
+            ),
+            und AS (
+              SELECT DISTINCT least(src, dst) AS u,
+                     greatest(src, dst) AS v
+              FROM e0 WHERE src <> dst
+            ),
+            adj AS (
+              SELECT u AS z, v AS nb FROM und
+              UNION ALL SELECT v, u FROM und
+            ),
+            deg AS (SELECT z, count(*)::BIGINT AS deg FROM adj
+                    GROUP BY 1),
+            piv AS (
+              SELECT a.z, a.nb, d.deg AS dz
+              FROM adj a JOIN deg d ON d.z = a.z
+              WHERE d.deg <= 10000
+            ),
+            wedges AS (
+              SELECT p1.nb AS node_a, p2.nb AS node_b, p1.dz
+              FROM piv p1 JOIN piv p2
+                ON p1.z = p2.z AND p1.nb < p2.nb
+            ),
+            pairs AS (
+              SELECT node_a, node_b,
+                count(*)::BIGINT AS common_neighbors,
+                sum(floor(1000000.0
+                  / ln(dz::DOUBLE))::BIGINT)::BIGINT AS aa_micro
+              FROM wedges GROUP BY 1, 2 HAVING count(*) >= 1
+            ),
+            newp AS (
+              SELECT p.* FROM pairs p
+              WHERE NOT EXISTS (
+                SELECT 1 FROM und
+                WHERE und.u = p.node_a AND und.v = p.node_b
+              )
+            )
+            SELECT p.node_a, p.node_b, p.common_neighbors, p.aa_micro,
+              ((1000 * p.common_neighbors)
+               // (da.deg + db.deg - p.common_neighbors))::BIGINT
+                AS jaccard_milli
+            FROM newp p
+            JOIN deg da ON da.z = p.node_a
+            JOIN deg db ON db.z = p.node_b
+        """,
+        # rich_club: elite-interlink curve over degree thresholds
+        "rich_club": r"""
+            WITH e0 AS (
+              SELECT (doc_id % 50)::BIGINT AS src,
+                     ((doc_id * 7 + 3) % 50)::BIGINT AS dst
+              FROM documents
+            ),
+            und AS (
+              SELECT DISTINCT least(src, dst) AS u,
+                     greatest(src, dst) AS v
+              FROM e0 WHERE src <> dst
+            ),
+            adj AS (
+              SELECT u AS z FROM und UNION ALL SELECT v FROM und
+            ),
+            deg AS (SELECT z, count(*)::BIGINT AS deg FROM adj
+                    GROUP BY 1),
+            ks AS (SELECT unnest([1, 2, 4, 8])::BIGINT AS k),
+            nodes_k AS (
+              SELECT k, count(*)::BIGINT AS n_nodes
+              FROM deg, ks WHERE deg > k GROUP BY k
+            ),
+            edges_k AS (
+              SELECT k, count(*)::BIGINT AS n_edges
+              FROM und
+              JOIN deg du ON du.z = und.u
+              JOIN deg dv ON dv.z = und.v
+              CROSS JOIN ks
+              WHERE du.deg > k AND dv.deg > k
+              GROUP BY k
+            )
+            SELECT ks.k,
+              coalesce(n.n_nodes, 0)::BIGINT AS n_nodes,
+              coalesce(e.n_edges, 0)::BIGINT AS n_edges,
+              CASE WHEN coalesce(n.n_nodes, 0) >= 2
+                THEN ((2 * coalesce(e.n_edges, 0) * 1000000)
+                      // (coalesce(n.n_nodes, 0)
+                          * (coalesce(n.n_nodes, 0) - 1)))::BIGINT
+              END AS phi_ppm
+            FROM ks
+            LEFT JOIN nodes_k n ON n.k = ks.k
+            LEFT JOIN edges_k e ON e.k = ks.k
+        """,
+        # forecast_baselines: lag-1 vs lag-7 SAE on the daily series,
+        # one integer div for MASE
+        "forecast_baselines": r"""
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS d, count(*)::BIGINT AS y
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ),
+            series AS (
+              SELECT (row_number() OVER (ORDER BY d) - 1)::BIGINT AS t, y
+              FROM daily
+            ),
+            lagged AS (
+              SELECT y,
+                lag(y, 1) OVER (ORDER BY t) AS p1,
+                lag(y, 7) OVER (ORDER BY t) AS ps
+              FROM series
+            ),
+            a AS (
+              SELECT count(*)::BIGINT AS n,
+                coalesce(sum(abs(y - p1)), 0)::BIGINT AS sae_naive,
+                sum(CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0
+                  END)::BIGINT AS n_naive,
+                coalesce(sum(abs(y - ps)), 0)::BIGINT AS sae_seasonal,
+                sum(CASE WHEN ps IS NOT NULL THEN 1 ELSE 0
+                  END)::BIGINT AS n_seasonal
+              FROM lagged
+            )
+            SELECT n, 7::BIGINT AS season, sae_naive, n_naive,
+              sae_seasonal, n_seasonal,
+              CASE WHEN n_naive > 0 AND n_seasonal > 0
+                        AND sae_seasonal > 0
+                THEN ((1000 * sae_naive * n_seasonal)
+                      // (n_naive * sae_seasonal))::BIGINT
+              END AS mase_milli
+            FROM a
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

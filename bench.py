@@ -318,6 +318,10 @@ HEADLINE = [
     "icc_oneway",
     "cmh_test",
     "page_trend",
+    "ams_f2",
+    "link_prediction",
+    "rich_club",
+    "forecast_baselines",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -703,3 +703,127 @@ def kmv_set_ops(
         .cast("long")
         .alias("jaccard_milli"),
     )
+
+
+def ams_f2_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = 8,
+    salt: str = "ams",
+) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) F₂ sketch of a key stream — the
+    second frequency moment IS the self-join size, so this estimates
+    "how big would the (key,key) equi-join blow up?" from k counters
+    instead of the exact per-key rollup the planner can't afford at
+    10¹² rows. The mergeability twin of `kmv_sketch` (F₀) and
+    `cms_sketch` (point counts): each z_j is a plain SUM, so sketches
+    of shards ADD.
+
+    Estimator: k independent ±1 hash streams (md5-parity signs — the
+    `kmv_sketch` hash discipline, bit-identical in the oracle);
+    ``z_j = Σ_v s_j(v)·c_v`` is an exact long and ``z_j²`` is an
+    unbiased F₂ estimate; the reported estimate is the exact DOUBLED
+    median of the k estimates (`robust_location` idiom). The exact F₂
+    rides along from the same rollup, with the estimator's relative
+    error in milli — this op doubles as its own calibration harness.
+
+    Returns one row: ``(n_keys, n_rows, f2_exact, est2_med,
+    rel_err_milli)`` — est2_med is 2× the median estimate.
+
+    Scale: ONE key rollup (combinable — the only corpus-scale
+    shuffle); the k-way sign expansion runs on the DISTINCT-key
+    table (k ≤ 16 × vocabulary, not the stream), and the median on k
+    rows. Exact-F₂ envelope: Σc² must fit a long (hot key ≤ 3e9).
+    """
+    if k < 1:
+        raise ValueError(f"ams_f2_sketch needs k >= 1, got {k}")
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).cast("string").alias("_v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    exact = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("f2_exact"),
+    )
+    js = counts.sparkSession.range(0, int(k)).select(
+        F.col("id").cast("long").alias("_j")
+    )
+    signed = counts.crossJoin(F.broadcast(js)).select(
+        "_j",
+        (
+            (
+                F.lit(1)
+                - 2
+                * (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{salt}|"),
+                                    F.col("_j").cast("string"),
+                                    F.lit("|"),
+                                    F.col("_v"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2
+                )
+            )
+            * F.col("_c")
+        )
+        .cast("long")
+        .alias("_s"),
+    )
+    ests = (
+        signed.groupBy("_j")
+        .agg(F.sum("_s").cast("long").alias("_z"))
+        .select((F.col("_z") * F.col("_z")).cast("long").alias("_e"))
+        .groupBy("_e")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )
+    w = Window.orderBy("_e").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = ests.select(
+        "_e",
+        F.sum("_cnt").over(w).alias("_cum"),
+        F.sum("_cnt").over(wall).alias("_m"),
+    )
+    med = cum.agg(
+        (
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.expr("(_m + 1) div 2"), F.col("_e")
+                )
+            )
+            + F.min(
+                F.when(
+                    F.col("_cum") >= F.expr("(_m + 2) div 2"), F.col("_e")
+                )
+            )
+        )
+        .cast("long")
+        .alias("est2_med")
+    )
+    return exact.crossJoin(F.broadcast(med)).select(
+        "n_keys",
+        "n_rows",
+        "f2_exact",
+        "est2_med",
+        F.when(
+            F.col("f2_exact") > 0,
+            F.expr(
+                "CAST(floor(1000.0 * abs(CAST(est2_med AS DOUBLE)"
+                " - 2.0 * f2_exact) / (2.0 * CAST(f2_exact AS DOUBLE)))"
+                " AS BIGINT)"
+            ),
+        ).alias("rel_err_milli"),
+    )

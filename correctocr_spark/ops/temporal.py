@@ -1662,3 +1662,84 @@ def logrank_test(
             ),
         ).alias("chi2_milli"),
     )
+
+
+def forecast_baselines(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Naive-forecast error floor + MASE for an integer series — the
+    number every crawl-rate "forecast" must beat before it earns a
+    dashboard: the naive forecast ŷ_t = y_{t−1} and the
+    seasonal-naive ŷ_t = y_{t−season} are free, and MASE (Hyndman &
+    Koehler) is the naive MAE scaled by the seasonal-naive MAE —
+    below 1000 milli the last-value guess already beats the weekly
+    pattern (drift regime, see `cusum_changepoint`); far above it,
+    seasonality dominates and `seasonality`/`autocorrelation` tell
+    you the period.
+
+    ``t_col`` must be the dense index (the `autocorrelation`
+    contract). Everything is exact integers: ``sae = Σ|y_t − y_{t−L}|``
+    per baseline over its valid range, and ``mase_milli =
+    (1000·sae_naive·n_seasonal) div (n_naive·sae_seasonal)`` — one
+    integer div, non-negative. A perfectly periodic series (seasonal
+    SAE 0) → NULL, surfaced rather than ∞.
+
+    Returns one row: ``(n, season, sae_naive, n_naive, sae_seasonal,
+    n_seasonal, mase_milli)``.
+
+    Scale: two lag windows over the caller's AGGREGATED series —
+    never the event table.
+    """
+    if season < 1:
+        raise ValueError(f"forecast_baselines needs season >= 1, got {season}")
+    base = series.where(
+        F.col(t_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    w = Window.orderBy("_t")
+    d = base.select(
+        "_y",
+        F.lag("_y", 1).over(w).alias("_p1"),
+        F.lag("_y", int(season)).over(w).alias("_ps"),
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.abs(F.col("_y") - F.col("_p1"))).cast("long").alias(
+            "sae_naive"
+        ),
+        F.sum(F.when(F.col("_p1").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_naive"),
+        F.sum(F.abs(F.col("_y") - F.col("_ps"))).cast("long").alias(
+            "sae_seasonal"
+        ),
+        F.sum(F.when(F.col("_ps").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_seasonal"),
+    )
+    return agg.select(
+        "n",
+        F.lit(int(season)).cast("long").alias("season"),
+        F.coalesce("sae_naive", F.lit(0)).cast("long").alias("sae_naive"),
+        "n_naive",
+        F.coalesce("sae_seasonal", F.lit(0))
+        .cast("long")
+        .alias("sae_seasonal"),
+        "n_seasonal",
+        F.when(
+            (F.col("n_naive") > 0)
+            & (F.col("n_seasonal") > 0)
+            & (F.col("sae_seasonal") > 0),
+            F.expr(
+                "(1000 * coalesce(sae_naive, 0) * n_seasonal)"
+                " div (n_naive * coalesce(sae_seasonal, 0))"
+            ),
+        )
+        .cast("long")
+        .alias("mase_milli"),
+    )

@@ -741,6 +741,14 @@ def test_oracled_queries_precede_rows_only():
         "cmh_test",
         # Page's L — friedman_test's midranks, directional
         "page_trend",
+        # AMS F2 — kmv_distinct's hash discipline, sign sketches
+        "ams_f2",
+        # link prediction — triangle_count's wedge machinery
+        "link_prediction",
+        # rich club — degree-threshold interlink curve
+        "rich_club",
+        # forecast baselines — autocorrelation's series, lag SAEs
+        "forecast_baselines",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -5507,6 +5507,85 @@ def q_forecast_baselines(spark, sf_dir):
     return forecast_baselines(series, "t", "y", season=7)
 
 
+def q_pot_tail(spark, sf_dir):
+    """GPD peaks-over-threshold fit of doc lengths above 450 chars —
+    Hosking-Wallis moment estimators from exact integer sums, milli
+    floors; mean excess rides along."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import pot_tail_fit
+
+    return pot_tail_fit(
+        _t(spark, sf_dir, "documents"), "n_chars", threshold=450
+    )
+
+
+def q_capture_recapture(spark, sf_dir):
+    """Chapman estimate of the near-dup population from two partial
+    detectors (shared 16-char prefix vs shared 16-char suffix) —
+    exact integer Chapman, one float SE."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import capture_recapture
+
+    t = F.col("text")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(t.isNotNull() & (F.length(t) >= 16))
+        .select(
+            (
+                F.count(F.lit(1)).over(
+                    Window.partitionBy(F.substring(t, 1, 16))
+                )
+                > 1
+            ).alias("dup_prefix"),
+            (
+                F.count(F.lit(1)).over(
+                    Window.partitionBy(
+                        F.expr("substring(text, length(text) - 15, 16)")
+                    )
+                )
+                > 1
+            ).alias("dup_suffix"),
+        )
+    )
+    return capture_recapture(d, "dup_prefix", "dup_suffix")
+
+
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR threshold at alpha=0.05 over a
+    deterministic synthetic p-value column (Knuth-hash milli p's) —
+    exact integer BH condition on the distinct-p table."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import bh_fdr
+
+    d = _t(spark, sf_dir, "documents").select(
+        ((F.col("doc_id") * 2654435761) % 1001).cast("long").alias(
+            "p_milli"
+        )
+    )
+    return bh_fdr(d, "p_milli", alpha_milli=50)
+
+
+def q_poisson_rate(spark, sf_dir):
+    """Exact-conditional Poisson rate test: even vs odd epoch-day
+    event counts at equal exposure — binomial z, one milli-floor."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import poisson_rate_test
+
+    d = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            F.when(
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 2 == 0,
+                "even",
+            )
+            .otherwise("odd")
+            .alias("parity")
+        )
+    )
+    return poisson_rate_test(d, "parity", "even", "odd", 1, 1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -6243,6 +6322,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q_rich_club,
         # naive/seasonal-naive error floor + MASE
         "forecast_baselines": q_forecast_baselines,
+        # GPD peaks-over-threshold tail fit (xi/sigma/mean-excess)
+        "pot_tail_fit": q_pot_tail,
+        # Chapman capture–recapture dedup-coverage estimate
+        "capture_recapture": q_capture_recapture,
+        # Benjamini–Hochberg FDR threshold
+        "bh_fdr": q_bh_fdr,
+        # exact-conditional two-sample Poisson rate test
+        "poisson_rate_test": q_poisson_rate,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -15095,6 +15182,133 @@ FROM documents)
                 THEN ((1000 * sae_naive * n_seasonal)
                       // (n_naive * sae_seasonal))::BIGINT
               END AS mase_milli
+            FROM a
+        """,
+        # pot_tail_fit: exceedance moments over n_chars > 450,
+        # Hosking–Wallis xi/sigma, pearson_corr's integer sums
+        "pot_tail_fit": r"""
+            WITH tot AS (
+              SELECT count(*)::BIGINT AS n FROM documents
+              WHERE n_chars IS NOT NULL
+            ),
+            exc AS (
+              SELECT (n_chars - 450)::BIGINT AS y FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 450
+            ),
+            a AS (
+              SELECT count(*)::BIGINT AS n_exceed,
+                coalesce(sum(y), 0)::BIGINT AS s,
+                coalesce(sum(y * y), 0)::BIGINT AS s2
+              FROM exc
+            )
+            SELECT n, n_exceed,
+              ((1000000 * n_exceed) // n)::BIGINT AS exceed_ppm,
+              CASE WHEN n_exceed > 0
+                THEN ((1000 * s) // n_exceed)::BIGINT
+              END AS mean_excess_milli,
+              CASE WHEN n_exceed >= 2
+                        AND (n_exceed * s2 - s * s) > 0
+                THEN floor(1000.0 * 0.5 * (1.0
+                  - (CAST(s AS DOUBLE) * s * (n_exceed - 1)
+                     / (CAST(n_exceed AS DOUBLE)
+                        * (n_exceed * s2 - s * s)))))::BIGINT
+              END AS xi_milli,
+              CASE WHEN n_exceed >= 2
+                        AND (n_exceed * s2 - s * s) > 0
+                THEN floor(1000.0 * 0.5
+                  * (CAST(s AS DOUBLE) / n_exceed)
+                  * (1.0 + (CAST(s AS DOUBLE) * s * (n_exceed - 1)
+                     / (CAST(n_exceed AS DOUBLE)
+                        * (n_exceed * s2 - s * s)))))::BIGINT
+              END AS sigma_milli
+            FROM tot, a
+        """,
+        # capture_recapture: prefix-16 vs suffix-16 dup detectors,
+        # exact Chapman, Seber SE
+        "capture_recapture": r"""
+            WITH flags AS (
+              SELECT
+                count(*) OVER (PARTITION BY substr(text, 1, 16)) > 1
+                  AS fa,
+                count(*) OVER (PARTITION BY
+                  substr(text, length(text) - 15, 16)) > 1 AS fb
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) >= 16
+            ),
+            a AS (
+              SELECT count(*)::BIGINT AS n_rows,
+                sum(CASE WHEN fa THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                sum(CASE WHEN fb THEN 1 ELSE 0 END)::BIGINT AS n_b,
+                sum(CASE WHEN fa AND fb THEN 1 ELSE 0 END)::BIGINT
+                  AS n_both
+              FROM flags
+            )
+            SELECT n_rows, n_a, n_b, n_both,
+              (((n_a + 1) * (n_b + 1)) // (n_both + 1) - 1)::BIGINT
+                AS chapman_est,
+              floor(1000.0 * sqrt(CAST(n_a + 1 AS DOUBLE) * (n_b + 1)
+                * (n_a - n_both) * (n_b - n_both)
+                / (CAST(n_both + 1 AS DOUBLE) * (n_both + 1)
+                   * (n_both + 2))))::BIGINT AS se_milli
+            FROM a
+        """,
+        # bh_fdr: integer BH condition p·m ≤ α·cum on the distinct-p
+        # table; synthetic Knuth-hash milli p's
+        "bh_fdr": r"""
+            WITH p AS (
+              SELECT ((doc_id * 2654435761) % 1001)::BIGINT AS p_milli
+              FROM documents
+            ),
+            per AS (
+              SELECT p_milli AS pp, count(*)::BIGINT AS c
+              FROM p GROUP BY 1
+            ),
+            cum AS (
+              SELECT pp,
+                sum(c) OVER (ORDER BY pp ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cum,
+                sum(c) OVER () AS m
+              FROM per
+            ),
+            thr AS (
+              SELECT max(pp)::BIGINT AS p_threshold_milli,
+                     max(cum)::BIGINT AS nrej
+              FROM cum WHERE pp * m <= 50 * cum
+            )
+            SELECT (SELECT max(m)::BIGINT FROM cum) AS m,
+              50::BIGINT AS alpha_milli,
+              coalesce(nrej, 0)::BIGINT AS n_rejected,
+              p_threshold_milli
+            FROM thr
+        """,
+        # poisson_rate_test: even/odd epoch-day parity at equal
+        # exposure; binomial-conditional z
+        "poisson_rate_test": r"""
+            WITH d AS (
+              SELECT CASE WHEN datediff('day', DATE '1970-01-01',
+                CAST(ts AS DATE)) % 2 = 0 THEN 'even' ELSE 'odd'
+                END AS parity
+              FROM events WHERE ts IS NOT NULL
+            ),
+            a AS (
+              SELECT
+                sum(CASE WHEN parity = 'even' THEN 1 ELSE 0
+                  END)::BIGINT AS k_a,
+                sum(CASE WHEN parity = 'odd' THEN 1 ELSE 0
+                  END)::BIGINT AS k_b
+              FROM d
+            )
+            SELECT k_a, k_b, 1::BIGINT AS exposure_a,
+              1::BIGINT AS exposure_b,
+              CASE WHEN k_b > 0
+                THEN ((1000 * k_a * 1) // (k_b * 1))::BIGINT
+              END AS rate_ratio_milli,
+              CASE WHEN (k_a + k_b) > 0
+                THEN floor(1000.0
+                  * (k_a - (k_a + k_b) * (CAST(1 AS DOUBLE) / (1 + 1)))
+                  / sqrt((k_a + k_b) * (CAST(1 AS DOUBLE) / (1 + 1))
+                    * (1.0 - (CAST(1 AS DOUBLE) / (1 + 1)))))::BIGINT
+              END AS z_milli
             FROM a
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision

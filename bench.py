@@ -322,6 +322,10 @@ HEADLINE = [
     "link_prediction",
     "rich_club",
     "forecast_baselines",
+    "pot_tail_fit",
+    "capture_recapture",
+    "bh_fdr",
+    "poisson_rate_test",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -6855,3 +6855,276 @@ def page_trend(
             ),
         ).alias("z_milli"),
     )
+
+
+def pot_tail_fit(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+) -> DataFrame:
+    """Peaks-over-threshold GPD fit by the method of moments — the
+    parametric step after `tail_index`'s Hill slope: model the doc
+    lengths (bytes, token counts) ABOVE a threshold as generalized
+    Pareto, so "how big is the 1-in-10⁹ document" has a number before
+    one arrives and OOMs an executor. ξ > 0 is the heavy-tail regime
+    (Hill's territory), ξ < 0 a bounded tail; the mean-excess rides
+    along (its linearity in u is the classic GPD diagnostic).
+
+    Hosking–Wallis moment estimators over the exceedances y = v − u:
+    ``ξ̂ = ½(1 − m²/s²)``, ``σ̂ = ½·m·(1 + m²/s²)`` with the SAMPLE
+    variance. Exact integer sums (the `pearson_corr` algebra): with
+    ``S = Σy``, ``varnum = n·Σy² − S²``, the ratio ``m²/s² =
+    S²(n−1)/(n·varnum)`` is ONE fixed IEEE shape; each output floors
+    once to milli. n < 2 or zero variance → NULL fit (mean excess
+    still reported for n ≥ 1).
+
+    Returns one row: ``(n, n_exceed, exceed_ppm, mean_excess_milli,
+    xi_milli, sigma_milli)``.
+
+    Scale: one combinable rollup with a pushed-down ``v > u`` scan
+    predicate — the exceedance set is tiny by construction.
+    """
+    v = F.col(value_col).cast("long")
+    base = ensure_parallelism(df).where(v.isNotNull()).select(
+        v.alias("_v")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    exc = base.where(F.col("_v") > int(threshold)).select(
+        (F.col("_v") - int(threshold)).alias("_y")
+    )
+    a = exc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exceed"),
+        F.coalesce(F.sum("_y"), F.lit(0)).cast("long").alias("_s"),
+        F.coalesce(F.sum(F.col("_y") * F.col("_y")), F.lit(0))
+        .cast("long")
+        .alias("_s2"),
+    )
+    out = tot.crossJoin(F.broadcast(a)).select(
+        "n",
+        "n_exceed",
+        F.expr("(1000000 * n_exceed) div n").cast("long").alias(
+            "exceed_ppm"
+        ),
+        F.when(
+            F.col("n_exceed") > 0,
+            F.expr("(1000 * _s) div n_exceed"),
+        )
+        .cast("long")
+        .alias("mean_excess_milli"),
+        (
+            F.col("n_exceed") * F.col("_s2") - F.col("_s") * F.col("_s")
+        )
+        .cast("long")
+        .alias("_varnum"),
+        F.col("_s").alias("_ss"),
+    )
+    ratio = (
+        "(CAST(_ss AS DOUBLE) * _ss * (n_exceed - 1)"
+        " / (CAST(n_exceed AS DOUBLE) * _varnum))"
+    )
+    return out.select(
+        "n",
+        "n_exceed",
+        "exceed_ppm",
+        "mean_excess_milli",
+        F.when(
+            (F.col("n_exceed") >= 2) & (F.col("_varnum") > 0),
+            F.expr(
+                f"CAST(floor(1000.0 * 0.5 * (1.0 - {ratio})) AS BIGINT)"
+            ),
+        ).alias("xi_milli"),
+        F.when(
+            (F.col("n_exceed") >= 2) & (F.col("_varnum") > 0),
+            F.expr(
+                "CAST(floor(1000.0 * 0.5"
+                " * (CAST(_ss AS DOUBLE) / n_exceed)"
+                f" * (1.0 + {ratio})) AS BIGINT)"
+            ),
+        ).alias("sigma_milli"),
+    )
+
+
+def capture_recapture(
+    df: DataFrame,
+    flag_a_col: str,
+    flag_b_col: str,
+) -> DataFrame:
+    """Chapman capture–recapture estimate of a hidden population from
+    two independent detectors — the dedup-coverage question neither
+    detector can answer alone: MinHash flags n_a near-dup docs, the
+    prefix-hash pass flags n_b, they overlap on m; if the detectors
+    are (roughly) independent, the TOTAL near-dup population is about
+    ``(n_a+1)(n_b+1)/(m+1) − 1`` (Chapman's bias-corrected
+    Lincoln–Petersen), and est − max(n_a, n_b) of them are escaping
+    BOTH passes. The honesty metric for any "we removed the
+    duplicates" claim.
+
+    ``chapman_est`` is EXACT integer arithmetic (one div, +1s keep it
+    defined at m = 0); the Seber standard error
+    ``√((n_a+1)(n_b+1)(n_a−m)(n_b−m)/((m+1)²(m+2)))`` is one fixed
+    IEEE shape floored to milli.
+
+    Returns one row: ``(n_rows, n_a, n_b, n_both, chapman_est,
+    se_milli)``.
+
+    Scale: ONE combinable boolean rollup over the scan.
+    """
+    fa = F.col(flag_a_col).cast("boolean")
+    fb = F.col(flag_b_col).cast("boolean")
+    a = (
+        ensure_parallelism(df)
+        .where(fa.isNotNull() & fb.isNotNull())
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(fa, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(fb, 1).otherwise(0)).cast("long").alias("n_b"),
+            F.sum(F.when(fa & fb, 1).otherwise(0))
+            .cast("long")
+            .alias("n_both"),
+        )
+    )
+    return a.select(
+        "n_rows",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.expr(
+            "((n_a + 1) * (n_b + 1)) div (n_both + 1) - 1"
+        )
+        .cast("long")
+        .alias("chapman_est"),
+        F.expr(
+            "CAST(floor(1000.0 * sqrt("
+            "CAST(n_a + 1 AS DOUBLE) * (n_b + 1)"
+            " * (n_a - n_both) * (n_b - n_both)"
+            " / (CAST(n_both + 1 AS DOUBLE) * (n_both + 1)"
+            "    * (n_both + 2)))) AS BIGINT)"
+        ).alias("se_milli"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    alpha_milli: int = 50,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR threshold over a table of milli-scale
+    p-values — the multiplicity gate this library's own test battery
+    needs: run `gate_rate_ztest` / `contingency_chi2` / `benford`
+    over 10⁴ hosts and 500 of them are "significant" at α=0.05 by
+    luck alone; BH picks the largest p* with ``p_(i) ≤ α·i/m`` so
+    the EXPECTED false-discovery fraction stays at α.
+
+    Pure integers: for each distinct p, ``cum = #items ≤ p`` IS the
+    largest rank carrying that p, so the BH condition is the exact
+    integer comparison ``p·m ≤ α·cum`` (milli × count — fits a long
+    to m ~ 9·10¹²); the threshold is the max qualifying p and
+    ``n_rejected`` its cum. No per-row window — the scan rolls up to
+    distinct p values first (p is milli-quantized, so ≤ 1001 of them
+    under any α worth using).
+
+    Returns one row: ``(m, alpha_milli, n_rejected,
+    p_threshold_milli)`` — zero rejections → 0 / NULL threshold.
+
+    Scale: one combinable p-rollup; the cumulative window runs on
+    the ≤1001-row distinct-p table.
+    """
+    if not 0 < alpha_milli <= 1000:
+        raise ValueError(
+            f"alpha_milli must be in (0, 1000], got {alpha_milli}"
+        )
+    per = (
+        ensure_parallelism(df)
+        .where(F.col(p_col).isNotNull())
+        .groupBy(F.col(p_col).cast("long").alias("_p"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w = Window.orderBy("_p").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "_p",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(wall).alias("_m"),
+    )
+    ok = cum.where(
+        F.col("_p") * F.col("_m") <= int(alpha_milli) * F.col("_cum")
+    )
+    thr = ok.agg(
+        F.max("_p").cast("long").alias("p_threshold_milli"),
+        F.max("_cum").cast("long").alias("_nrej"),
+    )
+    m = cum.agg(F.max("_m").cast("long").alias("m"))
+    return m.crossJoin(F.broadcast(thr)).select(
+        "m",
+        F.lit(int(alpha_milli)).cast("long").alias("alpha_milli"),
+        F.coalesce("_nrej", F.lit(0)).cast("long").alias("n_rejected"),
+        "p_threshold_milli",
+    )
+
+
+def poisson_rate_test(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    exposure_a: int = 1,
+    exposure_b: int = 1,
+) -> DataFrame:
+    """Two-sample Poisson rate comparison by the exact-conditional
+    (binomial) z — "did the crawl rate really change between these
+    two windows/configs?" Conditional on the total K = k_a + k_b,
+    under equal rates k_a ~ Binomial(K, w) with ``w = t_a/(t_a+t_b)``
+    — the uniformly-most-powerful construction, no Poisson variance
+    estimate needed (the `gate_rate_ztest` of count data).
+
+    ``z_milli = floor(1000·(k_a − K·w)/√(K·w·(1−w)))`` is ONE fixed
+    IEEE shape over exact integer counts and exposure literals; the
+    rate ratio ``(k_a/t_a)/(k_b/t_b)`` pools to the exact integer
+    div ``(1000·k_a·t_b) div (k_b·t_a)``. K = 0 → NULL z; k_b = 0 →
+    NULL ratio.
+
+    Returns one row: ``(k_a, k_b, exposure_a, exposure_b,
+    rate_ratio_milli, z_milli)``.
+
+    Scale: ONE combinable conditional-count rollup over the scan.
+    """
+    if exposure_a < 1 or exposure_b < 1:
+        raise ValueError("exposures must be positive integers")
+    g = F.col(group_col)
+    a = (
+        ensure_parallelism(df)
+        .where(g.isin([group_a, group_b]))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0))
+            .cast("long")
+            .alias("k_a"),
+            F.sum(F.when(g == group_b, 1).otherwise(0))
+            .cast("long")
+            .alias("k_b"),
+        )
+    )
+    ta, tb = int(exposure_a), int(exposure_b)
+    w = f"(CAST({ta} AS DOUBLE) / ({ta} + {tb}))"
+    return a.select(
+        "k_a",
+        "k_b",
+        F.lit(ta).cast("long").alias("exposure_a"),
+        F.lit(tb).cast("long").alias("exposure_b"),
+        F.when(
+            F.col("k_b") > 0,
+            F.expr(f"(1000 * k_a * {tb}) div (k_b * {ta})"),
+        )
+        .cast("long")
+        .alias("rate_ratio_milli"),
+        F.when(
+            (F.col("k_a") + F.col("k_b")) > 0,
+            F.expr(
+                "CAST(floor(1000.0"
+                f" * (k_a - (k_a + k_b) * {w})"
+                f" / sqrt((k_a + k_b) * {w} * (1.0 - {w})))"
+                " AS BIGINT)"
+            ),
+        ).alias("z_milli"),
+    )

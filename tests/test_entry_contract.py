@@ -749,6 +749,14 @@ def test_oracled_queries_precede_rows_only():
         "rich_club",
         # forecast baselines — autocorrelation's series, lag SAEs
         "forecast_baselines",
+        # GPD tail fit — tail_index's parametric sibling
+        "pot_tail_fit",
+        # Chapman capture–recapture — dedup-coverage honesty
+        "capture_recapture",
+        # BH FDR threshold — multiplicity gate for the test battery
+        "bh_fdr",
+        # Poisson rate test — gate_rate_ztest for count data
+        "poisson_rate_test",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -5586,6 +5586,57 @@ def q_poisson_rate(spark, sf_dir):
     return poisson_rate_test(d, "parity", "even", "odd", 1, 1)
 
 
+def q_welch_t(spark, sf_dir):
+    """Welch's unequal-variance t between en and fr doc lengths —
+    exact long moments, fixed IEEE shapes for t and the
+    Welch-Satterthwaite df."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import welch_t
+
+    return welch_t(
+        _t(spark, sf_dir, "documents"), "n_chars", "lang", "en", "fr"
+    )
+
+
+def q_tukey_pairs(spark, sf_dir):
+    """Tukey-Kramer pairwise studentized ranges of doc length across
+    langs — anova_oneway's pooled MSW, one milli-floor per pair."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import tukey_pairs
+
+    return tukey_pairs(
+        _t(spark, sf_dir, "documents"), "n_chars", "lang"
+    ).orderBy("grp_a", "grp_b")
+
+
+def q_tost(spark, sf_dir):
+    """TOST equivalence of mean doc length, src1 vs src2, delta=30
+    chars — Welch SE, two one-sided milli stats, large-sample 95%
+    gate."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import tost_equivalence
+
+    return tost_equivalence(
+        _t(spark, sf_dir, "documents"),
+        "n_chars",
+        "source",
+        "src1",
+        "src2",
+        delta_milli=30000,
+    )
+
+
+def q_qq_shift(spark, sf_dir):
+    """Decile-by-decile length-quantile shift, en vs fr — exact order
+    statistics by cumulative counts, integer diffs."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import qq_shift
+
+    return qq_shift(
+        _t(spark, sf_dir, "documents"), "n_chars", "lang", "en", "fr"
+    ).orderBy("decile")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -6330,6 +6381,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bh_fdr": q_bh_fdr,
         # exact-conditional two-sample Poisson rate test
         "poisson_rate_test": q_poisson_rate,
+        # Welch's unequal-variance t, en vs fr lengths
+        "welch_t": q_welch_t,
+        # Tukey–Kramer pairwise studentized ranges across langs
+        "tukey_pairs": q_tukey_pairs,
+        # TOST equivalence gate, src1 vs src2
+        "tost_equivalence": q_tost,
+        # decile quantile-shift table, en vs fr
+        "qq_shift": q_qq_shift,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -15310,6 +15369,214 @@ FROM documents)
                     * (1.0 - (CAST(1 AS DOUBLE) / (1 + 1)))))::BIGINT
               END AS z_milli
             FROM a
+        """,
+        # welch_t: per-group moments, u_g = varnum/(n²(n−1)) shapes
+        "welch_t": r"""
+            WITH a AS (
+              SELECT
+                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+                  AS n_a,
+                sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0
+                  END)::BIGINT AS sa,
+                sum(CASE WHEN lang = 'en' THEN n_chars * n_chars
+                  ELSE 0 END)::BIGINT AS qa,
+                sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT
+                  AS n_b,
+                sum(CASE WHEN lang = 'fr' THEN n_chars ELSE 0
+                  END)::BIGINT AS sb,
+                sum(CASE WHEN lang = 'fr' THEN n_chars * n_chars
+                  ELSE 0 END)::BIGINT AS qb
+              FROM documents
+              WHERE lang IN ('en', 'fr') AND n_chars IS NOT NULL
+            )
+            SELECT n_a, n_b,
+              CASE WHEN n_a > 0 AND n_b > 0
+                THEN floor(1000.0 * (CAST(sa AS DOUBLE) / n_a
+                  - CAST(sb AS DOUBLE) / n_b))::BIGINT
+              END AS mean_diff_milli,
+              CASE WHEN n_a >= 2 AND n_b >= 2
+                AND (((CAST(n_a AS DOUBLE) * qa
+                       - CAST(sa AS DOUBLE) * sa)
+                      / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)))
+                     + ((CAST(n_b AS DOUBLE) * qb
+                         - CAST(sb AS DOUBLE) * sb)
+                        / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))) > 0
+                THEN floor(1000.0 * (CAST(sa AS DOUBLE) / n_a
+                    - CAST(sb AS DOUBLE) / n_b)
+                  / sqrt(((CAST(n_a AS DOUBLE) * qa
+                           - CAST(sa AS DOUBLE) * sa)
+                          / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)))
+                         + ((CAST(n_b AS DOUBLE) * qb
+                             - CAST(sb AS DOUBLE) * sb)
+                            / (CAST(n_b AS DOUBLE) * n_b
+                               * (n_b - 1)))))::BIGINT
+              END AS t_milli,
+              CASE WHEN n_a >= 2 AND n_b >= 2
+                AND (((CAST(n_a AS DOUBLE) * qa
+                       - CAST(sa AS DOUBLE) * sa)
+                      / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)))
+                     + ((CAST(n_b AS DOUBLE) * qb
+                         - CAST(sb AS DOUBLE) * sb)
+                        / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))) > 0
+                THEN floor(1000.0
+                  * (((CAST(n_a AS DOUBLE) * qa
+                       - CAST(sa AS DOUBLE) * sa)
+                      / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)))
+                     + ((CAST(n_b AS DOUBLE) * qb
+                         - CAST(sb AS DOUBLE) * sb)
+                        / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1))))
+                  * (((CAST(n_a AS DOUBLE) * qa
+                       - CAST(sa AS DOUBLE) * sa)
+                      / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)))
+                     + ((CAST(n_b AS DOUBLE) * qb
+                         - CAST(sb AS DOUBLE) * sb)
+                        / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1))))
+                  / (((CAST(n_a AS DOUBLE) * qa
+                       - CAST(sa AS DOUBLE) * sa)
+                      / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)))
+                     * ((CAST(n_a AS DOUBLE) * qa
+                         - CAST(sa AS DOUBLE) * sa)
+                        / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)))
+                     / (n_a - 1)
+                     + ((CAST(n_b AS DOUBLE) * qb
+                         - CAST(sb AS DOUBLE) * sb)
+                        / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))
+                     * ((CAST(n_b AS DOUBLE) * qb
+                         - CAST(sb AS DOUBLE) * sb)
+                        / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))
+                     / (n_b - 1)))::BIGINT
+              END AS df_milli
+            FROM a
+        """,
+        # tukey_pairs: anova_oneway's micro-floored SSW, Tukey–Kramer
+        # q per lang pair
+        "tukey_pairs": r"""
+            WITH g AS (
+              SELECT lang AS grp, count(*)::BIGINT AS n,
+                     sum(n_chars)::BIGINT AS s,
+                     sum(n_chars * n_chars)::BIGINT AS s2
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+              GROUP BY 1
+            ),
+            terms AS (
+              SELECT grp, n, s,
+                floor(1000000.0 * (s2 - CAST(s AS DOUBLE) * s / n)
+                  )::BIGINT AS ssw_t
+              FROM g
+            ),
+            tot AS (
+              SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+                     sum(ssw_t)::BIGINT AS ssw
+              FROM terms
+            )
+            SELECT l.grp AS grp_a, r.grp AS grp_b,
+              l.n AS n_a, r.n AS n_b,
+              floor(1000.0 * (CAST(l.s AS DOUBLE) / l.n
+                - CAST(r.s AS DOUBLE) / r.n))::BIGINT
+                AS mean_diff_milli,
+              CASE WHEN tot.nn > tot.k AND tot.ssw > 0
+                THEN floor(1000.0 * abs(CAST(l.s AS DOUBLE) / l.n
+                    - CAST(r.s AS DOUBLE) / r.n)
+                  / sqrt((CAST(tot.ssw AS DOUBLE) / 1000000.0
+                          / (tot.nn - tot.k)) / 2.0
+                         * (1.0 / l.n + 1.0 / r.n)))::BIGINT
+              END AS q_milli
+            FROM terms l
+            JOIN terms r ON l.grp < r.grp
+            CROSS JOIN tot
+            ORDER BY grp_a, grp_b
+        """,
+        # tost_equivalence: welch_t's SE, two one-sided stats vs
+        # ±30 chars, large-sample 1.645 gate
+        "tost_equivalence": r"""
+            WITH a AS (
+              SELECT
+                sum(CASE WHEN source = 'src1' THEN 1 ELSE 0
+                  END)::BIGINT AS n_a,
+                sum(CASE WHEN source = 'src1' THEN n_chars ELSE 0
+                  END)::BIGINT AS sa,
+                sum(CASE WHEN source = 'src1' THEN n_chars * n_chars
+                  ELSE 0 END)::BIGINT AS qa,
+                sum(CASE WHEN source = 'src2' THEN 1 ELSE 0
+                  END)::BIGINT AS n_b,
+                sum(CASE WHEN source = 'src2' THEN n_chars ELSE 0
+                  END)::BIGINT AS sb,
+                sum(CASE WHEN source = 'src2' THEN n_chars * n_chars
+                  ELSE 0 END)::BIGINT AS qb
+              FROM documents
+              WHERE source IN ('src1', 'src2') AND n_chars IS NOT NULL
+            ),
+            d AS (
+              SELECT n_a, n_b, sa, sb,
+                (CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+                  AS diff,
+                (((CAST(n_a AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa)
+                  / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)))
+                 + ((CAST(n_b AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb)
+                    / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))) AS u
+              FROM a
+            )
+            SELECT n_a, n_b,
+              CASE WHEN n_a > 0 AND n_b > 0
+                THEN floor(1000.0 * diff)::BIGINT END AS diff_milli,
+              CASE WHEN n_a >= 2 AND n_b >= 2 AND u > 0
+                THEN floor(1000.0 * sqrt(u))::BIGINT END AS se_milli,
+              30000::BIGINT AS delta_milli,
+              CASE WHEN n_a >= 2 AND n_b >= 2 AND u > 0
+                THEN floor(1000.0 * (diff + (30000 / 1000.0))
+                  / sqrt(u))::BIGINT
+              END AS t_lower_milli,
+              CASE WHEN n_a >= 2 AND n_b >= 2 AND u > 0
+                THEN floor(1000.0 * ((30000 / 1000.0) - diff)
+                  / sqrt(u))::BIGINT
+              END AS t_upper_milli,
+              CASE WHEN n_a >= 2 AND n_b >= 2 AND u > 0
+                THEN floor(1000.0 * (diff + (30000 / 1000.0))
+                       / sqrt(u)) >= 1645
+                     AND floor(1000.0 * ((30000 / 1000.0) - diff)
+                       / sqrt(u)) >= 1645
+              END AS equiv_95
+            FROM d
+        """,
+        # qq_shift: per-group cumulative order stats, ceil(d·n/10)
+        # indices, exact integer decile diffs
+        "qq_shift": r"""
+            WITH per AS (
+              SELECT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS g,
+                n_chars::BIGINT AS s, count(*)::BIGINT AS c
+              FROM documents
+              WHERE lang IN ('en', 'fr') AND n_chars IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT g, s,
+                sum(c) OVER (PARTITION BY g ORDER BY s ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(c) OVER (PARTITION BY g) AS n
+              FROM per
+            ),
+            ds AS (SELECT range::BIGINT AS decile FROM range(1, 10)),
+            hits AS (
+              SELECT c.g, c.s, c.n, d.decile
+              FROM cum c, ds d WHERE c.cum * 10 >= d.decile * c.n
+            ),
+            qa AS (
+              SELECT decile, min(s)::BIGINT AS val_a,
+                ((max(n) * decile + 9) // 10)::BIGINT AS idx_a
+              FROM hits WHERE g = 'a' GROUP BY decile
+            ),
+            qb AS (
+              SELECT decile, min(s)::BIGINT AS val_b,
+                ((max(n) * decile + 9) // 10)::BIGINT AS idx_b
+              FROM hits WHERE g = 'b' GROUP BY decile
+            )
+            SELECT ds.decile, qa.idx_a, qb.idx_b, qa.val_a, qb.val_b,
+              (qa.val_a - qb.val_b)::BIGINT AS diff
+            FROM ds
+            LEFT JOIN qa ON qa.decile = ds.decile
+            LEFT JOIN qb ON qb.decile = ds.decile
+            ORDER BY ds.decile
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -326,6 +326,10 @@ HEADLINE = [
     "capture_recapture",
     "bh_fdr",
     "poisson_rate_test",
+    "welch_t",
+    "tukey_pairs",
+    "tost_equivalence",
+    "qq_shift",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -7128,3 +7128,384 @@ def poisson_rate_test(
             ),
         ).alias("z_milli"),
     )
+
+
+def welch_t(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t — the default two-group
+    mean test (Student's equal-variance form is never safe on web
+    text, where one source's length variance is 100× another's):
+    ``t = (m_a − m_b)/√(s²_a/n_a + s²_b/n_b)`` with the
+    Welch–Satterthwaite degrees of freedom. The TEST companion to
+    `cohens_d`'s effect SIZE over the same moments.
+
+    One combinable rollup yields exact longs (n, Σx, Σx²) per group;
+    the sample-variance-over-n terms ``u_g = varnum_g/(n_g²(n_g−1))``
+    (with ``varnum = n·Σx² − (Σx)²``) feed ONE fixed IEEE shape each
+    for ``t_milli``, ``df_milli`` and ``mean_diff_milli``. n < 2 on
+    either side or both variances zero → NULL t.
+
+    Returns one row: ``(n_a, n_b, mean_diff_milli, t_milli,
+    df_milli)``.
+
+    Scale: one conditional-agg scan rollup; everything else is
+    scalar.
+    """
+    g = F.col(group_col)
+    a = (
+        ensure_parallelism(df)
+        .where(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(g == group_a, F.col(value_col)).otherwise(0))
+            .cast("long")
+            .alias("_sa"),
+            F.sum(
+                F.when(
+                    g == group_a,
+                    F.col(value_col) * F.col(value_col),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("_qa"),
+            F.sum(F.when(g == group_b, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+            F.sum(F.when(g == group_b, F.col(value_col)).otherwise(0))
+            .cast("long")
+            .alias("_sb"),
+            F.sum(
+                F.when(
+                    g == group_b,
+                    F.col(value_col) * F.col(value_col),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("_qb"),
+        )
+    )
+    va = "(CAST(n_a AS DOUBLE) * _qa - CAST(_sa AS DOUBLE) * _sa)"
+    vb = "(CAST(n_b AS DOUBLE) * _qb - CAST(_sb AS DOUBLE) * _sb)"
+    ua = f"({va} / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)))"
+    ub = f"({vb} / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))"
+    diff = "(CAST(_sa AS DOUBLE) / n_a - CAST(_sb AS DOUBLE) / n_b)"
+    valid = (
+        (F.col("n_a") >= 2)
+        & (F.col("n_b") >= 2)
+        & (F.expr(f"{ua} + {ub}") > 0)
+    )
+    return a.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.expr(f"CAST(floor(1000.0 * {diff}) AS BIGINT)"),
+        ).alias("mean_diff_milli"),
+        F.when(
+            valid,
+            F.expr(
+                f"CAST(floor(1000.0 * {diff}"
+                f" / sqrt({ua} + {ub})) AS BIGINT)"
+            ),
+        ).alias("t_milli"),
+        F.when(
+            valid,
+            F.expr(
+                f"CAST(floor(1000.0 * ({ua} + {ub}) * ({ua} + {ub})"
+                f" / ({ua} * {ua} / (n_a - 1)"
+                f"    + {ub} * {ub} / (n_b - 1))) AS BIGINT)"
+            ),
+        ).alias("df_milli"),
+    )
+
+
+def tukey_pairs(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Tukey-HSD-style pairwise studentized ranges after
+    `anova_oneway` fires — WHICH language pairs differ in mean, using
+    the POOLED within-group variance every pairwise Welch test
+    re-estimates noisily: ``q = |m_i − m_j| / √(MSW/2·(1/n_i +
+    1/n_j))`` (Tukey–Kramer for unbalanced groups). The parametric
+    sibling of `dunn_pairwise` (which post-hocs Kruskal–Wallis).
+
+    MSW comes from `anova_oneway`'s micro-floored within-SS terms —
+    same integers, same discipline; each pair's q is ONE fixed IEEE
+    shape floored to milli. Compare against the studentized-range
+    critical value for (k, N−k) offline; the statistic table is the
+    deliverable. Zero MSW or N ≤ k → NULL q's.
+
+    Returns one row per pair (grp_a < grp_b): ``(grp_a, grp_b, n_a,
+    n_b, mean_diff_milli, q_milli)``.
+
+    Scale: the `anova_oneway` rollup plus a k-row pairwise self-join.
+    """
+    g = (
+        ensure_parallelism(df)
+        .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_v").cast("long").alias("_s"),
+            F.sum(F.col("_v") * F.col("_v")).cast("long").alias("_s2"),
+        )
+    )
+    terms = g.select(
+        "grp",
+        "_n",
+        "_s",
+        F.expr(
+            "CAST(floor(1000000.0 * (_s2 - CAST(_s AS DOUBLE) * _s / _n))"
+            " AS BIGINT)"
+        ).alias("_ssw_t"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("_k"),
+        F.sum("_n").cast("long").alias("_nn"),
+        F.sum("_ssw_t").cast("long").alias("_ssw"),
+    )
+    l = terms.select(
+        F.col("grp").alias("grp_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_s").alias("_sa"),
+    )
+    r = terms.select(
+        F.col("grp").alias("grp_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_s").alias("_sb"),
+    )
+    pairs = l.join(r, F.col("grp_a") < F.col("grp_b")).crossJoin(
+        F.broadcast(tot)
+    )
+    msw = "(CAST(_ssw AS DOUBLE) / 1000000.0 / (_nn - _k))"
+    diff = "(CAST(_sa AS DOUBLE) / n_a - CAST(_sb AS DOUBLE) / n_b)"
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        "n_a",
+        "n_b",
+        F.expr(f"CAST(floor(1000.0 * {diff}) AS BIGINT)").alias(
+            "mean_diff_milli"
+        ),
+        F.when(
+            (F.col("_nn") > F.col("_k")) & (F.col("_ssw") > 0),
+            F.expr(
+                f"CAST(floor(1000.0 * abs({diff})"
+                f" / sqrt({msw} / 2.0"
+                " * (1.0 / n_a + 1.0 / n_b))) AS BIGINT)"
+            ),
+        ).alias("q_milli"),
+    )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    delta_milli: int,
+) -> DataFrame:
+    """TOST equivalence test — the question a regression gate
+    actually asks, which `welch_t` cannot: not "is there a
+    difference?" but "is the difference WITHIN ±δ?" A non-significant
+    t is silence, not equivalence; TOST's two one-sided tests
+    (``t_lower`` against −δ, ``t_upper`` against +δ) make
+    "pipeline B equals pipeline A to within δ chars" a positive,
+    falsifiable claim.
+
+    Same moments and Welch SE as `welch_t` (one rollup, fixed IEEE
+    shapes, milli floors); δ arrives in milli value-units.
+    ``equiv_95`` gates both one-sided stats at the large-sample
+    normal 1.645 (documented approximation — at corpus n the t/normal
+    gap is dust; use df_milli from `welch_t` when n is small). Zero
+    SE → NULL stats.
+
+    Returns one row: ``(n_a, n_b, diff_milli, se_milli, delta_milli,
+    t_lower_milli, t_upper_milli, equiv_95)``.
+    """
+    if delta_milli <= 0:
+        raise ValueError(f"delta_milli must be positive, got {delta_milli}")
+    g = F.col(group_col)
+    a = (
+        ensure_parallelism(df)
+        .where(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(g == group_a, F.col(value_col)).otherwise(0))
+            .cast("long")
+            .alias("_sa"),
+            F.sum(
+                F.when(
+                    g == group_a, F.col(value_col) * F.col(value_col)
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("_qa"),
+            F.sum(F.when(g == group_b, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+            F.sum(F.when(g == group_b, F.col(value_col)).otherwise(0))
+            .cast("long")
+            .alias("_sb"),
+            F.sum(
+                F.when(
+                    g == group_b, F.col(value_col) * F.col(value_col)
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("_qb"),
+        )
+    )
+    ua = (
+        "((CAST(n_a AS DOUBLE) * _qa - CAST(_sa AS DOUBLE) * _sa)"
+        " / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)))"
+    )
+    ub = (
+        "((CAST(n_b AS DOUBLE) * _qb - CAST(_sb AS DOUBLE) * _sb)"
+        " / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))"
+    )
+    se = f"sqrt({ua} + {ub})"
+    diff = "(CAST(_sa AS DOUBLE) / n_a - CAST(_sb AS DOUBLE) / n_b)"
+    dlt = f"({int(delta_milli)} / 1000.0)"
+    valid = (
+        (F.col("n_a") >= 2)
+        & (F.col("n_b") >= 2)
+        & (F.expr(f"{ua} + {ub}") > 0)
+    )
+    return a.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.expr(f"CAST(floor(1000.0 * {diff}) AS BIGINT)"),
+        ).alias("diff_milli"),
+        F.when(
+            valid, F.expr(f"CAST(floor(1000.0 * {se}) AS BIGINT)")
+        ).alias("se_milli"),
+        F.lit(int(delta_milli)).cast("long").alias("delta_milli"),
+        F.when(
+            valid,
+            F.expr(
+                f"CAST(floor(1000.0 * ({diff} + {dlt}) / {se}) AS BIGINT)"
+            ),
+        ).alias("t_lower_milli"),
+        F.when(
+            valid,
+            F.expr(
+                f"CAST(floor(1000.0 * ({dlt} - {diff}) / {se}) AS BIGINT)"
+            ),
+        ).alias("t_upper_milli"),
+        F.when(
+            valid,
+            (
+                F.expr(f"floor(1000.0 * ({diff} + {dlt}) / {se})") >= 1645
+            )
+            & (
+                F.expr(f"floor(1000.0 * ({dlt} - {diff}) / {se})") >= 1645
+            ),
+        ).alias("equiv_95"),
+    )
+
+
+def qq_shift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Decile-by-decile quantile shift between two groups' integer
+    distributions — the TABLE behind `wasserstein_1d`'s single
+    number: W₁ says the average move, this says WHERE it happens
+    (head compression vs tail growth read completely differently for
+    a re-crawl length audit, and identically in W₁).
+
+    Exact order statistics, no interpolation: for decile d,
+    ``idx = ⌈d·n/10⌉`` (1-based) and the value is the first distinct
+    score whose cumulative count reaches idx — the `robust_location`
+    cumulation idiom per group. ``diff = val_a − val_b`` is exact
+    integers. Empty groups → NULL values.
+
+    Returns one row per decile 1..9: ``(decile, idx_a, idx_b, val_a,
+    val_b, diff)``.
+
+    Scale: one per-(group, score) combinable rollup; cumulative
+    windows per group on the DISTINCT-score table; the decile
+    expansion is 9 rows.
+    """
+    g = F.col(group_col)
+    per = (
+        ensure_parallelism(df)
+        .where(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
+        .groupBy(
+            F.when(g == group_a, F.lit("a")).otherwise(F.lit("b")).alias(
+                "_g"
+            ),
+            F.col(value_col).cast("long").alias("_s"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w = Window.partitionBy("_g").orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wg = Window.partitionBy("_g")
+    cum = per.select(
+        "_g",
+        "_s",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(wg).alias("_n"),
+    )
+    ds = per.sparkSession.range(1, 10).select(
+        F.col("id").cast("long").alias("decile")
+    )
+    hits = cum.crossJoin(F.broadcast(ds)).where(
+        F.col("_cum") * 10 >= F.col("decile") * F.col("_n")
+    )
+    qa = (
+        hits.where(F.col("_g") == "a")
+        .groupBy("decile")
+        .agg(
+            F.min("_s").cast("long").alias("val_a"),
+            F.expr("CAST((max(_n) * decile + 9) div 10 AS BIGINT)").alias(
+                "idx_a"
+            ),
+        )
+    )
+    qb = (
+        hits.where(F.col("_g") == "b")
+        .groupBy("decile")
+        .agg(
+            F.min("_s").cast("long").alias("val_b"),
+            F.expr("CAST((max(_n) * decile + 9) div 10 AS BIGINT)").alias(
+                "idx_b"
+            ),
+        )
+    )
+    return (
+        ds.join(qa, on="decile", how="left")
+        .join(qb, on="decile", how="left")
+        .select(
+            "decile",
+            "idx_a",
+            "idx_b",
+            "val_a",
+            "val_b",
+            (F.col("val_a") - F.col("val_b")).cast("long").alias("diff"),
+        )
+    )

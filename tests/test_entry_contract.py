@@ -757,6 +757,14 @@ def test_oracled_queries_precede_rows_only():
         "bh_fdr",
         # Poisson rate test — gate_rate_ztest for count data
         "poisson_rate_test",
+        # Welch t — cohens_d's moments, the test companion
+        "welch_t",
+        # Tukey–Kramer pairs — anova_oneway's MSW, parametric Dunn
+        "tukey_pairs",
+        # TOST — welch_t's SE, equivalence direction
+        "tost_equivalence",
+        # QQ decile shift — wasserstein_1d's table form
+        "qq_shift",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -5637,6 +5637,63 @@ def q_qq_shift(spark, sf_dir):
     ).orderBy("decile")
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Token-coverage curve of frequency-truncated vocabularies
+    (100/500/1000/5000 types) — deterministic (count DESC, word ASC)
+    ranking, exact integer ppm."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import vocab_coverage_curve
+
+    return vocab_coverage_curve(
+        _lang_words(spark, sf_dir).select("word"),
+        "word",
+        sizes=(100, 500, 1000, 5000),
+    ).orderBy("vocab_size")
+
+
+def q_event_funnel(spark, sf_dir):
+    """view → click → purchase first-touch funnel with strict
+    ordering, conversion ppm vs the view cohort and exact doubled
+    median hop gaps in seconds."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import event_funnel
+
+    return event_funnel(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        "ts",
+        ["view", "click", "purchase"],
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix over the event stream — exact
+    integer periods and ppm."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import cohort_retention
+
+    return cohort_retention(
+        _t(spark, sf_dir, "events"), "user_id", "ts", period_days=7
+    ).orderBy("cohort_period", "offset_periods")
+
+
+def q_event_transitions(spark, sf_dir):
+    """Per-user event-type Markov transition table with the event_id
+    tiebreaker pinning same-timestamp order — row-normalized exact
+    ppm."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import event_transitions
+
+    return event_transitions(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+    ).orderBy("prev_type", "next_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -6389,6 +6446,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tost_equivalence": q_tost,
         # decile quantile-shift table, en vs fr
         "qq_shift": q_qq_shift,
+        # vocab-size → token-coverage decision table
+        "vocab_coverage": q_vocab_coverage,
+        # first-touch behavioral funnel with hop medians
+        "event_funnel": q_event_funnel,
+        # weekly cohort retention matrix
+        "cohort_retention": q_cohort_retention,
+        # event-type Markov transitions (tiebroken ordering)
+        "event_transitions": q_event_transitions,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -15577,6 +15642,177 @@ FROM documents)
             LEFT JOIN qa ON qa.decile = ds.decile
             LEFT JOIN qb ON qb.decile = ds.decile
             ORDER BY ds.decile
+        """,
+        # vocab_coverage: vocab ranked (count DESC, word ASC),
+        # cumulated on the vocab table, exact ppm per size
+        "vocab_coverage": r"""
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(lower(text),
+                '\W+')) AS word
+              FROM documents
+            ),
+            counts AS (
+              SELECT word AS w2, count(*)::BIGINT AS c
+              FROM w WHERE word <> '' GROUP BY 1
+            ),
+            ranked AS (
+              SELECT (row_number() OVER (ORDER BY c DESC, w2 ASC)
+                )::BIGINT AS r, c
+              FROM counts
+            ),
+            cums AS (
+              SELECT r,
+                sum(c) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cum,
+                sum(c) OVER () AS tot
+              FROM ranked
+            ),
+            sz AS (
+              SELECT unnest([100, 500, 1000, 5000])::BIGINT
+                AS vocab_size
+            ),
+            agg AS (
+              SELECT s.vocab_size, max(c.r)::BIGINT AS n_types,
+                max(c.cum)::BIGINT AS covered_tokens,
+                max(c.tot)::BIGINT AS total_tokens
+              FROM cums c, sz s WHERE c.r <= s.vocab_size
+              GROUP BY 1
+            )
+            SELECT sz.vocab_size,
+              coalesce(a.n_types, 0)::BIGINT AS n_types,
+              coalesce(a.covered_tokens, 0)::BIGINT AS covered_tokens,
+              a.total_tokens,
+              CASE WHEN a.total_tokens > 0
+                THEN ((1000000 * coalesce(a.covered_tokens, 0))
+                      // a.total_tokens)::BIGINT
+              END AS coverage_ppm
+            FROM sz LEFT JOIN agg a ON a.vocab_size = sz.vocab_size
+            ORDER BY sz.vocab_size
+        """,
+        # event_funnel: strictly-after first-touch chain, doubled
+        # median hop gaps (floor(epoch()) == Spark's ts→long trunc)
+        "event_funnel": r"""
+            WITH base AS (
+              SELECT user_id AS u, event_type AS ty,
+                CAST(floor(epoch(ts)) AS BIGINT) AS t
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND ts IS NOT NULL
+            ),
+            s1 AS (SELECT u, min(t) AS tk FROM base WHERE ty = 'view'
+                   GROUP BY u),
+            s2 AS (
+              SELECT b.u, min(b.t) AS tk FROM base b
+              JOIN s1 ON s1.u = b.u
+              WHERE b.ty = 'click' AND b.t > s1.tk GROUP BY b.u
+            ),
+            s3 AS (
+              SELECT b.u, min(b.t) AS tk FROM base b
+              JOIN s2 ON s2.u = b.u
+              WHERE b.ty = 'purchase' AND b.t > s2.tk GROUP BY b.u
+            ),
+            bc AS (SELECT count(*)::BIGINT AS b FROM s1),
+            g2 AS (SELECT s2.tk - s1.tk AS g FROM s2
+                   JOIN s1 ON s1.u = s2.u),
+            d2 AS (SELECT g, count(*)::BIGINT AS c FROM g2 GROUP BY 1),
+            c2 AS (
+              SELECT g, sum(c) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS cum, sum(c) OVER () AS m
+              FROM d2
+            ),
+            m2 AS (
+              SELECT (min(CASE WHEN cum >= (m + 1) // 2 THEN g END)
+                + min(CASE WHEN cum >= (m + 2) // 2 THEN g END)
+                )::BIGINT AS med FROM c2
+            ),
+            g3 AS (SELECT s3.tk - s2.tk AS g FROM s3
+                   JOIN s2 ON s2.u = s3.u),
+            d3 AS (SELECT g, count(*)::BIGINT AS c FROM g3 GROUP BY 1),
+            c3 AS (
+              SELECT g, sum(c) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS cum, sum(c) OVER () AS m
+              FROM d3
+            ),
+            m3 AS (
+              SELECT (min(CASE WHEN cum >= (m + 1) // 2 THEN g END)
+                + min(CASE WHEN cum >= (m + 2) // 2 THEN g END)
+                )::BIGINT AS med FROM c3
+            )
+            SELECT 1::BIGINT AS step_idx, 'view' AS step,
+              (SELECT count(*) FROM s1)::BIGINT AS n_users,
+              (CASE WHEN b > 0 THEN (1000000
+                * (SELECT count(*) FROM s1)) // b ELSE 0
+                END)::BIGINT AS conversion_ppm,
+              NULL::BIGINT AS med2_gap_sec
+            FROM bc
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2)::BIGINT,
+              (CASE WHEN b > 0 THEN (1000000
+                * (SELECT count(*) FROM s2)) // b ELSE 0 END)::BIGINT,
+              (SELECT med FROM m2)
+            FROM bc
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3)::BIGINT,
+              (CASE WHEN b > 0 THEN (1000000
+                * (SELECT count(*) FROM s3)) // b ELSE 0 END)::BIGINT,
+              (SELECT med FROM m3)
+            FROM bc
+        """,
+        # cohort_retention: weekly epoch-day periods, exact ppm
+        "cohort_retention": r"""
+            WITH up AS (
+              SELECT DISTINCT user_id AS u,
+                (datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                 // 7)::BIGINT AS p
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            fst AS (SELECT u, min(p) AS c0 FROM up GROUP BY u),
+            sizes AS (
+              SELECT c0 AS cohort_period, count(*)::BIGINT
+                AS cohort_users
+              FROM fst GROUP BY 1
+            ),
+            act AS (
+              SELECT f.c0 AS cohort_period,
+                (up.p - f.c0)::BIGINT AS offset_periods,
+                count(*)::BIGINT AS active_users
+              FROM up JOIN fst f ON f.u = up.u GROUP BY 1, 2
+            )
+            SELECT a.cohort_period, a.offset_periods, s.cohort_users,
+              a.active_users,
+              ((1000000 * a.active_users)
+               // s.cohort_users)::BIGINT AS retention_ppm
+            FROM act a JOIN sizes s USING (cohort_period)
+            ORDER BY a.cohort_period, a.offset_periods
+        """,
+        # event_transitions: (ts, event_id)-ordered lag per user,
+        # row-normalized exact ppm
+        "event_transitions": r"""
+            WITH base AS (
+              SELECT user_id AS u, event_type AS ty, ts AS t,
+                event_id AS o
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND ts IS NOT NULL
+            ),
+            pairs AS (
+              SELECT lag(ty) OVER (PARTITION BY u ORDER BY t, o)
+                AS prev_type, ty AS next_type
+              FROM base
+            ),
+            cnt AS (
+              SELECT prev_type, next_type, count(*)::BIGINT AS n
+              FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT prev_type, sum(n)::BIGINT AS row_n
+              FROM cnt GROUP BY 1
+            )
+            SELECT c.prev_type, c.next_type, c.n,
+              ((1000000 * c.n) // t.row_n)::BIGINT AS ppm
+            FROM cnt c JOIN tot t USING (prev_type)
+            ORDER BY c.prev_type, c.next_type
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

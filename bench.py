@@ -330,6 +330,10 @@ HEADLINE = [
     "tukey_pairs",
     "tost_equivalence",
     "qq_shift",
+    "vocab_coverage",
+    "event_funnel",
+    "cohort_retention",
+    "event_transitions",
     "bpe_token_counts",
     "extraction_blocks",
 ]

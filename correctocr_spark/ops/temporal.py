@@ -1743,3 +1743,253 @@ def forecast_baselines(
         .cast("long")
         .alias("mase_milli"),
     )
+
+
+def event_funnel(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered conversion funnel over an event stream — "of the users
+    who VIEWED, how many then CLICKED, then PURCHASED — and how long
+    did each hop take?" The behavioral sibling of `gate_funnel`
+    (which funnels documents through quality gates): each step
+    counts a user only if it happens STRICTLY AFTER their earliest
+    completion of the previous step (first-touch semantics, the
+    standard product-analytics contract).
+
+    Per step: users converting, conversion vs the step-1 cohort in
+    ppm (exact integer div), and the exact DOUBLED median of the gap
+    seconds from the previous step (`robust_location` idiom on the
+    distinct-gap table; timestamps floor to epoch seconds identically
+    in both engines). Step 1 has no gap.
+
+    Returns one row per step: ``(step_idx, step, n_users,
+    conversion_ppm, med2_gap_sec)``.
+
+    Scale: k−1 per-user min-aggregate joins, each keyed on the user
+    — combinable rollups plus user-keyed equi-joins; the funnel
+    depth k is a literal handful, the stream is scanned once per
+    step with the type filter pushed down.
+    """
+    if len(steps) < 1:
+        raise ValueError("event_funnel needs at least one step")
+    base = events.where(
+        F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_ty"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("_t"),
+    )
+    spark = events.sparkSession
+    cur = (
+        base.where(F.col("_ty") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_t").alias("_t0"))
+    )
+    per_step = [cur.select("_u", F.col("_t0").alias("_tk"))]
+    for s in steps[1:]:
+        prev = per_step[-1]
+        nxt = (
+            base.where(F.col("_ty") == s)
+            .join(prev.select("_u", F.col("_tk").alias("_tp")), on="_u")
+            .where(F.col("_t") > F.col("_tp"))
+            .groupBy("_u")
+            .agg(F.min("_t").alias("_tk"))
+        )
+        per_step.append(nxt)
+
+    def med2_gap(cur_df, prev_df):
+        gaps = (
+            cur_df.join(
+                prev_df.select("_u", F.col("_tk").alias("_tp")), on="_u"
+            )
+            .select((F.col("_tk") - F.col("_tp")).alias("_g"))
+            .groupBy("_g")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        )
+        w = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, 0)
+        wall = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = gaps.select(
+            "_g",
+            F.sum("_c").over(w).alias("_cum"),
+            F.sum("_c").over(wall).alias("_m"),
+        )
+        return cum.agg(
+            (
+                F.min(
+                    F.when(
+                        F.col("_cum") >= F.expr("(_m + 1) div 2"),
+                        F.col("_g"),
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col("_cum") >= F.expr("(_m + 2) div 2"),
+                        F.col("_g"),
+                    )
+                )
+            )
+            .cast("long")
+            .alias("med2_gap_sec")
+        )
+
+    base_cnt = per_step[0].agg(
+        F.count(F.lit(1)).cast("long").alias("_b")
+    )
+    outs = []
+    for i, s in enumerate(steps):
+        cnt = per_step[i].agg(
+            F.count(F.lit(1)).cast("long").alias("n_users")
+        )
+        row = cnt.crossJoin(F.broadcast(base_cnt))
+        if i == 0:
+            med = spark.range(1).select(
+                F.lit(None).cast("long").alias("med2_gap_sec")
+            )
+        else:
+            med = med2_gap(per_step[i], per_step[i - 1])
+        outs.append(
+            row.crossJoin(F.broadcast(med)).select(
+                F.lit(i + 1).cast("long").alias("step_idx"),
+                F.lit(s).alias("step"),
+                "n_users",
+                F.when(
+                    F.col("_b") > 0,
+                    F.expr("(1000000 * n_users) div _b"),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("conversion_ppm"),
+                F.col("med2_gap_sec").cast("long").alias("med2_gap_sec"),
+            )
+        )
+    funnel = outs[0]
+    for o in outs[1:]:
+        funnel = funnel.unionByName(o)
+    return funnel
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix over an event stream: users grouped by
+    their FIRST-activity period (week by default), then counted in
+    every later period they return — the standard "does the crawl
+    keep re-seeing the same hosts / do annotators stay active"
+    triangle, exact and assumption-free (the parametric lifetime view
+    is `survival_curve`).
+
+    All integers: period = epoch-day div period_days, offset =
+    period − cohort_period, ``retention_ppm = (10⁶·active) div
+    cohort_users``. Offset 0 is the cohort itself (ppm = 10⁶ by
+    construction — kept as the sanity row).
+
+    Returns one row per (cohort_period, offset): ``(cohort_period,
+    offset_periods, cohort_users, active_users, retention_ppm)``.
+
+    Scale: one (user, period) distinct rollup, a user-keyed min
+    aggregate broadcast back, one (cohort, offset) rollup — three
+    combinable shuffles, no windows over the event table.
+    """
+    if period_days < 1:
+        raise ValueError(f"period_days must be positive, got {period_days}")
+    up = (
+        events.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("_u"),
+            F.expr(
+                f"CAST(datediff(to_date({ts_col}), DATE '1970-01-01')"
+                f" div {int(period_days)} AS BIGINT)"
+            ).alias("_p"),
+        )
+        .distinct()
+    )
+    first = up.groupBy("_u").agg(F.min("_p").alias("_c0"))
+    sizes = first.groupBy(F.col("_c0").alias("cohort_period")).agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    act = (
+        up.join(first, on="_u")
+        .groupBy(
+            F.col("_c0").alias("cohort_period"),
+            (F.col("_p") - F.col("_c0")).cast("long").alias(
+                "offset_periods"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+    )
+    return act.join(F.broadcast(sizes), on="cohort_period").select(
+        "cohort_period",
+        "offset_periods",
+        "cohort_users",
+        "active_users",
+        F.expr("(1000000 * active_users) div cohort_users")
+        .cast("long")
+        .alias("retention_ppm"),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    order_col: str,
+) -> DataFrame:
+    """First-order Markov transition table of event types per user —
+    "what follows what": the behavioral counterpart of
+    `status_transitions` (HTTP status between snapshots) and
+    `bigram_lm` (words). High error→error persistence flags broken
+    sessions; purchase→view loops are the healthy cycle.
+
+    Ordering is (ts, order_col) with the caller-supplied unique
+    tiebreaker — WITHOUT it, same-timestamp events make the lag
+    partition-order-dependent and the counts nondeterministic (the
+    `asof_join` right_tiebreak lesson). Row-normalized ppm by exact
+    integer div.
+
+    Returns one row per (prev_type, next_type): ``(prev_type,
+    next_type, n, ppm)``.
+
+    Scale: ONE user-keyed window (hash shuffle + per-user sort, O(1)
+    state) and one pair rollup — the `sessionize` plan shape.
+    """
+    base = events.where(
+        F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_ty"),
+        F.col(ts_col).alias("_t"),
+        F.col(order_col).alias("_o"),
+    )
+    w = Window.partitionBy("_u").orderBy("_t", "_o")
+    pairs = (
+        base.select(
+            F.lag("_ty").over(w).alias("prev_type"),
+            F.col("_ty").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("_row_n")
+    )
+    return pairs.join(F.broadcast(tot), on="prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("(1000000 * n) div _row_n").cast("long").alias("ppm"),
+    )

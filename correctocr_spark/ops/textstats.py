@@ -7509,3 +7509,85 @@ def qq_shift(
             (F.col("val_a") - F.col("val_b")).cast("long").alias("diff"),
         )
     )
+
+
+def vocab_coverage_curve(
+    words: DataFrame,
+    word_col: str = "word",
+    sizes: Sequence[int] = (1000, 2000, 4000, 8000, 16000),
+) -> DataFrame:
+    """Token-coverage curve of a frequency-truncated vocabulary —
+    the tokenizer-budget question: "how many word types does a
+    vocab of size V need to cover 95% of the token stream?" The
+    decision table behind every BPE/word-piece budget (see
+    `tokenizer_fertility` for the downstream exchange rate) and the
+    head-mass complement of `heaps_fit`'s type-growth law.
+
+    Exact integers: words ranked by (count DESC, word ASC — the
+    deterministic tie-break every top-k op here uses), cumulated on
+    the VOCAB table (vocabulary-sized global sort — fine at any
+    corpus scale, the vocab is millions while the stream is
+    trillions); per requested size V, ``covered = cum(rank ≤ V)``
+    and ``coverage_ppm = (10⁶·covered) div total``.
+
+    Returns one row per size: ``(vocab_size, n_types,
+    covered_tokens, total_tokens, coverage_ppm)`` — ``n_types`` =
+    min(V, distinct words), so a size past the vocabulary reads
+    coverage 10⁶ with its true type count.
+
+    Scale: one (word) combinable rollup over the stream; ranking and
+    cumulation on the vocab table only.
+    """
+    if not sizes or any(int(s) < 1 for s in sizes):
+        raise ValueError(f"sizes must be positive, got {sizes!r}")
+    counts = (
+        ensure_parallelism(words)
+        .where(F.col(word_col).isNotNull())
+        .groupBy(F.col(word_col).alias("_w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w = Window.orderBy(F.col("_c").desc(), F.col("_w").asc())
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = counts.select(
+        F.row_number().over(w).cast("long").alias("_r"),
+        F.col("_c"),
+    ).select(
+        "_r",
+        F.sum("_c")
+        .over(
+            Window.orderBy("_r").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("_cum"),
+        F.sum("_c").over(wall).alias("_tot"),
+        F.max("_r").over(wall).alias("_maxr"),
+    )
+    sz = counts.sparkSession.createDataFrame(
+        [(int(s),) for s in sizes], "vocab_size long"
+    )
+    hits = ranked.crossJoin(F.broadcast(sz)).where(
+        F.col("_r") <= F.col("vocab_size")
+    )
+    agg = hits.groupBy("vocab_size").agg(
+        F.max("_r").cast("long").alias("n_types"),
+        F.max("_cum").cast("long").alias("covered_tokens"),
+        F.max("_tot").cast("long").alias("total_tokens"),
+    )
+    return sz.join(agg, on="vocab_size", how="left").select(
+        "vocab_size",
+        F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+        F.coalesce("covered_tokens", F.lit(0))
+        .cast("long")
+        .alias("covered_tokens"),
+        "total_tokens",
+        F.when(
+            F.col("total_tokens") > 0,
+            F.expr(
+                "(1000000 * coalesce(covered_tokens, 0))"
+                " div total_tokens"
+            ),
+        )
+        .cast("long")
+        .alias("coverage_ppm"),
+    )

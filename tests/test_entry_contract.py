@@ -765,6 +765,14 @@ def test_oracled_queries_precede_rows_only():
         "tost_equivalence",
         # QQ decile shift — wasserstein_1d's table form
         "qq_shift",
+        # vocab coverage — heaps_fit's head-mass complement
+        "vocab_coverage",
+        # behavioral funnel — gate_funnel's event sibling
+        "event_funnel",
+        # cohort retention — survival_curve's exact triangle
+        "cohort_retention",
+        # event transitions — status_transitions' behavioral twin
+        "event_transitions",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -5694,6 +5694,92 @@ def q_event_transitions(spark, sf_dir):
     ).orderBy("prev_type", "next_type")
 
 
+def q_chrf(spark, sf_dir):
+    """chrF2 (orders 1-3) of an e->3 mojibake corruption against the
+    original text — exact clipped n-gram counts, per-order milli
+    floors, integer-div order average."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import chrf_eval
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.col("text").alias("gold"),
+            F.expr("replace(text, 'e', '3')").alias("pred"),
+        )
+    )
+    return chrf_eval(d, "gold", "pred", "doc_id", max_order=3)
+
+
+def q_lorenz(spark, sf_dir):
+    """Lorenz decile table of byte mass across documents — tie-exact
+    bottom-k unit masses, integer ppm shares (the distribution behind
+    concentration_gini)."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import lorenz_curve
+
+    return lorenz_curve(
+        _t(spark, sf_dir, "documents"), "n_chars"
+    ).orderBy("decile")
+
+
+def q_cross_correlation(spark, sf_dir):
+    """CCF between daily error and purchase event counts at lags
+    -5..5 — per-series n-scaled integer deviations, exact numerators,
+    one milli-floor per lag."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import cross_correlation
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("err"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("pur"),
+        )
+    )
+    series = daily.select(
+        (
+            F.row_number().over(Window.orderBy("d")) - 1
+        ).cast("long").alias("t"),
+        "err",
+        "pur",
+    )
+    return cross_correlation(series, "t", "err", "pur", max_lag=5).orderBy(
+        "lag"
+    )
+
+
+def q_series_peaks(spark, sf_dir):
+    """Strict local maxima of the daily event-count series (±2-day
+    neighborhood) with the exact integer rise filter."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import series_peaks
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    series = daily.select(
+        (
+            F.row_number().over(Window.orderBy("d")) - 1
+        ).cast("long").alias("t"),
+        "y",
+    )
+    return series_peaks(series, "t", "y", window=2).orderBy("t")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -6454,6 +6540,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         # event-type Markov transitions (tiebroken ordering)
         "event_transitions": q_event_transitions,
+        # chrF2 character n-gram extraction-quality eval
+        "chrf_eval": q_chrf,
+        # Lorenz decile mass-concentration table
+        "lorenz_curve": q_lorenz,
+        # lead/lag cross-correlation of two daily series
+        "cross_correlation": q_cross_correlation,
+        # strict local-max peak finder with rise filter
+        "series_peaks": q_series_peaks,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -15813,6 +15907,198 @@ FROM documents)
               ((1000000 * c.n) // t.row_n)::BIGINT AS ppm
             FROM cnt c JOIN tot t USING (prev_type)
             ORDER BY c.prev_type, c.next_type
+        """,
+        # chrf_eval: lateral char n-grams, clipped-match full joins,
+        # the op's exact per-order double shape, integer order average
+        "chrf_eval": r"""
+            WITH docs AS (
+              SELECT doc_id,
+                substr(regexp_replace(text, '[^ -~]', '', 'g'),
+                  1, 400) AS g2,
+                substr(regexp_replace(replace(text, 'e', '3'),
+                  '[^ -~]', '', 'g'), 1, 400) AS p2
+              FROM documents WHERE text IS NOT NULL
+            ),
+            orders AS (SELECT unnest([1, 2, 3]) AS o),
+            gg AS (
+              SELECT d.doc_id, o.o,
+                unnest([substr(d.g2, i, o.o)
+                        for i in range(1, length(d.g2) - o.o + 2)])
+                  AS gram
+              FROM docs d, orders o
+            ),
+            pg AS (
+              SELECT d.doc_id, o.o,
+                unnest([substr(d.p2, i, o.o)
+                        for i in range(1, length(d.p2) - o.o + 2)])
+                  AS gram
+              FROM docs d, orders o
+            ),
+            gc AS (SELECT doc_id, o, gram, count(*)::BIGINT AS cg
+                   FROM gg GROUP BY 1, 2, 3),
+            pc AS (SELECT doc_id, o, gram, count(*)::BIGINT AS cp
+                   FROM pg GROUP BY 1, 2, 3),
+            j AS (
+              SELECT coalesce(gc.doc_id, pc.doc_id) AS doc_id,
+                coalesce(gc.o, pc.o) AS o,
+                coalesce(cg, 0) AS cg, coalesce(cp, 0) AS cp
+              FROM gc FULL JOIN pc
+                ON gc.doc_id = pc.doc_id AND gc.o = pc.o
+                AND gc.gram = pc.gram
+            ),
+            agg AS (
+              SELECT doc_id, o, sum(least(cg, cp))::BIGINT AS m,
+                sum(cg)::BIGINT AS tg, sum(cp)::BIGINT AS tp
+              FROM j GROUP BY 1, 2
+            ),
+            f AS (
+              SELECT doc_id,
+                CASE WHEN (4.0 * (CAST(m AS DOUBLE) / tp)
+                           + (CAST(m AS DOUBLE) / tg)) > 0
+                  THEN floor(1000.0 * (1 + 4)
+                    * (CAST(m AS DOUBLE) / tp)
+                    * (CAST(m AS DOUBLE) / tg)
+                    / (4.0 * (CAST(m AS DOUBLE) / tp)
+                       + (CAST(m AS DOUBLE) / tg)))::BIGINT
+                  ELSE 0 END AS fm
+              FROM agg WHERE tg > 0 AND tp > 0
+            ),
+            per AS (
+              SELECT doc_id, count(*)::BIGINT AS n_orders,
+                (sum(fm) // count(*))::BIGINT AS chrf_milli
+              FROM f GROUP BY 1
+            )
+            SELECT d.doc_id,
+              coalesce(p.n_orders, 0)::BIGINT AS n_orders,
+              p.chrf_milli
+            FROM (SELECT DISTINCT doc_id FROM docs) d
+            LEFT JOIN per p ON p.doc_id = d.doc_id
+        """,
+        # lorenz_curve: tie-exact bottom-k masses on the
+        # distinct-value cumulation, integer ppm shares
+        "lorenz_curve": r"""
+            WITH per AS (
+              SELECT n_chars::BIGINT AS v, count(*)::BIGINT AS c
+              FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+            ),
+            cum AS (
+              SELECT v,
+                sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cc,
+                sum(c * v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cm,
+                sum(c) OVER () AS n, sum(c * v) OVER () AS tot
+              FROM per
+            ),
+            ds AS (SELECT range::BIGINT AS decile FROM range(1, 11)),
+            bv AS (
+              SELECT d.decile, min(c.v) AS v
+              FROM cum c, ds d WHERE c.cc * 10 >= d.decile * c.n
+              GROUP BY 1
+            ),
+            bound AS (
+              SELECT b.decile, c.v, c.cc, c.cm, c.n, c.tot
+              FROM bv b JOIN cum c ON c.v = b.v
+            )
+            SELECT decile,
+              ((n * decile + 9) // 10)::BIGINT AS idx,
+              (cm - (cc - (n * decile + 9) // 10) * v)::BIGINT AS mass,
+              CASE WHEN tot > 0
+                THEN ((1000000 * (cm - (cc - (n * decile + 9) // 10)
+                      * v)) // tot)::BIGINT
+              END AS share_ppm
+            FROM bound ORDER BY decile
+        """,
+        # cross_correlation: error vs purchase daily series, lags
+        # -5..5, per-series n-scaled deviations
+        "cross_correlation": r"""
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS d,
+                sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                  END)::BIGINT AS err,
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END)::BIGINT AS pur
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ),
+            series AS (
+              SELECT (row_number() OVER (ORDER BY d) - 1)::BIGINT AS t,
+                err, pur
+              FROM daily
+            ),
+            tot AS (
+              SELECT count(*)::BIGINT AS n, sum(err)::BIGINT AS sa,
+                sum(pur)::BIGINT AS sb
+              FROM series
+            ),
+            dev AS (
+              SELECT s.t, (tot.n * s.err - tot.sa)::BIGINT AS da,
+                (tot.n * s.pur - tot.sb)::BIGINT AS db
+              FROM series s, tot
+            ),
+            den AS (
+              SELECT sum(da * da)::BIGINT AS dena,
+                sum(db * db)::BIGINT AS denb
+              FROM dev
+            ),
+            lags AS (SELECT range::BIGINT AS lag FROM range(-5, 6)),
+            num AS (
+              SELECT l.lag, count(*)::BIGINT AS n_pairs,
+                sum(a.da * b.db)::BIGINT AS num
+              FROM lags l
+              JOIN dev a ON TRUE
+              JOIN dev b ON b.t = a.t + l.lag
+              GROUP BY 1
+            )
+            SELECT l.lag,
+              coalesce(n.n_pairs, 0)::BIGINT AS n_pairs,
+              coalesce(n.num, 0)::BIGINT AS num,
+              CASE WHEN den.dena > 0 AND den.denb > 0
+                THEN floor(1000.0
+                  * CAST(coalesce(n.num, 0) AS DOUBLE)
+                  / (sqrt(den.dena::DOUBLE)
+                     * sqrt(den.denb::DOUBLE)))::BIGINT
+              END AS ccf_milli
+            FROM lags l
+            LEFT JOIN num n ON n.lag = l.lag
+            CROSS JOIN den
+            ORDER BY l.lag
+        """,
+        # series_peaks: strict local maxima over ±2 days, exact
+        # integer rise filter
+        "series_peaks": r"""
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS d, count(*)::BIGINT AS y
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ),
+            series AS (
+              SELECT (row_number() OVER (ORDER BY d) - 1)::BIGINT AS t, y
+              FROM daily
+            ),
+            nb AS (
+              SELECT t, y,
+                greatest(
+                  coalesce(max(y) OVER (ORDER BY t ROWS BETWEEN 2
+                    PRECEDING AND 1 PRECEDING), -4611686018427387904),
+                  coalesce(max(y) OVER (ORDER BY t ROWS BETWEEN 1
+                    FOLLOWING AND 2 FOLLOWING), -4611686018427387904)
+                ) AS nbhd_max,
+                (coalesce(sum(y) OVER (ORDER BY t ROWS BETWEEN 2
+                   PRECEDING AND 1 PRECEDING), 0)
+                 + coalesce(sum(y) OVER (ORDER BY t ROWS BETWEEN 1
+                     FOLLOWING AND 2 FOLLOWING), 0)) AS nsum,
+                (coalesce(count(y) OVER (ORDER BY t ROWS BETWEEN 2
+                   PRECEDING AND 1 PRECEDING), 0)
+                 + coalesce(count(y) OVER (ORDER BY t ROWS BETWEEN 1
+                     FOLLOWING AND 2 FOLLOWING), 0)) AS ncnt
+              FROM series
+            )
+            SELECT t, y, nbhd_max::BIGINT AS nbhd_max,
+              floor(1000.0 * (CAST(y AS DOUBLE)
+                - CAST(nsum AS DOUBLE) / ncnt))::BIGINT AS rise_milli
+            FROM nb
+            WHERE ncnt > 0 AND y > nbhd_max
+              AND 1000 * (y * ncnt - nsum) >= 0 * ncnt
+            ORDER BY t
         """,
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.

@@ -334,6 +334,10 @@ HEADLINE = [
     "event_funnel",
     "cohort_retention",
     "event_transitions",
+    "chrf_eval",
+    "lorenz_curve",
+    "cross_correlation",
+    "series_peaks",
     "bpe_token_counts",
     "extraction_blocks",
 ]

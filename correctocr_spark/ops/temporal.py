@@ -1993,3 +1993,169 @@ def event_transitions(
         "n",
         F.expr("(1000000 * n) div _row_n").cast("long").alias("ppm"),
     )
+
+
+def cross_correlation(
+    series: DataFrame,
+    t_col: str,
+    ya_col: str,
+    yb_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Cross-correlation function between two aligned integer series
+    at lags −L..+L — the lead/lag detector `autocorrelation` can't
+    be: "do error spikes LEAD purchase dips, and by how many days?"
+    Positive lag means series A leads (A at t correlates with B at
+    t+lag).
+
+    The `autocorrelation` exactness trick per series: with each
+    series' own n-scaled deviations ``da_t = n·a_t − Sa`` (exact
+    longs), every lag's ``num = Σ da_t·db_{t+lag}`` is an exact
+    integer and ``ccf_milli = floor(1000·num/(√Σda²·√Σdb²))`` is one
+    fixed IEEE shape (two sqrts — the `pearson_corr` overflow rule).
+    Either series constant → NULL.
+
+    Returns one row per lag in [−L, L]: ``(lag, n_pairs, num,
+    ccf_milli)``.
+
+    Scale: the series is the caller's aggregated rollup; the lag
+    join runs on thousands of rows, never the event table.
+    """
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    base = series.where(
+        F.col(t_col).isNotNull()
+        & F.col(ya_col).isNotNull()
+        & F.col(yb_col).isNotNull()
+    ).select(
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(ya_col).cast("long").alias("_a"),
+        F.col(yb_col).cast("long").alias("_b"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_a").cast("long").alias("_sa"),
+        F.sum("_b").cast("long").alias("_sb"),
+    )
+    d = base.crossJoin(F.broadcast(tot)).select(
+        "_t",
+        (F.col("_n") * F.col("_a") - F.col("_sa")).cast("long").alias(
+            "_da"
+        ),
+        (F.col("_n") * F.col("_b") - F.col("_sb")).cast("long").alias(
+            "_db"
+        ),
+    )
+    den = d.agg(
+        F.sum(F.col("_da") * F.col("_da")).cast("long").alias("_dena"),
+        F.sum(F.col("_db") * F.col("_db")).cast("long").alias("_denb"),
+    )
+    lags = d.sparkSession.range(-int(max_lag), int(max_lag) + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    left = d.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        (F.col("_t") + F.col("lag")).alias("_tr"),
+        F.col("_da").alias("_dl"),
+    )
+    pairs = left.join(
+        d.select(F.col("_t").alias("_tr"), F.col("_db").alias("_dr")),
+        on="_tr",
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("_dl") * F.col("_dr")).cast("long").alias("num"),
+    )
+    return (
+        lags.join(num, on="lag", how="left")
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias(
+                "n_pairs"
+            ),
+            F.coalesce("num", F.lit(0)).cast("long").alias("num"),
+            F.when(
+                (F.col("_dena") > 0) & (F.col("_denb") > 0),
+                F.expr(
+                    "CAST(floor(1000.0"
+                    " * CAST(coalesce(num, 0) AS DOUBLE)"
+                    " / (sqrt(CAST(_dena AS DOUBLE))"
+                    "    * sqrt(CAST(_denb AS DOUBLE)))) AS BIGINT)"
+                ),
+            ).alias("ccf_milli"),
+        )
+    )
+
+
+def series_peaks(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+    window: int = 3,
+    min_rise_milli: int = 0,
+) -> DataFrame:
+    """Local-maximum peaks of an integer series with an exact
+    neighborhood-rise filter — the spike FINDER feeding
+    `cusum_changepoint` (level shifts) and `rate_anomalies` (control
+    limits): a point is a peak when it strictly exceeds every
+    neighbor within ±window AND its rise over the neighborhood mean
+    clears ``min_rise_milli`` (milli value-units).
+
+    Tie policy: plateaus are NOT peaks (strict >), so a two-day
+    equal-height spike reports neither day — deterministic and
+    documented, not a hidden argmax race. The rise filter is the
+    exact integer comparison ``1000·(y·cnt − Σnbhd) ≥ min_rise·cnt``;
+    ``rise_milli`` itself floors once.
+
+    Returns peak rows only: ``(t, y, nbhd_max, rise_milli)``.
+
+    Scale: two frame windows over the caller's aggregated series —
+    never the event table. Series edges use the truncated
+    neighborhood (standard).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    base = series.where(
+        F.col(t_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    wl = Window.orderBy("t").rowsBetween(-int(window), -1)
+    wr = Window.orderBy("t").rowsBetween(1, int(window))
+    nb = base.select(
+        "t",
+        "y",
+        F.greatest(
+            F.coalesce(F.max("y").over(wl), F.lit(-(1 << 62))),
+            F.coalesce(F.max("y").over(wr), F.lit(-(1 << 62))),
+        ).alias("nbhd_max"),
+        (
+            F.coalesce(F.sum("y").over(wl), F.lit(0))
+            + F.coalesce(F.sum("y").over(wr), F.lit(0))
+        ).alias("_nsum"),
+        (
+            F.coalesce(F.count("y").over(wl), F.lit(0))
+            + F.coalesce(F.count("y").over(wr), F.lit(0))
+        ).alias("_ncnt"),
+    )
+    return (
+        nb.where(
+            (F.col("_ncnt") > 0)
+            & (F.col("y") > F.col("nbhd_max"))
+            & (
+                1000 * (F.col("y") * F.col("_ncnt") - F.col("_nsum"))
+                >= int(min_rise_milli) * F.col("_ncnt")
+            )
+        )
+        .select(
+            "t",
+            "y",
+            F.col("nbhd_max").cast("long").alias("nbhd_max"),
+            F.expr(
+                "CAST(floor(1000.0 * (CAST(y AS DOUBLE)"
+                " - CAST(_nsum AS DOUBLE) / _ncnt)) AS BIGINT)"
+            ).alias("rise_milli"),
+        )
+    )

@@ -773,6 +773,14 @@ def test_oracled_queries_precede_rows_only():
         "cohort_retention",
         # event transitions — status_transitions' behavioral twin
         "event_transitions",
+        # chrF2 — edit_distance_eval's n-gram F sibling
+        "chrf_eval",
+        # Lorenz deciles — concentration_gini's table form
+        "lorenz_curve",
+        # CCF — autocorrelation's two-series lead/lag form
+        "cross_correlation",
+        # series peaks — rate_anomalies' spike finder
+        "series_peaks",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -5780,6 +5780,231 @@ def q_series_peaks(spark, sf_dir):
     return series_peaks(series, "t", "y", window=2).orderBy("t")
 
 
+def q_cluster_quality(spark, sf_dir):
+    """Simplified-silhouette + Davies-Bouldin panel per IVF cluster —
+    per-vector micro-floored distance terms, integer rollups, driver
+    centroid-pair literals."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import cluster_quality
+
+    return cluster_quality(_t(spark, sf_dir, "embeddings"), _IVF_CENTROIDS)
+
+
+def q_cluster_purity(spark, sf_dir):
+    """Purity + NMI of the IVF assignment against the embeddings'
+    reference labels — integer purity, per-term ln-floored MI and
+    entropies."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import (
+        cluster_purity_nmi,
+        ivf_assign,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = ivf_assign(emb, _IVF_CENTROIDS).join(
+        emb.select("vec_id", "label"), on="vec_id"
+    )
+    return cluster_purity_nmi(a, "centroid_id", "label")
+
+
+def q_assignment_margins(spark, sf_dir):
+    """Per-cluster IVF assignment-margin audit (nearest vs
+    second-nearest centroid) — micro-floored margins, integer
+    rollups, thin-margin share."""
+    _ship(spark)
+    from correctocr_spark.ops.similarity import assignment_margins
+
+    return assignment_margins(
+        _t(spark, sf_dir, "embeddings"), _IVF_CENTROIDS
+    )
+
+
+def _sqd_sql(c):
+    """Sequential squared-L2 of embedding vs a literal centroid —
+    list_reduce left-fold matches Spark's aggregate() order, so the
+    doubles are bit-identical."""
+    lit = "[" + ", ".join(repr(v) for v in c) + "]::DOUBLE[]"
+    n = len(c) + 1
+    return (
+        f"list_reduce([(e[i] - ({lit})[i]) * (e[i] - ({lit})[i])"
+        f" for i in range(1, {n})], (a, b) -> a + b)"
+    )
+
+
+def _cq_argmin_sql():
+    """Strict-< iterative argmin over the squared distances — the
+    _ivf_sql pattern with the fold-exact expressions."""
+    dists = [_sqd_sql(c) for c in _IVF_CENTROIDS]
+    best_id, best_d = "0", dists[0]
+    for cid in range(1, len(dists)):
+        best_id = (
+            f"(case when {dists[cid]} < {best_d} then {cid}"
+            f" else {best_id} end)"
+        )
+        best_d = f"least({dists[cid]}, {best_d})"
+    return best_id
+
+
+def _cq_base_sql():
+    k = len(_IVF_CENTROIDS)
+    dcols = ", ".join(
+        f"sqrt({_sqd_sql(c)}) AS d{i}"
+        for i, c in enumerate(_IVF_CENTROIDS)
+    )
+    a_case = (
+        "CASE cid "
+        + " ".join(f"WHEN {i} THEN d{i}" for i in range(k))
+        + " END"
+    )
+
+    def least_others(i):
+        others = ", ".join(f"d{j}" for j in range(k) if j != i)
+        return f"least({others})"
+
+    b_case = (
+        "CASE cid "
+        + " ".join(f"WHEN {i} THEN {least_others(i)}" for i in range(k))
+        + " END"
+    )
+    return (
+        f"""
+            raw AS (
+              SELECT embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            d AS (
+              SELECT {dcols}, ({_cq_argmin_sql()})::INTEGER AS cid
+              FROM raw
+            ),
+            ab AS (
+              SELECT cid, {a_case} AS a, {b_case} AS b FROM d
+            )""",
+        k,
+    )
+
+
+def _cluster_quality_sql():
+    base, k = _cq_base_sql()
+    import numpy as np
+
+    pair_vals = ", ".join(
+        f"({i}, {j}, {float(np.sqrt(np.sum((np.asarray(_IVF_CENTROIDS[i]) - np.asarray(_IVF_CENTROIDS[j])) ** 2)))!r})"
+        for i in range(k)
+        for j in range(k)
+        if i != j
+    )
+    return f"""
+        WITH {base},
+        per AS (
+          SELECT cid, floor(1000000 * a)::BIGINT AS am,
+            floor(1000000 * (b - a) / greatest(a, b))::BIGINT AS sm
+          FROM ab
+        ),
+        agg AS (
+          SELECT cid, count(*)::BIGINT AS n, sum(am)::BIGINT AS sa,
+            sum(sm)::BIGINT AS ss
+          FROM per GROUP BY 1
+        ),
+        scat AS (SELECT cid, (sa // n) AS scat_i FROM agg),
+        pairs(ci, cj, dij) AS (VALUES {pair_vals}),
+        db AS (
+          SELECT p.ci AS cid,
+            max(floor(1000.0 * (CAST(si.scat_i AS DOUBLE) + sj.scat_i)
+              / 1000000.0 / p.dij)::BIGINT) AS db_milli
+          FROM pairs p
+          JOIN scat si ON si.cid = p.ci
+          JOIN scat sj ON sj.cid = p.cj
+          GROUP BY 1
+        )
+        SELECT a.cid AS centroid_id, a.n,
+          ((a.sa // a.n) // 1000)::BIGINT AS scatter_milli,
+          ((a.ss // a.n) // 1000)::BIGINT AS silhouette_milli,
+          db.db_milli
+        FROM agg a LEFT JOIN db ON db.cid = a.cid
+        ORDER BY 1
+    """
+
+
+def _assignment_margins_sql():
+    base, k = _cq_base_sql()
+    return f"""
+        WITH {base},
+        per AS (
+          SELECT cid, floor(1000000 * (b - a))::BIGINT AS mm,
+            floor(1000000 * a)::BIGINT AS d1m
+          FROM ab
+        )
+        SELECT cid AS centroid_id, count(*)::BIGINT AS n,
+          ((sum(mm) // count(*)) // 1000)::BIGINT AS mean_margin_milli,
+          min(mm)::BIGINT AS min_margin_micro,
+          ((1000000 * sum(CASE WHEN 10 * mm < d1m THEN 1 ELSE 0 END))
+           // count(*))::BIGINT AS thin_ppm
+        FROM per GROUP BY 1 ORDER BY 1
+    """
+
+
+def _cluster_purity_sql():
+    return f"""
+        WITH raw AS (
+          SELECT embedding::DOUBLE[] AS e, label FROM embeddings
+        ),
+        asg AS (
+          SELECT ({_cq_argmin_sql()})::INTEGER AS c, label AS l
+          FROM raw
+        ),
+        cells AS (
+          SELECT c, l, count(*)::BIGINT AS nn FROM asg GROUP BY 1, 2
+        ),
+        cm AS (SELECT c, sum(nn)::BIGINT AS nc FROM cells GROUP BY 1),
+        lm AS (SELECT l, sum(nn)::BIGINT AS nl FROM cells GROUP BY 1),
+        tot AS (
+          SELECT sum(nn)::BIGINT AS n,
+            count(DISTINCT c)::BIGINT AS n_clusters,
+            count(DISTINCT l)::BIGINT AS n_labels
+          FROM cells
+        ),
+        pur AS (
+          SELECT sum(mx)::BIGINT AS pure FROM (
+            SELECT c, max(nn)::BIGINT AS mx FROM cells GROUP BY 1
+          )
+        ),
+        mi AS (
+          SELECT sum(t)::BIGINT AS mi_micro FROM (
+            SELECT floor(1000000.0 * (CAST(cells.nn AS DOUBLE) / tot.n)
+              * ln(CAST(cells.nn AS DOUBLE) * tot.n
+                   / (CAST(cm.nc AS DOUBLE) * lm.nl)))::BIGINT AS t
+            FROM cells
+            JOIN cm ON cm.c = cells.c
+            JOIN lm ON lm.l = cells.l, tot
+          )
+        ),
+        hc AS (
+          SELECT sum(t)::BIGINT AS h_cluster_micro FROM (
+            SELECT floor(1000000.0 * (CAST(nc AS DOUBLE) / tot.n)
+              * (ln(CAST(tot.n AS DOUBLE))
+                 - ln(CAST(nc AS DOUBLE))))::BIGINT AS t
+            FROM cm, tot
+          )
+        ),
+        hl AS (
+          SELECT sum(t)::BIGINT AS h_label_micro FROM (
+            SELECT floor(1000000.0 * (CAST(nl AS DOUBLE) / tot.n)
+              * (ln(CAST(tot.n AS DOUBLE))
+                 - ln(CAST(nl AS DOUBLE))))::BIGINT AS t
+            FROM lm, tot
+          )
+        )
+        SELECT tot.n, tot.n_clusters, tot.n_labels,
+          ((1000000 * pur.pure) // tot.n)::BIGINT AS purity_ppm,
+          mi.mi_micro, hc.h_cluster_micro, hl.h_label_micro,
+          CASE WHEN (hc.h_cluster_micro + hl.h_label_micro) > 0
+            THEN floor(1000.0 * 2.0 * CAST(mi.mi_micro AS DOUBLE)
+              / (CAST(hc.h_cluster_micro AS DOUBLE)
+                 + hl.h_label_micro))::BIGINT
+          END AS nmi_milli
+        FROM tot, pur, mi, hc, hl
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -6548,6 +6773,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_correlation": q_cross_correlation,
         # strict local-max peak finder with rise filter
         "series_peaks": q_series_peaks,
+        # simplified silhouette + Davies–Bouldin per IVF cluster
+        "cluster_quality": q_cluster_quality,
+        # purity + NMI of the IVF assignment vs labels
+        "cluster_purity": q_cluster_purity,
+        # nearest-vs-second centroid margin audit
+        "assignment_margins": q_assignment_margins,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -16100,6 +16331,12 @@ FROM documents)
               AND 1000 * (y * ncnt - nsum) >= 0 * ncnt
             ORDER BY t
         """,
+        # cluster_quality / cluster_purity / assignment_margins:
+        # fold-exact sequential distances (list_reduce == Spark
+        # aggregate order), per-vector micro floors, integer rollups
+        "cluster_quality": _cluster_quality_sql(),
+        "cluster_purity": _cluster_purity_sql(),
+        "assignment_margins": _assignment_margins_sql(),
         # ocr_correct / ocr_tokens_binned: HMM beam + heuristics decision
         # chain — not SQL-expressible; driver records rows-only checks.
     }

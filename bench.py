@@ -338,6 +338,9 @@ HEADLINE = [
     "lorenz_curve",
     "cross_correlation",
     "series_peaks",
+    "cluster_quality",
+    "cluster_purity",
+    "assignment_margins",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -1361,3 +1361,309 @@ def mrr_eval(
         F.sum("_rr").cast("long").alias("sum_rr_micro"),
         F.expr("CAST(sum(_rr) div count(1) AS BIGINT)").alias("mrr_micro"),
     )
+
+
+def cluster_quality(
+    embeddings: DataFrame,
+    centroids: List[List[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid-based cluster-quality panel per cluster: simplified
+    silhouette and the Davies–Bouldin term — the "is this k any
+    good?" eval closing the k-means/IVF loop (`kmeans_step_stats`
+    trains, `ivf_assign` partitions, nothing yet JUDGES). The
+    simplified silhouette (vector-to-CENTROID distances, Hruschka et
+    al.) is the O(n·k) form that survives corpus scale where the
+    classic O(n²) pairwise silhouette cannot.
+
+    Determinism (the `semdedup`/`ivf_assign` discipline): every
+    per-vector float — own-centroid distance a, nearest-other
+    distance b, silhouette (b−a)/max(a,b) — is ONE fixed IEEE shape
+    quantized to integer micro BEFORE any cross-row sum, so
+    aggregation order cannot drift the result. Per-cluster scatter
+    s̄_i = mean a rides the same integer sums; DB_i = max_{j≠i}
+    (s̄_i + s̄_j)/d_ij uses the centroid-pair distances, which are
+    DRIVER literals (centroids are driver data — computed in numpy,
+    embedded in the plan). Empty clusters emit zero rows (nothing to
+    judge).
+
+    Returns one row per non-empty cluster: ``(centroid_id, n,
+    scatter_milli, silhouette_milli, db_milli)``.
+
+    Scale: one scan with k distance expressions per row (k = IVF
+    list count, driver-sized), ONE combinable per-cluster rollup,
+    then k-row driver-side algebra. No shuffle beyond the rollup.
+    """
+    if len(centroids) < 2:
+        raise ValueError("cluster_quality needs at least 2 centroids")
+    vec_d = F.col(vec_col).cast("array<double>")
+
+    def sqdist(c):
+        return F.aggregate(
+            F.zip_with(vec_d, _lit_vec(c), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cid = nearest_centroid_col(vec_d, centroids)
+    dist_cols = [F.sqrt(sqdist(c)).alias(f"_d{i}") for i, c in enumerate(centroids)]
+    base = embeddings.select(cid.alias("centroid_id"), *dist_cols)
+    a = None
+    for i in range(len(centroids)):
+        di = F.when(F.col("centroid_id") == i, F.col(f"_d{i}"))
+        a = di if a is None else F.coalesce(a, di)
+    b = None
+    for i in range(len(centroids)):
+        others = [
+            F.col(f"_d{j}") for j in range(len(centroids)) if j != i
+        ]
+        bi = F.when(F.col("centroid_id") == i, F.least(*others))
+        b = bi if b is None else F.coalesce(b, bi)
+    per = base.select(
+        "centroid_id",
+        F.floor(1_000_000 * a).cast("long").alias("_a_micro"),
+        F.floor(
+            1_000_000
+            * (b - a)
+            / F.greatest(a, b)
+        ).cast("long").alias("_s_micro"),
+    )
+    agg = per.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_a_micro").cast("long").alias("_sa"),
+        F.sum("_s_micro").cast("long").alias("_ss"),
+    )
+    import numpy as np
+
+    k = len(centroids)
+    pair_rows = []
+    for i in range(k):
+        for j in range(k):
+            if i != j:
+                d = float(
+                    np.sqrt(
+                        np.sum(
+                            (np.asarray(centroids[i]) - np.asarray(centroids[j]))
+                            ** 2
+                        )
+                    )
+                )
+                pair_rows.append((i, j, d))
+    pairs = embeddings.sparkSession.createDataFrame(
+        pair_rows, "ci int, cj int, dij double"
+    )
+    scat = agg.select(
+        F.col("centroid_id").alias("ci"),
+        F.expr("CAST(_sa div n AS BIGINT)").alias("_scat_i"),
+    )
+    scat_j = scat.select(
+        F.col("ci").alias("cj"), F.col("_scat_i").alias("_scat_j")
+    )
+    db = (
+        pairs.join(F.broadcast(scat), on="ci")
+        .join(F.broadcast(scat_j), on="cj")
+        .groupBy(F.col("ci").alias("centroid_id"))
+        .agg(
+            F.max(
+                F.expr(
+                    "CAST(floor(1000.0 * (CAST(_scat_i AS DOUBLE)"
+                    " + _scat_j) / 1000000.0 / dij) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("db_milli")
+        )
+    )
+    return (
+        agg.join(db, on="centroid_id", how="left")
+        .select(
+            "centroid_id",
+            "n",
+            F.expr("CAST((_sa div n) div 1000 AS BIGINT)").alias(
+                "scatter_milli"
+            ),
+            F.expr("CAST((_ss div n) div 1000 AS BIGINT)").alias(
+                "silhouette_milli"
+            ),
+            "db_milli",
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def cluster_purity_nmi(
+    assignments: DataFrame,
+    cluster_col: str = "centroid_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Purity and normalized mutual information of a clustering
+    against reference labels — the external-validity pair next to
+    `bcubed_eval` (which scores per-item precision/recall): purity
+    is the fraction captured by each cluster's majority label
+    (trivially gamed by tiny clusters), NMI is the
+    information-theoretic correction that is not. One row summarizes
+    the whole clustering.
+
+    Exactness: purity's numerator ``Σ_c max_l n_cl`` is pure
+    integers; MI and the entropies use the module's per-term
+    ln-floor discipline — every ``(n_cl/N)·ln(N·n_cl/(n_c·n_l))``
+    term floors to micro-nats BEFORE the order-free sum (identical
+    libm doubles both engines), and ``nmi_milli = floor(1000·2·MI/
+    (H_c + H_l))`` is one final shape. Degenerate (single cluster
+    AND single label → H sums to 0) → NULL NMI.
+
+    Returns one row: ``(n, n_clusters, n_labels, purity_ppm,
+    mi_micro, h_cluster_micro, h_label_micro, nmi_milli)``.
+
+    Scale: one (cluster, label) combinable rollup; margins re-derived
+    from the cell table; everything after is cell-table-sized.
+    """
+    base = assignments.where(
+        F.col(cluster_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(cluster_col).cast("string").alias("_c"),
+        F.col(label_col).cast("string").alias("_l"),
+    )
+    cells = base.groupBy("_c", "_l").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    cm = cells.groupBy("_c").agg(F.sum("_n").cast("long").alias("_nc"))
+    lm = cells.groupBy("_l").agg(F.sum("_n").cast("long").alias("_nl"))
+    tot = cells.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count_distinct("_c").cast("long").alias("n_clusters"),
+        F.count_distinct("_l").cast("long").alias("n_labels"),
+    )
+    pur = (
+        cells.groupBy("_c")
+        .agg(F.max("_n").cast("long").alias("_mx"))
+        .agg(F.sum("_mx").cast("long").alias("_pure"))
+    )
+    mi = (
+        cells.join(F.broadcast(cm), on="_c")
+        .join(F.broadcast(lm), on="_l")
+        .crossJoin(F.broadcast(tot.select("n")))
+        .select(
+            F.expr(
+                "CAST(floor(1000000.0 * (CAST(_n AS DOUBLE) / n)"
+                " * ln(CAST(_n AS DOUBLE) * n"
+                "      / (CAST(_nc AS DOUBLE) * _nl))) AS BIGINT)"
+            ).alias("_t")
+        )
+        .agg(F.sum("_t").cast("long").alias("mi_micro"))
+    )
+
+    def entropy(marg, cnt_col):
+        return (
+            marg.crossJoin(F.broadcast(tot.select("n")))
+            .select(
+                F.expr(
+                    f"CAST(floor(1000000.0 * (CAST({cnt_col} AS DOUBLE)"
+                    f" / n) * (ln(CAST(n AS DOUBLE))"
+                    f" - ln(CAST({cnt_col} AS DOUBLE)))) AS BIGINT)"
+                ).alias("_t")
+            )
+            .agg(F.sum("_t").cast("long").alias("h"))
+        )
+
+    hc = entropy(cm, "_nc").select(F.col("h").alias("h_cluster_micro"))
+    hl = entropy(lm, "_nl").select(F.col("h").alias("h_label_micro"))
+    out = (
+        tot.crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+    )
+    return out.select(
+        "n",
+        "n_clusters",
+        "n_labels",
+        F.expr("(1000000 * _pure) div n").cast("long").alias("purity_ppm"),
+        "mi_micro",
+        "h_cluster_micro",
+        "h_label_micro",
+        F.when(
+            (F.col("h_cluster_micro") + F.col("h_label_micro")) > 0,
+            F.expr(
+                "CAST(floor(1000.0 * 2.0 * CAST(mi_micro AS DOUBLE)"
+                " / (CAST(h_cluster_micro AS DOUBLE)"
+                "    + h_label_micro)) AS BIGINT)"
+            ),
+        ).alias("nmi_milli"),
+    )
+
+
+def assignment_margins(
+    embeddings: DataFrame,
+    centroids: List[List[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster assignment-margin audit: how decisively does each
+    vector belong to its list? margin = d(second-nearest centroid) −
+    d(nearest), the ambiguity number behind IVF's nprobe choice (thin
+    margins → probes must widen) and the unsupervised cousin of
+    `hard_negatives`' label margins.
+
+    Per-vector margins floor to integer micro (fixed IEEE shape, the
+    `cluster_quality` discipline) before the per-cluster integer
+    rollup; the per-cluster MINIMUM margin rides along — the worst
+    case is what sets nprobe.
+
+    Returns one row per non-empty cluster: ``(centroid_id, n,
+    mean_margin_milli, min_margin_micro, thin_ppm)`` — thin_ppm =
+    share of vectors with margin below 10% of the cluster's own-dist
+    scale (margin < 0.1·d_nearest, evaluated per vector, exact
+    integer comparison after a shared micro quantization).
+
+    Scale: the `cluster_quality` scan shape — k distances per row,
+    one combinable rollup.
+    """
+    if len(centroids) < 2:
+        raise ValueError("assignment_margins needs at least 2 centroids")
+    vec_d = F.col(vec_col).cast("array<double>")
+
+    def sqdist(c):
+        return F.aggregate(
+            F.zip_with(vec_d, _lit_vec(c), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cid = nearest_centroid_col(vec_d, centroids)
+    dist_cols = [
+        F.sqrt(sqdist(c)).alias(f"_d{i}") for i, c in enumerate(centroids)
+    ]
+    base = embeddings.select(cid.alias("centroid_id"), *dist_cols)
+    d1 = None
+    d2 = None
+    for i in range(len(centroids)):
+        own = F.when(F.col("centroid_id") == i, F.col(f"_d{i}"))
+        d1 = own if d1 is None else F.coalesce(d1, own)
+        others = [
+            F.col(f"_d{j}") for j in range(len(centroids)) if j != i
+        ]
+        sec = F.when(F.col("centroid_id") == i, F.least(*others))
+        d2 = sec if d2 is None else F.coalesce(d2, sec)
+    per = base.select(
+        "centroid_id",
+        F.floor(1_000_000 * (d2 - d1)).cast("long").alias("_m_micro"),
+        F.floor(1_000_000 * d1).cast("long").alias("_d1_micro"),
+    )
+    return (
+        per.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(
+                "CAST((sum(_m_micro) div count(1)) div 1000 AS BIGINT)"
+            ).alias("mean_margin_milli"),
+            F.min("_m_micro").cast("long").alias("min_margin_micro"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN 10 * _m_micro"
+                " < _d1_micro THEN 1 ELSE 0 END)) div count(1)"
+                " AS BIGINT)"
+            ).alias("thin_ppm"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -781,6 +781,12 @@ def test_oracled_queries_precede_rows_only():
         "cross_correlation",
         # series peaks — rate_anomalies' spike finder
         "series_peaks",
+        # cluster quality — ivf_assign's distance machinery, judged
+        "cluster_quality",
+        # cluster purity/NMI — bcubed_eval's external-validity pair
+        "cluster_purity",
+        # assignment margins — hard_negatives' unsupervised cousin
+        "assignment_margins",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

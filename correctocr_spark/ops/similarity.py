@@ -1476,7 +1476,7 @@ def cluster_quality(
         )
     )
     return (
-        agg.join(db, on="centroid_id", how="left")
+        agg.join(F.broadcast(db), on="centroid_id", how="left")
         .select(
             "centroid_id",
             "n",

@@ -6005,6 +6005,49 @@ def _cluster_purity_sql():
     """
 
 
+def q_neyman(spark, sf_dir):
+    """Neyman variance-optimal allocation of a 1000-doc eval budget
+    across sources by length spread — micro-quantized N_h·S_h
+    weights, exact Hamilton remainder (quotas sum to exactly 1000)."""
+    _ship(spark)
+    from correctocr_spark.ops.cleaning import neyman_allocation
+
+    return neyman_allocation(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", total=1000
+    ).orderBy("grp")
+
+
+def q_dedup_sweep(spark, sf_dir):
+    """Near-dup threshold decision curve over the exact-Jaccard pair
+    table (tau in 0.5..0.9): pairs firing and distinct docs touched
+    per cutoff — integer counts, ppm vs the corpus."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import (
+        dedup_threshold_sweep,
+        jaccard_pairs,
+        shingles_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        shingles_df(docs, k=SHINGLE_K), threshold=0.3
+    )
+    return dedup_threshold_sweep(
+        pairs, n_corpus_docs=docs.count()
+    ).orderBy("threshold_milli")
+
+
+def q_simpson(spark, sf_dir):
+    """Simpson diversity + effective vocabulary size per language —
+    pure integer collision probability, no logarithms."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import simpson_diversity
+
+    return simpson_diversity(
+        _lang_words(spark, sf_dir), "word", "lang"
+    ).orderBy("grp")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -6779,6 +6822,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_purity": q_cluster_purity,
         # nearest-vs-second centroid margin audit
         "assignment_margins": q_assignment_margins,
+        # Neyman variance-optimal budget allocation
+        "neyman_allocation": q_neyman,
+        # near-dup threshold decision curve
+        "dedup_threshold_sweep": q_dedup_sweep,
+        # Simpson diversity / effective vocabulary size
+        "simpson_diversity": q_simpson,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -6963,6 +7012,62 @@ def _jaccard_sql() -> str:
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+    """
+
+
+def _dedup_sweep_sql() -> str:
+    """All-pairs jaccard (the _jaccard_sql machinery) gated at 0.3,
+    then the threshold decision curve: pair counts and per-doc-max
+    docs-touched per milli cutoff."""
+    return f"""
+        {_SHINGLES_SQL}
+        , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id)
+        , inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_inter
+            FROM sh2 a JOIN sh2 b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        , pr AS (
+            SELECT doc_a, doc_b,
+                   round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS j
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6)
+                  >= 0.3
+        )
+        , p AS (SELECT doc_a AS a, doc_b AS b, j * 1000 AS sm FROM pr)
+        , ts AS (
+            SELECT unnest([500, 600, 700, 800, 900])::BIGINT
+              AS threshold_milli
+        )
+        , pc AS (
+            SELECT t.threshold_milli, count(*)::BIGINT AS n_pairs
+            FROM p, ts t WHERE p.sm >= t.threshold_milli GROUP BY 1
+        )
+        , dm AS (
+            SELECT d, max(sm) AS mx FROM (
+              SELECT a AS d, sm FROM p
+              UNION ALL SELECT b, sm FROM p
+            ) GROUP BY 1
+        )
+        , dc AS (
+            SELECT t.threshold_milli,
+                   count(*)::BIGINT AS n_docs_touched
+            FROM dm, ts t WHERE dm.mx >= t.threshold_milli GROUP BY 1
+        )
+        SELECT ts.threshold_milli,
+          coalesce(pc.n_pairs, 0)::BIGINT AS n_pairs,
+          coalesce(dc.n_docs_touched, 0)::BIGINT AS n_docs_touched,
+          ((1000000 * coalesce(dc.n_docs_touched, 0))
+           // (SELECT count(*) FROM documents))::BIGINT
+            AS docs_touched_ppm
+        FROM ts
+        LEFT JOIN pc USING (threshold_milli)
+        LEFT JOIN dc USING (threshold_milli)
+        ORDER BY ts.threshold_milli
     """
 
 
@@ -16330,6 +16435,77 @@ FROM documents)
             WHERE ncnt > 0 AND y > nbhd_max
               AND 1000 * (y * ncnt - nsum) >= 0 * ncnt
             ORDER BY t
+        """,
+        # neyman_allocation: micro-quantized N_h·S_h weights into the
+        # stratified_quotas Hamilton machinery, total 1000
+        "neyman_allocation": r"""
+            WITH g AS (
+              SELECT source AS grp, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS s,
+                sum(n_chars * n_chars)::BIGINT AS q
+              FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL
+              GROUP BY 1
+            ),
+            wts AS (
+              SELECT grp, n_docs,
+                CASE WHEN n_docs >= 2 AND (n_docs * q - s * s) > 0
+                  THEN floor(1000.0 * sqrt((CAST(n_docs AS DOUBLE) * q
+                    - CAST(s AS DOUBLE) * s)
+                    / (CAST(n_docs AS DOUBLE) * (n_docs - 1))))::BIGINT
+                  ELSE 0 END AS sd_milli,
+                CASE WHEN n_docs >= 2 AND (n_docs * q - s * s) > 0
+                  THEN floor(1000000.0 * n_docs
+                    * sqrt((CAST(n_docs AS DOUBLE) * q
+                      - CAST(s AS DOUBLE) * s)
+                      / (CAST(n_docs AS DOUBLE)
+                         * (n_docs - 1))))::BIGINT
+                  ELSE 0 END AS weight_micro
+              FROM g
+            ),
+            base AS (
+              SELECT *, sum(weight_micro) OVER () AS W FROM wts
+            ),
+            b2 AS (
+              SELECT grp, n_docs, sd_milli, weight_micro,
+                CASE WHEN W > 0 THEN (1000 * weight_micro) // W
+                  ELSE 0 END AS base_q,
+                CASE WHEN W > 0 THEN (1000 * weight_micro) % W
+                  ELSE 0 END AS rem
+              FROM base
+            ),
+            r AS (
+              SELECT *,
+                row_number() OVER (ORDER BY rem DESC, grp ASC) AS rk,
+                1000 - sum(base_q) OVER () AS leftover
+              FROM b2
+            )
+            SELECT grp, n_docs, sd_milli, weight_micro,
+              (base_q + CASE WHEN rk <= leftover THEN 1 ELSE 0
+                END)::BIGINT AS quota
+            FROM r ORDER BY grp
+        """,
+        # dedup_threshold_sweep: the all-pairs jaccard table gated at
+        # 0.3, per-doc max similarity, threshold expansion
+        "dedup_threshold_sweep": _dedup_sweep_sql(),
+        # simpson_diversity: pure integer collision probability
+        "simpson_diversity": r"""
+            WITH w AS (
+              SELECT lang AS grp, unnest(regexp_split_to_array(
+                lower(text), '\W+')) AS word
+              FROM documents
+            ),
+            per AS (
+              SELECT grp, word, count(*)::BIGINT AS c
+              FROM w WHERE word <> '' GROUP BY 1, 2
+            )
+            SELECT grp, sum(c)::BIGINT AS n,
+              count(*)::BIGINT AS n_keys,
+              ((1000000 * (sum(c) * sum(c) - sum(c * c)))
+               // (sum(c) * sum(c)))::BIGINT AS simpson_ppm,
+              ((1000 * sum(c) * sum(c)) // sum(c * c))::BIGINT
+                AS effective_keys_milli
+            FROM per GROUP BY 1 ORDER BY grp
         """,
         # cluster_quality / cluster_purity / assignment_margins:
         # fold-exact sequential distances (list_reduce == Spark

@@ -341,6 +341,9 @@ HEADLINE = [
     "cluster_quality",
     "cluster_purity",
     "assignment_margins",
+    "neyman_allocation",
+    "dedup_threshold_sweep",
+    "simpson_diversity",
     "bpe_token_counts",
     "extraction_blocks",
 ]

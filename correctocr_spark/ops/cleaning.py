@@ -2671,3 +2671,131 @@ def padding_sweep(
         .cast("long")
         .alias("utilization_bp"),
     )
+
+
+def neyman_allocation(
+    docs: DataFrame,
+    group_col: str,
+    value_col: str,
+    total: int,
+) -> DataFrame:
+    """Neyman (variance-optimal) sample allocation across strata —
+    `stratified_quotas` splits a labeling/eval budget ∝ stratum SIZE;
+    Neyman splits it ∝ N_h·S_h, which minimizes the variance of the
+    estimated corpus mean: a small but wildly-variable stratum (one
+    mixed-quality host) deserves more of the budget than a huge
+    uniform one. The textbook upgrade once per-stratum spread is
+    measurable.
+
+    Per stratum the weight ``w = N_h·S_h`` quantizes ONCE to micro
+    (``S_h`` = sample sd from exact long moments, one fixed IEEE
+    shape); the integer weights then run the exact Hamilton
+    largest-remainder machinery verbatim from `stratified_quotas`
+    (ties → smaller group name), so quotas sum to EXACTLY ``total``.
+    Degenerate strata (N_h < 2 or zero variance) carry weight 0 —
+    they cannot reduce estimator variance; give them floor coverage
+    via a union with `stratified_quotas` if needed (documented).
+    All-zero weights → everything allocated by the remainder rank.
+
+    Returns one row per stratum: ``(grp, n_docs, sd_milli,
+    weight_micro, quota)``.
+
+    Scale: one combinable moment rollup; Hamilton runs on the
+    strata-sized table.
+    """
+    if total < 0:
+        raise ValueError(f"neyman_allocation needs total >= 0, got {total}")
+    g = (
+        ensure_parallelism(docs)
+        .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col(value_col).cast("long")).cast("long").alias("_s"),
+            F.sum(
+                F.col(value_col).cast("long")
+                * F.col(value_col).cast("long")
+            )
+            .cast("long")
+            .alias("_q"),
+        )
+    )
+    sd = (
+        "sqrt((CAST(n_docs AS DOUBLE) * _q - CAST(_s AS DOUBLE) * _s)"
+        " / (CAST(n_docs AS DOUBLE) * (n_docs - 1)))"
+    )
+    wts = g.select(
+        "grp",
+        "n_docs",
+        F.when(
+            (F.col("n_docs") >= 2)
+            & (
+                F.col("n_docs") * F.col("_q") - F.col("_s") * F.col("_s")
+                > 0
+            ),
+            F.expr(f"CAST(floor(1000.0 * {sd}) AS BIGINT)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("sd_milli"),
+        F.when(
+            (F.col("n_docs") >= 2)
+            & (
+                F.col("n_docs") * F.col("_q") - F.col("_s") * F.col("_s")
+                > 0
+            ),
+            F.expr(
+                f"CAST(floor(1000000.0 * n_docs * {sd}) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("weight_micro"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = wts.select(
+        "grp",
+        "n_docs",
+        "sd_milli",
+        "weight_micro",
+        F.sum("weight_micro").over(w_all).alias("_W"),
+    ).select(
+        "grp",
+        "n_docs",
+        "sd_milli",
+        "weight_micro",
+        F.when(
+            F.col("_W") > 0,
+            F.expr(f"CAST(({int(total)} * weight_micro) div _W AS BIGINT)"),
+        )
+        .otherwise(F.lit(0))
+        .alias("_base"),
+        F.when(
+            F.col("_W") > 0,
+            F.expr(f"({int(total)} * weight_micro) % _W"),
+        )
+        .otherwise(F.lit(0))
+        .alias("_rem"),
+    )
+    w_rem = Window.orderBy(F.col("_rem").desc(), F.col("grp").asc())
+    leftover = F.lit(int(total)) - F.sum("_base").over(w_all)
+    return (
+        base.withColumn("_rank", F.row_number().over(w_rem))
+        .withColumn("_leftover", leftover)
+        .select(
+            "grp",
+            "n_docs",
+            "sd_milli",
+            "weight_micro",
+            (
+                F.col("_base")
+                + F.when(
+                    F.col("_rank") <= F.col("_leftover"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )

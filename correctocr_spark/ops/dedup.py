@@ -2182,3 +2182,85 @@ def vocab_overlap(
             .alias("jaccard_bp"),
         )
     )
+
+
+def dedup_threshold_sweep(
+    pairs: DataFrame,
+    n_corpus_docs: int,
+    thresholds_milli: "Sequence[int]" = (500, 600, 700, 800, 900),
+    doc_a_col: str = "doc_a",
+    doc_b_col: str = "doc_b",
+    sim_col: str = "jaccard",
+) -> DataFrame:
+    """Threshold decision curve over a similarity-pair table — THE
+    practical near-dup question (`lsh_tuning_curve` plans the index;
+    this prices the cutoff): for each candidate τ, how many pairs
+    fire and how many distinct documents get touched? The elbow of
+    docs-touched vs τ is where "near-dup" stops meaning mirror and
+    starts meaning topic.
+
+    Exact integers per τ: pair counts by direct comparison of the
+    (round-6) similarity against milli literals; the docs-touched
+    count rides a per-doc MAX-similarity table (one explode + rollup
+    — a doc is touched at τ iff its best pair reaches τ), never a
+    per-τ re-scan of the pair table. Shares are ppm against the
+    caller-supplied corpus size (the pair table alone cannot know
+    it).
+
+    Returns one row per τ: ``(threshold_milli, n_pairs,
+    n_docs_touched, docs_touched_ppm)``.
+
+    Scale: the pair table is the dedup pipeline's own output
+    (LSH-gated, pair-space bounded); one explode + max rollup, one
+    |τ|-way broadcast expansion over the tiny per-doc-max table.
+    """
+    if n_corpus_docs <= 0:
+        raise ValueError(
+            f"n_corpus_docs must be positive, got {n_corpus_docs}"
+        )
+    if not thresholds_milli:
+        raise ValueError("thresholds_milli must be non-empty")
+    sim = F.col(sim_col)
+    p = pairs.select(
+        F.col(doc_a_col).alias("_a"),
+        F.col(doc_b_col).alias("_b"),
+        (sim * 1000).alias("_sm"),
+    )
+    ts = pairs.sparkSession.createDataFrame(
+        [(int(t),) for t in thresholds_milli], "threshold_milli long"
+    )
+    pair_counts = (
+        p.crossJoin(F.broadcast(ts))
+        .where(F.col("_sm") >= F.col("threshold_milli"))
+        .groupBy("threshold_milli")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    doc_max = (
+        p.select(F.col("_a").alias("_d"), "_sm")
+        .unionByName(p.select(F.col("_b").alias("_d"), "_sm"))
+        .groupBy("_d")
+        .agg(F.max("_sm").alias("_mx"))
+    )
+    doc_counts = (
+        doc_max.crossJoin(F.broadcast(ts))
+        .where(F.col("_mx") >= F.col("threshold_milli"))
+        .groupBy("threshold_milli")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_touched"))
+    )
+    return (
+        ts.join(pair_counts, on="threshold_milli", how="left")
+        .join(doc_counts, on="threshold_milli", how="left")
+        .select(
+            "threshold_milli",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_touched", F.lit(0))
+            .cast("long")
+            .alias("n_docs_touched"),
+            F.expr(
+                f"(1000000 * coalesce(n_docs_touched, 0))"
+                f" div {int(n_corpus_docs)}"
+            )
+            .cast("long")
+            .alias("docs_touched_ppm"),
+        )
+    )

@@ -7784,3 +7784,58 @@ def lorenz_curve(
             " * _b._v)) div _b._tot AS BIGINT) END"
         ).alias("share_ppm"),
     )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    key_col: str,
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """Simpson diversity per group — the collision-probability view
+    of concentration completing the panel with `host_lang_entropy`
+    (Shannon, order-1) and `concentration_gini` (Lorenz): ``1 −
+    Σp²`` is the chance two random tokens DIFFER, and its inverse
+    ``n²/Σc²`` is the effective number of equally-common keys — the
+    one diversity number that needs no logarithm and therefore no
+    float at all until the final div.
+
+    Exact: ``Σc²`` and ``n²`` are longs (envelope n ≤ 3·10⁹ per
+    group; shard larger groups), ``simpson_ppm = (10⁶·(n² − Σc²))
+    div n²`` and ``effective_keys_milli = (1000·n²) div Σc²`` are
+    pure integer division. n < 1 → no row.
+
+    Returns one row per group: ``(grp, n, n_keys, simpson_ppm,
+    effective_keys_milli)``.
+
+    Scale: one (group, key) combinable rollup, one group rollup.
+    """
+    gcol = (
+        F.col(group_col).cast("string").alias("grp")
+        if group_col is not None
+        else F.lit("all").alias("grp")
+    )
+    per = (
+        ensure_parallelism(df)
+        .where(F.col(key_col).isNotNull())
+        .groupBy(gcol, F.col(key_col).alias("_k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    return (
+        per.groupBy("grp")
+        .agg(
+            F.sum("_c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_s2"),
+        )
+        .select(
+            "grp",
+            "n",
+            "n_keys",
+            F.expr("(1000000 * (n * n - _s2)) div (n * n)")
+            .cast("long")
+            .alias("simpson_ppm"),
+            F.expr("(1000 * n * n) div _s2")
+            .cast("long")
+            .alias("effective_keys_milli"),
+        )
+    )

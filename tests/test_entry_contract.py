@@ -787,6 +787,12 @@ def test_oracled_queries_precede_rows_only():
         "cluster_purity",
         # assignment margins — hard_negatives' unsupervised cousin
         "assignment_margins",
+        # Neyman allocation — stratified_quotas' variance-optimal twin
+        "neyman_allocation",
+        # dedup threshold sweep — ngram_jaccard's decision curve
+        "dedup_threshold_sweep",
+        # Simpson diversity — host_lang_entropy's log-free sibling
+        "simpson_diversity",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -6029,8 +6029,10 @@ def q_dedup_sweep(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # gate at the sweep's own minimum threshold: pairs below 0.5
+    # cannot appear in any output row, so don't build them
     pairs = jaccard_pairs(
-        shingles_df(docs, k=SHINGLE_K), threshold=0.3
+        shingles_df(docs, k=SHINGLE_K), threshold=0.5
     )
     return dedup_threshold_sweep(
         pairs, n_corpus_docs=docs.count()
@@ -7016,9 +7018,9 @@ def _jaccard_sql() -> str:
 
 
 def _dedup_sweep_sql() -> str:
-    """All-pairs jaccard (the _jaccard_sql machinery) gated at 0.3,
-    then the threshold decision curve: pair counts and per-doc-max
-    docs-touched per milli cutoff."""
+    """All-pairs jaccard (the _jaccard_sql machinery) gated at the
+    sweep's minimum 0.5, then the threshold decision curve: pair
+    counts and per-doc-max docs-touched per milli cutoff."""
     return f"""
         {_SHINGLES_SQL}
         , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id)
@@ -7036,7 +7038,7 @@ def _dedup_sweep_sql() -> str:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6)
-                  >= 0.3
+                  >= 0.5
         )
         , p AS (SELECT doc_a AS a, doc_b AS b, j * 1000 AS sm FROM pr)
         , ts AS (

@@ -6050,6 +6050,41 @@ def q_simpson(spark, sf_dir):
     ).orderBy("grp")
 
 
+def q_neg_sampling(spark, sf_dir):
+    """word2vec negative-sampling table over the top-1000 vocabulary:
+    count^0.75 weights micro-quantized once, exact Hamilton ppm that
+    sums to precisely 10^6."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import negative_sampling_table
+
+    return negative_sampling_table(
+        _lang_words(spark, sf_dir).select("word"), "word", top_v=1000
+    ).orderBy("rank")
+
+
+def q_freq_spectrum(spark, sf_dir):
+    """Frequency-of-frequencies spectrum N_r (r=1..10 + tail) with
+    type/token mass shares — pure integers."""
+    _ship(spark)
+    from correctocr_spark.ops.textstats import freq_spectrum
+
+    return freq_spectrum(
+        _lang_words(spark, sf_dir).select("word"), "word", max_r=10
+    ).orderBy("r")
+
+
+def q_interarrival(spark, sf_dir):
+    """Per-user inter-arrival gap statistics pooled corpus-wide —
+    exact integer moments, CV as the bursty/metronome regime flag,
+    event_id tiebreak pinning same-ts order."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import interarrival_stats
+
+    return interarrival_stats(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -6830,6 +6865,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_sweep": q_dedup_sweep,
         # Simpson diversity / effective vocabulary size
         "simpson_diversity": q_simpson,
+        # word2vec negative-sampling table (exact Hamilton ppm)
+        "negative_sampling": q_neg_sampling,
+        # frequency-of-frequencies spectrum N_r
+        "freq_spectrum": q_freq_spectrum,
+        # inter-arrival burstiness (CV regime flag)
+        "interarrival_stats": q_interarrival,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -16508,6 +16549,103 @@ FROM documents)
               ((1000 * sum(c) * sum(c)) // sum(c * c))::BIGINT
                 AS effective_keys_milli
             FROM per GROUP BY 1 ORDER BY grp
+        """,
+        # negative_sampling: count^0.75 micro weights, Hamilton ppm
+        "negative_sampling": r"""
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(lower(text),
+                '\W+')) AS word
+              FROM documents
+            ),
+            counts AS (
+              SELECT word, count(*)::BIGINT AS n
+              FROM w WHERE word <> '' GROUP BY 1
+            ),
+            kept AS (
+              SELECT word, n,
+                (row_number() OVER (ORDER BY n DESC, word ASC)
+                )::BIGINT AS rank
+              FROM counts QUALIFY rank <= 1000
+            ),
+            k2 AS (
+              SELECT rank, word, n,
+                floor(1000000.0 * pow(CAST(n AS DOUBLE),
+                  750 / 1000.0))::BIGINT AS weight_micro
+              FROM kept
+            ),
+            base AS (
+              SELECT *, sum(weight_micro) OVER () AS W FROM k2
+            ),
+            b2 AS (
+              SELECT rank, word, n, weight_micro,
+                (1000000 * weight_micro) // W AS base_q,
+                (1000000 * weight_micro) % W AS rem
+              FROM base
+            ),
+            r AS (
+              SELECT *,
+                row_number() OVER (ORDER BY rem DESC, word ASC) AS rk,
+                1000000 - sum(base_q) OVER () AS leftover
+              FROM b2
+            )
+            SELECT rank, word, n, weight_micro,
+              (base_q + CASE WHEN rk <= leftover THEN 1 ELSE 0
+                END)::BIGINT AS sample_ppm
+            FROM r ORDER BY rank
+        """,
+        # freq_spectrum: N_r with mass shares, pure integers
+        "freq_spectrum": r"""
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(lower(text),
+                '\W+')) AS word
+              FROM documents
+            ),
+            counts AS (
+              SELECT word, count(*)::BIGINT AS c
+              FROM w WHERE word <> '' GROUP BY 1
+            ),
+            spec AS (
+              SELECT (CASE WHEN c <= 10 THEN c ELSE 0 END)::BIGINT AS r,
+                count(*)::BIGINT AS n_types,
+                sum(c)::BIGINT AS n_tokens
+              FROM counts GROUP BY 1
+            )
+            SELECT r, n_types, n_tokens,
+              ((1000000 * n_types) // sum(n_types) OVER ())::BIGINT
+                AS type_share_ppm,
+              ((1000000 * n_tokens) // sum(n_tokens) OVER ())::BIGINT
+                AS token_share_ppm
+            FROM spec ORDER BY r
+        """,
+        # interarrival_stats: per-user gap lag (ts, event_id order),
+        # exact integer moments, one CV shape
+        "interarrival_stats": r"""
+            WITH base AS (
+              SELECT user_id AS k,
+                CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS o
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            gaps AS (
+              SELECT t - lag(t) OVER (PARTITION BY k ORDER BY t, o)
+                AS g
+              FROM base
+            ),
+            a AS (
+              SELECT count(*)::BIGINT AS n_gaps, sum(g)::BIGINT AS s,
+                sum(g * g)::BIGINT AS q, max(g)::BIGINT AS max_gap_sec
+              FROM gaps WHERE g IS NOT NULL
+            )
+            SELECT 'all' AS grp, n_gaps,
+              CASE WHEN n_gaps > 0
+                THEN ((1000 * s) // n_gaps)::BIGINT
+              END AS mean_gap_milli,
+              max_gap_sec,
+              CASE WHEN n_gaps >= 2 AND s > 0
+                THEN floor(1000.0 * sqrt(CAST(n_gaps AS DOUBLE) * q
+                  - CAST(s AS DOUBLE) * s) / s)::BIGINT
+              END AS cv_milli
+            FROM a
         """,
         # cluster_quality / cluster_purity / assignment_margins:
         # fold-exact sequential distances (list_reduce == Spark

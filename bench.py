@@ -344,6 +344,9 @@ HEADLINE = [
     "neyman_allocation",
     "dedup_threshold_sweep",
     "simpson_diversity",
+    "negative_sampling",
+    "freq_spectrum",
+    "interarrival_stats",
     "bpe_token_counts",
     "extraction_blocks",
 ]

@@ -2159,3 +2159,75 @@ def series_peaks(
             ).alias("rise_milli"),
         )
     )
+
+
+def interarrival_stats(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    group_col: "Optional[str]" = None,
+) -> DataFrame:
+    """Inter-arrival time statistics per group — the TEMPORAL
+    burstiness profile (`term_burstiness` is the per-term Fano
+    twin): for each key (user, host) the gaps between consecutive
+    events, pooled per group, with the coefficient of variation as
+    the regime flag — CV ≈ 1 is Poisson (memoryless), CV ≫ 1 is
+    bursty sessions + silence (the human signature), CV ≪ 1 is a
+    metronome (the bot/cron signature crawl politeness actually
+    cares about).
+
+    Gaps are exact integer epoch seconds from a (key)-partitioned
+    lag ordered by ``(ts, order_col)`` — the unique tiebreaker is
+    REQUIRED (the `event_transitions` determinism contract). Moments
+    are exact longs; ``mean_milli = (1000·Σg) div m`` and
+    ``cv_milli = floor(1000·√(m·Σg² − (Σg)²) / Σg)`` are one shape
+    each (CV = sd_pop/mean; Σg = 0 or m < 2 → NULL CV).
+
+    Returns one row per group: ``(grp, n_gaps, mean_gap_milli,
+    max_gap_sec, cv_milli)``.
+
+    Scale: ONE key-hash shuffle + per-key sort window (the
+    `sessionize` plan), then a combinable group rollup.
+    """
+    gcol = (
+        F.col(group_col).cast("string").alias("_g")
+        if group_col is not None
+        else F.lit("all").alias("_g")
+    )
+    base = events.where(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        gcol,
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("_t"),
+        F.col(order_col).alias("_o"),
+    )
+    w = Window.partitionBy("_k").orderBy("_t", "_o")
+    gaps = base.select(
+        "_g",
+        (F.col("_t") - F.lag("_t").over(w)).alias("_gap"),
+    ).where(F.col("_gap").isNotNull())
+    agg = gaps.groupBy(F.col("_g").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("_gap").cast("long").alias("_s"),
+        F.sum(F.col("_gap") * F.col("_gap")).cast("long").alias("_q"),
+        F.max("_gap").cast("long").alias("max_gap_sec"),
+    )
+    return agg.select(
+        "grp",
+        "n_gaps",
+        F.when(
+            F.col("n_gaps") > 0, F.expr("(1000 * _s) div n_gaps")
+        )
+        .cast("long")
+        .alias("mean_gap_milli"),
+        "max_gap_sec",
+        F.when(
+            (F.col("n_gaps") >= 2) & (F.col("_s") > 0),
+            F.expr(
+                "CAST(floor(1000.0 * sqrt(CAST(n_gaps AS DOUBLE) * _q"
+                " - CAST(_s AS DOUBLE) * _s) / _s) AS BIGINT)"
+            ),
+        ).alias("cv_milli"),
+    )

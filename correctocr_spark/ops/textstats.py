@@ -7839,3 +7839,154 @@ def simpson_diversity(
             .alias("effective_keys_milli"),
         )
     )
+
+
+def negative_sampling_table(
+    words: DataFrame,
+    word_col: str = "word",
+    top_v: int = 10_000,
+    power_milli: int = 750,
+    total_ppm: int = 1_000_000,
+) -> DataFrame:
+    """word2vec-style negative-sampling allocation: the top-V
+    vocabulary with sampling mass ∝ count^0.75 (the smoothing that
+    keeps "the" from being every negative while rare words still
+    appear), allocated EXACTLY — the ppm column sums to precisely
+    ``total_ppm`` via the Hamilton largest-remainder machinery
+    (`stratified_quotas` discipline), so a downstream alias-table
+    builder needs no renormalization fudge.
+
+    Per word the raw weight quantizes ONCE — ``w_micro =
+    floor(10⁶·c^(power_milli/1000))`` (one fixed pow shape, same
+    libm both engines) — then pure integers: base = (total·w) div W,
+    remainders ranked (desc, word asc). Ranking into the top-V uses
+    the module's deterministic (count DESC, word ASC) tie-break.
+
+    Returns one row per kept word: ``(rank, word, n, weight_micro,
+    sample_ppm)``.
+
+    Scale: one word rollup (the corpus shuffle); ranking, pow and
+    Hamilton run on the top-V table (WindowGroupLimit keeps the
+    global sort bounded by V).
+    """
+    if top_v < 1:
+        raise ValueError(f"top_v must be positive, got {top_v}")
+    if not 0 < power_milli <= 1000:
+        raise ValueError(
+            f"power_milli must be in (0, 1000], got {power_milli}"
+        )
+    counts = (
+        ensure_parallelism(words)
+        .where(F.col(word_col).isNotNull())
+        .groupBy(F.col(word_col).alias("word"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    kept = (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= int(top_v))
+        .select(
+            "rank",
+            "word",
+            "n",
+            F.expr(
+                f"CAST(floor(1000000.0 * pow(CAST(n AS DOUBLE),"
+                f" {int(power_milli)} / 1000.0)) AS BIGINT)"
+            ).alias("weight_micro"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = int(total_ppm)
+    base = kept.select(
+        "rank",
+        "word",
+        "n",
+        "weight_micro",
+        F.sum("weight_micro").over(wall).alias("_W"),
+    ).select(
+        "rank",
+        "word",
+        "n",
+        "weight_micro",
+        F.expr(f"CAST(({t} * weight_micro) div _W AS BIGINT)").alias(
+            "_base"
+        ),
+        F.expr(f"({t} * weight_micro) % _W").alias("_rem"),
+    )
+    w_rem = Window.orderBy(F.col("_rem").desc(), F.col("word").asc())
+    leftover = F.lit(t) - F.sum("_base").over(wall)
+    return (
+        base.withColumn("_rk", F.row_number().over(w_rem))
+        .withColumn("_left", leftover)
+        .select(
+            "rank",
+            "word",
+            "n",
+            "weight_micro",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("sample_ppm"),
+        )
+    )
+
+
+def freq_spectrum(
+    words: DataFrame,
+    word_col: str = "word",
+    max_r: int = 10,
+) -> DataFrame:
+    """Frequency-of-frequencies spectrum N_r (how many word types
+    occur exactly r times), r = 1..max_r plus an aggregated tail —
+    the raw table behind `vocab_richness`'s Chao1/Good-Turing
+    scalars, and the standard first exhibit of any corpus statistics
+    section (N_1/N ratio = unseen mass, N_1/N_2 = Chao1's engine).
+    Mass shares ride along so the "hapax types are half the
+    vocabulary but 2% of tokens" sentence reads off one row.
+
+    Pure integers end to end.
+
+    Returns one row per bucket (r = 1..max_r, then r = 0 for the
+    ``> max_r`` tail): ``(r, n_types, n_tokens, type_share_ppm,
+    token_share_ppm)``.
+
+    Scale: the word rollup, then a count rollup of the VOCAB table —
+    two combinable shuffles, the second vocabulary-sized.
+    """
+    if max_r < 1:
+        raise ValueError(f"max_r must be >= 1, got {max_r}")
+    counts = (
+        ensure_parallelism(words)
+        .where(F.col(word_col).isNotNull())
+        .groupBy(F.col(word_col).alias("_w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    bucket = F.when(F.col("_c") <= int(max_r), F.col("_c")).otherwise(
+        F.lit(0)
+    )
+    spec = counts.groupBy(bucket.cast("long").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("_c").cast("long").alias("n_tokens"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return spec.select(
+        "r",
+        "n_types",
+        "n_tokens",
+        F.expr(
+            "CAST((1000000 * n_types) div sum(n_types) OVER"
+            " (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED"
+            " FOLLOWING) AS BIGINT)"
+        ).alias("type_share_ppm"),
+        F.expr(
+            "CAST((1000000 * n_tokens) div sum(n_tokens) OVER"
+            " (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED"
+            " FOLLOWING) AS BIGINT)"
+        ).alias("token_share_ppm"),
+    )

@@ -793,6 +793,12 @@ def test_oracled_queries_precede_rows_only():
         "dedup_threshold_sweep",
         # Simpson diversity — host_lang_entropy's log-free sibling
         "simpson_diversity",
+        # negative sampling — stratified_quotas' Hamilton, ^0.75 mass
+        "negative_sampling",
+        # frequency spectrum — vocab_richness's raw N_r table
+        "freq_spectrum",
+        # inter-arrival CV — term_burstiness's temporal twin
+        "interarrival_stats",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -6085,6 +6085,42 @@ def q_interarrival(spark, sf_dir):
     )
 
 
+def q_global_transitivity(spark, sf_dir):
+    """Closed-wedge ratio of the tau=0.5 near-dup pair graph — the
+    threshold sanity number (a true mirror relation is transitive);
+    degree-ordered closure join, exact integer ppm."""
+    _ship(spark)
+    from correctocr_spark.ops.dedup import jaccard_pairs, shingles_df
+    from correctocr_spark.ops.graph import global_transitivity
+
+    pairs = jaccard_pairs(
+        shingles_df(_t(spark, sf_dir, "documents"), k=SHINGLE_K),
+        threshold=0.5,
+    )
+    return global_transitivity(pairs, "doc_a", "doc_b")
+
+
+def q_group_trend(spark, sf_dir):
+    """Per-event-type OLS slope and R2 of daily volumes over epoch
+    days — the drift screening table; exact long moments,
+    decimal/HUGEINT products for R2."""
+    _ship(spark)
+    from correctocr_spark.ops.temporal import group_trend
+
+    s = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    return group_trend(s, "event_type", "day", "y").orderBy("grp")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (pinned by tests/test_entry_contract.py::
     # test_oracled_queries_precede_rows_only): the driver's correctness
@@ -6871,6 +6907,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_spectrum": q_freq_spectrum,
         # inter-arrival burstiness (CV regime flag)
         "interarrival_stats": q_interarrival,
+        # closed-wedge ratio of the near-dup pair graph
+        "global_transitivity": q_global_transitivity,
+        # per-facet OLS drift screen (slope + R2)
+        "group_trend": q_group_trend,
         # ---- tier 3: rows-only (non-SQL: HMM beam + heuristics, plus
         # the zlib compression signal — deterministic but not
         # SQL-expressible; kernel-zlib identity pinned in pytest) ----
@@ -7111,6 +7151,75 @@ def _dedup_sweep_sql() -> str:
         LEFT JOIN pc USING (threshold_milli)
         LEFT JOIN dc USING (threshold_milli)
         ORDER BY ts.threshold_milli
+    """
+
+
+def _transitivity_sql() -> str:
+    """tau=0.5 pair graph from the _jaccard_sql machinery, then the
+    triangle_count degree-ordered closure, reduced globally."""
+    return f"""
+        {_SHINGLES_SQL}
+        , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id)
+        , inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_inter
+            FROM sh2 a JOIN sh2 b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        , pr AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6)
+                  >= 0.5
+        )
+        , und AS (
+            SELECT DISTINCT least(doc_a, doc_b) AS u,
+                   greatest(doc_a, doc_b) AS v
+            FROM pr WHERE doc_a <> doc_b
+        )
+        , deg AS (
+            SELECT node, count(*)::BIGINT AS degree FROM (
+              SELECT u AS node FROM und
+              UNION ALL SELECT v AS node FROM und
+            ) GROUP BY node
+        )
+        , ori AS (
+            SELECT CASE WHEN (du.degree < dv.degree)
+                             OR (du.degree = dv.degree AND u < v)
+                        THEN u ELSE v END AS a,
+                   CASE WHEN (du.degree < dv.degree)
+                             OR (du.degree = dv.degree AND u < v)
+                        THEN v ELSE u END AS b,
+                   CASE WHEN (du.degree < dv.degree)
+                             OR (du.degree = dv.degree AND u < v)
+                        THEN dv.degree ELSE du.degree END AS db
+            FROM und
+            JOIN deg du ON du.node = und.u
+            JOIN deg dv ON dv.node = und.v
+        )
+        , wedg AS (
+            SELECT w1.b AS x, w2.b AS y
+            FROM ori w1 JOIN ori w2 ON w1.a = w2.a
+            WHERE (w1.db < w2.db) OR (w1.db = w2.db AND w1.b < w2.b)
+        )
+        , tri AS (
+            SELECT count(*)::BIGINT AS n_triangles
+            FROM wedg w JOIN ori e ON e.a = w.x AND e.b = w.y
+        )
+        , st AS (
+            SELECT count(*)::BIGINT AS n_nodes,
+                   sum(degree * (degree - 1) // 2)::BIGINT AS n_wedges
+            FROM deg
+        )
+        , ec AS (SELECT count(*)::BIGINT AS n_edges FROM und)
+        SELECT st.n_nodes, ec.n_edges, st.n_wedges, tri.n_triangles,
+          CASE WHEN st.n_wedges > 0
+            THEN ((3000000 * tri.n_triangles) // st.n_wedges)::BIGINT
+          END AS transitivity_ppm
+        FROM st, ec, tri
     """
 
 
@@ -16646,6 +16755,41 @@ FROM documents)
                   - CAST(s AS DOUBLE) * s) / s)::BIGINT
               END AS cv_milli
             FROM a
+        """,
+        # global_transitivity: near-dup pair graph closed-wedge ratio
+        "global_transitivity": _transitivity_sql(),
+        # group_trend: per-facet OLS slope/R2 from exact long moments
+        "group_trend": r"""
+            WITH s AS (
+              SELECT event_type AS grp,
+                datediff('day', DATE '1970-01-01',
+                         CAST(ts AS DATE))::BIGINT AS t,
+                count(*)::BIGINT AS y
+              FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            a AS (
+              SELECT grp, count(*)::BIGINT AS n,
+                sum(t)::BIGINT AS st, sum(y)::BIGINT AS sy,
+                sum(t * y)::BIGINT AS sty, sum(t * t)::BIGINT AS stt,
+                sum(y * y)::BIGINT AS syy
+              FROM s GROUP BY 1
+            )
+            SELECT grp, n,
+              CASE WHEN n >= 2 AND (n * stt - st * st) > 0
+                THEN floor(1000.0 * (n * sty - st * sy)::DOUBLE
+                  / (n * stt - st * st)::DOUBLE)::BIGINT
+              END AS slope_milli,
+              CASE WHEN n >= 2 AND (n * stt - st * st) > 0
+                        AND (n * syy - sy * sy) > 0
+                THEN floor(1000.0
+                  * ((n * sty - st * sy)::HUGEINT
+                     * (n * sty - st * sy))::DOUBLE
+                  / ((n * stt - st * st)::HUGEINT
+                     * (n * syy - sy * sy))::DOUBLE)::BIGINT
+              END AS r2_milli
+            FROM a ORDER BY grp
         """,
         # cluster_quality / cluster_purity / assignment_margins:
         # fold-exact sequential distances (list_reduce == Spark

@@ -347,6 +347,8 @@ HEADLINE = [
     "negative_sampling",
     "freq_spectrum",
     "interarrival_stats",
+    "global_transitivity",
+    "group_trend",
     "bpe_token_counts",
     "extraction_blocks",
 ]

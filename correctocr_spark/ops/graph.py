@@ -1322,3 +1322,97 @@ def rich_club(
             .alias("phi_ppm"),
         )
     )
+
+
+def global_transitivity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Global transitivity (closed-wedge ratio) of the undirected
+    simple projection — for the near-dup pair graph this is the
+    THRESHOLD SANITY number `dedup_threshold_sweep` can't see: a
+    true mirror relation is (nearly) transitive, so a dedup cutoff
+    whose pair graph closes few of its wedges (a~b, b~c, a≁c
+    everywhere) is clustering topics, not duplicates — lower τ
+    verdicts straight from the pair table, before any
+    connected-components commitment.
+
+    ``transitivity_ppm = (3·10⁶·T) div W`` with exact longs: W =
+    Σ_v d_v(d_v−1)/2 wedges and T from the `triangle_count`
+    degree-ordered closure join (each triangle closes exactly once,
+    O(√m) fan-out under hub skew — same machinery, global reduction
+    instead of per-node). W = 0 → NULL.
+
+    Returns one row: ``(n_nodes, n_edges, n_wedges, n_triangles,
+    transitivity_ppm)``.
+
+    Scale: the `triangle_count` shuffles minus the per-node rollup.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .persist()
+    )
+    und.count()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .persist()
+    )
+    deg.count()
+    base = und.join(
+        deg.select(F.col("node").alias("u"), F.col("degree").alias("_du")),
+        on="u",
+    ).join(
+        deg.select(F.col("node").alias("v"), F.col("degree").alias("_dv")),
+        on="v",
+    )
+    lower = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    ori = base.select(
+        F.when(lower, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lower, F.col("_dv")).otherwise(F.col("_du")).alias("_db"),
+    )
+    w1 = ori.select("a", F.col("b").alias("x"), F.col("_db").alias("_dx"))
+    w2 = ori.select("a", F.col("b").alias("y"), F.col("_db").alias("_dy"))
+    wedges = w1.join(w2, on="a").where(
+        (F.col("_dx") < F.col("_dy"))
+        | ((F.col("_dx") == F.col("_dy")) & (F.col("x") < F.col("y")))
+    )
+    closure = ori.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    )
+    tri = wedges.join(closure, on=["x", "y"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("CAST(sum(degree * (degree - 1) div 2) AS BIGINT)").alias(
+            "n_wedges"
+        ),
+    )
+    ecnt = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    out = (
+        stats.crossJoin(F.broadcast(ecnt))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.expr("(3000000 * n_triangles) div n_wedges"),
+            )
+            .cast("long")
+            .alias("transitivity_ppm"),
+        )
+    )
+    return out

@@ -2231,3 +2231,81 @@ def interarrival_stats(
             ),
         ).alias("cv_milli"),
     )
+
+
+def group_trend(
+    series: DataFrame,
+    group_col: str,
+    t_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group OLS trend screen — slope and R² of y over t for
+    EVERY facet at once: "which sources' daily volumes are drifting,
+    and how hard?" The screening table `theil_sen` (one robust
+    slope) and `trend_gate` (one global test) don't produce, and the
+    natural input to `bh_fdr` once the slopes get z-scores. t need
+    not be dense — OLS doesn't care (epoch days work as-is).
+
+    Exact long moments per group (`pearson_corr` algebra):
+    ``cov = n·Σty − Σt·Σy``, ``var_t = n·Σt² − (Σt)²``, ``var_y``
+    likewise; ``slope_milli = floor(1000·cov/var_t)`` and
+    ``r2_milli = floor(1000·cov²/(var_t·var_y))`` — cov² and the
+    denominator product run in decimal(38,0)/HUGEINT (the
+    `partial_corr` envelope). Degenerate groups (n < 2, zero
+    variance either side) → NULLs.
+
+    Returns one row per group: ``(grp, n, slope_milli, r2_milli)``.
+
+    Scale: ONE combinable rollup over the caller's (group, t, y)
+    series — typically itself a daily rollup, so this is free.
+    """
+    base = series.where(
+        F.col(group_col).isNotNull()
+        & F.col(t_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    a = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_t").cast("long").alias("_st"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_t") * F.col("_y")).cast("long").alias("_sty"),
+        F.sum(F.col("_t") * F.col("_t")).cast("long").alias("_stt"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+    )
+    d = a.select(
+        "grp",
+        "n",
+        (F.col("n") * F.col("_sty") - F.col("_st") * F.col("_sy"))
+        .cast("long")
+        .alias("_cov"),
+        (F.col("n") * F.col("_stt") - F.col("_st") * F.col("_st"))
+        .cast("long")
+        .alias("_vt"),
+        (F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+        .cast("long")
+        .alias("_vy"),
+    )
+    return d.select(
+        "grp",
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (F.col("_vt") > 0),
+            F.expr(
+                "CAST(floor(1000.0 * CAST(_cov AS DOUBLE)"
+                " / CAST(_vt AS DOUBLE)) AS BIGINT)"
+            ),
+        ).alias("slope_milli"),
+        F.when(
+            (F.col("n") >= 2) & (F.col("_vt") > 0) & (F.col("_vy") > 0),
+            F.expr(
+                "CAST(floor(1000.0"
+                " * CAST(CAST(_cov AS DECIMAL(38,0)) * _cov AS DOUBLE)"
+                " / CAST(CAST(_vt AS DECIMAL(38,0)) * _vy AS DOUBLE))"
+                " AS BIGINT)"
+            ),
+        ).alias("r2_milli"),
+    )

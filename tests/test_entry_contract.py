@@ -799,6 +799,10 @@ def test_oracled_queries_precede_rows_only():
         "freq_spectrum",
         # inter-arrival CV — term_burstiness's temporal twin
         "interarrival_stats",
+        # global transitivity — triangle_count's global reduction
+        "global_transitivity",
+        # per-facet OLS drift screen — pearson_corr's moments
+        "group_trend",
     }, (
         f"unexpected oracled queries pushed past the driver's 50-entry "
         f"window: {sorted(overflow)}"

@@ -152,17 +152,22 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def shingles_df(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """Distinct word k-shingles per doc (the MinHash/Jaccard universe)."""
-    words = normalized_words(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-    )
+    """Distinct word k-shingles per doc (the MinHash/Jaccard universe).
+
+    Dedup happens ROW-LOCALLY (``array_distinct`` before the explode,
+    via :func:`shingles_col`) instead of a global ``.distinct()``: the
+    distinct-ness of (doc_id, shingle) is entirely within-document, so
+    a corpus-wide shuffle to enforce it moved every shingle over the
+    network for nothing (guide §2.4 — remove shuffles outright). Output
+    is identical for the module-wide contract that ``id_col`` is unique
+    per input row (every caller's contract; duplicate-id inputs belong
+    to exact-dedup, upstream of any shingle pass)."""
     return (
         ensure_parallelism(docs)
-        .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .where(F.col("shingle") != "")
-        .distinct()
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles_col(text_col, k)).alias("shingle"),
+        )
     )
 
 
@@ -290,30 +295,35 @@ def lsh_candidate_pairs(
             )
         ).alias("band_key"),
     )
+    # Bucket membership lists instead of a bucket self-join: group by
+    # band_key, drop singleton buckets (no pair can come from them) and
+    # over-cap buckets in the SAME aggregation, then explode the i<j
+    # pairs from the sorted member list row-locally. Identical pair set
+    # (same buckets, same doc_a < doc_b orientation, same distinct), but
+    # the plan is one keyed shuffle + one distinct — the self-join form
+    # needed an eager persist+count barrier (two concurrent consumers),
+    # a separate count+semi-join for the cap, and two more exchanges
+    # (guide §2.4). Per-bucket pair fan-out is bounded by max_bucket
+    # exactly as before; the collected member list is f ≤ max_bucket
+    # entries, never the f² join rows.
+    members = (
+        banded.groupBy("band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ds"))
+        .where(F.size("_ds") >= 2)
+    )
     if max_bucket is not None:
-        small = (
-            banded.groupBy("band_key")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") <= max_bucket)
-            .select("band_key")
-        )
-        banded = banded.join(small, on="band_key", how="left_semi")
-    # a self-join duplicates unpersisted lineage — without this persist
-    # the whole shingle->minhash aggregation runs twice (once per side);
-    # the count materializes it BEFORE the two join sides launch (a lazy
-    # persist read by two concurrent stages can still compute once per
-    # side — storage dedupes, in-flight computation does not)
-    banded = banded.persist()
-    banded.count()
-    left = banded.alias("a")
-    right = banded.alias("b")
+        members = members.where(F.size("_ds") <= max_bucket)
     out = (
-        left.join(right, on="band_key")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        members.select(F.posexplode("_ds").alias("_i", "doc_a"), "_ds")
+        .select(
+            "doc_a",
+            F.explode(F.slice("_ds", F.col("_i") + 2, F.size("_ds"))).alias(
+                "doc_b"
+            ),
+        )
         .distinct()
     )
-    return register_intermediates(out, banded)
+    return out
 
 
 def jaccard_pairs(
@@ -332,37 +342,58 @@ def jaccard_pairs(
     not the pair-space — for the scale path use
     :func:`jaccard_verify_candidates`, which gates BEFORE any pairwise
     work.
+
+    Pair generation is POSTING-LIST shaped, not a self-join: each doc's
+    set size rides along from one doc-keyed window, postings group by
+    shingle (singleton shingles — the vast majority of any corpus —
+    drop before any pairwise work), and the i<j pairs explode from the
+    sorted posting row-locally. Same O(freq²) pair multiset, but the
+    plan has no join at all until the (already aggregated) pair table
+    meets nothing — three keyed shuffles total, no persist barrier, no
+    double-scan of the shingle stream (guide §2.3/§2.4; the self-join
+    form paid an eager persist+count plus four extra exchanges).
     """
-    # the shingle table feeds a self-join plus the sizes aggregation —
-    # persist so the explode+distinct scan runs once, not three times
-    shingles = shingles.persist()
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(b, on="shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    from pyspark.sql import Window
+
+    sized = shingles.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    posting = (
+        sized.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "_n"))).alias("_ds"))
+        .where(F.size("_ds") >= 2)
+    )
+    pairs = (
+        posting.select(F.posexplode("_ds").alias("_i", "_a"), "_ds")
+        .select(
+            F.col("_a.doc_id").alias("doc_a"),
+            F.col("_a._n").alias("n_a"),
+            F.explode(
+                F.slice("_ds", F.col("_i") + 2, F.size("_ds"))
+            ).alias("_b"),
+        )
+        .select(
+            "doc_a",
+            "n_a",
+            F.col("_b.doc_id").alias("doc_b"),
+            F.col("_b._n").alias("n_b"),
+        )
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_inter"),
+        F.min("n_a").alias("n_a"),
+        F.min("n_b").alias("n_b"),
     )
     if candidates is not None:
         inter = inter.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        inter.join(sa, on="doc_a")
-        .join(sb, on="doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ).alias("jaccard"),
-        )
+    out = inter.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+        ).alias("jaccard"),
     )
-    return register_intermediates(
-        out.where(F.col("jaccard") >= threshold), shingles
-    )
+    return out.where(F.col("jaccard") >= threshold)
 
 
 def jaccard_verify_candidates(

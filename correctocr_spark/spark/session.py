@@ -20,6 +20,13 @@ def ship_package(spark: SparkSession) -> None:
     ``spark-submit --py-files``; here we zip the package once (content-
     hashed, idempotent) and ``addPyFile`` it.
     """
+    # Memoized per SparkContext: queries()/bench call this once per query
+    # construction, and the walk + md5 + addPyFile RPC (a few ms each) is
+    # pure driver-side overhead after the first call on a context. The
+    # guard lives on the context object so a restarted session re-ships.
+    sc = spark.sparkContext
+    if getattr(sc, "_correctocr_pkg_shipped", False):
+        return
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     root = os.path.dirname(pkg_dir)
     digest = hashlib.md5()
@@ -40,7 +47,8 @@ def ship_package(spark: SparkSession) -> None:
             for path in py_files:
                 zf.write(path, os.path.relpath(path, root))
         os.replace(tmp, zip_path)
-    spark.sparkContext.addPyFile(zip_path)
+    sc.addPyFile(zip_path)
+    sc._correctocr_pkg_shipped = True
 
 
 def get_spark(

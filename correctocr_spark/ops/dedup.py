@@ -448,15 +448,21 @@ def jaccard_verify_candidates(
     # executes the join under AQE): spreads the interpreted shingle-array
     # build across cores AND pre-distributes by the verify-join key; the
     # shuffled payload is candidate members only, a sliver of the corpus
-    arrays = (
+    # persist FIRST, filter the stored arrays after: a size() filter on
+    # the un-cached projection is pushed below the repartition by the
+    # optimizer, re-deriving the whole shingle-array expression from
+    # text on the pre-repartition partitioning (serialized for a
+    # broadcast-semi-join output) — measured as the dominant cost of
+    # this operator before the persist/filter swap
+    arrays_all = (
         members.repartition(F.col(id_col))
         .select(
             F.col(id_col).alias("doc_id"), shingles_col(text_col, k).alias("sh")
         )
-        .where(F.size("sh") > 0)
         .persist()
     )
-    arrays.count()
+    arrays_all.count()
+    arrays = arrays_all.where(F.size("sh") > 0)
     a = arrays.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = arrays.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     counted = (
@@ -480,7 +486,7 @@ def jaccard_verify_candidates(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return register_intermediates(out, candidates, arrays)
+    return register_intermediates(out, candidates, arrays_all)
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
@@ -1309,9 +1315,14 @@ def connected_components(
     to plain propagation (the DuckDB WITH RECURSIVE oracle).
 
     Cost per round: one join + groupBy on the edge list (relax) and one
-    self-join of the label table (jump). Each round's labels are
-    materialized with an EAGER localCheckpoint, which replaces the plan
-    with the materialized RDD and truly cuts lineage. A plain
+    join against the PREVIOUS round's materialized label table (jump —
+    one round stale, which preserves both fixpoint invariants and the
+    logarithmic compounding while giving ``relaxed`` a single consumer,
+    so no per-round persist barrier is needed; round 1 collapses to a
+    single edge-keyed min-aggregate because the initial labeling is the
+    identity). Each round's labels are materialized with an EAGER
+    localCheckpoint, which replaces the plan with the materialized RDD
+    and truly cuts lineage. A plain
     persist-new/unpersist-old cycle is NOT enough: Spark's non-cascading
     unpersist marks dependent cached plans for lazy REBUILD from raw
     lineage, and in a self-referencing iterative loop that rebuild is
@@ -1342,61 +1353,83 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .persist()
     )
-    labels.count()
     changed = 0
     for it in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, on=edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("n_comp"))
-        )
-        relaxed = (
-            labels.join(neighbor_min, on=labels.id == neighbor_min.src, how="left")
-            .select(
-                "id",
-                F.col("component").alias("_prev"),
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
-                ).alias("component"),
+        if it == 0:
+            # round 1 on the identity labeling needs no label join for
+            # the relaxation (label(dst) == dst) and no pointer jump
+            # (label(label) == label): it collapses to one edge-keyed
+            # min-aggregate — two joins fewer than a generic round
+            neighbor_min = edges.groupBy("src").agg(
+                F.min("dst").alias("n_comp")
             )
-        )
-        # the pointer jump self-joins `relaxed` — persist AND eagerly
-        # count first: the module's concurrent-consumer rule (a lazily
-        # persisted subtree read by two concurrently-launching join
-        # sides can compute once PER side; storage dedupes, in-flight
-        # computation does not) applies to this self-join exactly as it
-        # does to the band tables
-        relaxed = relaxed.persist()
-        relaxed.count()
-        lookup = relaxed.select(
-            F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
-        )
-        new_labels = (
-            relaxed.join(lookup, on=relaxed.component == lookup._pid, how="left")
-            .select(
-                "id",
-                "_prev",
-                F.coalesce(F.col("_pcomp"), F.col("component")).alias("component"),
+            new_labels = (
+                edges.select(F.col("src").alias("id"))
+                .distinct()
+                .join(neighbor_min, on=F.col("id") == F.col("src"), how="left")
+                .select(
+                    "id",
+                    F.col("id").alias("_prev"),
+                    F.least(
+                        F.col("id"), F.coalesce(F.col("n_comp"), F.col("id"))
+                    ).alias("component"),
+                )
             )
-        )
+        else:
+            neighbor_min = (
+                edges.join(labels, on=edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("component").alias("n_comp"))
+            )
+            relaxed = (
+                labels.join(
+                    neighbor_min, on=labels.id == neighbor_min.src, how="left"
+                )
+                .select(
+                    "id",
+                    F.col("component").alias("_prev"),
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("n_comp"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
+            # pointer jump through the PREVIOUS round's label table —
+            # already checkpoint-materialized, so `relaxed` has exactly
+            # ONE consumer and needs no persist+count barrier (the r5
+            # form self-joined `relaxed`, forcing an eager cache per
+            # round). Jumping through labels one round stale keeps both
+            # fixpoint invariants (labels only decrease: prev_label(c)
+            # <= c; a label is always a same-component member id) and
+            # the O(log diameter) compounding — the fixpoint, and hence
+            # the returned labeling, is identical.
+            lookup = labels.select(
+                F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
+            )
+            new_labels = (
+                relaxed.join(
+                    lookup, on=relaxed.component == lookup._pid, how="left"
+                )
+                .select(
+                    "id",
+                    "_prev",
+                    F.coalesce(F.col("_pcomp"), F.col("component")).alias(
+                        "component"
+                    ),
+                )
+            )
         # eager checkpoint: materialize THIS round and cut lineage (see
         # docstring — persist alone compounds exponentially here)
         if reliable_checkpoint:
             new_labels = new_labels.checkpoint(eager=True)
         else:
             new_labels = new_labels.localCheckpoint(eager=True)
-        # the eager checkpoint has materialized this round — release the
-        # round-local cache NOW (before the convergence count) so an
-        # error in-between cannot strand it
-        relaxed.unpersist()
         # `_prev` (last round's label) rides along through the round, so
         # convergence detection is a shuffle-free filter-count over the
         # just-checkpointed table — not the extra label-vs-label join it
         # used to be (one whole join stage per round saved)
         changed = new_labels.where(F.col("component") != F.col("_prev")).count()
-        labels.unpersist()
         labels = new_labels.select("id", "component")
         if changed == 0:
             break
@@ -1449,38 +1482,42 @@ def lsh_recall_report(
     cand = lsh_candidate_pairs(
         sig, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
     )
-    # both sides feed two consumers (their own count + the hit join):
-    # persist AND materialize so neither subtree computes twice
-    exact = exact.persist()
-    exact.count()
-    cand = cand.persist()
-    cand.count()
-    hit = exact.join(cand, on=["doc_a", "doc_b"], how="left_semi")
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
-    out = (
-        n_exact.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hit))
-        .select(
-            "n_exact",
-            "n_candidates",
-            "n_hit",
-            F.floor(
-                F.col("n_hit") * 10000.0 / F.greatest(F.col("n_exact"), F.lit(1))
-            )
-            .cast("long")
-            .alias("recall_bp"),
-            F.floor(
-                F.col("n_hit")
-                * 10000.0
-                / F.greatest(F.col("n_candidates"), F.lit(1))
-            )
-            .cast("long")
-            .alias("precision_bp"),
-        )
+    # ONE pair-keyed FULL OUTER join carries all three counts in a
+    # single aggregation: a pair present on the exact side, on the
+    # candidate side, or on both is one row with two presence flags, so
+    # n_exact / n_candidates / n_hit are three conditional counts of
+    # the same scan. The former shape (a semi-join plus three separate
+    # one-row aggregates cross-joined) needed each side persisted AND
+    # eagerly counted to stop its two consumers recomputing it — two
+    # barriers and two extra jobs this plan simply doesn't have
+    # (guide §2.4, §5 on caching only when recompute is dearer).
+    j = exact.withColumn("_e", F.lit(1)).join(
+        cand.withColumn("_c", F.lit(1)), on=["doc_a", "doc_b"], how="full"
     )
-    return register_intermediates(out, exact, cand)
+    out = j.agg(
+        F.count("_e").cast("long").alias("n_exact"),
+        F.count("_c").cast("long").alias("n_candidates"),
+        F.count(F.when(F.col("_e").isNotNull() & F.col("_c").isNotNull(), 1))
+        .cast("long")
+        .alias("n_hit"),
+    ).select(
+        "n_exact",
+        "n_candidates",
+        "n_hit",
+        F.floor(
+            F.col("n_hit") * 10000.0 / F.greatest(F.col("n_exact"), F.lit(1))
+        )
+        .cast("long")
+        .alias("recall_bp"),
+        F.floor(
+            F.col("n_hit")
+            * 10000.0
+            / F.greatest(F.col("n_candidates"), F.lit(1))
+        )
+        .cast("long")
+        .alias("precision_bp"),
+    )
+    return out
 
 
 def bcubed_eval(
@@ -1865,13 +1902,16 @@ def containment_verify(
         .distinct()
     )
     members = docs.join(cand_ids, on=id_col, how="left_semi")
-    arrays = (
+    # persist first, filter the stored arrays after (see
+    # jaccard_verify_candidates: an un-cached size() filter is pushed
+    # below the repartition and re-derives the arrays serialized)
+    arrays_all = (
         members.repartition(F.col(id_col))
         .select(F.col(id_col).alias("doc_id"), shingles_col(text_col, k).alias("sh"))
-        .where(F.size("sh") > 0)
         .persist()
     )
-    arrays.count()
+    arrays_all.count()
+    arrays = arrays_all.where(F.size("sh") > 0)
     a = arrays.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = arrays.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     out = (
@@ -1892,7 +1932,7 @@ def containment_verify(
         )
         .where(F.col("containment_bp") >= threshold_bp)
     )
-    return register_intermediates(out, candidates, arrays)
+    return register_intermediates(out, candidates, arrays_all)
 
 
 def containment_pairs(
@@ -1902,18 +1942,97 @@ def containment_pairs(
     k: int = 3,
     threshold_bp: int = 8000,
 ) -> DataFrame:
-    """Prefix-filtered exact containment pairs — candidates from
-    :func:`containment_prefix_candidates`, verified by
-    :func:`containment_verify`. The asymmetric complement of the
+    """Prefix-filtered exact containment pairs — the integrated form of
+    :func:`containment_prefix_candidates` + :func:`containment_verify`
+    (both kept as the component APIs). The asymmetric complement of the
     Jaccard near-dup pass: catches a snippet/quote/syndicated article
     embedded in a much larger page, which Jaccard-targeted LSH
-    structurally misses."""
-    sh = shingles_df(docs, id_col=id_col, text_col=text_col, k=k)
-    cands = containment_prefix_candidates(sh, threshold_bp=threshold_bp)
-    return containment_verify(
-        docs, cands, id_col=id_col, text_col=text_col, k=k,
-        threshold_bp=threshold_bp,
+    structurally misses.
+
+    Integration buys three structural savings over composing the two
+    components (guide §1.2/§2.4), with identical output:
+
+    - the per-doc shingle ARRAY is built ONCE (persisted) and serves
+      both the exploded prefix-filter chain and the verify sides — the
+      composed form re-ran the HOF-heavy array build on the candidate
+      members, behind a filter the optimizer pushed below the
+      repartition (evaluating the build twice, once serialized);
+    - ``n_sh`` rides along from ``size()`` of that array instead of a
+      second per-doc window;
+    - one eager barrier (the candidate table, which genuinely feeds
+      three consumers) instead of two.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            shingles_col(text_col, k).alias("_sh"),
+        )
+        .persist()
     )
+    base.count()
+    sh = base.select(
+        "doc_id", F.size("_sh").alias("n_sh"), F.explode("_sh").alias("shingle")
+    )
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df_counts, on="shingle").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
+    )
+    prefix = ranked.where(
+        F.col("rn")
+        <= F.col("n_sh")
+        - F.expr(f"(n_sh * {int(threshold_bp)} + 9999) div 10000")
+        + 1
+    ).select("doc_id", "shingle")
+    a = prefix.alias("a")
+    b = sh.select("doc_id", "shingle").alias("b")
+    cands = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    cands.count()
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # the member arrays read the CACHED base — the size filter runs on
+    # stored arrays, never re-deriving them from text
+    arrays = base.join(cand_ids, on="doc_id", how="left_semi").where(
+        F.size("_sh") > 0
+    )
+    va = arrays.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("sh_a"))
+    vb = arrays.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("sh_b"))
+    out = (
+        cands.join(va, on="doc_a")
+        .join(vb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.least(F.size("sh_a"), F.size("sh_b")).cast("long").alias("n_min"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_min",
+            F.expr("(n_inter * 10000) div n_min").cast("long").alias(
+                "containment_bp"
+            ),
+        )
+        .where(F.col("containment_bp") >= threshold_bp)
+    )
+    return register_intermediates(out, base, cands)
 
 
 def dedup_profile(

@@ -2296,7 +2296,6 @@ def novelty_scores(
     (boilerplate) concentrate COUNT mass but min() partials collapse
     them map-side; no self-joins, no windows over the corpus.
     """
-    from .cache import register_intermediates
     from .dedup import shingles_col
 
     if k < 1:
@@ -2304,39 +2303,39 @@ def novelty_scores(
     base = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), shingles_col(text_col, k=k).alias("_sh")
     )
-    # the fan-out table feeds BOTH the min-agg and the attribution
-    # join — persist+count (the ngram_jaccard fan-out rule) so the
-    # shingle generation runs once; caller releases via
-    # cache.release_intermediates
-    exploded = base.select("doc_id", F.explode("_sh").alias("shingle")).persist()
-    exploded.count()
-    first = exploded.groupBy("shingle").agg(F.min("doc_id").alias("_first"))
-    per_doc = (
-        exploded.join(first, on="shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("doc_id") == F.col("_first"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_novel"),
-        )
+    # n_shingles is the per-doc DISTINCT shingle count — exactly
+    # size(_sh), row-local. n_novel needs only the (shingle -> min id)
+    # aggregate REGROUPED BY the winning id: a shingle contributes one
+    # novel credit to precisely the doc that is its min. That removes
+    # the former attribution join back onto the exploded table (and
+    # with it the persist+count barrier the two consumers forced) —
+    # the corpus-scale work is now one explode into a combinable
+    # min-agg plus a winner-keyed count (guide §2.3/§2.4); results are
+    # identical row for row.
+    novel = (
+        base.select("doc_id", F.explode("_sh").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.min("doc_id").alias("_first"))
+        .groupBy(F.col("_first").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
     )
     out = (
-        base.select("doc_id")
-        .join(per_doc, on="doc_id", how="left")
+        base.select("doc_id", F.size("_sh").cast("long").alias("n_shingles"))
+        .join(novel, on="doc_id", how="left")
         .select(
             "doc_id",
-            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            "n_shingles",
             F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
             F.when(
                 F.col("n_shingles") > 0,
-                F.expr("CAST((n_novel * 10000) div n_shingles AS BIGINT)"),
+                F.expr(
+                    "CAST((coalesce(n_novel, 0) * 10000)"
+                    " div n_shingles AS BIGINT)"
+                ),
             ).alias("novelty_bp"),
         )
     )
-    return register_intermediates(out, exploded)
+    return out
 
 
 def novelty_curve(
@@ -2377,7 +2376,12 @@ def novelty_curve(
     base = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), shingles_col(text_col, k=k).alias("_sh")
     )
-    per_bucket_docs = base.groupBy(
+    # the doc-count branch needs only doc_id — scanning through `base`
+    # would re-run the (interpreted, HOF-heavy) shingle-array build for
+    # rows whose arrays are then discarded; count from the pruned scan
+    per_bucket_docs = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id")
+    ).groupBy(
         F.expr(f"doc_id div {int(bucket_size)}").cast("long").alias("bucket")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     firsts = (
@@ -7651,60 +7655,64 @@ def chrf_eval(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    per_order = []
-    for o in range(1, int(max_order) + 1):
-        gc = (
-            base.select(
-                "doc_id", F.explode(grams(F.col("_g"), o)).alias("_gram")
-            )
-            .groupBy("doc_id", "_gram")
-            .agg(F.count(F.lit(1)).cast("long").alias("_cg"))
+    # ONE explode for all orders and both sides (each gram tagged with
+    # its order and a gold/pred flag), then one (doc, order, gram)
+    # count rollup with both sides as conditional sums — this replaces
+    # the former per-order pair of explodes plus a full-outer join
+    # (3 orders × (2 shuffled counts + 1 join + 1 agg) collapsed to
+    # 3 keyed shuffles total; guide §2.3 "aggregate before you
+    # shuffle", §2.4). The counted table is identical to the old
+    # full-outer-joined one: a gram key present on either side appears
+    # once with both counts, absent-side count 0.
+    # a gram's ORDER is recoverable as its length (order-o grams are
+    # exactly the length-o substrings), so the exploded stream carries
+    # only (doc_id, gram, side-flag) plain strings — no struct tagging
+    gold_grams = F.concat(
+        *[grams(F.col("_g"), o) for o in range(1, int(max_order) + 1)]
+    )
+    pred_grams = F.concat(
+        *[grams(F.col("_p"), o) for o in range(1, int(max_order) + 1)]
+    )
+    ex = base.select(
+        "doc_id", F.explode(gold_grams).alias("_gram"), F.lit(1).alias("_s")
+    ).unionByName(
+        base.select(
+            "doc_id", F.explode(pred_grams).alias("_gram"), F.lit(0).alias("_s")
         )
-        pc = (
-            base.select(
-                "doc_id", F.explode(grams(F.col("_p"), o)).alias("_gram")
-            )
-            .groupBy("doc_id", "_gram")
-            .agg(F.count(F.lit(1)).cast("long").alias("_cp"))
-        )
-        j = gc.join(pc, on=["doc_id", "_gram"], how="full").select(
-            "doc_id",
-            F.coalesce("_cg", F.lit(0)).alias("_cg"),
-            F.coalesce("_cp", F.lit(0)).alias("_cp"),
-        )
-        agg = j.groupBy("doc_id").agg(
-            F.sum(F.least("_cg", "_cp")).cast("long").alias("_m"),
-            F.sum("_cg").cast("long").alias("_tg"),
-            F.sum("_cp").cast("long").alias("_tp"),
-        )
-        b2 = int(beta) * int(beta)
-        f_milli = F.when(
-            (F.col("_tg") > 0)
-            & (F.col("_tp") > 0)
-            & (
-                F.expr(
-                    f"{b2}.0 * (CAST(_m AS DOUBLE) / _tp)"
-                    " + (CAST(_m AS DOUBLE) / _tg)"
-                )
-                > 0
-            ),
+    )
+    cnt = ex.groupBy("doc_id", "_gram").agg(
+        F.sum("_s").cast("long").alias("_cg"),
+        F.sum(F.lit(1) - F.col("_s")).cast("long").alias("_cp"),
+    )
+    agg = cnt.withColumn("_o", F.length("_gram")).groupBy("doc_id", "_o").agg(
+        F.sum(F.least("_cg", "_cp")).cast("long").alias("_m"),
+        F.sum("_cg").cast("long").alias("_tg"),
+        F.sum("_cp").cast("long").alias("_tp"),
+    )
+    b2 = int(beta) * int(beta)
+    f_milli = F.when(
+        (F.col("_tg") > 0)
+        & (F.col("_tp") > 0)
+        & (
             F.expr(
-                f"CAST(floor(1000.0 * (1 + {b2})"
-                " * (CAST(_m AS DOUBLE) / _tp)"
-                " * (CAST(_m AS DOUBLE) / _tg)"
-                f" / ({b2}.0 * (CAST(_m AS DOUBLE) / _tp)"
-                " + (CAST(_m AS DOUBLE) / _tg))) AS BIGINT)"
-            ),
-        ).otherwise(
-            F.when((F.col("_tg") > 0) & (F.col("_tp") > 0), F.lit(0))
-        )
-        per_order.append(
-            agg.select("doc_id", f_milli.alias("_f"))
-            .where(F.col("_f").isNotNull())
-        )
-    allf = per_order[0]
-    for df_o in per_order[1:]:
-        allf = allf.unionByName(df_o)
+                f"{b2}.0 * (CAST(_m AS DOUBLE) / _tp)"
+                " + (CAST(_m AS DOUBLE) / _tg)"
+            )
+            > 0
+        ),
+        F.expr(
+            f"CAST(floor(1000.0 * (1 + {b2})"
+            " * (CAST(_m AS DOUBLE) / _tp)"
+            " * (CAST(_m AS DOUBLE) / _tg)"
+            f" / ({b2}.0 * (CAST(_m AS DOUBLE) / _tp)"
+            " + (CAST(_m AS DOUBLE) / _tg))) AS BIGINT)"
+        ),
+    ).otherwise(
+        F.when((F.col("_tg") > 0) & (F.col("_tp") > 0), F.lit(0))
+    )
+    allf = agg.select("doc_id", f_milli.alias("_f")).where(
+        F.col("_f").isNotNull()
+    )
     out = allf.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.expr("CAST(sum(_f) div count(1) AS BIGINT)").alias(

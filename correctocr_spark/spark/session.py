@@ -74,6 +74,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate turns every explode(expr) into an
+        # inferred `size(expr) > 0` filter and pushes it below the
+        # exchange toward the scan — so the generator expression (the
+        # shingle/gram/bucket HOF builds this package explodes
+        # everywhere) is evaluated TWICE per row, the first time on the
+        # pre-repartition partitioning (serialized onto one task for a
+        # single-split scan; measured 2.65 s -> 0.33 s for the sf0.1
+        # shingle explode). The inferred filter only saves shuffling
+        # rows whose generator comes up empty — never worth paying the
+        # generator twice here, at any scale. Scale-independent: this
+        # excludes a rewrite, it does not size anything to local mode.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

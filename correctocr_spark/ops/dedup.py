@@ -573,34 +573,43 @@ def simhash_near_pairs(
             )
         ).alias("band_key"),
     )
-    if max_bucket is not None:
-        small = (
-            banded.groupBy("band_key")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") <= max_bucket)
-            .select("band_key")
+    # bucket member lists instead of a band self-join (the
+    # lsh_candidate_pairs rewrite, with the fingerprint riding in the
+    # member struct so the Hamming verify stays row-local): one keyed
+    # shuffle + one distinct, no persist barrier — the upstream
+    # 64-column vote aggregation now has a single consumer and runs
+    # exactly once by construction. Buckets below 2 members or above
+    # the cap drop inside the same aggregation; identical pair set and
+    # orientation (sort by doc_id, i<j).
+    members = (
+        banded.groupBy("band_key")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias(
+                "_ds"
+            )
         )
-        banded = banded.join(small, on="band_key", how="left_semi")
-    # self-join: persist + eager count so the 64-column vote aggregation
-    # upstream runs once, not once per join side (measured ~25% on the
-    # sf0.1 bench; the count closes the concurrent-stage race too)
-    banded = banded.persist()
-    banded.count()
-    a = banded.alias("a")
-    b = banded.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        .where(F.size("_ds") >= 2)
+    )
+    if max_bucket is not None:
+        members = members.where(F.size("_ds") <= max_bucket)
+    hamming = F.bit_count(F.col("_a.simhash").bitwiseXOR(F.col("_b.simhash")))
     out = (
-        a.join(b, on="band_key")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        members.select(F.posexplode("_ds").alias("_i", "_a"), "_ds")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "_a",
+            F.explode(F.slice("_ds", F.col("_i") + 2, F.size("_ds"))).alias(
+                "_b"
+            ),
+        )
+        .select(
+            F.col("_a.doc_id").alias("doc_a"),
+            F.col("_b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return register_intermediates(out, banded)
+    return out
 
 
 def embedding_dup_pairs(

@@ -1415,4 +1415,9 @@ def global_transitivity(
             .alias("transitivity_ppm"),
         )
     )
-    return out
+    from .cache import register_intermediates
+
+    # und/deg are persisted with eager counts above; tag them so a
+    # long-lived driver's release_intermediates(out) can free them
+    # (ADVICE r5: they were untracked, leaking for the session).
+    return register_intermediates(out, und, deg)

@@ -131,24 +131,40 @@ def lsh_topk(
     return _ranked_topk(scored, k)
 
 
+def sq_dists_col(vec_d: Column, centroids: List[List[float]]) -> Column:
+    """Array of squared L2 distances to each centroid — every distance
+    evaluated exactly once (the building block nearest_centroid_col and
+    cluster_quality share)."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(vec_d, _lit_vec(c), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+
+
+def argmin_col(dists: Column) -> Column:
+    """First index of the minimum of a double array — strict `<` keeps
+    the earlier entry on ties (the module's argmin contract):
+    ``array_position`` returns the FIRST element equal to the array
+    minimum, which is exactly the earliest strict-< winner. Two linear
+    scans of the array per row."""
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def nearest_centroid_col(vec_d: Column, centroids: List[List[float]]) -> Column:
     """Argmin-centroid (squared L2) as one column expression; strict `<`
-    keeps the earlier centroid on ties."""
-    best_id, best_dist = F.lit(0), None
-    for cid, c in enumerate(centroids):
-        cv = _lit_vec(c)
-        dist = F.aggregate(
-            F.zip_with(vec_d, cv, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        if best_dist is None:
-            best_dist = dist
-            best_id = F.lit(0)
-        else:
-            best_id = F.when(dist < best_dist, F.lit(cid)).otherwise(best_id)
-            best_dist = F.when(dist < best_dist, dist).otherwise(best_dist)
-    return best_id.cast("int")
+    keeps the earlier centroid on ties.
+
+    Built as one distance ARRAY folded once: the former chained-when
+    form nested every distance inside all later comparisons, so the
+    interpreted zip_with/aggregate per centroid was evaluated ~2^k
+    times per row instead of once (guide §1.2 — per-task work)."""
+    return argmin_col(sq_dists_col(vec_d, centroids))
 
 
 def ivf_assign(
@@ -907,18 +923,27 @@ def rp_project(
         lambda v: F.round(v * int(scale)).cast("long"),
     )
     d = ensure_parallelism(emb).select(F.col(id_col).alias(id_col), q.alias("_q"))
+    # each component is one zip_with(q, ±1-literal-array) · running sum:
+    # the same exact integer sum as the former chain of dim_in signed
+    # element_at terms, but the expression tree is dim_out small HOF
+    # nodes instead of dim_in·dim_out Add/ElementAt nodes — the former
+    # shape's optimizer/codegen handling dominated the operator's
+    # runtime (measured 2.0 s -> 0.9 s at sf0.1 for 64->8)
     comps = []
     for j in range(dim_out):
-        terms = [
-            F.element_at(F.col("_q"), i + 1)
-            if signs[j][i] > 0
-            else -F.element_at(F.col("_q"), i + 1)
-            for i in range(dim_in)
-        ]
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        comps.append(acc.cast("long"))
+        sarr = F.array(
+            *[
+                F.lit(1 if signs[j][i] > 0 else -1).cast("long")
+                for i in range(dim_in)
+            ]
+        )
+        comps.append(
+            F.aggregate(
+                F.zip_with(F.col("_q"), sarr, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("long")
+        )
     return d.select(id_col, F.array(*comps).alias("proj"))
 
 
@@ -1399,27 +1424,30 @@ def cluster_quality(
         raise ValueError("cluster_quality needs at least 2 centroids")
     vec_d = F.col(vec_col).cast("array<double>")
 
-    def sqdist(c):
-        return F.aggregate(
-            F.zip_with(vec_d, _lit_vec(c), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    cid = nearest_centroid_col(vec_d, centroids)
-    dist_cols = [F.sqrt(sqdist(c)).alias(f"_d{i}") for i, c in enumerate(centroids)]
-    base = embeddings.select(cid.alias("centroid_id"), *dist_cols)
-    a = None
-    for i in range(len(centroids)):
-        di = F.when(F.col("centroid_id") == i, F.col(f"_d{i}"))
-        a = di if a is None else F.coalesce(a, di)
-    b = None
-    for i in range(len(centroids)):
-        others = [
-            F.col(f"_d{j}") for j in range(len(centroids)) if j != i
-        ]
-        bi = F.when(F.col("centroid_id") == i, F.least(*others))
-        b = bi if b is None else F.coalesce(b, bi)
+    # squared distances as ONE array column computed once per row —
+    # the former per-centroid columns plus the chained-when argmin
+    # re-evaluated the interpreted distance fold O(2^k) times per row
+    # (see nearest_centroid_col); argmin, own distance and
+    # nearest-other distance all derive from the array. The project
+    # boundary survives (CollapseProject does not inline non-cheap
+    # expressions used more than once), so values and results are
+    # identical with ~k folds per row.
+    base0 = embeddings.select(sq_dists_col(vec_d, centroids).alias("_sq"))
+    base = base0.select(
+        argmin_col(F.col("_sq")).alias("centroid_id"),
+        F.transform(F.col("_sq"), lambda x: F.sqrt(x)).alias("_d"),
+    )
+    k_ = len(centroids)
+    a = F.element_at(F.col("_d"), F.col("centroid_id") + 1)
+    # min over the other centroids: min of the slices before and after
+    # the own index (array_min of an empty slice is NULL; least skips
+    # NULLs) — the same double set the former least(*others) reduced
+    b = F.least(
+        F.array_min(F.slice(F.col("_d"), F.lit(1), F.col("centroid_id"))),
+        F.array_min(
+            F.slice(F.col("_d"), F.col("centroid_id") + 2, F.lit(k_))
+        ),
+    )
     per = base.select(
         "centroid_id",
         F.floor(1_000_000 * a).cast("long").alias("_a_micro"),

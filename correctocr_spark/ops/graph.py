@@ -57,17 +57,22 @@ def pagerank(
         .distinct()
         .persist()
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
+    # node set and out-degree in ONE aggregation (out-degree = count of
+    # distinct out-edges = sum of src-side flags over the union), so the
+    # loop's two setup tables need one barrier, not two; the initial
+    # rank table derives from the cached deg table and needs no eager
+    # checkpoint of its own
+    deg = (
+        e.select(F.col("src").alias("node"), F.lit(1).alias("_o"))
+        .unionByName(e.select(F.col("dst").alias("node"), F.lit(0).alias("_o")))
+        .groupBy("node")
+        .agg(F.sum("_o").alias("od"))
         .persist()
     )
-    nodes.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).persist()
-    outdeg.count()
+    deg.count()
+    nodes = deg.select("node")
+    outdeg = deg.where(F.col("od") > 0).select(F.col("node").alias("src"), "od")
     ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
-    ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iterations):
         contrib = (
             e.join(ranks, on=e.src == ranks.node)
@@ -88,8 +93,7 @@ def pagerank(
         # eager checkpoint per round — see module docstring
         ranks = new_ranks.localCheckpoint(eager=True)
     e.unpersist()
-    nodes.unpersist()
-    outdeg.unpersist()
+    deg.unpersist()
     return ranks
 
 
@@ -192,9 +196,7 @@ def hits(
         )
         return side.localCheckpoint(eager=True)
 
-    hub = nodes.withColumn("hub", F.lit(scale).cast("long")).localCheckpoint(
-        eager=True
-    )
+    hub = nodes.withColumn("hub", F.lit(scale).cast("long"))
     auth = None
     for _ in range(iterations):
         araw = (
@@ -647,23 +649,29 @@ def trustrank(
         .distinct()
         .persist()
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    # node set, out-degree and seed flag folded into ONE persisted
+    # table (out-degree = sum of src-side flags over the union; the
+    # seed set is broadcast-joined once) — one barrier instead of two,
+    # and the initial rank table derives from the cache with no eager
+    # checkpoint of its own (see pagerank)
     seed_set = seeds.select(F.col(seed_col).alias("node")).distinct()
     flagged = (
-        nodes.join(seed_set.withColumn("_s", F.lit(1)), on="node", how="left")
-        .select("node", F.coalesce("_s", F.lit(0)).cast("long").alias("is_seed"))
+        e.select(F.col("src").alias("node"), F.lit(1).alias("_o"))
+        .unionByName(e.select(F.col("dst").alias("node"), F.lit(0).alias("_o")))
+        .groupBy("node")
+        .agg(F.sum("_o").alias("od"))
+        .join(F.broadcast(seed_set.withColumn("_s", F.lit(1))), on="node", how="left")
+        .select(
+            "node", "od",
+            F.coalesce("_s", F.lit(0)).cast("long").alias("is_seed"),
+        )
         .persist()
     )
     flagged.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).persist()
-    outdeg.count()
+    outdeg = flagged.where(F.col("od") > 0).select(F.col("node").alias("src"), "od")
     ranks = flagged.select(
         "node", (F.lit(init) * F.col("is_seed")).cast("long").alias("rank")
-    ).localCheckpoint(eager=True)
+    )
     for _ in range(iterations):
         contrib = (
             e.join(ranks, on=e.src == ranks.node)
@@ -684,7 +692,6 @@ def trustrank(
         ranks = new_ranks.localCheckpoint(eager=True)
     e.unpersist()
     flagged.unpersist()
-    outdeg.unpersist()
     return ranks
 
 
@@ -1032,27 +1039,26 @@ def personalized_pagerank(
         .distinct()
         .persist()
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     sd = seeds.select(F.col(seed_col).alias("node")).distinct()
-    # fold seed membership into the node table once (broadcast semi
-    # shape); the per-round base term is then a row-local CASE
+    # node set, out-degree and seed flag in ONE persisted table (see
+    # trustrank) — one barrier instead of two, no init checkpoint
     nodes = (
-        nodes.join(
+        e.select(F.col("src").alias("node"), F.lit(1).alias("_o"))
+        .unionByName(e.select(F.col("dst").alias("node"), F.lit(0).alias("_o")))
+        .groupBy("node")
+        .agg(F.sum("_o").alias("od"))
+        .join(
             F.broadcast(sd.withColumn("_is_seed", F.lit(1))), on="node", how="left"
         )
-        .select("node", F.coalesce("_is_seed", F.lit(0)).alias("_is_seed"))
+        .select(
+            "node", "od", F.coalesce("_is_seed", F.lit(0)).alias("_is_seed")
+        )
         .persist()
     )
     nodes.count()
     seed_base = (F.col("_is_seed") * F.lit(int(base))).cast("long")
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).persist()
-    outdeg.count()
+    outdeg = nodes.where(F.col("od") > 0).select(F.col("node").alias("src"), "od")
     ranks = nodes.select("node", seed_base.alias("rank"))
-    ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iterations):
         contrib = (
             e.join(ranks, on=e.src == ranks.node)
@@ -1073,7 +1079,6 @@ def personalized_pagerank(
         ranks = new_ranks.localCheckpoint(eager=True)
     e.unpersist()
     nodes.unpersist()
-    outdeg.unpersist()
     return ranks
 
 

@@ -245,7 +245,7 @@ def unigram_lm_scores(
             ).alias("avg_logprob"),
         )
     )
-    return register_intermediates(out, model)
+    return out
 
 
 def lm_quality_buckets(
@@ -520,8 +520,12 @@ def bigram_lm_scores(
     exploded = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
     )
-    model = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).persist()
-    model.count()
+    # NOT persisted: every model consumer reads the model's OWN groupBy
+    # exchange, which Spark reuses — the eager persist+count barrier
+    # only serialized the plan (measured 2.7 -> 2.0 s at sf0.1); a
+    # bigram-type table read a few times behind one exchange needs no
+    # cache at any scale
+    model = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
     first = F.split(F.col("g"), " ", 2).getItem(0)
     second = F.split(F.col("g"), " ", 2).getItem(1)
     ctx = model.groupBy(first.alias("c")).agg(F.sum("cnt").alias("ctx_cnt"))
@@ -573,7 +577,7 @@ def bigram_lm_scores(
             ).alias("avg_logprob"),
         )
     )
-    return register_intermediates(out, model)
+    return out
 
 
 #: Unicode script ranges as ``\x{..}`` character classes — the syntax
@@ -1086,15 +1090,19 @@ def dsir_weights(
     if smoothing_k < 1:
         raise ValueError(f"smoothing_k must be >= 1, got {smoothing_k}")
     k = int(smoothing_k)
+    # NOT persisted: raw_b's two consumers (the q-distribution and the
+    # scoring join) each read it behind their own exchange, so the
+    # explode runs exactly twice — measured cheaper here than the eager
+    # persist+count barrier it replaced, and the only shape that works
+    # at 100 TB anyway (a corpus-scale feature explode cannot be
+    # cached; re-scanning is the documented trade — guide §5)
     raw_b = (
         ensure_parallelism(raw)
         .select(
             F.col(id_col).alias("doc_id"),
             F.explode(hashed_ngram_buckets(text_col, dims)).alias("b"),
         )
-        .persist()
     )
-    raw_b.count()
     tgt_b = ensure_parallelism(target).select(
         F.explode(hashed_ngram_buckets(text_col, dims)).alias("b")
     )
@@ -1151,9 +1159,7 @@ def dsir_weights(
             ).alias("avg_logweight"),
         )
     )
-    from .cache import register_intermediates
-
-    return register_intermediates(out, raw_b)
+    return out
 
 
 def dsir_topk(
@@ -1271,8 +1277,12 @@ def kn_bigram_lm_scores(
     exploded = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
     )
-    model = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).persist()
-    model.count()
+    # NOT persisted: every model consumer reads the model's OWN groupBy
+    # exchange, which Spark reuses — the eager persist+count barrier
+    # only serialized the plan (measured 2.7 -> 2.0 s at sf0.1); a
+    # bigram-type table read a few times behind one exchange needs no
+    # cache at any scale
+    model = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
     first = F.split(F.col("g"), " ", 2).getItem(0)
     second = F.split(F.col("g"), " ", 2).getItem(1)
     # over distinct-bigram rows: sum(cnt) = c(v·), count(*) = N₁₊(v·)
@@ -1330,7 +1340,7 @@ def kn_bigram_lm_scores(
             ).alias("avg_logprob"),
         )
     )
-    return register_intermediates(out, model)
+    return out
 
 
 def segment_languages(
@@ -1875,14 +1885,14 @@ def pmi_collocations(
     # would add `size(_grams) > 0` and predicate pushdown substitutes the
     # whole staged expression into a scan-level filter whose lambda
     # re-evaluates the word split per gram: a latent O(len²) on long docs
+    # NOT persisted: all four consumers read the model's own groupBy
+    # exchange (reused) — see bigram_lm_scores
     model = (
         with_arr.select(F.explode_outer("_grams").alias("g"))
         .where(F.col("g").isNotNull())
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
     )
-    model.count()
     w1 = F.split(F.col("g"), " ", 2).getItem(0)
     w2 = F.split(F.col("g"), " ", 2).getItem(1)
     left = model.groupBy(w1.alias("w1")).agg(F.sum("cnt").alias("l_cnt"))
@@ -1911,9 +1921,7 @@ def pmi_collocations(
         .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
         .limit(int(top_k))
     )
-    from .cache import register_intermediates
-
-    return register_intermediates(out, model)
+    return out
 
 
 def char_entropy(

@@ -70,20 +70,22 @@ def pagerank(
         .persist()
     )
     deg.count()
-    nodes = deg.select("node")
-    outdeg = deg.where(F.col("od") > 0).select(F.col("node").alias("src"), "od")
-    ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
+    # od RIDES THE RANK TABLE through every checkpoint: a node that
+    # appears in `e` as src always has od >= 1 (od counts its distinct
+    # out-edges), so `rank div od` sees exactly the rows the former
+    # per-round outdeg join kept — one join per round removed, same
+    # integer arithmetic, bit-identical ranks.
+    ranks = deg.select("node", "od", F.lit(init).cast("long").alias("rank"))
     for _ in range(iterations):
-        contrib = (
-            e.join(ranks, on=e.src == ranks.node)
-            .join(outdeg, on="src")
-            .select("dst", F.expr("rank div od").alias("c"))
+        contrib = e.join(ranks, on=e.src == ranks.node).select(
+            "dst", F.expr("rank div od").alias("c")
         )
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
         new_ranks = (
-            nodes.join(incoming, on=nodes.node == incoming.dst, how="left")
+            ranks.join(incoming, on=ranks.node == incoming.dst, how="left")
             .select(
                 "node",
+                "od",
                 (
                     F.lit(base)
                     + F.expr(f"({damping_pct} * coalesce(inc, 0)) div 100")
@@ -94,7 +96,7 @@ def pagerank(
         ranks = new_ranks.localCheckpoint(eager=True)
     e.unpersist()
     deg.unpersist()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def anchor_stats(
@@ -668,21 +670,23 @@ def trustrank(
         .persist()
     )
     flagged.count()
-    outdeg = flagged.where(F.col("od") > 0).select(F.col("node").alias("src"), "od")
+    # od and is_seed ride the rank table (see pagerank): one join per
+    # round removed, identical integer arithmetic.
     ranks = flagged.select(
-        "node", (F.lit(init) * F.col("is_seed")).cast("long").alias("rank")
+        "node", "od", "is_seed",
+        (F.lit(init) * F.col("is_seed")).cast("long").alias("rank"),
     )
     for _ in range(iterations):
-        contrib = (
-            e.join(ranks, on=e.src == ranks.node)
-            .join(outdeg, on="src")
-            .select("dst", F.expr("rank div od").alias("c"))
+        contrib = e.join(ranks, on=e.src == ranks.node).select(
+            "dst", F.expr("rank div od").alias("c")
         )
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
         new_ranks = (
-            flagged.join(incoming, on=flagged.node == incoming.dst, how="left")
+            ranks.join(incoming, on=ranks.node == incoming.dst, how="left")
             .select(
                 "node",
+                "od",
+                "is_seed",
                 (
                     F.lit(base) * F.col("is_seed")
                     + F.expr(f"({damping_pct} * coalesce(inc, 0)) div 100")
@@ -692,7 +696,7 @@ def trustrank(
         ranks = new_ranks.localCheckpoint(eager=True)
     e.unpersist()
     flagged.unpersist()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def cocitation(
@@ -776,24 +780,80 @@ def spam_mass(
     the oracle hash is exact. Returns ``(node, rank, trust,
     spam_mass_bp)``.
 
-    Scale: the two iterations run over the same distinct edge set and
-    node-keyed round shape (each bounded as documented on its
-    operator); the final join is node-keyed on the host-sized table.
+    Scale: both rank vectors ride ONE fused iteration over the shared
+    distinct edge set — the two loops' per-round updates are
+    independent given the previous round's vectors, so each round is
+    still one edge join + one node-keyed aggregation (now carrying two
+    integer columns instead of one) + one eager checkpoint. Fusing
+    halves the round count, computes the distinct edge set and degree
+    table once instead of twice, and deletes the final node-keyed
+    PR⋈TR join (both vectors already share a row). The integer
+    arithmetic per component is verbatim :func:`pagerank` /
+    :func:`trustrank`, so the result is bit-identical to the composed
+    form (pinned by test).
     """
-    pr = pagerank(
-        edges, iterations=iterations, src_col=src_col, dst_col=dst_col
-    ).select("node", F.col("rank").alias("rank"))
-    tr = trustrank(
-        edges, seeds, iterations=iterations,
-        src_col=src_col, dst_col=dst_col, seed_col=seed_col,
-    ).select("node", F.col("rank").alias("trust"))
-    return pr.join(tr, on="node").select(
+    init, base, damping_pct = 1_000_000, 150_000, 85
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    seed_set = seeds.select(F.col(seed_col).alias("node")).distinct()
+    flagged = (
+        e.select(F.col("src").alias("node"), F.lit(1).alias("_o"))
+        .unionByName(e.select(F.col("dst").alias("node"), F.lit(0).alias("_o")))
+        .groupBy("node")
+        .agg(F.sum("_o").alias("od"))
+        .join(F.broadcast(seed_set.withColumn("_s", F.lit(1))), on="node", how="left")
+        .select(
+            "node", "od",
+            F.coalesce("_s", F.lit(0)).cast("long").alias("is_seed"),
+        )
+        .persist()
+    )
+    flagged.count()
+    # od and is_seed RIDE THE RANK TABLE through every checkpoint, so a
+    # round needs no per-round join against the degree table: nodes
+    # appearing in `e` as src always have od >= 1 (od counts distinct
+    # out-edges), so `rank div od` sees exactly the rows the composed
+    # form's outdeg join kept.
+    ranks = flagged.select(
+        "node", "od", "is_seed",
+        F.lit(init).cast("long").alias("pr"),
+        (F.lit(init) * F.col("is_seed")).cast("long").alias("tr"),
+    )
+    for _ in range(iterations):
+        contrib = e.join(ranks, on=e.src == ranks.node).select(
+            "dst",
+            F.expr("pr div od").alias("_cp"),
+            F.expr("tr div od").alias("_ct"),
+        )
+        incoming = contrib.groupBy("dst").agg(
+            F.sum("_cp").alias("_ip"), F.sum("_ct").alias("_it")
+        )
+        new_ranks = ranks.join(
+            incoming, on=ranks.node == incoming.dst, how="left"
+        ).select(
+            "node", "od", "is_seed",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(_ip, 0)) div 100")
+            ).cast("long").alias("pr"),
+            (
+                F.lit(base) * F.col("is_seed")
+                + F.expr(f"({damping_pct} * coalesce(_it, 0)) div 100")
+            ).cast("long").alias("tr"),
+        )
+        ranks = new_ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    flagged.unpersist()
+    return ranks.select(
         "node",
-        "rank",
-        "trust",
+        F.col("pr").alias("rank"),
+        F.col("tr").alias("trust"),
         F.when(
-            F.col("rank") > 0,
-            F.expr("((rank - trust) * 10000) div rank"),
+            F.col("pr") > 0,
+            F.expr("((pr - tr) * 10000) div pr"),
         )
         .otherwise(F.lit(0))
         .cast("long")
@@ -1057,19 +1117,20 @@ def personalized_pagerank(
     )
     nodes.count()
     seed_base = (F.col("_is_seed") * F.lit(int(base))).cast("long")
-    outdeg = nodes.where(F.col("od") > 0).select(F.col("node").alias("src"), "od")
-    ranks = nodes.select("node", seed_base.alias("rank"))
+    # od and _is_seed ride the rank table (see pagerank): one join per
+    # round removed, identical integer arithmetic.
+    ranks = nodes.select("node", "od", "_is_seed", seed_base.alias("rank"))
     for _ in range(iterations):
-        contrib = (
-            e.join(ranks, on=e.src == ranks.node)
-            .join(outdeg, on="src")
-            .select("dst", F.expr("rank div od").alias("c"))
+        contrib = e.join(ranks, on=e.src == ranks.node).select(
+            "dst", F.expr("rank div od").alias("c")
         )
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
         new_ranks = (
-            nodes.join(incoming, on=nodes.node == incoming.dst, how="left")
+            ranks.join(incoming, on=ranks.node == incoming.dst, how="left")
             .select(
                 "node",
+                "od",
+                "_is_seed",
                 (
                     seed_base
                     + F.expr(f"({int(damping_pct)} * coalesce(inc, 0)) div 100")
@@ -1079,7 +1140,7 @@ def personalized_pagerank(
         ranks = new_ranks.localCheckpoint(eager=True)
     e.unpersist()
     nodes.unpersist()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def degree_assortativity(

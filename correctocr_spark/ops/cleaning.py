@@ -299,7 +299,7 @@ def tfidf_top_terms(
     shuffles: (doc, term) counts, then term -> df join; N is one scalar
     aggregate broadcast into the plan.
     """
-    words = ensure_parallelism(docs).select(
+    words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(normalized_words(text_col)).alias("w"),
     ).select("doc_id", F.lower(F.col("w")).alias("term"))
@@ -463,7 +463,7 @@ def corpus_rollup(
     ≤ 1/``approx_accuracy`` (pinned within tolerance of the exact twin
     by test_corpus_rollup_approx)."""
     n_words = F.size(normalized_words(text_col))
-    per_doc = ensure_parallelism(docs).select(
+    per_doc = docs.select(
         F.col(strat_col).alias("stratum"), n_words.alias("n_words")
     )
     if approx:
@@ -550,7 +550,7 @@ def pack_shards(
             )
         span = int(bounds["hi"]) - int(bounds["lo"]) + 1
         width = max(bucket_size, math.ceil(span / max_buckets))
-        d = ensure_parallelism(docs).select(
+        d = docs.select(
             F.col(id_col).alias("doc_id"),
             n_tokens.alias("n_tokens"),
             F.floor((F.col(id_col) - int(bounds["lo"])) / width).alias("_bucket"),
@@ -565,7 +565,7 @@ def pack_shards(
         # bucket-offset + local-window decomposition needs.
         fp = F.md5(F.col(id_col).cast("string"))
         width = max(1, math.ceil(65536 / max_buckets))
-        d = ensure_parallelism(docs).select(
+        d = docs.select(
             F.col(id_col).alias("doc_id"),
             n_tokens.alias("n_tokens"),
             fp.alias("_fp"),
@@ -686,7 +686,7 @@ def extract_links(
     scan-speed; full DOM-aware extraction lives in the HTML kernel, this
     is the relational fast path both engines can agree on exactly."""
     tags = F.regexp_extract_all(F.col(html_col), F.lit(A_TAG_RE), 0)
-    exploded = ensure_parallelism(pages).select(
+    exploded = pages.select(
         F.col(id_col).alias("doc_id"), F.explode(tags).alias("a_tag")
     )
     return exploded.select(
@@ -903,7 +903,7 @@ def skew_report(
         else F.lit(1)
     ).cast("long")
     per_key = (
-        ensure_parallelism(df)
+        df
         .select(F.col(key_col).alias("key"), weight.alias("_w"))
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("_w").alias("n_bytes"))
@@ -1374,7 +1374,7 @@ def outlink_profile(
     """
     from .filters import host_col
 
-    tagged = ensure_parallelism(pages).select(
+    tagged = pages.select(
         F.col(url_col).alias("url"),
         host_col(url_col).alias("_ph"),
         F.regexp_extract_all(F.col(html_col), F.lit(A_TAG_RE), 0).alias("_tags"),
@@ -1489,7 +1489,7 @@ def stratified_sample(
     )
     w = Window.partitionBy(group_col).orderBy(F.col("_h").asc(), F.col(id_col).asc())
     ranked = (
-        ensure_parallelism(docs)
+        docs
         .select(group_col, id_col, h.alias("_h"))
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= F.lit(int(total)))
@@ -1847,7 +1847,7 @@ def corpus_datacard(
     per-lang, per-source, per-fingerprint) + aggregate-sized unions.
     Nothing corpus-sized is collected, windowed, or joined wide.
     """
-    d = ensure_parallelism(docs).select(
+    d = docs.select(
         F.col(id_col).alias("_id"),
         F.coalesce(F.col(lang_col).cast("string"), F.lit("<null>")).alias("_lang"),
         F.coalesce(F.col(source_col).cast("string"), F.lit("<null>")).alias("_src"),
@@ -1940,7 +1940,7 @@ def concentration_gini(
     """
     w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
     per = (
-        ensure_parallelism(df)
+        df
         .select(F.col(key_col).alias("_k"), w.alias("_w"))
         .groupBy("_k")
         .agg(F.sum("_w").cast("long").alias("_x"))
@@ -2078,7 +2078,7 @@ def source_overlap(
     corpus); per-source sizes are a dimension-small broadcast.
     """
     d = (
-        ensure_parallelism(docs)
+        docs
         .select(
             F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
             F.col(source_col).alias("_src"),
@@ -2159,7 +2159,7 @@ def mass_tiers(
         raise ValueError("need 0 < head_bp < torso_bp <= 10000")
     w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
     per = (
-        ensure_parallelism(df)
+        df
         .select(F.col(key_col).alias("key"), w.alias("_w"))
         .groupBy("key")
         .agg(F.sum("_w").cast("long").alias("mass"))
@@ -2236,7 +2236,7 @@ def range_bounds(
     if p < 2:
         raise ValueError("num_partitions must be ≥ 2")
     per = (
-        ensure_parallelism(df)
+        df
         .where(F.col(key_col).isNotNull())
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
@@ -2706,7 +2706,7 @@ def neyman_allocation(
     if total < 0:
         raise ValueError(f"neyman_allocation needs total >= 0, got {total}")
     g = (
-        ensure_parallelism(docs)
+        docs
         .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
         .groupBy(F.col(group_col).alias("grp"))
         .agg(

@@ -1565,7 +1565,7 @@ def bcubed_eval(
     f1_micro)``.
     """
     pg = (
-        ensure_parallelism(items)
+        items
         .select(F.col(pred_col).alias("_p"), F.col(gold_col).alias("_g"))
         .groupBy("_p", "_g")
         .agg(F.count(F.lit(1)).alias("n_pg"))
@@ -2302,7 +2302,7 @@ def vocab_overlap(
     jaccard_bp)``.
     """
     per = (
-        ensure_parallelism(docs)
+        docs
         .where(F.col(group_col).isNotNull())
         .select(
             F.col(group_col).alias("_g"),

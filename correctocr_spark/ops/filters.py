@@ -268,7 +268,7 @@ def domain_blocklist(
     pruned columns beats caching the page table at corpus scale, and
     the second consumer's build side (the distinct hit ids) is tiny.
     """
-    base = ensure_parallelism(pages).select(
+    base = pages.select(
         F.col(id_col).alias("doc_id"),
         F.col(url_col).alias("url"),
         host_col(url_col).alias("_host"),
@@ -459,7 +459,7 @@ def deterministic_shuffle(
 
     fp = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
     width = max(1, math.ceil(65536 / max_buckets))
-    d = ensure_parallelism(docs).select(
+    d = docs.select(
         F.col(id_col).alias("doc_id"),
         fp.alias("_fp"),
         F.floor(F.conv(F.substring(fp, 1, 4), 16, 10).cast("long") / width).alias(
@@ -532,7 +532,7 @@ def host_quota(
     order = ([F.col("_q").desc_nulls_last()] if quality_col else []) + [
         F.col("doc_id")
     ]
-    base = ensure_parallelism(pages).select(
+    base = pages.select(
         F.col(id_col).alias("doc_id"),
         F.col(url_col).alias("url"),
         host_col(url_col).alias("host"),

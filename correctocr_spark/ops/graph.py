@@ -126,7 +126,7 @@ def anchor_stats(
     from pyspark.sql import Window
 
     base = (
-        ensure_parallelism(links)
+        links
         .select(
             F.col(target_col).alias("href"),
             F.trim(F.col(anchor_col)).alias("anchor"),
@@ -374,7 +374,7 @@ def resolve_canonical_chains(
     rounds = max(1, math.ceil(math.log2(max(2, int(max_hops)))))
     # normalize: declared target, with null/empty/self => terminal
     tgt = F.col(canonical_col)
-    base = ensure_parallelism(edges).select(
+    base = edges.select(
         F.col(url_col).alias("url"),
         F.when(
             tgt.isNull() | (tgt == "") | (tgt == F.col(url_col)), F.col(url_col)
@@ -888,7 +888,7 @@ def reciprocal_links(
     an equality on the full reversed pair, not a key expansion.
     """
     e = (
-        ensure_parallelism(edges)
+        edges
         .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
@@ -1034,7 +1034,7 @@ def neighbor_sample(
     from pyspark.sql import Window
 
     e = (
-        ensure_parallelism(edges)
+        edges
         .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
     )

@@ -485,7 +485,7 @@ def bm25_topk(
     # same 25k-doc input), and the Generate pipeline also codegens
     # better off a materialized array column.
     words = (
-        ensure_parallelism(docs)
+        docs
         .select(F.col(id_col).alias("doc_id"), nw.alias("_ws"))
         .select(
             "doc_id",
@@ -495,7 +495,7 @@ def bm25_topk(
     )
     terms = query_terms.select("query_id", "term").distinct()
     totals = (
-        ensure_parallelism(docs)
+        docs
         .select(F.size(nw).cast("long").alias("dl"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl"))
     )
@@ -922,7 +922,7 @@ def rp_project(
         F.col(vec_col).cast("array<double>"),
         lambda v: F.round(v * int(scale)).cast("long"),
     )
-    d = ensure_parallelism(emb).select(F.col(id_col).alias(id_col), q.alias("_q"))
+    d = emb.select(F.col(id_col).alias(id_col), q.alias("_q"))
     # each component is one zip_with(q, ±1-literal-array) · running sum:
     # the same exact integer sum as the former chain of dim_in signed
     # element_at terms, but the expression tree is dim_out small HOF
@@ -1184,7 +1184,7 @@ def burrows_delta(
     if f_top < 1 or h_max < 2:
         raise ValueError("need top_words ≥ 1 and max_groups ≥ 2")
     base = (
-        ensure_parallelism(docs)
+        docs
         .where(F.col(group_col).isNotNull())
         .select(
             F.col(group_col).alias("_g"),

@@ -107,7 +107,7 @@ def kmv_sketch(
     if k < 2:
         raise ValueError(f"kmv_sketch needs k >= 2, got {k}")
     gs = _groups(group_cols)
-    d = ensure_parallelism(df).select(
+    d = df.select(
         *gs, _hash32(F.col(key_col), salt).alias("_h")
     )
     # Distinct BEFORE the top-k window: KMV is defined over distinct
@@ -196,7 +196,7 @@ def hll_registers(
         raise ValueError(f"hll_registers needs 4 <= b <= 16, got {b}")
     gs = _groups(group_cols)
     rest_bits = 32 - b
-    d = ensure_parallelism(df).select(
+    d = df.select(
         *gs, _hash32(F.col(key_col), salt).alias("_h")
     )
     bucket = F.expr(f"_h div {1 << rest_bits}").cast("int")
@@ -522,7 +522,7 @@ def quantile_bins(
         f" length(bin(CAST({value_col} AS BIGINT))) - 1)"
     )
     return (
-        ensure_parallelism(df)
+        df
         .where(v.isNotNull() & (v >= 0))
         .select(
             *gs,
@@ -651,7 +651,7 @@ def kmv_set_ops(
     if k < 2:
         raise ValueError(f"kmv_set_ops needs k >= 2, got {k}")
     d = (
-        ensure_parallelism(df)
+        df
         .select(
             F.col(group_col).cast("string").alias("_g"),
             _hash32(F.col(key_col), salt).alias("_h"),

@@ -636,7 +636,7 @@ def rate_anomalies(
             f"rate_anomalies needs baseline_days >= 1, got {baseline_days}"
         )
     daily = (
-        ensure_parallelism(events)
+        events
         .select(
             F.col(entity_col).alias("entity"),
             F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
@@ -709,7 +709,7 @@ def retention_plan(
     keys = _keys(on)
     ts = F.col(ts_col).cast("long")
     age = F.greatest(F.lit(int(as_of)) - ts, F.lit(0))
-    base = ensure_parallelism(snapshots).select(
+    base = snapshots.select(
         *keys,
         ts.alias(ts_col),
         age.cast("long").alias("age"),
@@ -742,7 +742,7 @@ def status_transitions(
     keys = _keys(on)
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
     pairs = (
-        ensure_parallelism(snapshots)
+        snapshots
         .select(*keys, F.col(ts_col), F.col(status_col).alias("_to"))
         .withColumn("_from", F.lag("_to").over(w))
         .where(F.col("_from").isNotNull())
@@ -981,7 +981,7 @@ def seasonality(
     Output: ``(dow, hour, n_events, share_bp, chi2_term_milli)``.
     """
     cells = (
-        ensure_parallelism(events)
+        events
         .select(
             (((F.dayofweek(F.col(ts_col)) + 5) % 7) + 1)
             .cast("int")
@@ -1140,7 +1140,7 @@ def cusum_changepoint(
     if h_bp < 1:
         raise ValueError(f"cusum_changepoint needs h_bp >= 1, got {h_bp}")
     daily = (
-        ensure_parallelism(events)
+        events
         .select(
             F.col(group_col).cast("string").alias("grp"),
             F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
@@ -1224,7 +1224,7 @@ def ewma_control(
     over the tiny per-day table.
     """
     daily = (
-        ensure_parallelism(events)
+        events
         .select(
             F.col(group_col).cast("string").alias("grp"),
             F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))

@@ -130,7 +130,7 @@ def normalize_text(
         changed = (normed != s) & s.notna()
         return pd.DataFrame({"norm_text": normed, "changed": changed})
 
-    d = ensure_parallelism(docs).select(
+    d = docs.select(
         F.col(id_col).alias("doc_id"), _norm(F.col(text_col)).alias("_n")
     )
     return d.select(
@@ -190,7 +190,7 @@ def unigram_lm_scores(
     one integer), one (doc)-keyed sum. No driver-side model state, so a
     10⁹-type vocabulary never leaves the cluster.
     """
-    exploded = ensure_parallelism(docs).select(
+    exploded = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(normalized_words(text_col)).alias("w"),
     )
@@ -213,27 +213,29 @@ def unigram_lm_scores(
         .cast("long")
         .alias("lp_micro"),
     )
-    per_doc = (
-        exploded.join(scored_model, on="w")
+    # scoring pass: explode_outer keeps wordless docs as one null-word
+    # row, so every doc reaches the doc-keyed aggregation in the same
+    # pass — the former third corpus scan + doc-keyed join back are
+    # gone (guide §2.4). The model covers every corpus word, so the
+    # left join keyed w matches exactly the rows the inner form kept;
+    # count("w") skips the null rows. Identical output.
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(normalized_words(text_col)).alias("w"),
+    )
+    out = (
+        scored.join(scored_model, on="w", how="left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("lp_micro").alias("sum_logprob_micro"),
-        )
-    )
-    # every input doc comes back, including empty ones (no words -> NULL
-    # score, 0 counts)
-    from .cache import register_intermediates
-
-    out = (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, on="doc_id", how="left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
-            F.coalesce(F.col("sum_logprob_micro"), F.lit(0))
+            F.count(F.col("w")).cast("long").alias("n_words"),
+            F.coalesce(F.sum("lp_micro"), F.lit(0))
             .cast("long")
             .alias("sum_logprob_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "sum_logprob_micro",
             F.when(
                 F.col("n_words") > 0,
                 F.round(
@@ -547,25 +549,28 @@ def bigram_lm_scores(
             .alias("lp_micro"),
         )
     )
-    per_doc = (
-        exploded.join(scored_model, on="g")
+    # scoring pass: explode_outer keeps gram-less docs (n_words < 2) as
+    # one null-gram row, so every doc reaches the doc-keyed aggregation
+    # in the same pass — the former third corpus scan + doc-keyed join
+    # back are gone (guide §2.4). The model covers every corpus gram,
+    # so the left join matches exactly the rows the inner form kept;
+    # count("g") skips the null rows. Identical output.
+    scored = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode_outer(grams).alias("g")
+    )
+    out = (
+        scored.join(scored_model, on="g", how="left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("lp_micro").alias("sum_logprob_micro"),
-        )
-    )
-    from .cache import register_intermediates
-
-    out = (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, on="doc_id", how="left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-            F.coalesce(F.col("sum_logprob_micro"), F.lit(0))
+            F.count(F.col("g")).cast("long").alias("n_bigrams"),
+            F.coalesce(F.sum("lp_micro"), F.lit(0))
             .cast("long")
             .alias("sum_logprob_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_logprob_micro",
             F.when(
                 F.col("n_bigrams") > 0,
                 F.round(
@@ -681,7 +686,7 @@ def extraction_token_prf(
     Empty/null sides degrade to 0 counts (precision 0 vs empty
     extraction, recall 0 vs empty gold), never a division error.
     """
-    d = ensure_parallelism(docs).select(
+    d = docs.select(
         F.col(id_col).alias("doc_id"),
         F.coalesce(F.col(expected_col), F.lit("")).alias("_e"),
         F.coalesce(F.col(extracted_col), F.lit("")).alias("_x"),
@@ -1136,23 +1141,29 @@ def dsir_weights(
             ).alias("lam_micro"),
         )
     )
-    per_doc = (
-        raw_b.join(F.broadcast(lam), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("lam_micro").alias("logweight_micro"),
-        )
+    # scoring pass: explode_outer keeps featureless docs as one null-
+    # bucket row, so EVERY raw doc reaches the doc-keyed aggregation in
+    # the same pass — the former third raw scan + doc-keyed left join
+    # back are gone (guide §2.4). λ covers every raw-occurring bucket,
+    # so the left broadcast join matches exactly the rows the inner
+    # form kept; count("b") skips the null rows. Identical output.
+    scored = ensure_parallelism(raw).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(hashed_ngram_buckets(text_col, dims)).alias("b"),
     )
     out = (
-        raw.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
-            F.coalesce(F.col("logweight_micro"), F.lit(0))
+        scored.join(F.broadcast(lam), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("b")).cast("long").alias("n_feats"),
+            F.coalesce(F.sum("lam_micro"), F.lit(0))
             .cast("long")
             .alias("logweight_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "logweight_micro",
             F.when(
                 F.col("n_feats") > 0,
                 F.round(F.col("logweight_micro") / F.col("n_feats") / micro, 6),
@@ -1310,25 +1321,28 @@ def kn_bigram_lm_scores(
             F.round(lp * F.lit(1_000_000.0)).cast("long").alias("lp_micro"),
         )
     )
-    per_doc = (
-        exploded.join(scored_model, on="g")
+    # scoring pass: explode_outer keeps gram-less docs (n_words < 2) as
+    # one null-gram row, so every doc reaches the doc-keyed aggregation
+    # in the same pass — the former third corpus scan + doc-keyed join
+    # back are gone (guide §2.4). The model covers every corpus gram,
+    # so the left join matches exactly the rows the inner form kept;
+    # count("g") skips the null rows. Identical output.
+    scored = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode_outer(grams).alias("g")
+    )
+    out = (
+        scored.join(scored_model, on="g", how="left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("lp_micro").alias("sum_logprob_micro"),
-        )
-    )
-    from .cache import register_intermediates
-
-    out = (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, on="doc_id", how="left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-            F.coalesce(F.col("sum_logprob_micro"), F.lit(0))
+            F.count(F.col("g")).cast("long").alias("n_bigrams"),
+            F.coalesce(F.sum("lp_micro"), F.lit(0))
             .cast("long")
             .alias("sum_logprob_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_logprob_micro",
             F.when(
                 F.col("n_bigrams") > 0,
                 F.round(
@@ -1529,7 +1543,7 @@ def vocab_kl_divergence(
     from .cache import register_intermediates
 
     base = (
-        ensure_parallelism(docs)
+        docs
         .select(F.col(group_col).alias("group"), normalized_words(text_col).alias("_ws"))
         .select("group", F.explode("_ws").alias("w"))
     )
@@ -1805,7 +1819,7 @@ def vocab_health(
     dimension-keyed group agg.
     """
     base = (
-        ensure_parallelism(docs)
+        docs
         .select(F.col(group_col).alias("group"), normalized_words(text_col).alias("_ws"))
         .select("group", F.explode("_ws").alias("w"))
     )
@@ -1867,7 +1881,7 @@ def pmi_collocations(
     # materialize the gram array in its own projection BEFORE the
     # explode: Generate re-evaluates computed child expressions per
     # OUTPUT row (O(len²) on long docs)
-    with_arr = ensure_parallelism(docs).select(
+    with_arr = docs.select(
         normalized_words(text_col).alias("_ws")
     ).select(
         F.when(
@@ -2018,7 +2032,7 @@ def ranking_auc(
     )
     lbl = F.col(label_col).cast("long")
     per_score = (
-        ensure_parallelism(scored)
+        scored
         .groupBy(*gs, F.col(score_col).alias("_s"))
         .agg(
             F.sum(lbl).alias("_pos"),
@@ -2077,7 +2091,7 @@ def agreement_kappa(
         if group_cols is None
         else ([group_cols] if isinstance(group_cols, str) else list(group_cols))
     )
-    d = ensure_parallelism(pairs).select(
+    d = pairs.select(
         *gs, F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
     )
     base = d.groupBy(*gs).agg(
@@ -2184,7 +2198,7 @@ def psi_drift(
 
     def counts(df, name):
         return (
-            ensure_parallelism(df)
+            df
             .select(F.expr(bexpr).alias("_b"))
             .groupBy("_b")
             .agg(F.count(F.lit(1)).cast("long").alias(name))
@@ -2239,7 +2253,7 @@ def threshold_calibration(
         else ([group_cols] if isinstance(group_cols, str) else list(group_cols))
     )
     per = (
-        ensure_parallelism(docs)
+        docs
         .groupBy(*gs, F.col(score_col).cast("long").alias("_s"))
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
     )
@@ -2458,7 +2472,7 @@ def calibration_report(
         F.lit(int(n_bins) - 1).cast("long"),
     )
     agg = (
-        ensure_parallelism(scored)
+        scored
         .select(bin_.alias("bin"), s.alias("_s"), lab.alias("_l"))
         .groupBy("bin")
         .agg(
@@ -2519,7 +2533,7 @@ def pr_curve(
     still meaningful).
     """
     per = (
-        ensure_parallelism(scored)
+        scored
         .select(
             F.col(score_col).cast("long").alias("threshold"),
             F.col(label_col).cast("long").alias("_l"),
@@ -2599,7 +2613,7 @@ def sanitize_controls(
     """
     t = F.col(text_col)
     cleaned = F.regexp_replace(t, CONTROL_CHARS_RE, "")
-    return ensure_parallelism(docs).select(
+    return docs.select(
         F.col(id_col).alias("doc_id"),
         cleaned.alias("clean_text"),
         F.coalesce(F.length(t) - F.length(cleaned), F.lit(0))
@@ -2644,7 +2658,7 @@ def rank_agreement(
     """
     from pyspark.sql import Window
 
-    rows = ensure_parallelism(df).select(
+    rows = df.select(
         F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
     ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
 
@@ -2710,7 +2724,7 @@ def percentile_normalize(
     """
     from pyspark.sql import Window
 
-    rows = ensure_parallelism(df).select(
+    rows = df.select(
         F.col(id_col), F.col(group_col), F.col(score_col)
     )
     per = rows.groupBy(group_col, score_col).agg(
@@ -2770,7 +2784,7 @@ def ks_test(
     from pyspark.sql import Window
 
     g = F.col(group_col)
-    rows = ensure_parallelism(df).where(
+    rows = df.where(
         g.isin([group_a, group_b]) & F.col(score_col).isNotNull()
     )
     per = rows.groupBy(score_col).agg(
@@ -2832,7 +2846,7 @@ def ngram_diversity(
         if group_col is not None
         else F.lit("all").alias("_g")
     )
-    base = ensure_parallelism(docs).select(
+    base = docs.select(
         gcol, normalized_words(text_col).alias("_w")
     )
     for n in ns:
@@ -2906,7 +2920,7 @@ def vocab_richness(
         else F.lit("all").alias("_g")
     )
     per_word = (
-        ensure_parallelism(docs)
+        docs
         .select(gcol, F.explode(normalized_words(text_col)).alias("_w"))
         .groupBy("_g", "_w")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
@@ -2988,7 +3002,7 @@ def zipf_fit(
         else F.lit("all").alias("_g")
     )
     per_word = (
-        ensure_parallelism(docs)
+        docs
         .select(gcol, F.explode(normalized_words(text_col)).alias("_w"))
         .groupBy("_g", "_w")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
@@ -3072,7 +3086,7 @@ def mannwhitney_test(
     from pyspark.sql import Window
 
     g = F.col(group_col)
-    rows = ensure_parallelism(df).where(
+    rows = df.where(
         g.isin([group_a, group_b]) & F.col(score_col).isNotNull()
     )
     per = rows.groupBy(score_col).agg(
@@ -3160,7 +3174,7 @@ def term_burstiness(
     distinct-day rescan. One row per kept term:
     ``(term, n_total, days_active, fano_milli)``.
     """
-    base = ensure_parallelism(docs).select(
+    base = docs.select(
         F.col(ts_col).alias("_d"), F.explode(normalized_words(text_col)).alias("_w")
     )
     per = base.groupBy("_w", "_d").agg(
@@ -3223,7 +3237,7 @@ def weight_ess(
     )
     w = F.col(weight_col).cast("decimal(38,0)")
     agg = (
-        ensure_parallelism(df)
+        df
         .where(F.col(weight_col).isNotNull() & (F.col(weight_col) >= 0))
         .select(gcol, w.alias("_w"))
         .groupBy("_g")
@@ -3305,7 +3319,7 @@ def heaps_fit(
     lo = int(bounds["lo"])
     span = int(bounds["hi"]) - lo + 1
     width = max(1, (span + np_ - 1) // np_)
-    base = ensure_parallelism(docs).select(
+    base = docs.select(
         gcol,
         F.expr(f"(CAST({id_col} AS BIGINT) - {lo}) div {width}").alias("_b"),
         normalized_words(text_col).alias("_ws"),
@@ -3415,7 +3429,7 @@ def benford_deviation(
         "digit long, p_ppm long",
     )
     toks = (
-        ensure_parallelism(docs)
+        docs
         .where(F.col(group_col).isNotNull())
         .select(
             F.col(group_col).alias("_g"),
@@ -3531,7 +3545,7 @@ def robust_location(
         )
 
     base = (
-        ensure_parallelism(df)
+        df
         .where(F.col(value_col).isNotNull())
         .select(gcol, F.col(value_col).cast("long").alias("_x"))
     )
@@ -3594,7 +3608,7 @@ def entropy_rate(
         if group_col is not None
         else F.lit("all").alias("_g")
     )
-    base = ensure_parallelism(docs).select(
+    base = docs.select(
         gcol, normalized_words(text_col).alias("_w")
     )
 
@@ -3687,7 +3701,7 @@ def mcnemar_test(
     """
     a = F.col(a_col).cast("boolean")
     b = F.col(b_col).cast("boolean")
-    agg = ensure_parallelism(df).agg(
+    agg = df.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(a & b, 1).otherwise(0)).cast("long").alias("both_pass"),
         F.sum(F.when(a & ~b, 1).otherwise(0)).cast("long").alias("only_a"),
@@ -3744,7 +3758,7 @@ def contingency_chi2(
     row: ``(n, n_row_cats, n_col_cats, dof, chi2_milli, v2_micro)``.
     """
     cells = (
-        ensure_parallelism(df)
+        df
         .where(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
         .groupBy(F.col(row_col).alias("_r"), F.col(col_col).alias("_c"))
         .agg(F.count(F.lit(1)).cast("long").alias("_o"))
@@ -3827,7 +3841,7 @@ def two_proportion_gate(
     """
     g = F.col(group_col).cast("string")
     p = F.col(pass_col).cast("boolean")
-    agg = ensure_parallelism(df).agg(
+    agg = df.agg(
         F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when((g == group_a) & p, 1).otherwise(0))
         .cast("long")
@@ -4090,7 +4104,7 @@ def brier_decomposition(
         raise ValueError(f"brier_decomposition: bins must be >= 1, got {bins}")
     p = F.col(prob_micro_col).cast("long")
     o = F.col(label_col).cast("boolean").cast("int")
-    base = ensure_parallelism(df).select(
+    base = df.select(
         p.alias("_p"), o.alias("_o")
     ).withColumn(
         "_k",
@@ -4181,7 +4195,7 @@ def trend_test(
     t = F.col(bucket_col).cast("long")
     pb = F.col(pass_col).cast("boolean").cast("int")
     per = (
-        ensure_parallelism(df)
+        df
         .select(t.alias("_t"), pb.alias("_e"))
         .groupBy("_t")
         .agg(
@@ -4252,7 +4266,7 @@ def weighted_percentiles(
             )
     g = F.col(group_col).cast("string") if group_col else F.lit("all")
     vals = (
-        ensure_parallelism(df)
+        df
         .select(
             g.alias("grp"),
             F.col(value_col).cast("long").alias("_v"),
@@ -4319,7 +4333,7 @@ def winsorized_mean(
         )
     g = F.col(group_col).cast("string") if group_col else F.lit("all")
     vals = (
-        ensure_parallelism(df)
+        df
         .select(g.alias("grp"), F.col(value_col).cast("long").alias("_v"))
         .groupBy("grp", "_v")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
@@ -4410,7 +4424,7 @@ def theils_u(
     h_y_given_x_micro, u_bp)``.
     """
     cells = (
-        ensure_parallelism(df)
+        df
         .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .groupBy(
             F.col(x_col).cast("string").alias("_x"),
@@ -4504,7 +4518,7 @@ def conformal_threshold(
         )
     g = F.col(group_col).cast("string") if group_col else F.lit("all")
     vals = (
-        ensure_parallelism(df)
+        df
         .select(g.alias("grp"), F.col(score_col).cast("long").alias("_s"))
         .groupBy("grp", "_s")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
@@ -4566,7 +4580,7 @@ def woe_iv(
     runs on the ≤V-row cell table.
     """
     cells = (
-        ensure_parallelism(df)
+        df
         .where(F.col(feature_col).isNotNull() & F.col(label_col).isNotNull())
         .groupBy(F.col(feature_col).cast("string").alias("feature"))
         .agg(
@@ -4636,7 +4650,7 @@ def cohens_d(
     on the tiny per-group table via unbounded-window grand totals.
     """
     g = (
-        ensure_parallelism(df)
+        df
         .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
         .select(
             F.col(group_col).cast("string").alias("grp"),
@@ -4715,7 +4729,7 @@ def krippendorff_alpha(
     then per-unit aggregation on the cell table; margins broadcast.
     """
     cells = (
-        ensure_parallelism(ratings)
+        ratings
         .where(
             F.col(unit_col).isNotNull()
             & F.col(rater_col).isNotNull()
@@ -4815,7 +4829,7 @@ def cliffs_delta(
     O(n²) pair space is never materialized.
     """
     vals = (
-        ensure_parallelism(df)
+        df
         .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
         .select(
             F.col(group_col).cast("string").alias("grp"),
@@ -4927,7 +4941,7 @@ def sample_size_plan(
     the tiny per-group table with unbounded-window grand totals.
     """
     g = (
-        ensure_parallelism(df)
+        df
         .where(F.col(group_col).isNotNull() & F.col(label_col).isNotNull())
         .groupBy(F.col(group_col).cast("string").alias("grp"))
         .agg(
@@ -5004,7 +5018,7 @@ def best_split(
     — the O(n·distinct) naive scoring never materializes.
     """
     vals = (
-        ensure_parallelism(df)
+        df
         .where(F.col(value_col).isNotNull() & F.col(label_col).isNotNull())
         .groupBy(F.col(value_col).cast("long").alias("_v"))
         .agg(
@@ -5082,7 +5096,7 @@ def anova_oneway(
     k-row table.
     """
     g = (
-        ensure_parallelism(df)
+        df
         .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
         .select(
             F.col(group_col).cast("string").alias("grp"),
@@ -5170,7 +5184,7 @@ def grubbs_outlier(
     table is never shuffled.
     """
     base = (
-        ensure_parallelism(df)
+        df
         .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
         .select(
             F.col(group_col).cast("string").alias("grp"),
@@ -5327,7 +5341,7 @@ def kruskal_wallis(
     back onto the small (group, value) aggregate.
     """
     base = (
-        ensure_parallelism(df)
+        df
         .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
         .select(
             F.col(group_col).cast("string").alias("grp"),
@@ -5427,7 +5441,7 @@ def brown_forsythe(
     the ANOVA rollup. The row table is never shuffled by a window.
     """
     base = (
-        ensure_parallelism(df)
+        df
         .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
         .select(
             F.col(group_col).cast("string").alias("grp"),
@@ -5518,7 +5532,7 @@ def cochran_q(
     k = len(gate_cols)
     if k < 2:
         raise ValueError("cochran_q needs at least 2 gate columns")
-    d = ensure_parallelism(df).select(
+    d = df.select(
         *[F.col(c).cast("long").alias(c) for c in gate_cols]
     )
     lsum = None
@@ -5583,7 +5597,7 @@ def dunn_pairwise(
     pairwise stage is a self-join of the k-row group table.
     """
     base = (
-        ensure_parallelism(df)
+        df
         .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
         .select(
             F.col(group_col).cast("string").alias("grp"),
@@ -5690,7 +5704,7 @@ def kendall_tau(
     are bit lengths, bounded by the value width) — never the rows.
     """
     base = (
-        ensure_parallelism(df)
+        df
         .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .select(
             F.length(F.bin(F.col(x_col).cast("long"))).cast("long").alias("_bx"),
@@ -5824,7 +5838,7 @@ def pearson_corr(
         else F.lit("all").alias("grp")
     )
     base = (
-        ensure_parallelism(df)
+        df
         .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .select(
             gcol,
@@ -5929,7 +5943,7 @@ def cronbach_alpha(
     tot = items[0]
     for it in items[1:]:
         tot = tot + it
-    base = ensure_parallelism(df).where(cond).select(
+    base = df.where(cond).select(
         *[it.alias(f"_i{j}") for j, it in enumerate(items)],
         tot.cast("long").alias("_t"),
     )
@@ -6004,7 +6018,7 @@ def wasserstein_1d(
     from pyspark.sql import Window
 
     g = F.col(group_col)
-    rows = ensure_parallelism(df).where(
+    rows = df.where(
         g.isin([group_a, group_b]) & F.col(score_col).isNotNull()
     )
     per = rows.groupBy(F.col(score_col).cast("long").alias("_s")).agg(
@@ -6087,7 +6101,7 @@ def fleiss_kappa(
     for c in rater_cols:
         cond = cond & F.col(c).isNotNull()
     votes = (
-        ensure_parallelism(df)
+        df
         .where(cond)
         .select(
             F.col(id_col).alias("_i"),
@@ -6178,7 +6192,7 @@ def friedman_test(
     treatment count k is a broadcast scalar.
     """
     cells = (
-        ensure_parallelism(df)
+        df
         .where(
             F.col(block_col).isNotNull()
             & F.col(treatment_col).isNotNull()
@@ -6296,7 +6310,7 @@ def weighted_kappa(
         d = F.abs(i - j)
         return (d * d) if weight == "quadratic" else d
 
-    d = ensure_parallelism(pairs).where(
+    d = pairs.where(
         F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
     ).select(
         F.col(a_col).cast("long").alias("_a"),
@@ -6371,7 +6385,7 @@ def mcc_eval(
     """
     p = F.col(pred_col).cast("boolean")
     t = F.col(truth_col).cast("boolean")
-    a = ensure_parallelism(df).where(p.isNotNull() & t.isNotNull()).agg(
+    a = df.where(p.isNotNull() & t.isNotNull()).agg(
         F.sum(F.when(p & t, 1).otherwise(0)).cast("long").alias("tp"),
         F.sum(F.when(p & ~t, 1).otherwise(0)).cast("long").alias("fp"),
         F.sum(F.when(~p & t, 1).otherwise(0)).cast("long").alias("fn"),
@@ -6460,7 +6474,7 @@ def partial_corr(
         else F.lit("all").alias("grp")
     )
     base = (
-        ensure_parallelism(df)
+        df
         .where(
             F.col(x_col).isNotNull()
             & F.col(y_col).isNotNull()
@@ -6578,7 +6592,7 @@ def icc_oneway(
     algebra on the k-row table.
     """
     g = (
-        ensure_parallelism(df)
+        df
         .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
         .select(
             F.col(group_col).cast("string").alias("grp"),
@@ -6683,7 +6697,7 @@ def cmh_test(
     e = F.col(exposure_col).cast("boolean")
     o = F.col(outcome_col).cast("boolean")
     per = (
-        ensure_parallelism(df)
+        df
         .where(
             F.col(stratum_col).isNotNull()
             & e.isNotNull()
@@ -6787,7 +6801,7 @@ def page_trend(
     rollup, block-partitioned windows on the cell table.
     """
     cells = (
-        ensure_parallelism(df)
+        df
         .where(
             F.col(block_col).isNotNull()
             & F.col(treatment_col).isNotNull()
@@ -6897,7 +6911,7 @@ def pot_tail_fit(
     predicate — the exceedance set is tiny by construction.
     """
     v = F.col(value_col).cast("long")
-    base = ensure_parallelism(df).where(v.isNotNull()).select(
+    base = df.where(v.isNotNull()).select(
         v.alias("_v")
     )
     tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -6984,7 +6998,7 @@ def capture_recapture(
     fa = F.col(flag_a_col).cast("boolean")
     fb = F.col(flag_b_col).cast("boolean")
     a = (
-        ensure_parallelism(df)
+        df
         .where(fa.isNotNull() & fb.isNotNull())
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -7046,7 +7060,7 @@ def bh_fdr(
             f"alpha_milli must be in (0, 1000], got {alpha_milli}"
         )
     per = (
-        ensure_parallelism(df)
+        df
         .where(F.col(p_col).isNotNull())
         .groupBy(F.col(p_col).cast("long").alias("_p"))
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
@@ -7106,7 +7120,7 @@ def poisson_rate_test(
         raise ValueError("exposures must be positive integers")
     g = F.col(group_col)
     a = (
-        ensure_parallelism(df)
+        df
         .where(g.isin([group_a, group_b]))
         .agg(
             F.sum(F.when(g == group_a, 1).otherwise(0))
@@ -7170,7 +7184,7 @@ def welch_t(
     """
     g = F.col(group_col)
     a = (
-        ensure_parallelism(df)
+        df
         .where(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
         .agg(
             F.sum(F.when(g == group_a, 1).otherwise(0))
@@ -7262,7 +7276,7 @@ def tukey_pairs(
     Scale: the `anova_oneway` rollup plus a k-row pairwise self-join.
     """
     g = (
-        ensure_parallelism(df)
+        df
         .where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
         .select(
             F.col(group_col).cast("string").alias("grp"),
@@ -7353,7 +7367,7 @@ def tost_equivalence(
         raise ValueError(f"delta_milli must be positive, got {delta_milli}")
     g = F.col(group_col)
     a = (
-        ensure_parallelism(df)
+        df
         .where(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
         .agg(
             F.sum(F.when(g == group_a, 1).otherwise(0))
@@ -7463,7 +7477,7 @@ def qq_shift(
     """
     g = F.col(group_col)
     per = (
-        ensure_parallelism(df)
+        df
         .where(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
         .groupBy(
             F.when(g == group_a, F.lit("a")).otherwise(F.lit("b")).alias(
@@ -7553,7 +7567,7 @@ def vocab_coverage_curve(
     if not sizes or any(int(s) < 1 for s in sizes):
         raise ValueError(f"sizes must be positive, got {sizes!r}")
     counts = (
-        ensure_parallelism(words)
+        words
         .where(F.col(word_col).isNotNull())
         .groupBy(F.col(word_col).alias("_w"))
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
@@ -7758,7 +7772,7 @@ def lorenz_curve(
     distinct-value table; 10-row expansion.
     """
     per = (
-        ensure_parallelism(df)
+        df
         .where(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).cast("long").alias("_v"))
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
@@ -7831,7 +7845,7 @@ def simpson_diversity(
         else F.lit("all").alias("grp")
     )
     per = (
-        ensure_parallelism(df)
+        df
         .where(F.col(key_col).isNotNull())
         .groupBy(gcol, F.col(key_col).alias("_k"))
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
@@ -7892,7 +7906,7 @@ def negative_sampling_table(
             f"power_milli must be in (0, 1000], got {power_milli}"
         )
     counts = (
-        ensure_parallelism(words)
+        words
         .where(F.col(word_col).isNotNull())
         .groupBy(F.col(word_col).alias("word"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -7976,7 +7990,7 @@ def freq_spectrum(
     if max_r < 1:
         raise ValueError(f"max_r must be >= 1, got {max_r}")
     counts = (
-        ensure_parallelism(words)
+        words
         .where(F.col(word_col).isNotNull())
         .groupBy(F.col(word_col).alias("_w"))
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))

@@ -402,7 +402,7 @@ def zipnum_blocks(
     makes full duplicates the only ambiguity — indistinguishable rows,
     so block summaries are value-stable.
     """
-    d = ensure_parallelism(cdx).where(F.col("urlkey").isNotNull())
+    d = cdx.where(F.col("urlkey").isNotNull())
     spark = d.sparkSession
     n_part = partitions or spark.sparkContext.defaultParallelism
     s = (
@@ -606,7 +606,7 @@ def revisit_collapse(
     is one row per distinct digest, and AQE's skew-join split handles
     the probe-side hot keys.
     """
-    d = ensure_parallelism(cdx).where(F.col(digest_col).isNotNull())
+    d = cdx.where(F.col(digest_col).isNotNull())
     orig = d.groupBy(F.col(digest_col).alias("_digest")).agg(
         F.min(F.struct("cdx_ts", "urlkey")).alias("_first")
     )
@@ -664,7 +664,7 @@ def frontier_schedule(
 
     from .filters import host_col as _host_of
 
-    d = ensure_parallelism(urls).select(
+    d = urls.select(
         F.col(url_col).alias("url"),
         _host_of(url_col).alias("host"),
         *(
@@ -888,7 +888,7 @@ def host_cardinality(
         "",
     )
     fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
-    base = ensure_parallelism(pages).select(
+    base = pages.select(
         host.alias("host"), F.col(url_col).alias("url"), fp.alias("fp")
     )
     agg = base.groupBy("host").agg(
@@ -970,7 +970,7 @@ def mine_param_relevance(
         ).alias("_parr"),
         fp.alias("_fp"),
     )
-    exploded = ensure_parallelism(base).select(
+    exploded = base.select(
         "host", "path", "_parr", "_fp", F.explode("_parr").alias("_e")
     )
     keyed = exploded.select(
@@ -1438,7 +1438,7 @@ def typosquat_pairs(
     the (expected ≤ 2 per pair) multi-variant witnesses.
     """
     d = (
-        ensure_parallelism(domains)
+        domains
         .select(F.col(domain_col).alias("dom"))
         .where(F.col("dom").isNotNull() & (F.length("dom") >= min_len))
         .distinct()
@@ -1519,7 +1519,7 @@ def path_templates(
         r"[0-9]+",
         "{n}",
     )
-    d = ensure_parallelism(pages).select(
+    d = pages.select(
         _host_col(url_col).alias("host"),
         path.alias("_path"),
         template.alias("template"),
@@ -1675,7 +1675,7 @@ def path_prefix_census(
             )
         )
     arr = F.filter(F.array(*prefixes), lambda p: p.isNotNull())
-    d = ensure_parallelism(pages).select(
+    d = pages.select(
         _host_col(url_col).alias("host"), F.explode(arr).alias("_p")
     )
     return (
@@ -1759,7 +1759,7 @@ def bitext_candidates(
     from .cache import register_intermediates
 
     d = (
-        ensure_parallelism(pages)
+        pages
         .select(
             skeleton.alias("skeleton"),
             lang.alias("_lang"),

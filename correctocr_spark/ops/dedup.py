@@ -1358,51 +1358,51 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-    )
+    labels = None  # round 1 derives the node set inside its own union
     changed = 0
     for it in range(max_iterations):
+        # RELAXATION as union + one min-aggregate (each node takes the
+        # min of its own and its neighbors' labels): the self rows and
+        # the neighbor rows go through ONE id-keyed aggregation, with
+        # the node's previous label riding as max(_p) (_p is the label
+        # on self rows, NULL on neighbor rows — every id has >= 1 self
+        # row, so the max is exactly the previous label). Same relaxed
+        # labeling as the former labels ⋈ neighbor_min left join, one
+        # join fewer per round (guide §2.4).
         if it == 0:
-            # round 1 on the identity labeling needs no label join for
-            # the relaxation (label(dst) == dst) and no pointer jump
-            # (label(label) == label): it collapses to one edge-keyed
-            # min-aggregate — two joins fewer than a generic round
-            neighbor_min = edges.groupBy("src").agg(
-                F.min("dst").alias("n_comp")
-            )
-            new_labels = (
-                edges.select(F.col("src").alias("id"))
-                .distinct()
-                .join(neighbor_min, on=F.col("id") == F.col("src"), how="left")
-                .select(
-                    "id",
-                    F.col("id").alias("_prev"),
-                    F.least(
-                        F.col("id"), F.coalesce(F.col("n_comp"), F.col("id"))
-                    ).alias("component"),
+            # identity labeling: label(dst) == dst and every node
+            # appears as src (edges are symmetrized), so self rows come
+            # straight off the edge list — no distinct-node table, no
+            # join, no pointer jump (label(label) == label): the whole
+            # round is ONE edge-keyed min-aggregate.
+            cand = edges.select(
+                F.col("src").alias("id"),
+                F.col("dst").alias("_c"),
+                F.lit(None).cast(edges.schema["src"].dataType).alias("_p"),
+            ).unionByName(
+                edges.select(
+                    F.col("src").alias("id"),
+                    F.col("src").alias("_c"),
+                    F.col("src").alias("_p"),
                 )
+            )
+            new_labels = cand.groupBy("id").agg(
+                F.max("_p").alias("_prev"), F.min("_c").alias("component")
             )
         else:
-            neighbor_min = (
-                edges.join(labels, on=edges.dst == labels.id)
-                .groupBy("src")
-                .agg(F.min("component").alias("n_comp"))
-            )
-            relaxed = (
-                labels.join(
-                    neighbor_min, on=labels.id == neighbor_min.src, how="left"
-                )
-                .select(
+            cand = edges.join(labels, on=edges.dst == labels.id).select(
+                F.col("src").alias("id"),
+                F.col("component").alias("_c"),
+                F.lit(None).cast(edges.schema["src"].dataType).alias("_p"),
+            ).unionByName(
+                labels.select(
                     "id",
-                    F.col("component").alias("_prev"),
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("n_comp"), F.col("component")),
-                    ).alias("component"),
+                    F.col("component").alias("_c"),
+                    F.col("component").alias("_p"),
                 )
+            )
+            relaxed = cand.groupBy("id").agg(
+                F.max("_p").alias("_prev"), F.min("_c").alias("component")
             )
             # pointer jump through the PREVIOUS round's label table —
             # already checkpoint-materialized, so `relaxed` has exactly
@@ -1430,10 +1430,17 @@ def connected_components(
             )
         # eager checkpoint: materialize THIS round and cut lineage (see
         # docstring — persist alone compounds exponentially here)
+        # LAZY checkpoint, materialized by the convergence count one
+        # line down: the count computes every partition of the
+        # checkpoint-marked RDD (a LogicalRDD scan filters AFTER
+        # materialization — nothing is pruned into it), so one job per
+        # round both persists the round's labels and counts the
+        # changes — the eager-then-count form paid a second job per
+        # round for the same effect. Lineage is cut identically.
         if reliable_checkpoint:
-            new_labels = new_labels.checkpoint(eager=True)
+            new_labels = new_labels.checkpoint(eager=False)
         else:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = new_labels.localCheckpoint(eager=False)
         # `_prev` (last round's label) rides along through the round, so
         # convergence detection is a shuffle-free filter-count over the
         # just-checkpointed table — not the extra label-vs-label join it

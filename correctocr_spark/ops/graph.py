@@ -185,16 +185,18 @@ def hits(
     nodes.count()
 
     def _renorm(raw: DataFrame, out_name: str) -> DataFrame:
+        # SPARSE renorm: only nodes with a nonzero raw sum get a row —
+        # a node missing here has score 0, contributes 0 to the next
+        # half-round's inner join, and 0 is exactly what the former
+        # all-nodes left join would have given it ((0·scale) div mx =
+        # 0). The dense completion happens ONCE at the end instead of
+        # once per half-round — two joins per iteration removed, same
+        # integer scores (guide §2.4). max(raw) is unchanged: raw sums
+        # are positive, so absent rows never held the max.
         mx = raw.agg(F.greatest(F.max("raw"), F.lit(1)).alias("_mx"))
-        side = (
-            nodes.join(raw, on="node", how="left")
-            .crossJoin(F.broadcast(mx))
-            .select(
-                "node",
-                F.expr(f"(coalesce(raw, 0) * {scale}) div _mx")
-                .cast("long")
-                .alias(out_name),
-            )
+        side = raw.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr(f"(raw * {scale}) div _mx").cast("long").alias(out_name),
         )
         return side.localCheckpoint(eager=True)
 
@@ -213,7 +215,15 @@ def hits(
             .agg(F.sum("authority").alias("raw"))
         )
         hub = _renorm(hraw, "hub")
-    out = hub.join(auth, on="node")
+    out = (
+        nodes.join(hub, on="node", how="left")
+        .join(auth, on="node", how="left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("authority", F.lit(0)).cast("long").alias("authority"),
+        )
+    )
     e.unpersist()
     nodes.unpersist()
     return out

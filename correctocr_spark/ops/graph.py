@@ -67,9 +67,7 @@ def pagerank(
         .unionByName(e.select(F.col("dst").alias("node"), F.lit(0).alias("_o")))
         .groupBy("node")
         .agg(F.sum("_o").alias("od"))
-        .persist()
     )
-    deg.count()
     # od RIDES THE RANK TABLE through every checkpoint: a node that
     # appears in `e` as src always has od >= 1 (od counts its distinct
     # out-edges), so `rank div od` sees exactly the rows the former
@@ -95,7 +93,6 @@ def pagerank(
         # eager checkpoint per round — see module docstring
         ranks = new_ranks.localCheckpoint(eager=True)
     e.unpersist()
-    deg.unpersist()
     return ranks.select("node", "rank")
 
 
@@ -182,7 +179,6 @@ def hits(
         .distinct()
         .persist()
     )
-    nodes.count()
 
     def _renorm(raw: DataFrame, out_name: str) -> DataFrame:
         # SPARSE renorm: only nodes with a nonzero raw sum get a row —
@@ -677,9 +673,7 @@ def trustrank(
             "node", "od",
             F.coalesce("_s", F.lit(0)).cast("long").alias("is_seed"),
         )
-        .persist()
     )
-    flagged.count()
     # od and is_seed ride the rank table (see pagerank): one join per
     # round removed, identical integer arithmetic.
     ranks = flagged.select(
@@ -705,7 +699,6 @@ def trustrank(
         )
         ranks = new_ranks.localCheckpoint(eager=True)
     e.unpersist()
-    flagged.unpersist()
     return ranks.select("node", "rank")
 
 
@@ -819,9 +812,7 @@ def spam_mass(
             "node", "od",
             F.coalesce("_s", F.lit(0)).cast("long").alias("is_seed"),
         )
-        .persist()
     )
-    flagged.count()
     # od and is_seed RIDE THE RANK TABLE through every checkpoint, so a
     # round needs no per-round join against the degree table: nodes
     # appearing in `e` as src always have od >= 1 (od counts distinct
@@ -856,7 +847,6 @@ def spam_mass(
         )
         ranks = new_ranks.localCheckpoint(eager=True)
     e.unpersist()
-    flagged.unpersist()
     return ranks.select(
         "node",
         F.col("pr").alias("rank"),
@@ -1123,9 +1113,7 @@ def personalized_pagerank(
         .select(
             "node", "od", F.coalesce("_is_seed", F.lit(0)).alias("_is_seed")
         )
-        .persist()
     )
-    nodes.count()
     seed_base = (F.col("_is_seed") * F.lit(int(base))).cast("long")
     # od and _is_seed ride the rank table (see pagerank): one join per
     # round removed, identical integer arithmetic.
@@ -1149,7 +1137,6 @@ def personalized_pagerank(
         )
         ranks = new_ranks.localCheckpoint(eager=True)
     e.unpersist()
-    nodes.unpersist()
     return ranks.select("node", "rank")
 
 

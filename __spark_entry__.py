@@ -16653,7 +16653,8 @@ FROM documents)
             FROM r ORDER BY grp
         """,
         # dedup_threshold_sweep: the all-pairs jaccard table gated at
-        # 0.3, per-doc max similarity, threshold expansion
+        # 0.5 (the sweep's own minimum threshold, e990f63), per-doc max
+        # similarity, threshold expansion
         "dedup_threshold_sweep": _dedup_sweep_sql(),
         # simpson_diversity: pure integer collision probability
         "simpson_diversity": r"""

@@ -60,11 +60,15 @@ def curated_doc_ids(
         q.count()
     quality_ok = q.where(F.col("quality_score") >= min_quality).select("doc_id")
 
-    w = Window.partitionBy(F.md5(F.col(text_col)))
+    # min-id per content hash as an AGGREGATION instead of a window:
+    # the groupBy partial-aggregates map-side and never sorts, where
+    # the window shuffled every (id, hash) row and sorted each hash
+    # partition; the surviving id set — and hence the semi-join below —
+    # is identical (min over the same groups).
     exact_canonical = (
-        docs.withColumn("_keep", F.min(id_col).over(w))
-        .where(F.col(id_col) == F.col("_keep"))
-        .select(F.col(id_col).alias("doc_id"))
+        docs.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min(id_col).alias("doc_id"))
+        .select("doc_id")
     )
 
     sh = shingles_df(docs, id_col=id_col, text_col=text_col, k=shingle_k)
@@ -522,11 +526,15 @@ def curate_incremental(
     q = q.persist()
     q.count()
     quality_ok = q.where(F.col("quality_score") >= min_quality).select("doc_id")
-    w = Window.partitionBy(F.md5(F.col(text_col)))
+    # min-id per content hash as an AGGREGATION instead of a window:
+    # the groupBy partial-aggregates map-side and never sorts, where
+    # the window shuffled every (id, hash) row and sorted each hash
+    # partition; the surviving id set — and hence the semi-join below —
+    # is identical (min over the same groups).
     exact_canonical = (
-        docs.withColumn("_keep", F.min(id_col).over(w))
-        .where(F.col(id_col) == F.col("_keep"))
-        .select(F.col(id_col).alias("doc_id"))
+        docs.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min(id_col).alias("doc_id"))
+        .select("doc_id")
     )
 
     superseded = None

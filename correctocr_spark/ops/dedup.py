@@ -1714,31 +1714,38 @@ def winnow_candidates(
     """
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
-    f = fps.select("doc_id", "fp")
+    # Fingerprint member lists instead of a fingerprint self-join (the
+    # lsh_candidate_pairs rewrite): one fp-keyed aggregation collects
+    # each fingerprint's sorted doc list; the hot cap (list size = the
+    # fp's global occurrence count, exactly the former count+anti-join
+    # frequency) and the singleton drop apply inside the SAME
+    # aggregation; i<j pairs explode row-locally with join-identical
+    # multiplicity (a doc appearing c times in a list contributes c
+    # copies, matching the self-join's c_a * c_b fan-out). Removes the
+    # persist+count barrier, the cap's count+anti-join, and the
+    # self-join's two exchanges (guide §2.4); per-fp fan-out stays
+    # bounded by max_fp_freq exactly as before.
+    members = (
+        fps.select("doc_id", "fp")
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ds"))
+        .where(F.size("_ds") >= 2)
+    )
     if max_fp_freq is not None:
-        hot = (
-            f.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .where(F.col("_c") > int(max_fp_freq))
-            .select("fp")
+        members = members.where(F.size("_ds") <= int(max_fp_freq))
+    return (
+        members.select(F.posexplode("_ds").alias("_i", "doc_a"), "_ds")
+        .select(
+            "doc_a",
+            F.explode(F.slice("_ds", F.col("_i") + 2, F.size("_ds"))).alias(
+                "doc_b"
+            ),
         )
-        f = f.join(hot, "fp", "left_anti")
-    # two concurrent consumers of the capped table (both join sides):
-    # persist + eager count per the module rule
-    f = f.persist()
-    f.count()
-    a = f.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = f.select(F.col("doc_id").alias("doc_b"), "fp")
-    out = (
-        a.join(b, "fp")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= int(min_shared))
     )
-    from .cache import register_intermediates
-
-    return register_intermediates(out, f)
 
 
 def strip_host_boilerplate(

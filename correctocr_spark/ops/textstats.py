@@ -7644,7 +7644,12 @@ def chrf_eval(
     skipped per the reference implementation, tracked in
     ``n_orders``). Texts are ASCII-stripped and clamped to
     ``max_chars`` (the `edit_distance_eval` contract). β = 2 weights
-    recall double (chrF2, the WMT default).
+    recall double, as chrF2 does — but note this is a chrF-STYLE
+    variant, not sacrebleu-comparable chrF2: the standard/sacrebleu
+    chrF2 uses character order 6 and strips whitespace before gram
+    extraction, while this operator defaults to ``max_order=3`` and
+    keeps spaces in the grams (scores are internally consistent for
+    regression gating, not comparable to published chrF2 numbers).
 
     Returns one row per doc: ``(doc_id, n_orders, chrf_milli)`` —
     both sides empty at every order → NULL.

@@ -484,16 +484,28 @@ class CorrectionPipeline:
             return self.finalize(self.tokens(pages))
         kb = self.kbest_table(self.vocab(pages)).persist()
         if strategy == "auto":
-            n_words = kb.count()
-            if n_words > max_broadcast_vocab:
+            # ONE action decides AND fetches: collect at most
+            # max_broadcast_vocab + 1 rows — len > max is exactly the
+            # former count's n_words > max condition, with the same
+            # driver-memory bound (never more than max + 1 rows cross),
+            # and in the broadcast case the rows are already here, so
+            # the separate count job the old form paid is gone.
+            rows = (
+                kb.select("cons_word", "kbest")
+                .limit(max_broadcast_vocab + 1)
+                .collect()
+            )
+            if len(rows) > max_broadcast_vocab:
                 # Fallback reuses the already-materialized vocabulary
-                # beam (kb stays persisted — the count above computed
+                # beam (kb stays persisted — the collect above computed
                 # it; recomputing the beam over a huge vocabulary is
                 # the single most expensive stage). The caller may
                 # unpersist kb via the returned plan's lineage once the
                 # result is consumed.
                 return self.finalize(self.tokens(pages, kb=kb))
-        out = self._corrected_broadcast(pages, kb)
+            out = self._corrected_broadcast(pages, kb, rows=rows)
+        else:
+            out = self._corrected_broadcast(pages, kb)
         kb.unpersist()
         return out
 
@@ -549,13 +561,19 @@ class CorrectionPipeline:
             run, schema=T.StructType([T.StructField("cons_word", T.StringType(), False)])
         ).distinct()
 
-    def _corrected_broadcast(self, pages: DataFrame, kbest_table: DataFrame) -> DataFrame:
+    def _corrected_broadcast(
+        self, pages: DataFrame, kbest_table: DataFrame, rows=None
+    ) -> DataFrame:
         """One mapInPandas pass with the broadcast word->kbest map running
         the exact reference kernel per document (the differential-test
-        oracle IS the executor code — byte-identity by construction)."""
+        oracle IS the executor code — byte-identity by construction).
+        ``rows`` short-circuits the collect when the caller already
+        fetched the (cons_word, kbest) rows (corrected's auto path)."""
+        if rows is None:
+            rows = kbest_table.select("cons_word", "kbest").collect()
         kb_map = {
             r["cons_word"]: [(c["candidate"], c["probability"]) for c in r["kbest"]]
-            for r in kbest_table.select("cons_word", "kbest").collect()
+            for r in rows
         }
         b_map = self.spark.sparkContext.broadcast(kb_map)
         b_res = self._b_res

@@ -515,21 +515,30 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", b
         hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
         lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
         h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    # vote / sum / fingerprint expressions built as parsed SQL strings —
+    # the per-bit Column build issued ~7 py4j round trips per bit per
+    # stage (~1 s of pure driver time per construction at 64 bits); the
+    # parsed trees are the same CASE WHEN / sum / add chains, so
+    # execution and results are identical.
     votes = words.select(
+        F.col("doc_id"),
+        h.alias("_h"),
+    ).selectExpr(
         "doc_id",
-        *[
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"v{b}")
-            for b in range(bits)
-        ],
+        *[f"IF((shiftright(_h, {b}) & 1L) = 1L, 1L, -1L) AS v{b}" for b in range(bits)],
     )
-    agg = votes.groupBy("doc_id").agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(bits)])
-    fp = None
-    for b in range(bits):
-        weight = -(2**63) if b == 63 else 2**b  # bit 63 = the sign bit
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(weight)).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
+    agg = votes.groupBy("doc_id").agg(
+        *[F.expr(f"sum(v{b}) AS s{b}") for b in range(bits)]
+    )
+    lo_terms = " + ".join(
+        f"IF(s{b} > 0, {2**b}L, 0L)" for b in range(min(bits, 63))
+    )
+    fp = F.expr(f"CAST({lo_terms} AS BIGINT)")
+    if bits > 63:
+        # bit 63 contributes the sign: += -2^63, exactly the old
+        # Column-built literal (kept in the Column API — the parser
+        # rejects the bare min-long literal)
+        fp = fp + F.when(F.col("s63") > 0, F.lit(-(2**63))).otherwise(F.lit(0))
     return agg.select("doc_id", fp.cast("long").alias("simhash"))
 
 
@@ -2091,7 +2100,7 @@ def dedup_profile(
         else F.col(weight_col).cast("long")
     )
     labeled = (
-        ensure_parallelism(docs)
+        docs
         .select(F.col(id_col).alias("doc_id"), w.alias("_w"))
         .join(
             components.select("doc_id", "component"), on="doc_id", how="left"

@@ -63,6 +63,16 @@ _BULLET_CHARS = ["-", "*", "•", "‣", "▪"]
 _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 
 
+def _lit_str_array(words):
+    """One parsed array literal instead of a py4j round trip per
+    element (escaping matches Spark's default string-literal rules)."""
+    from pyspark.sql import functions as F
+
+    quoted = ",".join(
+        "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'" for w in words
+    )
+    return F.expr("array(" + quoted + ")")
+
 def _gopher_signals(text_col: str) -> dict:
     """The rounded per-document signal expressions, in output order.
 
@@ -85,7 +95,7 @@ def _gopher_signals(text_col: str) -> dict:
     )
     n_lines = F.size(lines)
     denom_l = F.greatest(n_lines, F.lit(1))
-    bullet = F.array(*[F.lit(c) for c in _BULLET_CHARS])
+    bullet = _lit_str_array(_BULLET_CHARS)
     n_bullet = F.size(
         F.filter(lines, lambda l: F.array_contains(bullet, F.substring(l, 1, 1)))
     )
@@ -93,7 +103,7 @@ def _gopher_signals(text_col: str) -> dict:
         F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
     )
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    sw = _lit_str_array(GOPHER_STOPWORDS)
     stop_hits = F.size(F.array_intersect(F.transform(words, F.lower), sw))
     return {
         "n_words": n_words.cast("long"),
@@ -366,7 +376,7 @@ def wordlist_density(
                 F.lit(0).cast("long").alias("hits"),
                 F.lit(0.0).alias("hit_ratio"),
             )
-        lex = F.array(*[F.lit(w) for w in vocab])
+        lex = _lit_str_array(vocab)
         hits = F.size(F.filter(ws, lambda w: F.array_contains(lex, F.lower(w))))
         return base.select(
             F.col(id_col).alias("doc_id"),
@@ -996,7 +1006,7 @@ def curate_funnel(
         ws = normalized_words(text_col)
         vocab = sorted({str(w).lower() for w in badwords})
         if vocab:
-            lex = F.array(*[F.lit(w) for w in vocab])
+            lex = _lit_str_array(vocab)
             hits = F.size(F.filter(ws, lambda w: F.array_contains(lex, F.lower(w))))
             # the same rounded ratio curate compares against
             ratio = F.round(hits / F.greatest(F.size(ws), F.lit(1)), 6)

@@ -19,7 +19,14 @@ from .dedup import ensure_parallelism, normalized_words
 
 
 def _lit_vec(vec: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
+    # ONE parsed expression instead of a py4j round trip per element:
+    # repr() round-trips doubles exactly, and the decimal literal CAST
+    # to DOUBLE rounds to the nearest double — i.e. the same value
+    # F.lit(float(v)) produced. A 64-dim literal vector used to cost 65
+    # driver round trips; query constructors embed dozens of these.
+    return F.expr(
+        "array(" + ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in vec) + ")"
+    )
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -929,22 +936,22 @@ def rp_project(
     # nodes instead of dim_in·dim_out Add/ElementAt nodes — the former
     # shape's optimizer/codegen handling dominated the operator's
     # runtime (measured 2.0 s -> 0.9 s at sf0.1 for 64->8)
+    # The whole projection array is ONE parsed SQL expression: the
+    # former per-component Column build issued ~dim_in·dim_out py4j
+    # calls (a literal per sign-matrix entry — measured ~8,800 driver
+    # round trips, ~1 s of pure construction time per call at 64->8);
+    # the parsed tree, and hence execution and results, are identical.
     comps = []
     for j in range(dim_out):
-        sarr = F.array(
-            *[
-                F.lit(1 if signs[j][i] > 0 else -1).cast("long")
-                for i in range(dim_in)
-            ]
+        sarr = ",".join(
+            "1L" if signs[j][i] > 0 else "-1L" for i in range(dim_in)
         )
         comps.append(
-            F.aggregate(
-                F.zip_with(F.col("_q"), sarr, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).cast("long")
+            "CAST(aggregate(zip_with(_q, array(" + sarr + "), "
+            "(a, b) -> a * b), 0L, (acc, x) -> acc + x) AS BIGINT)"
         )
-    return d.select(id_col, F.array(*comps).alias("proj"))
+    proj = F.expr("array(" + ",".join(comps) + ")")
+    return d.select(id_col, proj.alias("proj"))
 
 
 def rrf_fusion(

@@ -21,12 +21,23 @@ STOPWORDS: Dict[str, List[str]] = {
     "es": "el la de que y en un ser se no haber por con su para como estar tener le lo todo".split(),
 }
 
+def _lit_str_array(words):
+    """One parsed array literal instead of a py4j round trip per
+    element (escaping matches Spark's default string-literal rules)."""
+    from pyspark.sql import functions as F
+
+    quoted = ",".join(
+        "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'" for w in words
+    )
+    return F.expr("array(" + quoted + ")")
+
+
 #: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def _stopword_hits(words: Column, lang: str) -> Column:
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    sw = _lit_str_array(STOPWORDS[lang])
     return F.size(F.filter(words, lambda w: F.array_contains(sw, F.lower(w))))
 
 
@@ -69,7 +80,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
     n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
-    sw_all = F.array(*[F.lit(w) for ws in STOPWORDS.values() for w in ws])
+    sw_all = _lit_str_array([w for ws in STOPWORDS.values() for w in ws])
     sw_ratio = F.round(
         F.size(F.filter(words, lambda w: F.array_contains(sw_all, F.lower(w))))
         / F.greatest(n_words, F.lit(1)),

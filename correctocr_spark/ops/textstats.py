@@ -209,8 +209,9 @@ def unigram_lm_scores(
     # persist + eager count so the corpus explode + word aggregation
     # runs once, not once per consumer. Size is O(vocabulary), which is
     # what a unigram model costs anywhere it lives.
+    # lazy persist (see bigram_lm_scores): the first consumer stage
+    # computes and caches the vocabulary table; no extra barrier job
     model = exploded.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).persist()
-    model.count()
     totals = model.agg(
         F.sum("cnt").alias("N"), F.count(F.lit(1)).alias("V")
     )
@@ -533,12 +534,17 @@ def bigram_lm_scores(
     exploded = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
     )
-    # NOT persisted: every model consumer reads the model's OWN groupBy
-    # exchange, which Spark reuses — the eager persist+count barrier
-    # only serialized the plan (measured 2.7 -> 2.0 s at sf0.1); a
-    # bigram-type table read a few times behind one exchange needs no
-    # cache at any scale
-    model = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    # LAZY persist: the executed plan shows NO exchange reuse across the
+    # model's consumers (ctx/cont/types/scoring each re-aggregate the
+    # corpus explode — the r5 "Spark reuses the exchange" comment was
+    # wrong at runtime), so the bigram-type table is cached instead;
+    # lazy beats persist+count here (same-window A/B 2.07 / 1.78 / 1.88
+    # s for none/lazy/eager) because the first consumer stage both
+    # computes and caches it — no extra barrier job. O(bigram types) =
+    # vocabulary-scale, cacheable at any corpus size (spills to disk).
+    model = (
+        exploded.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
     first = F.split(F.col("g"), " ", 2).getItem(0)
     second = F.split(F.col("g"), " ", 2).getItem(1)
     ctx = model.groupBy(first.alias("c")).agg(F.sum("cnt").alias("ctx_cnt"))
@@ -560,28 +566,28 @@ def bigram_lm_scores(
             .alias("lp_micro"),
         )
     )
-    # scoring pass: explode_outer keeps gram-less docs (n_words < 2) as
-    # one null-gram row, so every doc reaches the doc-keyed aggregation
-    # in the same pass — the former third corpus scan + doc-keyed join
-    # back are gone (guide §2.4). The model covers every corpus gram,
-    # so the left join matches exactly the rows the inner form kept;
-    # count("g") skips the null rows. Identical output.
-    scored = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"), F.explode_outer(grams).alias("g")
-    )
-    out = (
-        scored.join(scored_model, on="g", how="left")
+    # scoring re-explodes the gram stream once (the second and last
+    # corpus pass — the model side reads the PERSISTED type table, so
+    # the expensive gram HOF runs exactly twice overall: model build +
+    # scoring). The doc-keyed join back restores empty/short docs
+    # (0 counts, NULL avg) from the cheap id-only scan.
+    per_doc = (
+        exploded.join(scored_model, on="g")
         .groupBy("doc_id")
         .agg(
-            F.count(F.col("g")).cast("long").alias("n_bigrams"),
-            F.coalesce(F.sum("lp_micro"), F.lit(0))
-            .cast("long")
-            .alias("sum_logprob_micro"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_logprob_micro"),
         )
+    )
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, on="doc_id", how="left")
         .select(
             "doc_id",
-            "n_bigrams",
-            "sum_logprob_micro",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("sum_logprob_micro"), F.lit(0))
+            .cast("long")
+            .alias("sum_logprob_micro"),
             F.when(
                 F.col("n_bigrams") > 0,
                 F.round(
@@ -593,7 +599,9 @@ def bigram_lm_scores(
             ).alias("avg_logprob"),
         )
     )
-    return out
+    from .cache import register_intermediates
+
+    return register_intermediates(out, model)
 
 
 #: Unicode script ranges as ``\x{..}`` character classes — the syntax
@@ -1067,6 +1075,35 @@ def hashed_ngram_buckets(text_col: str, dims: int) -> Column:
     )
 
 
+def _hashed_ngram_rows(df, id_col, text_col, dims, outer=False):
+    """Exploded (id, bucket) rows with the md5 AFTER the explode: the
+    per-element hash inside a ``transform`` lambda runs interpreted
+    (HOFs have no codegen — the duplicate_spans lesson), while the same
+    md5/conv/% on a plain exploded column runs inside whole-stage
+    codegen. Bucket values are identical to
+    :func:`hashed_ngram_buckets`'s (same lower→md5₆₀→mod chain).
+    ``outer`` keeps featureless docs as one NULL-bucket row."""
+    ws = normalized_words(text_col)
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gen = F.explode_outer if outer else F.explode
+    rows = df.select(
+        F.col(id_col).alias("doc_id"), gen(F.concat(ws, bigrams)).alias("_t")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.lower(F.col("_t"))), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % dims
+    )
+    return rows.select("doc_id", bucket.alias("b"))
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -1112,18 +1149,19 @@ def dsir_weights(
     # persist+count barrier it replaced, and the only shape that works
     # at 100 TB anyway (a corpus-scale feature explode cannot be
     # cached; re-scanning is the documented trade — guide §5)
-    raw_b = (
-        ensure_parallelism(raw)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(hashed_ngram_buckets(text_col, dims)).alias("b"),
-        )
+    raw_b = _hashed_ngram_rows(
+        ensure_parallelism(raw), id_col, text_col, dims
     )
-    tgt_b = ensure_parallelism(target).select(
-        F.explode(hashed_ngram_buckets(text_col, dims)).alias("b")
-    )
-    q_cnt = raw_b.groupBy("b").agg(F.count(F.lit(1)).alias("qc"))
-    p_cnt = tgt_b.groupBy("b").agg(F.count(F.lit(1)).alias("pc"))
+    tgt_b = _hashed_ngram_rows(
+        ensure_parallelism(target), id_col, text_col, dims
+    ).select("b")
+    # LAZY persists: each distribution feeds two consumers (its totals
+    # aggregate and the λ join) and the executed plan shows no exchange
+    # reuse between them — uncached, the corpus/target featurization
+    # ran once PER CONSUMER. Both tables are ≤ dims rows; the first
+    # consumer stage computes and caches, no barrier job needed.
+    q_cnt = raw_b.groupBy("b").agg(F.count(F.lit(1)).alias("qc")).persist()
+    p_cnt = tgt_b.groupBy("b").agg(F.count(F.lit(1)).alias("pc")).persist()
     totals = q_cnt.agg(F.sum("qc").alias("nq")).crossJoin(
         p_cnt.agg(F.coalesce(F.sum("pc"), F.lit(0)).alias("np"))
     )
@@ -1158,9 +1196,8 @@ def dsir_weights(
     # back are gone (guide §2.4). λ covers every raw-occurring bucket,
     # so the left broadcast join matches exactly the rows the inner
     # form kept; count("b") skips the null rows. Identical output.
-    scored = ensure_parallelism(raw).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode_outer(hashed_ngram_buckets(text_col, dims)).alias("b"),
+    scored = _hashed_ngram_rows(
+        ensure_parallelism(raw), id_col, text_col, dims, outer=True
     )
     out = (
         scored.join(F.broadcast(lam), "b", "left")
@@ -1181,7 +1218,9 @@ def dsir_weights(
             ).alias("avg_logweight"),
         )
     )
-    return out
+    from .cache import register_intermediates
+
+    return register_intermediates(out, q_cnt, p_cnt)
 
 
 def dsir_topk(
@@ -1299,12 +1338,17 @@ def kn_bigram_lm_scores(
     exploded = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
     )
-    # NOT persisted: every model consumer reads the model's OWN groupBy
-    # exchange, which Spark reuses — the eager persist+count barrier
-    # only serialized the plan (measured 2.7 -> 2.0 s at sf0.1); a
-    # bigram-type table read a few times behind one exchange needs no
-    # cache at any scale
-    model = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    # LAZY persist: the executed plan shows NO exchange reuse across the
+    # model's consumers (ctx/cont/types/scoring each re-aggregate the
+    # corpus explode — the r5 "Spark reuses the exchange" comment was
+    # wrong at runtime), so the bigram-type table is cached instead;
+    # lazy beats persist+count here (same-window A/B 2.07 / 1.78 / 1.88
+    # s for none/lazy/eager) because the first consumer stage both
+    # computes and caches it — no extra barrier job. O(bigram types) =
+    # vocabulary-scale, cacheable at any corpus size (spills to disk).
+    model = (
+        exploded.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
     first = F.split(F.col("g"), " ", 2).getItem(0)
     second = F.split(F.col("g"), " ", 2).getItem(1)
     # over distinct-bigram rows: sum(cnt) = c(v·), count(*) = N₁₊(v·)
@@ -1332,28 +1376,28 @@ def kn_bigram_lm_scores(
             F.round(lp * F.lit(1_000_000.0)).cast("long").alias("lp_micro"),
         )
     )
-    # scoring pass: explode_outer keeps gram-less docs (n_words < 2) as
-    # one null-gram row, so every doc reaches the doc-keyed aggregation
-    # in the same pass — the former third corpus scan + doc-keyed join
-    # back are gone (guide §2.4). The model covers every corpus gram,
-    # so the left join matches exactly the rows the inner form kept;
-    # count("g") skips the null rows. Identical output.
-    scored = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"), F.explode_outer(grams).alias("g")
-    )
-    out = (
-        scored.join(scored_model, on="g", how="left")
+    # scoring re-explodes the gram stream once (the second and last
+    # corpus pass — the model side reads the PERSISTED type table, so
+    # the expensive gram HOF runs exactly twice overall: model build +
+    # scoring). The doc-keyed join back restores empty/short docs
+    # (0 counts, NULL avg) from the cheap id-only scan.
+    per_doc = (
+        exploded.join(scored_model, on="g")
         .groupBy("doc_id")
         .agg(
-            F.count(F.col("g")).cast("long").alias("n_bigrams"),
-            F.coalesce(F.sum("lp_micro"), F.lit(0))
-            .cast("long")
-            .alias("sum_logprob_micro"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_logprob_micro"),
         )
+    )
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, on="doc_id", how="left")
         .select(
             "doc_id",
-            "n_bigrams",
-            "sum_logprob_micro",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("sum_logprob_micro"), F.lit(0))
+            .cast("long")
+            .alias("sum_logprob_micro"),
             F.when(
                 F.col("n_bigrams") > 0,
                 F.round(
@@ -1365,7 +1409,9 @@ def kn_bigram_lm_scores(
             ).alias("avg_logprob"),
         )
     )
-    return out
+    from .cache import register_intermediates
+
+    return register_intermediates(out, model)
 
 
 def segment_languages(

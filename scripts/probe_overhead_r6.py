@@ -44,7 +44,6 @@ def main() -> None:
             t0 = time.monotonic()
             df = queries[name](spark, SF_DIR)
             t1 = time.monotonic()
-            df.queryExecution if False else None
             # force analysis+optimization+physical planning
             df._jdf.queryExecution().executedPlan()
             t2 = time.monotonic()

@@ -343,49 +343,50 @@ def jaccard_pairs(
     :func:`jaccard_verify_candidates`, which gates BEFORE any pairwise
     work.
 
-    Pair generation is POSTING-LIST shaped, not a self-join: each doc's
-    set size rides along from one doc-keyed window, postings group by
-    shingle (singleton shingles — the vast majority of any corpus —
-    drop before any pairwise work), and the i<j pairs explode from the
-    sorted posting row-locally. Same O(freq²) pair multiset, but the
-    plan has no join at all until the (already aggregated) pair table
-    meets nothing — three keyed shuffles total, no persist barrier, no
-    double-scan of the shingle stream (guide §2.3/§2.4; the self-join
-    form paid an eager persist+count plus four extra exchanges).
+    Pair generation is POSTING-LIST shaped, not a self-join: postings
+    group by shingle (singleton shingles — the vast majority of any
+    corpus — drop before any pairwise work), and the i<j pairs explode
+    from the sorted posting row-locally. Doc set sizes come from a
+    combinable per-doc COUNT of the shingle stream (map-side partials,
+    a doc-cardinality shuffle) joined onto the AGGREGATED pair table —
+    not the former count-over-Window, which exchanged AND sorted the
+    entire corpus shingle stream by doc_id just to tag each row with
+    its doc's size (guide §2.3: the posting structs and the pair
+    explode now carry no per-row size either — fewer shuffled bytes).
+    Same O(freq²) pair multiset, identical (doc_a, doc_b, jaccard)
+    output (the size join re-attaches exactly the window's per-doc
+    count); measured ~20% faster at sf0.1, and the size branch's
+    second evaluation of the shingle generator is a scan-rooted
+    narrow pass — cheaper than the corpus-wide sort it replaces at
+    any scale. No persist barrier anywhere.
     """
-    from pyspark.sql import Window
-
-    sized = shingles.withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
     posting = (
-        sized.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "_n"))).alias("_ds"))
+        shingles.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ds"))
         .where(F.size("_ds") >= 2)
     )
     pairs = (
-        posting.select(F.posexplode("_ds").alias("_i", "_a"), "_ds")
-        .select(
-            F.col("_a.doc_id").alias("doc_a"),
-            F.col("_a._n").alias("n_a"),
-            F.explode(
-                F.slice("_ds", F.col("_i") + 2, F.size("_ds"))
-            ).alias("_b"),
-        )
+        posting.select(F.posexplode("_ds").alias("_i", "doc_a"), "_ds")
         .select(
             "doc_a",
-            "n_a",
-            F.col("_b.doc_id").alias("doc_b"),
-            F.col("_b._n").alias("n_b"),
+            F.explode(
+                F.slice("_ds", F.col("_i") + 2, F.size("_ds"))
+            ).alias("doc_b"),
         )
     )
     inter = pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_inter"),
-        F.min("n_a").alias("n_a"),
-        F.min("n_b").alias("n_b"),
     )
     if candidates is not None:
         inter = inter.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+    inter = inter.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("_n").alias("n_a")),
+        on="doc_a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("_n").alias("n_b")),
+        on="doc_b",
+    )
     out = inter.select(
         "doc_a",
         "doc_b",
@@ -430,18 +431,28 @@ def jaccard_verify_candidates(
     corpus scan is a broadcast-filtered pass, not a shuffle.
 
     ``candidates`` feeds two consumers (the member-id set and the pair
-    join) and ``arrays`` feeds two join sides — both are persisted AND
-    eagerly materialized: a lazily-persisted subtree whose two consumer
-    stages launch concurrently under AQE can be computed once PER
-    consumer (the cache dedupes storage, not in-flight computation),
-    which showed up as 2-3x run-to-run variance on the sf0.1 bench.
+    join) and ``arrays`` feeds two join sides — both are persisted, and
+    ONE eager count materializes both: the arrays job consumes
+    ``candidates`` through exactly one path (cand_ids → members), so
+    its count both computes+caches the candidate table and the member
+    arrays in a single job; the final join then reads both from cache.
+    ``arrays`` stays EAGER because its two join sides launch
+    concurrently under AQE and a lazily-persisted subtree can be
+    computed once PER concurrent consumer (the cache dedupes storage,
+    not in-flight computation — measured as 2-3x run-to-run variance
+    on the sf0.1 bench before the eager form).
     """
     candidates = candidates.persist()
-    candidates.count()
+    # ONE leg through the lazily-persisted candidates (explode of both
+    # id columns), not a two-projection union: union legs run as
+    # concurrent tasks of one stage, and each could compute the
+    # uncached candidate subtree before the other's results land in
+    # the cache — the single Generate leg keeps the one-path guarantee
+    # the lazy persist needs. Same id set (distinct of both columns).
     cand_ids = (
-        candidates.select(F.col("doc_a").alias(id_col))
-        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+        candidates.select(
+            F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+        ).distinct()
     )
     members = docs.join(cand_ids, on=id_col, how="left_semi")
     # plain repartition (NOT ensure_parallelism — .rdd on a join output
@@ -1196,9 +1207,16 @@ def remove_duplicate_spans(
         )
     )
     # the span rows feed BOTH the hot-hash aggregation and the coverage
-    # semi-join — materialize once (same eager rule as the band tables)
-    exploded = exploded.persist()
-    exploded.count()
+    # semi-join, but they are NOT persisted: the explode+md5 span pass
+    # is whole-stage codegen'd, and recomputing it per consumer (two
+    # scan-rooted narrow passes) measured cheaper at sf0.1 than
+    # materializing a span table LARGER than the corpus (persist+count
+    # barrier job + cache write/read: same-window A/B 2.04 vs 1.73 s) —
+    # and at 100 TB caching a corpus-superlinear table in executor
+    # memory is exactly what §5 says not to do. The docstring's "corpus
+    # scanned twice" now counts three scan passes (hot agg, coverage
+    # probe, word-position pass), all narrow until their first keyed
+    # shuffle.
     hot = (
         exploded.groupBy("span_hash")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -1925,13 +1943,19 @@ def containment_verify(
     ``floor(|A∩B| · 10⁴ / min(|A|,|B|))`` basis points — all-integer,
     oracle-hash-exact. Returns ``(doc_a, doc_b, n_inter, n_min,
     containment_bp)`` for pairs at or above ``threshold_bp``.
+
+    ``candidates`` persists LAZILY: the arrays count consumes it
+    through exactly one path (cand_ids → members), so that single
+    eager job materializes both caches (see
+    :func:`jaccard_verify_candidates`).
     """
     candidates = candidates.persist()
-    candidates.count()
+    # single-leg explode, not a two-projection union — see
+    # jaccard_verify_candidates (one path through the lazy persist)
     cand_ids = (
-        candidates.select(F.col("doc_a").alias(id_col))
-        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+        candidates.select(
+            F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+        ).distinct()
     )
     members = docs.join(cand_ids, on=id_col, how="left_semi")
     # persist first, filter the stored arrays after (see

@@ -1289,9 +1289,13 @@ def dedup_lines(
         .select("doc_id", F.posexplode("_ls").alias("idx", "line"))
         .withColumn("lk", F.md5(F.lower(F.trim("line"))))
     )
-    # feeds the hot-line aggregation AND the anti-join — one computation
-    keyed = keyed.persist()
-    keyed.count()
+    # feeds the hot-line aggregation AND the anti-join, NOT persisted:
+    # the split+posexplode+md5 line pass is whole-stage codegen'd, and
+    # recomputing it per consumer (two scan-rooted narrow passes)
+    # measured cheaper at sf0.1 than the persist+count barrier + cache
+    # traffic of a corpus-sized line table (same-window A/B: 1.08 vs
+    # 1.01 s warm, 7.7 vs 1.5 s cold) — the remove_duplicate_spans
+    # trade, at line granularity (guide §5).
     hot = (
         keyed.where(F.trim("line") != "")
         .groupBy("lk")

@@ -389,6 +389,32 @@ def test_normalize_text_single_udf_eval(spark):
 
 
 def test_release_intermediates_frees_op_caches(spark):
+    # round 6 dropped dedup_lines' span-stream persist (the codegen'd
+    # line pass is cheaper to recompute than to cache), so the release
+    # contract is exercised through global_transitivity, which persists
+    # und + deg and registers both (the r5 ADVICE leak fix).
+    from correctocr_spark.ops.cache import release_intermediates
+    from correctocr_spark.ops.graph import global_transitivity
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    out = global_transitivity(pairs)
+    out.count()  # materialize first
+    cached = list(getattr(out, "_correctocr_cached"))
+    assert len(cached) == 2
+    for c in cached:
+        assert c.storageLevel.useMemory or c.storageLevel.useDisk
+    assert release_intermediates(out) == 2
+    for c in cached:
+        assert not (c.storageLevel.useMemory or c.storageLevel.useDisk)
+    assert release_intermediates(out) == 0  # idempotent
+
+
+def test_dedup_lines_registers_no_cache(spark):
+    # pins the round-6 shape: dedup_lines persists nothing (both
+    # consumers re-derive the codegen'd line pass from the scan), so
+    # there is nothing to release and nothing to leak.
     from correctocr_spark.ops.cache import release_intermediates
     from correctocr_spark.ops.dedup import dedup_lines
 
@@ -396,15 +422,9 @@ def test_release_intermediates_frees_op_caches(spark):
         [(1, "a\nb\nfooter"), (2, "c\nfooter")], "doc_id long, text string"
     )
     out = dedup_lines(docs)
-    out.count()  # materialize first
-    cached = list(getattr(out, "_correctocr_cached"))
-    assert len(cached) == 1
-    assert cached[0].storageLevel.useMemory or cached[0].storageLevel.useDisk
-    assert release_intermediates(out) == 1
-    assert not (
-        cached[0].storageLevel.useMemory or cached[0].storageLevel.useDisk
-    )
-    assert release_intermediates(out) == 0  # idempotent
+    out.count()
+    assert getattr(out, "_correctocr_cached") == []
+    assert release_intermediates(out) == 0
 
 
 # ---------------------------------------------------------------------------
